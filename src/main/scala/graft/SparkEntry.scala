@@ -1,13 +1,357 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{DedupOps, SimilarityOps, TextFunctions}
+import graft.operators.{ActionRegistry, GraftAction, QueryService, Transforms}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB oracle in `oracleSql` where the
+  * semantics are SQL-expressible (hash-based ops like MinHash/SimHash get
+  * rows-only checks).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: revenue by region — a 5-way join + aggregation whose plan
+    * broadcasts every dimension table and shuffles lineitem exactly once. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val lineitem = T(spark, dir, "lineitem"); val orders = T(spark, dir, "orders")
+    val customer = T(spark, dir, "customer"); val nation = T(spark, dir, "nation")
+    val region = T(spark, dir, "region")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("r_name"))
+  }
+
+  private def registerActions(): Unit =
+    ActionRegistry.register(GraftAction(
+      "debit10",
+      row => Row(row.getLong(0), row.getDouble(1) - 10.0),
+      _ => StructType(Seq(StructField("c_custkey", LongType), StructField("c_acctbal", DoubleType)))))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── §2.1 FunctionTransform: computed-column projection via the
+    //    reference expression language (double + paren semantics)
+    "q01_function" -> ((s, dir) => {
+      Transforms.function(T(s, dir, "lineitem"), Seq(
+        "okey ~ l_orderkey",
+        "lineno ~ l_linenumber",
+        "disc_price ~ l_extendedprice * (1 - l_discount)",
+        "charge ~ (l_extendedprice * (1 - l_discount)) * (1 + l_tax)"))
+        .orderBy("okey", "lineno")
+    }),
+    // ── §2.4 expression quirks: integer division, ^ = pow(x,abs(y)),
+    //    left-to-right chaining `a + 1 * 3 == (a + 1) * 3`
+    "q02_function_intops" -> ((s, dir) => {
+      Transforms.function(T(s, dir, "orders"), Seq(
+        "okey ~ o_orderkey",
+        "halfkey ~ o_orderkey / 2",
+        "cube ~ o_custkey ^ 3",
+        "chain ~ o_orderkey + 1 * 3"))
+        .orderBy("okey")
+    }),
+    // ── §2.1 FilterTransform: boolean predicate, all source columns kept
+    "q03_filter" -> ((s, dir) => {
+      Transforms.filter(T(s, dir, "lineitem"),
+        "(l_quantity < 11) && (l_discount > 0.05)")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_returnflag"),
+          col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // ── §2.1 UnionTransform: key-coalescing outer merge (upsert by key);
+    //    "last insert wins" rendered as latest order per customer
+    "q04_union_merge" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey").desc)
+      val lastOrder = T(s, dir, "orders")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      val cust = T(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      Transforms.union(Seq((cust, "c_custkey"), (lastOrder, "o_custkey")))
+        .orderBy("matchingKey")
+    }),
+    // ── §2.1 AggregationTransform: memo fold → count/sum/avg decomposition
+    "q05_aggregation" -> ((s, dir) => {
+      Transforms.aggregation(T(s, dir, "lineitem"), "l_returnflag", Seq(
+        "cnt ~ memo.cnt + 1",
+        "sum_qty ~ memo.sum_qty + l_quantity",
+        "avg_qty ~ memo.sum_qty / memo.cnt"))
+        .orderBy("aggregatedColumn")
+    }),
+    // ── §2.2 FindOne: point lookup on a unique key
+    "q07_find_one" -> ((s, dir) => {
+      new QueryService(n => T(s, dir, n)).findOne("orders", "o_orderkey", 42L)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    }),
+    // ── §2.2 GetAll: all rows matching an indexed key
+    "q08_get_all" -> ((s, dir) => {
+      new QueryService(n => T(s, dir, n)).getAll("lineitem", "l_orderkey", 42L)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_linenumber")
+    }),
+    // ── §2.2 LessThan: strict range scan, ascending key order
+    "q09_less_than" -> ((s, dir) => {
+      new QueryService(n => T(s, dir, n)).lessThan("orders", "o_orderkey", 50L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("odate"))
+    }),
+    // ── §2.2 GreaterThan: INCLUSIVE >= (reference quirk, btree.rs:208-213)
+    "q10_greater_than" -> ((s, dir) => {
+      new QueryService(n => T(s, dir, n)).greaterThan("orders", "o_totalprice", 450000.0)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_totalprice", "o_orderkey")
+    }),
+    // ── §2.2 DeleteData + cascade: delete by key, downstream agg recomputes
+    "q11_delete_cascade" -> ((s, dir) => {
+      val afterDelete = Transforms.filter(T(s, dir, "lineitem"), "l_returnflag != \"A\"")
+      Transforms.aggregation(afterDelete, "l_linestatus", Seq(
+        "cnt ~ memo.cnt + 1",
+        "sum_qty ~ memo.sum_qty + l_quantity"))
+        .orderBy("aggregatedColumn")
+    }),
+    // ── §2.2 InsertData: inserted row visible to downstream queries
+    "q12_insert_commit" -> ((s, dir) => {
+      val inserted = s.range(1).select(lit(99).cast("int").as("r_regionkey"),
+        lit("GRAFT REGION").as("r_name"))
+      T(s, dir, "region").unionByName(inserted).orderBy("r_regionkey")
+    }),
+    // ── §2.7 ActionTransform: registered row→row function, distributed
+    "q13_action" -> ((s, dir) => {
+      registerActions()
+      Transforms.action(
+        T(s, dir, "customer").select("c_custkey", "c_acctbal"),
+        ActionRegistry.get("debit10"))
+        .orderBy("c_custkey")
+    }),
+    // ── §2.6 streaming semantics (batch rendition): tumbling-window agg
+    "q14_events_window" -> ((s, dir) => {
+      val ev = T(s, dir, "events").withColumn("ts",
+        timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+      ev.groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), min("value").as("vmin"), max("value").as("vmax"))
+        .orderBy("hour_ts", "event_type")
+    }),
+    // ── extension: exact dedup (hash-groupBy on canonical fingerprint)
+    "q15_dedup_exact" -> ((s, dir) => {
+      DedupOps.exactDedup(T(s, dir, "documents"), "text", "doc_id").orderBy("fp")
+    }),
+    // ── extension: token counting (whitespace + BPE-ish regex)
+    "q16_token_count" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+    // ── extension: quality scoring
+    "q17_text_quality" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val f = TextFunctions.qualityFeatures(col("text"))
+      d.select(col("doc_id"),
+        f.getField("n_tokens").as("n_tokens"),
+        f.getField("mean_word_len").as("mean_word_len"),
+        f.getField("alnum_ratio").as("alnum_ratio"),
+        f.getField("stopword_ratio").as("stopword_ratio"),
+        TextFunctions.qualityScore(col("text")).as("score"))
+        .orderBy("doc_id")
+    }),
+    // ── extension: language ID (stopword-vote heuristic)
+    "q18_lang_id" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    // ── extension: document fingerprinting
+    "q19_fingerprint" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    // ── extension: n-gram Jaccard near-dup pairs (exact verify)
+    "q20_ngram_jaccard" -> ((s, dir) => {
+      DedupOps.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.2, maxDocFreq = 100000)
+        .orderBy("id_a", "id_b")
+    }),
+    // ── extension: MinHash-LSH near-dup pairs (rows-only oracle: xxhash64)
+    "q21_minhash_pairs" -> ((s, dir) => {
+      DedupOps.minhashCandidatePairs(T(s, dir, "documents"), "text", "doc_id",
+        k = 64, bands = 16, ngram = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    // ── extension: SimHash signatures (rows-only oracle: xxhash64)
+    "q22_simhash" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), DedupOps.simhash(col("text")).as("sig"))
+        .orderBy("doc_id")
+    }),
+    // ── extension: brute-force cosine top-k ANN baseline
+    "q23_ann_brute" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 5)
+      SimilarityOps.bruteForceTopK(emb, probes, "vec_id", "vec_id", "embedding", k = 10)
+        .select("probe_id", "nbr_id", "rank")
+        .orderBy("probe_id", "rank")
+    }),
+    // ── extension: LSH-bucketed ANN (scale path; rows-only oracle)
+    "q24_ann_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 5)
+      SimilarityOps.lshTopK(emb, probes, "vec_id", "vec_id", "embedding",
+        k = 10, nBits = 8, probeFlips = 4)
+        .select("probe_id", "nbr_id", "rank")
+        .orderBy("probe_id", "rank")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_function" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS lineno,
+         l_extendedprice * (1 - l_discount) AS disc_price,
+         (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge
+         FROM lineitem ORDER BY okey, lineno""",
+    "q02_function_intops" ->
+      """SELECT o_orderkey AS okey, o_orderkey // 2 AS halfkey,
+         CAST(power(o_custkey, 3) AS BIGINT) AS cube,
+         (o_orderkey + 1) * 3 AS chain
+         FROM orders ORDER BY okey""",
+    "q03_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         l_discount, l_returnflag, CAST(l_shipdate AS DATE) AS ship_date
+         FROM lineitem WHERE l_quantity < 11 AND l_discount > 0.05
+         ORDER BY l_orderkey, l_linenumber""",
+    "q04_union_merge" ->
+      """WITH last_o AS (
+           SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+           QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1)
+         SELECT COALESCE(c.c_custkey, lo.o_custkey) AS "matchingKey",
+                c.c_name, c.c_acctbal, lo.o_orderkey, lo.o_totalprice
+         FROM customer c FULL OUTER JOIN last_o lo ON c.c_custkey = lo.o_custkey
+         ORDER BY "matchingKey"""",
+    "q05_aggregation" ->
+      """SELECT l_returnflag AS "aggregatedColumn", count(*) AS cnt,
+         sum(l_quantity) AS sum_qty, sum(l_quantity) / count(*) AS avg_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q07_find_one" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+         FROM orders WHERE o_orderkey = 42""",
+    "q08_get_all" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+         FROM lineitem WHERE l_orderkey = 42 ORDER BY l_linenumber""",
+    "q09_less_than" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS odate
+         FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey""",
+    "q10_greater_than" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice >= 450000.0 ORDER BY o_totalprice, o_orderkey""",
+    "q11_delete_cascade" ->
+      """SELECT l_linestatus AS "aggregatedColumn", count(*) AS cnt,
+         sum(l_quantity) AS sum_qty
+         FROM lineitem WHERE l_returnflag <> 'A' GROUP BY 1 ORDER BY 1""",
+    "q12_insert_commit" ->
+      """SELECT * FROM (
+           SELECT r_regionkey, r_name FROM region
+           UNION ALL SELECT 99, 'GRAFT REGION')
+         ORDER BY r_regionkey""",
+    "q13_action" ->
+      """SELECT c_custkey, c_acctbal - 10.0 AS c_acctbal
+         FROM customer ORDER BY c_custkey""",
+    "q14_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+         count(*) AS cnt, min(value) AS vmin, max(value) AS vmax
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q15_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY 1 ORDER BY fp""",
+    "q16_token_count" ->
+      """SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_subwords
+         FROM documents ORDER BY doc_id""",
+    "q17_text_quality" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ltoks
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             length(text) AS n_chars,
+             len(toks) AS n_tokens,
+             CAST(length(replace(array_to_string(toks, ' '), ' ', '')) AS DOUBLE) / len(toks) AS mean_word_len,
+             CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / length(text) AS alnum_ratio,
+             CAST(len(list_filter(ltoks, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','that','this','be'))) AS DOUBLE) / len(toks) AS stopword_ratio
+           FROM t)
+         SELECT doc_id, n_tokens, mean_word_len, alnum_ratio, stopword_ratio,
+           ((CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN alnum_ratio > 0.6 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN stopword_ratio > 0.01 THEN 1.0 ELSE 0.0 END)) / 4.0 AS score
+         FROM f ORDER BY doc_id""",
+    "q18_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, text, unnest([
+             struct_pack(score := len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))), lang := 'de'),
+             struct_pack(score := len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','with'))), lang := 'en'),
+             struct_pack(score := len(list_filter(toks, x -> x IN ('el','la','los','y','es','no','un','una','para','con'))), lang := 'es'),
+             struct_pack(score := len(list_filter(toks, x -> x IN ('le','la','les','et','est','pas','un','une','pour','dans'))), lang := 'fr')]) AS cand
+           FROM t),
+         b AS (
+           SELECT doc_id, text, cand FROM c
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cand.score DESC, cand.lang DESC) = 1)
+         SELECT doc_id,
+           CASE WHEN CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE) / length(text) > 0.2 THEN 'zh'
+                WHEN cand.score > 0 THEN cand.lang ELSE 'und' END AS lang_pred
+         FROM b ORDER BY doc_id""",
+    "q19_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q20_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_sort(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)])) AS s
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         j AS (
+           SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+           FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
+         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b""",
+    "q23_ann_brute" ->
+      """SELECT * FROM (
+           SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+             CAST(row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(c.embedding, p.embedding) DESC, c.vec_id) AS INT) AS rank
+           FROM embeddings c, embeddings p
+           WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id)
+         WHERE rank <= 10 ORDER BY probe_id, rank""",
+  )
 }

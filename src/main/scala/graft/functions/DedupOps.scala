@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora.
+  *
+  * Scale design: every variant is shuffle-minimal —
+  *   - exact dedup is one hash aggregate on the fingerprint;
+  *   - MinHash-LSH shuffles once on (band, bandHash) buckets, never
+  *     all-pairs; candidate verification happens inside buckets only;
+  *   - SimHash blocks on 16-bit chunks (pigeonhole: hamming ≤ 3 over 64
+  *     bits ⇒ some 16-bit chunk matches exactly);
+  *   - n-gram Jaccard joins on rare shingles only.
+  * All hashing is xxhash64 (deterministic, seedable) so results are stable
+  * across runs and cluster sizes.
+  */
+object DedupOps {
+  import TextFunctions.tokens
+
+  /** Exact dedup: keep the smallest id per canonical-text fingerprint.
+    * One hash aggregate; at 100 TB this is the cheapest possible pass. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Word n-gram shingles (distinct, sorted for determinism). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(lower(text))
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    array_sort(array_distinct(
+      transform(sequence(lit(0), count - 1, lit(1)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** MinHash signature: k permutations simulated as xxhash64(shingle, seed).
+    * Null-safe: empty shingle sets get Long.MaxValue rows. */
+  def minhashSignature(text: Column, k: Int = 64, ngram: Int = 3): Column = {
+    val sh = shingles(text, ngram)
+    transform(sequence(lit(0), lit(k - 1), lit(1)), seed =>
+      coalesce(array_min(transform(sh, s => xxhash64(s, seed))), lit(Long.MaxValue)))
+  }
+
+  /** LSH candidate pairs from MinHash signatures: band the signature,
+    * shuffle once on (band, bandHash), emit intra-bucket pairs, then keep
+    * pairs whose full-signature agreement ≥ `threshold` (the MinHash
+    * estimate of Jaccard similarity).
+    *
+    * Output: (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
+    */
+  def minhashCandidatePairs(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 64, bands: Int = 16, ngram: Int = 3, threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = df.select(col(idCol).as("id"), minhashSignature(col(textCol), k, ngram).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1), lit(1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(null)))
+          .cast("double") / lit(k)).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** MinHash-LSH dedup: rows whose id appears as the larger member of a
+    * near-dup pair are dropped; returns the surviving rows. (Greedy
+    * min-id-wins; a full connected-components pass is [[dedupClusters]].) */
+  def minhashDedup(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 64, bands: Int = 16, ngram: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val dupIds = minhashCandidatePairs(df, textCol, idCol, k, bands, ngram, threshold)
+      .select(col("id_b").as("drop_id")).distinct()
+    df.join(dupIds, df(idCol) === dupIds("drop_id"), "left_anti")
+  }
+
+  /** Connected components over candidate pairs via iterated label
+    * propagation (min-id label, converges in ≤ diameter rounds; near-dup
+    * clusters are tiny so 5 rounds is plenty at any scale). */
+  def dedupClusters(pairs: DataFrame, rounds: Int = 5): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b"), col("id_a"))).distinct()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 1 to rounds) {
+      val prop = edges.join(labels, edges("id_b") === labels("id"))
+        .groupBy(edges("id_a").as("id")).agg(min(col("label")).as("nbr_label"))
+      labels = labels.join(prop, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+    }
+    labels
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes. Pure expression — no state, fully codegen'd. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(tokens(lower(text)), t => xxhash64(t))
+    aggregate(
+      sequence(lit(0), lit(63), lit(1)),
+      lit(0L),
+      (acc, bit) => {
+        val vote = aggregate(hashes, lit(0L),
+          (v, h) => v + when(call_function("shiftright", h, bit).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        acc.bitwiseOR(when(vote > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L)))
+      })
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`, blocked
+    * on 16-bit chunks (pigeonhole guarantees recall for maxHamming ≤ 3). */
+  def simhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3), lit(1)),
+        c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val a = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val hamming = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs. Candidate generation joins on
+    * individual shingles (rare-token join — skew-guarded by dropping
+    * shingles appearing in > `maxDocFreq` docs), then verifies exact
+    * Jaccard on the distinct-shingle sets. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxDocFreq: Long = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val exploded = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    val rare = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq).select("shingle")
+    val filtered = exploded.join(rare, Seq("shingle"))
+    val cand = filtered.select(col("shingle"), col("id").as("id_a"))
+      .join(filtered.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val withSets = cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    withSets.select(col("id_a"), col("id_b"), (inter / union).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

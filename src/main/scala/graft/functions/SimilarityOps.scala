@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`Array[Float]`).
+  *
+  * Scale design: the brute-force path broadcasts the (small) probe set and
+  * streams the corpus once — a map-only scan, no shuffle of the corpus.
+  * The LSH path buckets corpus + probes by sign-random-projection bits so
+  * each probe only scores one bucket (multi-probe widens recall).
+  * All projections derive from xxhash64 so they're deterministic without a
+  * shared random state.
+  */
+object SimilarityOps {
+
+  /** Sequential dot product over two array columns (deterministic fold
+    * order — stable across engines and partitionings). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force top-k cosine neighbors for each probe vector.
+    *
+    * `corpus`: (idCol, vecCol); `probes`: (probeIdCol, vecCol). The probe
+    * side is broadcast — at 100 TB the corpus never shuffles; the only
+    * exchange is the final per-probe top-k (tiny). Self-matches (same id)
+    * are excluded when the id columns share a name.
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame,
+                     idCol: String, probeIdCol: String, vecCol: String,
+                     k: Int = 10): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"))
+    val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"))
+    val scored = c.crossJoin(broadcast(p))
+      .where(col("nbr_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("nbr_id"), cosine(col("__cv"), col("__pv")).as("score"))
+    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Sign-random-projection bits (deterministic hyperplanes from
+    * xxhash64(planeIdx, dimIdx) mapped to [-1, 1]). */
+  def srpBits(vec: Column, nBits: Int = 16): Column =
+    transform(sequence(lit(0), lit(nBits - 1), lit(1)), plane => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1, lit(1)), (v, d) =>
+          v.cast("double") * ((pmod(xxhash64(plane, d), lit(2000001L)).cast("double") / lit(1000000.0)) - 1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1)).otherwise(lit(0))
+    })
+
+  /** Bucket key from SRP bits. */
+  def srpBucket(vec: Column, nBits: Int = 16): Column =
+    aggregate(srpBits(vec, nBits), lit(0L), (acc, b) => acc * 2 + b)
+
+  /** LSH-bucketed ANN: corpus and probes hashed into SRP buckets; each
+    * probe scores only its bucket (plus `probeFlips` single-bit-flipped
+    * neighbor buckets for recall). Shuffles on the bucket key only.
+    */
+  def lshTopK(corpus: DataFrame, probes: DataFrame,
+              idCol: String, probeIdCol: String, vecCol: String,
+              k: Int = 10, nBits: Int = 8, probeFlips: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
+      srpBucket(col(vecCol), nBits).as("bucket"))
+    val pBase = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
+      srpBucket(col(vecCol), nBits).as("bucket0"))
+    // multi-probe: the home bucket + single-bit flips
+    val buckets = array((0 to math.min(probeFlips, nBits)).map {
+      case 0 => col("bucket0")
+      case i => col("bucket0").bitwiseXOR(lit(1L << (i - 1)))
+    }: _*)
+    val p = pBase.select(col("probe_id"), col("__pv"), explode(buckets).as("bucket"))
+    val scored = c.join(p, Seq("bucket"))
+      .where(col("nbr_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("nbr_id"), cosine(col("__cv"), col("__pv")).as("score"))
+      .groupBy("probe_id", "nbr_id").agg(max("score").as("score"))
+    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (brute force within SRP buckets
+    * — the embedding analog of MinHash dedup). */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.95, nBits: Int = 8): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      srpBucket(col(vecCol), nBits).as("bucket"))
+    val a = v.select(col("bucket"), col("id").as("id_a"), col("__v").as("__va"))
+    val b = v.select(col("bucket"), col("id").as("id_b"), col("__v").as("__vb"))
+    a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cos"))
+      .where(col("cos") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is pure `Column` expression composition (built-in
+  * functions + higher-order lambdas) so the whole pipeline stays inside
+  * whole-stage codegen and distributes trivially — no UDFs, no state.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (the baseline tokenization everywhere here). */
+  def tokens(text: Column): Column =
+    split(trim(regexp_replace(text, "\\s+", " ")), " ")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count: word-boundary pieces + digits + punctuation,
+    * approximating a learned tokenizer's granularity with a fixed regex. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Canonical-form document fingerprint: md5 of lowercased,
+    * whitespace-collapsed text. Deterministic across engines. */
+  def fingerprint(text: Column): Column =
+    md5(to_binary(regexp_replace(lower(trim(text)), "\\s+", " "), lit("utf-8")))
+
+  /** Rolling polynomial hash (base 31, mod 2^61-1) over tokens — an
+    * order-sensitive content fingerprint cheap enough for 100 TB scans. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + abs(xxhash64(t)) % lit(1000000007L), lit(2305843009213693951L)))
+
+  private val englishStopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "that", "this", "be")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = englishStopwords): Column =
+    size(filter(tokens(lower(text)), t => t.isin(stopwords: _*)))
+
+  /** Quality-score feature struct: the standard cheap heuristics used to
+    * filter web-scale corpora (length, word shape, symbol/stopword ratios). */
+  def qualityFeatures(text: Column): Column = {
+    val nChars = length(text)
+    val toks = tokens(text)
+    val nTokens = size(toks)
+    val meanWordLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTokens
+    val alnum = length(regexp_replace(text, "[^A-Za-z0-9]", ""))
+    val stop = stopwordCount(text)
+    struct(
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      meanWordLen.as("mean_word_len"),
+      (alnum.cast("double") / nChars).as("alnum_ratio"),
+      (stop.cast("double") / nTokens).as("stopword_ratio"))
+  }
+
+  /** Composite 0..1 quality score from [[qualityFeatures]]. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenOk = when(f("n_chars").between(20, 100000), lit(1.0)).otherwise(lit(0.0))
+    val wordOk = when(f("mean_word_len").between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    val alnumOk = when(f("alnum_ratio") > 0.6, lit(1.0)).otherwise(lit(0.0))
+    val stopOk = when(f("stopword_ratio") > 0.01, lit(1.0)).otherwise(lit(0.0))
+    (lenOk + wordOk + alnumOk + stopOk) / lit(4.0)
+  }
+
+  private val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "un", "una", "para", "con"))
+
+  /** n-gram/stopword-vote language ID heuristic: CJK script ratio decides
+    * "zh"; otherwise the language whose stopword set matches the most
+    * tokens wins; "und" (undetermined) when nothing matches. Pure
+    * expressions → distributes with zero state. */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val toks = tokens(lower(text))
+    val scores = langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(cjk.cast("double") / length(text) > 0.2, lit("zh"))
+      .when(best("score") > 0, best("lang"))
+      .otherwise(lit("und"))
+  }
+}

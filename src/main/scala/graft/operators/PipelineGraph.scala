@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.config._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Materializes a [[PipelineConfig]] into a DAG of DataFrames — the Spark
+  * rendition of the reference's table DAG
+  * (reference: reactive_db/src/database/database_manager.rs:83-95).
+  *
+  * The reference maintains every derived table eagerly, row-at-a-time; here
+  * each derived table is a *lazy* DataFrame whose lineage (Catalyst logical
+  * plan) encodes the whole cascade, so one action computes exactly the
+  * needed slice with the optimizer free to push filters through the DAG.
+  * Inserts/deletes mutate the source tables and derived tables recompute on
+  * next access (micro-batch semantics; the streaming engine in
+  * graft.streaming handles the push-based mode).
+  */
+final class PipelineGraph(
+    val spark: SparkSession,
+    val config: PipelineConfig,
+    initialSources: Map[String, DataFrame] = Map.empty) {
+  import SystemColumns._
+
+  private val sources = scala.collection.mutable.Map.empty[String, DataFrame]
+  private var derivedCache: Option[Map[String, DataFrame]] = None
+
+  config.tables.foreach {
+    case s: SourceTableConfig =>
+      val schema = sourceSchema(s)
+      sources(s.name) = initialSources.get(s.name)
+        .map(df => ensureEntryId(df))
+        .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), schema))
+    case _ =>
+  }
+
+  private def sourceSchema(s: SourceTableConfig): StructType =
+    StructType(s.columns.map { case (n, t) => StructField(n, t) } :+ StructField(EntryId, StringType))
+
+  /** `_entryId` is assigned at ingest and FROZEN (localCheckpoint) so
+    * recomputes never regenerate row identity (SURVEY.md §7.4 item 5).
+    * On a cluster this "freeze" is the durable write of the ingest batch. */
+  private def ensureEntryId(df: DataFrame): DataFrame = {
+    val withId =
+      if (df.columns.contains(EntryId)) df
+      else df.withColumn(EntryId, expr("uuid()"))
+    withId.localCheckpoint(true)
+  }
+
+  def table(name: String): DataFrame =
+    sources.getOrElse(name, derived.getOrElse(name,
+      throw new NoSuchElementException(s"no table named $name")))
+
+  def derived: Map[String, DataFrame] = derivedCache.getOrElse {
+    val acc = scala.collection.mutable.Map.empty[String, DataFrame]
+    def resolve(n: String): DataFrame = sources.getOrElse(n, acc(n))
+    config.topoOrder.foreach {
+      case _: SourceTableConfig =>
+      case f: FunctionTableConfig =>
+        acc(f.name) = Transforms.function(resolve(f.sourceTable), f.functions)
+      case f: FilterTableConfig =>
+        acc(f.name) = Transforms.filter(resolve(f.sourceTable), f.filter)
+      case u: UnionTableConfig =>
+        acc(u.name) = Transforms.union(u.tablesAndForeignKeys.map { case (t, fk) => (resolve(t), fk) })
+      case a: AggregationTableConfig =>
+        acc(a.name) = Transforms.aggregation(resolve(a.sourceTable), a.aggregatedColumn, a.functions)
+      case a: ActionTableConfig =>
+        acc(a.name) = Transforms.action(resolve(a.sourceTable), ActionRegistry.get(a.actionName))
+    }
+    val m = acc.toMap
+    derivedCache = Some(m)
+    m
+  }
+
+  /** Insert rows into a source table; cascades lazily (derived tables see
+    * the new rows on next access). Returns the committed rows incl. their
+    * assigned `_entryId`s (the analog of the reference's committed-edits
+    * response, reference: database.rs:125-195). */
+  def insert(tableName: String, rows: DataFrame): DataFrame = {
+    val cfg = config.byName.get(tableName) match {
+      case Some(s: SourceTableConfig) => s
+      case _ => throw new IllegalArgumentException(s"$tableName is not a source table")
+    }
+    val declared = cfg.columns.map(_._1).toSet
+    val extra = rows.columns.filterNot(c => declared.contains(c) || c == EntryId)
+    if (extra.nonEmpty)
+      throw new IllegalArgumentException(s"Missmatched Input: undeclared columns ${extra.mkString(",")}")
+    val aligned = cfg.columns.foldLeft(rows) { case (df, (n, t)) =>
+      if (df.columns.contains(n)) df.withColumn(n, col(n).cast(t))
+      else df.withColumn(n, lit(null).cast(t))
+    }.select(cfg.columns.map(c => col(c._1)): _*)
+    val committed = ensureEntryId(aligned)
+    sources(tableName) = sources(tableName).unionByName(committed)
+    derivedCache = None
+    committed
+  }
+
+  /** Delete all rows with `column == key`; the cascade to derived tables
+    * (reference: transform_hook.rs:56-64 via `_sourceEntryId`) falls out of
+    * recompute. Returns the deleted rows. */
+  def delete(tableName: String, column: String, key: Any): DataFrame = {
+    val cur = sources.getOrElse(tableName,
+      throw new IllegalArgumentException(s"$tableName is not a source table"))
+    val deleted = cur.filter(col(column) === lit(key)).localCheckpoint(true)
+    sources(tableName) = cur.filter(!(col(column) <=> lit(key)))
+    derivedCache = None
+    deleted
+  }
+}
