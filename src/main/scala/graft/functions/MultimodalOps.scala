@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/
+  * video payloads travel as opaque `binary` columns with a typed metadata
+  * struct, processed distributed via mapPartitions in fixed-size record
+  * batches.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * environment): [[StubCodec]] produces deterministic fake decodes from
+  * the byte content, so schema, partitioning, batching, and the operator
+  * surface are real and tested while the codec is swappable — replace
+  * [[MediaCodec]] with a JNI/library-backed implementation in production.
+  */
+object MultimodalOps {
+
+  /** Metadata carried alongside every media payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // image | audio | video
+    StructField("format", StringType),       // e.g. jpeg, wav, mp4
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("n_bytes", LongType)))
+
+  /** A pluggable decoder: bytes → (meta, feature vector). */
+  trait MediaCodec extends Serializable {
+    def decode(bytes: Array[Byte], mediaType: String): Row // mediaMetaSchema
+    def features(bytes: Array[Byte], dim: Int): Array[Float]
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
+  }
+
+  /** Deterministic fake codec — byte-content-derived values so tests are
+    * reproducible across runs and partitionings. Swap for a real codec. */
+  object StubCodec extends MediaCodec {
+    private def h(bytes: Array[Byte], salt: Long): Long = {
+      var acc = 1125899906842597L ^ salt
+      var i = 0
+      while (i < bytes.length) { acc = acc * 31 + bytes(i); i += 1 }
+      acc
+    }
+    def decode(bytes: Array[Byte], mediaType: String): Row = {
+      val k = h(bytes, 0)
+      Row(mediaType, if (mediaType == "image") "jpeg" else "wav",
+        (math.abs(k) % 1920 + 1).toInt, (math.abs(k >> 16) % 1080 + 1).toInt,
+        math.abs(k >> 32) % 60000, bytes.length.toLong)
+    }
+    def features(bytes: Array[Byte], dim: Int): Array[Float] =
+      Array.tabulate(dim)(i => (math.floorMod(h(bytes, i), 2000001L) / 1000000.0f) - 1.0f)
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val step = math.max(bytes.length / math.max(n, 1), 1)
+      (0 until math.min(n, bytes.length)).map(i =>
+        bytes.slice(i * step, math.min(i * step + step, bytes.length)))
+    }
+  }
+
+  /** Decode media payloads: adds a `meta` struct column. Runs distributed
+    * via mapPartitions in `batchSize` record batches (the batch shape a
+    * vectorized codec would want). */
+  def decode(df: DataFrame, bytesCol: String, mediaTypeCol: String,
+             codec: MediaCodec = StubCodec, batchSize: Int = 64): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add("meta", mediaMetaSchema)
+    val bytesIdx = inSchema.fieldIndex(bytesCol)
+    val typeIdx = inSchema.fieldIndex(mediaTypeCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val meta = codec.decode(row.getAs[Array[Byte]](bytesIdx), row.getString(typeIdx))
+          Row.fromSeq(row.toSeq :+ meta)
+        }
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** Feature-extract: adds an `embedding` Array[Float] column. */
+  def featureExtract(df: DataFrame, bytesCol: String, dim: Int = 64,
+                     codec: MediaCodec = StubCodec, batchSize: Int = 64): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add("embedding", ArrayType(FloatType))
+    val bytesIdx = inSchema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { row =>
+        Row.fromSeq(row.toSeq :+ codec.features(row.getAs[Array[Byte]](bytesIdx), dim).toSeq)
+      })
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** Frame-sample: one output row per sampled frame (id columns carried). */
+  def sampleFrames(df: DataFrame, bytesCol: String, n: Int,
+                   codec: MediaCodec = StubCodec): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields.filter(_.name != bytesCol))
+      .add("frame_idx", IntegerType).add("frame", BinaryType)
+    val bytesIdx = inSchema.fieldIndex(bytesCol)
+    val keepIdx = inSchema.fields.zipWithIndex.collect { case (f, i) if f.name != bytesCol => i }
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        codec.sampleFrames(row.getAs[Array[Byte]](bytesIdx), n).zipWithIndex.map {
+          case (frame, i) => Row.fromSeq(keepIdx.map(row.get).toSeq ++ Seq(i, frame))
+        }
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** Pure-expression resize marker: records the requested size in the meta
+    * struct (a real implementation rewrites bytes; the plumbing —
+    * projection through a struct column — is identical). */
+  def withTargetSize(df: DataFrame, metaCol: String, w: Int, hgt: Int): DataFrame =
+    df.withColumn(metaCol, struct(
+      col(s"$metaCol.media_type"), col(s"$metaCol.format"),
+      lit(w).as("width"), lit(hgt).as("height"),
+      col(s"$metaCol.duration_ms"), col(s"$metaCol.n_bytes")))
+}

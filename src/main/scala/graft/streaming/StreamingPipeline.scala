@@ -1,0 +1,183 @@
+package graft.streaming
+
+import graft.config._
+import graft.expr.{ExprCompiler, ExprParser}
+import graft.operators.{SystemColumns, Transforms}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming rendition of the reference's reactive cascade
+  * (SURVEY.md §2.6): source tables are streams, each derived table is a
+  * streaming DataFrame, and [[ListenBus]] subscribers receive per-batch
+  * Insert/Delete events — the micro-batch analog of the reference's
+  * per-commit push (reference: reactive_db/src/hooks/listener_hook.rs:56-87).
+  *
+  *   - Function / Filter → append-mode narrow transforms
+  *   - Aggregation       → update-mode streaming aggregate (upsert per
+  *     group — exactly the reference's per-group upsert visibility)
+  *   - Union             → flatMapGroupsWithState keyed on matchingKey
+  *     holding the merged row (update upsert)
+  *
+  * Update events surface as Delete(old)+Insert(new) pairs, matching the
+  * reference's Update ≡ delete-then-insert (database.rs:282-286) — the
+  * ListenBus synthesizes them from per-key state.
+  */
+final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfig) {
+  import SystemColumns._
+
+  private val memStreams = scala.collection.mutable.Map.empty[String, MemoryStream[Row]]
+  private val frames = scala.collection.mutable.Map.empty[String, DataFrame]
+  val listenBus = new ListenBus
+
+  config.topoOrder.foreach {
+    case s: SourceTableConfig =>
+      val schema = StructType(s.columns.map { case (n, t) => StructField(n, t) } :+
+        StructField(EntryId, StringType))
+      implicit val sqlCtx = spark.sqlContext
+      implicit val enc = Encoders.row(schema)
+      val ms = MemoryStream[Row]
+      memStreams(s.name) = ms
+      frames(s.name) = ms.toDF()
+    case f: FunctionTableConfig =>
+      frames(f.name) = Transforms.function(frames(f.sourceTable), f.functions)
+    case f: FilterTableConfig =>
+      frames(f.name) = Transforms.filter(frames(f.sourceTable), f.filter)
+    case a: AggregationTableConfig =>
+      frames(a.name) = Transforms.aggregation(frames(a.sourceTable), a.aggregatedColumn, a.functions)
+    case u: UnionTableConfig =>
+      frames(u.name) = streamingUnion(u)
+    case a: ActionTableConfig =>
+      frames(a.name) = Transforms.action(frames(a.sourceTable), graft.operators.ActionRegistry.get(a.actionName))
+  }
+
+  def table(name: String): DataFrame = frames(name)
+
+  /** Insert rows into a source stream (the analog of InsertData). */
+  def insert(table: String, rows: Seq[Row]): Unit = {
+    val ms = memStreams.getOrElse(table,
+      throw new IllegalArgumentException(s"$table is not a source table"))
+    val withIds = rows.map(r => Row.fromSeq(r.toSeq :+ java.util.UUID.randomUUID().toString))
+    ms.addData(withIds)
+  }
+
+  /** Streaming union-merge: rows from every input keyed by the foreign key,
+    * merged last-writer-wins into per-key state (the reference's upsert,
+    * transform.rs:176-228). Values travel as JSON so heterogeneous input
+    * schemas merge without a shared encoder. */
+  private def streamingUnion(u: UnionTableConfig): DataFrame = {
+    val inputs = u.tablesAndForeignKeys.map { case (tbl, fk) =>
+      val df = frames(tbl)
+      val dropped = Seq(EntryId, SourceEntryId).filter(df.columns.contains)
+      df.drop(dropped: _*).withColumnRenamed(fk, MatchingKey)
+    }
+    // union output schema: matchingKey + union of value columns (later
+    // tables win on type conflicts)
+    val valueFields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    inputs.foreach(_.schema.fields.foreach(f => if (f.name != MatchingKey) valueFields(f.name) = f))
+    val outSchema = StructType(
+      inputs.head.schema(MatchingKey) +: valueFields.values.map(_.copy(nullable = true)).toSeq)
+
+    val tagged = inputs.map(df =>
+      df.select(col(MatchingKey).cast(StringType).as("k"),
+        to_json(struct(df.columns.filter(_ != MatchingKey).map(col): _*)).as("v")))
+      .reduce(_.unionByName(_))
+
+    implicit val stringTupleEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    implicit val outEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    val merged = tagged.as[(String, String)](stringTupleEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState[String, (String, String)](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[String]) =>
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val acc = new java.util.LinkedHashMap[String, Object]()
+          if (state.exists) {
+            val prev = mapper.readValue(state.get, classOf[java.util.LinkedHashMap[String, Object]])
+            acc.putAll(prev)
+          }
+          rows.foreach { case (_, json) =>
+            val m = mapper.readValue(json, classOf[java.util.LinkedHashMap[String, Object]])
+            acc.putAll(m) // incoming overwrites existing (reference semantics)
+          }
+          val merged = mapper.writeValueAsString(acc)
+          state.update(merged)
+          (key, merged)
+      }(Encoders.STRING, outEnc)
+    val keyType = inputs.head.schema(MatchingKey).dataType
+    merged.toDF("k", "v")
+      .select(col("k").cast(keyType).as(MatchingKey),
+        from_json(col("v"), StructType(valueFields.values.map(_.copy(nullable = true)).toSeq)).as("s"))
+      .select(col(MatchingKey) +: valueFields.keys.map(n => col(s"s.$n").as(n)).toSeq: _*)
+  }
+
+  /** Start a listen subscription on a table: the subscriber's callback
+    * receives (inserts, deletes) per micro-batch. Aggregation/Union tables
+    * run in update mode and synthesize Delete(old)+Insert(new); Function/
+    * Filter tables are append-only (inserts only). */
+  def listen(table: String, keyColumns: Seq[String] = Nil)
+            (callback: (Seq[Row], Seq[Row]) => Unit): StreamingQuery = {
+    val df = frames(table)
+    val isUpsert = config.byName(table) match {
+      case _: AggregationTableConfig | _: UnionTableConfig => true
+      case _ => false
+    }
+    val mode = if (isUpsert) OutputMode.Update() else OutputMode.Append()
+    val keyCols: Seq[String] =
+      if (keyColumns.nonEmpty) keyColumns
+      else config.byName(table) match {
+        case _: AggregationTableConfig => Seq(AggregationKey)
+        case _: UnionTableConfig       => Seq(MatchingKey)
+        case _                         => Nil
+      }
+    val prevState = scala.collection.mutable.Map.empty[Seq[Any], Row]
+    df.writeStream
+      .outputMode(mode)
+      .queryName(s"listen_$table")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect().toSeq
+        if (!isUpsert || keyCols.isEmpty) callback(rows, Nil)
+        else {
+          val deletes = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val schema = batch.schema
+          rows.foreach { r =>
+            val key = keyCols.map(k => r.getAs[Any](schema.fieldIndex(k)))
+            prevState.get(key).foreach(deletes += _)
+            prevState(key) = r
+          }
+          callback(rows, deletes.toSeq)
+        }
+      }
+      .start()
+  }
+
+  /** Materialize a derived table's current contents to an in-memory sink
+    * (update/append per its kind) for queries against streaming state. */
+  def materialize(table: String): StreamingQuery = {
+    val isUpsert = config.byName(table) match {
+      case _: AggregationTableConfig | _: UnionTableConfig => true
+      case _ => false
+    }
+    frames(table).writeStream
+      .outputMode(if (isUpsert) OutputMode.Update() else OutputMode.Append())
+      .format("memory")
+      .queryName(s"mat_$table")
+      .start()
+  }
+
+  def processAllAvailable(): Unit =
+    spark.streams.active.foreach(_.processAllAvailable())
+}
+
+/** Per-table subscriber registry (the analog of the reference's
+  * ListenerHook fan-out, listener_hook.rs:33-87). */
+final class ListenBus {
+  private val subs = scala.collection.concurrent.TrieMap
+    .empty[String, List[(Seq[Row], Seq[Row]) => Unit]]
+  def subscribe(table: String)(cb: (Seq[Row], Seq[Row]) => Unit): Unit =
+    subs.updateWith(table) { cur => Some(cb :: cur.getOrElse(Nil)) }
+  def publish(table: String, inserts: Seq[Row], deletes: Seq[Row]): Unit =
+    subs.getOrElse(table, Nil).foreach(cb => cb(inserts, deletes))
+}

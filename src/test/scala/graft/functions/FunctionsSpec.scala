@@ -1,0 +1,205 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.toSeq.toDF("doc_id", "text")
+
+  test("tokenCount handles multi-space and empty text") {
+    val d = docs(1L -> "a  b\tc", 2L -> "  ", 3L -> "one")
+    val m = d.select($"doc_id", TextFunctions.tokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m == Map(1L -> 3, 2L -> 0, 3L -> 1))
+  }
+
+  test("fingerprint is canonical: case/whitespace-insensitive") {
+    val d = docs(1L -> "Hello  World", 2L -> "hello world", 3L -> "different")
+    val fps = d.select(TextFunctions.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("langId picks the language with most stopword hits; zh via CJK ratio") {
+    val d = docs(
+      1L -> "the cat and the dog is in the house",
+      2L -> "le chat est dans la maison pour une nuit",
+      3L -> "der Hund ist nicht mit der Katze",
+      4L -> "el perro es un animal para la casa",
+      5L -> "数据库系统设计与实现",
+      6L -> "xyzzy plugh")
+    val m = d.select($"doc_id", TextFunctions.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "en", 2L -> "fr", 3L -> "de", 4L -> "es", 5L -> "zh", 6L -> "und"))
+  }
+
+  test("qualityScore rewards normal prose over garbage") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog and runs away into the woods",
+      2L -> "!!!! #### $$$$ %%%%")
+    val m = d.select($"doc_id", TextFunctions.qualityScore($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) > m(2L))
+    assert(m(1L) == 1.0)
+  }
+
+  test("rollingHash is order-sensitive") {
+    val d = docs(1L -> "a b c", 2L -> "c b a")
+    val hs = d.select(TextFunctions.rollingHash($"text")).collect().map(_.getLong(0))
+    assert(hs(0) != hs(1))
+  }
+}
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "THE QUICK  BROWN FOX jumps over the lazy dog near the river bank today"), // exact dup of 1 (canonical)
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup of 1
+    (4L, "completely different content about databases and distributed query engines"),
+    (5L, "another unrelated document discussing streaming watermarks and state stores"))
+  private def df = corpus.toDF("doc_id", "text")
+
+  test("exactDedup groups canonical duplicates") {
+    val out = DedupOps.exactDedup(df, "text", "doc_id").collect()
+    assert(out.length == 4)
+    val dup = out.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash pairs finds near-dup (1,3) and exact dup (1,2)") {
+    val pairs = DedupOps.minhashCandidatePairs(df, "text", "doc_id",
+      k = 64, bands = 16, ngram = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashDedup keeps smallest id of each cluster") {
+    val kept = DedupOps.minhashDedup(df, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
+  test("simhash: identical canonical text → identical signature; near dup → close") {
+    val sigs = df.select($"doc_id", DedupOps.simhash($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) < 16)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 16)
+  }
+
+  test("simhashCandidatePairs blocks and matches near dups") {
+    val pairs = DedupOps.simhashCandidatePairs(df, "text", "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs exact jaccard with threshold") {
+    val pairs = DedupOps.ngramJaccardPairs(df, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("dedupClusters labels connected components by min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val labels = DedupOps.dedupClusters(pairs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+}
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(0.7f, 0.3f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f)))  // opposite of 0
+  private def df = vecs.toDF("vec_id", "embedding")
+
+  test("cosine of identical direction is 1, orthogonal 0, opposite -1") {
+    val a = typedLit(Array(1.0f, 0.0f))
+    val pairs = Seq((Array(2.0f, 0.0f), 1.0), (Array(0.0f, 3.0f), 0.0), (Array(-1.0f, 0.0f), -1.0))
+    pairs.foreach { case (v, want) =>
+      val got = spark.range(1).select(SimilarityOps.cosine(a, typedLit(v))).head.getDouble(0)
+      assert(math.abs(got - want) < 1e-9, s"$v -> $got")
+    }
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val probes = df.where($"vec_id" === 0L)
+    val out = SimilarityOps.bruteForceTopK(df, probes, "vec_id", "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("nbr_id")).toSeq == Seq(1L, 3L, 2L))
+    assert(!out.map(_.getAs[Long]("nbr_id")).contains(0L))
+  }
+
+  test("lshTopK finds the true nearest neighbor (recall on the easy case)") {
+    val probes = df.where($"vec_id" === 0L)
+    val out = SimilarityOps.lshTopK(df, probes, "vec_id", "vec_id", "embedding",
+      k = 2, nBits = 4, probeFlips = 4)
+      .orderBy("rank").collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("nbr_id") == 1L)
+  }
+
+  test("embeddingDupPairs finds near-identical vectors") {
+    val dups = Seq((0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.999f, 0.001f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = SimilarityOps.embeddingDupPairs(dups, "vec_id", "embedding", threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
+
+class MultimodalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    (1L, "image", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)),
+    (2L, "audio", Array[Byte](9, 8, 7))).toDF("id", "media_type", "payload")
+
+  test("decode adds deterministic meta struct") {
+    val out = MultimodalOps.decode(media, "payload", "media_type")
+    assert(out.schema("meta").dataType == MultimodalOps.mediaMetaSchema)
+    val r = out.where($"id" === 1L).select("meta.*").head()
+    assert(r.getAs[String]("media_type") == "image")
+    assert(r.getAs[Long]("n_bytes") == 8L)
+    // determinism across runs
+    val r2 = MultimodalOps.decode(media, "payload", "media_type")
+      .where($"id" === 1L).select("meta.*").head()
+    assert(r == r2)
+  }
+
+  test("featureExtract yields fixed-dim deterministic embeddings") {
+    val out = MultimodalOps.featureExtract(media, "payload", dim = 16)
+    val v = out.where($"id" === 1L).select("embedding").head().getSeq[Float](0)
+    assert(v.length == 16)
+    assert(v.forall(f => f >= -1.0f && f <= 1.0f))
+  }
+
+  test("sampleFrames emits one row per frame with ids carried") {
+    val out = MultimodalOps.sampleFrames(media, "payload", n = 4)
+    assert(out.columns.toSeq == Seq("id", "media_type", "frame_idx", "frame"))
+    assert(out.where($"id" === 1L).count() == 4)
+  }
+
+  test("withTargetSize rewrites meta dims only") {
+    val decoded = MultimodalOps.decode(media, "payload", "media_type")
+    val resized = MultimodalOps.withTargetSize(decoded, "meta", 224, 224)
+    val r = resized.where($"id" === 1L).select("meta.*").head()
+    assert(r.getAs[Int]("width") == 224 && r.getAs[Int]("height") == 224)
+    assert(r.getAs[Long]("n_bytes") == 8L)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.config.PipelineConfig
+import graft.operators.{ActionRegistry, GraftAction}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Streaming rendition of the reference's reactive cascade + Listen
+  * (reference: reactivedb_rust_client/src/bin/usage_example.rs flow). */
+class StreamingSpec extends SparkSpec {
+
+  private val yaml =
+    """tables:
+      |  - name: grades
+      |    kind: source
+      |    columns: {name: Str, grade: Integer}
+      |  - name: users
+      |    kind: source
+      |    columns: {name: Str, age: Integer}
+      |  - name: derived
+      |    kind: function
+      |    source_table: grades
+      |    functions: ["curved ~ grade + 5"]
+      |  - name: passing
+      |    kind: filter
+      |    source_table: grades
+      |    filter: "grade >= 60"
+      |  - name: aggregationTest
+      |    kind: aggregation
+      |    source_table: grades
+      |    aggregated_column: name
+      |    functions: ["count ~ memo.count + 1", "sum ~ memo.sum + grade", "average ~ memo.sum / memo.count"]
+      |  - name: unionTest
+      |    kind: union
+      |    tables_and_foreign_keys: [[users, name], [grades, name]]
+      |""".stripMargin
+
+  test("function/filter cascade + listen receives inserts per batch") {
+    val p = new StreamingPipeline(spark, PipelineConfig.fromYaml(yaml))
+    val inserts = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = p.listen("derived") { (ins, _) => inserts.synchronized { inserts ++= ins } }
+    try {
+      p.insert("grades", Seq(Row("Alex", 95L), Row("Bob", 50L)))
+      q.processAllAvailable()
+      assert(inserts.map(_.getAs[Long]("curved")).toSet == Set(100L, 55L))
+      p.insert("grades", Seq(Row("Cara", 70L)))
+      q.processAllAvailable()
+      assert(inserts.length == 3)
+    } finally q.stop()
+  }
+
+  test("streaming aggregation upserts per group; update surfaces delete+insert") {
+    val p = new StreamingPipeline(spark, PipelineConfig.fromYaml(yaml))
+    val ins = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val del = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = p.listen("aggregationTest") { (i, d) =>
+      ins.synchronized { ins ++= i; del ++= d }
+    }
+    try {
+      p.insert("grades", Seq(Row("Alex", 90L)))
+      q.processAllAvailable()
+      p.insert("grades", Seq(Row("Alex", 80L)))
+      q.processAllAvailable()
+      val alexRows = ins.filter(_.getAs[String]("aggregatedColumn") == "Alex")
+      assert(alexRows.last.getAs[Long]("sum") == 170L)
+      assert(alexRows.last.getAs[Long]("average") == 85L)
+      // reference Update ≡ Delete(old) + Insert(new) (database.rs:282-286)
+      assert(del.length == 1 && del.head.getAs[Long]("sum") == 90L)
+    } finally q.stop()
+  }
+
+  test("streaming union merges by matchingKey across sources") {
+    val p = new StreamingPipeline(spark, PipelineConfig.fromYaml(yaml))
+    val latest = scala.collection.mutable.Map.empty[String, Row]
+    val q = p.listen("unionTest") { (ins, _) =>
+      latest.synchronized { ins.foreach(r => latest(r.getAs[String]("matchingKey")) = r) }
+    }
+    try {
+      p.insert("users", Seq(Row("Alex", 22L)))
+      q.processAllAvailable()
+      p.insert("grades", Seq(Row("Alex", 95L)))
+      q.processAllAvailable()
+      val alex = latest("Alex")
+      assert(alex.getAs[Long]("age") == 22L)
+      assert(alex.getAs[Long]("grade") == 95L)
+    } finally q.stop()
+  }
+
+  test("action transform in streaming mode") {
+    ActionRegistry.register(GraftAction("streamMinus10",
+      r => Row(r.getString(0), r.getLong(1) - 10),
+      s => StructType(s.fields.filter(_.name != "_entryId"))))
+    val yamlWithAction = yaml +
+      """  - name: actionTest
+        |    kind: action
+        |    source_table: grades
+        |    action: streamMinus10
+        |""".stripMargin
+    val p = new StreamingPipeline(spark, PipelineConfig.fromYaml(yamlWithAction))
+    val got = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = p.listen("actionTest") { (ins, _) => got.synchronized { got ++= ins } }
+    try {
+      p.insert("grades", Seq(Row("Alex", 95L)))
+      q.processAllAvailable()
+      assert(got.length == 1)
+      assert(got.head.getAs[Long]("grade") == 85L)
+      assert(got.head.getAs[String]("_sourceEntryId").nonEmpty)
+    } finally q.stop()
+  }
+}
