@@ -12,6 +12,9 @@ object Bench {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session warmup: executor threads, codegen compiler, shuffle machinery
+    // — so the first timed query isn't charged JVM startup
+    spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

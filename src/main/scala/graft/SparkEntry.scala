@@ -332,18 +332,18 @@ object SparkEntry {
            FROM documents),
          sh AS (
            SELECT doc_id,
-             list_sort(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)])) AS s
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
            FROM toks),
-         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-         j AS (
-           SELECT c.id_a, c.id_b,
-             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-               / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
-           FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
-         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b""",
+         ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                  count(*) AS c
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / (sz_a + sz_b - c) AS jaccard
+         FROM common WHERE CAST(c AS DOUBLE) / (sz_a + sz_b - c) >= 0.2
+         ORDER BY id_a, id_b""",
     "q23_ann_brute" ->
       """SELECT * FROM (
            SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,

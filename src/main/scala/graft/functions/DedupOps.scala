@@ -24,14 +24,12 @@ object DedupOps {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Word n-gram shingles (distinct, sorted for determinism). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(lower(text))
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    array_sort(array_distinct(
-      transform(sequence(lit(0), count - 1, lit(1)),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** Word n-gram shingles (distinct set; lowercased). Backed by the native
+    * [[graft.expr.WordNGrams]] expression — call sites must ensure
+    * [[graft.expr.GraftFunctions.register]] ran for the session (every
+    * DataFrame-level operator here does it automatically). */
+  def shingles(text: Column, n: Int = 3): Column =
+    call_function("word_ngrams", text, lit(n))
 
   /** MinHash signature as an array column: k permutations simulated as
     * xxhash64(shingle, seed). Null-safe: empty shingle sets get
@@ -50,6 +48,7 @@ object DedupOps {
     * (and is ~20× faster than the interpreted array-lambda variant). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 64, ngram: Int = 3): DataFrame = {
+    graft.expr.GraftFunctions.register(df.sparkSession)
     val exploded = df.select(col(idCol).as("id"),
       explode_outer(shingles(col(textCol), ngram)).as("shingle"))
     val mins = (0 until k).map(seed =>
@@ -150,29 +149,34 @@ object DedupOps {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard near-dup pairs. Candidate generation joins on
-    * individual shingles (rare-token join — skew-guarded by dropping
-    * shingles appearing in > `maxDocFreq` docs), then verifies exact
-    * Jaccard on the distinct-shingle sets. */
+  /** Exact n-gram Jaccard near-dup pairs via set-similarity join:
+    * |a∩b| is the per-pair row count of the shingle self-join (shingle
+    * sets are distinct per doc), set sizes travel as scalars, and
+    * jaccard = c / (|a| + |b| - c) — no array payloads ever cross the
+    * shuffle. Skew guard: shingles appearing in > `maxDocFreq` docs are
+    * dropped from candidate generation (hot-key protection at corpus
+    * scale; lowers recall only for pairs whose every shared shingle is
+    * ubiquitous). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Long = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    val ex = df
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val rare = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val rare = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq).select("shingle")
-    val filtered = exploded.join(rare, Seq("shingle"))
-    val cand = filtered.select(col("shingle"), col("id").as("id_a"))
-      .join(filtered.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+    val filtered = ex.join(rare, Seq("shingle"))
+    val common = filtered
+      .select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(filtered.select(col("shingle"), col("id").as("id_b"), col("sz").as("sz_b")),
+        Seq("shingle"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val withSets = cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    withSets.select(col("id_a"), col("id_b"), (inter / union).as("jaccard"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("c"))
+    common
+      .select(col("id_a"), col("id_b"),
+        (col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 }
