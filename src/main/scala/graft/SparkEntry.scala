@@ -90,6 +90,16 @@ object SparkEntry {
         "avg_qty ~ memo.sum_qty / memo.cnt"))
         .orderBy("aggregatedColumn")
     }),
+    // ── §2.1 AggregationTransform Decimal path: memo fold over decimal
+    //    literals (reference Decimal type, types.rs:32); output cast to
+    //    double for engine-neutral comparison
+    "q06_agg_decimal" -> ((s, dir) => {
+      Transforms.aggregation(T(s, dir, "lineitem"), "l_linestatus", Seq(
+        "cnt ~ memo.cnt + 1",
+        "dsum ~ memo.dsum + 1.5"))
+        .select(col("aggregatedColumn"), col("cnt"), col("dsum").cast("double").as("dsum"))
+        .orderBy("aggregatedColumn")
+    }),
     // ── §2.2 FindOne: point lookup on a unique key
     "q07_find_one" -> ((s, dir) => {
       new QueryService(n => T(s, dir, n)).findOne("orders", "o_orderkey", 42L)
@@ -215,6 +225,63 @@ object SparkEntry {
         .select("probe_id", "nbr_id", "rank")
         .orderBy("probe_id", "rank")
     }),
+    // ── extension: embedding-cosine near-dup pairs
+    "q25_embed_dup" -> ((s, dir) => {
+      SimilarityOps.embeddingDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, nBits = 0)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+    // ── extension: near-dup clustering (connected components by min id)
+    "q26_dedup_clusters" -> ((s, dir) => {
+      val pairs = DedupOps.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.3, maxDocFreq = 100000)
+      DedupOps.dedupClusters(pairs).orderBy("id")
+    }),
+    // ── extension: composite quality pipeline (filter → dedup → stats)
+    "q27_quality_pipeline" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .where(TextFunctions.qualityScore(col("text")) >= 0.75)
+      d.groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"),
+          max(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+        .select("keep_id", "dup_count", "n_tokens")
+        .orderBy("keep_id")
+    }),
+    // ── extension: MinHash dedup survivors (rows-only oracle: xxhash64)
+    "q28_minhash_dedup" -> ((s, dir) => {
+      DedupOps.minhashDedup(T(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    // ── extension: SimHash near-dup pairs (rows-only oracle: xxhash64)
+    "q29_simhash_pairs" -> ((s, dir) => {
+      DedupOps.simhashCandidatePairs(T(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    }),
+    // ── extension: sessionization over the event stream (gap > 30 min)
+    "q30_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = T(s, dir, "events") // ts arrives as Long nanos (nanosAsLong)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapNs = col("ts") - lag(col("ts"), 1).over(w)
+      val newSession = when(gapNs.isNull || gapNs > lit(30L * 60 * 1000000000L), 1L).otherwise(0L)
+      val sessioned = ev.withColumn("session_id",
+        sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessioned.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), max("session_id").as("n_sessions"))
+        .orderBy("user_id")
+    }),
+    // ── extension: top-k per group (window ranking)
+    "q31_topk_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val joined = T(s, dir, "orders")
+        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      joined.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("c_mktsegment", "rnk")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -244,6 +311,10 @@ object SparkEntry {
     "q05_aggregation" ->
       """SELECT l_returnflag AS "aggregatedColumn", count(*) AS cnt,
          sum(l_quantity) AS sum_qty, sum(l_quantity) / count(*) AS avg_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q06_agg_decimal" ->
+      """SELECT l_linestatus AS "aggregatedColumn", count(*) AS cnt,
+         CAST(count(*) * 1.5 AS DOUBLE) AS dsum
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q07_find_one" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
@@ -353,5 +424,100 @@ object SparkEntry {
            FROM embeddings c, embeddings p
            WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id)
          WHERE rank <= 10 ORDER BY probe_id, rank""",
+    "q25_embed_dup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         s AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+           FROM e a, e b WHERE a.vec_id < b.vec_id)
+         SELECT id_a, id_b FROM s WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+    "q26_dedup_clusters" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
+           FROM toks),
+         ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS c
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT id_a, id_b FROM common
+           WHERE CAST(c AS DOUBLE) / (sz_a + sz_b - c) >= 0.3),
+         edges AS (
+           SELECT id_a AS s, id_b AS d FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         l0 AS (SELECT DISTINCT s AS id, s AS label FROM edges),
+         l1 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l0 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l0 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l2 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l1 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l1 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l3 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l2 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l2 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l4 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l3 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l3 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l5 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l4 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l4 n ON n.id = e.d
+                GROUP BY l.id, l.label)
+         SELECT id, label FROM l5 ORDER BY id""",
+    "q27_quality_pipeline" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ltoks
+           FROM documents),
+         f AS (
+           SELECT doc_id, text, len(toks) AS n_tokens,
+             length(text) AS n_chars,
+             CAST(length(replace(array_to_string(toks, ' '), ' ', '')) AS DOUBLE) / len(toks) AS mean_word_len,
+             CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / length(text) AS alnum_ratio,
+             CAST(len(list_filter(ltoks, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','that','this','be'))) AS DOUBLE) / len(toks) AS stopword_ratio
+           FROM t),
+         scored AS (
+           SELECT doc_id, text, n_tokens,
+             ((CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN alnum_ratio > 0.6 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN stopword_ratio > 0.01 THEN 1.0 ELSE 0.0 END)) / 4.0 AS score
+           FROM f)
+         SELECT min(doc_id) AS keep_id, count(*) AS dup_count, max(n_tokens) AS n_tokens
+         FROM scored WHERE score >= 0.75
+         GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+         ORDER BY keep_id""",
+    "q30_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+         g AS (
+           SELECT user_id, event_id, tns,
+             CASE WHEN lag(tns) OVER w IS NULL
+                   OR tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_session
+           FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+         s AS (
+           SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY tns, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM g)
+         SELECT user_id, count(*) AS n_events, max(session_id) AS n_sessions
+         FROM s GROUP BY user_id ORDER BY user_id""",
+    "q31_topk_per_group" ->
+      """SELECT * FROM (
+           SELECT c_mktsegment,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk,
+             o_orderkey, o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""",
   )
 }

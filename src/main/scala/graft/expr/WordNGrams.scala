@@ -77,7 +77,7 @@ case class WordNGrams(left: Expression, right: Expression)
   * via [[GraftFunctions.register]]. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    e.injectFunction(GraftFunctions.wordNGramsDescriptor)
+    GraftFunctions.all.foreach(e.injectFunction)
 }
 
 object GraftFunctions {
@@ -86,9 +86,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
     (args: Seq[Expression]) => WordNGrams(args(0), args(1)))
 
+  def all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    wordNGramsDescriptor +: VectorFunctions.descriptors
+
   /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = wordNGramsDescriptor
+  def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>
     if (!spark.sessionState.functionRegistry.functionExists(id))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }

@@ -103,15 +103,31 @@ object DedupOps {
     * propagation (min-id label, converges in ≤ diameter rounds; near-dup
     * clusters are tiny so 5 rounds is plenty at any scale). */
   def dedupClusters(pairs: DataFrame, rounds: Int = 5): DataFrame = {
+    // materialize edges once and checkpoint labels per round — otherwise
+    // each round's lazy plan embeds the previous round TWICE (join + merge)
+    // and the upstream pair computation re-executes 2^rounds times
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b"), col("id_a"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
-    for (_ <- 1 to rounds) {
+      .localCheckpoint(true)
+    // min-label propagation strictly decreases the label sum until the
+    // fixpoint — early-exit on convergence (near-dup components are tiny,
+    // so this usually stops after 1-2 rounds regardless of corpus size)
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
       val prop = edges.join(labels, edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("id")).agg(min(col("label")).as("nbr_label"))
       labels = labels.join(prop, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val curSum = labels.agg(sum("label")).head().getLong(0)
+      converged = curSum == prevSum
+      prevSum = curSum
+      r += 1
     }
     labels
   }
@@ -131,10 +147,15 @@ object DedupOps {
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`, blocked
-    * on 16-bit chunks (pigeonhole guarantees recall for maxHamming ≤ 3). */
+    * on 16-bit chunks (pigeonhole guarantees recall for maxHamming ≤ 3).
+    * Signatures come from the native [[graft.expr.SimHash64]] expression
+    * and are materialized once so the self-join doesn't recompute them. */
   def simhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    val sigs = df.select(col(idCol).as("id"),
+      call_function("simhash64", col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3), lit(1)),
         c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL))))

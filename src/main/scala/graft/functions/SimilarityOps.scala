@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.expr.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -13,11 +14,16 @@ import org.apache.spark.sql.functions._
   * each probe only scores one bucket (multi-probe widens recall).
   * All projections derive from xxhash64 so they're deterministic without a
   * shared random state.
+  *
+  * Scoring uses the native [[graft.expr.VecDot]] expression with
+  * per-vector norms computed ONCE per row (not per pair): the per-pair
+  * kernel is a single primitive dot-product loop.
   */
 object SimilarityOps {
 
   /** Sequential dot product over two array columns (deterministic fold
-    * order — stable across engines and partitionings). */
+    * order — stable across engines and partitionings). Lambda formulation;
+    * the DataFrame-level operators below use the native `vec_dot`. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -26,6 +32,9 @@ object SimilarityOps {
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  private def vdot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  private def vnorm(a: Column): Column = sqrt(call_function("vec_dot", a, a))
 
   /** Brute-force top-k cosine neighbors for each probe vector.
     *
@@ -37,11 +46,15 @@ object SimilarityOps {
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame,
                      idCol: String, probeIdCol: String, vecCol: String,
                      k: Int = 10): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"))
-    val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"))
+    GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
+      vnorm(col(vecCol)).as("__cn"))
+    val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
+      vnorm(col(vecCol)).as("__pn"))
     val scored = c.crossJoin(broadcast(p))
       .where(col("nbr_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("nbr_id"), cosine(col("__cv"), col("__pv")).as("score"))
+      .select(col("probe_id"), col("nbr_id"),
+        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
     val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -68,34 +81,41 @@ object SimilarityOps {
   def lshTopK(corpus: DataFrame, probes: DataFrame,
               idCol: String, probeIdCol: String, vecCol: String,
               k: Int = 10, nBits: Int = 8, probeFlips: Int = 4): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
-      srpBucket(col(vecCol), nBits).as("bucket"))
+      vnorm(col(vecCol)).as("__cn"), srpBucket(col(vecCol), nBits).as("bucket"))
     val pBase = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
-      srpBucket(col(vecCol), nBits).as("bucket0"))
+      vnorm(col(vecCol)).as("__pn"), srpBucket(col(vecCol), nBits).as("bucket0"))
     // multi-probe: the home bucket + single-bit flips
     val buckets = array((0 to math.min(probeFlips, nBits)).map {
       case 0 => col("bucket0")
       case i => col("bucket0").bitwiseXOR(lit(1L << (i - 1)))
     }: _*)
-    val p = pBase.select(col("probe_id"), col("__pv"), explode(buckets).as("bucket"))
+    val p = pBase.select(col("probe_id"), col("__pv"), col("__pn"), explode(buckets).as("bucket"))
     val scored = c.join(p, Seq("bucket"))
       .where(col("nbr_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("nbr_id"), cosine(col("__cv"), col("__pv")).as("score"))
+      .select(col("probe_id"), col("nbr_id"),
+        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
       .groupBy("probe_id", "nbr_id").agg(max("score").as("score"))
     val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** Embedding-cosine near-duplicate pairs (brute force within SRP buckets
-    * — the embedding analog of MinHash dedup). */
+    * — the embedding analog of MinHash dedup). SRP blocking has high
+    * recall only for genuinely near-identical vectors (threshold ≳ 0.9);
+    * `nBits = 0` disables blocking for an exact all-pairs pass. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, nBits: Int = 8): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val bucket = if (nBits == 0) lit(0L) else srpBucket(col(vecCol), nBits)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
-      srpBucket(col(vecCol), nBits).as("bucket"))
-    val a = v.select(col("bucket"), col("id").as("id_a"), col("__v").as("__va"))
-    val b = v.select(col("bucket"), col("id").as("id_b"), col("__v").as("__vb"))
+      vnorm(col(vecCol)).as("__n"), bucket.as("bucket"))
+    val a = v.select(col("bucket"), col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = v.select(col("bucket"), col("id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
     a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        (vdot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos"))
       .where(col("cos") >= threshold)
       .distinct()
   }
