@@ -282,6 +282,48 @@ object SparkEntry {
         .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
         .orderBy("c_mktsegment", "rnk")
     }),
+    // ── extension: deterministic hash sampling (seeded, engine-portable —
+    //    the reproducible train/eval split primitive)
+    "q32_hash_sample" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .where(TextFunctions.hashBucket(col("doc_id").cast("string"), 100) < 10)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+    // ── extension: document chunking (fixed token windows with overlap)
+    "q33_chunk" -> ((s, dir) => {
+      TextFunctions.chunkByTokens(T(s, dir, "documents"), "text", "doc_id",
+        chunkTokens = 32, overlap = 8)
+        .select("doc_id", "chunk_idx", "n_chunk_tokens")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+    // ── §2.1 UnionTransform n-way: three inputs coalesced by nation key
+    "q34_union_3way" -> ((s, dir) => {
+      val nation = T(s, dir, "nation").select("n_nationkey", "n_name")
+      val suppAgg = T(s, dir, "supplier").groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"))
+      val custAgg = T(s, dir, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"))
+      Transforms.union(Seq(
+        (nation, "n_nationkey"), (suppAgg, "s_nationkey"), (custAgg, "c_nationkey")))
+        .orderBy("matchingKey")
+    }),
+    // ── extension: exact distinct-count profile per group
+    "q35_distinct_profile" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+    // ── extension: exact percentiles per group (corpus length profile)
+    "q36_percentiles" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .groupBy("lang")
+        .agg(expr("percentile(n_chars, array(0.5, 0.9, 0.99))").as("p"))
+        .select(col("lang"), col("p")(0).as("p50"), col("p")(1).as("p90"), col("p")(2).as("p99"))
+        .orderBy("lang")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -519,5 +561,42 @@ object SparkEntry {
              o_orderkey, o_totalprice
            FROM orders JOIN customer ON o_custkey = c_custkey)
          WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""",
+    "q32_hash_sample" ->
+      """WITH h AS (
+           SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
+         SELECT doc_id, n_chars FROM h
+         WHERE ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1)) % 100 < 10
+         ORDER BY doc_id""",
+    "q33_chunk" ->
+      """WITH t AS (
+           SELECT doc_id,
+             len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n
+           FROM documents WHERE length(trim(text)) > 0),
+         c AS (
+           SELECT doc_id, n,
+             unnest(range(0, greatest(n - 8 - 1, 0) + 1, 24)) AS start,
+             CAST(unnest(range(0, len(range(0, greatest(n - 8 - 1, 0) + 1, 24)))) AS INT) AS chunk_idx
+           FROM t)
+         SELECT doc_id, chunk_idx, CAST(least(32, n - start) AS INT) AS n_chunk_tokens
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "q34_union_3way" ->
+      """WITH s AS (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1),
+         c AS (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1)
+         SELECT COALESCE(n.n_nationkey, s.s_nationkey, c.c_nationkey) AS "matchingKey",
+                n.n_name, s.n_suppliers, c.n_customers
+         FROM nation n
+         FULL OUTER JOIN s ON n.n_nationkey = s.s_nationkey
+         FULL OUTER JOIN c ON COALESCE(n.n_nationkey, s.s_nationkey) = c.c_nationkey
+         ORDER BY "matchingKey"""",
+    "q35_distinct_profile" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q36_percentiles" ->
+      """WITH q AS (
+           SELECT lang, quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS p
+           FROM documents GROUP BY 1)
+         SELECT lang, p[1] AS p50, p[2] AS p90, p[3] AS p99
+         FROM q ORDER BY lang""",
   )
 }

@@ -68,6 +68,32 @@ object TextFunctions {
     (lenOk + wordOk + alnumOk + stopOk) / lit(4.0)
   }
 
+  /** Deterministic, engine-portable sampling bucket: first md5 byte of the
+    * key, mod `buckets`. Unlike `rand()`/`sample`, the same row lands in
+    * the same bucket on every engine and every run — the reproducible
+    * train/eval-split primitive for corpus pipelines. */
+  def hashBucket(key: Column, buckets: Int = 256): Column =
+    conv(substring(md5(to_binary(key, lit("utf-8"))), 1, 2), 16, 10).cast("int") % buckets
+
+  /** Fixed-size token-window chunking with overlap: one output row per
+    * chunk, carrying (idCol, chunk_idx, n_chunk_tokens, chunk_text).
+    * Narrow op — posexplode of per-row computed windows, no shuffle. */
+  def chunkByTokens(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+                    chunkTokens: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val starts = sequence(lit(0), greatest(n - overlap - 1, lit(0)), lit(stride))
+    df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks.as("__toks"), posexplode(starts).as(Seq("chunk_idx", "__start")))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__toks"), col("__start") + 1, lit(chunkTokens)).as("__chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).as("n_chunk_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
   private val langStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),

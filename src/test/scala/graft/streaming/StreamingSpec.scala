@@ -87,6 +87,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked tumbling-window aggregation drops late data past the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Timestamp, Double)]
+    val windowed = ms.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("value").cast("int").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = windowed.writeStream.outputMode("update").format("memory")
+      .queryName("wm_test").start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      ms.addData((t(10, 5), 1.0), (t(10, 20), 1.0))
+      q.processAllAvailable()
+      // advance event time far beyond 10:00 + watermark
+      ms.addData((t(13, 0), 2.0))
+      q.processAllAvailable()
+      // this event is > 10 min behind the watermark → dropped
+      ms.addData((t(10, 30), 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, max(cnt) AS cnt FROM wm_test GROUP BY k ORDER BY k")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(rows(1) == 2L) // late row did not bump the 10:00 window
+      assert(rows(2) == 1L)
+    } finally q.stop()
+  }
+
   test("action transform in streaming mode") {
     ActionRegistry.register(GraftAction("streamMinus10",
       r => Row(r.getString(0), r.getLong(1) - 10),
