@@ -324,6 +324,41 @@ object SparkEntry {
         .select(col("lang"), col("p")(0).as("p50"), col("p")(1).as("p90"), col("p")(2).as("p99"))
         .orderBy("lang")
     }),
+    // ── extension: as-of join (most recent prior view per purchase) —
+    //    an operator Spark lacks, composed as union + one shuffle + window
+    "q37_asof_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events") // ts arrives as Long nanos
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"),
+          col("event_id").as("view_id"), col("value").as("vvalue"))
+      graft.operators.AsOfJoin.asOf(purchases, views,
+        "user_id", "user_id", "ts", "vts", Seq("view_id", "vvalue"), "view_id")
+        .select("event_id", "user_id", "view_id", "vvalue")
+        .orderBy("event_id")
+    }),
+    // ── extension: hierarchical rollup totals (grouping sets)
+    "q38_rollup" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    }),
+    // ── extension: pivot (conditional aggregation to wide format)
+    "q39_pivot" -> ((s, dir) => {
+      val ev = T(s, dir, "events").withColumn("bucket", col("user_id") % 10)
+      ev.groupBy("bucket").agg(
+        count(when(col("event_type") === "click", 1)).as("click"),
+        count(when(col("event_type") === "error", 1)).as("error"),
+        count(when(col("event_type") === "purchase", 1)).as("purchase"),
+        count(when(col("event_type") === "signup", 1)).as("signup"),
+        count(when(col("event_type") === "view", 1)).as("view"))
+        .orderBy("bucket")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -598,5 +633,36 @@ object SparkEntry {
            FROM documents GROUP BY 1)
          SELECT lang, p[1] AS p50, p[2] AS p90, p[3] AS p99
          FROM q ORDER BY lang""",
+    "q37_asof_join" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events
+           WHERE event_type = 'purchase'),
+         v AS (
+           SELECT event_id AS view_id, user_id, epoch_ns(ts) AS vns, value AS vvalue
+           FROM events WHERE event_type = 'view'),
+         b AS (
+           SELECT p.event_id, p.user_id,
+             (SELECT max(vns) FROM v WHERE v.user_id = p.user_id AND v.vns <= p.tns) AS bt
+           FROM p),
+         j AS (
+           SELECT b.event_id, b.user_id, max(v.view_id) AS view_id
+           FROM b LEFT JOIN v ON v.user_id = b.user_id AND v.vns = b.bt
+           GROUP BY 1, 2)
+         SELECT j.event_id, j.user_id, j.view_id, vv.vvalue
+         FROM j LEFT JOIN v vv ON vv.view_id = j.view_id
+         ORDER BY j.event_id""",
+    "q38_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         count(*) AS cnt, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "q39_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+         count(*) FILTER (WHERE event_type = 'click') AS click,
+         count(*) FILTER (WHERE event_type = 'error') AS error,
+         count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         count(*) FILTER (WHERE event_type = 'signup') AS signup,
+         count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
   )
 }
