@@ -348,6 +348,33 @@ object SparkEntry {
           col("cnt"), col("sum_qty"))
         .orderBy("rf", "ls")
     }),
+    // ── extension: intra-document repetition (Gopher-style quality signal)
+    "q40_repetition" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenRepetitionRatio(col("text")).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+    // ── extension: PII redaction (emails/phones → sentinels, with counts)
+    "q41_pii_redact" -> ((s, dir) => {
+      val r = TextFunctions.redactPii(col("text"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(to_binary(r.getField("clean_text"), lit("utf-8"))).as("clean_fp"),
+          r.getField("n_emails").as("n_emails"),
+          r.getField("n_phones").as("n_phones"))
+        .orderBy("doc_id")
+    }),
+    // ── extension: benchmark decontamination (probe n-gram hits per doc)
+    "q42_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.expr.GraftFunctions.register(s)
+      val probes = docs.where(col("doc_id") < 5)
+        .select(explode(DedupOps.shingles(col("text"), 3)).as("probe"))
+      TextFunctions.contaminationHits(
+        docs.where(col("doc_id") >= 5), "text", "doc_id", probes, "probe", n = 3)
+        .orderBy("doc_id")
+    }),
     // ── extension: pivot (conditional aggregation to wide format)
     "q39_pivot" -> ((s, dir) => {
       val ev = T(s, dir, "events").withColumn("bucket", col("user_id") % 10)
@@ -656,6 +683,38 @@ object SparkEntry {
          count(*) AS cnt, sum(l_quantity) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY rf, ls""",
+    "q40_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS rep_ratio
+         FROM t ORDER BY doc_id""",
+    "q41_pii_redact" ->
+      """WITH r AS (
+           SELECT doc_id, text,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           FROM documents)
+         SELECT doc_id,
+           md5(regexp_replace(t1, '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')) AS clean_fp,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t1, '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS n_phones
+         FROM r ORDER BY doc_id""",
+    "q42_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
+           FROM toks),
+         probes AS (
+           SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 5),
+         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 5)
+         SELECT ex.doc_id, count(*) AS n_hits
+         FROM ex JOIN probes ON ex.shingle = probes.shingle
+         GROUP BY 1 ORDER BY 1""",
     "q39_pivot" ->
       """SELECT user_id % 10 AS bucket,
          count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -94,6 +94,39 @@ object TextFunctions {
         concat_ws(" ", col("__chunk")).as("chunk_text"))
   }
 
+  /** Intra-document repetition: fraction of duplicate whitespace tokens
+    * (1 - distinct/total). High values flag boilerplate/spam — the
+    * Gopher-style repetition quality signal. */
+  def tokenRepetitionRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+
+  /** PII redaction: emails and phone-like sequences replaced with
+    * sentinels; returns (redacted text, n_emails, n_phones). */
+  def redactPii(text: Column): Column = struct(
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>").as("clean_text"),
+    size(regexp_extract_all(text, lit(emailRe), lit(0))).as("n_emails"),
+    size(regexp_extract_all(regexp_replace(text, emailRe, "<EMAIL>"), lit(phoneRe), lit(0))).as("n_phones"))
+
+  /** Benchmark decontamination: count how many of a document's n-gram
+    * shingles appear in a probe set (e.g. eval-set n-grams). Join on the
+    * shingle — the probe side is tiny and broadcast; the corpus explodes
+    * narrow. Returns (idCol, n_hits) for contaminated docs only. */
+  def contaminationHits(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+                        probes: org.apache.spark.sql.DataFrame, probeCol: String,
+                        n: Int = 3): org.apache.spark.sql.DataFrame = {
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    val ex = df.select(col(idCol),
+      explode(DedupOps.shingles(col(textCol), n)).as("__shingle"))
+    ex.join(broadcast(probes.select(col(probeCol).as("__shingle")).distinct()), Seq("__shingle"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+  }
+
   private val langStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
