@@ -99,16 +99,23 @@ object ExprParser {
     out.toList
   }
 
-  /** Parse `dest ~ expr` (the `~` may also lead: `~ dest expr` is accepted
-    * by the reference near either end; we support `dest ~ expr`). */
+  /** Parse an assignment. Like the reference, the `~` may sit after the
+    * destination (`dest ~ expr`) or before a trailing destination
+    * (`expr ~ dest`); anywhere else is an error
+    * (reference: expression_parser.rs:14-51). */
   def parseAssignment(s: String): Assignment = {
     val toks = lex(s)
-    toks match {
-      case TWord(dest) :: TTilde :: rest if rest.nonEmpty =>
-        Assignment(dest, parseExpr(rest, s))
-      case _ =>
-        throw ExprParseException(s"expected `dest ~ expr` in: $s")
+    val i = toks.indexOf(TTilde)
+    if (i < 0) throw ExprParseException(s"No assignment found in: $s")
+    if (i == 1) toks.head match {
+      case TWord(dest) => Assignment(dest, parseExpr(toks.drop(2), s))
+      case _ => throw ExprParseException(s"Assignment destination is not a word in: $s")
     }
+    else if (i == toks.length - 2) toks.last match {
+      case TWord(dest) => Assignment(dest, parseExpr(toks.take(i), s))
+      case _ => throw ExprParseException(s"Assignment destination is not a word in: $s")
+    }
+    else throw ExprParseException(s"Assignment found in middle of statement: $s")
   }
 
   def parse(s: String): GExpr = parseExpr(lex(s), s)

@@ -33,6 +33,18 @@ class ExprParserSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ExprParser.parse("true") == BoolLit(true))
   }
 
+  test("assignment with trailing destination `expr ~ dest` (reference form)") {
+    // reference: expression_parser.rs:29-38 (tilde at second-to-last)
+    val a = ExprParser.parseAssignment("testForIteration + 2 ~ newColumn")
+    assert(a.dest == "newColumn")
+    assert(a.expr == BinOp("+", ColRef("testForIteration"), IntLit(2)))
+  }
+
+  test("assignment with tilde mid-statement errors (reference behavior)") {
+    val e = intercept[ExprParseException](ExprParser.parseAssignment("a + 1 ~ b + 2"))
+    assert(e.getMessage.contains("middle"))
+  }
+
   test("memo.<name> parses as MemoRef") {
     assert(ExprParser.parse("memo.count + 1") ==
       BinOp("+", MemoRef("count"), IntLit(1)))
@@ -91,6 +103,12 @@ class ExprCompilerSpec extends SparkSpec {
     assert(eval1("(a > b) && (b == 2)", intRow) == true)
     assert(eval1("a <= b", intRow) == false)
     assert(eval1("a != b", intRow) == true)
+  }
+
+  test("function-call syntax wires to Spark built-ins (reserved in the reference)") {
+    // the reference parses `name(args)` but errors at eval
+    // (transform.rs:291) — we resolve through the session function registry
+    assert(eval1("abs(b - a)", intRow) == 5L)
   }
 
   test("unknown column errors like the reference") {
