@@ -54,6 +54,32 @@ class TextFunctionsSpec extends SparkSpec {
     val hs = d.select(TextFunctions.rollingHash($"text")).collect().map(_.getLong(0))
     assert(hs(0) != hs(1))
   }
+
+  test("hashBucket is deterministic, in range, and roughly uniform") {
+    val ids = spark.range(1000).select($"id".cast("string").as("k"))
+    val buckets = ids.select(TextFunctions.hashBucket($"k", 10).as("b"))
+      .groupBy("b").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(buckets.keySet.subsetOf((0 until 10).toSet))
+    assert(buckets.values.sum == 1000)
+    assert(buckets.values.forall(c => c > 50 && c < 200)) // rough uniformity
+    val again = ids.select(TextFunctions.hashBucket($"k", 10).as("b"))
+      .groupBy("b").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(again == buckets)
+  }
+
+  test("chunkByTokens windows with overlap and truncates the tail") {
+    val d = docs(1L -> (1 to 50).map(i => s"t$i").mkString(" "))
+    val chunks = TextFunctions.chunkByTokens(d, "text", "doc_id", chunkTokens = 20, overlap = 5)
+      .orderBy("chunk_idx").collect()
+    // stride 15 → starts 0,15,30 (45 > 50-5-1=44 stops); sizes 20,20,20
+    assert(chunks.map(_.getAs[Int]("chunk_idx")).toSeq == Seq(0, 1, 2))
+    assert(chunks.map(_.getAs[Int]("n_chunk_tokens")).toSeq == Seq(20, 20, 20))
+    assert(chunks(1).getAs[String]("chunk_text").startsWith("t16 "))
+    // a doc shorter than one chunk yields a single truncated chunk
+    val short = TextFunctions.chunkByTokens(docs(2L -> "a b c"), "text", "doc_id", 20, 5)
+      .collect()
+    assert(short.length == 1 && short(0).getAs[Int]("n_chunk_tokens") == 3)
+  }
 }
 
 class DedupOpsSpec extends SparkSpec {
