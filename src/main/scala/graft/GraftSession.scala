@@ -24,6 +24,9 @@ object GraftSession {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // the events table stores nanosecond timestamps; surface them as
+      // raw Long nanos rather than failing the read
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     master.orElse(Some(s"local[$cpus]")).foreach(b.master)
     b
   }

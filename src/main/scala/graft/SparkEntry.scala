@@ -519,6 +519,66 @@ object SparkEntry {
            CAST(c AS DOUBLE) / (sz_a + sz_b - c) AS jaccard
          FROM common WHERE CAST(c AS DOUBLE) / (sz_a + sz_b - c) >= 0.2
          ORDER BY id_a, id_b""",
+    "q21_minhash_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-2,0)+1)]) AS s FROM toks),
+         hs AS (SELECT doc_id, list_transform(s, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % 1073741789) AS ms FROM sh WHERE len(s) > 0),
+         sigs AS (SELECT doc_id, [list_min(list_transform(ms, m -> (m*(2*i+1) + i*7919 + 1) % 1073741789)) for i in range(0, 64)] AS sig FROM hs),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id),
+         est AS (SELECT id_a, id_b,
+            CAST(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) AS DOUBLE)/64 AS est_jaccard,
+            len(list_filter(range(0, 16), b -> sa[b*4+1:b*4+4] = sb[b*4+1:b*4+4])) AS nb
+          FROM pr)
+         SELECT id_a, id_b, est_jaccard FROM est WHERE nb > 0 AND est_jaccard >= 0.5
+         ORDER BY id_a, id_b""",
+    "q22_simhash" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+         hs AS (SELECT doc_id, text, list_transform(t, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT)) AS h FROM toks)
+         SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+           CAST(list_sum([CASE WHEN len(list_filter(h, x -> (x >> j) & 1 = 1))*2 > len(h)
+             THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0, 60)]) AS BIGINT)
+         END AS sig FROM hs ORDER BY doc_id""",
+    "q24_ann_lsh" ->
+      """WITH bk AS (SELECT vec_id, embedding,
+           CAST(list_sum([
+             (CASE WHEN list_sum([CAST(round(CAST(embedding[d+1] AS DOUBLE)*1000) AS BIGINT)
+                 * ((CAST('0x'||substr(md5(p::VARCHAR||','||d::VARCHAR),1,15) AS BIGINT) % 2001) - 1000)
+                 for d in range(0, len(embedding))]) >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END) << (7-p)
+             for p in range(0,8)]) AS BIGINT) AS bucket
+           FROM embeddings),
+         cand AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+             list_cosine_similarity(c.embedding, p.embedding) AS score
+           FROM bk p JOIN bk c ON p.vec_id < 5 AND c.vec_id <> p.vec_id
+             AND c.bucket IN (p.bucket, xor(p.bucket, 1), xor(p.bucket, 2), xor(p.bucket, 4), xor(p.bucket, 8))),
+         r AS (SELECT probe_id, nbr_id, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, nbr_id) AS INT) AS rank FROM cand)
+         SELECT probe_id, nbr_id, rank FROM r WHERE rank <= 10 ORDER BY probe_id, rank""",
+    "q28_minhash_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-2,0)+1)]) AS s FROM toks),
+         hs AS (SELECT doc_id, list_transform(s, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % 1073741789) AS ms FROM sh WHERE len(s) > 0),
+         sigs AS (SELECT doc_id, [list_min(list_transform(ms, m -> (m*(2*i+1) + i*7919 + 1) % 1073741789)) for i in range(0, 64)] AS sig FROM hs),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id),
+         est AS (SELECT id_a, id_b,
+            CAST(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) AS DOUBLE)/64 AS est_jaccard,
+            len(list_filter(range(0, 16), b -> sa[b*4+1:b*4+4] = sb[b*4+1:b*4+4])) AS nb
+          FROM pr)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id_b FROM est WHERE nb > 0 AND est_jaccard >= 0.5)
+         ORDER BY doc_id""",
+    "q29_simhash_pairs" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+         hs AS (SELECT doc_id, text, list_transform(t, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT)) AS h FROM toks),
+         sg AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+             CAST(list_sum([CASE WHEN len(list_filter(h, x -> (x >> j) & 1 = 1))*2 > len(h)
+               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0, 60)]) AS BIGINT)
+           END AS sig FROM hs),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+                FROM sg a JOIN sg b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM pr
+         WHERE len(list_filter(range(0, 4), c -> ((sa >> (c*15)) & 32767) = ((sb >> (c*15)) & 32767))) > 0
+           AND bit_count(xor(sa, sb)) <= 8
+         ORDER BY id_a, id_b""",
     "q23_ann_brute" ->
       """SELECT * FROM (
            SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
@@ -613,7 +673,7 @@ object SparkEntry {
              sum(new_session) OVER (PARTITION BY user_id ORDER BY tns, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
            FROM g)
-         SELECT user_id, count(*) AS n_events, max(session_id) AS n_sessions
+         SELECT user_id, count(*) AS n_events, CAST(max(session_id) AS BIGINT) AS n_sessions
          FROM s GROUP BY user_id ORDER BY user_id""",
     "q31_topk_per_group" ->
       """SELECT * FROM (

@@ -41,7 +41,11 @@ case class VecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData]
     val bb = b.asInstanceOf[ArrayData]
-    val n = math.min(aa.numElements(), bb.numElements())
+    // dimension mismatch → null, matching the zip_with/aggregate lambda
+    // semantics (zip_with pads with null; null propagates through the fold)
+    // — silently truncating would mask embedding-pipeline dimension bugs
+    if (aa.numElements() != bb.numElements()) return null
+    val n = aa.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -53,16 +57,77 @@ case class VecDot(left: Expression, right: Expression)
     acc
   }
 
+  override def nullable: Boolean = true
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
   override def prettyName: String = "vec_dot"
 }
 
-/** Native 64-bit SimHash over whitespace tokens of a lowercased string:
-  * per-bit majority vote of xxhash64(token, seed=42). One pass, no
-  * intermediate arrays — replaces a doubly-nested higher-order aggregate
-  * that evaluated interpreted. Hash function matches Spark's `xxhash64`
-  * column function (seed 42) so signatures are stable engine-wide.
+/** Number of positions where two ARRAY<BIGINT> columns agree — the MinHash
+  * signature-agreement kernel (estimated Jaccard = vec_eq_count / k). A
+  * primitive loop instead of `size(filter(zip_with(...)))`, which Spark
+  * evaluates interpreted per pair. Null on length mismatch. */
+case class VecEqCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "vec_eq_count expects two ARRAY<BIGINT> args")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    if (aa.numElements() != bb.numElements()) return null
+    var c = 0
+    var i = 0
+    val n = aa.numElements()
+    while (i < n) {
+      if (aa.getLong(i) == bb.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullable: Boolean = true
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecEqCount =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_eq_count"
+}
+
+/** Shared 60-bit md5-derived hash: the first 15 hex chars of md5(utf8)
+  * parsed as a long — i.e. the top 60 bits of the digest. Chosen because
+  * every SQL engine has md5, so hash-dependent operators (MinHash, SimHash,
+  * rolling hashes, SRP buckets) are verifiable bit-for-bit against an
+  * independent engine: `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)` in
+  * DuckDB ≡ `conv(substring(md5(s), 1, 15), 16, 10)` in Spark ≡ this. */
+object Hash60 {
+  val Bits = 60
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def hash(utf8: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val b = d.digest(utf8)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    (v << 4) | ((b(7) & 0xffL) >>> 4)
+  }
+  def hash(s: String): Long = hash(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+}
+
+/** Native 60-bit SimHash over whitespace tokens of a lowercased string:
+  * per-bit majority vote of [[Hash60]](token). One pass, no intermediate
+  * arrays — replaces a doubly-nested higher-order aggregate that evaluated
+  * interpreted. md5-derived hashing keeps signatures verifiable in any
+  * engine with md5 (see the q22/q29 DuckDB oracles), unlike xxhash64.
   */
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -75,7 +140,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 
   override protected def nullSafeEval(text: Any): Any = {
     val s = text.asInstanceOf[UTF8String].toString.toLowerCase
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](Hash60.Bits)
     var i = 0
     val len = s.length
     while (i < len) {
@@ -83,11 +148,9 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
       val start = i
       while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
       if (i > start) {
-        val tok = UTF8String.fromString(s.substring(start, i))
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-          tok, StringType, 42L)
+        val h = Hash60.hash(s.substring(start, i))
         var b = 0
-        while (b < 64) {
+        while (b < Hash60.Bits) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
@@ -95,7 +158,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     }
     var sig = 0L
     var b = 0
-    while (b < 64) {
+    while (b < Hash60.Bits) {
       if (votes(b) > 0) sig |= (1L << b)
       b += 1
     }
@@ -113,5 +176,8 @@ object VectorFunctions {
       (args: Seq[Expression]) => VecDot(args(0), args(1))),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args(0))))
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    (FunctionIdentifier("vec_eq_count"),
+      new ExpressionInfo(classOf[VecEqCount].getName, "vec_eq_count"),
+      (args: Seq[Expression]) => VecEqCount(args(0), args(1))))
 }

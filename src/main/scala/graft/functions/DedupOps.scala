@@ -12,11 +12,32 @@ import org.apache.spark.sql.functions._
   *   - SimHash blocks on 16-bit chunks (pigeonhole: hamming ≤ 3 over 64
   *     bits ⇒ some 16-bit chunk matches exactly);
   *   - n-gram Jaccard joins on rare shingles only.
-  * All hashing is xxhash64 (deterministic, seedable) so results are stable
-  * across runs and cluster sizes.
+  * All hashing derives from md5 (deterministic, engine-portable — see
+  * [[graft.expr.Hash60]]) so results are stable across runs, cluster
+  * sizes, AND verifiable bit-for-bit against an independent SQL engine.
   */
 object DedupOps {
   import TextFunctions.tokens
+
+  /** Largest prime < 2^30 — the MinHash permutation modulus. Small enough
+    * that `(h % P) * (2k+1) + b` never overflows a signed 64-bit int for
+    * k ≤ ~2^32, so the identical arithmetic runs on engines that check
+    * overflow (DuckDB) and engines that wrap (JVM). */
+  val MinhashP = 1073741789L
+
+  /** 60-bit md5-derived hash of a string column (top 60 bits of the
+    * digest). Engine-portable: same value as
+    * `CAST('0x' || substr(md5(s),1,15) AS BIGINT)` in DuckDB and
+    * [[graft.expr.Hash60.hash]] on the JVM. Pure built-ins → codegen'd. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(to_binary(c, lit("utf-8"))), 1, 15), 16, 10).cast("long")
+
+  /** The i-th MinHash permutation applied to a base hash `m` (already
+    * reduced mod [[MinhashP]]): classic affine `(a·m + b) mod P` with
+    * per-permutation odd multiplier. One md5 per shingle + k affine
+    * transforms — cheaper than k independent string hashes. */
+  private def perm(m: Column, i: Int): Column =
+    pmod(m * lit(2L * i + 1) + lit(i * 7919L + 1), lit(MinhashP))
 
   /** Exact dedup: keep the smallest id per canonical-text fingerprint.
     * One hash aggregate; at 100 TB this is the cheapest possible pass. */
@@ -31,36 +52,41 @@ object DedupOps {
   def shingles(text: Column, n: Int = 3): Column =
     call_function("word_ngrams", text, lit(n))
 
-  /** MinHash signature as an array column: k permutations simulated as
-    * xxhash64(shingle, seed). Null-safe: empty shingle sets get
-    * Long.MaxValue rows. NOTE: higher-order array functions are
-    * interpreted (CodegenFallback) — use [[minhashSignatures]] for the
-    * codegen'd, scalable DataFrame-level path. */
+  /** MinHash signature as an array column (lambda formulation — same math
+    * as [[minhashSignatures]]; higher-order array functions evaluate
+    * interpreted, so prefer the DataFrame-level path for scale). Documents
+    * with no shingles yield null (no signature). */
   def minhashSignature(text: Column, k: Int = 64, ngram: Int = 3): Column = {
     val sh = shingles(text, ngram)
-    transform(sequence(lit(0), lit(k - 1), lit(1)), seed =>
-      coalesce(array_min(transform(sh, s => xxhash64(s, seed))), lit(Long.MaxValue)))
+    when(size(sh) > 0,
+      transform(sequence(lit(0), lit(k - 1), lit(1)), i =>
+        array_min(transform(sh, s =>
+          pmod(pmod(hash60(s), lit(MinhashP)) * (i * 2 + 1) + i * 7919 + 1, lit(MinhashP))))))
   }
 
   /** MinHash signatures via explode + hash aggregate: one row per
-    * (id, shingle), then k codegen'd `min(xxhash64(shingle, seed))`
-    * aggregates with map-side partial aggregation — the shape that scales
-    * (and is ~20× faster than the interpreted array-lambda variant). */
+    * (id, shingle) hashed ONCE with md5, then k codegen'd
+    * `min((a_i·m + b_i) mod P)` aggregates with map-side partial
+    * aggregation — the shape that scales (and is ~20× faster than the
+    * interpreted array-lambda variant). Documents with no shingles are
+    * excluded entirely (they'd otherwise share a degenerate signature and
+    * become mutual "duplicates" — every short doc would collapse to one). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 64, ngram: Int = 3): DataFrame = {
     graft.expr.GraftFunctions.register(df.sparkSession)
     val exploded = df.select(col(idCol).as("id"),
-      explode_outer(shingles(col(textCol), ngram)).as("shingle"))
-    val mins = (0 until k).map(seed =>
-      coalesce(min(xxhash64(col("shingle"), lit(seed))), lit(Long.MaxValue)).as(s"m$seed"))
+      explode(shingles(col(textCol), ngram)).as("shingle"))
+      .select(col("id"), pmod(hash60(col("shingle")), lit(MinhashP)).as("m"))
+    val mins = (0 until k).map(i => min(perm(col("m"), i)).as(s"m$i"))
     exploded.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(s => col(s"m$s")): _*).as("sig"))
   }
 
   /** LSH candidate pairs from MinHash signatures: band the signature,
-    * shuffle once on (band, bandHash), emit intra-bucket pairs, then keep
+    * shuffle once on (band, bandKey), emit intra-bucket pairs, then keep
     * pairs whose full-signature agreement ≥ `threshold` (the MinHash
-    * estimate of Jaccard similarity).
+    * estimate of Jaccard similarity). Agreement is counted by the native
+    * [[graft.expr.VecEqCount]] kernel.
     *
     * Output: (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
     */
@@ -75,14 +101,14 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1), lit(1)),
-        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+        b => array_join(slice(col("sig"), b * r + 1, lit(r)).cast("array<string>"), ","))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_key"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(null)))
+        (call_function("vec_eq_count", col("sig_a"), col("sig_b"))
           .cast("double") / lit(k)).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .distinct()
@@ -105,9 +131,12 @@ object DedupOps {
   def dedupClusters(pairs: DataFrame, rounds: Int = 5): DataFrame = {
     // materialize edges once and checkpoint labels per round — otherwise
     // each round's lazy plan embeds the previous round TWICE (join + merge)
-    // and the upstream pair computation re-executes 2^rounds times
+    // and the upstream pair computation re-executes 2^rounds times.
+    // (`pairs` rows are unique per (id_a, id_b) with id_a < id_b — every
+    // candidate-pair operator here guarantees that — so the two directions
+    // can't collide and no dedup shuffle is needed.)
     val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b"), col("id_a"))).distinct()
+      .union(pairs.select(col("id_b"), col("id_a")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -132,12 +161,13 @@ object DedupOps {
     labels
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * hashes. Pure expression — no state, fully codegen'd. */
+  /** 60-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes ([[hash60]], md5-derived → engine-portable). Lambda
+    * formulation — same math as the native [[graft.expr.SimHash64]]. */
   def simhash(text: Column): Column = {
-    val hashes = transform(tokens(lower(text)), t => xxhash64(t))
+    val hashes = transform(tokens(lower(text)), t => hash60(t))
     aggregate(
-      sequence(lit(0), lit(63), lit(1)),
+      sequence(lit(0), lit(59), lit(1)),
       lit(0L),
       (acc, bit) => {
         val vote = aggregate(hashes, lit(0L),
@@ -147,9 +177,11 @@ object DedupOps {
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`, blocked
-    * on 16-bit chunks (pigeonhole guarantees recall for maxHamming ≤ 3).
-    * Signatures come from the native [[graft.expr.SimHash64]] expression
-    * and are materialized once so the self-join doesn't recompute them. */
+    * on 15-bit chunks of the 60-bit signature (pigeonhole guarantees full
+    * recall for maxHamming ≤ 3; larger bounds trade recall for the same
+    * single shuffle). Signatures come from the native
+    * [[graft.expr.SimHash64]] expression and are materialized once so the
+    * self-join doesn't recompute them. */
   def simhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             maxHamming: Int = 3): DataFrame = {
     graft.expr.GraftFunctions.register(df.sparkSession)
@@ -158,7 +190,7 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3), lit(1)),
-        c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL))))
+        c => call_function("shiftright", col("sig"), c * 15).bitwiseAND(0x7FFFL))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
     val a = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sig").as("sig_b"))

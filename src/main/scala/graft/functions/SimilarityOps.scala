@@ -59,15 +59,20 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Sign-random-projection bits (deterministic hyperplanes from
-    * xxhash64(planeIdx, dimIdx) mapped to [-1, 1]). */
+  /** Sign-random-projection bits. Hyperplane weights are md5-derived
+    * integers in [-1000, 1000] (`hash60("plane,dim") mod 2001 - 1000`) and
+    * the vector is quantized to `round(v·1000)` longs, so the projection is
+    * exact integer arithmetic — the sign bit is bit-deterministic on every
+    * engine (no float-summation-order hazard), which makes LSH bucket
+    * assignments verifiable against an independent SQL engine. */
   def srpBits(vec: Column, nBits: Int = 16): Column =
     transform(sequence(lit(0), lit(nBits - 1), lit(1)), plane => {
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1, lit(1)), (v, d) =>
-          v.cast("double") * ((pmod(xxhash64(plane, d), lit(2000001L)).cast("double") / lit(1000000.0)) - 1.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1)).otherwise(lit(0))
+          round(v.cast("double") * 1000).cast("long") *
+            (pmod(DedupOps.hash60(concat_ws(",", plane, d)), lit(2001L)) - 1000L)),
+        lit(0L), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L)).otherwise(lit(0L))
     })
 
   /** Bucket key from SRP bits. */

@@ -28,11 +28,14 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(to_binary(regexp_replace(lower(trim(text)), "\\s+", " "), lit("utf-8")))
 
-  /** Rolling polynomial hash (base 31, mod 2^61-1) over tokens — an
-    * order-sensitive content fingerprint cheap enough for 100 TB scans. */
+  /** Rolling polynomial hash (base 31, mod 1e9+7) over tokens — an
+    * order-sensitive content fingerprint cheap enough for 100 TB scans.
+    * Token hashes are md5-derived ([[graft.functions.DedupOps.hash60]]) and
+    * the modulus keeps every intermediate < 2^35, so the identical fold
+    * runs on overflow-checking engines — see the q44 DuckDB oracle. */
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + abs(xxhash64(t)) % lit(1000000007L), lit(2305843009213693951L)))
+      (acc, t) => pmod(acc * lit(31L) + DedupOps.hash60(t), lit(1000000007L)))
 
   private val englishStopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",

@@ -121,6 +121,12 @@ object Transforms {
       }
     }
 
+    if (aggExprs.isEmpty)
+      throw ExprTypeException(
+        "aggregation needs at least one accumulating statement " +
+          "(`dest ~ memo.dest ± rowExpr` or a row expression); " +
+          s"got only memo-only statements: ${statements.mkString("; ")}")
+
     val grouped = input
       .groupBy(col(aggregatedColumn).as(AggregationKey))
       .agg(aggExprs.head._2.col.as(aggExprs.head._1),

@@ -81,6 +81,14 @@ object TaggedJson {
       val (s2, r) = parseEntry(j)
       require(s2.fieldNames.sameElements(schema.fieldNames),
         s"Missmatched Input: ${s2.fieldNames.mkString(",")} vs ${schema.fieldNames.mkString(",")}")
+      // tags/types must agree too — a Str where the first entry had an
+      // Integer would otherwise surface later as an opaque encoder
+      // ClassCastException at materialization instead of at parse time
+      s2.fields.zip(schema.fields).foreach { case (got, want) =>
+        require(got.dataType == want.dataType,
+          s"Missmatched Input: column ${want.name} is ${want.dataType.simpleString} " +
+            s"but entry has ${got.dataType.simpleString}")
+      }
       r
     }
     (schema, first +: rest)
