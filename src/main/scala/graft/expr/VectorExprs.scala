@@ -169,6 +169,81 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override def prettyName: String = "simhash64"
 }
 
+/** Native quantized sign-random-projection bucket: `nBits` hyperplanes of
+  * md5-derived integer weights (`Hash60("plane,dim") mod 2001 - 1000`)
+  * against the vector quantized to `round(v·1000)` — exact integer
+  * arithmetic, so bucket assignments are bit-deterministic on every engine
+  * (see the q24 DuckDB oracle). The weight table depends only on
+  * (plane, dim), so it's computed once per executor and the per-row work
+  * is a primitive multiply-add loop — the lambda formulation re-derived
+  * every weight per row through interpreted md5 calls (~30× slower).
+  */
+case class SrpBucket(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), IntegerType) if right.foldable =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "srp_bucket expects (ARRAY<FLOAT|DOUBLE>, literal INT nBits)")
+    }
+
+  private val isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+
+  // weight rows grow on demand (dim count comes from the data); plane rows
+  // are immutable once built so benign races just recompute identical rows
+  @transient private lazy val weights =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+  private def weightRow(plane: Int, dims: Int): Array[Long] = {
+    val cached = weights.get(plane)
+    if (cached != null && cached.length >= dims) cached
+    else {
+      val w = new Array[Long](dims)
+      var d = 0
+      while (d < dims) {
+        w(d) = java.lang.Long.remainderUnsigned(Hash60.hash(s"$plane,$d"), 2001L) - 1000L
+        d += 1
+      }
+      weights.put(plane, w)
+      w
+    }
+  }
+
+  override protected def nullSafeEval(vec: Any, nAny: Any): Any = {
+    val v = vec.asInstanceOf[ArrayData]
+    val nBits = nAny.asInstanceOf[Int]
+    val dims = v.numElements()
+    // quantize once per row (round half away from zero — matches the
+    // round() SQL function in both Spark and DuckDB)
+    val q = new Array[Long](dims)
+    var d = 0
+    while (d < dims) {
+      val x = (if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)) * 1000.0
+      q(d) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+      d += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < nBits) {
+      val w = weightRow(p, dims)
+      var proj = 0L
+      d = 0
+      while (d < dims) { proj += q(d) * w(d); d += 1 }
+      bucket = bucket * 2 + (if (proj >= 0) 1L else 0L)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SrpBucket =
+    copy(left = l, right = r)
+  override def prettyName: String = "srp_bucket"
+}
+
 object VectorFunctions {
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
@@ -179,5 +254,8 @@ object VectorFunctions {
       (args: Seq[Expression]) => SimHash64(args(0))),
     (FunctionIdentifier("vec_eq_count"),
       new ExpressionInfo(classOf[VecEqCount].getName, "vec_eq_count"),
-      (args: Seq[Expression]) => VecEqCount(args(0), args(1))))
+      (args: Seq[Expression]) => VecEqCount(args(0), args(1))),
+    (FunctionIdentifier("srp_bucket"),
+      new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
+      (args: Seq[Expression]) => SrpBucket(args(0), args(1))))
 }

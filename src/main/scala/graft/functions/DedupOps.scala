@@ -138,9 +138,12 @@ object DedupOps {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b"), col("id_a")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lazy checkpoints: the convergence-sum action below materializes the
+    // round's labels AND reads the sum in ONE Spark job (an eager
+    // checkpoint would spend a separate job per round on materialization)
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // min-label propagation strictly decreases the label sum until the
     // fixpoint — early-exit on convergence (near-dup components are tiny,
     // so this usually stops after 1-2 rounds regardless of corpus size)
@@ -152,7 +155,7 @@ object DedupOps {
         .groupBy(edges("id_a").as("id")).agg(min(col("label")).as("nbr_label"))
       labels = labels.join(prop, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val curSum = labels.agg(sum("label")).head().getLong(0)
       converged = curSum == prevSum
       prevSum = curSum
@@ -166,7 +169,7 @@ object DedupOps {
     * formulation — same math as the native [[graft.expr.SimHash64]]. */
   def simhash(text: Column): Column = {
     val hashes = transform(tokens(lower(text)), t => hash60(t))
-    aggregate(
+    val sig = aggregate(
       sequence(lit(0), lit(59), lit(1)),
       lit(0L),
       (acc, bit) => {
@@ -174,6 +177,8 @@ object DedupOps {
           (v, h) => v + when(call_function("shiftright", h, bit).bitwiseAND(1) === 1, 1L).otherwise(-1L))
         acc.bitwiseOR(when(vote > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L)))
       })
+    // whitespace-only text has no tokens (`tokens` yields [""] there)
+    when(length(trim(text)) === 0, lit(0L)).otherwise(sig)
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`, blocked

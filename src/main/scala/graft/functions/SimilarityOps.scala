@@ -75,9 +75,11 @@ object SimilarityOps {
       when(proj >= 0, lit(1L)).otherwise(lit(0L))
     })
 
-  /** Bucket key from SRP bits. */
+  /** Bucket key from SRP bits — the native [[graft.expr.SrpBucket]]
+    * kernel (precomputed weight table + primitive loops; identical math to
+    * `aggregate(srpBits(vec, n), 0L, _ * 2 + _)`). */
   def srpBucket(vec: Column, nBits: Int = 16): Column =
-    aggregate(srpBits(vec, nBits), lit(0L), (acc, b) => acc * 2 + b)
+    call_function("srp_bucket", vec, lit(nBits))
 
   /** LSH-bucketed ANN: corpus and probes hashed into SRP buckets; each
     * probe scores only its bucket (plus `probeFlips` single-bit-flipped

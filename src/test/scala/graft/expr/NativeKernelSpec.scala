@@ -1,0 +1,84 @@
+package graft.expr
+
+import graft.SparkSpec
+import graft.functions.{DedupOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+
+/** The native CodegenFallback kernels exist purely for speed — each one
+  * must be bit-identical to the portable lambda/built-in formulation it
+  * replaces (that equivalence is what makes the DuckDB oracles valid for
+  * the fast paths). These specs pin that invariant.
+  */
+class NativeKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  private val texts = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "the quick brown fox jumps over the lazy cat",
+    3L -> "Hello  World\twith   ODD whitespace ",
+    4L -> "one two",
+    5L -> "")
+
+  test("Hash60.hash (JVM) == conv(substr(md5)) column formulation") {
+    val df = texts.toDF("id", "t")
+    val got = df.select($"t", DedupOps.hash60($"t").as("h")).collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == Hash60.hash(r.getString(0)), s"for '${r.getString(0)}'")
+    }
+  }
+
+  test("native simhash64 == lambda simhash formulation") {
+    val df = texts.toDF("id", "t")
+    val rows = df.select(
+      call_function("simhash64", $"t").as("native"),
+      DedupOps.simhash($"t").as("lambda")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("vec_eq_count counts agreements; null on length mismatch") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 9L, 3L)),
+      (Seq(1L, 2L), Seq(1L, 2L)),
+      (Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+    val got = df.select(call_function("vec_eq_count", $"a", $"b")).collect()
+    assert(got(0).getInt(0) == 2)
+    assert(got(1).getInt(0) == 2)
+    assert(got(2).isNullAt(0))
+  }
+
+  test("vec_dot matches sequential fold; null on length mismatch") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+      (Seq(1.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val got = df.select(call_function("vec_dot", $"a", $"b")).collect()
+    assert(got(0).getDouble(0) == (4.0 + 10.0 + 18.0))
+    assert(got(1).isNullAt(0))
+  }
+
+  test("native srp_bucket == quantized lambda srpBits fold") {
+    val df = Seq(
+      (1L, Seq(0.5f, -0.25f, 0.125f, 0.9f)),
+      (2L, Seq(-0.1f, -0.2f, 0.3f, -0.4f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val rows = df.select(
+      SimilarityOps.srpBucket($"v", 8).as("native"),
+      aggregate(SimilarityOps.srpBits($"v", 8), lit(0L), (acc, b) => acc * 2 + b).as("lambda"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("minhash lambda signature == explode-aggregate signatures") {
+    val df = texts.toDF("doc_id", "text")
+    val viaLambda = df
+      .select($"doc_id", DedupOps.minhashSignature($"text", k = 16).as("sig"))
+      .where($"sig".isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = DedupOps.minhashSignatures(df, "text", "doc_id", k = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaLambda == viaAgg)
+    // doc 5 is empty and doc 4 has < 3 tokens: no shingles → no signature
+    assert(!viaAgg.contains(4L) && !viaAgg.contains(5L))
+  }
+}
