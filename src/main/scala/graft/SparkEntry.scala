@@ -375,6 +375,57 @@ object SparkEntry {
         docs.where(col("doc_id") >= 5), "text", "doc_id", probes, "probe", n = 3)
         .orderBy("doc_id")
     }),
+    // ── extension: set operations (INTERSECT / EXCEPT — absent from the
+    //    reference, §2.5; standard distinct-set semantics)
+    "q43_set_ops" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val urgent = o.where(col("o_orderpriority") === "1-URGENT").select("o_custkey").distinct()
+      val low = o.where(col("o_orderpriority") === "5-LOW").select("o_custkey").distinct()
+      urgent.intersect(low).withColumn("tag", lit("both"))
+        .unionByName(urgent.except(low).withColumn("tag", lit("urgent_only")))
+        .orderBy("tag", "o_custkey")
+    }),
+    // ── extension: order-sensitive rolling content hash (md5-derived,
+    //    engine-portable — catches token reorders that set-based
+    //    fingerprints miss)
+    "q44_rolling_hash" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rh"))
+        .orderBy("doc_id")
+    }),
+    // ── extension: stratified hash sampling (per-stratum rates, still
+    //    fully deterministic and engine-portable)
+    "q45_stratified_sample" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .where(TextFunctions.hashBucket(col("doc_id").cast("string"), 100) <
+          when(col("lang") === "en", 5).otherwise(15))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+    // ── extension: IVF ANN (centroid cells + nProbe search — the scale
+    //    path beyond LSH; centroids here are a deterministic id-sampled
+    //    subset so the oracle can replicate them)
+    "q46_ivf_ann" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cent = emb.where(col("vec_id") % 40 === 0)
+      val probes = emb.where(col("vec_id") < 5)
+      SimilarityOps.ivfTopK(emb, probes, cent, "vec_id", "vec_id", "vec_id", "embedding",
+        k = 10, nProbe = 2)
+        .select("probe_id", "nbr_id", "rank")
+        .orderBy("probe_id", "rank")
+    }),
+    // ── extension: multimodal binary-column metadata (opaque bytes +
+    //    typed metadata — the decode step itself is the stubbed codec in
+    //    MultimodalOps; the byte-level plumbing here is real)
+    "q47_binary_meta" -> ((s, dir) => {
+      val bin = to_binary(col("text"), lit("utf-8"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(bin).cast("long").as("n_bytes"),
+          sha2(bin, 256).as("sha"),
+          lower(substring(hex(bin), 1, 8)).as("magic"))
+        .orderBy("doc_id")
+    }),
     // ── extension: pivot (conditional aggregation to wide format)
     "q39_pivot" -> ((s, dir) => {
       val ev = T(s, dir, "events").withColumn("bucket", col("user_id") % 10)
@@ -775,6 +826,53 @@ object SparkEntry {
          SELECT ex.doc_id, count(*) AS n_hits
          FROM ex JOIN probes ON ex.shingle = probes.shingle
          GROUP BY 1 ORDER BY 1""",
+    "q43_set_ops" ->
+      """WITH u AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         l AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+         SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM u INTERSECT SELECT * FROM l)
+         UNION ALL
+         SELECT o_custkey, 'urgent_only' AS tag FROM (SELECT * FROM u EXCEPT SELECT * FROM l)
+         ORDER BY tag, o_custkey""",
+    "q44_rolling_hash" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+         h AS (SELECT doc_id, list_transform(toks, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT)) AS hs FROM t)
+         SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+           (acc, x) -> (acc*31 + x) % 1000000007) AS rh
+         FROM h ORDER BY doc_id""",
+    "q45_stratified_sample" ->
+      """WITH h AS (
+           SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
+         SELECT doc_id, lang FROM h
+         WHERE ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1)) % 100
+           < CASE WHEN lang = 'en' THEN 5 ELSE 15 END
+         ORDER BY doc_id""",
+    "q46_ivf_ann" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+         asn AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rn
+             FROM embeddings e, cent c) WHERE rn = 1),
+         pcells AS (
+           SELECT vec_id AS probe_id, cid, embedding AS pv FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rn
+             FROM embeddings e, cent c WHERE e.vec_id < 5) WHERE rn <= 2),
+         cand AS (
+           SELECT p.probe_id, a.vec_id AS nbr_id, list_cosine_similarity(a.embedding, p.pv) AS score
+           FROM pcells p JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
+         r AS (SELECT probe_id, nbr_id, CAST(row_number() OVER (
+                 PARTITION BY probe_id ORDER BY score DESC, nbr_id) AS INT) AS rank FROM cand)
+         SELECT probe_id, nbr_id, rank FROM r WHERE rank <= 10 ORDER BY probe_id, rank""",
+    "q47_binary_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS sha,
+         lower(substr(hex(encode(text)), 1, 8)) AS magic
+         FROM documents ORDER BY doc_id""",
     "q39_pivot" ->
       """SELECT user_id % 10 AS bucket,
          count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -108,6 +108,43 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
+    * centroid cell once; each probe searches only its `nProbe` nearest
+    * cells. The scale path for corpus sizes where even LSH bucketing is too
+    * coarse: centroids are small and broadcast, so cell assignment is a
+    * map-only scan, and the candidate join shuffles on the cell id only.
+    * Deterministic given a deterministic centroid set (e.g. a hash-sampled
+    * subset — no k-means state needed for a fixed snapshot).
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
+              idCol: String, probeIdCol: String, centroidIdCol: String, vecCol: String,
+              k: Int = 10, nProbe: Int = 2): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cent = centroids.select(col(centroidIdCol).as("cid"), col(vecCol).as("__cenv"),
+      vnorm(col(vecCol)).as("__cenn"))
+    def nearestCells(df: DataFrame, id: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(col("__cscore").desc, col("cid").asc)
+      df.crossJoin(broadcast(cent))
+        .withColumn("__cscore", vdot(col("__v"), col("__cenv")) / (col("__n") * col("__cenn")))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") <= n)
+        .select(col(id), col("__v"), col("__n"), col("cid"))
+    }
+    val asn = nearestCells(
+      corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__v"), vnorm(col(vecCol)).as("__n")),
+      "nbr_id", 1)
+      .withColumnRenamed("__v", "__cv").withColumnRenamed("__n", "__cn")
+    val pcells = nearestCells(
+      probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__v"), vnorm(col(vecCol)).as("__n")),
+      "probe_id", nProbe)
+      .withColumnRenamed("__v", "__pv").withColumnRenamed("__n", "__pn")
+    val scored = asn.join(pcells, Seq("cid"))
+      .where(col("nbr_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("nbr_id"),
+        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
+    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (brute force within SRP buckets
     * — the embedding analog of MinHash dedup). SRP blocking has high
     * recall only for genuinely near-identical vectors (threshold ≳ 0.9);
