@@ -561,10 +561,11 @@ object SparkEntry {
              list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
            FROM toks),
          ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
+         exh AS (SELECT doc_id, sz, CAST('0x'||substr(md5(shingle),1,15) AS BIGINT) AS h FROM ex),
          common AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
                   count(*) AS c
-           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           FROM exh a JOIN exh b ON a.h = b.h AND a.doc_id < b.doc_id
            GROUP BY 1, 2, 3, 4)
          SELECT id_a, id_b,
            CAST(c AS DOUBLE) / (sz_a + sz_b - c) AS jaccard
@@ -660,9 +661,10 @@ object SparkEntry {
              list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
            FROM toks),
          ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
+         exh AS (SELECT doc_id, sz, CAST('0x'||substr(md5(shingle),1,15) AS BIGINT) AS h FROM ex),
          common AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS c
-           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           FROM exh a JOIN exh b ON a.h = b.h AND a.doc_id < b.doc_id
            GROUP BY 1, 2, 3, 4),
          pairs AS (
            SELECT id_a, id_b FROM common

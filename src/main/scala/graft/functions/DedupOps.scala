@@ -211,10 +211,15 @@ object DedupOps {
     * |a∩b| is the per-pair row count of the shingle self-join (shingle
     * sets are distinct per doc), set sizes travel as scalars, and
     * jaccard = c / (|a| + |b| - c) — no array payloads ever cross the
-    * shuffle. Skew guard: shingles appearing in > `maxDocFreq` docs are
-    * dropped from candidate generation (hot-key protection at corpus
-    * scale; lowers recall only for pairs whose every shared shingle is
-    * ubiquitous). */
+    * shuffle. The join key is the 60-bit [[hash60]] of the shingle, not
+    * the string: 8-byte fixed-width shuffle keys instead of ~30-byte
+    * strings (and the oracle joins on the identical hash, so even a
+    * collision — P ≈ n²/2^61 — can't diverge the two engines).
+    *
+    * Skew guard: shingles appearing in > `maxDocFreq` docs are dropped
+    * via a BROADCAST anti-join (the hot set is tiny by definition), so
+    * the guard never re-shuffles the exploded table; recall drops only
+    * for pairs whose every shared shingle is ubiquitous. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Long = 1000): DataFrame = {
@@ -222,14 +227,15 @@ object DedupOps {
     val ex = df
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+      .select(col("id"), col("sz"), hash60(col("shingle")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDocFreq).select("shingle")
-    val filtered = ex.join(rare, Seq("shingle"))
+    val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq).select("h")
+    val filtered = ex.join(broadcast(hot), Seq("h"), "left_anti")
     val common = filtered
-      .select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
-      .join(filtered.select(col("shingle"), col("id").as("id_b"), col("sz").as("sz_b")),
-        Seq("shingle"))
+      .select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(filtered.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")),
+        Seq("h"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("c"))
     common
