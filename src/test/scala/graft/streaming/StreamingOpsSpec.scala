@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("exactDedupStream keeps first row per fingerprint within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val deduped = StreamingOps.exactDedupStream(
+      ms.toDF().toDF("ts", "doc_id", "text"), "text", "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    try {
+      ms.addData((ts(10, 0), 1L, "hello world"), (ts(10, 1), 2L, "HELLO   world"))
+      q.processAllAvailable()
+      ms.addData((ts(10, 2), 3L, "hello world"), (ts(10, 3), 4L, "different text"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_stream").collect().map(_.getLong(0)).toSet
+      // doc 2 (case/whitespace dup) and doc 3 (exact dup) are dropped
+      assert(ids == Set(1L, 4L))
+    } finally q.stop()
+  }
+
+  test("sessionize emits one closed session per gap-separated burst") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val sessions = StreamingOps.sessionize(
+      ms.toDF().toDF("ts", "user"), "ts", "user", "30 minutes", "0 seconds")
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("session_stream").start()
+    try {
+      // burst 1: 10:00-10:10 (3 events); burst 2: 12:00 (1 event)
+      ms.addData((ts(10, 0), "u1"), (ts(10, 5), "u1"), (ts(10, 10), "u1"))
+      q.processAllAvailable()
+      ms.addData((ts(12, 0), "u1"))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 12:00 session too
+      ms.addData((ts(15, 0), "u2"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user, n_events FROM session_stream WHERE user = 'u1' ORDER BY session_start")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == Seq(("u1", 3L), ("u1", 1L)))
+    } finally q.stop()
+  }
+
+  test("intervalJoin pairs right rows within the lookback window, state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, String, Long)]
+    val purchases = MemoryStream[(Timestamp, String, Long)]
+    val joined = StreamingOps.intervalJoin(
+      purchases.toDF().toDF("pts", "user", "order_id"),
+      views.toDF().toDF("vts", "vuser", "view_id"),
+      "user", "vuser", "pts", "vts",
+      lookback = "1 HOUR", watermarkDelay = "10 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("interval_join").start()
+    try {
+      views.addData((ts(9, 30), "u1", 100L), (ts(8, 0), "u1", 101L), (ts(9, 45), "u2", 102L))
+      purchases.addData((ts(10, 0), "u1", 1L))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT order_id, view_id FROM interval_join")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // view 100 is within [9:00, 10:00]; 101 is too old; 102 is another user
+      assert(got == Set((1L, 100L)))
+    } finally q.stop()
+  }
+}
