@@ -426,6 +426,19 @@ object SparkEntry {
           lower(substring(hex(bin), 1, 8)).as("magic"))
         .orderBy("doc_id")
     }),
+    // ── extension: scalar functions in the expression language (the
+    //    reference parses call syntax but errors at eval, transform.rs:291;
+    //    §2.4 lists scalar functions as absent — wired to Spark built-ins,
+    //    composable with the reference's left-to-right arithmetic)
+    "q48_expr_functions" -> ((s, dir) => {
+      Transforms.function(T(s, dir, "customer"), Seq(
+        "ckey ~ c_custkey",
+        "uname ~ upper(c_name)",
+        "nlen ~ length(c_name) + 10",
+        "fbal ~ floor(c_acctbal)",
+        "tag ~ concat(c_mktsegment, \"-\", c_name)"))
+        .orderBy("ckey")
+    }),
     // ── extension: pivot (conditional aggregation to wide format)
     "q39_pivot" -> ((s, dir) => {
       val ev = T(s, dir, "events").withColumn("bucket", col("user_id") % 10)
@@ -875,6 +888,12 @@ object SparkEntry {
          sha256(text) AS sha,
          lower(substr(hex(encode(text)), 1, 8)) AS magic
          FROM documents ORDER BY doc_id""",
+    "q48_expr_functions" ->
+      """SELECT c_custkey AS ckey, upper(c_name) AS uname,
+         length(c_name) + 10 AS nlen,
+         CAST(floor(c_acctbal) AS BIGINT) AS fbal,
+         concat(c_mktsegment, '-', c_name) AS tag
+         FROM customer ORDER BY ckey""",
     "q39_pivot" ->
       """SELECT user_id % 10 AS bucket,
          count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -250,10 +250,16 @@ object ExprCompiler {
     case GExpr.ColRef(n)  => resolve(n)
     case GExpr.MemoRef(n) => memo(n)
     case GExpr.FnCall(name, args) =>
-      // Reserved in the reference ("currently unimplimented"); we wire the
-      // syntax to Spark built-ins as a capability upgrade.
+      // The reference parses call syntax but errors at eval ("currently
+      // unimplimented", transform.rs:291); we wire it to Spark built-ins
+      // as a capability upgrade. Functions in the curated table get a
+      // typed result (so calls compose with arithmetic, e.g.
+      // `length(name) + 1`); anything else passes through untyped.
       val compiled = args.map(a => compile(a, resolve, memo))
-      Typed(call_function(name, compiled.map(_.col): _*), GOther(NullType))
+      builtinFns.get(name) match {
+        case Some(f) => f(compiled)
+        case None => Typed(call_function(name, compiled.map(_.col): _*), GOther(NullType))
+      }
     case GExpr.BinOp(op, l, r) =>
       val lt = compile(l, resolve, memo)
       val rt = compile(r, resolve, memo)
@@ -261,6 +267,24 @@ object ExprCompiler {
   }
 
   private val noMemo: Resolver = n => throw ExprTypeException(s"memo.$n outside aggregation")
+
+  /** Curated scalar-function table for the expression language (the
+    * reference has NO scalar functions — §2.4 "Absent scalar functions" —
+    * so this whole surface is an extension; types keep calls composable
+    * with the reference's arithmetic rules). */
+  private val builtinFns: Map[String, List[Typed] => Typed] = Map(
+    "abs"    -> (a => Typed(abs(a.head.col), a.head.t)),
+    "upper"  -> (a => Typed(upper(a.head.col), GStr)),
+    "lower"  -> (a => Typed(lower(a.head.col), GStr)),
+    "trim"   -> (a => Typed(trim(a.head.col), GStr)),
+    "concat" -> (a => Typed(concat(a.map(_.col): _*), GStr)),
+    "substring" -> (a => Typed(
+      substring(a.head.col, a(1).col.cast(IntegerType), a(2).col.cast(IntegerType)), GStr)),
+    "length" -> (a => Typed(length(a.head.col).cast(LongType), GInt)),
+    "floor"  -> (a => Typed(floor(a.head.col.cast(DoubleType)), GInt)),
+    "ceil"   -> (a => Typed(ceil(a.head.col.cast(DoubleType)), GInt)),
+    "sqrt"   -> (a => Typed(sqrt(a.head.col.cast(DoubleType)), GDouble)),
+    "md5"    -> (a => Typed(md5(to_binary(a.head.col, lit("utf-8"))), GStr)))
 
   def binOp(op: String, l: Typed, r: Typed): Typed = op match {
     case "+" | "-" | "*" | "/" | "^" => arith(op, l, r)

@@ -111,6 +111,17 @@ class ExprCompilerSpec extends SparkSpec {
     assert(eval1("abs(b - a)", intRow) == 5L)
   }
 
+  test("curated built-in functions are typed and compose with arithmetic") {
+    val s = (StructType(Seq(StructField("name", StringType), StructField("bal", DoubleType))),
+      Row("alex", -2.7))
+    assert(eval1("upper(name)", s) == "ALEX")
+    assert(eval1("length(name) + 10", s) == 14L)
+    assert(eval1("floor(bal)", s) == -3L)
+    assert(eval1("concat(name, \"-x\")", s) == "alex-x")
+    // typed result feeds the reference's comparison rules
+    assert(eval1("length(name) >= 4", s) == true)
+  }
+
   test("unknown column errors like the reference") {
     val e = intercept[ExprTypeException](eval1("nope + 1", intRow))
     assert(e.getMessage.contains("No such column"))
