@@ -41,12 +41,18 @@ object AsOfJoin {
     val unioned = lPadded
       .select((leftCols ++ Seq("__key", "__time", "__side", "__tie") ++ rightValueCols).map(col): _*)
       .unionByName(rPadded)
+    // carry ALL right values as ONE struct: a right row's struct is never
+    // null (even when individual fields are), so `last(..., ignoreNulls)`
+    // always takes every column from the SAME most-recent right row —
+    // per-column fills would silently stitch together different right rows
+    // whenever a value column is legitimately null
+    val packed = unioned.withColumn("__rv",
+      when(col("__side") === 0, struct(rightValueCols.map(col): _*)))
     val w = Window.partitionBy("__key")
       .orderBy(col("__time").asc, col("__side").asc, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightValueCols.foldLeft(unioned)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val filled = packed.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
     filled.where(col("__side") === 1)
-      .select((leftCols ++ rightValueCols).map(col): _*)
+      .select(leftCols.map(col) ++ rightValueCols.map(c => col(s"__rv.$c").as(c)): _*)
   }
 }

@@ -42,4 +42,16 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("rid")).toMap
     assert(m(1L) == 11L)
   }
+
+  test("null value columns come from the matched right row, never an older one") {
+    // most recent right row (rtime 150) has rv = null; a naive per-column
+    // ignoreNulls fill would take rv = 0.5 from the OLDER row at 80
+    val r = Seq((10L, 80L, 7L, Option(0.5)), (10L, 150L, 8L, Option.empty[Double]))
+      .toDF("key", "rtime", "rid", "rv")
+    val l = Seq((1L, 10L, 200L)).toDF("id", "key", "time")
+    val m = AsOfJoin.asOf(l, r, "key", "key", "time", "rtime", Seq("rid", "rv"), "rid")
+      .collect().map(x => x.getAs[Long]("id") ->
+        (Option(x.getAs[Any]("rid")), Option(x.getAs[Any]("rv")))).toMap
+    assert(m(1L) == (Some(8L), None))
+  }
 }
