@@ -106,6 +106,10 @@ object Transforms {
         case GExpr.BinOp("+", GExpr.MemoRef(d), sub) if d == dest && !GExpr.hasMemo(sub) =>
           val t = compile(sub, rowResolver)
           aggExprs(dest) = Typed(coalesce(sum(t.col), lit(0)).cast(sparkType(t.t)), t.t)
+        // commutative form: `dest ~ term + memo.dest`
+        case GExpr.BinOp("+", sub, GExpr.MemoRef(d)) if d == dest && !GExpr.hasMemo(sub) =>
+          val t = compile(sub, rowResolver)
+          aggExprs(dest) = Typed(coalesce(sum(t.col), lit(0)).cast(sparkType(t.t)), t.t)
         case GExpr.BinOp("-", GExpr.MemoRef(d), sub) if d == dest && !GExpr.hasMemo(sub) =>
           val t = compile(sub, rowResolver)
           aggExprs(dest) = Typed((lit(0) - coalesce(sum(t.col), lit(0))).cast(sparkType(t.t)), t.t)

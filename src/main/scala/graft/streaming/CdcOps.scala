@@ -45,6 +45,9 @@ object CdcOps {
       e match {
         case GExpr.BinOp("+", GExpr.MemoRef(d), sub) if d == dest && !GExpr.hasMemo(sub) =>
           accs(dest) = (compile(sub, rowResolver), 1)
+        // commutative form: `dest ~ term + memo.dest`
+        case GExpr.BinOp("+", sub, GExpr.MemoRef(d)) if d == dest && !GExpr.hasMemo(sub) =>
+          accs(dest) = (compile(sub, rowResolver), 1)
         case GExpr.BinOp("-", GExpr.MemoRef(d), sub) if d == dest && !GExpr.hasMemo(sub) =>
           accs(dest) = (compile(sub, rowResolver), -1)
         case _ if !GExpr.hasMemo(e) =>
@@ -52,6 +55,10 @@ object CdcOps {
         case _ => // memo-only → post-aggregation
       }
     }
+    if (accs.isEmpty)
+      throw ExprTypeException(
+        "CDC aggregation needs at least one accumulating statement " +
+          s"(`dest ~ memo.dest ± rowExpr`); got: ${statements.mkString("; ")}")
     val accList = accs.toList
     val n = accList.length
     val sign = when(col(OpColumn) === "delete", lit(-1.0)).otherwise(lit(1.0))

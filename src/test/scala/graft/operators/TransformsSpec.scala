@@ -80,6 +80,21 @@ class TransformsSpec extends SparkSpec {
       Transforms.aggregation(df, "testForIndex", Seq("x ~ memo.x * testForIteration")))
   }
 
+  test("AggregationTransform rejects memo-only statement lists") {
+    val df = testTable(3)
+    assertThrows[graft.expr.ExprTypeException](
+      Transforms.aggregation(df, "testForIndex", Seq("x ~ memo.x / memo.x")))
+  }
+
+  test("AggregationTransform accepts the commutative `term + memo.dest` form") {
+    val grades = sourceDf(
+      Seq(Row("Alex", 90L, "g1"), Row("Alex", 80L, "g2")),
+      StructType(Seq(StructField("name", StringType), StructField("grade", LongType),
+        StructField("_entryId", StringType))))
+    val out = Transforms.aggregation(grades, "name", Seq("sum ~ grade + memo.sum"))
+    assert(out.collect().head.getAs[Long]("sum") == 170L)
+  }
+
   test("ActionTransform: row→row function drops failing rows") {
     ActionRegistry.register(GraftAction("gradeMinus10",
       r => Row(r.getString(0), r.getLong(1) - 10),
