@@ -439,6 +439,39 @@ object SparkEntry {
         "tag ~ concat(c_mktsegment, \"-\", c_name)"))
         .orderBy("ckey")
     }),
+    // ── extension: multimodal decode plumbing — opaque binary payloads
+    //    batched through the codec via mapPartitions; the stub codec's
+    //    metadata is md5-derived so the full decode path has an oracle
+    "q49_multimodal_decode" -> ((s, dir) => {
+      val withMedia = T(s, dir, "documents")
+        .select(col("doc_id"),
+          to_binary(col("text"), lit("utf-8")).as("payload"),
+          when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("media_type"))
+      graft.functions.MultimodalOps.decode(withMedia, "payload", "media_type")
+        .select(col("doc_id"), col("media_type"),
+          col("meta.format").as("format"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.duration_ms").as("duration_ms"),
+          col("meta.n_bytes").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+    // ── extension: dimension-table broadcast join + grouped profile over
+    //    the part table (integral-valued sums keep the oracle bit-exact)
+    "q50_part_profile" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(broadcast(T(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"),
+          countDistinct("p_partkey").as("n_parts"))
+        .orderBy("p_brand")
+    }),
+    // ── §2.1 AggregationTransform general path: an order-dependent memo
+    //    fold that does NOT decompose into distributed aggregates (the
+    //    reference accepts any fold expression, transform.rs:244-271)
+    "q51_agg_fold" -> ((s, dir) => {
+      Transforms.aggregationFold(T(s, dir, "lineitem"), "l_orderkey",
+        Seq("run ~ memo.run * 2 + l_linenumber"), "l_linenumber")
+        .orderBy("aggregatedColumn")
+    }),
     // ── extension: pivot (conditional aggregation to wide format)
     "q39_pivot" -> ((s, dir) => {
       val ev = T(s, dir, "events").withColumn("bucket", col("user_id") % 10)
@@ -894,6 +927,29 @@ object SparkEntry {
          CAST(floor(c_acctbal) AS BIGINT) AS fbal,
          concat(c_mktsegment, '-', c_name) AS tag
          FROM customer ORDER BY ckey""",
+    "q49_multimodal_decode" ->
+      """WITH k AS (
+           SELECT doc_id, text,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+             CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS h
+           FROM documents)
+         SELECT doc_id, media_type,
+           CASE WHEN media_type = 'image' THEN 'jpeg' ELSE 'wav' END AS format,
+           CAST(h % 1920 + 1 AS INT) AS width,
+           CAST((h >> 16) % 1080 + 1 AS INT) AS height,
+           (h >> 32) % 60000 AS duration_ms,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM k ORDER BY doc_id""",
+    "q50_part_profile" ->
+      """SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+         count(DISTINCT p_partkey) AS n_parts
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1""",
+    "q51_agg_fold" ->
+      """SELECT l_orderkey AS "aggregatedColumn",
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list(l_linenumber ORDER BY l_linenumber)),
+           (acc, x) -> acc*2 + x) AS run
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q39_pivot" ->
       """SELECT user_id % 10 AS bucket,
          count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -44,6 +44,14 @@ object GExpr {
     case FnCall(_, args) => args.exists(hasColRef)
     case _               => false
   }
+
+  /** All input-row columns referenced by this subtree. */
+  def collectCols(e: GExpr): Set[String] = e match {
+    case ColRef(n)       => Set(n)
+    case BinOp(_, l, r)  => collectCols(l) ++ collectCols(r)
+    case FnCall(_, args) => args.flatMap(collectCols).toSet
+    case _               => Set.empty
+  }
 }
 
 final case class Assignment(dest: String, expr: GExpr)

@@ -34,7 +34,11 @@ object MultimodalOps {
   }
 
   /** Deterministic fake codec — byte-content-derived values so tests are
-    * reproducible across runs and partitionings. Swap for a real codec. */
+    * reproducible across runs and partitionings. Swap for a real codec.
+    * Decode metadata derives from the engine-portable [[graft.expr.Hash60]]
+    * so the whole decode path is verifiable against an independent SQL
+    * engine (see the q49 DuckDB oracle); features/frames use a local
+    * polynomial (spec-verified only — they never cross engines). */
   object StubCodec extends MediaCodec {
     private def h(bytes: Array[Byte], salt: Long): Long = {
       var acc = 1125899906842597L ^ salt
@@ -43,10 +47,10 @@ object MultimodalOps {
       acc
     }
     def decode(bytes: Array[Byte], mediaType: String): Row = {
-      val k = h(bytes, 0)
+      val k = graft.expr.Hash60.hash(bytes) // positive 60-bit
       Row(mediaType, if (mediaType == "image") "jpeg" else "wav",
-        (math.abs(k) % 1920 + 1).toInt, (math.abs(k >> 16) % 1080 + 1).toInt,
-        math.abs(k >> 32) % 60000, bytes.length.toLong)
+        (k % 1920 + 1).toInt, ((k >> 16) % 1080 + 1).toInt,
+        (k >> 32) % 60000, bytes.length.toLong)
     }
     def features(bytes: Array[Byte], dim: Int): Array[Float] =
       Array.tabulate(dim)(i => (math.floorMod(h(bytes, i), 2000001L) / 1000000.0f) - 1.0f)

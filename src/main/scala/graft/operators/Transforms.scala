@@ -120,7 +120,9 @@ object Transforms {
           aggExprs(dest) = Typed(first(t.col), t.t)
         case _ if GExpr.hasColRef(e) =>
           throw ExprTypeException(
-            s"unsupported memo accumulation for $dest: only `dest ~ memo.dest ± rowExpr` folds decompose")
+            s"unsupported memo accumulation for $dest: only `dest ~ memo.dest ± rowExpr` " +
+              "folds decompose into distributed aggregates — use aggregationFold for " +
+              "general order-dependent memo folds")
         case _ => // memo-only → post-aggregation pass
       }
     }
@@ -152,6 +154,67 @@ object Transforms {
       }
     }
     grouped.select(col(AggregationKey) +: postCols: _*)
+  }
+
+  /** General memo fold for statements that do NOT decompose into Spark
+    * aggregates (e.g. `x ~ memo.x * col` — the reference accepts ANY fold,
+    * transform.rs:244-271): per group, rows are collected, sorted by
+    * `orderColumn`, and folded sequentially with the reference's clean
+    * semantics — memo values initialize to Integer(0) and each statement
+    * sees the latest memo environment (earlier statements' results from
+    * the SAME row, SURVEY.md §7.5 documents the first-row double-eval
+    * quirk we deliberately do not replicate).
+    *
+    * Scale contract: one group must fit in executor memory (the reference
+    * re-reads the whole group per insert, so this is strictly no worse);
+    * decomposable folds should use [[aggregation]], which stays a hash
+    * aggregate with map-side combine.
+    */
+  def aggregationFold(input: DataFrame, aggregatedColumn: String,
+                      statements: Seq[String], orderColumn: String): DataFrame = {
+    import ExprCompiler._
+    val schema = input.schema
+    require(schema.fieldNames.contains(orderColumn),
+      s"aggregationFold order column $orderColumn is not an input column")
+    val parsed = statements.map(ExprParser.parseAssignment)
+    val dests = parsed.map(_.dest).distinct
+    val needed = orderColumn +:
+      (parsed.flatMap(a => GExpr.collectCols(a.expr)).toSet - orderColumn).toSeq
+        .filter(schema.fieldNames.contains).sorted // order column first → array_sort key
+
+    // memo types: start at the reference's Integer(0) init and iterate to
+    // the promotion fixpoint (Int → Decimal/Double is monotone, ≤3 steps)
+    var memoTypes: Map[String, GType] = dests.map(_ -> (GInt: GType)).toMap
+    (0 until 3).foreach { _ =>
+      val typeEnv = scala.collection.mutable.Map.empty[String, GType] ++= memoTypes
+      parsed.foreach { case Assignment(dest, e) =>
+        val rowRes: Resolver = n => schemaResolver(schema)(n)
+        val memoRes: Resolver = d => Typed(lit(0).cast(sparkType(typeEnv.getOrElse(d,
+          throw ExprTypeException(s"memo.$d not yet defined")))), typeEnv(d))
+        typeEnv(dest) = compile(e, rowRes, memoRes).t
+      }
+      memoTypes = typeEnv.toMap
+    }
+
+    val rowsCol = array_sort(collect_list(struct(needed.map(col): _*)))
+    val init = struct(dests.map(d => lit(0).cast(sparkType(memoTypes(d))).as(d)): _*)
+    val folded = aggregate(rowsCol, init, (acc, x) => {
+      val env = scala.collection.mutable.LinkedHashMap.empty[String, Typed] ++=
+        dests.map(d => d -> Typed(acc.getField(d), memoTypes(d)))
+      parsed.foreach { case Assignment(dest, e) =>
+        val rowRes: Resolver = n =>
+          if (needed.contains(n)) Typed(x.getField(n), toGType(schema(n).dataType))
+          else throw ExprTypeException(s"No such column $n exists")
+        val memoRes: Resolver = d => env.getOrElse(d,
+          throw ExprTypeException(s"memo.$d not yet defined"))
+        val t = compile(e, rowRes, memoRes)
+        env(dest) = Typed(t.col.cast(sparkType(memoTypes(dest))), memoTypes(dest))
+      }
+      struct(dests.map(d => env(d).col.as(d)): _*)
+    })
+    input.groupBy(col(aggregatedColumn).as(AggregationKey))
+      .agg(folded.as("__m"))
+      .select(col(AggregationKey) +: dests.map(d => col(s"__m.$d").as(d)): _*)
   }
 
   private def sparkType(t: ExprCompiler.GType): DataType = t match {

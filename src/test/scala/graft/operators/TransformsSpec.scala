@@ -86,6 +86,44 @@ class TransformsSpec extends SparkSpec {
       Transforms.aggregation(df, "testForIndex", Seq("x ~ memo.x / memo.x")))
   }
 
+  test("aggregationFold runs arbitrary order-dependent memo folds") {
+    val df = sourceDf(
+      Seq(Row(1L, 1L, 3.0, "a"), Row(1L, 2L, 5.0, "b"), Row(2L, 1L, 7.0, "c")),
+      StructType(Seq(StructField("k", LongType), StructField("seq", LongType),
+        StructField("v", DoubleType), StructField("_entryId", StringType))))
+    // non-decomposable: run = memo.run * 2 + seq, folded in seq order
+    val out = Transforms.aggregationFold(df, "k", Seq("run ~ memo.run * 2 + seq"), "seq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k=1: ((0*2)+1)=1 → ((1*2)+2)=4 ; k=2: 1
+    assert(out == Map(1L -> 4L, 2L -> 1L))
+  }
+
+  test("aggregationFold matches the decomposable path for count/sum/avg") {
+    val grades = sourceDf(
+      Seq(Row("Alex", 90L, "g1"), Row("Alex", 80L, "g2"), Row("Bob", 70L, "g3")),
+      StructType(Seq(StructField("name", StringType), StructField("grade", LongType),
+        StructField("_entryId", StringType))))
+    val stmts = Seq(
+      "count ~ memo.count + 1",
+      "sum ~ memo.sum + grade",
+      "average ~ memo.sum / memo.count")
+    val fast = Transforms.aggregation(grades, "name", stmts)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val fold = Transforms.aggregationFold(grades, "name", stmts, "_entryId")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(fast == fold)
+  }
+
+  test("aggregationFold promotes memo types (Integer init → Decimal)") {
+    val df = sourceDf(
+      Seq(Row(1L, 1L, "a"), Row(1L, 2L, "b")),
+      StructType(Seq(StructField("k", LongType), StructField("seq", LongType),
+        StructField("_entryId", StringType))))
+    val out = Transforms.aggregationFold(df, "k", Seq("d ~ memo.d + 1.5"), "seq")
+      .collect().head
+    assert(out.getDecimal(1).doubleValue() == 3.0)
+  }
+
   test("AggregationTransform accepts the commutative `term + memo.dest` form") {
     val grades = sourceDf(
       Seq(Row("Alex", 90L, "g1"), Row("Alex", 80L, "g2")),
