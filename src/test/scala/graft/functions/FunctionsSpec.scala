@@ -115,6 +115,36 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("est_jaccard is the true agreement fraction, and the threshold filters") {
+    val all = DedupOps.minhashCandidatePairs(df, "text", "doc_id",
+      k = 64, bands = 16, ngram = 3, threshold = 0.0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    assert(all((1L, 2L)) == 1.0) // canonical exact dup: all k positions agree
+    val near = all((1L, 3L))
+    assert(near > 0.0 && near < 1.0) // the pre-fix bug made every pair 1.0
+    // a strict threshold drops the near dup but keeps the exact dup
+    val strict = DedupOps.minhashCandidatePairs(df, "text", "doc_id",
+      k = 64, bands = 16, ngram = 3, threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(strict.contains((1L, 2L)) && !strict.contains((1L, 3L)))
+  }
+
+  test("shingle-less short docs are never candidate pairs and survive dedup") {
+    val short = Seq(
+      (1L, "one two"), (2L, "three four"), (3L, ""), // all below ngram=3 → no shingles
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashCandidatePairs(short, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // the pre-fix bug gave every short doc an identical degenerate
+    // signature, making (1,2), (1,3), (2,3) spurious duplicates
+    assert(pairs == Set((4L, 5L)))
+    val kept = DedupOps.minhashDedup(short, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L))
+  }
+
   test("simhash: identical canonical text → identical signature; near dup → close") {
     val sigs = df.select($"doc_id", DedupOps.simhash($"text").as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
