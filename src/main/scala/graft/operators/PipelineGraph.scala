@@ -96,6 +96,36 @@ final class PipelineGraph(
     committed
   }
 
+  /** Insert plus the reference's full committed-edits response: the
+    * reference's `InsertData` returns EVERY cascaded derived-row write,
+    * not just the source row (reference: database.rs:125-195 via
+    * `execute_edits`). Batch rendition: snapshot the (lazy, immutable)
+    * derived plans, insert, rebuild, and diff — per derived table the
+    * inserts are `after EXCEPT before` and, for upsert kinds
+    * (aggregation/union, where an update is Delete(old)+Insert(new) —
+    * database.rs:282-286), the deletes are `before EXCEPT after`.
+    *
+    * Each diff is one distributed set-difference; nothing collects to the
+    * driver. Returns table → (inserts, deletes); the source table's entry
+    * carries the committed rows with their assigned `_entryId`s.
+    */
+  def insertWithEdits(tableName: String, rows: DataFrame): Map[String, (DataFrame, DataFrame)] = {
+    val before = derived // lazy plans over the pre-insert source snapshots
+    val committed = insert(tableName, rows)
+    val after = derived
+    val empty = (df: DataFrame) => df.limit(0)
+    val edits = after.map { case (name, now) =>
+      val prev = before(name)
+      val isUpsert = config.byName.get(name) match {
+        case Some(_: AggregationTableConfig) | Some(_: UnionTableConfig) => true
+        case _ => false
+      }
+      name -> (now.exceptAll(prev),
+        if (isUpsert) prev.exceptAll(now) else empty(prev))
+    }
+    edits + (tableName -> (committed, empty(committed)))
+  }
+
   /** Delete all rows with `column == key`; the cascade to derived tables
     * (reference: transform_hook.rs:56-64 via `_sourceEntryId`) falls out of
     * recompute. Returns the deleted rows. */

@@ -104,4 +104,40 @@ class PipelineGraphSpec extends SparkSpec {
     val ids = committed.select("_entryId").collect().map(_.getString(0))
     assert(ids.length == 1 && ids(0).length == 36)
   }
+
+  test("insertWithEdits returns every cascaded derived-row write (InsertData response)") {
+    val yamlAgg = yaml +
+      """  - name: aggTest
+        |    kind: aggregation
+        |    source_table: testTable
+        |    aggregated_column: testForIndex
+        |    functions: ["cnt ~ memo.cnt + 1", "sum ~ memo.sum + testForIteration"]
+        |""".stripMargin
+    val g = new PipelineGraph(spark, PipelineConfig.fromYaml(yamlAgg))
+    val schema = StructType(Seq(
+      StructField("testForIndex", LongType), StructField("testForIteration", LongType)))
+    g.insert("testTable", spark.createDataFrame(
+      Seq(Row(1L, 10L)).asJava, schema))
+
+    val edits = g.insertWithEdits("testTable", spark.createDataFrame(
+      Seq(Row(1L, 20L), Row(2L, 5L)).asJava, schema))
+
+    // source edit: the two committed rows with assigned ids
+    val (srcIns, srcDel) = edits("testTable")
+    assert(srcIns.count() == 2 && srcDel.count() == 0)
+    assert(srcIns.columns.contains("_entryId"))
+    // function cascade: two new derived rows, append-only
+    val (dIns, dDel) = edits("derived")
+    assert(dIns.count() == 2 && dDel.count() == 0)
+    assert(dIns.collect().map(_.getAs[Long]("newColumn")).toSet == Set(22L, 7L))
+    // aggregation cascade: group 1 upserts (Delete(old) + Insert(new)),
+    // group 2 is a fresh insert — the reference's Update encoding
+    val (aIns, aDel) = edits("aggTest")
+    val ins = aIns.collect().map(r => r.getAs[Long]("aggregatedColumn") ->
+      (r.getAs[Long]("cnt"), r.getAs[Long]("sum"))).toMap
+    assert(ins == Map(1L -> (2L, 30L), 2L -> (1L, 5L)))
+    val del = aDel.collect().map(r => r.getAs[Long]("aggregatedColumn") ->
+      (r.getAs[Long]("cnt"), r.getAs[Long]("sum"))).toMap
+    assert(del == Map(1L -> (1L, 10L)))
+  }
 }
