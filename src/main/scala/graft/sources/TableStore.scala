@@ -1,0 +1,27 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Table persistence for the engine (the reference's per-table storage
+  * files, reference: reactive_db/src/storage/storage_manager_v2.rs, are
+  * irrelevant physically — SURVEY.md §2.3): each table is a parquet
+  * directory, optionally hive-partitioned on low-cardinality columns so
+  * key-range queries prune whole directories before any I/O happens
+  * (the distributed analog of the reference's mandatory per-column
+  * B-tree index).
+  *
+  * At 100 TB the partition layout IS the index: a `lessThan`/`getAll`
+  * on the partition column becomes a metadata-only listing + pruned scan
+  * (`PartitionFilters` in the plan), and every other predicate still
+  * pushes into parquet row-group stats (`PushedFilters`).
+  */
+object TableStore {
+  def save(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+           mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,41 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+class TableStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned round-trip; key predicates prune partitions before I/O") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val df = (1 to 1000).map(i => (i.toLong % 10, i.toLong, s"row$i")).toDF("bucket", "id", "v")
+    TableStore.save(df, dir, partitionBy = Seq("bucket"))
+
+    val loaded = TableStore.load(spark, dir)
+    assert(loaded.count() == 1000)
+
+    val q = loaded.where(col("bucket") === 3).select("id")
+    assert(q.count() == 100)
+    // the partition predicate must land in PartitionFilters (metadata-only
+    // pruning), not survive as a post-scan filter over all partitions
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "partition filter was not pruned")
+    assert(scan.relation.location.inputFiles.length > 1) // genuinely partitioned layout
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("non-partition predicates still push into the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store2").toString
+    TableStore.save((1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir)
+    val q = TableStore.load(spark, dir).where(col("id") > 90)
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(id,90)"))
+    assert(q.count() == 10)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}
