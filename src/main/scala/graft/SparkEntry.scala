@@ -439,6 +439,18 @@ object SparkEntry {
         "tag ~ concat(c_mktsegment, \"-\", c_name)"))
         .orderBy("ckey")
     }),
+    // ── extension: vector norm/stat profile — pins bit-exact float parity
+    //    of the native vec_dot kernel against an independent engine (the
+    //    sequential fold order is part of the operator contract)
+    "q52_vector_norms" -> ((s, dir) => {
+      graft.expr.GraftFunctions.register(s)
+      val emb = T(s, dir, "embeddings")
+      emb.select(col("vec_id"),
+        sqrt(call_function("vec_dot", col("embedding"), col("embedding"))).as("l2"),
+        call_function("vec_dot", col("embedding"), col("embedding")).as("sumsq"),
+        size(col("embedding")).as("dim"))
+        .orderBy("vec_id")
+    }),
     // ── extension: multimodal decode plumbing — opaque binary payloads
     //    batched through the codec via mapPartitions; the stub codec's
     //    metadata is md5-derived so the full decode path has an oracle
@@ -927,6 +939,16 @@ object SparkEntry {
          CAST(floor(c_acctbal) AS BIGINT) AS fbal,
          concat(c_mktsegment, '-', c_name) AS tag
          FROM customer ORDER BY ckey""",
+    "q52_vector_norms" ->
+      """WITH s AS (
+           SELECT vec_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (acc, v) -> acc + v) AS sumsq,
+             len(embedding) AS dim
+           FROM embeddings)
+         SELECT vec_id, sqrt(sumsq) AS l2, sumsq, CAST(dim AS INT) AS dim
+         FROM s ORDER BY vec_id""",
     "q49_multimodal_decode" ->
       """WITH k AS (
            SELECT doc_id, text,
