@@ -193,7 +193,7 @@ object SparkEntry {
     // ── extension: n-gram Jaccard near-dup pairs (exact verify)
     "q20_ngram_jaccard" -> ((s, dir) => {
       DedupOps.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.2, maxDocFreq = 100000)
+        n = 3, threshold = 0.2, maxDocFreq = 0)
         .orderBy("id_a", "id_b")
     }),
     // ── extension: MinHash-LSH near-dup pairs (rows-only oracle: xxhash64)
@@ -235,7 +235,7 @@ object SparkEntry {
     // ── extension: near-dup clustering (connected components by min id)
     "q26_dedup_clusters" -> ((s, dir) => {
       val pairs = DedupOps.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.3, maxDocFreq = 100000)
+        n = 3, threshold = 0.3, maxDocFreq = 0)
       DedupOps.dedupClusters(pairs).orderBy("id")
     }),
     // ── extension: composite quality pipeline (filter → dedup → stats)

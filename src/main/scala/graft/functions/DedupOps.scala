@@ -219,7 +219,9 @@ object DedupOps {
     * Skew guard: shingles appearing in > `maxDocFreq` docs are dropped
     * via a BROADCAST anti-join (the hot set is tiny by definition), so
     * the guard never re-shuffles the exploded table; recall drops only
-    * for pairs whose every shared shingle is ubiquitous. */
+    * for pairs whose every shared shingle is ubiquitous. `maxDocFreq <= 0`
+    * disables the guard entirely (skips the doc-frequency pass and its
+    * broadcast barrier — for corpora known to be skew-free). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Long = 1000): DataFrame = {
@@ -229,9 +231,13 @@ object DedupOps {
       .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
       .select(col("id"), col("sz"), hash60(col("shingle")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDocFreq).select("h")
-    val filtered = ex.join(broadcast(hot), Seq("h"), "left_anti")
+    val filtered =
+      if (maxDocFreq <= 0) ex
+      else {
+        val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDocFreq).select("h")
+        ex.join(broadcast(hot), Seq("h"), "left_anti")
+      }
     val common = filtered
       .select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
       .join(filtered.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")),
