@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.config._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Eager incremental view maintenance — the reference's core identity
+  * (every insert updates all derived tables immediately,
+  * reference: database.rs:125-195) re-expressed delta-driven for scale.
+  *
+  * Where [[PipelineGraph]] keeps derived tables lazy and recomputes on
+  * access, this maintains every table MATERIALIZED and applies per-edit
+  * deltas, so one insert costs O(delta + affected groups) regardless of
+  * table size — at 100 TB you never recompute the corpus to absorb a
+  * gigabyte of new rows:
+  *
+  *   - Function/Filter/Action are pure per-row functions, so the
+  *     downstream delta IS the transform of the upstream delta:
+  *     `mat' = mat ∖ T(deletedΔ) ∪ T(insertedΔ)` (multiset semantics via
+  *     exceptAll — duplicate derived rows subtract by count).
+  *   - Aggregation/Union recompute ONLY the affected keys (the reference
+  *     re-reads exactly these groups per insert, transform.rs:239) and
+  *     upsert them; the old group rows become the Delete half of the
+  *     update, matching the reference's Update ≡ Delete(old)+Insert(new)
+  *     (database.rs:282-286).
+  *
+  * Every updated table is checkpointed so lineage stays O(1) in the
+  * number of edits (on a cluster this is the durable delta write).
+  */
+final class IncrementalGraph(
+    val spark: SparkSession,
+    val config: PipelineConfig,
+    initialSources: Map[String, DataFrame] = Map.empty) {
+  import SystemColumns._
+
+  private val mat = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  private val downstream: Map[String, Seq[DerivedTableConfig]] =
+    config.tables.collect { case d: DerivedTableConfig => d }
+      .flatMap(d => d.inputTables.distinct.map(_ -> d))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  // initial materialization: sources from the seed, derived via one full
+  // compute in topo order (the once-per-deployment bootstrap)
+  config.topoOrder.foreach {
+    case s: SourceTableConfig =>
+      val schema = StructType(s.columns.map { case (n, t) => StructField(n, t) } :+
+        StructField(EntryId, StringType))
+      mat(s.name) = initialSources.get(s.name).map(ensureEntryId)
+        .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), schema))
+    case d: DerivedTableConfig =>
+      mat(d.name) = checkpoint(compute(d, d.inputTables.map(n => n -> mat(n)).toMap))
+  }
+
+  private def checkpoint(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  private def ensureEntryId(df: DataFrame): DataFrame = {
+    val withId =
+      if (df.columns.contains(EntryId)) df
+      else df.withColumn(EntryId, expr("uuid()"))
+    checkpoint(withId)
+  }
+
+  private def compute(d: DerivedTableConfig, inputs: Map[String, DataFrame]): DataFrame = d match {
+    case f: FunctionTableConfig => Transforms.function(inputs(f.sourceTable), f.functions)
+    case f: FilterTableConfig   => Transforms.filter(inputs(f.sourceTable), f.filter)
+    case a: AggregationTableConfig =>
+      Transforms.aggregation(inputs(a.sourceTable), a.aggregatedColumn, a.functions)
+    case u: UnionTableConfig =>
+      Transforms.union(u.tablesAndForeignKeys.map { case (t, fk) => (inputs(t), fk) })
+    case a: ActionTableConfig => Transforms.action(inputs(a.sourceTable), ActionRegistry.get(a.actionName))
+  }
+
+  def table(name: String): DataFrame =
+    mat.getOrElse(name, throw new NoSuchElementException(s"no table named $name"))
+
+  /** Insert rows; all derived tables are brought current before this
+    * returns (the reference's eager cascade). Returns the committed rows. */
+  def insert(tableName: String, rows: DataFrame): DataFrame = {
+    val cfg = config.byName.get(tableName) match {
+      case Some(s: SourceTableConfig) => s
+      case _ => throw new IllegalArgumentException(s"$tableName is not a source table")
+    }
+    val declared = cfg.columns.map(_._1).toSet
+    val extra = rows.columns.filterNot(c => declared.contains(c) || c == EntryId)
+    if (extra.nonEmpty)
+      throw new IllegalArgumentException(s"Missmatched Input: undeclared columns ${extra.mkString(",")}")
+    val aligned = cfg.columns.foldLeft(rows) { case (df, (n, t)) =>
+      if (df.columns.contains(n)) df.withColumn(n, col(n).cast(t))
+      else df.withColumn(n, lit(null).cast(t))
+    }.select(cfg.columns.map(c => col(c._1)): _*)
+    val committed = ensureEntryId(aligned)
+    mat(tableName) = checkpoint(mat(tableName).unionByName(committed))
+    propagate(tableName, committed, committed.limit(0))
+    committed
+  }
+
+  /** Delete all rows with `column == key`; cascades eagerly. Returns the
+    * deleted rows. */
+  def delete(tableName: String, column: String, key: Any): DataFrame = {
+    val cur = mat.getOrElse(tableName,
+      throw new IllegalArgumentException(s"no table named $tableName"))
+    require(config.byName.get(tableName).exists(_.isInstanceOf[SourceTableConfig]),
+      s"$tableName is not a source table")
+    val deleted = checkpoint(cur.filter(col(column) === lit(key)))
+    mat(tableName) = checkpoint(cur.filter(!(col(column) <=> lit(key))))
+    propagate(tableName, deleted.limit(0), deleted)
+    deleted
+  }
+
+  private def propagate(src: String, inserted: DataFrame, deleted: DataFrame): Unit = {
+    downstream.getOrElse(src, Nil).foreach { d =>
+      val (next, dIns, dDel) = d match {
+        case _: FunctionTableConfig | _: FilterTableConfig | _: ActionTableConfig =>
+          val addRows = compute(d, Map(src -> inserted))
+          val delRows = compute(d, Map(src -> deleted))
+          (mat(d.name).exceptAll(delRows).unionByName(addRows), addRows, delRows)
+        case a: AggregationTableConfig =>
+          val keys = inserted.select(col(a.aggregatedColumn))
+            .unionByName(deleted.select(col(a.aggregatedColumn))).distinct()
+          val affected = mat(a.sourceTable)
+            .join(broadcast(keys), Seq(a.aggregatedColumn), "left_semi")
+          val recomputed = Transforms.aggregation(affected, a.aggregatedColumn, a.functions)
+          val matKeys = broadcast(keys.withColumnRenamed(a.aggregatedColumn, AggregationKey))
+          val oldRows = mat(a.name).join(matKeys, Seq(AggregationKey), "left_semi")
+          val others = mat(a.name).join(matKeys, Seq(AggregationKey), "left_anti")
+          (others.unionByName(recomputed), recomputed, oldRows)
+        case u: UnionTableConfig =>
+          val fks = u.tablesAndForeignKeys.collect { case (t, fk) if t == src => fk }
+          val keys = fks.map(fk => inserted.select(col(fk).as(MatchingKey))
+              .unionByName(deleted.select(col(fk).as(MatchingKey))))
+            .reduce(_.unionByName(_)).distinct()
+          val inputsFiltered = u.tablesAndForeignKeys.map { case (t, fk) =>
+            (mat(t).join(broadcast(keys.withColumnRenamed(MatchingKey, fk)), Seq(fk), "left_semi"), fk)
+          }
+          val recomputed = Transforms.union(inputsFiltered)
+          val matKeys = broadcast(keys)
+          val oldRows = mat(u.name).join(matKeys, Seq(MatchingKey), "left_semi")
+          val others = mat(u.name).join(matKeys, Seq(MatchingKey), "left_anti")
+          (others.unionByName(recomputed), recomputed, oldRows)
+      }
+      mat(d.name) = checkpoint(next)
+      propagate(d.name, checkpoint(dIns), checkpoint(dDel))
+    }
+  }
+}
