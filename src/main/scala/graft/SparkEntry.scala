@@ -439,6 +439,26 @@ object SparkEntry {
         "tag ~ concat(c_mktsegment, \"-\", c_name)"))
         .orderBy("ckey")
     }),
+    // ── eager IVM end-to-end: seed from parquet, insert through the
+    //    incremental engine, read the maintained derived table (the
+    //    reference's reactive cascade — delta applied, nothing recomputed)
+    "q53_incremental_insert" -> ((s, dir) => {
+      val cfg = graft.config.PipelineConfig.fromYaml(
+        """tables:
+          |  - name: region
+          |    kind: source
+          |    columns: {r_regionkey: Integer, r_name: Str}
+          |  - name: regionNames
+          |    kind: function
+          |    source_table: region
+          |    functions: ["key ~ r_regionkey", "uname ~ upper(r_name)"]
+          |""".stripMargin)
+      val seed = T(s, dir, "region")
+        .select(col("r_regionkey").cast("long"), col("r_name"))
+      val g = new graft.operators.IncrementalGraph(s, cfg, Map("region" -> seed))
+      g.insert("region", s.range(1).select(lit(99L).as("r_regionkey"), lit("graft region").as("r_name")))
+      g.table("regionNames").select("key", "uname").orderBy("key")
+    }),
     // ── extension: vector norm/stat profile — pins bit-exact float parity
     //    of the native vec_dot kernel against an independent engine (the
     //    sequential fold order is part of the operator contract)
@@ -939,6 +959,11 @@ object SparkEntry {
          CAST(floor(c_acctbal) AS BIGINT) AS fbal,
          concat(c_mktsegment, '-', c_name) AS tag
          FROM customer ORDER BY ckey""",
+    "q53_incremental_insert" ->
+      """SELECT r_regionkey AS key, upper(r_name) AS uname FROM (
+           SELECT r_regionkey, r_name FROM region
+           UNION ALL SELECT 99, 'graft region')
+         ORDER BY key""",
     "q52_vector_norms" ->
       """WITH s AS (
            SELECT vec_id,
