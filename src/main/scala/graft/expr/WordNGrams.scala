@@ -72,6 +72,66 @@ case class WordNGrams(left: Expression, right: Expression)
   override def prettyName: String = "word_ngrams"
 }
 
+/** Like [[WordNGrams]] but emits each distinct shingle's 60-bit
+  * [[Hash60]] directly — one pass from text to join-ready hash keys, no
+  * intermediate string array crossing the row boundary and no per-row
+  * md5 column evaluation downstream. Distinctness is by shingle STRING
+  * (before hashing), so a hash collision yields duplicate hash entries
+  * exactly like hashing the distinct string set would — bit-compatible
+  * with `transform(word_ngrams(t, n), s -> hash60(s))` and with the
+  * DuckDB oracle formulation. */
+case class WordNGramHashes(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("text must be STRING")
+    else if (!right.foldable || right.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("n must be a literal INT")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override protected def nullSafeEval(text: Any, nAny: Any): Any = {
+    val n = nAny.asInstanceOf[Int]
+    val s = text.asInstanceOf[UTF8String].toString.toLowerCase
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) toks += s.substring(start, i)
+    }
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+    var j = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (j <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(j + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = Hash60.hash(it.next()); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): WordNGramHashes =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "word_ngram_hashes"
+}
+
 /** Registration for graft's native expressions: either through
   * `spark.sql.extensions=graft.expr.GraftExtensions` or programmatically
   * via [[GraftFunctions.register]]. */
@@ -86,8 +146,13 @@ object GraftFunctions {
     new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
     (args: Seq[Expression]) => WordNGrams(args(0), args(1)))
 
+  val wordNGramHashesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_ngram_hashes"),
+    new ExpressionInfo(classOf[WordNGramHashes].getName, "word_ngram_hashes"),
+    (args: Seq[Expression]) => WordNGramHashes(args(0), args(1)))
+
   def all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    wordNGramsDescriptor +: VectorFunctions.descriptors
+    Seq(wordNGramsDescriptor, wordNGramHashesDescriptor) ++ VectorFunctions.descriptors
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>

@@ -52,6 +52,12 @@ object DedupOps {
   def shingles(text: Column, n: Int = 3): Column =
     call_function("word_ngrams", text, lit(n))
 
+  /** Distinct shingles as 60-bit [[hash60]] values — one native pass from
+    * text to join-ready keys ([[graft.expr.WordNGramHashes]]); identical
+    * values to `transform(shingles(t, n), s -> hash60(s))`. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    call_function("word_ngram_hashes", text, lit(n))
+
   /** MinHash signature as an array column (lambda formulation — same math
     * as [[minhashSignatures]]; higher-order array functions evaluate
     * interpreted, so prefer the DataFrame-level path for scale). Documents
@@ -75,8 +81,8 @@ object DedupOps {
                         k: Int = 64, ngram: Int = 3): DataFrame = {
     graft.expr.GraftFunctions.register(df.sparkSession)
     val exploded = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), ngram)).as("shingle"))
-      .select(col("id"), pmod(hash60(col("shingle")), lit(MinhashP)).as("m"))
+      explode(shingleHashes(col(textCol), ngram)).as("h"))
+      .select(col("id"), pmod(col("h"), lit(MinhashP)).as("m"))
     val mins = (0 until k).map(i => min(perm(col("m"), i)).as(s"m$i"))
     exploded.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(s => col(s"m$s")): _*).as("sig"))
@@ -227,9 +233,8 @@ object DedupOps {
                         maxDocFreq: Long = 1000): DataFrame = {
     graft.expr.GraftFunctions.register(df.sparkSession)
     val ex = df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
-      .select(col("id"), col("sz"), hash60(col("shingle")).as("h"))
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered =
       if (maxDocFreq <= 0) ex

@@ -29,6 +29,15 @@ class NativeKernelSpec extends SparkSpec {
     }
   }
 
+  test("word_ngram_hashes == hash60 over word_ngrams strings") {
+    val df = texts.toDF("id", "t")
+    val rows = df.select(
+      DedupOps.shingleHashes($"t", 3).as("native"),
+      transform(DedupOps.shingles($"t", 3), s => DedupOps.hash60(s)).as("viaStrings"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("native simhash64 == lambda simhash formulation") {
     val df = texts.toDF("id", "t")
     val rows = df.select(
