@@ -75,6 +75,22 @@ final class IncrementalGraph(
   def table(name: String): DataFrame =
     mat.getOrElse(name, throw new NoSuchElementException(s"no table named $name"))
 
+  // ── Listen: per-edit push to subscribers (the reference's ListenerHook
+  //    fan-out, listener_hook.rs:56-87). Because this engine is eager,
+  //    every edit's exact per-table delta already exists — subscribers get
+  //    (inserts, deletes) where an upsert surfaces as Delete(old)+
+  //    Insert(new), the reference's Update encoding (database.rs:282-286).
+  private val listeners = scala.collection.mutable.Map
+    .empty[String, List[(DataFrame, DataFrame) => Unit]]
+
+  def listen(tableName: String)(cb: (DataFrame, DataFrame) => Unit): Unit = {
+    require(mat.contains(tableName), s"no table named $tableName")
+    listeners(tableName) = cb :: listeners.getOrElse(tableName, Nil)
+  }
+
+  private def notifyListeners(tableName: String, ins: DataFrame, del: DataFrame): Unit =
+    listeners.getOrElse(tableName, Nil).foreach(cb => cb(ins, del))
+
   /** Insert rows; all derived tables are brought current before this
     * returns (the reference's eager cascade). Returns the committed rows. */
   def insert(tableName: String, rows: DataFrame): DataFrame = {
@@ -92,6 +108,7 @@ final class IncrementalGraph(
     }.select(cfg.columns.map(c => col(c._1)): _*)
     val committed = ensureEntryId(aligned)
     mat(tableName) = checkpoint(mat(tableName).unionByName(committed))
+    notifyListeners(tableName, committed, committed.limit(0))
     propagate(tableName, committed, committed.limit(0))
     committed
   }
@@ -105,6 +122,7 @@ final class IncrementalGraph(
       s"$tableName is not a source table")
     val deleted = checkpoint(cur.filter(col(column) === lit(key)))
     mat(tableName) = checkpoint(cur.filter(!(col(column) <=> lit(key))))
+    notifyListeners(tableName, deleted.limit(0), deleted)
     propagate(tableName, deleted.limit(0), deleted)
     deleted
   }
@@ -141,7 +159,9 @@ final class IncrementalGraph(
           (others.unionByName(recomputed), recomputed, oldRows)
       }
       mat(d.name) = checkpoint(next)
-      propagate(d.name, checkpoint(dIns), checkpoint(dDel))
+      val (ins, del) = (checkpoint(dIns), checkpoint(dDel))
+      notifyListeners(d.name, ins, del)
+      propagate(d.name, ins, del)
     }
   }
 }

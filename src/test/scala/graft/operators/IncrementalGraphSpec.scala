@@ -87,6 +87,21 @@ class IncrementalGraphSpec extends SparkSpec {
     assert(inc.table("passing").count() == 1)
   }
 
+  test("listen delivers per-edit deltas; aggregation upserts as Delete(old)+Insert(new)") {
+    val cfg = PipelineConfig.fromYaml(yaml)
+    val inc = new IncrementalGraph(spark, cfg)
+    val ins = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val del = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    inc.listen("stats") { (i, d) =>
+      ins ++= i.collect().map(r => r.getAs[String]("aggregatedColumn") -> r.getAs[Long]("sum"))
+      del ++= d.collect().map(r => r.getAs[String]("aggregatedColumn") -> r.getAs[Long]("sum"))
+    }
+    inc.insert("grades", rows(gradeSchema, Row("Alex", 90L)))
+    inc.insert("grades", rows(gradeSchema, Row("Alex", 80L)))
+    assert(ins.toSeq == Seq("Alex" -> 90L, "Alex" -> 170L))
+    assert(del.toSeq == Seq("Alex" -> 90L)) // the Delete half of the upsert
+  }
+
   test("duplicate derived rows retract by multiplicity, not wholesale") {
     val cfg = PipelineConfig.fromYaml(
       """tables:
