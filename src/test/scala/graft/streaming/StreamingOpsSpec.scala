@@ -51,6 +51,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source readStream: parquet drops flow through a transform to a sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    Seq((1L, "hello world"), (2L, "quick brown fox")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("file_stream").start()
+    try {
+      q.processAllAvailable()
+      // a later file drop is picked up incrementally
+      Seq((3L, "one two three four")).toDF("doc_id", "text")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, n FROM file_stream ORDER BY doc_id")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == Map(1L -> 2, 2L -> 3, 3L -> 4))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("intervalJoin pairs right rows within the lookback window, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[(Timestamp, String, Long)]
