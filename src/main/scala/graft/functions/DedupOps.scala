@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   * All hashing derives from md5 (deterministic, engine-portable — see
   * [[graft.expr.Hash60]]) so results are stable across runs, cluster
   * sizes, AND verifiable bit-for-bit against an independent SQL engine.
+  *
+  * Literature: MinHash resemblance estimation is Broder, "On the
+  * resemblance and containment of documents" (1997); the banding scheme
+  * is the standard LSH amplification (Leskovec/Rajaraman/Ullman, Mining
+  * of Massive Datasets §3.4); SimHash is Charikar, "Similarity estimation
+  * techniques from rounding algorithms" (STOC 2002), with the chunked
+  * hamming blocking from Manku/Jain/Das Sarma, "Detecting near-duplicates
+  * for web crawling" (WWW 2007).
   */
 object DedupOps {
   import TextFunctions.tokens

@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * Scoring uses the native [[graft.expr.VecDot]] expression with
   * per-vector norms computed ONCE per row (not per pair): the per-pair
   * kernel is a single primitive dot-product loop.
+  *
+  * Literature: sign-random-projection LSH for cosine is Charikar (STOC
+  * 2002); the inverted-file (IVF) coarse-quantizer search layout follows
+  * Jégou/Douze/Schmid, "Product quantization for nearest neighbor
+  * search" (TPAMI 2011) — here with the coarse cells only, no residual
+  * quantization, since exact scoring within cells is cheap on Spark.
   */
 object SimilarityOps {
 
