@@ -27,6 +27,12 @@ import org.apache.spark.sql.types._
   *
   * Every updated table is checkpointed so lineage stays O(1) in the
   * number of edits (on a cluster this is the durable delta write).
+  *
+  * Aggregation configs must use decomposable memo folds (the
+  * [[Transforms.aggregation]] contract); order-dependent general folds
+  * ([[Transforms.aggregationFold]]) need an explicit row order, which an
+  * incremental upsert stream does not define — run those through the lazy
+  * [[PipelineGraph]] instead.
   */
 final class IncrementalGraph(
     val spark: SparkSession,
