@@ -208,7 +208,12 @@ object ExprParser {
   *
   *   - Integer (Long) ops are closed: `/` truncates toward zero,
   *     `^` is `pow(x, abs(y))` (types.rs:78,85)
-  *   - mixed Integer/Decimal promotes to Decimal (types.rs:87-88)
+  *   - mixed Integer/Decimal promotes to Decimal (types.rs:87-88); the
+  *     engine's Decimal is DecimalType(38,18), so Decimal `*` and `/`
+  *     follow Spark's precision-loss adjustment and round to scale 6
+  *     (HALF_UP) — the reference's Rust `bigdecimal` is
+  *     arbitrary-precision, which no fixed-precision engine can reproduce
+  *     (divergence pinned by ExprPropertySpec)
   *   - string `+` is CORRECT concat — deliberate divergence from the
   *     reference bug that returns the left operand (types.rs:89-96)
   *   - comparisons/boolean ops map to Column === =!= < <= > >= && ||
