@@ -141,27 +141,34 @@ final class IncrementalGraph(
           val delRows = compute(d, Map(src -> deleted))
           (mat(d.name).exceptAll(delRows).unionByName(addRows), addRows, delRows)
         case a: AggregationTableConfig =>
-          val keys = inserted.select(col(a.aggregatedColumn))
-            .unionByName(deleted.select(col(a.aggregatedColumn))).distinct()
-          val affected = mat(a.sourceTable)
-            .join(broadcast(keys), Seq(a.aggregatedColumn), "left_semi")
+          // null-safe key joins throughout: insert() null-fills missing
+          // columns, so a null group exists in a full recompute and must
+          // recompute incrementally too (equi-semi-joins would skip it)
+          val keys = inserted.select(col(a.aggregatedColumn).as("__k"))
+            .unionByName(deleted.select(col(a.aggregatedColumn).as("__k"))).distinct()
+          val srcMat = mat(a.sourceTable)
+          val affected = srcMat
+            .join(broadcast(keys), srcMat(a.aggregatedColumn) <=> keys("__k"), "left_semi")
           val recomputed = Transforms.aggregation(affected, a.aggregatedColumn, a.functions)
-          val matKeys = broadcast(keys.withColumnRenamed(a.aggregatedColumn, AggregationKey))
-          val oldRows = mat(a.name).join(matKeys, Seq(AggregationKey), "left_semi")
-          val others = mat(a.name).join(matKeys, Seq(AggregationKey), "left_anti")
+          val matKeys = broadcast(keys)
+          val cur = mat(a.name)
+          val oldRows = cur.join(matKeys, cur(AggregationKey) <=> matKeys("__k"), "left_semi")
+          val others = cur.join(matKeys, cur(AggregationKey) <=> matKeys("__k"), "left_anti")
           (others.unionByName(recomputed), recomputed, oldRows)
         case u: UnionTableConfig =>
           val fks = u.tablesAndForeignKeys.collect { case (t, fk) if t == src => fk }
-          val keys = fks.map(fk => inserted.select(col(fk).as(MatchingKey))
-              .unionByName(deleted.select(col(fk).as(MatchingKey))))
+          val keys = fks.map(fk => inserted.select(col(fk).as("__k"))
+              .unionByName(deleted.select(col(fk).as("__k"))))
             .reduce(_.unionByName(_)).distinct()
           val inputsFiltered = u.tablesAndForeignKeys.map { case (t, fk) =>
-            (mat(t).join(broadcast(keys.withColumnRenamed(MatchingKey, fk)), Seq(fk), "left_semi"), fk)
+            val m = mat(t)
+            (m.join(broadcast(keys), m(fk) <=> keys("__k"), "left_semi"), fk)
           }
           val recomputed = Transforms.union(inputsFiltered)
           val matKeys = broadcast(keys)
-          val oldRows = mat(u.name).join(matKeys, Seq(MatchingKey), "left_semi")
-          val others = mat(u.name).join(matKeys, Seq(MatchingKey), "left_anti")
+          val cur = mat(u.name)
+          val oldRows = cur.join(matKeys, cur(MatchingKey) <=> matKeys("__k"), "left_semi")
+          val others = cur.join(matKeys, cur(MatchingKey) <=> matKeys("__k"), "left_anti")
           (others.unionByName(recomputed), recomputed, oldRows)
       }
       mat(d.name) = checkpoint(next)

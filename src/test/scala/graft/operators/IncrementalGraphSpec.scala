@@ -87,6 +87,22 @@ class IncrementalGraphSpec extends SparkSpec {
     assert(inc.table("passing").count() == 1)
   }
 
+  test("null grouping keys maintain incrementally (insert null-fills missing columns)") {
+    val cfg = PipelineConfig.fromYaml(yaml)
+    val inc = new IncrementalGraph(spark, cfg)
+    // second insert omits `name` → null-filled → rows land in the null group
+    inc.insert("grades", rows(gradeSchema, Row("Alex", 90L)))
+    inc.insert("grades",
+      spark.createDataFrame(Seq(Row(70L), Row(80L)).asJava,
+        StructType(Seq(StructField("grade", LongType)))))
+    val scratch = new PipelineGraph(spark, cfg,
+      Map("grades" -> inc.table("grades"), "users" -> inc.table("users")))
+    assert(canon(inc.table("stats")) == canon(scratch.table("stats")))
+    val nullGroup = inc.table("stats").collect()
+      .find(_.isNullAt(0)).getOrElse(fail("null group missing"))
+    assert(nullGroup.getAs[Long]("sum") == 150L)
+  }
+
   test("listen delivers per-edit deltas; aggregation upserts as Delete(old)+Insert(new)") {
     val cfg = PipelineConfig.fromYaml(yaml)
     val inc = new IncrementalGraph(spark, cfg)
