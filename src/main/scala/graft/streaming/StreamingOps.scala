@@ -51,9 +51,11 @@ object StreamingOps {
                    lookback: String, watermarkDelay: String): DataFrame = {
     val l = left.withWatermark(leftTs, watermarkDelay)
     val r = right.withWatermark(rightTs, watermarkDelay)
+    // per-side column refs — bare col() would be ambiguous whenever the
+    // two streams share key/timestamp column names
     l.join(r,
-      col(leftKey) === col(rightKey) &&
-        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
-        col(rightTs) <= col(leftTs))
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookback") &&
+        r(rightTs) <= l(leftTs))
   }
 }
