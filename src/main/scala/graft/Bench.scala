@@ -23,15 +23,19 @@ object Bench {
     // reporting the per-query MIN: each pass is a full honest re-execution
     // (no cached-result shortcut across passes), and the min damps the
     // shared host's run-to-run noise — standard best-of-N methodology
+    // a throwing query records -1 (never a fast-failure wall time)
     def timedPass(): Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      name -> t
     }
     val p1 = timedPass()
     spark.sharedState.cacheManager.clearCache()
     val p2 = timedPass().toMap
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val results = p1.map { case (k, v) =>
+      k -> (if (v < 0 || p2(k) < 0) -1.0 else math.min(v, p2(k)))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

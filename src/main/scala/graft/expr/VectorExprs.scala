@@ -139,14 +139,17 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
       "simhash64 expects a STRING arg")
 
   override protected def nullSafeEval(text: Any): Any = {
-    val s = text.asInstanceOf[UTF8String].toString.toLowerCase
+    // Locale.ROOT + the regex-`\s` whitespace class — must tokenize
+    // exactly like the lower()/tokens() column formulation (see
+    // WordShingles for the rationale)
+    val s = text.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
     val votes = new Array[Int](Hash60.Bits)
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && WordShingles.isWs(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !WordShingles.isWs(s.charAt(i))) i += 1
       if (i > start) {
         val h = Hash60.hash(s.substring(start, i))
         var b = 0

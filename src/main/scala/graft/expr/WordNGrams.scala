@@ -8,6 +8,53 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** The one tokenize→shingle→distinct implementation shared by every
+  * native shingle kernel, kept bit-identical BY CONSTRUCTION to the
+  * column formulation `word_ngrams ≡ distinct n-grams of
+  * split(trim(regexp_replace(lower(text), "\s+", " ")), " ")`:
+  *   - lowercasing uses Locale.ROOT (Spark's `lower()` is
+  *     locale-independent; default-locale toLowerCase would diverge on
+  *     e.g. Turkish dotted-I JVMs)
+  *   - the whitespace class is EXACTLY Java regex `\s` = [ \t\n\x0B\f\r]
+  *     (Character.isWhitespace accepts more, e.g. U+001C-1F, and would
+  *     tokenize differently than the regex-based column path)
+  */
+private[expr] object WordShingles {
+  @inline def isWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
+
+  /** Distinct shingles in first-occurrence order (order is irrelevant
+    * downstream — SSJoin and MinHash treat the result as a set). */
+  def shingleSet(text: String, n: Int): java.util.LinkedHashSet[String] = {
+    val s = text.toLowerCase(java.util.Locale.ROOT)
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) toks += s.substring(start, i)
+    }
+    val seen = new java.util.LinkedHashSet[String](
+      math.max((toks.length - n + 1) * 2, 4))
+    if (toks.length < n) return seen
+    var j = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (j <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(j + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      j += 1
+    }
+    seen
+  }
+}
+
 /** Native word n-gram shingle expression: lowercase → whitespace-tokenize →
   * n-gram → distinct, in ONE pass with no intermediate arrays.
   *
@@ -16,9 +63,6 @@ import org.apache.spark.unsafe.types.UTF8String
   * (CodegenFallback) with per-element lambda dispatch — this expression is
   * ~10× faster on the same corpus and is the hot inner loop of every
   * shingle-based dedup operator at 100 TB.
-  *
-  * Output order is first-occurrence; order is irrelevant downstream
-  * (set-similarity join and MinHash both treat it as a set).
   */
 case class WordNGrams(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -34,32 +78,8 @@ case class WordNGrams(left: Expression, right: Expression)
   }
 
   override protected def nullSafeEval(text: Any, nAny: Any): Any = {
-    val n = nAny.asInstanceOf[Int]
-    val s = text.asInstanceOf[UTF8String].toString.toLowerCase
-    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
-      val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
-      if (i > start) toks += s.substring(start, i)
-    }
-    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
-    var j = 0
-    val sb = new java.lang.StringBuilder(64)
-    while (j <= toks.length - n) {
-      sb.setLength(0)
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks(j + k))
-        k += 1
-      }
-      seen.add(sb.toString)
-      j += 1
-    }
+    val seen = WordShingles.shingleSet(
+      text.asInstanceOf[UTF8String].toString, nAny.asInstanceOf[Int])
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var p = 0
@@ -94,32 +114,8 @@ case class WordNGramHashes(left: Expression, right: Expression)
   }
 
   override protected def nullSafeEval(text: Any, nAny: Any): Any = {
-    val n = nAny.asInstanceOf[Int]
-    val s = text.asInstanceOf[UTF8String].toString.toLowerCase
-    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
-      val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
-      if (i > start) toks += s.substring(start, i)
-    }
-    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
-    var j = 0
-    val sb = new java.lang.StringBuilder(64)
-    while (j <= toks.length - n) {
-      sb.setLength(0)
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks(j + k))
-        k += 1
-      }
-      seen.add(sb.toString)
-      j += 1
-    }
+    val seen = WordShingles.shingleSet(
+      text.asInstanceOf[UTF8String].toString, nAny.asInstanceOf[Int])
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var p = 0

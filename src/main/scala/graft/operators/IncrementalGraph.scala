@@ -51,22 +51,13 @@ final class IncrementalGraph(
   // compute in topo order (the once-per-deployment bootstrap)
   config.topoOrder.foreach {
     case s: SourceTableConfig =>
-      val schema = StructType(s.columns.map { case (n, t) => StructField(n, t) } :+
-        StructField(EntryId, StringType))
-      mat(s.name) = initialSources.get(s.name).map(ensureEntryId)
-        .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), schema))
+      mat(s.name) = initialSources.get(s.name).map(SourceOps.ensureEntryId)
+        .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), SourceOps.sourceSchema(s)))
     case d: DerivedTableConfig =>
       mat(d.name) = checkpoint(compute(d, d.inputTables.map(n => n -> mat(n)).toMap))
   }
 
   private def checkpoint(df: DataFrame): DataFrame = df.localCheckpoint(true)
-
-  private def ensureEntryId(df: DataFrame): DataFrame = {
-    val withId =
-      if (df.columns.contains(EntryId)) df
-      else df.withColumn(EntryId, expr("uuid()"))
-    checkpoint(withId)
-  }
 
   private def compute(d: DerivedTableConfig, inputs: Map[String, DataFrame]): DataFrame = d match {
     case f: FunctionTableConfig => Transforms.function(inputs(f.sourceTable), f.functions)
@@ -104,15 +95,7 @@ final class IncrementalGraph(
       case Some(s: SourceTableConfig) => s
       case _ => throw new IllegalArgumentException(s"$tableName is not a source table")
     }
-    val declared = cfg.columns.map(_._1).toSet
-    val extra = rows.columns.filterNot(c => declared.contains(c) || c == EntryId)
-    if (extra.nonEmpty)
-      throw new IllegalArgumentException(s"Missmatched Input: undeclared columns ${extra.mkString(",")}")
-    val aligned = cfg.columns.foldLeft(rows) { case (df, (n, t)) =>
-      if (df.columns.contains(n)) df.withColumn(n, col(n).cast(t))
-      else df.withColumn(n, lit(null).cast(t))
-    }.select(cfg.columns.map(c => col(c._1)): _*)
-    val committed = ensureEntryId(aligned)
+    val committed = SourceOps.ensureEntryId(SourceOps.alignForInsert(cfg, rows))
     mat(tableName) = checkpoint(mat(tableName).unionByName(committed))
     notifyListeners(tableName, committed, committed.limit(0))
     propagate(tableName, committed, committed.limit(0))
@@ -126,7 +109,8 @@ final class IncrementalGraph(
       throw new IllegalArgumentException(s"no table named $tableName"))
     require(config.byName.get(tableName).exists(_.isInstanceOf[SourceTableConfig]),
       s"$tableName is not a source table")
-    val deleted = checkpoint(cur.filter(col(column) === lit(key)))
+    // null-safe on BOTH sides — see PipelineGraph.delete
+    val deleted = checkpoint(cur.filter(col(column) <=> lit(key)))
     mat(tableName) = checkpoint(cur.filter(!(col(column) <=> lit(key))))
     notifyListeners(tableName, deleted.limit(0), deleted)
     propagate(tableName, deleted.limit(0), deleted)

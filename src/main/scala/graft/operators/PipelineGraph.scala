@@ -17,6 +17,45 @@ import org.apache.spark.sql.types._
   * next access (micro-batch semantics; the streaming engine in
   * graft.streaming handles the push-based mode).
   */
+/** Source-table ingest logic shared by the lazy [[PipelineGraph]] and the
+  * eager [[IncrementalGraph]] — one place for validation, alignment, and
+  * row-identity rules so the two engines cannot drift. */
+private[operators] object SourceOps {
+  import SystemColumns._
+
+  def sourceSchema(s: SourceTableConfig): StructType =
+    StructType(s.columns.map { case (n, t) => StructField(n, t) } :+ StructField(EntryId, StringType))
+
+  /** Validate + align rows to the declared schema: undeclared columns are
+    * a hard "Missmatched Input" error (reference:
+    * storage_manager_table.rs:334-350), declared-but-missing columns
+    * null-fill, and a caller-supplied `_entryId` is PRESERVED (replaying a
+    * committed/listener delta keeps row identity instead of silently
+    * reassigning it). */
+  def alignForInsert(cfg: SourceTableConfig, rows: DataFrame): DataFrame = {
+    val declared = cfg.columns.map(_._1).toSet
+    val extra = rows.columns.filterNot(c => declared.contains(c) || c == EntryId)
+    if (extra.nonEmpty)
+      throw new IllegalArgumentException(s"Missmatched Input: undeclared columns ${extra.mkString(",")}")
+    val aligned = cfg.columns.foldLeft(rows) { case (df, (n, t)) =>
+      if (df.columns.contains(n)) df.withColumn(n, col(n).cast(t))
+      else df.withColumn(n, lit(null).cast(t))
+    }
+    val keep = cfg.columns.map(_._1) ++ (if (rows.columns.contains(EntryId)) Seq(EntryId) else Nil)
+    aligned.select(keep.map(col): _*)
+  }
+
+  /** `_entryId` is assigned at ingest and FROZEN (localCheckpoint) so
+    * recomputes never regenerate row identity (SURVEY.md §7.4 item 5).
+    * On a cluster this "freeze" is the durable write of the ingest batch. */
+  def ensureEntryId(df: DataFrame): DataFrame = {
+    val withId =
+      if (df.columns.contains(EntryId)) df
+      else df.withColumn(EntryId, expr("uuid()"))
+    withId.localCheckpoint(true)
+  }
+}
+
 final class PipelineGraph(
     val spark: SparkSession,
     val config: PipelineConfig,
@@ -28,24 +67,10 @@ final class PipelineGraph(
 
   config.tables.foreach {
     case s: SourceTableConfig =>
-      val schema = sourceSchema(s)
       sources(s.name) = initialSources.get(s.name)
-        .map(df => ensureEntryId(df))
-        .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), schema))
+        .map(df => SourceOps.ensureEntryId(df))
+        .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), SourceOps.sourceSchema(s)))
     case _ =>
-  }
-
-  private def sourceSchema(s: SourceTableConfig): StructType =
-    StructType(s.columns.map { case (n, t) => StructField(n, t) } :+ StructField(EntryId, StringType))
-
-  /** `_entryId` is assigned at ingest and FROZEN (localCheckpoint) so
-    * recomputes never regenerate row identity (SURVEY.md §7.4 item 5).
-    * On a cluster this "freeze" is the durable write of the ingest batch. */
-  private def ensureEntryId(df: DataFrame): DataFrame = {
-    val withId =
-      if (df.columns.contains(EntryId)) df
-      else df.withColumn(EntryId, expr("uuid()"))
-    withId.localCheckpoint(true)
   }
 
   def table(name: String): DataFrame =
@@ -82,15 +107,7 @@ final class PipelineGraph(
       case Some(s: SourceTableConfig) => s
       case _ => throw new IllegalArgumentException(s"$tableName is not a source table")
     }
-    val declared = cfg.columns.map(_._1).toSet
-    val extra = rows.columns.filterNot(c => declared.contains(c) || c == EntryId)
-    if (extra.nonEmpty)
-      throw new IllegalArgumentException(s"Missmatched Input: undeclared columns ${extra.mkString(",")}")
-    val aligned = cfg.columns.foldLeft(rows) { case (df, (n, t)) =>
-      if (df.columns.contains(n)) df.withColumn(n, col(n).cast(t))
-      else df.withColumn(n, lit(null).cast(t))
-    }.select(cfg.columns.map(c => col(c._1)): _*)
-    val committed = ensureEntryId(aligned)
+    val committed = SourceOps.ensureEntryId(SourceOps.alignForInsert(cfg, rows))
     sources(tableName) = sources(tableName).unionByName(committed)
     derivedCache = None
     committed
@@ -132,7 +149,10 @@ final class PipelineGraph(
   def delete(tableName: String, column: String, key: Any): DataFrame = {
     val cur = sources.getOrElse(tableName,
       throw new IllegalArgumentException(s"$tableName is not a source table"))
-    val deleted = cur.filter(col(column) === lit(key)).localCheckpoint(true)
+    // null-safe on BOTH sides: delete(col, null) removes (and reports) the
+    // null-valued rows — an asymmetric === here would report an empty
+    // delta while still dropping the rows from the remainder
+    val deleted = cur.filter(col(column) <=> lit(key)).localCheckpoint(true)
     sources(tableName) = cur.filter(!(col(column) <=> lit(key)))
     derivedCache = None
     deleted

@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Salted equi-join on a shared key column: the large/skewed left side
-    * gets a deterministic salt (hash of the whole row, so co-located rows
-    * spread evenly); the small right side is replicated once per salt.
-    * Result is row-identical to `left.join(right, Seq(key), joinType)`.
+  /** Salted equi-join on a shared key column: each large-side row gets a
+    * per-row salt and the small right side is replicated once per salt.
+    * The salt comes from `monotonically_increasing_id()` so even FULLY
+    * DUPLICATE hot-key rows (the common shape in dedup corpora, where a
+    * content hash would collapse them onto one reducer) spread evenly;
+    * salt values only route rows, so the join RESULT stays row-identical
+    * to `left.join(right, Seq(key), joinType)` regardless of assignment.
     * Supported joinType: inner / left (right-side replication breaks
     * right/full-outer semantics — use AQE skew handling there). */
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
@@ -27,7 +30,7 @@ object SkewJoin {
     require(Set("inner", "left", "left_outer").contains(joinType),
       s"saltedEquiJoin supports inner/left joins, got $joinType")
     val l = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1), lit(1))))
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")

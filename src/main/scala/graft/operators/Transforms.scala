@@ -183,9 +183,14 @@ object Transforms {
         .filter(schema.fieldNames.contains).sorted // order column first → array_sort key
 
     // memo types: start at the reference's Integer(0) init and iterate to
-    // the promotion fixpoint (Int → Decimal/Double is monotone, ≤3 steps)
+    // the promotion fixpoint. Promotion is monotone (Int → Decimal/Double)
+    // but propagates only one statement per pass through backward
+    // memo-reference chains, so iterate up to |dests|+1 passes and stop
+    // when stable.
     var memoTypes: Map[String, GType] = dests.map(_ -> (GInt: GType)).toMap
-    (0 until 3).foreach { _ =>
+    var stable = false
+    var pass = 0
+    while (!stable && pass <= dests.size) {
       val typeEnv = scala.collection.mutable.Map.empty[String, GType] ++= memoTypes
       parsed.foreach { case Assignment(dest, e) =>
         val rowRes: Resolver = n => schemaResolver(schema)(n)
@@ -193,7 +198,9 @@ object Transforms {
           throw ExprTypeException(s"memo.$d not yet defined")))), typeEnv(d))
         typeEnv(dest) = compile(e, rowRes, memoRes).t
       }
+      stable = typeEnv.toMap == memoTypes
       memoTypes = typeEnv.toMap
+      pass += 1
     }
 
     val rowsCol = array_sort(collect_list(struct(needed.map(col): _*)))

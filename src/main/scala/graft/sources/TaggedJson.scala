@@ -83,9 +83,17 @@ object TaggedJson {
         s"Missmatched Input: ${s2.fieldNames.mkString(",")} vs ${schema.fieldNames.mkString(",")}")
       // tags/types must agree too — a Str where the first entry had an
       // Integer would otherwise surface later as an opaque encoder
-      // ClassCastException at materialization instead of at parse time
+      // ClassCastException at materialization instead of at parse time.
+      // Exception: an EMPTY Array has no element to infer from (dataTypeOf
+      // defaults it to array<string>), so it is compatible with any array
+      // column — its value (empty Seq) materializes under any element type.
+      def compatible(got: DataType, want: DataType): Boolean = (got, want) match {
+        case (g, w) if g == w => true
+        case (ArrayType(StringType, _), ArrayType(_, _)) => true
+        case _ => false
+      }
       s2.fields.zip(schema.fields).foreach { case (got, want) =>
-        require(got.dataType == want.dataType,
+        require(compatible(got.dataType, want.dataType),
           s"Missmatched Input: column ${want.name} is ${want.dataType.simpleString} " +
             s"but entry has ${got.dataType.simpleString}")
       }

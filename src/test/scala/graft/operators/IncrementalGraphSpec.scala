@@ -118,6 +118,28 @@ class IncrementalGraphSpec extends SparkSpec {
     assert(del.toSeq == Seq("Alex" -> 90L)) // the Delete half of the upsert
   }
 
+  test("delete(col, null) removes and reports the null-valued rows") {
+    val cfg = PipelineConfig.fromYaml(yaml)
+    val inc = new IncrementalGraph(spark, cfg)
+    inc.insert("grades", rows(gradeSchema, Row("Alex", 90L), Row(null, 50L)))
+    val deleted = inc.delete("grades", "name", null)
+    assert(deleted.count() == 1 && deleted.collect().head.isNullAt(0))
+    assert(inc.table("grades").count() == 1)
+    // the null group is gone from the aggregation too
+    assert(inc.table("stats").collect().map(_.getAs[String]("aggregatedColumn")).toSet == Set("Alex"))
+  }
+
+  test("caller-supplied _entryId survives insert (delta replay keeps identity)") {
+    val cfg = PipelineConfig.fromYaml(yaml)
+    val inc = new IncrementalGraph(spark, cfg)
+    val withId = spark.createDataFrame(
+      Seq(Row("Alex", 90L, "fixed-id-1")).asJava,
+      StructType(gradeSchema.fields :+ StructField("_entryId", StringType)))
+    val committed = inc.insert("grades", withId)
+    assert(committed.collect().head.getAs[String]("_entryId") == "fixed-id-1")
+    assert(inc.table("grades").collect().head.getAs[String]("_entryId") == "fixed-id-1")
+  }
+
   test("duplicate derived rows retract by multiplicity, not wholesale") {
     val cfg = PipelineConfig.fromYaml(
       """tables:

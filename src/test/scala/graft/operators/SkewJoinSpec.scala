@@ -27,10 +27,11 @@ class SkewJoinSpec extends SparkSpec {
     assert(saltedLeft == plainLeft)
   }
 
-  test("salt actually spreads the hot key across buckets") {
-    val left = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "v")
+  test("salt spreads the hot key across buckets even for FULLY DUPLICATE rows") {
+    // identical rows — a content-hash salt would put all 1000 in one bucket
+    val left = (1 to 1000).map(_ => ("hot", 42L)).toDF("key", "v")
     val buckets = left
-      .withColumn("__salt", pmod(hash(col("key"), col("v")), lit(8)))
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
       .groupBy("__salt").count().collect().map(_.getLong(1))
     assert(buckets.length == 8)
     assert(buckets.max < 1000 * 0.5) // no single bucket holds the key

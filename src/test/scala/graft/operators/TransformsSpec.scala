@@ -114,6 +114,25 @@ class TransformsSpec extends SparkSpec {
     assert(fast == fold)
   }
 
+  test("aggregationFold promotes through backward memo-reference chains") {
+    val df = sourceDf(
+      Seq(Row(1L, 1L, "a"), Row(1L, 2L, "b")),
+      StructType(Seq(StructField("k", LongType), StructField("seq", LongType),
+        StructField("_entryId", StringType))))
+    // promotion must flow d → c → b → a (one statement per inference pass)
+    val out = Transforms.aggregationFold(df, "k", Seq(
+      "a ~ memo.a + memo.b",
+      "b ~ memo.b + memo.c",
+      "c ~ memo.c + memo.d",
+      "d ~ memo.d + 1.5"), "seq")
+      .collect().head
+    // Decimal-ness reaches `a` only after 4 inference passes (one
+    // statement per pass through the chain) — the regression was a fixed
+    // 3-pass loop leaving `a` as Long and silently truncating the fold
+    assert(out.schema("a").dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+    assert(out.getDecimal(out.fieldIndex("d")).doubleValue() == 3.0)
+  }
+
   test("aggregationFold promotes memo types (Integer init → Decimal)") {
     val df = sourceDf(
       Seq(Row(1L, 1L, "a"), Row(1L, 2L, "b")),

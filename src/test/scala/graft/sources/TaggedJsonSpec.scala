@@ -41,6 +41,18 @@ class TaggedJsonSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Missmatched Input"))
   }
 
+  test("mismatched TYPES across entries error; empty arrays stay compatible") {
+    val e = intercept[IllegalArgumentException](TaggedJson.parseEntries(Seq(
+      """{"a": {"Integer": 1}}""", """{"a": {"Str": "x"}}""")))
+    assert(e.getMessage.contains("Missmatched Input"))
+    // an empty Array has no element to infer a type from — it must remain
+    // accepted against any array column
+    val (schema, rows) = TaggedJson.parseEntries(Seq(
+      """{"xs": {"Array": [{"Integer": 1}]}}""", """{"xs": {"Array": []}}"""))
+    assert(schema("xs").dataType == ArrayType(LongType))
+    assert(rows(1).getSeq[Any](0).isEmpty)
+  }
+
   test("unknown tag errors") {
     assertThrows[IllegalArgumentException](
       TaggedJson.parseEntry("""{"a": {"Nope": 1}}"""))
