@@ -818,8 +818,7 @@ object SparkEntry {
       """WITH h AS (
            SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
          SELECT doc_id, n_chars FROM h
-         WHERE ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1)) % 100 < 10
+         WHERE CAST('0x' || substr(m, 1, 4) AS BIGINT) % 100 < 10
          ORDER BY doc_id""",
     "q33_chunk" ->
       """WITH t AS (
@@ -923,8 +922,7 @@ object SparkEntry {
       """WITH h AS (
            SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
          SELECT doc_id, lang FROM h
-         WHERE ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1)) % 100
+         WHERE CAST('0x' || substr(m, 1, 4) AS BIGINT) % 100
            < CASE WHEN lang = 'en' THEN 5 ELSE 15 END
          ORDER BY doc_id""",
     "q46_ivf_ann" ->

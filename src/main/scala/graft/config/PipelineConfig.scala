@@ -52,9 +52,16 @@ final case class PipelineConfig(tables: Seq[TableConfig]) {
     def visit(n: String, stack: Set[String]): Unit = {
       if (seen.contains(n)) return
       if (stack.contains(n)) throw new IllegalArgumentException(s"cycle at table $n")
-      by.get(n).foreach {
-        case d: DerivedTableConfig => d.inputTables.foreach(visit(_, stack + n))
-        case _                     =>
+      by.get(n) match {
+        case Some(d: DerivedTableConfig) =>
+          d.inputTables.foreach { in =>
+            if (!by.contains(in))
+              throw new IllegalArgumentException(
+                s"table ${d.name} reads from undeclared table $in")
+            visit(in, stack + n)
+          }
+        case Some(_) =>
+        case None => // unreferenced name at the root loop — caller's tables only
       }
       seen += n
     }

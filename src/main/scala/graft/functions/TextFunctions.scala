@@ -45,20 +45,27 @@ object TextFunctions {
     size(filter(tokens(lower(text)), t => t.isin(stopwords: _*)))
 
   /** Quality-score feature struct: the standard cheap heuristics used to
-    * filter web-scale corpora (length, word shape, symbol/stopword ratios). */
+    * filter web-scale corpora (length, word shape, symbol/stopword ratios).
+    * Empty/whitespace-only text reports n_tokens = 0 (consistent with
+    * [[tokenCount]] — `split("")` would otherwise claim one empty token)
+    * and 0.0 for every ratio. */
   def qualityFeatures(text: Column): Column = {
     val nChars = length(text)
     val toks = tokens(text)
-    val nTokens = size(toks)
-    val meanWordLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTokens
+    val empty = length(trim(text)) === 0
+    val nTokens = when(empty, lit(0)).otherwise(size(toks))
+    val meanWordLen = when(nTokens === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTokens)
     val alnum = length(regexp_replace(text, "[^A-Za-z0-9]", ""))
     val stop = stopwordCount(text)
     struct(
       nChars.as("n_chars"),
       nTokens.as("n_tokens"),
       meanWordLen.as("mean_word_len"),
-      (alnum.cast("double") / nChars).as("alnum_ratio"),
-      (stop.cast("double") / nTokens).as("stopword_ratio"))
+      when(nChars === 0, lit(0.0))
+        .otherwise(alnum.cast("double") / nChars).as("alnum_ratio"),
+      when(nTokens === 0, lit(0.0))
+        .otherwise(stop.cast("double") / nTokens).as("stopword_ratio"))
   }
 
   /** Composite 0..1 quality score from [[qualityFeatures]]. */
@@ -71,12 +78,16 @@ object TextFunctions {
     (lenOk + wordOk + alnumOk + stopOk) / lit(4.0)
   }
 
-  /** Deterministic, engine-portable sampling bucket: first md5 byte of the
-    * key, mod `buckets`. Unlike `rand()`/`sample`, the same row lands in
-    * the same bucket on every engine and every run — the reproducible
-    * train/eval-split primitive for corpus pipelines. */
-  def hashBucket(key: Column, buckets: Int = 256): Column =
-    conv(substring(md5(to_binary(key, lit("utf-8"))), 1, 2), 16, 10).cast("int") % buckets
+  /** Deterministic, engine-portable sampling bucket: first FOUR md5 hex
+    * chars (16 bits) of the key, mod `buckets`. Unlike `rand()`/`sample`,
+    * the same row lands in the same bucket on every engine and every run —
+    * the reproducible train/eval-split primitive for corpus pipelines.
+    * 16 source bits keep modulo bias ≤ buckets/65536 (a 1-byte source
+    * would leave buckets ≥ 256 permanently empty). */
+  def hashBucket(key: Column, buckets: Int = 256): Column = {
+    require(buckets > 0 && buckets <= 65536, s"buckets must be in 1..65536, got $buckets")
+    conv(substring(md5(to_binary(key, lit("utf-8"))), 1, 4), 16, 10).cast("int") % buckets
+  }
 
   /** Fixed-size token-window chunking with overlap: one output row per
     * chunk, carrying (idCol, chunk_idx, n_chunk_tokens, chunk_text).

@@ -19,12 +19,13 @@ import org.apache.spark.sql.types._
   *   - Function / Filter → append-mode narrow transforms
   *   - Aggregation       → update-mode streaming aggregate (upsert per
   *     group — exactly the reference's per-group upsert visibility)
-  *   - Union             → flatMapGroupsWithState keyed on matchingKey
+  *   - Union             → mapGroupsWithState keyed on matchingKey
   *     holding the merged row (update upsert)
   *
   * Update events surface as Delete(old)+Insert(new) pairs, matching the
-  * reference's Update ≡ delete-then-insert (database.rs:282-286) — the
-  * ListenBus synthesizes them from per-key state.
+  * reference's Update ≡ delete-then-insert (database.rs:282-286),
+  * synthesized from per-key state in [[listen]]; every listen delivery
+  * also fans out through [[listenBus]] to bus subscribers.
   */
 final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfig) {
   import SystemColumns._
@@ -75,11 +76,12 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
       df.drop(dropped: _*).withColumnRenamed(fk, MatchingKey)
     }
     // union output schema: matchingKey + union of value columns (later
-    // tables win on type conflicts)
+    // tables win on type conflicts). NOTE: to_json omits null fields, so
+    // an incoming null can never overwrite a previous non-null value —
+    // this matches the reference's sparse tagged entries, where null is
+    // unrepresentable and absent columns simply don't overwrite.
     val valueFields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
     inputs.foreach(_.schema.fields.foreach(f => if (f.name != MatchingKey) valueFields(f.name) = f))
-    val outSchema = StructType(
-      inputs.head.schema(MatchingKey) +: valueFields.values.map(_.copy(nullable = true)).toSeq)
 
     val tagged = inputs.map(df =>
       df.select(col(MatchingKey).cast(StringType).as("k"),
@@ -92,7 +94,12 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
       .groupByKey(_._1)(Encoders.STRING)
       .mapGroupsWithState[String, (String, String)](GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[(String, String)], state: GroupState[String]) =>
+          // USE_BIG_DECIMAL_FOR_FLOATS: decimals must round-trip the merge
+          // at full scale — default Jackson parses JSON numbers to Double
+          // and would silently truncate DecimalType(38,18) columns
           val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          mapper.enable(
+            com.fasterxml.jackson.databind.DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS)
           val acc = new java.util.LinkedHashMap[String, Object]()
           if (state.exists) {
             val prev = mapper.readValue(state.get, classOf[java.util.LinkedHashMap[String, Object]])
@@ -113,17 +120,29 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
       .select(col(MatchingKey) +: valueFields.keys.map(n => col(s"s.$n").as(n)).toSeq: _*)
   }
 
+  /** Does this table's PLAN contain an upsert operator anywhere upstream?
+    * Spark picks the output mode for the whole plan, so a Function table
+    * downstream of an Aggregation still needs Update mode (Append would
+    * be rejected at start() — 'Append output mode not supported when
+    * there are streaming aggregations'). */
+  private def isUpsertPlan(table: String): Boolean = config.byName.get(table) match {
+    case Some(_: AggregationTableConfig) | Some(_: UnionTableConfig) => true
+    case Some(d: DerivedTableConfig) => d.inputTables.exists(isUpsertPlan)
+    case _ => false
+  }
+
+  private val queryCounter = new java.util.concurrent.atomic.AtomicInteger()
+
   /** Start a listen subscription on a table: the subscriber's callback
-    * receives (inserts, deletes) per micro-batch. Aggregation/Union tables
-    * run in update mode and synthesize Delete(old)+Insert(new); Function/
-    * Filter tables are append-only (inserts only). */
+    * receives (inserts, deletes) per micro-batch, and the same delivery
+    * fans out through [[listenBus]]. Upsert-containing plans run in update
+    * mode and synthesize Delete(old)+Insert(new); pure narrow plans are
+    * append-only (inserts only). Multiple subscribers per table each get
+    * their own uniquely-named query. */
   def listen(table: String, keyColumns: Seq[String] = Nil)
             (callback: (Seq[Row], Seq[Row]) => Unit): StreamingQuery = {
     val df = frames(table)
-    val isUpsert = config.byName(table) match {
-      case _: AggregationTableConfig | _: UnionTableConfig => true
-      case _ => false
-    }
+    val isUpsert = isUpsertPlan(table)
     val mode = if (isUpsert) OutputMode.Update() else OutputMode.Append()
     val keyCols: Seq[String] =
       if (keyColumns.nonEmpty) keyColumns
@@ -135,33 +154,32 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
     val prevState = scala.collection.mutable.Map.empty[Seq[Any], Row]
     df.writeStream
       .outputMode(mode)
-      .queryName(s"listen_$table")
+      .queryName(s"listen_${table}_${queryCounter.incrementAndGet()}")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val rows = batch.collect().toSeq
-        if (!isUpsert || keyCols.isEmpty) callback(rows, Nil)
-        else {
-          val deletes = scala.collection.mutable.ArrayBuffer.empty[Row]
-          val schema = batch.schema
-          rows.foreach { r =>
-            val key = keyCols.map(k => r.getAs[Any](schema.fieldIndex(k)))
-            prevState.get(key).foreach(deletes += _)
-            prevState(key) = r
+        val deletes =
+          if (!isUpsert || keyCols.isEmpty) Nil
+          else {
+            val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
+            val schema = batch.schema
+            rows.foreach { r =>
+              val key = keyCols.map(k => r.getAs[Any](schema.fieldIndex(k)))
+              prevState.get(key).foreach(acc += _)
+              prevState(key) = r
+            }
+            acc.toSeq
           }
-          callback(rows, deletes.toSeq)
-        }
+        callback(rows, deletes)
+        listenBus.publish(table, rows, deletes)
       }
       .start()
   }
 
   /** Materialize a derived table's current contents to an in-memory sink
-    * (update/append per its kind) for queries against streaming state. */
+    * (update/append per its plan) for queries against streaming state. */
   def materialize(table: String): StreamingQuery = {
-    val isUpsert = config.byName(table) match {
-      case _: AggregationTableConfig | _: UnionTableConfig => true
-      case _ => false
-    }
     frames(table).writeStream
-      .outputMode(if (isUpsert) OutputMode.Update() else OutputMode.Append())
+      .outputMode(if (isUpsertPlan(table)) OutputMode.Update() else OutputMode.Append())
       .format("memory")
       .queryName(s"mat_$table")
       .start()

@@ -122,6 +122,14 @@ class ExprCompilerSpec extends SparkSpec {
     assert(eval1("length(name) >= 4", s) == true)
   }
 
+  test("literal ~ word errors like the reference (leading-form check wins)") {
+    // the reference checks the i==1 leading-destination branch FIRST and
+    // errors when the head is not a word, even though the trailing form
+    // would parse (expression_parser.rs:18-28) — replicated for parity
+    val e = intercept[ExprParseException](ExprParser.parseAssignment("5 ~ five"))
+    assert(e.getMessage.contains("destination is not a word"))
+  }
+
   test("unknown column errors like the reference") {
     val e = intercept[ExprTypeException](eval1("nope + 1", intRow))
     assert(e.getMessage.contains("No such column"))

@@ -19,6 +19,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(m == Map(1L -> 3, 2L -> 0, 3L -> 1))
   }
 
+  test("qualityFeatures reports zero tokens and zero ratios for empty text") {
+    val d = docs(1L -> "", 2L -> "   ", 3L -> "real text here")
+    val f = TextFunctions.qualityFeatures($"text")
+    val rows = d.select($"doc_id", f.getField("n_tokens").as("nt"),
+      f.getField("mean_word_len").as("mwl"), f.getField("stopword_ratio").as("sr"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows(1L) == ((0, 0.0, 0.0)))
+    assert(rows(2L) == ((0, 0.0, 0.0)))
+    assert(rows(3L)._1 == 3)
+  }
+
+  test("hashBucket uses 16 source bits: buckets beyond 256 are reachable") {
+    val d = (1 to 2000).map(i => (i.toLong, s"key$i")).toDF("doc_id", "k")
+    val buckets = d.select(TextFunctions.hashBucket($"k", 1000).as("b"))
+      .collect().map(_.getInt(0))
+    assert(buckets.forall(b => b >= 0 && b < 1000))
+    assert(buckets.exists(_ >= 256), "high buckets must be populated")
+    assertThrows[IllegalArgumentException](TextFunctions.hashBucket($"k", 0))
+    assertThrows[IllegalArgumentException](TextFunctions.hashBucket($"k", 100000))
+  }
+
   test("fingerprint is canonical: case/whitespace-insensitive") {
     val d = docs(1L -> "Hello  World", 2L -> "hello world", 3L -> "different")
     val fps = d.select(TextFunctions.fingerprint($"text")).collect().map(_.getString(0))

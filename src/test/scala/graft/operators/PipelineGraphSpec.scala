@@ -105,6 +105,18 @@ class PipelineGraphSpec extends SparkSpec {
     assert(ids.length == 1 && ids(0).length == 36)
   }
 
+  test("a derived table reading from an undeclared table errors at config time") {
+    val bad = PipelineConfig.fromYaml(
+      """tables:
+        |  - name: derived
+        |    kind: function
+        |    source_table: userz
+        |    functions: ["x ~ y"]
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException](bad.topoOrder)
+    assert(e.getMessage.contains("undeclared table userz"))
+  }
+
   test("insertWithEdits returns every cascaded derived-row write (InsertData response)") {
     val yamlAgg = yaml +
       """  - name: aggTest

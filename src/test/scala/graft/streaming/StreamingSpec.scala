@@ -87,6 +87,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("listen on a table DOWNSTREAM of an aggregation uses update mode; two subscribers coexist; bus fans out") {
+    val yamlChained = yaml +
+      """  - name: scaled
+        |    kind: function
+        |    source_table: aggregationTest
+        |    functions: ["big ~ sum * 10"]
+        |""".stripMargin
+    val p = new StreamingPipeline(spark, PipelineConfig.fromYaml(yamlChained))
+    val got1 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val viaBus = scala.collection.mutable.ArrayBuffer.empty[Long]
+    p.listenBus.subscribe("scaled") { (ins, _) =>
+      viaBus.synchronized { viaBus ++= ins.map(_.getAs[Long]("big")) }
+    }
+    // a plan containing a streaming aggregation must start in update mode
+    // even though `scaled` itself is a narrow Function table — and a
+    // second subscriber must not collide on the query name
+    val q1 = p.listen("scaled") { (ins, _) => got1.synchronized { got1 ++= ins.map(_.getAs[Long]("big")) } }
+    val q2 = p.listen("scaled") { (ins, _) => got2.synchronized { got2 ++= ins.map(_.getAs[Long]("big")) } }
+    try {
+      p.insert("grades", Seq(Row("Alex", 9L)))
+      p.processAllAvailable()
+      assert(got1.toSeq == Seq(90L))
+      assert(got2.toSeq == Seq(90L))
+      assert(viaBus.count(_ == 90L) >= 1) // published once per listen query
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("watermarked tumbling-window aggregation drops late data past the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
