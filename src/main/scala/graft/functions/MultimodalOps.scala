@@ -73,7 +73,10 @@ object MultimodalOps {
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
-          val meta = codec.decode(row.getAs[Array[Byte]](bytesIdx), row.getString(typeIdx))
+          // null payload (failed upstream fetch) → null meta, not an NPE
+          // that kills the task for one bad row
+          val bytes = row.getAs[Array[Byte]](bytesIdx)
+          val meta = if (bytes == null) null else codec.decode(bytes, row.getString(typeIdx))
           Row.fromSeq(row.toSeq :+ meta)
         }
       }
@@ -88,7 +91,9 @@ object MultimodalOps {
     val bytesIdx = inSchema.fieldIndex(bytesCol)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { row =>
-        Row.fromSeq(row.toSeq :+ codec.features(row.getAs[Array[Byte]](bytesIdx), dim).toSeq)
+        val bytes = row.getAs[Array[Byte]](bytesIdx)
+        val feats = if (bytes == null) null else codec.features(bytes, dim).toSeq
+        Row.fromSeq(row.toSeq :+ feats)
       })
     }(Encoders.row(outSchema)).toDF()
   }
@@ -103,7 +108,9 @@ object MultimodalOps {
     val keepIdx = inSchema.fields.zipWithIndex.collect { case (f, i) if f.name != bytesCol => i }
     df.mapPartitions { it =>
       it.flatMap { row =>
-        codec.sampleFrames(row.getAs[Array[Byte]](bytesIdx), n).zipWithIndex.map {
+        val bytes = row.getAs[Array[Byte]](bytesIdx)
+        if (bytes == null) Nil
+        else codec.sampleFrames(bytes, n).zipWithIndex.map {
           case (frame, i) => Row.fromSeq(keepIdx.map(row.get).toSeq ++ Seq(i, frame))
         }
       }

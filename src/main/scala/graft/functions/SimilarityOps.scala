@@ -53,12 +53,18 @@ object SimilarityOps {
                      idCol: String, probeIdCol: String, vecCol: String,
                      k: Int = 10): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
+    // zero-norm vectors (failed decodes, padding rows) have undefined
+    // cosine — unfiltered they'd score NaN, which sorts FIRST under desc
+    // order and displaces a real neighbor from every probe's top-k
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
-      vnorm(col(vecCol)).as("__cn"))
+      vnorm(col(vecCol)).as("__cn")).where(col("__cn") > 0)
     val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
-      vnorm(col(vecCol)).as("__pn"))
-    val scored = c.crossJoin(broadcast(p))
-      .where(col("nbr_id") =!= col("probe_id"))
+      vnorm(col(vecCol)).as("__pn")).where(col("__pn") > 0)
+    val cand = c.crossJoin(broadcast(p))
+    // self-match exclusion only makes sense when both sides share an id
+    // space (same id column); distinct id spaces may legitimately collide
+    val filtered = if (idCol == probeIdCol) cand.where(col("nbr_id") =!= col("probe_id")) else cand
+    val scored = filtered
       .select(col("probe_id"), col("nbr_id"),
         (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
     val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("nbr_id").asc)
@@ -97,16 +103,18 @@ object SimilarityOps {
     GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
       vnorm(col(vecCol)).as("__cn"), srpBucket(col(vecCol), nBits).as("bucket"))
+      .where(col("__cn") > 0) // zero-norm → NaN cosine, see bruteForceTopK
     val pBase = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
       vnorm(col(vecCol)).as("__pn"), srpBucket(col(vecCol), nBits).as("bucket0"))
+      .where(col("__pn") > 0)
     // multi-probe: the home bucket + single-bit flips
     val buckets = array((0 to math.min(probeFlips, nBits)).map {
       case 0 => col("bucket0")
       case i => col("bucket0").bitwiseXOR(lit(1L << (i - 1)))
     }: _*)
     val p = pBase.select(col("probe_id"), col("__pv"), col("__pn"), explode(buckets).as("bucket"))
-    val scored = c.join(p, Seq("bucket"))
-      .where(col("nbr_id") =!= col("probe_id"))
+    val cand0 = c.join(p, Seq("bucket"))
+    val scored = (if (idCol == probeIdCol) cand0.where(col("nbr_id") =!= col("probe_id")) else cand0)
       .select(col("probe_id"), col("nbr_id"),
         (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
       .groupBy("probe_id", "nbr_id").agg(max("score").as("score"))
@@ -117,20 +125,24 @@ object SimilarityOps {
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
     * centroid cell once; each probe searches only its `nProbe` nearest
     * cells. The scale path for corpus sizes where even LSH bucketing is too
-    * coarse: centroids are small and broadcast, so cell assignment is a
-    * map-only scan, and the candidate join shuffles on the cell id only.
-    * Deterministic given a deterministic centroid set (e.g. a hash-sampled
-    * subset — no k-means state needed for a fixed snapshot).
+    * coarse. Cell assignment costs one |corpus|-row exchange: the centroid
+    * cross product is broadcast and Spark's WindowGroupLimit pre-reduces
+    * it to one row per corpus vector map-side BEFORE the shuffle (verified
+    * in PLANS.md — the exchange never carries |corpus|×|centroids| rows);
+    * the candidate join then shuffles on the cell id only. Deterministic
+    * given a deterministic centroid set (e.g. a hash-sampled subset — no
+    * k-means state needed for a fixed snapshot).
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
               idCol: String, probeIdCol: String, centroidIdCol: String, vecCol: String,
               k: Int = 10, nProbe: Int = 2): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val cent = centroids.select(col(centroidIdCol).as("cid"), col(vecCol).as("__cenv"),
-      vnorm(col(vecCol)).as("__cenn"))
+      vnorm(col(vecCol)).as("__cenn")).where(col("__cenn") > 0)
     def nearestCells(df: DataFrame, id: String, n: Int): DataFrame = {
       val w = Window.partitionBy(id).orderBy(col("__cscore").desc, col("cid").asc)
-      df.crossJoin(broadcast(cent))
+      df.where(col("__n") > 0) // zero-norm → NaN cosine, see bruteForceTopK
+        .crossJoin(broadcast(cent))
         .withColumn("__cscore", vdot(col("__v"), col("__cenv")) / (col("__n") * col("__cenn")))
         .withColumn("__rn", row_number().over(w)).where(col("__rn") <= n)
         .select(col(id), col("__v"), col("__n"), col("cid"))
@@ -143,8 +155,8 @@ object SimilarityOps {
       probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__v"), vnorm(col(vecCol)).as("__n")),
       "probe_id", nProbe)
       .withColumnRenamed("__v", "__pv").withColumnRenamed("__n", "__pn")
-    val scored = asn.join(pcells, Seq("cid"))
-      .where(col("nbr_id") =!= col("probe_id"))
+    val cand0 = asn.join(pcells, Seq("cid"))
+    val scored = (if (idCol == probeIdCol) cand0.where(col("nbr_id") =!= col("probe_id")) else cand0)
       .select(col("probe_id"), col("nbr_id"),
         (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
     val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("nbr_id").asc)
@@ -161,12 +173,14 @@ object SimilarityOps {
     val bucket = if (nBits == 0) lit(0L) else srpBucket(col(vecCol), nBits)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
       vnorm(col(vecCol)).as("__n"), bucket.as("bucket"))
+      .where(col("__n") > 0) // zero-norm → NaN cosine, see bruteForceTopK
     val a = v.select(col("bucket"), col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
     val b = v.select(col("bucket"), col("id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
+    // each pair shares exactly one bucket (both rows carry ONE bucket key),
+    // so the join emits it once — no dedup shuffle needed
     a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (vdot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos"))
       .where(col("cos") >= threshold)
-      .distinct()
   }
 }

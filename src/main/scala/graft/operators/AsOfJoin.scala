@@ -25,16 +25,29 @@ object AsOfJoin {
            rightValueCols: Seq[String],
            rightTieBreak: String): DataFrame = {
     val leftCols = left.columns.toSeq
+    // name-collision guards: a right value column shadowing a left column
+    // would silently null the left's data and then fail with an ambiguous
+    // reference deep in the plan; internal columns likewise
+    val collisions = leftCols.toSet intersect rightValueCols.toSet
+    require(collisions.isEmpty,
+      s"rightValueCols collide with left columns: ${collisions.mkString(",")} — alias one side first")
+    val reserved = Seq("__key", "__time", "__side", "__tie", "__rv")
+    require(!leftCols.exists(reserved.contains) && !right.columns.exists(reserved.contains),
+      s"column names ${reserved.mkString("/")} are reserved by asOf")
+    // the tiebreak keeps its native type — casting to long would truncate
+    // timestamps to seconds and null-out string tiebreaks, making tie
+    // resolution lossy or nondeterministic
+    val tieType = right.schema(rightTieBreak).dataType
     // side ordering: right rows (0) sort before left rows (1) at equal
     // time → a right row AT the left row's timestamp is visible (<=)
     val l = left
       .withColumn("__key", col(leftKey)).withColumn("__time", col(leftTime))
-      .withColumn("__side", lit(1)).withColumn("__tie", lit(null).cast("long"))
+      .withColumn("__side", lit(1)).withColumn("__tie", lit(null).cast(tieType))
     val lPadded = rightValueCols.foldLeft(l)((d, c) =>
       d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
     val r0 = right
       .withColumn("__key", col(rightKey)).withColumn("__time", col(rightTime))
-      .withColumn("__side", lit(0)).withColumn("__tie", col(rightTieBreak).cast("long"))
+      .withColumn("__side", lit(0)).withColumn("__tie", col(rightTieBreak))
     val rPadded = leftCols.foldLeft(r0)((d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
       .select((leftCols ++ Seq("__key", "__time", "__side", "__tie") ++ rightValueCols).map(col): _*)

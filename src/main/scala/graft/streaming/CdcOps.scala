@@ -27,6 +27,13 @@ import org.apache.spark.sql.types._
   * Contract: a delete must retract a previously inserted row — the fold is
   * blind arithmetic, so retracting a never-inserted row drives the group
   * negative (the reference would no-op; producers own envelope validity).
+  * `_op` values other than insert|delete raise an error (silently counting
+  * an "update" as an insert would corrupt aggregates).
+  *
+  * Output carries its own `_op` column: `upsert` for live groups, `delete`
+  * for a group whose last row was retracted — that group's state is freed
+  * and the marker row lets downstream stages chain the retraction (the
+  * reference's cascade removes the derived group row, database.rs:197-270).
   */
 object CdcOps {
   val OpColumn = "_op"
@@ -61,10 +68,22 @@ object CdcOps {
           s"(`dest ~ memo.dest ± rowExpr`); got: ${statements.mkString("; ")}")
     val accList = accs.toList
     val n = accList.length
-    val sign = when(col(OpColumn) === "delete", lit(-1.0)).otherwise(lit(1.0))
-    val contribs = array(accList.map { case (_, (t, s)) =>
-      (t.col.cast(DoubleType) * sign * lit(s.toDouble))
-    }: _*)
+    // strict envelope validation: anything but insert|delete fails loudly —
+    // a Debezium-style "u"/"c"/"d" feed silently treated as inserts would
+    // double-count updates forever
+    val sign = when(col(OpColumn) === "delete", lit(-1.0))
+      .when(col(OpColumn) === "insert", lit(1.0))
+      .otherwise(raise_error(concat(lit(s"unknown $OpColumn value: "), col(OpColumn)))
+        .cast(DoubleType))
+    // null-safe: a null accumulated value contributes 0, matching the
+    // batch path where sum() skips nulls — an unguarded null here would
+    // kill the stream in the Seq[Double] deserializer
+    val contribs = array(
+      // slot 0: live-row count (+1/-1 regardless of statements) — drives
+      // ghost-group removal below
+      sign +: accList.map { case (_, (t, s)) =>
+        (coalesce(t.col.cast(DoubleType), lit(0.0)) * sign * lit(s.toDouble))
+      }: _*)
 
     val keyType = schema(aggregatedColumn).dataType
     val session = df.sparkSession
@@ -77,32 +96,49 @@ object CdcOps {
     val folded = keyed.groupByKey(_._1)(Encoders.STRING)
       .mapGroupsWithState[Array[Double], (String, Seq[Double])](GroupStateTimeout.NoTimeout) {
         (key, rows, state: GroupState[Array[Double]]) =>
-          val acc = state.getOption.getOrElse(Array.fill(n)(0.0))
+          val acc = state.getOption.getOrElse(Array.fill(n + 1)(0.0))
           rows.foreach { case (_, cs) =>
             var i = 0
-            while (i < n) { acc(i) += cs(i); i += 1 }
+            while (i <= n) { acc(i) += cs(i); i += 1 }
           }
-          state.update(acc)
+          // a fully-retracted group frees its state (no leak under
+          // NoTimeout) and emits one final row marked for deletion — the
+          // reference's delete cascade removes the derived group row
+          // (database.rs:197-270); the _op column lets a downstream CDC
+          // stage chain the retraction
+          if (acc(0) == 0.0) state.remove() else state.update(acc)
           (key, acc.toSeq)
       }(Encoders.kryo[Array[Double]], enc)
 
     val base = folded.toDF("__k", "__acc")
       .select(col("__k").cast(keyType).as(graft.operators.SystemColumns.AggregationKey) +:
+        when(col("__acc")(0) === 0.0, lit("delete")).otherwise(lit("upsert")).as(OpColumn) +:
         accList.zipWithIndex.map { case ((dest, (t, _)), i) =>
-          col("__acc")(i).cast(sparkTypeOf(t.t)).as(dest)
+          col("__acc")(i + 1).cast(sparkTypeOf(t.t)).as(dest)
         }: _*)
 
-    // memo-only post-aggregation statements over the folded columns
-    val typesByDest = accList.map { case (d, (t, _)) => d -> t.t }.toMap
+    // memo-only post-aggregation statements over the folded columns; like
+    // the batch path, later post statements may reference earlier post
+    // destinations (the env accumulates as statements compile)
+    val typesByDest = scala.collection.mutable.Map.empty[String, ExprCompiler.GType] ++=
+      accList.map { case (d, (t, _)) => d -> t.t }
     val memoResolver: Resolver = name => typesByDest.get(name) match {
       case Some(t) => Typed(col(name), t)
       case None    => throw ExprTypeException(s"memo.$name not defined")
     }
     val postCols = parsed.map { case Assignment(dest, e) =>
       if (accs.contains(dest)) col(dest)
-      else compile(e, memoResolver, memoResolver).col.as(dest)
+      else {
+        val t = compile(e, memoResolver, memoResolver)
+        typesByDest(dest) = t.t
+        // delete markers carry zeroed accumulators — post arithmetic over
+        // them (e.g. sum/cnt) would divide by zero under ANSI; CASE
+        // short-circuits, so the marker row just nulls its post columns
+        when(col(OpColumn) === "delete", lit(null).cast(sparkTypeOf(t.t)))
+          .otherwise(t.col).as(dest)
+      }
     }
-    base.select(col(graft.operators.SystemColumns.AggregationKey) +: postCols: _*)
+    base.select(col(graft.operators.SystemColumns.AggregationKey) +: col(OpColumn) +: postCols: _*)
   }
 
   private def sparkTypeOf(t: ExprCompiler.GType): DataType = t match {
