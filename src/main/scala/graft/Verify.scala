@@ -13,6 +13,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a stale result dir from a previous run would let the oracle
+        // compare silently pass on old data — remove it so the failure
+        // is visible as a missing result
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.isDirectory) {
+          dir.listFiles().foreach(_.delete())
+          dir.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

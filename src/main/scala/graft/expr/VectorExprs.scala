@@ -41,14 +41,16 @@ case class VecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData]
     val bb = b.asInstanceOf[ArrayData]
-    // dimension mismatch → null, matching the zip_with/aggregate lambda
-    // semantics (zip_with pads with null; null propagates through the fold)
-    // — silently truncating would mask embedding-pipeline dimension bugs
+    // dimension mismatch OR any null element → null, matching the
+    // zip_with/aggregate lambda semantics (zip_with pads with null and a
+    // null element's product is null; null propagates through the fold) —
+    // reading a null slot as 0 would let wrong cosines into top-k results
     if (aa.numElements() != bb.numElements()) return null
     val n = aa.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return null
       val x = if (leftIsFloat) aa.getFloat(i).toDouble else aa.getDouble(i)
       val y = if (rightIsFloat) bb.getFloat(i).toDouble else bb.getDouble(i)
       acc += x * y
@@ -87,7 +89,9 @@ case class VecEqCount(left: Expression, right: Expression)
     var i = 0
     val n = aa.numElements()
     while (i < n) {
-      if (aa.getLong(i) == bb.getLong(i)) c += 1
+      // null positions never count as agreement — `when(x === y, 1)` is
+      // null for a null operand and the filter drops it
+      if (!aa.isNullAt(i) && !bb.isNullAt(i) && aa.getLong(i) == bb.getLong(i)) c += 1
       i += 1
     }
     c
@@ -139,10 +143,10 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
       "simhash64 expects a STRING arg")
 
   override protected def nullSafeEval(text: Any): Any = {
-    // Locale.ROOT + the regex-`\s` whitespace class — must tokenize
-    // exactly like the lower()/tokens() column formulation (see
+    // Spark-lower() semantics + the regex-`\s` whitespace class — must
+    // tokenize exactly like the lower()/tokens() column formulation (see
     // WordShingles for the rationale)
-    val s = text.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
+    val s = WordShingles.lowerLikeSpark(text.asInstanceOf[UTF8String].toString)
     val votes = new Array[Int](Hash60.Bits)
     var i = 0
     val len = s.length
@@ -221,9 +225,17 @@ case class SrpBucket(left: Expression, right: Expression)
     val nBits = nAny.asInstanceOf[Int]
     val dims = v.numElements()
     // quantize once per row (round half away from zero — matches the
-    // round() SQL function in both Spark and DuckDB)
-    val q = new Array[Long](dims)
+    // round() SQL function in both Spark and DuckDB). A null element makes
+    // every projection null, and `when(null >= 0, 1).otherwise(0)` takes
+    // the otherwise branch — the lambda formulation yields bucket 0, so
+    // mirror that exactly
     var d = 0
+    while (d < dims) {
+      if (v.isNullAt(d)) return 0L
+      d += 1
+    }
+    val q = new Array[Long](dims)
+    d = 0
     while (d < dims) {
       val x = (if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)) * 1000.0
       q(d) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong

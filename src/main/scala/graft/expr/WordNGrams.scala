@@ -12,9 +12,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * native shingle kernel, kept bit-identical BY CONSTRUCTION to the
   * column formulation `word_ngrams ≡ distinct n-grams of
   * split(trim(regexp_replace(lower(text), "\s+", " ")), " ")`:
-  *   - lowercasing uses Locale.ROOT (Spark's `lower()` is
-  *     locale-independent; default-locale toLowerCase would diverge on
-  *     e.g. Turkish dotted-I JVMs)
+  *   - lowercasing replicates Spark's `lower()` exactly: the all-ASCII
+  *     fast path is locale-independent, and the non-ASCII slow path is
+  *     default-locale `String.toLowerCase()` (UTF8String.toLowerCaseSlow)
+  *     — hard-coding Locale.ROOT would diverge from the column path on
+  *     e.g. Turkish-locale JVMs with non-ASCII text
   *   - the whitespace class is EXACTLY Java regex `\s` = [ \t\n\x0B\f\r]
   *     (Character.isWhitespace accepts more, e.g. U+001C-1F, and would
   *     tokenize differently than the regex-based column path)
@@ -22,10 +24,22 @@ import org.apache.spark.unsafe.types.UTF8String
 private[expr] object WordShingles {
   @inline def isWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
 
+  /** Lowercase with Spark `lower()` semantics (see class doc). */
+  def lowerLikeSpark(text: String): String = {
+    var ascii = true
+    var i = 0
+    while (ascii && i < text.length) {
+      if (text.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    // for pure ASCII, Locale.ROOT toLowerCase IS the ASCII mapping
+    if (ascii) text.toLowerCase(java.util.Locale.ROOT) else text.toLowerCase()
+  }
+
   /** Distinct shingles in first-occurrence order (order is irrelevant
     * downstream — SSJoin and MinHash treat the result as a set). */
   def shingleSet(text: String, n: Int): java.util.LinkedHashSet[String] = {
-    val s = text.toLowerCase(java.util.Locale.ROOT)
+    val s = lowerLikeSpark(text)
     val toks = new scala.collection.mutable.ArrayBuffer[String](64)
     var i = 0
     val len = s.length

@@ -51,7 +51,11 @@ final class IncrementalGraph(
   // compute in topo order (the once-per-deployment bootstrap)
   config.topoOrder.foreach {
     case s: SourceTableConfig =>
-      mat(s.name) = initialSources.get(s.name).map(SourceOps.ensureEntryId)
+      // seeds go through the same validation/alignment as insert() — an
+      // unaligned seed (missing or undeclared columns) would otherwise
+      // break the first unionByName mid-stream instead of erroring here
+      mat(s.name) = initialSources.get(s.name)
+        .map(df => SourceOps.ensureEntryId(SourceOps.alignForInsert(s, df)))
         .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), SourceOps.sourceSchema(s)))
     case d: DerivedTableConfig =>
       mat(d.name) = checkpoint(compute(d, d.inputTables.map(n => n -> mat(n)).toMap))
@@ -118,11 +122,21 @@ final class IncrementalGraph(
   }
 
   private def propagate(src: String, inserted: DataFrame, deleted: DataFrame): Unit = {
+    // no-op edits stop here: deltas are checkpointed, so isEmpty is a
+    // metadata-cheap check, and skipping avoids cascading full-graph
+    // joins, re-checkpoints, and spurious listener calls for an edit that
+    // changed nothing
+    if (inserted.isEmpty && deleted.isEmpty) return
     downstream.getOrElse(src, Nil).foreach { d =>
-      val (next, dIns, dDel) = d match {
+      // deltas are CHECKPOINTED FIRST and the new materialization is built
+      // from the frozen deltas — computing `next` from the raw plans would
+      // execute every delta plan twice (once for mat, once for the
+      // downstream delta), doubling per-edit cost and, for an impure
+      // Action fn, desynchronizing mat from what propagates
+      val (next, ins, del) = d match {
         case _: FunctionTableConfig | _: FilterTableConfig | _: ActionTableConfig =>
-          val addRows = compute(d, Map(src -> inserted))
-          val delRows = compute(d, Map(src -> deleted))
+          val addRows = checkpoint(compute(d, Map(src -> inserted)))
+          val delRows = checkpoint(compute(d, Map(src -> deleted)))
           (mat(d.name).exceptAll(delRows).unionByName(addRows), addRows, delRows)
         case a: AggregationTableConfig =>
           // null-safe key joins throughout: insert() null-fills missing
@@ -133,10 +147,12 @@ final class IncrementalGraph(
           val srcMat = mat(a.sourceTable)
           val affected = srcMat
             .join(broadcast(keys), srcMat(a.aggregatedColumn) <=> keys("__k"), "left_semi")
-          val recomputed = Transforms.aggregation(affected, a.aggregatedColumn, a.functions)
+          val recomputed = checkpoint(
+            Transforms.aggregation(affected, a.aggregatedColumn, a.functions))
           val matKeys = broadcast(keys)
           val cur = mat(a.name)
-          val oldRows = cur.join(matKeys, cur(AggregationKey) <=> matKeys("__k"), "left_semi")
+          val oldRows = checkpoint(
+            cur.join(matKeys, cur(AggregationKey) <=> matKeys("__k"), "left_semi"))
           val others = cur.join(matKeys, cur(AggregationKey) <=> matKeys("__k"), "left_anti")
           (others.unionByName(recomputed), recomputed, oldRows)
         case u: UnionTableConfig =>
@@ -148,15 +164,15 @@ final class IncrementalGraph(
             val m = mat(t)
             (m.join(broadcast(keys), m(fk) <=> keys("__k"), "left_semi"), fk)
           }
-          val recomputed = Transforms.union(inputsFiltered)
+          val recomputed = checkpoint(Transforms.union(inputsFiltered))
           val matKeys = broadcast(keys)
           val cur = mat(u.name)
-          val oldRows = cur.join(matKeys, cur(MatchingKey) <=> matKeys("__k"), "left_semi")
+          val oldRows = checkpoint(
+            cur.join(matKeys, cur(MatchingKey) <=> matKeys("__k"), "left_semi"))
           val others = cur.join(matKeys, cur(MatchingKey) <=> matKeys("__k"), "left_anti")
           (others.unionByName(recomputed), recomputed, oldRows)
       }
       mat(d.name) = checkpoint(next)
-      val (ins, del) = (checkpoint(dIns), checkpoint(dDel))
       notifyListeners(d.name, ins, del)
       propagate(d.name, ins, del)
     }
