@@ -96,7 +96,12 @@ object ExprParser {
         val start = i
         while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
         val t = s.substring(start, i)
-        if (t.contains('.')) out += TDec(BigDecimal(t)) else out += TInt(t.toLong)
+        try {
+          if (t.contains('.')) out += TDec(BigDecimal(t)) else out += TInt(t.toLong)
+        } catch {
+          case _: NumberFormatException =>
+            throw ExprParseException(s"malformed numeric literal '$t' in: $s")
+        }
       } else if (c.isLetter || c == '_') {
         // words may contain '.' (memo.count) and '_' (_entryId)
         val start = i
@@ -250,7 +255,9 @@ object ExprCompiler {
     * unknown names. */
   def schemaResolver(schema: StructType): Resolver = { name =>
     schema.fields.find(_.name == name) match {
-      case Some(f) => Typed(col(name), toGType(f.dataType))
+      // backtick-quote: an unquoted dotted name (the lexer accepts dots
+      // in words) would be misread as struct-field access at analysis
+      case Some(f) => Typed(col(s"`$name`"), toGType(f.dataType))
       case None    => throw ExprTypeException(s"No such column $name exists")
     }
   }
@@ -284,20 +291,30 @@ object ExprCompiler {
   /** Curated scalar-function table for the expression language (the
     * reference has NO scalar functions — §2.4 "Absent scalar functions" —
     * so this whole surface is an extension; types keep calls composable
-    * with the reference's arithmetic rules). */
+    * with the reference's arithmetic rules). Wrong arity is a typed
+    * compile error, not a bare collections exception. */
+  private def nAry(name: String, n: Int)(f: List[Typed] => Typed): (String, List[Typed] => Typed) =
+    name -> { (a: List[Typed]) =>
+      if (a.length != n)
+        throw ExprTypeException(s"$name expects $n argument(s), got ${a.length}")
+      f(a)
+    }
   private val builtinFns: Map[String, List[Typed] => Typed] = Map(
-    "abs"    -> (a => Typed(abs(a.head.col), a.head.t)),
-    "upper"  -> (a => Typed(upper(a.head.col), GStr)),
-    "lower"  -> (a => Typed(lower(a.head.col), GStr)),
-    "trim"   -> (a => Typed(trim(a.head.col), GStr)),
-    "concat" -> (a => Typed(concat(a.map(_.col): _*), GStr)),
-    "substring" -> (a => Typed(
+    nAry("abs", 1)(a => Typed(abs(a.head.col), a.head.t)),
+    nAry("upper", 1)(a => Typed(upper(a.head.col), GStr)),
+    nAry("lower", 1)(a => Typed(lower(a.head.col), GStr)),
+    nAry("trim", 1)(a => Typed(trim(a.head.col), GStr)),
+    "concat" -> { (a: List[Typed]) =>
+      if (a.isEmpty) throw ExprTypeException("concat expects at least 1 argument")
+      Typed(concat(a.map(_.col): _*), GStr)
+    },
+    nAry("substring", 3)(a => Typed(
       substring(a.head.col, a(1).col.cast(IntegerType), a(2).col.cast(IntegerType)), GStr)),
-    "length" -> (a => Typed(length(a.head.col).cast(LongType), GInt)),
-    "floor"  -> (a => Typed(floor(a.head.col.cast(DoubleType)), GInt)),
-    "ceil"   -> (a => Typed(ceil(a.head.col.cast(DoubleType)), GInt)),
-    "sqrt"   -> (a => Typed(sqrt(a.head.col.cast(DoubleType)), GDouble)),
-    "md5"    -> (a => Typed(md5(to_binary(a.head.col, lit("utf-8"))), GStr)))
+    nAry("length", 1)(a => Typed(length(a.head.col).cast(LongType), GInt)),
+    nAry("floor", 1)(a => Typed(floor(a.head.col.cast(DoubleType)), GInt)),
+    nAry("ceil", 1)(a => Typed(ceil(a.head.col.cast(DoubleType)), GInt)),
+    nAry("sqrt", 1)(a => Typed(sqrt(a.head.col.cast(DoubleType)), GDouble)),
+    nAry("md5", 1)(a => Typed(md5(to_binary(a.head.col, lit("utf-8"))), GStr)))
 
   def binOp(op: String, l: Typed, r: Typed): Typed = op match {
     case "+" | "-" | "*" | "/" | "^" => arith(op, l, r)
@@ -321,8 +338,12 @@ object ExprCompiler {
         // integer division truncating toward zero, like Rust isize `/`
         // (reference: config/types.rs:75): Spark's `div` integral divide.
         case "/" => Typed(call_function("div", l.col.cast(LongType), r.col.cast(LongType)), GInt)
-        // `^` = x.pow(abs(y)) (reference: config/types.rs:78,85)
-        case "^" => Typed(pow(l.col.cast(DoubleType), abs(r.col.cast(DoubleType))).cast(LongType), GInt)
+        // `^` = x.pow(abs(y)) (reference: config/types.rs:78,85) — the
+        // native int_pow kernel keeps results exact beyond 2^53, where a
+        // double-based pow silently rounds (requires GraftFunctions
+        // registration, which every Transforms entry point performs)
+        case "^" => Typed(
+          call_function("int_pow", l.col.cast(LongType), r.col.cast(LongType)), GInt)
       }
     case (GStr, GStr) if op == "+" =>
       // CORRECT concat; the reference returns the left operand unchanged

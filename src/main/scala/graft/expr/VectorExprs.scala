@@ -259,6 +259,39 @@ case class SrpBucket(left: Expression, right: Expression)
   override def prettyName: String = "srp_bucket"
 }
 
+/** Exact integer power for the reference's `^` operator: `x.pow(abs(y))`
+  * on the JVM's wrapping Long arithmetic (reference: config/types.rs:78,85
+  * — Rust release-mode isize semantics). A double-based `pow` silently
+  * rounds any result above 2^53; this stays exact for every result that
+  * fits in a Long (overflow wraps, as the reference's release build does).
+  */
+case class IntPow(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "int_pow expects two BIGINT args")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    var base = a.asInstanceOf[Long]
+    var exp = math.abs(b.asInstanceOf[Long])
+    var acc = 1L
+    while (exp > 0) {
+      if ((exp & 1L) == 1L) acc *= base
+      base *= base
+      exp >>= 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntPow =
+    copy(left = l, right = r)
+  override def prettyName: String = "int_pow"
+}
+
 object VectorFunctions {
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
@@ -272,5 +305,8 @@ object VectorFunctions {
       (args: Seq[Expression]) => VecEqCount(args(0), args(1))),
     (FunctionIdentifier("srp_bucket"),
       new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
-      (args: Seq[Expression]) => SrpBucket(args(0), args(1))))
+      (args: Seq[Expression]) => SrpBucket(args(0), args(1))),
+    (FunctionIdentifier("int_pow"),
+      new ExpressionInfo(classOf[IntPow].getName, "int_pow"),
+      (args: Seq[Expression]) => IntPow(args(0), args(1))))
 }

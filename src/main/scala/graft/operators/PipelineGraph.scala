@@ -67,8 +67,11 @@ final class PipelineGraph(
 
   config.tables.foreach {
     case s: SourceTableConfig =>
+      // seeds get the same validation/alignment as insert() — see
+      // SourceOps.alignForInsert (an unaligned seed would fail later
+      // inside unionByName instead of erroring here)
       sources(s.name) = initialSources.get(s.name)
-        .map(df => SourceOps.ensureEntryId(df))
+        .map(df => SourceOps.ensureEntryId(SourceOps.alignForInsert(s, df)))
         .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), SourceOps.sourceSchema(s)))
     case _ =>
   }
@@ -108,7 +111,9 @@ final class PipelineGraph(
       case _ => throw new IllegalArgumentException(s"$tableName is not a source table")
     }
     val committed = SourceOps.ensureEntryId(SourceOps.alignForInsert(cfg, rows))
-    sources(tableName) = sources(tableName).unionByName(committed)
+    // checkpoint the mutated source: repeated edits would otherwise stack
+    // union legs / filter nodes into an unboundedly deep Catalyst plan
+    sources(tableName) = sources(tableName).unionByName(committed).localCheckpoint(true)
     derivedCache = None
     committed
   }
@@ -130,17 +135,15 @@ final class PipelineGraph(
     val before = derived // lazy plans over the pre-insert source snapshots
     val committed = insert(tableName, rows)
     val after = derived
-    val empty = (df: DataFrame) => df.limit(0)
+    // deletes = prev ∖ now for EVERY derived table, not just upsert kinds:
+    // a narrow table downstream of an aggregation loses the rows derived
+    // from each replaced group row, and that cascaded delete is part of
+    // the reference's committed-edits response (database.rs:282-286)
     val edits = after.map { case (name, now) =>
       val prev = before(name)
-      val isUpsert = config.byName.get(name) match {
-        case Some(_: AggregationTableConfig) | Some(_: UnionTableConfig) => true
-        case _ => false
-      }
-      name -> (now.exceptAll(prev),
-        if (isUpsert) prev.exceptAll(now) else empty(prev))
+      name -> (now.exceptAll(prev), prev.exceptAll(now))
     }
-    edits + (tableName -> (committed, empty(committed)))
+    edits + (tableName -> (committed, committed.limit(0)))
   }
 
   /** Delete all rows with `column == key`; the cascade to derived tables
@@ -153,7 +156,7 @@ final class PipelineGraph(
     // null-valued rows — an asymmetric === here would report an empty
     // delta while still dropping the rows from the remainder
     val deleted = cur.filter(col(column) <=> lit(key)).localCheckpoint(true)
-    sources(tableName) = cur.filter(!(col(column) <=> lit(key)))
+    sources(tableName) = cur.filter(!(col(column) <=> lit(key))).localCheckpoint(true)
     derivedCache = None
     deleted
   }

@@ -29,6 +29,7 @@ object Transforms {
   /** FunctionTransform: output = computed columns only + lineage
     * (reference: transform.rs:128-148). */
   def function(input: DataFrame, assignments: Seq[String]): DataFrame = {
+    graft.expr.GraftFunctions.register(input.sparkSession)
     val schema = input.schema
     val cols = assignments.map { s =>
       val (dest, c) = ExprCompiler.compileAssignment(s, schema)
@@ -42,6 +43,7 @@ object Transforms {
   /** FilterTransform: passing rows keep ALL source columns + lineage
     * (reference: transform.rs:150-174). */
   def filter(input: DataFrame, predicate: String): DataFrame = {
+    graft.expr.GraftFunctions.register(input.sparkSession)
     val typed = ExprCompiler.compile(
       ExprParser.parse(predicate), ExprCompiler.schemaResolver(input.schema))
     require(typed.t == ExprCompiler.GBool, s"filter must be boolean, got ${typed.t}")
@@ -92,6 +94,7 @@ object Transforms {
     * distributed hash aggregate with map-side combine.
     */
   def aggregation(input: DataFrame, aggregatedColumn: String, statements: Seq[String]): DataFrame = {
+    graft.expr.GraftFunctions.register(input.sparkSession)
     import ExprCompiler._
     val schema = input.schema
     val rowResolver = schemaResolver(schema)
@@ -172,6 +175,7 @@ object Transforms {
     */
   def aggregationFold(input: DataFrame, aggregatedColumn: String,
                       statements: Seq[String], orderColumn: String): DataFrame = {
+    graft.expr.GraftFunctions.register(input.sparkSession)
     import ExprCompiler._
     val schema = input.schema
     require(schema.fieldNames.contains(orderColumn),

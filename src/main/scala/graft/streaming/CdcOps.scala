@@ -41,6 +41,7 @@ object CdcOps {
   def aggregateWithRetraction(df: DataFrame, aggregatedColumn: String,
                               statements: Seq[String]): DataFrame = {
     import ExprCompiler._
+    graft.expr.GraftFunctions.register(df.sparkSession)
     require(df.columns.contains(OpColumn), s"input must carry an $OpColumn envelope column")
     val schema = df.schema
     val rowResolver = schemaResolver(schema)

@@ -32,13 +32,15 @@ object StreamingOps {
     * the streaming analog of the batch q30 window-lag formulation. */
   def sessionize(df: DataFrame, tsCol: String, keyCol: String,
                  gap: String, watermarkDelay: String,
-                 aggs: Seq[Column] = Seq(count(lit(1)).as("n_events"))): DataFrame =
+                 aggs: Seq[Column] = Seq(count(lit(1)).as("n_events"))): DataFrame = {
+    require(aggs.nonEmpty, "sessionize needs at least one aggregate column")
     df.withWatermark(tsCol, watermarkDelay)
       .groupBy(session_window(col(tsCol), gap).as("session"), col(keyCol))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("session_start", col("session.start"))
       .withColumn("session_end", col("session.end"))
       .drop("session")
+  }
 
   /** Watermarked stream-stream equi-join with a time-range bound: right
     * rows join left rows with `rightTs` in `[leftTs - lookback, leftTs]`.
