@@ -152,4 +152,34 @@ class PipelineGraphSpec extends SparkSpec {
       (r.getAs[Long]("cnt"), r.getAs[Long]("sum"))).toMap
     assert(del == Map(1L -> (1L, 10L)))
   }
+
+  test("insertWithEdits cascades deletes through narrow tables downstream of an upsert") {
+    val yamlChained =
+      """tables:
+        |  - name: grades
+        |    kind: source
+        |    columns: {name: Str, grade: Integer}
+        |  - name: stats
+        |    kind: aggregation
+        |    source_table: grades
+        |    aggregated_column: name
+        |    functions: ["cnt ~ memo.cnt + 1", "sum ~ memo.sum + grade"]
+        |  - name: scaled
+        |    kind: function
+        |    source_table: stats
+        |    functions: ["key ~ aggregatedColumn", "big ~ sum * 10"]
+        |""".stripMargin
+    val g = new PipelineGraph(spark, PipelineConfig.fromYaml(yamlChained))
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("grade", LongType)))
+    g.insert("grades", spark.createDataFrame(Seq(Row("Alex", 9L)).asJava, schema))
+
+    val edits = g.insertWithEdits("grades",
+      spark.createDataFrame(Seq(Row("Alex", 1L)).asJava, schema))
+    // stats upserts Alex: Delete(sum=9) + Insert(sum=10); the narrow table
+    // DERIVED FROM stats must report the cascaded delete of big=90 too
+    val (sIns, sDel) = edits("scaled")
+    assert(sIns.collect().map(_.getAs[Long]("big")).toSeq == Seq(100L))
+    assert(sDel.collect().map(_.getAs[Long]("big")).toSeq == Seq(90L))
+  }
 }
