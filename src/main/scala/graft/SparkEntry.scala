@@ -459,6 +459,38 @@ object SparkEntry {
       g.insert("region", s.range(1).select(lit(99L).as("r_regionkey"), lit("graft region").as("r_name")))
       g.table("regionNames").select("key", "uname").orderBy("key")
     }),
+    // ── extension: salted skew join — salt assignment only routes rows,
+    //    so the result (and its oracle) is the plain equi-join
+    "q54_salted_join" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+      val supp = T(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.operators.SkewJoin.saltedEquiJoin(li, supp, "suppkey", salts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+        .orderBy("s_nationkey")
+    }),
+    // ── eager IVM delete cascade: seed, delete through the incremental
+    //    engine, read the maintained derived table
+    "q55_incremental_delete" -> ((s, dir) => {
+      val cfg = graft.config.PipelineConfig.fromYaml(
+        """tables:
+          |  - name: nation
+          |    kind: source
+          |    columns: {n_nationkey: Integer, n_name: Str, n_regionkey: Integer}
+          |  - name: perRegion
+          |    kind: aggregation
+          |    source_table: nation
+          |    aggregated_column: n_regionkey
+          |    functions: ["cnt ~ memo.cnt + 1"]
+          |""".stripMargin)
+      val seed = T(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+      val g = new graft.operators.IncrementalGraph(s, cfg, Map("nation" -> seed))
+      g.delete("nation", "n_regionkey", 0L) // drop region 0's nations; group row disappears
+      g.table("perRegion").orderBy("aggregatedColumn")
+    }),
     // ── extension: vector norm/stat profile — pins bit-exact float parity
     //    of the native vec_dot kernel against an independent engine (the
     //    sequential fold order is part of the operator contract)
@@ -962,6 +994,14 @@ object SparkEntry {
            SELECT r_regionkey, r_name FROM region
            UNION ALL SELECT 99, 'graft region')
          ORDER BY key""",
+    "q54_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1 ORDER BY 1""",
+    "q55_incremental_delete" ->
+      """SELECT n_regionkey AS "aggregatedColumn", count(*) AS cnt
+         FROM nation WHERE n_regionkey <> 0
+         GROUP BY 1 ORDER BY 1""",
     "q52_vector_norms" ->
       """WITH s AS (
            SELECT vec_id,
