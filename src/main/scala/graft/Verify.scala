@@ -14,13 +14,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a stale result dir from a previous run would let the oracle
-        // compare silently pass on old data — remove it so the failure
+        // compare silently pass on old data — remove it (recursively: a
+        // mid-write failure leaves _temporary/ subtrees) so the failure
         // is visible as a missing result
-        val dir = new java.io.File(s"$outDir/$name")
-        if (dir.isDirectory) {
-          dir.listFiles().foreach(_.delete())
-          dir.delete()
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          if (!f.delete() && f.exists())
+            System.err.println(s"[verify] could not remove stale ${f.getPath}")
         }
+        rm(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

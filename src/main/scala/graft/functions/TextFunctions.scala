@@ -30,9 +30,12 @@ object TextFunctions {
 
   /** Rolling polynomial hash (base 31, mod 1e9+7) over tokens — an
     * order-sensitive content fingerprint cheap enough for 100 TB scans.
-    * Token hashes are md5-derived ([[graft.functions.DedupOps.hash60]]) and
-    * the modulus keeps every intermediate < 2^35, so the identical fold
-    * runs on overflow-checking engines — see the q44 DuckDB oracle. */
+    * Token hashes are md5-derived ([[graft.functions.DedupOps.hash60]]).
+    * Intermediate bound: acc < 1e9+7 so acc*31 < 2^35, plus the UNREDUCED
+    * 60-bit hash60 term → every intermediate < 2^35 + 2^60 < 2^61, safely
+    * inside int64, so the identical fold runs on overflow-checking engines
+    * — see the q44 DuckDB oracle. (If the base or modulus ever grows,
+    * reduce hash60 mod 1e9+7 BEFORE adding, on both engine and oracle.) */
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * lit(31L) + DedupOps.hash60(t), lit(1000000007L)))

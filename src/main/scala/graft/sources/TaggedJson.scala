@@ -22,8 +22,15 @@ import scala.jdk.CollectionConverters._
 object TaggedJson {
   private val mapper = new ObjectMapper()
 
-  /** Spark type for a tagged value. */
-  def dataTypeOf(tag: String, payload: JsonNode): DataType = tag match {
+  /** Spark type for a tagged value (empty arrays default to array<string>). */
+  def dataTypeOf(tag: String, payload: JsonNode): DataType =
+    normalizeEmpty(rawDataTypeOf(tag, payload))
+
+  /** Like [[dataTypeOf]] but keeps ArrayType(NullType) as a sentinel for a
+    * genuinely-EMPTY array (no element to infer from). No real tag maps to
+    * NullType, so the sentinel is unambiguous; [[parseEntries]] treats only
+    * this case as wildcard-compatible with any array column. */
+  private def rawDataTypeOf(tag: String, payload: JsonNode): DataType = tag match {
     case "Integer" => LongType
     case "Str" | "ID" => StringType
     case "Bool" => BooleanType
@@ -31,17 +38,25 @@ object TaggedJson {
     case "Float" => DoubleType
     case "Array" =>
       val elems = payload.asInstanceOf[ArrayNode]
-      if (elems.size() == 0) ArrayType(StringType)
+      if (elems.size() == 0) ArrayType(NullType)
       else {
         val f = elems.get(0).fields().next()
-        ArrayType(dataTypeOf(f.getKey, f.getValue))
+        ArrayType(rawDataTypeOf(f.getKey, f.getValue))
       }
     case "Map" =>
       StructType(payload.fields().asScala.map { e =>
         val f = e.getValue.fields().next()
-        StructField(e.getKey, dataTypeOf(f.getKey, f.getValue))
+        StructField(e.getKey, rawDataTypeOf(f.getKey, f.getValue))
       }.toSeq)
     case other => throw new IllegalArgumentException(s"unknown tag $other")
+  }
+
+  private def normalizeEmpty(dt: DataType): DataType = dt match {
+    case ArrayType(NullType, n) => ArrayType(StringType, n)
+    case ArrayType(et, n) => ArrayType(normalizeEmpty(et), n)
+    case st: StructType =>
+      StructType(st.fields.map(f => f.copy(dataType = normalizeEmpty(f.dataType))))
+    case other => other
   }
 
   private def valueOf(tag: String, payload: JsonNode): Any = tag match {
@@ -61,45 +76,58 @@ object TaggedJson {
     case other => throw new IllegalArgumentException(s"unknown tag $other")
   }
 
-  /** Parse one tagged entry into (schema, row). Column order follows the
-    * JSON object order (the reference's Entry is an ordered map). */
-  def parseEntry(json: String): (StructType, Row) = {
+  private def parseEntryRaw(json: String): (StructType, Row) = {
     val node = mapper.readTree(json).asInstanceOf[ObjectNode]
     val fields = node.fields().asScala.toSeq.map { e =>
       val f = e.getValue.fields().next()
-      (StructField(e.getKey, dataTypeOf(f.getKey, f.getValue)), valueOf(f.getKey, f.getValue))
+      (StructField(e.getKey, rawDataTypeOf(f.getKey, f.getValue)), valueOf(f.getKey, f.getValue))
     }
     (StructType(fields.map(_._1)), Row.fromSeq(fields.map(_._2)))
+  }
+
+  /** Parse one tagged entry into (schema, row). Column order follows the
+    * JSON object order (the reference's Entry is an ordered map). */
+  def parseEntry(json: String): (StructType, Row) = {
+    val (s, r) = parseEntryRaw(json)
+    (normalizeEmpty(s).asInstanceOf[StructType], r)
   }
 
   /** Parse many entries sharing a schema (first entry defines it — the
     * reference's first-row inference, storage_manager_table.rs:334-350). */
   def parseEntries(jsons: Seq[String]): (StructType, Seq[Row]) = {
     require(jsons.nonEmpty, "no entries")
-    val (schema, first) = parseEntry(jsons.head)
+    val (rawSchema, first) = parseEntryRaw(jsons.head)
+    // tags/types must agree across entries — a Str where the first entry had
+    // an Integer would otherwise surface later as an opaque encoder
+    // ClassCastException at materialization instead of at parse time.
+    // Exception: a genuinely-EMPTY Array (ArrayType(NullType) sentinel from
+    // rawDataTypeOf) is compatible with any array column — its value (empty
+    // Seq) materializes under any element type. A NON-empty array<string>
+    // against e.g. array<bigint> is NOT compatible and fails here.
+    def compatible(got: DataType, want: DataType): Boolean = (got, want) match {
+      case (g, w) if g == w => true
+      case (ArrayType(NullType, _), ArrayType(_, _)) => true
+      case (ArrayType(g, _), ArrayType(w, _)) => compatible(g, w)
+      case (g: StructType, w: StructType) =>
+        g.length == w.length && g.fields.zip(w.fields).forall { case (gf, wf) =>
+          gf.name == wf.name && compatible(gf.dataType, wf.dataType)
+        }
+      case _ => false
+    }
     val rest = jsons.tail.map { j =>
-      val (s2, r) = parseEntry(j)
-      require(s2.fieldNames.sameElements(schema.fieldNames),
-        s"Missmatched Input: ${s2.fieldNames.mkString(",")} vs ${schema.fieldNames.mkString(",")}")
-      // tags/types must agree too — a Str where the first entry had an
-      // Integer would otherwise surface later as an opaque encoder
-      // ClassCastException at materialization instead of at parse time.
-      // Exception: an EMPTY Array has no element to infer from (dataTypeOf
-      // defaults it to array<string>), so it is compatible with any array
-      // column — its value (empty Seq) materializes under any element type.
-      def compatible(got: DataType, want: DataType): Boolean = (got, want) match {
-        case (g, w) if g == w => true
-        case (ArrayType(StringType, _), ArrayType(_, _)) => true
-        case _ => false
-      }
-      s2.fields.zip(schema.fields).foreach { case (got, want) =>
-        require(compatible(got.dataType, want.dataType),
-          s"Missmatched Input: column ${want.name} is ${want.dataType.simpleString} " +
+      val (s2, r) = parseEntryRaw(j)
+      require(s2.fieldNames.sameElements(rawSchema.fieldNames),
+        s"Missmatched Input: ${s2.fieldNames.mkString(",")} vs ${rawSchema.fieldNames.mkString(",")}")
+      s2.fields.zip(rawSchema.fields).foreach { case (got, want) =>
+        // want side: an empty first-entry array fixed the column at the
+        // array<string> default, so compare against the normalized type
+        require(compatible(got.dataType, normalizeEmpty(want.dataType)),
+          s"Missmatched Input: column ${want.name} is ${normalizeEmpty(want.dataType).simpleString} " +
             s"but entry has ${got.dataType.simpleString}")
       }
       r
     }
-    (schema, first +: rest)
+    (normalizeEmpty(rawSchema).asInstanceOf[StructType], first +: rest)
   }
 
   private def tagFor(dt: DataType, v: Any): (String, Any) = dt match {

@@ -24,15 +24,20 @@ import org.apache.spark.sql.types._
   *
   * Update events surface as Delete(old)+Insert(new) pairs, matching the
   * reference's Update ≡ delete-then-insert (database.rs:282-286),
-  * synthesized from per-key state in [[listen]]; every listen delivery
-  * also fans out through [[listenBus]] to bus subscribers.
+  * synthesized from per-key state in [[listen]]. [[listenBus]] subscribers
+  * are fed by ONE dedicated internal query per table, started lazily on the
+  * first subscription — delivery is exactly-once per micro-batch regardless
+  * of how many (or zero) independent [[listen]] queries exist.
   */
 final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfig) {
   import SystemColumns._
 
   private val memStreams = scala.collection.mutable.Map.empty[String, MemoryStream[Row]]
   private val frames = scala.collection.mutable.Map.empty[String, DataFrame]
-  val listenBus = new ListenBus
+  private val busFeeds = scala.collection.concurrent.TrieMap.empty[String, StreamingQuery]
+  val listenBus: ListenBus = new ListenBus(table =>
+    busFeeds.getOrElseUpdate(table,
+      startQuery(table, Nil)((ins, del) => listenBus.publish(table, ins, del))))
 
   config.topoOrder.foreach {
     case s: SourceTableConfig =>
@@ -134,13 +139,16 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
   private val queryCounter = new java.util.concurrent.atomic.AtomicInteger()
 
   /** Start a listen subscription on a table: the subscriber's callback
-    * receives (inserts, deletes) per micro-batch, and the same delivery
-    * fans out through [[listenBus]]. Upsert-containing plans run in update
-    * mode and synthesize Delete(old)+Insert(new); pure narrow plans are
-    * append-only (inserts only). Multiple subscribers per table each get
-    * their own uniquely-named query. */
+    * receives (inserts, deletes) per micro-batch. Upsert-containing plans
+    * run in update mode and synthesize Delete(old)+Insert(new); pure narrow
+    * plans are append-only (inserts only). Multiple subscribers per table
+    * each get their own uniquely-named query, independent of the bus. */
   def listen(table: String, keyColumns: Seq[String] = Nil)
-            (callback: (Seq[Row], Seq[Row]) => Unit): StreamingQuery = {
+            (callback: (Seq[Row], Seq[Row]) => Unit): StreamingQuery =
+    startQuery(table, keyColumns)(callback)
+
+  private def startQuery(table: String, keyColumns: Seq[String])
+                        (callback: (Seq[Row], Seq[Row]) => Unit): StreamingQuery = {
     val df = frames(table)
     val isUpsert = isUpsertPlan(table)
     val mode = if (isUpsert) OutputMode.Update() else OutputMode.Append()
@@ -170,9 +178,15 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
             acc.toSeq
           }
         callback(rows, deletes)
-        listenBus.publish(table, rows, deletes)
       }
       .start()
+  }
+
+  /** Stop the internal bus-feed queries (listen() queries are the caller's
+    * to stop). Safe to call repeatedly. */
+  def close(): Unit = {
+    busFeeds.values.foreach(q => if (q.isActive) q.stop())
+    busFeeds.clear()
   }
 
   /** Materialize a derived table's current contents to an in-memory sink
@@ -190,12 +204,16 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
 }
 
 /** Per-table subscriber registry (the analog of the reference's
-  * ListenerHook fan-out, listener_hook.rs:33-87). */
-final class ListenBus {
+  * ListenerHook fan-out, listener_hook.rs:33-87). `onFirstSubscribe` fires
+  * exactly once per table — the pipeline uses it to lazily start the single
+  * internal query that feeds all of that table's subscribers. */
+final class ListenBus(onFirstSubscribe: String => Unit = _ => ()) {
   private val subs = scala.collection.concurrent.TrieMap
     .empty[String, List[(Seq[Row], Seq[Row]) => Unit]]
-  def subscribe(table: String)(cb: (Seq[Row], Seq[Row]) => Unit): Unit =
-    subs.updateWith(table) { cur => Some(cb :: cur.getOrElse(Nil)) }
+  def subscribe(table: String)(cb: (Seq[Row], Seq[Row]) => Unit): Unit = {
+    val updated = subs.updateWith(table) { cur => Some(cb :: cur.getOrElse(Nil)) }
+    if (updated.exists(_.lengthCompare(1) == 0)) onFirstSubscribe(table)
+  }
   def publish(table: String, inserts: Seq[Row], deletes: Seq[Row]): Unit =
     subs.getOrElse(table, Nil).foreach(cb => cb(inserts, deletes))
 }

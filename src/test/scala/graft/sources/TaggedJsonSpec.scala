@@ -51,6 +51,19 @@ class TaggedJsonSpec extends AnyFunSuite {
       """{"xs": {"Array": [{"Integer": 1}]}}""", """{"xs": {"Array": []}}"""))
     assert(schema("xs").dataType == ArrayType(LongType))
     assert(rows(1).getSeq[Any](0).isEmpty)
+    // ...but a NON-empty array<string> against array<bigint> is a genuine
+    // type conflict and must fail at parse time, not materialization
+    val e2 = intercept[IllegalArgumentException](TaggedJson.parseEntries(Seq(
+      """{"xs": {"Array": [{"Integer": 1}]}}""",
+      """{"xs": {"Array": [{"Str": "x"}]}}""")))
+    assert(e2.getMessage.contains("Missmatched Input"))
+    // an empty array in the FIRST entry fixes the column at array<string>:
+    // later array<string> passes, later array<bigint> fails
+    val (s3, _) = TaggedJson.parseEntries(Seq(
+      """{"xs": {"Array": []}}""", """{"xs": {"Array": [{"Str": "x"}]}}"""))
+    assert(s3("xs").dataType == ArrayType(StringType))
+    assertThrows[IllegalArgumentException](TaggedJson.parseEntries(Seq(
+      """{"xs": {"Array": []}}""", """{"xs": {"Array": [{"Integer": 1}]}}""")))
   }
 
   test("unknown tag errors") {

@@ -111,8 +111,27 @@ class StreamingSpec extends SparkSpec {
       p.processAllAvailable()
       assert(got1.toSeq == Seq(90L))
       assert(got2.toSeq == Seq(90L))
-      assert(viaBus.count(_ == 90L) >= 1) // published once per listen query
-    } finally { q1.stop(); q2.stop() }
+      // ONE dedicated bus feed → exactly-once regardless of listen() count
+      assert(viaBus.count(_ == 90L) == 1)
+    } finally { q1.stop(); q2.stop(); p.close() }
+  }
+
+  test("bus delivers with zero listen() queries; second subscriber reuses the same feed") {
+    val p = new StreamingPipeline(spark, PipelineConfig.fromYaml(yaml))
+    val a = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+    p.listenBus.subscribe("derived") { (ins, _) =>
+      a.synchronized { a ++= ins.map(_.getAs[Long]("curved")) }
+    }
+    p.listenBus.subscribe("derived") { (ins, _) =>
+      b.synchronized { b ++= ins.map(_.getAs[Long]("curved")) }
+    }
+    try {
+      p.insert("grades", Seq(Row("Alex", 95L)))
+      p.processAllAvailable()
+      assert(a.toSeq == Seq(100L))
+      assert(b.toSeq == Seq(100L))
+    } finally p.close()
   }
 
   test("watermarked tumbling-window aggregation drops late data past the watermark") {
