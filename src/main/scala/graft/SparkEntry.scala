@@ -547,6 +547,87 @@ object SparkEntry {
         count(when(col("event_type") === "view", 1)).as("view"))
         .orderBy("bucket")
     }),
+    // ── extension: window analytic functions (lag/lead/moving frame/rank)
+    //    over the event stream — value integerized (cents) so the moving
+    //    sum is exact on both engines
+    "q56_window_analytics" -> ((s, dir) => {
+      val e = T(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("ts").as("tns"), // Long nanos (nanosAsLong)
+        round(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("user_id").orderBy("tns", "event_id")
+      e.select(col("event_id"), col("user_id"), col("cents"),
+        lag("cents", 1).over(w).as("prev_cents"),
+        lead("cents", 1).over(w).as("next_cents"),
+        sum("cents").over(w.rowsBetween(-2, Window.currentRow)).as("mov3"),
+        row_number().over(w).cast("long").as("rn"))
+        .orderBy("user_id", "rn")
+    }),
+    // ── extension: interval join (keyed time-range join, the batch analog
+    //    of Flink's interval join): clicks within 10 min AFTER each error,
+    //    per user — equi-key on user keeps the shuffle bounded; the range
+    //    predicate filters inside the key group
+    "q57_interval_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val err = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts").as("etns"))
+      val clk = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("ctns"))
+      err.join(clk, col("user_id") === col("cu") &&
+          col("ctns") >= col("etns") && col("ctns") < col("etns") + lit(600000000000L),
+          "left")
+        .groupBy("event_id", "user_id")
+        .agg(count(col("cu")).as("n_clicks"))
+        .orderBy("event_id")
+    }),
+    // ── extension: cube (all grouping-set combinations + grouping_id —
+    //    rollup's big sibling, q38)
+    "q58_cube" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+          sum("l_quantity").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("cnt"), col("sum_qty"))
+        .orderBy("gid", "rf", "ls")
+    }),
+    // ── extension: equi-width histogram + cumulative distribution (the
+    //    windowed cumsum runs over the tiny post-agg bucket table, so the
+    //    single-partition window is safe at any corpus scale)
+    "q59_histogram" -> ((s, dir) => {
+      val b = T(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 20000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      b.select(col("bucket"), col("cnt"),
+        sum("cnt").over(cum).as("cum"),
+        (sum("cnt").over(cum).cast("double") / sum("cnt").over(all)).as("cdf"))
+        .orderBy("bucket")
+    }),
+    // ── extension: passage-level dedup (chunk → first-occurrence keep →
+    //    reassemble) — sub-document boilerplate removal
+    "q60_passage_dedup" -> ((s, dir) => {
+      DedupOps.passageDedup(T(s, dir, "documents"), "text", "doc_id", chunkTokens = 32)
+        .orderBy("doc_id")
+    }),
+    // ── extension: per-source corpus profile (docs, token mass, language
+    //    spread, exact-dup rate) — the per-domain quality report a crawl
+    //    pipeline runs before sampling
+    "q61_source_profile" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("source"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+          countDistinct("lang").as("n_langs"), countDistinct("fp").as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"),
+          col("n_langs"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_docs")).as("dup_rate"))
+        .orderBy("source")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1043,5 +1124,74 @@ object SparkEntry {
          count(*) FILTER (WHERE event_type = 'signup') AS signup,
          count(*) FILTER (WHERE event_type = 'view') AS view
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q56_window_analytics" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_ns(ts) AS tns,
+             CAST(round(value*100) AS BIGINT) AS cents FROM events)
+         SELECT event_id, user_id, cents,
+           lag(cents) OVER w AS prev_cents,
+           lead(cents) OVER w AS next_cents,
+           sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3,
+           CAST(row_number() OVER w AS BIGINT) AS rn
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+         ORDER BY user_id, rn""",
+    "q57_interval_join" ->
+      """WITH err AS (SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events
+                      WHERE event_type = 'error'),
+         clk AS (SELECT user_id, epoch_ns(ts) AS tns FROM events
+                 WHERE event_type = 'click')
+         SELECT e.event_id, e.user_id, count(c.user_id) AS n_clicks
+         FROM err e LEFT JOIN clk c ON c.user_id = e.user_id
+           AND c.tns >= e.tns AND c.tns < e.tns + 600000000000
+         GROUP BY 1, 2 ORDER BY 1""",
+    "q58_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         count(*) AS cnt, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY gid, rf, ls""",
+    "q59_histogram" ->
+      """WITH b AS (
+           SELECT CAST(floor(o_totalprice/20000) AS BIGINT) AS bucket,
+             count(*) AS cnt FROM orders GROUP BY 1)
+         SELECT bucket, cnt,
+           CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (ORDER BY bucket) AS DOUBLE)
+             / CAST((SELECT sum(cnt) FROM b) AS BIGINT) AS cdf
+         FROM b ORDER BY bucket""",
+    "q60_passage_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents WHERE length(trim(text)) > 0),
+         c AS (
+           SELECT doc_id,
+             CAST(unnest(range(0, len(range(0, greatest(len(toks)-1,0)+1, 32)))) AS INT) AS chunk_idx,
+             array_to_string(toks[unnest(range(0, greatest(len(toks)-1,0)+1, 32))+1 :
+                                  unnest(range(0, greatest(len(toks)-1,0)+1, 32))+32], ' ') AS chunk_text
+           FROM t),
+         h AS (
+           SELECT doc_id, chunk_idx, chunk_text,
+             CAST('0x'||substr(md5(chunk_text),1,15) AS BIGINT) AS h FROM c),
+         first_occ AS (SELECT h, min(doc_id*1000000 + chunk_idx) AS first_key FROM h GROUP BY h),
+         k AS (
+           SELECT doc_id, chunk_idx, chunk_text,
+             (doc_id*1000000 + chunk_idx = first_key) AS keep
+           FROM h JOIN first_occ USING (h))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN keep THEN chunk_text END, ' ' ORDER BY chunk_idx), '')) AS kept_fp
+         FROM k GROUP BY doc_id ORDER BY doc_id""",
+    "q61_source_profile" ->
+      """WITH t AS (
+           SELECT source, lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS ntok,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM documents)
+         SELECT source, count(*) AS n_docs, sum(ntok) AS n_tokens,
+           CAST(sum(ntok) AS DOUBLE) / count(*) AS mean_tokens,
+           count(DISTINCT lang) AS n_langs,
+           1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*) AS dup_rate
+         FROM t GROUP BY source ORDER BY source""",
   )
 }

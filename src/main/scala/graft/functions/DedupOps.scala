@@ -143,26 +143,29 @@ object DedupOps {
     * propagation (min-id label, converges in ≤ diameter rounds; near-dup
     * clusters are tiny so 5 rounds is plenty at any scale). */
   def dedupClusters(pairs: DataFrame, rounds: Int = 5): DataFrame = {
-    // materialize edges once and checkpoint labels per round — otherwise
-    // each round's lazy plan embeds the previous round TWICE (join + merge)
-    // and the upstream pair computation re-executes 2^rounds times.
-    // (`pairs` rows are unique per (id_a, id_b) with id_a < id_b — every
-    // candidate-pair operator here guarantees that — so the two directions
-    // can't collide and no dedup shuffle is needed.)
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b"), col("id_a")))
+    // persist the DIRECTED pairs before mirroring them — the union's two
+    // branches would otherwise each re-execute the (expensive) upstream
+    // candidate-pair pipeline; post-shuffle stages are not deduplicated by
+    // exchange reuse. (`pairs` rows are unique per (id_a, id_b) with
+    // id_a < id_b — every candidate-pair operator here guarantees that —
+    // so the two directions can't collide and no dedup shuffle is needed.)
+    val p = pairs.select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // lazy checkpoints: the convergence-sum action below materializes the
-    // round's labels AND reads the sum in ONE Spark job (an eager
-    // checkpoint would spend a separate job per round on materialization)
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    val edges = p.union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // Fused init+first round: labels start as each node's own id, so round
+    // 1's propagated label is simply min(self, min(neighbor)) — ONE hash
+    // aggregate, no join against an identity label table.
+    // Lazy localCheckpoints: the convergence-sum action below materializes
+    // the round's labels AND reads the sum in ONE Spark job (an eager
+    // checkpoint would spend a separate job per round on materialization).
+    var labels = edges.groupBy(col("id_a").as("id"))
+      .agg(least(min(col("id_b")), first(col("id_a"))).as("label"))
       .localCheckpoint(false)
     // min-label propagation strictly decreases the label sum until the
     // fixpoint — early-exit on convergence (near-dup components are tiny,
     // so this usually stops after 1-2 rounds regardless of corpus size)
     var prevSum = labels.agg(sum("label")).head().getLong(0)
-    var r = 0
+    var r = 1
     var converged = false
     while (r < rounds && !converged) {
       val prop = edges.join(labels, edges("id_b") === labels("id"))
@@ -175,6 +178,7 @@ object DedupOps {
       prevSum = curSum
       r += 1
     }
+    p.unpersist(blocking = false)
     labels
   }
 
@@ -219,6 +223,39 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Passage-level (sub-document) dedup: split each document into
+    * fixed-size token chunks, keep only the corpus-wide FIRST occurrence of
+    * each distinct chunk (ordered by (doc_id, chunk_idx)), and reassemble
+    * the surviving passages per document. The standard defense against
+    * boilerplate (headers, licenses, navigation) that exact whole-doc dedup
+    * misses. Output: (doc_id, n_chunks, n_kept, kept_fp) where kept_fp
+    * fingerprints the surviving text in chunk order.
+    *
+    * Scale design: chunks shuffle once on their 60-bit hash for the
+    * first-occurrence aggregate (map-side min-combine), then once on doc_id
+    * for reassembly — no all-pairs, no driver state. The chunk hash (not
+    * the text) is the join key: 8-byte shuffle keys.
+    */
+  def passageDedup(df: DataFrame, textCol: String, idCol: String,
+                   chunkTokens: Int = 32): DataFrame = {
+    val chunks = TextFunctions.chunkByTokens(df, textCol, idCol, chunkTokens, overlap = 0)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"),
+        hash60(col("chunk_text")).as("h"),
+        // encodes (doc, idx) as one orderable key; chunk_idx < 1e6 given
+        // any realistic document length (idx counts chunks, not tokens)
+        (col(idCol) * 1000000L + col("chunk_idx")).as("okey"))
+    val firstOcc = chunks.groupBy("h").agg(min(col("okey")).as("first_key"))
+    chunks.join(firstOcc, Seq("h"))
+      .withColumn("keep", col("okey") === col("first_key"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        md5(to_binary(array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s("chunk_text")), " "), lit("utf-8"))).as("kept_fp"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs via set-similarity join:

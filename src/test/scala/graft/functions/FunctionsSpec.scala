@@ -192,6 +192,34 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
+
+  test("dedupClusters converges on a long chain (multi-round propagation)") {
+    // chain 10-11-12-...-16: min label must travel the full diameter
+    val pairs = (10L until 16L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = DedupOps.dedupClusters(pairs, rounds = 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(labels.keySet == (10L to 16L).toSet)
+    assert(labels.values.toSet == Set(10L))
+  }
+
+  test("passageDedup keeps first occurrence of each chunk and reassembles") {
+    // 4-token chunks: doc 1 = [A B C D][E F G H]; doc 2 repeats doc 1's
+    // first chunk then adds new material; doc 3 is entirely repeated chunks
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "a b c d e f g h")).toDF("doc_id", "text")
+    val out = DedupOps.passageDedup(docs, "text", "doc_id", chunkTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"), r.getAs[String]("kept_fp")))).toMap
+    assert(out(1L) == ((2L, 2L, md5Hex("a b c d e f g h"))))
+    assert(out(2L) == ((2L, 1L, md5Hex("x y z w"))))
+    assert(out(3L) == ((2L, 0L, md5Hex(""))))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 }
 
 class SimilarityOpsSpec extends SparkSpec {
