@@ -612,6 +612,68 @@ object SparkEntry {
       DedupOps.passageDedup(T(s, dir, "documents"), "text", "doc_id", chunkTokens = 32)
         .orderBy("doc_id")
     }),
+    // ── flagship star join as an oracle query: dimensions broadcast,
+    //    lineitem shuffles exactly once (on l_orderkey); revenue
+    //    integerized to cents so the sum is order-independent and exact
+    "q62_star_join" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"))
+        .orderBy("r_name")
+    }),
+    // ── extension: per-document top terms by (tf desc, df asc) — the
+    //    rank-based tf-idf variant whose ordering is exact integer
+    //    arithmetic (no float idf), so it oracle-verifies bit-for-bit
+    "q63_tfidf_topterms" -> ((s, dir) => {
+      val toks = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // tf rows are unique per (doc, term), so df = plain row count per term
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(dfreq, Seq("term"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "rnk")
+        .orderBy("doc_id", "rnk")
+    }),
+    // ── eager IVM union path: seed two sources, insert a NEW key and an
+    //    OVERWRITE of an existing key through the incremental engine, read
+    //    the maintained merged table (delta applied per key, no recompute)
+    "q64_incremental_union" -> ((s, dir) => {
+      val cfg = graft.config.PipelineConfig.fromYaml(
+        """tables:
+          |  - name: nation
+          |    kind: source
+          |    columns: {n_nationkey: Integer, n_name: Str}
+          |  - name: supcount
+          |    kind: source
+          |    columns: {s_nationkey: Integer, n_suppliers: Integer}
+          |  - name: merged
+          |    kind: union
+          |    tables_and_foreign_keys: [[nation, n_nationkey], [supcount, s_nationkey]]
+          |""".stripMargin)
+      val nations = T(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+      val supcount = T(s, dir, "supplier")
+        .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      val g = new graft.operators.IncrementalGraph(s, cfg,
+        Map("nation" -> nations, "supcount" -> supcount))
+      g.insert("nation", s.range(1)
+        .select(lit(99L).as("n_nationkey"), lit("graftland").as("n_name")))
+      g.insert("supcount", s.range(1)
+        .select(lit(0L).as("s_nationkey"), lit(42L).as("n_suppliers")))
+      g.table("merged").select("matchingKey", "n_name", "n_suppliers")
+        .orderBy("matchingKey")
+    }),
     // ── extension: per-source corpus profile (docs, token mass, language
     //    spread, exact-dup rate) — the per-domain quality report a crawl
     //    pipeline runs before sampling
@@ -1181,6 +1243,43 @@ object SparkEntry {
            CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
            md5(coalesce(string_agg(CASE WHEN keep THEN chunk_text END, ' ' ORDER BY chunk_idx), '')) AS kept_fp
          FROM k GROUP BY doc_id ORDER BY doc_id""",
+    "q62_star_join" ->
+      """SELECT r_name, count(*) AS n_items,
+         CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "q63_tfidf_topterms" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+           FROM documents WHERE length(trim(text)) > 0),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         r AS (
+           SELECT doc_id, term, tf.tf, df.df,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tf.tf DESC, df.df ASC, term) AS rnk
+           FROM tf JOIN df USING (term))
+         SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
+         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q64_incremental_union" ->
+      """WITH n AS (
+           SELECT n_nationkey, n_name FROM nation
+           UNION ALL SELECT 99, 'graftland'),
+         s0 AS (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1),
+         s AS (
+           SELECT s_nationkey,
+             CASE WHEN s_nationkey = 0 THEN 42 ELSE n_suppliers END AS n_suppliers
+           FROM s0
+           UNION ALL
+           SELECT 0, 42 WHERE NOT EXISTS (SELECT 1 FROM s0 WHERE s_nationkey = 0))
+         SELECT COALESCE(n.n_nationkey, s.s_nationkey) AS "matchingKey",
+           n.n_name, s.n_suppliers
+         FROM n FULL OUTER JOIN s ON n.n_nationkey = s.s_nationkey
+         ORDER BY 1""",
     "q61_source_profile" ->
       """WITH t AS (
            SELECT source, lang,

@@ -140,6 +140,22 @@ class IncrementalGraphSpec extends SparkSpec {
     assert(inc.table("grades").collect().head.getAs[String]("_entryId") == "fixed-id-1")
   }
 
+  test("union insert on an EXISTING key merges onto the derived row (no duplicate)") {
+    val cfg = PipelineConfig.fromYaml(yaml)
+    val inc = new IncrementalGraph(spark, cfg)
+    inc.insert("users", rows(userSchema, Row("Alex", 22L)))
+    inc.insert("grades", rows(gradeSchema, Row("Alex", 90L)))
+    // second insert for the same key: the source log now holds two Alex
+    // rows, but the union must upsert — incoming age overwrites, grade
+    // stats remain (reference transform.rs:176-228)
+    inc.insert("users", rows(userSchema, Row("Alex", 33L)))
+    val profile = inc.table("profile").collect()
+    assert(profile.count(_.getAs[String]("matchingKey") == "Alex") == 1)
+    val alex = profile.find(_.getAs[String]("matchingKey") == "Alex").get
+    assert(alex.getAs[Long]("age") == 33L)
+    assert(alex.getAs[Long]("sum") == 90L)
+  }
+
   test("duplicate derived rows retract by multiplicity, not wholesale") {
     val cfg = PipelineConfig.fromYaml(
       """tables:
