@@ -17,23 +17,23 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The 5-way star join both [[entry]] and q62 aggregate over: dimensions
+    * broadcast, lineitem shuffles exactly once (on l_orderkey). */
+  private def starJoin(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+
   /** Flagship: revenue by region — a 5-way join + aggregation whose plan
     * broadcasts every dimension table and shuffles lineitem exactly once. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val lineitem = T(spark, dir, "lineitem"); val orders = T(spark, dir, "orders")
-    val customer = T(spark, dir, "customer"); val nation = T(spark, dir, "nation")
-    val region = T(spark, dir, "region")
-    lineitem
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+  def entry(spark: SparkSession): DataFrame =
+    starJoin(spark, "/root/testdata/sf0.001")
       .groupBy(col("r_name"))
       .agg(count(lit(1)).as("n_items"),
            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("r_name"))
-  }
 
   private def registerActions(): Unit =
     ActionRegistry.register(GraftAction(
@@ -616,11 +616,7 @@ object SparkEntry {
     //    lineitem shuffles exactly once (on l_orderkey); revenue
     //    integerized to cents so the sum is order-independent and exact
     "q62_star_join" -> ((s, dir) => {
-      T(s, dir, "lineitem")
-        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      starJoin(s, dir)
         .groupBy("r_name")
         .agg(count(lit(1)).as("n_items"),
           sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)

@@ -152,6 +152,8 @@ object DedupOps {
     val p = pairs.select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = p.union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    if (rounds <= 0) // node set with untouched identity labels
+      return edges.select(col("id_a").as("id")).distinct().withColumn("label", col("id"))
     // Fused init+first round: labels start as each node's own id, so round
     // 1's propagated label is simply min(self, min(neighbor)) — ONE hash
     // aggregate, no join against an identity label table.
@@ -240,12 +242,17 @@ object DedupOps {
     */
   def passageDedup(df: DataFrame, textCol: String, idCol: String,
                    chunkTokens: Int = 32): DataFrame = {
+    // persist: chunking (tokenize + explode + md5) feeds both the
+    // first-occurrence aggregate and the probe side of the join — without
+    // the cache the whole chunk pipeline executes twice (post-shuffle
+    // stages are not deduplicated by exchange reuse)
     val chunks = TextFunctions.chunkByTokens(df, textCol, idCol, chunkTokens, overlap = 0)
       .select(col(idCol), col("chunk_idx"), col("chunk_text"),
         hash60(col("chunk_text")).as("h"),
         // encodes (doc, idx) as one orderable key; chunk_idx < 1e6 given
         // any realistic document length (idx counts chunks, not tokens)
         (col(idCol) * 1000000L + col("chunk_idx")).as("okey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstOcc = chunks.groupBy("h").agg(min(col("okey")).as("first_key"))
     chunks.join(firstOcc, Seq("h"))
       .withColumn("keep", col("okey") === col("first_key"))

@@ -157,48 +157,43 @@ final class IncrementalGraph(
           (others.unionByName(recomputed), recomputed, oldRows)
         case u: UnionTableConfig =>
           val fks = u.tablesAndForeignKeys.collect { case (t, fk) if t == src => fk }
-          if (deleted.isEmpty) {
-            // Pure insert — the reference's per-row upsert, applied per
-            // batch: each incoming row merges ONTO the current derived row
-            // for its key (incoming columns overwrite, transform.rs:176-228);
-            // an unseen key creates a new row. O(delta) — no replay of the
-            // source log, so duplicate keys accumulated in an append-log
-            // source can never fan out into duplicate derived rows.
-            // (Rows within ONE insert batch are assumed key-unique per fk;
-            // the reference would fold them in arrival order, which a batch
-            // does not define.)
-            val keys = fks.map(fk => inserted.select(col(fk).as("__k")))
+          val insertOnly = deleted.isEmpty
+          val keys =
+            (if (insertOnly) fks.map(fk => inserted.select(col(fk).as("__k")))
+             else fks.map(fk => inserted.select(col(fk).as("__k"))
+               .unionByName(deleted.select(col(fk).as("__k")))))
               .reduce(_.unionByName(_)).distinct()
-            val matKeys = broadcast(keys)
-            val cur = mat(u.name)
-            val oldRows = checkpoint(
-              cur.join(matKeys, cur(MatchingKey) <=> matKeys("__k"), "left_semi"))
-            val others = cur.join(matKeys, cur(MatchingKey) <=> matKeys("__k"), "left_anti")
-            val upserted = checkpoint(Transforms.union(
-              (oldRows, MatchingKey) +: fks.map(fk => (inserted, fk))))
-            (others.unionByName(upserted), upserted, oldRows)
-          } else {
-            // Delete (or derived upsert = delete+insert): rebuild the
-            // affected keys from the remaining input rows. NOTE: if an
-            // append-log source holds multiple rows for a rebuilt key, each
-            // survives the rebuild (the per-edit arrival order that would
-            // pick a winner is not recorded); the insert path above never
-            // creates that state for union-derived tables themselves.
-            val keys = fks.map(fk => inserted.select(col(fk).as("__k"))
-                .unionByName(deleted.select(col(fk).as("__k"))))
-              .reduce(_.unionByName(_)).distinct()
-            val inputsFiltered = u.tablesAndForeignKeys.map { case (t, fk) =>
-              val m = mat(t)
-              (m.join(broadcast(keys), m(fk) <=> keys("__k"), "left_semi"), fk)
+          val matKeys = broadcast(keys)
+          val cur = mat(u.name)
+          val oldRows = checkpoint(
+            cur.join(matKeys, cur(MatchingKey) <=> matKeys("__k"), "left_semi"))
+          val others = cur.join(matKeys, cur(MatchingKey) <=> matKeys("__k"), "left_anti")
+          val replacement =
+            if (insertOnly) {
+              // Pure insert — the reference's per-row upsert, applied per
+              // batch: each incoming row merges ONTO the current derived
+              // row for its key (incoming columns overwrite,
+              // transform.rs:176-228); an unseen key creates a new row.
+              // O(delta) — no replay of the source log, so duplicate keys
+              // accumulated in an append-log source can never fan out into
+              // duplicate derived rows. (Rows within ONE insert batch are
+              // assumed key-unique per fk; the reference would fold them in
+              // arrival order, which a batch does not define.)
+              checkpoint(Transforms.union(
+                (oldRows, MatchingKey) +: fks.map(fk => (inserted, fk))))
+            } else {
+              // Delete (or derived upsert = delete+insert): rebuild the
+              // affected keys from the remaining input rows. NOTE: if an
+              // append-log source holds multiple rows for a rebuilt key,
+              // each survives the rebuild (the per-edit arrival order that
+              // would pick a winner is not recorded); the insert path above
+              // never creates that state for union-derived tables.
+              checkpoint(Transforms.union(u.tablesAndForeignKeys.map { case (t, fk) =>
+                val m = mat(t)
+                (m.join(matKeys, m(fk) <=> matKeys("__k"), "left_semi"), fk)
+              }))
             }
-            val recomputed = checkpoint(Transforms.union(inputsFiltered))
-            val matKeys = broadcast(keys)
-            val cur = mat(u.name)
-            val oldRows = checkpoint(
-              cur.join(matKeys, cur(MatchingKey) <=> matKeys("__k"), "left_semi"))
-            val others = cur.join(matKeys, cur(MatchingKey) <=> matKeys("__k"), "left_anti")
-            (others.unionByName(recomputed), recomputed, oldRows)
-          }
+          (others.unionByName(replacement), replacement, oldRows)
       }
       mat(d.name) = checkpoint(next)
       notifyListeners(d.name, ins, del)

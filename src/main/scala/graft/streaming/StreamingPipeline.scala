@@ -35,9 +35,11 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
   private val memStreams = scala.collection.mutable.Map.empty[String, MemoryStream[Row]]
   private val frames = scala.collection.mutable.Map.empty[String, DataFrame]
   private val busFeeds = scala.collection.concurrent.TrieMap.empty[String, StreamingQuery]
-  val listenBus: ListenBus = new ListenBus(table =>
+  val listenBus: ListenBus = new ListenBus({ (table, keyColumns) =>
+    require(frames.contains(table), s"no table named $table")
     busFeeds.getOrElseUpdate(table,
-      startQuery(table, Nil)((ins, del) => listenBus.publish(table, ins, del))))
+      startQuery(table, keyColumns)((ins, del) => listenBus.publish(table, ins, del)))
+  })
 
   config.topoOrder.foreach {
     case s: SourceTableConfig =>
@@ -204,15 +206,22 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
 }
 
 /** Per-table subscriber registry (the analog of the reference's
-  * ListenerHook fan-out, listener_hook.rs:33-87). `onFirstSubscribe` fires
-  * exactly once per table — the pipeline uses it to lazily start the single
-  * internal query that feeds all of that table's subscribers. */
-final class ListenBus(onFirstSubscribe: String => Unit = _ => ()) {
+  * ListenerHook fan-out, listener_hook.rs:33-87). `ensureFeed` runs on
+  * EVERY subscribe, BEFORE the callback is registered — the pipeline uses
+  * it to validate the table name and idempotently start the single
+  * internal query that feeds all of that table's subscribers (so a feed
+  * stopped by `close()` restarts on the next subscribe, and a bad table
+  * name registers nothing). `keyColumns` is forwarded to the feed for
+  * Delete(old) synthesis on upsert plans whose key is not config-inferable
+  * (e.g. a function table downstream of an aggregation); only the
+  * subscribe that actually starts the feed picks them. */
+final class ListenBus(ensureFeed: (String, Seq[String]) => Unit = (_, _) => ()) {
   private val subs = scala.collection.concurrent.TrieMap
     .empty[String, List[(Seq[Row], Seq[Row]) => Unit]]
-  def subscribe(table: String)(cb: (Seq[Row], Seq[Row]) => Unit): Unit = {
-    val updated = subs.updateWith(table) { cur => Some(cb :: cur.getOrElse(Nil)) }
-    if (updated.exists(_.lengthCompare(1) == 0)) onFirstSubscribe(table)
+  def subscribe(table: String, keyColumns: Seq[String] = Nil)
+               (cb: (Seq[Row], Seq[Row]) => Unit): Unit = {
+    ensureFeed(table, keyColumns)
+    subs.updateWith(table) { cur => Some(cb :: cur.getOrElse(Nil)) }
   }
   def publish(table: String, inserts: Seq[Row], deletes: Seq[Row]): Unit =
     subs.getOrElse(table, Nil).foreach(cb => cb(inserts, deletes))

@@ -134,6 +134,25 @@ class StreamingSpec extends SparkSpec {
     } finally p.close()
   }
 
+  test("bus feed restarts after close(); unknown table registers nothing") {
+    val p = new StreamingPipeline(spark, PipelineConfig.fromYaml(yaml))
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    p.listenBus.subscribe("derived") { (ins, _) =>
+      got.synchronized { got ++= ins.map(_.getAs[Long]("curved")) }
+    }
+    p.close() // stops the feed but keeps the subscriber
+    // a new subscribe must restart the feed for BOTH subscribers
+    p.listenBus.subscribe("derived") { (_, _) => () }
+    try {
+      p.insert("grades", Seq(Row("Alex", 95L)))
+      p.processAllAvailable()
+      assert(got.toSeq == Seq(100L))
+      // a bad table name must throw BEFORE registering the callback
+      assertThrows[IllegalArgumentException](
+        p.listenBus.subscribe("no_such_table") { (_, _) => () })
+    } finally p.close()
+  }
+
   test("watermarked tumbling-window aggregation drops late data past the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
