@@ -670,6 +670,25 @@ object SparkEntry {
       g.table("merged").select("matchingKey", "n_name", "n_suppliers")
         .orderBy("matchingKey")
     }),
+    // ── extension: time-series resample + gap-fill — hourly buckets per
+    //    user with zero-filled missing hours (sequence explode is bounded
+    //    by each user's own span; the join is equi on (user, hour)).
+    //    `div` keeps the bucketing in int64 — double division would lose
+    //    precision on epoch-nanos magnitudes
+    "q65_resample" -> ((s, dir) => {
+      val e = T(s, dir, "events").where(col("user_id") < 10)
+        .select(col("user_id"), expr("ts div 3600000000000").as("hr"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val agg = e.groupBy("user_id", "hr")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      val spanned = agg.groupBy("user_id").agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+      spanned.join(agg, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
+        .orderBy("user_id", "hr")
+    }),
     // ── extension: per-source corpus profile (docs, token mass, language
     //    spread, exact-dup rate) — the per-domain quality report a crawl
     //    pipeline runs before sampling
@@ -1276,6 +1295,22 @@ object SparkEntry {
            n.n_name, s.n_suppliers
          FROM n FULL OUTER JOIN s ON n.n_nationkey = s.s_nationkey
          ORDER BY 1""",
+    "q65_resample" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr,
+             CAST(round(value*100) AS BIGINT) AS cents
+           FROM events WHERE user_id < 10),
+         agg AS (
+           SELECT user_id, hr, count(*) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+           FROM e GROUP BY 1, 2),
+         spanned AS (
+           SELECT user_id, unnest(range(min(hr), max(hr)+1)) AS hr
+           FROM agg GROUP BY user_id)
+         SELECT s.user_id, s.hr, coalesce(a.n_events, 0) AS n_events,
+           coalesce(a.sum_cents, 0) AS sum_cents
+         FROM spanned s LEFT JOIN agg a ON a.user_id = s.user_id AND a.hr = s.hr
+         ORDER BY s.user_id, s.hr""",
     "q61_source_profile" ->
       """WITH t AS (
            SELECT source, lang,

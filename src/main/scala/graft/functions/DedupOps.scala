@@ -265,21 +265,33 @@ object DedupOps {
           s => s("chunk_text")), " "), lit("utf-8"))).as("kept_fp"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via set-similarity join:
-    * |a∩b| is the per-pair row count of the shingle self-join (shingle
-    * sets are distinct per doc), set sizes travel as scalars, and
-    * jaccard = c / (|a| + |b| - c) — no array payloads ever cross the
-    * shuffle. The join key is the 60-bit [[hash60]] of the shingle, not
-    * the string: 8-byte fixed-width shuffle keys instead of ~30-byte
-    * strings (and the oracle joins on the identical hash, so even a
-    * collision — P ≈ n²/2^61 — can't diverge the two engines).
+  /** Exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED
+    * set-similarity join (SSJoin/PPJoin family — Chaudhuri/Ganti/Kaushik
+    * ICDE 2006, Xiao et al. WWW 2008):
+    *
+    * Under a global rarest-first token order (doc frequency asc, hash
+    * asc), any pair with jaccard ≥ t shares its smallest common token
+    * inside BOTH docs' first (|s| - ⌈t·|s|⌉ + 1) tokens — proof: J ≥ t
+    * implies |a∩b| ≥ t·|a|, so if every token before the smallest common
+    * one were non-shared the intersection couldn't reach t·|a|. Candidate
+    * generation therefore joins ONLY on prefix tokens — the hottest
+    * (most frequent) tokens never enter the join, which removes the df²
+    * blowup that makes a naive shingle self-join quadratic on skewed
+    * corpora. Verification computes the exact intersection from each
+    * doc's full (deduped) hash set, so results are IDENTICAL to the
+    * naive join at any threshold.
+    *
+    * Join keys are 60-bit [[hash60]] values, not strings: 8-byte
+    * fixed-width shuffle keys (and the oracle joins on the identical
+    * hash, so even a collision — P ≈ n²/2^61 — can't diverge the two
+    * engines).
     *
     * Skew guard: shingles appearing in > `maxDocFreq` docs are dropped
-    * via a BROADCAST anti-join (the hot set is tiny by definition), so
-    * the guard never re-shuffles the exploded table; recall drops only
-    * for pairs whose every shared shingle is ubiquitous. `maxDocFreq <= 0`
-    * disables the guard entirely (skips the doc-frequency pass and its
-    * broadcast barrier — for corpora known to be skew-free). */
+    * via a BROADCAST anti-join (the hot set is tiny by definition);
+    * recall then drops only for pairs whose every shared shingle is
+    * ubiquitous. `maxDocFreq <= 0` disables the guard — with prefix
+    * filtering the guard is no longer needed for performance, it remains
+    * only as an explicit recall/cost knob. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Long = 1000): DataFrame = {
@@ -295,15 +307,57 @@ object DedupOps {
           .where(col("df") > maxDocFreq).select("h")
         ex.join(broadcast(hot), Seq("h"), "left_anti")
       }
-    val common = filtered
-      .select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
-      .join(filtered.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")),
-        Seq("h"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("c"))
-    common
-      .select(col("id_a"), col("id_b"),
-        (col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c"))).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    if (threshold >= PrefixFilterThreshold) {
+      // prefix-filtered path: join cost scales with (1-t)² of the naive
+      // join AND skips the hottest tokens — the win grows with t
+      val dfreq = filtered.groupBy("h").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("df", "h")
+      val prefix = filtered.join(dfreq, Seq("h"))
+        .withColumn("pos", row_number().over(w))
+        .where(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        .select("h", "id", "sz")
+      // candidates: pairs sharing ≥1 prefix token (complete by the prefix
+      // lemma above); distinct — two prefixes may share several tokens
+      val cand = prefix.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+        .join(prefix.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")), Seq("h"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sz_a", "sz_b").distinct()
+      // exact verification: intersection of the full (post-guard) hash
+      // sets; |a| and |b| stay the ORIGINAL set sizes (guard semantics:
+      // dropped hot shingles can't count as shared, but still count
+      // toward size)
+      val sets = filtered.groupBy("id").agg(collect_list(col("h")).as("hs"))
+      cand
+        .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("hs_a"), col("hs_b"))).as("c"),
+          col("sz_a"), col("sz_b"))
+        .select(col("id_a"), col("id_b"),
+          (col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c"))).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+    } else {
+      // low thresholds: the prefix keeps > half of every doc, so its
+      // extra shuffles (df join, per-doc window, verification joins) cost
+      // more than they prune — the direct count join is cheaper, and the
+      // maxDocFreq guard covers skew
+      val common = filtered
+        .select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+        .join(filtered.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")),
+          Seq("h"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("c"))
+      common
+        .select(col("id_a"), col("id_b"),
+          (col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c"))).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+    }
   }
+
+  /** Threshold at or above which [[ngramJaccardPairs]] switches from the
+    * direct count join to the prefix-filtered join (prefix length is
+    * (1-t)·|s|+1, so below ~0.5 the prefix stops pruning half the doc and
+    * the filter's extra shuffles outweigh the savings). */
+  val PrefixFilterThreshold = 0.5
 }

@@ -24,4 +24,25 @@ object TableStore {
 
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Save as a BUCKETED catalog table: rows are hash-clustered into
+    * `buckets` files per partition on `bucketCols` (optionally sorted
+    * within each bucket). Two tables bucketed the same way join WITHOUT
+    * any shuffle — at 100 TB this converts every recurring fact⋈fact
+    * equi-join on the bucket key from a full-network exchange into a
+    * local merge per bucket, the single biggest join optimization
+    * available when the key is known at write time. (Bucketing also
+    * pre-shuffles groupBy on the bucket key.) */
+  def saveBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                   buckets: Int, sortCols: Seq[String] = Nil,
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty, "bucketed save needs at least one bucket column")
+    val w = df.write.mode(mode)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
+  def loadTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }
