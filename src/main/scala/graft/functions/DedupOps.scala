@@ -300,22 +300,24 @@ object DedupOps {
       .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val filtered =
-      if (maxDocFreq <= 0) ex
-      else {
-        val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
-          .where(col("df") > maxDocFreq).select("h")
-        ex.join(broadcast(hot), Seq("h"), "left_anti")
-      }
     if (threshold >= PrefixFilterThreshold) {
       // prefix-filtered path: join cost scales with (1-t)² of the naive
-      // join AND skips the hottest tokens — the win grows with t
-      val dfreq = filtered.groupBy("h").agg(count(lit(1)).as("df"))
+      // join AND skips the hottest tokens — the win grows with t. The
+      // doc-frequency join powers BOTH the guard filter and the prefix
+      // order, so the df aggregate runs exactly once.
+      val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      val withDf = ex.join(dfreq, Seq("h"))
+      val filtered =
+        if (maxDocFreq <= 0) withDf else withDf.where(col("df") <= maxDocFreq)
+      // prefix length |s| - ceil(t·|s|) + 1; the 1e-9 nudge keeps an IEEE
+      // product like 0.55·100 = 55.000000000000006 from ceiling one too
+      // high and silently SHORTENING the prefix (dropping true pairs) —
+      // nudging down can only lengthen the prefix, which stays exact
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy("df", "h")
-      val prefix = filtered.join(dfreq, Seq("h"))
+      val prefix = filtered
         .withColumn("pos", row_number().over(w))
-        .where(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        .where(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
         .select("h", "id", "sz")
       // candidates: pairs sharing ≥1 prefix token (complete by the prefix
       // lemma above); distinct — two prefixes may share several tokens
@@ -324,10 +326,14 @@ object DedupOps {
         .where(col("id_a") < col("id_b"))
         .select("id_a", "id_b", "sz_a", "sz_b").distinct()
       // exact verification: intersection of the full (post-guard) hash
-      // sets; |a| and |b| stay the ORIGINAL set sizes (guard semantics:
-      // dropped hot shingles can't count as shared, but still count
-      // toward size)
-      val sets = filtered.groupBy("id").agg(collect_list(col("h")).as("hs"))
+      // sets — built ONLY for docs that appear in a candidate pair (the
+      // array payloads of non-candidates never cross a shuffle); |a| and
+      // |b| stay the ORIGINAL set sizes (guard semantics: dropped hot
+      // shingles can't count as shared, but still count toward size)
+      val candIds = cand.select(col("id_a").as("id"))
+        .union(cand.select(col("id_b").as("id"))).distinct()
+      val sets = filtered.join(candIds, Seq("id"), "left_semi")
+        .groupBy("id").agg(collect_list(col("h")).as("hs"))
       cand
         .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
         .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
@@ -341,7 +347,15 @@ object DedupOps {
       // low thresholds: the prefix keeps > half of every doc, so its
       // extra shuffles (df join, per-doc window, verification joins) cost
       // more than they prune — the direct count join is cheaper, and the
-      // maxDocFreq guard covers skew
+      // broadcast-anti hot-shingle guard covers skew without re-shuffling
+      // the exploded table
+      val filtered =
+        if (maxDocFreq <= 0) ex
+        else {
+          val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
+            .where(col("df") > maxDocFreq).select("h")
+          ex.join(broadcast(hot), Seq("h"), "left_anti")
+        }
       val common = filtered
         .select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
         .join(filtered.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")),

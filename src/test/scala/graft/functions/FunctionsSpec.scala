@@ -186,6 +186,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("prefix-filtered path matches the naive join exactly (incl. FP-ceiling thresholds)") {
+    // t = 0.55 on a 100-shingle doc tickles the IEEE ceil(0.55*100) = 56
+    // hazard; equality against the naive branch (same arithmetic, computed
+    // at a sub-cutoff threshold then re-filtered) proves exactness
+    import org.apache.spark.sql.functions.col
+    for (t <- Seq(0.5, 0.55, 0.8)) {
+      val fast = DedupOps.ngramJaccardPairs(df, "text", "doc_id", n = 3, threshold = t, maxDocFreq = 0)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      val naive = DedupOps.ngramJaccardPairs(df, "text", "doc_id", n = 3, threshold = 0.01, maxDocFreq = 0)
+        .where(col("jaccard") >= t)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(fast == naive, s"threshold $t diverged")
+    }
+  }
+
   test("dedupClusters labels connected components by min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val labels = DedupOps.dedupClusters(pairs)
