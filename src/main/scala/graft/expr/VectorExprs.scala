@@ -1,7 +1,8 @@
 package graft.expr
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -17,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * results are bit-identical to the lambda formulation.
   */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
   private def isFloatArray(dt: DataType): Boolean = dt match {
@@ -59,6 +60,40 @@ case class VecDot(left: Expression, right: Expression)
     acc
   }
 
+  /** Whole-stage codegen: the same primitive loop inlined into the stage
+    * (identical order of operations → bit-identical to nullSafeEval).
+    * A result can be null even for non-null inputs (length mismatch, null
+    * element), so this manages its own null flag instead of
+    * nullSafeCodeGen. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val a = ctx.freshName("a"); val b = ctx.freshName("b")
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    val getA = if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+    val getB = if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+    ev.copy(code = code"""
+      ${leftGen.code}
+      ${rightGen.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!(${leftGen.isNull}) && !(${rightGen.isNull})) {
+        org.apache.spark.sql.catalyst.util.ArrayData $a = ${leftGen.value};
+        org.apache.spark.sql.catalyst.util.ArrayData $b = ${rightGen.value};
+        int $n = $a.numElements();
+        if ($n == $b.numElements()) {
+          ${ev.isNull} = false;
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            $acc += $getA * $getB;
+          }
+          if (!${ev.isNull}) ${ev.value} = $acc;
+        }
+      }""")
+  }
+
   override def nullable: Boolean = true
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
@@ -70,7 +105,7 @@ case class VecDot(left: Expression, right: Expression)
   * primitive loop instead of `size(filter(zip_with(...)))`, which Spark
   * evaluates interpreted per pair. Null on length mismatch. */
 case class VecEqCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -95,6 +130,35 @@ case class VecEqCount(left: Expression, right: Expression)
       i += 1
     }
     c
+  }
+
+  /** Whole-stage codegen: same loop as nullSafeEval; manages its own null
+    * flag (null on length mismatch even for non-null inputs). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val a = ctx.freshName("a"); val b = ctx.freshName("b")
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val c = ctx.freshName("c")
+    ev.copy(code = code"""
+      ${leftGen.code}
+      ${rightGen.code}
+      boolean ${ev.isNull} = true;
+      int ${ev.value} = 0;
+      if (!(${leftGen.isNull}) && !(${rightGen.isNull})) {
+        org.apache.spark.sql.catalyst.util.ArrayData $a = ${leftGen.value};
+        org.apache.spark.sql.catalyst.util.ArrayData $b = ${rightGen.value};
+        int $n = $a.numElements();
+        if ($n == $b.numElements()) {
+          ${ev.isNull} = false;
+          int $c = 0;
+          for (int $i = 0; $i < $n; $i++) {
+            if (!$a.isNullAt($i) && !$b.isNullAt($i)
+                && $a.getLong($i) == $b.getLong($i)) $c++;
+          }
+          ${ev.value} = $c;
+        }
+      }""")
   }
 
   override def nullable: Boolean = true
@@ -266,7 +330,7 @@ case class SrpBucket(left: Expression, right: Expression)
   * fits in a Long (overflow wraps, as the reference's release build does).
   */
 case class IntPow(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -286,6 +350,26 @@ case class IntPow(left: Expression, right: Expression)
     }
     acc
   }
+
+  /** Whole-stage codegen: square-and-multiply inlined (wrapping Java long
+    * arithmetic — identical to nullSafeEval; result is never null for
+    * non-null inputs, so nullSafeCodeGen applies). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (aVal, bVal) => {
+      val base = ctx.freshName("base"); val exp = ctx.freshName("exp")
+      val acc = ctx.freshName("acc")
+      s"""
+        long $base = $aVal;
+        long $exp = $bVal < 0L ? -$bVal : $bVal;
+        long $acc = 1L;
+        while ($exp > 0L) {
+          if (($exp & 1L) == 1L) $acc *= $base;
+          $base *= $base;
+          $exp >>= 1;
+        }
+        ${ev.value} = $acc;
+      """
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): IntPow =
     copy(left = l, right = r)

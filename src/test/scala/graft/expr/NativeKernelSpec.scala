@@ -78,6 +78,38 @@ class NativeKernelSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("codegen'd kernels compile and match eval with codegen fallback DISABLED") {
+    // spark.sql.codegen.fallback=false turns a janino failure in our
+    // doGenCode implementations into a hard error instead of a silent
+    // regression to interpreted eval
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(
+        (Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f), Seq(1L, 2L, 3L), Seq(1L, 9L, 3L), 3L, -4L),
+        (Seq(0.5f, -1.5f), Seq(2.0f, 2.0f), Seq(7L, 8L), Seq(7L, 8L), 2L, 63L))
+        .toDF("a", "b", "x", "y", "p", "q")
+      val rows = df.select(
+        call_function("vec_dot", $"a", $"b").as("dot"),
+        call_function("vec_eq_count", $"x", $"y").as("eq"),
+        call_function("int_pow", $"p", $"q").as("pw")).collect()
+      assert(rows(0).getDouble(0) == (4.0 + 10.0 + 18.0))
+      assert(rows(0).getInt(1) == 2)
+      assert(rows(0).getLong(2) == 81L) // 3 ^ abs(-4)
+      assert(rows(1).getDouble(0) == (1.0 - 3.0))
+      assert(rows(1).getInt(1) == 2)
+      // 2^63 wraps to Long.MinValue on the JVM — the reference's
+      // release-mode wrapping semantics
+      assert(rows(1).getLong(2) == Long.MinValue)
+      // null paths: length mismatch and null element
+      val nulls = Seq((Seq(1.0f), Seq(1.0f, 2.0f), Seq(1L), Seq(2L, 3L)))
+        .toDF("a", "b", "x", "y")
+        .select(call_function("vec_dot", $"a", $"b"), call_function("vec_eq_count", $"x", $"y"))
+        .collect()
+      assert(nulls(0).isNullAt(0) && nulls(0).isNullAt(1))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("minhash lambda signature == explode-aggregate signatures") {
     val df = texts.toDF("doc_id", "text")
     val viaLambda = df
