@@ -170,10 +170,13 @@ object DedupOps {
     var r = 1
     var converged = false
     while (r < rounds && !converged) {
-      val prop = edges.join(labels, edges("id_b") === labels("id"))
-        .groupBy(edges("id_a").as("id")).agg(min(col("label")).as("nbr_label"))
-      labels = labels.join(prop, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // self-loops carry each node's own label through the aggregate, so
+      // one join + one min-aggregate replaces the join + aggregate +
+      // label-merge left-join shape (fewer exchanges per round; identical
+      // fixpoint — min(own, neighbors) either way)
+      val withSelf = edges.union(labels.select(col("id").as("id_a"), col("id").as("id_b")))
+      labels = withSelf.join(labels, withSelf("id_b") === labels("id"))
+        .groupBy(withSelf("id_a").as("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(false)
       val curSum = labels.agg(sum("label")).head().getLong(0)
       converged = curSum == prevSum
