@@ -689,6 +689,23 @@ object SparkEntry {
           coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
         .orderBy("user_id", "hr")
     }),
+    // ── §2.5 joins checklist: explicit LEFT SEMI and LEFT ANTI operators
+    //    (existence joins — never materialize the probe side's columns)
+    "q66_semi_anti" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      val orders = T(s, dir, "orders")
+      val active = cust
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_active"))
+      val inactive = cust
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_inactive"))
+      active.join(inactive, Seq("c_nationkey"), "full_outer")
+        .select(col("c_nationkey"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+        .orderBy("c_nationkey")
+    }),
     // ── extension: per-source corpus profile (docs, token mass, language
     //    spread, exact-dup rate) — the per-domain quality report a crawl
     //    pipeline runs before sampling
@@ -1311,6 +1328,20 @@ object SparkEntry {
            coalesce(a.sum_cents, 0) AS sum_cents
          FROM spanned s LEFT JOIN agg a ON a.user_id = s.user_id AND a.hr = s.hr
          ORDER BY s.user_id, s.hr""",
+    "q66_semi_anti" ->
+      """WITH a AS (
+           SELECT c_nationkey, count(*) AS n_active FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           GROUP BY 1),
+         i AS (
+           SELECT c_nationkey, count(*) AS n_inactive FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           GROUP BY 1)
+         SELECT COALESCE(a.c_nationkey, i.c_nationkey) AS c_nationkey,
+           coalesce(a.n_active, 0) AS n_active,
+           coalesce(i.n_inactive, 0) AS n_inactive
+         FROM a FULL OUTER JOIN i ON a.c_nationkey = i.c_nationkey
+         ORDER BY 1""",
     "q61_source_profile" ->
       """WITH t AS (
            SELECT source, lang,

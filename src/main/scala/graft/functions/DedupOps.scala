@@ -104,19 +104,25 @@ object DedupOps {
     *
     * Output: (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
     */
+  /** LSH banding of a signature table (id, sig) → (band, band_key, id,
+    * sig): one row per band, keyed by the band's joined values. */
+  private def bandSignatures(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1), lit(1)),
+        b => array_join(slice(col("sig"), b * r + 1, lit(r)).cast("array<string>"), ","))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+  }
+
   def minhashCandidatePairs(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, bands: Int = 16, ngram: Int = 3, threshold: Double = 0.7): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     // signatures are ~100× more expensive than the join — materialize once
     // so the self-join's two sides don't each recompute k×|shingles| hashes
     val sigs = minhashSignatures(df, textCol, idCol, k, ngram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1), lit(1)),
-        b => array_join(slice(col("sig"), b * r + 1, lit(r)).cast("array<string>"), ","))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val banded = bandSignatures(sigs, k, bands)
     val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_key"))
@@ -126,6 +132,56 @@ object DedupOps {
           .cast("double") / lit(k)).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .distinct()
+  }
+
+  /** Incremental MinHash-LSH dedup: dedup a NEW batch of documents against
+    * an existing signature store (and against itself) WITHOUT recomputing
+    * or rescanning the corpus text. Returns
+    * `(survivors of newDocs, updated signature store)` — feed the updated
+    * store to the next increment.
+    *
+    * Cost is O(increment): only the increment's signatures are computed
+    * (one text pass); the store side is a map-only banding of stored
+    * signatures semi-joined down to the increment's buckets before any
+    * pair scoring. At 100 TB this replaces a full-corpus dedup per
+    * ingestion batch with work proportional to the batch — persist the
+    * store bucketed on (band, band_key) ([[graft.sources.TableStore
+    * .saveBucketed]]) and the semi-join prunes at the scan.
+    *
+    * Drop rule: a new doc matching ANY stored doc (est_jaccard ≥
+    * threshold) is dropped; within the increment, min-id-wins (same as
+    * [[minhashDedup]]). Stored docs are never dropped — the store only
+    * grows, keeping increments idempotent-safe to re-run. */
+  def incrementalMinhashDedup(
+      newDocs: DataFrame, textCol: String, idCol: String, existingSigs: DataFrame,
+      k: Int = 64, bands: Int = 16, ngram: Int = 3, threshold: Double = 0.7)
+      : (DataFrame, DataFrame) = {
+    graft.expr.GraftFunctions.register(newDocs.sparkSession)
+    val newSigs = minhashSignatures(newDocs, textCol, idCol, k, ngram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBanded = bandSignatures(newSigs, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val storeBanded = bandSignatures(existingSigs, k, bands)
+      .join(newBanded.select("band", "band_key").distinct(),
+        Seq("band", "band_key"), "left_semi")
+    def score(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, Seq("band", "band_key"))
+        .select(col("id_a"), col("id_b"),
+          (call_function("vec_eq_count", col("sig_a"), col("sig_b"))
+            .cast("double") / lit(k)).as("est_jaccard"))
+        .where(col("est_jaccard") >= threshold)
+    val newA = newBanded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val newB = newBanded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val storeB = storeBanded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // vs store: ANY match drops the new doc; within batch: min-id-wins
+    val dropVsStore = score(newA, storeB).select(col("id_a").as("drop_id"))
+    val dropInBatch = score(newA, newB).where(col("id_a") < col("id_b"))
+      .select(col("id_b").as("drop_id"))
+    val dropIds = dropVsStore.union(dropInBatch).distinct()
+    val survivors = newDocs.join(dropIds, newDocs(idCol) === dropIds("drop_id"), "left_anti")
+    val updatedSigs = existingSigs.unionByName(
+      newSigs.join(dropIds, newSigs("id") === dropIds("drop_id"), "left_anti"))
+    (survivors, updatedSigs)
   }
 
   /** MinHash-LSH dedup: rows whose id appears as the larger member of a

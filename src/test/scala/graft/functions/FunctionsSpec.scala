@@ -136,6 +136,31 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("incrementalMinhashDedup absorbs a new batch against the signature store") {
+    // store: the deduped base corpus (docs 1, 4, 5)
+    val base = df.where($"doc_id".isin(1L, 4L, 5L))
+    val store = DedupOps.minhashSignatures(base, "text", "doc_id")
+    // increment: a dup of stored doc 1, a new doc 10, and a dup of 10
+    val incr = Seq(
+      (9L, corpus(2)._2), // near dup of stored doc 1
+      (10L, "fresh material on vector indexes and coarse quantizers for retrieval"),
+      (11L, "fresh material on vector indexes and coarse quantizers for search"))
+      .toDF("doc_id", "text")
+    val (survivors, updated) = DedupOps.incrementalMinhashDedup(
+      incr, "text", "doc_id", store, threshold = 0.5)
+    // 9 matches the store → dropped; 10 survives; 11 dups 10 → min-id-wins
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L))
+    // the store grew by exactly the surviving signature
+    assert(updated.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 4L, 5L, 10L))
+    // idempotence: re-running the same increment against the updated store
+    // drops everything (9 and 11 still match; 10 now matches its own
+    // stored signature)
+    val (again, updated2) = DedupOps.incrementalMinhashDedup(
+      incr, "text", "doc_id", updated, threshold = 0.5)
+    assert(again.count() == 0)
+    assert(updated2.count() == updated.count())
+  }
+
   test("est_jaccard is the true agreement fraction, and the threshold filters") {
     val all = DedupOps.minhashCandidatePairs(df, "text", "doc_id",
       k = 64, bands = 16, ngram = 3, threshold = 0.0)
@@ -198,6 +223,25 @@ class DedupOpsSpec extends SparkSpec {
         .where(col("jaccard") >= t)
         .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
       assert(fast == naive, s"threshold $t diverged")
+    }
+  }
+
+  test("prefix-filtered path matches naive on random corpora (seeded)") {
+    // small vocab forces heavy shingle sharing — the regime where prefix
+    // filtering has to work hardest to stay exact
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3; t <- Seq(0.5, 0.62)) {
+      val docs = (1L to 14L).map { id =>
+        val len = 3 + rnd.nextInt(9)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }.toDF("doc_id", "text")
+      val fast = DedupOps.ngramJaccardPairs(docs, "text", "doc_id", n = 2, threshold = t, maxDocFreq = 0)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      val naive = DedupOps.ngramJaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.01, maxDocFreq = 0)
+        .where(col("jaccard") >= t)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(fast == naive, s"trial $trial t=$t diverged")
     }
   }
 
