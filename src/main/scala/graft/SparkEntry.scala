@@ -689,6 +689,19 @@ object SparkEntry {
           coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
         .orderBy("user_id", "hr")
     }),
+    // ── extension: INCREMENTAL MinHash dedup — absorb a new batch against
+    //    an existing signature store in O(increment) (store side is banded
+    //    map-only and semi-joined to the increment's buckets; corpus text
+    //    is never rescanned)
+    "q67_incremental_minhash" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val store = DedupOps.minhashSignatures(
+        docs.where(col("doc_id") < 400), "text", "doc_id")
+      val incr = docs.where(col("doc_id") >= 400)
+      val (survivors, _) = DedupOps.incrementalMinhashDedup(
+        incr, "text", "doc_id", store, k = 64, bands = 16, ngram = 3, threshold = 0.5)
+      survivors.select("doc_id").orderBy("doc_id")
+    }),
     // ── §2.5 joins checklist: explicit LEFT SEMI and LEFT ANTI operators
     //    (existence joins — never materialize the probe side's columns)
     "q66_semi_anti" -> ((s, dir) => {
@@ -1328,6 +1341,26 @@ object SparkEntry {
            coalesce(a.sum_cents, 0) AS sum_cents
          FROM spanned s LEFT JOIN agg a ON a.user_id = s.user_id AND a.hr = s.hr
          ORDER BY s.user_id, s.hr""",
+    "q67_incremental_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-2,0)+1)]) AS s FROM toks),
+         hs AS (SELECT doc_id, list_transform(s, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % 1073741789) AS ms FROM sh WHERE len(s) > 0),
+         sigs AS (SELECT doc_id, [list_min(list_transform(ms, m -> (m*(2*i+1) + i*7919 + 1) % 1073741789)) for i in range(0, 64)] AS sig FROM hs),
+         store AS (SELECT * FROM sigs WHERE doc_id < 400),
+         nw AS (SELECT * FROM sigs WHERE doc_id >= 400),
+         vs AS (SELECT a.doc_id AS id_a, a.sig AS sa, s.sig AS sb
+                FROM nw a JOIN store s ON true),
+         vb AS (SELECT a.doc_id AS id_a, a.sig AS sa, b.sig AS sb
+                FROM nw a JOIN nw b ON b.doc_id < a.doc_id),
+         cand AS (SELECT * FROM vs UNION ALL SELECT * FROM vb),
+         est AS (SELECT id_a,
+             CAST(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) AS DOUBLE)/64 AS est_jaccard,
+             len(list_filter(range(0, 16), b -> sa[b*4+1:b*4+4] = sb[b*4+1:b*4+4])) AS nb
+           FROM cand)
+         SELECT doc_id FROM documents
+         WHERE doc_id >= 400
+           AND doc_id NOT IN (SELECT id_a FROM est WHERE nb > 0 AND est_jaccard >= 0.5)
+         ORDER BY doc_id""",
     "q66_semi_anti" ->
       """WITH a AS (
            SELECT c_nationkey, count(*) AS n_active FROM customer
