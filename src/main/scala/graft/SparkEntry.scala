@@ -702,6 +702,18 @@ object SparkEntry {
         incr, "text", "doc_id", store, k = 64, bands = 16, ngram = 3, threshold = 0.5)
       survivors.select("doc_id").orderBy("doc_id")
     }),
+    // ── extension: bucketed RANGE join (point-in-interval, overlapping
+    //    bands) — equi join on quantized buckets + exact re-check, never a
+    //    nested-loop/cartesian plan (operators.RangeJoin)
+    "q68_range_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      val bands = s.range(60).select(col("id").as("band_id"),
+        (col("id") * 300).as("lo"), (col("id") * 300 + 500).as("hi"))
+      graft.operators.RangeJoin.bucketed(ev, bands, "cents", "lo", "hi", bucketWidth = 500)
+        .groupBy("band_id").agg(count(lit(1)).as("n_events"))
+        .orderBy("band_id")
+    }),
     // ── §2.5 joins checklist: explicit LEFT SEMI and LEFT ANTI operators
     //    (existence joins — never materialize the probe side's columns)
     "q66_semi_anti" -> ((s, dir) => {
@@ -1361,6 +1373,15 @@ object SparkEntry {
          WHERE doc_id >= 400
            AND doc_id NOT IN (SELECT id_a FROM est WHERE nb > 0 AND est_jaccard >= 0.5)
          ORDER BY doc_id""",
+    "q68_range_join" ->
+      """WITH ev AS (
+           SELECT event_id, CAST(round(value*100) AS BIGINT) AS cents FROM events),
+         bands AS (
+           SELECT b AS band_id, b*300 AS lo, b*300 + 500 AS hi
+           FROM (SELECT unnest(range(0, 60)) AS b))
+         SELECT band_id, count(*) AS n_events
+         FROM ev JOIN bands ON cents >= lo AND cents < hi
+         GROUP BY 1 ORDER BY 1""",
     "q66_semi_anti" ->
       """WITH a AS (
            SELECT c_nationkey, count(*) AS n_active FROM customer

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bucketed range join: join a point column against an interval table
+  * (`lo <= point < hi`) WITHOUT a broadcast-nested-loop or cartesian plan.
+  *
+  * Spark executes a bare non-equi join as BroadcastNestedLoopJoin (fine
+  * only when one side is tiny) or a cartesian product (never fine). The
+  * scale path is the classic bucketization: quantize the domain into
+  * fixed-width buckets, explode each interval onto every bucket it spans,
+  * equi-join point-bucket = interval-bucket, then re-check the exact
+  * predicate. Both sides shuffle ONCE on the bucket key; the blowup is
+  * bounded by ceil(interval_width / bucketWidth) + 1 rows per interval —
+  * pick `bucketWidth` near the typical interval width so intervals
+  * explode to O(1) buckets.
+  *
+  * Works for any orderable numeric domain (timestamps as epoch longs,
+  * prices as cents, ...). Intervals are half-open [lo, hi).
+  */
+object RangeJoin {
+  /** Join `points` (with numeric `pointCol`) to `intervals` (with numeric
+    * `loCol`/`hiCol`, half-open) on containment. All three columns must be
+    * integral (LongType-compatible); quantization is exact integer
+    * arithmetic, so the result equals the naive theta join exactly. */
+  def bucketed(points: DataFrame, intervals: DataFrame,
+               pointCol: String, loCol: String, hiCol: String,
+               bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__bucket", floorDiv(pointCol, bucketWidth))
+    // explode each interval onto the buckets it spans: floorDiv(lo) ..
+    // floorDiv(hi - 1) (hi is exclusive; empty intervals span nothing)
+    val iv = intervals
+      .where(col(loCol) < col(hiCol))
+      .withColumn("__bucket",
+        explode(sequence(floorDiv(loCol, bucketWidth),
+          floorDiv(s"(`$hiCol`) - 1", bucketWidth))))
+    p.join(iv, Seq("__bucket"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bucket")
+  }
+
+  /** Exact floor division of an integral SQL expression. Subtracting
+    * pmod first makes the numerator an exact multiple, so truncating
+    * `div` IS floor division even for negatives — and everything stays in
+    * int64 (a double `/` would corrupt epoch-nanosecond magnitudes). */
+  private def floorDiv(e: String, w: Long): Column = {
+    val ex = if (e.contains("`") || e.contains("(")) e else s"`$e`"
+    expr(s"(($ex) - pmod(($ex), ${w}L)) div ${w}L")
+  }
+}
