@@ -96,14 +96,6 @@ object DedupOps {
       .select(col("id"), array((0 until k).map(s => col(s"m$s")): _*).as("sig"))
   }
 
-  /** LSH candidate pairs from MinHash signatures: band the signature,
-    * shuffle once on (band, bandKey), emit intra-bucket pairs, then keep
-    * pairs whose full-signature agreement ≥ `threshold` (the MinHash
-    * estimate of Jaccard similarity). Agreement is counted by the native
-    * [[graft.expr.VecEqCount]] kernel.
-    *
-    * Output: (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
-    */
   /** LSH banding of a signature table (id, sig) → (band, band_key, id,
     * sig): one row per band, keyed by the band's joined values. */
   private def bandSignatures(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
@@ -115,6 +107,29 @@ object DedupOps {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
   }
 
+  /** Rename a banded table to one side of a pair join (suffix "a"/"b"). */
+  private def bandSide(banded: DataFrame, side: String): DataFrame =
+    banded.select(col("band"), col("band_key"),
+      col("id").as(s"id_$side"), col("sig").as(s"sig_$side"))
+
+  /** Join two banded sides on their bucket and keep pairs whose
+    * full-signature agreement ≥ `threshold` (the MinHash Jaccard
+    * estimate, counted by the native [[graft.expr.VecEqCount]] kernel).
+    * Output: (id_a, id_b, est_jaccard), NOT yet deduped across bands. */
+  private def scoreBandedPairs(a: DataFrame, b: DataFrame,
+                               k: Int, threshold: Double): DataFrame =
+    a.join(b, Seq("band", "band_key"))
+      .select(col("id_a"), col("id_b"),
+        (call_function("vec_eq_count", col("sig_a"), col("sig_b"))
+          .cast("double") / lit(k)).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+
+  /** LSH candidate pairs from MinHash signatures: band the signature,
+    * shuffle once on (band, bandKey), emit intra-bucket pairs, then keep
+    * pairs whose full-signature agreement ≥ `threshold`.
+    *
+    * Output: (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
+    */
   def minhashCandidatePairs(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, bands: Int = 16, ngram: Int = 3, threshold: Double = 0.7): DataFrame = {
@@ -123,14 +138,8 @@ object DedupOps {
     val sigs = minhashSignatures(df, textCol, idCol, k, ngram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandSignatures(sigs, k, bands)
-    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
+    scoreBandedPairs(bandSide(banded, "a"), bandSide(banded, "b"), k, threshold)
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (call_function("vec_eq_count", col("sig_a"), col("sig_b"))
-          .cast("double") / lit(k)).as("est_jaccard"))
-      .where(col("est_jaccard") >= threshold)
       .distinct()
   }
 
@@ -151,7 +160,15 @@ object DedupOps {
     * Drop rule: a new doc matching ANY stored doc (est_jaccard ≥
     * threshold) is dropped; within the increment, min-id-wins (same as
     * [[minhashDedup]]). Stored docs are never dropped — the store only
-    * grows, keeping increments idempotent-safe to re-run. */
+    * grows, keeping increments idempotent-safe to re-run for every doc
+    * that HAS a signature. Docs with fewer than `ngram` tokens have no
+    * shingles, hence no signature: they always survive and are never
+    * added to the store (route short docs through [[exactDedup]] if they
+    * need dedup — MinHash is undefined on an empty shingle set).
+    *
+    * Both outputs are locally checkpointed before return (bounded by the
+    * increment size), so the per-increment caches are released here — a
+    * long ingestion loop accumulates no cached blocks. */
   def incrementalMinhashDedup(
       newDocs: DataFrame, textCol: String, idCol: String, existingSigs: DataFrame,
       k: Int = 64, bands: Int = 16, ngram: Int = 3, threshold: Double = 0.7)
@@ -164,23 +181,23 @@ object DedupOps {
     val storeBanded = bandSignatures(existingSigs, k, bands)
       .join(newBanded.select("band", "band_key").distinct(),
         Seq("band", "band_key"), "left_semi")
-    def score(a: DataFrame, b: DataFrame): DataFrame =
-      a.join(b, Seq("band", "band_key"))
-        .select(col("id_a"), col("id_b"),
-          (call_function("vec_eq_count", col("sig_a"), col("sig_b"))
-            .cast("double") / lit(k)).as("est_jaccard"))
-        .where(col("est_jaccard") >= threshold)
-    val newA = newBanded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val newB = newBanded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val storeB = storeBanded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val newA = bandSide(newBanded, "a")
     // vs store: ANY match drops the new doc; within batch: min-id-wins
-    val dropVsStore = score(newA, storeB).select(col("id_a").as("drop_id"))
-    val dropInBatch = score(newA, newB).where(col("id_a") < col("id_b"))
+    val dropVsStore = scoreBandedPairs(newA, bandSide(storeBanded, "b"), k, threshold)
+      .select(col("id_a").as("drop_id"))
+    val dropInBatch = scoreBandedPairs(newA, bandSide(newBanded, "b"), k, threshold)
+      .where(col("id_a") < col("id_b"))
       .select(col("id_b").as("drop_id"))
-    val dropIds = dropVsStore.union(dropInBatch).distinct()
+    // checkpoint the (increment-bounded) results, then drop the caches —
+    // the returned frames must not depend on blocks this call pinned
+    val dropIds = dropVsStore.union(dropInBatch).distinct().localCheckpoint(true)
+    val keptNewSigs = newSigs
+      .join(dropIds, newSigs("id") === dropIds("drop_id"), "left_anti")
+      .localCheckpoint(true)
+    newSigs.unpersist(blocking = false)
+    newBanded.unpersist(blocking = false)
     val survivors = newDocs.join(dropIds, newDocs(idCol) === dropIds("drop_id"), "left_anti")
-    val updatedSigs = existingSigs.unionByName(
-      newSigs.join(dropIds, newSigs("id") === dropIds("drop_id"), "left_anti"))
+    val updatedSigs = existingSigs.unionByName(keptNewSigs)
     (survivors, updatedSigs)
   }
 

@@ -28,25 +28,30 @@ object RangeJoin {
                pointCol: String, loCol: String, hiCol: String,
                bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val p = points.withColumn("__bucket", floorDiv(pointCol, bucketWidth))
+    val p = withFloorDiv(points, "__bucket", col(pointCol), bucketWidth)
     // explode each interval onto the buckets it spans: floorDiv(lo) ..
     // floorDiv(hi - 1) (hi is exclusive; empty intervals span nothing)
-    val iv = intervals
-      .where(col(loCol) < col(hiCol))
-      .withColumn("__bucket",
-        explode(sequence(floorDiv(loCol, bucketWidth),
-          floorDiv(s"(`$hiCol`) - 1", bucketWidth))))
+    val iv0 = withFloorDiv(
+      withFloorDiv(intervals.where(col(loCol) < col(hiCol)),
+        "__b_lo", col(loCol), bucketWidth),
+      "__b_hi", col(hiCol) - 1, bucketWidth)
+    val iv = iv0
+      .withColumn("__bucket", explode(sequence(col("__b_lo"), col("__b_hi"))))
+      .drop("__b_lo", "__b_hi")
     p.join(iv, Seq("__bucket"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")
   }
 
-  /** Exact floor division of an integral SQL expression. Subtracting
-    * pmod first makes the numerator an exact multiple, so truncating
+  /** Append `out` = exact int64 floor division of `x` by `w`. Subtracting
+    * pmod first makes the numerator an exact multiple, so truncating SQL
     * `div` IS floor division even for negatives — and everything stays in
-    * int64 (a double `/` would corrupt epoch-nanosecond magnitudes). */
-  private def floorDiv(e: String, w: Long): Column = {
-    val ex = if (e.contains("`") || e.contains("(")) e else s"`$e`"
-    expr(s"(($ex) - pmod(($ex), ${w}L)) div ${w}L")
-  }
+    * int64 (a double `/` would corrupt epoch-nanosecond magnitudes). The
+    * `div` operator is only reachable through expr(), so the operand is
+    * staged as a column with a private name — user column names never
+    * enter a SQL string. */
+  private def withFloorDiv(df: DataFrame, out: String, x: Column, w: Long): DataFrame =
+    df.withColumn("__fd_m", x - pmod(x, lit(w)))
+      .withColumn(out, expr(s"__fd_m div ${w}L"))
+      .drop("__fd_m")
 }
