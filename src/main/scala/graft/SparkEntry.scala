@@ -731,6 +731,21 @@ object SparkEntry {
           coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
         .orderBy("c_nationkey")
     }),
+    // ── extension: token-budget shard packing — assign docs to training
+    //    shards of ~4096 tokens by running cumulative sum per language
+    //    (greedy sequential packing; the window is per-lang so state is
+    //    bounded per partition)
+    "q69_token_pack" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum", sum("ntok").over(w))
+        .withColumn("__m", col("cum") - col("ntok") - pmod(col("cum") - col("ntok"), lit(4096L)))
+        .withColumn("shard", expr("__m div 4096L")).drop("__m")
+        .select("doc_id", "lang", "ntok", "shard")
+        .orderBy("doc_id")
+    }),
     // ── extension: per-source corpus profile (docs, token mass, language
     //    spread, exact-dup rate) — the per-domain quality report a crawl
     //    pipeline runs before sampling
@@ -1396,6 +1411,19 @@ object SparkEntry {
            coalesce(i.n_inactive, 0) AS n_inactive
          FROM a FULL OUTER JOIN i ON a.c_nationkey = i.c_nationkey
          ORDER BY 1""",
+    "q69_token_pack" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS ntok
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, CAST(ntok AS BIGINT) AS ntok,
+             CAST(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM d)
+         SELECT doc_id, lang, ntok, (cum - ntok) // 4096 AS shard
+         FROM c ORDER BY doc_id""",
     "q61_source_profile" ->
       """WITH t AS (
            SELECT source, lang,
