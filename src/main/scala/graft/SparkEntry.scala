@@ -714,6 +714,34 @@ object SparkEntry {
         .groupBy("band_id").agg(count(lit(1)).as("n_events"))
         .orderBy("band_id")
     }),
+    // ── extension: arbitrary GROUPING SETS (beyond rollup q38 / cube q58):
+    //    two single-column marginals + the grand total, no pairwise cells
+    "q70_grouping_sets" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+          sum("l_quantity").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("cnt"), col("sum_qty"))
+        .orderBy("gid", "rf", "ls")
+    }),
+    // ── extension: MULTISET set operations (EXCEPT ALL / INTERSECT ALL —
+    //    multiplicity-aware, unlike the distinct set ops of q43); the
+    //    result is collapsed to per-key multiplicities for a deterministic
+    //    output
+    "q71_multiset_ops" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val u = o.where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val l = o.where(col("o_orderpriority") === "5-LOW").select("o_custkey")
+      val ea = u.exceptAll(l).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("except_all"))
+      val ia = u.intersectAll(l).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("intersect_all"))
+      ea.unionByName(ia).select("o_custkey", "tag", "n").orderBy("tag", "o_custkey")
+    }),
     // ── §2.5 joins checklist: explicit LEFT SEMI and LEFT ANTI operators
     //    (existence joins — never materialize the probe side's columns)
     "q66_semi_anti" -> ((s, dir) => {
@@ -1397,6 +1425,22 @@ object SparkEntry {
          SELECT band_id, count(*) AS n_events
          FROM ev JOIN bands ON cents >= lo AND cents < hi
          GROUP BY 1 ORDER BY 1""",
+    "q70_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         count(*) AS cnt, sum(l_quantity) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY gid, rf, ls""",
+    "q71_multiset_ops" ->
+      """WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         l AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'),
+         ea AS (SELECT o_custkey FROM u EXCEPT ALL SELECT o_custkey FROM l),
+         ia AS (SELECT o_custkey FROM u INTERSECT ALL SELECT o_custkey FROM l)
+         SELECT o_custkey, 'except_all' AS tag, count(*) AS n FROM ea GROUP BY 1
+         UNION ALL
+         SELECT o_custkey, 'intersect_all' AS tag, count(*) AS n FROM ia GROUP BY 1
+         ORDER BY tag, o_custkey""",
     "q66_semi_anti" ->
       """WITH a AS (
            SELECT c_nationkey, count(*) AS n_active FROM customer
