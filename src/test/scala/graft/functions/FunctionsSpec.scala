@@ -161,6 +161,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(updated2.count() == updated.count())
   }
 
+  test("incrementalMinhashDedup chains across three batches like one full dedup") {
+    // absorbing the corpus batch-by-batch (ascending ids) keeps exactly
+    // what a single full-corpus minhashDedup keeps — equivalent here
+    // because this corpus has no TRANSITIVE dup chains (a~b, b~c, a≁c),
+    // where greedy full dedup and incremental absorption legitimately
+    // differ (full drops c via the already-dropped b; incremental keeps
+    // c because b never entered the store)
+    val full = DedupOps.minhashDedup(df, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    var store = DedupOps.minhashSignatures(df.where($"doc_id" < 1L), "text", "doc_id")
+    var kept = Set.empty[Long]
+    for ((lo, hi) <- Seq((1L, 3L), (3L, 5L), (5L, 6L))) {
+      val batch = df.where($"doc_id" >= lo && $"doc_id" < hi)
+      val (survivors, updated) = DedupOps.incrementalMinhashDedup(
+        batch, "text", "doc_id", store, threshold = 0.5)
+      kept ++= survivors.select("doc_id").collect().map(_.getLong(0))
+      store = updated
+    }
+    assert(kept == full)
+  }
+
   test("est_jaccard is the true agreement fraction, and the threshold filters") {
     val all = DedupOps.minhashCandidatePairs(df, "text", "doc_id",
       k = 64, bands = 16, ngram = 3, threshold = 0.0)

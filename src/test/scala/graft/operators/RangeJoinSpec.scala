@@ -35,6 +35,22 @@ class RangeJoinSpec extends SparkSpec {
     assert(rows.length == rows.toSet.size)
   }
 
+  test("random points/intervals equal the naive theta join (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1L to 60L).map(i => (i, rnd.nextLong() % 1000)).toDF("pid", "v")
+    val ivs = (100L to 140L).map { i =>
+      val lo = rnd.nextLong() % 1000
+      (i, lo, lo + rnd.nextInt(80)) // includes empty (width 0) intervals
+    }.toDF("iid", "lo", "hi")
+    val want = pts.join(ivs, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(13L, 64L)) {
+      val got = RangeJoin.bucketed(pts, ivs, "v", "lo", "hi", bucketWidth = w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"width $w diverged")
+    }
+  }
+
   test("plan is an equi join on the bucket key, not a nested-loop/cartesian") {
     val plan = RangeJoin.bucketed(points, intervals, "v", "lo", "hi", bucketWidth = 5)
       .queryExecution.executedPlan.toString
