@@ -178,8 +178,12 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBanded = bandSignatures(newSigs, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // explicit broadcast: the bucket set is bounded by the increment, but
+    // as an unmaterialized derived plan it has no reliable size estimate —
+    // left to the planner, a sort-merge semi-join would shuffle the ENTIRE
+    // banded store, exactly the full-corpus cost this function avoids
     val storeBanded = bandSignatures(existingSigs, k, bands)
-      .join(newBanded.select("band", "band_key").distinct(),
+      .join(broadcast(newBanded.select("band", "band_key").distinct()),
         Seq("band", "band_key"), "left_semi")
     val newA = bandSide(newBanded, "a")
     // vs store: ANY match drops the new doc; within batch: min-id-wins
@@ -225,8 +229,13 @@ object DedupOps {
     val p = pairs.select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = p.union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    if (rounds <= 0) // node set with untouched identity labels
-      return edges.select(col("id_a").as("id")).distinct().withColumn("label", col("id"))
+    if (rounds <= 0) { // node set with untouched identity labels
+      val nodes = edges.select(col("id_a").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint(true) // materialize so the cache can be released
+      p.unpersist(blocking = false)
+      return nodes
+    }
     // Fused init+first round: labels start as each node's own id, so round
     // 1's propagated label is simply min(self, min(neighbor)) — ONE hash
     // aggregate, no join against an identity label table.

@@ -183,14 +183,29 @@ final class IncrementalGraph(
                 (oldRows, MatchingKey) +: fks.map(fk => (inserted, fk))))
             } else {
               // Delete (or derived upsert = delete+insert): rebuild the
-              // affected keys from the remaining input rows. NOTE: if an
-              // append-log source holds multiple rows for a rebuilt key,
-              // each survives the rebuild (the per-edit arrival order that
-              // would pick a winner is not recorded); the insert path above
-              // never creates that state for union-derived tables.
+              // affected keys from the remaining input rows. An append-log
+              // source may hold several rows for a rebuilt key (repeated
+              // upsert inserts): collapse each such input to its LATEST row
+              // per key (max _entryId — ingest ids are time-prefixed, see
+              // SourceOps.ensureEntryId, so max = latest edit) so the
+              // rebuild can never fan out duplicate derived rows.
+              // KNOWN DIVERGENCE: a rebuild merges tables in config order
+              // (later table wins), while the insert path above merges in
+              // arrival order like the reference — the arrival order of
+              // edits across tables is not recorded, so a rebuild cannot
+              // reproduce it.
               checkpoint(Transforms.union(u.tablesAndForeignKeys.map { case (t, fk) =>
                 val m = mat(t)
-                (m.join(matKeys, m(fk) <=> matKeys("__k"), "left_semi"), fk)
+                val affected = m.join(matKeys, m(fk) <=> matKeys("__k"), "left_semi")
+                val collapsed =
+                  if (!affected.columns.contains(EntryId)) affected
+                  else {
+                    val w = org.apache.spark.sql.expressions.Window
+                      .partitionBy(fk).orderBy(col(EntryId).desc)
+                    affected.withColumn("__rn", row_number().over(w))
+                      .where(col("__rn") === 1).drop("__rn")
+                  }
+                (collapsed, fk)
               }))
             }
           (others.unionByName(replacement), replacement, oldRows)

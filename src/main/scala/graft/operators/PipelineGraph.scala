@@ -47,11 +47,18 @@ private[operators] object SourceOps {
 
   /** `_entryId` is assigned at ingest and FROZEN (localCheckpoint) so
     * recomputes never regenerate row identity (SURVEY.md §7.4 item 5).
-    * On a cluster this "freeze" is the durable write of the ingest batch. */
+    * On a cluster this "freeze" is the durable write of the ingest batch.
+    *
+    * Ids are TIME-PREFIXED (zero-padded epoch-micros hex + uuid, UUIDv7
+    * style): lexicographic max = latest edit, which union rebuilds use to
+    * pick the winning append-log row per key. The timestamp is per-batch
+    * (current_timestamp is query-constant), so ties within one insert
+    * batch break on the random suffix — arbitrary but frozen. */
   def ensureEntryId(df: DataFrame): DataFrame = {
     val withId =
       if (df.columns.contains(EntryId)) df
-      else df.withColumn(EntryId, expr("uuid()"))
+      else df.withColumn(EntryId,
+        expr("concat(lpad(hex(unix_micros(current_timestamp())), 16, '0'), '-', uuid())"))
     withId.localCheckpoint(true)
   }
 }

@@ -28,6 +28,14 @@ object RangeJoin {
                pointCol: String, loCol: String, hiCol: String,
                bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // overlapping names would make the join output ambiguous (or let the
+    // working columns silently overwrite user data) — fail loudly instead
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"points and intervals share column(s) ${overlap.mkString(", ")} — rename one side")
+    val reserved = Set("__bucket", "__fd_m", "__b_lo", "__b_hi")
+    val clash = (points.columns ++ intervals.columns).toSet.intersect(reserved)
+    require(clash.isEmpty, s"column(s) ${clash.mkString(", ")} collide with RangeJoin internals")
     val p = withFloorDiv(points, "__bucket", col(pointCol), bucketWidth)
     // explode each interval onto the buckets it spans: floorDiv(lo) ..
     // floorDiv(hi - 1) (hi is exclusive; empty intervals span nothing)

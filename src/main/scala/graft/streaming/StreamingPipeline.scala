@@ -34,12 +34,17 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
 
   private val memStreams = scala.collection.mutable.Map.empty[String, MemoryStream[Row]]
   private val frames = scala.collection.mutable.Map.empty[String, DataFrame]
-  private val busFeeds = scala.collection.concurrent.TrieMap.empty[String, StreamingQuery]
-  val listenBus: ListenBus = new ListenBus({ (table, keyColumns) =>
-    require(frames.contains(table), s"no table named $table")
-    busFeeds.getOrElseUpdate(table,
-      startQuery(table, keyColumns)((ins, del) => listenBus.publish(table, ins, del)))
-  })
+  private val busFeeds = scala.collection.mutable.Map.empty[String, StreamingQuery]
+  val listenBus: ListenBus = new ListenBus(
+    validate = table => require(frames.contains(table), s"no table named $table"),
+    // synchronized: TrieMap.getOrElseUpdate evaluates its thunk outside
+    // any lock, so two concurrent first-subscribes would start TWO feed
+    // queries and orphan one (publishing every batch twice, unstoppable
+    // by close())
+    ensureFeed = (table, keyColumns) => busFeeds.synchronized {
+      busFeeds.getOrElseUpdate(table,
+        startQuery(table, keyColumns)((ins, del) => listenBus.publish(table, ins, del)))
+    })
 
   config.topoOrder.foreach {
     case s: SourceTableConfig =>
@@ -186,7 +191,7 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
 
   /** Stop the internal bus-feed queries (listen() queries are the caller's
     * to stop). Safe to call repeatedly. */
-  def close(): Unit = {
+  def close(): Unit = busFeeds.synchronized {
     busFeeds.values.foreach(q => if (q.isActive) q.stop())
     busFeeds.clear()
   }
@@ -206,22 +211,25 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
 }
 
 /** Per-table subscriber registry (the analog of the reference's
-  * ListenerHook fan-out, listener_hook.rs:33-87). `ensureFeed` runs on
-  * EVERY subscribe, BEFORE the callback is registered — the pipeline uses
-  * it to validate the table name and idempotently start the single
-  * internal query that feeds all of that table's subscribers (so a feed
-  * stopped by `close()` restarts on the next subscribe, and a bad table
-  * name registers nothing). `keyColumns` is forwarded to the feed for
+  * ListenerHook fan-out, listener_hook.rs:33-87). Subscribe order:
+  * `validate` (a bad table name registers nothing) → register the
+  * callback → `ensureFeed` (idempotently start the single internal query
+  * feeding all of that table's subscribers; a feed stopped by `close()`
+  * restarts on the next subscribe). The callback is registered BEFORE the
+  * feed starts so the subscriber that triggers the feed cannot miss the
+  * first micro-batch. `keyColumns` is forwarded to the feed for
   * Delete(old) synthesis on upsert plans whose key is not config-inferable
   * (e.g. a function table downstream of an aggregation); only the
   * subscribe that actually starts the feed picks them. */
-final class ListenBus(ensureFeed: (String, Seq[String]) => Unit = (_, _) => ()) {
+final class ListenBus(validate: String => Unit = _ => (),
+                      ensureFeed: (String, Seq[String]) => Unit = (_, _) => ()) {
   private val subs = scala.collection.concurrent.TrieMap
     .empty[String, List[(Seq[Row], Seq[Row]) => Unit]]
   def subscribe(table: String, keyColumns: Seq[String] = Nil)
                (cb: (Seq[Row], Seq[Row]) => Unit): Unit = {
-    ensureFeed(table, keyColumns)
+    validate(table)
     subs.updateWith(table) { cur => Some(cb :: cur.getOrElse(Nil)) }
+    ensureFeed(table, keyColumns)
   }
   def publish(table: String, inserts: Seq[Row], deletes: Seq[Row]): Unit =
     subs.getOrElse(table, Nil).foreach(cb => cb(inserts, deletes))

@@ -156,6 +156,21 @@ class IncrementalGraphSpec extends SparkSpec {
     assert(alex.getAs[Long]("sum") == 90L)
   }
 
+  test("union rebuild after delete does not resurrect append-log duplicates") {
+    val cfg = PipelineConfig.fromYaml(yaml)
+    val inc = new IncrementalGraph(spark, cfg)
+    inc.insert("users", rows(userSchema, Row("Alex", 22L)))
+    inc.insert("grades", rows(gradeSchema, Row("Alex", 90L), Row("Alex", 80L)))
+    inc.insert("users", rows(userSchema, Row("Alex", 33L))) // log: two Alex user rows
+    // deleting the grades forces a REBUILD of Alex's profile key — it must
+    // collapse the user log to the latest row, not emit one row per log entry
+    inc.delete("grades", "name", "Alex")
+    val alexRows = inc.table("profile").collect()
+      .filter(_.getAs[String]("matchingKey") == "Alex")
+    assert(alexRows.length == 1)
+    assert(alexRows.head.getAs[Long]("age") == 33L) // time-prefixed max id = latest
+  }
+
   test("duplicate derived rows retract by multiplicity, not wholesale") {
     val cfg = PipelineConfig.fromYaml(
       """tables:

@@ -102,7 +102,9 @@ class PipelineGraphSpec extends SparkSpec {
     val committed = g.insert("testTable",
       spark.createDataFrame(Seq(Row(1L, 2L)).asJava, schema))
     val ids = committed.select("_entryId").collect().map(_.getString(0))
-    assert(ids.length == 1 && ids(0).length == 36)
+    // time-prefixed id: 16 hex epoch-micros chars + '-' + 36-char uuid
+    assert(ids.length == 1)
+    assert(ids(0).matches("[0-9A-F]{16}-[0-9a-f-]{36}"), ids(0))
   }
 
   test("a derived table reading from an undeclared table errors at config time") {
