@@ -66,6 +66,22 @@ class TaggedJsonSpec extends AnyFunSuite {
       """{"xs": {"Array": []}}""", """{"xs": {"Array": [{"Integer": 1}]}}""")))
   }
 
+  test("empty-array wildcard applies inside nested Map structs too") {
+    // the compat check recurses into struct fields: an empty array nested
+    // in a Map stays compatible with the first entry's typed array...
+    val (schema, rows) = TaggedJson.parseEntries(Seq(
+      """{"m": {"Map": {"xs": {"Array": [{"Integer": 1}]}}}}""",
+      """{"m": {"Map": {"xs": {"Array": []}}}}"""))
+    val st = schema("m").dataType.asInstanceOf[StructType]
+    assert(st("xs").dataType == ArrayType(LongType))
+    assert(rows(1).getStruct(0).getSeq[Any](0).isEmpty)
+    // ...but a nested non-empty type conflict still fails at parse time
+    val e = intercept[IllegalArgumentException](TaggedJson.parseEntries(Seq(
+      """{"m": {"Map": {"xs": {"Array": [{"Integer": 1}]}}}}""",
+      """{"m": {"Map": {"xs": {"Array": [{"Str": "x"}]}}}}""")))
+    assert(e.getMessage.contains("Missmatched Input"))
+  }
+
   test("unknown tag errors") {
     assertThrows[IllegalArgumentException](
       TaggedJson.parseEntry("""{"a": {"Nope": 1}}"""))
