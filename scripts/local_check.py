@@ -21,12 +21,19 @@ for t in TABLES:
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 def canon(v):
+    # Type-tagged + bit-exact: the driver hashes stringified values, so
+    # 1 vs 1.0 and 0.0 vs -0.0 must NOT compare equal here (python == would
+    # pass them and mask a driver hash mismatch).
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("f", "NaN")
+        return ("f", v.hex())
+    if isinstance(v, int):
+        return ("i", v)
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        return ("t", v.isoformat())
     if isinstance(v, list):
         return tuple(canon(x) for x in v)
     return v

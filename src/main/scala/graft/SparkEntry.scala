@@ -549,11 +549,14 @@ object SparkEntry {
     }),
     // ── extension: window analytic functions (lag/lead/moving frame/rank)
     //    over the event stream — value integerized (cents) so the moving
-    //    sum is exact on both engines
+    //    sum is exact on both engines. cents = floor(v*100 + 0.5): floor on
+    //    a double is IEEE-exact on every engine/version, whereas round()
+    //    differs between Spark (BigDecimal HALF_UP on the shortest decimal
+    //    repr) and DuckDB (rounds the raw binary double) on boundary values
     "q56_window_analytics" -> ((s, dir) => {
       val e = T(s, dir, "events").select(col("event_id"), col("user_id"),
         col("ts").as("tns"), // Long nanos (nanosAsLong)
-        round(col("value") * 100).cast("long").as("cents"))
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
       val w = Window.partitionBy("user_id").orderBy("tns", "event_id")
       e.select(col("event_id"), col("user_id"), col("cents"),
         lag("cents", 1).over(w).as("prev_cents"),
@@ -619,7 +622,7 @@ object SparkEntry {
       starJoin(s, dir)
         .groupBy("r_name")
         .agg(count(lit(1)).as("n_items"),
-          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
             .cast("long")).as("revenue_cents"))
         .orderBy("r_name")
     }),
@@ -678,7 +681,7 @@ object SparkEntry {
     "q65_resample" -> ((s, dir) => {
       val e = T(s, dir, "events").where(col("user_id") < 10)
         .select(col("user_id"), expr("ts div 3600000000000").as("hr"),
-          round(col("value") * 100).cast("long").as("cents"))
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
       val agg = e.groupBy("user_id", "hr")
         .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
       val spanned = agg.groupBy("user_id").agg(min("hr").as("h0"), max("hr").as("h1"))
@@ -707,7 +710,7 @@ object SparkEntry {
     //    nested-loop/cartesian plan (operators.RangeJoin)
     "q68_range_join" -> ((s, dir) => {
       val ev = T(s, dir, "events")
-        .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_id"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
       val bands = s.range(60).select(col("id").as("band_id"),
         (col("id") * 300).as("lo"), (col("id") * 300 + 500).as("hi"))
       graft.operators.RangeJoin.bucketed(ev, bands, "cents", "lo", "hi", bucketWidth = 500)
@@ -776,7 +779,10 @@ object SparkEntry {
     }),
     // ── extension: per-source corpus profile (docs, token mass, language
     //    spread, exact-dup rate) — the per-domain quality report a crawl
-    //    pipeline runs before sampling
+    //    pipeline runs before sampling. Ratios are integer-scaled longs
+    //    (milli-tokens per doc, duplicate basis points) so the oracle
+    //    compare never touches a derived double: integer div is exact and
+    //    identical on both engines, raw float division is hash-fragile
     "q61_source_profile" -> ((s, dir) => {
       val d = T(s, dir, "documents").select(col("source"), col("lang"),
         TextFunctions.tokenCount(col("text")).cast("long").as("ntok"),
@@ -785,9 +791,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
           countDistinct("lang").as("n_langs"), countDistinct("fp").as("n_distinct"))
         .select(col("source"), col("n_docs"), col("n_tokens"),
-          (col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"),
-          col("n_langs"),
-          (lit(1.0) - col("n_distinct").cast("double") / col("n_docs")).as("dup_rate"))
+          expr("(n_tokens * 1000) div n_docs").as("mean_tokens_milli"),
+          col("n_langs"), col("n_distinct"),
+          expr("((n_docs - n_distinct) * 10000) div n_docs").as("dup_bp"))
         .orderBy("source")
     }),
   )
@@ -1289,7 +1295,7 @@ object SparkEntry {
     "q56_window_analytics" ->
       """WITH e AS (
            SELECT event_id, user_id, epoch_ns(ts) AS tns,
-             CAST(round(value*100) AS BIGINT) AS cents FROM events)
+             CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events)
          SELECT event_id, user_id, cents,
            lag(cents) OVER w AS prev_cents,
            lead(cents) OVER w AS next_cents,
@@ -1345,7 +1351,7 @@ object SparkEntry {
          FROM k GROUP BY doc_id ORDER BY doc_id""",
     "q62_star_join" ->
       """SELECT r_name, count(*) AS n_items,
-         CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            JOIN customer ON o_custkey = c_custkey
            JOIN nation ON c_nationkey = n_nationkey
@@ -1383,7 +1389,7 @@ object SparkEntry {
     "q65_resample" ->
       """WITH e AS (
            SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr,
-             CAST(round(value*100) AS BIGINT) AS cents
+             CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
            FROM events WHERE user_id < 10),
          agg AS (
            SELECT user_id, hr, count(*) AS n_events,
@@ -1418,7 +1424,7 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q68_range_join" ->
       """WITH ev AS (
-           SELECT event_id, CAST(round(value*100) AS BIGINT) AS cents FROM events),
+           SELECT event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events),
          bands AS (
            SELECT b AS band_id, b*300 AS lo, b*300 + 500 AS hi
            FROM (SELECT unnest(range(0, 60)) AS b))
@@ -1475,10 +1481,12 @@ object SparkEntry {
                   ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS ntok,
              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
            FROM documents)
-         SELECT source, count(*) AS n_docs, sum(ntok) AS n_tokens,
-           CAST(sum(ntok) AS DOUBLE) / count(*) AS mean_tokens,
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           CAST((sum(ntok) * 1000) // count(*) AS BIGINT) AS mean_tokens_milli,
            count(DISTINCT lang) AS n_langs,
-           1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*) AS dup_rate
+           count(DISTINCT fp) AS n_distinct,
+           CAST(((count(*) - count(DISTINCT fp)) * 10000) // count(*) AS BIGINT) AS dup_bp
          FROM t GROUP BY source ORDER BY source""",
   )
 }
