@@ -763,15 +763,18 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
     // ── extension: token-budget shard packing — assign docs to training
-    //    shards of ~4096 tokens by running cumulative sum per language
-    //    (greedy sequential packing; the window is per-lang so state is
-    //    bounded per partition)
+    //    shards of ~4096 tokens by running cumulative sum per language.
+    //    A Window.partitionBy(lang) running sum would put an ENTIRE
+    //    language on one reducer (a dominant language ≈ the whole corpus);
+    //    operators.PrefixSum computes the same cumsum as a two-phase
+    //    distributed prefix sum (quantile buckets → bounded local windows →
+    //    broadcast per-bucket offsets), so no reducer sees more than ~1/B
+    //    of the data
     "q69_token_pack" -> ((s, dir) => {
       val d = T(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      d.withColumn("cum", sum("ntok").over(w))
+      graft.operators.PrefixSum
+        .groupedRunningSum(d, Seq("lang"), "doc_id", "ntok", "cum")
         .withColumn("__m", col("cum") - col("ntok") - pmod(col("cum") - col("ntok"), lit(4096L)))
         .withColumn("shard", expr("__m div 4096L")).drop("__m")
         .select("doc_id", "lang", "ntok", "shard")
