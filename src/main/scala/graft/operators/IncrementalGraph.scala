@@ -84,9 +84,22 @@ final class IncrementalGraph(
   private val listeners = scala.collection.mutable.Map
     .empty[String, List[(DataFrame, DataFrame) => Unit]]
 
-  def listen(tableName: String)(cb: (DataFrame, DataFrame) => Unit): Unit = {
+  /** Subscribe to a table's change feed; `event` restricts delivery to one
+    * change kind — the reference's per-kind listener map
+    * (listener_hook.rs:62-74, ListenEvent in network_types.rs:33-37): an
+    * Insert subscriber is never invoked for delete-only edits and vice
+    * versa. */
+  def listen(tableName: String, event: graft.ListenEvent = graft.ListenEvent.Both)
+            (cb: (DataFrame, DataFrame) => Unit): Unit = {
     require(mat.contains(tableName), s"no table named $tableName")
-    listeners(tableName) = cb :: listeners.getOrElse(tableName, Nil)
+    val wrapped: (DataFrame, DataFrame) => Unit = event match {
+      case graft.ListenEvent.Both => cb
+      case graft.ListenEvent.Insert =>
+        (ins, del) => if (!ins.isEmpty) cb(ins, del.limit(0))
+      case graft.ListenEvent.Delete =>
+        (ins, del) => if (!del.isEmpty) cb(ins.limit(0), del)
+    }
+    listeners(tableName) = wrapped :: listeners.getOrElse(tableName, Nil)
   }
 
   private def notifyListeners(tableName: String, ins: DataFrame, del: DataFrame): Unit =

@@ -27,8 +27,10 @@ object Transforms {
   import SystemColumns._
 
   /** FunctionTransform: output = computed columns only + lineage
-    * (reference: transform.rs:128-148). */
-  def function(input: DataFrame, assignments: Seq[String]): DataFrame = {
+    * (reference: transform.rs:128-148). `carry` names envelope columns
+    * (e.g. a CDC `_op`) passed through untouched when present. */
+  def function(input: DataFrame, assignments: Seq[String],
+               carry: Seq[String] = Nil): DataFrame = {
     graft.expr.GraftFunctions.register(input.sparkSession)
     val schema = input.schema
     val cols = assignments.map { s =>
@@ -37,7 +39,8 @@ object Transforms {
     }
     val lineage =
       if (schema.fieldNames.contains(EntryId)) Seq(col(EntryId).as(SourceEntryId)) else Nil
-    input.select(cols ++ lineage: _*)
+    val carried = carry.filter(schema.fieldNames.contains).map(col)
+    input.select(cols ++ lineage ++ carried: _*)
   }
 
   /** FilterTransform: passing rows keep ALL source columns + lineage
