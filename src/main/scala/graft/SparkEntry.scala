@@ -552,7 +552,10 @@ object SparkEntry {
     //    sum is exact on both engines. cents = floor(v*100 + 0.5): floor on
     //    a double is IEEE-exact on every engine/version, whereas round()
     //    differs between Spark (BigDecimal HALF_UP on the shortest decimal
-    //    repr) and DuckDB (rounds the raw binary double) on boundary values
+    //    repr) and DuckDB (rounds the raw binary double) on boundary values.
+    //    Oracle gotcha: DuckDB sum(BIGINT) yields HUGEINT (INT128) — the
+    //    oracle must CAST the window sum back to BIGINT or the driver's
+    //    hasher sees a different value rendering (cf. q59's cum column)
     "q56_window_analytics" -> ((s, dir) => {
       val e = T(s, dir, "events").select(col("event_id"), col("user_id"),
         col("ts").as("tns"), // Long nanos (nanosAsLong)
@@ -1302,7 +1305,7 @@ object SparkEntry {
          SELECT event_id, user_id, cents,
            lag(cents) OVER w AS prev_cents,
            lead(cents) OVER w AS next_cents,
-           sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3,
+           CAST(sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3,
            CAST(row_number() OVER w AS BIGINT) AS rn
          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
          ORDER BY user_id, rn""",
