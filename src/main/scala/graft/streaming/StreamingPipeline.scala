@@ -49,6 +49,14 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
     * upstream or raise this knowingly. */
   @volatile var listenMaxBatchRows: Int = 1 << 20
 
+  /** Monotonic enqueue sequence, hex-prefixed into `_entryId` so a group's
+    * rows can be re-ordered to COMMIT order after the shuffle (the batch
+    * side prefixes epoch-micros the same way, PipelineGraph.ensureEntryId).
+    * flatMapGroupsWithState gives no intra-group ordering guarantee: an
+    * insert and a delete for the same key landing in one micro-batch could
+    * otherwise apply in reverse, nondeterministically resurrecting the row. */
+  private val enqueueSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private val memStreams = scala.collection.mutable.Map.empty[String, MemoryStream[Row]]
   private val frames = scala.collection.mutable.Map.empty[String, DataFrame]
   private val busFeeds = scala.collection.mutable.Map.empty[String, StreamingQuery]
@@ -114,7 +122,8 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
     val ms = memStreams.getOrElse(table,
       throw new IllegalArgumentException(s"$table is not a source table"))
     val withIds = rows.map { r =>
-      val base = r.toSeq :+ java.util.UUID.randomUUID().toString
+      val id = f"${enqueueSeq.getAndIncrement()}%016x-${java.util.UUID.randomUUID()}"
+      val base = r.toSeq :+ id
       Row.fromSeq(if (cdc) base :+ op else base)
     }
     ms.addData(withIds)
@@ -184,30 +193,41 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
     * matching batch Transforms.union — not the arrival-order LWW of the
     * insert-only streaming union, which is untrackable under retraction. */
   private def cdcUnion(u: UnionTableConfig): DataFrame = {
+    // (input df, commit-order column): the enqueue-seq-prefixed entry id
+    // survives narrow transforms as _entryId (sources, filters) or
+    // _sourceEntryId (functions); groups re-sort on it below because the
+    // shuffle destroys enqueue order
     val inputs = u.tablesAndForeignKeys.map { case (tbl, fk) =>
       val df = frames(tbl)
+      val seqCol =
+        if (df.columns.contains(EntryId)) col(EntryId)
+        else if (df.columns.contains(SourceEntryId)) col(SourceEntryId)
+        else lit("")
       val dropped = Seq(EntryId, SourceEntryId).filter(df.columns.contains)
-      df.drop(dropped: _*).withColumnRenamed(fk, MatchingKey)
+      (df.withColumn("__seq", seqCol).drop(dropped: _*).withColumnRenamed(fk, MatchingKey),
+        "__seq")
     }
     val valueFields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
-    inputs.foreach(_.schema.fields.foreach(f =>
-      if (f.name != MatchingKey && f.name != OpColumn) valueFields(f.name) = f))
+    inputs.foreach(_._1.schema.fields.foreach(f =>
+      if (f.name != MatchingKey && f.name != OpColumn && f.name != "__seq")
+        valueFields(f.name) = f))
 
-    val tagged = inputs.zipWithIndex.map { case (df, i) =>
-      val valueCols = df.columns.filter(c => c != MatchingKey && c != OpColumn)
+    val tagged = inputs.zipWithIndex.map { case ((df, seqName), i) =>
+      val valueCols = df.columns.filter(c => c != MatchingKey && c != OpColumn && c != seqName)
       df.select(col(MatchingKey).cast(StringType).as("k"), lit(i).as("src"),
-        col(OpColumn).as("op"), to_json(struct(valueCols.map(col): _*)).as("v"))
+        col(OpColumn).as("op"), to_json(struct(valueCols.map(col): _*)).as("v"),
+        col(seqName).cast(StringType).as("seq"))
     }.reduce(_.unionByName(_))
 
-    implicit val inEnc =
-      Encoders.tuple(Encoders.STRING, Encoders.scalaInt, Encoders.STRING, Encoders.STRING)
+    implicit val inEnc = Encoders.tuple(
+      Encoders.STRING, Encoders.scalaInt, Encoders.STRING, Encoders.STRING, Encoders.STRING)
     val outEnc =
       Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING)
-    val merged = tagged.as[(String, Int, String, String)](inEnc)
+    val merged = tagged.as[(String, Int, String, String, String)](inEnc)
       .groupByKey(_._1)(Encoders.STRING)
       .flatMapGroupsWithState[String, (String, String, String)](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, Int, String, String)], state: GroupState[String]) =>
+        (key: String, rows: Iterator[(String, Int, String, String, String)], state: GroupState[String]) =>
           val mapper = CdcUnionState.mapper()
           val slots = new java.util.LinkedHashMap[String, String]()
           if (state.exists) {
@@ -215,7 +235,9 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
             slots.putAll(prev)
           }
           val before = CdcUnionState.mergeSlots(mapper, slots)
-          rows.foreach { case (_, src, op, v) =>
+          // commit order, not arrival order: the hex seq prefix sorts
+          // lexicographically == numerically (fixed width)
+          rows.toSeq.sortBy(_._5).foreach { case (_, src, op, v, _) =>
             op match {
               case "insert" => slots.put(src.toString, v)
               case "delete" => slots.remove(src.toString)
