@@ -252,7 +252,7 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
             Option(after).map((key, "insert", _)).iterator
       }(Encoders.STRING, outEnc)
 
-    val keyType = inputs.head.schema(MatchingKey).dataType
+    val keyType = inputs.head._1.schema(MatchingKey).dataType
     merged.toDF("k", "op", "v")
       .select(col("k").cast(keyType).as(MatchingKey), col("op").as(OpColumn),
         from_json(col("v"), StructType(valueFields.values.map(_.copy(nullable = true)).toSeq)).as("s"))
