@@ -83,12 +83,15 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
       memStreams(s.name) = ms
       frames(s.name) = ms.toDF()
     case f: FunctionTableConfig =>
+      rejectCdcAggSource(f.name, f.sourceTable, "function")
       frames(f.name) = Transforms.function(frames(f.sourceTable), f.functions,
         carry = if (cdc) Seq(OpColumn) else Nil)
     case f: FilterTableConfig =>
       // filter keeps all columns, so the _op envelope passes through; a
       // delete row carries the same values as the insert it retracts and
-      // therefore takes the same branch of the predicate
+      // therefore takes the same branch of the predicate. That argument
+      // holds ONLY for source/union changelogs — see rejectCdcAggSource.
+      rejectCdcAggSource(f.name, f.sourceTable, "filter")
       frames(f.name) = Transforms.filter(frames(f.sourceTable), f.filter)
     case a: AggregationTableConfig =>
       frames(a.name) =
@@ -102,6 +105,22 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
       // rows by contract)
       frames(a.name) = Transforms.action(frames(a.sourceTable), graft.operators.ActionRegistry.get(a.actionName))
   }
+
+  /** CDC aggregation outputs are upsert changelogs whose full-retraction
+    * markers carry zeroed accumulators and null post columns
+    * (CdcOps.aggregateWithRetraction): a downstream filter would evaluate
+    * its predicate over those zeros and silently drop the marker (stale row
+    * downstream forever), and a downstream function would compute garbage
+    * from them. Agg-over-agg already fails loudly (the retracting fold
+    * raise_errors on `_op=upsert`); this makes the narrow-stage topologies
+    * equally loud, at construction instead of mid-stream. */
+  private def rejectCdcAggSource(name: String, source: String, kind: String): Unit =
+    if (cdc && config.byName.get(source).exists(_.isInstanceOf[AggregationTableConfig]))
+      throw new IllegalArgumentException(
+        s"CDC pipeline: $kind table '$name' reads from aggregation '$source', whose " +
+          "retraction markers carry zeroed accumulators — a downstream " +
+          s"$kind would silently corrupt the cascade. Restructure the plan " +
+          s"(apply the $kind before the aggregation, or aggregate last).")
 
   def table(name: String): DataFrame = frames(name)
 
@@ -299,7 +318,6 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
         case _                         => Nil
       }
     val hasOp = df.columns.contains(OpColumn)
-    val maxRows = listenMaxBatchRows
     val prevState = scala.collection.mutable.Map.empty[Seq[Any], Row]
     df.writeStream
       .outputMode(mode)
@@ -308,7 +326,9 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
         // bounded hand-off: partitions stream to the driver one at a time
         // (toLocalIterator), and a batch beyond listenMaxBatchRows kills
         // the feed loudly instead of buffering a cluster's output in the
-        // driver heap
+        // driver heap. Read the guard here, per batch — not captured at
+        // query start — so raising/lowering it applies to running feeds.
+        val maxRows = listenMaxBatchRows
         val it = batch.toLocalIterator()
         val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
         while (it.hasNext) {
@@ -329,12 +349,20 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
           val opIdx = schema.fieldIndex(OpColumn)
           val (delRows, liveRows) = rows.partition(_.getString(opIdx) == "delete")
           val dels = scala.collection.mutable.ArrayBuffer.empty[Row]
+          // synthesized Delete(old) rows are previously-delivered upserts —
+          // normalize their _op to "delete" so every deletes-side row
+          // carries a consistent marker (genuine markers already do)
+          def asDelete(r: Row): Row = {
+            val vals = r.toSeq.toArray
+            vals(opIdx) = "delete"
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(vals, schema)
+          }
           if (keyCols.nonEmpty) {
             delRows.foreach { r => prevState.remove(keyOf(r)); dels += r }
             liveRows.foreach { r =>
               if (r.getString(opIdx) == "upsert") {
                 val key = keyOf(r)
-                prevState.get(key).foreach(dels += _)
+                prevState.get(key).foreach(prev => dels += asDelete(prev))
                 prevState(key) = r
               }
             }

@@ -156,4 +156,99 @@ class CdcPipelineSpec extends SparkSpec {
       assert(!q.isActive)
     } finally if (q.isActive) q.stop()
   }
+
+  test("listen batch guard is read per batch: lowering it after start kills a later oversized batch") {
+    val p = cdcPipeline()
+    val q = p.listen("grades") { (_, _) => () }
+    try {
+      p.insert("grades", (1 to 10).map(i => Row(s"u$i", i.toLong)))
+      q.processAllAvailable() // passes under the default guard
+      assert(q.isActive)
+      p.listenMaxBatchRows = 2 // mutate AFTER the feed started
+      p.insert("grades", (11 to 20).map(i => Row(s"u$i", i.toLong)))
+      assertThrows[Exception](q.processAllAvailable())
+      assert(!q.isActive)
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("CDC: filter downstream of an aggregation is rejected at construction") {
+    val bad = yaml +
+      """  - name: filterOverAgg
+        |    kind: filter
+        |    source_table: aggOverFunction
+        |    filter: "sum > 100"
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      new StreamingPipeline(spark, PipelineConfig.fromYaml(bad), cdc = true))
+    assert(e.getMessage.contains("retraction markers"))
+    // the same topology is still legal without CDC (append/update semantics,
+    // no retraction markers to lose)
+    new StreamingPipeline(spark, PipelineConfig.fromYaml(bad))
+  }
+
+  test("CDC: function downstream of an aggregation is rejected at construction") {
+    val bad = yaml +
+      """  - name: fnOverAgg
+        |    kind: function
+        |    source_table: aggOverFunction
+        |    functions: ["doubled ~ sum * 2"]
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      new StreamingPipeline(spark, PipelineConfig.fromYaml(bad), cdc = true))
+    assert(e.getMessage.contains("retraction markers"))
+  }
+
+  test("synthesized Delete(old) rows carry _op=delete (not the stored upsert marker)") {
+    val p = cdcPipeline()
+    val dels = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = p.listen("aggOverFunction") { (_, d) => dels.synchronized { dels ++= d } }
+    try {
+      p.insert("grades", Seq(Row("Alex", 90L)))
+      q.processAllAvailable()
+      p.insert("grades", Seq(Row("Alex", 80L))) // second upsert synthesizes Delete(old)
+      q.processAllAvailable()
+      p.delete("grades", Seq(Row("Alex", 90L), Row("Alex", 80L))) // genuine marker
+      q.processAllAvailable()
+      dels.synchronized {
+        assert(dels.nonEmpty)
+        assert(dels.forall(_.getAs[String]("_op") == "delete"))
+        // the synthesized row is the OLD group value, marker normalized
+        assert(dels.exists(r => r.getAs[Long]("sum") == 95L))
+      }
+    } finally q.stop()
+  }
+
+  test("cdcUnion converges when insert+delete for one key land in ONE micro-batch (both orders)") {
+    val p = cdcPipeline()
+    val ins = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val dels = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = p.listen("unionTest") { (i, d) => ins.synchronized { ins ++= i; dels ++= d } }
+    try {
+      // order A: insert then delete in the same batch → no net row, 10 keys
+      (1 to 10).foreach { i =>
+        p.insert("users", Seq(Row(s"a$i", i.toLong)))
+        p.delete("users", Seq(Row(s"a$i", i.toLong)))
+      }
+      q.processAllAvailable()
+      ins.synchronized {
+        assert(!ins.exists(_.getAs[String]("matchingKey").startsWith("a")),
+          s"insert+delete in one batch must not resurrect: ${ins.mkString(", ")}")
+      }
+      // order B: pre-existing row, then delete(old)+insert(new) in one batch
+      (1 to 10).foreach(i => p.insert("users", Seq(Row(s"b$i", i.toLong))))
+      q.processAllAvailable()
+      (1 to 10).foreach { i =>
+        p.delete("users", Seq(Row(s"b$i", i.toLong)))
+        p.insert("users", Seq(Row(s"b$i", 100L + i)))
+      }
+      q.processAllAvailable()
+      ins.synchronized {
+        (1 to 10).foreach { i =>
+          val last = ins.filter(_.getAs[String]("matchingKey") == s"b$i").last
+          assert(last.getAs[Long]("age") == 100L + i,
+            s"delete+insert in one batch must keep the re-insert for b$i")
+        }
+      }
+    } finally q.stop()
+  }
 }
