@@ -76,6 +76,14 @@ object TaggedJson {
     case other => throw new IllegalArgumentException(s"unknown tag $other")
   }
 
+  /** Parse one tagged VALUE node (e.g. `{"Integer": 5}`) into its Scala
+    * value — the `key` side of GetData requests
+    * (reference: networking/network_types.rs:68-73). */
+  def parseValue(node: JsonNode): Any = {
+    val f = node.fields().next()
+    valueOf(f.getKey, f.getValue)
+  }
+
   private def parseEntryRaw(json: String): (StructType, Row) = {
     val node = mapper.readTree(json).asInstanceOf[ObjectNode]
     val fields = node.fields().asScala.toSeq.map { e =>
