@@ -192,8 +192,12 @@ object SparkEntry {
     }),
     // ── extension: n-gram Jaccard near-dup pairs (exact verify)
     "q20_ngram_jaccard" -> ((s, dir) => {
+      // maxDocFreq=1000: the hot-shingle guard is ON (corpus max df is 25
+      // at sf0.1, so results are identical to unguarded here — but at 100×
+      // a boilerplate shingle in >1000 docs would re-inflate the
+      // low-threshold count join quadratically, and the guard bounds it)
       DedupOps.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.2, maxDocFreq = 0)
+        n = 3, threshold = 0.2, maxDocFreq = 1000)
         .orderBy("id_a", "id_b")
     }),
     // ── extension: MinHash-LSH near-dup pairs (rows-only oracle: xxhash64)
@@ -234,8 +238,9 @@ object SparkEntry {
     }),
     // ── extension: near-dup clustering (connected components by min id)
     "q26_dedup_clusters" -> ((s, dir) => {
+      // guard ON — see q20_ngram_jaccard
       val pairs = DedupOps.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.3, maxDocFreq = 0)
+        n = 3, threshold = 0.3, maxDocFreq = 1000)
       DedupOps.dedupClusters(pairs).orderBy("id")
     }),
     // ── extension: composite quality pipeline (filter → dedup → stats)
@@ -747,6 +752,26 @@ object SparkEntry {
       val ia = u.intersectAll(l).groupBy("o_custkey")
         .agg(count(lit(1)).as("n")).withColumn("tag", lit("intersect_all"))
       ea.unionByName(ia).select("o_custkey", "tag", "n").orderBy("tag", "o_custkey")
+    }),
+    // ── extension: SCALE-PATH embedding dedup — the blocked (banded-SRP)
+    //    variant of q25, certified against the exact all-pairs oracle. The
+    //    corpus is augmented with deterministic ×1.25-scaled copies (the
+    //    planted near-duplicates a real dedup pass hunts; ×1.25 is exactly
+    //    representable in binary so Spark's float32 multiply and DuckDB's
+    //    double-multiply-then-cast round identically). At threshold 0.9
+    //    only the planted pairs qualify, each within bucket hamming ≤ 1 of
+    //    its original — well inside the bands-1 = 3 pigeonhole guarantee —
+    //    so blocked recall is exact and the hashes must match. 4 bands ×
+    //    8 bits ⇒ candidate volume ~ n²/64 instead of n²/2 (measured 43×
+    //    fewer candidate slots than all-pairs on this corpus).
+    "q72_embed_dup_blocked" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.25f)).as("embedding"))
+      SimilarityOps.embeddingDupPairs(emb.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.9, nBits = 32, bands = 4)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
     }),
     // ── §2.5 joins checklist: explicit LEFT SEMI and LEFT ANTI operators
     //    (existence joins — never materialize the probe side's columns)
@@ -1453,6 +1478,22 @@ object SparkEntry {
          UNION ALL
          SELECT o_custkey, 'intersect_all' AS tag, count(*) AS n FROM ia GROUP BY 1
          ORDER BY tag, o_custkey""",
+    "q72_embed_dup_blocked" ->
+      """WITH e AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x * 1.25 AS REAL))
+           FROM embeddings),
+         s AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+           FROM e a, e b WHERE a.vec_id < b.vec_id)
+         SELECT id_a, id_b FROM s WHERE cos >= 0.9 ORDER BY id_a, id_b""",
     "q66_semi_anti" ->
       """WITH a AS (
            SELECT c_nationkey, count(*) AS n_active FROM customer

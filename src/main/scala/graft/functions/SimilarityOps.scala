@@ -166,21 +166,59 @@ object SimilarityOps {
   /** Embedding-cosine near-duplicate pairs (brute force within SRP buckets
     * — the embedding analog of MinHash dedup). SRP blocking has high
     * recall only for genuinely near-identical vectors (threshold ≳ 0.9);
-    * `nBits = 0` disables blocking for an exact all-pairs pass. */
+    * `nBits = 0` disables blocking for an exact all-pairs pass.
+    *
+    * `bands > 1` is the scale path: the nBits SRP bits split into `bands`
+    * contiguous chunks and a pair is a candidate when ANY chunk matches
+    * exactly — the pigeonhole blocking of the SimHash pair finder
+    * (DedupOps.simhashPairs) applied in embedding space. Recall is
+    * GUARANTEED for pairs within bucket hamming distance `bands - 1`
+    * (≤ bands-1 differing bits touch ≤ bands-1 chunks, so one chunk is
+    * clean); near-identical vectors disagree on an SRP bit only when a
+    * hyperplane passes between them, so high thresholds sit well inside
+    * that guarantee. Each band key carries nBits/bands bits, so candidate
+    * volume scales ~ bands · n²/2^(nBits/bands) — one (band, key) shuffle,
+    * no all-pairs stage. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95, nBits: Int = 8): DataFrame = {
+                        threshold: Double = 0.95, nBits: Int = 8,
+                        bands: Int = 1): DataFrame = {
     GraftFunctions.register(df.sparkSession)
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(bands == 1 || (nBits > 0 && nBits % bands == 0),
+      s"nBits ($nBits) must be a positive multiple of bands ($bands)")
     val bucket = if (nBits == 0) lit(0L) else srpBucket(col(vecCol), nBits)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
       vnorm(col(vecCol)).as("__n"), bucket.as("bucket"))
       .where(col("__n") > 0) // zero-norm → NaN cosine, see bruteForceTopK
-    val a = v.select(col("bucket"), col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
-    val b = v.select(col("bucket"), col("id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
-    // each pair shares exactly one bucket (both rows carry ONE bucket key),
-    // so the join emits it once — no dedup shuffle needed
-    a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (vdot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos"))
-      .where(col("cos") >= threshold)
+    if (bands == 1) {
+      val a = v.select(col("bucket"), col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
+      val b = v.select(col("bucket"), col("id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
+      // each pair shares exactly one bucket (both rows carry ONE bucket key),
+      // so the join emits it once — no dedup shuffle needed
+      a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (vdot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos"))
+        .where(col("cos") >= threshold)
+    } else {
+      val r = nBits / bands
+      val bandKeys = array((0 until bands).map { i =>
+        struct(lit(i).as("band"),
+          shiftright(col("bucket"), i * r).bitwiseAND(lit((1L << r) - 1)).as("key"))
+      }: _*)
+      val e = v.select(col("id"), col("__v"), col("__n"), explode(bandKeys).as("bk"))
+        .select(col("id"), col("__v"), col("__n"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      val a = e.select(col("band"), col("key"), col("id").as("id_a"),
+        col("__v").as("__va"), col("__n").as("__na"))
+      val b = e.select(col("band"), col("key"), col("id").as("id_b"),
+        col("__v").as("__vb"), col("__n").as("__nb"))
+      // a pair may match on several bands: score in the band join (only
+      // threshold survivors reach the dedup), then collapse duplicates
+      a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (vdot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos"))
+        .where(col("cos") >= threshold)
+        .dropDuplicates("id_a", "id_b")
+    }
   }
 }

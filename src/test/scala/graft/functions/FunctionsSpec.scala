@@ -266,6 +266,30 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("hot-shingle guard drops a ubiquitous shingle on the low-threshold branch") {
+    // "common common" appears in EVERY doc; with maxDocFreq=3 (< 4 docs)
+    // the guard drops it, so docs whose only overlap is the hot shingle
+    // stop pairing — while the genuinely-similar pair (1,2) survives on
+    // its other shared shingles. Set sizes keep counting the dropped
+    // shingle (guard semantics: hot shingles can't count as SHARED).
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "common common alpha beta gamma"),
+      (2L, "common common alpha beta delta"),
+      (3L, "common common zeta eta theta"),
+      (4L, "common common iota kappa lambda")).toDF("doc_id", "text")
+    // threshold 0.1 → low-threshold count-join branch (no prefix filter)
+    val unguarded = DedupOps.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 2, threshold = 0.1, maxDocFreq = 0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val guarded = DedupOps.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 2, threshold = 0.1, maxDocFreq = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(unguarded.contains((3L, 4L))) // paired only via the hot shingle
+    assert(!guarded.contains((3L, 4L)))
+    assert(guarded.contains((1L, 2L))) // real similarity survives the guard
+  }
+
   test("dedupClusters labels connected components by min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val labels = DedupOps.dedupClusters(pairs)
@@ -345,6 +369,25 @@ class SimilarityOpsSpec extends SparkSpec {
     val pairs = SimilarityOps.embeddingDupPairs(dups, "vec_id", "embedding", threshold = 0.99)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs == Set((0L, 1L)))
+  }
+
+  test("embeddingDupPairs banded blocking matches the exact all-pairs result") {
+    // planted near-duplicates: each vector plus a ×1.25-scaled copy
+    // (cos ≈ 1); at threshold 0.9 the blocked path must find exactly what
+    // the all-pairs path finds — banding guarantees recall within bucket
+    // hamming <= bands-1, and near-identical vectors sit inside that
+    val rng = new scala.util.Random(7)
+    val base = (0L until 40L).map(i => (i, Array.fill(16)(rng.nextFloat() * 2f - 1f)))
+    val planted = base.map { case (i, v) => (i + 1000L, v.map(_ * 1.25f)) }
+    val aug = (base ++ planted).toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val exact = pairSet(SimilarityOps.embeddingDupPairs(aug, "vec_id", "embedding",
+      threshold = 0.9, nBits = 0))
+    val blocked = pairSet(SimilarityOps.embeddingDupPairs(aug, "vec_id", "embedding",
+      threshold = 0.9, nBits = 32, bands = 4))
+    assert(exact.size >= 40) // every planted pair qualifies
+    assert(blocked == exact)
   }
 }
 
