@@ -60,7 +60,10 @@ import java.util.concurrent.LinkedBlockingQueue
   * Divergences from the reference, on purpose: a malformed frame or an
   * unknown listen table answers that CLIENT with an Err instead of
   * panicking the whole db thread (client_connection.rs:74, db_thread.rs:123
-  * crash the process).
+  * crash the process). InsertData/DeleteData respond with the committed
+  * SOURCE rows (the reference's response also carries the cascaded derived
+  * edits, db_thread.rs:82-104); derived-table changes are observable via
+  * StartListen on the derived table, which this server pushes per edit.
   */
 final class GraftServer(val graph: IncrementalGraph, requestedPort: Int = 0) {
   private val mapper = new ObjectMapper()
