@@ -105,22 +105,50 @@ final class IncrementalGraph(
   private def notifyListeners(tableName: String, ins: DataFrame, del: DataFrame): Unit =
     listeners.getOrElse(tableName, Nil).foreach(cb => cb(ins, del))
 
+  /** Run an edit transactionally — the reference's rollback
+    * (database.rs:317-396), without the edit-inversion machinery: matviews
+    * are immutable DataFrames, so the pre-edit snapshot of the name→frame
+    * map IS the rollback. On ANY failure mid-cascade every table restores
+    * to its pre-edit state and subscribers are never called (notifications
+    * collect into `pending` and fire only after the whole cascade commits
+    * — the reference's hooks also run against committed edits,
+    * listener_hook.rs:56-66). Durable deltas already checkpointed for a
+    * rolled-back edit are orphaned, not visible. Impure Action functions
+    * are outside the transaction boundary (as are the reference's
+    * embedded-Python actions). */
+  private def transactional(body: Pending => Unit): Unit = {
+    val snapshot = mat.toMap
+    val pending = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame, DataFrame)]
+    try body(pending)
+    catch {
+      case e: Throwable =>
+        mat.clear(); mat ++= snapshot
+        throw e
+    }
+    pending.foreach { case (t, ins, del) => notifyListeners(t, ins, del) }
+  }
+  private type Pending = scala.collection.mutable.ArrayBuffer[(String, DataFrame, DataFrame)]
+
   /** Insert rows; all derived tables are brought current before this
-    * returns (the reference's eager cascade). Returns the committed rows. */
+    * returns (the reference's eager cascade). Returns the committed rows.
+    * Transactional: a mid-cascade failure rolls every table back and
+    * notifies nobody. */
   def insert(tableName: String, rows: DataFrame): DataFrame = {
     val cfg = config.byName.get(tableName) match {
       case Some(s: SourceTableConfig) => s
       case _ => throw new IllegalArgumentException(s"$tableName is not a source table")
     }
     val committed = SourceOps.ensureEntryId(SourceOps.alignForInsert(cfg, rows))
-    mat(tableName) = checkpoint(mat(tableName).unionByName(committed))
-    notifyListeners(tableName, committed, committed.limit(0))
-    propagate(tableName, committed, committed.limit(0))
+    transactional { pending =>
+      mat(tableName) = checkpoint(mat(tableName).unionByName(committed))
+      pending += ((tableName, committed, committed.limit(0)))
+      propagate(tableName, committed, committed.limit(0), pending)
+    }
     committed
   }
 
   /** Delete all rows with `column == key`; cascades eagerly. Returns the
-    * deleted rows. */
+    * deleted rows. Transactional like [[insert]]. */
   def delete(tableName: String, column: String, key: Any): DataFrame = {
     val cur = mat.getOrElse(tableName,
       throw new IllegalArgumentException(s"no table named $tableName"))
@@ -128,13 +156,16 @@ final class IncrementalGraph(
       s"$tableName is not a source table")
     // null-safe on BOTH sides — see PipelineGraph.delete
     val deleted = checkpoint(cur.filter(col(column) <=> lit(key)))
-    mat(tableName) = checkpoint(cur.filter(!(col(column) <=> lit(key))))
-    notifyListeners(tableName, deleted.limit(0), deleted)
-    propagate(tableName, deleted.limit(0), deleted)
+    transactional { pending =>
+      mat(tableName) = checkpoint(cur.filter(!(col(column) <=> lit(key))))
+      pending += ((tableName, deleted.limit(0), deleted))
+      propagate(tableName, deleted.limit(0), deleted, pending)
+    }
     deleted
   }
 
-  private def propagate(src: String, inserted: DataFrame, deleted: DataFrame): Unit = {
+  private def propagate(src: String, inserted: DataFrame, deleted: DataFrame,
+                        pending: Pending): Unit = {
     // no-op edits stop here: deltas are checkpointed, so isEmpty is a
     // metadata-cheap check, and skipping avoids cascading full-graph
     // joins, re-checkpoints, and spurious listener calls for an edit that
@@ -224,8 +255,8 @@ final class IncrementalGraph(
           (others.unionByName(replacement), replacement, oldRows)
       }
       mat(d.name) = checkpoint(next)
-      notifyListeners(d.name, ins, del)
-      propagate(d.name, ins, del)
+      pending += ((d.name, ins, del))
+      propagate(d.name, ins, del, pending)
     }
   }
 }

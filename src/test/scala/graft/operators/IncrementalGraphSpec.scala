@@ -188,4 +188,47 @@ class IncrementalGraphSpec extends SparkSpec {
     // both derived rows projected to (g=90, lineage); only Alex's copy goes
     assert(inc.table("projected").count() == 1)
   }
+
+  test("mid-cascade failure rolls back every table and notifies nobody (reference database.rs:317-396)") {
+    // a flaky action: bootstraps fine, then throws while the cascade
+    // computes the action table's delta — AFTER upstream tables already
+    // applied their part of the edit
+    @volatile var explode = false
+    ActionRegistry.register(GraftAction("flakyAction", identity,
+      s => { if (explode) throw new RuntimeException("boom"); s }))
+    val cfg = PipelineConfig.fromYaml(
+      """tables:
+        |  - name: grades
+        |    kind: source
+        |    columns: {name: Str, grade: Integer}
+        |  - name: stats
+        |    kind: aggregation
+        |    source_table: grades
+        |    aggregated_column: name
+        |    functions: ["cnt ~ memo.cnt + 1", "sum ~ memo.sum + grade"]
+        |  - name: acted
+        |    kind: action
+        |    source_table: grades
+        |    action: flakyAction
+        |""".stripMargin)
+    val inc = new IncrementalGraph(spark, cfg)
+    inc.insert("grades", rows(gradeSchema, Row("Alex", 90L)))
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    Seq("grades", "stats", "acted").foreach(t => inc.listen(t)((_, _) => calls += t))
+    val before = Seq("grades", "stats", "acted").map(t => t -> canon(inc.table(t))).toMap
+
+    explode = true
+    assertThrows[RuntimeException](inc.insert("grades", rows(gradeSchema, Row("Alex", 80L))))
+    // every table — including those UPSTREAM of the failure — restored
+    Seq("grades", "stats", "acted").foreach { t =>
+      assert(canon(inc.table(t)) == before(t), s"$t not rolled back")
+    }
+    assert(calls.isEmpty, s"subscribers must not see a rolled-back edit: $calls")
+
+    // the graph stays usable: the same edit commits once the fault clears
+    explode = false
+    inc.insert("grades", rows(gradeSchema, Row("Alex", 80L)))
+    assert(canon(inc.table("stats")) != before("stats"))
+    assert(calls.nonEmpty)
+  }
 }
