@@ -827,6 +827,24 @@ object SparkEntry {
           expr("((n_docs - n_distinct) * 10000) div n_docs").as("dup_bp"))
         .orderBy("source")
     }),
+    // ── extension: SemDeDup semantic dedup (arXiv:2303.09540) — k-means
+    //    clustering (deterministic hash-sampled init, one Lloyd update
+    //    round) bounds the cosine pair scan to intra-cluster pairs. The
+    //    corpus is the embeddings table plus planted scaled copies
+    //    (cos(v, 1.25v)=1, the q72 idiom) so the dedup stage has known
+    //    positives; natural pairs top out at cos≈0.47, centroid-assignment
+    //    margins ≥6e-5, so the integer/boolean output is robust to FP
+    //    summation-order differences between engines
+    "q73_semantic_dedup" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.25f)).as("embedding"))
+      val init = emb.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      SimilarityOps.semanticDedup(emb.unionByName(planted), "vec_id", "embedding",
+        init, "cid", threshold = 0.9, updateRounds = 1)
+        .orderBy("vec_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1535,5 +1553,54 @@ object SparkEntry {
            count(DISTINCT fp) AS n_distinct,
            CAST(((count(*) - count(DISTINCT fp)) * 10000) // count(*) AS BIGINT) AS dup_bp
          FROM t GROUP BY source ORDER BY source""",
+    "q73_semantic_dedup" ->
+      """WITH e AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x * 1.25 AS REAL))
+           FROM embeddings),
+         cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id % 25 = 0),
+         asn1 AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM e, cent0 c) WHERE rn = 1),
+         ex AS (SELECT cid, unnest(embedding) AS x,
+                  unnest(range(1, len(embedding) + 1)) AS pos FROM asn1),
+         cent1 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cv FROM (
+             SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS mx FROM ex GROUP BY cid, pos)
+           GROUP BY cid),
+         asn2 AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM e, cent1 c) WHERE rn = 1),
+         losers AS (
+           SELECT DISTINCT b.vec_id AS vid
+           FROM asn2 a JOIN asn2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+                 >= 0.9)
+         SELECT vec_id, cid, vec_id NOT IN (SELECT vid FROM losers) AS kept
+         FROM asn2 ORDER BY vec_id""",
   )
 }

@@ -163,6 +163,102 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Distributed Lloyd's k-means assignment (cosine flavor) over an
+    * embedding column.
+    *
+    * Deterministic by construction: centroids come from a caller-supplied
+    * init table (e.g. a hash-sampled corpus subset) and exactly
+    * `updateRounds` assign→re-center rounds run — no convergence test, so
+    * the output never depends on an FP-noise-sensitive stopping rule.
+    * Per round the k×dim centroid table is broadcast and each vector picks
+    * its top-1 cell map-side (WindowGroupLimit pre-reduces the broadcast
+    * cross product before any exchange — same shape as [[ivfTopK]]); new
+    * centroids are per-(cell, position) means via posexplode — two
+    * aggregates over k·dim keys. Nothing corpus-sized ever reaches the
+    * driver; the centroid model stays a (tiny) distributed DataFrame.
+    *
+    * Ties (equal cosine) break toward the smallest centroid id, matching
+    * the `ORDER BY score DESC, cid` convention of the SQL oracle. Zero-norm
+    * vectors and zero-norm centroids are dropped (cosine undefined).
+    *
+    * @return (idCol, "cid") — the assignment under the final centroids
+    */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   initCentroids: DataFrame, centroidIdCol: String,
+                   updateRounds: Int = 1): DataFrame =
+    kmeansFull(corpus, idCol, vecCol, initCentroids, centroidIdCol, updateRounds)
+      .select(col(idCol), col("cid"))
+
+  /** [[kmeansAssign]] keeping the vector and its norm alongside the cell id
+    * — internal feed for [[semanticDedup]]'s intra-cluster pair scan. */
+  private def kmeansFull(corpus: DataFrame, idCol: String, vecCol: String,
+                         initCentroids: DataFrame, centroidIdCol: String,
+                         updateRounds: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    require(updateRounds >= 0, s"updateRounds must be >= 0, got $updateRounds")
+    val v = corpus.select(col(idCol), col(vecCol).as("__v"), vnorm(col(vecCol)).as("__n"))
+      .where(col("__n") > 0)
+    def assign(cent: DataFrame): DataFrame = {
+      val c = cent.select(col("cid"), col("__cv"), vnorm(col("__cv")).as("__cn"))
+        .where(col("__cn") > 0)
+      val w = Window.partitionBy(idCol).orderBy(col("__score").desc, col("cid").asc)
+      v.crossJoin(broadcast(c))
+        .withColumn("__score", vdot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col(idCol), col("__v"), col("__n"), col("cid"))
+    }
+    // per-(cell, position) mean, rebuilt into an ordered double array —
+    // k·dim aggregate keys, no driver round-trip
+    def recenter(asn: DataFrame): DataFrame =
+      asn.select(col("cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("cid", "__pos").agg(avg(col("__x").cast("double")).as("__m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"))
+        .select(col("cid"), transform(col("__pm"), p => p.getField("__m")).as("__cv"))
+    var cent = initCentroids.select(col(centroidIdCol).as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("__cv"))
+    var round = 0
+    while (round < updateRounds) {
+      cent = recenter(assign(cent))
+      round += 1
+    }
+    assign(cent)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+    * with [[kmeansAssign]], then mark cosine near-duplicates WITHIN each
+    * cluster and keep only the smallest id of each duplicate pair. The
+    * clustering bounds the pair scan to intra-cluster pairs — the global
+    * all-pairs n² never materializes; with balanced clusters candidate
+    * volume is k·(n/k)² and the pair join shuffles on the cluster id only.
+    * (At 100 TB you'd raise k so n/k stays executor-sized — candidate
+    * volume and skew are both governed by the same knob.)
+    *
+    * The final assignment is computed once and persisted: the pair scan
+    * reads it from both sides and the verdict join reads it again — without
+    * the persist the whole kmeans chain would re-run three times.
+    *
+    * @return one row per in-corpus vector: (idCol, "cid", "kept") where
+    *         kept=false iff a smaller-id vector in the same cluster is
+    *         cosine-`threshold`-close
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    initCentroids: DataFrame, centroidIdCol: String,
+                    threshold: Double = 0.9, updateRounds: Int = 1): DataFrame = {
+    val full = kmeansFull(corpus, idCol, vecCol, initCentroids, centroidIdCol, updateRounds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = full.select(col("cid"), col(idCol).as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = full.select(col("cid"), col(idCol).as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    val losers = a.join(b, Seq("cid")).where(col("id_a") < col("id_b"))
+      .where(vdot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    full.select(col(idCol), col("cid"))
+      .join(losers.withColumn("__lost", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cid"), col("__lost").isNull.as("kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (brute force within SRP buckets
     * — the embedding analog of MinHash dedup). SRP blocking has high
     * recall only for genuinely near-identical vectors (threshold ≳ 0.9);

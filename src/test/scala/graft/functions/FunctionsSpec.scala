@@ -389,6 +389,49 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(exact.size >= 40) // every planted pair qualifies
     assert(blocked == exact)
   }
+
+  test("kmeansAssign separates two obvious directional clusters") {
+    // two tight cones around +x and +y; init one centroid in each
+    val pts = Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.1f)),
+      (10L, Array(0.05f, 1.0f, 0.0f)), (11L, Array(0.1f, 0.9f, 0.0f)),
+      (12L, Array(0.0f, 1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val init = pts.where($"vec_id".isin(0L, 10L)).select($"vec_id".as("cid"), $"embedding")
+    val asn = SimilarityOps.kmeansAssign(pts, "vec_id", "embedding", init, "cid",
+      updateRounds = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    assert(Seq(0L, 1L, 2L).forall(asn(_) == 0L))
+    assert(Seq(10L, 11L, 12L).forall(asn(_) == 10L))
+  }
+
+  test("kmeansAssign is deterministic under repartition (no sampled or random state)") {
+    val rng = new scala.util.Random(11)
+    val pts = (0L until 60L).map(i => (i, Array.fill(8)(rng.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val init = pts.where($"vec_id" % 10 === 0).select($"vec_id".as("cid"), $"embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.kmeansAssign(df, "vec_id", "embedding", init, "cid", updateRounds = 2)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    assert(run(pts) == run(pts.repartition(7)))
+  }
+
+  test("semanticDedup keeps the smallest id of each intra-cluster duplicate set") {
+    // cluster A around +x holds a duplicate triple {0,1,2}; cluster B
+    // around +y holds a duplicate pair {10,11} and a loner 12
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.25f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.001f, 0.0f)), (3L, Array(0.8f, 0.6f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.0f)), (11L, Array(0.0f, 2.0f, 0.0f)),
+      (12L, Array(0.3f, 0.9f, 0.0f))).toDF("vec_id", "embedding")
+    val init = pts.where($"vec_id".isin(0L, 10L)).select($"vec_id".as("cid"), $"embedding")
+    val out = SimilarityOps.semanticDedup(pts, "vec_id", "embedding", init, "cid",
+      threshold = 0.99, updateRounds = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(out.size == 7)
+    assert(out(0L) && !out(1L) && !out(2L)) // 0 survives its triple
+    assert(out(10L) && !out(11L))           // 10 survives its pair
+    assert(out(3L) && out(12L))             // non-duplicates untouched
+  }
 }
 
 class MultimodalOpsSpec extends SparkSpec {
