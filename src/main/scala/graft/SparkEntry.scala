@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DedupOps, SimilarityOps, TextFunctions}
+import graft.functions.{DedupOps, SimilarityOps, TextFunctions, VocabOps}
 import graft.operators.{ActionRegistry, GraftAction, QueryService, Transforms}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -845,6 +845,35 @@ object SparkEntry {
         init, "cid", threshold = 0.9, updateRounds = 1)
         .orderBy("vec_id")
     }),
+    // ── extension: data-mixture construction — per-source token budgets,
+    //    deterministic hash-priority selection (DoReMi-style source
+    //    weighting). Priority is an LCG of doc_id (bijective mod 2^31, so
+    //    unique per source) rather than xxhash64 so the oracle computes
+    //    the identical permutation; budgets are derived from the source
+    //    index to make the mixture non-uniform without a literal table
+    "q74_mixture_sample" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+        .withColumn("prio", (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L))
+      val budgets = d.select("source").distinct()
+        .withColumn("budget",
+          lit(300L) + lit(60L) * (expr("CAST(substring(source, 4) AS BIGINT)") % 5))
+      graft.operators.MixtureSample.tokenBudgetSample(d, "source", "ntok", "prio",
+        budgets, "source", "budget")
+        .select("doc_id", "source", "ntok", "picked")
+        .orderBy("doc_id")
+    }),
+    // ── extension: coverage-vocabulary induction — smallest vocab covering
+    //    ≥95% of token mass. Scale shape: count-class rollup (≤ √(2T)
+    //    rows) for the greedy sweep; the corpus-sized boundary class is
+    //    cut in md5-hash order by a distributed prefix rank, never a
+    //    single-reducer window
+    "q75_vocab_coverage" -> ((s, dir) => {
+      val toks = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+      VocabOps.coverageVocab(toks, "word", coverageBp = 9500)
+        .orderBy("word")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1602,5 +1631,52 @@ object SparkEntry {
                  >= 0.9)
          SELECT vec_id, cid, vec_id NOT IN (SELECT vid FROM losers) AS kept
          FROM asn2 ORDER BY vec_id""",
+    "q74_mixture_sample" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS ntok,
+             (doc_id * 1103515245 + 12345) % 2147483648 AS prio
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, CAST(ntok AS BIGINT) AS ntok,
+             CAST(sum(ntok) OVER (PARTITION BY source ORDER BY prio
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM d),
+         b AS (
+           SELECT source, 300 + 60 * (CAST(substr(source, 4, 10) AS BIGINT) % 5) AS budget
+           FROM (SELECT DISTINCT source FROM documents))
+         SELECT c.doc_id, c.source, c.ntok, c.cum <= b.budget AS picked
+         FROM c JOIN b ON c.source = b.source ORDER BY c.doc_id""",
+    "q75_vocab_coverage" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents WHERE length(trim(text)) > 0),
+         wc AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+         cc AS (SELECT cnt, count(*) AS n_words, cnt * count(*) AS mass FROM wc GROUP BY cnt),
+         cum AS (
+           SELECT cnt, n_words, mass,
+             COALESCE(CAST(sum(mass) OVER (ORDER BY cnt DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS before
+           FROM cc),
+         tt AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM cc),
+         v AS (
+           SELECT cnt, n_words, before,
+             before + mass <= (total * 9500 + 9999) // 10000 AS full_in,
+             CASE WHEN before + mass <= (total * 9500 + 9999) // 10000 THEN n_words
+                  WHEN before < (total * 9500 + 9999) // 10000
+                    THEN ((total * 9500 + 9999) // 10000 - before + cnt - 1) // cnt
+                  ELSE 0 END AS needed
+           FROM cum, tt),
+         b AS (
+           SELECT word, wc.cnt,
+             (row_number() OVER (PARTITION BY wc.cnt
+                ORDER BY CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT))) <= needed AS selected
+           FROM wc JOIN v ON wc.cnt = v.cnt WHERE NOT full_in AND needed > 0),
+         r AS (
+           SELECT word, wc.cnt, full_in AS selected
+           FROM wc JOIN v ON wc.cnt = v.cnt WHERE full_in OR needed = 0)
+         SELECT word, cnt, selected FROM (SELECT * FROM b UNION ALL SELECT * FROM r)
+         ORDER BY word""",
   )
 }

@@ -1,0 +1,72 @@
+package graft.functions
+
+import graft.operators.PrefixSum
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Frequency-vocabulary induction with a token-mass coverage target —
+  * "the smallest vocabulary covering ≥ X% of all token occurrences", the
+  * first step of any tokenizer/vocab build over a crawl corpus.
+  *
+  * Scale design. The naive plan — order the whole vocabulary by count and
+  * take a running sum — puts a corpus-scale vocabulary under ONE window
+  * reducer. This operator never does that:
+  *
+  *   1. word counts (one aggregate, vocab-sized output);
+  *   2. roll up to COUNT CLASSES (cnt → n_words): distinct positive counts
+  *      summing to T are at most √(2T), so this table is provably tiny
+  *      (T = 10¹² tokens → ≤ 1.4M classes) and its cumulative-mass window
+  *      is safe by construction;
+  *   3. greedy coverage over classes, integer-exact: classes fully inside
+  *      the target are taken whole; the single BOUNDARY class contributes
+  *      `ceil((target - mass_before) / cnt)` words;
+  *   4. inside the boundary class (which CAN be corpus-sized — the count=1
+  *      tail), words are taken in deterministic hash order via
+  *      [[PrefixSum.groupedRunningSum]] — a distributed prefix rank, not a
+  *      single-reducer window. Hash order, not alphabetical, is the honest
+  *      semantics: the tail cut is arbitrary, so it should also be
+  *      unbiased.
+  *
+  * The hash is the first 60 bits of md5 — engine-portable (any SQL oracle
+  * can reproduce it) and collision-free in practice (P[any collision] ≈
+  * n²/2⁶¹; a 10M-word class → 2·10⁻⁵). All arithmetic is integer (ceil
+  * divisions, basis-point target), so results are bit-exact across
+  * engines.
+  */
+object VocabOps {
+
+  /** @param tokens     one row per token occurrence
+    * @param wordCol    the token column
+    * @param coverageBp coverage target in basis points (9500 = 95%)
+    * @return (word, cnt, selected): the full vocabulary with its count and
+    *         whether it is in the coverage vocabulary
+    */
+  def coverageVocab(tokens: DataFrame, wordCol: String, coverageBp: Int): DataFrame = {
+    require(coverageBp >= 0 && coverageBp <= 10000, s"coverageBp in [0,10000], got $coverageBp")
+    val wc = tokens.groupBy(col(wordCol).as("word")).agg(count(lit(1)).as("cnt"))
+    val cc = wc.groupBy("cnt").agg(count(lit(1)).as("n_words"))
+      .withColumn("mass", col("cnt") * col("n_words"))
+    // count-class table: ≤ √(2T) rows, so the global window is bounded
+    val w = Window.orderBy(col("cnt").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val verdict = cc
+      .withColumn("before", coalesce(sum("mass").over(w), lit(0L)))
+      .crossJoin(broadcast(cc.agg(sum("mass").cast("long").as("total"))))
+      .withColumn("target", expr(s"(total * $coverageBp + 9999) div 10000"))
+      .withColumn("full", col("before") + col("mass") <= col("target"))
+      .withColumn("needed", when(col("full"), col("n_words"))
+        .otherwise(when(col("before") < col("target"),
+          expr("(target - before + cnt - 1) div cnt")).otherwise(lit(0L))))
+      .select("cnt", "full", "needed")
+    val wv = wc.join(broadcast(verdict), Seq("cnt"))
+    val boundary = wv.where(!col("full") && col("needed") > 0)
+      .withColumn("__one", lit(1L))
+      .withColumn("__h", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
+    val bsel = PrefixSum.groupedRunningSum(boundary, Seq("cnt"), "__h", "__one", "__rnk")
+      .withColumn("selected", col("__rnk") <= col("needed"))
+      .select("word", "cnt", "selected")
+    wv.where(col("full") || col("needed") === 0)
+      .select(col("word"), col("cnt"), col("full").as("selected"))
+      .unionByName(bsel)
+  }
+}

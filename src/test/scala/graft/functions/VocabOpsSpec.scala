@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VocabOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Zipf-ish corpus: w0 ×64, w1 ×32, ... w6 ×1, plus a 40-word singleton
+  // tail — the boundary class lands inside the tail
+  private def corpus = {
+    val heads = (0 until 7).flatMap(i => Seq.fill(64 >> i)(s"w$i"))
+    val tail = (0 until 40).map(i => s"t$i")
+    (heads ++ tail).toDF("word")
+  }
+
+  test("coverageVocab covers at least the target and stops at the minimal class prefix") {
+    val out = VocabOps.coverageVocab(corpus, "word", coverageBp = 8000)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val total = out.map(_._2).sum
+    val target = (total * 8000 + 9999) / 10000
+    val selMass = out.filter(_._3).map(_._2).sum
+    assert(selMass >= target, s"selected mass $selMass < target $target")
+    // minimality: dropping any selected SINGLETON word must break coverage
+    // only if selection is exactly at the greedy boundary
+    val selSingletons = out.count { case (_, c, s) => s && c == 1L }
+    assert(selMass - target < 1 + 1, // greedy overshoot is < one boundary-class word
+      s"overshoot ${selMass - target} too large for singleton boundary")
+    assert(selSingletons > 0 && selSingletons < 40, "boundary must cut inside the tail")
+  }
+
+  test("coverageVocab at 100% selects everything, at 0% selects nothing") {
+    val all = VocabOps.coverageVocab(corpus, "word", 10000).collect()
+    assert(all.forall(_.getBoolean(2)))
+    val none = VocabOps.coverageVocab(corpus, "word", 0).collect()
+    assert(none.forall(!_.getBoolean(2)))
+  }
+
+  test("coverageVocab is deterministic under repartition (hash-order tail cut)") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      VocabOps.coverageVocab(df, "word", 8000)
+        .collect().map(r => (r.getString(0), r.getBoolean(2))).toSet
+    assert(run(corpus) == run(corpus.repartition(11)))
+  }
+}
