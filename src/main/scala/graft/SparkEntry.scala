@@ -874,6 +874,25 @@ object SparkEntry {
       VocabOps.coverageVocab(toks, "word", coverageBp = 9500)
         .orderBy("word")
     }),
+    // ── extension: cross-source shingle-overlap matrix (which crawl dumps
+    //    duplicate each other). Hot-shingle guard ON at 15 (< the 20
+    //    sources in this corpus, so the guard path is exercised by the
+    //    oracle, not just configured); the oracle mirrors the guard
+    "q76_source_overlap" -> ((s, dir) => {
+      graft.functions.ProfileOps.groupOverlap(T(s, dir, "documents"),
+        "text", "source", n = 3, maxGroupFreq = 15)
+        .orderBy("grp_a", "grp_b")
+    }),
+    // ── extension: deterministic training-order shuffle + shard manifest
+    //    (reproducible epochs, seekable (shard, pos)); prefix rank within
+    //    a shard is distributed, never a per-shard window
+    "q77_train_shard" -> ((s, dir) => {
+      graft.operators.TrainShuffle
+        .shuffleShards(T(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", nShards = 8, seed = 12345L)
+        .select("doc_id", "source", "shard", "pos")
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1678,5 +1697,33 @@ object SparkEntry {
            FROM wc JOIN v ON wc.cnt = v.cnt WHERE full_in OR needed = 0)
          SELECT word, cnt, selected FROM (SELECT * FROM b UNION ALL SELECT * FROM r)
          ORDER BY word""",
+    "q76_source_overlap" ->
+      """WITH toks AS (
+           SELECT source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT source,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
+           FROM toks),
+         ex AS (
+           SELECT DISTINCT source, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+           FROM (SELECT source, unnest(s) AS shingle FROM sh)),
+         hot AS (SELECT h FROM ex GROUP BY h HAVING count(*) > 15),
+         g AS (SELECT * FROM ex WHERE h NOT IN (SELECT h FROM hot)),
+         sz AS (SELECT source, count(*) AS sz FROM g GROUP BY source),
+         p AS (
+           SELECT a.source AS grp_a, b.source AS grp_b, count(*) AS shared
+           FROM g a JOIN g b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+         SELECT grp_a, grp_b, shared, sa.sz AS sz_a, sb.sz AS sz_b,
+           (shared * 10000) // least(sa.sz, sb.sz) AS overlap_bp
+         FROM p JOIN sz sa ON p.grp_a = sa.source JOIN sz sb ON p.grp_b = sb.source
+         ORDER BY grp_a, grp_b""",
+    "q77_train_shard" ->
+      """WITH d AS (
+           SELECT doc_id, source, (doc_id * 1103515245 + 12345) % 2147483648 AS prio
+           FROM documents)
+         SELECT doc_id, source, CAST(prio % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY prio % 8 ORDER BY prio) AS BIGINT) AS pos
+         FROM d ORDER BY doc_id""",
   )
 }

@@ -32,4 +32,50 @@ object ProfileOps {
     df.groupBy(groupCol)
       .agg(percentile_approx(col(valueCol), pArr, lit(accuracy)).as("p"))
   }
+
+  /** Cross-group content-overlap matrix over word-n-gram shingles — the
+    * "how much does source A duplicate source B" report that decides which
+    * crawl dumps are worth keeping (and the inter-source half of a
+    * train/eval contamination audit).
+    *
+    * Shape: distinct (group, shingle-hash) pairs, a self-join on the
+    * 8-byte hash, one aggregate per group pair. The join's fan-out per
+    * shingle is bounded by `maxGroupFreq`: a shingle present in more than
+    * that many groups (boilerplate headers, licence lines) is dropped
+    * BEFORE the join — the same hot-key guard as the PPJoin path
+    * (DedupOps.ngramJaccardPairs), because a ubiquitous shingle otherwise
+    * contributes |groups|²/2 pairs on its own. Reported overlap is the
+    * integer-basis-point overlap coefficient
+    * `shared * 10000 div min(|A|, |B|)` — integer-exact, oracle-stable.
+    *
+    * @param maxGroupFreq drop shingles present in more than this many
+    *                     groups (0 disables the guard)
+    */
+  def groupOverlap(df: DataFrame, textCol: String, groupCol: String,
+                   n: Int = 3, maxGroupFreq: Int = 0): DataFrame = {
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    // persisted: the distinct (group, hash) set feeds the guard, both join
+    // sides, and the size aggregate — without it the tokenize+explode+
+    // distinct shuffle would re-run four times
+    val ex = df
+      .select(col(groupCol).as("grp"), explode(DedupOps.shingleHashes(col(textCol), n)).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val guarded =
+      if (maxGroupFreq <= 0) ex
+      else {
+        val hot = ex.groupBy("h").agg(count(lit(1)).as("__gf"))
+          .where(col("__gf") > maxGroupFreq).select("h")
+        ex.join(hot, Seq("h"), "left_anti")
+      }
+    val sizes = guarded.groupBy("grp").agg(count(lit(1)).as("sz"))
+    val a = guarded.select(col("h"), col("grp").as("grp_a"))
+    val b = guarded.select(col("h"), col("grp").as("grp_b"))
+    a.join(b, Seq("h")).where(col("grp_a") < col("grp_b"))
+      .groupBy("grp_a", "grp_b").agg(count(lit(1)).as("shared"))
+      .join(broadcast(sizes.select(col("grp").as("grp_a"), col("sz").as("sz_a"))), Seq("grp_a"))
+      .join(broadcast(sizes.select(col("grp").as("grp_b"), col("sz").as("sz_b"))), Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("shared"), col("sz_a"), col("sz_b"),
+        expr("(shared * 10000) div least(sz_a, sz_b)").as("overlap_bp"))
+  }
 }

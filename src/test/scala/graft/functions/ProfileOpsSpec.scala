@@ -31,4 +31,40 @@ class ProfileOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("groupOverlap counts shared shingles and scales to overlap coefficient") {
+    import spark.implicits._
+    // a and b share the 3-gram "x y z"; c shares nothing
+    val docs = Seq(
+      ("a", "x y z p q r"),   // shingles: "x y z","y z p","z p q","p q r"
+      ("b", "x y z different tail here"),
+      ("c", "completely other words entirely")).toDF("src", "text")
+    val out = ProfileOps.groupOverlap(docs, "text", "src", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("shared"), r.getAs[Long]("overlap_bp"))).toMap
+    assert(out.keySet == Set(("a", "b")))   // c overlaps nobody
+    val (shared, bp) = out(("a", "b"))
+    assert(shared == 1L)
+    assert(bp == 10000L / 4L)               // 1 shared / min(4, 4) shingles
+  }
+
+  test("groupOverlap hot-shingle guard drops ubiquitous shingles before the join") {
+    import spark.implicits._
+    // "the same line" appears in ALL four sources; only a/b share "unique
+    // pair shingle". guard at 3 < 4 sources → the ubiquitous shingle is
+    // dropped and contributes no pairs (and no size mass)
+    val docs = Seq(
+      ("a", "the same line unique pair shingle"),
+      ("b", "the same line unique pair shingle"),
+      ("c", "the same line plus c stuff"),
+      ("d", "the same line and then d")).toDF("src", "text")
+    val guarded = ProfileOps.groupOverlap(docs, "text", "src", n = 3, maxGroupFreq = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("shared")).toMap
+    val unguarded = ProfileOps.groupOverlap(docs, "text", "src", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("shared")).toMap
+    assert(unguarded.keySet == Set(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d")))
+    // with the guard, pairs held together ONLY by "the same line" vanish
+    assert(guarded.keySet == Set(("a", "b")))
+    assert(guarded(("a", "b")) == 3L && unguarded(("a", "b")) == 4L)
+  }
 }
