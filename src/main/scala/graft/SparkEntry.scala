@@ -893,6 +893,20 @@ object SparkEntry {
         .select("doc_id", "source", "shard", "pos")
         .orderBy("doc_id")
     }),
+    // ── extension: IVF ANN over a TRAINED coarse quantizer — q46's search
+    //    with k-means-refined cells (one Lloyd round from the same
+    //    hash-sampled init). The full IVF story: train → assign → probe
+    "q78_ivf_trained" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val init = emb.where(col("vec_id") % 40 === 0).select("vec_id", "embedding")
+      val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", init, "vec_id", updateRounds = 1)
+      val probes = emb.where(col("vec_id") < 5)
+      SimilarityOps.ivfTopK(emb, probes, cent, "vec_id", "vec_id", "vec_id", "embedding",
+        k = 10, nProbe = 2)
+        .select("probe_id", "nbr_id", "rank")
+        .orderBy("probe_id", "rank")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1725,5 +1739,55 @@ object SparkEntry {
          SELECT doc_id, source, CAST(prio % 8 AS BIGINT) AS shard,
            CAST(row_number() OVER (PARTITION BY prio % 8 ORDER BY prio) AS BIGINT) AS pos
          FROM d ORDER BY doc_id""",
+    "q78_ivf_trained" ->
+      """WITH cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id % 40 = 0),
+         asn0 AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent0 c) WHERE rn = 1),
+         ex AS (SELECT cid, unnest(embedding) AS x,
+                  unnest(range(1, len(embedding) + 1)) AS pos FROM asn0),
+         cent1 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cv FROM (
+             SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS mx FROM ex GROUP BY cid, pos)
+           GROUP BY cid),
+         asn AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c) WHERE rn = 1),
+         pcells AS (
+           SELECT vec_id AS probe_id, cid, embedding AS pv FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c WHERE e.vec_id < 5) WHERE rn <= 2),
+         cand AS (
+           SELECT p.probe_id, a.vec_id AS nbr_id,
+             list_cosine_similarity(a.embedding, p.pv) AS score
+           FROM pcells p JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
+         r AS (SELECT probe_id, nbr_id, CAST(row_number() OVER (
+                 PARTITION BY probe_id ORDER BY score DESC, nbr_id) AS INT) AS rank FROM cand)
+         SELECT probe_id, nbr_id, rank FROM r WHERE rank <= 10 ORDER BY probe_id, rank""",
   )
 }

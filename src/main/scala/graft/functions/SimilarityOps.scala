@@ -189,26 +189,42 @@ object SimilarityOps {
     kmeansFull(corpus, idCol, vecCol, initCentroids, centroidIdCol, updateRounds)
       .select(col(idCol), col("cid"))
 
-  /** [[kmeansAssign]] keeping the vector and its norm alongside the cell id
-    * — internal feed for [[semanticDedup]]'s intra-cluster pair scan. */
-  private def kmeansFull(corpus: DataFrame, idCol: String, vecCol: String,
-                         initCentroids: DataFrame, centroidIdCol: String,
-                         updateRounds: Int): DataFrame = {
+  /** The trained coarse quantizer itself: the centroid table
+    * [[kmeansAssign]]'s final assignment uses, as (centroidIdCol, vecCol)
+    * with double-precision vectors — feed it to [[ivfTopK]] to search with
+    * a TRAINED inverted file instead of raw sampled cells. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      initCentroids: DataFrame, centroidIdCol: String,
+                      updateRounds: Int = 1): DataFrame =
+    trainedCentroids(normalizedCorpus(corpus, idCol, vecCol),
+      idCol, vecCol, initCentroids, centroidIdCol, updateRounds)
+      .select(col("cid").as(centroidIdCol), col("__cv").as(vecCol))
+
+  private def normalizedCorpus(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    require(updateRounds >= 0, s"updateRounds must be >= 0, got $updateRounds")
-    val v = corpus.select(col(idCol), col(vecCol).as("__v"), vnorm(col(vecCol)).as("__n"))
+    corpus.select(col(idCol), col(vecCol).as("__v"), vnorm(col(vecCol)).as("__n"))
       .where(col("__n") > 0)
-    def assign(cent: DataFrame): DataFrame = {
-      val c = cent.select(col("cid"), col("__cv"), vnorm(col("__cv")).as("__cn"))
-        .where(col("__cn") > 0)
-      val w = Window.partitionBy(idCol).orderBy(col("__score").desc, col("cid").asc)
-      v.crossJoin(broadcast(c))
-        .withColumn("__score", vdot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
-        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-        .select(col(idCol), col("__v"), col("__n"), col("cid"))
-    }
-    // per-(cell, position) mean, rebuilt into an ordered double array —
-    // k·dim aggregate keys, no driver round-trip
+  }
+
+  /** One top-1-cell assignment pass: broadcast centroids, map-side
+    * WindowGroupLimit pre-reduction (the [[ivfTopK]] shape). */
+  private def assignCells(v: DataFrame, idCol: String, cent: DataFrame): DataFrame = {
+    val c = cent.select(col("cid"), col("__cv"), vnorm(col("__cv")).as("__cn"))
+      .where(col("__cn") > 0)
+    val w = Window.partitionBy(idCol).orderBy(col("__score").desc, col("cid").asc)
+    v.crossJoin(broadcast(c))
+      .withColumn("__score", vdot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col(idCol), col("__v"), col("__n"), col("cid"))
+  }
+
+  /** `updateRounds` Lloyd rounds from the init table; returns (cid, __cv)
+    * double-array centroids. Per-(cell, position) means via posexplode —
+    * k·dim aggregate keys, no driver round-trip. */
+  private def trainedCentroids(v: DataFrame, idCol: String, vecCol: String,
+                               initCentroids: DataFrame, centroidIdCol: String,
+                               updateRounds: Int): DataFrame = {
+    require(updateRounds >= 0, s"updateRounds must be >= 0, got $updateRounds")
     def recenter(asn: DataFrame): DataFrame =
       asn.select(col("cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
         .groupBy("cid", "__pos").agg(avg(col("__x").cast("double")).as("__m"))
@@ -219,10 +235,20 @@ object SimilarityOps {
       transform(col(vecCol), x => x.cast("double")).as("__cv"))
     var round = 0
     while (round < updateRounds) {
-      cent = recenter(assign(cent))
+      cent = recenter(assignCells(v, idCol, cent))
       round += 1
     }
-    assign(cent)
+    cent
+  }
+
+  /** [[kmeansAssign]] keeping the vector and its norm alongside the cell id
+    * — internal feed for [[semanticDedup]]'s intra-cluster pair scan. */
+  private def kmeansFull(corpus: DataFrame, idCol: String, vecCol: String,
+                         initCentroids: DataFrame, centroidIdCol: String,
+                         updateRounds: Int): DataFrame = {
+    val v = normalizedCorpus(corpus, idCol, vecCol)
+    assignCells(v, idCol,
+      trainedCentroids(v, idCol, vecCol, initCentroids, centroidIdCol, updateRounds))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings

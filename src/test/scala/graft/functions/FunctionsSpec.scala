@@ -415,6 +415,39 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(run(pts) == run(pts.repartition(7)))
   }
 
+  test("kmeansCentroids moves centroids to the per-cell mean") {
+    // one cell, two points → trained centroid must be their mean
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val init = pts.where($"vec_id" === 0L).select($"vec_id".as("cid"), $"embedding")
+    val cent = SimilarityOps.kmeansCentroids(pts, "vec_id", "embedding", init, "cid",
+      updateRounds = 1)
+      .collect()
+    assert(cent.length == 1)
+    val cv = cent.head.getSeq[Double](1)
+    assert(math.abs(cv(0) - 0.5) < 1e-12 && math.abs(cv(1) - 0.5) < 1e-12)
+  }
+
+  test("ivfTopK with trained centroids matches brute force on well-separated data") {
+    val rng = new scala.util.Random(5)
+    // two well-separated cones: +x-ish and +y-ish
+    val pts = (0L until 30L).map { i =>
+      val base = if (i % 2 == 0) Array(5f, 0f, 0f) else Array(0f, 5f, 0f)
+      (i, base.map(_ + rng.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val init = pts.where($"vec_id" < 2).select("vec_id", "embedding")
+    val cent = SimilarityOps.kmeansCentroids(pts, "vec_id", "embedding", init, "vec_id",
+      updateRounds = 2)
+    val probes = pts.where($"vec_id" === 0L)
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().map(_.getAs[Long]("nbr_id")).toSeq
+    val ivf = ranked(SimilarityOps.ivfTopK(pts, probes, cent,
+      "vec_id", "vec_id", "vec_id", "embedding", k = 5, nProbe = 1))
+    val brute = ranked(SimilarityOps.bruteForceTopK(pts, probes,
+      "vec_id", "vec_id", "embedding", k = 5))
+    assert(ivf == brute, s"ivf $ivf vs brute $brute")
+  }
+
   test("semanticDedup keeps the smallest id of each intra-cluster duplicate set") {
     // cluster A around +x holds a duplicate triple {0,1,2}; cluster B
     // around +y holds a duplicate pair {10,11} and a loner 12
