@@ -907,6 +907,28 @@ object SparkEntry {
         .select("probe_id", "nbr_id", "rank")
         .orderBy("probe_id", "rank")
     }),
+    // ── extension: INCREMENTAL semantic dedup — a new-vector batch
+    //    absorbed against a persisted (id, vec, cid) store under a frozen
+    //    quantizer; store is semi-joined to touched cells only. Planted:
+    //    ×1.25 copies of store vectors (dropped vs store) and of in-batch
+    //    vectors 440-449 (dropped min-id-wins within the batch)
+    "q79_incremental_semantic" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val cent = emb.where(col("vec_id") % 40 === 0)
+      val storeVecs = emb.where(col("vec_id") < 400)
+      val store = storeVecs.join(
+        SimilarityOps.kmeansAssign(storeVecs, "vec_id", "embedding", cent, "vec_id",
+          updateRounds = 0), Seq("vec_id"))
+      def scaled(df: DataFrame, offset: Long) = df.select(
+        (col("vec_id") + offset).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.25f)).as("embedding"))
+      val newBatch = emb.where(col("vec_id") >= 400)
+        .unionByName(scaled(emb.where(col("vec_id") < 25), 100000L))
+        .unionByName(scaled(emb.where(col("vec_id") >= 440 && col("vec_id") < 450), 200000L))
+      val (survivors, _) = SimilarityOps.semanticDedupIncrement(newBatch,
+        "vec_id", "embedding", store, cent, "vec_id", threshold = 0.9)
+      survivors.select("vec_id", "cid").orderBy("vec_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1789,5 +1811,61 @@ object SparkEntry {
          r AS (SELECT probe_id, nbr_id, CAST(row_number() OVER (
                  PARTITION BY probe_id ORDER BY score DESC, nbr_id) AS INT) AS rank FROM cand)
          SELECT probe_id, nbr_id, rank FROM r WHERE rank <= 10 ORDER BY probe_id, rank""",
+    "q79_incremental_semantic" ->
+      """WITH cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id % 40 = 0),
+         newb AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 400
+           UNION ALL
+           SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x * 1.25 AS REAL))
+           FROM embeddings WHERE vec_id < 25
+           UNION ALL
+           SELECT vec_id + 200000, list_transform(embedding, x -> CAST(x * 1.25 AS REAL))
+           FROM embeddings WHERE vec_id >= 440 AND vec_id < 450),
+         sasn AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent0 c WHERE e.vec_id < 400) WHERE rn = 1),
+         nasn AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM newb e, cent0 c) WHERE rn = 1),
+         d1 AS (
+           SELECT n.vec_id AS vid FROM nasn n JOIN sasn s ON n.cid = s.cid
+           WHERE list_sum(list_transform(range(1, len(n.embedding) + 1),
+                   i -> CAST(n.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, len(n.embedding) + 1),
+                      i -> CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(s.embedding) + 1),
+                      i -> CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE)))))
+                 >= 0.9),
+         d2 AS (
+           SELECT b.vec_id AS vid FROM nasn a JOIN nasn b
+             ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+                 >= 0.9)
+         SELECT vec_id, cid FROM nasn
+         WHERE vec_id NOT IN (SELECT vid FROM d1 UNION ALL SELECT vid FROM d2)
+         ORDER BY vec_id""",
   )
 }

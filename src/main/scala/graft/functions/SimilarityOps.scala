@@ -285,6 +285,62 @@ object SimilarityOps {
       .select(col(idCol), col("cid"), col("__lost").isNull.as("kept"))
   }
 
+  /** Incremental [[semanticDedup]]: absorb a batch of NEW vectors against
+    * a persisted assignment store without rescanning the corpus — the
+    * ingestion shape at 100 TB (the embedding analog of
+    * [[DedupOps.incrementalMinhashDedup]]).
+    *
+    * The quantizer is FROZEN at ingest time (centroids are parameters, not
+    * state — retraining would reassign the whole store, i.e. a batch job,
+    * not an increment). Work is O(increment × cell density): new vectors
+    * are assigned map-side against the broadcast centroids, the store is
+    * semi-joined down to the cells the increment touches (the touched-cid
+    * set is increment-bounded and broadcast — left to the planner, a
+    * sort-merge semi-join would shuffle the entire store), and cosine
+    * pairs are scored within those cells only. A new vector is dropped if
+    * it matches ANY store vector; within the batch, min-id wins.
+    *
+    * @param store (idCol, vecCol, "cid") — previously kept vectors with
+    *              their cell assignment (bucket it by "cid" on disk via
+    *              TableStore.saveBucketed for shuffle-free reuse)
+    * @return (survivors with their "cid", updated store)
+    */
+  def semanticDedupIncrement(newVecs: DataFrame, idCol: String, vecCol: String,
+                             store: DataFrame, centroids: DataFrame, centroidIdCol: String,
+                             threshold: Double = 0.9): (DataFrame, DataFrame) = {
+    GraftFunctions.register(newVecs.sparkSession)
+    val cent = centroids.select(col(centroidIdCol).as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("__cv"))
+    val newAsn = assignCells(normalizedCorpus(newVecs, idCol, vecCol), idCol, cent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = newAsn.select("cid").distinct()
+    val storeTouched = store
+      .join(broadcast(touched), Seq("cid"), "left_semi")
+      .select(col("cid"), col(idCol).as("id_b"), col(vecCol).as("__vb"),
+        vnorm(col(vecCol)).as("__nb"))
+    val newA = newAsn.select(col("cid"), col(idCol).as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    def cos = vdot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+    val dropVsStore = newA.join(storeTouched, Seq("cid"))
+      .where(cos >= threshold).select(col("id_a").as("drop_id"))
+    val newB = newAsn.select(col("cid"), col(idCol).as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    val dropInBatch = newA.join(newB, Seq("cid"))
+      .where(col("id_a") < col("id_b")).where(cos >= threshold)
+      .select(col("id_b").as("drop_id"))
+    // increment-bounded; checkpoint so the returned frames outlive the
+    // persist below (same discipline as incrementalMinhashDedup)
+    val dropIds = dropVsStore.union(dropInBatch).distinct().localCheckpoint(true)
+    val keptAsn = newAsn.select(col(idCol), col("cid"))
+      .join(dropIds, newAsn(idCol) === dropIds("drop_id"), "left_anti")
+      .localCheckpoint(true)
+    newAsn.unpersist(blocking = false)
+    val survivors = newVecs.join(keptAsn, Seq(idCol))
+    val updatedStore = store.unionByName(
+      survivors.select(col(idCol), col(vecCol), col("cid")))
+    (survivors, updatedStore)
+  }
+
   /** Embedding-cosine near-duplicate pairs (brute force within SRP buckets
     * — the embedding analog of MinHash dedup). SRP blocking has high
     * recall only for genuinely near-identical vectors (threshold ≳ 0.9);

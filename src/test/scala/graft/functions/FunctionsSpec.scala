@@ -448,6 +448,30 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(ivf == brute, s"ivf $ivf vs brute $brute")
   }
 
+  test("semanticDedupIncrement drops vs store, min-id within batch, and grows the store") {
+    // store: 0 (+x), 10 (+y) assigned to cells 0 / 10
+    val cent = Seq((0L, Array(1.0f, 0.0f, 0.0f)), (10L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val store = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0L),
+      (10L, Array(0.0f, 1.0f, 0.0f), 10L)).toDF("vec_id", "embedding", "cid")
+    // 20: dup of store 0 → dropped; 21/22: parallel in-batch pair on the
+    // y-z diagonal (cell 10, cos 0.71 vs the store — novel) → 21 kept,
+    // 22 dropped; 23: novel direction in cell 0 → kept
+    val batch = Seq(
+      (20L, Array(1.25f, 0.0f, 0.0f)),
+      (21L, Array(0.0f, 0.7f, 0.7f)), (22L, Array(0.0f, 0.75f, 0.75f)),
+      (23L, Array(0.8f, 0.6f, 0.0f))).toDF("vec_id", "embedding")
+    val (survivors, updated) = SimilarityOps.semanticDedupIncrement(
+      batch, "vec_id", "embedding", store, cent, "vec_id", threshold = 0.98)
+    val kept = survivors.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    assert(kept.keySet == Set(21L, 23L))
+    assert(kept(21L) == 10L && kept(23L) == 0L)
+    // updated store = old store + survivors (with their cells)
+    val up = updated.collect().map(_.getAs[Long]("vec_id")).sorted
+    assert(up.toSeq == Seq(0L, 10L, 21L, 23L))
+  }
+
   test("semanticDedup keeps the smallest id of each intra-cluster duplicate set") {
     // cluster A around +x holds a duplicate triple {0,1,2}; cluster B
     // around +y holds a duplicate pair {10,11} and a loner 12
