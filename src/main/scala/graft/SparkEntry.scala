@@ -929,6 +929,19 @@ object SparkEntry {
         "vec_id", "embedding", store, cent, "vec_id", threshold = 0.9)
       survivors.select("vec_id", "cid").orderBy("vec_id")
     }),
+    // ── extension: Bloom-prefiltered decontamination — q42's semantics at
+    //    the probe scale where an exact broadcast set no longer fits. The
+    //    Bloom prunes map-side; the exact verify join restores exactness,
+    //    so the oracle is IDENTICAL to q42's
+    "q80_bloom_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.expr.GraftFunctions.register(s)
+      val probes = docs.where(col("doc_id") < 5)
+        .select(explode(DedupOps.shingles(col("text"), 3)).as("probe"))
+      TextFunctions.bloomContaminationHits(
+        docs.where(col("doc_id") >= 5), "text", "doc_id", probes, "probe", n = 3)
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1867,5 +1880,19 @@ object SparkEntry {
          SELECT vec_id, cid FROM nasn
          WHERE vec_id NOT IN (SELECT vid FROM d1 UNION ALL SELECT vid FROM d2)
          ORDER BY vec_id""",
+    "q80_bloom_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
+           FROM toks),
+         probes AS (
+           SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 5),
+         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 5)
+         SELECT ex.doc_id, count(*) AS n_hits
+         FROM ex JOIN probes ON ex.shingle = probes.shingle
+         GROUP BY 1 ORDER BY 1""",
   )
 }

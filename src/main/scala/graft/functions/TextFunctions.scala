@@ -144,6 +144,45 @@ object TextFunctions {
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[contaminationHits]] at the scale where the probe set no longer fits
+    * an exact broadcast set: a Bloom filter over the probe shingle hashes
+    * prunes the exploded corpus MAP-SIDE (n-gram explosion is the dominant
+    * volume — one benchmark suite's n-grams are millions of keys, a crawl
+    * corpus's are trillions), and only the pruned candidates reach the
+    * exact verify join. The Bloom is a prefilter, not the semantics: false
+    * positives are removed by the verify join, and Bloom filters have no
+    * false negatives, so the result is bit-identical to the exact path —
+    * same oracle. The lookup UDF is non-codegen but filter-only; the
+    * exactness-bearing operators stay native.
+    *
+    * @param fpp target false-positive rate (drives Bloom size: ~1.2 GB per
+    *            10⁹ probes at 0.001 — broadcastable model state)
+    */
+  def bloomContaminationHits(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+                             probes: org.apache.spark.sql.DataFrame, probeCol: String,
+                             n: Int = 3, fpp: Double = 0.001): org.apache.spark.sql.DataFrame = {
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    // materialized once (localCheckpoint): feeds the count, the Bloom
+    // build, and the verify join without re-tokenizing the probe corpus
+    val probeH = probes.select(DedupOps.hash60(col(probeCol)).as("__h")).distinct()
+      .localCheckpoint(true)
+    val nProbes = probeH.count()
+    val exploded = df.select(col(idCol),
+      explode(DedupOps.shingleHashes(col(textCol), n)).as("__h"))
+    // stat.bloomFilter NPEs on an empty input; an empty probe set prunes
+    // everything anyway
+    val pruned =
+      if (nProbes == 0) exploded.where(lit(false))
+      else {
+        val bf = probeH.stat.bloomFilter("__h", nProbes, fpp)
+        val mightContain = udf((h: Long) => bf.mightContainLong(h))
+        exploded.where(mightContain(col("__h")))
+      }
+    pruned
+      .join(probeH, Seq("__h")) // exact verify: planner picks the join for the pruned size
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+  }
+
   private val langStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),

@@ -103,6 +103,37 @@ class TextFunctionsSpec extends SparkSpec {
   }
 }
 
+class BloomDecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloomContaminationHits is bit-identical to the exact path (no false negatives)") {
+    val docs = (0L until 60L).map { i =>
+      (i, s"alpha bravo w$i x${i * 7 % 13} charlie delta echo token${i % 9} foxtrot golf")
+    }.toDF("doc_id", "text")
+    val probes = docs.where($"doc_id" < 5)
+      .select(explode(DedupOps.shingles($"text", 3)).as("probe"))
+    val corpus = docs.where($"doc_id" >= 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    val exact = rows(TextFunctions.contaminationHits(corpus, "text", "doc_id", probes, "probe", 3))
+    // even with an absurd fpp the verify join must keep the result exact
+    for (fpp <- Seq(0.001, 0.4)) {
+      val bloom = rows(TextFunctions.bloomContaminationHits(
+        corpus, "text", "doc_id", probes, "probe", 3, fpp))
+      assert(bloom == exact, s"fpp=$fpp")
+    }
+    assert(exact.nonEmpty)
+  }
+
+  test("bloomContaminationHits handles an empty probe set (no hits, no crash)") {
+    val docs = Seq((1L, "some text here that is long enough")).toDF("doc_id", "text")
+    val probes = docs.where($"doc_id" < 0)
+      .select(explode(DedupOps.shingles($"text", 3)).as("probe"))
+    val out = TextFunctions.bloomContaminationHits(docs, "text", "doc_id", probes, "probe", 3)
+    assert(out.count() == 0)
+  }
+}
+
 class DedupOpsSpec extends SparkSpec {
   import spark.implicits._
 
