@@ -942,6 +942,41 @@ object SparkEntry {
         docs.where(col("doc_id") >= 5), "text", "doc_id", probes, "probe", n = 3)
         .orderBy("doc_id")
     }),
+    // ── extension: END-TO-END training-data pipeline — the full
+    //    corpus-to-training-set flow a reference user would run, composed
+    //    from the certified operators: held-out probes → quality floor →
+    //    exact dedup (min-id) → decontamination → per-source token-budget
+    //    mixture → deterministic shard manifest. (Near-dup stages are
+    //    certified separately in q20-q29/q73; adding MinHash here would
+    //    only bloat the oracle.)
+    "q81_training_pipeline" -> ((s, dir) => {
+      graft.expr.GraftFunctions.register(s)
+      val docs = T(s, dir, "documents")
+      val probes = docs.where(col("doc_id") < 5)
+        .select(explode(DedupOps.shingles(col("text"), 3)).as("probe"))
+      val base = docs.where(col("doc_id") >= 5).select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"), col("text"))
+      val quality = base.where(col("ntok") >= 30)
+      val survivors = quality.join(
+        DedupOps.exactDedup(quality, "text", "doc_id")
+          .select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val hits = TextFunctions.contaminationHits(survivors, "text", "doc_id",
+        probes, "probe", n = 3)
+      val clean = survivors.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
+      val withPrio = clean.withColumn("prio",
+        (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L))
+      val budgets = clean.select("source").distinct().withColumn("budget",
+        lit(200L) + lit(50L) * (expr("CAST(substring(source, 4) AS BIGINT)") % 4))
+      val picked = graft.operators.MixtureSample
+        .tokenBudgetSample(withPrio, "source", "ntok", "prio", budgets, "source", "budget")
+        .where(col("picked"))
+      graft.operators.TrainShuffle
+        .shuffleShards(picked.select("doc_id", "source", "ntok"), "doc_id",
+          nShards = 4, seed = 777L)
+        .select("doc_id", "source", "ntok", "shard", "pos")
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1894,5 +1929,46 @@ object SparkEntry {
          SELECT ex.doc_id, count(*) AS n_hits
          FROM ex JOIN probes ON ex.shingle = probes.shingle
          GROUP BY 1 ORDER BY 1""",
+    "q81_training_pipeline" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
+           FROM toks),
+         probes AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 5),
+         base AS (
+           SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS ntok,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           FROM documents WHERE doc_id >= 5),
+         quality AS (SELECT * FROM base WHERE ntok >= 30),
+         keepers AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY fp),
+         ex AS (
+           SELECT q.doc_id, q.source, CAST(q.ntok AS BIGINT) AS ntok
+           FROM quality q JOIN keepers k ON q.doc_id = k.doc_id),
+         contaminated AS (
+           SELECT DISTINCT e.doc_id
+           FROM (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 5) e
+           JOIN probes p ON e.shingle = p.shingle),
+         clean AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         c AS (
+           SELECT doc_id, source, ntok,
+             CAST(sum(ntok) OVER (PARTITION BY source
+               ORDER BY (doc_id * 1103515245 + 12345) % 2147483648
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM clean),
+         b AS (
+           SELECT source, 200 + 50 * (CAST(substr(source, 4, 10) AS BIGINT) % 4) AS budget
+           FROM (SELECT DISTINCT source FROM clean)),
+         picked AS (
+           SELECT c.doc_id, c.source, c.ntok FROM c JOIN b ON c.source = b.source
+           WHERE c.cum <= b.budget),
+         d AS (SELECT *, (doc_id * 1103515245 + 777) % 2147483648 AS sprio FROM picked)
+         SELECT doc_id, source, ntok, CAST(sprio % 4 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY sprio % 4 ORDER BY sprio) AS BIGINT) AS pos
+         FROM d ORDER BY doc_id""",
   )
 }
