@@ -957,13 +957,19 @@ object SparkEntry {
       val base = docs.where(col("doc_id") >= 5).select(col("doc_id"), col("source"),
         TextFunctions.tokenCount(col("text")).cast("long").as("ntok"), col("text"))
       val quality = base.where(col("ntok") >= 30)
+      // persisted: the survivor set feeds the contamination scan and the
+      // anti-join; clean feeds the budget table, the prefix sum, and the
+      // shard pass — without these the scan+tokenize+dedup chain re-runs
+      // five times
       val survivors = quality.join(
         DedupOps.exactDedup(quality, "text", "doc_id")
           .select(col("keep_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hits = TextFunctions.contaminationHits(survivors, "text", "doc_id",
         probes, "probe", n = 3)
       val clean = survivors.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val withPrio = clean.withColumn("prio",
         (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L))
       val budgets = clean.select("source").distinct().withColumn("budget",
