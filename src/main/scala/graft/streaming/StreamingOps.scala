@@ -42,6 +42,53 @@ object StreamingOps {
       .drop("session")
   }
 
+  /** Streaming token-budget admission: rows pass per group until that
+    * group's token budget is exhausted, then drop — admission control for
+    * a continuously-ingesting mixture (the streaming analog of the batch
+    * [[graft.operators.MixtureSample]]; arrival order replaces the hash
+    * priority, because a stream has exactly one order — the batch operator
+    * is the reproducible variant).
+    *
+    * State per group is ONE long (consumed tokens) in the keyed state
+    * store — admission never re-reads history, and a group's state is as
+    * partitioned as the groups are. The budget is a cap on admitted mass,
+    * not a stop signal: a row that would cross the boundary is dropped but
+    * later rows that still fit are admitted. Within a micro-batch, rows
+    * are admitted in ASCENDING token order — flatMapGroupsWithState gives
+    * no intra-group arrival order after the shuffle (the cdcUnion lesson,
+    * StreamingPipeline seq sort), so the batch-internal order must be a
+    * deterministic function of the data; smallest-first also maximizes
+    * the number of admitted rows.
+    *
+    * Input must be a streaming Dataset with (`groupCol`: String,
+    * `tokenCol`: Long) columns; emits the admitted rows as
+    * (group, token) pairs in Append mode.
+    */
+  def budgetAdmission(df: DataFrame, groupCol: String, tokenCol: String,
+                      budgets: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df.select(col(groupCol).cast("string"), col(tokenCol).cast("long"))
+      .as[(String, Long)]
+    pairs.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val budget = budgets.getOrElse(key, 0L)
+          var consumed = if (state.exists) state.get else 0L
+          val admitted = rows.toSeq.sortBy(_._2).filter { case (_, ntok) =>
+            val fits = consumed + ntok <= budget
+            if (fits) consumed += ntok
+            fits
+          }
+          state.update(consumed)
+          admitted.iterator
+      }(Encoders.scalaLong, Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .toDF(groupCol, tokenCol)
+  }
+
   /** Watermarked stream-stream equi-join with a time-range bound: right
     * rows join left rows with `rightTs` in `[leftTs - lookback, leftTs]`.
     * Both sides are watermarked so join state is evicted — the streaming

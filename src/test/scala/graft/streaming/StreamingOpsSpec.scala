@@ -28,6 +28,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("budgetAdmission caps admitted token mass per group across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val admitted = StreamingOps.budgetAdmission(
+      ms.toDF().toDF("src", "ntok"), "src", "ntok",
+      Map("a" -> 100L, "b" -> 10L))
+    val q = admitted.writeStream.outputMode("append").format("memory")
+      .queryName("budget_stream").start()
+    try {
+      // batch 1: a consumes 60 of 100; b's 20 doesn't fit its 10 budget
+      ms.addData(("a", 60L), ("b", 20L))
+      q.processAllAvailable()
+      // batch 2, ascending intra-batch order (10, 20, 30): 10 fits (70),
+      // 20 fits (90), 30 would cross (120 > 100) -> dropped;
+      // b 10 fits exactly; unknown source has budget 0 -> dropped
+      ms.addData(("a", 30L), ("a", 20L), ("a", 10L), ("b", 10L), ("zz", 1L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT src, ntok FROM budget_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val aRows = rows.collect { case ("a", n) => n }
+      assert(aRows.sum == 90L && aRows.sorted.toSeq == Seq(10L, 20L, 60L), s"a admitted $aRows")
+      assert(rows.collect { case ("b", n) => n }.toSeq == Seq(10L))
+      assert(!rows.exists(_._1 == "zz"))
+    } finally q.stop()
+  }
+
   test("sessionize emits one closed session per gap-separated burst") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String)]
