@@ -179,12 +179,17 @@ final class GraftServer(val graph: IncrementalGraph, requestedPort: Int = 0) {
       case "GreaterThan" => manyResults(entriesOf(queries.greaterThan(table, column, key)))
       case "GetAll" => manyResults(entriesOf(queries.getAll(table, column, key)))
       case "InsertData" =>
+        // all committed edits, source + cascaded (db_thread.rs:82-93);
+        // upsert Updates surface as their inserted (new) row
         manyResults {
           val (schema, row) = TaggedJson.parseEntry(mapper.writeValueAsString(body.get("entry")))
           val df = graph.spark.createDataFrame(java.util.Arrays.asList(row), schema)
-          entriesOf(graph.insert(table, df))
+          graph.insertWithEdits(table, df).flatMap { case (_, ins, _) => entriesOf(ins) }
         }
-      case "DeleteData" => manyResults(entriesOf(graph.delete(table, column, key)))
+      case "DeleteData" =>
+        // all deleted entries, source + cascaded (database.rs:197-270)
+        manyResults(
+          graph.deleteWithEdits(table, column, key).flatMap { case (_, _, del) => entriesOf(del) })
     }
   }
 

@@ -133,35 +133,53 @@ final class IncrementalGraph(
     * returns (the reference's eager cascade). Returns the committed rows.
     * Transactional: a mid-cascade failure rolls every table back and
     * notifies nobody. */
-  def insert(tableName: String, rows: DataFrame): DataFrame = {
+  def insert(tableName: String, rows: DataFrame): DataFrame =
+    insertWithEdits(tableName, rows).head._2
+
+  /** [[insert]], returning EVERY committed edit of the cascade in commit
+    * order as (table, inserted, deleted) — the reference's InsertData
+    * response payload (db_thread.rs:82-93 answers with all committed
+    * edits, including cascaded derived-table writes; an Update edit
+    * surfaces as its delete+insert pair here). */
+  def insertWithEdits(tableName: String, rows: DataFrame): Seq[(String, DataFrame, DataFrame)] = {
     val cfg = config.byName.get(tableName) match {
       case Some(s: SourceTableConfig) => s
       case _ => throw new IllegalArgumentException(s"$tableName is not a source table")
     }
     val committed = SourceOps.ensureEntryId(SourceOps.alignForInsert(cfg, rows))
+    var edits: Seq[(String, DataFrame, DataFrame)] = Nil
     transactional { pending =>
       mat(tableName) = checkpoint(mat(tableName).unionByName(committed))
       pending += ((tableName, committed, committed.limit(0)))
       propagate(tableName, committed, committed.limit(0), pending)
+      edits = pending.toList
     }
-    committed
+    edits
   }
 
   /** Delete all rows with `column == key`; cascades eagerly. Returns the
     * deleted rows. Transactional like [[insert]]. */
-  def delete(tableName: String, column: String, key: Any): DataFrame = {
+  def delete(tableName: String, column: String, key: Any): DataFrame =
+    deleteWithEdits(tableName, column, key).head._3
+
+  /** [[delete]], returning every committed edit of the cascade (the
+    * reference's DeleteData response — all deleted entries, source and
+    * derived). */
+  def deleteWithEdits(tableName: String, column: String, key: Any): Seq[(String, DataFrame, DataFrame)] = {
     val cur = mat.getOrElse(tableName,
       throw new IllegalArgumentException(s"no table named $tableName"))
     require(config.byName.get(tableName).exists(_.isInstanceOf[SourceTableConfig]),
       s"$tableName is not a source table")
     // null-safe on BOTH sides — see PipelineGraph.delete
     val deleted = checkpoint(cur.filter(col(column) <=> lit(key)))
+    var edits: Seq[(String, DataFrame, DataFrame)] = Nil
     transactional { pending =>
       mat(tableName) = checkpoint(cur.filter(!(col(column) <=> lit(key))))
       pending += ((tableName, deleted.limit(0), deleted))
       propagate(tableName, deleted.limit(0), deleted, pending)
+      edits = pending.toList
     }
-    deleted
+    edits
   }
 
   private def propagate(src: String, inserted: DataFrame, deleted: DataFrame,

@@ -112,12 +112,17 @@ class GraftServerSpec extends SparkSpec {
       val r1 = c.recv().get("RequestResponse")
       assert(r1.get("request_id").asText() == NilUuid)
       val committed = r1.get("response").get("ManyResults").get("Ok")
-      assert(committed.size() == 1)
+      // ALL committed edits come back (db_thread.rs:82-93): the source row
+      // plus the cascaded FunctionTransform row in the `derived` table
+      assert(committed.size() == 2)
       val entry = committed.get(0)
       assert(entry.get("testForIndex").get("Integer").asLong() == 1L)
       assert(entry.get("testForIteration").get("Integer").asLong() == 2L)
       // the engine stamps _entryId like the reference (constants.rs:2)
       assert(entry.has("_entryId"))
+      val cascaded = committed.get(1)
+      assert(cascaded.get("newColumn").get("Integer").asLong() == 4L)
+      assert(cascaded.has("_sourceEntryId"))
 
       // frame 2: FindOne testTable testForIndex == 0 → no such row
       c.sendRaw(frames(1))
@@ -200,11 +205,15 @@ class GraftServerSpec extends SparkSpec {
       assert(ge.get(0).get("grade").get("Integer").asLong() == 80L)
       assert(ge.get(1).get("grade").get("Integer").asLong() == 95L)
 
-      // DeleteData returns the deleted rows and cascades
+      // DeleteData returns ALL deleted edits — the source row AND the
+      // cascade-deleted aggregate/action rows (reference database.rs:197-270)
       val del = query("00000000-0000-0000-0000-000000000006",
         """{"DeleteData":{"table":"grades","column":"name","key":{"Str":"Ana"}}}""")
         .get("ManyResults").get("Ok")
-      assert(del.size() == 1 && del.get(0).get("grade").get("Integer").asLong() == 80L)
+      val delRows = (0 until del.size()).map(del.get)
+      assert(delRows.exists(r => r.has("grade") && !r.has("count")
+        && r.get("grade").get("Integer").asLong() == 80L), s"source row missing: $del")
+      assert(delRows.exists(r => r.has("count")), s"cascaded aggregate delete missing: $del")
       val after = query("00000000-0000-0000-0000-000000000007",
         """{"GetAll":{"table":"aggregationTest","column":"aggregatedColumn","key":{"Str":"Ana"}}}""")
         .get("ManyResults").get("Ok")
