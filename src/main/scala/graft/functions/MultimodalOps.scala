@@ -61,6 +61,51 @@ object MultimodalOps {
     }
   }
 
+  /** REAL decoder for self-describing container formats — no media
+    * library required, because BMP and WAV carry their geometry/timing in
+    * plain little-endian header fields. Payloads that are neither fall
+    * back to the deterministic [[StubCodec]] (compressed codecs — JPEG,
+    * PNG, MP3 — still need a library in production). This is the honest
+    * split of "stubbed": the container parsing is real and spec-verified
+    * against hand-built files; only entropy-coded pixel/sample DECODING
+    * is faked. */
+  object HeaderCodec extends MediaCodec {
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
+      b.length >= o + s.length && s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+
+    def decode(bytes: Array[Byte], mediaType: String): Row = {
+      if (ascii(bytes, 0, "BM") && bytes.length >= 26) {
+        // BITMAPINFOHEADER: int32 width @18, int32 height @22 (negative =
+        // top-down row order; geometry is the magnitude)
+        Row(mediaType, "bmp", math.abs(le32(bytes, 18)), math.abs(le32(bytes, 22)),
+          0L, bytes.length.toLong)
+      } else if (ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE")) {
+        // walk RIFF chunks for fmt (byte rate) and data (payload size)
+        var off = 12
+        var byteRate = 0
+        var dataLen = -1L
+        while (off + 8 <= bytes.length && (byteRate == 0 || dataLen < 0)) {
+          val sz = le32(bytes, off + 4)
+          if (ascii(bytes, off, "fmt ") && off + 8 + 16 <= bytes.length)
+            byteRate = le32(bytes, off + 16)
+          else if (ascii(bytes, off, "data"))
+            dataLen = sz.toLong
+          off += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
+        val durationMs = if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L
+        Row(mediaType, "wav", 0, 0, durationMs, bytes.length.toLong)
+      } else StubCodec.decode(bytes, mediaType)
+    }
+    // feature extraction / frame sampling still go through the stub —
+    // real ones need pixel/sample decoding
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = StubCodec.features(bytes, dim)
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = StubCodec.sampleFrames(bytes, n)
+  }
+
   /** Decode media payloads: adds a `meta` struct column. Runs distributed
     * via mapPartitions in `batchSize` record batches (the batch shape a
     * vectorized codec would want). */

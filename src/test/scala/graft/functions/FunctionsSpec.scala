@@ -529,6 +529,49 @@ class MultimodalOpsSpec extends SparkSpec {
     (1L, "image", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)),
     (2L, "audio", Array[Byte](9, 8, 7))).toDF("id", "media_type", "payload")
 
+  // hand-built minimal containers: real header parsing needs real bytes
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val b = new Array[Byte](26)
+    b(0) = 'B'; b(1) = 'M'
+    def le32(o: Int, v: Int): Unit = (0 until 4).foreach(i => b(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+    le32(18, w); le32(22, h)
+    b
+  }
+  private def wavBytes(sampleRate: Int, channels: Int, bytesPerSample: Int,
+                       nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * channels * bytesPerSample
+    val b = new Array[Byte](44 + dataLen)
+    def put(o: Int, s: String): Unit = s.indices.foreach(i => b(o + i) = s.charAt(i).toByte)
+    def le32(o: Int, v: Int): Unit = (0 until 4).foreach(i => b(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+    def le16(o: Int, v: Int): Unit = (0 until 2).foreach(i => b(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+    put(0, "RIFF"); le32(4, 36 + dataLen); put(8, "WAVE")
+    put(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, channels)
+    le32(24, sampleRate); le32(28, sampleRate * channels * bytesPerSample)
+    le16(32, channels * bytesPerSample); le16(34, bytesPerSample * 8)
+    put(36, "data"); le32(40, dataLen)
+    b
+  }
+
+  test("HeaderCodec parses real BMP geometry and WAV duration from the container headers") {
+    val rows = Seq(
+      (1L, "image", bmpBytes(640, 480)),
+      (2L, "image", bmpBytes(1920, -1080)),          // top-down BMP: negative height
+      (3L, "audio", wavBytes(16000, 1, 2, 16000)),   // exactly 1 s of PCM16 mono
+      (4L, "audio", wavBytes(44100, 2, 2, 22050)),   // 0.5 s stereo
+      (5L, "image", Array[Byte](1, 2, 3))            // not a container → stub fallback
+    ).toDF("id", "media_type", "payload")
+    val meta = MultimodalOps.decode(rows, "payload", "media_type",
+      codec = MultimodalOps.HeaderCodec)
+      .select($"id", $"meta.*").collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(meta(1L).getAs[String]("format") == "bmp")
+    assert(meta(1L).getAs[Int]("width") == 640 && meta(1L).getAs[Int]("height") == 480)
+    assert(meta(2L).getAs[Int]("width") == 1920 && meta(2L).getAs[Int]("height") == 1080)
+    assert(meta(3L).getAs[String]("format") == "wav")
+    assert(meta(3L).getAs[Long]("duration_ms") == 1000L)
+    assert(meta(4L).getAs[Long]("duration_ms") == 500L)
+    assert(meta(5L).getAs[String]("format") != "bmp") // stub fallback path
+  }
+
   test("decode adds deterministic meta struct") {
     val out = MultimodalOps.decode(media, "payload", "media_type")
     assert(out.schema("meta").dataType == MultimodalOps.mediaMetaSchema)
