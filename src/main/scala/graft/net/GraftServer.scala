@@ -60,10 +60,12 @@ import java.util.concurrent.LinkedBlockingQueue
   * Divergences from the reference, on purpose: a malformed frame or an
   * unknown listen table answers that CLIENT with an Err instead of
   * panicking the whole db thread (client_connection.rs:74, db_thread.rs:123
-  * crash the process). InsertData/DeleteData respond with the committed
-  * SOURCE rows (the reference's response also carries the cascaded derived
-  * edits, db_thread.rs:82-104); derived-table changes are observable via
-  * StartListen on the derived table, which this server pushes per edit.
+  * crash the process). InsertData/DeleteData respond with ALL committed
+  * edits — source plus cascaded derived rows, like the reference
+  * (db_thread.rs:82-104) — with one rendering nuance: an aggregation
+  * upsert (Update = delete old + insert new) surfaces as its new row in an
+  * InsertData response and its removed rows in a DeleteData response;
+  * both sides of every edit stream to StartListen subscribers.
   */
 final class GraftServer(val graph: IncrementalGraph, requestedPort: Int = 0) {
   private val mapper = new ObjectMapper()
@@ -149,13 +151,13 @@ final class GraftServer(val graph: IncrementalGraph, requestedPort: Int = 0) {
     Set("FindOne", "LessThan", "GetAll", "GreaterThan", "InsertData", "DeleteData")
 
   private def dispatch(client: Client, root: JsonNode): Unit = {
-    val fields = root.fields()
+    val fields = root.properties().iterator()
     if (!fields.hasNext) return
     val top = fields.next()
     top.getKey match {
       case "Query" =>
         val requestId = top.getValue.get("request_id").asText()
-        val q = top.getValue.get("query").fields().next()
+        val q = top.getValue.get("query").properties().iterator().next()
         client.send(requestResponse(requestId, handleQuery(q.getKey, q.getValue)))
       case "StartListen" =>
         val table = top.getValue.get("table_name").asText()

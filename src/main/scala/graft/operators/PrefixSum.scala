@@ -56,7 +56,7 @@ object PrefixSum {
     // monotone map-only bucket id: how many boundaries are <= this row's key
     val bucket =
       if (bounds.isEmpty) lit(0)
-      else aggregate(array(bounds.map(lit): _*), lit(0),
+      else aggregate(array(bounds.toIndexedSeq.map(lit): _*), lit(0),
         (acc, bd) => acc + when(col(orderCol).cast("double") >= bd, 1).otherwise(0))
     val withB = df.withColumn("__psb", bucket)
     val keys = "__psb" +: groupCols

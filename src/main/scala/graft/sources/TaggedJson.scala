@@ -40,12 +40,12 @@ object TaggedJson {
       val elems = payload.asInstanceOf[ArrayNode]
       if (elems.size() == 0) ArrayType(NullType)
       else {
-        val f = elems.get(0).fields().next()
+        val f = elems.get(0).properties().iterator().next()
         ArrayType(rawDataTypeOf(f.getKey, f.getValue))
       }
     case "Map" =>
-      StructType(payload.fields().asScala.map { e =>
-        val f = e.getValue.fields().next()
+      StructType(payload.properties().iterator().asScala.map { e =>
+        val f = e.getValue.properties().iterator().next()
         StructField(e.getKey, rawDataTypeOf(f.getKey, f.getValue))
       }.toSeq)
     case other => throw new IllegalArgumentException(s"unknown tag $other")
@@ -67,11 +67,11 @@ object TaggedJson {
     case "Float" => payload.asDouble()
     case "Array" =>
       payload.asInstanceOf[ArrayNode].elements().asScala.map { el =>
-        val f = el.fields().next(); valueOf(f.getKey, f.getValue)
+        val f = el.properties().iterator().next(); valueOf(f.getKey, f.getValue)
       }.toSeq
     case "Map" =>
-      Row.fromSeq(payload.fields().asScala.map { e =>
-        val f = e.getValue.fields().next(); valueOf(f.getKey, f.getValue)
+      Row.fromSeq(payload.properties().iterator().asScala.map { e =>
+        val f = e.getValue.properties().iterator().next(); valueOf(f.getKey, f.getValue)
       }.toSeq)
     case other => throw new IllegalArgumentException(s"unknown tag $other")
   }
@@ -80,14 +80,14 @@ object TaggedJson {
     * value — the `key` side of GetData requests
     * (reference: networking/network_types.rs:68-73). */
   def parseValue(node: JsonNode): Any = {
-    val f = node.fields().next()
+    val f = node.properties().iterator().next()
     valueOf(f.getKey, f.getValue)
   }
 
   private def parseEntryRaw(json: String): (StructType, Row) = {
     val node = mapper.readTree(json).asInstanceOf[ObjectNode]
-    val fields = node.fields().asScala.toSeq.map { e =>
-      val f = e.getValue.fields().next()
+    val fields = node.properties().iterator().asScala.toSeq.map { e =>
+      val f = e.getValue.properties().iterator().next()
       (StructField(e.getKey, rawDataTypeOf(f.getKey, f.getValue)), valueOf(f.getKey, f.getValue))
     }
     (StructType(fields.map(_._1)), Row.fromSeq(fields.map(_._2)))

@@ -168,7 +168,7 @@ final class StreamingPipeline(val spark: SparkSession, val config: PipelineConfi
 
     val tagged = inputs.map(df =>
       df.select(col(MatchingKey).cast(StringType).as("k"),
-        to_json(struct(df.columns.filter(_ != MatchingKey).map(col): _*)).as("v")))
+        to_json(struct(df.columns.toIndexedSeq.filter(_ != MatchingKey).map(col): _*)).as("v")))
       .reduce(_.unionByName(_))
 
     implicit val stringTupleEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
