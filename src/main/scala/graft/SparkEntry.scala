@@ -929,6 +929,18 @@ object SparkEntry {
         "vec_id", "embedding", store, cent, "vec_id", threshold = 0.9)
       survivors.select("vec_id", "cid").orderBy("vec_id")
     }),
+    // ── extension: contrastive triplet mining — (anchor, near-dup
+    //    positive, hardest below-threshold same-cell negative); negative
+    //    rank quantized to 6dp so FP summation order can't pick the winner
+    "q82_contrastive_triplets" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.25f)).as("embedding"))
+      val cent = emb.where(col("vec_id") % 40 === 0)
+      SimilarityOps.contrastiveTriplets(emb.unionByName(planted), "vec_id", "embedding",
+        cent, "vec_id", threshold = 0.9)
+        .orderBy("anchor")
+    }),
     // ── extension: Bloom-prefiltered decontamination — q42's semantics at
     //    the probe scale where an exact broadcast set no longer fits. The
     //    Bloom prunes map-side; the exact verify join restores exactness,
@@ -1976,5 +1988,47 @@ object SparkEntry {
          SELECT doc_id, source, ntok, CAST(sprio % 4 AS BIGINT) AS shard,
            CAST(row_number() OVER (PARTITION BY sprio % 4 ORDER BY sprio) AS BIGINT) AS pos
          FROM d ORDER BY doc_id""",
+    "q82_contrastive_triplets" ->
+      """WITH e AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x * 1.25 AS REAL))
+           FROM embeddings),
+         cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id % 40 = 0),
+         asn AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM e, cent0 c) WHERE rn = 1),
+         sc AS (
+           SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS c
+           FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         pos AS (SELECT ia AS anchor, min(ib) AS pos_id FROM sc WHERE c >= 0.9 GROUP BY ia),
+         cand AS (
+           SELECT ia AS anchor, ib AS cand, c FROM sc WHERE c < 0.9
+           UNION ALL
+           SELECT ib AS anchor, ia AS cand, c FROM sc WHERE c < 0.9),
+         neg AS (
+           SELECT anchor, cand AS neg_id FROM (
+             SELECT anchor, cand,
+               row_number() OVER (PARTITION BY anchor
+                 ORDER BY round(c, 6) DESC, cand ASC) AS rn
+             FROM cand) WHERE rn = 1)
+         SELECT p.anchor, p.pos_id, n.neg_id
+         FROM pos p JOIN neg n ON p.anchor = n.anchor ORDER BY p.anchor""",
   )
 }

@@ -285,6 +285,49 @@ object SimilarityOps {
       .select(col(idCol), col("cid"), col("__lost").isNull.as("kept"))
   }
 
+  /** Contrastive-triplet mining for embedding-model training data:
+    * (anchor, positive, hard negative) where the positive is a
+    * cosine-near-duplicate (≥ threshold, smallest id) and the hard
+    * negative is the MOST similar same-cell vector still below the
+    * threshold — the classic hard-negative regime, bounded to k-means
+    * cells so the candidate scan is k·(n/k)², never all-pairs.
+    *
+    * Negative ranking uses the score QUANTIZED to 6 decimals with an id
+    * tie-break: near-duplicate candidate sets contain pairs whose cosines
+    * differ only in the 12th decimal (e.g. a vector vs its scaled copy
+    * seen from a third vector), and ranking raw doubles there would make
+    * the winner an artifact of FP summation order. Quantization makes the
+    * selection reproducible across engines and partitionings; genuinely
+    * distinct candidates are separated far above 1e-6.
+    *
+    * @return (anchor, pos_id, neg_id) for every anchor that has both
+    */
+  def contrastiveTriplets(corpus: DataFrame, idCol: String, vecCol: String,
+                          initCentroids: DataFrame, centroidIdCol: String,
+                          threshold: Double = 0.9): DataFrame = {
+    val full = kmeansFull(corpus, idCol, vecCol, initCentroids, centroidIdCol, 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = full.select(col("cid"), col(idCol).as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = full.select(col("cid"), col(idCol).as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    // scored once per unordered same-cell pair, reused by both stages
+    val sc = a.join(b, Seq("cid")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (vdot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pos = sc.where(col("c") >= threshold)
+      .groupBy(col("id_a").as("anchor")).agg(min(col("id_b")).as("pos_id"))
+    val below = sc.where(col("c") < threshold)
+    val cand = below.select(col("id_a").as("anchor"), col("id_b").as("cand"), col("c"))
+      .unionByName(below.select(col("id_b").as("anchor"), col("id_a").as("cand"), col("c")))
+    val w = Window.partitionBy("anchor")
+      .orderBy(round(col("c"), 6).desc, col("cand").asc)
+    val neg = cand.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("anchor"), col("cand").as("neg_id"))
+    pos.join(neg, Seq("anchor"))
+  }
+
   /** Incremental [[semanticDedup]]: absorb a batch of NEW vectors against
     * a persisted assignment store without rescanning the corpus — the
     * ingestion shape at 100 TB (the embedding analog of

@@ -479,6 +479,20 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(ivf == brute, s"ivf $ivf vs brute $brute")
   }
 
+  test("contrastiveTriplets pairs each anchor with its near-dup and its hardest non-dup") {
+    // one cell around +x: anchor 0, scaled dup 1 (cos 1), hard negative 2
+    // (cos 0.8), soft negative 3 (cos 0.2; cos(2,3) ≈ 0.75 stays below 0.9)
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.25f, 0.0f)),
+      (2L, Array(0.8f, 0.6f)), (3L, Array(0.2f, 0.98f))).toDF("vec_id", "embedding")
+    val cent = pts.where($"vec_id" === 0L)
+    val out = SimilarityOps.contrastiveTriplets(pts, "vec_id", "embedding", cent, "vec_id",
+      threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("anchor"), r.getAs[Long]("pos_id"), r.getAs[Long]("neg_id")))
+    // only anchor 0 has a positive on the id_a side; its hardest negative is 2
+    assert(out.toSeq == Seq((0L, 1L, 2L)))
+  }
+
   test("semanticDedupIncrement drops vs store, min-id within batch, and grows the store") {
     // store: 0 (+x), 10 (+y) assigned to cells 0 / 10
     val cent = Seq((0L, Array(1.0f, 0.0f, 0.0f)), (10L, Array(0.0f, 1.0f, 0.0f)))
