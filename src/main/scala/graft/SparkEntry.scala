@@ -941,6 +941,25 @@ object SparkEntry {
         cent, "vec_id", threshold = 0.9)
         .orderBy("anchor")
     }),
+    // ── extension: sequence packing WITH document splitting — every doc
+    //    maps to its byte^W token span in one concatenated stream (docs
+    //    ordered by id), and spans land in fixed-length training
+    //    sequences; a doc can straddle sequences (first_seq != last_seq).
+    //    The global running offset is the distributed PrefixSum with a
+    //    constant group — bucketed by doc_id quantiles, no global window
+    "q83_sequence_pack" -> ((s, dir) => {
+      val L = 512L
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+        .withColumn("__g", lit(0))
+      graft.operators.PrefixSum.groupedRunningSum(d, Seq("__g"), "doc_id", "ntok", "cum")
+        .select(col("doc_id"), col("ntok"),
+          (col("cum") - col("ntok")).as("start_tok"),
+          expr(s"(cum - ntok) div $L").as("first_seq"),
+          expr(s"CASE WHEN ntok = 0 THEN (cum - ntok) div $L ELSE (cum - 1) div $L END").as("last_seq"),
+          expr(s"(cum - ntok) % $L").as("seq_offset"))
+        .orderBy("doc_id")
+    }),
     // ── extension: Bloom-prefiltered decontamination — q42's semantics at
     //    the probe scale where an exact broadcast set no longer fits. The
     //    Bloom prunes map-side; the exact verify join restores exactness,
@@ -2030,5 +2049,21 @@ object SparkEntry {
              FROM cand) WHERE rn = 1)
          SELECT p.anchor, p.pos_id, n.neg_id
          FROM pos p JOIN neg n ON p.anchor = n.anchor ORDER BY p.anchor""",
+    "q83_sequence_pack" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS ntok
+           FROM documents),
+         c AS (
+           SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+             CAST(sum(ntok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM d)
+         SELECT doc_id, ntok, cum - ntok AS start_tok,
+           (cum - ntok) // 512 AS first_seq,
+           CASE WHEN ntok = 0 THEN (cum - ntok) // 512 ELSE (cum - 1) // 512 END AS last_seq,
+           (cum - ntok) % 512 AS seq_offset
+         FROM c ORDER BY doc_id""",
   )
 }
