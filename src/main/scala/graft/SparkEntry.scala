@@ -941,6 +941,17 @@ object SparkEntry {
         cent, "vec_id", threshold = 0.9)
         .orderBy("anchor")
     }),
+    // ── extension: corpus tokenization — apply the q75 coverage vocab as
+    //    dense frequency-rank ids; OOV words hash to negative buckets.
+    //    posexplode + broadcast id join: map-only over the corpus
+    "q84_tokenize" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val toks = docs.where(length(trim(col("text"))) > 0)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+      val vocab = VocabOps.coverageVocab(toks, "word", coverageBp = 9500)
+      VocabOps.tokenize(docs, "doc_id", "text", vocab, oovBuckets = 1000)
+        .orderBy("doc_id", "pos")
+    }),
     // ── extension: sequence packing WITH document splitting — every doc
     //    maps to its byte^W token span in one concatenated stream (docs
     //    ordered by id), and spans land in fixed-length training
@@ -2065,5 +2076,47 @@ object SparkEntry {
            CASE WHEN ntok = 0 THEN (cum - ntok) // 512 ELSE (cum - 1) // 512 END AS last_seq,
            (cum - ntok) % 512 AS seq_offset
          FROM c ORDER BY doc_id""",
+    "q84_tokenize" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents WHERE length(trim(text)) > 0),
+         wc AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+         cc AS (SELECT cnt, count(*) AS n_words, cnt * count(*) AS mass FROM wc GROUP BY cnt),
+         cum AS (
+           SELECT cnt, n_words, mass,
+             COALESCE(CAST(sum(mass) OVER (ORDER BY cnt DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS before
+           FROM cc),
+         tt AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM cc),
+         v AS (
+           SELECT cnt, n_words, before,
+             before + mass <= (total * 9500 + 9999) // 10000 AS full_in,
+             CASE WHEN before + mass <= (total * 9500 + 9999) // 10000 THEN n_words
+                  WHEN before < (total * 9500 + 9999) // 10000
+                    THEN ((total * 9500 + 9999) // 10000 - before + cnt - 1) // cnt
+                  ELSE 0 END AS needed
+           FROM cum, tt),
+         b AS (
+           SELECT word, wc.cnt,
+             (row_number() OVER (PARTITION BY wc.cnt
+                ORDER BY CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT))) <= needed AS selected
+           FROM wc JOIN v ON wc.cnt = v.cnt WHERE NOT full_in AND needed > 0),
+         r AS (
+           SELECT word, wc.cnt, full_in AS selected
+           FROM wc JOIN v ON wc.cnt = v.cnt WHERE full_in OR needed = 0),
+         vocab AS (
+           SELECT word, cnt, selected FROM b UNION ALL SELECT word, cnt, selected FROM r),
+         ids AS (
+           SELECT word, CAST(row_number() OVER (ORDER BY cnt DESC, word) - 1 AS BIGINT) AS vid
+           FROM vocab WHERE selected),
+         td AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         occ AS (SELECT doc_id, unnest(t) AS word, unnest(range(0, len(t))) AS pos FROM td)
+         SELECT occ.doc_id, CAST(occ.pos AS BIGINT) AS pos,
+           COALESCE(ids.vid,
+             -1 - (CAST('0x' || substr(md5(occ.word), 1, 15) AS BIGINT) % 1000)) AS token_id
+         FROM occ LEFT JOIN ids ON occ.word = ids.word
+         ORDER BY doc_id, pos""",
   )
 }

@@ -69,4 +69,34 @@ object VocabOps {
       .select(col("word"), col("cnt"), col("full").as("selected"))
       .unionByName(bsel)
   }
+
+  /** Apply a vocabulary to a corpus: every token occurrence becomes a
+    * dense id — the selected vocab ranked by (count desc, word), ids from
+    * 0 — or a hashed out-of-vocabulary bucket, encoded NEGATIVE
+    * (`-1 - hash60(word) mod oovBuckets`) so in-vocab and OOV ids can
+    * never collide and no global vocab-size scalar is needed.
+    *
+    * Scale shape: the id table is the (bounded) coverage vocabulary,
+    * ranked by one window over it and broadcast; tokenization itself is
+    * posexplode + a broadcast join — map-only over the corpus, no
+    * corpus-sized shuffle.
+    *
+    * @param vocab [[coverageVocab]] output (word, cnt, selected)
+    * @return one row per token occurrence: (idCol, pos, token_id)
+    */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String,
+               vocab: DataFrame, oovBuckets: Int = 1000): DataFrame = {
+    require(oovBuckets > 0, s"oovBuckets must be positive, got $oovBuckets")
+    val w = Window.orderBy(col("cnt").desc, col("word").asc)
+    val ids = vocab.where(col("selected"))
+      .withColumn("vid", (row_number().over(w) - 1).cast("long"))
+      .select("word", "vid")
+    val toks = docs.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(lower(col(textCol)))).as(Seq("pos", "word")))
+    toks.join(broadcast(ids), Seq("word"), "left")
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        coalesce(col("vid"),
+          lit(-1L) - pmod(DedupOps.hash60(col("word")), lit(oovBuckets.toLong))).as("token_id"))
+  }
 }

@@ -42,4 +42,20 @@ class VocabOpsSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getBoolean(2))).toSet
     assert(run(corpus) == run(corpus.repartition(11)))
   }
+
+  test("tokenize assigns dense frequency-rank ids and negative OOV buckets") {
+    val docs = Seq((1L, "aa aa aa bb bb zz"), (2L, "bb aa qq")).toDF("doc_id", "text")
+    val toks = docs.select(explode(TextFunctions.tokens(lower($"text"))).as("word"))
+    // 60% coverage: aa(×4) alone covers 4/9=44%, aa+bb(×3)=78% → vocab {aa, bb}
+    val vocab = VocabOps.coverageVocab(toks, "word", 6000)
+    val out = VocabOps.tokenize(docs, "doc_id", "text", vocab, oovBuckets = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 0L)) == 0L && out((1L, 1L)) == 0L)  // aa = rank 0
+    assert(out((1L, 3L)) == 1L)                          // bb = rank 1
+    assert(out((1L, 5L)) < 0L)                           // zz is OOV, negative
+    assert(out((2L, 2L)) < 0L)                           // qq OOV
+    assert(out((2L, 0L)) == 1L && out((2L, 1L)) == 0L)
+    // OOV ids are deterministic and within the bucket range
+    assert(out((1L, 5L)) >= -10L && out((1L, 5L)) <= -1L)
+  }
 }
