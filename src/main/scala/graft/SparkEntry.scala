@@ -941,6 +941,24 @@ object SparkEntry {
         cent, "vec_id", threshold = 0.9)
         .orderBy("anchor")
     }),
+    // ── extension: mixture upsampling — per-source fractional replication
+    //    rates (permille), the fractional part resolved per doc by a
+    //    deterministic LCG coin so exactly rate‰ of each source replicates
+    //    in expectation and the SAME docs replicate on every run. One
+    //    explode, map-only; the manifest is (doc_id, copy)
+    "q85_upsample" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("source"))
+        .withColumn("rate_pm",
+          lit(1000L) + lit(500L) * (expr("CAST(substring(source, 4) AS BIGINT)") % 3))
+        .withColumn("copies",
+          expr("rate_pm div 1000") +
+            when((col("doc_id") * lit(1103515245L) + lit(999L)) % lit(2147483648L) % 1000L
+              < col("rate_pm") % 1000L, 1L).otherwise(0L))
+      d.where(col("copies") > 0)
+        .select(col("doc_id"), col("source"), col("rate_pm"),
+          explode(sequence(lit(0L), col("copies") - 1)).as("copy"))
+        .orderBy("doc_id", "copy")
+    }),
     // ── extension: corpus tokenization — apply the q75 coverage vocab as
     //    dense frequency-rank ids; OOV words hash to negative buckets.
     //    posexplode + broadcast id join: map-only over the corpus
@@ -2118,5 +2136,19 @@ object SparkEntry {
              -1 - (CAST('0x' || substr(md5(occ.word), 1, 15) AS BIGINT) % 1000)) AS token_id
          FROM occ LEFT JOIN ids ON occ.word = ids.word
          ORDER BY doc_id, pos""",
+    "q85_upsample" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             1000 + 500 * (CAST(substr(source, 4, 10) AS BIGINT) % 3) AS rate_pm
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, rate_pm,
+             rate_pm // 1000 +
+               CASE WHEN (doc_id * 1103515245 + 999) % 2147483648 % 1000 < rate_pm % 1000
+                    THEN 1 ELSE 0 END AS copies
+           FROM d)
+         SELECT doc_id, source, rate_pm, CAST(unnest(range(0, copies)) AS BIGINT) AS copy
+         FROM c WHERE copies > 0
+         ORDER BY doc_id, copy""",
   )
 }
