@@ -69,6 +69,36 @@ class GraftClientSpec extends SparkSpec {
     }
   }
 
+  test("concurrent requests from many threads demux correctly by request_id") {
+    val server = newServer()
+    val client = new GraftClient("127.0.0.1", server.port)
+    try {
+      (0 until 8).foreach(i =>
+        client.insertData("grades", Map("name" -> s"s$i", "grade" -> (i * 10L))))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val futures = (0 until 8).flatMap { i =>
+          Seq(
+            pool.submit(new java.util.concurrent.Callable[Boolean] {
+              def call(): Boolean =
+                client.findOne("grades", "name", s"s$i")
+                  .exists(_.get("grade").get("Integer").asLong() == i * 10L)
+            }),
+            pool.submit(new java.util.concurrent.Callable[Boolean] {
+              def call(): Boolean =
+                client.getAll("grades", "grade", i * 10L)
+                  .exists(_.get("name").get("Str").asText() == s"s$i")
+            }))
+        }
+        assert(futures.forall(_.get(120, TimeUnit.SECONDS)),
+          "a concurrent request got the wrong (or no) response")
+      } finally pool.shutdownNow()
+    } finally {
+      client.close()
+      server.close()
+    }
+  }
+
   test("server Err surfaces as a client exception (unknown column)") {
     val server = newServer()
     val client = new GraftClient("127.0.0.1", server.port)
