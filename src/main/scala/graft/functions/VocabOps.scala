@@ -76,10 +76,13 @@ object VocabOps {
     * (`-1 - hash60(word) mod oovBuckets`) so in-vocab and OOV ids can
     * never collide and no global vocab-size scalar is needed.
     *
-    * Scale shape: the id table is the (bounded) coverage vocabulary,
-    * ranked by one window over it and broadcast; tokenization itself is
-    * posexplode + a broadcast join — map-only over the corpus, no
-    * corpus-sized shuffle.
+    * Scale shape: the id table is the coverage vocabulary — MODEL state,
+    * not corpus data: natural-language vocabularies saturate in the 10⁶–10⁷
+    * range regardless of corpus size, so the one global ranking window
+    * (deliberate: dense ids require a total order) processes tens of MB on
+    * one reducer ONCE, amortized over the corpus-sized tokenization it
+    * feeds. Tokenization itself is posexplode + a broadcast join —
+    * map-only over the corpus, no corpus-sized shuffle.
     *
     * @param vocab [[coverageVocab]] output (word, cnt, selected)
     * @return one row per token occurrence: (idCol, pos, token_id)
