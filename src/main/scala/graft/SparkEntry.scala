@@ -941,6 +941,22 @@ object SparkEntry {
         cent, "vec_id", threshold = 0.9)
         .orderBy("anchor")
     }),
+    // ── extension: EXACT-count stratified eval split — exactly n docs per
+    //    (source, lang) stratum, chosen by deterministic hash priority.
+    //    q45's hash-threshold sampling gives binomial counts; eval sets
+    //    need exact ones. Rank within stratum is the distributed prefix
+    //    rank (PrefixSum value=1), never a per-stratum window
+    "q86_eval_split" -> ((s, dir) => {
+      val n = 5L
+      val d = T(s, dir, "documents").select(col("doc_id"), col("source"), col("lang"))
+        .withColumn("prio", (col("doc_id") * lit(1103515245L) + lit(54321L)) % lit(2147483648L))
+        .withColumn("__one", lit(1L))
+      graft.operators.PrefixSum
+        .groupedRunningSum(d, Seq("source", "lang"), "prio", "__one", "rnk")
+        .select(col("doc_id"), col("source"), col("lang"),
+          (col("rnk") <= n).as("held_out"))
+        .orderBy("doc_id")
+    }),
     // ── extension: mixture upsampling — per-source fractional replication
     //    rates (permille), the fractional part resolved per doc by a
     //    deterministic LCG coin so exactly rate‰ of each source replicates
@@ -2150,5 +2166,13 @@ object SparkEntry {
          SELECT doc_id, source, rate_pm, CAST(unnest(range(0, copies)) AS BIGINT) AS copy
          FROM c WHERE copies > 0
          ORDER BY doc_id, copy""",
+    "q86_eval_split" ->
+      """WITH d AS (
+           SELECT doc_id, source, lang,
+             (doc_id * 1103515245 + 54321) % 2147483648 AS prio
+           FROM documents)
+         SELECT doc_id, source, lang,
+           (row_number() OVER (PARTITION BY source, lang ORDER BY prio)) <= 5 AS held_out
+         FROM d ORDER BY doc_id""",
   )
 }
