@@ -941,6 +941,24 @@ object SparkEntry {
         cent, "vec_id", threshold = 0.9)
         .orderBy("anchor")
     }),
+    // ── extension: unigram-surprise scoring (perplexity-proxy quality
+    //    filter): per-doc Σ -ln(p(word)) under the corpus unigram model,
+    //    reported as integer milli-nats (rounding margins ≫ FP noise —
+    //    verified 3e-4 vs ~1e-8). Frequency table is vocab-sized and
+    //    broadcast; the scan is map-only + one per-doc aggregate
+    "q87_unigram_surprise" -> ((s, dir) => {
+      val occ = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wc = occ.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val total = occ.agg(count(lit(1)).cast("long").as("total"))
+      occ.join(broadcast(wc), Seq("word"))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(sum(-log(col("cnt").cast("double") / col("total"))).as("surprise"))
+        .select(col("doc_id"), round(col("surprise") * 1000).cast("long").as("surprise_milli"))
+        .orderBy("doc_id")
+    }),
     // ── extension: EXACT-count stratified eval split — exactly n docs per
     //    (source, lang) stratum, chosen by deterministic hash priority.
     //    q45's hash-threshold sampling gives binomial counts; eval sets
@@ -2174,5 +2192,17 @@ object SparkEntry {
          SELECT doc_id, source, lang,
            (row_number() OVER (PARTITION BY source, lang ORDER BY prio)) <= 5 AS held_out
          FROM d ORDER BY doc_id""",
+    "q87_unigram_surprise" ->
+      """WITH td AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         occ AS (SELECT doc_id, unnest(t) AS word FROM td),
+         wc AS (SELECT word, count(*) AS cnt FROM occ GROUP BY word),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM occ),
+         s AS (
+           SELECT occ.doc_id, sum(-ln(CAST(wc.cnt AS DOUBLE) / total)) AS surprise
+           FROM occ JOIN wc ON occ.word = wc.word, tt GROUP BY occ.doc_id)
+         SELECT doc_id, CAST(round(surprise * 1000) AS BIGINT) AS surprise_milli
+         FROM s ORDER BY doc_id""",
   )
 }
