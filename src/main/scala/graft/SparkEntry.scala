@@ -941,6 +941,28 @@ object SparkEntry {
         cent, "vec_id", threshold = 0.9)
         .orderBy("anchor")
     }),
+    // ── extension: per-source KL divergence from the corpus unigram
+    //    distribution — mixture diagnostics ("which sources are
+    //    distributionally distinct"). Integer 10⁻⁵-nat output; rounding
+    //    margin verified 5e-3 vs ~1e-8 noise. All aggregates are
+    //    (source×vocab)-sized — model state, not corpus
+    "q88_source_kl" -> ((s, dir) => {
+      val occ = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(col("source"), explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sw = occ.groupBy("source", "word").agg(count(lit(1)).as("scnt"))
+      val st = occ.groupBy("source").agg(count(lit(1)).cast("long").as("stot"))
+      val w = occ.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val total = occ.agg(count(lit(1)).cast("long").as("total"))
+      val ps = col("scnt").cast("double") / col("stot")
+      val p = col("cnt").cast("double") / col("total")
+      sw.join(broadcast(st), Seq("source")).join(broadcast(w), Seq("word"))
+        .crossJoin(broadcast(total))
+        .groupBy("source")
+        .agg(sum(ps * log(ps / p)).as("kl_nats"))
+        .select(col("source"), round(col("kl_nats") * 100000).cast("long").as("kl_e5"))
+        .orderBy("source")
+    }),
     // ── extension: unigram-surprise scoring (perplexity-proxy quality
     //    filter): per-doc Σ -ln(p(word)) under the corpus unigram model,
     //    reported as integer milli-nats (rounding margins ≫ FP noise —
@@ -2204,5 +2226,22 @@ object SparkEntry {
            FROM occ JOIN wc ON occ.word = wc.word, tt GROUP BY occ.doc_id)
          SELECT doc_id, CAST(round(surprise * 1000) AS BIGINT) AS surprise_milli
          FROM s ORDER BY doc_id""",
+    "q88_source_kl" ->
+      """WITH td AS (
+           SELECT doc_id, source, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         occ AS (SELECT source, unnest(t) AS word FROM td),
+         sw AS (SELECT source, word, count(*) AS scnt FROM occ GROUP BY 1, 2),
+         st AS (SELECT source, CAST(count(*) AS BIGINT) AS stot FROM occ GROUP BY 1),
+         w AS (SELECT word, count(*) AS cnt FROM occ GROUP BY 1),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM occ),
+         kl AS (
+           SELECT sw.source,
+             sum((CAST(scnt AS DOUBLE) / stot) *
+                 ln((CAST(scnt AS DOUBLE) / stot) / (CAST(cnt AS DOUBLE) / total))) AS kl_nats
+           FROM sw JOIN st ON sw.source = st.source JOIN w ON sw.word = w.word, tt
+           GROUP BY sw.source)
+         SELECT source, CAST(round(kl_nats * 100000) AS BIGINT) AS kl_e5
+         FROM kl ORDER BY source""",
   )
 }
