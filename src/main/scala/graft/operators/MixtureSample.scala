@@ -30,9 +30,13 @@ object MixtureSample {
     * @param priorityCol deterministic selection order within a group;
     *                    numeric, non-null, unique per group (PrefixSum
     *                    requirement — ties would make the prefix ambiguous)
-    * @param budgets     one row per group: (budgetGroupCol, budgetCol)
-    * @return df's rows plus a `picked` boolean; all input rows are kept so
-    *         callers can audit what the budget excluded
+    * @param budgets     one row per group: (budgetGroupCol, budgetCol).
+    *                    Groups ABSENT from this table are dropped entirely
+    *                    (inner join) — an unlisted source is "not in the
+    *                    mixture", not "unlimited"
+    * @return the budgeted groups' rows plus a `picked` boolean; rows are
+    *         kept whether picked or not so callers can audit what the
+    *         budget excluded
     */
   def tokenBudgetSample(df: DataFrame, groupCol: String, tokenCol: String,
                         priorityCol: String, budgets: DataFrame,

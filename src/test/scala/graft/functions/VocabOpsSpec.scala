@@ -43,6 +43,17 @@ class VocabOpsSpec extends SparkSpec {
     assert(run(corpus) == run(corpus.repartition(11)))
   }
 
+  test("empty corpus / empty vocab degenerate cleanly") {
+    val noTokens = Seq.empty[String].toDF("word")
+    assert(VocabOps.coverageVocab(noTokens, "word", 9500).count() == 0)
+    val docs = Seq((1L, "hello world again")).toDF("doc_id", "text")
+    // empty vocab → every occurrence is a (negative) OOV id
+    val out = VocabOps.tokenize(docs, "doc_id", "text",
+      VocabOps.coverageVocab(noTokens, "word", 9500), oovBuckets = 7)
+      .collect().map(_.getLong(2))
+    assert(out.length == 3 && out.forall(id => id < 0 && id >= -7))
+  }
+
   test("tokenize assigns dense frequency-rank ids and negative OOV buckets") {
     val docs = Seq((1L, "aa aa aa bb bb zz"), (2L, "bb aa qq")).toDF("doc_id", "text")
     val toks = docs.select(explode(TextFunctions.tokens(lower($"text"))).as("word"))

@@ -29,6 +29,14 @@ class MixtureSampleSpec extends SparkSpec {
     assert(out == Map(3L -> true, 2L -> false, 1L -> false))
   }
 
+  test("rows from groups absent from the budget table are dropped (inner-join semantics)") {
+    val rows = Seq((1L, "known", 10L, 1L), (2L, "unknown", 10L, 2L)).toDF("id", "grp", "ntok", "prio")
+    val budgets = Seq(("known", 100L)).toDF("grp", "budget")
+    val out = MixtureSample.tokenBudgetSample(rows, "grp", "ntok", "prio", budgets, "grp", "budget")
+      .collect().map(_.getAs[Long]("id"))
+    assert(out.toSeq == Seq(1L), "unbudgeted group must not appear in the output")
+  }
+
   test("tokenBudgetSample is deterministic under repartition") {
     val rng = new scala.util.Random(3)
     val rows = (0L until 200L).map { i =>
