@@ -941,6 +941,15 @@ object SparkEntry {
         cent, "vec_id", threshold = 0.9)
         .orderBy("anchor")
     }),
+    // ── extension: diversity coreset — per cell, the 3 members farthest
+    //    from their centroid (quantized rank, q82 rationale): dedup
+    //    removes redundancy, the coreset keeps the spread
+    "q89_cell_coreset" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val cent = emb.where(col("vec_id") % 40 === 0)
+      SimilarityOps.cellCoreset(emb, "vec_id", "embedding", cent, "vec_id", k = 3)
+        .orderBy("cid", "rank")
+    }),
     // ── extension: per-source KL divergence from the corpus unigram
     //    distribution — mixture diagnostics ("which sources are
     //    distributionally distinct"). Integer 10⁻⁵-nat output; rounding
@@ -2243,5 +2252,31 @@ object SparkEntry {
            GROUP BY sw.source)
          SELECT source, CAST(round(kl_nats * 100000) AS BIGINT) AS kl_e5
          FROM kl ORDER BY source""",
+    "q89_cell_coreset" ->
+      """WITH cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id % 40 = 0),
+         asn AS (
+           SELECT vec_id, embedding, cid, s FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                    i -> c.cv[i] * c.cv[i])))) AS s,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent0 c) WHERE rn = 1),
+         r AS (
+           SELECT vec_id, cid, CAST(row_number() OVER (
+             PARTITION BY cid ORDER BY round(s, 6) ASC, vec_id ASC) AS BIGINT) AS rank
+           FROM asn)
+         SELECT vec_id, cid, rank FROM r WHERE rank <= 3 ORDER BY cid, rank""",
   )
 }

@@ -328,6 +328,34 @@ object SimilarityOps {
     pos.join(neg, Seq("anchor"))
   }
 
+  /** Diversity coreset: per k-means cell, the `k` members FARTHEST from
+    * their centroid (lowest cosine) — the cheap diversity-aware selection
+    * pass that complements [[semanticDedup]]: dedup removes redundancy,
+    * the coreset keeps the spread (cluster-margin sampling in the coreset
+    * literature). Ranking uses the 6-decimal-quantized score with an id
+    * tie-break (the [[contrastiveTriplets]] rationale — raw-double order
+    * among near-identical members is FP-summation-order noise).
+    *
+    * @return (idCol, "cid", "rank"): rank 1 = farthest from centroid
+    */
+  def cellCoreset(corpus: DataFrame, idCol: String, vecCol: String,
+                  initCentroids: DataFrame, centroidIdCol: String,
+                  k: Int, updateRounds: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val full = kmeansFull(corpus, idCol, vecCol, initCentroids, centroidIdCol, updateRounds)
+    val c = trainedCentroids(normalizedCorpus(corpus, idCol, vecCol),
+      idCol, vecCol, initCentroids, centroidIdCol, updateRounds)
+      .select(col("cid"), col("__cv"), vnorm(col("__cv")).as("__cn"))
+      .where(col("__cn") > 0)
+    val w = Window.partitionBy("cid")
+      .orderBy(round(col("__score"), 6).asc, col(idCol).asc)
+    full.join(broadcast(c), Seq("cid"))
+      .withColumn("__score", vdot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("cid"), col("rank"))
+  }
+
   /** Incremental [[semanticDedup]]: absorb a batch of NEW vectors against
     * a persisted assignment store without rescanning the corpus — the
     * ingestion shape at 100 TB (the embedding analog of

@@ -493,6 +493,18 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L, 2L)))
   }
 
+  test("cellCoreset keeps the k members farthest from their centroid") {
+    // one cell at +x; members at 0°, 20°-ish, 37°, 53° — farthest two are
+    // 3 (cos .6) then 2 (cos .8)
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.94f, 0.342f)),
+      (2L, Array(0.8f, 0.6f)), (3L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val cent = pts.where($"vec_id" === 0L)
+    val out = SimilarityOps.cellCoreset(pts, "vec_id", "embedding", cent, "vec_id", k = 2)
+      .collect().map(r => r.getAs[Long]("rank") -> r.getAs[Long]("vec_id")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 2L))
+  }
+
   test("semanticDedupIncrement drops vs store, min-id within batch, and grows the store") {
     // store: 0 (+x), 10 (+y) assigned to cells 0 / 10
     val cent = Seq((0L, Array(1.0f, 0.0f, 0.0f)), (10L, Array(0.0f, 1.0f, 0.0f)))
