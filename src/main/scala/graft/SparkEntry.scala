@@ -941,6 +941,14 @@ object SparkEntry {
         cent, "vec_id", threshold = 0.9)
         .orderBy("anchor")
     }),
+    // ── extension: containment dedup — asymmetric |A∩B|/|A| over shingle
+    //    sets, oriented smaller→larger; catches quoted/embedded/truncated
+    //    duplicates Jaccard structurally misses. Guard ON (q20 convention)
+    "q90_containment_dedup" -> ((s, dir) => {
+      DedupOps.containmentPairs(T(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.5, maxDocFreq = 1000)
+        .orderBy("id_a", "id_b")
+    }),
     // ── extension: diversity coreset — per cell, the 3 members farthest
     //    from their centroid (quantized rank, q82 rationale): dedup
     //    removes redundancy, the coreset keeps the spread
@@ -2278,5 +2286,26 @@ object SparkEntry {
              PARTITION BY cid ORDER BY round(s, 6) ASC, vec_id ASC) AS BIGINT) AS rank
            FROM asn)
          SELECT vec_id, cid, rank FROM r WHERE rank <= 3 ORDER BY cid, rank""",
+    "q90_containment_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
+           FROM toks),
+         ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
+         exh AS (SELECT doc_id, sz, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h FROM ex),
+         hot AS (SELECT h FROM exh GROUP BY h HAVING count(*) > 1000),
+         g AS (SELECT * FROM exh WHERE h NOT IN (SELECT h FROM hot)),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                  count(*) AS c
+           FROM g a JOIN g b ON a.h = b.h
+             AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+           GROUP BY 1, 2, 3, 4)
+         SELECT id_a, id_b, CAST(c AS DOUBLE) / sz_a AS containment
+         FROM common WHERE CAST(c AS DOUBLE) / sz_a >= 0.5
+         ORDER BY id_a, id_b""",
   )
 }

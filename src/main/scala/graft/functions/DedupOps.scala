@@ -459,4 +459,42 @@ object DedupOps {
     * (1-t)·|s|+1, so below ~0.5 the prefix stops pruning half the doc and
     * the filter's extra shuffles outweigh the savings). */
   val PrefixFilterThreshold = 0.5
+
+  /** Asymmetric CONTAINMENT pairs: the fraction of the smaller doc's
+    * shingle set found in the larger — catches quoted, embedded, and
+    * truncated duplicates that Jaccard structurally misses (a doc fully
+    * contained in one 3× its size has Jaccard ≤ 1/3 but containment 1.0).
+    * Pairs are oriented: `id_a` is the contained side (smaller shingle
+    * set; equal sizes break toward the lower id), score = |A∩B| / |A|.
+    *
+    * Shape: the [[ngramJaccardPairs]] count join with the same
+    * broadcast-anti hot-shingle guard (the PPJoin prefix bound assumes
+    * symmetric overlap and does not transfer to containment); sizes stay
+    * the ORIGINAL set sizes under the guard, so dropped hot shingles
+    * cannot count as shared but still count toward |A|. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, threshold: Double = 0.9,
+                       maxDocFreq: Long = 1000): DataFrame = {
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    val ex = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filtered =
+      if (maxDocFreq <= 0) ex
+      else {
+        val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDocFreq).select("h")
+        ex.join(broadcast(hot), Seq("h"), "left_anti")
+      }
+    filtered
+      .select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(filtered.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")), Seq("h"))
+      .where(col("sz_a") < col("sz_b") ||
+        (col("sz_a") === col("sz_b") && col("id_a") < col("id_b")))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("c"))
+      .select(col("id_a"), col("id_b"),
+        (col("c").cast("double") / col("sz_a")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
 }

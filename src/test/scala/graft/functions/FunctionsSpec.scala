@@ -103,6 +103,33 @@ class TextFunctionsSpec extends SparkSpec {
   }
 }
 
+class ContainmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("containmentPairs catches a fully-embedded doc that Jaccard misses") {
+    val small = "alpha beta gamma delta epsilon"
+    val big = s"intro words here then $small and then many closing trailer words follow after that"
+    val docs = Seq((1L, small), (2L, big), (3L, "unrelated content entirely different words")).toDF("doc_id", "text")
+    val cont = DedupOps.containmentPairs(docs, "text", "doc_id", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("containment")))
+    assert(cont.toSeq.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(cont.head._3 == 1.0) // every shingle of the small doc is in the big one
+    // Jaccard at the same threshold does NOT flag the pair
+    val jac = DedupOps.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.9)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
+  test("containmentPairs orients pairs smaller-into-larger") {
+    val docs = Seq(
+      (10L, "one two three four five six seven"),
+      (2L, "zero one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val out = DedupOps.containmentPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(out.toSeq == Seq((10L, 2L))) // contained side first, regardless of id order
+  }
+}
+
 class BloomDecontaminationSpec extends SparkSpec {
   import spark.implicits._
 
