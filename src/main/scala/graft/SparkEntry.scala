@@ -854,7 +854,7 @@ object SparkEntry {
     "q74_mixture_sample" -> ((s, dir) => {
       val d = T(s, dir, "documents").select(col("doc_id"), col("source"),
         TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
-        .withColumn("prio", (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L))
+        .withColumn("prio", graft.operators.TrainShuffle.lcgPrio(col("doc_id"), 12345L))
       val budgets = d.select("source").distinct()
         .withColumn("budget",
           lit(300L) + lit(60L) * (expr("CAST(substring(source, 4) AS BIGINT)") % 5))
@@ -1006,7 +1006,7 @@ object SparkEntry {
     "q86_eval_split" -> ((s, dir) => {
       val n = 5L
       val d = T(s, dir, "documents").select(col("doc_id"), col("source"), col("lang"))
-        .withColumn("prio", (col("doc_id") * lit(1103515245L) + lit(54321L)) % lit(2147483648L))
+        .withColumn("prio", graft.operators.TrainShuffle.lcgPrio(col("doc_id"), 54321L))
         .withColumn("__one", lit(1L))
       graft.operators.PrefixSum
         .groupedRunningSum(d, Seq("source", "lang"), "prio", "__one", "rnk")
@@ -1025,7 +1025,7 @@ object SparkEntry {
           lit(1000L) + lit(500L) * (expr("CAST(substring(source, 4) AS BIGINT)") % 3))
         .withColumn("copies",
           expr("rate_pm div 1000") +
-            when((col("doc_id") * lit(1103515245L) + lit(999L)) % lit(2147483648L) % 1000L
+            when(graft.operators.TrainShuffle.lcgPrio(col("doc_id"), 999L) % 1000L
               < col("rate_pm") % 1000L, 1L).otherwise(0L))
       d.where(col("copies") > 0)
         .select(col("doc_id"), col("source"), col("rate_pm"),
@@ -1104,7 +1104,7 @@ object SparkEntry {
       val clean = survivors.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val withPrio = clean.withColumn("prio",
-        (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L))
+        graft.operators.TrainShuffle.lcgPrio(col("doc_id"), 12345L))
       val budgets = clean.select("source").distinct().withColumn("budget",
         lit(200L) + lit(50L) * (expr("CAST(substring(source, 4) AS BIGINT)") % 4))
       val picked = graft.operators.MixtureSample

@@ -84,20 +84,30 @@ object MultimodalOps {
         Row(mediaType, "bmp", math.abs(le32(bytes, 18)), math.abs(le32(bytes, 22)),
           0L, bytes.length.toLong)
       } else if (ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE")) {
-        // walk RIFF chunks for fmt (byte rate) and data (payload size)
+        // walk RIFF chunks for fmt (byte rate) and data (payload size);
+        // chunk sizes come from untrusted bytes, so a negative or
+        // non-advancing size (sz == -8 keeps off fixed; any negative sz
+        // moves it backwards) must abort the walk, not spin the executor
         var off = 12
         var byteRate = 0
         var dataLen = -1L
-        while (off + 8 <= bytes.length && (byteRate == 0 || dataLen < 0)) {
+        var corrupt = false
+        while (!corrupt && off + 8 <= bytes.length && (byteRate == 0 || dataLen < 0)) {
           val sz = le32(bytes, off + 4)
-          if (ascii(bytes, off, "fmt ") && off + 8 + 16 <= bytes.length)
-            byteRate = le32(bytes, off + 16)
-          else if (ascii(bytes, off, "data"))
-            dataLen = sz.toLong
-          off += 8 + sz + (sz & 1) // chunks are word-aligned
+          if (sz < 0) corrupt = true
+          else {
+            if (ascii(bytes, off, "fmt ") && off + 8 + 16 <= bytes.length)
+              byteRate = le32(bytes, off + 16)
+            else if (ascii(bytes, off, "data"))
+              dataLen = sz.toLong
+            off += 8 + sz + (sz & 1) // chunks are word-aligned
+          }
         }
-        val durationMs = if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L
-        Row(mediaType, "wav", 0, 0, durationMs, bytes.length.toLong)
+        if (corrupt) StubCodec.decode(bytes, mediaType)
+        else {
+          val durationMs = if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L
+          Row(mediaType, "wav", 0, 0, durationMs, bytes.length.toLong)
+        }
       } else StubCodec.decode(bytes, mediaType)
     }
     // feature extraction / frame sampling still go through the stub —

@@ -66,7 +66,10 @@ object ProfileOps {
       else {
         val hot = ex.groupBy("h").agg(count(lit(1)).as("__gf"))
           .where(col("__gf") > maxGroupFreq).select("h")
-        ex.join(hot, Seq("h"), "left_anti")
+        // hot list is bounded by construction (≤ distinct-shingles/maxGroupFreq
+        // survivors) — broadcast it so the anti-join never shuffles the full
+        // exploded shingle set, matching the DedupOps guards
+        ex.join(broadcast(hot), Seq("h"), "left_anti")
       }
     val sizes = guarded.groupBy("grp").agg(count(lit(1)).as("sz"))
     val a = guarded.select(col("h"), col("grp").as("grp_a"))

@@ -35,7 +35,14 @@ final class GraftClient(host: String, port: Int, timeoutMs: Int = 60000)
   private val reader = new Thread(() => {
     try {
       while (running) {
-        val size = in.readInt()
+        // soTimeout only bounds a single blocked read: an idle connection
+        // (e.g. a listen subscriber between events) legitimately sits in
+        // readInt() far longer than any request timeout, so a timeout here
+        // means "nothing arrived yet", not "socket dead" — keep reading.
+        // Request timeouts are enforced by queue.poll in query().
+        val size =
+          try in.readInt()
+          catch { case _: java.net.SocketTimeoutException => -1 }
         if (size > 0) {
           val buf = new Array[Byte](size)
           in.readFully(buf)
@@ -119,10 +126,15 @@ final class GraftClient(host: String, port: Int, timeoutMs: Int = 60000)
     (0 until ok.size()).map(ok.get)
   }
 
-  /** First entry with `column == key`, or None. */
+  /** First entry with `column == key`, or None. A server `Err` (unknown
+    * table/column) raises, mirroring [[manyOf]] — it is NOT a "no match". */
   def findOne(table: String, column: String, key: Any): Option[JsonNode] = {
-    val ok = keyed("FindOne", table, column, key).get("OneResult").get("Ok")
-    if (ok == null || ok.isNull) None else Some(ok)
+    val one = keyed("FindOne", table, column, key).get("OneResult")
+    val ok = one.get("Ok")
+    if (ok == null) {
+      throw new java.io.IOException(s"server error: ${one.get("Err").asText()}")
+    }
+    if (ok.isNull) None else Some(ok)
   }
 
   /** All entries with `column == key`. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic global training-order shuffle + shard manifest — the last
@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object TrainShuffle {
 
+  /** `(id * 1103515245 + seed) mod 2^31`, overflow-free: the id is reduced
+    * mod 2^31 BEFORE the multiply, which is bit-identical for the final
+    * mod-2^31 result (a·(id − id mod 2^31) is a multiple of 2^31) but keeps
+    * the product ≤ (2^31−1)·1103515245 ≈ 2.4e18 < Long.MaxValue — ids past
+    * ~8.4e9 would otherwise wrap negative and land outside [0, 2^31). */
+  def lcgPrio(id: Column, seed: Long): Column =
+    (pmod(id, lit(2147483648L)) * lit(1103515245L) + lit(seed)) % lit(2147483648L)
+
   /** @param df      rows to shuffle; `idCol` must be a non-negative long,
     *                distinct mod 2^31 (the LCG is bijective mod 2^31)
     * @param nShards number of output shards
@@ -32,7 +40,7 @@ object TrainShuffle {
   def shuffleShards(df: DataFrame, idCol: String, nShards: Int, seed: Long = 12345L): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val prio = df
-      .withColumn("__prio", (col(idCol) * lit(1103515245L) + lit(seed)) % lit(2147483648L))
+      .withColumn("__prio", lcgPrio(col(idCol), seed))
       .withColumn("shard", (col("__prio") % nShards).cast("long"))
       .withColumn("__one", lit(1L))
     PrefixSum.groupedRunningSum(prio, Seq("shard"), "__prio", "__one", "pos")
