@@ -958,6 +958,23 @@ object SparkEntry {
       SimilarityOps.cellCoreset(emb, "vec_id", "embedding", cent, "vec_id", k = 3)
         .orderBy("cid", "rank")
     }),
+    // ── extension: TWO-LEVEL semantic dedup — the 100 TB configuration of
+    //    q73: 16 trained coarse cells (FIXED init, one Lloyd round) prune
+    //    fine assignment to 8 LCG-sampled member centroids per coarse cell
+    //    (≤128 fine cells at ANY corpus size). Assignment is n·(16+8) and
+    //    every broadcast table is configuration-bounded; same planted
+    //    ×1.25 positives as q73 (margins re-verified: coarse ≥3.8e-5,
+    //    quantized fine ≥2e-5, threshold 0.1)
+    "q91_semantic_dedup_2level" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.25f)).as("embedding"))
+      val init = emb.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      SimilarityOps.semanticDedupTwoLevel(emb.unionByName(planted), "vec_id", "embedding",
+        init, "cid", finePerCell = 8, threshold = 0.9, coarseRounds = 1, fineSeed = 4242L)
+        .orderBy("vec_id")
+    }),
     // ── extension: per-source KL divergence from the corpus unigram
     //    distribution — mixture diagnostics ("which sources are
     //    distributionally distinct"). Integer 10⁻⁵-nat output; rounding
@@ -1034,13 +1051,16 @@ object SparkEntry {
     }),
     // ── extension: corpus tokenization — apply the q75 coverage vocab as
     //    dense frequency-rank ids; OOV words hash to negative buckets.
-    //    posexplode + broadcast id join: map-only over the corpus
+    //    posexplode + broadcast id join: map-only over the corpus. The
+    //    exploded occurrence pass is persisted and shared between the
+    //    vocab build and the tokenization — ONE corpus tokenize scan, not
+    //    two (the q87/q88 occ-persist discipline)
     "q84_tokenize" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val toks = docs.where(length(trim(col("text"))) > 0)
-        .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
-      val vocab = VocabOps.coverageVocab(toks, "word", coverageBp = 9500)
-      VocabOps.tokenize(docs, "doc_id", "text", vocab, oovBuckets = 1000)
+      val occ = VocabOps.explodeTokens(docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vocab = VocabOps.coverageVocab(occ, "word", coverageBp = 9500)
+      VocabOps.tokenizeOccurrences(occ, "doc_id", vocab, oovBuckets = 1000)
         .orderBy("doc_id", "pos")
     }),
     // ── extension: sequence packing WITH document splitting — every doc
@@ -1873,6 +1893,73 @@ object SparkEntry {
                  >= 0.9)
          SELECT vec_id, cid, vec_id NOT IN (SELECT vid FROM losers) AS kept
          FROM asn2 ORDER BY vec_id""",
+    "q91_semantic_dedup_2level" ->
+      """WITH e AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x * 1.25 AS REAL))
+           FROM embeddings),
+         cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id < 16),
+         asn1 AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM e, cent0 c) WHERE rn = 1),
+         ex AS (SELECT cid, unnest(embedding) AS x,
+                  unnest(range(1, len(embedding) + 1)) AS pos FROM asn1),
+         cent1 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cv FROM (
+             SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS mx FROM ex GROUP BY cid, pos)
+           GROUP BY cid),
+         casn AS (
+           SELECT vec_id, embedding, cid AS ccid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM e, cent1 c) WHERE rn = 1),
+         fine AS (
+           SELECT ccid, vec_id AS fid, embedding AS fv FROM (
+             SELECT ccid, vec_id, embedding,
+               row_number() OVER (PARTITION BY ccid
+                 ORDER BY (vec_id * 1103515245 + 4242) % 2147483648) AS rn
+             FROM casn) WHERE rn <= 8),
+         fasn AS (
+           SELECT vec_id, ccid, fid, embedding FROM (
+             SELECT c.vec_id, c.ccid, f.fid, c.embedding,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                 round(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                   i -> CAST(c.embedding[i] AS DOUBLE) * CAST(f.fv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(f.fv) + 1),
+                      i -> CAST(f.fv[i] AS DOUBLE) * CAST(f.fv[i] AS DOUBLE))))), 6)
+                 DESC, f.fid) AS rn
+             FROM casn c JOIN fine f ON c.ccid = f.ccid) WHERE rn = 1),
+         losers AS (
+           SELECT DISTINCT b.vec_id AS vid
+           FROM fasn a JOIN fasn b ON a.ccid = b.ccid AND a.fid = b.fid AND a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+                 >= 0.9)
+         SELECT vec_id, ccid, fid, vec_id NOT IN (SELECT vid FROM losers) AS kept
+         FROM fasn ORDER BY vec_id""",
     "q74_mixture_sample" ->
       """WITH d AS (
            SELECT doc_id, source,

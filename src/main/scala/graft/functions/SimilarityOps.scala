@@ -356,6 +356,74 @@ object SimilarityOps {
       .select(col(idCol), col("cid"), col("rank"))
   }
 
+  /** Two-level [[semanticDedup]] — the 100 TB configuration of the
+    * semantic-cell family, fixing the two scale walls of the flat version:
+    *
+    *  1. **Assignment work.** Flat SemDeDup with corpus-proportional k pays
+    *     n·k dot products (n²/cellSize). Here a vector scores the `k1`
+    *     trained coarse centroids (one Lloyd round from a FIXED-size init —
+    *     [[kmeansCentroids]]'s quantizer fed back in as the pruning
+    *     structure), then ONLY the `finePerCell` fine centroids of its own
+    *     coarse cell: O(n·(k1 + finePerCell)) — linear in the corpus with
+    *     both knobs constants.
+    *  2. **The broadcast wall.** The broadcast tables are k1 coarse rows
+    *     and ≤ k1·finePerCell fine rows — bounded by configuration, never
+    *     by corpus size, so the map-side assignment pattern survives any n.
+    *
+    * Fine centroids are real member vectors (the `finePerCell` smallest
+    * LCG-priorities per coarse cell — [[graft.operators.TrainShuffle.lcgPrio]],
+    * engine-portable and tie-free), selected by a per-ccid row_number that
+    * Spark's WindowGroupLimit pre-reduces map-side to `finePerCell` rows per
+    * map task — the window never sees corpus-sized partitions even though
+    * there are only k1 groups. Fine-assignment ranking quantizes the cosine
+    * to 6 decimals with a fid tie-break (the [[contrastiveTriplets]]
+    * rationale: a vector ties exactly with its scaled copy, and raw-double
+    * order there is FP-summation noise).
+    *
+    * The dedup pair scan runs within (ccid, fid) cells. With fixed cell
+    * COUNT, cell size grows with the corpus — the explicit trade for
+    * linear assignment; re-tier both knobs ~√k as the corpus grows and
+    * assignment stays n·2√k with the pair scan at n·cellSize, still with
+    * no corpus-sized broadcast anywhere.
+    *
+    * @return one row per in-corpus vector: (idCol, "ccid", "fid", "kept"),
+    *         kept=false iff a smaller-id vector in the same fine cell is
+    *         cosine-`threshold`-close
+    */
+  def semanticDedupTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+                            coarseInit: DataFrame, coarseIdCol: String,
+                            finePerCell: Int, threshold: Double = 0.9,
+                            coarseRounds: Int = 1, fineSeed: Long = 4242L): DataFrame = {
+    require(finePerCell > 0, s"finePerCell must be positive, got $finePerCell")
+    val v = normalizedCorpus(corpus, idCol, vecCol)
+    val cent = trainedCentroids(v, idCol, vecCol, coarseInit, coarseIdCol, coarseRounds)
+    // persisted: feeds fine-centroid selection, fine assignment, and (via
+    // fasn) both pair-scan sides — without it the coarse chain re-runs
+    val casn = assignCells(v, idCol, cent).withColumnRenamed("cid", "ccid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wSel = Window.partitionBy("ccid").orderBy(col("__prio").asc)
+    val fine = casn
+      .withColumn("__prio", graft.operators.TrainShuffle.lcgPrio(col(idCol), fineSeed))
+      .withColumn("__rn", row_number().over(wSel)).where(col("__rn") <= finePerCell)
+      .select(col("ccid"), col(idCol).as("fid"), col("__v").as("__fv"), col("__n").as("__fn"))
+    val wAsn = Window.partitionBy(idCol).orderBy(round(col("__fs"), 6).desc, col("fid").asc)
+    val fasn = casn.join(broadcast(fine), Seq("ccid"))
+      .withColumn("__fs", vdot(col("__v"), col("__fv")) / (col("__n") * col("__fn")))
+      .withColumn("__rn", row_number().over(wAsn)).where(col("__rn") === 1)
+      .select(col(idCol), col("ccid"), col("fid"), col("__v"), col("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = fasn.select(col("ccid"), col("fid"), col(idCol).as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = fasn.select(col("ccid"), col("fid"), col(idCol).as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    val losers = a.join(b, Seq("ccid", "fid")).where(col("id_a") < col("id_b"))
+      .where(vdot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    fasn.select(col(idCol), col("ccid"), col("fid"))
+      .join(losers.withColumn("__lost", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("ccid"), col("fid"), col("__lost").isNull.as("kept"))
+  }
+
   /** Incremental [[semanticDedup]]: absorb a batch of NEW vectors against
     * a persisted assignment store without rescanning the corpus — the
     * ingestion shape at 100 TB (the embedding analog of

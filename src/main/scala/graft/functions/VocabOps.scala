@@ -88,16 +88,31 @@ object VocabOps {
     * @return one row per token occurrence: (idCol, pos, token_id)
     */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
-               vocab: DataFrame, oovBuckets: Int = 1000): DataFrame = {
+               vocab: DataFrame, oovBuckets: Int = 1000): DataFrame =
+    tokenizeOccurrences(explodeTokens(docs, idCol, textCol), idCol, vocab, oovBuckets)
+
+  /** The corpus token-explosion pass feeding [[tokenizeOccurrences]] —
+    * exposed so a pipeline that ALSO builds the vocabulary from the same
+    * corpus can persist this frame and scan the corpus once instead of
+    * tokenizing it twice (the [[coverageVocab]] input is this frame too:
+    * one row per occurrence, grouped on "word").
+    *
+    * @return one row per token occurrence: (idCol, "pos", "word")
+    */
+  def explodeTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(lower(col(textCol)))).as(Seq("pos", "word")))
+
+  /** [[tokenize]] over a pre-exploded occurrence frame. */
+  def tokenizeOccurrences(occ: DataFrame, idCol: String,
+                          vocab: DataFrame, oovBuckets: Int = 1000): DataFrame = {
     require(oovBuckets > 0, s"oovBuckets must be positive, got $oovBuckets")
     val w = Window.orderBy(col("cnt").desc, col("word").asc)
     val ids = vocab.where(col("selected"))
       .withColumn("vid", (row_number().over(w) - 1).cast("long"))
       .select("word", "vid")
-    val toks = docs.where(length(trim(col(textCol))) > 0)
-      .select(col(idCol),
-        posexplode(TextFunctions.tokens(lower(col(textCol)))).as(Seq("pos", "word")))
-    toks.join(broadcast(ids), Seq("word"), "left")
+    occ.join(broadcast(ids), Seq("word"), "left")
       .select(col(idCol), col("pos").cast("long").as("pos"),
         coalesce(col("vid"),
           lit(-1L) - pmod(DedupOps.hash60(col("word")), lit(oovBuckets.toLong))).as("token_id"))

@@ -573,6 +573,30 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out(10L) && !out(11L))           // 10 survives its pair
     assert(out(3L) && out(12L))             // non-duplicates untouched
   }
+
+  test("semanticDedupTwoLevel splits coarse cells into fine cells and keeps min ids") {
+    // coarse cluster +x holds two subgroups {0,1} (dup pair) and {2,3}
+    // (dup pair, cos ≈ 0.9994); coarse cluster +y holds the dup pair
+    // {10,11}. With fineSeed=0 the LCG prios order cell x as 0 < 2 < 1 < 3,
+    // so finePerCell=2 picks members 0 and 2 as fine centroids — each
+    // subgroup lands in its own fine cell and min-id-wins applies per cell.
+    // 10 and 11 are parallel (quantized-cos tie on both fine centroids →
+    // fid tie-break) and share one fine cell.
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.25f, 0.0f, 0.0f)),
+      (2L, Array(0.8f, 0.6f, 0.0f)), (3L, Array(0.82f, 0.57f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.0f)), (11L, Array(0.0f, 2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val init = pts.where($"vec_id".isin(0L, 10L)).select($"vec_id".as("cid"), $"embedding")
+    val rows = SimilarityOps.semanticDedupTwoLevel(pts, "vec_id", "embedding",
+      init, "cid", finePerCell = 2, threshold = 0.99, coarseRounds = 0, fineSeed = 0L)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("ccid"), r.getAs[Long]("fid"), r.getAs[Boolean]("kept")))).toMap
+    assert(rows.size == 6)
+    assert(rows(0L) == ((0L, 0L, true)) && rows(1L) == ((0L, 0L, false)))
+    assert(rows(2L) == ((0L, 2L, true)) && rows(3L) == ((0L, 2L, false)))
+    assert(rows(10L) == ((10L, 10L, true)) && rows(11L) == ((10L, 10L, false)))
+  }
 }
 
 class MultimodalOpsSpec extends SparkSpec {
