@@ -975,6 +975,37 @@ object SparkEntry {
         init, "cid", finePerCell = 8, threshold = 0.9, coarseRounds = 1, fineSeed = 4242L)
         .orderBy("vec_id")
     }),
+    // ── extension: REAL media decode via the JDK's own codecs — genuine
+    //    PNG payloads (ImageIO-encoded) and PCM WAV payloads whose
+    //    geometry/timing is a pure function of doc_id, decoded back by
+    //    MultimodalOps.JdkCodec (ImageIO header read / AudioSystem). The
+    //    oracle predicts what a real decode must return without being able
+    //    to decode the bytes — round-trip proof the codec is real
+    "q92_jdk_media_decode" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val genSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType), StructField("media_type", StringType)))
+      val withMedia = T(s, dir, "documents").select(col("doc_id"))
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            if (id % 2 == 0)
+              org.apache.spark.sql.Row(id,
+                graft.functions.MultimodalOps.MediaGen.pngBytes(
+                  (id % 63 + 1).toInt, (id % 47 + 1).toInt), "image")
+            else
+              org.apache.spark.sql.Row(id,
+                graft.functions.MultimodalOps.MediaGen.wavBytes(
+                  8000, ((id % 1000) * 8).toInt), "audio")
+          }
+        }(org.apache.spark.sql.Encoders.row(genSchema)).toDF()
+      graft.functions.MultimodalOps.decode(withMedia, "payload", "media_type",
+        graft.functions.MultimodalOps.JdkCodec)
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
     // ── extension: per-source KL divergence from the corpus unigram
     //    distribution — mixture diagnostics ("which sources are
     //    distributionally distinct"). Integer 10⁻⁵-nat output; rounding
@@ -1960,6 +1991,13 @@ object SparkEntry {
                  >= 0.9)
          SELECT vec_id, ccid, fid, vec_id NOT IN (SELECT vid FROM losers) AS kept
          FROM fasn ORDER BY vec_id""",
+    "q92_jdk_media_decode" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 63 + 1 ELSE 0 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 47 + 1 ELSE 0 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE doc_id % 1000 END AS BIGINT) AS duration_ms
+         FROM documents ORDER BY doc_id""",
     "q74_mixture_sample" ->
       """WITH d AS (
            SELECT doc_id, source,

@@ -9,11 +9,16 @@ import org.apache.spark.sql.types._
   * struct, processed distributed via mapPartitions in fixed-size record
   * batches.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): [[StubCodec]] produces deterministic fake decodes from
-  * the byte content, so schema, partitioning, batching, and the operator
-  * surface are real and tested while the codec is swappable — replace
-  * [[MediaCodec]] with a JNI/library-backed implementation in production.
+  * Codec tiers (all pluggable via [[MediaCodec]]):
+  *   - [[JdkCodec]] — REAL decode for everything the JDK ships codecs for:
+  *     PNG/JPEG/GIF/BMP geometry via ImageIO, WAV/AIFF/AU timing via
+  *     AudioSystem (oracle-gated round-trip: q92);
+  *   - [[HeaderCodec]] — real container-header parsing (BMP/WAV) without
+  *     any codec stack;
+  *   - [[StubCodec]] — deterministic fake decodes from byte content, for
+  *     formats with no JDK codec (MP3, MP4, WebP...) and for the
+  *     feature/frame paths, which need pixel/sample decoding a production
+  *     deployment would back with a JNI library.
   */
 object MultimodalOps {
 
@@ -114,6 +119,99 @@ object MultimodalOps {
     // real ones need pixel/sample decoding
     def features(bytes: Array[Byte], dim: Int): Array[Float] = StubCodec.features(bytes, dim)
     def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = StubCodec.sampleFrames(bytes, n)
+  }
+
+  /** REAL decoder backed by the JDK's own media stacks — no external
+    * library: `javax.imageio.ImageIO` parses PNG/JPEG/GIF/BMP geometry
+    * (reader metadata only — pixels are never decoded, so this is a header
+    * read even for multi-MB images) and `javax.sound.sampled.AudioSystem`
+    * parses WAV/AIFF/AU timing. Anything neither stack recognizes falls
+    * back to [[HeaderCodec]] (which itself falls back to the deterministic
+    * stub), so the codec is total. This retires the "entropy-coded decode
+    * is stubbed" caveat for every format the JDK ships a codec for;
+    * feature extraction / frame sampling still need pixel decoding and
+    * remain stubbed. */
+  object JdkCodec extends MediaCodec {
+    def decode(bytes: Array[Byte], mediaType: String): Row = {
+      imageMeta(bytes, mediaType)
+        .orElse(audioMeta(bytes, mediaType))
+        .getOrElse(HeaderCodec.decode(bytes, mediaType))
+    }
+
+    private def imageMeta(bytes: Array[Byte], mediaType: String): Option[Row] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some(Row(mediaType, r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0),
+              0L, bytes.length.toLong))
+          } finally r.dispose()
+        }
+      } catch { case _: Exception => None } finally iis.close()
+    }
+
+    private def audioMeta(bytes: Array[Byte], mediaType: String): Option[Row] = {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          val durationMs =
+            if (frames >= 0 && fmt.getFrameRate > 0) (frames * 1000L) / fmt.getFrameRate.toLong
+            else 0L
+          val name = javax.sound.sampled.AudioSystem
+            .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+            .getType.getExtension.toLowerCase
+          Some(Row(mediaType, name, 0, 0, durationMs, bytes.length.toLong))
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }
+
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = StubCodec.features(bytes, dim)
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = StubCodec.sampleFrames(bytes, n)
+  }
+
+  /** Deterministic real-media generators for tests and oracle-gated
+    * instances: genuine PNG (via ImageIO) and PCM WAV payloads whose
+    * decoded geometry/timing is a pure function of the inputs — so an
+    * independent SQL engine can predict what a REAL decode must return
+    * without being able to decode the bytes itself. */
+  object MediaGen {
+    def pngBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) { // deterministic pixel pattern (payload content is irrelevant)
+        var x = 0
+        while (x < w) { img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** 8-bit mono PCM at `sampleRate` Hz with `nSamples` samples —
+      * duration_ms = nSamples * 1000 / sampleRate exactly. */
+    def wavBytes(sampleRate: Int, nSamples: Int): Array[Byte] = {
+      val b = new Array[Byte](44 + nSamples)
+      def put(o: Int, s: String): Unit = s.indices.foreach(i => b(o + i) = s.charAt(i).toByte)
+      def le32(o: Int, v: Int): Unit = (0 until 4).foreach(i => b(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+      def le16(o: Int, v: Int): Unit = (0 until 2).foreach(i => b(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+      put(0, "RIFF"); le32(4, 36 + nSamples); put(8, "WAVE")
+      put(12, "fmt "); le32(16, 16); le16(20, 1 /* PCM */); le16(22, 1 /* mono */)
+      le32(24, sampleRate); le32(28, sampleRate /* byteRate */); le16(32, 1); le16(34, 8)
+      put(36, "data"); le32(40, nSamples)
+      var i = 0
+      while (i < nSamples) { b(44 + i) = ((i * 7) & 0x7f).toByte; i += 1 }
+      b
+    }
   }
 
   /** Decode media payloads: adds a `meta` struct column. Runs distributed

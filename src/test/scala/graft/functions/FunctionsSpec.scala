@@ -649,6 +649,32 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(meta(5L).getAs[String]("format") != "bmp") // stub fallback path
   }
 
+  test("JdkCodec really decodes PNG/JPEG geometry and WAV timing via JDK codecs") {
+    val jpeg = { // lossy pixels, exact geometry
+      val img = new java.awt.image.BufferedImage(33, 21,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, "image", MultimodalOps.MediaGen.pngBytes(63, 47)),
+      (2L, "image", jpeg),
+      (3L, "audio", MultimodalOps.MediaGen.wavBytes(8000, 4000)), // exactly 500 ms
+      (4L, "image", Array[Byte](1, 2, 3))                         // undecodable → fallback
+    ).toDF("id", "media_type", "payload")
+    val meta = MultimodalOps.decode(rows, "payload", "media_type",
+      codec = MultimodalOps.JdkCodec)
+      .select($"id", $"meta.*").collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(meta(1L).getAs[String]("format") == "png")
+    assert(meta(1L).getAs[Int]("width") == 63 && meta(1L).getAs[Int]("height") == 47)
+    assert(meta(2L).getAs[String]("format") == "jpeg")
+    assert(meta(2L).getAs[Int]("width") == 33 && meta(2L).getAs[Int]("height") == 21)
+    assert(meta(3L).getAs[String]("format") == "wav")
+    assert(meta(3L).getAs[Long]("duration_ms") == 500L)
+    assert(meta(4L).getAs[Long]("n_bytes") == 3L) // fell through to the stub chain
+  }
+
   test("decode adds deterministic meta struct") {
     val out = MultimodalOps.decode(media, "payload", "media_type")
     assert(out.schema("meta").dataType == MultimodalOps.mediaMetaSchema)
