@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DedupOps, SimilarityOps, TextFunctions, VocabOps}
+import graft.functions.{ClassifierOps, DedupOps, SimilarityOps, TextFunctions, VocabOps}
 import graft.operators.{ActionRegistry, GraftAction, QueryService, Transforms}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1006,6 +1006,45 @@ object SparkEntry {
           col("meta.duration_ms").as("duration_ms"))
         .orderBy("doc_id")
     }),
+    // ── extension: seed-trained quality classifier (multinomial Naive
+    //    Bayes, CCNet/GPT-3-style "classifier vs a trusted corpus"): the
+    //    seed is every third doc labeled lang='en', the model (vocab×2
+    //    count ratios + prior) is re-derivable in closed form by the SQL
+    //    oracle, and EVERY doc is scored — including words the seed never
+    //    saw (smoothed-zero fallback). Integer milli-nat output
+    "q93_nb_quality_classifier" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+      val occ = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seed = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("lang") === "en").as("is_en"))
+      ClassifierOps.naiveBayesLogOdds(occ, "doc_id", "word", seed, "is_en", alpha = 0.5)
+        .select(col("doc_id"),
+          round(col("log_odds") * 1000).cast("long").as("log_odds_milli"),
+          (col("log_odds") > 0).as("predicted_en"))
+        .orderBy("doc_id")
+    }),
+    // ── extension: DSIR importance resampling (Xie et al. 2302.03169) —
+    //    hashed-unigram features (512 md5 buckets the oracle replays),
+    //    target distribution = the English docs, importance log-weight
+    //    per doc, then deterministic Gumbel top-k selection (the plan's
+    //    only global ordering is TakeOrderedAndProject, k-bounded)
+    "q94_dsir_select" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+      val occ = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+      val target = docs.where(col("lang") === "en").select("doc_id")
+      val w = ClassifierOps.dsirLogWeights(occ, "doc_id", "word", target,
+        buckets = 512, alpha = 0.5)
+      w.select(col("doc_id"),
+          round(col("log_weight") * 1000).cast("long").as("log_weight_milli"),
+          ClassifierOps.gumbelKey(col("doc_id"), col("log_weight")).as("__key"))
+        .orderBy(col("__key").desc, col("doc_id"))
+        .limit(100)
+        .select("doc_id", "log_weight_milli")
+        .orderBy("doc_id")
+    }),
     // ── extension: per-source KL divergence from the corpus unigram
     //    distribution — mixture diagnostics ("which sources are
     //    distributionally distinct"). Integer 10⁻⁵-nat output; rounding
@@ -1998,6 +2037,62 @@ object SparkEntry {
            CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 47 + 1 ELSE 0 END AS INT) AS height,
            CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE doc_id % 1000 END AS BIGINT) AS duration_ms
          FROM documents ORDER BY doc_id""",
+    "q93_nb_quality_classifier" ->
+      """WITH td AS (
+           SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         occ AS (SELECT doc_id, unnest(t) AS word FROM td),
+         seed AS (SELECT doc_id, (lang = 'en') AS y FROM td WHERE doc_id % 3 = 0),
+         cnts AS (
+           SELECT o.word,
+             sum(CASE WHEN s.y THEN 1 ELSE 0 END) AS cp,
+             sum(CASE WHEN s.y THEN 0 ELSE 1 END) AS cn
+           FROM occ o JOIN seed s USING (doc_id) GROUP BY o.word),
+         tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM cnts),
+         pri AS (
+           SELECT ln(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) /
+                     sum(CASE WHEN y THEN 0 ELSE 1 END)) AS prior FROM seed),
+         sc AS (
+           SELECT occ.doc_id,
+             sum(CASE WHEN cnts.word IS NOT NULL
+                 THEN ln((cp + 0.5) / (tp + 0.5 * v)) - ln((cn + 0.5) / (tn + 0.5 * v))
+                 ELSE ln(tn + 0.5 * v) - ln(tp + 0.5 * v) END) AS s
+           FROM occ LEFT JOIN cnts USING (word), tot GROUP BY occ.doc_id)
+         SELECT sc.doc_id,
+           CAST(round((s + prior) * 1000) AS BIGINT) AS log_odds_milli,
+           (s + prior) > 0 AS predicted_en
+         FROM sc, pri ORDER BY doc_id""",
+    "q94_dsir_select" ->
+      """WITH td AS (
+           SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         occ AS (
+           SELECT doc_id,
+             CAST('0x' || substr(md5(unnest(t)), 1, 15) AS BIGINT) % 512 AS b
+           FROM td),
+         raw AS (SELECT b, count(*) AS cr FROM occ GROUP BY b),
+         tgt AS (
+           SELECT o.b, count(*) AS ct FROM occ o
+           JOIN td ON o.doc_id = td.doc_id AND td.lang = 'en' GROUP BY o.b),
+         cells AS (
+           SELECT raw.b, cr, COALESCE(ct, 0) AS ct FROM raw LEFT JOIN tgt USING (b)),
+         tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cells),
+         model AS (
+           SELECT b, ln((ct + 0.5) / (tt + 0.5 * 512)) - ln((cr + 0.5) / (tr + 0.5 * 512)) AS lw
+           FROM cells, tot),
+         w AS (
+           SELECT occ.doc_id, sum(lw) AS logw
+           FROM occ JOIN model USING (b) GROUP BY occ.doc_id),
+         keyed AS (
+           SELECT doc_id, logw,
+             logw + (-ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000 + 0.5) / 1000000.0))) AS k
+           FROM w),
+         top AS (SELECT doc_id, logw FROM keyed ORDER BY k DESC, doc_id LIMIT 100)
+         SELECT doc_id, CAST(round(logw * 1000) AS BIGINT) AS log_weight_milli
+         FROM top ORDER BY doc_id""",
     "q74_mixture_sample" ->
       """WITH d AS (
            SELECT doc_id, source,

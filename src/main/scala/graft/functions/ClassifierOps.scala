@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Seed-classifier data selection — the two published families used to
+  * filter LLM pretraining corpora against a trusted seed set, in their
+  * SQL-auditable bag-of-words forms:
+  *
+  *   - [[naiveBayesLogOdds]]: a multinomial Naive Bayes quality
+  *     classifier trained on a labeled seed subset and applied to the
+  *     whole corpus (the "classifier trained on a high-quality reference
+  *     corpus" filter of CCNet / the GPT-3 data work, with NB standing in
+  *     for their linear models so every weight is a closed-form count
+  *     ratio an external SQL engine can re-derive).
+  *   - [[dsirLogWeights]]: Data Selection via Importance Resampling
+  *     (Xie et al., arXiv:2302.03169): hashed bag-of-ngram features, per
+  *     document importance log-weight = Σ counts·(ln p̂_target − ln p̂_raw),
+  *     resampled via deterministic Gumbel top-k.
+  *
+  * Scale shape (both): one exploded token pass over the corpus (shareable
+  * with vocab/tokenize/surprise passes — callers persist it), aggregates
+  * whose state is model-sized (vocab × 2 counts for NB, `buckets` cells
+  * for DSIR — never corpus-sized), the model broadcast back for a
+  * map-side join, and one per-doc sum. Nothing all-pairs, no driver
+  * loops; the only global ordering is DSIR's Gumbel top-k, which Spark
+  * executes as TakeOrderedAndProject (per-partition heap of k, driver
+  * merge of partition heads — k-bounded, not corpus-bounded).
+  */
+object ClassifierOps {
+
+  /** Train multinomial NB with Laplace smoothing `alpha` on the seed rows
+    * and score EVERY document in `occ` with the class log-odds
+    * (including the seed's class prior). Words unseen in the seed fall
+    * back to the smoothed-zero likelihood ratio ln(tn+αV) − ln(tp+αV).
+    *
+    * @param occ   one row per token occurrence: (idCol, wordCol) — the
+    *              [[VocabOps.explodeTokens]] frame; persist it if shared
+    * @param seed  labeled training docs: (idCol, labelCol: boolean);
+    *              must contain both classes
+    * @return (idCol, "log_odds": double) for every doc present in `occ`
+    */
+  def naiveBayesLogOdds(occ: DataFrame, idCol: String, wordCol: String,
+                        seed: DataFrame, labelCol: String,
+                        alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val y = col("__y")
+    val seedLab = seed.select(col(idCol), col(labelCol).cast("boolean").as("__y"))
+
+    // vocab × 2 class counts from the seed slice of the occurrence frame
+    val counts = occ.join(seedLab, Seq(idCol))
+      .groupBy(wordCol)
+      .agg(sum(when(y, 1L).otherwise(0L)).as("cp"),
+        sum(when(!y, 1L).otherwise(0L)).as("cn"))
+    // single-row totals: class token masses + vocab size (words seen in
+    // the seed — the Laplace support, matching the standard formulation)
+    val tot = counts.agg(sum("cp").as("tp"), sum("cn").as("tn"),
+      count(lit(1)).cast("long").as("v"))
+    // single-row class prior from seed DOC counts
+    val prior = seedLab.agg(
+      log(sum(when(y, 1.0).otherwise(0.0)) / sum(when(y, 0.0).otherwise(1.0)))
+        .as("__prior"))
+
+    val llr: Column =
+      log((col("cp") + alpha) / (col("tp") + col("v") * alpha)) -
+        log((col("cn") + alpha) / (col("tn") + col("v") * alpha))
+    val unseenLlr: Column =
+      log(col("tn") + col("v") * alpha) - log(col("tp") + col("v") * alpha)
+
+    val model = counts.crossJoin(broadcast(tot))
+      .select(col(wordCol), llr.as("__llr"))
+    occ
+      .join(broadcast(model), Seq(wordCol), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), coalesce(col("__llr"), unseenLlr).as("__term"))
+      .groupBy(idCol).agg(sum("__term").as("__sum"))
+      .crossJoin(broadcast(prior))
+      .select(col(idCol), (col("__sum") + col("__prior")).as("log_odds"))
+  }
+
+  /** DSIR importance log-weights: hashed-unigram bag features over
+    * `buckets` cells, target distribution fitted on the docs in `target`
+    * (semi-join on idCol), raw distribution on all of `occ`, both
+    * Laplace-smoothed by `alpha`. Returns every doc's importance
+    * log-weight Σ_tokens ln(p̂_target[b]/p̂_raw[b]).
+    */
+  def dsirLogWeights(occ: DataFrame, idCol: String, wordCol: String,
+                     target: DataFrame, buckets: Int = 512,
+                     alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    // hash60 is a 60-bit non-negative md5 prefix, so % == pmod and an
+    // external engine can replicate the bucketing from md5 alone
+    val b = occ.select(col(idCol),
+      (DedupOps.hash60(col(wordCol)) % buckets).as("__b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val raw = b.groupBy("__b").agg(count(lit(1)).as("cr"))
+    val tgt = b.join(target.select(col(idCol)).distinct(), Seq(idCol))
+      .groupBy("__b").agg(count(lit(1)).as("ct"))
+    // bucket-sized model: ln p̂_t[b] − ln p̂_r[b]; buckets the target never
+    // hit still get their smoothed mass via the full outer frame below
+    val cells = raw.join(tgt, Seq("__b"), "left")
+      .select(col("__b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val tot = cells.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    val model = cells.crossJoin(broadcast(tot))
+      .select(col("__b"),
+        (log((col("ct") + alpha) / (col("tt") + alpha * buckets)) -
+          log((col("cr") + alpha) / (col("tr") + alpha * buckets))).as("__lw"))
+    val out = b.join(broadcast(model), Seq("__b"))
+      .groupBy(idCol).agg(sum("__lw").as("log_weight"))
+    out
+  }
+
+  /** Gumbel top-k resampling key for [[dsirLogWeights]] output:
+    * `log_weight + Gumbel(0,1)` with the noise derived deterministically
+    * from the id (md5 → uniform in (0,1) → −ln(−ln u)), so selection is
+    * reproducible and externally checkable. Sampling WITHOUT replacement
+    * from the softmax of log-weights ≡ taking the k largest such keys. */
+  def gumbelKey(id: Column, logWeight: Column): Column = {
+    val u = (DedupOps.hash60(id.cast("string")) % 1000000L + lit(0.5)) / 1000000.0
+    logWeight + (-log(-log(u)))
+  }
+}

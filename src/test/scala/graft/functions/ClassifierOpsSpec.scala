@@ -1,0 +1,79 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClassifierOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def occOf(docs: Seq[(Long, String)]) =
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+
+  test("naiveBayesLogOdds matches hand-computed smoothed counts, prior included") {
+    // seed: doc 0 (pos) = "good good", doc 1 (neg) = "bad"; score doc 2 = "good bad"
+    val occ = occOf(Seq(0L -> "good good", 1L -> "bad", 2L -> "good bad"))
+    val seed = Seq((0L, true), (1L, false)).toDF("doc_id", "is_good")
+    val got = ClassifierOps.naiveBayesLogOdds(occ, "doc_id", "word", seed, "is_good", alpha = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_odds")).toMap
+    // counts: good (cp=2, cn=0), bad (cp=0, cn=1); tp=2, tn=1, v=2
+    val (tp, tn, v, a) = (2.0, 1.0, 2.0, 0.5)
+    def llr(cp: Double, cn: Double) =
+      math.log((cp + a) / (tp + a * v)) - math.log((cn + a) / (tn + a * v))
+    val prior = math.log(1.0 / 1.0)
+    assert(math.abs(got(0L) - (2 * llr(2, 0) + prior)) < 1e-12)
+    assert(math.abs(got(1L) - (llr(0, 1) + prior)) < 1e-12)
+    assert(math.abs(got(2L) - (llr(2, 0) + llr(0, 1) + prior)) < 1e-12)
+    assert(got(0L) > 0 && got(1L) < 0)
+  }
+
+  test("naiveBayesLogOdds scores words the seed never saw via the smoothed-zero fallback") {
+    val occ = occOf(Seq(0L -> "good", 1L -> "bad", 2L -> "novel"))
+    val seed = Seq((0L, true), (1L, false)).toDF("doc_id", "y")
+    val got = ClassifierOps.naiveBayesLogOdds(occ, "doc_id", "word", seed, "y", alpha = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_odds")).toMap
+    // tp=1, tn=1, v=2 → unseen llr = ln(tn+αv) − ln(tp+αv) = 0; prior = 0
+    assert(math.abs(got(2L)) < 1e-12)
+  }
+
+  test("dsirLogWeights reproduces the target/raw log-ratio sum; target docs rank high") {
+    // target dialect uses "alpha beta", raw background "gamma delta"
+    val docs = (0L to 9L).map(i =>
+      i -> (if (i < 5) "alpha beta alpha" else "gamma delta gamma")) ++ Seq(10L -> "alpha beta")
+    val occ = occOf(docs)
+    val target = (0L to 4L).toDF("doc_id")
+    val B = 64
+    val got = ClassifierOps.dsirLogWeights(occ, "doc_id", "word", target, buckets = B, alpha = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
+    assert(got.size == 11)
+    // local oracle over the same md5 bucketing
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    val occL = docs.flatMap { case (id, t) => t.split(" ").map(w => (id, h60(w) % B)) }
+    val raw = occL.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tgt = occL.filter(_._1 < 5).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (tr, tt, a) = (occL.size.toDouble, occL.count(_._1 < 5).toDouble, 0.5)
+    def lw(b: Long) =
+      math.log((tgt.getOrElse(b, 0L) + a) / (tt + a * B)) -
+        math.log((raw(b) + a) / (tr + a * B))
+    docs.foreach { case (id, t) =>
+      val exp = t.split(" ").map(w => lw(h60(w) % B)).sum
+      assert(math.abs(got(id) - exp) < 1e-9, s"doc $id")
+    }
+    // the held-out target-dialect doc outranks every background doc
+    assert((5L to 9L).forall(b => got(10L) > got(b)))
+  }
+
+  test("gumbelKey is deterministic and strictly increasing in log-weight") {
+    val df = Seq((1L, 0.0), (1L, 1.0), (2L, 0.0)).toDF("id", "lw")
+      .select(col("id"), col("lw"),
+        ClassifierOps.gumbelKey(col("id"), col("lw")).as("k"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val byRow = df.map { case (id, lw, k) => (id, lw) -> k }.toMap
+    assert(byRow((1L, 1.0)) - byRow((1L, 0.0)) == 1.0) // same noise, weight shifts key
+    assert(byRow((1L, 0.0)) != byRow((2L, 0.0)))       // different ids, different noise
+  }
+}
