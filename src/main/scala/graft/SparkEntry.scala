@@ -1045,6 +1045,17 @@ object SparkEntry {
         .select("doc_id", "log_weight_milli")
         .orderBy("doc_id")
     }),
+    // ── extension: exact duplicated-substring spans (token-level Lee et
+    //    al. 2107.06499): maximal merged runs of ≥8-token windows whose
+    //    content occurs ≥2 times corpus-wide — the spans a span-removal
+    //    dedup would cut. Sliding windows (stride 1), unlike q60's
+    //    boundary-aligned chunks; the merge window is per-doc, never
+    //    corpus-wide
+    "q95_duplicate_spans" -> ((s, dir) => {
+      DedupOps.duplicateSpans(T(s, dir, "documents"), "text", "doc_id",
+        windowTokens = 8, minOccurrences = 2)
+        .orderBy("doc_id", "span_start")
+    }),
     // ── extension: per-source KL divergence from the corpus unigram
     //    distribution — mixture diagnostics ("which sources are
     //    distributionally distinct"). Integer 10⁻⁵-nat output; rounding
@@ -2093,6 +2104,34 @@ object SparkEntry {
          top AS (SELECT doc_id, logw FROM keyed ORDER BY k DESC, doc_id LIMIT 100)
          SELECT doc_id, CAST(round(logw * 1000) AS BIGINT) AS log_weight_milli
          FROM top ORDER BY doc_id""",
+    "q95_duplicate_spans" ->
+      """WITH td AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         wins AS (
+           SELECT doc_id, unnest(generate_series(1, len(t) - 8 + 1)) AS i, t
+           FROM td WHERE len(t) >= 8),
+         w2 AS (
+           SELECT doc_id, i - 1 AS pos,
+             CAST('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15) AS BIGINT) AS h
+           FROM wins),
+         dup AS (SELECT h FROM w2 GROUP BY h HAVING count(*) >= 2),
+         f AS (SELECT doc_id, pos FROM w2 JOIN dup USING (h)),
+         isl AS (
+           SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+           FROM f),
+         g AS (
+           SELECT doc_id, pos,
+             CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+           FROM isl)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+         FROM g GROUP BY doc_id, island ORDER BY doc_id, span_start""",
     "q74_mixture_sample" ->
       """WITH d AS (
            SELECT doc_id, source,

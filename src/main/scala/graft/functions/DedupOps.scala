@@ -350,6 +350,58 @@ object DedupOps {
           s => s("chunk_text")), " "), lit("utf-8"))).as("kept_fp"))
   }
 
+  /** Exact duplicated-substring SPANS (the token-level rendition of the
+    * suffix-array exact-substring dedup of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499):
+    * every run of ≥ `windowTokens` consecutive tokens that appears at
+    * least `minOccurrences` times anywhere in the corpus (other docs OR
+    * the same doc) is reported as a maximal merged span per document —
+    * the spans a span-removal pass would cut, where [[passageDedup]]
+    * (non-overlapping fixed chunks, keep-first) would miss any duplicate
+    * not aligned to a chunk boundary.
+    *
+    * Shape: one sliding-window hash pass (`transform` over the token
+    * array — narrow, O(tokens·W) hashing, rows = token count), one
+    * (h)-keyed count aggregate with 8-byte keys, one join back, and a
+    * PER-DOC window (partitionBy doc — bounded by document length, never
+    * corpus-wide) for the gaps-and-islands merge. Flagged windows merge
+    * when they overlap or abut (gap ≤ W). Nothing is corpus-sized on the
+    * driver and no window runs unpartitioned.
+    *
+    * @return (idCol, span_start, span_end, n_windows) per maximal span,
+    *         token positions 0-based inclusive
+    */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     windowTokens: Int = 8, minOccurrences: Long = 2): DataFrame = {
+    val W = windowTokens
+    require(W > 0, s"windowTokens must be positive, got $W")
+    require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val wins = df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks.as("t"))
+      .where(size(col("t")) >= W)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("t")) - W),
+        i => hash60(array_join(slice(col("t"), i + 1, lit(W)), " ")))).as(Seq("pos", "h")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minOccurrences).select("h")
+    val flagged = wins.join(dup, Seq("h")).select(col(idCol), col("pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
+    val run = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    flagged
+      .withColumn("brk", when(lag("pos", 1).over(byDoc).isNull ||
+        col("pos") - lag("pos", 1).over(byDoc) > W, 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(run))
+      .groupBy(col(idCol), col("island"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + (W - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED
     * set-similarity join (SSJoin/PPJoin family — Chaudhuri/Ganti/Kaushik
     * ICDE 2006, Xiao et al. WWW 2008):

@@ -82,6 +82,64 @@ class DedupPropertySpec extends SparkSpec {
     })
   }
 
+  test("duplicateSpans: shared run marked in both docs, merged to one maximal span") {
+    // docs 0 and 1 share a 12-token run at different offsets; doc 2 is unique
+    val run = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      0L -> s"a b c $run",
+      1L -> s"$run x y z",
+      2L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")
+    val got = DedupOps.duplicateSpans(docs.toDF("doc_id", "text"), "text", "doc_id",
+        windowTokens = 8, minOccurrences = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_windows"))).sorted
+    // 12-token run → 5 windows of 8, one merged span each
+    assert(got.toSeq == Seq((0L, 3L, 14L, 5L), (1L, 0L, 11L, 5L)))
+  }
+
+  test("duplicateSpans: within-doc repeat is a duplicate; far-apart spans stay split") {
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val gap = (1 to 12).map(i => s"g$i").mkString(" ") // > W tokens between runs
+    val docs = Seq(0L -> s"$run $gap $run")
+    val got = DedupOps.duplicateSpans(docs.toDF("doc_id", "text"), "text", "doc_id",
+        windowTokens = 8, minOccurrences = 2)
+      .collect().map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"))).sorted
+    assert(got.toSeq == Seq((0L, 7L), (20L, 27L)))
+  }
+
+  test("duplicateSpans property: matches brute-force windows/islands oracle") {
+    val W = 3
+    val gen = for {
+      nDocs <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(nDocs, Gen.choose(0, 14).flatMap(Gen.listOfN(_, Gen.oneOf(words))))
+    } yield docs
+    check(Prop.forAll(gen) { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = DedupOps.duplicateSpans(df, "text", "doc_id", windowTokens = W, minOccurrences = 2)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+          r.getAs[Long]("span_end"), r.getAs[Long]("n_windows"))).toSet
+      // oracle: count windows globally, flag, merge islands with gap <= W
+      val wins = docs.zipWithIndex.flatMap { case (ws, id) =>
+        ws.sliding(W).zipWithIndex.collect {
+          case (w, p) if w.length == W => (id.toLong, p, w.mkString(" "))
+        }
+      }
+      val dupContent = wins.groupBy(_._3).collect { case (c, o) if o.size >= 2 => c }.toSet
+      val exp = wins.filter(w => dupContent(w._3)).groupBy(_._1).flatMap { case (id, fs) =>
+        val ps = fs.map(_._2).sorted
+        val islands = ps.foldLeft(List.empty[List[Int]]) {
+          case (Nil, p) => List(List(p))
+          case (cur :: done, p) if p - cur.head <= W => (p :: cur) :: done
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map(is => (id, is.min.toLong, is.max.toLong + W - 1, is.size.toLong))
+      }.toSet
+      if (got != exp) println(s"docs=$docs\n got=$got\n exp=$exp")
+      got == exp
+    })
+  }
+
   test("guard can only lower scores: guarded pair set is a subset with scores <= unguarded") {
     val gen = for {
       nDocs <- Gen.choose(3, 8)
