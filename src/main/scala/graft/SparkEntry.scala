@@ -1056,6 +1056,16 @@ object SparkEntry {
         windowTokens = 8, minOccurrences = 2)
         .orderBy("doc_id", "span_start")
     }),
+    // ── extension: exact substring-dedup REMOVAL (the q95 action): every
+    //    duplicated ≥8-token window keeps exactly ONE copy corpus-wide
+    //    (min occurrence key); all other coverage is cut. Emits per-doc
+    //    removal counts + the md5 of the surviving tokens so the oracle
+    //    certifies the cleaned text itself, not just the spans
+    "q96_span_removal" -> ((s, dir) => {
+      DedupOps.removeDuplicateSpans(T(s, dir, "documents"), "text", "doc_id",
+        windowTokens = 8, minOccurrences = 2)
+        .orderBy("doc_id")
+    }),
     // ── extension: per-source KL divergence from the corpus unigram
     //    distribution — mixture diagnostics ("which sources are
     //    distributionally distinct"). Integer 10⁻⁵-nat output; rounding
@@ -2132,6 +2142,33 @@ object SparkEntry {
            CAST(max(pos) + 7 AS BIGINT) AS span_end,
            CAST(count(*) AS BIGINT) AS n_windows
          FROM g GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+    "q96_span_removal" ->
+      """WITH td AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         wins AS (
+           SELECT doc_id, unnest(generate_series(1, len(t) - 8 + 1)) AS i, t
+           FROM td WHERE len(t) >= 8),
+         w2 AS (
+           SELECT doc_id, i - 1 AS pos, doc_id * 1000000 + i - 1 AS okey,
+             CAST('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15) AS BIGINT) AS h
+           FROM wins),
+         dup AS (SELECT h, min(okey) AS fk FROM w2 GROUP BY h HAVING count(*) >= 2),
+         red AS (SELECT doc_id, pos FROM w2 JOIN dup USING (h) WHERE okey <> fk),
+         remx AS (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tp FROM red),
+         rem AS (SELECT DISTINCT doc_id, tp FROM remx),
+         tok AS (
+           SELECT doc_id, unnest(t) AS word, unnest(generate_series(1, len(t))) - 1 AS tp
+           FROM td),
+         kept AS (
+           SELECT tok.doc_id, tok.word, tok.tp
+           FROM tok LEFT JOIN rem ON tok.doc_id = rem.doc_id AND tok.tp = rem.tp
+           WHERE rem.tp IS NULL)
+         SELECT td.doc_id, CAST(len(td.t) AS BIGINT) AS n_tokens,
+           CAST(len(td.t) - count(kept.word) AS BIGINT) AS n_removed,
+           md5(COALESCE(string_agg(kept.word, ' ' ORDER BY kept.tp), '')) AS kept_fp
+         FROM td LEFT JOIN kept ON td.doc_id = kept.doc_id
+         GROUP BY td.doc_id, len(td.t) ORDER BY td.doc_id""",
     "q74_mixture_sample" ->
       """WITH d AS (
            SELECT doc_id, source,

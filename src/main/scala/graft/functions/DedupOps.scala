@@ -402,6 +402,60 @@ object DedupOps {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** Exact substring-dedup REMOVAL with the keep-first guarantee — the
+    * action [[duplicateSpans]]'s detection feeds (Lee et al.
+    * arXiv:2107.06499 removes all but one occurrence of every duplicated
+    * span; "first" here is corpus order, i.e. the minimum
+    * `doc_id·10⁶+pos` occurrence key, the [[passageDedup]] convention and
+    * its <10⁶-tokens-per-doc assumption). Every token covered by a
+    * NON-canonical occurrence of a duplicated window is removed; the
+    * canonical occurrence survives, so each duplicated string keeps
+    * exactly one copy corpus-wide (a doc can end up empty when all its
+    * content is canonical elsewhere).
+    *
+    * Shape: the [[duplicateSpans]] window frame with a min-key aggregate
+    * instead of a count; removed positions explode W rows per redundant
+    * window (bounded by W × flagged windows), the kept-token anti-join is
+    * (doc, pos)-keyed, and the fingerprint re-aggregation is per-doc.
+    *
+    * @return one row per non-empty doc: (idCol, n_tokens, n_removed,
+    *         kept_fp = md5 of the space-joined surviving tokens)
+    */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                           windowTokens: Int = 8, minOccurrences: Long = 2): DataFrame = {
+    val W = windowTokens
+    require(W > 0, s"windowTokens must be positive, got $W")
+    require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
+    val td = df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wins = td.where(size(col("t")) >= W)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("t")) - W),
+        i => hash60(array_join(slice(col("t"), i + 1, lit(W)), " ")))).as(Seq("pos", "h")))
+      .withColumn("okey", col(idCol) * 1000000L + col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = wins.groupBy("h")
+      .agg(count(lit(1)).as("c"), min("okey").as("fk"))
+      .where(col("c") >= minOccurrences)
+    val removed = wins.join(dup, Seq("h"))
+      .where(col("okey") =!= col("fk"))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (W - 1))).as("tp"))
+      .distinct()
+    val tok = td.select(col(idCol), posexplode(col("t")).as(Seq("tp", "word")))
+    val kept = tok.join(removed, Seq(idCol, "tp"), "left_anti")
+    val perDoc = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        md5(to_binary(array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("word")))),
+          s => s("word")), " "), lit("utf-8"))).as("fp"))
+    td.select(col(idCol), size(col("t")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("fp"), md5(to_binary(lit(""), lit("utf-8")))).as("kept_fp"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED
     * set-similarity join (SSJoin/PPJoin family — Chaudhuri/Ganti/Kaushik
     * ICDE 2006, Xiao et al. WWW 2008):

@@ -140,6 +140,33 @@ class DedupPropertySpec extends SparkSpec {
     })
   }
 
+  test("removeDuplicateSpans: keep-first — the earlier doc survives intact, the later is cut") {
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val run = (1 to 10).map(i => s"d$i").mkString(" ")
+    val docs = Seq(0L -> s"$run tail1 tail2", 1L -> s"head1 head2 $run",
+      2L -> "u1 u2 u3 u4 u5 u6 u7 u8")
+    val got = DedupOps.removeDuplicateSpans(docs.toDF("doc_id", "text"), "text", "doc_id",
+        windowTokens = 8, minOccurrences = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("kept_fp"))).sortBy(_._1)
+    // doc 0 holds every canonical occurrence → untouched; doc 1 loses the
+    // 10-token run but keeps its unique head; doc 2 has no duplicates
+    assert(got(0) == (0L, 12L, 0L, md5Of(s"$run tail1 tail2")))
+    assert(got(1) == (1L, 12L, 10L, md5Of("head1 head2")))
+    assert(got(2) == (2L, 8L, 0L, md5Of("u1 u2 u3 u4 u5 u6 u7 u8")))
+  }
+
+  test("removeDuplicateSpans: a doc duplicated wholesale is removed entirely, one copy survives") {
+    val text = (1 to 9).map(i => s"w$i").mkString(" ")
+    val docs = Seq(5L -> text, 9L -> text)
+    val got = DedupOps.removeDuplicateSpans(docs.toDF("doc_id", "text"), "text", "doc_id",
+        windowTokens = 8, minOccurrences = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_removed"))).sortBy(_._1)
+    assert(got.toSeq == Seq((5L, 0L), (9L, 9L))) // min doc_id is canonical
+  }
+
   test("guard can only lower scores: guarded pair set is a subset with scores <= unguarded") {
     val gen = for {
       nDocs <- Gen.choose(3, 8)
