@@ -1066,6 +1066,40 @@ object SparkEntry {
         windowTokens = 8, minOccurrences = 2)
         .orderBy("doc_id")
     }),
+    // ── extension: interpolated bigram-LM surprise — the CCNet-style
+    //    "perplexity under a reference LM" quality filter with the LM
+    //    trained on the corpus itself: p(w2|w1) = 0.7·MLE(bigram) +
+    //    0.3·MLE(unigram) (Jelinek-Mercer). Model state is the distinct
+    //    bigram table (≤ token count, joined on (w1,w2) — AQE decides
+    //    broadcast vs shuffle) and two broadcast vocab-sized sides;
+    //    integer milli-nat output like q87
+    "q97_bigram_surprise" -> ((s, dir) => {
+      val td = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), TextFunctions.tokens(lower(col("text"))).as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bg = td.where(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val uni = td.select(explode(col("t")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cu"))
+      val total = td.select(explode(col("t")).as("w"))
+        .agg(count(lit(1)).cast("long").as("total"))
+      val b12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val b1 = b12.groupBy("w1").agg(sum("c12").cast("long").as("c1"))
+      bg.join(b12, Seq("w1", "w2")).join(broadcast(b1), Seq("w1"))
+        .join(broadcast(uni), col("w2") === col("word"))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(sum(-log(lit(0.7) * (col("c12").cast("double") / col("c1")) +
+          lit(0.3) * (col("cu").cast("double") / col("total")))).as("s"))
+        .select(col("doc_id"),
+          round(col("s") * 1000).cast("long").as("bigram_surprise_milli"))
+        .orderBy("doc_id")
+    }),
     // ── extension: per-source KL divergence from the corpus unigram
     //    distribution — mixture diagnostics ("which sources are
     //    distributionally distinct"). Integer 10⁻⁵-nat output; rounding
@@ -2169,6 +2203,27 @@ object SparkEntry {
            md5(COALESCE(string_agg(kept.word, ' ' ORDER BY kept.tp), '')) AS kept_fp
          FROM td LEFT JOIN kept ON td.doc_id = kept.doc_id
          GROUP BY td.doc_id, len(td.t) ORDER BY td.doc_id""",
+    "q97_bigram_surprise" ->
+      """WITH td AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         bg AS (
+           SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           FROM (SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
+                 FROM td WHERE len(t) >= 2)),
+         uni AS (
+           SELECT word, count(*) AS cu FROM (SELECT unnest(t) AS word FROM td) GROUP BY word),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM (SELECT unnest(t) FROM td)),
+         b12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         b1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM b12 GROUP BY w1),
+         sc AS (
+           SELECT bg.doc_id,
+             sum(-ln(0.7 * (CAST(c12 AS DOUBLE) / c1) + 0.3 * (CAST(cu AS DOUBLE) / total))) AS s
+           FROM bg
+           JOIN b12 USING (w1, w2) JOIN b1 USING (w1) JOIN uni ON bg.w2 = uni.word, tt
+           GROUP BY bg.doc_id)
+         SELECT doc_id, CAST(round(s * 1000) AS BIGINT) AS bigram_surprise_milli
+         FROM sc ORDER BY doc_id""",
     "q74_mixture_sample" ->
       """WITH d AS (
            SELECT doc_id, source,
