@@ -1066,6 +1066,38 @@ object SparkEntry {
         windowTokens = 8, minOccurrences = 2)
         .orderBy("doc_id")
     }),
+    // ── extension: END-TO-END training pipeline v2 — the round-7
+    //    operators composed: (1) drop docs with >25% of tokens inside
+    //    duplicated spans (q96 removal counts, integer guard), (2) NB
+    //    quality gate trained on the surviving seed slice (q93), (3) DSIR
+    //    Gumbel top-60 toward the en target among quality survivors
+    //    (q94), (4) deterministic LCG shuffle into 4 shards (q77). Each
+    //    stage's float boundary was margin-checked (≥1e-3 vs ~1e-9 FP
+    //    noise); every stage reuses the persisted occurrence frame
+    "q98_pipeline_v2" -> ((s, dir) => {
+      import org.apache.spark.storage.StorageLevel
+      val docs = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+      val spans = DedupOps.removeDuplicateSpans(docs, "text", "doc_id",
+        windowTokens = 8, minOccurrences = 2)
+      val surv1 = spans.where(col("n_removed") * 4 < col("n_tokens")).select("doc_id")
+      val d1 = docs.join(surv1, Seq("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
+      val occ = d1.select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val seed2 = d1.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("lang") === "en").as("y"))
+      val nb = ClassifierOps.naiveBayesLogOdds(occ, "doc_id", "word", seed2, "y", alpha = 0.5)
+      val surv2 = nb.where(col("log_odds") > 0).select("doc_id")
+      val occ2 = occ.join(surv2, Seq("doc_id"))
+      val target = d1.join(surv2, Seq("doc_id")).where(col("lang") === "en").select("doc_id")
+      val w = ClassifierOps.dsirLogWeights(occ2, "doc_id", "word", target,
+        buckets = 512, alpha = 0.5)
+      val top = w.select(col("doc_id"),
+          ClassifierOps.gumbelKey(col("doc_id"), col("log_weight")).as("__k"))
+        .orderBy(col("__k").desc, col("doc_id")).limit(60).select("doc_id")
+      graft.operators.TrainShuffle.shuffleShards(top, "doc_id", nShards = 4, seed = 777L)
+        .orderBy("doc_id")
+    }),
     // ── extension: interpolated bigram-LM surprise — the CCNet-style
     //    "perplexity under a reference LM" quality filter with the LM
     //    trained on the corpus itself: p(w2|w1) = 0.7·MLE(bigram) +
@@ -2224,6 +2256,73 @@ object SparkEntry {
            GROUP BY bg.doc_id)
          SELECT doc_id, CAST(round(s * 1000) AS BIGINT) AS bigram_surprise_milli
          FROM sc ORDER BY doc_id""",
+    "q98_pipeline_v2" ->
+      """WITH td AS (
+           SELECT doc_id, lang, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         wins AS (
+           SELECT doc_id, unnest(generate_series(1, len(t) - 8 + 1)) AS i, t
+           FROM td WHERE len(t) >= 8),
+         w2 AS (
+           SELECT doc_id, i - 1 AS pos, doc_id * 1000000 + i - 1 AS okey,
+             CAST('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15) AS BIGINT) AS h
+           FROM wins),
+         dup AS (SELECT h, min(okey) AS fk FROM w2 GROUP BY h HAVING count(*) >= 2),
+         red AS (SELECT doc_id, pos FROM w2 JOIN dup USING (h) WHERE okey <> fk),
+         remx AS (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tp FROM red),
+         rem AS (SELECT DISTINCT doc_id, tp FROM remx),
+         s1 AS (
+           SELECT td.doc_id, len(td.t) AS n_tokens, COALESCE(r.nrem, 0) AS n_removed
+           FROM td LEFT JOIN (SELECT doc_id, count(*) AS nrem FROM rem GROUP BY doc_id) r
+             ON td.doc_id = r.doc_id),
+         surv1 AS (SELECT doc_id FROM s1 WHERE n_removed * 4 < n_tokens),
+         occ AS (SELECT td.doc_id, unnest(t) AS word FROM td JOIN surv1 ON td.doc_id = surv1.doc_id),
+         seed AS (
+           SELECT td.doc_id, (lang = 'en') AS y FROM td JOIN surv1 ON td.doc_id = surv1.doc_id
+           WHERE td.doc_id % 3 = 0),
+         cnts AS (
+           SELECT o.word,
+             sum(CASE WHEN s.y THEN 1 ELSE 0 END) AS cp,
+             sum(CASE WHEN s.y THEN 0 ELSE 1 END) AS cn
+           FROM occ o JOIN seed s USING (doc_id) GROUP BY o.word),
+         tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM cnts),
+         pri AS (
+           SELECT ln(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) /
+                     sum(CASE WHEN y THEN 0 ELSE 1 END)) AS prior FROM seed),
+         sc AS (
+           SELECT occ.doc_id,
+             sum(CASE WHEN cnts.word IS NOT NULL
+                 THEN ln((cp + 0.5) / (tp + 0.5 * v)) - ln((cn + 0.5) / (tn + 0.5 * v))
+                 ELSE ln(tn + 0.5 * v) - ln(tp + 0.5 * v) END) AS s
+           FROM occ LEFT JOIN cnts USING (word), tot GROUP BY occ.doc_id),
+         surv2 AS (SELECT sc.doc_id FROM sc, pri WHERE s + prior > 0),
+         occ2 AS (
+           SELECT occ.doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % 512 AS b
+           FROM occ JOIN surv2 ON occ.doc_id = surv2.doc_id),
+         tgt_ids AS (
+           SELECT td.doc_id FROM td JOIN surv2 ON td.doc_id = surv2.doc_id WHERE lang = 'en'),
+         raw AS (SELECT b, count(*) AS cr FROM occ2 GROUP BY b),
+         tgt AS (
+           SELECT o.b, count(*) AS ct FROM occ2 o JOIN tgt_ids ON o.doc_id = tgt_ids.doc_id
+           GROUP BY o.b),
+         cells AS (SELECT raw.b, cr, COALESCE(ct, 0) AS ct FROM raw LEFT JOIN tgt USING (b)),
+         tot2 AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cells),
+         model AS (
+           SELECT b, ln((ct + 0.5) / (tt + 0.5 * 512)) - ln((cr + 0.5) / (tr + 0.5 * 512)) AS lw
+           FROM cells, tot2),
+         w AS (SELECT occ2.doc_id, sum(lw) AS logw FROM occ2 JOIN model USING (b)
+               GROUP BY occ2.doc_id),
+         keyed AS (
+           SELECT doc_id,
+             logw + (-ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000 + 0.5) / 1000000.0))) AS k
+           FROM w),
+         top AS (SELECT doc_id FROM keyed ORDER BY k DESC, doc_id LIMIT 60),
+         sh AS (
+           SELECT doc_id, (doc_id * 1103515245 + 777) % 2147483648 AS prio FROM top)
+         SELECT doc_id, CAST(prio % 4 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY prio % 4 ORDER BY prio) AS BIGINT) AS pos
+         FROM sh ORDER BY doc_id""",
     "q74_mixture_sample" ->
       """WITH d AS (
            SELECT doc_id, source,
