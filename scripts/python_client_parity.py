@@ -126,7 +126,47 @@ def main():
               any(e.get("name") == {"Str": "John"} and e.get("grade") == {"Integer": 85}
                   for e in rows), rows)
 
-        print("PASS: reference python client round-trips against GraftServer")
+        print("PASS: reference python client (sync) round-trips against GraftServer")
+
+        # 4. the ASYNC client class: demuxed request/response + event queues
+        #    (the examples/sample.py test_callback flow, bounded)
+        import asyncio
+        from reactive_db_client import ClientAsync
+
+        async def async_flow():
+            results = {}
+            got_event = asyncio.Event()
+
+            async def on_event(ev):
+                results["event"] = ev
+                got_event.set()
+                return True
+
+            async def callback(ac):
+                await ac.start_listen_non_blocking("grades", "Insert", on_event)
+                await asyncio.sleep(1)  # let StartListen register
+                r = await ac.send_request(
+                    create_search_query("FindOne", "unionTest", "matchingKey", "Bob"))
+                results["findone"] = r
+                await ac.send_request(
+                    create_insert_request({"grade": 95, "name": "Async"}, "grades"))
+                await asyncio.wait_for(got_event.wait(), timeout=60)
+
+            client = ClientAsync("127.0.0.1", PORT)
+            await asyncio.wait_for(client.connect(callback), timeout=120)
+            return results
+
+        results = asyncio.run(async_flow())
+        row = results["findone"]["RequestResponse"]["response"]["OneResult"]["Ok"]
+        check("async FindOne demuxes by request_id",
+              row.get("matchingKey") == {"Str": "Bob"}, results["findone"])
+        ev = results["event"]["Event"]
+        check("async event queue receives the push",
+              ev["table_name"] == "grades" and ev["event"] == "Insert"
+              and any(e.get("name") == {"Str": "Async"}
+                      for e in ev["value"]["ManyResults"]["Ok"]), results["event"])
+
+        print("PASS: reference python client (async) round-trips against GraftServer")
     finally:
         proc.kill()
 
