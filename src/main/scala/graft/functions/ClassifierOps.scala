@@ -79,6 +79,49 @@ object ClassifierOps {
       .select(col(idCol), (col("__sum") + col("__prior")).as("log_odds"))
   }
 
+  /** Train the NB model and hand it back AS DATA — the shape a
+    * stream-static scoring join needs: a (wordCol, "__llr") frame to
+    * broadcast, plus the unseen-word default and the class prior as
+    * scalars (two driver actions on MODEL-sized aggregates — training
+    * is a batch step; only scoring has to stay fully distributed).
+    * Same counts and smoothing as [[naiveBayesLogOdds]]. */
+  def naiveBayesModel(occ: DataFrame, idCol: String, wordCol: String,
+                      seed: DataFrame, labelCol: String,
+                      alpha: Double = 0.5): (DataFrame, Double, Double) = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val y = col("__y")
+    val seedLab = seed.select(col(idCol), col(labelCol).cast("boolean").as("__y"))
+    val counts = occ.join(seedLab, Seq(idCol))
+      .groupBy(wordCol)
+      .agg(sum(when(y, 1L).otherwise(0L)).as("cp"),
+        sum(when(!y, 1L).otherwise(0L)).as("cn"))
+    val Seq(tp, tn, v) = counts
+      .agg(sum("cp"), sum("cn"), count(lit(1))).head().toSeq.map(_.toString.toDouble)
+    val prior = {
+      val r = seedLab.agg(sum(when(y, 1.0).otherwise(0.0)),
+        sum(when(y, 0.0).otherwise(1.0))).head()
+      math.log(r.getDouble(0) / r.getDouble(1))
+    }
+    val model = counts.select(col(wordCol),
+      (log((col("cp") + alpha) / (tp + v * alpha)) -
+        log((col("cn") + alpha) / (tn + v * alpha))).as("__llr"))
+    val unseen = math.log(tn + v * alpha) - math.log(tp + v * alpha)
+    (model, unseen, prior)
+  }
+
+  /** Score an occurrence frame — batch OR STREAMING — against a trained
+    * [[naiveBayesModel]]: broadcast model join (stream-static joins
+    * admit exactly this shape), literal fallback for unseen words, one
+    * per-doc aggregation. On a stream the groupBy is a streaming
+    * aggregation (update/complete semantics — each doc's score finalizes
+    * once its tokens' micro-batch is processed). */
+  def scoreWithModel(occ: DataFrame, idCol: String, wordCol: String,
+                     model: DataFrame, unseenLlr: Double, prior: Double): DataFrame =
+    occ.join(broadcast(model), Seq(wordCol), "left")
+      .select(col(idCol), coalesce(col("__llr"), lit(unseenLlr)).as("__term"))
+      .groupBy(idCol)
+      .agg((sum("__term") + prior).as("log_odds"))
+
   /** DSIR importance log-weights: hashed-unigram bag features over
     * `buckets` cells, target distribution fitted on the docs in `target`
     * (semi-join on idCol), raw distribution on all of `occ`, both

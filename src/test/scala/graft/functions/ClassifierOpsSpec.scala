@@ -67,6 +67,19 @@ class ClassifierOpsSpec extends SparkSpec {
     assert((5L to 9L).forall(b => got(10L) > got(b)))
   }
 
+  test("naiveBayesModel + scoreWithModel reproduce naiveBayesLogOdds exactly") {
+    val occ = occOf(Seq(0L -> "good good fine", 1L -> "bad awful", 2L -> "good bad novel"))
+    val seed = Seq((0L, true), (1L, false)).toDF("doc_id", "y")
+    val direct = ClassifierOps.naiveBayesLogOdds(occ, "doc_id", "word", seed, "y", 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_odds")).toMap
+    val (model, unseen, prior) =
+      ClassifierOps.naiveBayesModel(occ, "doc_id", "word", seed, "y", 0.5)
+    val viaModel = ClassifierOps.scoreWithModel(occ, "doc_id", "word", model, unseen, prior)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_odds")).toMap
+    assert(direct.keySet == viaModel.keySet)
+    direct.foreach { case (k, v) => assert(math.abs(v - viaModel(k)) < 1e-9, s"doc $k") }
+  }
+
   test("gumbelKey is deterministic and strictly increasing in log-weight") {
     val df = Seq((1L, 0.0), (1L, 1.0), (2L, 0.0)).toDF("id", "lw")
       .select(col("id"), col("lw"),

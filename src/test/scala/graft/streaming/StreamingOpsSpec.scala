@@ -124,4 +124,35 @@ class StreamingOpsSpec extends SparkSpec {
       assert(got == Set((1L, 100L)))
     } finally q.stop()
   }
+
+  test("NB model trained batch-side scores a document stream via stream-static join") {
+    import graft.functions.{ClassifierOps, TextFunctions}
+    implicit val sqlCtx = spark.sqlContext
+    // train on a static seed corpus
+    val staticOcc = Seq(0L -> "good great fine", 1L -> "bad awful dire")
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+    val seed = Seq((0L, true), (1L, false)).toDF("doc_id", "y")
+    val (model, unseen, prior) =
+      ClassifierOps.naiveBayesModel(staticOcc, "doc_id", "word", seed, "y", 0.5)
+    // score documents as they arrive
+    val ms = MemoryStream[(Long, String)]
+    val streamOcc = ms.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+    val scored = ClassifierOps.scoreWithModel(streamOcc, "doc_id", "word", model, unseen, prior)
+    val q = scored.writeStream.outputMode("complete").format("memory")
+      .queryName("nb_stream").start()
+    try {
+      ms.addData((10L, "good fine"), (11L, "awful bad bad"))
+      q.processAllAvailable()
+      ms.addData((12L, "unseen words only"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, log_odds FROM nb_stream")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == Set(10L, 11L, 12L))
+      assert(got(10L) > 0 && got(11L) < 0) // seed-aligned polarity survives the stream
+      // all-unseen doc scores 3 fallback terms + prior, same as batch math
+      assert(math.abs(got(12L) - (3 * unseen + prior)) < 1e-9)
+    } finally q.stop()
+  }
 }
