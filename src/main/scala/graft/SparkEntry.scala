@@ -1057,8 +1057,10 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
     // ── extension: exact substring-dedup REMOVAL (the q95 action): every
-    //    duplicated ≥8-token window keeps exactly ONE copy corpus-wide
-    //    (min occurrence key); all other coverage is cut. Emits per-doc
+    //    duplicated ≥8-token window keeps AT LEAST one intact copy
+    //    corpus-wide (min occurrence key; canonical coverage protected
+    //    against chained-overlap destruction); all other coverage is
+    //    cut. Emits per-doc
     //    removal counts + the md5 of the surviving tokens so the oracle
     //    certifies the cleaned text itself, not just the spans
     "q96_span_removal" -> ((s, dir) => {
@@ -2222,7 +2224,12 @@ object SparkEntry {
          dup AS (SELECT h, min(okey) AS fk FROM w2 GROUP BY h HAVING count(*) >= 2),
          red AS (SELECT doc_id, pos FROM w2 JOIN dup USING (h) WHERE okey <> fk),
          remx AS (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tp FROM red),
-         rem AS (SELECT DISTINCT doc_id, tp FROM remx),
+         can AS (SELECT doc_id, pos FROM w2 JOIN dup USING (h) WHERE okey = fk),
+         canx AS (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tp FROM can),
+         rem AS (
+           SELECT DISTINCT r.doc_id, r.tp FROM remx r
+           LEFT JOIN canx c ON r.doc_id = c.doc_id AND r.tp = c.tp
+           WHERE c.tp IS NULL),
          tok AS (
            SELECT doc_id, unnest(t) AS word, unnest(generate_series(1, len(t))) - 1 AS tp
            FROM td),
@@ -2270,7 +2277,12 @@ object SparkEntry {
          dup AS (SELECT h, min(okey) AS fk FROM w2 GROUP BY h HAVING count(*) >= 2),
          red AS (SELECT doc_id, pos FROM w2 JOIN dup USING (h) WHERE okey <> fk),
          remx AS (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tp FROM red),
-         rem AS (SELECT DISTINCT doc_id, tp FROM remx),
+         can AS (SELECT doc_id, pos FROM w2 JOIN dup USING (h) WHERE okey = fk),
+         canx AS (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tp FROM can),
+         rem AS (
+           SELECT DISTINCT r.doc_id, r.tp FROM remx r
+           LEFT JOIN canx c ON r.doc_id = c.doc_id AND r.tp = c.tp
+           WHERE c.tp IS NULL),
          s1 AS (
            SELECT td.doc_id, len(td.t) AS n_tokens, COALESCE(r.nrem, 0) AS n_removed
            FROM td LEFT JOIN (SELECT doc_id, count(*) AS nrem FROM rem GROUP BY doc_id) r

@@ -38,7 +38,12 @@ object ClassifierOps {
     * @param occ   one row per token occurrence: (idCol, wordCol) — the
     *              [[VocabOps.explodeTokens]] frame; persist it if shared
     * @param seed  labeled training docs: (idCol, labelCol: boolean);
-    *              must contain both classes
+    *              must contain both classes — a one-class seed silently
+    *              degenerates every score to ±Infinity via the prior
+    *              (this function stays lazily composable, so it cannot
+    *              cheaply validate; [[naiveBayesModel]] — which already
+    *              takes driver actions at training time — enforces the
+    *              precondition with a require)
     * @return (idCol, "log_odds": double) for every doc present in `occ`
     */
   def naiveBayesLogOdds(occ: DataFrame, idCol: String, wordCol: String,
@@ -95,8 +100,12 @@ object ClassifierOps {
       .groupBy(wordCol)
       .agg(sum(when(y, 1L).otherwise(0L)).as("cp"),
         sum(when(!y, 1L).otherwise(0L)).as("cn"))
-    val Seq(tp, tn, v) = counts
-      .agg(sum("cp"), sum("cn"), count(lit(1))).head().toSeq.map(_.toString.toDouble)
+    val totRow = counts.agg(sum("cp"), sum("cn"), count(lit(1))).head()
+    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0 && totRow.getLong(1) > 0,
+      "seed must contribute tokens of BOTH classes to the occurrence frame " +
+        s"(got pos=${if (totRow.isNullAt(0)) 0 else totRow.getLong(0)}, " +
+        s"neg=${if (totRow.isNullAt(1)) 0 else totRow.getLong(1)})")
+    val Seq(tp, tn, v) = totRow.toSeq.map(_.toString.toDouble)
     val prior = {
       val r = seedLab.agg(sum(when(y, 1.0).otherwise(0.0)),
         sum(when(y, 0.0).otherwise(1.0))).head()

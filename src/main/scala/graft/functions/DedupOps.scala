@@ -350,6 +350,17 @@ object DedupOps {
           s => s("chunk_text")), " "), lit("utf-8"))).as("kept_fp"))
   }
 
+  /** The ONE sliding-window content-hash frame shared by span detection
+    * and span removal — any change to the windowing convention
+    * (tokenizer, hash, alignment) lands in both or neither. Input must
+    * carry the tokenized corpus as an array column `t`; emits one row
+    * per window start: (idCol, pos, h). */
+  private def windowHashFrame(td: DataFrame, idCol: String, W: Int): DataFrame =
+    td.where(size(col("t")) >= W)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("t")) - W),
+        i => hash60(array_join(slice(col("t"), i + 1, lit(W)), " ")))).as(Seq("pos", "h")))
+
   /** Exact duplicated-substring SPANS (the token-level rendition of the
     * suffix-array exact-substring dedup of Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", arXiv:2107.06499):
@@ -376,13 +387,9 @@ object DedupOps {
     val W = windowTokens
     require(W > 0, s"windowTokens must be positive, got $W")
     require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
-    val toks = TextFunctions.tokens(lower(col(textCol)))
-    val wins = df.where(length(trim(col(textCol))) > 0)
-      .select(col(idCol), toks.as("t"))
-      .where(size(col("t")) >= W)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), size(col("t")) - W),
-        i => hash60(array_join(slice(col("t"), i + 1, lit(W)), " ")))).as(Seq("pos", "h")))
+    val td = df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("t"))
+    val wins = windowHashFrame(td, idCol, W)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
       .where(col("c") >= minOccurrences).select("h")
@@ -408,10 +415,15 @@ object DedupOps {
     * span; "first" here is corpus order, i.e. the minimum
     * `doc_id·10⁶+pos` occurrence key, the [[passageDedup]] convention and
     * its <10⁶-tokens-per-doc assumption). Every token covered by a
-    * NON-canonical occurrence of a duplicated window is removed; the
-    * canonical occurrence survives, so each duplicated string keeps
-    * exactly one copy corpus-wide (a doc can end up empty when all its
-    * content is canonical elsewhere).
+    * NON-canonical occurrence of a duplicated window is removed UNLESS
+    * it also lies inside a canonical occurrence of some duplicated
+    * window — canonical coverage is protected, so each duplicated
+    * string keeps at least one intact copy corpus-wide even under
+    * chained overlaps (where naive non-canonical removal can destroy
+    * every copy). The cost is conservative under-removal where
+    * redundant and canonical windows overlap — the safe direction for
+    * training data. A doc can still end up empty when all its content
+    * is canonical elsewhere.
     *
     * Shape: the [[duplicateSpans]] window frame with a min-key aggregate
     * instead of a count; removed positions explode W rows per redundant
@@ -429,19 +441,23 @@ object DedupOps {
     val td = df.where(length(trim(col(textCol))) > 0)
       .select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wins = td.where(size(col("t")) >= W)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), size(col("t")) - W),
-        i => hash60(array_join(slice(col("t"), i + 1, lit(W)), " ")))).as(Seq("pos", "h")))
+    val wins = windowHashFrame(td, idCol, W)
       .withColumn("okey", col(idCol) * 1000000L + col("pos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = wins.groupBy("h")
       .agg(count(lit(1)).as("c"), min("okey").as("fk"))
       .where(col("c") >= minOccurrences)
-    val removed = wins.join(dup, Seq("h"))
-      .where(col("okey") =!= col("fk"))
+    val marked = wins.join(dup, Seq("h"))
+    def cover(cond: Column) = marked.where(cond)
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (W - 1))).as("tp"))
       .distinct()
+    // canonical coverage is PROTECTED: a token inside the first occurrence
+    // of any duplicated window survives even when an overlapping window's
+    // non-canonical occurrence also covers it — without this, chained
+    // overlaps can destroy every copy of a duplicated string (conservative
+    // under-removal is the safe direction for training data)
+    val removed = cover(col("okey") =!= col("fk"))
+      .join(cover(col("okey") === col("fk")), Seq(idCol, "tp"), "left_anti")
     val tok = td.select(col(idCol), posexplode(col("t")).as(Seq("tp", "word")))
     val kept = tok.join(removed, Seq(idCol, "tp"), "left_anti")
     val perDoc = kept.groupBy(idCol)

@@ -105,7 +105,11 @@ object MultimodalOps {
               byteRate = le32(bytes, off + 16)
             else if (ascii(bytes, off, "data"))
               dataLen = sz.toLong
-            off += 8 + sz + (sz & 1) // chunks are word-aligned
+            // advance in Long: a near-Int.MaxValue sz would wrap the Int
+            // sum negative and re-enter the loop with a bogus offset
+            val next = off.toLong + 8L + sz.toLong + (sz & 1)
+            if (next > bytes.length.toLong) off = bytes.length // walk done
+            else off = next.toInt // chunks are word-aligned
           }
         }
         if (corrupt) StubCodec.decode(bytes, mediaType)
@@ -156,20 +160,18 @@ object MultimodalOps {
     }
 
     private def audioMeta(bytes: Array[Byte], mediaType: String): Option[Row] = {
+      // one SPI parse: the file format carries type, frame length AND the
+      // audio format — no second header walk per record
       try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val fmt = in.getFormat
-          val frames = in.getFrameLength
-          val durationMs =
-            if (frames >= 0 && fmt.getFrameRate > 0) (frames * 1000L) / fmt.getFrameRate.toLong
-            else 0L
-          val name = javax.sound.sampled.AudioSystem
-            .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
-            .getType.getExtension.toLowerCase
-          Some(Row(mediaType, name, 0, 0, durationMs, bytes.length.toLong))
-        } finally in.close()
+        val aff = javax.sound.sampled.AudioSystem
+          .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength
+        val durationMs =
+          if (frames >= 0 && fmt.getFrameRate > 0) (frames * 1000L) / fmt.getFrameRate.toLong
+          else 0L
+        val name = aff.getType.getExtension.toLowerCase
+        Some(Row(mediaType, name, 0, 0, durationMs, bytes.length.toLong))
       } catch { case _: Exception => None }
     }
 

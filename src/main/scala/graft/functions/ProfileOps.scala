@@ -66,9 +66,13 @@ object ProfileOps {
       else {
         val hot = ex.groupBy("h").agg(count(lit(1)).as("__gf"))
           .where(col("__gf") > maxGroupFreq).select("h")
-        // hot list is bounded by construction (≤ distinct-shingles/maxGroupFreq
-        // survivors) — broadcast it so the anti-join never shuffles the full
-        // exploded shingle set, matching the DedupOps guards
+        // hot list is ≤ distinct-shingles/maxGroupFreq rows — small on
+        // natural corpora (few shingles recur across most groups), which
+        // is why the broadcast matches the DedupOps guards. CAVEAT: the
+        // bound is corpus-relative, not configuration-bounded; a
+        // boilerplate-dominated corpus where a large shingle fraction
+        // crosses maxGroupFreq should drop the hint and let the anti-join
+        // shuffle (AQE still broadcasts it whenever it is actually small)
         ex.join(broadcast(hot), Seq("h"), "left_anti")
       }
     val sizes = guarded.groupBy("grp").agg(count(lit(1)).as("sz"))

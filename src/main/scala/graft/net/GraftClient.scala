@@ -32,20 +32,37 @@ final class GraftClient(host: String, port: Int, timeoutMs: Int = 60000)
   private val listeners = new CopyOnWriteArrayList[(String, String, JsonNode => Unit)]()
   @volatile private var running = true
 
+  /** Read exactly n bytes, tolerating idle SO_TIMEOUTs at ANY point: a
+    * timeout between frames (0 bytes consumed — a listen subscriber
+    * waiting out a quiet hour) or mid-frame (header half-arrived, server
+    * GC pause) just resumes reading with the consumed prefix intact, so
+    * the frame stream can never desync or kill the reader. Request
+    * timeouts are enforced by queue.poll in query(), not here. Returns
+    * null on EOF. */
+  private def readExactly(n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r =
+        try in.read(buf, off, n - off)
+        catch { case _: java.net.SocketTimeoutException => 0 }
+      if (r < 0) return null
+      off += r
+    }
+    buf
+  }
+
   private val reader = new Thread(() => {
     try {
-      while (running) {
-        // soTimeout only bounds a single blocked read: an idle connection
-        // (e.g. a listen subscriber between events) legitimately sits in
-        // readInt() far longer than any request timeout, so a timeout here
-        // means "nothing arrived yet", not "socket dead" — keep reading.
-        // Request timeouts are enforced by queue.poll in query().
-        val size =
-          try in.readInt()
-          catch { case _: java.net.SocketTimeoutException => -1 }
+      var eof = false
+      while (running && !eof) {
+        val hdr = readExactly(4)
+        val size = if (hdr == null) { eof = true; -1 }
+                   else java.nio.ByteBuffer.wrap(hdr).getInt
         if (size > 0) {
-          val buf = new Array[Byte](size)
-          in.readFully(buf)
+          val buf = readExactly(size)
+          if (buf == null) { eof = true }
+          else {
           val root = mapper.readTree(new String(buf, UTF_8))
           if (root.has("RequestResponse")) {
             val rr = root.get("RequestResponse")
@@ -58,6 +75,7 @@ final class GraftClient(host: String, port: Int, timeoutMs: Int = 60000)
             listeners.forEach { l =>
               if (l._1 == table && l._2 == event) l._3(ev.get("value"))
             }
+          }
           }
         }
       }

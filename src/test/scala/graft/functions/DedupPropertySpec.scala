@@ -167,6 +167,25 @@ class DedupPropertySpec extends SparkSpec {
     assert(got.toSeq == Seq((5L, 0L), (9L, 9L))) // min doc_id is canonical
   }
 
+  test("removeDuplicateSpans: chained overlaps cannot destroy every copy (canonical cover protected)") {
+    // X = t1..t8 canonical in doc 5; Y = t2..t9 canonical in doc 1.
+    // doc 5's Y occurrence is redundant and overlaps X's canonical one —
+    // naive removal would cut t2..t9 out of doc 5 AND t1..t8 out of
+    // doc 9, leaving no intact copy of X anywhere.
+    val t = (1 to 9).map(i => s"t$i")
+    val docs = Seq(
+      1L -> t.drop(1).mkString(" "), // t2..t9
+      5L -> t.mkString(" "),         // t1..t9
+      9L -> t.take(8).mkString(" ")) // t1..t8
+    val got = DedupOps.removeDuplicateSpans(docs.toDF("doc_id", "text"), "text", "doc_id",
+        windowTokens = 8, minOccurrences = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"))).toMap
+    assert(got(1L) == (8L, 0L)) // Y's canonical home, untouched
+    assert(got(5L) == (9L, 1L)) // X protected (t1..t8 kept); only t9 cut
+    assert(got(9L) == (8L, 8L)) // X redundant here, canonical copy lives in doc 5
+  }
+
   test("guard can only lower scores: guarded pair set is a subset with scores <= unguarded") {
     val gen = for {
       nDocs <- Gen.choose(3, 8)
