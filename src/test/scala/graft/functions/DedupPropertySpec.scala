@@ -186,6 +186,27 @@ class DedupPropertySpec extends SparkSpec {
     assert(got(9L) == (8L, 8L)) // X redundant here, canonical copy lives in doc 5
   }
 
+  test("detection/removal consistency: removed tokens never exceed detected span coverage") {
+    val W = 3
+    val gen = for {
+      nDocs <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(nDocs, Gen.choose(0, 14).flatMap(Gen.listOfN(_, Gen.oneOf(words))))
+    } yield docs
+    check(Prop.forAll(gen) { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val spans = DedupOps.duplicateSpans(df, "text", "doc_id", W, 2)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("span_end") - r.getAs[Long]("span_start") + 1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val removed = DedupOps.removeDuplicateSpans(df, "text", "doc_id", W, 2)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_removed"))).toMap
+      // every removed token lies inside some detected span; canonical
+      // protection can only shrink removal below the detected cover
+      removed.forall { case (id, n) => n <= spans.getOrElse(id, 0L) }
+    })
+  }
+
   test("guard can only lower scores: guarded pair set is a subset with scores <= unguarded") {
     val gen = for {
       nDocs <- Gen.choose(3, 8)
