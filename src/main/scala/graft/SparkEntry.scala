@@ -1075,13 +1075,19 @@ object SparkEntry {
     //    Gumbel top-60 toward the en target among quality survivors
     //    (q94), (4) deterministic LCG shuffle into 4 shards (q77). Each
     //    stage's float boundary was margin-checked (≥1e-3 vs ~1e-9 FP
-    //    noise); every stage reuses the persisted occurrence frame
+    //    noise). Stage boundaries use the localCheckpoint discipline
+    //    (the SimilarityOps incremental-path convention): the survivor
+    //    id sets and per-doc weights are TINY, and truncating lineage
+    //    there keeps Catalyst from re-planning/re-executing the whole
+    //    upstream pipeline per downstream consumer — without it this
+    //    composition planned 100× slower than its stages' sum
     "q98_pipeline_v2" -> ((s, dir) => {
       import org.apache.spark.storage.StorageLevel
       val docs = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
       val spans = DedupOps.removeDuplicateSpans(docs, "text", "doc_id",
         windowTokens = 8, minOccurrences = 2)
       val surv1 = spans.where(col("n_removed") * 4 < col("n_tokens")).select("doc_id")
+        .localCheckpoint()
       val d1 = docs.join(surv1, Seq("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
       val occ = d1.select(col("doc_id"),
           explode(TextFunctions.tokens(lower(col("text")))).as("word"))
@@ -1089,11 +1095,11 @@ object SparkEntry {
       val seed2 = d1.where(col("doc_id") % 3 === 0)
         .select(col("doc_id"), (col("lang") === "en").as("y"))
       val nb = ClassifierOps.naiveBayesLogOdds(occ, "doc_id", "word", seed2, "y", alpha = 0.5)
-      val surv2 = nb.where(col("log_odds") > 0).select("doc_id")
+      val surv2 = nb.where(col("log_odds") > 0).select("doc_id").localCheckpoint()
       val occ2 = occ.join(surv2, Seq("doc_id"))
       val target = d1.join(surv2, Seq("doc_id")).where(col("lang") === "en").select("doc_id")
       val w = ClassifierOps.dsirLogWeights(occ2, "doc_id", "word", target,
-        buckets = 512, alpha = 0.5)
+        buckets = 512, alpha = 0.5).localCheckpoint()
       val top = w.select(col("doc_id"),
           ClassifierOps.gumbelKey(col("doc_id"), col("log_weight")).as("__k"))
         .orderBy(col("__k").desc, col("doc_id")).limit(60).select("doc_id")
