@@ -19,15 +19,22 @@ object Bench {
       }
       spark.sharedState.cacheManager.clearCache()
     }
-    // two timed passes with the operator caches cleared between them,
-    // reporting the per-query MIN: each pass is a full honest re-execution
-    // (no cached-result shortcut across passes), and the min damps the
-    // shared host's run-to-run noise — standard best-of-N methodology
-    // a throwing query records -1 (never a fast-failure wall time)
+    // two timed passes reporting the per-query MIN: each pass is a full
+    // honest re-execution (no cached-result shortcut across passes), and
+    // the min damps the shared host's run-to-run noise — standard
+    // best-of-N methodology. Caches are cleared after EVERY query, not
+    // just between passes: with ~100 queries each persisting several
+    // MEMORY_AND_DISK frames, accumulation both inflates tail queries
+    // (eviction churn — q73 measured 3–4× its standalone cost late in a
+    // pass) and deflates queries whose subplans canonically match an
+    // earlier query's cache (q96 reading q95's window frame). Per-query
+    // isolation makes each number reproducible standalone (= TimeOne).
+    // A throwing query records -1 (never a fast-failure wall time).
     def timedPass(): Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
+      spark.sharedState.cacheManager.clearCache()
       name -> t
     }
     val p1 = timedPass()
