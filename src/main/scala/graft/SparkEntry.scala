@@ -1060,37 +1060,44 @@ object SparkEntry {
     //    duplicated ≥8-token window keeps AT LEAST one intact copy
     //    corpus-wide (min occurrence key; canonical coverage protected
     //    against chained-overlap destruction); all other coverage is
-    //    cut. Emits per-doc
-    //    removal counts + the md5 of the surviving tokens so the oracle
-    //    certifies the cleaned text itself, not just the spans
+    //    cut. Emits per-doc removal counts + the cleaned text string
+    //    itself (plus its md5) so the oracle value-certifies the cleaned
+    //    corpus a real pipeline consumes, not just the spans
     "q96_span_removal" -> ((s, dir) => {
       DedupOps.removeDuplicateSpans(T(s, dir, "documents"), "text", "doc_id",
         windowTokens = 8, minOccurrences = 2)
         .orderBy("doc_id")
     }),
     // ── extension: END-TO-END training pipeline v2 — the round-7
-    //    operators composed: (1) drop docs with >25% of tokens inside
-    //    duplicated spans (q96 removal counts, integer guard), (2) NB
-    //    quality gate trained on the surviving seed slice (q93), (3) DSIR
-    //    Gumbel top-60 toward the en target among quality survivors
-    //    (q94), (4) deterministic LCG shuffle into 4 shards (q77). Each
-    //    stage's float boundary was margin-checked (≥1e-3 vs ~1e-9 FP
-    //    noise). Stage boundaries use the localCheckpoint discipline
-    //    (the SimilarityOps incremental-path convention): the survivor
-    //    id sets and per-doc weights are TINY, and truncating lineage
-    //    there keeps Catalyst from re-planning/re-executing the whole
-    //    upstream pipeline per downstream consumer — without it this
-    //    composition planned 100× slower than its stages' sum
+    //    operators composed: (1) CLEAN the corpus with exact substring
+    //    removal (q96's kept_text — Lee et al. emit the cleaned text, not
+    //    a drop list; fully-redundant docs fall out naturally), (2) NB
+    //    quality gate trained on a seed slice of the cleaned corpus
+    //    (q93), (3) DSIR Gumbel top-60 toward the en target among
+    //    quality survivors (q94), (4) deterministic LCG shuffle into 4
+    //    shards (q77). Each stage's float boundary was margin-checked
+    //    (≥1e-3 vs ~1e-9 FP noise). Stage boundaries use the
+    //    localCheckpoint discipline (the SimilarityOps incremental-path
+    //    convention): truncating lineage there keeps Catalyst from
+    //    re-planning/re-executing the whole upstream pipeline per
+    //    downstream consumer — without it this composition planned 100×
+    //    slower than its stages' sum. The survivor id sets and per-doc
+    //    weights are TINY; the stage-1 boundary is corpus-sized, which is
+    //    exactly what a real pipeline materializes there (the cleaned
+    //    corpus it ships downstream — at cluster scale a TableStore
+    //    write, locally an eager checkpoint)
     "q98_pipeline_v2" -> ((s, dir) => {
       import org.apache.spark.storage.StorageLevel
       val docs = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
-      val spans = DedupOps.removeDuplicateSpans(docs, "text", "doc_id",
-        windowTokens = 8, minOccurrences = 2)
-      val surv1 = spans.where(col("n_removed") * 4 < col("n_tokens")).select("doc_id")
+      val cleaned = DedupOps.removeDuplicateSpans(docs, "text", "doc_id",
+          windowTokens = 8, minOccurrences = 2)
+        .where(col("n_removed") < col("n_tokens"))
+        .select("doc_id", "kept_text")
         .localCheckpoint()
-      val d1 = docs.join(surv1, Seq("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
+      val d1 = cleaned.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val occ = d1.select(col("doc_id"),
-          explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+          explode(TextFunctions.tokens(col("kept_text"))).as("word"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val seed2 = d1.where(col("doc_id") % 3 === 0)
         .select(col("doc_id"), (col("lang") === "en").as("y"))
@@ -2245,6 +2252,7 @@ object SparkEntry {
            WHERE rem.tp IS NULL)
          SELECT td.doc_id, CAST(len(td.t) AS BIGINT) AS n_tokens,
            CAST(len(td.t) - count(kept.word) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(kept.word, ' ' ORDER BY kept.tp), '') AS kept_text,
            md5(COALESCE(string_agg(kept.word, ' ' ORDER BY kept.tp), '')) AS kept_fp
          FROM td LEFT JOIN kept ON td.doc_id = kept.doc_id
          GROUP BY td.doc_id, len(td.t) ORDER BY td.doc_id""",
@@ -2289,12 +2297,15 @@ object SparkEntry {
            SELECT DISTINCT r.doc_id, r.tp FROM remx r
            LEFT JOIN canx c ON r.doc_id = c.doc_id AND r.tp = c.tp
            WHERE c.tp IS NULL),
-         s1 AS (
-           SELECT td.doc_id, len(td.t) AS n_tokens, COALESCE(r.nrem, 0) AS n_removed
-           FROM td LEFT JOIN (SELECT doc_id, count(*) AS nrem FROM rem GROUP BY doc_id) r
-             ON td.doc_id = r.doc_id),
-         surv1 AS (SELECT doc_id FROM s1 WHERE n_removed * 4 < n_tokens),
-         occ AS (SELECT td.doc_id, unnest(t) AS word FROM td JOIN surv1 ON td.doc_id = surv1.doc_id),
+         tok AS (
+           SELECT doc_id, unnest(t) AS word, unnest(generate_series(1, len(t))) - 1 AS tp
+           FROM td),
+         kept AS (
+           SELECT tok.doc_id, tok.word, tok.tp
+           FROM tok LEFT JOIN rem ON tok.doc_id = rem.doc_id AND tok.tp = rem.tp
+           WHERE rem.tp IS NULL),
+         occ AS (SELECT doc_id, word FROM kept),
+         surv1 AS (SELECT DISTINCT doc_id FROM kept),
          seed AS (
            SELECT td.doc_id, (lang = 'en') AS y FROM td JOIN surv1 ON td.doc_id = surv1.doc_id
            WHERE td.doc_id % 3 = 0),

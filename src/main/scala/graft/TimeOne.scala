@@ -12,14 +12,20 @@ object TimeOne {
     val spark = GraftSession.getOrCreate("graft-time-one")
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
+    // isolation matches Bench: SQL cache + checkpointed RDD blocks
+    // (localCheckpoint lives outside the CacheManager)
+    def clear(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     fn(spark, sfDir).count() // warm: codegen + JIT + file listing
-    spark.sharedState.cacheManager.clearCache()
+    clear()
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[time-one] $name rep$i: $sec%.3f s ($n rows)")
-      spark.sharedState.cacheManager.clearCache()
+      clear()
     }
   }
 }

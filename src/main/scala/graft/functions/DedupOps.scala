@@ -334,9 +334,9 @@ object DedupOps {
     val chunks = TextFunctions.chunkByTokens(df, textCol, idCol, chunkTokens, overlap = 0)
       .select(col(idCol), col("chunk_idx"), col("chunk_text"),
         hash60(col("chunk_text")).as("h"),
-        // encodes (doc, idx) as one orderable key; chunk_idx < 1e6 given
-        // any realistic document length (idx counts chunks, not tokens)
-        (col(idCol) * 1000000L + col("chunk_idx")).as("okey"))
+        // lexicographic (doc, idx) occurrence key — struct min, so the
+        // keep-first ordering holds for any id sign or document length
+        struct(col(idCol), col("chunk_idx")).as("okey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstOcc = chunks.groupBy("h").agg(min(col("okey")).as("first_key"))
     chunks.join(firstOcc, Seq("h"))
@@ -412,9 +412,10 @@ object DedupOps {
   /** Exact substring-dedup REMOVAL with the keep-first guarantee — the
     * action [[duplicateSpans]]'s detection feeds (Lee et al.
     * arXiv:2107.06499 removes all but one occurrence of every duplicated
-    * span; "first" here is corpus order, i.e. the minimum
-    * `doc_id·10⁶+pos` occurrence key, the [[passageDedup]] convention and
-    * its <10⁶-tokens-per-doc assumption). Every token covered by a
+    * span; "first" here is corpus order, i.e. the lexicographically
+    * minimal `(doc_id, pos)` occurrence key — a struct min, so the
+    * ordering is exact for any id sign or document length, the
+    * [[passageDedup]] convention). Every token covered by a
     * NON-canonical occurrence of a duplicated window is removed UNLESS
     * it also lies inside a canonical occurrence of some duplicated
     * window — canonical coverage is protected, so each duplicated
@@ -431,7 +432,9 @@ object DedupOps {
     * (doc, pos)-keyed, and the fingerprint re-aggregation is per-doc.
     *
     * @return one row per non-empty doc: (idCol, n_tokens, n_removed,
-    *         kept_fp = md5 of the space-joined surviving tokens)
+    *         kept_text = the space-joined surviving tokens — the cleaned
+    *         corpus a real pipeline feeds downstream — and kept_fp = its
+    *         md5)
     */
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
                            windowTokens: Int = 8, minOccurrences: Long = 2): DataFrame = {
@@ -442,7 +445,7 @@ object DedupOps {
       .select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wins = windowHashFrame(td, idCol, W)
-      .withColumn("okey", col(idCol) * 1000000L + col("pos"))
+      .withColumn("okey", struct(col(idCol), col("pos")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = wins.groupBy("h")
       .agg(count(lit(1)).as("c"), min("okey").as("fk"))
@@ -462,14 +465,15 @@ object DedupOps {
     val kept = tok.join(removed, Seq(idCol, "tp"), "left_anti")
     val perDoc = kept.groupBy(idCol)
       .agg(count(lit(1)).as("n_kept"),
-        md5(to_binary(array_join(transform(
+        array_join(transform(
           array_sort(collect_list(struct(col("tp"), col("word")))),
-          s => s("word")), " "), lit("utf-8"))).as("fp"))
+          s => s("word")), " ").as("kt"))
     td.select(col(idCol), size(col("t")).cast("long").as("n_tokens"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("fp"), md5(to_binary(lit(""), lit("utf-8")))).as("kept_fp"))
+        coalesce(col("kt"), lit("")).as("kept_text"),
+        md5(to_binary(coalesce(col("kt"), lit("")), lit("utf-8"))).as("kept_fp"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED

@@ -160,13 +160,23 @@ object MultimodalOps {
     }
 
     private def audioMeta(bytes: Array[Byte], mediaType: String): Option[Row] = {
-      // one SPI parse: the file format carries type, frame length AND the
-      // audio format — no second header walk per record
+      // one SPI parse on the common path: the file format carries type,
+      // frame length AND the audio format. Some SPIs report
+      // NOT_SPECIFIED (-1) at the file-format level while the decoded
+      // stream knows the count — only then pay the second parse, so
+      // durationMs can't silently regress to 0 for those formats
       try {
         val aff = javax.sound.sampled.AudioSystem
           .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
         val fmt = aff.getFormat
-        val frames = aff.getFrameLength
+        val frames0 = aff.getFrameLength
+        val frames =
+          if (frames0 >= 0) frames0
+          else {
+            val ais = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+            try ais.getFrameLength finally ais.close()
+          }
         val durationMs =
           if (frames >= 0 && fmt.getFrameRate > 0) (frames * 1000L) / fmt.getFrameRate.toLong
           else 0L

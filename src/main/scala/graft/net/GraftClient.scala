@@ -38,11 +38,15 @@ final class GraftClient(host: String, port: Int, timeoutMs: Int = 60000)
     * GC pause) just resumes reading with the consumed prefix intact, so
     * the frame stream can never desync or kill the reader. Request
     * timeouts are enforced by queue.poll in query(), not here. Returns
-    * null on EOF. */
+    * null on EOF, or when `running` is cleared mid-read — so shutdown
+    * terminates the reader even if a refactor stops closing the socket
+    * (the retry loop must not depend solely on the socket-close side
+    * channel to exit). */
   private def readExactly(n: Int): Array[Byte] = {
     val buf = new Array[Byte](n)
     var off = 0
     while (off < n) {
+      if (!running) return null
       val r =
         try in.read(buf, off, n - off)
         catch { case _: java.net.SocketTimeoutException => 0 }
