@@ -24,6 +24,10 @@ object GraftSession {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // managed tables (TableStore.saveBucketed) land in a fixed tmp
+      // warehouse, never the process cwd — mains run from anywhere
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
       // the events table stores nanosecond timestamps; surface them as
       // raw Long nanos rather than failing the read
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1089,11 +1089,13 @@ object SparkEntry {
     "q98_pipeline_v2" -> ((s, dir) => {
       import org.apache.spark.storage.StorageLevel
       val docs = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+      // removeDuplicateSpans eager-checkpoints its own output (the
+      // cleaned corpus IS the stage-1 boundary), so lineage is already
+      // truncated here — no extra checkpoint needed
       val cleaned = DedupOps.removeDuplicateSpans(docs, "text", "doc_id",
           windowTokens = 8, minOccurrences = 2)
         .where(col("n_removed") < col("n_tokens"))
         .select("doc_id", "kept_text")
-        .localCheckpoint()
       val d1 = cleaned.join(docs.select("doc_id", "lang"), Seq("doc_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val occ = d1.select(col("doc_id"),
@@ -1112,6 +1114,36 @@ object SparkEntry {
         .orderBy(col("__k").desc, col("doc_id")).limit(60).select("doc_id")
       graft.operators.TrainShuffle.shuffleShards(top, "doc_id", nShards = 4, seed = 777L)
         .orderBy("doc_id")
+    }),
+    // ── extension: PERSISTED-STORE lifecycle end-to-end — the actual
+    //    100 TB operating model for incremental dedup: the LSH signature
+    //    store is BUILT once (DedupOps.minhashStore), written as a
+    //    bucketed parquet table clustered on its join key (band,
+    //    band_key), RELOADED from disk, and an increment absorbed against
+    //    the reloaded table (map-only store scan, broadcast semi-join to
+    //    the increment's buckets — zero store-side shuffle, zero banding
+    //    recompute); the surviving increment signatures are APPENDED to
+    //    the same bucketed table. Result certifies BOTH the survivor set
+    //    (identical to q67's in-query store — the round-trip is lossless)
+    //    AND the post-append store row count (16 band rows per signed
+    //    doc), so the write-back is gated too
+    "q99_store_lifecycle" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val docs = T(s, dir, "documents")
+      val tbl = "graft_q99_sig_store"
+      TableStore.dropTable(s, tbl)
+      TableStore.saveBucketed(
+        DedupOps.minhashStore(docs.where(col("doc_id") < 400), "text", "doc_id"),
+        tbl, bucketCols = Seq("band", "band_key"), buckets = 8)
+      val store = TableStore.loadTable(s, tbl)
+      val incr = docs.where(col("doc_id") >= 400)
+      val (survivors, keptBanded) = DedupOps.incrementalMinhashDedupBanded(
+        incr, "text", "doc_id", store, k = 64, bands = 16, ngram = 3, threshold = 0.5)
+      TableStore.saveBucketed(keptBanded, tbl, bucketCols = Seq("band", "band_key"),
+        buckets = 8, mode = org.apache.spark.sql.SaveMode.Append)
+      val after = TableStore.loadTable(s, tbl)
+        .agg(count(lit(1)).as("store_rows_after"))
+      survivors.select("doc_id").crossJoin(after).orderBy("doc_id")
     }),
     // ── extension: interpolated bigram-LM surprise — the CCNet-style
     //    "perplexity under a reference LM" quality filter with the LM
@@ -1934,6 +1966,29 @@ object SparkEntry {
          WHERE doc_id >= 400
            AND doc_id NOT IN (SELECT id_a FROM est WHERE nb > 0 AND est_jaccard >= 0.5)
          ORDER BY doc_id""",
+    "q99_store_lifecycle" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-2,0)+1)]) AS s FROM toks),
+         hs AS (SELECT doc_id, list_transform(s, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % 1073741789) AS ms FROM sh WHERE len(s) > 0),
+         sigs AS (SELECT doc_id, [list_min(list_transform(ms, m -> (m*(2*i+1) + i*7919 + 1) % 1073741789)) for i in range(0, 64)] AS sig FROM hs),
+         store AS (SELECT * FROM sigs WHERE doc_id < 400),
+         nw AS (SELECT * FROM sigs WHERE doc_id >= 400),
+         vs AS (SELECT a.doc_id AS id_a, a.sig AS sa, s.sig AS sb
+                FROM nw a JOIN store s ON true),
+         vb AS (SELECT a.doc_id AS id_a, a.sig AS sa, b.sig AS sb
+                FROM nw a JOIN nw b ON b.doc_id < a.doc_id),
+         cand AS (SELECT * FROM vs UNION ALL SELECT * FROM vb),
+         est AS (SELECT id_a,
+             CAST(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) AS DOUBLE)/64 AS est_jaccard,
+             len(list_filter(range(0, 16), b -> sa[b*4+1:b*4+4] = sb[b*4+1:b*4+4])) AS nb
+           FROM cand),
+         drops AS (SELECT DISTINCT id_a FROM est WHERE nb > 0 AND est_jaccard >= 0.5),
+         surv AS (SELECT doc_id FROM documents
+           WHERE doc_id >= 400 AND doc_id NOT IN (SELECT id_a FROM drops)),
+         cnt AS (SELECT CAST(16 * ((SELECT count(*) FROM store) +
+             (SELECT count(*) FROM nw WHERE doc_id NOT IN (SELECT id_a FROM drops)))
+           AS BIGINT) AS store_rows_after)
+         SELECT surv.doc_id, cnt.store_rows_after FROM surv, cnt ORDER BY surv.doc_id""",
     "q68_range_join" ->
       """WITH ev AS (
            SELECT event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events),

@@ -38,17 +38,20 @@ object ClassifierOps {
     * @param occ   one row per token occurrence: (idCol, wordCol) — the
     *              [[VocabOps.explodeTokens]] frame; persist it if shared
     * @param seed  labeled training docs: (idCol, labelCol: boolean);
-    *              must contain both classes — a one-class seed silently
-    *              degenerates every score to ±Infinity via the prior
-    *              (this function stays lazily composable, so it cannot
-    *              cheaply validate; [[naiveBayesModel]] — which already
-    *              takes driver actions at training time — enforces the
-    *              precondition with a require)
+    *              must contain both classes — a one-class seed fails
+    *              only at action time, as an opaque ANSI DIVIDE_BY_ZERO
+    *              from inside the prior that names nothing useful (with
+    *              ANSI off: silent ±Infinity scores).
+    *              Pass `validate = true` to fail loudly instead: it
+    *              forces the model-path precondition check at call time
+    *              (one extra model-sized aggregate action — the price of
+    *              the check; the default stays lazily composable, same
+    *              contract as [[naiveBayesModel]]'s require)
     * @return (idCol, "log_odds": double) for every doc present in `occ`
     */
   def naiveBayesLogOdds(occ: DataFrame, idCol: String, wordCol: String,
                         seed: DataFrame, labelCol: String,
-                        alpha: Double = 0.5): DataFrame = {
+                        alpha: Double = 0.5, validate: Boolean = false): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
     val y = col("__y")
     val seedLab = seed.select(col(idCol), col(labelCol).cast("boolean").as("__y"))
@@ -58,6 +61,13 @@ object ClassifierOps {
       .groupBy(wordCol)
       .agg(sum(when(y, 1L).otherwise(0L)).as("cp"),
         sum(when(!y, 1L).otherwise(0L)).as("cn"))
+    if (validate) {
+      val t = counts.agg(sum("cp"), sum("cn")).head()
+      require(!t.isNullAt(0) && t.getLong(0) > 0 && t.getLong(1) > 0,
+        "seed must contribute tokens of BOTH classes to the occurrence frame " +
+          s"(got pos=${if (t.isNullAt(0)) 0 else t.getLong(0)}, " +
+          s"neg=${if (t.isNullAt(1)) 0 else t.getLong(1)})")
+    }
     // single-row totals: class token masses + vocab size (words seen in
     // the seed — the Laplace support, matching the standard formulation)
     val tot = counts.agg(sum("cp").as("tp"), sum("cn").as("tn"),
@@ -159,8 +169,14 @@ object ClassifierOps {
       .select(col("__b"),
         (log((col("ct") + alpha) / (col("tt") + alpha * buckets)) -
           log((col("cr") + alpha) / (col("tr") + alpha * buckets))).as("__lw"))
+    // checkpoint-then-unpersist (the semanticDedupIncrement convention):
+    // the result is per-doc — bounded, far smaller than the bucketed
+    // occurrence frame — so materializing it here lets this call release
+    // its own cache instead of leaking it into the caller's session
     val out = b.join(broadcast(model), Seq("__b"))
       .groupBy(idCol).agg(sum("__lw").as("log_weight"))
+      .localCheckpoint(true)
+    b.unpersist(blocking = false)
     out
   }
 

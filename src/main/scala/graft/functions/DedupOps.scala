@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   * techniques from rounding algorithms" (STOC 2002), with the chunked
   * hamming blocking from Manku/Jain/Das Sarma, "Detecting near-duplicates
   * for web crawling" (WWW 2007).
+  *
+  * Cache ownership: operators whose RESULT is bounded (span frames, the
+  * cleaned corpus, incremental-absorb outputs) eager-checkpoint it and
+  * release every cache they pinned before returning — a long-lived
+  * session accumulates nothing from them. Operators returning LAZY
+  * corpus-scale frames (candidate pairs, dedup survivors) keep internal
+  * MEMORY_AND_DISK persists alive because the result still reads from
+  * them; the CALLER owns their lifetime — drop them with
+  * `spark.sharedState.cacheManager.clearCache()` (or unpersist after
+  * materializing downstream) once the result is consumed.
   */
 object DedupOps {
   import TextFunctions.tokens
@@ -173,36 +183,81 @@ object DedupOps {
       newDocs: DataFrame, textCol: String, idCol: String, existingSigs: DataFrame,
       k: Int = 64, bands: Int = 16, ngram: Int = 3, threshold: Double = 0.7)
       : (DataFrame, DataFrame) = {
+    val (survivors, keptNewBanded) = incrementalMinhashDedupBanded(
+      newDocs, textCol, idCol, bandSignatures(existingSigs, k, bands),
+      k, bands, ngram, threshold)
+    // every signed id carries its full sig on each of its band rows —
+    // the band-0 slice is exactly the increment's surviving (id, sig) set
+    val keptNewSigs = keptNewBanded.where(col("band") === 0).select("id", "sig")
+    (survivors, existingSigs.unionByName(keptNewSigs))
+  }
+
+  /** The banded-STORE layout for a corpus: one row per (band, band_key,
+    * id, sig) — k-minhash signatures LSH-banded into their bucket keys.
+    * This is the shape the incremental path joins against, hence the
+    * shape to PERSIST between ingestion batches
+    * ([[graft.sources.TableStore.saveBucketed]] on (band, band_key)):
+    * absorption then reads the store from parquet with no banding
+    * recompute and no store-side shuffle. */
+  def minhashStore(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 64, bands: Int = 16, ngram: Int = 3): DataFrame = {
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    bandSignatures(minhashSignatures(df, textCol, idCol, k, ngram), k, bands)
+  }
+
+  /** [[incrementalMinhashDedup]] against an ALREADY-BANDED store (the
+    * [[minhashStore]] layout, typically reloaded from its bucketed
+    * parquet table) — the true persisted-store lifecycle: nothing about
+    * the store is recomputed; its scan is map-only, semi-joined down to
+    * the increment's buckets via an explicit broadcast (an
+    * unmaterialized increment has no reliable size estimate — left to
+    * the planner, a sort-merge semi-join would shuffle the ENTIRE
+    * store, exactly the full-corpus cost this function avoids).
+    *
+    * Returns `(survivors of newDocs, kept increment rows in store
+    * layout)` — append the second frame to the store table
+    * (`SaveMode.Append`, same bucketing) to make the store current. */
+  def incrementalMinhashDedupBanded(
+      newDocs: DataFrame, textCol: String, idCol: String, bandedStore: DataFrame,
+      k: Int = 64, bands: Int = 16, ngram: Int = 3, threshold: Double = 0.7)
+      : (DataFrame, DataFrame) = {
     graft.expr.GraftFunctions.register(newDocs.sparkSession)
     val newSigs = minhashSignatures(newDocs, textCol, idCol, k, ngram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBanded = bandSignatures(newSigs, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // explicit broadcast: the bucket set is bounded by the increment, but
-    // as an unmaterialized derived plan it has no reliable size estimate —
-    // left to the planner, a sort-merge semi-join would shuffle the ENTIRE
-    // banded store, exactly the full-corpus cost this function avoids
-    val storeBanded = bandSignatures(existingSigs, k, bands)
-      .join(broadcast(newBanded.select("band", "band_key").distinct()),
-        Seq("band", "band_key"), "left_semi")
-    val newA = bandSide(newBanded, "a")
-    // vs store: ANY match drops the new doc; within batch: min-id-wins
-    val dropVsStore = scoreBandedPairs(newA, bandSide(storeBanded, "b"), k, threshold)
-      .select(col("id_a").as("drop_id"))
-    val dropInBatch = scoreBandedPairs(newA, bandSide(newBanded, "b"), k, threshold)
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_b").as("drop_id"))
     // checkpoint the (increment-bounded) results, then drop the caches —
     // the returned frames must not depend on blocks this call pinned
-    val dropIds = dropVsStore.union(dropInBatch).distinct().localCheckpoint(true)
-    val keptNewSigs = newSigs
-      .join(dropIds, newSigs("id") === dropIds("drop_id"), "left_anti")
+    val dropIds = absorbDropIds(newBanded, bandedStore, k, threshold).localCheckpoint(true)
+    val keptNewBanded = newBanded
+      .join(dropIds, newBanded("id") === dropIds("drop_id"), "left_anti")
       .localCheckpoint(true)
     newSigs.unpersist(blocking = false)
     newBanded.unpersist(blocking = false)
     val survivors = newDocs.join(dropIds, newDocs(idCol) === dropIds("drop_id"), "left_anti")
-    val updatedSigs = existingSigs.unionByName(keptNewSigs)
-    (survivors, updatedSigs)
+    (survivors, keptNewBanded)
+  }
+
+  /** The LAZY absorb-stage plan — drop ids of a banded increment vs the
+    * banded store (any match ≥ threshold drops the new doc) and vs
+    * itself (min-id-wins). Factored out so PlanAudit can explain the
+    * pre-checkpoint shape that [[incrementalMinhashDedupBanded]]'s
+    * eager lineage truncation hides from the gate query's plan: the
+    * store branch must read its parquet scan map-only behind the
+    * broadcast semi-join, with no store-side Exchange. */
+  private[graft] def absorbDropIds(newBanded: DataFrame, bandedStore: DataFrame,
+                                   k: Int, threshold: Double): DataFrame = {
+    val storePruned = bandedStore
+      .join(broadcast(newBanded.select("band", "band_key").distinct()),
+        Seq("band", "band_key"), "left_semi")
+    val newA = bandSide(newBanded, "a")
+    // vs store: ANY match drops the new doc; within batch: min-id-wins
+    val dropVsStore = scoreBandedPairs(newA, bandSide(storePruned, "b"), k, threshold)
+      .select(col("id_a").as("drop_id"))
+    val dropInBatch = scoreBandedPairs(newA, bandSide(newBanded, "b"), k, threshold)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_b").as("drop_id"))
+    dropVsStore.union(dropInBatch).distinct()
   }
 
   /** MinHash-LSH dedup: rows whose id appears as the larger member of a
@@ -398,7 +453,10 @@ object DedupOps {
     val run = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    flagged
+    // checkpoint-then-unpersist: span rows are tiny (one per maximal
+    // span) — materialize them and release this call's window-frame
+    // cache instead of leaking it into the caller's session
+    val out = flagged
       .withColumn("brk", when(lag("pos", 1).over(byDoc).isNull ||
         col("pos") - lag("pos", 1).over(byDoc) > W, 1L).otherwise(0L))
       .withColumn("island", sum("brk").over(run))
@@ -407,6 +465,9 @@ object DedupOps {
         (max("pos") + (W - 1)).cast("long").as("span_end"),
         count(lit(1)).as("n_windows"))
       .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+      .localCheckpoint(true)
+    wins.unpersist(blocking = false)
+    out
   }
 
   /** Exact substring-dedup REMOVAL with the keep-first guarantee — the
@@ -468,12 +529,21 @@ object DedupOps {
         array_join(transform(
           array_sort(collect_list(struct(col("tp"), col("word")))),
           s => s("word")), " ").as("kt"))
-    td.select(col(idCol), size(col("t")).cast("long").as("n_tokens"))
+    // checkpoint-then-unpersist: the result IS the cleaned corpus — the
+    // natural stage boundary a real pipeline materializes before feeding
+    // downstream (and exactly what q98 consumes) — so eager-checkpoint
+    // it, truncating lineage for every consumer, and release the
+    // token/window caches this call pinned
+    val out = td.select(col(idCol), size(col("t")).cast("long").as("n_tokens"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("kt"), lit("")).as("kept_text"),
         md5(to_binary(coalesce(col("kt"), lit("")), lit("utf-8"))).as("kept_fp"))
+      .localCheckpoint(true)
+    wins.unpersist(blocking = false)
+    td.unpersist(blocking = false)
+    out
   }
 
   /** Exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED

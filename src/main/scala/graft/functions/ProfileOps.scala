@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
   * partitions). At scale the exact variants are the wrong tool: exact
   * distinct shuffles every value and exact percentile sorts the column;
   * the sketches are O(1) memory per group and merge map-side.
+  *
+  * Cache ownership: [[groupOverlap]]'s internal persist backs its lazy
+  * result — the caller owns its lifetime (clearCache / unpersist once
+  * consumed), the same contract as the batch DedupOps operators.
   */
 object ProfileOps {
 

@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   * Jégou/Douze/Schmid, "Product quantization for nearest neighbor
   * search" (TPAMI 2011) — here with the coarse cells only, no residual
   * quantization, since exact scoring within cells is cheap on Spark.
+  *
+  * Cache ownership: the incremental path ([[semanticDedupIncrement]])
+  * eager-checkpoints its bounded outputs and releases its caches before
+  * returning. The batch operators return LAZY corpus-scale frames that
+  * still read from their internal MEMORY_AND_DISK persists — the CALLER
+  * owns those lifetimes; drop them via
+  * `spark.sharedState.cacheManager.clearCache()` (or unpersist after
+  * materializing downstream) once results are consumed.
   */
 object SimilarityOps {
 

@@ -45,4 +45,17 @@ object TableStore {
 
   def loadTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Drop `table` from the catalog AND remove its physical warehouse
+    * directory. With the in-memory catalog a previous JVM's table data
+    * survives on disk but not in the catalog, and a managed CTAS over a
+    * non-empty location refuses — so a lifecycle that rebuilds a store
+    * from scratch (rather than appending) must clear both. */
+  def dropTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 }

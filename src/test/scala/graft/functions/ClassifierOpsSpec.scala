@@ -27,6 +27,34 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(got(0L) > 0 && got(1L) < 0)
   }
 
+  test("naiveBayesLogOdds validate=true fails loudly on a one-class seed; default stays lazy") {
+    val occ = occOf(Seq(0L -> "good good", 1L -> "fine too", 2L -> "score me"))
+    val oneClass = Seq((0L, true), (1L, true)).toDF("doc_id", "y")
+    // documented trap: the lazy default surfaces only at ACTION time, as
+    // an opaque ANSI DIVIDE_BY_ZERO from deep inside the prior — nothing
+    // names the actual mistake (with ANSI off it would silently emit
+    // ±Infinity scores instead)
+    val late = intercept[Exception] {
+      ClassifierOps.naiveBayesLogOdds(occ, "doc_id", "word", oneClass, "y", 0.5)
+        .collect()
+    }
+    assert(late.getMessage.contains("DIVIDE_BY_ZERO"))
+    // the guard: validate forces the model-path precondition at call time
+    val e = intercept[IllegalArgumentException] {
+      ClassifierOps.naiveBayesLogOdds(occ, "doc_id", "word", oneClass, "y", 0.5,
+        validate = true)
+    }
+    assert(e.getMessage.contains("BOTH classes"))
+    // a two-class seed passes validation and scores identically to the default
+    val seed = Seq((0L, true), (1L, false)).toDF("doc_id", "y")
+    val a = ClassifierOps.naiveBayesLogOdds(occ, "doc_id", "word", seed, "y", 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_odds")).toMap
+    val b = ClassifierOps.naiveBayesLogOdds(occ, "doc_id", "word", seed, "y", 0.5,
+        validate = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_odds")).toMap
+    assert(a.keySet == b.keySet && a.forall { case (k, v) => math.abs(v - b(k)) < 1e-12 })
+  }
+
   test("naiveBayesLogOdds scores words the seed never saw via the smoothed-zero fallback") {
     val occ = occOf(Seq(0L -> "good", 1L -> "bad", 2L -> "novel"))
     val seed = Seq((0L, true), (1L, false)).toDF("doc_id", "y")

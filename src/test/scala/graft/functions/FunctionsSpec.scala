@@ -219,6 +219,42 @@ class DedupOpsSpec extends SparkSpec {
     assert(updated2.count() == updated.count())
   }
 
+  test("persisted-store lifecycle: bucketed parquet round-trip absorbs identically to in-query") {
+    import graft.sources.TableStore
+    val base = df.where($"doc_id".isin(1L, 4L, 5L))
+    val incr = Seq(
+      (9L, corpus(2)._2),
+      (10L, "fresh material on vector indexes and coarse quantizers for retrieval"),
+      (11L, "fresh material on vector indexes and coarse quantizers for search"))
+      .toDF("doc_id", "text")
+    // in-query reference path
+    val (refSurv, _) = DedupOps.incrementalMinhashDedup(
+      incr, "text", "doc_id", DedupOps.minhashSignatures(base, "text", "doc_id"),
+      threshold = 0.5)
+    // lifecycle path: build → bucketed save → reload → absorb → append
+    val tbl = "fs_lifecycle_store"
+    TableStore.dropTable(spark, tbl)
+    TableStore.saveBucketed(DedupOps.minhashStore(base, "text", "doc_id"),
+      tbl, bucketCols = Seq("band", "band_key"), buckets = 4)
+    val store = TableStore.loadTable(spark, tbl)
+    val (surv, keptBanded) = DedupOps.incrementalMinhashDedupBanded(
+      incr, "text", "doc_id", store, threshold = 0.5)
+    assert(surv.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      refSurv.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // write-back: appended store = base docs + surviving increment, 16
+    // band rows per signed doc, and re-absorbing drops everything
+    TableStore.saveBucketed(keptBanded, tbl, bucketCols = Seq("band", "band_key"),
+      buckets = 4, mode = org.apache.spark.sql.SaveMode.Append)
+    val after = TableStore.loadTable(spark, tbl)
+    assert(after.count() == 4 * 16)
+    assert(after.select("id").distinct().collect().map(_.getLong(0)).toSet ==
+      Set(1L, 4L, 5L, 10L))
+    val (again, _) = DedupOps.incrementalMinhashDedupBanded(
+      incr, "text", "doc_id", TableStore.loadTable(spark, tbl), threshold = 0.5)
+    assert(again.count() == 0)
+    TableStore.dropTable(spark, tbl)
+  }
+
   test("incrementalMinhashDedup chains across three batches like one full dedup") {
     // absorbing the corpus batch-by-batch (ascending ids) keeps exactly
     // what a single full-corpus minhashDedup keeps — equivalent here
