@@ -1145,6 +1145,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("store_rows_after"))
       survivors.select("doc_id").crossJoin(after).orderBy("doc_id")
     }),
+    // ── extension: SHARD MATERIALIZATION end-to-end — q77's manifest and
+    //    q83's sequence packing actually WRITTEN: LCG-shuffle the corpus
+    //    into 4 shards, pack each shard's token stream into 512-token
+    //    sequences (second distributed prefix sum), write one parquet
+    //    directory per shard, then READ THE FILES BACK and certify
+    //    per-shard doc counts, token masses, sequence counts, and an
+    //    order-sensitive fingerprint of (doc_id:start_tok) in shard
+    //    position order — any lost, duplicated, or reordered row on the
+    //    write→read round-trip breaks the hash
+    "q100_shard_write" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+      val rb = graft.operators.TrainShuffle.writeShards(docs, "doc_id", "ntok",
+        nShards = 4, seqLen = 512L, seed = 777L, path = "/tmp/graft_q100_shards")
+      rb.groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ntok").as("n_tokens"),
+          expr("(sum(ntok) + 511) div 512").as("n_seqs"),
+          md5(to_binary(array_join(transform(
+            array_sort(collect_list(struct(col("pos"),
+              concat_ws(":", col("doc_id"), col("start_tok")).as("s")))),
+            x => x("s")), ","), lit("utf-8"))).as("shard_fp"))
+        .orderBy("shard")
+    }),
     // ── extension: interpolated bigram-LM surprise — the CCNet-style
     //    "perplexity under a reference LM" quality filter with the LM
     //    trained on the corpus itself: p(w2|w1) = 0.7·MLE(bigram) +
@@ -1989,6 +2013,23 @@ object SparkEntry {
              (SELECT count(*) FROM nw WHERE doc_id NOT IN (SELECT id_a FROM drops)))
            AS BIGINT) AS store_rows_after)
          SELECT surv.doc_id, cnt.store_rows_after FROM surv, cnt ORDER BY surv.doc_id""",
+    "q100_shard_write" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS ntok
+           FROM documents),
+         p AS (SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+             (doc_id * 1103515245 + 777) % 2147483648 AS prio FROM d),
+         m AS (SELECT doc_id, ntok, CAST(prio % 4 AS BIGINT) AS shard,
+             CAST(row_number() OVER (PARTITION BY prio % 4 ORDER BY prio) AS BIGINT) AS pos,
+             CAST(sum(ntok) OVER (PARTITION BY prio % 4 ORDER BY prio
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM p)
+         SELECT shard, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           (CAST(sum(ntok) AS BIGINT) + 511) // 512 AS n_seqs,
+           md5(string_agg(doc_id || ':' || (cum - ntok), ',' ORDER BY pos)) AS shard_fp
+         FROM m GROUP BY shard ORDER BY shard""",
     "q68_range_join" ->
       """WITH ev AS (
            SELECT event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events),

@@ -157,18 +157,7 @@ object ClassifierOps {
     val b = occ.select(col(idCol),
       (DedupOps.hash60(col(wordCol)) % buckets).as("__b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val raw = b.groupBy("__b").agg(count(lit(1)).as("cr"))
-    val tgt = b.join(target.select(col(idCol)).distinct(), Seq(idCol))
-      .groupBy("__b").agg(count(lit(1)).as("ct"))
-    // bucket-sized model: ln p̂_t[b] − ln p̂_r[b]; buckets the target never
-    // hit still get their smoothed mass via the full outer frame below
-    val cells = raw.join(tgt, Seq("__b"), "left")
-      .select(col("__b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
-    val tot = cells.agg(sum("cr").as("tr"), sum("ct").as("tt"))
-    val model = cells.crossJoin(broadcast(tot))
-      .select(col("__b"),
-        (log((col("ct") + alpha) / (col("tt") + alpha * buckets)) -
-          log((col("cr") + alpha) / (col("tr") + alpha * buckets))).as("__lw"))
+    val model = dsirModelFromBucketed(b, idCol, target, buckets, alpha)
     // checkpoint-then-unpersist (the semanticDedupIncrement convention):
     // the result is per-doc — bounded, far smaller than the bucketed
     // occurrence frame — so materializing it here lets this call release
@@ -178,6 +167,70 @@ object ClassifierOps {
       .localCheckpoint(true)
     b.unpersist(blocking = false)
     out
+  }
+
+  /** The DSIR cell model AS DATA: (`__b`: bucket, `__lw`: per-occurrence
+    * log-weight), `buckets` rows — the bounded store a scoring stage
+    * (batch or streaming) loads/joins/folds. Same counts and smoothing
+    * as [[dsirLogWeights]], which is exactly `Σ __lw` over a doc's
+    * bucketed tokens. */
+  def dsirModel(occ: DataFrame, idCol: String, wordCol: String,
+                target: DataFrame, buckets: Int = 512,
+                alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    dsirModelFromBucketed(
+      occ.select(col(idCol), (DedupOps.hash60(col(wordCol)) % buckets).as("__b")),
+      idCol, target, buckets, alpha)
+  }
+
+  private def dsirModelFromBucketed(b: DataFrame, idCol: String, target: DataFrame,
+                                    buckets: Int, alpha: Double): DataFrame = {
+    val raw = b.groupBy("__b").agg(count(lit(1)).as("cr"))
+    val tgt = b.join(target.select(col(idCol)).distinct(), Seq(idCol))
+      .groupBy("__b").agg(count(lit(1)).as("ct"))
+    // bucket-sized model: ln p̂_t[b] − ln p̂_r[b]; buckets the target never
+    // hit still get their smoothed mass via the full outer frame below
+    val cells = raw.join(tgt, Seq("__b"), "left")
+      .select(col("__b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val tot = cells.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("__b"),
+        (log((col("ct") + alpha) / (col("tt") + alpha * buckets)) -
+          log((col("cr") + alpha) / (col("tr") + alpha * buckets))).as("__lw"))
+  }
+
+  /** Score WHOLE-DOCUMENT rows against a trained [[dsirModel]] with the
+    * model folded into a LITERAL lookup array — a stateless, map-only
+    * projection: no join, no aggregation, no state. That is what makes
+    * it composable: a document STREAM scored this way can feed a
+    * stateful operator (budget admission, dedup) in the SAME streaming
+    * query, where the per-token stream-static-join + streaming-
+    * aggregation formulation would chain two stateful operators —
+    * unsupported around flatMapGroupsWithState. The fold is sound
+    * because the DSIR model is CONFIGURATION-bounded: `buckets` doubles
+    * (512 cells ≈ 4 KB) regardless of corpus size — the same bounded-
+    * model-state argument as the q91 fixed-k quantizer.
+    *
+    * Batch parity: `dsir_score` ≡ [[dsirLogWeights]]'s `log_weight` for
+    * every doc with ≥1 token (spec-asserted); docs with no tokens score
+    * 0 here and are absent there (no occurrence rows).
+    */
+  def dsirScoreDocs(docs: DataFrame, textCol: String, model: DataFrame,
+                    buckets: Int = 512): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val weights = {
+      val arr = Array.fill(buckets)(0.0)
+      model.select(col("__b").cast("int"), col("__lw").cast("double")).collect()
+        .foreach(r => arr(r.getInt(0)) = r.getDouble(1))
+      array(arr.toIndexedSeq.map(lit): _*)
+    }
+    docs.withColumn("dsir_score",
+      when(length(trim(col(textCol))) === 0, lit(0.0)).otherwise(
+        aggregate(
+          graft.functions.TextFunctions.tokens(lower(col(textCol))),
+          lit(0.0),
+          (acc, w) => acc + element_at(weights, (DedupOps.hash60(w) % buckets).cast("int") + 1))))
   }
 
   /** Gumbel top-k resampling key for [[dsirLogWeights]] output:

@@ -46,4 +46,37 @@ object TrainShuffle {
     PrefixSum.groupedRunningSum(prio, Seq("shard"), "__prio", "__one", "pos")
       .drop("__prio", "__one")
   }
+
+  /** MATERIALIZE the training set: shuffle into shards, pack each
+    * shard's token stream into fixed-length sequences, and write one
+    * parquet directory per shard ([[graft.sources.TableStore]]
+    * hive-partitioning on `shard` — the webdataset/tfrecord layout,
+    * where a trainer opens its shard directory and seeks to `pos`).
+    * Returns the frame READ BACK from the written files, so callers gate
+    * on what is actually on disk, not on the pre-write plan.
+    *
+    * Packing is per shard: `start_tok`/`first_seq`/`last_seq`/
+    * `seq_offset` follow the q83 convention over the shard's token
+    * stream in shuffled order (the second distributed prefix sum — no
+    * per-shard single-reducer window even when a shard is corpus-sized).
+    *
+    * @param df     rows to materialize; idCol as [[shuffleShards]],
+    *               ntokCol a non-negative long token count
+    * @param path   output directory (one `shard=k/` subdirectory each)
+    */
+  def writeShards(df: DataFrame, idCol: String, ntokCol: String,
+                  nShards: Int, seqLen: Long, seed: Long, path: String): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val manifest = shuffleShards(df, idCol, nShards, seed)
+    // pos is unique within a shard and order-equivalent to the LCG
+    // priority, so it is the packing order column
+    val packed = PrefixSum.groupedRunningSum(manifest, Seq("shard"), "pos", ntokCol, "cum_tok")
+      .withColumn("start_tok", col("cum_tok") - col(ntokCol))
+      .withColumn("first_seq", expr(s"start_tok div $seqLen"))
+      .withColumn("last_seq",
+        expr(s"CASE WHEN $ntokCol = 0 THEN start_tok div $seqLen ELSE (cum_tok - 1) div $seqLen END"))
+      .withColumn("seq_offset", col("start_tok") % seqLen)
+    graft.sources.TableStore.save(packed, path, partitionBy = Seq("shard"))
+    graft.sources.TableStore.load(df.sparkSession, path)
+  }
 }

@@ -108,6 +108,29 @@ class ClassifierOpsSpec extends SparkSpec {
     direct.foreach { case (k, v) => assert(math.abs(v - viaModel(k)) < 1e-9, s"doc $k") }
   }
 
+  test("dsirScoreDocs (literal-folded model) matches dsirLogWeights per doc") {
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha"), (1L, "delta epsilon zeta"),
+      (2L, "alpha gamma beta"), (3L, "theta iota kappa lambda"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val occ = docs.where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+    val target = Seq(0L, 2L).toDF("doc_id")
+    val model = ClassifierOps.dsirModel(occ, "doc_id", "word", target, buckets = 32, alpha = 0.5)
+    assert(model.count() <= 32)
+    val viaAgg = ClassifierOps.dsirLogWeights(occ, "doc_id", "word", target,
+      buckets = 32, alpha = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
+    val viaFold = ClassifierOps.dsirScoreDocs(docs, "text", model, buckets = 32)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_score")).toMap
+    // parity on every doc with tokens; the empty doc scores 0 map-only
+    // (it has no occurrence rows, so the aggregate path omits it)
+    assert(viaAgg.keySet == Set(0L, 1L, 2L, 3L))
+    viaAgg.foreach { case (id, w) => assert(math.abs(w - viaFold(id)) < 1e-9, s"doc $id") }
+    assert(viaFold(4L) == 0.0)
+  }
+
   test("gumbelKey is deterministic and strictly increasing in log-weight") {
     val df = Seq((1L, 0.0), (1L, 1.0), (2L, 0.0)).toDF("id", "lw")
       .select(col("id"), col("lw"),

@@ -125,6 +125,85 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming admission chain mirrors q98: watermark dedup → DSIR score → budget admission") {
+    import graft.functions.{ClassifierOps, TextFunctions}
+    implicit val sqlCtx = spark.sqlContext
+    // batch side: train the DSIR cell model on a static corpus (the
+    // weight STORE of the q98 selection stage)
+    val corpus = Seq(
+      (0L, "alpha beta gamma alpha"), (1L, "delta epsilon zeta eta"),
+      (2L, "alpha gamma beta alpha"), (3L, "delta zeta eta theta"))
+      .toDF("doc_id", "text")
+    val occ = corpus.select(col("doc_id"),
+      explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+    val target = Seq(0L, 2L).toDF("doc_id") // the alpha-family distribution
+    val model = ClassifierOps.dsirModel(occ, "doc_id", "word", target,
+      buckets = 64, alpha = 0.5)
+
+    // the stream's candidate docs: 11 duplicates 10's text; 12/13 are
+    // target-like, 14 is off-target. Which ones score > 0 is decided by
+    // the BATCH scorer (parity is the other spec) — the streamed
+    // survivors must match it exactly.
+    val cands = Seq(
+      (10L, "web", "alpha beta alpha gamma"), (11L, "web", "ALPHA beta   alpha gamma"),
+      (12L, "web", "alpha gamma gamma"), (13L, "books", "beta alpha alpha"),
+      (14L, "books", "delta eta zeta"))
+    val batchPositive = ClassifierOps.dsirScoreDocs(
+      cands.toDF("doc_id", "source", "text"), "text", model, buckets = 64)
+      .where(col("dsir_score") > 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(batchPositive.contains(10L) && !batchPositive.contains(14L))
+
+    val dir = java.nio.file.Files.createTempDirectory("adm_chain").toFile
+    val ms = MemoryStream[(Timestamp, Long, String, String)]
+    // STAGE A (stateful: dedup state, watermark-bounded) + the stateless
+    // map-only model fold + quality cut, materialized to a parquet stage
+    // boundary — the streaming analog of q98's checkpoint discipline,
+    // and what keeps flatMapGroupsWithState out of a multi-stateful chain
+    val deduped = StreamingOps.exactDedupStream(
+      ms.toDF().toDF("ts", "doc_id", "source", "text"), "text", "ts", "10 minutes")
+    val scored = ClassifierOps.dsirScoreDocs(deduped, "text", model, buckets = 64)
+      .where(col("dsir_score") > 0)
+      .withColumn("ntok", TextFunctions.tokenCount(col("text")).cast("long"))
+      .select("doc_id", "source", "ntok")
+    val qA = scored.writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/data").option("checkpointLocation", s"$dir/ckptA")
+      .start()
+    try {
+      ms.addData(cands.map { case (id, src, txt) => (ts(9, id.toInt), id, src, txt) }: _*)
+      qA.processAllAvailable()
+    } finally qA.stop()
+
+    // STAGE B (stateful: admission state): budget-admit per source from
+    // the stage boundary — web's budget fits exactly one surviving doc's
+    // tokens, books' fits its smaller survivor set
+    val src = spark.readStream
+      .schema("doc_id LONG, source STRING, ntok LONG")
+      .parquet(s"$dir/data")
+    val admitted = StreamingOps.budgetAdmission(src, "source", "ntok",
+      Map("web" -> 4L, "books" -> 3L))
+    val qB = admitted.writeStream.outputMode("append").format("memory")
+      .queryName("adm_chain").start()
+    try {
+      qB.processAllAvailable()
+      val got = spark.sql("SELECT source, ntok FROM adm_chain").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // stage boundary holds exactly the batch-predicted survivors minus
+      // the watermark-deduped copy (doc 11)
+      val boundary = spark.read.parquet(s"$dir/data")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(boundary == batchPositive - 11L, s"boundary $boundary")
+      // admission: per-source token mass within budget, smallest-first
+      val bySrc = got.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(bySrc.getOrElse("web", 0L) <= 4L && bySrc.getOrElse("books", 0L) <= 3L)
+      assert(got.nonEmpty && got.length < boundary.size,
+        s"budget must admit some and drop some, got ${got.toSeq}")
+    } finally {
+      qB.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("NB model trained batch-side scores a document stream via stream-static join") {
     import graft.functions.{ClassifierOps, TextFunctions}
     implicit val sqlCtx = spark.sqlContext
