@@ -12,9 +12,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // optional comma-separated query subset (scale-decade runs measure
+    // only the certified-configuration shapes); default = every query,
+    // which is what the driver's per-round bench uses
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(set) => SparkEntry.queries.filter { case (k, _) => set(k) }
+      case None      => SparkEntry.queries
+    }
     val spark = GraftSession.getOrCreate("graft-bench")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
       spark.sharedState.cacheManager.clearCache()
@@ -38,7 +47,7 @@ object Bench {
     // is emitted in the artifact ("reps") so a single noisy rep is
     // visible instead of silently becoming — or hiding behind — the
     // number of record.
-    def timedPass(): Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    def timedPass(): Seq[(String, Double)] = queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
@@ -48,7 +57,7 @@ object Bench {
     }
     val nReps = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val passes = (1 to nReps).map(_ => timedPass().toMap)
-    val names = SparkEntry.queries.keys.toSeq
+    val names = queries.keys.toSeq
     val results = names.map { k =>
       val vs = passes.map(_(k))
       k -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
