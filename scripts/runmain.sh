@@ -1,0 +1,19 @@
+#!/usr/bin/env bash
+# Run a graft main directly via java (no sbt lock) with the same JVM
+# options build.sbt's forked run uses. Usage:
+#   scripts/runmain.sh [-Xmx...] graft.Bench [args...]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+XMX="-Xmx${SPARK_DRIVER_MEM:-8g}"
+if [[ "${1:-}" == -Xmx* ]]; then XMX="$1"; shift; fi
+exec java $OPENS "$XMX" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"

@@ -1169,6 +1169,34 @@ object SparkEntry {
             x => x("s")), ","), lit("utf-8"))).as("shard_fp"))
         .orderBy("shard")
     }),
+    // ── extension: benchmark-overlap FRACTION per doc (Llama-style
+    //    document contamination: the normalized share of each doc's
+    //    distinct 3-grams appearing in the eval probe set — q42/q80
+    //    report raw hits on contaminated docs only; thresholding policies
+    //    need the fraction with clean docs present at 0.0). Probe set =
+    //    model state (broadcast); one per-doc count shuffle
+    "q101_contamination_frac" -> ((s, dir) => {
+      graft.expr.GraftFunctions.register(s)
+      val docs = T(s, dir, "documents")
+      val probes = docs.where(col("doc_id") < 5)
+        .select(explode(DedupOps.shingles(col("text"), 3)).as("shingle"))
+      TextFunctions.contaminationFraction(
+        docs.where(col("doc_id") >= 5), "text", "doc_id", probes, "shingle", n = 3)
+        .orderBy("doc_id")
+    }),
+    // ── extension: per-source adaptive quality threshold (CCNet-style):
+    //    each source keeps its own top-60% by alnum-ratio score, cutoff
+    //    quantized to 100 fixed buckets. No per-source corpus window —
+    //    the model is the (source × bucket) histogram, the threshold a
+    //    cumulative scan over the model, the filter a broadcast join;
+    //    output certifies the learned threshold alongside the selection
+    "q102_adaptive_quality" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val score = TextFunctions.qualityFeatures(col("text")).getField("alnum_ratio")
+      TextFunctions.adaptiveKeepByScore(d, "source", score, keepFrac = 0.6, buckets = 100)
+        .select(col("doc_id"), col("source"), col("score_bucket"), col("threshold_bucket"))
+        .orderBy("doc_id")
+    }),
     // ── extension: interpolated bigram-LM surprise — the CCNet-style
     //    "perplexity under a reference LM" quality filter with the LM
     //    trained on the corpus itself: p(w2|w1) = 0.7·MLE(bigram) +
@@ -2030,6 +2058,40 @@ object SparkEntry {
            (CAST(sum(ntok) AS BIGINT) + 511) // 512 AS n_seqs,
            md5(string_agg(doc_id || ':' || (cum - ntok), ',' ORDER BY pos)) AS shard_fp
          FROM m GROUP BY shard ORDER BY shard""",
+    "q101_contamination_frac" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
+           FROM toks),
+         probes AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 5),
+         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 5),
+         agg AS (
+           SELECT ex.doc_id, count(p.shingle) AS n_hit
+           FROM ex LEFT JOIN probes p ON ex.shingle = p.shingle
+           GROUP BY 1),
+         base AS (SELECT doc_id, len(s) AS n_ngrams FROM sh WHERE doc_id >= 5)
+         SELECT b.doc_id, b.n_ngrams, coalesce(a.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+           CASE WHEN b.n_ngrams = 0 THEN 0.0
+                ELSE CAST(coalesce(a.n_hit, 0) AS DOUBLE) / b.n_ngrams END AS contamination
+         FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""",
+    "q102_adaptive_quality" ->
+      """WITH f AS (
+           SELECT doc_id, source,
+             CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)/length(text) AS score
+           FROM documents),
+         s AS (SELECT doc_id, source, least(CAST(floor(score*100) AS INT), 99) AS score_bucket FROM f),
+         h AS (SELECT source, score_bucket, count(*) AS c FROM s GROUP BY 1, 2),
+         t AS (SELECT source, score_bucket,
+                 sum(c) OVER (PARTITION BY source ORDER BY score_bucket DESC) AS cum,
+                 ceil(sum(c) OVER (PARTITION BY source) * 0.6) AS target
+               FROM h),
+         thr AS (SELECT source, max(score_bucket) AS threshold_bucket FROM t
+                 WHERE cum >= target GROUP BY 1)
+         SELECT s.doc_id, s.source, s.score_bucket, thr.threshold_bucket
+         FROM s JOIN thr USING (source) WHERE s.score_bucket >= thr.threshold_bucket
+         ORDER BY s.doc_id""",
     "q68_range_join" ->
       """WITH ev AS (
            SELECT event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events),

@@ -183,6 +183,84 @@ object TextFunctions {
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Benchmark-overlap FRACTION per document (the Llama-style document
+    * contamination metric: Touvron et al. 2023 threshold on how much of a
+    * doc is benchmark text, not on raw hit counts): for EVERY corpus
+    * document, the share of its distinct n-gram shingles that appear in
+    * the probe set. [[contaminationHits]] reports absolute counts for
+    * contaminated docs only; policy decisions ("drop if >80% overlapped,
+    * flag if >20%") need the normalized fraction with clean docs present
+    * at 0.0.
+    *
+    * Scale shape: the probe side (distinct eval-suite n-grams) is model
+    * state — broadcast; the corpus side explodes narrow (shingle sets are
+    * already distinct per doc) and the ONE shuffle is the per-doc count
+    * aggregate, partially aggregated map-side. Docs with fewer than n
+    * tokens keep a row via `explode_outer` (n_ngrams = 0, fraction 0.0).
+    * At eval suites too large to broadcast exactly, prefilter with the
+    * [[bloomContaminationHits]] Bloom pattern — fractions are unchanged
+    * (Bloom has no false negatives and the exact join removes false
+    * positives). */
+  def contaminationFraction(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+                            probes: org.apache.spark.sql.DataFrame, probeCol: String,
+                            n: Int = 3): org.apache.spark.sql.DataFrame = {
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    val probeSet = probes.select(col(probeCol).as("__shingle")).distinct()
+      .withColumn("__hit", lit(1))
+    df.select(col(idCol), DedupOps.shingles(col(textCol), n).as("__sh"))
+      .select(col(idCol), size(col("__sh")).as("__n"), explode_outer(col("__sh")).as("__shingle"))
+      .join(broadcast(probeSet), Seq("__shingle"), "left")
+      .groupBy(idCol)
+      .agg(max(col("__n")).as("n_ngrams"), count(col("__hit")).as("n_hit"))
+      .withColumn("contamination",
+        when(col("n_ngrams") === 0, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_ngrams")))
+  }
+
+  /** Per-source adaptive quality threshold (the CCNet shape, Wenzek et
+    * al. arXiv:1911.00359: each source/language slice keeps its own top
+    * quantile, so a uniform global cutoff doesn't gut low-resource
+    * slices). Each group keeps its top `keepFrac` docs by `scoreCol`
+    * (score in [0,1]), with the cutoff quantized to `buckets` fixed score
+    * buckets.
+    *
+    * Deliberately NOT a per-group sort or window over the corpus — at
+    * 100 TB a source is trillions of tokens and `Window.partitionBy
+    * (source)` serializes each source through one task. Instead: (1) one
+    * aggregate builds the (group × bucket) histogram — model state,
+    * ≤ |groups|·buckets rows; (2) a cumulative scan over the MODEL (tiny
+    * window) picks each group's threshold bucket — the largest bucket b
+    * with |{score-bucket ≥ b}| ≥ ⌈keepFrac·n_group⌉; (3) one broadcast
+    * join filters the corpus. Keeps at least the target count per group
+    * (the whole boundary bucket is included — bucket width is the
+    * documented resolution of the cutoff, exactly how CCNet's
+    * perplexity-tercile buckets behave).
+    *
+    * @return kept rows: df's columns + `score_bucket` + the group's
+    *         `threshold_bucket` (certifies the learned model alongside
+    *         the selection) */
+  def adaptiveKeepByScore(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                          score: Column, keepFrac: Double,
+                          buckets: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac must be in (0,1], got $keepFrac")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val bucket = least(floor(score * buckets).cast("int"), lit(buckets - 1))
+    val scored = df.withColumn("score_bucket", bucket)
+    val hist = scored.groupBy(col(groupCol), col("score_bucket"))
+      .agg(count(lit(1)).as("__c"))
+    // windows over the histogram only: ≤ `buckets` rows per group
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("score_bucket").desc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val thr = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__target", ceil(sum(col("__c")).over(wAll) * lit(keepFrac)))
+      .where(col("__cum") >= col("__target"))
+      .groupBy(groupCol).agg(max(col("score_bucket")).as("threshold_bucket"))
+    scored.join(broadcast(thr), Seq(groupCol))
+      .where(col("score_bucket") >= col("threshold_bucket"))
+  }
+
   private val langStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
