@@ -12,12 +12,24 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(appName: String = "graft", master: Option[String] = None): SparkSession.Builder = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partition count must scale with DATA, not cores: at a fixed
+    // 32, a 10x-larger input means 10x-larger partitions (spill + GC
+    // churn — measured on the sf10 decade). The cluster-correct setting
+    // is a high AQE *initial* partition number with coalescing on: small
+    // shuffles coalesce down to ~advisoryPartitionSizeInBytes anyway, big
+    // shuffles keep the parallelism. `spark.sql.shuffle.partitions`
+    // stays = cores as the non-AQE floor; SPARK_GRAFT_SHUFFLE overrides
+    // both for experiments.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val initial = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_INITIAL",
+      math.max(shuffle.toInt, 8 * cpus.toInt).toString)
     val b = SparkSession
       .builder()
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initial)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
