@@ -25,13 +25,28 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   import graft.functions.SimilarityOps
 
+  private def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val planted = emb.select((col("vec_id") + 100000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.25f)).as("embedding"))
+    emb.unionByName(planted)
+  }
+
   val probes: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_srp16" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
-      val planted = emb.select((col("vec_id") + 100000000L).as("vec_id"),
-        transform(col("embedding"), x => x * lit(1.25f)).as("embedding"))
-      SimilarityOps.embeddingDupPairs(emb.unionByName(planted), "vec_id", "embedding",
+      SimilarityOps.embeddingDupPairs(plantedCorpus(s, dir), "vec_id", "embedding",
         threshold = 0.9, nBits = 64, bands = 4)
+        .select("id_a", "id_b")
+    }),
+    // the deployment rule APPLIED at the next decade: 21-bit bands (3
+    // bands × 21 of a 63-bit signature) give 2^21 ≈ 2M buckets/band —
+    // occupancy < 1 at the sf10 probe's 400k vectors, so candidate
+    // volume stays ≈ n where the fixed 16-bit configuration has gone
+    // quadratic. Recall argument unchanged: planted near-dups at
+    // cos ≥ 0.9 still collide in ≥ 1 of 3 bands with margin
+    "q72_srp21" -> ((s, dir) => {
+      SimilarityOps.embeddingDupPairs(plantedCorpus(s, dir), "vec_id", "embedding",
+        threshold = 0.9, nBits = 63, bands = 3)
         .select("id_a", "id_b")
     })
   )

@@ -1197,6 +1197,32 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("score_bucket"), col("threshold_bucket"))
         .orderBy("doc_id")
     }),
+    // ── extension: Gopher word-level quality rules (Rae et al. A1.1) —
+    //    map-only measurements + keep flag; thresholds calibrated to this
+    //    corpus (30-word floor, 1 required stopword — the synthetic vocab
+    //    contains only 'the' from the Gopher stop list)
+    "q103_gopher_quality" -> ((s, dir) => {
+      val g = TextFunctions.gopherQuality(col("text"),
+        minWords = 30, minStopwords = 1)
+      T(s, dir, "documents")
+        .select(col("doc_id"), g.as("g"))
+        .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+          col("g.alpha_word_frac"), col("g.n_stop_present"),
+          col("g.symbol_word_ratio"), col("g.keep"))
+        .orderBy("doc_id")
+    }),
+    // ── extension: Gopher repetition rules (Rae et al. A1.2) — top-n-gram
+    //    and duplicate-n-gram character fractions for n=2,3,4, plus the
+    //    paper's keep thresholds (top2 ≤ 0.20, top3 ≤ 0.18, top4 ≤ 0.16).
+    //    Every shuffle keyed by doc_id — no corpus-wide state
+    "q104_ngram_repetition" -> ((s, dir) => {
+      TextFunctions.ngramRepetitionStats(
+        T(s, dir, "documents"), "text", "doc_id", ns = Seq(2, 3, 4))
+        .withColumn("keep",
+          (col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
+           col("top4_frac") <= 0.16).cast("int"))
+        .orderBy("doc_id")
+    }),
     // ── extension: interpolated bigram-LM surprise — the CCNet-style
     //    "perplexity under a reference LM" quality filter with the LM
     //    trained on the corpus itself: p(w2|w1) = 0.7·MLE(bigram) +
@@ -2092,6 +2118,64 @@ object SparkEntry {
          SELECT s.doc_id, s.source, s.score_bucket, thr.threshold_bucket
          FROM s JOIN thr USING (source) WHERE s.score_bucket >= thr.threshold_bucket
          ORDER BY s.doc_id""",
+    "q103_gopher_quality" ->
+      """WITH f AS (
+           SELECT doc_id, text,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END AS n_words,
+             CASE WHEN length(trim(text)) = 0 OR len(t) = 0 THEN 0.0
+                  ELSE CAST(list_sum([length(w) for w in t]) AS DOUBLE) / len(t) END AS mean_word_len,
+             CASE WHEN length(trim(text)) = 0 OR len(t) = 0 THEN 0.0
+                  ELSE CAST(len([w for w in t if regexp_matches(w, '[A-Za-z]')]) AS DOUBLE) / len(t) END AS alpha_word_frac,
+             len([s for s in ['the','be','to','of','and','that','have','with'] if list_contains(t, s)]) AS n_stop_present,
+             CASE WHEN length(trim(text)) = 0 OR len(t) = 0 THEN 0.0
+                  ELSE CAST(3*(length(text) - length(replace(text, '#', '')))
+                            + (length(text) - length(replace(text, '...', ''))) AS DOUBLE)
+                       / (3*len(t)) END AS symbol_word_ratio
+           FROM f)
+         SELECT doc_id, n_words, mean_word_len, alpha_word_frac, n_stop_present, symbol_word_ratio,
+           CAST((n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+                 AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.8
+                 AND n_stop_present >= 1) AS INT) AS keep
+         FROM m ORDER BY doc_id""",
+    "q104_ngram_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         norm AS (SELECT doc_id, t, length(array_to_string(t, ' ')) AS n_chars FROM toks),
+         grams AS (
+           SELECT doc_id, n_chars, n.n AS n,
+             unnest([array_to_string(t[i:i+n.n-1], ' ') for i in range(1, greatest(len(t)-n.n+1, 0)+1)]) AS g
+           FROM norm, (SELECT unnest([2, 3, 4]) AS n) n),
+         cnt AS (SELECT doc_id, n_chars, n, g, count(*) AS c FROM grams GROUP BY ALL),
+         pern AS (
+           SELECT doc_id, n,
+             max(CAST(CASE WHEN rn = 1 THEN c*length(g) END AS DOUBLE) / n_chars) AS top_frac,
+             CAST(sum(CASE WHEN c > 1 THEN c*length(g) ELSE 0 END) AS DOUBLE)
+               / CAST(sum(c*length(g)) AS DOUBLE) AS dup_frac
+           FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g ASC) AS rn
+                 FROM cnt)
+           GROUP BY doc_id, n),
+         wide AS (
+           SELECT doc_id,
+             max(CASE WHEN n=2 THEN top_frac END) AS top2_frac,
+             max(CASE WHEN n=2 THEN dup_frac END) AS dup2_frac,
+             max(CASE WHEN n=3 THEN top_frac END) AS top3_frac,
+             max(CASE WHEN n=3 THEN dup_frac END) AS dup3_frac,
+             max(CASE WHEN n=4 THEN top_frac END) AS top4_frac,
+             max(CASE WHEN n=4 THEN dup_frac END) AS dup4_frac
+           FROM pern GROUP BY doc_id)
+         SELECT n.doc_id,
+           coalesce(w.top2_frac, 0.0) AS top2_frac, coalesce(w.dup2_frac, 0.0) AS dup2_frac,
+           coalesce(w.top3_frac, 0.0) AS top3_frac, coalesce(w.dup3_frac, 0.0) AS dup3_frac,
+           coalesce(w.top4_frac, 0.0) AS top4_frac, coalesce(w.dup4_frac, 0.0) AS dup4_frac,
+           CAST((coalesce(w.top2_frac, 0.0) <= 0.20 AND coalesce(w.top3_frac, 0.0) <= 0.18
+                 AND coalesce(w.top4_frac, 0.0) <= 0.16) AS INT) AS keep
+         FROM norm n LEFT JOIN wide w ON n.doc_id = w.doc_id
+         ORDER BY n.doc_id""",
     "q68_range_join" ->
       """WITH ev AS (
            SELECT event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events),

@@ -267,6 +267,127 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"),
     "es" -> Seq("el", "la", "los", "y", "es", "no", "un", "una", "para", "con"))
 
+  /** Word n-grams WITH multiplicity, in document order. Repetition
+    * analysis needs occurrence counts; [[DedupOps.shingles]] is the
+    * distinct-set variant used by dedup (sets are what MinHash/SSJoin
+    * consume). Tokenization matches [[tokens]] (trim + whitespace
+    * collapse, no case folding). Docs with fewer than `n` tokens (or
+    * blank text) yield an empty array. Narrow per-row expression —
+    * distributes with zero state. */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(length(trim(text)) === 0 || size(toks) < n,
+      array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+  }
+
+  private val gopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style word-level quality rules (Rae et al. arXiv:2112.11446
+    * appendix A1.1): word-count bounds, mean-word-length band,
+    * symbol-to-word ratio ('#' and '...'), alphabetic-word fraction, and
+    * required stop-word presence. Line-based Gopher rules (bullet /
+    * ellipsis line fractions) are omitted — they need line structure,
+    * which this corpus lacks; [[ngramRepetitionStats]] carries the
+    * repetition rules. Thresholds are parameters (paper defaults) so a
+    * pipeline can calibrate per corpus.
+    *
+    * Returns a struct of the measurements plus `keep` (1 = passes all
+    * rules, as int for engine-portable hashing). Pure narrow expressions
+    * — map-only at any scale.
+    *
+    * Bit-exactness notes for oracle parity: every fraction is a single
+    * IEEE division of exact integer counts (the symbol ratio multiplies
+    * through by 3 so the '...' occurrence count stays integral). */
+  def gopherQuality(text: Column,
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                    maxSymbolWordRatio: Double = 0.1,
+                    minAlphaWordFrac: Double = 0.8,
+                    minStopwords: Int = 2,
+                    stopwords: Seq[String] = gopherStopwords): Column = {
+    val toks = tokens(text)
+    val empty = length(trim(text)) === 0
+    val nWords = when(empty, lit(0)).otherwise(size(toks))
+    val meanWordLen = when(nWords === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nWords)
+    val alphaFrac = when(nWords === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nWords)
+    val nStop = size(filter(array(stopwords.map(lit): _*),
+      s => array_contains(toks, s)))
+    // 3·(#'#') + chars-in-'...' over 3·words: one exact-int division
+    val nHashChars = length(text) - length(regexp_replace(text, "#", ""))
+    val nEllChars = length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))
+    val symbolRatio = when(nWords === 0, lit(0.0)).otherwise(
+      (nHashChars * lit(3) + nEllChars).cast("double") / (nWords * lit(3)))
+    val keep = nWords.between(minWords, maxWords) &&
+      meanWordLen.between(minMeanWordLen, maxMeanWordLen) &&
+      symbolRatio <= maxSymbolWordRatio &&
+      alphaFrac >= minAlphaWordFrac &&
+      nStop >= minStopwords
+    struct(
+      nWords.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      alphaFrac.as("alpha_word_frac"),
+      nStop.as("n_stop_present"),
+      symbolRatio.as("symbol_word_ratio"),
+      keep.cast("int").as("keep"))
+  }
+
+  /** Gopher-style repetition measurements (Rae et al. arXiv:2112.11446
+    * appendix A1.2) per document, for each n in `ns`:
+    *   - `top{n}_frac`: characters covered by the MOST frequent word
+    *     n-gram — occurrences × gram length over normalized doc length
+    *     (ties broken by lexicographically smallest gram; overlapping
+    *     occurrences may push the value past 1.0, as in the published
+    *     formulation)
+    *   - `dup{n}_frac`: character mass of n-grams occurring more than
+    *     once, with multiplicity, over total n-gram character mass
+    * Docs shorter than n tokens report 0.0 for both.
+    *
+    * Scale shape: explode → count keyed by (doc, n, gram) with map-side
+    * partial aggregation, a per-(doc, n) window (bounded by one doc's
+    * gram count — never corpus-wide), and a final per-doc aggregate.
+    * Every shuffle key includes doc_id, so parallelism grows with the
+    * corpus and no state is global: the 100 TB cost is three doc-keyed
+    * shuffles of narrow rows. */
+  def ngramRepetitionStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+                           idCol: String, ns: Seq[Int] = Seq(2, 3, 4)): org.apache.spark.sql.DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be positive, got $ns")
+    val base = df.select(col(idCol),
+      length(array_join(tokens(col(textCol)), " ")).as("__n_chars"),
+      col(textCol))
+    val grams = ns.map { n =>
+      base.select(col(idCol), col("__n_chars"), lit(n).as("__n"),
+        explode(ngramsAll(col(textCol), n)).as("__g"))
+    }.reduce(_ unionByName _)
+    val cnt = grams.groupBy(col(idCol), col("__n"), col("__g"))
+      .agg(max(col("__n_chars")).as("__n_chars"), count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("__n"))
+      .orderBy(col("__c").desc, col("__g").asc)
+    val perN = cnt
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol), col("__n"))
+      .agg(
+        max(col("__n_chars")).as("__nc"),
+        sum(col("__c") * length(col("__g"))).as("__tot"),
+        sum(when(col("__c") > 1, col("__c") * length(col("__g")))
+          .otherwise(lit(0L))).as("__dup"),
+        max(when(col("__rn") === 1, col("__c") * length(col("__g"))))
+          .as("__topchars"))
+    val aggs = ns.flatMap(n => Seq(
+      max(when(col("__n") === n,
+        col("__topchars").cast("double") / col("__nc"))).as(s"top${n}_frac"),
+      max(when(col("__n") === n,
+        col("__dup").cast("double") / col("__tot"))).as(s"dup${n}_frac")))
+    val wide = perN.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val fills = ns.flatMap(n => Seq(s"top${n}_frac", s"dup${n}_frac"))
+    base.select(col(idCol)).join(wide, Seq(idCol), "left")
+      .na.fill(0.0, fills)
+  }
+
   /** n-gram/stopword-vote language ID heuristic: CJK script ratio decides
     * "zh"; otherwise the language whose stopword set matches the most
     * tokens wins; "und" (undetermined) when nothing matches. Pure
