@@ -40,8 +40,9 @@ object GraftSession {
       // warehouse, never the process cwd — mains run from anywhere
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
-      // the events table stores nanosecond timestamps; surface them as
-      // raw Long nanos rather than failing the read
+      // if a parquet source stores timestamp[ns], surface it as raw Long
+      // nanos rather than failing the read; Tables.normalizeTs folds that
+      // encoding (and timestamp[us]) into the canonical TIMESTAMP_NTZ
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     master.orElse(Some(s"local[$cpus]")).foreach(b.master)
     b

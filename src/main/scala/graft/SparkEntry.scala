@@ -147,8 +147,7 @@ object SparkEntry {
     }),
     // ── §2.6 streaming semantics (batch rendition): tumbling-window agg
     "q14_events_window" -> ((s, dir) => {
-      val ev = T(s, dir, "events").withColumn("ts",
-        timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+      val ev = T(s, dir, "events") // ts: canonical TIMESTAMP_NTZ (Tables.normalizeTs)
       ev.groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), min("value").as("vmin"), max("value").as("vmax"))
         .orderBy("hour_ts", "event_type")
@@ -266,9 +265,9 @@ object SparkEntry {
     // ── extension: sessionization over the event stream (gap > 30 min)
     "q30_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = T(s, dir, "events") // ts arrives as Long nanos (nanosAsLong)
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val gapNs = col("ts") - lag(col("ts"), 1).over(w)
+      val ev = T(s, dir, "events").withColumn("tns", Tables.epochNs(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy("tns", "event_id")
+      val gapNs = col("tns") - lag(col("tns"), 1).over(w)
       val newSession = when(gapNs.isNull || gapNs > lit(30L * 60 * 1000000000L), 1L).otherwise(0L)
       val sessioned = ev.withColumn("session_id",
         sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -332,7 +331,7 @@ object SparkEntry {
     // ── extension: as-of join (most recent prior view per purchase) —
     //    an operator Spark lacks, composed as union + one shuffle + window
     "q37_asof_join" -> ((s, dir) => {
-      val ev = T(s, dir, "events") // ts arrives as Long nanos
+      val ev = T(s, dir, "events") // ts: canonical TIMESTAMP_NTZ
       val purchases = ev.where(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts")
       val views = ev.where(col("event_type") === "view")
@@ -563,7 +562,7 @@ object SparkEntry {
     //    hasher sees a different value rendering (cf. q59's cum column)
     "q56_window_analytics" -> ((s, dir) => {
       val e = T(s, dir, "events").select(col("event_id"), col("user_id"),
-        col("ts").as("tns"), // Long nanos (nanosAsLong)
+        col("ts").as("tns"), // orders identically to epoch nanos
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
       val w = Window.partitionBy("user_id").orderBy("tns", "event_id")
       e.select(col("event_id"), col("user_id"), col("cents"),
@@ -580,9 +579,9 @@ object SparkEntry {
     "q57_interval_join" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       val err = ev.where(col("event_type") === "error")
-        .select(col("event_id"), col("user_id"), col("ts").as("etns"))
+        .select(col("event_id"), col("user_id"), Tables.epochNs(col("ts")).as("etns"))
       val clk = ev.where(col("event_type") === "click")
-        .select(col("user_id").as("cu"), col("ts").as("ctns"))
+        .select(col("user_id").as("cu"), Tables.epochNs(col("ts")).as("ctns"))
       err.join(clk, col("user_id") === col("cu") &&
           col("ctns") >= col("etns") && col("ctns") < col("etns") + lit(600000000000L),
           "left")
@@ -688,7 +687,8 @@ object SparkEntry {
     //    precision on epoch-nanos magnitudes
     "q65_resample" -> ((s, dir) => {
       val e = T(s, dir, "events").where(col("user_id") < 10)
-        .select(col("user_id"), expr("ts div 3600000000000").as("hr"),
+        .select(col("user_id"),
+          call_function("div", Tables.epochNs(col("ts")), lit(3600000000000L)).as("hr"),
           floor(col("value") * 100 + 0.5).cast("long").as("cents"))
       val agg = e.groupBy("user_id", "hr")
         .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
