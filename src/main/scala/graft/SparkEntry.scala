@@ -1157,8 +1157,20 @@ object SparkEntry {
     "q100_shard_write" -> ((s, dir) => {
       val docs = T(s, dir, "documents").select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+      // unique per-invocation dir (cleaned at JVM exit): a fixed path
+      // would collide across parallel runs and could gate on stale files
+      val shardDir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_q100_shards_${java.util.UUID.randomUUID()}")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(shardDir)
+      }))
       val rb = graft.operators.TrainShuffle.writeShards(docs, "doc_id", "ntok",
-        nShards = 4, seqLen = 512L, seed = 777L, path = "/tmp/graft_q100_shards")
+        nShards = 4, seqLen = 512L, seed = 777L, path = shardDir.getAbsolutePath)
       rb.groupBy(col("shard").cast("long").as("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum("ntok").as("n_tokens"),
@@ -1221,6 +1233,38 @@ object SparkEntry {
         .withColumn("keep",
           (col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
            col("top4_frac") <= 0.16).cast("int"))
+        .orderBy("doc_id")
+    }),
+    // ── extension: BATCH RENDITION of the streaming admission chain
+    //    (StreamingOps.budgetAdmission fed by ClassifierOps.dsirScoreDocs)
+    //    — certifies the literal-folded map-only scoring path ≡ the q94
+    //    join-aggregation DSIR formulation on the gate corpus, plus the
+    //    smallest-first token-budget cut. With ascending-ntok admission
+    //    the streaming operator's skip-then-admit case is impossible
+    //    (once a row overflows, every later row is ≥ as large), so the
+    //    inclusive running sum `cum <= budget` is EXACTLY its semantics.
+    //    The running sum is PrefixSum.groupedRunningSum — a corpus-sized
+    //    source never lands on one reducer (the MixtureSample scale path),
+    //    unlike a Window.partitionBy(source) over corpus rows
+    "q105_admission_chain" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+      val occ = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+      val target = docs.where(col("lang") === "en").select("doc_id")
+      val model = ClassifierOps.dsirModel(occ, "doc_id", "word", target,
+        buckets = 512, alpha = 0.5)
+      val scored = ClassifierOps.dsirScoreDocs(docs, "text", model, buckets = 512)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("ntok"),
+          col("dsir_score"))
+        // PrefixSum needs ONE unique numeric order column; (ntok, doc_id)
+        // ascending == this key ascending while doc_id < 2^33
+        .withColumn("__prio", col("ntok") * lit(8589934592L) + col("doc_id"))
+      graft.operators.PrefixSum
+        .groupedRunningSum(scored, Seq("source"), "__prio", "ntok", "cum")
+        .where(col("cum") <= 800L)
+        .select(col("doc_id"), col("source"), col("ntok"),
+          round(col("dsir_score") * 1000).cast("long").as("score_milli"))
         .orderBy("doc_id")
     }),
     // ── extension: interpolated bigram-LM surprise — the CCNet-style
@@ -2176,6 +2220,38 @@ object SparkEntry {
                  AND coalesce(w.top4_frac, 0.0) <= 0.16) AS INT) AS keep
          FROM norm n LEFT JOIN wide w ON n.doc_id = w.doc_id
          ORDER BY n.doc_id""",
+    "q105_admission_chain" ->
+      """WITH td AS (
+           SELECT doc_id, source, lang,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         occ AS (
+           SELECT doc_id,
+             CAST('0x' || substr(md5(unnest(t)), 1, 15) AS BIGINT) % 512 AS b
+           FROM td),
+         raw AS (SELECT b, count(*) AS cr FROM occ GROUP BY b),
+         tgt AS (
+           SELECT o.b, count(*) AS ct FROM occ o
+           JOIN td ON o.doc_id = td.doc_id AND td.lang = 'en' GROUP BY o.b),
+         cells AS (
+           SELECT raw.b, cr, COALESCE(ct, 0) AS ct FROM raw LEFT JOIN tgt USING (b)),
+         tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cells),
+         model AS (
+           SELECT b, ln((ct + 0.5) / (tt + 0.5 * 512)) - ln((cr + 0.5) / (tr + 0.5 * 512)) AS lw
+           FROM cells, tot),
+         w AS (
+           SELECT occ.doc_id, sum(lw) AS score
+           FROM occ JOIN model USING (b) GROUP BY occ.doc_id),
+         s AS (
+           SELECT td.doc_id, td.source, len(td.t) AS ntok, COALESCE(w.score, 0) AS score
+           FROM td LEFT JOIN w ON td.doc_id = w.doc_id),
+         adm AS (
+           SELECT doc_id, source, CAST(ntok AS BIGINT) AS ntok, score,
+             CAST(sum(ntok) OVER (PARTITION BY source ORDER BY ntok, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM s)
+         SELECT doc_id, source, ntok, CAST(round(score * 1000) AS BIGINT) AS score_milli
+         FROM adm WHERE cum <= 800 ORDER BY doc_id""",
     "q68_range_join" ->
       """WITH ev AS (
            SELECT event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events),

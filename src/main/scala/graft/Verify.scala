@@ -8,11 +8,18 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.getOrCreate("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // name → exception message for every query that threw, dumped as
+    // verify_failures.json (empty `{}` on a green run) — a throwing query
+    // otherwise surfaces only as a silently-missing result directory in
+    // the driver's compare, which is how a 4-query regression once went
+    // a full round undiagnosed
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         // a stale result dir from a previous run would let the oracle
         // compare silently pass on old data — remove it (recursively: a
         // mid-write failure leaves _temporary/ subtrees) so the failure
@@ -40,6 +47,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }
