@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming counterparts of the batch pipeline operators — the pieces a
   * continuously-ingesting corpus pipeline needs beyond the reference's
@@ -87,6 +88,51 @@ object StreamingOps {
           admitted.iterator
       }(Encoders.scalaLong, Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
       .toDF(groupCol, tokenCol)
+  }
+
+  /** Continuous near-dup ingestion against the PERSISTED banded MinHash
+    * store — the q99 lifecycle run as a stream. Each micro-batch is
+    * absorbed against the bucketed store TABLE with
+    * [[graft.functions.DedupOps.incrementalMinhashDedupBanded]] (the
+    * store is reloaded per batch, so batch N+1 sees batch N's appends),
+    * the batch's survivors are handed to `onSurvivors`, and the
+    * survivors' banded signatures are appended to the store with the
+    * SAME bucketing — the next absorb still reads a bucketed, map-only
+    * store scan with zero store-side shuffle.
+    *
+    * The store IS the operator's state, but it lives in the warehouse
+    * rather than a streaming state store: restart, executor loss, and a
+    * second independent pipeline all see one consistent append-only
+    * corpus memory, and the batch q67/q99 paths absorb against the very
+    * same table. `foreachBatch` is the right harness — absorption is a
+    * multi-stage join pipeline plus an external bucketed table write,
+    * not expressible as a chained stateful streaming operator.
+    *
+    * Per-batch cost is O(increment): the store side is pruned to the
+    * increment's (band, band_key) buckets via broadcast semi-join
+    * before any scoring (see [[graft.functions.DedupOps.absorbDropIds]]).
+    *
+    * @param onSurvivors called once per micro-batch with (survivor rows
+    *                    of that batch, batchId); survivors are already
+    *                    eagerly materialized (checkpointed) frames
+    */
+  def dedupAgainstStore(docs: DataFrame, textCol: String, idCol: String,
+                        storeTable: String, storeBuckets: Int = 8,
+                        k: Int = 64, bands: Int = 16, ngram: Int = 3,
+                        threshold: Double = 0.7)
+                       (onSurvivors: (DataFrame, Long) => Unit): StreamingQuery = {
+    val absorbBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      val s = batch.sparkSession
+      val store = graft.sources.TableStore.loadTable(s, storeTable)
+      val (survivors, keptBanded) = graft.functions.DedupOps
+        .incrementalMinhashDedupBanded(batch.toDF(), textCol, idCol, store,
+          k, bands, ngram, threshold)
+      graft.sources.TableStore.saveBucketed(keptBanded, storeTable,
+        bucketCols = Seq("band", "band_key"), buckets = storeBuckets,
+        mode = SaveMode.Append)
+      onSurvivors(survivors, batchId)
+    }
+    docs.writeStream.outputMode("append").foreachBatch(absorbBatch).start()
   }
 
   /** Watermarked stream-stream equi-join with a time-range bound: right

@@ -234,4 +234,51 @@ class StreamingOpsSpec extends SparkSpec {
       assert(math.abs(got(12L) - (3 * unseen + prior)) < 1e-9)
     } finally q.stop()
   }
+
+  test("dedupAgainstStore absorbs micro-batches into the persisted banded store") {
+    import graft.functions.DedupOps
+    import graft.sources.TableStore
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "graft_stream_sig_store"
+    // seed the store from a static corpus — the q99 build step
+    val seed = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "entirely different seed content about distributed query engines"))
+      .toDF("doc_id", "text")
+    TableStore.dropTable(spark, tbl)
+    TableStore.saveBucketed(DedupOps.minhashStore(seed, "text", "doc_id"),
+      tbl, bucketCols = Seq("band", "band_key"), buckets = 4)
+
+    val survivorIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupAgainstStore(
+      ms.toDF().toDF("doc_id", "text"), "text", "doc_id", tbl,
+      storeBuckets = 4, threshold = 0.5) { (survivors, _) =>
+      survivorIds.synchronized {
+        survivorIds ++= survivors.select("doc_id").collect().map(_.getLong(0))
+      }
+    }
+    try {
+      // batch 1: 10 duplicates seed doc 0 (dropped vs STORE); 11 is novel
+      ms.addData(
+        (10L, "the quick brown fox jumps over the lazy dog again and again"),
+        (11L, "novel streaming content batch one completely fresh words here"))
+      q.processAllAvailable()
+      // batch 2: 12 duplicates batch 1's survivor 11 — dropped only if
+      // batch 1's append is visible to batch 2's absorb; 13 is novel
+      ms.addData(
+        (12L, "novel streaming content batch one completely fresh words here"),
+        (13L, "yet another unrelated document closing out the second batch"))
+      q.processAllAvailable()
+      assert(survivorIds.synchronized(survivorIds.toSet) == Set(11L, 13L),
+        s"survivors ${survivorIds.toSeq}")
+      // the store grew by exactly the survivors' banded rows (16 bands each)
+      val storeIds = TableStore.loadTable(spark, tbl)
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+      assert(storeIds == Set(0L, 1L, 11L, 13L), s"store ids $storeIds")
+    } finally {
+      q.stop()
+      TableStore.dropTable(spark, tbl)
+    }
+  }
 }
