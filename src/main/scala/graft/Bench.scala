@@ -9,6 +9,19 @@ package graft
   * timed pass no cached-result shortcut.
   */
 object Bench {
+  /** The timed action: force FULL materialization of every output row
+    * (count over the executed plan's InternalRows — whole-stage codegen
+    * must produce each UnsafeRow with all columns, and the final sort
+    * runs). A bare `df.count()` lets Catalyst prune the final projection
+    * and eliminate the output sort, so map-only queries (q16/q17/q103…)
+    * previously benched as scan+count only — q102's regex cost was
+    * invisible under count() yet dominant under Verify's parquet write.
+    * Recorded as a methodology change in BASELINE.md (round 9); numbers
+    * are comparable to Verify's write-side cost, not to pre-r9 bench
+    * rows for projection-heavy queries. */
+  def force(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -24,7 +37,7 @@ object Bench {
     val spark = GraftSession.getOrCreate("graft-bench")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try force(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
       spark.sharedState.cacheManager.clearCache()
     }
@@ -49,7 +62,7 @@ object Bench {
     // number of record.
     def timedPass(): Seq[(String, Double)] = queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      val t = try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

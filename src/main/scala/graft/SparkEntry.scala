@@ -207,8 +207,14 @@ object SparkEntry {
     }),
     // ── extension: SimHash signatures (rows-only oracle: xxhash64)
     "q22_simhash" -> ((s, dir) => {
+      // native single-pass kernel (NativeKernelSpec asserts it equals the
+      // DedupOps.simhash lambda formulation bit-for-bit): the lambda
+      // version re-aggregates every token hash once PER BIT — 60× the
+      // md5 work, interpreted — and benched 43 s vs ~1 s at sf0.1 once
+      // the bench action stopped letting count() prune the projection
+      graft.expr.GraftFunctions.register(s)
       T(s, dir, "documents")
-        .select(col("doc_id"), DedupOps.simhash(col("text")).as("sig"))
+        .select(col("doc_id"), call_function("simhash64", col("text")).as("sig"))
         .orderBy("doc_id")
     }),
     // ── extension: brute-force cosine top-k ANN baseline
@@ -1267,6 +1273,16 @@ object SparkEntry {
           round(col("dsir_score") * 1000).cast("long").as("score_milli"))
         .orderBy("doc_id")
     }),
+    // ── extension: winnowing fingerprints (Schleimer et al. SIGMOD'03,
+    //    the MOSS algorithm) — rightmost-min-per-window selection over
+    //    the k-shingle hash stream, with the shared-run detection
+    //    guarantee q44's bare rolling hashes lack. Map-only narrow
+    //    array expressions; the only Exchange is the gate's output sort
+    "q106_winnow_fingerprints" -> ((s, dir) => {
+      TextFunctions.winnowFingerprints(T(s, dir, "documents"), "text", "doc_id",
+        k = 4, w = 4)
+        .orderBy("doc_id", "pos")
+    }),
     // ── extension: interpolated bigram-LM surprise — the CCNet-style
     //    "perplexity under a reference LM" quality filter with the LM
     //    trained on the corpus itself: p(w2|w1) = 0.7·MLE(bigram) +
@@ -2252,6 +2268,25 @@ object SparkEntry {
            FROM s)
          SELECT doc_id, source, ntok, CAST(round(score * 1000) AS BIGINT) AS score_milli
          FROM adm WHERE cum <= 800 ORDER BY doc_id""",
+    "q106_winnow_fingerprints" ->
+      """WITH td AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         g AS (
+           SELECT doc_id,
+             [CAST('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15) AS BIGINT)
+              for i in range(1, len(t) - 4 + 2)] AS hs
+           FROM td WHERE len(t) >= 4),
+         sel AS (
+           SELECT doc_id, hs,
+             list_distinct([i + least(4, len(hs))
+                 - list_position(list_reverse(hs[i:i+least(4, len(hs))-1]),
+                                 list_min(hs[i:i+least(4, len(hs))-1]))
+               for i in range(1, len(hs) - least(4, len(hs)) + 2)]) AS poss
+           FROM g)
+         SELECT s.doc_id, u.p - 1 AS pos, s.hs[u.p] AS fp
+         FROM sel s, UNNEST(s.poss) AS u(p)
+         ORDER BY s.doc_id, pos""",
     "q68_range_join" ->
       """WITH ev AS (
            SELECT event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events),

@@ -18,11 +18,11 @@ object TimeOne {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    fn(spark, sfDir).count() // warm: codegen + JIT + file listing
+    Bench.force(fn(spark, sfDir)) // warm: codegen + JIT + file listing
     clear()
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val n = Bench.force(fn(spark, sfDir))
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[time-one] $name rep$i: $sec%.3f s ($n rows)")
       clear()

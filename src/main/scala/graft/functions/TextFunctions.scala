@@ -280,12 +280,75 @@ object TextFunctions {
     * collapse, no case folding). Docs with fewer than `n` tokens (or
     * blank text) yield an empty array. Narrow per-row expression —
     * distributes with zero state. */
-  def ngramsAll(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(length(trim(text)) === 0 || size(toks) < n,
-      array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+  def ngramsAll(text: Column, n: Int): Column =
+    bindOnce(tokens(text)) { toks =>
+      when(length(trim(text)) === 0 || size(toks) < n,
+        array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+    }
+
+  /** Evaluate `c` ONCE per row and let `body` reference the bound value.
+    *
+    * Higher-order array functions run interpreted (no whole-stage
+    * codegen, no common-subexpression elimination), so a lambda that
+    * textually embeds an expensive child — `transform(seq, i =>
+    * slice(tokens(text), …))` — re-evaluates that child on EVERY lambda
+    * invocation: ngramsAll re-split the text once per gram, turning an
+    * O(tokens) projection into O(tokens²) chars (q106's winnowing read
+    * minutes per input split before this). Binding through a 1-element
+    * `transform` makes the child a lambda VARIABLE: evaluated once,
+    * referenced for free.
+    */
+  private def bindOnce(c: Column)(body: Column => Column): Column =
+    element_at(transform(array(c), v => body(v)), 1)
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003 — the MOSS algorithm): hash every k-token shingle of the
+    * lower-cased text, slide a w-hash window, select each window's
+    * MINIMUM hash (rightmost on ties), and dedupe the selections.
+    * Unlike q44's bare rolling-hash stream, winnowing carries the
+    * detection GUARANTEE: any shared run of k+w−1 tokens between two
+    * docs produces at least one shared selected fingerprint, at an
+    * expected density of 2/(w+1) of the shingle stream — a principled,
+    * tunable sub-sample for plagiarism/near-dup indexes. Docs with
+    * fewer than w shingles shrink the window to the whole hash list
+    * (≥ 1 fingerprint for every doc with ≥ k tokens).
+    *
+    * Hashes are [[DedupOps.hash60]] of the shingle text (md5-prefix,
+    * engine-portable), so selection replays bit-exactly anywhere.
+    * Entirely narrow per-row array expressions (transform/slice over
+    * the in-row hash list): map-only, zero shuffles at any corpus size.
+    *
+    * @return one row per selected fingerprint: (idCol, `pos` 0-based
+    *         shingle position, `fp` the 60-bit hash)
+    */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, textCol: String,
+                         idCol: String, k: Int = 4, w: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+    // the hash list MUST be lambda-bound ([[bindOnce]]): referenced from
+    // every window's slice, a projection-column formulation gets inlined
+    // by CollapseProject and re-tokenizes + re-hashes the doc once PER
+    // WINDOW (measured: minutes per input split at sf0.1)
+    val pairs = bindOnce(
+      transform(ngramsAll(lower(col(textCol)), k), g => DedupOps.hash60(g))) { hs =>
+      when(size(hs) === 0, array().cast("array<struct<pos:bigint,fp:bigint>>"))
+        .otherwise(bindOnce(least(lit(w), size(hs))) { we =>
+          // rightmost-min per window via reverse + first-position: global
+          // 0-based pos for window start i = i + we − pos_in_reversed
+          transform(
+            array_distinct(transform(sequence(lit(0), size(hs) - we), i => {
+              val win = slice(hs, i + 1, we)
+              (i + we - array_position(reverse(win), array_min(win))).cast("long")
+            })),
+            p => struct(p.as("pos"),
+              element_at(hs, (p + 1).cast("int")).as("fp")))
+        })
+    }
+    df.select(col(idCol), explode(pairs).as("__pf"))
+      .select(col(idCol), col("__pf.pos").as("pos"), col("__pf.fp").as("fp"))
   }
 
   private val gopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
