@@ -1283,6 +1283,46 @@ object SparkEntry {
         k = 4, w = 4)
         .orderBy("doc_id", "pos")
     }),
+    // ── extension: BM25 top-k keyword retrieval (Robertson & Zaragoza
+    //    2009, Lucene idf) — the inverted-index query plan: postings
+    //    built only for query-vocabulary terms (map-side isin prune),
+    //    stats/df/query-expansion all broadcast, per-term contributions
+    //    integer-micro so ranks are float-order-independent
+    "q107_bm25_retrieval" -> ((s, dir) => {
+      graft.functions.RetrievalOps.bm25TopK(T(s, dir, "documents"),
+        "doc_id", "text",
+        queries = Seq(1 -> Seq("spark", "join", "window"),
+          2 -> Seq("stream", "batch"),
+          3 -> Seq("vector", "hash", "merge", "sort")),
+        k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    // ── extension: ordered conversion funnel (view → click → purchase,
+    //    strict event-time order) — running-min recurrence keyed by
+    //    user: one Exchange, one Sort, no per-user array state
+    "q108_funnel" -> ((s, dir) => {
+      graft.functions.EventOps.funnel(T(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    }),
+    // ── extension: weekly cohort retention — first-event cohort via a
+    //    user-keyed window min, (cohort × offset) cells are tiny, the
+    //    denominator is a window max over the cell table, not a second
+    //    corpus pass
+    "q109_cohort_retention" -> ((s, dir) => {
+      graft.functions.EventOps.cohortRetention(T(s, dir, "events"),
+        "user_id", "ts")
+        .withColumn("cohort_week", date_format(col("cohort_week"), "yyyy-MM-dd"))
+        .select("cohort_week", "week_offset", "n_users", "retention_milli")
+        .orderBy("cohort_week", "week_offset")
+    }),
+    // ── extension: Zipf power-law fit of the token frequency spectrum
+    //    (slope ≈ −1 for natural text; flatter = template/boilerplate
+    //    domination) — corpus-health probe; counts aggregate + global
+    //    top-N (TakeOrdered, not a full sort) + 50-row regression
+    "q110_zipf_fit" -> ((s, dir) => {
+      graft.functions.VocabOps.zipfFit(T(s, dir, "documents"),
+        "doc_id", "text", topN = 50)
+    }),
     // ── extension: interpolated bigram-LM surprise — the CCNet-style
     //    "perplexity under a reference LM" quality filter with the LM
     //    trained on the corpus itself: p(w2|w1) = 0.7·MLE(bigram) +
@@ -2287,6 +2327,100 @@ object SparkEntry {
          SELECT s.doc_id, u.p - 1 AS pos, s.hs[u.p] AS fp
          FROM sel s, UNNEST(s.poss) AS u(p)
          ORDER BY s.doc_id, pos""",
+    "q107_bm25_retrieval" ->
+      """WITH qt(query_id, qterm) AS (VALUES
+           (1,'spark'),(1,'join'),(1,'window'),
+           (2,'stream'),(2,'batch'),
+           (3,'vector'),(3,'hash'),(3,'merge'),(3,'sort')),
+         toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         tf AS (
+           SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf FROM (
+             SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toks)
+           WHERE term IN (SELECT DISTINCT qterm FROM qt)
+           GROUP BY doc_id, term),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             avg(CAST(len(t) AS DOUBLE)) AS avgdl FROM toks),
+         dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         contrib AS (
+           SELECT qt.query_id, tf.doc_id,
+             CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+               * 1e6) AS BIGINT) AS c
+           FROM tf JOIN dfreq USING (term) JOIN qt ON qt.qterm = tf.term, stats),
+         sc AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+                FROM contrib GROUP BY 1, 2),
+         r AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_micro DESC, doc_id) AS BIGINT) AS "rank",
+                 doc_id, score_micro FROM sc)
+         SELECT query_id, "rank", doc_id, score_micro FROM r
+         WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
+    "q108_funnel" ->
+      """WITH s0 AS (
+           SELECT user_id, ts, event_type,
+             CASE WHEN event_type = 'view' THEN ts END AS q0,
+             min(CASE WHEN event_type = 'view' THEN ts END) OVER
+               (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run0
+           FROM events),
+         s1 AS (
+           SELECT *, CASE WHEN event_type = 'click' AND ts > run0 THEN ts END AS q1,
+             min(CASE WHEN event_type = 'click' AND ts > run0 THEN ts END) OVER
+               (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run1
+           FROM s0),
+         s2 AS (
+           SELECT *, CASE WHEN event_type = 'purchase' AND ts > run1 THEN ts END AS q2
+           FROM s1),
+         pu AS (SELECT user_id, min(q0) AS t0, min(q1) AS t1, min(q2) AS t2
+                FROM s2 GROUP BY 1),
+         c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM pu)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, n0 AS n_users,
+             CAST(round(CAST(n0 AS DOUBLE) / n0 * 1000) AS BIGINT) AS conv_from_first_milli
+           FROM c
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), 'click', n1,
+             CAST(round(CAST(n1 AS DOUBLE) / n0 * 1000) AS BIGINT) FROM c
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), 'purchase', n2,
+             CAST(round(CAST(n2 AS DOUBLE) / n0 * 1000) AS BIGINT) FROM c)
+         ORDER BY step""",
+    "q109_cohort_retention" ->
+      """WITH f AS (
+           SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS first_ts
+           FROM events),
+         act AS (
+           SELECT DISTINCT user_id,
+             CAST(date_trunc('week', first_ts) AS DATE) AS cw,
+             CAST(date_diff('day', CAST(date_trunc('week', first_ts) AS DATE),
+               CAST(date_trunc('week', ts) AS DATE)) // 7 AS BIGINT) AS week_offset
+           FROM f),
+         cells AS (SELECT cw, week_offset, count(*) AS n_users
+                   FROM act GROUP BY 1, 2),
+         den AS (
+           SELECT *, max(CASE WHEN week_offset = 0 THEN n_users END) OVER
+             (PARTITION BY cw) AS c0 FROM cells)
+         SELECT CAST(cw AS VARCHAR) AS cohort_week, week_offset, n_users,
+           CAST(round(CAST(n_users AS DOUBLE) / c0 * 1000) AS BIGINT) AS retention_milli
+         FROM den ORDER BY cohort_week, week_offset""",
+    "q110_zipf_fit" ->
+      """WITH occ AS (
+           SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents WHERE length(trim(text)) > 0),
+         wc AS (SELECT word, count(*) AS cnt FROM occ
+                GROUP BY 1 ORDER BY cnt DESC, word LIMIT 50),
+         rk AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS DOUBLE) AS rnk
+                FROM wc)
+         SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(cnt) AS BIGINT) AS top_tokens,
+           CAST(round(regr_slope(ln(cnt), ln(rnk)) * 1000) AS BIGINT) AS slope_milli,
+           CAST(round(regr_intercept(ln(cnt), ln(rnk)) * 1000) AS BIGINT) AS intercept_milli,
+           CAST(round(regr_r2(ln(cnt), ln(rnk)) * 1000) AS BIGINT) AS r2_milli
+         FROM rk""",
     "q68_range_join" ->
       """WITH ev AS (
            SELECT event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events),

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and cohort-retention analytics over an event stream.
+  *
+  * Both are single-Exchange shapes: every window and every aggregate is
+  * keyed by `user_id`, so the plan is one hash partition by user, one
+  * sort within partitions, and map-side work after that — no per-event
+  * state is ever collected into an array, so a pathological user with
+  * millions of events streams through the window operator instead of
+  * materializing (unlike a collect_list fold, this survives skew).
+  */
+object EventOps {
+
+  /** Ordered conversion funnel: for each user, the earliest time of
+    * step 1, the earliest step 2 STRICTLY after it, the earliest step 3
+    * strictly after that, etc. Returns one row per funnel step:
+    * (step, event_type, n_users, conv_from_first_milli).
+    *
+    * The existential "step i happened after some qualifying step i-1"
+    * semantics falls out of a running-min recurrence: the running
+    * minimum of qualifying step-(i-1) times is the earliest qualifier
+    * so far, and `ts > runningMin` is then exactly "after some
+    * qualifier". All running mins share one window frame (partition by
+    * user, order by ts), so Catalyst plans ONE Exchange + ONE Sort and
+    * evaluates the whole chain in a single Window operator.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val u = col(userCol); val ts = col(tsCol); val et = col(typeCol)
+    val w = Window.partitionBy(u).orderBy(ts)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // q$i: this row's ts if it qualifies as step i (right type, strictly
+    // after the earliest qualifying step i-1 seen so far = run$(i-1)).
+    // Window functions can't nest inside window arguments, so each
+    // running min is staged as its own projection; all share the same
+    // (partition, order) spec, so the chain still plans one Exchange and
+    // one Sort with consecutive Window operators on top. Rows with equal
+    // ts order arbitrarily within the frame, but qualification is
+    // STRICT (>), so frame order among ts-ties can't change any outcome.
+    var staged = events
+    steps.zipWithIndex.foreach { case (step, i) =>
+      val q = if (i == 0) when(et === step, ts)
+              else when(et === step && ts > col(s"run${i - 1}"), ts)
+      staged = staged.withColumn(s"q$i", q)
+      if (i < steps.size - 1)
+        staged = staged.withColumn(s"run$i", min(col(s"q$i")).over(w))
+    }
+
+    val perUser = staged.groupBy(u)
+      .agg(steps.indices.map(i => min(col(s"q$i")).as(s"t$i")).head,
+        steps.indices.map(i => min(col(s"q$i")).as(s"t$i")).tail: _*)
+
+    val counts = perUser.agg(
+      steps.indices.map(i => count(col(s"t$i")).as(s"n$i")).head,
+      steps.indices.map(i => count(col(s"t$i")).as(s"n$i")).tail: _*)
+
+    val stages = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i.toLong + 1).as("step"), lit(step).as("event_type"),
+        col(s"n$i").as("n_users"),
+        round(col(s"n$i").cast("double") / col("n0") * 1000).cast("long")
+          .as("conv_from_first_milli"))
+    }
+    counts.select(explode(array(stages: _*)).as("s")).select("s.*")
+      .orderBy("step")
+  }
+
+  /** Weekly cohort retention: users are assigned to the week of their
+    * first event (cohort), and each (cohort, week-offset) cell counts
+    * the users from that cohort active in that week. Returns
+    * (cohort_week, week_offset, n_users, retention_milli) where
+    * retention is relative to the cohort's size (its offset-0 cell —
+    * by construction every user is active in their first week).
+    *
+    * Scale: first-event time is a running window min keyed by user
+    * (same single Exchange as the activity dedup that follows); the
+    * final per-cell aggregate is cohort×offset-sized, i.e. tiny. The
+    * cohort-size denominator is a window max over the cohort partition
+    * of the already-tiny cell table, not a second pass over events.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val u = col(userCol); val ts = col(tsCol)
+    val first = Window.partitionBy(u)
+    val cells = events
+      .withColumn("cohort_week", date_trunc("week", min(ts).over(first)).cast("date"))
+      .withColumn("week_offset",
+        floor(datediff(date_trunc("week", ts).cast("date"), col("cohort_week")) / 7))
+      .select(u, col("cohort_week"), col("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+    val wc = Window.partitionBy("cohort_week")
+    cells.withColumn("retention_milli",
+        round(col("n_users").cast("double") /
+          max(when(col("week_offset") === 0, col("n_users"))).over(wc) * 1000)
+          .cast("long"))
+      .orderBy("cohort_week", "week_offset")
+  }
+}

@@ -117,4 +117,37 @@ object VocabOps {
         coalesce(col("vid"),
           lit(-1L) - pmod(DedupOps.hash60(col("word")), lit(oovBuckets.toLong))).as("token_id"))
   }
+
+  /** Zipf power-law fit of the corpus frequency spectrum: OLS regression
+    * of ln(count) on ln(rank) over the top `topN` words. A natural-text
+    * corpus yields a slope near −1 (Zipf's law); a synthetic or heavily
+    * duplicated corpus flattens (slope → 0) or cliffs — so the slope is
+    * a one-number corpus-health probe used to spot template/boilerplate
+    * domination before training.
+    *
+    * Scale: word counts are one corpus-wide aggregate; the top-N cut is
+    * a global TakeOrdered (orderBy + limit plans as a per-partition
+    * top-N merge on the driver, NOT a single-reducer full sort), and the
+    * regression runs over N ≤ a few hundred rows. Rank ties break by
+    * word so the fit is deterministic.
+    *
+    * Returns one row: (n_terms, total_tokens, slope_milli,
+    * intercept_milli, r2_milli).
+    */
+  def zipfFit(docs: DataFrame, idCol: String, textCol: String, topN: Int): DataFrame = {
+    val wc = explodeTokens(docs, idCol, textCol)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(topN)
+    val ranked = wc.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("word"))).cast("double"))
+    ranked.agg(
+      count(lit(1)).as("n_terms"),
+      sum("cnt").as("top_tokens"),
+      round(regr_slope(log(col("cnt")), log(col("rank"))) * 1000).cast("long")
+        .as("slope_milli"),
+      round(regr_intercept(log(col("cnt")), log(col("rank"))) * 1000).cast("long")
+        .as("intercept_milli"),
+      round(regr_r2(log(col("cnt")), log(col("rank"))) * 1000).cast("long")
+        .as("r2_milli"))
+  }
 }

@@ -1,0 +1,59 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class RetrievalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the operator's exact arithmetic, re-derived independently here:
+  // Lucene-idf BM25 with per-term micro-integer contributions
+  private def contribMicro(tf: Long, dl: Long, df: Long, n: Long,
+                           avgdl: Double, k1: Double = 1.2, b: Double = 0.75): Long =
+    math.round(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+      (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl)) * 1e6)
+
+  private val docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "apple cherry cherry date")
+  ).toDF("doc_id", "text")
+  private val avgdl = (3 + 2 + 4) / 3.0
+
+  test("single-term query ranks by tf/length-normalized score") {
+    val got = RetrievalOps.bm25TopK(docs, "doc_id", "text",
+      Seq(1 -> Seq("apple")), k = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Long)].collect.toSeq
+    val d1 = contribMicro(tf = 2, dl = 3, df = 2, n = 3, avgdl = avgdl)
+    val d3 = contribMicro(tf = 1, dl = 4, df = 2, n = 3, avgdl = avgdl)
+    assert(d1 > d3)
+    assert(got == Seq((1L, 1L, 1L, d1), (1L, 2L, 3L, d3)))
+  }
+
+  test("multi-term scores sum per-term micro contributions; rarer terms weigh more") {
+    val got = RetrievalOps.bm25TopK(docs, "doc_id", "text",
+      Seq(2 -> Seq("banana", "date")), k = 10)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect.toSeq
+    val d1 = contribMicro(1, 3, 2, 3, avgdl) // banana in doc1
+    val d2 = contribMicro(1, 2, 2, 3, avgdl) // banana in shorter doc2
+    val d3 = contribMicro(1, 4, 1, 3, avgdl) // rare date in doc3
+    assert(d3 > d2 && d2 > d1, "idf must dominate for the rarer term")
+    assert(got == Seq((2L, 1L, 3L, d3), (2L, 2L, 2L, d2), (2L, 3L, 1L, d1)))
+  }
+
+  test("k truncates per query; docs without any query term never appear") {
+    val got = RetrievalOps.bm25TopK(docs, "doc_id", "text",
+      Seq(1 -> Seq("apple"), 2 -> Seq("cherry")), k = 1)
+      .orderBy("query_id").as[(Long, Long, Long, Long)].collect.toSeq
+    assert(got.map(r => (r._1, r._3)) == Seq((1L, 1L), (2L, 3L)))
+  }
+
+  test("ties on integer score break by doc_id ascending") {
+    val twin = Seq((10L, "kiwi"), (7L, "kiwi"), (2L, "pear")).toDF("doc_id", "text")
+    val got = RetrievalOps.bm25TopK(twin, "doc_id", "text",
+      Seq(1 -> Seq("kiwi")), k = 10)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect.toSeq
+    assert(got.map(_._3) == Seq(7L, 10L))
+    assert(got.map(_._4).distinct.size == 1)
+  }
+}
