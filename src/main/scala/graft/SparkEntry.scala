@@ -1323,6 +1323,31 @@ object SparkEntry {
       graft.functions.VocabOps.zipfFit(T(s, dir, "documents"),
         "doc_id", "text", topN = 50)
     }),
+    // ── extension: quality-aware near-dup dedup — near-dup clusters (q26's
+    //    candidate pairs + label propagation) but keeping the LONGEST
+    //    member per cluster (most-complete capture), not the first id;
+    //    ties to the smaller id. Representative choice is all-integer
+    //    (n_chars, -id) so the argmax is engine-exact
+    "q111_cluster_rep_dedup" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(d, "text", "doc_id",
+        n = 3, threshold = 0.3, maxDocFreq = 1000)
+      DedupOps.clusterRepresentatives(d, pairs, "doc_id", "n_chars")
+        .orderBy("id")
+    }),
+    // ── extension: temperature-based mixture reweighting (XLM-R α-sampling,
+    //    α=0.5) — per-source natural share p, flattened share q ∝ √p,
+    //    up/down-sampling weight and epochs for a 1M-token budget. One
+    //    corpus aggregate; all FP ops correctly-rounded + ordered running
+    //    sum ⇒ doubles are BIT-EXACT vs the SQL oracle (no quantization)
+    "q112_temperature_mix" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+      graft.operators.MixtureSample.temperatureWeights(d, "source", "ntok",
+        targetTokens = 1000000L)
+        .select("source", "mass", "p", "q", "weight", "epochs")
+        .orderBy("source")
+    }),
     // ── extension: interpolated bigram-LM surprise — the CCNet-style
     //    "perplexity under a reference LM" quality filter with the LM
     //    trained on the corpus itself: p(w2|w1) = 0.7·MLE(bigram) +
@@ -2421,6 +2446,67 @@ object SparkEntry {
            CAST(round(regr_intercept(ln(cnt), ln(rnk)) * 1000) AS BIGINT) AS intercept_milli,
            CAST(round(regr_r2(ln(cnt), ln(rnk)) * 1000) AS BIGINT) AS r2_milli
          FROM rk""",
+    "q111_cluster_rep_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
+           FROM toks),
+         ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
+         exh AS (SELECT doc_id, sz, CAST('0x'||substr(md5(shingle),1,15) AS BIGINT) AS h FROM ex),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS c
+           FROM exh a JOIN exh b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT id_a, id_b FROM common
+           WHERE CAST(c AS DOUBLE) / (sz_a + sz_b - c) >= 0.3),
+         edges AS (
+           SELECT id_a AS s, id_b AS d FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         l0 AS (SELECT DISTINCT s AS id, s AS label FROM edges),
+         l1 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l0 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l0 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l2 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l1 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l1 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l3 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l2 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l2 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l4 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l3 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l3 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l5 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l4 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l4 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         lab AS (SELECT d.doc_id AS id, coalesce(l.label, d.doc_id) AS cluster, d.n_chars
+                 FROM documents d LEFT JOIN l5 l ON l.id = d.doc_id),
+         rn AS (SELECT *, row_number() OVER (PARTITION BY cluster
+                  ORDER BY n_chars DESC, id) AS r FROM lab),
+         rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
+         SELECT l.id, l.cluster, l.id = r.rep_id AS kept
+         FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q112_temperature_mix" ->
+      """WITH d AS (
+           SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS ntok
+           FROM documents),
+         m AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS mass FROM d GROUP BY 1),
+         t AS (SELECT m.*, CAST(sum(mass) OVER () AS BIGINT) AS total FROM m),
+         s AS (SELECT source, mass,
+                 CAST(mass AS DOUBLE) / CAST(total AS DOUBLE) AS p,
+                 sqrt(CAST(mass AS DOUBLE) / CAST(total AS DOUBLE)) AS pa
+               FROM t),
+         r AS (SELECT *, sum(pa) OVER (ORDER BY source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM s),
+         z AS (SELECT *, max(run) OVER () AS z FROM r)
+         SELECT source, mass, p, pa / z AS q, (pa / z) / p AS weight,
+           (pa / z) * 1000000.0 / CAST(mass AS DOUBLE) AS epochs
+         FROM z ORDER BY source""",
     "q68_range_join" ->
       """WITH ev AS (
            SELECT event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events),

@@ -324,6 +324,39 @@ object DedupOps {
     labels
   }
 
+  /** Quality-aware near-dup dedup: one REPRESENTATIVE per cluster instead
+    * of keep-first (the FineWeb/RefinedWeb practice — when a page exists in
+    * several crawl snapshots, keep the most complete capture, not the one
+    * with the smallest id). Clusters come from [[dedupClusters]] over the
+    * caller's candidate pairs; the representative is the member maximizing
+    * `(lenCol, -id)` — "longest, ties to the smallest id". The tie-break
+    * chain is ALL-INTEGER by design: a float quality score would make the
+    * argmax FP-rounding-sensitive across engines, while "most complete =
+    * longest" is both the standard heuristic and exactly reproducible.
+    *
+    * Scale shape: label propagation as [[dedupClusters]] (tiny components,
+    * early-exit rounds); then ONE aggregate + ONE join, both keyed by
+    * cluster id — cluster sizes are near-dup component sizes (bounded), so
+    * no skewed reducer. Docs untouched by any pair are their own singleton
+    * cluster via `coalesce(label, id)` — map-side, never shuffled into the
+    * label table.
+    *
+    * @return (id, cluster, kept) for every input row; `kept` marks the
+    *         cluster representative (exactly one per cluster)
+    */
+  def clusterRepresentatives(df: DataFrame, pairs: DataFrame,
+                             idCol: String, lenCol: String): DataFrame = {
+    val labels = dedupClusters(pairs)
+    val lab = df.select(col(idCol).as("id"), col(lenCol).cast("long").as("__len"))
+      .join(labels, Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("label"), col("id")))
+    val rep = lab.groupBy("cluster")
+      .agg(max(struct(col("__len"), (-col("id")).as("nid"))).as("m"))
+      .select(col("cluster"), (-col("m.nid")).as("__rep"))
+    lab.join(rep, Seq("cluster"))
+      .select(col("id"), col("cluster"), (col("id") === col("__rep")).as("kept"))
+  }
+
   /** 60-bit SimHash over whitespace tokens: per-bit majority vote of token
     * hashes ([[hash60]], md5-derived → engine-portable). Lambda
     * formulation — same math as the native [[graft.expr.SimHash64]]. */

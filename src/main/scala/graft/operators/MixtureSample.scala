@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic data-mixture construction: per-group token-budget
@@ -47,5 +48,56 @@ object MixtureSample {
         Seq(groupCol))
       .withColumn("picked", col("__cum") <= col("__budget"))
       .drop("__cum", "__budget")
+  }
+
+  /** Temperature-based mixture reweighting (the multilingual α-sampling of
+    * XLM-R, arXiv:1911.02116 §3.1, also used for The Pile / LLaMA domain
+    * weights): given per-row token counts, compute for each group
+    * (source/language/domain)
+    *
+    *   p_i      = mass_i / Σ mass          (natural share)
+    *   q_i      = p_i^α / Σ_j p_j^α        (temperature-flattened share)
+    *   weight_i = q_i / p_i                (up/down-sampling factor)
+    *   epochs_i = q_i · target / mass_i    (passes over source i needed to
+    *                                        fill a `targetTokens` budget)
+    *
+    * α<1 flattens the mixture toward uniform (boosts low-resource groups),
+    * α=1 is natural sampling. The output feeds [[tokenBudgetSample]]
+    * (budget_i = q_i·target) or an epoch-replication plan.
+    *
+    * Scale shape: ONE partial-aggregated `groupBy(group).sum(tokens)` over
+    * the corpus; everything after runs on the group table, which is
+    * mixture-component-sized (languages/domains: at most thousands) — the
+    * unpartitioned windows below are bounded by construction, never
+    * corpus-sized.
+    *
+    * Determinism: with the default α=0.5 every FP op in the chain —
+    * sqrt, ×, ÷ — is IEEE-754 correctly-rounded, and the one
+    * order-sensitive reduction (Σ p^α) is computed as an ORDERED running
+    * sum over the group key, so an ANSI-SQL engine replaying the same
+    * op sequence reproduces the doubles BIT-EXACTLY (the q112 DuckDB
+    * oracle does). Other α go through `pow`, whose rounding is
+    * platform-defined — fine for production, not for hash-exact oracles.
+    */
+  def temperatureWeights(df: DataFrame, groupCol: String, tokenCol: String,
+                         targetTokens: Long, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val mass = df.groupBy(groupCol).agg(sum(col(tokenCol)).cast("long").as("mass"))
+    // integer total: order-independent, safe as an unordered window sum
+    val whole = Window.partitionBy()
+    val run = Window.orderBy(groupCol).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pa: Column => Column =
+      if (alpha == 0.5) sqrt else p => pow(p, lit(alpha))
+    mass
+      .withColumn("p", col("mass").cast("double") / sum("mass").over(whole).cast("double"))
+      .withColumn("pa", pa(col("p")))
+      // Σ p^α as a running sum in group-key order: sequential left-to-right
+      // addition, reproducible by any engine; terms are non-negative so the
+      // final prefix (= the full sum) is the max
+      .withColumn("z", max(sum("pa").over(run)).over(whole))
+      .withColumn("q", col("pa") / col("z"))
+      .withColumn("weight", col("q") / col("p"))
+      .withColumn("epochs", col("q") * lit(targetTokens.toDouble) / col("mass").cast("double"))
+      .drop("pa", "z")
   }
 }

@@ -400,6 +400,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(labels.values.toSet == Set(10L))
   }
 
+  test("clusterRepresentatives keeps the longest member per cluster, singletons kept") {
+    // cluster {1,2,3}: 2 is longest -> representative; cluster {7,9}:
+    // tie on length -> smaller id 7 wins; 5 untouched by any pair -> kept
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 20L), (5L, 1L), (7L, 30L), (9L, 30L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = DedupOps.clusterRepresentatives(docs, pairs, "doc_id", "n_chars")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Boolean]("kept"))).toMap
+    assert(out == Map(
+      1L -> (1L, false), 2L -> (1L, true), 3L -> (1L, false),
+      5L -> (5L, true), 7L -> (7L, true), 9L -> (7L, false)))
+    // exactly one representative per cluster
+    val perCluster = out.values.groupBy(_._1).map { case (c, v) => c -> v.count(_._2) }
+    assert(perCluster.values.forall(_ == 1))
+  }
+
   test("passageDedup keeps first occurrence of each chunk and reassembles") {
     // 4-token chunks: doc 1 = [A B C D][E F G H]; doc 2 repeats doc 1's
     // first chunk then adds new material; doc 3 is entirely repeated chunks

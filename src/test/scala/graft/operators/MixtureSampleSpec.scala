@@ -37,6 +37,46 @@ class MixtureSampleSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L), "unbudgeted group must not appear in the output")
   }
 
+  test("temperatureWeights: alpha=0.5 flattens toward uniform, invariants hold") {
+    // masses 9000/900/100: natural shares 0.9/0.09/0.01
+    val d = Seq(("big", 9000L), ("mid", 900L), ("small", 100L)).toDF("source", "ntok")
+    val out = MixtureSample.temperatureWeights(d, "source", "ntok", targetTokens = 10000L)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("mass"), r.getAs[Double]("p"), r.getAs[Double]("q"),
+         r.getAs[Double]("weight"), r.getAs[Double]("epochs"))).toMap
+    assert(out("big")._1 == 9000L && out("small")._1 == 100L)
+    // q sums to 1; p sums to 1
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-12)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
+    // flattening: the dominant source is down-weighted, the rare one boosted
+    assert(out("big")._4 < 1.0 && out("small")._4 > 1.0)
+    // monotone: flattened shares preserve the mass order
+    assert(out("big")._3 > out("mid")._3 && out("mid")._3 > out("small")._3)
+    // epochs = q*target/mass: small source needs multiple passes to fill its slice
+    assert(out("small")._5 > 1.0 && out("big")._5 < 1.0)
+  }
+
+  test("temperatureWeights: alpha=1 is natural sampling (weight 1, q=p)") {
+    val d = Seq(("a", 600L), ("b", 300L), ("c", 100L)).toDF("source", "ntok")
+    val out = MixtureSample.temperatureWeights(d, "source", "ntok", 1000L, alpha = 1.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("p"), r.getAs[Double]("q"), r.getAs[Double]("weight"))).toMap
+    out.foreach { case (_, (p, q, w)) =>
+      assert(math.abs(q - p) < 1e-12 && math.abs(w - 1.0) < 1e-12)
+    }
+  }
+
+  test("temperatureWeights is deterministic under repartition") {
+    val rng = new scala.util.Random(7)
+    val d = (0 until 500).map(i => (s"g${i % 7}", (rng.nextInt(200) + 1).toLong))
+      .toDF("source", "ntok")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      MixtureSample.temperatureWeights(df, "source", "ntok", 100000L)
+        .collect().map(r => (r.getAs[String]("source"), r.getAs[Double]("q"),
+          r.getAs[Double]("epochs"))).toSet
+    assert(run(d) == run(d.repartition(17)), "doubles must be bit-identical across plans")
+  }
+
   test("tokenBudgetSample is deterministic under repartition") {
     val rng = new scala.util.Random(3)
     val rows = (0L until 200L).map { i =>
