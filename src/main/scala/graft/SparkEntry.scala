@@ -1348,6 +1348,37 @@ object SparkEntry {
         .select("source", "mass", "p", "q", "weight", "epochs")
         .orderBy("source")
     }),
+    // ── extension: PageRank link centrality (document quality prior on
+    //    crawl graphs) over the customer→supplier purchase graph, node ids
+    //    tagged 2k / 2k+1. Every supplier node is DANGLING (no out-edges),
+    //    so the gated query exercises the dangling-mass redistribution the
+    //    naive formulation leaks. Ranks quantized to micro-units (the
+    //    contribution sums are the one order-sensitive FP reduction)
+    "q113_pagerank" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.functions.GraphOps.pageRank(e, "src", "dst", damping = 0.85, iters = 5)
+        .select(col("id"), round(col("r") * 1000000).cast("long").as("rank_micro"))
+        .orderBy("id")
+    }),
+    // ── extension: product-quantization ANN — train per-subspace L2
+    //    codebooks (m=4 × k=16, init vec_id<16, one Lloyd round), encode
+    //    the corpus to 4 codeword ids, search by ADC lookup tables. The
+    //    memory story: 256-byte vectors → 4 small ints; the scan touches
+    //    only codes. Distances are ordered folds ⇒ engine-bit-exact
+    "q114_pq_adc_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val init = emb.where(col("vec_id") < 16)
+      val cb = graft.functions.PqOps.pqCodebook(emb, "vec_id", "embedding",
+        init, "vec_id", m = 4, dim = 64, lloydRounds = 1)
+      val codes = graft.functions.PqOps.pqEncode(emb, "vec_id", "embedding", cb, 4, 64)
+      val probes = emb.where(col("vec_id") < 5)
+      graft.functions.PqOps.pqTopK(codes, probes, "vec_id", "embedding", cb,
+        m = 4, dim = 64, k = 10, corpusIdCol = "vec_id")
+        .orderBy("probe_id", "rank")
+    }),
     // ── extension: interpolated bigram-LM surprise — the CCNet-style
     //    "perplexity under a reference LM" quality filter with the LM
     //    trained on the corpus itself: p(w2|w1) = 0.7·MLE(bigram) +
@@ -2489,6 +2520,91 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q114_pq_adc_topk" ->
+      """WITH subs AS (SELECT unnest(range(0, 4)) AS sub),
+         sv AS (SELECT e.vec_id, s.sub,
+                  list_transform(e.embedding[(s.sub*16+1):(s.sub*16+16)],
+                    x -> CAST(x AS DOUBLE)) AS sv
+                FROM embeddings e CROSS JOIN subs s),
+         cb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 16),
+         a0 AS (SELECT vec_id, sub, cid, sv FROM (
+                  SELECT v.vec_id, v.sub, v.sv, c.cid,
+                    row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+                      list_sum(list_transform(range(1, 17), i -> v.sv[i] * c.cv[i]))
+                      - CAST(0.5 AS DOUBLE) * list_sum(list_transform(range(1, 17), i -> c.cv[i] * c.cv[i])) DESC,
+                      c.cid) AS rn
+                  FROM sv v JOIN cb0 c ON c.sub = v.sub) WHERE rn = 1),
+         ex AS (SELECT sub, cid, unnest(sv) AS x, unnest(range(1, 17)) AS pos FROM a0),
+         cb AS (SELECT sub, cid, list(mx ORDER BY pos) AS cv FROM
+                  (SELECT sub, cid, pos, avg(x) AS mx FROM ex GROUP BY 1, 2, 3)
+                GROUP BY sub, cid),
+         enc AS (SELECT vec_id, sub, cid FROM (
+                   SELECT v.vec_id, v.sub, c.cid,
+                     row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+                       list_sum(list_transform(range(1, 17), i -> v.sv[i] * c.cv[i]))
+                       - CAST(0.5 AS DOUBLE) * list_sum(list_transform(range(1, 17), i -> c.cv[i] * c.cv[i])) DESC,
+                       c.cid) AS rn
+                   FROM sv v JOIN cb c ON c.sub = v.sub) WHERE rn = 1),
+         dt AS (SELECT p.vec_id AS probe_id, p.sub, c.cid,
+                  list_sum(list_transform(range(1, 17), i -> p.sv[i] * p.sv[i]))
+                  - CAST(2 AS DOUBLE) * list_sum(list_transform(range(1, 17), i -> p.sv[i] * c.cv[i]))
+                  + list_sum(list_transform(range(1, 17), i -> c.cv[i] * c.cv[i])) AS d
+                FROM sv p JOIN cb c ON c.sub = p.sub WHERE p.vec_id < 5),
+         dj AS (SELECT t.probe_id, e.vec_id AS nbr_id,
+                  list_sum(list(t.d ORDER BY t.sub)) AS dist
+                FROM enc e JOIN dt t ON t.sub = e.sub AND t.cid = e.cid
+                WHERE e.vec_id <> t.probe_id
+                GROUP BY 1, 2),
+         r AS (SELECT probe_id, nbr_id, CAST(row_number() OVER (
+                 PARTITION BY probe_id ORDER BY dist ASC, nbr_id) AS INT) AS rank FROM dj)
+         SELECT probe_id, nbr_id, rank FROM r WHERE rank <= 10
+         ORDER BY probe_id, rank""",
+    "q113_pagerank" ->
+      """WITH edges AS (
+           SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         nodes AS (SELECT DISTINCT id FROM
+           (SELECT s AS id FROM edges UNION ALL SELECT d FROM edges)),
+         deg AS (SELECT s AS id, count(*) AS deg FROM edges GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         r0 AS (SELECT id, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn),
+         c1 AS (SELECT e.d AS id, sum(r.r / g.deg) AS c FROM edges e
+                JOIN r0 r ON r.id = e.s JOIN deg g ON g.id = e.s GROUP BY 1),
+         d1 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r0 r
+                LEFT JOIN deg g ON g.id = r.id WHERE g.id IS NULL),
+         r1 AS (SELECT nd.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d1) / nn.n) AS r
+                FROM nodes nd CROSS JOIN nn LEFT JOIN c1 c ON c.id = nd.id),
+         c2 AS (SELECT e.d AS id, sum(r.r / g.deg) AS c FROM edges e
+                JOIN r1 r ON r.id = e.s JOIN deg g ON g.id = e.s GROUP BY 1),
+         d2 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r1 r
+                LEFT JOIN deg g ON g.id = r.id WHERE g.id IS NULL),
+         r2 AS (SELECT nd.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d2) / nn.n) AS r
+                FROM nodes nd CROSS JOIN nn LEFT JOIN c2 c ON c.id = nd.id),
+         c3 AS (SELECT e.d AS id, sum(r.r / g.deg) AS c FROM edges e
+                JOIN r2 r ON r.id = e.s JOIN deg g ON g.id = e.s GROUP BY 1),
+         d3 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r2 r
+                LEFT JOIN deg g ON g.id = r.id WHERE g.id IS NULL),
+         r3 AS (SELECT nd.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d3) / nn.n) AS r
+                FROM nodes nd CROSS JOIN nn LEFT JOIN c3 c ON c.id = nd.id),
+         c4 AS (SELECT e.d AS id, sum(r.r / g.deg) AS c FROM edges e
+                JOIN r3 r ON r.id = e.s JOIN deg g ON g.id = e.s GROUP BY 1),
+         d4 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r3 r
+                LEFT JOIN deg g ON g.id = r.id WHERE g.id IS NULL),
+         r4 AS (SELECT nd.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d4) / nn.n) AS r
+                FROM nodes nd CROSS JOIN nn LEFT JOIN c4 c ON c.id = nd.id),
+         c5 AS (SELECT e.d AS id, sum(r.r / g.deg) AS c FROM edges e
+                JOIN r4 r ON r.id = e.s JOIN deg g ON g.id = e.s GROUP BY 1),
+         d5 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r4 r
+                LEFT JOIN deg g ON g.id = r.id WHERE g.id IS NULL),
+         r5 AS (SELECT nd.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d5) / nn.n) AS r
+                FROM nodes nd CROSS JOIN nn LEFT JOIN c5 c ON c.id = nd.id)
+         SELECT id, CAST(round(r * 1000000) AS BIGINT) AS rank_micro
+         FROM r5 ORDER BY id""",
     "q112_temperature_mix" ->
       """WITH d AS (
            SELECT source,

@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding-scale ANN (Jégou/Douze/Schmid 2011,
+  * "Product Quantization for Nearest Neighbor Search").
+  *
+  * The 100 TB story is MEMORY, not speed of one query: a 64-dim float32
+  * embedding is 256 bytes; its PQ code under m=4 subspaces × 16 codewords
+  * is 4 nibbles — the codes for 10^11 vectors fit where the raw vectors
+  * never could, and the scan side of a query touches only codes. The
+  * pipeline is
+  *
+  *   1. [[pqCodebook]]  — per-subspace k-means (L2): k codewords per
+  *      subspace, trained like [[SimilarityOps.kmeansCentroids]] from a
+  *      caller-supplied deterministic init, fixed Lloyd rounds;
+  *   2. [[pqEncode]]    — map-only: each vector → m codeword ids;
+  *   3. [[pqTopK]]      — ADC (asymmetric distance computation): per probe
+  *      build the m×k table of exact subspace distances ‖q_s − c‖², then
+  *      every corpus distance is m table lookups — no vector arithmetic
+  *      in the scan.
+  *
+  * Determinism: all dot products are sequential folds (the `vec_dot`
+  * kernel), the per-probe distance is an ORDERED fold over subspaces, and
+  * ties break toward the smaller id everywhere — so distances are
+  * bit-reproducible across engines replaying the same op order (the q114
+  * DuckDB oracle does), and argmax/argmin choices are exact.
+  *
+  * Scale shape: codebook is m·k sub-vectors — broadcast everywhere;
+  * encode is map-only; ADC probes carry their own m×k tables in the
+  * broadcast, the corpus-side scan is map-only, and the per-probe top-k
+  * is a WindowGroupLimit pre-reduction before the only exchange.
+  */
+object PqOps {
+
+  private def vdot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Explode a vector column into its `m` contiguous sub-vectors (cast to
+    * double): one row per (row, sub). `dim` must be divisible by `m`. */
+  private def subVectors(df: DataFrame, vecCol: String, m: Int, dim: Int): DataFrame = {
+    val sd = dim / m
+    df.select(col("*"), explode(array((0 until m).map { s =>
+        struct(lit(s).as("sub"),
+          transform(slice(col(vecCol), s * sd + 1, sd), x => x.cast("double")).as("sv"))
+      }: _*)).as("__s"))
+      .select(col("*"), col("__s.sub").as("sub"), col("__s.sv").as("sv"))
+      .drop("__s", vecCol)
+  }
+
+  /** Nearest codeword per (row, sub) under L2: argmin ‖x−c‖² ≡ argmax
+    * x·c − ‖c‖²/2 (the ‖x‖² term is constant per row). Ties → smaller cid. */
+  private def assign(subv: DataFrame, idCol: String, codebook: DataFrame): DataFrame = {
+    val cb = codebook.select(col("sub"), col("cid"), col("cv"),
+      vdot(col("cv"), col("cv")).as("__cc"))
+    val w = Window.partitionBy(col(idCol), col("sub"))
+      .orderBy(col("__sc").desc, col("cid").asc)
+    subv.join(broadcast(cb), Seq("sub"))
+      .withColumn("__sc", vdot(col("sv"), col("cv")) - lit(0.5) * col("__cc"))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .drop("__sc", "__rn", "__cc", "cv")
+  }
+
+  /** Train the per-subspace codebooks: init codewords are the init rows'
+    * sub-vectors (cid = init id), then `lloydRounds` fixed assign→recenter
+    * rounds — no convergence test, so nothing depends on FP-noise stopping.
+    * A codeword that captures no vectors in a round is dropped (its cell is
+    * empty), same as the coarse k-means here.
+    *
+    * @return (sub, cid, cv: Array[Double])
+    */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                 init: DataFrame, initIdCol: String, m: Int, dim: Int,
+                 lloydRounds: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    require(lloydRounds >= 0, s"lloydRounds must be >= 0, got $lloydRounds")
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
+    val subv = subVectors(corpus.select(col(idCol), col(vecCol)), vecCol, m, dim)
+    var cb = subVectors(init.select(col(initIdCol).as("cid"), col(vecCol)), vecCol, m, dim)
+      .select(col("sub"), col("cid"), col("sv").as("cv"))
+    for (_ <- 1 to lloydRounds) {
+      cb = assign(subv, idCol, cb)
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("__pos", "__x")))
+        .groupBy("sub", "cid", "__pos").agg(avg("__x").as("__mx"))
+        .groupBy("sub", "cid")
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__mx")))).as("__pm"))
+        .select(col("sub"), col("cid"),
+          transform(col("__pm"), p => p.getField("__mx")).as("cv"))
+    }
+    cb
+  }
+
+  /** Encode every corpus vector as its `m` codeword ids, ordered by
+    * subspace. Map-only modulo the tiny codebook broadcast.
+    *
+    * @return (idCol, codes: Array[Long])
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
+    val subv = subVectors(corpus.select(col(idCol), col(vecCol)), vecCol, m, dim)
+    assign(subv, idCol, codebook)
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("__sc"))
+      .select(col(idCol), transform(col("__sc"), p => p.getField("cid")).as("codes"))
+  }
+
+  /** ADC top-k: exact ‖q_s − c‖² = q_s·q_s − 2·q_s·c + c·c per (probe,
+    * sub, codeword) — m·k doubles per probe, broadcast; each corpus
+    * distance is then an ORDERED fold over the m lookups (sequential by
+    * subspace, so the float sum is engine-reproducible). Self-matches are
+    * excluded; ranks break ties toward the smaller neighbor id.
+    *
+    * @param corpusCodes output of [[pqEncode]] — (corpusIdCol, codes)
+    * @return (probe_id, nbr_id, rank) with rank 1..k by ascending ADC
+    *         distance
+    */
+  def pqTopK(corpusCodes: DataFrame, probes: DataFrame, probeIdCol: String,
+             vecCol: String, codebook: DataFrame, m: Int, dim: Int,
+             k: Int, corpusIdCol: String = "id"): DataFrame = {
+    graft.expr.GraftFunctions.register(probes.sparkSession)
+    val psub = subVectors(probes.select(col(probeIdCol).as("probe_id"), col(vecCol)),
+      vecCol, m, dim)
+    val dt = psub.join(broadcast(codebook), Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("cid"),
+        (vdot(col("sv"), col("sv")) - lit(2.0) * vdot(col("sv"), col("cv"))
+          + vdot(col("cv"), col("cv"))).as("d"))
+    // per probe: array (by sub) of cid→distance maps — the broadcast side
+    val dts = dt.groupBy("probe_id", "sub")
+      .agg(map_from_entries(array_sort(collect_list(struct(col("cid"), col("d"))))).as("__m"))
+      .groupBy("probe_id")
+      // maps aren't orderable, so index by sub via an outer map rather
+      // than sorting (sub, map) structs
+      .agg(map_from_entries(collect_list(struct(col("sub"), col("__m")))).as("__mm"))
+      .select(col("probe_id"),
+        transform(sequence(lit(0), lit(m - 1)), s => element_at(col("__mm"), s)).as("dts"))
+    val dist = corpusCodes.join(broadcast(dts), col(corpusIdCol) =!= col("probe_id"))
+      .withColumn("dist", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc + element_at(element_at(col("dts"), s + 1),
+          element_at(col("codes"), s + 1))))
+    val w = Window.partitionBy("probe_id").orderBy(col("dist").asc, col(corpusIdCol).asc)
+    dist.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("probe_id"), col(corpusIdCol).as("nbr_id"), col("rank").cast("int").as("rank"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference PageRank over an adjacency map. */
+  private def refRank(edges: Seq[(Long, Long)], d: Double, iters: Int): Map[Long, Double] = {
+    val adj = edges.distinct.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(adj.contains).map(r).sum
+      val contrib = nodes.map { v =>
+        v -> edges.distinct.filter(_._2 == v).map { case (u, _) => r(u) / adj(u).size }.sum
+      }.toMap
+      r = nodes.map(v => v -> ((1.0 - d) / n + d * (contrib(v) + dang / n))).toMap
+    }
+    r
+  }
+
+  test("pageRank conserves total mass to 1 with dangling nodes") {
+    // 3 is dangling: without redistribution the total leaks below 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val out = GraphOps.pageRank(edges, "src", "dst")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("r")).toMap
+    assert(math.abs(out.values.sum - 1.0) < 1e-9, s"mass leaked: ${out.values.sum}")
+    // 3 receives from both 1 and 2: highest centrality
+    assert(out(3L) > out(2L) && out(2L) > out(1L))
+  }
+
+  test("pageRank matches a driver-side reference on a small graph") {
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 2L))
+    val out = GraphOps.pageRank(es.toDF("src", "dst"), "src", "dst", damping = 0.85, iters = 5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("r")).toMap
+    val ref = refRank(es, 0.85, 5)
+    assert(out.keySet == ref.keySet)
+    out.foreach { case (id, r) =>
+      assert(math.abs(r - ref(id)) < 1e-12, s"node $id: $r vs ${ref(id)}")
+    }
+  }
+
+  test("pageRank collapses duplicate edges (repeated link is one edge)") {
+    val once = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val dup = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val a = GraphOps.pageRank(once, "src", "dst").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("r")).toMap
+    val b = GraphOps.pageRank(dup, "src", "dst").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("r")).toMap
+    assert(a == b)
+  }
+
+  test("pageRank is deterministic under repartition") {
+    val rng = new scala.util.Random(11)
+    val es = (0 until 300).map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphOps.pageRank(df, "src", "dst")
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("r"))).toSet
+    // micro-quantized comparison: shuffle-order FP noise is below 1e-12,
+    // but the partial-agg tree shape can differ across partitionings
+    def q(s: Set[(Long, Double)]) = s.map { case (id, r) => (id, math.round(r * 1e9)) }
+    assert(q(run(es.toDF("src", "dst"))) == q(run(es.toDF("src", "dst").repartition(13))))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  // dim=4, m=2 (sub-dims of 2). Two clean clusters per subspace.
+  private val corpus = Seq(
+    (0L, vec(1, 0, 0, 1)), // init codewords (ids 0,1)
+    (1L, vec(0, 1, 1, 0)),
+    (2L, vec(0.9, 0.1, 0.1, 0.9)), // near codeword 0 in both subspaces
+    (3L, vec(0.1, 0.9, 0.9, 0.1)), // near codeword 1 in both subspaces
+    (4L, vec(0.95, 0, 0, 0.95))).toDF("vec_id", "embedding")
+
+  test("pqEncode assigns each subspace to its nearest codeword") {
+    val init = corpus.where(col("vec_id") < 2)
+    val cb = PqOps.pqCodebook(corpus, "vec_id", "embedding", init, "vec_id",
+      m = 2, dim = 4, lloydRounds = 0)
+    val codes = PqOps.pqEncode(corpus, "vec_id", "embedding", cb, 2, 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1)).toMap
+    assert(codes(0L) == Seq(0L, 0L) && codes(2L) == Seq(0L, 0L) && codes(4L) == Seq(0L, 0L))
+    assert(codes(1L) == Seq(1L, 1L) && codes(3L) == Seq(1L, 1L))
+    assert(codes.values.forall(_.size == 2), "one code per subspace")
+  }
+
+  test("one Lloyd round recenters codewords to cluster means") {
+    val init = corpus.where(col("vec_id") < 2)
+    val cb = PqOps.pqCodebook(corpus, "vec_id", "embedding", init, "vec_id",
+      m = 2, dim = 4, lloydRounds = 1)
+      .collect().map(r => (r.getAs[Int]("sub"), r.getAs[Long]("cid")) -> r.getSeq[Double](2)).toMap
+    // sub 0, codeword 0 captured vectors 0,2,4: mean of (1,0),(0.9,0.1),(0.95,0)
+    val exp = Seq((1.0 + 0.9f.toDouble + 0.95f.toDouble) / 3, (0.0 + 0.1f.toDouble + 0.0) / 3)
+    cb((0, 0L)).zip(exp).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("pqTopK ranks same-cluster vectors first, excludes self") {
+    val init = corpus.where(col("vec_id") < 2)
+    val cb = PqOps.pqCodebook(corpus, "vec_id", "embedding", init, "vec_id",
+      m = 2, dim = 4, lloydRounds = 1)
+    val codes = PqOps.pqEncode(corpus, "vec_id", "embedding", cb, 2, 4)
+    val probes = corpus.where(col("vec_id") === 2)
+    val out = PqOps.pqTopK(codes, probes, "vec_id", "embedding", cb,
+      m = 2, dim = 4, k = 4, corpusIdCol = "vec_id")
+      .orderBy("rank").collect().map(r => r.getAs[Long]("nbr_id"))
+    assert(!out.contains(2L), "self must be excluded")
+    // cluster {0,2,4} shares codes, so 0 and 4 have ADC distance == the
+    // probe's own-code distance and precede 1 and 3
+    assert(out.take(2).toSet == Set(0L, 4L), s"got ${out.toSeq}")
+  }
+
+  test("pq pipeline is deterministic under repartition") {
+    val rng = new scala.util.Random(5)
+    val big = (0L until 120L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat()))).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val init = df.where(col("vec_id") < 4)
+      val cb = PqOps.pqCodebook(df, "vec_id", "embedding", init, "vec_id",
+        m = 2, dim = 8, lloydRounds = 1)
+      val codes = PqOps.pqEncode(df, "vec_id", "embedding", cb, 2, 8)
+      PqOps.pqTopK(codes, df.where(col("vec_id") < 3), "vec_id", "embedding", cb,
+        m = 2, dim = 8, k = 5, corpusIdCol = "vec_id")
+        .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("nbr_id"),
+          r.getAs[Int]("rank"))).toSet
+    }
+    assert(run(big) == run(big.repartition(11)))
+  }
+}
