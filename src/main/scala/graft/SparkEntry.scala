@@ -1363,6 +1363,21 @@ object SparkEntry {
         .select(col("id"), round(col("r") * 1000000).cast("long").as("rank_micro"))
         .orderBy("id")
     }),
+    // ── extension: count-min-sketch heavy hitters — frequency estimates
+    //    from a d×w integer table (one cell-keyed aggregate, any key
+    //    cardinality), candidates = observed vocabulary, kept if est ≥ 100;
+    //    true count alongside certifies est ≥ cnt cell-exactly
+    "q115_cms_heavy_hitters" -> ((s, dir) => {
+      val toks = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+      val sketch = graft.functions.SketchOps.cmsBuild(toks, "word", depth = 4, width = 512)
+      val cand = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+      graft.functions.SketchOps.cmsEstimate(cand, "word", sketch, 4, 512)
+        .join(cand, Seq("word"))
+        .where(col("est") >= 100)
+        .select("word", "cnt", "est")
+        .orderBy("word")
+    }),
     // ── extension: product-quantization ANN — train per-subspace L2
     //    codebooks (m=4 × k=16, init vec_id<16, one Lloyd round), encode
     //    the corpus to 4 codeword ids, search by ADC lookup tables. The
@@ -2520,6 +2535,23 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q115_cms_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents WHERE length(trim(text)) > 0),
+         js AS (SELECT unnest(range(0, 4)) AS j),
+         cells AS (
+           SELECT j, CAST('0x'||substr(md5(j || ':' || word), 1, 15) AS BIGINT) % 512 AS bucket,
+             count(*) AS c
+           FROM toks CROSS JOIN js GROUP BY 1, 2),
+         cand AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+         est AS (
+           SELECT cd.word, cd.cnt, min(s.c) AS est
+           FROM cand cd CROSS JOIN js j2
+           JOIN cells s ON s.j = j2.j
+             AND s.bucket = CAST('0x'||substr(md5(j2.j || ':' || cd.word), 1, 15) AS BIGINT) % 512
+           GROUP BY 1, 2)
+         SELECT word, cnt, est FROM est WHERE est >= 100 ORDER BY word""",
     "q114_pq_adc_topk" ->
       """WITH subs AS (SELECT unnest(range(0, 4)) AS sub),
          sv AS (SELECT e.vec_id, s.sub,

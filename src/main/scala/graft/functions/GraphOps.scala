@@ -31,10 +31,16 @@ object GraphOps {
     *
     * Scale shape per iteration: contributions = edges ⋈ ranks on src
     * (shuffle keyed by src; AQE skew-split for hub sources) → partial-agg
-    * sum keyed by dst; the dangling mass is a one-double aggregate action
-    * that doubles as the iteration's materialization barrier (the rank
-    * frame is `localCheckpoint`ed lazily, so the action materializes it
-    * and every later consumer reads the checkpoint, not the lineage).
+    * sum keyed by dst. The dangling mass D and the node count N are
+    * 1-ROW AGGREGATES cross-joined back in (BroadcastNestedLoopJoin of a
+    * single row) — NOT driver-collected scalars — so the whole k-iteration
+    * recurrence is ONE dataflow with ONE action at the end instead of
+    * 2 driver round-trips per iteration: on a cluster this removes k
+    * synchronization barriers (locally the cost is task overhead on the
+    * model-sized frames, which shrinks with the AQE partition knobs, not
+    * with barrier count). Plans stay constant-size: `localCheckpoint(lazy)`
+    * rewrites each iteration's frame to an RDD scan at build time and the
+    * marked RDDs materialize as the final action's job walks the chain.
     * Fixed iteration count (default 5): deterministic output, and rank
     * deltas decay as d^k — enough to order documents by centrality, which
     * is all a quality prior needs.
@@ -47,27 +53,50 @@ object GraphOps {
                damping: Double = 0.85, iters: Int = 5): DataFrame = {
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // cache edges PRE-PARTITIONED on the contribution-join key: the cached
+    // InMemoryRelation keeps hashpartitioning(s), so each iteration's join
+    // exchanges only the node-sized rank side (or broadcasts it), never
+    // the corpus-sized edge list again
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d")).distinct()
+      .repartition(col("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("s").as("id")).union(e.select(col("d").as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
-    var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint(false)
+    val n = nodes.count() // materialize the caches once, before the fan-out
+    // rank frames are node-sized: checkpoint them at a partition count
+    // scaled to the DATA (~1M rows per partition), not to the session's
+    // shuffle setting — at toy scale that's 1 partition instead of
+    // hundreds of near-empty tasks per iteration, at 10^9 nodes it's
+    // ~1000 partitions; coalesce is map-side (no shuffle)
+    val parts = math.max(1, (n / (1L << 20)).toInt)
+    val nAgg = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    // Iteration state is localCheckpoint(lazy): the frame becomes an RDD
+    // scan at BUILD time, so plans stay constant-size across iterations.
+    // (A persist() chain was tried instead — InMemoryRelation preserves
+    // partitioning, which a checkpoint loses — but nested cached plans
+    // re-print their children, so AQE's plan-string updates went
+    // exponential in the iteration count and the driver hung in
+    // explainString. Checkpoints are the only iteration boundary whose
+    // cost is flat in the round number.)
+    var ranks = nodes.crossJoin(nAgg)
+      .select(col("id"), (lit(1.0) / col("__n")).as("r"))
+      .coalesce(parts).localCheckpoint(false)
     for (_ <- 1 to iters) {
       // rank ⋈ out-degree once per iteration, shared by the dangling-mass
-      // action and the contribution join via the lazy checkpoint
-      val rd = ranks.join(deg, Seq("id"), "left").localCheckpoint(false)
+      // aggregate and the contribution join via the (lazy) checkpoint
+      val rd = ranks.join(deg, Seq("id"), "left").coalesce(parts).localCheckpoint(false)
       val dangling = rd.where(col("deg").isNull)
-        .agg(coalesce(sum("r"), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum("r"), lit(0.0)).as("__dm"))
       val contrib = e.join(rd.where(col("deg").isNotNull), e("s") === rd("id"))
         .groupBy(e("d").as("id")).agg(sum(col("r") / col("deg")).as("c"))
       ranks = nodes.join(contrib, Seq("id"), "left")
+        .crossJoin(dangling).crossJoin(nAgg)
         .select(col("id"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("r"))
-        .localCheckpoint(false)
+          (lit(1.0 - damping) / col("__n") +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + col("__dm") / col("__n"))).as("r"))
+        .coalesce(parts).localCheckpoint(false)
     }
     val out = ranks.localCheckpoint(true)
     e.unpersist(blocking = false)
