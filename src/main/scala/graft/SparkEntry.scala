@@ -1363,6 +1363,17 @@ object SparkEntry {
         .select(col("id"), round(col("r") * 1000000).cast("long").as("rank_micro"))
         .orderBy("id")
     }),
+    // ── extension: BPE merge training (Sennrich et al.) over the word
+    //    frequency table — 5 rounds of weighted pair counting → 1-row
+    //    argmax → map-only fused rewrite; non-self pairs only, so the
+    //    rewrite is overlap-free and symbol-exact vs the SQL oracle
+    "q116_bpe_merges" -> ((s, dir) => {
+      val wf = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("f"))
+      graft.functions.VocabOps.bpeMerges(wf, "word", "f", merges = 5)
+        .orderBy("step")
+    }),
     // ── extension: count-min-sketch heavy hitters — frequency estimates
     //    from a d×w integer table (one cell-keyed aggregate, any key
     //    cardinality), candidates = observed vocabulary, kept if est ≥ 100;
@@ -2535,6 +2546,64 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q116_bpe_merges" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+           FROM documents WHERE length(trim(text)) > 0),
+         wf AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+         w0 AS (SELECT f, [word[i:i] for i in range(1, len(word)+1)] AS syms
+                FROM wf WHERE len(word) > 0),
+         p1 AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w0)
+           WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+         b1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+         w1 AS (SELECT f, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM w0 CROSS JOIN b1 b),
+         p2 AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w1)
+           WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+         b2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+         w2 AS (SELECT f, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM w1 CROSS JOIN b2 b),
+         p3 AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w2)
+           WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+         b3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+         w3 AS (SELECT f, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM w2 CROSS JOIN b3 b),
+         p4 AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w3)
+           WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+         b4 AS (SELECT l, r, cnt FROM p4 ORDER BY cnt DESC, l, r LIMIT 1),
+         w4 AS (SELECT f, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM w3 CROSS JOIN b4 b),
+         p5 AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w4)
+           WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+         b5 AS (SELECT l, r, cnt FROM p5 ORDER BY cnt DESC, l, r LIMIT 1),
+         w5 AS (SELECT f, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM w4 CROSS JOIN b5 b)
+         SELECT 1 AS step, l AS lhs, r AS rhs, cnt FROM b1
+         UNION ALL SELECT 2 AS step, l AS lhs, r AS rhs, cnt FROM b2
+         UNION ALL SELECT 3 AS step, l AS lhs, r AS rhs, cnt FROM b3
+         UNION ALL SELECT 4 AS step, l AS lhs, r AS rhs, cnt FROM b4
+         UNION ALL SELECT 5 AS step, l AS lhs, r AS rhs, cnt FROM b5
+         ORDER BY step""",
     "q115_cms_heavy_hitters" ->
       """WITH toks AS (
            SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word

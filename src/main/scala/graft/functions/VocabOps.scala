@@ -150,4 +150,71 @@ object VocabOps {
       round(regr_r2(log(col("cnt")), log(col("rank"))) * 1000).cast("long")
         .as("r2_milli"))
   }
+
+  /** Byte-pair-encoding merge training (Sennrich/Haddow/Birch 2016,
+    * arXiv:1508.07909) over a word-frequency table — the tokenizer-training
+    * step of an LLM data pipeline. Each round counts adjacent symbol pairs
+    * weighted by word frequency, picks the most frequent pair (ties →
+    * lexicographic (lhs, rhs)), and rewrites every word's symbol sequence
+    * with the pair fused.
+    *
+    * RESTRICTION, by design: self-pairs (lhs == rhs) are not merge
+    * candidates. With unequal pairs, two matches can never overlap, so the
+    * left-to-right non-overlapping rewrite of classic BPE reduces to an
+    * order-free per-position expression — replicable symbol-for-symbol in
+    * ANSI SQL (the q116 oracle) and embarrassingly parallel. (For natural
+    * text the argmax pair is virtually never a self-pair; a production run
+    * that wants them can pre-split runs.)
+    *
+    * Scale shape: the iteration state is the DISTINCT-WORD table (vocab-
+    * sized — BPE training never touches the corpus again after the one
+    * word-count pass), so every round is one vocab-sized pair aggregate +
+    * a 1-row TakeOrdered + a map-only rewrite, with `localCheckpoint`
+    * keeping plans constant across rounds. The selected pair is a 1-row
+    * broadcast, not a driver scalar.
+    *
+    * @param words one row per distinct word: (wordCol, freqCol)
+    * @return one row per merge step: (step, lhs, rhs, cnt), step 1-based
+    */
+  def bpeMerges(words: DataFrame, wordCol: String, freqCol: String,
+                merges: Int): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    var ws = words
+      .where(length(col(wordCol)) > 0)
+      .select(col(freqCol).cast("long").as("f"),
+        filter(split(col(wordCol), ""), x => length(x) > 0).as("syms"))
+      .localCheckpoint(false)
+    var acc: DataFrame = null
+    for (step <- 1 to merges) {
+      val pairs = ws
+        .select(col("f"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .where(col("p.l") =!= col("p.r"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum("f").as("cnt"))
+      // eager 1-row checkpoint: consumed by both the merge table and the
+      // rewrite — without it the pair aggregate would run twice
+      val best = pairs.orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+        .localCheckpoint(true)
+      acc = if (acc == null) best.withColumn("step", lit(step))
+            else acc.unionByName(best.withColumn("step", lit(step)))
+      val n = size(col("syms"))
+      val rewritten = filter(
+        transform(sequence(lit(1), n), i =>
+          when(i < n && element_at(col("syms"), i) === col("lhs")
+              && element_at(col("syms"), i + 1) === col("rhs"),
+            concat(col("lhs"), col("rhs")))
+          .when(i > 1 && element_at(col("syms"), i - 1) === col("lhs")
+              && element_at(col("syms"), i) === col("rhs"),
+            lit(null))
+          .otherwise(element_at(col("syms"), i))),
+        x => x.isNotNull)
+      ws = ws.crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
+        .select(col("f"), rewritten.as("syms"))
+        .localCheckpoint(false)
+    }
+    acc.select(col("step"), col("lhs"), col("rhs"), col("cnt"))
+  }
 }

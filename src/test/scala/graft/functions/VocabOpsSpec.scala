@@ -70,3 +70,49 @@ class VocabOpsSpec extends SparkSpec {
     assert(out((1L, 5L)) >= -10L && out((1L, 5L)) <= -1L)
   }
 }
+
+class BpeMergesSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import graft.functions.VocabOps
+
+  private def run(words: Seq[(String, Long)], merges: Int) =
+    VocabOps.bpeMerges(words.toDF("word", "f"), "word", "f", merges)
+      .orderBy("step").collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("cnt")))
+
+  test("bpeMerges reproduces the hand-computed merge sequence") {
+    // w0: ab:3=[a,b]  abc:2=[a,b,c]  bcd:1=[b,c,d]
+    // (a,b)=5 -> merge; (ab,c)=2 -> merge; tie (b,c)=(c,d)=1 -> lexicographic
+    // (b,c); then (bc,d)=1; then NO pairs left -> only 4 of 5 steps emitted
+    val out = run(Seq(("ab", 3L), ("abc", 2L), ("bcd", 1L)), merges = 5)
+    assert(out.toSeq == Seq(
+      (1, "a", "b", 5L), (2, "ab", "c", 2L), (3, "b", "c", 1L), (4, "bc", "d", 1L)))
+  }
+
+  test("bpeMerges skips self-pairs (abab fuses once, ab+ab is not a candidate)") {
+    val out = run(Seq(("abab", 2L)), merges = 3)
+    assert(out.toSeq == Seq((1, "a", "b", 4L)),
+      "after [ab, ab] the only adjacent pair is a self-pair and must not merge")
+  }
+
+  test("bpeMerges frequency-weights pair counts") {
+    // xy appears in a frequent word and a rare one: cnt = 10 + 1
+    val out = run(Seq(("xy", 10L), ("zxy", 1L), ("pq", 5L)), merges = 1)
+    assert(out.toSeq == Seq((1, "x", "y", 11L)))
+  }
+
+  test("bpeMerges is deterministic under repartition") {
+    val rng = new scala.util.Random(17)
+    val words = (0 until 300).map { i =>
+      (Seq.fill(rng.nextInt(6) + 2)(('a' + rng.nextInt(5)).toChar).mkString,
+        (rng.nextInt(20) + 1).toLong)
+    }.groupBy(_._1).map { case (w, v) => (w, v.map(_._2).sum) }.toSeq
+    val a = run(words, 4)
+    val b = VocabOps.bpeMerges(words.toDF("word", "f").repartition(7), "word", "f", 4)
+      .orderBy("step").collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("cnt")))
+    assert(a.toSeq == b.toSeq)
+  }
+}
