@@ -1363,6 +1363,15 @@ object SparkEntry {
         .select(col("id"), round(col("r") * 1000000).cast("long").as("rank_micro"))
         .orderBy("id")
     }),
+    // ── extension: EXACT quantiles in two bounded-memory passes (fixed-
+    //    width histogram → boundary-bucket refinement) — no global sort,
+    //    no single-reducer rank window; all-integer so engine-exact
+    "q117_exact_quantiles" -> ((s, dir) => {
+      val cents = T(s, dir, "lineitem")
+        .select(expr("CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)").as("cents"))
+      graft.functions.ProfileOps.exactQuantiles(cents, "cents",
+        Seq(0.5, 0.9, 0.99)).orderBy("q_bp")
+    }),
     // ── extension: BPE merge training (Sennrich et al.) over the word
     //    frequency table — 5 rounds of weighted pair counting → 1-row
     //    argmax → map-only fused rewrite; non-self pairs only, so the
@@ -2546,6 +2555,15 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q117_exact_quantiles" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v FROM lineitem),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+         q AS (SELECT unnest([5000, 9000, 9900]) AS q_bp),
+         k AS (SELECT q_bp, (CAST(q_bp AS BIGINT) * n.n + 9999) // 10000 AS k
+               FROM q CROSS JOIN n)
+         SELECT k.q_bp, k.k, min(r.v) AS value
+         FROM k JOIN r ON r.rn >= k.k GROUP BY 1, 2 ORDER BY q_bp""",
     "q116_bpe_merges" ->
       """WITH toks AS (
            SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word

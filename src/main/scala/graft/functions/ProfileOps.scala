@@ -37,6 +37,55 @@ object ProfileOps {
       .agg(percentile_approx(col(valueCol), pArr, lit(accuracy)).as("p"))
   }
 
+  /** EXACT quantiles of an integer column in two bounded-memory passes —
+    * no global sort, no single-reducer window, unlike the textbook
+    * `row_number() OVER (ORDER BY v)` plan that ships the corpus to one
+    * task. The k-th smallest (k = ceil(q·n), 1-based — "the smallest v
+    * with at least k values ≤ it") is located by:
+    *
+    *   1. ONE aggregate keyed by `v div bucketWidth` — a fixed-width
+    *      histogram (no min/max pre-pass needed; buckets are sparse);
+    *      cumulative counts over the bucket table (≤ range/width rows,
+    *      bounded by construction) find each quantile's boundary bucket
+    *      and the residual rank within it;
+    *   2. ONE filtered aggregate over ONLY the boundary buckets' values
+    *      (≈ n·width/range rows) — per-value counts, cumulative, pick.
+    *
+    * Everything is integer counts — deterministic on any engine. Results
+    * for all requested quantiles come from the same two passes.
+    *
+    * @param qs quantiles in (0, 1], basis points not required
+    * @return (q_bp, k, value) per requested quantile, q_bp = q·10000
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
+                     bucketWidth: Long = 1L << 16): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad quantiles $qs")
+    require(bucketWidth >= 1, s"bad bucketWidth $bucketWidth")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(valueCol).cast("long").as("v"))
+    val buckets = v.groupBy(expr(s"v div $bucketWidth").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = buckets
+      .withColumn("cumc", sum("c").over(wb))
+      .withColumn("n", max(sum("c").over(wb)).over(Window.partitionBy()))
+    val qdf = spark.createDataFrame(
+      qs.map(q => Tuple1(math.round(q * 10000).toInt))).toDF("q_bp")
+    // k = ceil(q·n) in integer arithmetic: (q_bp·n + 9999) div 10000
+    val ks = cum.crossJoin(broadcast(qdf))
+      .withColumn("k", expr("(CAST(q_bp AS BIGINT) * n + 9999) div 10000"))
+      .where(col("cumc") >= col("k") && col("cumc") - col("c") < col("k"))
+      .select(col("q_bp"), col("k"), col("b"), (col("k") - (col("cumc") - col("c"))).as("kin"))
+    val wv = Window.partitionBy("q_bp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.join(broadcast(ks), expr(s"v div $bucketWidth") === ks("b"))
+      .groupBy("q_bp", "k", "kin", "v").agg(count(lit(1)).as("vc"))
+      .withColumn("cumv", sum("vc").over(wv))
+      .where(col("cumv") >= col("kin") && col("cumv") - col("vc") < col("kin"))
+      .select(col("q_bp"), col("k"), col("v").as("value"))
+  }
+
   /** Cross-group content-overlap matrix over word-n-gram shingles — the
     * "how much does source A duplicate source B" report that decides which
     * crawl dumps are worth keeping (and the inter-source half of a

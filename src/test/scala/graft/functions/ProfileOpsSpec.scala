@@ -68,3 +68,36 @@ class ProfileOpsSpec extends SparkSpec {
     assert(guarded(("a", "b")) == 3L && unguarded(("a", "b")) == 4L)
   }
 }
+
+class ExactQuantilesSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import graft.functions.ProfileOps
+
+  private def check(values: Seq[Long], qs: Seq[Double], width: Long): Unit = {
+    val out = ProfileOps.exactQuantiles(values.toDF("v"), "v", qs, width)
+      .collect().map(r => r.getAs[Int]("q_bp") -> r.getAs[Long]("value")).toMap
+    val sorted = values.sorted
+    qs.foreach { q =>
+      val k = math.ceil(q * values.size).toLong.max(1)
+      val expect = sorted((k - 1).toInt)
+      assert(out(math.round(q * 10000).toInt) == expect,
+        s"q=$q: got ${out(math.round(q * 10000).toInt)}, want $expect (k=$k)")
+    }
+  }
+
+  test("exactQuantiles matches the sorted reference, ties and all") {
+    val rng = new scala.util.Random(23)
+    val vals = Seq.fill(5000)(rng.nextInt(200).toLong) // heavy ties
+    check(vals, Seq(0.5, 0.9, 0.99, 1.0), width = 16)
+  }
+
+  test("exactQuantiles handles negatives and the toward-zero bucket 0 span") {
+    val rng = new scala.util.Random(29)
+    val vals = Seq.fill(3000)((rng.nextInt(4001) - 2000).toLong)
+    check(vals, Seq(0.01, 0.25, 0.5, 0.75), width = 64)
+  }
+
+  test("exactQuantiles is exact when everything lands in one bucket") {
+    check(Seq(5L, 1L, 9L, 3L, 7L), Seq(0.2, 0.6, 1.0), width = 1L << 16)
+  }
+}
