@@ -28,16 +28,22 @@ object SketchOps {
   private def cmsBucket(key: Column, j: Int, width: Int): Column =
     pmod(DedupOps.hash60(concat(lit(j.toString), lit(":"), key)), lit(width.toLong))
 
+  /** A key's d cells as an array of (j, bucket) structs — the shared
+    * explode source for [[cmsBuild]], [[cmsEstimate]], and the streaming
+    * sketch ([[graft.streaming.StreamingOps.cmsStream]]). */
+  private[graft] def cmsCells(key: Column, depth: Int, width: Int): Column = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape d=$depth w=$width")
+    array((0 until depth).map { j =>
+      struct(lit(j).as("j"), cmsBucket(key, j, width).as("bucket"))
+    }: _*)
+  }
+
   /** Build the d×w count table from one pass over `df`.
     * @return (j, bucket, c) — at most depth·width rows */
-  def cmsBuild(df: DataFrame, keyCol: String, depth: Int = 4, width: Int = 512): DataFrame = {
-    require(depth >= 1 && width >= 2, s"bad sketch shape d=$depth w=$width")
-    df.select(explode(array((0 until depth).map { j =>
-        struct(lit(j).as("j"), cmsBucket(col(keyCol), j, width).as("bucket"))
-      }: _*)).as("__c"))
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int = 4, width: Int = 512): DataFrame =
+    df.select(explode(cmsCells(col(keyCol), depth, width)).as("__c"))
       .groupBy(col("__c.j").as("j"), col("__c.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
-  }
 
   /** Point estimates for candidate keys: min over the key's d cells.
     * CMS guarantees est ≥ true count. The sketch is broadcast; the
@@ -46,9 +52,7 @@ object SketchOps {
     * @return one row per input key: (keyCol, est) */
   def cmsEstimate(keys: DataFrame, keyCol: String, sketch: DataFrame,
                   depth: Int = 4, width: Int = 512): DataFrame = {
-    val cand = keys.select(col(keyCol), explode(array((0 until depth).map { j =>
-        struct(lit(j).as("j"), cmsBucket(col(keyCol), j, width).as("bucket"))
-      }: _*)).as("__c"))
+    val cand = keys.select(col(keyCol), explode(cmsCells(col(keyCol), depth, width)).as("__c"))
       .select(col(keyCol), col("__c.j").as("j"), col("__c.bucket").as("bucket"))
     cand.join(broadcast(sketch), Seq("j", "bucket"))
       .groupBy(keyCol).agg(min("c").as("est"))

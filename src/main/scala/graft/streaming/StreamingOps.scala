@@ -135,6 +135,23 @@ object StreamingOps {
     docs.writeStream.outputMode("append").foreachBatch(absorbBatch).start()
   }
 
+  /** Streaming count-min sketch: the d×w cell table of
+    * [[graft.functions.SketchOps.cmsBuild]] maintained as a STREAMING
+    * AGGREGATION — the rare unbounded-stream aggregate whose state is
+    * bounded BY CONSTRUCTION (≤ depth·width cells) with no watermark or
+    * eviction policy needed, because the sketch, not the key set, is the
+    * state. Run it in update/complete output mode; the sink (or
+    * [[graft.functions.SketchOps.cmsEstimate]] over a snapshot) serves
+    * frequency estimates with the same est ≥ true guarantee as the batch
+    * sketch, and the cells are numerically IDENTICAL to a batch build
+    * over the union of all micro-batches (integer counts, md5 hashes).
+    */
+  def cmsStream(keys: DataFrame, keyCol: String,
+                depth: Int = 4, width: Int = 512): DataFrame =
+    keys.select(explode(graft.functions.SketchOps.cmsCells(col(keyCol), depth, width)).as("__c"))
+      .groupBy(col("__c.j").as("j"), col("__c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   /** Watermarked stream-stream equi-join with a time-range bound: right
     * rows join left rows with `rightTs` in `[leftTs - lookback, leftTs]`.
     * Both sides are watermarked so join state is evicted — the streaming

@@ -282,3 +282,53 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 }
+
+class CmsStreamSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import spark.implicits._
+
+  test("streaming CMS cells equal a batch build over the union of batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val cells = StreamingOps.cmsStream(ms.toDF().toDF("word"), "word",
+      depth = 3, width = 16)
+    val q = cells.writeStream.outputMode("complete").format("memory")
+      .queryName("cms_stream").start()
+    val b1 = Seq("a", "b", "a", "c", "a")
+    val b2 = Seq("b", "b", "d", "a")
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT j, bucket, c FROM cms_stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.functions.SketchOps
+        .cmsBuild((b1 ++ b2).toDF("word"), "word", depth = 3, width = 16)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, "streaming state must equal the batch sketch")
+      // and estimates off the streamed cells still never under-count
+      val est = graft.functions.SketchOps.cmsEstimate(
+        (b1 ++ b2).distinct.toDF("word"), "word",
+        spark.sql("SELECT j, bucket, c FROM cms_stream"), depth = 3, width = 16)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("est")).toMap
+      val truth = (b1 ++ b2).groupBy(identity).map { case (k, v) => k -> v.size }
+      truth.foreach { case (w, c) => assert(est(w) >= c) }
+    } finally q.stop()
+  }
+
+  test("streaming CMS state is bounded by depth x width under many distinct keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val cells = StreamingOps.cmsStream(ms.toDF().toDF("word"), "word",
+      depth = 2, width = 8)
+    val q = cells.writeStream.outputMode("complete").format("memory")
+      .queryName("cms_bounded").start()
+    try {
+      ms.addData((0 until 500).map(i => s"k$i"): _*)
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM cms_bounded").head().getLong(0)
+      assert(n <= 16, s"state must stay <= d*w cells, got $n")
+    } finally q.stop()
+  }
+}
