@@ -1363,6 +1363,36 @@ object SparkEntry {
         .select(col("id"), round(col("r") * 1000000).cast("long").as("rank_micro"))
         .orderBy("id")
     }),
+    // ── extension: pipeline v3 — the round-9 curation chain composed
+    //    end-to-end: near-dup CLUSTER-REPRESENTATIVE dedup (longest per
+    //    cluster) → temperature-rebalanced per-source budgets (α=0.5,
+    //    500k-token target, budget_i = round(q_i·target) off the
+    //    bit-exact q) → deterministic-priority token-budget cut →
+    //    per-source audit (kept reps, picked docs, picked tokens, budget)
+    "q118_pipeline_v3" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(d, "text", "doc_id",
+        n = 3, threshold = 0.3, maxDocFreq = 1000)
+      val reps = DedupOps.clusterRepresentatives(d, pairs, "doc_id", "n_chars")
+        .where(col("kept")).select(col("id").as("doc_id"))
+      val kept = d.join(reps, Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+        .withColumn("prio", graft.operators.TrainShuffle.lcgPrio(col("doc_id"), 54321L))
+        .localCheckpoint(false) // stage boundary: consumed by weights AND the cut
+      val budgets = graft.operators.MixtureSample
+        .temperatureWeights(kept, "source", "ntok", targetTokens = 500000L)
+        .select(col("source"), round(col("q") * 500000).cast("long").as("budget"))
+      val cut = graft.operators.MixtureSample.tokenBudgetSample(kept,
+        "source", "ntok", "prio", budgets, "source", "budget")
+      cut.groupBy("source")
+        .agg(count(lit(1)).as("n_reps"),
+          sum(when(col("picked"), 1L).otherwise(0L)).as("n_picked"),
+          sum(when(col("picked"), col("ntok")).otherwise(0L)).as("tok_picked"))
+        .join(broadcast(budgets), Seq("source"))
+        .select("source", "n_reps", "n_picked", "tok_picked", "budget")
+        .orderBy("source")
+    }),
     // ── extension: EXACT quantiles in two bounded-memory passes (fixed-
     //    width histogram → boundary-bucket refinement) — no global sort,
     //    no single-reducer rank window; all-integer so engine-exact
@@ -2555,6 +2585,76 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q118_pipeline_v3" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
+           FROM toks),
+         ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
+         exh AS (SELECT doc_id, sz, CAST('0x'||substr(md5(shingle),1,15) AS BIGINT) AS h FROM ex),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS c
+           FROM exh a JOIN exh b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT id_a, id_b FROM common
+           WHERE CAST(c AS DOUBLE) / (sz_a + sz_b - c) >= 0.3),
+         edges AS (
+           SELECT id_a AS s, id_b AS d FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         l0 AS (SELECT DISTINCT s AS id, s AS label FROM edges),
+         l1 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l0 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l0 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l2 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l1 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l1 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l3 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l2 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l2 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l4 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l3 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l3 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l5 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l4 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l4 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         lab AS (SELECT d.doc_id AS id, coalesce(l.label, d.doc_id) AS cluster, d.n_chars
+                 FROM documents d LEFT JOIN l5 l ON l.id = d.doc_id),
+         rn AS (SELECT *, row_number() OVER (PARTITION BY cluster
+                  ORDER BY n_chars DESC, id) AS r FROM lab),
+         rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1),
+         keptd AS (SELECT l.id AS doc_id FROM lab l JOIN rep r USING (cluster)
+                   WHERE l.id = r.rep_id),
+         kd AS (SELECT d.doc_id, d.source,
+                  CASE WHEN length(trim(d.text)) = 0 THEN 0
+                       ELSE len(string_split(trim(regexp_replace(d.text, '\\s+', ' ', 'g')), ' ')) END AS ntok,
+                  (d.doc_id * 1103515245 + 54321) % 2147483648 AS prio
+                FROM documents d JOIN keptd USING (doc_id)),
+         m AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS mass FROM kd GROUP BY 1),
+         t AS (SELECT m.*, CAST(sum(mass) OVER () AS BIGINT) AS total FROM m),
+         sq AS (SELECT source, mass,
+                  CAST(mass AS DOUBLE) / CAST(total AS DOUBLE) AS p,
+                  sqrt(CAST(mass AS DOUBLE) / CAST(total AS DOUBLE)) AS pa
+                FROM t),
+         rr AS (SELECT *, sum(pa) OVER (ORDER BY source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM sq),
+         zz AS (SELECT *, max(run) OVER () AS z FROM rr),
+         bud AS (SELECT source, CAST(round((pa / z) * 500000) AS BIGINT) AS budget FROM zz),
+         c AS (SELECT doc_id, source, CAST(ntok AS BIGINT) AS ntok,
+                 CAST(sum(ntok) OVER (PARTITION BY source ORDER BY prio
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM kd),
+         pick AS (SELECT c.source, c.ntok, c.cum <= b.budget AS picked
+                  FROM c JOIN bud b USING (source))
+         SELECT p.source, count(*) AS n_reps,
+           CAST(sum(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT) AS n_picked,
+           CAST(sum(CASE WHEN picked THEN ntok ELSE 0 END) AS BIGINT) AS tok_picked,
+           b.budget
+         FROM pick p JOIN bud b USING (source)
+         GROUP BY p.source, b.budget ORDER BY p.source""",
     "q117_exact_quantiles" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v FROM lineitem),
          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),

@@ -66,11 +66,14 @@ object GraphOps {
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // materialize the caches once, before the fan-out
     // rank frames are node-sized: checkpoint them at a partition count
-    // scaled to the DATA (~1M rows per partition), not to the session's
+    // scaled to the DATA (~64k rows per partition), not to the session's
     // shuffle setting — at toy scale that's 1 partition instead of
-    // hundreds of near-empty tasks per iteration, at 10^9 nodes it's
-    // ~1000 partitions; coalesce is map-side (no shuffle)
-    val parts = math.max(1, (n / (1L << 20)).toInt)
+    // hundreds of near-empty tasks per iteration; at 10^9 nodes it's
+    // ~15k partitions (what a cluster wants). The first cut used 1M
+    // rows/partition and collapsed a 1.6M-node graph to ONE partition —
+    // single-threaded iterations, measured 2x slower at sf10 — so the
+    // divisor errs toward parallelism; coalesce is map-side (no shuffle)
+    val parts = math.max(1, (n / (1L << 16)).toInt)
     val nAgg = nodes.agg(count(lit(1)).cast("double").as("__n"))
     // Iteration state is localCheckpoint(lazy): the frame becomes an RDD
     // scan at BUILD time, so plans stay constant-size across iterations.
