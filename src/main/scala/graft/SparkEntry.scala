@@ -1363,6 +1363,19 @@ object SparkEntry {
         .select(col("id"), round(col("r") * 1000000).cast("long").as("rank_micro"))
         .orderBy("id")
     }),
+    // ── extension: systematic weighted sampling (particle-filter
+    //    resampling): equally-spaced ticks on the cumulative weight axis,
+    //    rows laid in md5-LCG priority order — copies_i ∝ ntok within ±1,
+    //    all-integer (engine-exact), one distributed prefix-sum pass
+    "q119_systematic_sample" -> ((s, dir) => {
+      val d = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+        .where(col("ntok") > 0)
+      graft.operators.MixtureSample.systematicSample(d, "doc_id", "ntok", k = 100L)
+        .select("doc_id", "ntok", "cum", "copies")
+        .orderBy("doc_id")
+    }),
     // ── extension: pipeline v3 — the round-9 curation chain composed
     //    end-to-end: near-dup CLUSTER-REPRESENTATIVE dedup (longest per
     //    cluster) → temperature-rebalanced per-source budgets (α=0.5,
@@ -2585,6 +2598,28 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q119_systematic_sample" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS ntok
+           FROM documents WHERE length(trim(text)) > 0),
+         dd AS (SELECT * FROM d WHERE ntok > 0),
+         pr AS (SELECT doc_id, ntok,
+                  (doc_id * 1103515245 + 99991) % 2147483648 AS prio FROM dd),
+         c AS (SELECT doc_id, ntok,
+                 CAST(sum(ntok) OVER (ORDER BY prio
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM pr),
+         w AS (SELECT CAST(max(cum) AS BIGINT) AS tw FROM c),
+         p AS (SELECT c.*, (tw + 99) // 100 AS step, ((tw + 99) // 100) // 2 AS off
+               FROM c CROSS JOIN w),
+         g AS (SELECT doc_id, ntok, cum,
+                 (CASE WHEN cum > off THEN (cum - off - 1) // step + 1 ELSE 0 END)
+                 - (CASE WHEN cum - ntok > off
+                         THEN (cum - ntok - off - 1) // step + 1 ELSE 0 END) AS copies
+               FROM p)
+         SELECT doc_id, ntok, cum, copies FROM g WHERE copies >= 1
+         ORDER BY doc_id""",
     "q118_pipeline_v3" ->
       """WITH toks AS (
            SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t

@@ -50,6 +50,55 @@ object MixtureSample {
       .drop("__cum", "__budget")
   }
 
+  /** SYSTEMATIC weighted sampling (the resampling scheme of particle
+    * filters — Kitagawa 1996; Douc/Cappé 2005 show it dominates multinomial
+    * resampling in variance): lay every row's integer weight end-to-end on
+    * a cumulative axis, then take equally-spaced ticks
+    * `offset + 1 + j·step`, `step = ceil(W/k)` — a row is selected once
+    * per tick inside its weight interval, so
+    *
+    *   copies_i ∈ { floor(w_i/step), ceil(w_i/step) },  E[copies_i] ∝ w_i
+    *
+    * and the total draw is exactly `g(W) ≤ k` (k or k−1 by divisibility).
+    * EVERYTHING IS INTEGER — no float inverse-CDF, no per-row RNG — so the
+    * sample is reproducible on any engine (q119's DuckDB oracle) and
+    * stable under repartition. The deterministic tick offset (`step/2`)
+    * replaces the classic uniform draw; rows are laid on the axis in
+    * md5-LCG priority order, not id order, so adjacency on the axis — the
+    * one bias systematic sampling has — is decorrelated from storage
+    * order. Training-data use: quality- or length-proportional corpus
+    * draws with replacement bounded to ±1 copy of proportionality.
+    *
+    * Scale shape: ONE [[PrefixSum.groupedRunningSum]] pass (distributed
+    * prefix sum — no single-reducer window), a 1-row total cross-joined
+    * back in, and a map-only tick count per row.
+    *
+    * @param weightCol positive integer weights
+    * @return input rows + (cum, copies), copies ≥ 1 rows only
+    */
+  def systematicSample(df: DataFrame, idCol: String, weightCol: String,
+                       k: Long, seed: Long = 99991L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val prio = TrainShuffle.lcgPrio(col(idCol), seed)
+    val laid = df.withColumn("__prio", prio).withColumn("__grp", lit(0))
+    val cum = PrefixSum.groupedRunningSum(laid, Seq("__grp"), "__prio", weightCol, "cum")
+    val tot = cum.groupBy("__grp").agg(max("cum").as("__w"))
+    // `div` (not `/`): Column `/` on longs is DOUBLE division — silent
+    // precision loss past 2^53 cumulative weight
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    def g(x: Column, offset: Column, step: Column): Column =
+      when(x > offset, idiv(x - offset - lit(1L), step) + lit(1L))
+        .otherwise(lit(0L)).cast("long")
+    cum.join(broadcast(tot), Seq("__grp"))
+      .withColumn("__step", idiv(col("__w") + lit(k - 1), lit(k)))
+      .withColumn("__off", idiv(col("__step"), lit(2L)))
+      .withColumn("copies",
+        g(col("cum"), col("__off"), col("__step")) -
+          g(col("cum") - col(weightCol), col("__off"), col("__step")))
+      .where(col("copies") >= 1)
+      .drop("__grp", "__prio", "__w", "__step", "__off")
+  }
+
   /** Temperature-based mixture reweighting (the multilingual α-sampling of
     * XLM-R, arXiv:1911.02116 §3.1, also used for The Pile / LLaMA domain
     * weights): given per-row token counts, compute for each group

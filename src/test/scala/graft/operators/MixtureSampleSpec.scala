@@ -77,6 +77,43 @@ class MixtureSampleSpec extends SparkSpec {
     assert(run(d) == run(d.repartition(17)), "doubles must be bit-identical across plans")
   }
 
+  test("systematicSample draws ~k total with per-row copies proportional within 1") {
+    val rng = new scala.util.Random(31)
+    val rows = (0L until 400L).map(i => (i, (rng.nextInt(50) + 1).toLong)).toDF("id", "w")
+    val k = 60L
+    val out = MixtureSample.systematicSample(rows, "id", "w", k)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("w"), r.getAs[Long]("copies")))
+    val total = out.map(_._3).sum
+    assert(total == k || total == k - 1, s"total draw $total vs k=$k")
+    val w = rows.collect().map(r => r.getLong(1)).sum
+    val step = (w + k - 1) / k
+    out.foreach { case (id, wi, c) =>
+      assert(c >= wi / step && c <= wi / step + 1,
+        s"row $id: copies $c outside [${wi / step}, ${wi / step + 1}] for w=$wi step=$step")
+    }
+  }
+
+  test("systematicSample guarantees selection for rows with weight >= step") {
+    // one whale of weight 1000 among minnows of 1: whale must be drawn
+    // with ~proportional multiplicity
+    val rows = ((0L until 99L).map(i => (i, 1L)) :+ (999L, 1000L)).toDF("id", "w")
+    val out = MixtureSample.systematicSample(rows, "id", "w", k = 20L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("copies")).toMap
+    val step = (1099L + 19L) / 20L // 55
+    assert(out.contains(999L) && out(999L) >= 1000L / step,
+      s"whale got ${out.get(999L)} copies, expected >= ${1000L / step}")
+  }
+
+  test("systematicSample is deterministic under repartition") {
+    val rng = new scala.util.Random(37)
+    val rows = (0L until 300L).map(i => (i, (rng.nextInt(30) + 1).toLong)).toDF("id", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      MixtureSample.systematicSample(df, "id", "w", 40L)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum"),
+          r.getAs[Long]("copies"))).toSet
+    assert(run(rows) == run(rows.repartition(13)))
+  }
+
   test("tokenBudgetSample is deterministic under repartition") {
     val rng = new scala.util.Random(3)
     val rows = (0L until 200L).map { i =>
