@@ -1363,6 +1363,28 @@ object SparkEntry {
         .select(col("id"), round(col("r") * 1000000).cast("long").as("rank_micro"))
         .orderBy("id")
     }),
+    // ── extension: JL random projection — 64-float embeddings → 8
+    //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
+    //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
+    //    narrower scan a 100 TB pre-pass would run before exact rerank
+    "q120_random_projection" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"),
+        SimilarityOps.randomProjection(col("embedding"), 8).as("p"))
+      def dotL(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      val probes = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("probe_id"), col("p").as("pp"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", dotL(col("p"), col("pp")).cast("double") /
+          (sqrt(dotL(col("p"), col("p")).cast("double")) *
+            sqrt(dotL(col("pp"), col("pp")).cast("double"))))
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+        .select(col("probe_id"), col("vec_id").as("nbr_id"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("probe_id", "rank")
+    }),
     // ── extension: systematic weighted sampling (particle-filter
     //    resampling): equally-spaced ticks on the cumulative weight axis,
     //    rows laid in md5-LCG priority order — copies_i ∝ ntok within ±1,
@@ -2598,6 +2620,25 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q120_random_projection" ->
+      """WITH proj AS (
+           SELECT vec_id,
+             list_transform(range(0, 8), j ->
+               CAST(list_sum(list_transform(range(1, len(embedding) + 1), i ->
+                 CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                 ((CAST('0x'||substr(md5('rp,' || j || ',' || (i - 1)), 1, 15) AS BIGINT) % 2001) - 1000)
+               )) AS BIGINT)) AS p
+           FROM embeddings),
+         pr AS (SELECT vec_id AS probe_id, p AS pp FROM proj WHERE vec_id < 3),
+         sc AS (SELECT pr.probe_id, e.vec_id AS nbr_id,
+                  CAST(CAST(list_sum(list_transform(range(1, 9), i -> e.p[i] * pr.pp[i])) AS BIGINT) AS DOUBLE)
+                  / (sqrt(CAST(CAST(list_sum(list_transform(range(1, 9), i -> e.p[i] * e.p[i])) AS BIGINT) AS DOUBLE))
+                     * sqrt(CAST(CAST(list_sum(list_transform(range(1, 9), i -> pr.pp[i] * pr.pp[i])) AS BIGINT) AS DOUBLE))) AS cos
+                FROM proj e CROSS JOIN pr WHERE e.vec_id <> pr.probe_id),
+         r AS (SELECT probe_id, nbr_id, CAST(row_number() OVER (
+                 PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS INT) AS rank FROM sc)
+         SELECT probe_id, nbr_id, rank FROM r WHERE rank <= 5
+         ORDER BY probe_id, rank""",
     "q119_systematic_sample" ->
       """WITH d AS (
            SELECT doc_id,

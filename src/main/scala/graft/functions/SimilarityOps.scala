@@ -95,6 +95,26 @@ object SimilarityOps {
       when(proj >= 0, lit(1L)).otherwise(lit(0L))
     })
 
+  /** Johnson-Lindenstrauss random projection to `outDims` integer
+    * coordinates — the full-value sibling of [[srpBits]] (which keeps only
+    * the sign): same md5-derived integer hyperplanes in [-1000, 1000],
+    * same `round(v·1000)` input quantization, so every output coordinate
+    * is EXACT INTEGER arithmetic — bit-reproducible on any engine, no
+    * float-summation-order hazard, no scaling factor (cosine is
+    * scale-invariant, so the JL estimate needs none). Training-data use:
+    * 64-float embeddings → `outDims` longs before a brute-force or
+    * banded pass — an 8× narrower scan payload whose pairwise angles
+    * concentrate around the originals (JL lemma; distortion ~1/√outDims).
+    * Map-only; the hyperplane table is constant-folded into the codegen.
+    */
+  def randomProjection(vec: Column, outDims: Int): Column =
+    transform(sequence(lit(0), lit(outDims - 1), lit(1)), j =>
+      aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1, lit(1)), (v, d) =>
+          round(v.cast("double") * 1000).cast("long") *
+            (pmod(DedupOps.hash60(concat_ws(",", lit("rp"), j, d)), lit(2001L)) - 1000L)),
+        lit(0L), (acc, x) => acc + x))
+
   /** Bucket key from SRP bits — the native [[graft.expr.SrpBucket]]
     * kernel (precomputed weight table + primitive loops; identical math to
     * `aggregate(srpBits(vec, n), 0L, _ * 2 + _)`). */

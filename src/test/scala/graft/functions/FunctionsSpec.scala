@@ -761,3 +761,46 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_bytes") == 8L)
   }
 }
+
+class RandomProjectionSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def proj(rows: Seq[(Long, Array[Float])]) =
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), SimilarityOps.randomProjection(col("embedding"), 8).as("p"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1)).toMap
+
+  test("randomProjection emits outDims exact integers, deterministic under repartition") {
+    val rng = new scala.util.Random(41)
+    val rows = (0L until 50L).map(i => (i, Array.fill(16)(rng.nextFloat() - 0.5f)))
+    val a = proj(rows)
+    val b = rows.toDF("vec_id", "embedding").repartition(7)
+      .select(col("vec_id"), SimilarityOps.randomProjection(col("embedding"), 8).as("p"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+    assert(a.values.forall(_.size == 8))
+  }
+
+  test("projection is linear: an exactly-quantized scaled copy projects to the scaled image") {
+    // coordinates are multiples of 0.001, so round(v*1000) is exact and
+    // p(2v) = 2 p(v) must hold coordinate-for-coordinate
+    val v = Array.tabulate(16)(i => (i * 0.003f) - 0.02f)
+    val out = proj(Seq((1L, v), (2L, v.map(_ * 2f))))
+    assert(out(2L) == out(1L).map(_ * 2L))
+  }
+
+  test("JL sanity: duplicate vectors land at cosine 1, random pairs scatter") {
+    val rng = new scala.util.Random(43)
+    def unit() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = unit()
+    val out = proj(Seq((1L, base), (2L, base.clone()), (3L, unit()), (4L, unit())))
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      d / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    assert(math.abs(cos(out(1L), out(2L)) - 1.0) < 1e-12)
+    // 64-dim gaussian pairs have cos ~ N(0, 1/8) after 8-dim JL: loose bound
+    assert(math.abs(cos(out(3L), out(4L))) < 0.95)
+  }
+}
