@@ -1367,6 +1367,32 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: EXACT connected components via alternating star
+    //    contraction (Kiveris et al. 2014) — the O(log n)-round CC for
+    //    high-diameter graphs where dedupClusters' label propagation
+    //    would need diameter-many shuffles. Test graph is deliberately
+    //    chain-shaped (per-user event chains bridged within user-id
+    //    classes): the worst case for one-hop propagation, routine for
+    //    star contraction. Oracle: connectivity is constructed, so the
+    //    component minimum is derivable in closed form per class.
+    "q121_connected_components" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val chain = ev
+        .select(col("event_id"), lead("event_id", 1).over(wU).as("nid"))
+        .where(col("nid").isNotNull)
+        .select(col("event_id").as("src"), col("nid").as("dst"))
+      val umin = ev.groupBy("user_id").agg(min("event_id").as("me"))
+        .withColumn("cls", pmod(col("user_id"), lit(97)))
+      val wC = Window.partitionBy("cls").orderBy("user_id")
+      val bridge = umin
+        .select(col("cls"), col("me"), lead("me", 1).over(wC).as("nme"))
+        .where(col("nme").isNotNull)
+        .select(col("me").as("src"), col("nme").as("dst"))
+      graft.functions.GraphOps
+        .connectedComponents(chain.union(bridge), "src", "dst")
+        .orderBy("id")
+    }),
     "q120_random_projection" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings").select(col("vec_id"),
         SimilarityOps.randomProjection(col("embedding"), 8).as("p"))
@@ -2620,6 +2646,23 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    // Connectivity is constructed (per-user chains + class bridges), so
+    // the exact component label is min(event_id) over the user-id class;
+    // the only excluded nodes are the isolated ones (single-event user
+    // alone in its class), which never enter the edge list.
+    "q121_connected_components" ->
+      """WITH stats AS (
+           SELECT user_id, user_id % 97 AS cls, count(*) AS n_ev,
+             min(event_id) AS me
+           FROM events GROUP BY 1, 2),
+         cstats AS (SELECT cls, count(*) AS n_users, min(me) AS cmin
+                    FROM stats GROUP BY 1)
+         SELECT e.event_id AS id, c.cmin AS component
+         FROM events e
+         JOIN stats s ON s.user_id = e.user_id
+         JOIN cstats c ON c.cls = s.cls
+         WHERE s.n_ev >= 2 OR c.n_users >= 2
+         ORDER BY id""",
     "q120_random_projection" ->
       """WITH proj AS (
            SELECT vec_id,

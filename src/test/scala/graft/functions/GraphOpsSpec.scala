@@ -65,4 +65,55 @@ class GraphOpsSpec extends SparkSpec {
     def q(s: Set[(Long, Double)]) = s.map { case (id, r) => (id, math.round(r * 1e9)) }
     assert(q(run(es.toDF("src", "dst"))) == q(run(es.toDF("src", "dst").repartition(13))))
   }
+
+  /** Driver-side union-find ground truth. */
+  private def refCC(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+
+  test("connectedComponents labels a long chain in few rounds (diameter >> rounds)") {
+    // a 400-node path: label propagation would need ~400 rounds; star
+    // contraction must finish inside the default cap
+    val chain = (0L until 399L).map(i => (i, i + 1))
+    val out = ccMap(GraphOps.connectedComponents(chain.toDF("src", "dst"), "src", "dst"))
+    assert(out.size == 400)
+    assert(out.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents matches union-find on a random multi-component graph") {
+    val rng = new scala.util.Random(7)
+    val es = (0 until 500).map { _ =>
+      // 5 islands of 100 ids each; edges stay inside an island
+      val base = rng.nextInt(5) * 100L
+      (base + rng.nextInt(100), base + rng.nextInt(100))
+    }.filter(e => e._1 != e._2)
+    val out = ccMap(GraphOps.connectedComponents(es.toDF("src", "dst"), "src", "dst"))
+    val ref = refCC(es)
+    assert(out == ref)
+  }
+
+  test("connectedComponents canonicalizes directions and duplicate edges") {
+    val es = Seq((2L, 1L), (1L, 2L), (2L, 1L), (3L, 2L), (5L, 4L))
+    val out = ccMap(GraphOps.connectedComponents(es.toDF("src", "dst"), "src", "dst"))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("connectedComponents handles a two-node and a star component") {
+    val es = Seq((10L, 20L)) ++ (1L to 6L).map(i => (0L, i))
+    val out = ccMap(GraphOps.connectedComponents(es.toDF("src", "dst"), "src", "dst"))
+    assert((0L to 6L).forall(out(_) == 0L))
+    assert(out(10L) == 10L && out(20L) == 10L)
+  }
 }
