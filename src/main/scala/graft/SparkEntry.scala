@@ -1367,6 +1367,30 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: BPE ENCODE with a frozen merge table — train merges
+    //    on a 4-source slice (q116's trainer), then tokenize the WHOLE
+    //    corpus with them: distinct words encoded once via a map-only
+    //    literal-folded merge fold, occurrences joined back by word.
+    //    Deployment shape: train once on a sample, encode petabytes.
+    "q122_bpe_encode" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val trainWf = graft.functions.VocabOps
+        .explodeTokens(d.where(col("source").isin("src0", "src1", "src2", "src3")),
+          "doc_id", "text")
+        .groupBy("word").agg(count(lit(1)).as("f"))
+      val merges = graft.functions.VocabOps.bpeMerges(trainWf, "word", "f", merges = 5)
+      val occ = graft.functions.VocabOps.explodeTokens(d, "doc_id", "text")
+        .localCheckpoint(false) // feeds the distinct-word frame AND the join
+      val enc = graft.functions.VocabOps
+        .bpeEncode(occ.select("word").distinct(), "word", merges)
+        .select(col("word"), size(col("pieces")).as("np"), length(col("word")).as("nc"))
+      occ.join(enc, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum("np").cast("long").as("n_pieces"),
+          sum("nc").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
     // ── extension: EXACT connected components via alternating star
     //    contraction (Kiveris et al. 2014) — the O(log n)-round CC for
     //    high-diameter graphs where dedupClusters' label propagation
@@ -2646,6 +2670,94 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    // Training replays the q116 oracle on the 4-source slice; encode
+    // replays the same per-position rewrite over the whole corpus's
+    // distinct words, merge by merge, then joins occurrences back.
+    "q122_bpe_encode" ->
+      """WITH ttoks AS (
+           SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents WHERE length(trim(text)) > 0
+             AND source IN ('src0', 'src1', 'src2', 'src3')),
+         wf AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM ttoks GROUP BY 1),
+         w0 AS (SELECT f, [word[i:i] for i in range(1, len(word)+1)] AS syms
+                FROM wf WHERE len(word) > 0),
+         p1 AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w0)
+           WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+         b1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+         w1 AS (SELECT f, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM w0 CROSS JOIN b1 b),
+         p2 AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w1)
+           WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+         b2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+         w2 AS (SELECT f, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM w1 CROSS JOIN b2 b),
+         p3 AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w2)
+           WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+         b3 AS (SELECT l, r FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+         w3 AS (SELECT f, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM w2 CROSS JOIN b3 b),
+         p4 AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w3)
+           WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+         b4 AS (SELECT l, r FROM p4 ORDER BY cnt DESC, l, r LIMIT 1),
+         w4 AS (SELECT f, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM w3 CROSS JOIN b4 b),
+         p5 AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w4)
+           WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+         b5 AS (SELECT l, r FROM p5 ORDER BY cnt DESC, l, r LIMIT 1),
+         toks AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents WHERE length(trim(text)) > 0),
+         dw AS (SELECT DISTINCT word FROM toks WHERE len(word) > 0),
+         e0 AS (SELECT word, [word[i:i] for i in range(1, len(word)+1)] AS syms FROM dw),
+         e1 AS (SELECT word, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM e0 CROSS JOIN b1 b),
+         e2 AS (SELECT word, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM e1 CROSS JOIN b2 b),
+         e3 AS (SELECT word, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM e2 CROSS JOIN b3 b),
+         e4 AS (SELECT word, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM e3 CROSS JOIN b4 b),
+         e5 AS (SELECT word, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM e4 CROSS JOIN b5 b),
+         ew AS (SELECT word, len(syms) AS np, len(word) AS nc FROM e5)
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(e.np) AS BIGINT) AS n_pieces,
+           CAST(sum(e.nc) AS BIGINT) AS n_chars
+         FROM toks t JOIN ew e USING (word)
+         GROUP BY 1 ORDER BY doc_id""",
     // Connectivity is constructed (per-user chains + class bridges), so
     // the exact component label is min(event_id) over the user-id class;
     // the only excluded nodes are the isolated ones (single-event user

@@ -176,6 +176,56 @@ object VocabOps {
     * @param words one row per distinct word: (wordCol, freqCol)
     * @return one row per merge step: (step, lhs, rhs, cnt), step 1-based
     */
+  /** Apply a FROZEN merge table to words — the encode half of BPE, used
+    * when a tokenizer trained on one corpus slice must tokenize another
+    * (the standard deployment: train once, encode petabytes).
+    *
+    * The merge list is MODEL state (k rows, k = merge budget), so it is
+    * collected once and folded into the expression as literals: the whole
+    * encode is `aggregate(merges, chars, rewrite)` — one higher-order
+    * fold per word applying the k merges in training order, each with the
+    * same overlap-free per-position rewrite as [[bpeMerges]] (non-self
+    * pairs only, so left-to-right and order-free rewrites coincide and
+    * the SQL oracle can replicate symbol-for-symbol). MAP-ONLY: no join,
+    * no shuffle, no per-step materialization — the classic alternative
+    * (k chained broadcast joins) costs k plan stages for the same answer.
+    *
+    * Callers encode the DISTINCT-WORD table and join occurrences back by
+    * word (vocabularies saturate in the 10⁶–10⁷ range — model-sized vs
+    * the corpus), or apply this directly per occurrence when avoiding the
+    * word-keyed shuffle matters more than redundant per-duplicate work.
+    *
+    * @param merges (step, lhs, rhs) — [[bpeMerges]] output; applied in
+    *               ascending step order
+    * @return input plus `pieces`: the word's subword symbol array
+    */
+  def bpeEncode(words: DataFrame, wordCol: String, merges: DataFrame): DataFrame = {
+    // model-as-literals: k rows, bounded by the merge budget (same
+    // deliberate driver fold as ClassifierOps.dsirScoreDocs)
+    val ms = merges.select(col("step"), col("lhs"), col("rhs"))
+      .orderBy("step").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    require(ms.nonEmpty, "empty merge table")
+    require(ms.forall { case (l, r) => l != r },
+      "self-pair merge in table — bpeMerges never emits one")
+    val mlit = array(ms.map { case (l, r) =>
+      struct(lit(l).as("l"), lit(r).as("r")) }: _*)
+    val chars = filter(split(col(wordCol), ""), x => length(x) > 0)
+    val pieces = aggregate(mlit, chars, (acc, m) => {
+      val (l, r) = (m.getField("l"), m.getField("r"))
+      val n = size(acc)
+      filter(
+        transform(sequence(lit(1), n), i =>
+          when(i < n && element_at(acc, i) === l
+              && element_at(acc, i + 1) === r, concat(l, r))
+          .when(i > 1 && element_at(acc, i - 1) === l
+              && element_at(acc, i) === r, lit(null))
+          .otherwise(element_at(acc, i))),
+        x => x.isNotNull)
+    })
+    words.where(length(col(wordCol)) > 0).withColumn("pieces", pieces)
+  }
+
   def bpeMerges(words: DataFrame, wordCol: String, freqCol: String,
                 merges: Int): DataFrame = {
     require(merges >= 1, s"merges must be >= 1, got $merges")

@@ -115,4 +115,62 @@ class BpeMergesSpec extends graft.SparkSpec {
         r.getAs[String]("rhs"), r.getAs[Long]("cnt")))
     assert(a.toSeq == b.toSeq)
   }
+
+  /** Driver-side reference: apply non-self merges in order, overlap-free
+    * left-to-right (equivalent to the per-position rewrite for l != r). */
+  private def refEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms = word.map(_.toString)
+    merges.foreach { case (l, r) =>
+      val out = scala.collection.mutable.Buffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toIndexedSeq
+    }
+    syms
+  }
+
+  private def encode(words: Seq[String], merges: Seq[(String, String)]): Map[String, Seq[String]] = {
+    val m = merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r) }.toDF("step", "lhs", "rhs")
+    VocabOps.bpeEncode(words.toDF("word"), "word", m)
+      .collect().map(r => r.getAs[String]("word") -> r.getSeq[String](1)).toMap
+  }
+
+  test("bpeEncode applies merges in training order") {
+    // order matters: (a,b) then (ab,c) builds "abc"; reversed it cannot
+    val ms = Seq(("a", "b"), ("ab", "c"))
+    assert(encode(Seq("abc"), ms)("abc") == Seq("abc"))
+    assert(encode(Seq("abc"), ms.reverse)("abc") == Seq("ab", "c"))
+  }
+
+  test("bpeEncode matches the driver reference on random words and merges") {
+    val rng = new scala.util.Random(23)
+    val words = (0 until 200).map(_ =>
+      Seq.fill(rng.nextInt(9) + 1)(('a' + rng.nextInt(4)).toChar).mkString).distinct
+    val merges = Seq(("a", "b"), ("c", "d"), ("ab", "a"), ("b", "c"), ("aba", "b"))
+    val out = encode(words, merges)
+    words.foreach { w =>
+      assert(out(w) == refEncode(w, merges), s"word $w")
+      assert(out(w).mkString == w, s"pieces must respell the word: $w")
+    }
+  }
+
+  test("bpeEncode on the training words equals the trainer's final state") {
+    val words = Seq(("abcd", 4L), ("abcab", 2L), ("dcba", 1L))
+    val mergesDf = VocabOps.bpeMerges(words.toDF("word", "f"), "word", "f", 3)
+    val ms = mergesDf.orderBy("step").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    val enc = encode(words.map(_._1), ms)
+    words.map(_._1).foreach { w =>
+      assert(enc(w) == refEncode(w, ms), s"word $w")
+    }
+  }
+
+  test("bpeEncode handles unseen symbols (no merge applies)") {
+    assert(encode(Seq("zzz"), Seq(("a", "b")))("zzz") == Seq("z", "z", "z"))
+  }
 }
