@@ -1367,6 +1367,23 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: sketch-based JOIN-SIZE estimation (CMS inner product,
+    //    Cormode & Muthukrishnan §4.2) — the planner primitive that sizes
+    //    a join from two d×w tables instead of scanning either side; the
+    //    exact Σ f_A·f_B alongside certifies est ≥ exact cell-exactly
+    "q123_cms_join_size" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("user_id").as("k"))
+      val om = T(s, dir, "orders").select(col("o_custkey").as("k"))
+      val sa = graft.functions.SketchOps.cmsBuild(ev, "k", depth = 4, width = 512)
+      val sb = graft.functions.SketchOps.cmsBuild(om, "k", depth = 4, width = 512)
+      val est = graft.functions.SketchOps.cmsJoinSize(sa, sb)
+      val exact = ev.groupBy("k").agg(count(lit(1)).as("fa"))
+        .join(om.groupBy("k").agg(count(lit(1)).as("fb")), Seq("k"))
+        .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_n"))
+      est.crossJoin(exact)
+        .select(col("est"), col("exact_n"),
+          expr("(est - exact_n) * 10000 div greatest(exact_n, 1L)").as("overcount_bp"))
+    }),
     // ── extension: BPE ENCODE with a frozen merge table — train merges
     //    on a 4-source slice (q116's trainer), then tokenize the WHOLE
     //    corpus with them: distinct words encoded once via a map-only
@@ -2670,6 +2687,28 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q123_cms_join_size" ->
+      """WITH js AS (SELECT unnest(range(0, 4)) AS j),
+         ea AS (SELECT j,
+             CAST('0x'||substr(md5(j || ':' || user_id), 1, 15) AS BIGINT) % 512 AS bucket,
+             CAST(count(*) AS BIGINT) AS ca
+           FROM events CROSS JOIN js GROUP BY 1, 2),
+         eb AS (SELECT j,
+             CAST('0x'||substr(md5(j || ':' || o_custkey), 1, 15) AS BIGINT) % 512 AS bucket,
+             CAST(count(*) AS BIGINT) AS cb
+           FROM orders CROSS JOIN js GROUP BY 1, 2),
+         ip AS (SELECT a.j, CAST(sum(a.ca * b.cb) AS BIGINT) AS ip
+                FROM ea a JOIN eb b USING (j, bucket) GROUP BY 1),
+         -- depth rows with no intersecting bucket witness ip_j = 0: restore
+         -- them before the min (mirrors SketchOps.cmsJoinSize exactly)
+         est AS (SELECT CAST(coalesce(min(coalesce(ip.ip, 0)), 0) AS BIGINT) AS est
+                 FROM js LEFT JOIN ip ON ip.j = js.j),
+         ex AS (SELECT CAST(coalesce(sum(fa * fb), 0) AS BIGINT) AS exact_n FROM
+           (SELECT user_id AS k, count(*) AS fa FROM events GROUP BY 1) a
+           JOIN (SELECT o_custkey AS k, count(*) AS fb FROM orders GROUP BY 1) b USING (k))
+         SELECT est, exact_n,
+           (est - exact_n) * 10000 // greatest(exact_n, 1) AS overcount_bp
+         FROM est CROSS JOIN ex""",
     // Training replays the q116 oracle on the 4-source slice; encode
     // replays the same per-position rewrite over the whole corpus's
     // distinct words, merge by merge, then joins occurrences back.

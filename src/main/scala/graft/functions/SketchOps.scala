@@ -57,4 +57,38 @@ object SketchOps {
     cand.join(broadcast(sketch), Seq("j", "bucket"))
       .groupBy(keyCol).agg(min("c").as("est"))
   }
+
+  /** JOIN-CARDINALITY estimate from two sketches — the inner-product
+    * estimator of Cormode & Muthukrishnan 2005 §4.2: for sketches of key
+    * multisets A and B (built with the SAME depth/width/hashes),
+    *
+    *   |A ⋈ B|  =  Σ_k f_A(k)·f_B(k)  ≈  min_j Σ_w cA[j][w]·cB[j][w]
+    *
+    * Never under-estimates (colliding keys only add cross terms); the
+    * over-count is bounded by ‖f_A‖₁·‖f_B‖₁·e/w with probability 1−e^−d.
+    *
+    * This is the query-planner primitive for sizing a join WITHOUT
+    * scanning either side: at 100 TB the exact answer is itself a full
+    * key-keyed aggregate of each table plus a vocabulary-sized join,
+    * while this estimate joins two d×w tables — constant cost in the
+    * data size, so a planner can sketch every candidate join key during
+    * ingest (sketches are mergeable: cell-wise sums absorb new
+    * partitions) and pick broadcast/shuffle/skew strategies from the
+    * estimates.
+    *
+    * @param a,b [[cmsBuild]] outputs with identical depth and width
+    * @return one row: (est) — the estimated join cardinality
+    */
+  def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame = {
+    val ip = a.select(col("j"), col("bucket"), col("c").as("ca"))
+      .join(b.select(col("j"), col("bucket"), col("c").as("cb")), Seq("j", "bucket"))
+      .groupBy("j").agg(sum(col("ca") * col("cb")).as("ip"))
+    // a depth row whose buckets don't intersect at all witnesses ip_j = 0
+    // — the inner join DROPS it, so restore every j from sketch a (each
+    // key populates all d rows) before taking the min, or a disjoint
+    // join would read as the min of the remaining rows (or NULL)
+    a.select("j").distinct()
+      .join(ip, Seq("j"), "left")
+      .agg(coalesce(min(coalesce(col("ip"), lit(0L))), lit(0L)).as("est"))
+  }
 }

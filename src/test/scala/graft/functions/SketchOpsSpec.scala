@@ -49,4 +49,30 @@ class SketchOpsSpec extends SparkSpec {
     }
     assert(run(df) == run(df.repartition(9)))
   }
+
+  private def joinEst(a: Seq[String], b: Seq[String], width: Int): Long =
+    SketchOps.cmsJoinSize(
+      SketchOps.cmsBuild(a.toDF("word"), "word", 4, width),
+      SketchOps.cmsBuild(b.toDF("word"), "word", 4, width))
+      .head().getAs[Long]("est")
+
+  private def exactJoin(a: Seq[String], b: Seq[String]): Long = {
+    val fb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    a.groupBy(identity).map { case (k, v) => v.size.toLong * fb.getOrElse(k, 0L) }.sum
+  }
+
+  test("cmsJoinSize never under-estimates and is exact without collisions") {
+    val a = Seq.fill(5)("x") ++ Seq.fill(2)("y") ++ Seq("z")
+    val b = Seq.fill(3)("x") ++ Seq.fill(4)("w") ++ Seq("y")
+    assert(exactJoin(a, b) == 5L * 3 + 2L * 1)
+    assert(joinEst(a, b, width = 4096) == exactJoin(a, b))
+    // narrow sketch: collisions only ADD cross terms
+    assert(joinEst(a, b, width = 4) >= exactJoin(a, b))
+  }
+
+  test("cmsJoinSize on disjoint key sets is zero when wide enough") {
+    val a = (0 until 50).map(i => s"a$i")
+    val b = (0 until 50).map(i => s"b$i")
+    assert(joinEst(a, b, width = 4096) == 0L)
+  }
 }
