@@ -1367,6 +1367,18 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: blocked edit-distance record linkage — first-token
+    //    blocking bounds the quadratic pair term; a length-band prefilter
+    //    plus Spark's threshold-abort 3-arg levenshtein guard the DP.
+    //    Catches character-level corruption (OCR noise, typo farms) that
+    //    token-hash dedup fragments past recognition.
+    "q124_fuzzy_match" -> ((s, dir) => {
+      val d = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("p"),
+          substring_index(col("text"), " ", 1).as("w1"))
+      DedupOps.editDistancePairs(d, "doc_id", "p", col("w1"), maxDist = 16)
+        .orderBy("id_a", "id_b")
+    }),
     // ── extension: sketch-based JOIN-SIZE estimation (CMS inner product,
     //    Cormode & Muthukrishnan §4.2) — the planner primitive that sizes
     //    a join from two d×w tables instead of scanning either side; the
@@ -2687,6 +2699,17 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    // The length-band prefilter is implied (|len_a−len_b| ≤ dist), so the
+    // oracle needs only the block + threshold predicate.
+    "q124_fuzzy_match" ->
+      """WITH d AS (
+           SELECT doc_id, substr(text, 1, 64) AS p, string_split(text, ' ')[1] AS w1
+           FROM documents WHERE length(trim(text)) > 0)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.p, b.p) AS dist
+         FROM d a JOIN d b ON a.w1 = b.w1 AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.p, b.p) <= 16
+         ORDER BY id_a, id_b""",
     "q123_cms_join_size" ->
       """WITH js AS (SELECT unnest(range(0, 4)) AS j),
          ea AS (SELECT j,

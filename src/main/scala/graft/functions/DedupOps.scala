@@ -726,4 +726,46 @@ object DedupOps {
         (col("c").cast("double") / col("sz_a")).as("containment"))
       .where(col("containment") >= threshold)
   }
+
+  /** Blocked EDIT-DISTANCE pairs — classic record linkage (Fellegi &
+    * Sunter 1969 blocking + Levenshtein comparison): candidate pairs are
+    * generated only WITHIN blocks, then scored by edit distance with a
+    * maximum threshold. Shingle/minhash families catch token-level
+    * near-dups; edit distance catches character-level corruption (OCR
+    * noise, mojibake, typo farms, template fills) that token hashing
+    * fragments past recognition.
+    *
+    * Scale shape: the self-join is keyed by the BLOCK — pair count is
+    * Σ_b |b|²/2, so the blocking key choice (domain knowledge: phonetic
+    * code, prefix, sorted-neighborhood window, LSH bucket) is what keeps
+    * the quadratic term bounded; the operator adds the two universal
+    * guards on top: (a) a length-band prefilter (|len_a − len_b| is a
+    * free lower bound on the distance — pairs outside the band never run
+    * the DP), and (b) the THRESHOLD-ABORT Levenshtein (Spark's 3-arg
+    * `levenshtein` stops the O(n·m) DP as soon as the running minimum
+    * exceeds the bound — O(maxDist·n) per surviving pair). Hot blocks at
+    * cluster scale are AQE skew-split since the join is a plain
+    * shuffle-hash on the block key.
+    *
+    * @param blockCol blocking key expression evaluated over `df`'s rows
+    * @return (id_a, id_b, dist), id_a < id_b, dist ≤ maxDist; pairs in
+    *         several shared blocks dedup to their minimum distance (the
+    *         DP is deterministic, so any shared block yields the same
+    *         dist — distinct would equal min; min is shuffle-free here
+    *         because the aggregate reuses the join's partitioning only
+    *         when keys align, so we keep the explicit min-aggregate)
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        blockCol: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val t = df.select(col(idCol).as("id"), col(strCol).as("s"), blockCol.as("blk"))
+    val a = t.select(col("blk"), col("id").as("id_a"), col("s").as("s_a"))
+    val b = t.select(col("blk"), col("id").as("id_b"), col("s").as("s_b"))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .where(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .where(col("dist") >= 0)
+      .groupBy("id_a", "id_b").agg(min("dist").as("dist"))
+  }
 }

@@ -130,6 +130,53 @@ class ContainmentSpec extends SparkSpec {
   }
 }
 
+class EditDistancePairsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{col, substring}
+
+  private def pairs(rows: Seq[(Long, String)], maxDist: Int,
+                    blockLen: Int = 1): Seq[(Long, Long, Int)] = {
+    val df = rows.toDF("id", "s")
+    DedupOps.editDistancePairs(df, "id", "s", substring(col("s"), 1, blockLen), maxDist)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("dist"))).toSeq
+  }
+
+  test("editDistancePairs scores within-block pairs and respects the threshold") {
+    val rows = Seq((1L, "kitten"), (2L, "kitchen"), (3L, "kite"), (4L, "banana"))
+    // same first-letter block: kitten↔kitchen dist 2, kitten↔kite 2, kitchen↔kite 3
+    assert(pairs(rows, maxDist = 2) == Seq((1L, 2L, 2), (1L, 3L, 2)))
+    assert(pairs(rows, maxDist = 4) == Seq((1L, 2L, 2), (1L, 3L, 2), (2L, 3L, 3)))
+  }
+
+  test("editDistancePairs never crosses blocks even at huge thresholds") {
+    val rows = Seq((1L, "abc"), (2L, "abd"), (3L, "xbc"))
+    val out = pairs(rows, maxDist = 100)
+    assert(out == Seq((1L, 2L, 1)), "cross-block (a*, x*) pair must not appear")
+  }
+
+  test("editDistancePairs matches exact Levenshtein on random strings") {
+    def ref(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rng = new scala.util.Random(31)
+    val rows = (1L to 40L).map(i =>
+      (i, Seq.fill(rng.nextInt(8) + 1)(('a' + rng.nextInt(3)).toChar).mkString))
+    val maxDist = 4
+    val expected = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && sa.head == sb.head
+      d = ref(sa, sb) if d <= maxDist
+    } yield (ia, ib, d)).sortBy(p => (p._1, p._2))
+    assert(pairs(rows, maxDist) == expected)
+  }
+}
+
 class BloomDecontaminationSpec extends SparkSpec {
   import spark.implicits._
 
