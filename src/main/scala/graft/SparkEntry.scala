@@ -1367,6 +1367,24 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: Unicode canonical normalization — decomposed accents
+    //    (injected deterministically: 'fast' → 'fa'+U+0300+'st') compose
+    //    to single codepoints under the codegen'd NFC kernel, then
+    //    lowercase + whitespace-collapse canonicalize the corpus; the
+    //    per-doc md5 certifies byte-exact NFC parity vs DuckDB's ICU
+    "q125_normalize_text" -> ((s, dir) => {
+      graft.expr.GraftFunctions.register(s)
+      val d = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "fast", "fa" + "\u0300" + "st").as("t"))
+      d.select(col("doc_id"), length(col("t")).as("n_raw"),
+          TextFunctions.normalizeText(col("t")).as("nt"))
+        .select(col("doc_id"), col("n_raw"), length(col("nt")).as("n_norm"),
+          (length(col("nt")) -
+            length(regexp_replace(col("nt"), "[^\\x00-\\x7F]", ""))).as("n_nonascii"),
+          md5(col("nt").cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    }),
     // ── extension: blocked edit-distance record linkage — first-token
     //    blocking bounds the quadratic pair term; a length-band prefilter
     //    plus Spark's threshold-abort 3-arg levenshtein guard the DP.
@@ -2699,6 +2717,17 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q125_normalize_text" ->
+      """WITH inj AS (
+           SELECT doc_id, replace(text, 'fast', 'fa' || chr(768) || 'st') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         nr AS (SELECT doc_id, length(t) AS n_raw,
+           trim(regexp_replace(lower(nfc_normalize(t)), '\s+', ' ', 'g')) AS nt
+           FROM inj)
+         SELECT doc_id, n_raw, length(nt) AS n_norm,
+           length(nt) - length(regexp_replace(nt, '[^\x00-\x7F]', '', 'g')) AS n_nonascii,
+           md5(nt) AS fp
+         FROM nr ORDER BY doc_id""",
     // The length-band prefilter is implied (|len_a−len_b| ≤ dist), so the
     // oracle needs only the block + threshold predicate.
     "q124_fuzzy_match" ->

@@ -161,8 +161,14 @@ object GraftFunctions {
     new ExpressionInfo(classOf[WordNGramHashes].getName, "word_ngram_hashes"),
     (args: Seq[Expression]) => WordNGramHashes(args(0), args(1)))
 
+  val nfcNormalizeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (args: Seq[Expression]) => NfcNormalize(args.head))
+
   def all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(wordNGramsDescriptor, wordNGramHashesDescriptor) ++ VectorFunctions.descriptors
+    Seq(wordNGramsDescriptor, wordNGramHashesDescriptor, nfcNormalizeDescriptor) ++
+      VectorFunctions.descriptors
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>

@@ -28,6 +28,17 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(to_binary(regexp_replace(lower(trim(text)), "\\s+", " "), lit("utf-8")))
 
+  /** Canonical corpus text normalization: Unicode NFC (the codegen'd
+    * [[graft.expr.NfcNormalize]] kernel — precomposed and decomposed
+    * encodings of the same visible text become byte-identical) →
+    * lowercase → whitespace collapse → trim. Run FIRST in a pipeline:
+    * every downstream exact-match operator (hash dedup, decontamination,
+    * vocab counts, fingerprints) silently misses cross-encoding
+    * duplicates on an un-normalized corpus. Map-only; callers must have
+    * [[graft.expr.GraftFunctions.register]]ed the session. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(call_function("nfc_normalize", text)), "\\s+", " "))
+
   /** Rolling polynomial hash (base 31, mod 1e9+7) over tokens — an
     * order-sensitive content fingerprint cheap enough for 100 TB scans.
     * Token hashes are md5-derived ([[graft.functions.DedupOps.hash60]]).

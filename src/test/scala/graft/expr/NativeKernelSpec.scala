@@ -110,6 +110,42 @@ class NativeKernelSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("nfc_normalize composes decomposed sequences, codegen fallback DISABLED") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(
+        "fa\u0300st",                      // a + combining grave -> U+00E0
+        "de\u0301ja\u0300 vu",            // multiple combining marks
+        "plain ascii",                     // fast path: returned as-is
+        "\u00e9clair",                     // already composed: unchanged
+        "").toDF("s")
+      val out = df.select(call_function("nfc_normalize", $"s").as("n"),
+        length(call_function("nfc_normalize", $"s")).as("len")).collect()
+      assert(out(0).getString(0) == "f\u00e0st" && out(0).getInt(1) == 4)
+      assert(out(1).getString(0) == "d\u00e9j\u00e0 vu" && out(1).getInt(1) == 7)
+      assert(out(2).getString(0) == "plain ascii")
+      assert(out(3).getString(0) == "\u00e9clair")
+      assert(out(4).getString(0) == "")
+      // null propagates
+      val n = Seq(Option.empty[String]).toDF("s")
+        .select(call_function("nfc_normalize", $"s")).collect()
+      assert(n(0).isNullAt(0))
+      // matches the JDK reference on arbitrary strings
+      val raw = "o\u0302me\u0301ga"
+      val ref = java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC)
+      val got = Seq(raw).toDF("s")
+        .select(call_function("nfc_normalize", $"s")).head().getString(0)
+      assert(got == ref)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("normalizeText canonicalizes case, whitespace, and encoding together") {
+    val df = Seq(("A\u0300  Tale \tOF\n  two", 1L)).toDF("t", "id")
+    val out = df.select(graft.functions.TextFunctions.normalizeText($"t")).head().getString(0)
+    assert(out == "\u00e0 tale of two")
+  }
+
   test("minhash lambda signature == explode-aggregate signatures") {
     val df = texts.toDF("doc_id", "text")
     val viaLambda = df
