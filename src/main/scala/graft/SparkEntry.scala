@@ -1367,6 +1367,18 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: shuffle-key SKEW PROFILE — the pre-flight check
+    //    before keying a corpus-scale join/agg: heavy hitters from ONE
+    //    count aggregate + TakeOrdered, corpus share and multiple-of-mean
+    //    in integer basis points, and the per-key salt factor a skew-
+    //    aware repartition would apply. Run on the Zipf-skewed word key.
+    "q126_skew_profile" -> ((s, dir) => {
+      val toks = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+      graft.functions.ProfileOps.skewProfile(toks, "word", topN = 10,
+        targetRows = 500L)
+        .orderBy("rank")
+    }),
     // ── extension: Unicode canonical normalization — decomposed accents
     //    (injected deterministically: 'fast' → 'fa'+U+0300+'st') compose
     //    to single codepoints under the codegen'd NFC kernel, then
@@ -2717,6 +2729,18 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q126_skew_profile" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents WHERE length(trim(text)) > 0),
+         kc AS (SELECT word AS key, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys FROM kc),
+         r AS (SELECT key, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INT) AS rank FROM kc)
+         SELECT rank, key, cnt,
+           cnt * 10000 // t.total AS share_bp,
+           cnt * t.n_keys * 100 // t.total AS pct_of_mean_x100,
+           (cnt + 499) // 500 AS salt
+         FROM r CROSS JOIN t WHERE rank <= 10 ORDER BY rank""",
     "q125_normalize_text" ->
       """WITH inj AS (
            SELECT doc_id, replace(text, 'fast', 'fa' || chr(768) || 'st') AS t

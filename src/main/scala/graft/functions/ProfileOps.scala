@@ -138,4 +138,46 @@ object ProfileOps {
       .select(col("grp_a"), col("grp_b"), col("shared"), col("sz_a"), col("sz_b"),
         expr("(shared * 10000) div least(sz_a, sz_b)").as("overlap_bp"))
   }
+
+  /** SKEW PROFILE of a prospective shuffle key — the pre-flight check
+    * before keying a corpus-scale join or aggregate: per-key counts, the
+    * heavy hitters, each key's corpus share, its multiple of the mean,
+    * and the SALT FACTOR (`ceil(cnt / targetRows)`) that would split the
+    * key into target-sized sub-partitions. A key with salt > 1 is one
+    * that a plain hash-partitioned shuffle would turn into a straggler
+    * task; the remedies, in preference order: AQE skew-join splitting
+    * (free, reads these same sizes at runtime), explicit salting
+    * (`pmod(hash, salt)` appended to the key on the build side ×
+    * replicated probe side — [[graft.operators.SkewJoin]]), or a
+    * broadcast hot-key bypass (the DedupOps guard pattern).
+    *
+    * Scale shape: ONE key-keyed count aggregate (map-side partials absorb
+    * the corpus) → `TakeOrdered(topN)` for the heavy hitters (per-
+    * partition heaps + driver merge of heads, never a full sort) → the
+    * global totals enter as a broadcast 1-row cross join, NOT driver
+    * scalars. All metrics are integer basis points — engine-exact.
+    *
+    * @return topN rows: (rank, key, cnt, share_bp, pct_of_mean_x100, salt)
+    */
+  def skewProfile(df: DataFrame, keyCol: String, topN: Int,
+                  targetRows: Long): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    val kc = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = kc.agg(sum("cnt").cast("long").as("total"),
+      count(lit(1)).as("n_keys"))
+    val top = kc.orderBy(col("cnt").desc, col("key")).limit(topN)
+      .crossJoin(broadcast(tot))
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("key"))).as("rank"),
+        col("key"), col("cnt"),
+        expr("cnt * 10000 div total").as("share_bp"),
+        expr("cnt * n_keys * 100 div total").as("pct_of_mean_x100"),
+        expr(s"(cnt + ${targetRows - 1}L) div ${targetRows}L").as("salt"))
+      .localCheckpoint(true) // materialize before releasing the count cache
+    kc.unpersist(blocking = false)
+    top
+  }
 }

@@ -100,4 +100,26 @@ class ExactQuantilesSpec extends graft.SparkSpec {
   test("exactQuantiles is exact when everything lands in one bucket") {
     check(Seq(5L, 1L, 9L, 3L, 7L), Seq(0.2, 0.6, 1.0), width = 1L << 16)
   }
+
+  test("skewProfile ranks heavy keys and computes integer salt factors") {
+    import spark.implicits._
+    // hot: 70 rows, warm: 25, cold: 5 → total 100, n_keys 3
+    val df = (Seq.fill(70)("hot") ++ Seq.fill(25)("warm") ++ Seq.fill(5)("cold"))
+      .toDF("k")
+    val out = ProfileOps.skewProfile(df, "k", topN = 2, targetRows = 20L)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("key"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("share_bp"), r.getAs[Long]("pct_of_mean_x100"), r.getAs[Long]("salt")))
+    assert(out.toSeq == Seq(
+      (1, "hot", 70L, 7000L, 210L * 100 / 100, 4L), // 70/20 → ceil = 4
+      (2, "warm", 25L, 2500L, 75L, 2L)))
+  }
+
+  test("skewProfile breaks count ties deterministically by key") {
+    import spark.implicits._
+    val df = (Seq.fill(3)("b") ++ Seq.fill(3)("a") ++ Seq.fill(1)("z")).toDF("k")
+    val out = ProfileOps.skewProfile(df, "k", topN = 3, targetRows = 100L)
+      .orderBy("rank").collect().map(_.getAs[String]("key"))
+    assert(out.toSeq == Seq("a", "b", "z"))
+  }
 }
