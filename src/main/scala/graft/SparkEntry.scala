@@ -1367,6 +1367,18 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: SORTED-NEIGHBORHOOD record linkage — exact global
+    //    rank without a single-reducer window (quantile buckets → local
+    //    row_number → B-row offset table), then each row compares only to
+    //    the next w−1 ranks: pair count n·(w−1) by construction, no
+    //    quadratic block term. Complements q124's blocking.
+    "q127_sorted_neighborhood" -> ((s, dir) => {
+      val d = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("p"))
+      DedupOps.sortedNeighborhoodPairs(d, "doc_id", "p",
+        windowSize = 15, maxDist = 16)
+        .orderBy("id_a", "id_b")
+    }),
     // ── extension: shuffle-key SKEW PROFILE — the pre-flight check
     //    before keying a corpus-scale join/agg: heavy hitters from ONE
     //    count aggregate + TakeOrdered, corpus share and multiple-of-mean
@@ -2729,6 +2741,20 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    // The oracle ranks with one window (fine at oracle scale) — it
+    // certifies the distributed 3-phase rank AND the neighborhood join.
+    "q127_sorted_neighborhood" ->
+      """WITH d AS (
+           SELECT doc_id AS id, substr(text, 1, 64) AS s
+           FROM documents WHERE length(trim(text)) > 0),
+         r AS (SELECT id, s,
+           CAST(row_number() OVER (ORDER BY s, id) AS BIGINT) AS rank FROM d)
+         SELECT a.id AS id_a, b.id AS id_b,
+           b.rank - a.rank AS gap, levenshtein(a.s, b.s) AS dist
+         FROM r a JOIN r b ON b.rank > a.rank AND b.rank - a.rank < 15
+         WHERE abs(length(a.s) - length(b.s)) <= 16
+           AND levenshtein(a.s, b.s) <= 16
+         ORDER BY id_a, id_b""",
     "q126_skew_profile" ->
       """WITH toks AS (
            SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word

@@ -768,4 +768,73 @@ object DedupOps {
       .where(col("dist") >= 0)
       .groupBy("id_a", "id_b").agg(min("dist").as("dist"))
   }
+
+  /** SORTED-NEIGHBORHOOD record linkage (Hernández & Stolfo 1995): rank
+    * the corpus by a sort key, compare each row only to the `windowSize−1`
+    * rows after it, score survivors by threshold-abort Levenshtein.
+    * The complement to [[editDistancePairs]]' blocking: pair count is
+    * EXACTLY n·(w−1) — no quadratic block-size term, no hot-block skew —
+    * at the cost of only catching near-dups the sort key places close.
+    *
+    * The global rank is computed WITHOUT a single-reducer window, by the
+    * [[graft.operators.PrefixSum]] discipline: (1) a monotone numeric
+    * proxy of the sort key (first 7 bytes base-256 — ≤ 2⁵⁶, overflow-safe
+    * for arbitrary bytes; proxy ties are fine, they only have to agree on
+    * the bucket) buckets rows through a deterministic quantile sketch;
+    * (2) `row_number` ordered by the FULL (key, id) inside each bounded
+    * bucket; (3) bucket sizes — a B-row table — cumulate into offsets and
+    * broadcast back. Neighborhood pairing then registers each row into
+    * rank-blocks ⌊r/w⌋ and ⌊r/w⌋+1, so every pair with rank gap < w
+    * shares a block and the pair join is block-keyed — one shuffle, load
+    * w rows per block.
+    *
+    * @return (id_a, id_b, gap, dist): rank(a) < rank(b), gap = rank
+    *         difference < windowSize, dist ≤ maxDist
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, strCol: String,
+                              windowSize: Int, maxDist: Int): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val spark = df.sparkSession
+    val t = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val nkey = conv(hex(encode(rpad(col("s"), 7, " "), "utf-8")), 16, 10)
+      .cast("long")
+    val withN = t.withColumn("__nk", nkey)
+    val b = spark.sessionState.conf.numShufflePartitions
+    val bounds =
+      if (b < 2) Array.empty[Double]
+      else withN.stat
+        .approxQuantile("__nk", (1 until b).map(_.toDouble / b).toArray, 1.0 / (10.0 * b))
+        .distinct.sorted
+    val bucket =
+      if (bounds.isEmpty) lit(0)
+      else aggregate(array(bounds.toIndexedSeq.map(lit): _*), lit(0),
+        (acc, bd) => acc + when(col("__nk").cast("double") >= bd, 1).otherwise(0))
+    // local ranks are window'd inside quantile-bounded buckets only; the
+    // bucket-size table is B rows, so ITS cumulative window is safe
+    val withB = withN.withColumn("__b", bucket)
+      .localCheckpoint(false) // feeds local ranks AND bucket sizes once
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy(col("s"), col("id"))
+    val local = withB.withColumn("__lr", row_number().over(localW).cast("long"))
+    val offW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b")).rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = withB.groupBy("__b").agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum("__bn").over(offW), lit(0L)))
+      .drop("__bn")
+    val ranked = local.join(broadcast(offs), Seq("__b"))
+      .select(col("id"), col("s"), (col("__lr") + col("__off")).as("rank"))
+    val w = windowSize.toLong
+    val reg = ranked.select(col("id"), col("s"), col("rank"),
+      explode(array(expr(s"(rank - 1) div $w"), expr(s"(rank - 1) div $w + 1"))).as("nb"))
+    val a = reg.select(col("nb"), col("id").as("id_a"), col("s").as("s_a"), col("rank").as("rank_a"))
+    val bb = reg.select(col("nb"), col("id").as("id_b"), col("s").as("s_b"), col("rank").as("rank_b"))
+    a.join(bb, Seq("nb"))
+      .where(col("rank_b") > col("rank_a") && col("rank_b") - col("rank_a") < w)
+      .where(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .where(col("dist") >= 0)
+      .groupBy("id_a", "id_b")
+      .agg(min(col("rank_b") - col("rank_a")).as("gap"), min("dist").as("dist"))
+  }
 }

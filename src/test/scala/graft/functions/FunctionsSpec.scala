@@ -175,6 +175,46 @@ class EditDistancePairsSpec extends SparkSpec {
     } yield (ia, ib, d)).sortBy(p => (p._1, p._2))
     assert(pairs(rows, maxDist) == expected)
   }
+
+  /** Driver-side sorted-neighborhood reference. */
+  private def refSnm(rows: Seq[(Long, String)], w: Int, maxDist: Int): Seq[(Long, Long, Long, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val ranked = rows.sortBy { case (id, s) => (s, id) }.zipWithIndex
+    (for {
+      ((ia, sa), ra) <- ranked; ((ib, sb), rb) <- ranked
+      if rb > ra && rb - ra < w
+      d = lev(sa, sb) if d <= maxDist
+    } yield (ia, ib, (rb - ra).toLong, d)).sortBy(p => (p._1, p._2))
+  }
+
+  test("sortedNeighborhoodPairs matches the driver reference, any partitioning") {
+    val rng = new scala.util.Random(41)
+    val rows = (1L to 120L).map(i =>
+      (i, Seq.fill(rng.nextInt(10) + 1)(('a' + rng.nextInt(4)).toChar).mkString))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      DedupOps.sortedNeighborhoodPairs(df, "id", "s", windowSize = 5, maxDist = 3)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("gap"), r.getAs[Int]("dist"))).toSeq
+    val expected = refSnm(rows, w = 5, maxDist = 3)
+    assert(run(rows.toDF("id", "s")) == expected)
+    assert(run(rows.toDF("id", "s").repartition(7)) == expected)
+  }
+
+  test("sortedNeighborhoodPairs: pair candidates bounded by n*(w-1), distance 0 self-dups adjacent") {
+    // identical strings sort adjacent → always caught regardless of block luck
+    val rows = Seq((5L, "zzzz"), (1L, "aaaa"), (9L, "aaaa"), (3L, "mmmm"))
+    val out = DedupOps.sortedNeighborhoodPairs(rows.toDF("id", "s"), "id", "s", 2, 0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("dist")))
+    assert(out.toSeq == Seq((1L, 9L, 0)))
+  }
 }
 
 class BloomDecontaminationSpec extends SparkSpec {
