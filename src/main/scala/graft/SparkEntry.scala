@@ -1367,6 +1367,24 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: corpus SNAPSHOT DIFF — crawl-to-crawl delta via one
+    //    id-co-partitioned full-outer join of canonical fingerprints
+    //    (16 bytes/row cross the wire, not documents); v2 is derived
+    //    deterministically (drop %17, mutate %13, add %23 under new ids)
+    //    so every status class is exercised
+    "q128_snapshot_diff" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val v1 = d.select(col("doc_id"), col("text"))
+      val v2 = d.where(pmod(col("doc_id"), lit(17)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(col("text"), lit(" updated"))).otherwise(col("text")).as("text"))
+        .unionByName(d.where(pmod(col("doc_id"), lit(23)) === 0)
+          .select((col("doc_id") + lit(100000L)).as("doc_id"),
+            concat(lit("fresh "), col("text")).as("text")))
+      TextFunctions.snapshotDiff(v1, v2, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // ── extension: SORTED-NEIGHBORHOOD record linkage — exact global
     //    rank without a single-reducer window (quantile buckets → local
     //    row_number → B-row offset table), then each row compares only to
@@ -2741,6 +2759,23 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q128_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' updated' ELSE text END AS text
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 100000, 'fresh ' || text FROM documents WHERE doc_id % 23 = 0),
+         f1 AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_old FROM v1),
+         f2 AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_new FROM v2)
+         SELECT coalesce(f1.doc_id, f2.doc_id) AS doc_id,
+           CASE WHEN f1.doc_id IS NULL THEN 'added'
+                WHEN f2.doc_id IS NULL THEN 'removed'
+                WHEN fp_old = fp_new THEN 'unchanged' ELSE 'changed' END AS status,
+           fp_old, fp_new
+         FROM f1 FULL OUTER JOIN f2 ON f1.doc_id = f2.doc_id
+         ORDER BY doc_id""",
     // The oracle ranks with one window (fine at oracle scale) — it
     // certifies the distributed 3-phase rank AND the neighborhood join.
     "q127_sorted_neighborhood" ->

@@ -28,6 +28,37 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(to_binary(regexp_replace(lower(trim(text)), "\\s+", " "), lit("utf-8")))
 
+  /** CORPUS SNAPSHOT DIFF — the crawl-to-crawl delta that decides what a
+    * pipeline re-processes: classify every id across two corpus versions
+    * as added / removed / changed / unchanged by comparing content
+    * fingerprints ([[fingerprint]]: canonical-form md5, so
+    * whitespace-only churn does not read as change).
+    *
+    * Scale shape: ONE full-outer join co-partitioned on the id — both
+    * sides shuffle once on an 8-byte key, fingerprints are computed
+    * map-side before the exchange (16-byte payload per row crosses the
+    * wire, not documents), and the classification is a projection over
+    * the join. Downstream, `changed ∪ added` is the re-process set and
+    * `removed` the retraction set — O(delta) work for incremental
+    * pipelines instead of a full re-run.
+    *
+    * @return (idCol, status, fp_old, fp_new), status ∈
+    *         {added, removed, changed, unchanged}
+    */
+  def snapshotDiff(oldDf: org.apache.spark.sql.DataFrame,
+                   newDf: org.apache.spark.sql.DataFrame,
+                   idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val o = oldDf.select(col(idCol).as("__id"), fingerprint(col(textCol)).as("fp_old"))
+    val n = newDf.select(col(idCol).as("__id"), fingerprint(col(textCol)).as("fp_new"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("fp_old"), col("fp_new"))
+  }
+
   /** Canonical corpus text normalization: Unicode NFC (the codegen'd
     * [[graft.expr.NfcNormalize]] kernel — precomposed and decomposed
     * encodings of the same visible text become byte-identical) →

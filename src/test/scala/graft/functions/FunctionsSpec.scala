@@ -215,6 +215,16 @@ class EditDistancePairsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("dist")))
     assert(out.toSeq == Seq((1L, 9L, 0)))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; whitespace churn is unchanged") {
+    val v1 = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta"), (4L, "EPSILON  x")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "alpha beta"), (3L, "delta prime"), (4L, "epsilon\tx"), (5L, "zeta")).toDF("doc_id", "text")
+    val out = TextFunctions.snapshotDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "removed", 3L -> "changed",
+      4L -> "unchanged", // case + whitespace churn canonicalizes away
+      5L -> "added"))
+  }
 }
 
 class BloomDecontaminationSpec extends SparkSpec {
