@@ -1367,6 +1367,21 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: PSI drift monitor — document-length distributions of
+    //    two source slices histogrammed on a shared bucketing, per-bucket
+    //    Laplace-smoothed PSI contributions (the attributable form of the
+    //    scalar index); two map-side-partial count aggregates + one tiny
+    //    histogram join, totals broadcast
+    "q129_psi_drift" -> ((s, dir) => {
+      val d = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+      val oldSlice = d.where(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      val newSlice = d.where(col("source").isin("src5", "src6", "src7", "src8", "src9"))
+      graft.functions.ProfileOps.psiDrift(oldSlice, newSlice, "ntok",
+        bucketWidth = 20L)
+        .orderBy("b")
+    }),
     // ── extension: corpus SNAPSHOT DIFF — crawl-to-crawl delta via one
     //    id-co-partitioned full-outer join of canonical fingerprints
     //    (16 bytes/row cross the wire, not documents); v2 is derived
@@ -2759,6 +2774,28 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q129_psi_drift" ->
+      """WITH d AS (
+           SELECT source,
+             CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS ntok
+           FROM documents WHERE length(trim(text)) > 0),
+         ho AS (SELECT ntok // 20 AS b, CAST(count(*) AS BIGINT) AS cnt_old
+                FROM d WHERE source IN ('src0','src1','src2','src3','src4') GROUP BY 1),
+         hn AS (SELECT ntok // 20 AS b, CAST(count(*) AS BIGINT) AS cnt_new
+                FROM d WHERE source IN ('src5','src6','src7','src8','src9') GROUP BY 1),
+         j AS (SELECT coalesce(ho.b, hn.b) AS b,
+                 coalesce(cnt_old, 0) AS cnt_old, coalesce(cnt_new, 0) AS cnt_new
+               FROM ho FULL OUTER JOIN hn ON ho.b = hn.b),
+         t AS (SELECT CAST(sum(cnt_old) AS BIGINT) AS t_old,
+                 CAST(sum(cnt_new) AS BIGINT) AS t_new,
+                 CAST(count(*) AS BIGINT) AS nb FROM j)
+         SELECT b, cnt_old, cnt_new,
+           CAST(round((CAST(cnt_new + 1 AS DOUBLE) / CAST(t_new + nb AS DOUBLE)
+                     - CAST(cnt_old + 1 AS DOUBLE) / CAST(t_old + nb AS DOUBLE))
+             * ln((CAST(cnt_new + 1 AS DOUBLE) / CAST(t_new + nb AS DOUBLE))
+                / (CAST(cnt_old + 1 AS DOUBLE) / CAST(t_old + nb AS DOUBLE)))
+             * 1e6) AS BIGINT) AS contrib_micro
+         FROM j CROSS JOIN t ORDER BY b""",
     "q128_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),
          v2 AS (

@@ -159,6 +159,50 @@ object ProfileOps {
     *
     * @return topN rows: (rank, key, cnt, share_bp, pct_of_mean_x100, salt)
     */
+  /** POPULATION STABILITY INDEX between two corpus slices — the standard
+    * drift monitor (credit-scoring lineage, adopted for training-data
+    * ops): histogram both slices on a shared bucketing, then
+    *
+    *   PSI = Σ_b (p_new(b) − p_old(b)) · ln(p_new(b) / p_old(b))
+    *
+    * PSI < 0.1 ≈ stable, 0.1–0.25 ≈ drifting, > 0.25 ≈ shifted — run per
+    * crawl snapshot over length/quality/lang-share features to catch a
+    * source changing under the pipeline before it trains into a model.
+    *
+    * Scale shape: two bucket-keyed count aggregates (map-side partials
+    * absorb both corpora; the bucket table is `range/width`-sized, i.e.
+    * model state), one full-outer join of the two tiny histograms, totals
+    * as a broadcast 1-row cross join. Empty buckets take Laplace
+    * smoothing (+1 per bucket) so ln never sees zero — deterministic and
+    * engine-replicable, unlike an epsilon clamp. Contributions are
+    * emitted per bucket (micro-rounded; the ulp-level libm difference
+    * between engines sits ~10⁻¹⁰ below the rounding boundary) so the
+    * drift is attributable, not just a scalar.
+    *
+    * @return per bucket: (b, cnt_old, cnt_new, contrib_micro)
+    */
+  def psiDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: String,
+               bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    def hist(df: DataFrame, n: String) =
+      df.select(call_function("div", col(valueCol), lit(bucketWidth)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as(n))
+    val j = hist(oldDf, "cnt_old").join(hist(newDf, "cnt_new"), Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
+        coalesce(col("cnt_new"), lit(0L)).as("cnt_new"))
+      .localCheckpoint(false) // bucket-table-sized; feeds totals AND contributions
+    val tot = j.agg(sum("cnt_old").cast("long").as("t_old"),
+      sum("cnt_new").cast("long").as("t_new"), count(lit(1)).as("nb"))
+    val pOld = (col("cnt_old") + lit(1)).cast("double") /
+      (col("t_old") + col("nb")).cast("double")
+    val pNew = (col("cnt_new") + lit(1)).cast("double") /
+      (col("t_new") + col("nb")).cast("double")
+    j.crossJoin(broadcast(tot))
+      .select(col("b"), col("cnt_old"), col("cnt_new"),
+        round((pNew - pOld) * log(pNew / pOld) * lit(1e6)).cast("long")
+          .as("contrib_micro"))
+  }
+
   def skewProfile(df: DataFrame, keyCol: String, topN: Int,
                   targetRows: Long): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")

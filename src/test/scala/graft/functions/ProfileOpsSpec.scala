@@ -122,4 +122,35 @@ class ExactQuantilesSpec extends graft.SparkSpec {
       .orderBy("rank").collect().map(_.getAs[String]("key"))
     assert(out.toSeq == Seq("a", "b", "z"))
   }
+
+  test("psiDrift: identical slices yield zero contributions") {
+    import spark.implicits._
+    val a = Seq(5L, 15L, 25L, 25L, 45L).toDF("v")
+    val out = ProfileOps.psiDrift(a, a, "v", bucketWidth = 10L)
+      .collect().map(_.getAs[Long]("contrib_micro"))
+    assert(out.forall(_ == 0L))
+  }
+
+  test("psiDrift matches a driver-side reference with Laplace smoothing") {
+    import spark.implicits._
+    val oldV = Seq(1L, 2L, 11L, 12L, 13L, 25L)
+    val newV = Seq(3L, 14L, 15L, 16L, 27L, 28L, 35L)
+    val out = ProfileOps.psiDrift(oldV.toDF("v"), newV.toDF("v"), "v", 10L)
+      .orderBy("b").collect()
+      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("cnt_old"),
+        r.getAs[Long]("cnt_new"), r.getAs[Long]("contrib_micro")))
+    val buckets = (oldV ++ newV).map(_ / 10).distinct.sorted
+    val co = oldV.groupBy(_ / 10).view.mapValues(_.size.toLong).toMap
+    val cn = newV.groupBy(_ / 10).view.mapValues(_.size.toLong).toMap
+    val (tO, tN, nb) = (oldV.size.toLong, newV.size.toLong, buckets.size.toLong)
+    val expected = buckets.map { b =>
+      val pO = (co.getOrElse(b, 0L) + 1).toDouble / (tO + nb)
+      val pN = (cn.getOrElse(b, 0L) + 1).toDouble / (tN + nb)
+      (b, co.getOrElse(b, 0L), cn.getOrElse(b, 0L),
+        math.round((pN - pO) * math.log(pN / pO) * 1e6))
+    }
+    assert(out.toSeq == expected)
+    // drifted distribution: positive total PSI
+    assert(out.map(_._4).sum > 0)
+  }
 }
