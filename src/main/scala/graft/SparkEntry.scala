@@ -1367,6 +1367,36 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: engine-portable HYPERLOGLOG — md5-derived registers,
+    //    integer-exact scaled harmonic sum (order-independent, unlike a
+    //    float Σ2^−M), linear-counting small-range correction; built
+    //    whole-corpus AND per-source-then-merged (max per register) to
+    //    certify shard mergeability, with exact distinct + error bp
+    "q130_hll_distinct" -> ((s, dir) => {
+      import graft.functions.SketchOps
+      def gate(keyed: DataFrame, label: String): DataFrame = {
+        val k = keyed.localCheckpoint(false) // exact count + both sketch builds
+        val exact = k.agg(count_distinct(col("key")).as("n_exact"))
+        val e1 = SketchOps.hllEstimate(SketchOps.hllRegisters(k, "key", 10))
+          .select(col("est").as("est_direct"))
+        val merged = SketchOps.hllRegisters(k, "key", 10, Seq("shard"))
+          .groupBy("idx").agg(max("mx").as("mx"))
+        val e2 = SketchOps.hllEstimate(merged).select(col("est").as("est_merged"))
+        exact.crossJoin(e1).crossJoin(e2)
+          .select(lit(label).as("key_set"), col("n_exact"), col("est_direct"),
+            col("est_merged"),
+            expr("abs(est_direct - n_exact) * 10000 div n_exact").as("err_bp"))
+      }
+      // low cardinality → linear-counting branch; high → raw estimator
+      val words = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(col("source").as("shard"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("key"))
+      val orders = T(s, dir, "orders")
+        .select(pmod(col("o_custkey"), lit(8)).as("shard"),
+          col("o_orderkey").cast("string").as("key"))
+      gate(words, "word").unionByName(gate(orders, "orderkey"))
+        .orderBy("key_set")
+    }),
     // ── extension: PSI drift monitor — document-length distributions of
     //    two source slices histogrammed on a shared bucketing, per-bucket
     //    Laplace-smoothed PSI contributions (the attributable form of the
@@ -2774,6 +2804,38 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q130_hll_distinct" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents WHERE length(trim(text)) > 0),
+         keys AS (
+           SELECT 'word' AS key_set, word AS key FROM (SELECT DISTINCT word FROM toks)
+           UNION ALL
+           SELECT 'orderkey', CAST(o_orderkey AS VARCHAR) FROM orders),
+         h AS (SELECT key_set, CAST('0x'||substr(md5(key), 1, 15) AS BIGINT) AS h FROM keys),
+         r AS (SELECT key_set, h % 1024 AS idx,
+             least(CASE WHEN h // 1024 = 0 THEN 51
+                        ELSE 51 - length(bin(h // 1024)) END, 44) AS rank
+           FROM h),
+         regs AS (SELECT key_set, idx, max(rank) AS mx FROM r GROUP BY 1, 2),
+         agg AS (SELECT key_set, CAST(count(*) AS BIGINT) AS nz,
+             CAST(coalesce(sum(1::BIGINT << CAST(44 - mx AS INT)), 0) AS BIGINT) AS snum
+           FROM regs GROUP BY 1),
+         n AS (SELECT key_set, snum + (1024 - nz) * (1::BIGINT << 44) AS num,
+             1024 - nz AS v FROM agg),
+         est_d AS (SELECT key_set, CAST(round(
+             CASE WHEN v > 0 AND (0.7213/(1.0+1.079/1024.0))*1024.0*1024.0
+                    * CAST(1::BIGINT << 44 AS DOUBLE) / CAST(num AS DOUBLE) <= 2560.0
+                  THEN 1024.0 * ln(1024.0 / CAST(v AS DOUBLE))
+                  ELSE (0.7213/(1.0+1.079/1024.0))*1024.0*1024.0
+                    * CAST(1::BIGINT << 44 AS DOUBLE) / CAST(num AS DOUBLE) END)
+           AS BIGINT) AS est FROM n),
+         ex AS (SELECT key_set, CAST(count(DISTINCT key) AS BIGINT) AS n_exact
+                FROM keys GROUP BY 1)
+         SELECT ex.key_set, n_exact, est AS est_direct, est AS est_merged,
+           abs(est - n_exact) * 10000 // n_exact AS err_bp
+         FROM ex JOIN est_d ON est_d.key_set = ex.key_set
+         ORDER BY ex.key_set""",
     "q129_psi_drift" ->
       """WITH d AS (
            SELECT source,

@@ -79,6 +79,73 @@ object SketchOps {
     * @param a,b [[cmsBuild]] outputs with identical depth and width
     * @return one row: (est) — the estimated join cardinality
     */
+  /** Engine-portable HYPERLOGLOG registers (Flajolet, Fusy, Gandouet &
+    * Meunier 2007): the mergeable distinct-count sketch. Spark's builtin
+    * (`approx_count_distinct` / datasketches HLL) is a black box no SQL
+    * oracle can replicate; this formulation is md5-derived and
+    * integer-exact end to end, so sketches built by ANY engine merge and
+    * estimate identically — the property that matters when 100 TB of
+    * shards are profiled by heterogeneous writers.
+    *
+    * Layout: register index = low p bits of [[DedupOps.hash60]]; rank =
+    * position of the leading 1 in the remaining 60−p bits (via the
+    * integer `length(bin(w))` identity — no floats), capped at 44 so the
+    * scaled harmonic sum below stays in int64 for any corpus ≤ ~2⁴⁴
+    * distinct keys. Build = ONE aggregate keyed by register (≤ 2^p rows
+    * out, any input cardinality); merge = `max` per register —
+    * associative, so shard sketches combine without rescanning.
+    *
+    * @return (idx, mx): present registers only; an absent register means
+    *         value 0 (no key hashed there)
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 10,
+                   groupCols: Seq[String] = Nil): DataFrame = {
+    require(p >= 4 && p <= 16, s"p in [4,16], got $p")
+    val m = 1L << p
+    val h = DedupOps.hash60(col(keyCol))
+    val idx = pmod(h, lit(m))
+    val wBits = call_function("div", h, lit(m)) // top 60−p bits
+    val width = 60 - p
+    val rank = when(wBits === 0, lit(width + 1))
+      .otherwise(lit(width) - (length(bin(wBits)) - lit(1)))
+    val keyed = df.select(
+      (groupCols.map(col) :+ idx.as("idx") :+ least(rank, lit(44)).as("rank")): _*)
+    keyed.groupBy((groupCols :+ "idx").map(col): _*).agg(max("rank").as("mx"))
+  }
+
+  /** Cardinality estimate from [[hllRegisters]] output (possibly merged
+    * across shards via `groupBy(idx).agg(max(mx))` first).
+    *
+    * The harmonic sum is computed as the INTEGER `Σ 2^(44−M_j)` (absent
+    * registers contribute 2⁴⁴ each) — exact and addition-order-
+    * independent, unlike a float `Σ 2^(−M_j)`, so the one float division
+    * at the end is bit-identical on every engine. Small-range correction
+    * (linear counting `m·ln(m/V)`) applies below 2.5m with empty
+    * registers, per the paper.
+    *
+    * @return one row: (est)
+    */
+  def hllEstimate(regs: DataFrame, p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, s"p in [4,16], got $p")
+    val m = 1L << p
+    val alpha = s"(0.7213 / (1.0 + 1.079 / $m.0))"
+    regs.agg(
+      count(lit(1)).as("nz"),
+      coalesce(sum(call_function("shiftleft", lit(1L),
+        (lit(44) - col("mx")).cast("int"))), lit(0L)).as("snum"))
+      .select(
+        (col("snum") + (lit(m) - col("nz")) *
+          call_function("shiftleft", lit(1L), lit(44))).as("num"),
+        (lit(m) - col("nz")).as("v"))
+      .select(round(
+        when(col("v") > 0 &&
+            expr(s"$alpha * $m.0 * $m.0 * cast(shiftleft(1L, 44) as double) / cast(num as double)") <= lit(2.5 * m),
+          expr(s"$m.0 * ln($m.0 / cast(v as double))"))
+        .otherwise(
+          expr(s"$alpha * $m.0 * $m.0 * cast(shiftleft(1L, 44) as double) / cast(num as double)")))
+        .cast("long").as("est"))
+  }
+
   def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame = {
     val ip = a.select(col("j"), col("bucket"), col("c").as("ca"))
       .join(b.select(col("j"), col("bucket"), col("c").as("cb")), Seq("j", "bucket"))

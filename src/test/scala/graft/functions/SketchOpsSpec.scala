@@ -75,4 +75,46 @@ class SketchOpsSpec extends SparkSpec {
     val b = (0 until 50).map(i => s"b$i")
     assert(joinEst(a, b, width = 4096) == 0L)
   }
+
+  private def hllEst(keys: Seq[String], p: Int = 10): Long =
+    SketchOps.hllEstimate(
+      SketchOps.hllRegisters(keys.toDF("k"), "k", p), p).head().getAs[Long]("est")
+
+  test("hll linear-counting branch is near-exact at small cardinality") {
+    // linear counting m·ln(m/V) rounds to n ± the collision adjustment
+    // (40 distinct registers → 1024·ln(1024/984) ≈ 40.8)
+    val e40 = hllEst((1 to 40).map(i => s"key$i"))
+    assert(math.abs(e40 - 40L) <= 1, s"got $e40")
+    assert(hllEst(Seq.fill(500)("same") ++ Seq("other")) == 2L)
+  }
+
+  test("hll raw-branch error stays within 4 sigma of 1.04/sqrt(m)") {
+    val n = 20000
+    val est = hllEst((1 to n).map(i => s"item-$i-x"))
+    val sigma = 1.04 / math.sqrt(1024.0) * n
+    assert(math.abs(est - n) < 4 * sigma, s"est $est vs $n (sigma $sigma)")
+  }
+
+  test("hll shard merge (max per register) equals the whole-set sketch") {
+    val a = (1 to 3000).map(i => s"a$i")
+    val b = (2000 to 5000).map(i => s"a$i") // overlapping shards
+    val whole = SketchOps.hllRegisters((a ++ b).toDF("k"), "k")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sharded = SketchOps.hllRegisters(
+        (a.map(("s1", _)) ++ b.map(("s2", _))).toDF("shard", "k"), "k",
+        groupCols = Seq("shard"))
+      .groupBy("idx").agg(org.apache.spark.sql.functions.max("mx").as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(whole == sharded)
+  }
+
+  test("hll is insensitive to duplication and partitioning") {
+    val keys = (1 to 1000).map(i => s"dup$i")
+    val once = hllEst(keys)
+    assert(hllEst(keys ++ keys ++ keys) == once)
+    val est2 = SketchOps.hllEstimate(
+      SketchOps.hllRegisters(keys.toDF("k").repartition(13), "k"))
+      .head().getAs[Long]("est")
+    assert(est2 == once)
+  }
 }
