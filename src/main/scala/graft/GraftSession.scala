@@ -27,7 +27,9 @@ object GraftSession {
       .builder()
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_AQE=false is an experiment knob (per-round driver
+      // overhead of iterative operators); production default stays on
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initial)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -155,6 +155,15 @@ object GraphOps {
       .union(df.select(col("b").as("v"), col("a").as("u")))
     var e = canon(edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b")))
       .localCheckpoint(false)
+    // Iteration frames are edge-sized and shrink toward node-sized; size
+    // their partition count to the DATA (~64k rows each), not the AQE
+    // initialPartitionNum — at toy scale hundreds of near-empty tasks per
+    // round dominate wall time (the q113 pageRank lesson, same fix). The
+    // count also materializes the first checkpoint.
+    val tc0 = System.nanoTime()
+    val parts = math.max(1, (e.count() / (1L << 16)).toInt)
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(f"[cc] construct: ${(System.nanoTime() - tc0) / 1e9}%.2f s")
     // The fixpoint test must see edge-set EQUALITY, not just a stable
     // count — star rounds can rewire while preserving cardinality. Two
     // order-independent fingerprints (count + endpoint-hash XOR; XOR is
@@ -171,12 +180,24 @@ object GraphOps {
     var r = 0
     var converged = false
     while (r < maxRounds && !converged) {
-      // large-star: m(v) = min(N(v) ∪ {v}); emit (u, m(v)) for u > v
+      val tr0 = System.nanoTime()
+      // large-star: m(v) = min(N(v) ∪ {v}); emit (u, m(v)) for u > v.
+      // NO dedup here — duplicate edges cannot change the min-aggregates
+      // of the small-star that consumes this, so the mid-round distinct
+      // (a whole extra shuffle per round, measured ~15% of q121's cost)
+      // is deferred to the round boundary where the probe needs it.
       val nl = sym(e)
       val lmin = nl.groupBy("v").agg(min("u").as("mn"))
         .select(col("v"), least(col("mn"), col("v")).as("m"))
-      val large = canon(nl.where(col("u") > col("v")).join(lmin, "v")
-        .select(col("u").as("a"), col("m").as("b")))
+      // lazy-checkpoint the large-star output: `sym` + the two small-star
+      // consumers would otherwise inline this subplan FOUR times, and the
+      // driver re-plans the resulting tree every round — measured ~0.7 s
+      // of pure Catalyst time per round at sf0.1, 4× the executor work
+      val large = nl.where(col("u") > col("v")).join(lmin, "v")
+        .select(col("u").as("a"), col("m").as("b"))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .coalesce(parts).localCheckpoint(false)
       // small-star: m(v) = min over smaller neighbors ∪ {v}; emit the
       // smaller neighbors AND v itself hooked onto m(v)
       val ns = sym(large).where(col("u") <= col("v"))
@@ -185,18 +206,27 @@ object GraphOps {
       val small = canon(
         ns.join(smin, "v").select(col("u").as("a"), col("m").as("b"))
           .union(smin.select(col("v").as("a"), col("m").as("b"))))
-      e = small.localCheckpoint(false)
+      e = small.coalesce(parts).localCheckpoint(false)
+      val t0 = System.nanoTime()
       val cur = probe(e)
       converged = cur == prev
       prev = cur
       r += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] round $r: edges=${cur._1} probe=${(System.nanoTime() - t0) / 1e9}%.2f s full=${(System.nanoTime() - tr0) / 1e9}%.2f s")
     }
     // At the fixpoint the canonicalized edges are (component-min, node):
     // `canon` keeps a = least endpoint, and a star forest's every edge
     // touches the root, which is the component minimum. Labels are the
     // b side; the roots label themselves (each appears only as an a).
-    e.select(col("b").as("id"), col("a").as("component"))
+    val labels = e.select(col("b").as("id"), col("a").as("component"))
       .union(e.select(col("a")).distinct()
         .select(col("a").as("id"), col("a").as("component")))
+    if (sys.env.contains("GRAFT_CC_DEBUG")) {
+      val tl0 = System.nanoTime()
+      labels.queryExecution.toRdd.count()
+      System.err.println(f"[cc] labels force: ${(System.nanoTime() - tl0) / 1e9}%.2f s")
+    }
+    labels
   }
 }

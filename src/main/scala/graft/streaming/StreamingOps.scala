@@ -152,6 +152,21 @@ object StreamingOps {
       .groupBy(col("__c.j").as("j"), col("__c.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** Streaming HYPERLOGLOG — live distinct-cardinality over an unbounded
+    * stream with state bounded BY CONSTRUCTION at ≤ 2^p register rows
+    * (the [[cmsStream]] discipline: the sketch is the state, not the key
+    * set; no watermark or eviction needed). `max` per register is
+    * associative and idempotent, so the streaming aggregate's state is
+    * numerically IDENTICAL to a batch [[graft.functions.SketchOps
+    * .hllRegisters]] build over the union of all micro-batches —
+    * estimate any snapshot with [[graft.functions.SketchOps
+    * .hllEstimate]], or merge it with batch shard sketches (same
+    * register layout, same md5 hashes) for a lambda-architecture
+    * cardinality that needs no reconciliation pass.
+    */
+  def hllStream(keys: DataFrame, keyCol: String, p: Int = 10): DataFrame =
+    graft.functions.SketchOps.hllRegisters(keys, keyCol, p)
+
   /** Watermarked stream-stream equi-join with a time-range bound: right
     * rows join left rows with `rightTs` in `[leftTs - lookback, leftTs]`.
     * Both sides are watermarked so join state is evicted — the streaming

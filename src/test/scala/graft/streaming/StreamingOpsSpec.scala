@@ -331,4 +331,31 @@ class CmsStreamSpec extends graft.SparkSpec {
       assert(n <= 16, s"state must stay <= d*w cells, got $n")
     } finally q.stop()
   }
+
+  test("streaming HLL registers equal the batch sketch of the union; state bounded at 2^p") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val regs = StreamingOps.hllStream(ms.toDF().toDF("k"), "k", p = 6)
+    val q = regs.writeStream.outputMode("complete").format("memory")
+      .queryName("hll_stream").start()
+    val b1 = (1 to 300).map(i => s"u$i")
+    val b2 = (200 to 450).map(i => s"u$i") // overlap: max is idempotent
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT idx, mx FROM hll_stream").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = graft.functions.SketchOps
+        .hllRegisters((b1 ++ b2).toDF("k"), "k", p = 6)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed == batch, "streaming registers must equal the batch build")
+      assert(streamed.size <= 64, s"state must stay <= 2^p registers, got ${streamed.size}")
+      // estimating the snapshot works and lands near the true 450
+      val est = graft.functions.SketchOps.hllEstimate(
+        spark.sql("SELECT idx, mx FROM hll_stream"), p = 6).head().getAs[Long]("est")
+      assert(math.abs(est - 450) < 4 * (1.04 / math.sqrt(64.0)) * 450, s"est $est")
+    } finally q.stop()
+  }
 }
