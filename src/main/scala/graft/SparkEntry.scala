@@ -1367,6 +1367,17 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: stratified fixed-k sampling — exactly k docs per
+    //    source in deterministic md5-hash order (the "k eval docs per
+    //    slice" primitive); WindowGroupLimit makes the top-k map-side
+    //    partial, so the exchange never carries a whole group
+    "q131_stratified_sample" -> ((s, dir) => {
+      val d = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.operators.MixtureSample.stratifiedFixedK(d, "source", "doc_id", k = 7)
+        .select("source", "rk", "doc_id", "n_chars")
+        .orderBy("source", "rk")
+    }),
     // ── extension: engine-portable HYPERLOGLOG — md5-derived registers,
     //    integer-exact scaled harmonic sum (order-independent, unlike a
     //    float Σ2^−M), linear-counting small-range correction; built
@@ -2804,6 +2815,16 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q131_stratified_sample" ->
+      """WITH d AS (
+           SELECT doc_id, source, n_chars,
+             CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           FROM documents WHERE length(trim(text)) > 0),
+         r AS (SELECT source, doc_id, n_chars,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk
+           FROM d)
+         SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 7
+         ORDER BY source, rk""",
     "q130_hll_distinct" ->
       """WITH toks AS (
            SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word

@@ -797,7 +797,13 @@ object DedupOps {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val spark = df.sparkSession
     val t = df.select(col(idCol).as("id"), col(strCol).as("s"))
-    val nkey = conv(hex(encode(rpad(col("s"), 7, " "), "utf-8")), 16, 10)
+    // 7 BYTES of the UTF-8 encoding, not 7 characters — a multi-byte
+    // character would push the hex past 16 digits and overflow conv()
+    // under ANSI (hit on the sf1 scale corpus, whose tokens carry ⊕
+    // suffixes). Right-padding the hex with '0' keeps prefix order:
+    // a shorter byte prefix sorts before any extension, exactly like
+    // the underlying binary comparison Spark uses for strings.
+    val nkey = conv(rpad(hex(substring(encode(col("s"), "utf-8"), 1, 7)), 14, "0"), 16, 10)
       .cast("long")
     val withN = t.withColumn("__nk", nkey)
     val b = spark.sessionState.conf.numShufflePartitions

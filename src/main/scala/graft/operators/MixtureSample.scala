@@ -149,4 +149,28 @@ object MixtureSample {
       .withColumn("epochs", col("q") * lit(targetTokens.toDouble) / col("mass").cast("double"))
       .drop("pa", "z")
   }
+
+  /** STRATIFIED fixed-k sample: exactly `min(k, |g|)` rows from every
+    * group, chosen in deterministic md5-hash order — the "k eval docs
+    * per language/source" primitive (uniform within group, reproducible
+    * across runs/engines/cluster sizes, no `rand()`).
+    *
+    * Scale shape: the rank window partitions by GROUP, which can be
+    * corpus-sized — but the `row_number ≤ k` filter is recognized by
+    * Spark's WindowGroupLimit rule, which inserts a map-side PARTIAL
+    * top-k before the shuffle: each task forwards at most k rows per
+    * group it sees, so the exchange carries ≤ k·tasks rows per group,
+    * never the group. (The plan shows `WindowGroupLimit` below the
+    * Exchange — asserted in the spec.)
+    *
+    * @return input rows with `rk` (1-based hash rank), filtered to ≤ k
+    */
+  def stratifiedFixedK(df: DataFrame, groupCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(graft.functions.DedupOps.hash60(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
 }

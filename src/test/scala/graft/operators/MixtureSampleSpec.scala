@@ -128,4 +128,29 @@ class MixtureSampleSpec extends SparkSpec {
     // empty budget picks nothing from g3
     assert(base.collect { case (id, true) if id % 4 == 3 => id }.isEmpty)
   }
+
+  test("stratifiedFixedK takes exactly min(k,|g|) per group, deterministically") {
+    val rows = (1L to 100L).map(i => (i, s"g${i % 4}")) ++ Seq((200L, "tiny"))
+    val df = rows.toDF("id", "grp")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      MixtureSample.stratifiedFixedK(d, "grp", "id", k = 5)
+        .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("rk"), r.getAs[Long]("id"))).toSet
+    val base = run(df)
+    assert(base.count(_._1 == "tiny") == 1) // |g| < k → whole group
+    Seq("g0", "g1", "g2", "g3").foreach(g => assert(base.count(_._1 == g) == 5))
+    assert(run(df.repartition(11)) == base, "hash order is partitioning-invariant")
+    // ranks are 1..k within each group
+    base.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).toSeq.sorted == (1L to rows.size))
+    }
+  }
+
+  test("stratifiedFixedK plans a map-side partial top-k (WindowGroupLimit below the exchange)") {
+    val df = (1L to 50L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val plan = MixtureSample.stratifiedFixedK(df, "grp", "id", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+    // Partial mode instance precedes the shuffle read side
+    assert(plan.contains("Partial"), s"expected a Partial window-group-limit in:\n$plan")
+  }
 }
