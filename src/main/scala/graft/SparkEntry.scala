@@ -1367,6 +1367,18 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: curriculum interleave — short-first per-source order
+    //    (Bengio et al. curriculum) interleaved round-robin across
+    //    sources via (rank−1)·G + src_idx; rank is a distributed prefix
+    //    count, never a per-source single-reducer window
+    "q132_curriculum_order" -> ((s, dir) => {
+      val d = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (col("n_chars") * lit(1L << 33) + col("doc_id")).as("ord"))
+      graft.operators.TrainShuffle.curriculumInterleave(d, "source", "ord")
+        .select("curriculum_idx", "source", "rank", "doc_id", "n_chars")
+        .orderBy("curriculum_idx")
+    }),
     // ── extension: stratified fixed-k sampling — exactly k docs per
     //    source in deterministic md5-hash order (the "k eval docs per
     //    slice" primitive); WindowGroupLimit makes the top-k map-side
@@ -2815,6 +2827,22 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q132_curriculum_order" ->
+      """WITH d AS (
+           SELECT doc_id, source, n_chars,
+             n_chars * (1::BIGINT << 33) + doc_id AS ord
+           FROM documents WHERE length(trim(text)) > 0),
+         r AS (SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY ord) AS BIGINT) AS rank
+           FROM d),
+         s AS (SELECT source,
+             CAST(row_number() OVER (ORDER BY source) AS BIGINT) - 1 AS src_idx,
+             CAST(count(*) OVER () AS BIGINT) AS n_groups
+           FROM (SELECT DISTINCT source FROM d))
+         SELECT (r.rank - 1) * s.n_groups + s.src_idx AS curriculum_idx,
+           r.source, r.rank, r.doc_id, r.n_chars
+         FROM r JOIN s ON s.source = r.source
+         ORDER BY curriculum_idx""",
     "q131_stratified_sample" ->
       """WITH d AS (
            SELECT doc_id, source, n_chars,

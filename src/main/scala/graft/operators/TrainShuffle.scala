@@ -79,4 +79,43 @@ object TrainShuffle {
     graft.sources.TableStore.save(packed, path, partitionBy = Seq("shard"))
     graft.sources.TableStore.load(df.sparkSession, path)
   }
+
+  /** CURRICULUM INTERLEAVE — a deterministic training order that is
+    * simultaneously (a) a curriculum (each source's rows appear in
+    * `ordCol` order: classic short/easy-first — Bengio et al. 2009) and
+    * (b) source-balanced (consecutive positions rotate across sources, so
+    * no training window is dominated by one source while sources last):
+    *
+    *   curriculum_idx = (rank_in_source − 1) · n_sources + source_idx
+    *
+    * Sources exhausting early leave index gaps — harmless, since training
+    * reads in idx order, and the formula needs no global coordination.
+    *
+    * Scale shape: rank-in-source is a [[PrefixSum]] distributed running
+    * count (quantile-bucketed — no per-source single-reducer window even
+    * when one source is half the corpus); the source-index table is
+    * group-count-sized and broadcast. Everything else is a projection.
+    *
+    * @param ordCol numeric, non-null, unique within each group
+    *               (PrefixSum's requirement — fold the tiebreak id into
+    *               the low bits)
+    * @return input plus (rank, curriculum_idx); rank is 1-based
+    */
+  def curriculumInterleave(df: DataFrame, groupCol: String,
+                           ordCol: String): DataFrame = {
+    val ranked = graft.operators.PrefixSum
+      .groupedRunningSum(df.withColumn("__one", lit(1L)), Seq(groupCol),
+        ordCol, "__one", "rank")
+      .drop("__one")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(groupCol)) // group-count-sized table: safe global window
+    val srcIdx = df.select(col(groupCol)).distinct()
+      .withColumn("__src_idx", (row_number().over(w) - 1).cast("long"))
+      .withColumn("__n_groups", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()).cast("long"))
+    ranked.join(broadcast(srcIdx), Seq(groupCol))
+      .withColumn("curriculum_idx",
+        (col("rank") - 1) * col("__n_groups") + col("__src_idx"))
+      .drop("__src_idx", "__n_groups")
+  }
 }

@@ -33,4 +33,33 @@ class TrainShuffleSpec extends SparkSpec {
     assert(run(7L) == run(7L, docs.repartition(9)))
     assert(run(7L) != run(8L))
   }
+
+  test("curriculumInterleave: per-source order, rotation, and gap-free prefix") {
+    import spark.implicits._
+    // 3 sources of different sizes; ord = difficulty*2^8 + id (unique)
+    val rows = Seq(
+      (1L, "a", 30L), (2L, "a", 10L), (3L, "a", 20L),
+      (4L, "b", 5L), (5L, "b", 50L),
+      (6L, "c", 7L))
+      .map { case (id, src, diff) => (id, src, diff, diff * 256 + id) }
+    val df = rows.toDF("id", "src", "diff", "ord")
+    val out = TrainShuffle.curriculumInterleave(df, "src", "ord")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("src"),
+        r.getAs[Long]("rank"), r.getAs[Long]("curriculum_idx"))).sortBy(_._4)
+    // within each source, curriculum follows ascending ord (easy first)
+    val bySrc = out.groupBy(_._2)
+    assert(bySrc("a").sortBy(_._3).map(_._1).toSeq == Seq(2L, 3L, 1L))
+    assert(bySrc("b").sortBy(_._3).map(_._1).toSeq == Seq(4L, 5L))
+    // first G positions are one row per source (round-robin while all last)
+    assert(out.take(3).map(_._2).toSet == Set("a", "b", "c"))
+    // idx formula: (rank-1)*3 + src_idx with sources ordered a,b,c
+    out.foreach { case (_, src, rank, idx) =>
+      val srcIdx = Seq("a", "b", "c").indexOf(src)
+      assert(idx == (rank - 1) * 3 + srcIdx)
+    }
+    // deterministic under repartition
+    val again = TrainShuffle.curriculumInterleave(df.toDF().repartition(5), "src", "ord")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("curriculum_idx"))).toSet
+    assert(again == out.map(r => (r._1, r._4)).toSet)
+  }
 }
