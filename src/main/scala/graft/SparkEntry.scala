@@ -1367,6 +1367,40 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: padding-waste profile for length-bucketed batching —
+    //    next-pow2 buckets (integer bin() identity), per-bucket waste vs
+    //    the naive pad-to-max baseline; ≤ 64 bucket keys for any corpus
+    "q134_padding_waste" -> ((s, dir) => {
+      val d = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+      graft.operators.TrainShuffle.paddingWaste(d, "ntok", minWidth = 16)
+        .orderBy("bucket_w")
+    }),
+    // ── extension: TOKENIZER FERTILITY audit — after training q116's
+    //    merges on the whole corpus, measure per source how many pieces
+    //    a word becomes (fertility) and how many chars a piece carries:
+    //    THE tokenizer-quality dashboard (a drifting source shows up as
+    //    fertility inflation). Integer-milli ratios, engine-exact.
+    "q133_tokenizer_fertility" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val wf = graft.functions.VocabOps.explodeTokens(d, "doc_id", "text")
+        .groupBy("word").agg(count(lit(1)).as("f"))
+      val merges = graft.functions.VocabOps.bpeMerges(wf, "word", "f", merges = 5)
+      val occ = graft.functions.VocabOps.explodeTokens(d, "source", "text")
+        .localCheckpoint(false)
+      val enc = graft.functions.VocabOps
+        .bpeEncode(occ.select("word").distinct(), "word", merges)
+        .select(col("word"), size(col("pieces")).as("np"), length(col("word")).as("nc"))
+      occ.join(enc, Seq("word"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum("np").cast("long").as("n_pieces"),
+          sum("nc").cast("long").as("n_chars"))
+        .select(col("source"), col("n_words"), col("n_pieces"), col("n_chars"),
+          expr("n_pieces * 1000 div n_words").as("fertility_milli"),
+          expr("n_chars * 1000 div n_pieces").as("chars_per_piece_milli"))
+        .orderBy("source")
+    }),
     // ── extension: curriculum interleave — short-first per-source order
     //    (Bengio et al. curriculum) interleaved round-robin across
     //    sources via (rank−1)·G + src_idx; rank is a distributed prefix
@@ -2827,6 +2861,106 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q134_padding_waste" ->
+      """WITH d AS (
+           SELECT CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS ntok
+           FROM documents WHERE length(trim(text)) > 0),
+         b AS (SELECT greatest(16, CASE WHEN ntok <= 1 THEN 1
+                 ELSE 1::BIGINT << length(bin(ntok - 1)) END) AS bucket_w, ntok
+               FROM d WHERE ntok > 0),
+         g AS (SELECT bucket_w, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(ntok) AS BIGINT) AS sum_tok FROM b GROUP BY 1),
+         t AS (SELECT max(bucket_w) AS maxw, CAST(sum(n_docs) AS BIGINT) AS nd,
+                 CAST(sum(sum_tok) AS BIGINT) AS st FROM g)
+         SELECT bucket_w, n_docs, sum_tok,
+           (n_docs * bucket_w - sum_tok) * 10000 // (n_docs * bucket_w) AS waste_bp,
+           (nd * maxw - st) * 10000 // (nd * maxw) AS naive_waste_bp
+         FROM g CROSS JOIN t ORDER BY bucket_w""",
+    // Whole-corpus training (q116's oracle CTEs) + the q122 encode chain,
+    // aggregated per source.
+    "q133_tokenizer_fertility" ->
+      """WITH toks AS (
+           SELECT source,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents WHERE length(trim(text)) > 0),
+         wf AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+         w0 AS (SELECT f, [word[i:i] for i in range(1, len(word)+1)] AS syms
+                FROM wf WHERE len(word) > 0),
+         p1 AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w0)
+           WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+         b1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+         w1 AS (SELECT f, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM w0 CROSS JOIN b1 b),
+         p2 AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w1)
+           WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+         b2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+         w2 AS (SELECT f, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM w1 CROSS JOIN b2 b),
+         p3 AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w2)
+           WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+         b3 AS (SELECT l, r FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+         w3 AS (SELECT f, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM w2 CROSS JOIN b3 b),
+         p4 AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w3)
+           WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+         b4 AS (SELECT l, r FROM p4 ORDER BY cnt DESC, l, r LIMIT 1),
+         w4 AS (SELECT f, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM w3 CROSS JOIN b4 b),
+         p5 AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w4)
+           WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+         b5 AS (SELECT l, r FROM p5 ORDER BY cnt DESC, l, r LIMIT 1),
+         dw AS (SELECT DISTINCT word FROM toks WHERE len(word) > 0),
+         e0 AS (SELECT word, [word[i:i] for i in range(1, len(word)+1)] AS syms FROM dw),
+         e1 AS (SELECT word, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM e0 CROSS JOIN b1 b),
+         e2 AS (SELECT word, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM e1 CROSS JOIN b2 b),
+         e3 AS (SELECT word, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM e2 CROSS JOIN b3 b),
+         e4 AS (SELECT word, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM e3 CROSS JOIN b4 b),
+         e5 AS (SELECT word, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM e4 CROSS JOIN b5 b),
+         ew AS (SELECT word, len(syms) AS np, len(word) AS nc FROM e5)
+         SELECT t.source, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(e.np) AS BIGINT) AS n_pieces,
+           CAST(sum(e.nc) AS BIGINT) AS n_chars,
+           CAST(sum(e.np) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS fertility_milli,
+           CAST(sum(e.nc) AS BIGINT) * 1000 // CAST(sum(e.np) AS BIGINT) AS chars_per_piece_milli
+         FROM toks t JOIN ew e USING (word)
+         GROUP BY 1 ORDER BY source""",
     "q132_curriculum_order" ->
       """WITH d AS (
            SELECT doc_id, source, n_chars,

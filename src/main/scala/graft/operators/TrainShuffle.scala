@@ -101,6 +101,41 @@ object TrainShuffle {
     *               the low bits)
     * @return input plus (rank, curriculum_idx); rank is 1-based
     */
+  /** PADDING-WASTE profile for length-bucketed batching: assign every
+    * sequence to the next power-of-two width (floored at `minWidth`) and
+    * report per-bucket padding waste, plus the single-bucket baseline
+    * (pad everything to the max width — what a naive collator does).
+    * The gap between `waste_bp` and `naive_waste_bp` is the FLOPs you
+    * buy by bucketing the dataloader; the bucket histogram is also the
+    * input for choosing packing vs padding (compare with the q83
+    * sequence-packing path, which eliminates padding entirely at the
+    * cost of document-boundary attention masks).
+    *
+    * Scale shape: one bucket-keyed count/sum aggregate (≤ 64 buckets for
+    * any length ≤ 2⁶³ — log-bounded key space, map-side partials absorb
+    * the corpus); the baseline enters as a broadcast 1-row cross join.
+    * The next-pow2 is the integer `bin()` length identity — no floats.
+    *
+    * @return per bucket: (bucket_w, n_docs, sum_tok, waste_bp,
+    *         naive_waste_bp) — naive_* constant across rows
+    */
+  def paddingWaste(df: DataFrame, tokCol: String, minWidth: Int = 16): DataFrame = {
+    require(minWidth >= 1, s"minWidth must be >= 1, got $minWidth")
+    val nt = col(tokCol)
+    val np2 = when(nt <= 1, lit(1L))
+      .otherwise(call_function("shiftleft", lit(1L), length(bin(nt - 1)).cast("int")))
+    val buckets = df.where(nt > 0)
+      .select(greatest(lit(minWidth.toLong), np2).as("bucket_w"), nt.as("__nt"))
+      .groupBy("bucket_w")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").cast("long").as("sum_tok"))
+    val base = buckets.agg(max("bucket_w").as("__maxw"),
+      sum("n_docs").cast("long").as("__nd"), sum("sum_tok").cast("long").as("__st"))
+    buckets.crossJoin(broadcast(base))
+      .select(col("bucket_w"), col("n_docs"), col("sum_tok"),
+        expr("(n_docs * bucket_w - sum_tok) * 10000 div (n_docs * bucket_w)").as("waste_bp"),
+        expr("(__nd * __maxw - __st) * 10000 div (__nd * __maxw)").as("naive_waste_bp"))
+  }
+
   def curriculumInterleave(df: DataFrame, groupCol: String,
                            ordCol: String): DataFrame = {
     val ranked = graft.operators.PrefixSum

@@ -62,4 +62,22 @@ class TrainShuffleSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("curriculum_idx"))).toSet
     assert(again == out.map(r => (r._1, r._4)).toSet)
   }
+
+  test("paddingWaste buckets to next pow2 with a floor and audits both wastes") {
+    import spark.implicits._
+    val df = Seq(3L, 16L, 17L, 30L, 100L).toDF("ntok")
+    val out = TrainShuffle.paddingWaste(df, "ntok", minWidth = 16)
+      .orderBy("bucket_w").collect()
+      .map(r => (r.getAs[Long]("bucket_w"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_tok"), r.getAs[Long]("waste_bp"), r.getAs[Long]("naive_waste_bp")))
+    // 3→16(floor), 16→16, 17→32, 30→32, 100→128
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((16L, 2L, 19L), (32L, 2L, 47L), (128L, 1L, 100L)))
+    val naive = (5L * 128 - 166) * 10000 / (5L * 128)
+    assert(out.forall(_._5 == naive))
+    assert(out.head._4 == (2L * 16 - 19) * 10000 / (2L * 16))
+    // bucketing strictly beats pad-to-max on this skewed set
+    val bucketed = out.map(t => t._2 * t._1 - t._3).sum
+    assert(bucketed < 5L * 128 - 166)
+  }
 }
