@@ -1367,6 +1367,49 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: STORE DELTA MAINTENANCE — the q99 persisted store
+    //    under a q128 snapshot diff: removals/changes land as tombstone
+    //    rows (merge-on-read), additions/replacements append with a
+    //    higher epoch, and the live anti-join view must equal a fresh
+    //    build over v2 — certified per band against the oracle's direct
+    //    v2 signature computation
+    "q135_store_delta" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val docs = T(s, dir, "documents")
+      val v1 = docs.where(col("doc_id") < 450).select(col("doc_id"), col("text"))
+      val v2 = docs.where(pmod(col("doc_id"), lit(17)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(col("text"), lit(" updated"))).otherwise(col("text")).as("text"))
+      val tbl = "graft_q135_store"
+      val tombTbl = "graft_q135_tomb"
+      TableStore.dropTable(s, tbl)
+      TableStore.dropTable(s, tombTbl)
+      TableStore.saveBucketed(
+        DedupOps.minhashStore(v1, "text", "doc_id").withColumn("epoch", lit(0)),
+        tbl, bucketCols = Seq("band", "band_key"), buckets = 8)
+      val diff = TextFunctions.snapshotDiff(v1, v2, "doc_id", "text")
+        .localCheckpoint(false) // feeds tombstones AND the addition set
+      val tomb = diff.where(col("status").isin("removed", "changed"))
+        .select(col("doc_id").as("id"), lit(1).as("before_epoch"))
+      TableStore.saveBucketed(tomb, tombTbl, bucketCols = Seq("id"), buckets = 8)
+      val addDocs = v2.join(
+        diff.where(col("status").isin("added", "changed")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      TableStore.saveBucketed(
+        DedupOps.minhashStore(addDocs, "text", "doc_id").withColumn("epoch", lit(1)),
+        tbl, bucketCols = Seq("band", "band_key"), buckets = 8,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      val live = DedupOps.liveStore(
+        TableStore.loadTable(s, tbl), TableStore.loadTable(s, tombTbl))
+      live.select(col("band"),
+          concat_ws("#", col("band_key"), col("id")).as("rowkey"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_live"),
+          md5(to_binary(array_join(array_sort(collect_list(col("rowkey"))), ","),
+            lit("utf-8"))).as("fp_live"))
+        .orderBy("band")
+    }),
     // ── extension: padding-waste profile for length-bucketed batching —
     //    next-pow2 buckets (integer bin() identity), per-bucket waste vs
     //    the naive pad-to-max baseline; ≤ 64 bucket keys for any corpus
@@ -2861,6 +2904,25 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    // The oracle IS the fresh v2 build: the q99 signature replay over the
+    // mutated corpus, banded, fingerprinted per band — parity certifies
+    // that tombstone + epoch-append + anti-join == recompute-from-scratch.
+    "q135_store_delta" ->
+      """WITH v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' updated' ELSE text END AS text
+           FROM documents WHERE doc_id % 17 <> 0),
+         toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM v2),
+         sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-2,0)+1)]) AS s FROM toks),
+         hs AS (SELECT doc_id, list_transform(s, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % 1073741789) AS ms FROM sh WHERE len(s) > 0),
+         sigs AS (SELECT doc_id, [list_min(list_transform(ms, m -> (m*(2*i+1) + i*7919 + 1) % 1073741789)) for i in range(0, 64)] AS sig FROM hs),
+         banded AS (SELECT doc_id, b AS band,
+             array_to_string(sig[b*4+1:b*4+4], ',') AS band_key
+           FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS b)),
+         rk AS (SELECT band, band_key || '#' || doc_id AS rowkey FROM banded)
+         SELECT band, CAST(count(*) AS BIGINT) AS n_live,
+           md5(string_agg(rowkey, ',' ORDER BY rowkey)) AS fp_live
+         FROM rk GROUP BY band ORDER BY band""",
     "q134_padding_waste" ->
       """WITH d AS (
            SELECT CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS ntok

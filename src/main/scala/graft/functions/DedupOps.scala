@@ -205,6 +205,32 @@ object DedupOps {
     bandSignatures(minhashSignatures(df, textCol, idCol, k, ngram), k, bands)
   }
 
+  /** The LIVE view of an epoch-stamped signature store under TOMBSTONE
+    * deletion — how a parquet-persisted store (append-only by nature)
+    * supports the `removed`/`changed` half of a [[graft.functions
+    * .TextFunctions.snapshotDiff]] without rewriting data files:
+    * deletions land as (id, before_epoch) tombstone rows in a side
+    * table; replacements/additions append with a higher epoch; a read is
+    * the anti-join below. Periodic compaction = `save(liveStore(...))`
+    * fresh + truncate tombstones — the same merge-on-read → compact
+    * cycle every table format with deletion vectors runs, expressed in
+    * plain DataFrames.
+    *
+    * Scale shape: tombstones are delta-sized (broadcast in practice; the
+    * hint is left to AQE since a mass-deletion epoch can exceed the
+    * threshold), and the anti-join keys on the 8-byte id — no signature
+    * payload moves for dropped rows.
+    *
+    * @param store signature rows with an `epoch` column
+    * @param tombstones (id, before_epoch): hide store rows of `id` with
+    *                   epoch < before_epoch
+    */
+  def liveStore(store: DataFrame, tombstones: DataFrame): DataFrame =
+    store.join(tombstones,
+      store("id") === tombstones("id") &&
+        store("epoch") < tombstones("before_epoch"),
+      "left_anti")
+
   /** [[incrementalMinhashDedup]] against an ALREADY-BANDED store (the
     * [[minhashStore]] layout, typically reloaded from its bucketed
     * parquet table) — the true persisted-store lifecycle: nothing about

@@ -216,6 +216,18 @@ class EditDistancePairsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 9L, 0)))
   }
 
+  test("liveStore hides tombstoned epochs but keeps replacements and unrelated rows") {
+    val store = Seq(
+      (1L, 0, "b0"), (2L, 0, "b0"), (3L, 0, "b0"), // epoch-0 rows
+      (2L, 1, "b1"), (9L, 1, "b1")                 // epoch-1: 2 replaced, 9 added
+    ).toDF("id", "epoch", "band_key")
+    val tomb = Seq((2L, 1), (3L, 1)).toDF("id", "before_epoch") // 2 changed, 3 removed
+    val live = DedupOps.liveStore(store, tomb)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("epoch"))).toSet
+    assert(live == Set((1L, 0), (2L, 1), (9L, 1)),
+      "old epochs of tombstoned ids hidden; replacement and untouched rows visible")
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged; whitespace churn is unchanged") {
     val v1 = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta"), (4L, "EPSILON  x")).toDF("doc_id", "text")
     val v2 = Seq((1L, "alpha beta"), (3L, "delta prime"), (4L, "epsilon\tx"), (5L, "zeta")).toDF("doc_id", "text")
