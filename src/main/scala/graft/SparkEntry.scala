@@ -1367,6 +1367,36 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: trailing-window anomaly z-scores — hourly event-type
+    //    counts vs the previous 24 hours' integer-sum baseline; range
+    //    windows on the hour index (gaps narrow the baseline), full
+    //    baselines only, zero-variance → NULL. Window state bounded by
+    //    the TIME RANGE, not data volume.
+    "q137_anomaly_z" -> ((s, dir) => {
+      graft.functions.EventOps.anomalyZ(T(s, dir, "events"), "event_type", "ts",
+        lookback = 24)
+        .orderBy("event_type", "hidx")
+    }),
+    // ── extension: per-group HLL cardinality dashboard — distinct words
+    //    per source from per-group registers (model-sized: groups × 2^p
+    //    rows max), estimates beside exact counts with error bp; the
+    //    per-slice form of q130
+    "q136_hll_per_source" -> ((s, dir) => {
+      val toks = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+        .localCheckpoint(false) // exact counts + registers from one frame
+      val regs = graft.functions.SketchOps
+        .hllRegisters(toks, "word", p = 10, groupCols = Seq("source"))
+      val est = graft.functions.SketchOps
+        .hllEstimateGrouped(regs, p = 10, groupCols = Seq("source"))
+      val exact = toks.groupBy("source")
+        .agg(count_distinct(col("word")).as("n_exact"))
+      exact.join(est, Seq("source"))
+        .select(col("source"), col("n_exact"), col("est"),
+          expr("abs(est - n_exact) * 10000 div n_exact").as("err_bp"))
+        .orderBy("source")
+    }),
     // ── extension: STORE DELTA MAINTENANCE — the q99 persisted store
     //    under a q128 snapshot diff: removals/changes land as tombstone
     //    rows (merge-on-read), additions/replacements append with a
@@ -2904,6 +2934,54 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q137_anomaly_z" ->
+      """WITH h AS (
+           SELECT event_type, epoch_ns(ts) // 3600000000000 AS hidx,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, hidx, cnt,
+             CAST(count(*) OVER tw AS BIGINT) AS n,
+             CAST(sum(cnt) OVER tw AS BIGINT) AS s,
+             CAST(sum(cnt * cnt) OVER tw AS BIGINT) AS ssq
+           FROM h
+           WINDOW tw AS (PARTITION BY event_type ORDER BY hidx
+             RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, hidx, cnt,
+           CASE WHEN n * ssq - s * s > 0 THEN
+             CAST(round(1000.0 * (cnt * n - s) / sqrt(CAST(n * ssq - s * s AS DOUBLE))) AS BIGINT)
+           END AS z_milli
+         FROM w WHERE n = 24
+         ORDER BY event_type, hidx""",
+    "q136_hll_per_source" ->
+      """WITH toks AS (
+           SELECT source,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents WHERE length(trim(text)) > 0),
+         dw AS (SELECT DISTINCT source, word FROM toks),
+         h AS (SELECT source, CAST('0x'||substr(md5(word), 1, 15) AS BIGINT) AS h FROM dw),
+         r AS (SELECT source, h % 1024 AS idx,
+             least(CASE WHEN h // 1024 = 0 THEN 51
+                        ELSE 51 - length(bin(h // 1024)) END, 44) AS rank
+           FROM h),
+         regs AS (SELECT source, idx, max(rank) AS mx FROM r GROUP BY 1, 2),
+         agg AS (SELECT source, CAST(count(*) AS BIGINT) AS nz,
+             CAST(coalesce(sum(1::BIGINT << CAST(44 - mx AS INT)), 0) AS BIGINT) AS snum
+           FROM regs GROUP BY 1),
+         n AS (SELECT source, snum + (1024 - nz) * (1::BIGINT << 44) AS num,
+             1024 - nz AS v FROM agg),
+         est_d AS (SELECT source, CAST(round(
+             CASE WHEN v > 0 AND (0.7213/(1.0+1.079/1024.0))*1024.0*1024.0
+                    * CAST(1::BIGINT << 44 AS DOUBLE) / CAST(num AS DOUBLE) <= 2560.0
+                  THEN 1024.0 * ln(1024.0 / CAST(v AS DOUBLE))
+                  ELSE (0.7213/(1.0+1.079/1024.0))*1024.0*1024.0
+                    * CAST(1::BIGINT << 44 AS DOUBLE) / CAST(num AS DOUBLE) END)
+           AS BIGINT) AS est FROM n),
+         ex AS (SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_exact
+                FROM toks GROUP BY 1)
+         SELECT ex.source, n_exact, est,
+           abs(est - n_exact) * 10000 // n_exact AS err_bp
+         FROM ex JOIN est_d ON est_d.source = ex.source
+         ORDER BY ex.source""",
     // The oracle IS the fresh v2 build: the q99 signature replay over the
     // mutated corpus, banded, fingerprinted per band — parity certifies
     // that tombstone + epoch-append + anti-join == recompute-from-scratch.

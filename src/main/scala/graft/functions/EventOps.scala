@@ -101,4 +101,49 @@ object EventOps {
           .cast("long"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** Trailing-window ANOMALY z-scores over hourly event-type counts —
+    * the monitoring primitive that flags a feed breaking or a bot wave
+    * arriving: for each (type, hour), compare the hour's count to the
+    * mean/std of the previous `lookback` hours.
+    *
+    * Numerically: the trailing mean/std come from INTEGER window sums
+    * (n, Σc, Σc²) via `z = (c·n − Σc) / √(n·Σc² − (Σc)²)` — exact
+    * integers into one sqrt and one division, so there is no
+    * accumulation-order float drift and any engine reproduces the milli
+    * z bit-for-bit. Windows are RANGE-bounded on the integer hour index
+    * (a gap of empty hours narrows the baseline rather than silently
+    * stretching it); only full-baseline rows (n = lookback) emit a
+    * score, and a zero-variance baseline emits NULL rather than ±∞.
+    *
+    * Scale shape: ONE (type, hour) count aggregate absorbs the corpus
+    * map-side; the window partitions by type over hour buckets — state
+    * bounded by the TIME RANGE, not the data volume (10× events in the
+    * same month is the same window size).
+    *
+    * @return (typeCol, hidx, cnt, z_milli) for full-baseline hours
+    */
+  def anomalyZ(events: DataFrame, typeCol: String, tsCol: String,
+               lookback: Int = 24): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2, got $lookback")
+    val hidx = call_function("div", graft.Tables.epochNs(col(tsCol)),
+      lit(3600L * 1000 * 1000 * 1000))
+    val hourly = events
+      .groupBy(col(typeCol), hidx.as("hidx"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(typeCol).orderBy(col("hidx"))
+      .rangeBetween(-lookback.toLong, -1L)
+    hourly
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum("cnt").over(w))
+      .withColumn("ssq", sum(col("cnt") * col("cnt")).over(w))
+      .where(col("n") === lookback)
+      .withColumn("z_milli",
+        when(col("n") * col("ssq") - col("s") * col("s") > 0,
+          round(lit(1000.0) * (col("cnt") * col("n") - col("s")).cast("double") /
+            sqrt((col("n") * col("ssq") - col("s") * col("s")).cast("double")))
+            .cast("long")))
+      .select(typeCol, "hidx", "cnt", "z_milli")
+  }
 }

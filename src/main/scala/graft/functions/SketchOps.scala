@@ -125,25 +125,38 @@ object SketchOps {
     *
     * @return one row: (est)
     */
-  def hllEstimate(regs: DataFrame, p: Int = 10): DataFrame = {
+  def hllEstimate(regs: DataFrame, p: Int = 10): DataFrame =
+    hllEstimateGrouped(regs, p, Nil)
+
+  /** [[hllEstimate]] per group — the per-slice cardinality dashboard
+    * (distinct terms per source, users per cohort, …) from per-group
+    * registers ([[hllRegisters]] with `groupCols`). Same integer-exact
+    * scaled harmonic sum and small-range correction, one row per group;
+    * the aggregate's key space is groups × nothing (registers already
+    * reduced), so this is model-sized work end to end. */
+  def hllEstimateGrouped(regs: DataFrame, p: Int = 10,
+                         groupCols: Seq[String] = Nil): DataFrame = {
     require(p >= 4 && p <= 16, s"p in [4,16], got $p")
     val m = 1L << p
     val alpha = s"(0.7213 / (1.0 + 1.079 / $m.0))"
-    regs.agg(
-      count(lit(1)).as("nz"),
-      coalesce(sum(call_function("shiftleft", lit(1L),
-        (lit(44) - col("mx")).cast("int"))), lit(0L)).as("snum"))
-      .select(
+    val agged = (if (groupCols.isEmpty) regs.groupBy()
+                 else regs.groupBy(groupCols.map(col): _*))
+      .agg(
+        count(lit(1)).as("nz"),
+        coalesce(sum(call_function("shiftleft", lit(1L),
+          (lit(44) - col("mx")).cast("int"))), lit(0L)).as("snum"))
+    agged
+      .select((groupCols.map(col) :+
         (col("snum") + (lit(m) - col("nz")) *
-          call_function("shiftleft", lit(1L), lit(44))).as("num"),
-        (lit(m) - col("nz")).as("v"))
-      .select(round(
+          call_function("shiftleft", lit(1L), lit(44))).as("num") :+
+        (lit(m) - col("nz")).as("v")): _*)
+      .select((groupCols.map(col) :+ round(
         when(col("v") > 0 &&
             expr(s"$alpha * $m.0 * $m.0 * cast(shiftleft(1L, 44) as double) / cast(num as double)") <= lit(2.5 * m),
           expr(s"$m.0 * ln($m.0 / cast(v as double))"))
         .otherwise(
           expr(s"$alpha * $m.0 * $m.0 * cast(shiftleft(1L, 44) as double) / cast(num as double)")))
-        .cast("long").as("est"))
+        .cast("long").as("est")): _*)
   }
 
   def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame = {

@@ -74,4 +74,39 @@ class EventOpsSpec extends SparkSpec {
       ("2024-01-01", 2L, 1L, 500L), // u1 in week of 01-15
       ("2024-01-08", 0L, 1L, 1000L)))
   }
+
+  test("anomalyZ flags a spike against the trailing integer baseline") {
+    // hours 10..13: counts 2,2,2,2 (baseline); hour 14: spike of 10
+    def at(h: Int, m: Int) = ts(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = (for {
+      h <- 10 to 13; m <- Seq(5, 35)
+    } yield (1L, at(h, m), "click")) ++
+      (0 until 10).map(m => (1L, at(14, m + 1), "click"))
+    val out = EventOps.anomalyZ(rows.toDF("user_id", "ts", "event_type"),
+      "event_type", "ts", lookback = 4)
+      .collect().map(r => (r.getAs[Long]("hidx"), r.getAs[Long]("cnt"),
+        Option(r.getAs[java.lang.Long]("z_milli")).map(_.toLong)))
+    // only hour 14 has a full 4-hour baseline
+    assert(out.length == 1)
+    val (_, cnt, z) = out.head
+    assert(cnt == 10L)
+    // baseline all 2s → zero variance → NULL z
+    assert(z.isEmpty)
+  }
+
+  test("anomalyZ z-score matches the closed form on a varied baseline") {
+    def at(h: Int, k: Int) = ts(f"2024-01-01 $h%02d:${k * 7 + 1}%02d:00")
+    // counts per hour 8..11: 1,2,3,2 ; hour 12: 6
+    val counts = Seq(8 -> 1, 9 -> 2, 10 -> 3, 11 -> 2, 12 -> 6)
+    val rows = counts.flatMap { case (h, c) => (0 until c).map(k => (1L, at(h, k), "e")) }
+    val out = EventOps.anomalyZ(rows.toDF("user_id", "ts", "event_type"),
+      "event_type", "ts", lookback = 4)
+      .collect().map(r => (r.getAs[Long]("cnt"), r.getAs[Long]("z_milli")))
+    assert(out.length == 1)
+    val (n, s, ssq) = (4L, 8L, 18L) // baseline 1,2,3,2
+    val expected = math.round(1000.0 * (6 * n - s) / math.sqrt((n * ssq - s * s).toDouble))
+    assert(out.head == ((6L, expected)))
+    // sanity: mean 2, var 0.5 → z = 4/sqrt(0.5) ≈ 5.657
+    assert(expected == 5657L)
+  }
 }
