@@ -1367,6 +1367,43 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: PIPELINE V4 — the round-9 curation chain end-to-end:
+    //    codegen'd NFC normalization (q125) → exact keep-first dedup on
+    //    the canonical fingerprint → Gopher word-level quality on the
+    //    normalized text (q103 thresholds) → curriculum interleave over
+    //    the survivors (q132) → per-source audit. Flags, not filters,
+    //    carry each stage so the audit attributes every drop.
+    "q138_pipeline_v4" -> ((s, dir) => {
+      graft.expr.GraftFunctions.register(s)
+      val d = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+      val norm = d.select(col("doc_id"), col("source"),
+        TextFunctions.normalizeText(col("text")).as("nt"))
+        .withColumn("fp", md5(col("nt").cast("binary")))
+        .localCheckpoint(false) // stage boundary: dedup keys + quality + ord
+      val first = norm.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      val flagged = norm.join(first, Seq("fp"))
+        .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+        .withColumn("g", TextFunctions.gopherQuality(col("nt"),
+          minWords = 30, minStopwords = 1))
+        .withColumn("q_keep", col("g.keep") === 1)
+        .localCheckpoint(false) // feeds the audit AND the curriculum
+      val kept = flagged.where(!col("is_dup") && col("q_keep"))
+        .select(col("doc_id"), col("source"),
+          (length(col("nt")) * lit(1L << 33) + col("doc_id")).as("ord"))
+      val ordered = graft.operators.TrainShuffle
+        .curriculumInterleave(kept, "source", "ord")
+      val idx = ordered.groupBy("source")
+        .agg(min("curriculum_idx").as("first_idx"),
+          max("curriculum_idx").as("last_idx"))
+      flagged.groupBy("source")
+        .agg(count(lit(1)).as("n_in"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_dropped"),
+          sum(when(!col("is_dup") && !col("q_keep"), 1L).otherwise(0L))
+            .as("n_quality_dropped"),
+          sum(when(!col("is_dup") && col("q_keep"), 1L).otherwise(0L)).as("n_kept"))
+        .join(idx, Seq("source"), "left")
+        .orderBy("source")
+    }),
     // ── extension: trailing-window anomaly z-scores — hourly event-type
     //    counts vs the previous 24 hours' integer-sum baseline; range
     //    windows on the hour index (gaps narrow the baseline), full
@@ -2934,6 +2971,56 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q138_pipeline_v4" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS nt
+           FROM documents WHERE length(trim(text)) > 0),
+         f AS (SELECT doc_id, source, nt, md5(nt) AS fp FROM d),
+         k1 AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY 1),
+         fl AS (SELECT f.doc_id, f.source, f.nt, f.doc_id <> k1.keep_id AS is_dup
+                FROM f JOIN k1 USING (fp)),
+         g AS (SELECT doc_id, source, nt, is_dup,
+                 string_split(trim(regexp_replace(nt, '\s+', ' ', 'g')), ' ') AS t
+               FROM fl),
+         q AS (SELECT doc_id, source, nt, is_dup,
+                 (CASE WHEN length(trim(nt)) = 0 THEN 0 ELSE len(t) END) AS n_words,
+                 CASE WHEN length(trim(nt)) = 0 OR len(t) = 0 THEN 0.0
+                      ELSE CAST(list_sum([length(w) for w in t]) AS DOUBLE) / len(t) END AS mwl,
+                 CASE WHEN length(trim(nt)) = 0 OR len(t) = 0 THEN 0.0
+                      ELSE CAST(len([w for w in t if regexp_matches(w, '[A-Za-z]')]) AS DOUBLE) / len(t) END AS awf,
+                 len([s0 for s0 in ['the','be','to','of','and','that','have','with'] if list_contains(t, s0)]) AS nsp,
+                 CASE WHEN length(trim(nt)) = 0 OR len(t) = 0 THEN 0.0
+                      ELSE CAST(3*(length(nt) - length(replace(nt, '#', '')))
+                                + (length(nt) - length(replace(nt, '...', ''))) AS DOUBLE)
+                           / (3*len(t)) END AS swr
+               FROM g),
+         q2 AS (SELECT doc_id, source, nt, is_dup,
+                 (n_words BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+                  AND swr <= 0.1 AND awf >= 0.8 AND nsp >= 1) AS q_keep
+               FROM q),
+         kept AS (SELECT doc_id, source, nt FROM q2 WHERE NOT is_dup AND q_keep),
+         r AS (SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY length(nt) * (1::BIGINT << 33) + doc_id) AS BIGINT) AS rank
+               FROM kept),
+         sx AS (SELECT source,
+                 CAST(row_number() OVER (ORDER BY source) AS BIGINT) - 1 AS si,
+                 CAST(count(*) OVER () AS BIGINT) AS ng
+               FROM (SELECT DISTINCT source FROM kept)),
+         idx AS (SELECT r.source,
+                 min((r.rank - 1) * sx.ng + sx.si) AS first_idx,
+                 max((r.rank - 1) * sx.ng + sx.si) AS last_idx
+               FROM r JOIN sx ON sx.source = r.source GROUP BY 1),
+         audit AS (SELECT source, CAST(count(*) AS BIGINT) AS n_in,
+                 CAST(sum(CAST(is_dup AS INT)) AS BIGINT) AS n_dup_dropped,
+                 CAST(sum(CAST(NOT is_dup AND NOT q_keep AS INT)) AS BIGINT) AS n_quality_dropped,
+                 CAST(sum(CAST(NOT is_dup AND q_keep AS INT)) AS BIGINT) AS n_kept
+               FROM q2 GROUP BY 1)
+         SELECT a.source, n_in, n_dup_dropped, n_quality_dropped, n_kept,
+           idx.first_idx, idx.last_idx
+         FROM audit a LEFT JOIN idx ON idx.source = a.source
+         ORDER BY a.source""",
     "q137_anomaly_z" ->
       """WITH h AS (
            SELECT event_type, epoch_ns(ts) // 3600000000000 AS hidx,
