@@ -83,4 +83,68 @@ class PipelineOpsPropertySpec extends SparkSpec {
       selMass >= target && (selMass == 0 || selMass - minSel < target)
     })
   }
+
+  test("connectedComponents == union-find on arbitrary random graphs") {
+    def refCC(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val gen = for {
+      n <- Gen.choose(2, 60)          // node-id space
+      m <- Gen.choose(1, 120)         // edge count
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield es.filter(e => e._1 != e._2)
+    check(Prop.forAll(gen) { es =>
+      es.isEmpty || {
+        val out = graft.functions.GraphOps
+          .connectedComponents(es.toDF("src", "dst"), "src", "dst")
+          .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+        out == refCC(es)
+      }
+    })
+  }
+
+  test("bpeEncode: pieces respell the word and match the LTR reference for any merges") {
+    def refEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      var syms = word.map(_.toString)
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.Buffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toIndexedSeq
+      }
+      syms
+    }
+    val sym = Gen.oneOf("a", "b", "c")
+    val gen = for {
+      words <- Gen.listOfN(20, Gen.choose(1, 8)
+        .flatMap(k => Gen.listOfN(k, sym).map(_.mkString))).map(_.distinct)
+      nm <- Gen.choose(1, 4)
+      merges <- Gen.listOfN(nm, Gen.zip(
+        Gen.oneOf("a", "b", "c", "ab", "bc"), Gen.oneOf("a", "b", "c", "ca")))
+    } yield (words, merges.filter { case (l, r) => l != r })
+    check(Prop.forAll(gen) { case (words, merges) =>
+      words.isEmpty || merges.isEmpty || {
+        val m = merges.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) }
+          .toDF("step", "lhs", "rhs")
+        val out = VocabOps.bpeEncode(words.toDF("word"), "word", m)
+          .collect().map(r => r.getAs[String]("word") -> r.getSeq[String](1)).toMap
+        words.forall { w =>
+          out(w) == refEncode(w, merges) && out(w).mkString == w
+        }
+      }
+    })
+  }
 }
