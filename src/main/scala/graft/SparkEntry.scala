@@ -1367,6 +1367,16 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: per-group EXACT quantiles — q117's two bounded-memory
+    //    passes with every key extended by the group; per-source length
+    //    quantiles with no per-group sort reducer
+    "q139_grouped_quantiles" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("source"), col("n_chars"))
+      graft.functions.ProfileOps.exactQuantilesGrouped(d, "source", "n_chars",
+        Seq(0.5, 0.9, 0.99), bucketWidth = 64L)
+        .orderBy("source", "q_bp")
+    }),
     // ── extension: PIPELINE V4 — the round-9 curation chain end-to-end:
     //    codegen'd NFC normalization (q125) → exact keep-first dedup on
     //    the canonical fingerprint → Gopher word-level quality on the
@@ -2971,6 +2981,18 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q139_grouped_quantiles" ->
+      """WITH v AS (SELECT source AS g, n_chars AS v FROM documents),
+         n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+         q AS (SELECT unnest([5000, 9000, 9900]) AS q_bp),
+         k AS (SELECT g, q_bp, (CAST(q_bp AS BIGINT) * n + 9999) // 10000 AS k
+               FROM n CROSS JOIN q),
+         r AS (SELECT g, v,
+               CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS rn
+               FROM v)
+         SELECT k.g AS source, k.q_bp, k.k, r.v AS value
+         FROM k JOIN r ON r.g = k.g AND r.rn = k.k
+         ORDER BY source, q_bp""",
     "q138_pipeline_v4" ->
       """WITH d AS (
            SELECT doc_id, source,

@@ -159,6 +159,49 @@ object ProfileOps {
     *
     * @return topN rows: (rank, key, cnt, share_bp, pct_of_mean_x100, salt)
     */
+  /** Per-group [[exactQuantiles]] — the same two-bounded-passes scheme
+    * (fixed-width histogram → boundary-bucket refinement) with every key
+    * extended by the group: per-group bucket tables stay range/width-
+    * bounded, every window partitions by (group[, q]), and the boundary
+    * descriptor table is groups × quantiles rows (broadcast). The
+    * per-slice length/score quantile dashboard at corpus scale — no
+    * group ever meets a single-reducer sort, no matter how large.
+    *
+    * @return (groupCol, q_bp, k, value): the k-th smallest value of the
+    *         group, k = ceil(q·n_g)
+    */
+  def exactQuantilesGrouped(df: DataFrame, groupCol: String, valueCol: String,
+                            qs: Seq[Double], bucketWidth: Long = 1L << 16): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad quantiles $qs")
+    require(bucketWidth >= 1, s"bad bucketWidth $bucketWidth")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val buckets = v.groupBy(col("g"), expr(s"v div $bucketWidth").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = buckets
+      .withColumn("cumc", sum("c").over(wb))
+      .withColumn("n", max(sum("c").over(wb)).over(Window.partitionBy("g")))
+    val qdf = spark.createDataFrame(
+      qs.map(q => Tuple1(math.round(q * 10000).toInt))).toDF("q_bp")
+    val ks = cum.crossJoin(broadcast(qdf))
+      .withColumn("k", expr("(CAST(q_bp AS BIGINT) * n + 9999) div 10000"))
+      .where(col("cumc") >= col("k") && col("cumc") - col("c") < col("k"))
+      .select(col("g"), col("q_bp"), col("k"), col("b"),
+        (col("k") - (col("cumc") - col("c"))).as("kin"))
+    val wv = Window.partitionBy("g", "q_bp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.join(broadcast(ks),
+        v("g") === ks("g") && expr(s"v div $bucketWidth") === ks("b"))
+      .drop(ks("g"))
+      .groupBy("g", "q_bp", "k", "kin", "v").agg(count(lit(1)).as("vc"))
+      .withColumn("cumv", sum("vc").over(wv))
+      .where(col("cumv") >= col("kin") && col("cumv") - col("vc") < col("kin"))
+      .select(col("g").as(groupCol), col("q_bp"), col("k"), col("v").as("value"))
+  }
+
   /** POPULATION STABILITY INDEX between two corpus slices — the standard
     * drift monitor (credit-scoring lineage, adopted for training-data
     * ops): histogram both slices on a shared bucketing, then

@@ -123,6 +123,25 @@ class ExactQuantilesSpec extends graft.SparkSpec {
     assert(out.toSeq == Seq("a", "b", "z"))
   }
 
+  test("exactQuantilesGrouped matches per-group sorted-rank ground truth") {
+    import spark.implicits._
+    val rng = new scala.util.Random(37)
+    val rows = (0 until 2000).map(i => (s"g${i % 3}", rng.nextInt(500).toLong))
+    val qs = Seq(0.25, 0.5, 0.9, 1.0)
+    val out = ProfileOps.exactQuantilesGrouped(rows.toDF("g", "v"), "g", "v", qs,
+      bucketWidth = 16L)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Int]("q_bp"),
+        r.getAs[Long]("value"))).toSet
+    val expected = rows.groupBy(_._1).flatMap { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      qs.map { q =>
+        val k = math.ceil(q * sorted.size).toLong
+        (g, math.round(q * 10000).toInt, sorted((k - 1).toInt))
+      }
+    }.toSet
+    assert(out == expected)
+  }
+
   test("psiDrift: identical slices yield zero contributions") {
     import spark.implicits._
     val a = Seq(5L, 15L, 25L, 25L, 45L).toDF("v")
