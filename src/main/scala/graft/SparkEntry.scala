@@ -1367,6 +1367,25 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: Bloom-pruned join — a selective order predicate's
+    //    keys become a broadcast Bloom prefilter that drops lineitem rows
+    //    BEFORE the shuffle; the exact join removes false positives, so
+    //    the result (and the oracle) is the plain join, independent of
+    //    fpp — the runtime-filter pattern made an explicit operator
+    "q140_bloom_join" -> ((s, dir) => {
+      val dim = T(s, dir, "orders").where(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val fact = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      graft.operators.BloomJoin.bloomPrunedJoin(fact, "l_orderkey", dim, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          // integer cents: float sums are addition-order-sensitive
+          sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+            .cast("long").as("sum_price_cents"))
+        .orderBy("o_orderpriority")
+    }),
     // ── extension: per-group EXACT quantiles — q117's two bounded-memory
     //    passes with every key extended by the group; per-source length
     //    quantiles with no per-group sort reducer
@@ -2981,6 +3000,16 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    // The plain join IS the oracle: the Bloom prefilter only ever
+    // removes rows the exact join would drop anyway.
+    "q140_bloom_join" ->
+      """SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_totalprice > 150000
+         GROUP BY 1 ORDER BY o_orderpriority""",
     "q139_grouped_quantiles" ->
       """WITH v AS (SELECT source AS g, n_chars AS v FROM documents),
          n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
