@@ -1367,6 +1367,23 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: PERSONALIZED PageRank (Haveliwala topic-sensitive) —
+    //    teleport + dangling mass directed at high-balance customer
+    //    seeds; ranks measure link-structure proximity to the seed set
+    //    ("more like these"), the random-walk cousin of the NB/DSIR
+    //    seed scorers. Same plan discipline as q113.
+    "q141_personalized_pagerank" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val seeds = T(s, dir, "customer").where(col("c_acctbal") > 9000)
+        .select((col("c_custkey") * 2).as("seed"))
+      graft.functions.GraphOps.personalizedPageRank(e, "src", "dst",
+        seeds, "seed", damping = 0.85, iters = 5)
+        .select(col("id"), round(col("r") * 1000000).cast("long").as("rank_micro"))
+        .orderBy("id")
+    }),
     // ── extension: Bloom-pruned join — a selective order predicate's
     //    keys become a broadcast Bloom prefilter that drops lineitem rows
     //    BEFORE the shuffle; the exact join removes false positives, so
@@ -3000,6 +3017,57 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q141_personalized_pagerank" ->
+      """WITH edges AS (
+           SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         nodes AS (SELECT DISTINCT id FROM
+           (SELECT s AS id FROM edges UNION ALL SELECT d FROM edges)),
+         deg AS (SELECT s AS id, count(*) AS deg FROM edges GROUP BY 1),
+         sd AS (SELECT DISTINCT c_custkey * 2 AS id FROM customer WHERE c_acctbal > 9000),
+         pf AS (SELECT n.id, CASE WHEN sd.id IS NOT NULL THEN 1 ELSE 0 END AS f
+                FROM nodes n LEFT JOIN sd ON sd.id = n.id),
+         ns AS (SELECT CAST(sum(f) AS DOUBLE) AS ns FROM pf),
+         pv AS (SELECT pf.id, CASE WHEN ns.ns > 0 THEN CAST(f AS DOUBLE) / ns.ns ELSE 0.0 END AS p
+                FROM pf CROSS JOIN ns),
+         r0 AS (SELECT id, p AS r FROM pv),
+         c1 AS (SELECT e.d AS id, sum(r.r / g.deg) AS c FROM edges e
+                JOIN r0 r ON r.id = e.s JOIN deg g ON g.id = e.s GROUP BY 1),
+         d1 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r0 r
+                LEFT JOIN deg g ON g.id = r.id WHERE g.id IS NULL),
+         r1 AS (SELECT pv.id, (1 - CAST(0.85 AS DOUBLE)) * pv.p
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d1) * pv.p) AS r
+                FROM pv LEFT JOIN c1 c ON c.id = pv.id),
+         c2 AS (SELECT e.d AS id, sum(r.r / g.deg) AS c FROM edges e
+                JOIN r1 r ON r.id = e.s JOIN deg g ON g.id = e.s GROUP BY 1),
+         d2 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r1 r
+                LEFT JOIN deg g ON g.id = r.id WHERE g.id IS NULL),
+         r2 AS (SELECT pv.id, (1 - CAST(0.85 AS DOUBLE)) * pv.p
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d2) * pv.p) AS r
+                FROM pv LEFT JOIN c2 c ON c.id = pv.id),
+         c3 AS (SELECT e.d AS id, sum(r.r / g.deg) AS c FROM edges e
+                JOIN r2 r ON r.id = e.s JOIN deg g ON g.id = e.s GROUP BY 1),
+         d3 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r2 r
+                LEFT JOIN deg g ON g.id = r.id WHERE g.id IS NULL),
+         r3 AS (SELECT pv.id, (1 - CAST(0.85 AS DOUBLE)) * pv.p
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d3) * pv.p) AS r
+                FROM pv LEFT JOIN c3 c ON c.id = pv.id),
+         c4 AS (SELECT e.d AS id, sum(r.r / g.deg) AS c FROM edges e
+                JOIN r3 r ON r.id = e.s JOIN deg g ON g.id = e.s GROUP BY 1),
+         d4 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r3 r
+                LEFT JOIN deg g ON g.id = r.id WHERE g.id IS NULL),
+         r4 AS (SELECT pv.id, (1 - CAST(0.85 AS DOUBLE)) * pv.p
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d4) * pv.p) AS r
+                FROM pv LEFT JOIN c4 c ON c.id = pv.id),
+         c5 AS (SELECT e.d AS id, sum(r.r / g.deg) AS c FROM edges e
+                JOIN r4 r ON r.id = e.s JOIN deg g ON g.id = e.s GROUP BY 1),
+         d5 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r4 r
+                LEFT JOIN deg g ON g.id = r.id WHERE g.id IS NULL),
+         r5 AS (SELECT pv.id, (1 - CAST(0.85 AS DOUBLE)) * pv.p
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d5) * pv.p) AS r
+                FROM pv LEFT JOIN c5 c ON c.id = pv.id)
+         SELECT id, CAST(round(r * 1000000) AS BIGINT) AS rank_micro
+         FROM r5 ORDER BY id""",
     // The plain join IS the oracle: the Bloom prefilter only ever
     // removes rows the exact join would drop anyway.
     "q140_bloom_join" ->

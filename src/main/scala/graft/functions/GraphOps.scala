@@ -108,6 +108,73 @@ object GraphOps {
     out
   }
 
+  /** PERSONALIZED PageRank (topic-sensitive PageRank, Haveliwala 2002):
+    * [[pageRank]] with the teleport (and dangling) mass directed at a
+    * SEED SET instead of uniformly —
+    *
+    *   r'(v) = (1−d)·p(v) + d·( Σ_{u→v} r(u)/outdeg(u) + D·p(v) )
+    *
+    * with p uniform over the seeds, 0 elsewhere. Ranks measure proximity
+    * TO THE SEEDS through the link structure — the "more documents like
+    * these" primitive (seed = curated high-quality docs; rank = a crawl
+    * prior), and the random-walk cousin of the NB/DSIR seed scorers.
+    *
+    * Scale shape: identical to [[pageRank]] (the teleport vector is a
+    * node-sized column computed once from a broadcast-joined seed flag),
+    * same checkpointed constant-lineage iterations, same 1-row aggregates
+    * for dangling mass. Seeds absent from the graph contribute no mass
+    * (documented: p normalizes over seeds PRESENT in the node set).
+    *
+    * @return (id, r) for every node in an edge; Σ r = 1 when any seed
+    *         is present
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           damping: Double = 0.85, iters: Int = 5): DataFrame = {
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d")).distinct()
+      .repartition(col("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("s").as("id")).union(e.select(col("d").as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val parts = math.max(1, (n / (1L << 16)).toInt)
+    val seedIds = seeds.select(col(seedCol).as("id")).distinct()
+    // p(v): 1/|S ∩ nodes| on present seeds — one broadcast-joined flag,
+    // then a 1-row seed-count cross join; node-sized, computed once
+    val flagged = nodes.join(seedIds.withColumn("__isSeed", lit(1)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__isSeed"), lit(0)).as("__isSeed"))
+    val sCount = flagged.agg(sum("__isSeed").cast("double").as("__ns"))
+    val pvec = flagged.crossJoin(sCount)
+      .select(col("id"),
+        when(col("__ns") > 0, col("__isSeed").cast("double") / col("__ns"))
+          .otherwise(lit(0.0)).as("p"))
+      .coalesce(parts).localCheckpoint(false)
+    var ranks = pvec.select(col("id"), col("p").as("r"))
+      .coalesce(parts).localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val rd = ranks.join(deg, Seq("id"), "left").coalesce(parts).localCheckpoint(false)
+      val dangling = rd.where(col("deg").isNull)
+        .agg(coalesce(sum("r"), lit(0.0)).as("__dm"))
+      val contrib = e.join(rd.where(col("deg").isNotNull), e("s") === rd("id"))
+        .groupBy(e("d").as("id")).agg(sum(col("r") / col("deg")).as("c"))
+      ranks = pvec.join(contrib, Seq("id"), "left")
+        .crossJoin(dangling)
+        .select(col("id"),
+          (lit(1.0 - damping) * col("p") +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + col("__dm") * col("p"))).as("r"))
+        .coalesce(parts).localCheckpoint(false)
+    }
+    val out = ranks.localCheckpoint(true)
+    e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris,
     * Lattanzi, Mirrokni, Rastogi & Vassilvitskii 2014, "Connected
     * Components in MapReduce and Beyond", alg. 3 "two-phase"): repeat

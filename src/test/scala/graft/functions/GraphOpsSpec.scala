@@ -66,6 +66,44 @@ class GraphOpsSpec extends SparkSpec {
     assert(q(run(es.toDF("src", "dst"))) == q(run(es.toDF("src", "dst").repartition(13))))
   }
 
+  test("personalizedPageRank with all nodes as seeds equals plain pageRank") {
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 2L))
+    val allNodes = es.flatMap(e => Seq(e._1, e._2)).distinct.toDF("seed")
+    val ppr = GraphOps.personalizedPageRank(es.toDF("src", "dst"), "src", "dst",
+        allNodes, "seed").collect()
+      .map(r => r.getAs[Long]("id") -> math.round(r.getAs[Double]("r") * 1e9)).toMap
+    val pr = GraphOps.pageRank(es.toDF("src", "dst"), "src", "dst").collect()
+      .map(r => r.getAs[Long]("id") -> math.round(r.getAs[Double]("r") * 1e9)).toMap
+    assert(ppr == pr)
+  }
+
+  test("personalizedPageRank conserves mass and concentrates it near the seeds") {
+    // two weakly-connected clusters; seed only cluster A
+    val a = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val b = Seq((10L, 11L), (11L, 12L), (12L, 10L))
+    val bridge = Seq((3L, 10L))
+    val out = GraphOps.personalizedPageRank(
+        (a ++ b ++ bridge).toDF("src", "dst"), "src", "dst",
+        Seq(1L).toDF("seed"), "seed").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("r")).toMap
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    val massA = Seq(1L, 2L, 3L).map(out).sum
+    val massB = Seq(10L, 11L, 12L).map(out).sum
+    assert(massA > 2 * massB, s"seeded cluster must dominate: $massA vs $massB")
+  }
+
+  test("personalizedPageRank ignores seeds absent from the graph; no seeds → zero ranks") {
+    val es = Seq((1L, 2L))
+    val withGhost = GraphOps.personalizedPageRank(es.toDF("src", "dst"), "src", "dst",
+        Seq(1L, 99L).toDF("seed"), "seed").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("r")).toMap
+    assert(math.abs(withGhost.values.sum - 1.0) < 1e-9, "p normalizes over present seeds")
+    val none = GraphOps.personalizedPageRank(es.toDF("src", "dst"), "src", "dst",
+        Seq(99L).toDF("seed"), "seed").collect()
+      .map(r => r.getAs[Double]("r"))
+    assert(none.forall(_ == 0.0))
+  }
+
   /** Driver-side union-find ground truth. */
   private def refCC(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
