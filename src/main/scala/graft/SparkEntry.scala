@@ -1367,6 +1367,20 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: source-similarity map — per-source embedding
+    //    centroids (integer milli sums, order-independent) and their
+    //    pairwise cosines: the redundancy/diversity input for mixture
+    //    design. One (group,dim)-keyed corpus aggregate; everything
+    //    after is model-sized.
+    "q142_source_similarity" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("source"))
+      val e = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val joined = e.join(d, e("vec_id") === d("doc_id"))
+        .select(col("source"), col("embedding"))
+      graft.functions.SimilarityOps.groupCentroidCosines(joined, "source", "embedding")
+        .select(col("g_a").as("source_a"), col("g_b").as("source_b"), col("cos_micro"))
+        .orderBy("source_a", "source_b")
+    }),
     // ── extension: PERSONALIZED PageRank (Haveliwala topic-sensitive) —
     //    teleport + dangling mass directed at high-balance customer
     //    seeds; ranks measure link-structure proximity to the seed set
@@ -3017,6 +3031,26 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q142_source_similarity" ->
+      """WITH e AS (
+           SELECT d.source AS g, dim,
+             CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qv
+           FROM (SELECT em.vec_id, unnest(em.embedding) AS x,
+                   unnest(range(1, len(em.embedding) + 1)) AS dim
+                 FROM embeddings em) u
+           JOIN documents d ON d.doc_id = u.vec_id),
+         sums AS (SELECT g, dim, CAST(sum(qv) AS BIGINT) AS s FROM e GROUP BY 1, 2),
+         norms AS (SELECT g, CAST(sum(s * s) AS BIGINT) AS n2 FROM sums GROUP BY 1),
+         dots AS (SELECT a.g AS g_a, b.g AS g_b, CAST(sum(a.s * b.s) AS BIGINT) AS dot
+                  FROM sums a JOIN sums b ON a.dim = b.dim AND a.g < b.g
+                  GROUP BY 1, 2)
+         SELECT g_a AS source_a, g_b AS source_b,
+           CAST(round(1e6 * CAST(dot AS DOUBLE) /
+             (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))) AS BIGINT) AS cos_micro
+         FROM dots
+         JOIN norms na ON na.g = dots.g_a
+         JOIN norms nb ON nb.g = dots.g_b
+         ORDER BY source_a, source_b""",
     "q141_personalized_pagerank" ->
       """WITH edges AS (
            SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d

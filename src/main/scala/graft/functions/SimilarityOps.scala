@@ -566,4 +566,43 @@ object SimilarityOps {
         .dropDuplicates("id_a", "id_b")
     }
   }
+
+  /** GROUP-CENTROID cosine map — the source-similarity matrix that drives
+    * mixture design (two sources whose embedding centroids nearly
+    * coincide are redundant in a data mix; a source near nothing is the
+    * diversity outlier). All arithmetic until the final cosine division
+    * is EXACT INTEGERS: embeddings quantize to milli units
+    * (`round(x·1000)`, the q120 convention), centroid SUMS per (group,
+    * dim) are integer aggregates — order-independent, unlike float mean
+    * vectors — and dots/norms fold those sums, so any engine reproduces
+    * the micro-rounded cosine bit-for-bit.
+    *
+    * Scale shape: one (group, dim)-keyed corpus aggregate (map-side
+    * partials), then everything is MODEL-sized — the centroid table is
+    * groups × dims rows, the pair join G²·dims/2. Unnormalized sums (not
+    * means) are deliberate: cosine is scale-invariant, so dividing by the
+    * group count would only launder exactness through a float.
+    *
+    * @return (g_a, g_b, cos_micro), g_a < g_b
+    */
+  def groupCentroidCosines(df: DataFrame, groupCol: String,
+                           vecCol: String): DataFrame = {
+    val q = df.select(col(groupCol).as("g"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("g"), col("dim"),
+        round(col("x").cast("double") * 1000).cast("long").as("qv"))
+    val sums = q.groupBy("g", "dim").agg(sum("qv").as("s"))
+      .localCheckpoint(false) // feeds the norms AND both pair-join sides
+    val norms = sums.groupBy("g").agg(sum(col("s") * col("s")).as("n2"))
+    val a = sums.select(col("g").as("g_a"), col("dim"), col("s").as("sa"))
+    val b = sums.select(col("g").as("g_b"), col("dim"), col("s").as("sb"))
+    a.join(b, Seq("dim")).where(col("g_a") < col("g_b"))
+      .groupBy("g_a", "g_b").agg(sum(col("sa") * col("sb")).as("dot"))
+      .join(broadcast(norms.select(col("g").as("g_a"), col("n2").as("na"))), Seq("g_a"))
+      .join(broadcast(norms.select(col("g").as("g_b"), col("n2").as("nb"))), Seq("g_b"))
+      .select(col("g_a"), col("g_b"),
+        round(lit(1e6) * col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .cast("long").as("cos_micro"))
+  }
 }

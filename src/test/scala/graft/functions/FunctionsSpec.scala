@@ -216,6 +216,30 @@ class EditDistancePairsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 9L, 0)))
   }
 
+  test("groupCentroidCosines: aligned groups read 1e6, orthogonal read 0") {
+    val rows = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("a", Seq(2.0f, 0.0f)),   // centroid along x
+      ("b", Seq(3.0f, 0.0f)),                            // also along x
+      ("c", Seq(0.0f, 1.0f)), ("c", Seq(0.0f, 5.0f)))    // along y
+      .toDF("g", "v")
+    val out = SimilarityOps.groupCentroidCosines(rows, "g", "v")
+      .collect().map(r => (r.getAs[String]("g_a"), r.getAs[String]("g_b")) ->
+        r.getAs[Long]("cos_micro")).toMap
+    assert(out(("a", "b")) == 1000000L)
+    assert(out(("a", "c")) == 0L)
+    assert(out(("b", "c")) == 0L)
+  }
+
+  test("groupCentroidCosines is deterministic under repartition (integer sums)") {
+    val rng = new scala.util.Random(47)
+    val rows = (0 until 200).map(i =>
+      (s"g${i % 4}", Seq.fill(8)(rng.nextFloat() - 0.5f)))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.groupCentroidCosines(df, "g", "v")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(run(rows.toDF("g", "v")) == run(rows.toDF("g", "v").repartition(9)))
+  }
+
   test("liveStore hides tombstoned epochs but keeps replacements and unrelated rows") {
     val store = Seq(
       (1L, 0, "b0"), (2L, 0, "b0"), (3L, 0, "b0"), // epoch-0 rows
