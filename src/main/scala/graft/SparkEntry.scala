@@ -1367,6 +1367,33 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: ANN RECALL certification — overlap@10 between the
+    //    LSH scale path (q24) and exact brute force (q23) per probe: the
+    //    eval harness that must be run before trusting an approximate
+    //    index at 100 TB (recall is a measured property of THIS corpus
+    //    and THESE parameters, not a datasheet number)
+    "q143_ann_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 5)
+      val brute = SimilarityOps
+        .bruteForceTopK(emb, probes, "vec_id", "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("nbr_id"))
+        .localCheckpoint(false) // feeds counts AND the overlap join
+      val lsh = SimilarityOps.lshTopK(emb, probes, "vec_id", "vec_id", "embedding",
+        k = 10, nBits = 8, probeFlips = 4)
+        .select(col("probe_id"), col("nbr_id"))
+        .localCheckpoint(false)
+      val nb = brute.groupBy("probe_id").agg(count(lit(1)).as("n_brute"))
+      val nl = lsh.groupBy("probe_id").agg(count(lit(1)).as("n_lsh"))
+      val ov = brute.join(lsh, Seq("probe_id", "nbr_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
+      nb.join(nl, Seq("probe_id"), "left").join(ov, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_brute"),
+          coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr("coalesce(n_overlap, 0L) * 1000 div n_brute").as("recall_milli"))
+        .orderBy("probe_id")
+    }),
     // ── extension: source-similarity map — per-source embedding
     //    centroids (integer milli sums, order-independent) and their
     //    pairwise cosines: the redundancy/diversity input for mixture
@@ -3031,6 +3058,44 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    // q23's brute CTE ∩ q24's LSH CTE, counted per probe.
+    "q143_ann_recall" ->
+      """WITH bt AS (SELECT * FROM (
+           SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+             CAST(row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(c.embedding, p.embedding) DESC, c.vec_id) AS INT) AS rank
+           FROM embeddings c, embeddings p
+           WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id)
+         WHERE rank <= 10),
+         bk AS (SELECT vec_id, embedding,
+           CAST(list_sum([
+             (CASE WHEN list_sum([CAST(round(CAST(embedding[d+1] AS DOUBLE)*1000) AS BIGINT)
+                 * ((CAST('0x'||substr(md5(p::VARCHAR||','||d::VARCHAR),1,15) AS BIGINT) % 2001) - 1000)
+                 for d in range(0, len(embedding))]) >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END) << (7-p)
+             for p in range(0,8)]) AS BIGINT) AS bucket
+           FROM embeddings),
+         cand AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+             list_cosine_similarity(c.embedding, p.embedding) AS score
+           FROM bk p JOIN bk c ON p.vec_id < 5 AND c.vec_id <> p.vec_id
+             AND c.bucket IN (p.bucket, xor(p.bucket, 1), xor(p.bucket, 2), xor(p.bucket, 4), xor(p.bucket, 8))),
+         lt AS (SELECT probe_id, nbr_id FROM (
+           SELECT probe_id, nbr_id, CAST(row_number() OVER (
+             PARTITION BY probe_id ORDER BY score DESC, nbr_id) AS INT) AS rank FROM cand)
+           WHERE rank <= 10),
+         nb AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_brute FROM bt GROUP BY 1),
+         nl AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_lsh FROM lt GROUP BY 1),
+         ov AS (SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS n_overlap
+                FROM bt JOIN lt ON lt.probe_id = bt.probe_id AND lt.nbr_id = bt.nbr_id
+                GROUP BY 1)
+         SELECT nb.probe_id, n_brute,
+           coalesce(n_lsh, 0) AS n_lsh,
+           coalesce(n_overlap, 0) AS n_overlap,
+           coalesce(n_overlap, 0) * 1000 // n_brute AS recall_milli
+         FROM nb LEFT JOIN nl ON nl.probe_id = nb.probe_id
+         LEFT JOIN ov ON ov.probe_id = nb.probe_id
+         ORDER BY nb.probe_id""",
     "q142_source_similarity" ->
       """WITH e AS (
            SELECT d.source AS g, dim,
