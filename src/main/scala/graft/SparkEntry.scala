@@ -1367,6 +1367,42 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: INCREMENTAL component absorption — q121's labels
+    //    (a star forest) + a DELTA of class-pair bridge edges re-contract
+    //    in O(log delta) rounds instead of re-walking the chain graph;
+    //    the IVM discipline applied to graphs. Oracle stays closed-form:
+    //    merged component = min class-min over each {2k, 2k+1} pair.
+    "q144_absorb_components" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val chain = ev
+        .select(col("event_id"), lead("event_id", 1).over(wU).as("nid"))
+        .where(col("nid").isNotNull)
+        .select(col("event_id").as("src"), col("nid").as("dst"))
+      val umin = ev.groupBy("user_id").agg(min("event_id").as("me"))
+        .withColumn("cls", pmod(col("user_id"), lit(97)))
+      val wC = Window.partitionBy("cls").orderBy("user_id")
+      val bridge = umin
+        .select(col("cls"), col("me"), lead("me", 1).over(wC).as("nme"))
+        .where(col("nme").isNotNull)
+        .select(col("me").as("src"), col("nme").as("dst"))
+      val labels = graft.functions.GraphOps
+        .connectedComponents(chain.union(bridge), "src", "dst")
+        .localCheckpoint(false) // the "previous round's" materialized state
+      // delta: bridge each even class's root to the next class's root
+      val roots = labels.select(col("component")).distinct()
+        .join(ev.select(col("event_id"),
+          pmod(col("user_id"), lit(97)).as("cls")),
+          col("component") === col("event_id"))
+        .select(col("cls"), col("component").as("root"))
+      val wG = Window.partitionBy(expr("cls - cls % 2")).orderBy("cls")
+      val delta = roots
+        .select(col("cls"), col("root"), lead("root", 1).over(wG).as("nroot"))
+        .where(col("nroot").isNotNull)
+        .select(col("root").as("src"), col("nroot").as("dst"))
+      graft.functions.GraphOps.absorbComponents(labels, delta, "src", "dst")
+        .orderBy("id")
+    }),
     // ── extension: ANN RECALL certification — overlap@10 between the
     //    LSH scale path (q24) and exact brute force (q23) per probe: the
     //    eval harness that must be run before trusting an approximate
@@ -3058,6 +3094,30 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    // q121's closed form lifted to merged class pairs: a class is PRESENT
+    // iff it has a participating user (q121's inclusion rule); groups are
+    // {2k, 2k+1}; the merged component is the min class-min over the
+    // group's present classes. Node inclusion is unchanged from q121.
+    "q144_absorb_components" ->
+      """WITH stats AS (
+           SELECT user_id, user_id % 97 AS cls, count(*) AS n_ev,
+             min(event_id) AS me
+           FROM events GROUP BY 1, 2),
+         cstats AS (SELECT cls, count(*) AS n_users, min(me) AS cmin
+                    FROM stats GROUP BY 1),
+         pres AS (SELECT DISTINCT s.cls
+                  FROM stats s JOIN cstats c ON c.cls = s.cls
+                  WHERE s.n_ev >= 2 OR c.n_users >= 2),
+         gmin AS (SELECT p.cls - (p.cls % 2) AS g, min(c.cmin) AS gcomp
+                  FROM pres p JOIN cstats c ON c.cls = p.cls
+                  GROUP BY 1)
+         SELECT e.event_id AS id, g.gcomp AS component
+         FROM events e
+         JOIN stats s ON s.user_id = e.user_id
+         JOIN cstats c ON c.cls = s.cls
+         JOIN gmin g ON g.g = s.cls - (s.cls % 2)
+         WHERE s.n_ev >= 2 OR c.n_users >= 2
+         ORDER BY id""",
     // q23's brute CTE ∩ q24's LSH CTE, counted per probe.
     "q143_ann_recall" ->
       """WITH bt AS (SELECT * FROM (

@@ -296,4 +296,36 @@ object GraphOps {
     }
     labels
   }
+
+  /** INCREMENTAL component maintenance — absorb a batch of NEW edges
+    * into an existing labeling without re-walking the original graph:
+    * previous labels ARE a star forest (node → component min), so
+    * star contraction over `labels ∪ newEdges` starts from a
+    * diameter-≤2 representation of everything already known, and the
+    * round count is O(log) of the DELTA's merge structure, not of the
+    * original graph's diameter. The graph cousin of the engine's
+    * incremental-view-maintenance discipline (and of the q99 signature
+    * store's absorb): recompute cost follows the increment.
+    *
+    * Labels stay exact global minima — new edges only merge components,
+    * and the min of a merged component is the min over its parts.
+    *
+    * @param labels (id, component) from [[connectedComponents]] (or a
+    *               previous absorb) — every node self-or-root labeled
+    * @param newEdges fresh undirected edges; may reference unseen nodes
+    */
+  def absorbComponents(labels: DataFrame, newEdges: DataFrame,
+                       srcCol: String, dstCol: String): DataFrame = {
+    val cc = connectedComponents(
+      labels.select(col("id").as("src"), col("component").as("dst"))
+        .unionByName(newEdges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))),
+      "src", "dst")
+    // self-labeled SINGLETON components contribute only (id, id) edges,
+    // which edge canonicalization drops — restore any labeled node the
+    // contraction never saw (untouched singletons pass through)
+    cc.unionByName(
+      labels.select(col("id"), col("component"))
+        .join(cc.select("id"), Seq("id"), "left_anti"))
+  }
 }

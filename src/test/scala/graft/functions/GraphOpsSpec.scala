@@ -154,4 +154,24 @@ class GraphOpsSpec extends SparkSpec {
     assert((0L to 6L).forall(out(_) == 0L))
     assert(out(10L) == 10L && out(20L) == 10L)
   }
+
+  test("absorbComponents: labels + delta == full recompute over the union") {
+    val rng = new scala.util.Random(53)
+    val base = (0 until 150).map(_ => (rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter(e => e._1 != e._2)
+    val delta = (0 until 25).map(_ => (rng.nextInt(100).toLong, rng.nextInt(100).toLong))
+      .filter(e => e._1 != e._2) // may reference unseen nodes 80..99
+    val labels = GraphOps.connectedComponents(base.toDF("src", "dst"), "src", "dst")
+    val inc = ccMap(GraphOps.absorbComponents(labels, delta.toDF("src", "dst"), "src", "dst"))
+    val full = ccMap(GraphOps.connectedComponents((base ++ delta).toDF("src", "dst"), "src", "dst"))
+    assert(inc == full)
+  }
+
+  test("absorbComponents passes untouched singleton labels through") {
+    // node 7 is a singleton (self-labeled); delta doesn't touch it
+    val labels = Seq((1L, 1L), (2L, 1L), (7L, 7L)).toDF("id", "component")
+    val out = ccMap(GraphOps.absorbComponents(labels,
+      Seq((2L, 3L)).toDF("src", "dst"), "src", "dst"))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L))
+  }
 }
