@@ -1367,6 +1367,26 @@ object SparkEntry {
     //    integer coordinates (md5 hyperplanes, exact integer arithmetic),
     //    then brute-force cosine top-5 IN THE PROJECTED SPACE: the 8×
     //    narrower scan a 100 TB pre-pass would run before exact rerank
+    // ── extension: behavioral TRANSITION MATRIX — per-user consecutive
+    //    event-type pairs (one user-partitioned window, ordered by event
+    //    time) counted into the Markov transition table with row-share
+    //    basis points; the funnel family's unsupervised sibling
+    "q145_transition_matrix" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = ev
+        .select(col("event_type").as("from_type"),
+          lead("event_type", 1).over(w).as("to_type"))
+        .where(col("to_type").isNotNull)
+      val counts = pairs.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      val w2 = Window.partitionBy("from_type")
+      counts
+        .withColumn("row_total", sum("n").over(w2))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("n * 10000 div row_total").as("share_bp"))
+        .orderBy("from_type", "to_type")
+    }),
     // ── extension: INCREMENTAL component absorption — q121's labels
     //    (a star forest) + a DELTA of class-pair bridge edges re-contract
     //    in O(log delta) rounds instead of re-walking the chain graph;
@@ -3094,6 +3114,16 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q145_transition_matrix" ->
+      """WITH p AS (
+           SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+               FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           n * 10000 // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS share_bp
+         FROM c ORDER BY from_type, to_type""",
     // q121's closed form lifted to merged class pairs: a class is PRESENT
     // iff it has a participating user (q121's inclusion rule); groups are
     // {2k, 2k+1}; the merged component is the min class-min over the
