@@ -83,7 +83,27 @@ object Bench {
     // failures (-1 markers) must not shrink the total — a breakage would
     // otherwise read as a speedup to anything tracking only the total
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
+    // The driver records only a ~2000-char TAIL of stdout; at 145 queries
+    // the full per-query line is ~6 kB, so since r8 the machine-readable
+    // artifact was a truncated string. Order of record: (1) the full line
+    // FIRST (humans / local tooling), (2) the full map to a JSON file
+    // (committed per round as the durable artifact), (3) a compact
+    // summary — total, n, failures, top-5 slowest — printed LAST so it
+    // is what lands in the driver's tail and parses.
+    println(fullLine)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
+    val failures = results.count(_._2 < 0)
+    val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + (math.round(v * 100) / 100.0) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failures":$failures,"queries":$top5,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -211,7 +211,7 @@ object GraphOps {
     *         exact, not approximate
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxRounds: Int = 25): DataFrame = {
+                          maxRounds: Int = 40): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     def canon(df: DataFrame): DataFrame = df
       .where(col("a") =!= col("b"))
@@ -282,6 +282,18 @@ object GraphOps {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"[cc] round $r: edges=${cur._1} probe=${(System.nanoTime() - t0) / 1e9}%.2f s full=${(System.nanoTime() - tr0) / 1e9}%.2f s")
     }
+    // A non-converged exit would hand downstream consumers (including
+    // absorbComponents, which ASSUMES a star forest) labels that are
+    // wrong in silently-plausible ways — duplicate (id, component) rows,
+    // non-minimal components. Star contraction needs ~log2(diameter)
+    // rounds, so the default 40 covers any graph that fits in storage;
+    // hitting the cap means the caller passed a tiny maxRounds or the
+    // probe fingerprint collided round-over-round. Fail loudly.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "labels would not form a star forest; raise maxRounds " +
+          "(rounds needed ~ log2(graph diameter))")
     // At the fixpoint the canonicalized edges are (component-min, node):
     // `canon` keeps a = least endpoint, and a star forest's every edge
     // touches the root, which is the component minimum. Labels are the

@@ -139,26 +139,6 @@ object ProfileOps {
         expr("(shared * 10000) div least(sz_a, sz_b)").as("overlap_bp"))
   }
 
-  /** SKEW PROFILE of a prospective shuffle key — the pre-flight check
-    * before keying a corpus-scale join or aggregate: per-key counts, the
-    * heavy hitters, each key's corpus share, its multiple of the mean,
-    * and the SALT FACTOR (`ceil(cnt / targetRows)`) that would split the
-    * key into target-sized sub-partitions. A key with salt > 1 is one
-    * that a plain hash-partitioned shuffle would turn into a straggler
-    * task; the remedies, in preference order: AQE skew-join splitting
-    * (free, reads these same sizes at runtime), explicit salting
-    * (`pmod(hash, salt)` appended to the key on the build side ×
-    * replicated probe side — [[graft.operators.SkewJoin]]), or a
-    * broadcast hot-key bypass (the DedupOps guard pattern).
-    *
-    * Scale shape: ONE key-keyed count aggregate (map-side partials absorb
-    * the corpus) → `TakeOrdered(topN)` for the heavy hitters (per-
-    * partition heaps + driver merge of heads, never a full sort) → the
-    * global totals enter as a broadcast 1-row cross join, NOT driver
-    * scalars. All metrics are integer basis points — engine-exact.
-    *
-    * @return topN rows: (rank, key, cnt, share_bp, pct_of_mean_x100, salt)
-    */
   /** Per-group [[exactQuantiles]] — the same two-bounded-passes scheme
     * (fixed-width histogram → boundary-bucket refinement) with every key
     * extended by the group: per-group bucket tables stay range/width-
@@ -246,6 +226,26 @@ object ProfileOps {
           .as("contrib_micro"))
   }
 
+  /** SKEW PROFILE of a prospective shuffle key — the pre-flight check
+    * before keying a corpus-scale join or aggregate: per-key counts, the
+    * heavy hitters, each key's corpus share, its multiple of the mean,
+    * and the SALT FACTOR (`ceil(cnt / targetRows)`) that would split the
+    * key into target-sized sub-partitions. A key with salt > 1 is one
+    * that a plain hash-partitioned shuffle would turn into a straggler
+    * task; the remedies, in preference order: AQE skew-join splitting
+    * (free, reads these same sizes at runtime), explicit salting
+    * (`pmod(hash, salt)` appended to the key on the build side ×
+    * replicated probe side — [[graft.operators.SkewJoin]]), or a
+    * broadcast hot-key bypass (the DedupOps guard pattern).
+    *
+    * Scale shape: ONE key-keyed count aggregate (map-side partials absorb
+    * the corpus) → `TakeOrdered(topN)` for the heavy hitters (per-
+    * partition heaps + driver merge of heads, never a full sort) → the
+    * global totals enter as a broadcast 1-row cross join, NOT driver
+    * scalars. All metrics are integer basis points — engine-exact.
+    *
+    * @return topN rows: (rank, key, cnt, share_bp, pct_of_mean_x100, salt)
+    */
   def skewProfile(df: DataFrame, keyCol: String, topN: Int,
                   targetRows: Long): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")

@@ -58,27 +58,6 @@ object SketchOps {
       .groupBy(keyCol).agg(min("c").as("est"))
   }
 
-  /** JOIN-CARDINALITY estimate from two sketches — the inner-product
-    * estimator of Cormode & Muthukrishnan 2005 §4.2: for sketches of key
-    * multisets A and B (built with the SAME depth/width/hashes),
-    *
-    *   |A ⋈ B|  =  Σ_k f_A(k)·f_B(k)  ≈  min_j Σ_w cA[j][w]·cB[j][w]
-    *
-    * Never under-estimates (colliding keys only add cross terms); the
-    * over-count is bounded by ‖f_A‖₁·‖f_B‖₁·e/w with probability 1−e^−d.
-    *
-    * This is the query-planner primitive for sizing a join WITHOUT
-    * scanning either side: at 100 TB the exact answer is itself a full
-    * key-keyed aggregate of each table plus a vocabulary-sized join,
-    * while this estimate joins two d×w tables — constant cost in the
-    * data size, so a planner can sketch every candidate join key during
-    * ingest (sketches are mergeable: cell-wise sums absorb new
-    * partitions) and pick broadcast/shuffle/skew strategies from the
-    * estimates.
-    *
-    * @param a,b [[cmsBuild]] outputs with identical depth and width
-    * @return one row: (est) — the estimated join cardinality
-    */
   /** Engine-portable HYPERLOGLOG registers (Flajolet, Fusy, Gandouet &
     * Meunier 2007): the mergeable distinct-count sketch. Spark's builtin
     * (`approx_count_distinct` / datasketches HLL) is a black box no SQL
@@ -138,7 +117,17 @@ object SketchOps {
                          groupCols: Seq[String] = Nil): DataFrame = {
     require(p >= 4 && p <= 16, s"p in [4,16], got $p")
     val m = 1L << p
-    val alpha = s"(0.7213 / (1.0 + 1.079 / $m.0))"
+    // Flajolet et al. 2007 Fig. 3: the bias correction is a FIXED
+    // constant for small m (the asymptotic 0.7213/(1+1.079/m) formula is
+    // only prescribed for m >= 128); using the asymptotic form at
+    // p=4..6 biases estimates a few percent high.
+    val alphaV = m match {
+      case 16L => 0.673
+      case 32L => 0.697
+      case 64L => 0.709
+      case _   => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val alpha = s"($alphaV)"
     val agged = (if (groupCols.isEmpty) regs.groupBy()
                  else regs.groupBy(groupCols.map(col): _*))
       .agg(
@@ -159,6 +148,27 @@ object SketchOps {
         .cast("long").as("est")): _*)
   }
 
+  /** JOIN-CARDINALITY estimate from two sketches — the inner-product
+    * estimator of Cormode & Muthukrishnan 2005 §4.2: for sketches of key
+    * multisets A and B (built with the SAME depth/width/hashes),
+    *
+    *   |A ⋈ B|  =  Σ_k f_A(k)·f_B(k)  ≈  min_j Σ_w cA[j][w]·cB[j][w]
+    *
+    * Never under-estimates (colliding keys only add cross terms); the
+    * over-count is bounded by ‖f_A‖₁·‖f_B‖₁·e/w with probability 1−e^−d.
+    *
+    * This is the query-planner primitive for sizing a join WITHOUT
+    * scanning either side: at 100 TB the exact answer is itself a full
+    * key-keyed aggregate of each table plus a vocabulary-sized join,
+    * while this estimate joins two d×w tables — constant cost in the
+    * data size, so a planner can sketch every candidate join key during
+    * ingest (sketches are mergeable: cell-wise sums absorb new
+    * partitions) and pick broadcast/shuffle/skew strategies from the
+    * estimates.
+    *
+    * @param a,b [[cmsBuild]] outputs with identical depth and width
+    * @return one row: (est) — the estimated join cardinality
+    */
   def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame = {
     val ip = a.select(col("j"), col("bucket"), col("c").as("ca"))
       .join(b.select(col("j"), col("bucket"), col("c").as("cb")), Seq("j", "bucket"))

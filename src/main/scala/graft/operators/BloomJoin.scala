@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   *
   * Mechanics: `DataFrameStatFunctions.bloomFilter` aggregates the dim
   * keys distributed and returns the bits to the driver (model-sized:
-  * the dimension KEY SET, not the fact table); the probe ships in the
-  * task closure like any broadcast variable.
+  * the dimension KEY SET, not the fact table); the probe then ships as
+  * an explicit `SparkContext.broadcast` — once per EXECUTOR, not once
+  * per task. A multi-MB filter captured directly in a UDF closure would
+  * instead be serialized into every one of the thousands of fact-side
+  * tasks; the broadcast keeps the per-task payload at a handle.
   */
 object BloomJoin {
 
@@ -45,7 +48,8 @@ object BloomJoin {
       if (n == 0) fact.where(lit(false))
       else {
         val bf = keys.stat.bloomFilter("__k", n, fpp)
-        val mightContain = udf((k: Long) => bf.mightContainLong(k))
+        val bfB = fact.sparkSession.sparkContext.broadcast(bf)
+        val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
         fact.where(mightContain(col(factKey)))
       }
     pruned.join(dim, pruned(factKey) === dim(dimKey))

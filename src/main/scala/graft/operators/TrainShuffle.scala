@@ -80,27 +80,6 @@ object TrainShuffle {
     graft.sources.TableStore.load(df.sparkSession, path)
   }
 
-  /** CURRICULUM INTERLEAVE — a deterministic training order that is
-    * simultaneously (a) a curriculum (each source's rows appear in
-    * `ordCol` order: classic short/easy-first — Bengio et al. 2009) and
-    * (b) source-balanced (consecutive positions rotate across sources, so
-    * no training window is dominated by one source while sources last):
-    *
-    *   curriculum_idx = (rank_in_source − 1) · n_sources + source_idx
-    *
-    * Sources exhausting early leave index gaps — harmless, since training
-    * reads in idx order, and the formula needs no global coordination.
-    *
-    * Scale shape: rank-in-source is a [[PrefixSum]] distributed running
-    * count (quantile-bucketed — no per-source single-reducer window even
-    * when one source is half the corpus); the source-index table is
-    * group-count-sized and broadcast. Everything else is a projection.
-    *
-    * @param ordCol numeric, non-null, unique within each group
-    *               (PrefixSum's requirement — fold the tiebreak id into
-    *               the low bits)
-    * @return input plus (rank, curriculum_idx); rank is 1-based
-    */
   /** PADDING-WASTE profile for length-bucketed batching: assign every
     * sequence to the next power-of-two width (floored at `minWidth`) and
     * report per-bucket padding waste, plus the single-bucket baseline
@@ -136,6 +115,27 @@ object TrainShuffle {
         expr("(__nd * __maxw - __st) * 10000 div (__nd * __maxw)").as("naive_waste_bp"))
   }
 
+  /** CURRICULUM INTERLEAVE — a deterministic training order that is
+    * simultaneously (a) a curriculum (each source's rows appear in
+    * `ordCol` order: classic short/easy-first — Bengio et al. 2009) and
+    * (b) source-balanced (consecutive positions rotate across sources, so
+    * no training window is dominated by one source while sources last):
+    *
+    *   curriculum_idx = (rank_in_source − 1) · n_sources + source_idx
+    *
+    * Sources exhausting early leave index gaps — harmless, since training
+    * reads in idx order, and the formula needs no global coordination.
+    *
+    * Scale shape: rank-in-source is a [[PrefixSum]] distributed running
+    * count (quantile-bucketed — no per-source single-reducer window even
+    * when one source is half the corpus); the source-index table is
+    * group-count-sized and broadcast. Everything else is a projection.
+    *
+    * @param ordCol numeric, non-null, unique within each group
+    *               (PrefixSum's requirement — fold the tiebreak id into
+    *               the low bits)
+    * @return input plus (rank, curriculum_idx); rank is 1-based
+    */
   def curriculumInterleave(df: DataFrame, groupCol: String,
                            ordCol: String): DataFrame = {
     val ranked = graft.operators.PrefixSum
