@@ -1371,6 +1371,34 @@ object SparkEntry {
     //    event-type pairs (one user-partitioned window, ordered by event
     //    time) counted into the Markov transition table with row-share
     //    basis points; the funnel family's unsupervised sibling
+    // ── extension: q111's cluster-representative dedup with the
+    //    hot-shingle guard DERIVED from a candidate-pair budget — the
+    //    100 TB contract the fixed maxDocFreq=1000 could not give (pair
+    //    work grew 6.7× in the sf1→sf10 decade); the budget pins the
+    //    candidate join's work in PAIRS, so scaling the budget with the
+    //    corpus keeps the stage linear by construction. Budget 13000
+    //    derives guard 4 at gate scale, exercising both the histogram
+    //    derivation and the guard filter against the oracle.
+    "q146_budget_rep_dedup" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val pairs = DedupOps.ngramJaccardPairsBudget(d, "text", "doc_id",
+        n = 3, threshold = 0.3, candidateBudget = 13000L)
+      DedupOps.clusterRepresentatives(d, pairs, "doc_id", "n_chars")
+        .orderBy("id")
+    }),
+    // ── extension: cluster-representative dedup over BANDED MinHash
+    //    candidates — the q25→q72 pattern applied to q111: identical
+    //    representative semantics, but candidate pairs come from the
+    //    band-collision-bounded LSH join (q21's parameters) instead of
+    //    the exact-Jaccard count join, making this the certified near-dup
+    //    cluster path at 100 TB (one (band,key) shuffle, no Σ df² term).
+    "q147_banded_rep_dedup" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val pairs = DedupOps.minhashCandidatePairs(d, "text", "doc_id",
+        k = 64, bands = 16, ngram = 3, threshold = 0.5)
+      DedupOps.clusterRepresentatives(d, pairs, "doc_id", "n_chars")
+        .orderBy("id")
+    }),
     "q145_transition_matrix" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3091,6 +3119,92 @@ object SparkEntry {
          edges AS (
            SELECT id_a AS s, id_b AS d FROM pairs
            UNION SELECT id_b, id_a FROM pairs),
+         l0 AS (SELECT DISTINCT s AS id, s AS label FROM edges),
+         l1 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l0 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l0 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l2 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l1 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l1 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l3 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l2 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l2 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l4 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l3 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l3 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l5 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l4 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l4 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         lab AS (SELECT d.doc_id AS id, coalesce(l.label, d.doc_id) AS cluster, d.n_chars
+                 FROM documents d LEFT JOIN l5 l ON l.id = d.doc_id),
+         rn AS (SELECT *, row_number() OVER (PARTITION BY cluster
+                  ORDER BY n_chars DESC, id) AS r FROM lab),
+         rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
+         SELECT l.id, l.cluster, l.id = r.rep_id AS kept
+         FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q146_budget_rep_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
+           FROM toks),
+         ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
+         exh AS (SELECT doc_id, sz, CAST('0x'||substr(md5(shingle),1,15) AS BIGINT) AS h FROM ex),
+         dfreq AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM exh GROUP BY h),
+         hist AS (SELECT df AS dfv, CAST(count(*) AS BIGINT) AS nh FROM dfreq GROUP BY df),
+         wk AS (SELECT dfv, sum(CAST(nh AS DOUBLE)*CAST(dfv AS DOUBLE)*CAST(dfv-1 AS DOUBLE)/2.0)
+                  OVER (ORDER BY dfv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS work FROM hist),
+         guard AS (SELECT greatest(CAST(1 AS BIGINT),
+                     coalesce(max(CASE WHEN work <= 13000.0 THEN dfv END), CAST(1 AS BIGINT))) AS g FROM wk),
+         filtered AS (SELECT e.doc_id, e.sz, e.h FROM exh e JOIN dfreq USING (h)
+                      WHERE df <= (SELECT g FROM guard)),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS c
+           FROM filtered a JOIN filtered b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT id_a, id_b FROM common
+           WHERE CAST(c AS DOUBLE) / (sz_a + sz_b - c) >= 0.3),
+         edges AS (
+           SELECT id_a AS s, id_b AS d FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         l0 AS (SELECT DISTINCT s AS id, s AS label FROM edges),
+         l1 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l0 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l0 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l2 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l1 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l1 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l3 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l2 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l2 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l4 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l3 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l3 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         l5 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+                FROM l4 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l4 n ON n.id = e.d
+                GROUP BY l.id, l.label),
+         lab AS (SELECT d.doc_id AS id, coalesce(l.label, d.doc_id) AS cluster, d.n_chars
+                 FROM documents d LEFT JOIN l5 l ON l.id = d.doc_id),
+         rn AS (SELECT *, row_number() OVER (PARTITION BY cluster
+                  ORDER BY n_chars DESC, id) AS r FROM lab),
+         rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
+         SELECT l.id, l.cluster, l.id = r.rep_id AS kept
+         FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q147_banded_rep_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-2,0)+1)]) AS s FROM toks),
+         hs AS (SELECT doc_id, list_transform(s, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % 1073741789) AS ms FROM sh WHERE len(s) > 0),
+         sigs AS (SELECT doc_id, [list_min(list_transform(ms, m -> (m*(2*i+1) + i*7919 + 1) % 1073741789)) for i in range(0, 64)] AS sig FROM hs),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id),
+         est AS (SELECT id_a, id_b,
+            CAST(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) AS DOUBLE)/64 AS est_jaccard,
+            len(list_filter(range(0, 16), b -> sa[b*4+1:b*4+4] = sb[b*4+1:b*4+4])) AS nb
+          FROM pr),
+         pairs AS (SELECT id_a, id_b FROM est WHERE nb > 0 AND est_jaccard >= 0.5),
+         edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
          l0 AS (SELECT DISTINCT s AS id, s AS label FROM edges),
          l1 AS (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
                 FROM l0 l LEFT JOIN edges e ON e.s = l.id LEFT JOIN l0 n ON n.id = e.d

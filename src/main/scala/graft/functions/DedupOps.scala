@@ -636,10 +636,78 @@ object DedupOps {
                         n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Long = 1000): DataFrame = {
     graft.expr.GraftFunctions.register(df.sparkSession)
-    val ex = df
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+    jaccardPairsFromExploded(explodedShingles(df, textCol, idCol, n),
+      threshold, maxDocFreq)
+  }
+
+  /** [[ngramJaccardPairs]] with the hot-shingle guard DERIVED from a
+    * candidate-pair budget instead of fixed: the guard `g` is the largest
+    * doc-frequency such that the candidate pairs the kept shingles can
+    * generate — Σ over shingles with df ≤ g of df·(df−1)/2 — stays within
+    * `candidateBudget`. This is the scale contract a fixed absolute guard
+    * cannot give: as the corpus grows, per-shingle df grows toward a fixed
+    * cap and pair work grows superlinearly per decade (measured 6.7× for
+    * the sf1→sf10 decade at maxDocFreq=1000), while a budget expressed in
+    * PAIRS pins the join's work directly — grow the budget linearly with
+    * the corpus and the candidate stage scales linearly by construction,
+    * with recall loss confined to the hottest (least informative)
+    * shingles, exactly the ones the fixed guard dropped late.
+    *
+    * Derivation cost: the doc-frequency aggregate the operator needs
+    * anyway, folded to a HISTOGRAM keyed by df value (distinct-df-sized,
+    * model data: tens of rows even at corpus scale because pair work
+    * explodes long before many distinct df values accumulate under any
+    * sane budget), then one ordered cumulative sum over it. The work sums
+    * are DOUBLES on both engines (a long Σ df² overflows at corpus scale
+    * under ANSI; sub-ulp rounding at the budget boundary moves a cost
+    * knob, never a result, and the ordered window sums are IEEE-identical
+    * across engines so the DERIVED GUARD itself is engine-exact). The
+    * chosen guard returns to the driver as one scalar — a planning
+    * parameter folded into the plan as a literal, the same role as a
+    * broadcast bloom filter's bit count.
+    *
+    * Guard floor is 1 (df=1 shingles generate zero pairs, so a budget too
+    * small for any df level still yields a valid — empty — candidate
+    * set rather than an unguarded explosion). */
+  def ngramJaccardPairsBudget(df: DataFrame, textCol: String, idCol: String,
+                              n: Int = 3, threshold: Double = 0.8,
+                              candidateBudget: Long = 10000000L): DataFrame = {
+    require(candidateBudget >= 1, s"candidateBudget must be >= 1, got $candidateBudget")
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    val ex = explodedShingles(df, textCol, idCol, n)
+    jaccardPairsFromExploded(ex, threshold,
+      budgetGuard(ex, candidateBudget))
+  }
+
+  /** The largest doc-frequency guard whose kept-shingle candidate-pair
+    * work Σ_{df≤g} df·(df−1)/2 fits `candidateBudget` (≥ 1 — see
+    * [[ngramJaccardPairsBudget]]). `ex` is the exploded (id, sz, h)
+    * frame; the histogram window is global but histogram-sized. */
+  private def budgetGuard(ex: DataFrame, candidateBudget: Long): Long = {
+    val wk = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .groupBy("df").agg(count(lit(1)).as("nh"))
+      .withColumn("work",
+        sum(col("nh").cast("double") * col("df").cast("double") *
+          (col("df") - 1).cast("double") / lit(2.0))
+          .over(org.apache.spark.sql.expressions.Window.orderBy("df")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+    val r = wk.where(col("work") <= lit(candidateBudget.toDouble))
+      .agg(max("df")).head()
+    if (r.isNullAt(0)) 1L else math.max(1L, r.getLong(0))
+  }
+
+  /** One row per (id, distinct shingle hash), with the doc's shingle-set
+    * size alongside — the shared input frame of the Jaccard family,
+    * persisted because every consumer reads it at least twice. */
+  private def explodedShingles(df: DataFrame, textCol: String,
+                               idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def jaccardPairsFromExploded(ex: DataFrame, threshold: Double,
+                                       maxDocFreq: Long): DataFrame = {
     if (threshold >= PrefixFilterThreshold) {
       // prefix-filtered path: join cost scales with (1-t)² of the naive
       // join AND skips the hottest tokens — the win grows with t. The

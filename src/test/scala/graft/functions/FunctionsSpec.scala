@@ -459,6 +459,49 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("budget-derived guard: huge budget reproduces the unguarded pair set") {
+    val byBudget = DedupOps.ngramJaccardPairsBudget(df, "text", "doc_id",
+      n = 3, threshold = 0.5, candidateBudget = Long.MaxValue)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val unguarded = DedupOps.ngramJaccardPairs(df, "text", "doc_id",
+      n = 3, threshold = 0.5, maxDocFreq = 0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(byBudget == unguarded)
+  }
+
+  test("budget-derived guard enforces the pair budget by dropping the hottest df level") {
+    import org.apache.spark.sql.functions.col
+    // 4 docs all sharing bigram "x y" (df=4 → 6 pairs of work); each pair
+    // of docs shares a private bigram (df=2 → 1 pair each). Histogram:
+    // df=2 work cumsum = #private-bigrams, df=4 adds 6.
+    val docs = Seq(
+      (1L, "x y a1 x y b1 x y"), (2L, "x y a1 x y b2 x y"),
+      (3L, "x y a2 x y b1 x y"), (4L, "x y a2 x y b2 x y"))
+      .toDF("doc_id", "text")
+    // A budget below the df=4 cumulative work must derive a guard < 4 —
+    // i.e. the same pairs as an explicit maxDocFreq = 3 guard
+    val small = DedupOps.ngramJaccardPairsBudget(docs, "text", "doc_id",
+      n = 2, threshold = 0.01, candidateBudget = 10L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val fixed = DedupOps.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 2, threshold = 0.01, maxDocFreq = 3L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(small == fixed)
+    // generous budget re-admits the hot shingle
+    val large = DedupOps.ngramJaccardPairsBudget(docs, "text", "doc_id",
+      n = 2, threshold = 0.01, candidateBudget = 1000000L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val unguarded = DedupOps.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 2, threshold = 0.01, maxDocFreq = 0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(large == unguarded)
+    // a budget too small for ANY df level still yields a valid (df<=1 ⇒
+    // pair-free) result, not an unguarded explosion
+    val tiny = DedupOps.ngramJaccardPairsBudget(docs, "text", "doc_id",
+      n = 2, threshold = 0.01, candidateBudget = 1L)
+    assert(tiny.where(col("jaccard") >= 0).count() == 0)
+  }
+
   test("prefix-filtered path matches the naive join exactly (incl. FP-ceiling thresholds)") {
     // t = 0.55 on a 100-shingle doc tickles the IEEE ceil(0.55*100) = 56
     // hazard; equality against the naive branch (same arithmetic, computed
