@@ -1379,6 +1379,41 @@ object SparkEntry {
     //    corpus keeps the stage linear by construction. Budget 13000
     //    derives guard 4 at gate scale, exercising both the histogram
     //    derivation and the guard filter against the oracle.
+    // ── extension: BATCH PARITY for the streaming store-absorb path
+    //    (StreamingOps.dedupAgainstStore) — the q105 pattern: the stream
+    //    is foreachBatch over EXACTLY this per-batch call sequence
+    //    (loadTable → incrementalMinhashDedupBanded → Append), so the
+    //    two-increment chain against the real bucketed parquet table is
+    //    the stream's semantics run as a batch, and the DuckDB oracle
+    //    certifies survivors AND the final store state (batch N+1's
+    //    store check sees batch N's appends — the growth step that makes
+    //    the chain a chain). StreamingOpsSpec keeps the stream-side
+    //    harness equivalence.
+    "q150_store_absorb_parity" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val docs = T(s, dir, "documents")
+      val tbl = "graft_q150_sig_store"
+      TableStore.dropTable(s, tbl)
+      TableStore.saveBucketed(
+        DedupOps.minhashStore(docs.where(pmod(col("doc_id"), lit(3)) === 0),
+          "text", "doc_id"),
+        tbl, bucketCols = Seq("band", "band_key"), buckets = 8)
+      val survBatches = Seq(1L, 2L).map { b =>
+        val incr = docs.where(pmod(col("doc_id"), lit(3)) === b)
+        val store = TableStore.loadTable(s, tbl)
+        val (survivors, keptBanded) = DedupOps.incrementalMinhashDedupBanded(
+          incr, "text", "doc_id", store, k = 64, bands = 16, ngram = 3,
+          threshold = 0.5)
+        TableStore.saveBucketed(keptBanded, tbl,
+          bucketCols = Seq("band", "band_key"), buckets = 8,
+          mode = org.apache.spark.sql.SaveMode.Append)
+        survivors.select(lit(b).as("batch"), col("doc_id"))
+      }
+      val after = TableStore.loadTable(s, tbl)
+        .agg(count(lit(1)).as("store_rows_after"))
+      survBatches.reduce(_ unionByName _).crossJoin(after)
+        .orderBy("batch", "doc_id")
+    }),
     // ── extension: recall-vs-nProbe certification for the TRAINED IVF
     //    path (q78's index — the one BASELINE.md names the certified
     //    100 TB ANN path): overlap@10 against exact brute force at
@@ -3215,6 +3250,39 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q150_store_absorb_parity" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-2,0)+1)]) AS s FROM toks),
+         hs AS (SELECT doc_id, list_transform(s, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % 1073741789) AS ms FROM sh WHERE len(s) > 0),
+         sigs AS (SELECT doc_id, [list_min(list_transform(ms, m -> (m*(2*i+1) + i*7919 + 1) % 1073741789)) for i in range(0, 64)] AS sig FROM hs),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id),
+         cand AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+            CAST(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) AS DOUBLE)/64 AS est,
+            len(list_filter(range(0, 16), b -> sa[b*4+1:b*4+4] = sb[b*4+1:b*4+4])) AS nb FROM pr)
+          WHERE nb > 0 AND est >= 0.5),
+         m AS (SELECT id_a AS x, id_b AS y FROM cand UNION ALL SELECT id_b AS x, id_a AS y FROM cand),
+         allb AS (SELECT doc_id, doc_id % 3 AS b FROM documents),
+         hsig AS (SELECT doc_id FROM sigs),
+         store0 AS (SELECT a.doc_id FROM allb a JOIN hsig h ON h.doc_id = a.doc_id WHERE a.b = 0),
+         b1 AS (SELECT doc_id FROM allb WHERE b = 1),
+         drop1 AS (SELECT DISTINCT d.doc_id FROM b1 d
+                   WHERE EXISTS (SELECT 1 FROM m JOIN store0 s ON m.y = s.doc_id WHERE m.x = d.doc_id)
+                      OR EXISTS (SELECT 1 FROM cand c JOIN b1 a ON c.id_a = a.doc_id WHERE c.id_b = d.doc_id)),
+         surv1 AS (SELECT doc_id FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM drop1)),
+         store1 AS (SELECT doc_id FROM store0
+                    UNION SELECT s.doc_id FROM surv1 s JOIN hsig h ON h.doc_id = s.doc_id),
+         b2 AS (SELECT doc_id FROM allb WHERE b = 2),
+         drop2 AS (SELECT DISTINCT d.doc_id FROM b2 d
+                   WHERE EXISTS (SELECT 1 FROM m JOIN store1 s ON m.y = s.doc_id WHERE m.x = d.doc_id)
+                      OR EXISTS (SELECT 1 FROM cand c JOIN b2 a ON c.id_a = a.doc_id WHERE c.id_b = d.doc_id)),
+         surv2 AS (SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+         store2 AS (SELECT doc_id FROM store1
+                    UNION SELECT s.doc_id FROM surv2 s JOIN hsig h ON h.doc_id = s.doc_id),
+         nstore AS (SELECT CAST(16 * count(*) AS BIGINT) AS store_rows_after FROM store2)
+         SELECT sv.batch, sv.doc_id, n.store_rows_after FROM (
+           SELECT CAST(1 AS BIGINT) AS batch, doc_id FROM surv1
+           UNION ALL SELECT CAST(2 AS BIGINT), doc_id FROM surv2) sv CROSS JOIN nstore n
+         ORDER BY batch, doc_id""",
     "q148_ivf_recall" ->
       """WITH cent0 AS (
            SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
