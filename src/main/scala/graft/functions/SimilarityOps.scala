@@ -523,19 +523,34 @@ object SimilarityOps {
     * hyperplane passes between them, so high thresholds sit well inside
     * that guarantee. Each band key carries nBits/bands bits, so candidate
     * volume scales ~ bands · n²/2^(nBits/bands) — one (band, key) shuffle,
-    * no all-pairs stage. */
+    * no all-pairs stage.
+    *
+    * DEFAULTS are the srp21 configuration (63 bits × 3 bands → 21-bit
+    * band keys, 2^21 buckets per band): the decade-validated deployment
+    * regime — band occupancy stays < 1 up to millions of vectors, so
+    * candidate volume tracks ~ n where few-bit single-band configs have
+    * gone quadratic, and ScaleProbe measured it faster at every decade
+    * with ≤ 0.0025% planted-pair loss at threshold 0.9 (199995/200000
+    * recovered at sf10). Recall guarantee: collision in ≥ 1 band for
+    * any pair within 2 differing SRP bits of 63 — near-identical
+    * vectors sit well inside. Small corpora that want an exact pass
+    * still set `nBits = 0`. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95, nBits: Int = 8,
-                        bands: Int = 1): DataFrame = {
+                        threshold: Double = 0.95, nBits: Int = 63,
+                        bands: Int = 3): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     require(bands >= 1, s"bands must be >= 1, got $bands")
-    require(bands == 1 || (nBits > 0 && nBits % bands == 0),
-      s"nBits ($nBits) must be a positive multiple of bands ($bands)")
+    // nBits = 0 is the explicit exact-all-pairs switch: it overrides the
+    // (defaulted) banding entirely rather than fighting the divisibility
+    // rule, so `nBits = 0` keeps meaning "no blocking" under any bands
+    val nb = if (nBits == 0) 1 else bands
+    require(nb == 1 || (nBits > 0 && nBits % nb == 0),
+      s"nBits ($nBits) must be a positive multiple of bands ($nb)")
     val bucket = if (nBits == 0) lit(0L) else srpBucket(col(vecCol), nBits)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
       vnorm(col(vecCol)).as("__n"), bucket.as("bucket"))
       .where(col("__n") > 0) // zero-norm → NaN cosine, see bruteForceTopK
-    if (bands == 1) {
+    if (nb == 1) {
       val a = v.select(col("bucket"), col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
       val b = v.select(col("bucket"), col("id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
       // each pair shares exactly one bucket (both rows carry ONE bucket key),

@@ -675,6 +675,11 @@ class SimilarityOpsSpec extends SparkSpec {
       threshold = 0.9, nBits = 32, bands = 4))
     assert(exact.size >= 40) // every planted pair qualifies
     assert(blocked == exact)
+    // the DEFAULT banding (srp21: 63 bits × 3 bands) must also hold the
+    // planted-pair recall — it is the configuration users get unasked
+    val defaulted = pairSet(SimilarityOps.embeddingDupPairs(aug, "vec_id", "embedding",
+      threshold = 0.9))
+    assert(defaulted == exact)
   }
 
   test("kmeansAssign separates two obvious directional clusters") {
