@@ -167,6 +167,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(inc == full)
   }
 
+  test("iterative operators keep a constant-size plan per iteration (lineage truncation)") {
+    // The regression mode both operators were tuned out of: without the
+    // per-round localCheckpoint, the returned frame's plan grows with the
+    // iteration count and the driver re-plans an ever-larger tree every
+    // round (~0.5 s/round at toy scale, unbounded at depth). Constant
+    // lineage means the FINAL plan's node count is INDEPENDENT of how
+    // many rounds ran — assert exactly that.
+    def planSize(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case n => n }.size
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val pr2 = planSize(GraphOps.pageRank(edges, "src", "dst", damping = 0.85, iters = 2))
+    val pr6 = planSize(GraphOps.pageRank(edges, "src", "dst", damping = 0.85, iters = 6))
+    assert(pr2 == pr6, s"pageRank plan grew with iterations: $pr2 -> $pr6")
+    // chain diameter 4 vs 32: more contraction rounds, same final plan
+    def chain(n: Int) = (1 until n).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+    val cc4 = planSize(GraphOps.connectedComponents(chain(5), "src", "dst"))
+    val cc32 = planSize(GraphOps.connectedComponents(chain(33), "src", "dst"))
+    assert(cc4 == cc32, s"connectedComponents plan grew with rounds: $cc4 -> $cc32")
+  }
+
   test("absorbComponents passes untouched singleton labels through") {
     // node 7 is a singleton (self-labeled); delta doesn't touch it
     val labels = Seq((1L, 1L), (2L, 1L), (7L, 7L)).toDF("id", "component")

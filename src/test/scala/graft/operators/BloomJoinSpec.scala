@@ -29,4 +29,39 @@ class BloomJoinSpec extends SparkSpec {
     val dim = Seq((5L, "a"), (5L, "b")).toDF("dk", "t")
     assert(BloomJoin.bloomPrunedJoin(fact, "fk", dim, "dk").count() == 4)
   }
+
+  test("bloom probe filter sits BELOW the fact-side exchange (plan shape)") {
+    // The operator's whole point: fact rows failing the key set never
+    // reach the shuffle. Force the shuffle-join regime (no broadcast, no
+    // AQE re-plan) and assert a ShuffleExchange whose SUBTREE contains
+    // the UDF probe filter — a regression that lifts the filter above
+    // the exchange (or loses it) fails here even though results stay
+    // identical.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // range-backed inputs: a Seq-backed LocalRelation would let the
+      // ConvertToLocalRelation rule evaluate the probe filter at
+      // optimization time and erase the very shape under test
+      val fact = spark.range(200)
+        .select((col("id") % 50).as("fk"), col("id").as("payload"))
+      val dim = spark.range(10).select(col("id").as("dk"), lit("d").as("tag"))
+      val plan = BloomJoin.bloomPrunedJoin(fact, "fk", dim, "dk")
+        .queryExecution.executedPlan
+      val guarded = plan.collect {
+        case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if ex.child.collect {
+              case f: org.apache.spark.sql.execution.FilterExec
+                  if f.condition.toString.contains("UDF") => f
+            }.nonEmpty => ex
+      }
+      assert(guarded.nonEmpty,
+        s"no shuffle exchange with the bloom probe filter below it in:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
 }
