@@ -1379,6 +1379,58 @@ object SparkEntry {
     //    corpus keeps the stage linear by construction. Budget 13000
     //    derives guard 4 at gate scale, exercising both the histogram
     //    derivation and the guard filter against the oracle.
+    // ── extension: the q99 lifecycle for GRAPHS — q144's incremental
+    //    absorption run against a PERSISTED epoch-appended label store
+    //    (StreamingOps.absorbLabelsBatch, the exact foreachBatch body of
+    //    absorbComponentsStream): seed labels at epoch 0, absorb TWO
+    //    root-bridge deltas (groups-of-2, then groups-of-4 — the second
+    //    batch's live view must see the first batch's appends), appends
+    //    are CHANGED rows only (merge-on-read, no file rewrites). The
+    //    oracle stays closed-form: final component = min class-min over
+    //    each present class's group-of-4; store rows = labeled nodes +
+    //    per-delta changed counts.
+    "q151_graph_store_parity" -> ((s, dir) => {
+      import graft.sources.TableStore
+      import graft.functions.GraphOps
+      val ev = T(s, dir, "events")
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val chain = ev
+        .select(col("event_id"), lead("event_id", 1).over(wU).as("nid"))
+        .where(col("nid").isNotNull)
+        .select(col("event_id").as("src"), col("nid").as("dst"))
+      val umin = ev.groupBy("user_id").agg(min("event_id").as("me"))
+        .withColumn("cls", pmod(col("user_id"), lit(97)))
+      val wC = Window.partitionBy("cls").orderBy("user_id")
+      val bridge = umin
+        .select(col("cls"), col("me"), lead("me", 1).over(wC).as("nme"))
+        .where(col("nme").isNotNull)
+        .select(col("me").as("src"), col("nme").as("dst"))
+      val labels = GraphOps.connectedComponents(chain.union(bridge), "src", "dst")
+      val tbl = "graft_q151_label_store"
+      TableStore.dropTable(s, tbl)
+      TableStore.saveBucketed(labels.withColumn("epoch", lit(0L)), tbl,
+        bucketCols = Seq("id"), buckets = 8)
+      def rootBridges(grp: Int): DataFrame = {
+        val roots = GraphOps.liveLabels(TableStore.loadTable(s, tbl))
+          .select(col("component")).distinct()
+          .join(ev.select(col("event_id"),
+            pmod(col("user_id"), lit(97)).as("cls")),
+            col("component") === col("event_id"))
+          .select(col("cls"), col("component").as("root"))
+        val wG = Window.partitionBy(expr(s"cls - cls % $grp")).orderBy("cls")
+        roots.select(col("root"), lead("root", 1).over(wG).as("nroot"))
+          .where(col("nroot").isNotNull)
+          .select(col("root").as("src"), col("nroot").as("dst"))
+      }
+      graft.streaming.StreamingOps.absorbLabelsBatch(
+        rootBridges(2), "src", "dst", tbl, buckets = 8)
+      graft.streaming.StreamingOps.absorbLabelsBatch(
+        rootBridges(4), "src", "dst", tbl, buckets = 8)
+      val store = TableStore.loadTable(s, tbl)
+      GraphOps.liveLabels(store)
+        .crossJoin(broadcast(store.agg(count(lit(1)).as("store_rows"))))
+        .orderBy("id")
+    }),
     // ── extension: BATCH PARITY for the streaming store-absorb path
     //    (StreamingOps.dedupAgainstStore) — the q105 pattern: the stream
     //    is foreachBatch over EXACTLY this per-batch call sequence
@@ -3250,6 +3302,33 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q151_graph_store_parity" ->
+      """WITH stats AS (
+           SELECT user_id, user_id % 97 AS cls, count(*) AS n_ev,
+             min(event_id) AS me
+           FROM events GROUP BY 1, 2),
+         cstats AS (SELECT cls, count(*) AS n_users, min(me) AS cmin
+                    FROM stats GROUP BY 1),
+         pres AS (SELECT DISTINCT s.cls
+                  FROM stats s JOIN cstats c ON c.cls = s.cls
+                  WHERE s.n_ev >= 2 OR c.n_users >= 2),
+         pc AS (SELECT p.cls, c.cmin FROM pres p JOIN cstats c ON c.cls = p.cls),
+         g2 AS (SELECT cls - cls % 2 AS g, min(cmin) AS g2comp FROM pc GROUP BY 1),
+         g4 AS (SELECT cls - cls % 4 AS g, min(cmin) AS g4comp FROM pc GROUP BY 1),
+         lab AS (SELECT e.event_id AS id, pc.cmin, g2.g2comp, g4.g4comp
+                 FROM events e
+                 JOIN stats s ON s.user_id = e.user_id
+                 JOIN cstats c ON c.cls = s.cls
+                 JOIN pc ON pc.cls = s.cls
+                 JOIN g2 ON g2.g = s.cls - (s.cls % 2)
+                 JOIN g4 ON g4.g = s.cls - (s.cls % 4)
+                 WHERE s.n_ev >= 2 OR c.n_users >= 2),
+         nrows AS (SELECT CAST(count(*)
+                     + sum(CASE WHEN g2comp <> cmin THEN 1 ELSE 0 END)
+                     + sum(CASE WHEN g4comp <> g2comp THEN 1 ELSE 0 END) AS BIGINT) AS store_rows
+                   FROM lab)
+         SELECT l.id, l.g4comp AS component, n.store_rows
+         FROM lab l CROSS JOIN nrows n ORDER BY id""",
     "q150_store_absorb_parity" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
          sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-2,0)+1)]) AS s FROM toks),

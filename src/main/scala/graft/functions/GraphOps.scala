@@ -340,4 +340,22 @@ object GraphOps {
       labels.select(col("id"), col("component"))
         .join(cc.select("id"), Seq("id"), "left_anti"))
   }
+
+  /** LIVE view of an EPOCH-APPENDED label store — the graph cousin of
+    * [[graft.functions.DedupOps.liveStore]]'s merge-on-read: component
+    * merges never rewrite label files, they append the CHANGED rows with
+    * a higher epoch, and a read takes the latest epoch per node. One
+    * id-keyed aggregate; persist the store bucketed on `id`
+    * ([[graft.sources.TableStore.saveBucketed]]) and the aggregate runs
+    * on the bucketed scan with no Exchange. Periodic compaction =
+    * rewrite `liveLabels(store)` at epoch 0 — same compact cycle as the
+    * signature store.
+    *
+    * @param store (id, component, epoch) rows, possibly several epochs
+    *              per id
+    * @return (id, component): each node's latest label
+    */
+  def liveLabels(store: DataFrame): DataFrame =
+    store.groupBy("id")
+      .agg(max_by(col("component"), col("epoch")).as("component"))
 }

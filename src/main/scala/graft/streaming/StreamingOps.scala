@@ -135,6 +135,65 @@ object StreamingOps {
     docs.writeStream.outputMode("append").foreachBatch(absorbBatch).start()
   }
 
+  /** ONE batch of streaming graph maintenance — the foreachBatch body of
+    * [[absorbComponentsStream]], exposed so a batch chain (and the q151
+    * oracle gate) runs the IDENTICAL call sequence the stream runs:
+    * read the epoch-appended label table's live view, absorb the edge
+    * delta in O(log delta) contraction rounds
+    * ([[graft.functions.GraphOps.absorbComponents]] — previous labels
+    * are a star forest, so round count follows the DELTA's merge
+    * structure, not the original graph's diameter), and append ONLY the
+    * CHANGED rows at the next epoch with the store's `id` bucketing
+    * preserved. Label files are never rewritten: merges are appends,
+    * reads are latest-epoch-per-id ([[graft.functions.GraphOps
+    * .liveLabels]]) — the q135 merge-on-read discipline applied to
+    * graph state.
+    *
+    * @return the appended delta rows (id, component, epoch), eagerly
+    *         materialized
+    */
+  def absorbLabelsBatch(edges: DataFrame, srcCol: String, dstCol: String,
+                        labelTable: String, buckets: Int = 8): DataFrame = {
+    val s = edges.sparkSession
+    val store = graft.sources.TableStore.loadTable(s, labelTable)
+    // live view + next epoch read in one pass over the bucketed scan;
+    // localCheckpoint because live feeds the absorb AND the change diff
+    val live = graft.functions.GraphOps.liveLabels(store).localCheckpoint(true)
+    val nextEpoch = store.agg(coalesce(max(col("epoch")), lit(0L)).as("e"))
+      .head().getLong(0) + 1L
+    val updated = graft.functions.GraphOps
+      .absorbComponents(live, edges, srcCol, dstCol)
+    val delta = updated
+      .join(live.select(col("id"), col("component").as("__old")), Seq("id"), "left")
+      .where(col("__old").isNull || col("__old") =!= col("component"))
+      .select(col("id"), col("component"), lit(nextEpoch).as("epoch"))
+      .localCheckpoint(true)
+    graft.sources.TableStore.saveBucketed(delta, labelTable,
+      bucketCols = Seq("id"), buckets = buckets, mode = SaveMode.Append)
+    delta
+  }
+
+  /** Continuous connected-component maintenance against a PERSISTED
+    * label store — the q99/dedupAgainstStore lifecycle for GRAPHS: each
+    * micro-batch of new edges is absorbed with [[absorbLabelsBatch]]
+    * (O(log delta) rounds, O(changed) appended rows), so batch N+1's
+    * live view sees batch N's merges, restarts resume from the
+    * warehouse, and batch consumers read the same table. State lives in
+    * the warehouse, not a streaming state store, for the same reasons
+    * as [[dedupAgainstStore]].
+    *
+    * @param onDelta called per micro-batch with (appended delta rows,
+    *                batchId)
+    */
+  def absorbComponentsStream(edges: DataFrame, srcCol: String, dstCol: String,
+                             labelTable: String, buckets: Int = 8)
+                            (onDelta: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      onDelta(absorbLabelsBatch(batch.toDF(), srcCol, dstCol, labelTable, buckets), batchId)
+    }
+    edges.writeStream.outputMode("append").foreachBatch(body).start()
+  }
+
   /** Streaming count-min sketch: the d×w cell table of
     * [[graft.functions.SketchOps.cmsBuild]] maintained as a STREAMING
     * AGGREGATION — the rare unbounded-stream aggregate whose state is

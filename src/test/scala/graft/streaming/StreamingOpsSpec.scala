@@ -281,6 +281,67 @@ class StreamingOpsSpec extends SparkSpec {
       TableStore.dropTable(spark, tbl)
     }
   }
+
+  test("absorbComponentsStream maintains the persisted label store across batches") {
+    import graft.functions.GraphOps
+    import graft.sources.TableStore
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "graft_stream_label_store"
+    // seed: two components {1,2,3} and {10,11}, plus singleton 20
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val seeded = GraphOps.connectedComponents(base, "src", "dst")
+      .unionByName(Seq((20L, 20L)).toDF("id", "component"))
+    TableStore.dropTable(spark, tbl)
+    TableStore.saveBucketed(seeded.withColumn("epoch", lit(0L)), tbl,
+      bucketCols = Seq("id"), buckets = 4)
+
+    // the stream appends from foreachBatch's CLONED session, which
+    // refreshes its own relation cache, not this session's — an external
+    // reader of an appended table refreshes before reading (the standard
+    // cross-session metadata contract)
+    def liveMap() = {
+      spark.catalog.refreshTable(tbl)
+      GraphOps.liveLabels(TableStore.loadTable(spark, tbl))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+    val deltaSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ms = MemoryStream[(Long, Long)]
+    val q = StreamingOps.absorbComponentsStream(
+      ms.toDF().toDF("src", "dst"), "src", "dst", tbl, buckets = 4) {
+      (delta, _) => deltaSizes.synchronized { deltaSizes += delta.count() }
+    }
+    try {
+      // batch 1 merges {10,11} into {1,2,3} and attaches new node 30
+      ms.addData((3L, 10L), (30L, 11L))
+      q.processAllAvailable()
+      assert(liveMap() == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L,
+        11L -> 1L, 20L -> 20L, 30L -> 1L))
+      // batch 2 merges the singleton via batch 1's component — only
+      // visible if batch 2's live view includes batch 1's appends
+      ms.addData((20L, 30L))
+      q.processAllAvailable()
+      assert(liveMap() == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L,
+        11L -> 1L, 20L -> 1L, 30L -> 1L))
+      // appends are CHANGED rows only: batch 1 relabels 10, 11 and adds
+      // 30 (3 rows); batch 2 relabels 20 (1 row)
+      assert(deltaSizes.synchronized(deltaSizes.toSeq) == Seq(3L, 1L))
+      // merge-on-read: nothing rewritten, epochs accumulate
+      spark.catalog.refreshTable(tbl)
+      val byEpoch = TableStore.loadTable(spark, tbl)
+        .groupBy("epoch").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byEpoch == Map(0L -> 6L, 1L -> 3L, 2L -> 1L))
+      // the live view equals a from-scratch CC over everything seen
+      val full = GraphOps.connectedComponents(
+        base.unionByName(Seq((3L, 10L), (30L, 11L), (20L, 30L)).toDF("src", "dst")),
+        "src", "dst").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(liveMap() == full)
+    } finally {
+      q.stop()
+      TableStore.dropTable(spark, tbl)
+    }
+  }
 }
 
 class CmsStreamSpec extends graft.SparkSpec {
