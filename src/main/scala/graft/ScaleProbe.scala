@@ -48,6 +48,20 @@ object ScaleProbe {
       SimilarityOps.embeddingDupPairs(plantedCorpus(s, dir), "vec_id", "embedding",
         threshold = 0.9, nBits = 63, bands = 3)
         .select("id_a", "id_b")
+    }),
+    // q146's deployment rule APPLIED: the candidate budget scales
+    // LINEARLY with the corpus (the gate pins 13000 at 500 docs = 26
+    // pairs/doc; here budget = 26·n_docs), so the candidate stage's
+    // work per doc is constant by construction across decades — the
+    // measurement that certifies the budget contract where q111's
+    // fixed guard measured 6.7× in the second decade.
+    "q146_budget_scaled" -> ((s, dir) => {
+      import graft.functions.DedupOps
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val n = d.count() // planning scalar: sizes the budget, as a caller would
+      val pairs = DedupOps.ngramJaccardPairsBudget(d, "text", "doc_id",
+        n = 3, threshold = 0.3, candidateBudget = 26L * n)
+      DedupOps.clusterRepresentatives(d, pairs, "doc_id", "n_chars")
     })
   )
 
