@@ -328,8 +328,15 @@ object DedupOps {
       .localCheckpoint(false)
     // min-label propagation strictly decreases the label sum until the
     // fixpoint — early-exit on convergence (near-dup components are tiny,
-    // so this usually stops after 1-2 rounds regardless of corpus size)
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    // so this usually stops after 1-2 rounds regardless of corpus size).
+    // An EMPTY pair set sums to NULL (sum over zero rows) — read it as 0
+    // rather than crashing: a guard/threshold regime that admits no
+    // pairs is a valid outcome (every doc its own singleton downstream)
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum("label")).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var prevSum = labelSum(labels)
     var r = 1
     var converged = false
     while (r < rounds && !converged) {
@@ -341,7 +348,7 @@ object DedupOps {
       labels = withSelf.join(labels, withSelf("id_b") === labels("id"))
         .groupBy(withSelf("id_a").as("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(false)
-      val curSum = labels.agg(sum("label")).head().getLong(0)
+      val curSum = labelSum(labels)
       converged = curSum == prevSum
       prevSum = curSum
       r += 1

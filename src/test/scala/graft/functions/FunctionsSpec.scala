@@ -459,6 +459,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("clusterRepresentatives with an EMPTY pair set: every doc a kept singleton") {
+    // a guard/threshold regime admitting no pairs is a valid outcome —
+    // dedupClusters' convergence sum over zero rows is NULL and must
+    // read as 0, not crash (the q146 sf1 regression)
+    val docs = Seq((1L, "aa bb cc", 8L), (2L, "dd ee ff", 8L))
+      .toDF("doc_id", "text", "n_chars")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = DedupOps.clusterRepresentatives(docs, noPairs, "doc_id", "n_chars")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster"),
+        r.getAs[Boolean]("kept"))).toSet
+    assert(out == Set((1L, 1L, true), (2L, 2L, true)))
+  }
+
   test("budget-derived guard: huge budget reproduces the unguarded pair set") {
     val byBudget = DedupOps.ngramJaccardPairsBudget(df, "text", "doc_id",
       n = 3, threshold = 0.5, candidateBudget = Long.MaxValue)
