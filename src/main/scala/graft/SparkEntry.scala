@@ -1379,6 +1379,101 @@ object SparkEntry {
     //    corpus keeps the stage linear by construction. Budget 13000
     //    derives guard 4 at gate scale, exercising both the histogram
     //    derivation and the guard filter against the oracle.
+    // ── extension: label-store COMPACTION — the second half of q151's
+    //    merge-on-read cycle: fold every node's epoch history to one
+    //    epoch-0 row (one id-keyed aggregate on the bucketed scan) and
+    //    certify liveLabels(compacted) ≡ liveLabels(appended) via an
+    //    engine-side multiset diff that must read 0, plus the compacted
+    //    row count (= labeled nodes, the read-amplification win).
+    "q152_label_compaction" -> ((s, dir) => {
+      import graft.sources.TableStore
+      import graft.functions.GraphOps
+      // building the q151 frame rebuilds its store table eagerly (the
+      // absorb chain is this query's setup under test)
+      queries("q151_graph_store_parity")(s, dir)
+      val src = "graft_q151_label_store"
+      val dst = "graft_q152_label_store"
+      val before = GraphOps.liveLabels(TableStore.loadTable(s, src))
+        .localCheckpoint(false)
+      TableStore.dropTable(s, dst)
+      TableStore.saveBucketed(
+        GraphOps.compactLabels(TableStore.loadTable(s, src)), dst,
+        bucketCols = Seq("id"), buckets = 8)
+      val store2 = TableStore.loadTable(s, dst)
+      val after = GraphOps.liveLabels(store2).localCheckpoint(false)
+      val diff = before.unionByName(after)
+        .groupBy("id", "component").agg(count(lit(1)).as("c"))
+        .where(col("c") =!= 2)
+        .agg(count(lit(1)).as("n_diff"))
+      after
+        .crossJoin(broadcast(store2.agg(count(lit(1)).as("store_rows"))))
+        .crossJoin(broadcast(diff))
+        .orderBy("id")
+    }),
+    // ── extension: Z-ORDER layout statistics — the multi-dimensional
+    //    data-skipping layout quantified: the same rows cut into 64
+    //    files by Morton z-range vs by a single-column sort, with
+    //    per-file per-dimension spans. Every z-order file is a small
+    //    rectangle (span_y_bp ~ 1250) where every x-sorted stripe spans
+    //    the full y domain (span_y_bp = 10000): a y-predicate prunes
+    //    ~7/8 of z-order files and reads EVERY stripe. Dims are
+    //    hash-spread over the 16-bit domain so all 64 files exist at
+    //    every SF; map pass + file-keyed aggregate, nothing sorted.
+    "q153_zorder_layout" -> ((s, dir) => {
+      val d = T(s, dir, "lineitem").select(
+        pmod(DedupOps.hash60(col("l_partkey").cast("string")), lit(65536L)).as("x"),
+        pmod(DedupOps.hash60(col("l_suppkey").cast("string")), lit(65536L)).as("y"))
+      val zs = graft.operators.ZOrder.layoutStats(d, "x", "y", bits = 16, nFiles = 64)
+        .select(lit("zorder").as("layout"), col("file_id"), col("n_rows"),
+          col("min_x"), col("max_x"), col("min_y"), col("max_y"),
+          col("span_x_bp"), col("span_y_bp"))
+      val xs = d
+        .groupBy(call_function("shiftright", col("x"), lit(10)).as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .select(lit("xsort").as("layout"), col("file_id"), col("n_rows"),
+          col("min_x"), col("max_x"), col("min_y"), col("max_y"),
+          expr("(max_x - min_x + 1) * 10000 div 65536").as("span_x_bp"),
+          expr("(max_y - min_y + 1) * 10000 div 65536").as("span_y_bp"))
+      zs.unionByName(xs).orderBy("layout", "file_id")
+    }),
+    // ── extension: ENCODING-ANOMALY profile (mojibake QA) — U+FFFD
+    //    replacement chars, C1-control debris, and the double-encoded
+    //    UTF-8 signature (Ã + continuation-range char), counted per doc
+    //    by three map-only regexp scans. Anomalies are injected
+    //    deterministically (doc_id mod 17/19/23) so every counter and
+    //    the clean flag are exercised against the oracle.
+    "q154_encoding_anomalies" -> ((s, dir) => {
+      val injected = T(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(17)) === 0, lit(" caf\u00C3\u00A9")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(19)) === 0, lit(" bad\uFFFDchar")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(23)) === 0, lit(" ctl\u0085x")).otherwise(lit(""))).as("text"))
+      val a = TextFunctions.encodingAnomalies(col("text"))
+      injected.select(col("doc_id"),
+          a.getField("n_repl").as("n_repl"),
+          a.getField("n_c1").as("n_c1"),
+          a.getField("n_double").as("n_double"))
+        .withColumn("clean", col("n_repl") + col("n_c1") + col("n_double") === 0)
+        .orderBy("doc_id")
+    }),
+    // ── extension: TRIANGLE COUNT by degree orientation (Suri &
+    //    Vassilvitskii) — wedge volume O(m^1.5) under any hub skew.
+    //    Fixture graph: consecutive-rank chords within each source
+    //    (rank distance 1 and 2), giving one triangle per consecutive
+    //    rank triple; the oracle counts them generically by a
+    //    three-way edge join, not the closed form.
+    "q155_triangle_count" -> ((s, dir) => {
+      val rk = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          row_number().over(Window.partitionBy("source").orderBy("doc_id")).as("r"))
+      val e = rk.as("a").join(rk.as("b"),
+          col("a.source") === col("b.source") &&
+            (col("b.r") - col("a.r")).isin(1, 2))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      graft.functions.GraphOps.triangleCount(e, "src", "dst")
+    }),
     // ── extension: the q99 lifecycle for GRAPHS — q144's incremental
     //    absorption run against a PERSISTED epoch-appended label store
     //    (StreamingOps.absorbLabelsBatch, the exact foreachBatch body of
@@ -3302,6 +3397,76 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q152_label_compaction" ->
+      """WITH stats AS (
+           SELECT user_id, user_id % 97 AS cls, count(*) AS n_ev,
+             min(event_id) AS me
+           FROM events GROUP BY 1, 2),
+         cstats AS (SELECT cls, count(*) AS n_users, min(me) AS cmin
+                    FROM stats GROUP BY 1),
+         pres AS (SELECT DISTINCT s.cls
+                  FROM stats s JOIN cstats c ON c.cls = s.cls
+                  WHERE s.n_ev >= 2 OR c.n_users >= 2),
+         pc AS (SELECT p.cls, c.cmin FROM pres p JOIN cstats c ON c.cls = p.cls),
+         g4 AS (SELECT cls - cls % 4 AS g, min(cmin) AS g4comp FROM pc GROUP BY 1),
+         lab AS (SELECT e.event_id AS id, g4.g4comp
+                 FROM events e
+                 JOIN stats s ON s.user_id = e.user_id
+                 JOIN cstats c ON c.cls = s.cls
+                 JOIN g4 ON g4.g = s.cls - (s.cls % 4)
+                 WHERE s.n_ev >= 2 OR c.n_users >= 2),
+         nrows AS (SELECT CAST(count(*) AS BIGINT) AS store_rows FROM lab)
+         SELECT l.id, l.g4comp AS component, n.store_rows,
+           CAST(0 AS BIGINT) AS n_diff
+         FROM lab l CROSS JOIN nrows n ORDER BY id""",
+    "q153_zorder_layout" ->
+      """WITH d AS (
+           SELECT CAST('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15) AS BIGINT) % 65536 AS x,
+                  CAST('0x'||substr(md5(CAST(l_suppkey AS VARCHAR)),1,15) AS BIGINT) % 65536 AS y
+           FROM lineitem),
+         z AS (SELECT x, y,
+                 CAST(list_sum([(((x >> i) & 1) << (2*i+1)) + (((y >> i) & 1) << (2*i))
+                   for i in range(0, 16)]) AS BIGINT) AS zv
+               FROM d),
+         zs AS (SELECT 'zorder' AS layout, zv >> 26 AS file_id,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+                FROM z GROUP BY 2),
+         xs AS (SELECT 'xsort' AS layout, x >> 10 AS file_id,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+                FROM d GROUP BY 2)
+         SELECT layout, file_id, n_rows, min_x, max_x, min_y, max_y,
+           (max_x - min_x + 1) * 10000 // 65536 AS span_x_bp,
+           (max_y - min_y + 1) * 10000 // 65536 AS span_y_bp
+         FROM (SELECT * FROM zs UNION ALL SELECT * FROM xs)
+         ORDER BY layout, file_id""",
+    "q154_encoding_anomalies" ->
+      """WITH inj AS (
+           SELECT doc_id, text ||
+             (CASE WHEN doc_id % 17 = 0 THEN ' caf' || chr(195) || chr(169) ELSE '' END) ||
+             (CASE WHEN doc_id % 19 = 0 THEN ' bad' || chr(65533) || 'char' ELSE '' END) ||
+             (CASE WHEN doc_id % 23 = 0 THEN ' ctl' || chr(133) || 'x' ELSE '' END) AS t
+           FROM documents),
+         c AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '\x{FFFD}')) AS BIGINT) AS n_repl,
+             CAST(len(regexp_extract_all(t, '[\x{0080}-\x{009F}]')) AS BIGINT) AS n_c1,
+             CAST(len(regexp_extract_all(t, '\x{00C3}[\x{0080}-\x{00BF}]')) AS BIGINT) AS n_double
+           FROM inj)
+         SELECT doc_id, n_repl, n_c1, n_double,
+           n_repl + n_c1 + n_double = 0 AS clean
+         FROM c ORDER BY doc_id""",
+    "q155_triangle_count" ->
+      """WITH rk AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+           FROM documents),
+         e AS (SELECT a.doc_id AS u, b.doc_id AS v
+               FROM rk a JOIN rk b ON a.source = b.source AND b.r - a.r IN (1, 2)),
+         t AS (SELECT count(*) AS n
+               FROM e e1
+               JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+               JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+         SELECT CAST(n AS BIGINT) AS n_triangles FROM t""",
     "q151_graph_store_parity" ->
       """WITH stats AS (
            SELECT user_id, user_id % 97 AS cls, count(*) AS n_ev,

@@ -358,4 +358,67 @@ object GraphOps {
   def liveLabels(store: DataFrame): DataFrame =
     store.groupBy("id")
       .agg(max_by(col("component"), col("epoch")).as("component"))
+
+  /** COMPACTION of an epoch-appended label store: fold every node's
+    * epoch history to one epoch-0 row of its live label. The second half
+    * of the merge-on-read cycle — absorb batches append deltas
+    * ([[graft.streaming.StreamingOps.absorbLabelsBatch]]), reads pay one
+    * latest-epoch aggregate per query, and when the delta mass crosses a
+    * threshold this rewrite restores read cost to a bare scan. The
+    * rewrite is ONE id-keyed aggregate over the store (bucketed scan →
+    * no Exchange) and is semantics-preserving by definition:
+    * `liveLabels(compactLabels(s)) ≡ liveLabels(s)` — which is exactly
+    * what the q152 gate certifies. Same cycle every deletion-vector
+    * table format runs; same discipline as the signature store's
+    * `save(liveStore(...))` compaction. */
+  def compactLabels(store: DataFrame): DataFrame =
+    liveLabels(store).withColumn("epoch", lit(0L))
+
+  /** TRIANGLE COUNT by degree orientation (the MapReduce-classic
+    * Suri & Vassilvitskii 2011 shape): orient every undirected edge from
+    * its lower-(degree, id) endpoint to the higher, generate wedges by
+    * joining out-edges on their source, and close each wedge against the
+    * oriented edge set. Orientation is what makes this scale: a node's
+    * OUT-degree under degree-ordering is O(√m), so wedge volume is
+    * Σ outdeg² = O(m^1.5) regardless of hub skew — the naive
+    * neighbor-join explodes quadratically on the hottest node. Three
+    * shuffles of the edge list (degree join, wedge join, closing join);
+    * nothing touches the driver.
+    *
+    * @param edges undirected; duplicates/self-loops/directions
+    *              canonicalized away
+    * @return one row: (n_triangles) — each triangle counted exactly once
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    // (deg, id) is a TOTAL order, so "oriented edge" is well-defined and
+    // the closing edge of any wedge is (lower-ord, higher-ord) — struct
+    // comparison keeps ids full-width (no packed-long overflow at scale)
+    val o = e
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("a"), col("v").as("b"),
+            struct(col("dv").as("d"), col("v").as("n")).as("ordb")))
+          .otherwise(
+            struct(col("v").as("a"), col("u").as("b"),
+              struct(col("du").as("d"), col("u").as("n")).as("ordb")))
+          .as("oe"))
+      .select(col("oe.a").as("a"), col("oe.b").as("b"), col("oe.ordb").as("ordb"))
+      .localCheckpoint(false) // feeds the wedge join twice + the close
+    val wedges = o.select(col("a"), col("b").as("wb"), col("ordb").as("ob"))
+      .join(o.select(col("a"), col("b").as("wc"), col("ordb").as("oc")), Seq("a"))
+      .where(col("ob") < col("oc"))
+      .select(col("wb"), col("wc"))
+    wedges.join(o.select(col("a").as("wb"), col("b").as("wc")), Seq("wb", "wc"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

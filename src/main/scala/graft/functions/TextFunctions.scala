@@ -178,6 +178,21 @@ object TextFunctions {
     size(regexp_extract_all(text, lit(emailRe), lit(0))).as("n_emails"),
     size(regexp_extract_all(regexp_replace(text, emailRe, "<EMAIL>"), lit(phoneRe), lit(0))).as("n_phones"))
 
+  /** ENCODING-ANOMALY profile — the corpus-hygiene pass that catches
+    * text mangled in transit before it poisons training: counts of
+    * (a) U+FFFD replacement characters (decoder already gave up),
+    * (b) C1 control characters U+0080–U+009F (Windows-1252 bytes read
+    * as Latin-1/UTF-8 debris), and (c) the double-encoded-UTF-8
+    * signature Ã followed by a continuation-range character (U+00C3 is
+    * the first byte of every UTF-8-encoded U+00C0–U+00FF Latin-1 char;
+    * seeing it followed by U+0080–U+00BF in DECODED text means UTF-8
+    * bytes were decoded as Latin-1 and re-encoded). Map-only regexp
+    * counts — three codegen'd scans of each string, no shuffle. */
+  def encodingAnomalies(text: Column): Column = struct(
+    regexp_count(text, lit("\\uFFFD")).cast("long").as("n_repl"),
+    regexp_count(text, lit("[\\u0080-\\u009F]")).cast("long").as("n_c1"),
+    regexp_count(text, lit("\\u00C3[\\u0080-\\u00BF]")).cast("long").as("n_double"))
+
   /** Benchmark decontamination: count how many of a document's n-gram
     * shingles appear in a probe set (e.g. eval-set n-grams). Join on the
     * shingle — the probe side is tiny and broadcast; the corpus explodes

@@ -19,6 +19,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(m == Map(1L -> 3, 2L -> 0, 3L -> 1))
   }
 
+  test("encodingAnomalies counts replacement chars, C1 debris, and double-encoded UTF-8") {
+    val d = docs(
+      1L -> "clean ascii text",
+      2L -> "bad � twice � here",
+      3L -> "nel\u0085mid and \u0099 more", // two C1 controls
+      4L -> "cafÃ© menÃº", // Ã© Ãº double-encoded
+      5L -> "plain café")                 // real é: NOT an anomaly
+    val out = d.select($"doc_id", TextFunctions.encodingAnomalies($"text").as("a"))
+      .select($"doc_id", $"a.n_repl", $"a.n_c1", $"a.n_double")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((0L, 0L, 0L)))
+    assert(out(2L) == ((2L, 0L, 0L)))
+    assert(out(3L) == ((0L, 2L, 0L)))
+    assert(out(4L) == ((0L, 0L, 2L)))
+    assert(out(5L) == ((0L, 0L, 0L)))
+  }
+
   test("qualityFeatures reports zero tokens and zero ratios for empty text") {
     val d = docs(1L -> "", 2L -> "   ", 3L -> "real text here")
     val f = TextFunctions.qualityFeatures($"text")

@@ -167,6 +167,56 @@ class GraphOpsSpec extends SparkSpec {
     assert(inc == full)
   }
 
+  test("triangleCount: known graphs, duplicate/direction/self-loop canonicalization") {
+    def tri(edges: Seq[(Long, Long)]): Long =
+      GraphOps.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+        .head().getLong(0)
+    // K4 has 4 triangles; directions, duplicates, self-loops must not count
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(tri(k4) == 4L)
+    assert(tri(k4 ++ k4.map(_.swap) ++ Seq((1L, 1L), (2L, 2L))) == 4L)
+    // a path has none; a 4-cycle has none; cycle + one chord = 2
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == 0L)
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) == 0L)
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))) == 2L)
+    // hub star: no triangles despite maximal skew
+    assert(tri((2L to 30L).map(i => (1L, i))) == 0L)
+  }
+
+  test("triangleCount matches a brute-force reference on random graphs") {
+    val rng = new scala.util.Random(21)
+    for (_ <- 1 to 3) {
+      val n = 12
+      val edges = (for {
+        u <- 1 to n; v <- (u + 1) to n
+        if rng.nextDouble() < 0.4
+      } yield (u.toLong, v.toLong)).toSeq
+      val es = edges.toSet
+      val expected = (for {
+        u <- 1 to n; v <- (u + 1) to n; w <- (v + 1) to n
+        if es((u.toLong, v.toLong)) && es((u.toLong, w.toLong)) && es((v.toLong, w.toLong))
+      } yield 1).size.toLong
+      val got = GraphOps.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+        .head().getLong(0)
+      assert(got == expected)
+    }
+  }
+
+  test("compactLabels preserves the live view and folds epochs to one row per id") {
+    val store = Seq(
+      (1L, 10L, 0L), (2L, 10L, 0L), (3L, 3L, 0L),
+      (1L, 1L, 1L), (2L, 1L, 2L)).toDF("id", "component", "epoch")
+    val compact = GraphOps.compactLabels(store)
+    val live = GraphOps.liveLabels(store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val liveC = GraphOps.liveLabels(compact).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    assert(liveC == live)
+    assert(compact.count() == 3)
+    assert(compact.select("epoch").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
   test("iterative operators keep a constant-size plan per iteration (lineage truncation)") {
     // The regression mode both operators were tuned out of: without the
     // per-round localCheckpoint, the returned frame's plan grows with the
