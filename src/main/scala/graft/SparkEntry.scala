@@ -1379,6 +1379,32 @@ object SparkEntry {
     //    corpus keeps the stage linear by construction. Budget 13000
     //    derives guard 4 at gate scale, exercising both the histogram
     //    derivation and the guard filter against the oracle.
+    // ── extension: one-pass Pearson CORRELATION MATRIX over integer-
+    //    quantized columns — the feature-redundancy profile. All moment
+    //    sums integer (engine-exact) out of ONE map-side-partial
+    //    aggregate; correlations are closed-form doubles over the 1-row
+    //    sums, micro-quantized.
+    "q156_corr_matrix" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_discount") * 100).cast("long").as("disc_pct"),
+        round(col("l_tax") * 100).cast("long").as("tax_pct"),
+        col("l_linenumber").cast("long").as("lineno"))
+      graft.functions.ProfileOps
+        .corrMatrix(li, Seq("qty", "disc_pct", "tax_pct", "lineno"))
+        .orderBy("col_a", "col_b")
+    }),
+    // ── extension: per-source token SHANNON ENTROPY (milli-nats) — the
+    //    diversity scalar beside q126's concentration profile; a
+    //    boilerplate-collapsed source flags as low entropy. Integer-term
+    //    discipline: each vocab row contributes c·round(1000·ln(c/N)),
+    //    the reduction sums integers (order-independent), margin to the
+    //    rounding boundary checked at the gate (min 0.0056 ≫ libm ulp).
+    "q157_source_entropy" -> ((s, dir) => {
+      graft.functions.ProfileOps
+        .tokenEntropy(T(s, dir, "documents"), "source", "text")
+        .orderBy("source")
+    }),
     // ── extension: label-store COMPACTION — the second half of q151's
     //    merge-on-read cycle: fold every node's epoch history to one
     //    epoch-0 row (one id-keyed aggregate on the bucketed scan) and
@@ -3397,6 +3423,55 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q156_corr_matrix" ->
+      """WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_discount*100) AS BIGINT) AS disc_pct,
+             CAST(round(l_tax*100) AS BIGINT) AS tax_pct,
+             CAST(l_linenumber AS BIGINT) AS lineno FROM lineitem),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(qty) AS BIGINT) AS s0, CAST(sum(disc_pct) AS BIGINT) AS s1, CAST(sum(tax_pct) AS BIGINT) AS s2, CAST(sum(lineno) AS BIGINT) AS s3, CAST(sum(qty*qty) AS BIGINT) AS p00, CAST(sum(qty*disc_pct) AS BIGINT) AS p01, CAST(sum(qty*tax_pct) AS BIGINT) AS p02, CAST(sum(qty*lineno) AS BIGINT) AS p03, CAST(sum(disc_pct*disc_pct) AS BIGINT) AS p11, CAST(sum(disc_pct*tax_pct) AS BIGINT) AS p12, CAST(sum(disc_pct*lineno) AS BIGINT) AS p13, CAST(sum(tax_pct*tax_pct) AS BIGINT) AS p22, CAST(sum(tax_pct*lineno) AS BIGINT) AS p23, CAST(sum(lineno*lineno) AS BIGINT) AS p33 FROM d)
+         SELECT 'qty' AS col_a, 'disc_pct' AS col_b,
+           CAST(round((CAST(n AS DOUBLE)*CAST(p01 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s1 AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE)*CAST(p00 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE)*CAST(p11 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))) * 1000000) AS BIGINT) AS corr_micro
+         FROM m
+         UNION ALL SELECT 'qty' AS col_a, 'tax_pct' AS col_b,
+           CAST(round((CAST(n AS DOUBLE)*CAST(p02 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s2 AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE)*CAST(p00 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE)*CAST(p22 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE))) * 1000000) AS BIGINT) AS corr_micro
+         FROM m
+         UNION ALL SELECT 'qty' AS col_a, 'lineno' AS col_b,
+           CAST(round((CAST(n AS DOUBLE)*CAST(p03 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s3 AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE)*CAST(p00 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE)*CAST(p33 AS DOUBLE) - CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE))) * 1000000) AS BIGINT) AS corr_micro
+         FROM m
+         UNION ALL SELECT 'disc_pct' AS col_a, 'tax_pct' AS col_b,
+           CAST(round((CAST(n AS DOUBLE)*CAST(p12 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s2 AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE)*CAST(p11 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE)*CAST(p22 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE))) * 1000000) AS BIGINT) AS corr_micro
+         FROM m
+         UNION ALL SELECT 'disc_pct' AS col_a, 'lineno' AS col_b,
+           CAST(round((CAST(n AS DOUBLE)*CAST(p13 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s3 AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE)*CAST(p11 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE)*CAST(p33 AS DOUBLE) - CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE))) * 1000000) AS BIGINT) AS corr_micro
+         FROM m
+         UNION ALL SELECT 'tax_pct' AS col_a, 'lineno' AS col_b,
+           CAST(round((CAST(n AS DOUBLE)*CAST(p23 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s3 AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE)*CAST(p22 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE)*CAST(p33 AS DOUBLE) - CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE))) * 1000000) AS BIGINT) AS corr_micro
+         FROM m
+         ORDER BY col_a, col_b""",
+    "q157_source_entropy" ->
+      """WITH toks AS (
+           SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+           FROM documents WHERE length(trim(text)) > 0),
+         wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+         t AS (SELECT source, CAST(sum(c) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS nv
+               FROM wc GROUP BY 1),
+         s AS (SELECT wc.source, any_value(t.nt) AS nt, any_value(t.nv) AS nv,
+                 CAST(sum(-(c * CAST(round(1000*ln(CAST(c AS DOUBLE)/CAST(t.nt AS DOUBLE))) AS BIGINT))) AS BIGINT) AS num
+               FROM wc JOIN t ON t.source = wc.source GROUP BY 1)
+         SELECT source, nt AS n_tokens, nv AS n_vocab, num // nt AS entropy_milli
+         FROM s ORDER BY source""",
     "q152_label_compaction" ->
       """WITH stats AS (
            SELECT user_id, user_id % 97 AS cls, count(*) AS n_ev,

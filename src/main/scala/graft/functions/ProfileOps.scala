@@ -267,4 +267,79 @@ object ProfileOps {
     kc.unpersist(blocking = false)
     top
   }
+
+  /** Pearson CORRELATION MATRIX over integer-quantized columns in ONE
+    * pass — the feature-redundancy profile before a mixture/weighting
+    * design treats two signals as independent. All moment sums (Σx,
+    * Σxy, Σx², n) are INTEGER aggregates — exact and addition-order-
+    * independent, so the sums are engine-identical — and the k(k+1)/2+k
+    * sums come out of a single map-side-partial aggregate over the
+    * corpus (one reduce of ONE row, no per-pair passes). The correlation
+    * itself is one closed-form double expression per pair over those
+    * exact sums (identical IEEE op order on any engine), emitted as
+    * micro units; pair rows are k²-sized model state built over the
+    * 1-row aggregate.
+    *
+    * Caller contract (ANSI): columns must be integer-quantized and
+    * bounded so Σ|x·y| fits int64 — quantize units DOWN (dollars, pct)
+    * rather than up when the corpus is large.
+    *
+    * @return one row per unordered pair i < j:
+    *         (col_a, col_b, corr_micro)
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix needs >= 2 columns, got ${cols.size}")
+    val k = cols.size
+    val aggs =
+      cols.map(c => sum(col(c).cast("long")).as(s"s_$c")) ++
+        (for { i <- 0 until k; j <- i until k } yield
+          sum(col(cols(i)).cast("long") * col(cols(j)).cast("long")).as(s"p_${i}_$j")) :+
+        count(lit(1)).as("n")
+    val m = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true) // 1 row
+    val pairs = for { i <- 0 until k; j <- (i + 1) until k } yield {
+      val (a, b) = (cols(i), cols(j))
+      val n = col("n").cast("double")
+      val sa = col(s"s_$a").cast("double")
+      val sb = col(s"s_$b").cast("double")
+      val num = n * col(s"p_${i}_$j").cast("double") - sa * sb
+      val den = sqrt(n * col(s"p_${i}_$i").cast("double") - sa * sa) *
+        sqrt(n * col(s"p_${j}_$j").cast("double") - sb * sb)
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(num / den * 1000000).cast("long").as("corr_micro"))
+    }
+    pairs.reduce(_ unionByName _)
+  }
+
+  /** Per-group token SHANNON ENTROPY in milli-nats — the diversity
+    * metric alongside [[skewProfile]]'s concentration one (a source
+    * whose token distribution has collapsed is boilerplate; entropy is
+    * the scalar that flags it). ENGINE-PORTABLE by the integer-term
+    * discipline: each vocabulary row contributes the integer
+    * c·round(1000·ln(c/N)) and the per-group reduction SUMS INTEGERS
+    * (order-independent); the only float math is the per-row ln — the
+    * q97 milli-nat pattern. Two aggregates: (group, token) counts (the
+    * corpus pass, map-side partials) then a group-keyed vocabulary
+    * reduction; group totals broadcast.
+    *
+    * @return (groupCol, n_tokens, n_vocab, entropy_milli) where
+    *         entropy_milli = −(Σ_w c_w·round(1000·ln(c_w/N))) div N
+    */
+  def tokenEntropy(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val wc = df
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(groupCol).as("g"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .groupBy("g", "w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = wc.groupBy("g")
+      .agg(sum("c").cast("long").as("nt"), count(lit(1)).as("nv"))
+    wc.join(broadcast(totals), Seq("g"))
+      .select(col("g"), col("nt"), col("nv"),
+        (col("c") * round(log(col("c").cast("double") / col("nt").cast("double")) * 1000)
+          .cast("long")).as("term"))
+      .groupBy(col("g").as(groupCol), col("nt").as("n_tokens"), col("nv").as("n_vocab"))
+      .agg((-sum(col("term"))).as("num"))
+      .select(col(groupCol), col("n_tokens"), col("n_vocab"),
+        expr("num div n_tokens").as("entropy_milli"))
+  }
 }

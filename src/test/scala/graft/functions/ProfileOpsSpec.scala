@@ -172,4 +172,34 @@ class ExactQuantilesSpec extends graft.SparkSpec {
     // drifted distribution: positive total PSI
     assert(out.map(_._4).sum > 0)
   }
+
+  test("corrMatrix: perfect, inverse, and independent pairs") {
+    import spark.implicits._
+    // b = 2a (corr 1), c = -a + 10 (corr -1), d alternates independent of a
+    val d = (1L to 40L).map(i => (i, 2 * i, 10 - i, if (i % 2 == 0) 1L else 0L))
+      .toDF("a", "b", "c", "d")
+    val m = ProfileOps.corrMatrix(d, Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("a", "b")) == 1000000L)
+    assert(m(("a", "c")) == -1000000L)
+    assert(math.abs(m(("a", "d"))) < 100000L) // alternating parity ~ uncorrelated
+    assert(m.size == 6)
+  }
+
+  test("tokenEntropy: uniform beats collapsed; values match the closed form") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "u", "a b c d"),            // uniform over 4 -> ln 4
+      (2L, "k", "x x x x x x x y")) // collapsed -> low entropy
+      .toDF("doc_id", "source", "text")
+    val out = ProfileOps.tokenEntropy(d, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def ref(counts: Seq[Long]): Long = {
+      val n = counts.sum
+      -counts.map(c => c * math.round(1000 * math.log(c.toDouble / n))).sum / n
+    }
+    assert(out("u") == ((4L, 4L, ref(Seq(1, 1, 1, 1)))))
+    assert(out("k") == ((8L, 2L, ref(Seq(7, 1)))))
+    assert(out("u")._3 > out("k")._3)
+  }
 }
