@@ -1494,10 +1494,15 @@ object SparkEntry {
       val rk = T(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           row_number().over(Window.partitionBy("source").orderBy("doc_id")).as("r"))
-      val e = rk.as("a").join(rk.as("b"),
-          col("a.source") === col("b.source") &&
-            (col("b.r") - col("a.r")).isin(1, 2))
-        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .localCheckpoint(false) // both sides of the chord join read it
+      // chords as EQUI-joins on (source, r+offset) — a join keyed on
+      // source alone with a rank-distance post-filter is a per-source
+      // n² cross product (1.25e10 candidate rows at sf10, measured);
+      // the exploded-offset equi-key keeps edge construction linear
+      val shifted = rk.select(col("source"), col("doc_id").as("src"),
+          explode(array(col("r") + 1, col("r") + 2)).as("r"))
+      val e = shifted.join(rk, Seq("source", "r"))
+        .select(col("src"), col("doc_id").as("dst"))
       graft.functions.GraphOps.triangleCount(e, "src", "dst")
     }),
     // ── extension: the q99 lifecycle for GRAPHS — q144's incremental
