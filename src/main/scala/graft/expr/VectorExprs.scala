@@ -376,6 +376,53 @@ case class IntPow(left: Expression, right: Expression)
   override def prettyName: String = "int_pow"
 }
 
+/** Native Morton z-value: interleave the low `bits` bits of x (odd
+  * positions) and y (even) — the [[graft.operators.ZOrder]] layout key.
+  * Replaces the 16-iteration interpreted `aggregate(sequence(...))` fold
+  * (per-row lambda dispatch + an intermediate sequence array) with one
+  * primitive loop; identical math — disjoint bit terms summed in index
+  * order — so results are bit-identical to the lambda formulation (and
+  * to the SQL-comprehension oracle mirror). */
+case class ZValue(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (first.dataType == LongType && second.dataType == LongType &&
+        third.dataType == IntegerType && third.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "z_value expects (BIGINT x, BIGINT y, INT literal bits)")
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val x = a.asInstanceOf[Long]; val y = b.asInstanceOf[Long]
+    val bits = c.asInstanceOf[Int]
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z += (((x >> i) & 1L) << (2 * i + 1)) + (((y >> i) & 1L) << (2 * i))
+      i += 1
+    }
+    z
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xv, yv, bv) => {
+      val z = ctx.freshName("z"); val i = ctx.freshName("i")
+      s"""
+        long $z = 0L;
+        for (int $i = 0; $i < $bv; $i++) {
+          $z += ((($xv >> $i) & 1L) << (2 * $i + 1)) + ((($yv >> $i) & 1L) << (2 * $i));
+        }
+        ${ev.value} = $z;
+      """
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): ZValue =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "z_value"
+}
+
 object VectorFunctions {
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
@@ -392,5 +439,8 @@ object VectorFunctions {
       (args: Seq[Expression]) => SrpBucket(args(0), args(1))),
     (FunctionIdentifier("int_pow"),
       new ExpressionInfo(classOf[IntPow].getName, "int_pow"),
-      (args: Seq[Expression]) => IntPow(args(0), args(1))))
+      (args: Seq[Expression]) => IntPow(args(0), args(1))),
+    (FunctionIdentifier("z_value"),
+      new ExpressionInfo(classOf[ZValue].getName, "z_value"),
+      (args: Seq[Expression]) => ZValue(args(0), args(1), args(2))))
 }

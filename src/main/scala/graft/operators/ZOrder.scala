@@ -32,7 +32,12 @@ object ZOrder {
   /** Morton z-value of the low `bits` bits of `x` and `y` (x in odd bit
     * positions, y in even). Inputs outside [0, 2^bits) must be reduced
     * by the caller (`pmod`) — bucketized dimensions are the normal
-    * z-order input. */
+    * z-order input.
+    *
+    * This is the PORTABLE lambda formulation (the oracle mirror and the
+    * NativeKernelSpec pin); [[layoutStats]] evaluates the identical math
+    * through the codegen'd [[graft.expr.ZValue]] kernel — one primitive
+    * loop instead of a per-row interpreted fold over a sequence array. */
   def zValue(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits in [1,31], got $bits")
     aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) =>
@@ -65,9 +70,10 @@ object ZOrder {
       s"nFiles must be a power of two >= 2, got $nFiles")
     val logF = 31 - Integer.numberOfLeadingZeros(nFiles)
     require(2 * bits - logF >= 0, s"nFiles $nFiles too large for $bits-bit dims")
+    graft.expr.GraftFunctions.register(df.sparkSession)
     val x = pmod(col(xCol).cast("long"), lit(1L << bits))
     val y = pmod(col(yCol).cast("long"), lit(1L << bits))
-    val z = zValue(x, y, bits)
+    val z = call_function("z_value", x, y, lit(bits))
     df.select(
         call_function("shiftright", z, lit(2 * bits - logF)).as("file_id"),
         x.as("__x"), y.as("__y"))

@@ -78,6 +78,17 @@ class NativeKernelSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("native z_value == lambda Morton fold on random coordinates") {
+    val rng = new scala.util.Random(31)
+    val df = Seq.fill(100)((rng.nextInt(65536).toLong, rng.nextInt(65536).toLong))
+      .toDF("x", "y")
+    val rows = df.select(
+      call_function("z_value", $"x", $"y", lit(16)).as("native"),
+      graft.operators.ZOrder.zValue($"x", $"y", 16).as("lambda"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("codegen'd kernels compile and match eval with codegen fallback DISABLED") {
     // spark.sql.codegen.fallback=false turns a janino failure in our
     // doGenCode implementations into a hard error instead of a silent
@@ -92,10 +103,13 @@ class NativeKernelSpec extends SparkSpec {
       val rows = df.select(
         call_function("vec_dot", $"a", $"b").as("dot"),
         call_function("vec_eq_count", $"x", $"y").as("eq"),
-        call_function("int_pow", $"p", $"q").as("pw")).collect()
+        call_function("int_pow", $"p", $"q").as("pw"),
+        call_function("z_value", $"p", $"q", lit(2)).as("zv")).collect()
       assert(rows(0).getDouble(0) == (4.0 + 10.0 + 18.0))
       assert(rows(0).getInt(1) == 2)
       assert(rows(0).getLong(2) == 81L) // 3 ^ abs(-4)
+      // z of (3=0b11, -4 low 2 bits = 0b00): x bits at odd positions → 0b1010
+      assert(rows(0).getLong(3) == 10L)
       assert(rows(1).getDouble(0) == (1.0 - 3.0))
       assert(rows(1).getInt(1) == 2)
       // 2^63 wraps to Long.MinValue on the JVM — the reference's
