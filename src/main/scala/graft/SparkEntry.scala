@@ -1379,6 +1379,41 @@ object SparkEntry {
     //    corpus keeps the stage linear by construction. Budget 13000
     //    derives guard 4 at gate scale, exercising both the histogram
     //    derivation and the guard filter against the oracle.
+    // ── extension: CROSS-CORPUS exact-Jaccard join — a probe slice
+    //    (odd doc ids, the "new crawl") audited against a reference
+    //    slice (even ids) without forming the union's self-pairs: one
+    //    hash-keyed join between the two exploded sides, combined-df
+    //    hot-shingle guard, size-preserving semantics. The exact-side
+    //    companion of the q150 store absorb.
+    "q159_cross_jaccard" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      DedupOps.ngramJaccardJoin(
+        d.where(pmod(col("doc_id"), lit(2)) === 1),
+        d.where(pmod(col("doc_id"), lit(2)) === 0),
+        "text", "doc_id", n = 3, threshold = 0.3, maxDocFreq = 1000)
+        .orderBy("id_r", "id_s")
+    }),
+    // ── extension: PageRank CHECKPOINT/RESUME — q113's recurrence run
+    //    as 2 iterations, state handed off through an eagerly-
+    //    materialized rank vector, then 3 more via pageRankFrom. The
+    //    chain is BIT-EXACT vs the straight 5-iteration run (identical
+    //    dataflow from identical state), so the oracle IS q113's — the
+    //    property that makes persisted rank state resumable (warm-start
+    //    refresh after graph deltas) instead of recompute-from-uniform.
+    "q158_pagerank_resume" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .localCheckpoint(false) // both phases read the same edge frame
+      val warm = graft.functions.GraphOps
+        .pageRank(e, "src", "dst", damping = 0.85, iters = 2)
+        .localCheckpoint(true) // the persisted checkpoint being resumed
+      graft.functions.GraphOps
+        .pageRankFrom(e, "src", "dst", warm, damping = 0.85, iters = 3)
+        .select(col("id"), round(col("r") * 1000000).cast("long").as("rank_micro"))
+        .orderBy("id")
+    }),
     // ── extension: one-pass Pearson CORRELATION MATRIX over integer-
     //    quantized columns — the feature-redundancy profile. All moment
     //    sums integer (engine-exact) out of ONE map-side-partial
@@ -2484,7 +2519,12 @@ object SparkEntry {
     }),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    // q158 resumes q113's recurrence from a checkpointed rank vector;
+    // chaining is bit-exact, so its oracle IS q113's 5-iteration SQL
+    oracleSqlBase + ("q158_pagerank_resume" -> oracleSqlBase("q113_pagerank"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q01_function" ->
       """SELECT l_orderkey AS okey, l_linenumber AS lineno,
          l_extendedprice * (1 - l_discount) AS disc_price,
@@ -3428,6 +3468,26 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q159_cross_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
+           FROM toks),
+         ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
+         exh AS (SELECT doc_id, sz, CAST('0x'||substr(md5(shingle),1,15) AS BIGINT) AS h FROM ex),
+         hot AS (SELECT h FROM exh GROUP BY h HAVING count(*) > 1000),
+         f AS (SELECT * FROM exh WHERE h NOT IN (SELECT h FROM hot)),
+         common AS (
+           SELECT a.doc_id AS id_r, b.doc_id AS id_s, a.sz AS sz_r, b.sz AS sz_s, count(*) AS c
+           FROM f a JOIN f b ON a.h = b.h
+           WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+           GROUP BY 1, 2, 3, 4)
+         SELECT id_r, id_s, CAST(c AS DOUBLE) / (sz_r + sz_s - c) AS jaccard
+         FROM common WHERE CAST(c AS DOUBLE) / (sz_r + sz_s - c) >= 0.3
+         ORDER BY id_r, id_s""",
     "q156_corr_matrix" ->
       """WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
              CAST(round(l_discount*100) AS BIGINT) AS disc_pct,

@@ -784,6 +784,46 @@ object DedupOps {
     }
   }
 
+  /** CROSS-CORPUS n-gram Jaccard join (R ⋈ S, not a self-join): exact
+    * Jaccard pairs between a probe corpus and a reference corpus — the
+    * exact-side companion of [[incrementalMinhashDedupBanded]] for
+    * auditing a new crawl against an existing corpus (or an eval set
+    * against training data) without forming the union's self-pairs.
+    * Shared-shingle candidates only, one hash-keyed join between the
+    * two exploded sides; the hot-shingle guard drops shingles whose
+    * COMBINED document frequency across both corpora exceeds
+    * `maxDocFreq` (hot in either side explodes the join the same way),
+    * with the [[ngramJaccardPairs]] size-preservation semantics —
+    * dropped shingles still count toward |R| and |S|, so the guard can
+    * only lower a score. Pair work is Σ_h dfR_h·dfS_h over kept
+    * shingles. `maxDocFreq <= 0` disables the guard.
+    *
+    * @return (id_r, id_s, jaccard) with jaccard ≥ threshold
+    */
+  def ngramJaccardJoin(r: DataFrame, s: DataFrame,
+                       textCol: String, idCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxDocFreq: Long = 1000): DataFrame = {
+    graft.expr.GraftFunctions.register(r.sparkSession)
+    val exR = explodedShingles(r, textCol, idCol, n)
+    val exS = explodedShingles(s, textCol, idCol, n)
+    val (fR, fS) =
+      if (maxDocFreq <= 0) (exR, exS)
+      else {
+        val hot = exR.select("h").union(exS.select("h"))
+          .groupBy("h").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDocFreq).select("h")
+        (exR.join(broadcast(hot), Seq("h"), "left_anti"),
+          exS.join(broadcast(hot), Seq("h"), "left_anti"))
+      }
+    fR.select(col("h"), col("id").as("id_r"), col("sz").as("sz_r"))
+      .join(fS.select(col("h"), col("id").as("id_s"), col("sz").as("sz_s")), Seq("h"))
+      .groupBy("id_r", "id_s", "sz_r", "sz_s").agg(count(lit(1)).as("c"))
+      .select(col("id_r"), col("id_s"),
+        (col("c").cast("double") / (col("sz_r") + col("sz_s") - col("c"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Threshold at or above which [[ngramJaccardPairs]] switches from the
     * direct count join to the prefix-filtered join (prefix length is
     * (1-t)·|s|+1, so below ~0.5 the prefix stops pruning half the doc and

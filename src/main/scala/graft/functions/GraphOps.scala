@@ -50,7 +50,28 @@ object GraphOps {
     * @return (id, rank) for every node appearing in any edge; Σ rank = 1
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               damping: Double = 0.85, iters: Int = 5): DataFrame = {
+               damping: Double = 0.85, iters: Int = 5): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, None, damping, iters)
+
+  /** [[pageRank]] RESUMED from a previous rank vector — the checkpoint/
+    * restart (and incremental-refresh) form: feed a persisted (id, r)
+    * state back in and run `iters` more power iterations. Chaining is
+    * BIT-EXACT: `pageRankFrom(e, pageRank(e, k), m) ≡ pageRank(e, k+m)`
+    * (identical dataflow from identical state — the q158 oracle gate),
+    * so rank maintenance after a graph change can warm-start from the
+    * previous epoch's vector and converge in the few iterations the
+    * delta needs, instead of re-running the full recurrence from
+    * uniform. Nodes of `edges` missing from `initRanks` start at 1/N
+    * (new nodes since the checkpoint).
+    */
+  def pageRankFrom(edges: DataFrame, srcCol: String, dstCol: String,
+                   initRanks: DataFrame,
+                   damping: Double = 0.85, iters: Int = 5): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, Some(initRanks), damping, iters)
+
+  private def pageRankCore(edges: DataFrame, srcCol: String, dstCol: String,
+                           init: Option[DataFrame],
+                           damping: Double, iters: Int): DataFrame = {
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // cache edges PRE-PARTITIONED on the contribution-join key: the cached
@@ -83,9 +104,16 @@ object GraphOps {
     // exponential in the iteration count and the driver hung in
     // explainString. Checkpoints are the only iteration boundary whose
     // cost is flat in the round number.)
-    var ranks = nodes.crossJoin(nAgg)
-      .select(col("id"), (lit(1.0) / col("__n")).as("r"))
-      .coalesce(parts).localCheckpoint(false)
+    var ranks = (init match {
+      case None =>
+        nodes.crossJoin(nAgg)
+          .select(col("id"), (lit(1.0) / col("__n")).as("r"))
+      case Some(ir) =>
+        nodes.join(ir.select(col("id"), col("r").as("__r0")), Seq("id"), "left")
+          .crossJoin(nAgg)
+          .select(col("id"),
+            coalesce(col("__r0"), lit(1.0) / col("__n")).as("r"))
+    }).coalesce(parts).localCheckpoint(false)
     for (_ <- 1 to iters) {
       // rank ⋈ out-degree once per iteration, shared by the dangling-mass
       // aggregate and the contribution join via the (lazy) checkpoint

@@ -53,6 +53,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pageRankFrom chained from a checkpoint is bit-exact vs the straight run") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 5L)).toDF("src", "dst")
+    val straight = GraphOps.pageRank(edges, "src", "dst", 0.85, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val warm = GraphOps.pageRank(edges, "src", "dst", 0.85, iters = 2)
+    val chained = GraphOps.pageRankFrom(edges, "src", "dst", warm, 0.85, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(chained == straight) // exact double equality: identical dataflow
+    // a node absent from the init vector starts at 1/N, not null/0
+    val partial = warm.where($"id" =!= 5L)
+    val resumed = GraphOps.pageRankFrom(edges, "src", "dst", partial, 0.85, iters = 1)
+    assert(resumed.where($"r".isNull).count() == 0)
+    assert(resumed.count() == 5)
+  }
+
   test("pageRank is deterministic under repartition") {
     val rng = new scala.util.Random(11)
     val es = (0 until 300).map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
