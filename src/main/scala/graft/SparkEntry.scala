@@ -1379,6 +1379,40 @@ object SparkEntry {
     //    corpus keeps the stage linear by construction. Budget 13000
     //    derives guard 4 at gate scale, exercising both the histogram
     //    derivation and the guard filter against the oracle.
+    // ── extension: LOCAL CLUSTERING COEFFICIENT — per-node
+    //    triangles / C(deg,2) in bp over the q155 chord graph: the
+    //    neighborhood-cohesion metric (link farms cluster, organic hubs
+    //    don't); same O(m^1.5) oriented-wedge machinery, per-node
+    //    attribution by exploding each triangle to its corners.
+    "q160_clustering_coeff" -> ((s, dir) => {
+      val rk = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          row_number().over(Window.partitionBy("source").orderBy("doc_id")).as("r"))
+        .localCheckpoint(false)
+      val shifted = rk.select(col("source"), col("doc_id").as("src"),
+        explode(array(col("r") + 1, col("r") + 2)).as("r"))
+      val e = shifted.join(rk, Seq("source", "r"))
+        .select(col("src"), col("doc_id").as("dst"))
+      graft.functions.GraphOps.clusteringCoeff(e, "src", "dst")
+        .orderBy("id")
+    }),
+    // ── extension: WEIGHTED PageRank — the surfer follows u→v with
+    //    probability w/W(u); edges are the q113 purchase graph weighted
+    //    by total line quantity (repeated links add weight — the
+    //    multigraph model). Same dangling-mass / constant-lineage
+    //    discipline as q113; integral-valued weight sums keep the edge
+    //    model engine-exact, ranks micro-quantized as q113.
+    "q161_weighted_pagerank" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      val e = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"),
+          col("l_quantity").as("w"))
+      graft.functions.GraphOps.pageRankWeighted(e, "src", "dst", "w",
+        damping = 0.85, iters = 5)
+        .select(col("id"), round(col("r") * 1000000).cast("long").as("rank_micro"))
+        .orderBy("id")
+    }),
     // ── extension: CROSS-CORPUS exact-Jaccard join — a probe slice
     //    (odd doc ids, the "new crawl") audited against a reference
     //    slice (even ids) without forming the union's self-pairs: one
@@ -3468,6 +3502,73 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q160_clustering_coeff" ->
+      """WITH rk AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+           FROM documents),
+         sh AS (SELECT source, doc_id AS src, r + o AS r2
+                FROM rk, (SELECT unnest([1, 2]) AS o)),
+         e AS (SELECT s.src AS u, b.doc_id AS v
+               FROM sh s JOIN rk b ON b.source = s.source AND b.r = s.r2),
+         sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+         tr AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         pn AS (SELECT id, CAST(count(*) AS BIGINT) AS nt FROM (
+                  SELECT x AS id FROM tr UNION ALL SELECT y FROM tr UNION ALL SELECT z FROM tr)
+                GROUP BY 1)
+         SELECT d.id, d.deg, coalesce(pn.nt, 0) AS n_tri,
+           CASE WHEN d.deg < 2 THEN 0
+                ELSE coalesce(pn.nt, 0) * 2 * 10000 // (d.deg * (d.deg - 1)) END AS coeff_bp
+         FROM deg d LEFT JOIN pn ON pn.id = d.id ORDER BY d.id""",
+    "q161_weighted_pagerank" ->
+      """WITH edges AS (
+           SELECT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d,
+             CAST(sum(l_quantity) AS DOUBLE) AS w
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT id FROM
+           (SELECT s AS id FROM edges UNION ALL SELECT d FROM edges)),
+         wg AS (SELECT s AS id, sum(w) AS ws FROM edges GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         r0 AS (SELECT id, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn),
+         c1 AS (SELECT e.d AS id, sum(r.r * e.w / g.ws) AS c FROM edges e
+                JOIN r0 r ON r.id = e.s JOIN wg g ON g.id = e.s GROUP BY 1),
+         d1 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r0 r
+                LEFT JOIN wg g ON g.id = r.id WHERE g.id IS NULL),
+         r1 AS (SELECT nd.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d1) / nn.n) AS r
+                FROM nodes nd CROSS JOIN nn LEFT JOIN c1 c ON c.id = nd.id),
+         c2 AS (SELECT e.d AS id, sum(r.r * e.w / g.ws) AS c FROM edges e
+                JOIN r1 r ON r.id = e.s JOIN wg g ON g.id = e.s GROUP BY 1),
+         d2 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r1 r
+                LEFT JOIN wg g ON g.id = r.id WHERE g.id IS NULL),
+         r2 AS (SELECT nd.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d2) / nn.n) AS r
+                FROM nodes nd CROSS JOIN nn LEFT JOIN c2 c ON c.id = nd.id),
+         c3 AS (SELECT e.d AS id, sum(r.r * e.w / g.ws) AS c FROM edges e
+                JOIN r2 r ON r.id = e.s JOIN wg g ON g.id = e.s GROUP BY 1),
+         d3 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r2 r
+                LEFT JOIN wg g ON g.id = r.id WHERE g.id IS NULL),
+         r3 AS (SELECT nd.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d3) / nn.n) AS r
+                FROM nodes nd CROSS JOIN nn LEFT JOIN c3 c ON c.id = nd.id),
+         c4 AS (SELECT e.d AS id, sum(r.r * e.w / g.ws) AS c FROM edges e
+                JOIN r3 r ON r.id = e.s JOIN wg g ON g.id = e.s GROUP BY 1),
+         d4 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r3 r
+                LEFT JOIN wg g ON g.id = r.id WHERE g.id IS NULL),
+         r4 AS (SELECT nd.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d4) / nn.n) AS r
+                FROM nodes nd CROSS JOIN nn LEFT JOIN c4 c ON c.id = nd.id),
+         c5 AS (SELECT e.d AS id, sum(r.r * e.w / g.ws) AS c FROM edges e
+                JOIN r4 r ON r.id = e.s JOIN wg g ON g.id = e.s GROUP BY 1),
+         d5 AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r4 r
+                LEFT JOIN wg g ON g.id = r.id WHERE g.id IS NULL),
+         r5 AS (SELECT nd.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d5) / nn.n) AS r
+                FROM nodes nd CROSS JOIN nn LEFT JOIN c5 c ON c.id = nd.id)
+         SELECT id, CAST(round(r * 1000000) AS BIGINT) AS rank_micro
+         FROM r5 ORDER BY id""",
     "q159_cross_jaccard" ->
       """WITH toks AS (
            SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t

@@ -136,6 +136,60 @@ object GraphOps {
     out
   }
 
+  /** WEIGHTED PageRank — the random surfer follows edge u→v with
+    * probability w(u→v)/W(u), W(u) = Σ out-weights: link strength
+    * (click counts, purchase volume, citation multiplicity) shapes the
+    * stationary distribution instead of bare adjacency. Repeated (s, d)
+    * edges collapse ADDITIVELY (a repeated weighted link is more
+    * weight — the natural multigraph model, where unweighted
+    * [[pageRank]] collapses them to one). Same plan discipline as
+    * [[pageRank]]: pre-partitioned cached edges, 1-row dangling
+    * aggregates as dataflow terms, constant-lineage checkpointed
+    * iterations, data-scaled partitions. Weights must be positive
+    * (W(u) = 0 would make the row-stochastic step undefined).
+    *
+    * @return (id, r) for every node in an edge; Σ r = 1
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String,
+                       damping: Double = 0.85, iters: Int = 5): DataFrame = {
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"),
+        col(weightCol).cast("double").as("w"))
+      .groupBy("s", "d").agg(sum("w").as("w"))
+      .repartition(col("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wsum = e.groupBy(col("s").as("id")).agg(sum("w").as("ws"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("s").as("id")).union(e.select(col("d").as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val parts = math.max(1, (n / (1L << 16)).toInt)
+    val nAgg = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    var ranks = nodes.crossJoin(nAgg)
+      .select(col("id"), (lit(1.0) / col("__n")).as("r"))
+      .coalesce(parts).localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val rd = ranks.join(wsum, Seq("id"), "left").coalesce(parts).localCheckpoint(false)
+      val dangling = rd.where(col("ws").isNull)
+        .agg(coalesce(sum("r"), lit(0.0)).as("__dm"))
+      val contrib = e.join(rd.where(col("ws").isNotNull), e("s") === rd("id"))
+        .groupBy(e("d").as("id")).agg(sum(col("r") * col("w") / col("ws")).as("c"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .crossJoin(dangling).crossJoin(nAgg)
+        .select(col("id"),
+          (lit(1.0 - damping) / col("__n") +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + col("__dm") / col("__n"))).as("r"))
+        .coalesce(parts).localCheckpoint(false)
+    }
+    val out = ranks.localCheckpoint(true)
+    e.unpersist(blocking = false)
+    wsum.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** PERSONALIZED PageRank (topic-sensitive PageRank, Haveliwala 2002):
     * [[pageRank]] with the teleport (and dangling) mass directed at a
     * SEED SET instead of uniformly —
@@ -417,13 +471,49 @@ object GraphOps {
     *              canonicalized away
     * @return one row: (n_triangles) — each triangle counted exactly once
     */
-  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    triangleRows(canonEdges(edges, srcCol, dstCol))
+      .agg(count(lit(1)).as("n_triangles"))
+
+  /** LOCAL CLUSTERING COEFFICIENT per node — triangles_at(v) /
+    * C(deg(v), 2) in basis points: the "how community-like is this
+    * node's neighborhood" metric (spam/link-farm neighborhoods cluster;
+    * organic hubs don't). Same O(m^1.5) oriented-wedge machinery as
+    * [[triangleCount]]; per-node attribution explodes each triangle to
+    * its 3 corners and counts — triangle-output-sized, keyed by node.
+    * Nodes with deg < 2 report coefficient 0 (no possible wedge).
+    *
+    * @return (id, deg, n_tri, coeff_bp) for every node incident to an
+    *         edge; coeff_bp = 10000·2·n_tri div (deg·(deg−1))
+    */
+  def clusteringCoeff(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = canonEdges(edges, srcCol, dstCol)
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val tri = triangleRows(e)
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff_bp",
+        when(col("deg") < 2, lit(0L))
+          .otherwise(expr("n_tri * 2 * 10000 div (deg * (deg - 1))")))
+  }
+
+  /** Canonicalized undirected edge list (u < v, no dups/self-loops),
+    * persisted — shared input of the triangle family. */
+  private def canonEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
       .where(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** One row (ta, tb, tc) per triangle, each counted exactly once, via
+    * degree-oriented wedge closing (see [[triangleCount]]). */
+  private def triangleRows(e: DataFrame): DataFrame = {
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
     // (deg, id) is a TOTAL order, so "oriented edge" is well-defined and
@@ -445,8 +535,8 @@ object GraphOps {
     val wedges = o.select(col("a"), col("b").as("wb"), col("ordb").as("ob"))
       .join(o.select(col("a"), col("b").as("wc"), col("ordb").as("oc")), Seq("a"))
       .where(col("ob") < col("oc"))
-      .select(col("wb"), col("wc"))
+      .select(col("a"), col("wb"), col("wc"))
     wedges.join(o.select(col("a").as("wb"), col("b").as("wc")), Seq("wb", "wc"))
-      .agg(count(lit(1)).as("n_triangles"))
+      .select(col("a").as("ta"), col("wb").as("tb"), col("wc").as("tc"))
   }
 }

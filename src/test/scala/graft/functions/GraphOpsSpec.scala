@@ -198,6 +198,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(tri((2L to 30L).map(i => (1L, i))) == 0L)
   }
 
+  test("clusteringCoeff: K4 is fully clustered, a star not at all, deg<2 reads 0") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val cc = GraphOps.clusteringCoeff(k4.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // every K4 node: deg 3, 3 triangles, coeff 3*2/(3*2) = 1 → 10000 bp
+    (1L to 4L).foreach(i => assert(cc(i) == ((3L, 3L, 10000L))))
+    val star = GraphOps.clusteringCoeff(
+      (2L to 6L).map(i => (1L, i)).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(star(1L) == ((5L, 0L, 0L)))   // hub: many wedges, no triangles
+    assert(star(2L) == ((1L, 0L, 0L)))   // leaf: deg < 2 → 0 by definition
+  }
+
+  test("pageRankWeighted: uniform weights reduce to plain pageRank; weight skews mass") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    val wUniform = edges.map { case (s, d) => (s, d, 1.0) }.toDF("src", "dst", "w")
+    val plain = GraphOps.pageRank(edges.toDF("src", "dst"), "src", "dst", 0.85, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val weighted = GraphOps.pageRankWeighted(wUniform, "src", "dst", "w", 0.85, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (1L to 3L).foreach(i => assert(math.abs(plain(i) - weighted(i)) < 1e-12))
+    assert(math.abs(weighted.values.sum - 1.0) < 1e-9)
+    // tilt 1's mass toward 2: rank(2) must rise, rank(3) fall
+    val tilted = GraphOps.pageRankWeighted(
+      Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0))
+        .toDF("src", "dst", "w"), "src", "dst", "w", 0.85, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(tilted(2L) > weighted(2L) && tilted(3L) < weighted(3L))
+    // repeated weighted links add: (1,2,5)+(1,2,4) == (1,2,9)
+    val dup = GraphOps.pageRankWeighted(
+      Seq((1L, 2L, 5.0), (1L, 2L, 4.0), (1L, 3L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0))
+        .toDF("src", "dst", "w"), "src", "dst", "w", 0.85, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (1L to 3L).foreach(i => assert(math.abs(dup(i) - tilted(i)) < 1e-12))
+  }
+
   test("triangleCount matches a brute-force reference on random graphs") {
     val rng = new scala.util.Random(21)
     for (_ <- 1 to 3) {
