@@ -1379,6 +1379,27 @@ object SparkEntry {
     //    corpus keeps the stage linear by construction. Budget 13000
     //    derives guard 4 at gate scale, exercising both the histogram
     //    derivation and the guard filter against the oracle.
+    // ── extension: per-source shingle NOVELTY RATE — v1→v2 (the q128
+    //    snapshot derivation) scored for how much of each source's v2
+    //    shingle set is genuinely absent from v1: snapshotDiff says
+    //    which docs changed, this says whether the change is new
+    //    material or reshuffled boilerplate. One anti-join on 8-byte
+    //    shingle hashes; mutated (%13) and fresh (%23) docs make the
+    //    rate nontrivial per source.
+    "q162_novelty_rate" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val v1 = d.select(col("source"), col("text"))
+      val v2 = d.where(pmod(col("doc_id"), lit(17)) =!= 0)
+        .select(col("source"), col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(col("text"), lit(" updated fresh material here"))).otherwise(col("text")).as("text"))
+        .unionByName(d.where(pmod(col("doc_id"), lit(23)) === 0)
+          .select(col("source"), (col("doc_id") + lit(100000L)).as("doc_id"),
+            concat(lit("entirely new crawl content "), col("text")).as("text")))
+        .select("source", "text")
+      DedupOps.noveltyRate(v1, v2, "text", "source", n = 3)
+        .orderBy("source")
+    }),
     // ── extension: LOCAL CLUSTERING COEFFICIENT — per-node
     //    triangles / C(deg,2) in bp over the q155 chord graph: the
     //    neighborhood-cohesion metric (link farms cluster, organic hubs
@@ -3502,6 +3523,32 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q162_novelty_rate" ->
+      """WITH sh1 AS (
+           SELECT DISTINCT CAST('0x'||substr(md5(shingle),1,15) AS BIGINT) AS h FROM (
+             SELECT unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+               for i in range(1, greatest(len(t) - 2, 0) + 1)])) AS shingle
+             FROM (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+                   FROM documents))),
+         v2 AS (
+           SELECT source,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' updated fresh material here' ELSE text END AS text
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT source, 'entirely new crawl content ' || text AS text
+           FROM documents WHERE doc_id % 23 = 0),
+         sh2 AS (
+           SELECT DISTINCT source, CAST('0x'||substr(md5(shingle),1,15) AS BIGINT) AS h FROM (
+             SELECT source, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+               for i in range(1, greatest(len(t) - 2, 0) + 1)])) AS shingle
+             FROM (SELECT source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+                   FROM v2))),
+         novel AS (SELECT source, CAST(count(*) AS BIGINT) AS n_novel
+                   FROM sh2 WHERE h NOT IN (SELECT h FROM sh1) GROUP BY 1),
+         tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_shingles FROM sh2 GROUP BY 1)
+         SELECT t.source, t.n_shingles, coalesce(n.n_novel, 0) AS n_novel,
+           coalesce(n.n_novel, 0) * 10000 // t.n_shingles AS novelty_bp
+         FROM tot t LEFT JOIN novel n ON n.source = t.source ORDER BY t.source""",
     "q160_clustering_coeff" ->
       """WITH rk AS (SELECT doc_id, source,
              row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r

@@ -824,6 +824,36 @@ object DedupOps {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Per-group shingle NOVELTY RATE of a new corpus snapshot against a
+    * reference snapshot: of each group's distinct n-gram shingles in
+    * `newDf`, the fraction absent from `oldDf`'s GLOBAL shingle set —
+    * the "how much genuinely new content did this crawl/source add"
+    * curation metric ([[graft.functions.TextFunctions.snapshotDiff]]
+    * tells you which DOCS changed; this tells you whether the changed
+    * text is new material or reshuffled boilerplate). Two exploded
+    * distinct sets, ONE hash-keyed anti-join (8-byte keys), two
+    * group-keyed counts; the old side never carries payload.
+    *
+    * @return (group, n_shingles, n_novel, novelty_bp)
+    */
+  def noveltyRate(oldDf: DataFrame, newDf: DataFrame,
+                  textCol: String, groupCol: String, n: Int = 3): DataFrame = {
+    graft.expr.GraftFunctions.register(newDf.sparkSession)
+    val newSh = newDf
+      .select(col(groupCol).as("g"), explode(shingleHashes(col(textCol), n)).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldSh = oldDf
+      .select(explode(shingleHashes(col(textCol), n)).as("h")).distinct()
+    val novel = newSh.join(oldSh, Seq("h"), "left_anti")
+      .groupBy("g").agg(count(lit(1)).as("n_novel"))
+    newSh.groupBy("g").agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq("g"), "left")
+      .select(col("g").as(groupCol), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000 div n_shingles"))
+  }
+
   /** Threshold at or above which [[ngramJaccardPairs]] switches from the
     * direct count join to the prefix-filtered join (prefix length is
     * (1-t)·|s|+1, so below ~0.5 the prefix stops pruning half the doc and
