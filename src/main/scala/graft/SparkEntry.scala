@@ -1379,6 +1379,38 @@ object SparkEntry {
     //    corpus keeps the stage linear by construction. Budget 13000
     //    derives guard 4 at gate scale, exercising both the histogram
     //    derivation and the guard filter against the oracle.
+    // ── extension: FRACTION-SCALED IVF recall — the q148/BASELINE
+    //    deployment rule as an operator: nProbe = max(2, ceil(0.25 ·
+    //    nCells)) pins the searched cell fraction, so recall stops
+    //    decaying with index size (fixed nProbe measured 620→380 milli
+    //    mean from 500 to 5000 vectors; this config holds ~780+ at
+    //    both). Same trained index and overlap@10 layer as q148.
+    "q163_ivf_fraction_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val init = emb.where(col("vec_id") % 40 === 0).select("vec_id", "embedding")
+      val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", init, "vec_id", updateRounds = 1)
+        .localCheckpoint(true) // trained once; counted AND probed
+      val probes = emb.where(col("vec_id") < 5)
+      val brute = SimilarityOps
+        .bruteForceTopK(emb, probes, "vec_id", "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("nbr_id"))
+        .localCheckpoint(false)
+      val ivf = SimilarityOps.ivfTopKFraction(emb, probes, cent,
+        "vec_id", "vec_id", "vec_id", "embedding", k = 10,
+        probeFraction = 0.25, minProbe = 2)
+        .select(col("probe_id"), col("nbr_id"))
+      val nb = brute.groupBy("probe_id").agg(count(lit(1)).as("n_brute"))
+      val ni = ivf.groupBy("probe_id").agg(count(lit(1)).as("n_ivf"))
+      val ov = brute.join(ivf, Seq("probe_id", "nbr_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
+      nb.join(ni, Seq("probe_id"), "left").join(ov, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_brute"),
+          coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr("coalesce(n_overlap, 0L) * 1000 div n_brute").as("recall_milli"))
+        .orderBy("probe_id")
+    }),
     // ── extension: per-source shingle NOVELTY RATE — v1→v2 (the q128
     //    snapshot derivation) scored for how much of each source's v2
     //    shingle set is genuinely absent from v1: snapshotDiff says
@@ -3523,6 +3555,77 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q163_ivf_fraction_recall" ->
+      """WITH cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id % 40 = 0),
+         asn0 AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent0 c) WHERE rn = 1),
+         ex AS (SELECT cid, unnest(embedding) AS x,
+                  unnest(range(1, len(embedding) + 1)) AS pos FROM asn0),
+         cent1 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cv FROM (
+             SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS mx FROM ex GROUP BY cid, pos)
+           GROUP BY cid),
+         asn AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c) WHERE rn = 1),
+         pc AS (
+           SELECT vec_id AS probe_id, cid, embedding AS pv, rn FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c WHERE e.vec_id < 5)
+           WHERE rn <= (SELECT greatest(2, CAST(ceil(0.25 * count(*)) AS BIGINT)) FROM cent1)),
+         cand AS (
+           SELECT p.probe_id, a.vec_id AS nbr_id,
+             list_cosine_similarity(a.embedding, p.pv) AS score
+           FROM pc p JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
+         it AS (SELECT probe_id, nbr_id FROM (
+           SELECT probe_id, nbr_id, row_number() OVER (
+             PARTITION BY probe_id ORDER BY score DESC, nbr_id) AS rank FROM cand)
+           WHERE rank <= 10),
+         bt AS (SELECT probe_id, nbr_id FROM (
+           SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(c.embedding, p.embedding) DESC, c.vec_id) AS rank
+           FROM embeddings c, embeddings p
+           WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id) WHERE rank <= 10),
+         nb AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_brute FROM bt GROUP BY 1),
+         ni AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_ivf FROM it GROUP BY 1),
+         ov AS (SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS n_overlap
+                FROM bt JOIN it ON it.probe_id = bt.probe_id AND it.nbr_id = bt.nbr_id
+                GROUP BY 1)
+         SELECT nb.probe_id, n_brute,
+           coalesce(n_ivf, 0) AS n_ivf,
+           coalesce(n_overlap, 0) AS n_overlap,
+           coalesce(n_overlap, 0) * 1000 // n_brute AS recall_milli
+         FROM nb
+         LEFT JOIN ni ON ni.probe_id = nb.probe_id
+         LEFT JOIN ov ON ov.probe_id = nb.probe_id
+         ORDER BY nb.probe_id""",
     "q162_novelty_rate" ->
       """WITH sh1 AS (
            SELECT DISTINCT CAST('0x'||substr(md5(shingle),1,15) AS BIGINT) AS h FROM (
