@@ -712,6 +712,29 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(defaulted == exact)
   }
 
+  test("ivfTopKFraction probing covers the derived cell fraction; full fraction = exact") {
+    // 8 orthogonal-ish cells; probeFraction = 1.0 probes every cell, so
+    // the result must equal brute force exactly
+    val rng = new scala.util.Random(17)
+    val corpus = (0L until 64L).map(i => (i, Array.fill(8)(rng.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val cent = corpus.where($"vec_id" % 8 === 0)
+    val probes = corpus.where($"vec_id" < 3)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "nbr_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = pairs(SimilarityOps.ivfTopKFraction(corpus, probes, cent,
+      "vec_id", "vec_id", "vec_id", "embedding", k = 5, probeFraction = 1.0))
+    val brute = pairs(SimilarityOps.bruteForceTopK(corpus, probes,
+      "vec_id", "vec_id", "embedding", k = 5))
+    assert(full == brute)
+    // minProbe floors the derived count (0.01 of 8 cells rounds to 1 → floor 2)
+    val floored = SimilarityOps.ivfTopKFraction(corpus, probes, cent,
+      "vec_id", "vec_id", "vec_id", "embedding", k = 5,
+      probeFraction = 0.01, minProbe = 2)
+    assert(floored.count() > 0)
+  }
+
   test("kmeansAssign separates two obvious directional clusters") {
     // two tight cones around +x and +y; init one centroid in each
     val pts = Seq(
