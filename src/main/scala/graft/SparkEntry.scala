@@ -1379,6 +1379,30 @@ object SparkEntry {
     //    corpus keeps the stage linear by construction. Budget 13000
     //    derives guard 4 at gate scale, exercising both the histogram
     //    derivation and the guard filter against the oracle.
+    // ── extension: GOLDEN RECORD survivorship — three copies of every
+    //    customer (base + two variants with disjoint per-attribute
+    //    corruptions: mktsegment at %5, nationkey at %7), clustered by
+    //    base key; majority vote per attribute recovers the clean value
+    //    2-to-1 everywhere. The consensus-fusion step after linkage,
+    //    where clusterRepresentatives merely picks a member.
+    "q164_golden_record" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      val varA = c.select((col("c_custkey") + 100000L).as("c_custkey"),
+        when(pmod(col("c_custkey"), lit(5)) === 0, lit("CORRUPTED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        col("c_nationkey"))
+      val varB = c.select((col("c_custkey") + 200000L).as("c_custkey"),
+        col("c_mktsegment"),
+        when(pmod(col("c_custkey"), lit(7)) === 0, col("c_nationkey") + 1)
+          .otherwise(col("c_nationkey")).as("c_nationkey"))
+      val all = c.unionByName(varA).unionByName(varB)
+      val clusters = all.select(col("c_custkey"),
+        pmod(col("c_custkey"), lit(100000L)).as("cluster"))
+      DedupOps.goldenRecord(all, clusters, "c_custkey",
+        Seq("c_mktsegment", "c_nationkey"))
+        .orderBy("cluster", "attr")
+    }),
     // ── extension: FRACTION-SCALED IVF recall — the q148/BASELINE
     //    deployment rule as an operator: nProbe = max(2, ceil(0.25 ·
     //    nCells)) pins the searched cell fraction, so recall stops
@@ -3555,6 +3579,25 @@ object SparkEntry {
          rep AS (SELECT cluster, id AS rep_id FROM rn WHERE r = 1)
          SELECT l.id, l.cluster, l.id = r.rep_id AS kept
          FROM lab l JOIN rep r USING (cluster) ORDER BY id""",
+    "q164_golden_record" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment, CAST(c_nationkey AS BIGINT) AS nk FROM customer),
+         va AS (SELECT c_custkey + 100000 AS c_custkey,
+                  CASE WHEN c_custkey % 5 = 0 THEN 'CORRUPTED' ELSE c_mktsegment END AS c_mktsegment,
+                  CAST(c_nationkey AS BIGINT) AS nk FROM customer),
+         vb AS (SELECT c_custkey + 200000 AS c_custkey, c_mktsegment,
+                  CAST(CASE WHEN c_custkey % 7 = 0 THEN c_nationkey + 1 ELSE c_nationkey END AS BIGINT) AS nk
+                FROM customer),
+         allr AS (SELECT * FROM base UNION ALL SELECT * FROM va UNION ALL SELECT * FROM vb),
+         melted AS (
+           SELECT c_custkey % 100000 AS cluster, 'c_mktsegment' AS attr, c_mktsegment AS val FROM allr
+           UNION ALL
+           SELECT c_custkey % 100000 AS cluster, 'c_nationkey' AS attr, CAST(nk AS VARCHAR) AS val FROM allr),
+         votes AS (SELECT cluster, attr, val, CAST(count(*) AS BIGINT) AS votes
+                   FROM melted WHERE val IS NOT NULL GROUP BY 1, 2, 3),
+         win AS (SELECT *, row_number() OVER (PARTITION BY cluster, attr
+                   ORDER BY votes DESC, val ASC) AS rn FROM votes)
+         SELECT cluster, attr, val AS value, votes FROM win WHERE rn = 1
+         ORDER BY cluster, attr""",
     "q163_ivf_fraction_recall" ->
       """WITH cent0 AS (
            SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv

@@ -824,6 +824,46 @@ object DedupOps {
       .where(col("jaccard") >= threshold)
   }
 
+  /** GOLDEN RECORD (survivorship) — the step after record linkage
+    * decides WHICH rows co-refer ([[editDistancePairs]] /
+    * [[sortedNeighborhoodPairs]] → [[dedupClusters]]): fuse each
+    * cluster into one record by MAJORITY VOTE per attribute (most
+    * frequent non-null value; ties break to the smallest value, so the
+    * winner is engine-exact). [[clusterRepresentatives]] keeps one
+    * MEMBER; this synthesizes the consensus — the standard
+    * Hernández–Stolfo merge/purge completion.
+    *
+    * Scale shape: ONE `stack` scan melts the k attributes (no k-pass
+    * re-read), one (cluster, attr, value)-keyed count (map-side
+    * partials), and a (cluster, attr)-partitioned top-1 window —
+    * groups are cluster-sized × k, bounded by linkage cluster sizes,
+    * and Spark's WindowGroupLimit pre-reduces the rank filter map-side.
+    * Values vote as strings (one uniform melt schema); cast back at
+    * the consumer.
+    *
+    * @param clusters (idCol, cluster); rows of `df` absent from it form
+    *                 their own singleton cluster
+    * @return long form: (cluster, attr, value, votes)
+    */
+  def goldenRecord(df: DataFrame, clusters: DataFrame, idCol: String,
+                   attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "goldenRecord needs at least one attribute")
+    val lab = df.join(clusters.select(col(idCol), col("cluster")), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+    val stackArgs = attrCols
+      .map(a => s"'$a', cast(`$a` as string)").mkString(", ")
+    val melted = lab.selectExpr("cluster",
+        s"stack(${attrCols.size}, $stackArgs) as (attr, val)")
+      .where(col("val").isNotNull)
+    val votes = melted.groupBy("cluster", "attr", "val")
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster", "attr")
+      .orderBy(col("votes").desc, col("val").asc)
+    votes.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("cluster"), col("attr"), col("val").as("value"), col("votes"))
+  }
+
   /** Per-group shingle NOVELTY RATE of a new corpus snapshot against a
     * reference snapshot: of each group's distinct n-gram shingles in
     * `newDf`, the fraction absent from `oldDf`'s GLOBAL shingle set —

@@ -476,6 +476,24 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("goldenRecord: majority wins, ties break to smallest value, singletons pass through") {
+    val recs = Seq(
+      (1L, "A", 10L), (2L, "A", 11L), (3L, "B", 10L), // cluster 1: A wins 2-1, 10 wins 2-1
+      (4L, "X", 5L),                                   // unclustered singleton
+      (5L, "P", 1L), (6L, "Q", 2L))                    // cluster 5: 1-1 ties → P, 1
+      .toDF("id", "seg", "nk")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "cluster")
+    val out = DedupOps.goldenRecord(recs, clusters, "id", Seq("seg", "nk"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getString(2), r.getLong(3))).toMap
+    assert(out((1L, "seg")) == (("A", 2L)))
+    assert(out((1L, "nk")) == (("10", 2L)))
+    assert(out((4L, "seg")) == (("X", 1L)))
+    assert(out((4L, "nk")) == (("5", 1L)))
+    assert(out((5L, "seg")) == (("P", 1L))) // tie → lexicographically smallest
+    assert(out((5L, "nk")) == (("1", 1L)))
+  }
+
   test("clusterRepresentatives with an EMPTY pair set: every doc a kept singleton") {
     // a guard/threshold regime admitting no pairs is a valid outcome —
     // dedupClusters' convergence sum over zero rows is NULL and must
