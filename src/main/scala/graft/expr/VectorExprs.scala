@@ -389,9 +389,17 @@ case class ZValue(first: Expression, second: Expression, third: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (first.dataType == LongType && second.dataType == LongType &&
-        third.dataType == IntegerType && third.foldable)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        third.dataType == IntegerType && third.foldable) {
+      // match ZOrder.zValue's require: bits > 31 makes the generated
+      // shifts wrap mod 64 (garbage z-values) and bits <= 0 silently
+      // returns 0 — direct call_function users must get an analysis
+      // error, not wrong results
+      val bits = third.eval(null)
+      if (bits != null && (bits.asInstanceOf[Int] < 1 || bits.asInstanceOf[Int] > 31))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"z_value bits must be in [1,31], got $bits")
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       "z_value expects (BIGINT x, BIGINT y, INT literal bits)")
 
   override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {

@@ -643,8 +643,15 @@ object DedupOps {
                         n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Long = 1000): DataFrame = {
     graft.expr.GraftFunctions.register(df.sparkSession)
-    jaccardPairsFromExploded(explodedShingles(df, textCol, idCol, n),
-      threshold, maxDocFreq)
+    val ex = explodedShingles(df, textCol, idCol, n)
+    // checkpoint the (threshold-bounded) pair output, then release the
+    // corpus-sized exploded cache — a long-lived session running many
+    // dedup calls must not accumulate pinned shingle blocks (the
+    // pageRank cleanup discipline)
+    val pairs = jaccardPairsFromExploded(ex, threshold, maxDocFreq)
+      .localCheckpoint(true)
+    ex.unpersist(blocking = false)
+    pairs
   }
 
   /** [[ngramJaccardPairs]] with the hot-shingle guard DERIVED from a
@@ -682,8 +689,11 @@ object DedupOps {
     require(candidateBudget >= 1, s"candidateBudget must be >= 1, got $candidateBudget")
     graft.expr.GraftFunctions.register(df.sparkSession)
     val ex = explodedShingles(df, textCol, idCol, n)
-    jaccardPairsFromExploded(ex, threshold,
+    val pairs = jaccardPairsFromExploded(ex, threshold,
       budgetGuard(ex, candidateBudget))
+      .localCheckpoint(true) // see ngramJaccardPairs: release ex below
+    ex.unpersist(blocking = false)
+    pairs
   }
 
   /** The largest doc-frequency guard whose kept-shingle candidate-pair
@@ -816,12 +826,16 @@ object DedupOps {
         (exR.join(broadcast(hot), Seq("h"), "left_anti"),
           exS.join(broadcast(hot), Seq("h"), "left_anti"))
       }
-    fR.select(col("h"), col("id").as("id_r"), col("sz").as("sz_r"))
+    val pairs = fR.select(col("h"), col("id").as("id_r"), col("sz").as("sz_r"))
       .join(fS.select(col("h"), col("id").as("id_s"), col("sz").as("sz_s")), Seq("h"))
       .groupBy("id_r", "id_s", "sz_r", "sz_s").agg(count(lit(1)).as("c"))
       .select(col("id_r"), col("id_s"),
         (col("c").cast("double") / (col("sz_r") + col("sz_s") - col("c"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+      .localCheckpoint(true) // see ngramJaccardPairs: release both sides
+    exR.unpersist(blocking = false)
+    exS.unpersist(blocking = false)
+    pairs
   }
 
   /** GOLDEN RECORD (survivorship) — the step after record linkage
@@ -887,11 +901,14 @@ object DedupOps {
       .select(explode(shingleHashes(col(textCol), n)).as("h")).distinct()
     val novel = newSh.join(oldSh, Seq("h"), "left_anti")
       .groupBy("g").agg(count(lit(1)).as("n_novel"))
-    newSh.groupBy("g").agg(count(lit(1)).as("n_shingles"))
+    val out = newSh.groupBy("g").agg(count(lit(1)).as("n_shingles"))
       .join(novel, Seq("g"), "left")
       .select(col("g").as(groupCol), col("n_shingles"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty_bp", expr("n_novel * 10000 div n_shingles"))
+      .localCheckpoint(true) // group-sized; release the shingle cache
+    newSh.unpersist(blocking = false)
+    out
   }
 
   /** Threshold at or above which [[ngramJaccardPairs]] switches from the
@@ -927,7 +944,7 @@ object DedupOps {
           .where(col("df") > maxDocFreq).select("h")
         ex.join(broadcast(hot), Seq("h"), "left_anti")
       }
-    filtered
+    val pairs = filtered
       .select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
       .join(filtered.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")), Seq("h"))
       .where(col("sz_a") < col("sz_b") ||
@@ -936,6 +953,9 @@ object DedupOps {
       .select(col("id_a"), col("id_b"),
         (col("c").cast("double") / col("sz_a")).as("containment"))
       .where(col("containment") >= threshold)
+      .localCheckpoint(true) // see ngramJaccardPairs: release ex below
+    ex.unpersist(blocking = false)
+    pairs
   }
 
   /** Blocked EDIT-DISTANCE pairs — classic record linkage (Fellegi &

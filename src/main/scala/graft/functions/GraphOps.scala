@@ -471,9 +471,16 @@ object GraphOps {
     *              canonicalized away
     * @return one row: (n_triangles) — each triangle counted exactly once
     */
-  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
-    triangleRows(canonEdges(edges, srcCol, dstCol))
-      .agg(count(lit(1)).as("n_triangles"))
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = canonEdges(edges, srcCol, dstCol)
+    // 1-row result: materialize, then release the canonical-edge cache
+    // (the pageRank cleanup discipline — repeated calls in a long-lived
+    // session must not accumulate pinned edge blocks)
+    val out = triangleRows(e).agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    out
+  }
 
   /** LOCAL CLUSTERING COEFFICIENT per node — triangles_at(v) /
     * C(deg(v), 2) in basis points: the "how community-like is this
@@ -493,12 +500,15 @@ object GraphOps {
     val tri = triangleRows(e)
       .select(explode(array(col("ta"), col("tb"), col("tc"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
-    deg.join(tri, Seq("id"), "left")
+    val out = deg.join(tri, Seq("id"), "left")
       .select(col("id"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
       .withColumn("coeff_bp",
         when(col("deg") < 2, lit(0L))
           .otherwise(expr("n_tri * 2 * 10000 div (deg * (deg - 1))")))
+      .localCheckpoint(true) // node-sized; release the edge cache below
+    e.unpersist(blocking = false)
+    out
   }
 
   /** Canonicalized undirected edge list (u < v, no dups/self-loops),

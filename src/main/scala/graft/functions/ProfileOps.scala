@@ -304,8 +304,13 @@ object ProfileOps {
       val num = n * col(s"p_${i}_$j").cast("double") - sa * sb
       val den = sqrt(n * col(s"p_${i}_$i").cast("double") - sa * sa) *
         sqrt(n * col(s"p_${j}_$j").cast("double") - sb * sb)
+      // a zero-variance (constant) column makes den = 0 — correlation is
+      // undefined there; guard the division so the pair reports an
+      // explicit NULL under both ANSI settings instead of NaN/Inf
+      // (silent null-on-cast non-ANSI, CAST_INVALID_INPUT under ANSI)
       m.select(lit(a).as("col_a"), lit(b).as("col_b"),
-        round(num / den * 1000000).cast("long").as("corr_micro"))
+        round(num / when(den =!= 0.0, den) * 1000000)
+          .cast("long").as("corr_micro"))
     }
     pairs.reduce(_ unionByName _)
   }

@@ -561,7 +561,14 @@ object SimilarityOps {
     * recovered at sf10). Recall guarantee: collision in ≥ 1 band for
     * any pair within 2 differing SRP bits of 63 — near-identical
     * vectors sit well inside. Small corpora that want an exact pass
-    * still set `nBits = 0`. */
+    * still set `nBits = 0`.
+    *
+    * COMPATIBILITY NOTE (defaults changed in round 10): both defaults
+    * moved together, nBits 8→63 AND bands 1→3. A caller that passes
+    * `nBits` explicitly but relies on the bands default must now pass a
+    * multiple of 3 (or set `bands = 1` explicitly) — e.g. the old
+    * `nBits = 8` alone now fails the divisibility `require` below
+    * rather than silently running a different banding. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, nBits: Int = 63,
                         bands: Int = 3): DataFrame = {
