@@ -1460,12 +1460,71 @@ object SparkEntry {
         Seq("c_mktsegment", "c_nationkey"))
         .orderBy("cluster", "attr")
     }),
+    // ── extension: PQ-PREFILTER → EXACT-RERANK — the deployment shape
+    //    q149 measures the need for (raw ADC@10 recall 20–60%): ADC
+    //    proposes a √n-scaled candidate cut from codes alone, exact L2
+    //    reranks ONLY those, and the gate pins rerank ≡ exact brute
+    //    force — the certification that makes the memory-bounded code
+    //    scan servable. The cut is √n-derived, NOT a fixed margin: the
+    //    worst true-top-10 ADC rank measured 163/230/643 at n =
+    //    500/5k/50k, so any fixed cut fails at some decade while 30·√n
+    //    (671/2122/6709) dominates it with widening headroom.
+    "q166_pq_rerank" -> ((s, dir) => {
+      graft.expr.GraftFunctions.register(s)
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val init = emb.where(col("vec_id") < 16)
+      val cb = graft.functions.PqOps.pqCodebook(emb, "vec_id", "embedding",
+        init, "vec_id", m = 8, dim = 64, lloydRounds = 1)
+      val codes = graft.functions.PqOps.pqEncode(emb, "vec_id", "embedding", cb, 8, 64)
+      val probes = emb.where(col("vec_id") < 5)
+      graft.functions.PqOps.pqRerankTopKSqrt(emb, codes, probes, "vec_id", "embedding",
+        cb, m = 8, dim = 64, k = 10, candSqrtScale = 30.0, corpusIdCol = "vec_id")
+        .orderBy("probe_id", "rank")
+    }),
+    // ── extension: PERSISTED-IVF lifecycle — the q99/q150/q151 store
+    //    trilogy completed for the certified ANN path: the quantizer
+    //    trains ONCE, the inverted file persists as a cid-bucketed
+    //    parquet table (build from one third of the corpus), TWO
+    //    increments are absorbed by frozen-cell assignment + Append
+    //    (O(batch) — no retrain, no corpus rescan), and the search runs
+    //    against the RELOADED table with fraction-scaled probing. Gate:
+    //    the searched neighbor set must be IDENTICAL to q163's in-query
+    //    ivfTopKFraction (the round-trip is lossless) and the store row
+    //    count certifies the three-batch append chain.
+    "q165_ivf_store_lifecycle" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings")
+      val init = emb.where(col("vec_id") % 40 === 0).select("vec_id", "embedding")
+      val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", init, "vec_id", updateRounds = 1)
+        .localCheckpoint(true) // trained once; builds, absorbs, AND probes
+      val tbl = "graft_q165_ivf_store"
+      TableStore.dropTable(s, tbl)
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(emb.where(pmod(col("vec_id"), lit(3)) === 0),
+          "vec_id", "embedding", cent, "vec_id"),
+        tbl, bucketCols = Seq("cid"), buckets = 8)
+      Seq(1L, 2L).foreach { b =>
+        TableStore.saveBucketed(
+          SimilarityOps.ivfStore(emb.where(pmod(col("vec_id"), lit(3)) === b),
+            "vec_id", "embedding", cent, "vec_id"),
+          tbl, bucketCols = Seq("cid"), buckets = 8,
+          mode = org.apache.spark.sql.SaveMode.Append)
+      }
+      val store = TableStore.loadTable(s, tbl)
+      val probes = emb.where(col("vec_id") < 5)
+      SimilarityOps.ivfSearchStore(store, probes, cent,
+        "vec_id", "vec_id", "vec_id", "embedding", k = 10,
+        probeFraction = 0.25, minProbe = 2)
+        .select(col("probe_id"), col("nbr_id"))
+        .crossJoin(broadcast(store.agg(count(lit(1)).as("store_rows"))))
+        .orderBy("probe_id", "nbr_id")
+    }),
     // ── extension: FRACTION-SCALED IVF recall — the q148/BASELINE
     //    deployment rule as an operator: nProbe = max(2, ceil(0.25 ·
     //    nCells)) pins the searched cell fraction, so recall stops
-    //    decaying with index size (fixed nProbe measured 620→380 milli
-    //    mean from 500 to 5000 vectors; this config holds ~780+ at
-    //    both). Same trained index and overlap@10 layer as q148.
+    //    decaying with index size. Same trained index and overlap@10
+    //    layer as q148.
     "q163_ivf_fraction_recall" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val init = emb.where(col("vec_id") % 40 === 0).select("vec_id", "embedding")
@@ -3624,6 +3683,71 @@ object SparkEntry {
                    ORDER BY votes DESC, val ASC) AS rn FROM votes)
          SELECT cluster, attr, val AS value, votes FROM win WHERE rn = 1
          ORDER BY cluster, attr""",
+    "q166_pq_rerank" ->
+      """WITH fv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+         SELECT probe_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+           SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+             row_number() OVER (PARTITION BY p.vec_id ORDER BY
+               list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i]))
+               - CAST(2 AS DOUBLE) * list_sum(list_transform(range(1, 65), i -> c.v[i] * p.v[i]))
+               + list_sum(list_transform(range(1, 65), i -> p.v[i] * p.v[i])) ASC, c.vec_id) AS rank
+           FROM fv c, fv p WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id) WHERE rank <= 10
+         ORDER BY probe_id, rank""",
+    "q165_ivf_store_lifecycle" ->
+      """WITH cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id % 40 = 0),
+         asn0 AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent0 c) WHERE rn = 1),
+         ex AS (SELECT cid, unnest(embedding) AS x,
+                  unnest(range(1, len(embedding) + 1)) AS pos FROM asn0),
+         cent1 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cv FROM (
+             SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS mx FROM ex GROUP BY cid, pos)
+           GROUP BY cid),
+         asn AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c) WHERE rn = 1),
+         pc AS (
+           SELECT vec_id AS probe_id, cid, embedding AS pv, rn FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c WHERE e.vec_id < 5)
+           WHERE rn <= (SELECT greatest(2, CAST(ceil(0.25 * count(*)) AS BIGINT)) FROM cent1)),
+         cand AS (
+           SELECT p.probe_id, a.vec_id AS nbr_id,
+             list_cosine_similarity(a.embedding, p.pv) AS score
+           FROM pc p JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
+         it AS (SELECT probe_id, nbr_id FROM (
+           SELECT probe_id, nbr_id, row_number() OVER (
+             PARTITION BY probe_id ORDER BY score DESC, nbr_id) AS rank FROM cand)
+           WHERE rank <= 10)
+         SELECT probe_id, nbr_id,
+           (SELECT CAST(count(*) AS BIGINT) FROM asn) AS store_rows
+         FROM it ORDER BY probe_id, nbr_id""",
     "q163_ivf_fraction_recall" ->
       """WITH cent0 AS (
            SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv

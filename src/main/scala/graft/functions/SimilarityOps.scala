@@ -218,6 +218,79 @@ object SimilarityOps {
       vecCol, k, nProbe = np)
   }
 
+  /** The PERSISTED-IVF store content: every corpus vector assigned to its
+    * nearest cell under a FROZEN trained quantizer — (idCol, vecCol,
+    * "cid") rows, the inverted file as a table. Persist via
+    * [[graft.sources.TableStore.saveBucketed]] clustered on "cid":
+    * searches then semi-join the bucketed scan on the cell id with no
+    * store-side Exchange, and [[semanticDedupIncrement]] consumes the
+    * SAME layout — one store serves both the ANN search and the
+    * semantic-dedup ingestion gate.
+    *
+    * This function is BOTH the initial build and the absorb step of the
+    * lifecycle (train once → persist → absorb increments → search): cell
+    * assignment under frozen centroids is stateless and map-only
+    * (broadcast centroids, WindowGroupLimit pre-reduction — the
+    * [[ivfTopK]] shape), so absorbing a batch is `ivfStore(increment)`
+    * appended to the table — O(batch), never a corpus rescan. Zero-norm
+    * vectors are dropped (cosine undefined — they could never be
+    * returned by a search anyway). */
+  def ivfStore(corpus: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame, centroidIdCol: String): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cent = centroids.select(col(centroidIdCol).as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("__cv"))
+    assignCells(normalizedCorpus(corpus, idCol, vecCol), idCol, cent)
+      .select(col(idCol), col("__v").as(vecCol), col("cid"))
+  }
+
+  /** Search a PERSISTED inverted file ([[ivfStore]] layout, typically
+    * reloaded from its cid-bucketed parquet table): probes pick their
+    * nearest cells under the same frozen centroids with FRACTION-scaled
+    * probing (the [[ivfTopKFraction]] deployment rule), and the store is
+    * scanned map-only — the probe-cell side is explicitly broadcast, so
+    * the (bucketed) store never shuffles and no cell assignment is
+    * recomputed. Results are IDENTICAL to [[ivfTopKFraction]] over the
+    * corpus the store was built from: assignment under frozen centroids
+    * is deterministic, so the persisted cells ARE the in-query cells.
+    *
+    * @param store (idCol, vecCol, "cid") rows — [[ivfStore]] output,
+    *              plus any absorbed increments
+    */
+  def ivfSearchStore(store: DataFrame, probes: DataFrame, centroids: DataFrame,
+                     idCol: String, probeIdCol: String, centroidIdCol: String,
+                     vecCol: String, k: Int = 10,
+                     probeFraction: Double = 0.25, minProbe: Int = 2): DataFrame = {
+    require(probeFraction > 0 && probeFraction <= 1,
+      s"probeFraction in (0,1], got $probeFraction")
+    require(minProbe >= 1, s"minProbe must be >= 1, got $minProbe")
+    GraftFunctions.register(store.sparkSession)
+    val cent = centroids.select(col(centroidIdCol).as("cid"), col(vecCol).as("__cenv"),
+      vnorm(col(vecCol)).as("__cenn")).where(col("__cenn") > 0)
+      .localCheckpoint(false) // counted (planning scalar) AND probed
+    val np = math.max(minProbe, math.ceil(probeFraction * cent.count()).toInt)
+    val wP = Window.partitionBy("probe_id").orderBy(col("__cscore").desc, col("cid").asc)
+    val pcells = probes
+      .select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
+        vnorm(col(vecCol)).as("__pn"))
+      .where(col("__pn") > 0) // zero-norm → NaN cosine, see bruteForceTopK
+      .crossJoin(broadcast(cent))
+      .withColumn("__cscore", vdot(col("__pv"), col("__cenv")) / (col("__pn") * col("__cenn")))
+      .withColumn("__rn", row_number().over(wP)).where(col("__rn") <= np)
+      .select(col("probe_id"), col("__pv"), col("__pn"), col("cid"))
+    // store side: map-only scan (norms recomputed on read — cheaper than
+    // persisting them, and robust to hand-built stores); the probed-cell
+    // frame is probe-bounded, so it broadcasts — the store never shuffles
+    val asn = store.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
+      vnorm(col(vecCol)).as("__cn"), col("cid")).where(col("__cn") > 0)
+    val cand0 = asn.join(broadcast(pcells), Seq("cid"))
+    val scored = (if (idCol == probeIdCol) cand0.where(col("nbr_id") =!= col("probe_id")) else cand0)
+      .select(col("probe_id"), col("nbr_id"),
+        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
+    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Distributed Lloyd's k-means assignment (cosine flavor) over an
     * embedding column.
     *

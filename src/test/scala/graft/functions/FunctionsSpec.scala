@@ -753,6 +753,34 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(floored.count() > 0)
   }
 
+  test("ivfStore + two absorbs + ivfSearchStore == in-query ivfTopKFraction") {
+    val rng = new scala.util.Random(23)
+    val corpus = (0L until 64L).map(i => (i, Array.fill(8)(rng.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val cent = SimilarityOps.kmeansCentroids(corpus, "vec_id", "embedding",
+      corpus.where($"vec_id" % 8 === 0), "vec_id", updateRounds = 1)
+      .select($"vec_id", $"embedding").localCheckpoint(true)
+    val probes = corpus.where($"vec_id" < 3)
+    // build from one third, absorb the other two thirds — assignment under
+    // frozen centroids is stateless, so the unioned store must equal the
+    // whole-corpus assignment and the search must equal the in-query path
+    val store = Seq(0L, 1L, 2L).map { b =>
+      SimilarityOps.ivfStore(corpus.where($"vec_id" % 3 === b),
+        "vec_id", "embedding", cent, "vec_id")
+    }.reduce(_ unionByName _)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "nbr_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fromStore = pairs(SimilarityOps.ivfSearchStore(store, probes, cent,
+      "vec_id", "vec_id", "vec_id", "embedding", k = 5,
+      probeFraction = 0.25, minProbe = 2))
+    val inQuery = pairs(SimilarityOps.ivfTopKFraction(corpus, probes, cent,
+      "vec_id", "vec_id", "vec_id", "embedding", k = 5,
+      probeFraction = 0.25, minProbe = 2))
+    assert(fromStore == inQuery)
+    assert(store.count() == 64L) // every nonzero-norm vector lands once
+  }
+
   test("kmeansAssign separates two obvious directional clusters") {
     // two tight cones around +x and +y; init one centroid in each
     val pts = Seq(

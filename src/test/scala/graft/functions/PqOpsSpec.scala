@@ -68,4 +68,39 @@ class PqOpsSpec extends SparkSpec {
     }
     assert(run(big) == run(big.repartition(11)))
   }
+
+  test("pqRerankTopK with full-corpus candidates equals exact L2 brute force") {
+    val rng = new scala.util.Random(9)
+    val corpus = (0L until 80L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val init = corpus.where(col("vec_id") < 4)
+    val cb = PqOps.pqCodebook(corpus, "vec_id", "embedding", init, "vec_id",
+      m = 2, dim = 8, lloydRounds = 1)
+    val codes = PqOps.pqEncode(corpus, "vec_id", "embedding", cb, 2, 8)
+    val probes = corpus.where(col("vec_id") < 3)
+    // margin covering the whole corpus -> the proposal set is everything,
+    // so the rerank IS exact brute force (the margin-certification bound)
+    val rr = PqOps.pqRerankTopK(corpus, codes, probes, "vec_id", "embedding",
+      cb, m = 2, dim = 8, k = 5, margin = 16, corpusIdCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    import org.apache.spark.sql.functions.{broadcast => bc, call_function, col => c2, lit => l2, row_number}
+    def vd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("vec_dot", a, b)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(c2("__d").asc, c2("nbr_id").asc)
+    val exact = corpus.select(c2("vec_id").as("nbr_id"), c2("embedding").as("__cv"))
+      .crossJoin(bc(probes.select(c2("vec_id").as("probe_id"), c2("embedding").as("__pv"))))
+      .where(c2("nbr_id") =!= c2("probe_id"))
+      .withColumn("__d", vd(c2("__cv"), c2("__cv"))
+        - l2(2.0) * vd(c2("__cv"), c2("__pv")) + vd(c2("__pv"), c2("__pv")))
+      .withColumn("rank", row_number().over(w)).where(c2("rank") <= 5)
+      .select(c2("probe_id"), c2("nbr_id"), c2("rank").cast("int").as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rr == exact)
+    // the sqrt-derived cut at a scale covering the corpus agrees too
+    val rs = PqOps.pqRerankTopKSqrt(corpus, codes, probes, "vec_id", "embedding",
+      cb, m = 2, dim = 8, k = 5, candSqrtScale = 10.0, corpusIdCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rs == exact)
+  }
 }
