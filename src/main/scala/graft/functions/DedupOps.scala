@@ -1000,6 +1000,59 @@ object DedupOps {
       .groupBy("id_a", "id_b").agg(min("dist").as("dist"))
   }
 
+  /** [[editDistancePairs]] with the block-size cap DERIVED from a
+    * candidate-pair budget — the [[ngramJaccardPairsBudget]] contract
+    * applied to blocked linkage: the cap `g` is the largest block size
+    * such that the pairs the kept blocks generate — Σ over blocks with
+    * |b| ≤ g of |b|·(|b|−1)/2 — stays within `pairBudget`; HOTTER blocks
+    * are dropped entirely. This is the enforcement the bare operator
+    * leaves to the caller's key choice: on a power-law key (first word
+    * of web text: "The…") one hot block makes the per-block quadratic
+    * term a silent 100× wall, while a budget expressed in PAIRS pins the
+    * join's work by construction — grow the budget linearly with the
+    * corpus and the stage scales linearly, with recall loss confined to
+    * the least informative (hottest) blocking keys.
+    *
+    * Derivation cost: the per-block count the join needs anyway, folded
+    * to a size-keyed HISTOGRAM (model data) + one ordered cumulative
+    * sum; the cap returns as one planning scalar (the budgetGuard
+    * role). Work sums are doubles (Σ|b|² overflows int64 at corpus
+    * scale under ANSI); the ordered window sums are IEEE-identical
+    * across engines, so the derived cap itself is engine-exact. Cap
+    * floor is 1 — a budget too small for any block still yields a valid
+    * (empty) pair set, never an unguarded explosion. */
+  def editDistancePairsBudget(df: DataFrame, idCol: String, strCol: String,
+                              blockCol: Column, maxDist: Int,
+                              pairBudget: Long): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(pairBudget >= 1, s"pairBudget must be >= 1, got $pairBudget")
+    val t = df.select(col(idCol).as("id"), col(strCol).as("s"), blockCol.as("blk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = t.groupBy("blk").agg(count(lit(1)).as("bn"))
+    val wk = sizes.groupBy("bn").agg(count(lit(1)).as("nb"))
+      .withColumn("work",
+        sum(col("nb").cast("double") * col("bn").cast("double") *
+          (col("bn") - 1).cast("double") / lit(2.0))
+          .over(org.apache.spark.sql.expressions.Window.orderBy("bn")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+    val r = wk.where(col("work") <= lit(pairBudget.toDouble))
+      .agg(max("bn")).head()
+    val g = if (r.isNullAt(0)) 1L else math.max(1L, r.getLong(0))
+    val keep = t.join(sizes.where(col("bn") <= g).select("blk"), Seq("blk"), "left_semi")
+    val a = keep.select(col("blk"), col("id").as("id_a"), col("s").as("s_a"))
+    val b = keep.select(col("blk"), col("id").as("id_b"), col("s").as("s_b"))
+    val pairs = a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .where(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .where(col("dist") >= 0)
+      .groupBy("id_a", "id_b").agg(min("dist").as("dist"))
+      .localCheckpoint(true) // budget-bounded; release t below
+    t.unpersist(blocking = false)
+    pairs
+  }
+
   /** SORTED-NEIGHBORHOOD record linkage (Hernández & Stolfo 1995): rank
     * the corpus by a sort key, compare each row only to the `windowSize−1`
     * rows after it, score survivors by threshold-abort Levenshtein.

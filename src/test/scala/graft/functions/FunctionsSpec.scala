@@ -193,6 +193,32 @@ class EditDistancePairsSpec extends SparkSpec {
     assert(pairs(rows, maxDist) == expected)
   }
 
+  test("editDistancePairsBudget rejects a planted hot block, keeps the cold ones") {
+    // 3 cold blocks of 2 near-dup strings + one hot block of 40 copies of
+    // a template ("The ..." on web text): unbudgeted pair work is
+    // 3·1 + 40·39/2 = 783; budget 100 must derive cap g < 40 — every
+    // cold pair survives, ZERO pairs come from the hot block
+    val cold = Seq((1L, "alpha one"), (2L, "alpha ona"),
+      (10L, "bravo two"), (11L, "bravo twa"),
+      (20L, "civic three"), (21L, "civic thrae"))
+    val hot = (100L until 140L).map(i => (i, "The quick brown fox"))
+    val df = (cold ++ hot).toDF("id", "s")
+    val out = DedupOps.editDistancePairsBudget(df, "id", "s",
+        substring(col("s"), 1, 3), maxDist = 4, pairBudget = 100L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(out == Set((1L, 2L), (10L, 11L), (20L, 21L)),
+      s"hot-block pairs must be dropped, got $out")
+    // a budget covering everything keeps the hot block (guard is a knob,
+    // not a hard filter) and agrees with the unbudgeted operator
+    val all = DedupOps.editDistancePairsBudget(df, "id", "s",
+        substring(col("s"), 1, 3), maxDist = 4, pairBudget = 1000L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("dist"))).toSet
+    val unguarded = DedupOps.editDistancePairs(df, "id", "s",
+        substring(col("s"), 1, 3), maxDist = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("dist"))).toSet
+    assert(all == unguarded)
+  }
+
   /** Driver-side sorted-neighborhood reference. */
   private def refSnm(rows: Seq[(Long, String)], w: Int, maxDist: Int): Seq[(Long, Long, Long, Int)] = {
     def lev(a: String, b: String): Int = {
