@@ -1460,6 +1460,40 @@ object SparkEntry {
         Seq("c_mktsegment", "c_nationkey"))
         .orderBy("cluster", "attr")
     }),
+    // ── extension: Z-ORDER WRITE PATH — q153's layout statistic cashed
+    //    in as an actual table: lineitem's hash-spread dims written via
+    //    TableStore.saveZOrdered (range-partition on the Morton key +
+    //    in-file sort — one 8-byte-key exchange, no global sort), read
+    //    BACK from parquet, and a 2-dim window predicate aggregated.
+    //    The gate certifies the write→read round-trip is lossless under
+    //    the re-layout (counts + dimension/payload sums vs the direct
+    //    scan); TableStoreSpec asserts the pruning win itself (a 2-dim
+    //    predicate touches fewer z-files than x-sorted stripes).
+    "q167_zorder_scan" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val d = T(s, dir, "lineitem").select(
+        pmod(DedupOps.hash60(col("l_partkey").cast("string")), lit(65536L)).as("x"),
+        pmod(DedupOps.hash60(col("l_suppkey").cast("string")), lit(65536L)).as("y"),
+        col("l_orderkey").as("k"))
+      val zdir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_q167_zorder_${java.util.UUID.randomUUID()}")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(zdir)
+      }))
+      TableStore.saveZOrdered(d, zdir.getAbsolutePath, "x", "y",
+        bits = 16, nFiles = 64)
+      TableStore.load(s, zdir.getAbsolutePath)
+        .where(col("x") < 4096 && col("y") >= 32768 && col("y") < 36864)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum("x"), lit(0L)).as("sum_x"),
+          coalesce(sum("y"), lit(0L)).as("sum_y"),
+          coalesce(sum("k"), lit(0L)).as("sum_k"))
+    }),
     // ── extension: PQ-PREFILTER → EXACT-RERANK — the deployment shape
     //    q149 measures the need for (raw ADC@10 recall 20–60%): ADC
     //    proposes a √n-scaled candidate cut from codes alone, exact L2
@@ -3689,6 +3723,17 @@ object SparkEntry {
                    ORDER BY votes DESC, val ASC) AS rn FROM votes)
          SELECT cluster, attr, val AS value, votes FROM win WHERE rn = 1
          ORDER BY cluster, attr""",
+    "q167_zorder_scan" ->
+      """WITH d AS (
+           SELECT CAST('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15) AS BIGINT) % 65536 AS x,
+                  CAST('0x'||substr(md5(CAST(l_suppkey AS VARCHAR)),1,15) AS BIGINT) % 65536 AS y,
+                  l_orderkey AS k
+           FROM lineitem)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(x), 0) AS BIGINT) AS sum_x,
+           CAST(coalesce(sum(y), 0) AS BIGINT) AS sum_y,
+           CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k
+         FROM d WHERE x < 4096 AND y >= 32768 AND y < 36864""",
     "q166_pq_rerank" ->
       """WITH fv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
          SELECT probe_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (

@@ -46,6 +46,38 @@ object TableStore {
   def loadTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Write `df` as a Z-ORDERED parquet directory: rows are range-
+    * partitioned on the Morton z-value of (`xCol`, `yCol`) (each reduced
+    * mod 2^bits) and sorted by it within every file, so each file covers
+    * a small (x, y) RECTANGLE of the key space — per-file parquet
+    * min/max footers are then tight on BOTH dimensions, and a scan with
+    * predicates on either (or both) prunes to the few intersecting files
+    * where a single-column sort prunes only on its one column
+    * ([[graft.operators.ZOrder]] quantifies the win; this is the write
+    * path that cashes it). `repartitionByRange` samples its boundaries —
+    * file CUTS are therefore balanced-by-size but not bit-reproducible
+    * across engines (the production trade [[graft.operators.ZOrder]]
+    * documents); the DATA is untouched, so reads gate exactly.
+    *
+    * At 100 TB this is the layout step of an ingestion compaction: one
+    * range exchange on an 8-byte key + a per-file sort, no global sort. */
+  def saveZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                   bits: Int = 16, nFiles: Int = 64,
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bits >= 1 && bits <= 31, s"bits in [1,31], got $bits")
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    import org.apache.spark.sql.functions.{call_function, col, lit, pmod}
+    val z = call_function("z_value",
+      pmod(col(xCol).cast("long"), lit(1L << bits)),
+      pmod(col(yCol).cast("long"), lit(1L << bits)), lit(bits))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
   /** Drop `table` from the catalog AND remove its physical warehouse
     * directory. With the in-memory catalog a previous JVM's table data
     * survives on disk but not in the catalog, and a managed CTAS over a

@@ -61,4 +61,45 @@ class TableStoreSpec extends SparkSpec {
     assert(q.count() == 10)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("z-ordered layout prunes a 2-dim predicate to fewer files than an x-sort") {
+    // hash-spread dims over a 256×256 domain, 20k rows → 16 files per layout
+    val base = spark.range(1, 20001)
+      .select(pmod(col("id") * 2654435761L, lit(256L)).as("x"),
+        pmod(col("id") * 40503L, lit(256L)).as("y"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val xDir = java.nio.file.Files.createTempDirectory("graft_x").toString
+    TableStore.saveZOrdered(base, zDir, "x", "y", bits = 8, nFiles = 16)
+    base.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xDir)
+
+    // the data round-trips exactly regardless of layout
+    val zBack = TableStore.load(spark, zDir)
+    assert(zBack.count() == 20000)
+
+    // a stats-based pruner reads a file iff its [min,max] box intersects
+    // the predicate rectangle — count those boxes per layout: every
+    // x-sorted stripe spans the full y domain, so a y-window prunes
+    // nothing there, while z-order files are small rectangles
+    def filesTouching(dir: String): Long = {
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+      stats.where(col("x1") >= 0 && col("x0") <= 63 &&
+        col("y1") >= 64 && col("y0") <= 127).count()
+    }
+    val zTouched = filesTouching(zDir)
+    val xTouched = filesTouching(xDir)
+    // x in [0,63] (1/4 of domain), y in [64,127] (1/4): the x-sort reads
+    // every stripe overlapping x≤63 (~4 of 16, each full-height → all 4
+    // intersect), z-order reads only the rectangle's files (~1/16 of area)
+    assert(zTouched < xTouched,
+      s"z-order must touch fewer files: z=$zTouched x=$xTouched")
+    // and the pruned scan still answers exactly
+    val exact = base.where(col("x") <= 63 && col("y").between(64, 127)).count()
+    assert(zBack.where(col("x") <= 63 && col("y").between(64, 127)).count() == exact)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zDir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(xDir))
+  }
 }
