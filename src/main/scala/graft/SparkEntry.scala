@@ -1460,6 +1460,47 @@ object SparkEntry {
         Seq("c_mktsegment", "c_nationkey"))
         .orderBy("cluster", "attr")
     }),
+    // ── extension: STREAMING SEMANTIC DEDUP vs the persisted cell store
+    //    — the q150 batch-parity pattern for EMBEDDINGS: the stream is
+    //    foreachBatch over EXACTLY this per-batch call sequence
+    //    (loadTable → semanticDedupIncrement → Append survivors), so the
+    //    two-increment chain against the real cid-bucketed parquet table
+    //    IS the stream's semantics run as a batch. Seed store = one
+    //    third of the corpus assigned under the frozen quantizer
+    //    (ivfStore — the SAME layout the persisted ANN search reads);
+    //    each batch carries planted ×1.25 near-dup copies (batch 1 of
+    //    store vectors — dropped vs store; batch 2 of batch-1 vectors —
+    //    dropped only because batch 2's scan SEES batch 1's appends, the
+    //    growth step that makes the chain a chain). Gate certifies
+    //    per-batch survivors AND the final store row count.
+    "q168_semantic_store_parity" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val cent = emb.where(col("vec_id") % 40 === 0)
+      val tbl = "graft_q168_cell_store"
+      TableStore.dropTable(s, tbl)
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(emb.where(pmod(col("vec_id"), lit(3)) === 0),
+          "vec_id", "embedding", cent, "vec_id"),
+        tbl, bucketCols = Seq("cid"), buckets = 8)
+      def scaled(df: DataFrame, offset: Long) = df.select(
+        (col("vec_id") + offset).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.25f)).as("embedding"))
+      val b1 = emb.where(pmod(col("vec_id"), lit(3)) === 1)
+        .unionByName(scaled(
+          emb.where(pmod(col("vec_id"), lit(3)) === 0 && col("vec_id") < 30), 100000L))
+      val b2 = emb.where(pmod(col("vec_id"), lit(3)) === 2)
+        .unionByName(scaled(
+          emb.where(pmod(col("vec_id"), lit(3)) === 1 && col("vec_id") < 30), 200000L))
+      val surv = Seq((1L, b1), (2L, b2)).map { case (bid, batch) =>
+        graft.streaming.StreamingOps.semanticDedupBatch(batch, "vec_id", "embedding",
+          tbl, cent, "vec_id", threshold = 0.9, buckets = 8)
+          .select(lit(bid).as("batch"), col("vec_id"), col("cid"))
+      }
+      val after = TableStore.loadTable(s, tbl)
+        .agg(count(lit(1)).as("store_rows_after"))
+      surv.reduce(_ unionByName _).crossJoin(after).orderBy("batch", "vec_id")
+    }),
     // ── extension: Z-ORDER WRITE PATH — q153's layout statistic cashed
     //    in as an actual table: lineitem's hash-spread dims written via
     //    TableStore.saveZOrdered (range-partition on the Morton key +
@@ -2759,7 +2800,67 @@ object SparkEntry {
     // chaining is bit-exact, so its oracle IS q113's 5-iteration SQL
     oracleSqlBase + ("q158_pagerank_resume" -> oracleSqlBase("q113_pagerank"))
 
+  /** DuckDB cosine between two embedding-list expressions — the q79
+    * formula, factored for the multi-batch q168 oracle. */
+  private def duckCos(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a) + 1),
+                   i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+                      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+                      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
+
+  /** DuckDB nearest-cell assignment of `src` rows against the `cent0`
+    * CTE (cid, cv) — the q79 `sasn`/`nasn` shape, factored. */
+  private def duckAsn(src: String): String =
+    s"""SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 ${duckCos("e.embedding", "c.cv")} DESC, c.cid) AS rn
+             FROM ($src) e, cent0 c) WHERE rn = 1"""
+
   private def oracleSqlBase: Map[String, String] = Map(
+    "q168_semantic_store_parity" ->
+      s"""WITH cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id % 40 = 0),
+         b1src AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 1
+           UNION ALL
+           SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x * 1.25 AS REAL))
+           FROM embeddings WHERE vec_id % 3 = 0 AND vec_id < 30),
+         b2src AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 2
+           UNION ALL
+           SELECT vec_id + 200000, list_transform(embedding, x -> CAST(x * 1.25 AS REAL))
+           FROM embeddings WHERE vec_id % 3 = 1 AND vec_id < 30),
+         sasn AS (${duckAsn("SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0")}),
+         a1 AS (${duckAsn("SELECT * FROM b1src")}),
+         a2 AS (${duckAsn("SELECT * FROM b2src")}),
+         drop1 AS (
+           SELECT n.vec_id AS vid FROM a1 n JOIN sasn s ON n.cid = s.cid
+           WHERE ${duckCos("n.embedding", "s.embedding")} >= 0.9
+           UNION ALL
+           SELECT b.vec_id FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.9),
+         s1 AS (SELECT * FROM a1 WHERE vec_id NOT IN (SELECT vid FROM drop1)),
+         st1 AS (SELECT vec_id, embedding, cid FROM sasn
+                 UNION ALL SELECT vec_id, embedding, cid FROM s1),
+         drop2 AS (
+           SELECT n.vec_id AS vid FROM a2 n JOIN st1 s ON n.cid = s.cid
+           WHERE ${duckCos("n.embedding", "s.embedding")} >= 0.9
+           UNION ALL
+           SELECT b.vec_id FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.9),
+         s2 AS (SELECT * FROM a2 WHERE vec_id NOT IN (SELECT vid FROM drop2)),
+         nrows AS (SELECT (SELECT count(*) FROM sasn) + (SELECT count(*) FROM s1)
+                        + (SELECT count(*) FROM s2) AS store_rows_after)
+         SELECT u.batch, u.vec_id, u.cid,
+           CAST(nrows.store_rows_after AS BIGINT) AS store_rows_after
+         FROM (SELECT CAST(1 AS BIGINT) AS batch, vec_id, cid FROM s1
+               UNION ALL SELECT CAST(2 AS BIGINT), vec_id, cid FROM s2) u
+         CROSS JOIN nrows
+         ORDER BY batch, vec_id""",
     "q01_function" ->
       """SELECT l_orderkey AS okey, l_linenumber AS lineno,
          l_extendedprice * (1 - l_discount) AS disc_price,

@@ -135,6 +135,58 @@ object StreamingOps {
     docs.writeStream.outputMode("append").foreachBatch(absorbBatch).start()
   }
 
+  /** ONE batch of streaming SEMANTIC dedup against the persisted CELL
+    * store — the foreachBatch body of [[semanticDedupStream]], exposed so
+    * a batch chain (and the q168 oracle gate) runs the IDENTICAL call
+    * sequence the stream runs: load the (cid-bucketed) store table —
+    * the [[graft.functions.SimilarityOps.ivfStore]] layout, shared with
+    * the persisted ANN search — absorb the increment under the FROZEN
+    * broadcast quantizer ([[graft.functions.SimilarityOps
+    * .semanticDedupIncrement]]: store semi-joined to the increment's
+    * touched cells only, O(increment × cell density)), and append the
+    * survivors' (id, vec, cid) rows with the store's bucketing
+    * preserved. State lives in the warehouse, not a streaming state
+    * store, for the [[dedupAgainstStore]] reasons.
+    *
+    * @return the batch's survivors (with "cid"), eagerly materialized
+    */
+  def semanticDedupBatch(vecs: DataFrame, idCol: String, vecCol: String,
+                         storeTable: String, centroids: DataFrame,
+                         centroidIdCol: String, threshold: Double = 0.9,
+                         buckets: Int = 8): DataFrame = {
+    val s = vecs.sparkSession
+    val store = graft.sources.TableStore.loadTable(s, storeTable)
+    val (survivors, _) = graft.functions.SimilarityOps.semanticDedupIncrement(
+      vecs, idCol, vecCol, store, centroids, centroidIdCol, threshold)
+    val out = survivors.localCheckpoint(true)
+    graft.sources.TableStore.saveBucketed(
+      out.select(col(idCol), col(vecCol), col("cid")), storeTable,
+      bucketCols = Seq("cid"), buckets = buckets, mode = SaveMode.Append)
+    out
+  }
+
+  /** Continuous semantic dedup of an embedding stream against the
+    * persisted cell store — the [[dedupAgainstStore]] lifecycle for
+    * EMBEDDINGS: each micro-batch absorbs via [[semanticDedupBatch]], so
+    * batch N+1's cell scan sees batch N's appended survivors, restarts
+    * resume from the warehouse, and the batch q79/q168 paths (and the
+    * persisted ANN search) read the very same table.
+    *
+    * @param onSurvivors called per micro-batch with (survivor rows with
+    *                    their "cid", batchId)
+    */
+  def semanticDedupStream(vecs: DataFrame, idCol: String, vecCol: String,
+                          storeTable: String, centroids: DataFrame,
+                          centroidIdCol: String, threshold: Double = 0.9,
+                          buckets: Int = 8)
+                         (onSurvivors: (DataFrame, Long) => Unit): StreamingQuery = {
+    val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      onSurvivors(semanticDedupBatch(batch.toDF(), idCol, vecCol, storeTable,
+        centroids, centroidIdCol, threshold, buckets), batchId)
+    }
+    vecs.writeStream.outputMode("append").foreachBatch(body).start()
+  }
+
   /** ONE batch of streaming graph maintenance — the foreachBatch body of
     * [[absorbComponentsStream]], exposed so a batch chain (and the q151
     * oracle gate) runs the IDENTICAL call sequence the stream runs:

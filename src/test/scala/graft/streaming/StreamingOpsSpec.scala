@@ -282,6 +282,50 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupStream absorbs embedding micro-batches into the persisted cell store") {
+    import graft.functions.SimilarityOps
+    import graft.sources.TableStore
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "graft_stream_cell_store"
+    // two well-separated directions; centroids = one per direction
+    def vx(s: Float) = Array(s, 0.0f, 0.1f)
+    def vy(s: Float) = Array(0.0f, s, 0.1f)
+    val cent = Seq((0L, vx(1f)), (1L, vy(1f))).toDF("vec_id", "embedding")
+    val seed = Seq((0L, vx(1f)), (1L, vy(1f))).toDF("vec_id", "embedding")
+    TableStore.dropTable(spark, tbl)
+    TableStore.saveBucketed(
+      SimilarityOps.ivfStore(seed, "vec_id", "embedding", cent, "vec_id"),
+      tbl, bucketCols = Seq("cid"), buckets = 4)
+
+    val survivorIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.semanticDedupStream(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", tbl,
+      cent, "vec_id", threshold = 0.95, buckets = 4) { (survivors, _) =>
+      survivorIds.synchronized {
+        survivorIds ++= survivors.select("vec_id").collect().map(_.getLong(0))
+      }
+    }
+    try {
+      // batch 1: 10 is a scaled copy of seed 0 (dropped vs STORE);
+      // 11 is genuinely new (x+y diagonal, cos ≈ 0.72 to both seeds)
+      ms.addData((10L, vx(1.25f)), (11L, Array(1.0f, 1.0f, 0.1f)))
+      q.processAllAvailable()
+      // batch 2: 12 duplicates batch 1's survivor 11 — dropped only if
+      // batch 1's append is visible; 13 is novel (negative diagonal)
+      ms.addData((12L, Array(1.25f, 1.25f, 0.125f)), (13L, Array(1.0f, -1.0f, 0.1f)))
+      q.processAllAvailable()
+      assert(survivorIds.synchronized(survivorIds.toSet) == Set(11L, 13L),
+        s"survivors ${survivorIds.toSeq}")
+      val storeIds = TableStore.loadTable(spark, tbl)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(storeIds == Set(0L, 1L, 11L, 13L), s"store ids $storeIds")
+    } finally {
+      q.stop()
+      TableStore.dropTable(spark, tbl)
+    }
+  }
+
   test("absorbComponentsStream maintains the persisted label store across batches") {
     import graft.functions.GraphOps
     import graft.sources.TableStore
