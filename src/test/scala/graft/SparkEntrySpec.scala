@@ -15,9 +15,10 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("every oracle has a deterministic total ORDER BY (single-row queries exempt)") {
     // q07 is FindOne, q110 a global regression, q123/q130 cross joins of
-    // 1-row aggregates: one row by construction, nothing to order
+    // 1-row aggregates, q167 a global aggregate: one row by
+    // construction, nothing to order
     val exempt = Set("q07_find_one", "q110_zipf_fit", "q123_cms_join_size",
-      "q130_hll_distinct")
+      "q130_hll_distinct", "q167_zorder_scan")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !exempt(name) && !sql.toUpperCase.contains("ORDER BY") => name
     }
