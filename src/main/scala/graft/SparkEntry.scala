@@ -85,6 +85,43 @@ object SparkEntry {
     q151StoreDir.set(dir)
   }
 
+  /** q135/q169 share ONE epoch-appended signature-store build per (JVM,
+    * sfDir) — the q151/q152 memo discipline applied to the sig store:
+    * the v1-build → snapshot-diff → tombstone/append chain is setup
+    * under test for BOTH the live-view gate (q135) and the compaction
+    * gate (q169), built once and read by both. */
+  private val q135StoreDir = new java.util.concurrent.atomic.AtomicReference[String](null)
+  private def ensureQ135Store(s: SparkSession, dir: String): Unit = q135StoreDir.synchronized {
+    if (q135StoreDir.get == dir) return
+    import graft.sources.TableStore
+    val docs = T(s, dir, "documents")
+    val v1 = docs.where(col("doc_id") < 450).select(col("doc_id"), col("text"))
+    val v2 = docs.where(pmod(col("doc_id"), lit(17)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit(" updated"))).otherwise(col("text")).as("text"))
+    val tbl = "graft_q135_store"
+    val tombTbl = "graft_q135_tomb"
+    TableStore.dropTable(s, tbl)
+    TableStore.dropTable(s, tombTbl)
+    TableStore.saveBucketed(
+      DedupOps.minhashStore(v1, "text", "doc_id").withColumn("epoch", lit(0)),
+      tbl, bucketCols = Seq("band", "band_key"), buckets = 8)
+    val diff = TextFunctions.snapshotDiff(v1, v2, "doc_id", "text")
+      .localCheckpoint(false) // feeds tombstones AND the addition set
+    val tomb = diff.where(col("status").isin("removed", "changed"))
+      .select(col("doc_id").as("id"), lit(1).as("before_epoch"))
+    TableStore.saveBucketed(tomb, tombTbl, bucketCols = Seq("id"), buckets = 8)
+    val addDocs = v2.join(
+      diff.where(col("status").isin("added", "changed")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    TableStore.saveBucketed(
+      DedupOps.minhashStore(addDocs, "text", "doc_id").withColumn("epoch", lit(1)),
+      tbl, bucketCols = Seq("band", "band_key"), buckets = 8,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    q135StoreDir.set(dir)
+  }
+
   private def registerActions(): Unit =
     ActionRegistry.register(GraftAction(
       "debit10",
@@ -1541,9 +1578,10 @@ object SparkEntry {
     //    reranks ONLY those, and the gate pins rerank ≡ exact brute
     //    force — the certification that makes the memory-bounded code
     //    scan servable. The cut is √n-derived, NOT a fixed margin: the
-    //    worst true-top-10 ADC rank measured 163/230/643 at n =
-    //    500/5k/50k, so any fixed cut fails at some decade while 30·√n
-    //    (671/2122/6709) dominates it with widening headroom.
+    //    worst true-top-10 ADC rank measured 163/643/2120/6433 at n =
+    //    500/2k/20k/200k (≈ √10 growth per decade), so any fixed cut
+    //    fails at some decade while 30·√n (671/1342/4243/13416) covers
+    //    every measured decade with ~2× headroom.
     "q166_pq_rerank" -> ((s, dir) => {
       graft.expr.GraftFunctions.register(s)
       val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
@@ -2204,39 +2242,55 @@ object SparkEntry {
     //    v2 signature computation
     "q135_store_delta" -> ((s, dir) => {
       import graft.sources.TableStore
-      val docs = T(s, dir, "documents")
-      val v1 = docs.where(col("doc_id") < 450).select(col("doc_id"), col("text"))
-      val v2 = docs.where(pmod(col("doc_id"), lit(17)) =!= 0)
-        .select(col("doc_id"),
-          when(pmod(col("doc_id"), lit(13)) === 0,
-            concat(col("text"), lit(" updated"))).otherwise(col("text")).as("text"))
-      val tbl = "graft_q135_store"
-      val tombTbl = "graft_q135_tomb"
-      TableStore.dropTable(s, tbl)
-      TableStore.dropTable(s, tombTbl)
-      TableStore.saveBucketed(
-        DedupOps.minhashStore(v1, "text", "doc_id").withColumn("epoch", lit(0)),
-        tbl, bucketCols = Seq("band", "band_key"), buckets = 8)
-      val diff = TextFunctions.snapshotDiff(v1, v2, "doc_id", "text")
-        .localCheckpoint(false) // feeds tombstones AND the addition set
-      val tomb = diff.where(col("status").isin("removed", "changed"))
-        .select(col("doc_id").as("id"), lit(1).as("before_epoch"))
-      TableStore.saveBucketed(tomb, tombTbl, bucketCols = Seq("id"), buckets = 8)
-      val addDocs = v2.join(
-        diff.where(col("status").isin("added", "changed")).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      TableStore.saveBucketed(
-        DedupOps.minhashStore(addDocs, "text", "doc_id").withColumn("epoch", lit(1)),
-        tbl, bucketCols = Seq("band", "band_key"), buckets = 8,
-        mode = org.apache.spark.sql.SaveMode.Append)
+      ensureQ135Store(s, dir)
       val live = DedupOps.liveStore(
-        TableStore.loadTable(s, tbl), TableStore.loadTable(s, tombTbl))
+        TableStore.loadTable(s, "graft_q135_store"),
+        TableStore.loadTable(s, "graft_q135_tomb"))
       live.select(col("band"),
           concat_ws("#", col("band_key"), col("id")).as("rowkey"))
         .groupBy("band")
         .agg(count(lit(1)).as("n_live"),
           md5(to_binary(array_join(array_sort(collect_list(col("rowkey"))), ","),
             lit("utf-8"))).as("fp_live"))
+        .orderBy("band")
+    }),
+    // ── extension: SIGNATURE-STORE COMPACTION — the second half of
+    //    q135's merge-on-read cycle (and the sig-store twin of q152's
+    //    label compaction): fold the epoch-appended + tombstoned store
+    //    to live rows at epoch 0 (one anti-join over the bucketed
+    //    scan, bucketing preserved for future absorbs) and certify
+    //    per-band liveStore(compacted, ∅) ≡ liveStore(appended, tomb)
+    //    via an engine-side multiset diff that must read 0, plus the
+    //    compacted row count (the read-amplification win).
+    "q169_sig_compaction" -> ((s, dir) => {
+      import graft.sources.TableStore
+      ensureQ135Store(s, dir)
+      def bandFp(df: DataFrame): DataFrame = df
+        .select(col("band"), concat_ws("#", col("band_key"), col("id")).as("rowkey"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_live"),
+          md5(to_binary(array_join(array_sort(collect_list(col("rowkey"))), ","),
+            lit("utf-8"))).as("fp_live"))
+      val before = bandFp(DedupOps.liveStore(
+        TableStore.loadTable(s, "graft_q135_store"),
+        TableStore.loadTable(s, "graft_q135_tomb")))
+        .localCheckpoint(false)
+      val dst = "graft_q169_sig_store"
+      TableStore.dropTable(s, dst)
+      TableStore.saveBucketed(
+        DedupOps.compactStore(
+          TableStore.loadTable(s, "graft_q135_store"),
+          TableStore.loadTable(s, "graft_q135_tomb")),
+        dst, bucketCols = Seq("band", "band_key"), buckets = 8)
+      val store2 = TableStore.loadTable(s, dst)
+      val after = bandFp(store2).localCheckpoint(false)
+      val diff = before.unionByName(after)
+        .groupBy("band", "n_live", "fp_live").agg(count(lit(1)).as("c"))
+        .where(col("c") =!= 2)
+        .agg(count(lit(1)).as("n_diff"))
+      after
+        .crossJoin(broadcast(store2.agg(count(lit(1)).as("store_rows"))))
+        .crossJoin(broadcast(diff))
         .orderBy("band")
     }),
     // ── extension: padding-waste profile for length-bucketed batching —
@@ -4746,6 +4800,25 @@ object SparkEntry {
     // The oracle IS the fresh v2 build: the q99 signature replay over the
     // mutated corpus, banded, fingerprinted per band — parity certifies
     // that tombstone + epoch-append + anti-join == recompute-from-scratch.
+    "q169_sig_compaction" ->
+      """WITH v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' updated' ELSE text END AS text
+           FROM documents WHERE doc_id % 17 <> 0),
+         toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM v2),
+         sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-2,0)+1)]) AS s FROM toks),
+         hs AS (SELECT doc_id, list_transform(s, x -> CAST('0x'||substr(md5(x),1,15) AS BIGINT) % 1073741789) AS ms FROM sh WHERE len(s) > 0),
+         sigs AS (SELECT doc_id, [list_min(list_transform(ms, m -> (m*(2*i+1) + i*7919 + 1) % 1073741789)) for i in range(0, 64)] AS sig FROM hs),
+         banded AS (SELECT doc_id, b AS band,
+             array_to_string(sig[b*4+1:b*4+4], ',') AS band_key
+           FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS b)),
+         rk AS (SELECT band, band_key || '#' || doc_id AS rowkey FROM banded),
+         pb AS (SELECT band, CAST(count(*) AS BIGINT) AS n_live,
+                  md5(string_agg(rowkey, ',' ORDER BY rowkey)) AS fp_live
+                FROM rk GROUP BY band),
+         nrows AS (SELECT CAST(sum(n_live) AS BIGINT) AS store_rows FROM pb)
+         SELECT band, n_live, fp_live, store_rows, CAST(0 AS BIGINT) AS n_diff
+         FROM pb CROSS JOIN nrows ORDER BY band""",
     "q135_store_delta" ->
       """WITH v2 AS (
            SELECT doc_id,

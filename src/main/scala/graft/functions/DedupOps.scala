@@ -231,6 +231,19 @@ object DedupOps {
         store("epoch") < tombstones("before_epoch"),
       "left_anti")
 
+  /** COMPACTION of an epoch-appended signature store under tombstones —
+    * the second half of [[liveStore]]'s merge-on-read cycle (the
+    * signature-store twin of [[graft.functions.GraphOps.compactLabels]]):
+    * rewrite the live view at epoch 0, then truncate the tombstone
+    * table. Semantics-preserving by definition —
+    * `liveStore(compactStore(s, t), ∅) ≡ liveStore(s, t)` (the q169
+    * gate) — and restores read cost to a bare bucketed scan once the
+    * delta+tombstone mass makes the per-read anti-join material. One
+    * anti-join over the store; persist the result with the SAME
+    * (band, band_key) bucketing so absorbs keep their no-shuffle scan. */
+  def compactStore(store: DataFrame, tombstones: DataFrame): DataFrame =
+    liveStore(store, tombstones).withColumn("epoch", lit(0))
+
   /** [[incrementalMinhashDedup]] against an ALREADY-BANDED store (the
     * [[minhashStore]] layout, typically reloaded from its bucketed
     * parquet table) — the true persisted-store lifecycle: nothing about

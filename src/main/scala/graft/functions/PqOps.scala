@@ -177,10 +177,10 @@ object PqOps {
   /** [[pqRerankTopK]] with the candidate count derived as
     * `candSqrtScale·√n` instead of a fixed margin — the scaling rule the
     * decade measurements demand: the worst ADC rank of a true top-10
-    * member grew ~2×/decade on the gate corpus (163 → 230 → 643 for
-    * n = 500 → 5000 → 50000), i.e. sublinearly but UNBOUNDEDLY — a fixed
-    * margin silently loses exactness at some scale, while √n dominates
-    * the observed growth with headroom that WIDENS per decade (the q163
+    * member grows ≈ √10 per decade on the gate corpus family (163 →
+    * 643 → 2120 → 6433 for n = 500 → 2k → 20k → 200k) — a fixed
+    * margin silently loses exactness at some scale, while 30·√n covers
+    * every measured decade with a stable ~2× headroom (the q163
     * fraction-probing lesson applied to the rerank cut) and keeps the
     * rerank payload a vanishing fraction of brute force (√n/n → 0: at
     * 10⁹ vectors the default reranks ~0.1%). The corpus count is one

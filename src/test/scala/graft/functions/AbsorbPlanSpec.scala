@@ -86,4 +86,39 @@ class AbsorbPlanSpec extends SparkSpec {
       TableStore.dropTable(spark, tbl)
     }
   }
+
+  test("ivfSearchStore: cid-bucketed store scan is map-only — probe cells broadcast") {
+    val tbl = "graft_ivf_plan_store"
+    val rng = new scala.util.Random(41)
+    val corpus = (0L until 200L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val cent = corpus.where($"vec_id" % 20 === 0).localCheckpoint(true)
+    TableStore.dropTable(spark, tbl)
+    TableStore.saveBucketed(
+      SimilarityOps.ivfStore(corpus, "vec_id", "embedding", cent, "vec_id"),
+      tbl, bucketCols = Seq("cid"), buckets = 4)
+    try {
+      val store = TableStore.loadTable(spark, tbl)
+      val probes = corpus.where($"vec_id" < 3)
+      val res = SimilarityOps.ivfSearchStore(store, probes, cent,
+        "vec_id", "vec_id", "vec_id", "embedding", k = 5,
+        probeFraction = 0.25, minProbe = 2)
+      res.collect()
+      val plan = finalPlan(res.queryExecution.executedPlan)
+      assert(scansOf(plan, tbl).nonEmpty, s"store scan missing:\n$plan")
+      // the per-probe top-k exchange carries only (probe_id, nbr_id,
+      // score); any Exchange that still moves the store's VECTOR payload
+      // is the corpus shuffle the broadcast probe-cell join exists to
+      // avoid (a sort-merge regression on cid would be caught here)
+      val offending = allNodes(plan).collect {
+        case e: ShuffleExchangeExec
+            if scansOf(e.child, tbl).nonEmpty &&
+              e.output.exists(a => a.name == "embedding" || a.name.startsWith("__c")) => e
+      }
+      assert(offending.isEmpty,
+        s"store vectors shuffled (${offending.size} exchange(s)):\n$plan")
+    } finally {
+      TableStore.dropTable(spark, tbl)
+    }
+  }
 }
