@@ -2293,6 +2293,19 @@ object SparkEntry {
         .crossJoin(broadcast(diff))
         .orderBy("band")
     }),
+    // ── extension: WEIGHTED sampling WITHOUT replacement (Efraimidis–
+    //    Spirtakis A-ES) — "60 docs proportional to length, exactly
+    //    once each" as ONE deterministic top-k (md5-derived uniforms,
+    //    rank-quantized integer priorities; plans as TakeOrdered — no
+    //    global sort). The exact-k ∝-weight subset primitive the
+    //    mixture family lacked (systematic = with-replacement copies,
+    //    budget = token-prefix, stratified = uniform-within-group).
+    "q171_weighted_sample" -> ((s, dir) => {
+      graft.operators.MixtureSample.weightedSampleNoReplacement(
+          T(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", k = 60)
+        .orderBy("doc_id")
+    }),
     // ── extension: padding-waste profile for length-bucketed batching —
     //    next-pow2 buckets (integer bin() identity), per-bucket waste vs
     //    the naive pad-to-max baseline; ≤ 64 bucket keys for any corpus
@@ -4819,6 +4832,14 @@ object SparkEntry {
          nrows AS (SELECT CAST(sum(n_live) AS BIGINT) AS store_rows FROM pb)
          SELECT band, n_live, fp_live, store_rows, CAST(0 AS BIGINT) AS n_diff
          FROM pb CROSS JOIN nrows ORDER BY band""",
+    "q171_weighted_sample" ->
+      """SELECT doc_id, n_chars, key_micro FROM (
+           SELECT doc_id, n_chars,
+             CAST(floor(ln((CAST('0x'||substr(md5('aes:'||CAST(doc_id AS VARCHAR)),1,13) AS BIGINT) + 0.5)
+                 / 4503599627370496.0) / n_chars * 1000000.0) AS BIGINT) AS key_micro
+           FROM documents
+           ORDER BY key_micro DESC, doc_id LIMIT 60)
+         ORDER BY doc_id""",
     "q135_store_delta" ->
       """WITH v2 AS (
            SELECT doc_id,

@@ -173,4 +173,40 @@ object MixtureSample {
     df.withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= k)
   }
+
+  /** WEIGHTED sampling WITHOUT replacement (Efraimidis–Spirtakis A-ES,
+    * IPL 97(5) 2006): each row gets priority u^(1/w) for u ~ U(0,1);
+    * the k highest priorities are a weighted sample without replacement
+    * — the one-pass, fully parallel scheme (no sequential draw-and-
+    * remove), so "sample 10k docs proportional to length" is a single
+    * top-k. Complements [[systematicSample]] (with-replacement copies)
+    * and [[tokenBudgetSample]] (budget-bounded prefix): this is the
+    * exact-k, probability-∝-weight subset.
+    *
+    * Determinism/engine-portability: u is md5-derived ((52-bit digest
+    * prefix + 0.5) / 2^52 — exact doubles on any engine), and the
+    * priority is RANK-quantized to an integer `key_micro =
+    * floor(1e6·ln(u)/w)` (ln is monotone, so ordering by ln(u)/w ≡
+    * ordering by u^(1/w); one closed-form float expression per row, no
+    * cross-engine accumulation-order hazard), ties broken by id.
+    *
+    * Scale shape: `orderBy(...).limit(k)` plans as TakeOrdered — a
+    * map-side per-partition top-k then a k-sized merge, never a global
+    * sort; weights stay distributed, nothing corpus-sized moves.
+    *
+    * @param weightCol positive integer/long weight (e.g. token count)
+    * @return the k sampled rows plus their `key_micro` priority
+    */
+  def weightedSampleNoReplacement(df: DataFrame, idCol: String,
+                                  weightCol: String, k: Int,
+                                  seed: String = "aes"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val m = conv(substring(md5(concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 13),
+      16, 10).cast("long")
+    val u = (m.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    df.withColumn("key_micro",
+        floor(log(u) / col(weightCol) * lit(1000000.0)).cast("long"))
+      .orderBy(col("key_micro").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -153,4 +153,35 @@ class MixtureSampleSpec extends SparkSpec {
     // Partial mode instance precedes the shuffle read side
     assert(plan.contains("Partial"), s"expected a Partial window-group-limit in:\n$plan")
   }
+
+  test("weightedSampleNoReplacement returns exactly k rows, deterministic under repartition") {
+    val df = (1L to 200L).map(i => (i, 1L + i % 17)).toDF("id", "w")
+    val a = MixtureSample.weightedSampleNoReplacement(df, "id", "w", k = 20)
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    val b = MixtureSample.weightedSampleNoReplacement(df.repartition(13), "id", "w", k = 20)
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(a.length == 20)
+    assert(a == b, "selection must not depend on physical layout")
+    assert(a.distinct.length == 20, "without replacement: no id sampled twice")
+  }
+
+  test("weightedSampleNoReplacement favors heavy rows (A-ES inclusion ∝ weight)") {
+    // 10 rows of weight 1000 among 200 of weight 1: P(include heavy) ≈ 1
+    // for k=10 — all heavy rows should make the sample with overwhelming
+    // probability under ANY uniform draw; md5 draws are fixed, so this is
+    // a deterministic regression pin of the weighting direction.
+    val df = ((1L to 200L).map(i => (i, 1L)) ++ (201L to 210L).map(i => (i, 100000L)))
+      .toDF("id", "w")
+    val picked = MixtureSample.weightedSampleNoReplacement(df, "id", "w", k = 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert((201L to 210L).count(picked) >= 9,
+      s"heavy rows must dominate the top-k, got $picked")
+  }
+
+  test("weightedSampleNoReplacement plans as TakeOrdered (no global sort)") {
+    val df = (1L to 100L).map(i => (i, 1L + i % 5)).toDF("id", "w")
+    val plan = MixtureSample.weightedSampleNoReplacement(df, "id", "w", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$plan")
+  }
 }
