@@ -2293,6 +2293,57 @@ object SparkEntry {
         .crossJoin(broadcast(diff))
         .orderBy("band")
     }),
+    // ── extension: STREAM-STREAM interval join PARITY — the first gate
+    //    that runs an ACTUAL Structured Streaming query end-to-end:
+    //    errors and clicks written as ts-ranged parquet files, replayed
+    //    one file per trigger through StreamingOps.intervalJoin
+    //    (watermarked stream-stream join, clicks within 6 h BEFORE each
+    //    error), appended to a memory sink, then aggregated. The oracle
+    //    is the plain batch interval join — certifying that incremental
+    //    multi-trigger execution ≡ batch semantics (the q57 family's
+    //    streaming twin; eviction semantics live in StreamingOpsSpec).
+    "q170_stream_join_parity" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val base = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_q170_$uid")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(base)
+      }))
+      // watermarks require TIMESTAMP (ltz) event time; the session TZ is
+      // pinned UTC so the ntz→ltz cast is a fixed relabeling
+      val err = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"))
+      val clk = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+          col("ts").cast("timestamp").as("cts"))
+      err.repartitionByRange(3, col("ts")).write
+        .parquet(new java.io.File(base, "err").getAbsolutePath)
+      clk.repartitionByRange(3, col("ts")).write
+        .parquet(new java.io.File(base, "clk").getAbsolutePath)
+      val errS = s.readStream.schema(err.schema).option("maxFilesPerTrigger", "1")
+        .parquet(new java.io.File(base, "err").getAbsolutePath)
+      val clkS = s.readStream.schema(clk.schema).option("maxFilesPerTrigger", "1")
+        .parquet(new java.io.File(base, "clk").getAbsolutePath)
+      // watermark delay past the corpus span: the PARITY run must drop
+      // nothing (state-eviction behavior is the spec's concern, not the
+      // oracle's)
+      val joined = graft.streaming.StreamingOps.intervalJoin(
+        errS, clkS, "user_id", "cu", "ts", "cts",
+        lookback = "21600 seconds", watermarkDelay = "3650 days")
+      val sink = s"graft_q170_sink_$uid"
+      val q = joined.select("event_id", "click_id").writeStream
+        .outputMode("append").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).groupBy("event_id")
+        .agg(count(lit(1)).as("n_clicks"), sum("click_id").as("sum_click_ids"))
+        .orderBy("event_id")
+    }),
     // ── extension: WEIGHTED sampling WITHOUT replacement (Efraimidis–
     //    Spirtakis A-ES) — "60 docs proportional to length, exactly
     //    once each" as ONE deterministic top-k (md5-derived uniforms,
@@ -4832,6 +4883,16 @@ object SparkEntry {
          nrows AS (SELECT CAST(sum(n_live) AS BIGINT) AS store_rows FROM pb)
          SELECT band, n_live, fp_live, store_rows, CAST(0 AS BIGINT) AS n_diff
          FROM pb CROSS JOIN nrows ORDER BY band""",
+    "q170_stream_join_parity" ->
+      """WITH err AS (SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events
+                      WHERE event_type = 'error'),
+         clk AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) AS tns
+                 FROM events WHERE event_type = 'click')
+         SELECT e.event_id, CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(sum(c.click_id) AS BIGINT) AS sum_click_ids
+         FROM err e JOIN clk c ON c.user_id = e.user_id
+           AND c.tns >= e.tns - 21600000000000 AND c.tns <= e.tns
+         GROUP BY 1 ORDER BY 1""",
     "q171_weighted_sample" ->
       """SELECT doc_id, n_chars, key_micro FROM (
            SELECT doc_id, n_chars,
