@@ -2293,6 +2293,71 @@ object SparkEntry {
         .crossJoin(broadcast(diff))
         .orderBy("band")
     }),
+    // ── extension: IVF-STORE DELETE + COMPACT — the missing lifecycle
+    //    leg of the persisted ANN index (q165 covers build → absorb →
+    //    search): vector deletion and re-embedding land as (id,
+    //    before_epoch) tombstones + higher-epoch appends; reads are the
+    //    generic TableStore.liveView merge-on-read anti-join; compaction
+    //    rewrites live rows at epoch 0 with the cid-bucketing preserved.
+    //    Gate: a fraction-probed search over the LIVE view and over the
+    //    COMPACTED reload must be identical (engine-side multiset diff
+    //    = 0), and the oracle recomputes the search from the mutated
+    //    corpus from scratch — tombstone semantics ≡ rebuild.
+    "q172_ivf_delete_compact" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings")
+      val init = emb.where(col("vec_id") % 40 === 0).select("vec_id", "embedding")
+      val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", init, "vec_id", updateRounds = 1)
+        .localCheckpoint(true) // trained once; builds, absorbs, AND probes
+      val tbl = "graft_q172_ivf_store"
+      TableStore.dropTable(s, tbl)
+      TableStore.saveBucketed( // epoch 0: two thirds of the corpus
+        SimilarityOps.ivfStore(emb.where(pmod(col("vec_id"), lit(3)) < 2),
+            "vec_id", "embedding", cent, "vec_id")
+          .withColumn("epoch", lit(0L)),
+        tbl, bucketCols = Seq("cid"), buckets = 8)
+      // epoch 1: the last third + RE-EMBEDDED (×1.25, SAME ids) versions
+      // of 10 epoch-0 vectors — an embedding-model refresh in miniature
+      val reEmb = emb.where(pmod(col("vec_id"), lit(3)) === 0 && col("vec_id") < 30)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(1.25f)).as("embedding"))
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(
+            emb.where(pmod(col("vec_id"), lit(3)) === 2)
+              .select("vec_id", "embedding").unionByName(reEmb),
+            "vec_id", "embedding", cent, "vec_id")
+          .withColumn("epoch", lit(1L)),
+        tbl, bucketCols = Seq("cid"), buckets = 8,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      // tombstones: re-embedded ids hide their epoch-0 rows; vec_id ≡ 10
+      // (mod 15) rows are deleted outright
+      val tomb = emb.where(
+          (pmod(col("vec_id"), lit(3)) === 0 && col("vec_id") < 30) ||
+            pmod(col("vec_id"), lit(15)) === 10)
+        .select(col("vec_id"), lit(1L).as("before_epoch"))
+      val live = TableStore.liveView(TableStore.loadTable(s, tbl), tomb,
+        "vec_id", "epoch")
+      val dst = "graft_q172_ivf_compact"
+      TableStore.dropTable(s, dst)
+      TableStore.saveBucketed(live.withColumn("epoch", lit(0L)),
+        dst, bucketCols = Seq("cid"), buckets = 8)
+      val compacted = TableStore.loadTable(s, dst)
+      val probes = emb.where(col("vec_id") < 5)
+      def search(st: DataFrame) = SimilarityOps.ivfSearchStore(
+          st.select("vec_id", "embedding", "cid"), probes, cent,
+          "vec_id", "vec_id", "vec_id", "embedding", k = 10,
+          probeFraction = 0.25, minProbe = 2)
+        .select(col("probe_id"), col("nbr_id"))
+      val a = search(live).localCheckpoint(false)
+      val b = search(compacted).localCheckpoint(false)
+      val diff = a.unionByName(b).groupBy("probe_id", "nbr_id")
+        .agg(count(lit(1)).as("c")).where(col("c") =!= 2)
+        .agg(count(lit(1)).as("n_diff"))
+      b.crossJoin(broadcast(compacted.agg(count(lit(1)).as("live_rows"))))
+        .crossJoin(broadcast(diff))
+        .orderBy("probe_id", "nbr_id")
+    }),
     // ── extension: STREAM-STREAM interval join PARITY — the first gate
     //    that runs an ACTUAL Structured Streaming query end-to-end:
     //    errors and clicks written as ts-ranged parquet files, replayed
@@ -4883,6 +4948,74 @@ object SparkEntry {
          nrows AS (SELECT CAST(sum(n_live) AS BIGINT) AS store_rows FROM pb)
          SELECT band, n_live, fp_live, store_rows, CAST(0 AS BIGINT) AS n_diff
          FROM pb CROSS JOIN nrows ORDER BY band""",
+    // The oracle IS the rebuild-from-scratch: the mutated corpus (last
+    // third + re-embeds, minus deletions) searched fresh — certifying
+    // tombstone + epoch-append + anti-join + compaction ≡ recompute.
+    "q172_ivf_delete_compact" ->
+      """WITH cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id % 40 = 0),
+         asn0 AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent0 c) WHERE rn = 1),
+         ex AS (SELECT cid, unnest(embedding) AS x,
+                  unnest(range(1, len(embedding) + 1)) AS pos FROM asn0),
+         cent1 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cv FROM (
+             SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS mx FROM ex GROUP BY cid, pos)
+           GROUP BY cid),
+         live AS (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 3 < 2 AND NOT (vec_id % 3 = 0 AND vec_id < 30)
+             AND vec_id % 15 <> 10
+           UNION ALL
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 2
+           UNION ALL
+           SELECT vec_id, list_transform(embedding, x -> CAST(x * 1.25 AS REAL))
+           FROM embeddings WHERE vec_id % 3 = 0 AND vec_id < 30),
+         asn AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM live e, cent1 c) WHERE rn = 1),
+         pc AS (
+           SELECT vec_id AS probe_id, cid, embedding AS pv, rn FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c WHERE e.vec_id < 5)
+           WHERE rn <= (SELECT greatest(2, CAST(ceil(0.25 * count(*)) AS BIGINT)) FROM cent1)),
+         cand AS (
+           SELECT p.probe_id, a.vec_id AS nbr_id,
+             list_cosine_similarity(a.embedding, p.pv) AS score
+           FROM pc p JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
+         it AS (SELECT probe_id, nbr_id FROM (
+           SELECT probe_id, nbr_id, row_number() OVER (
+             PARTITION BY probe_id ORDER BY score DESC, nbr_id) AS rank FROM cand)
+           WHERE rank <= 10)
+         SELECT probe_id, nbr_id,
+           (SELECT CAST(count(*) AS BIGINT) FROM asn) AS live_rows,
+           CAST(0 AS BIGINT) AS n_diff
+         FROM it ORDER BY probe_id, nbr_id""",
     "q170_stream_join_parity" ->
       """WITH err AS (SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events
                       WHERE event_type = 'error'),

@@ -226,10 +226,7 @@ object DedupOps {
     *                   epoch < before_epoch
     */
   def liveStore(store: DataFrame, tombstones: DataFrame): DataFrame =
-    store.join(tombstones,
-      store("id") === tombstones("id") &&
-        store("epoch") < tombstones("before_epoch"),
-      "left_anti")
+    graft.sources.TableStore.liveView(store, tombstones, "id", "epoch")
 
   /** COMPACTION of an epoch-appended signature store under tombstones —
     * the second half of [[liveStore]]'s merge-on-read cycle (the

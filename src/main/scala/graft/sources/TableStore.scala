@@ -78,6 +78,28 @@ object TableStore {
       .write.mode(mode).parquet(path)
   }
 
+  /** The LIVE view of an epoch-appended store under TOMBSTONE deletion —
+    * the generic merge-on-read step every append-only parquet store here
+    * shares (signature store: [[graft.functions.DedupOps.liveStore]];
+    * IVF vector store: q172's delete lifecycle): deletions land as
+    * (`idCol`, `before_epoch`) rows in a delta-sized side table;
+    * replacements append with a higher epoch; a read anti-joins the
+    * store against the tombstones, hiding rows of `idCol` with
+    * `epochCol` < `before_epoch`. Compaction = rewrite the live view at
+    * epoch 0 + truncate tombstones — the cycle every table format with
+    * deletion vectors runs, in plain DataFrames.
+    *
+    * Scale shape: tombstones are delta-sized (broadcast in practice —
+    * left to AQE since a mass-deletion epoch can exceed the threshold)
+    * and the anti-join keys on the 8-byte id, so no store payload
+    * (signatures, embeddings) moves for dropped rows. */
+  def liveView(store: DataFrame, tombstones: DataFrame,
+               idCol: String, epochCol: String): DataFrame =
+    store.join(tombstones,
+      store(idCol) === tombstones(idCol) &&
+        store(epochCol) < tombstones("before_epoch"),
+      "left_anti")
+
   /** Drop `table` from the catalog AND remove its physical warehouse
     * directory. With the in-memory catalog a previous JVM's table data
     * survives on disk but not in the catalog, and a managed CTAS over a

@@ -102,4 +102,25 @@ class TableStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zDir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(xDir))
   }
+
+  test("liveView hides tombstoned epochs, keeps replacements and untouched rows") {
+    import spark.implicits._
+    val store = Seq(
+      (1L, 0L, "a0"), // replaced at epoch 1 → epoch-0 row hidden
+      (1L, 1L, "a1"),
+      (2L, 0L, "b0"), // deleted outright
+      (3L, 0L, "c0")  // untouched
+    ).toDF("vid", "epoch", "payload")
+    val tomb = Seq((1L, 1L), (2L, 1L)).toDF("vid", "before_epoch")
+    val live = TableStore.liveView(store, tomb, "vid", "epoch")
+      .collect().map(r => (r.getAs[Long]("vid"), r.getAs[String]("payload"))).toSet
+    assert(live == Set((1L, "a1"), (3L, "c0")))
+    // compaction invariant: liveView(live rewritten at epoch 0, ∅) ≡ live
+    val rewritten = TableStore.liveView(store, tomb, "vid", "epoch")
+      .withColumn("epoch", org.apache.spark.sql.functions.lit(0L))
+    val emptyTomb = Seq.empty[(Long, Long)].toDF("vid", "before_epoch")
+    val after = TableStore.liveView(rewritten, emptyTomb, "vid", "epoch")
+      .collect().map(r => (r.getAs[Long]("vid"), r.getAs[String]("payload"))).toSet
+    assert(after == live)
+  }
 }
