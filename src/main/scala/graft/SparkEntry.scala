@@ -2293,6 +2293,44 @@ object SparkEntry {
         .crossJoin(broadcast(diff))
         .orderBy("band")
     }),
+    // ── extension: ALL-kNN GRAPH + recall histogram — the kNN graph
+    //    over the WHOLE corpus (probes = corpus) from the trained
+    //    inverted file at a deliberately small probe count (the linear-
+    //    cost graph-construction regime), certified against the exact
+    //    n² graph: per-node recall@10 bucketed into deciles + the mean.
+    //    The brute baseline is gate-side instrumentation (n² by
+    //    definition); the OPERATOR's cost is linear in n at fixed cell
+    //    occupancy. Same honest-recall discipline as q143/q148/q163.
+    "q173_knn_graph_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val init = emb.where(col("vec_id") % 40 === 0).select("vec_id", "embedding")
+      val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", init, "vec_id", updateRounds = 1)
+        .localCheckpoint(true) // trained once; counted AND probed
+      val knn = SimilarityOps.knnGraph(emb, "vec_id", "embedding", cent,
+        "vec_id", k = 10, probeFraction = 0.02, minProbe = 2)
+        .select(col("probe_id"), col("nbr_id"))
+        .localCheckpoint(false) // feeds the edge count AND the overlap join
+      val brute = SimilarityOps
+        .bruteForceTopK(emb, emb, "vec_id", "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("nbr_id"))
+        .localCheckpoint(false)
+      val nb = brute.groupBy("probe_id").agg(count(lit(1)).as("n_brute"))
+      val ov = brute.join(knn, Seq("probe_id", "nbr_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
+      val per = nb.join(ov, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          expr("coalesce(n_overlap, 0L) * 1000 div n_brute").as("recall_milli"))
+        .localCheckpoint(false) // histogram AND mean read it
+      val tot = per.agg(
+          expr("sum(recall_milli) div count(1)").as("mean_recall_milli"))
+        .crossJoin(broadcast(knn.agg(count(lit(1)).as("n_edges"))))
+      per.groupBy(expr("recall_milli div 100").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_nodes"), col("n_edges"), col("mean_recall_milli"))
+        .orderBy("bucket")
+    }),
     // ── extension: IVF-STORE DELETE + COMPACT — the missing lifecycle
     //    leg of the persisted ANN index (q165 covers build → absorb →
     //    search): vector deletion and re-embedding land as (id,
@@ -4948,6 +4986,80 @@ object SparkEntry {
          nrows AS (SELECT CAST(sum(n_live) AS BIGINT) AS store_rows FROM pb)
          SELECT band, n_live, fp_live, store_rows, CAST(0 AS BIGINT) AS n_diff
          FROM pb CROSS JOIN nrows ORDER BY band""",
+    // Full replica of the trained-IVF all-kNN graph (q163's CTEs with
+    // probes = corpus, np = max(2, ceil(0.02·cells))) + the exact n²
+    // graph, reduced to the per-node recall decile histogram.
+    "q173_knn_graph_recall" ->
+      """WITH cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id % 40 = 0),
+         asn0 AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent0 c) WHERE rn = 1),
+         ex AS (SELECT cid, unnest(embedding) AS x,
+                  unnest(range(1, len(embedding) + 1)) AS pos FROM asn0),
+         cent1 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cv FROM (
+             SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS mx FROM ex GROUP BY cid, pos)
+           GROUP BY cid),
+         asn AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c) WHERE rn = 1),
+         pc AS (
+           SELECT vec_id AS probe_id, cid, embedding AS pv, rn FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c)
+           WHERE rn <= (SELECT greatest(2, CAST(ceil(0.02 * count(*)) AS BIGINT)) FROM cent1)),
+         cand AS (
+           SELECT p.probe_id, a.vec_id AS nbr_id,
+             list_cosine_similarity(a.embedding, p.pv) AS score
+           FROM pc p JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
+         it AS (SELECT probe_id, nbr_id FROM (
+           SELECT probe_id, nbr_id, row_number() OVER (
+             PARTITION BY probe_id ORDER BY score DESC, nbr_id) AS rank FROM cand)
+           WHERE rank <= 10),
+         bt AS (SELECT probe_id, nbr_id FROM (
+           SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(c.embedding, p.embedding) DESC, c.vec_id) AS rank
+           FROM embeddings c, embeddings p
+           WHERE c.vec_id <> p.vec_id) WHERE rank <= 10),
+         nb AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_brute FROM bt GROUP BY 1),
+         ov AS (SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS n_overlap
+                FROM bt JOIN it ON it.probe_id = bt.probe_id AND it.nbr_id = bt.nbr_id
+                GROUP BY 1),
+         per AS (SELECT nb.probe_id,
+                   coalesce(n_overlap, 0) * 1000 // n_brute AS recall_milli
+                 FROM nb LEFT JOIN ov ON ov.probe_id = nb.probe_id),
+         tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM it) AS n_edges,
+                   CAST(sum(recall_milli) // count(*) AS BIGINT) AS mean_recall_milli
+                 FROM per)
+         SELECT recall_milli // 100 AS bucket, CAST(count(*) AS BIGINT) AS n_nodes,
+           n_edges, mean_recall_milli
+         FROM per CROSS JOIN tot GROUP BY 1, 3, 4 ORDER BY 1""",
     // The oracle IS the rebuild-from-scratch: the mutated corpus (last
     // third + re-embeds, minus deletions) searched fresh — certifying
     // tombstone + epoch-append + anti-join + compaction ≡ recompute.

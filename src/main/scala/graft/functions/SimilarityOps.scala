@@ -218,6 +218,29 @@ object SimilarityOps {
       vecCol, k, nProbe = np)
   }
 
+  /** ALL-kNN GRAPH construction: every corpus vector's approximate top-k
+    * cosine neighbors via the trained inverted file — the input to
+    * graph-based semantic analysis (kNN-graph clustering, mutual-kNN
+    * near-dup components, NN-descent seeding). Probes ARE the corpus, so
+    * the cost is Σ_cells |cell|·(probed vectors touching that cell) —
+    * with cells ∝ corpus (the `% 40` init convention) and a small FIXED
+    * probe count, per-node work is O(k̄·nProbe·avg cell size) — LINEAR in
+    * n, never the n² all-pairs scan (which is exactly the baseline the
+    * q173 gate's recall histogram is measured against).
+    *
+    * The low-probe configuration trades recall for that linearity — on
+    * an isotropic corpus mean recall@10 is ~37% at nProbe=2 of 13 cells
+    * (the q148 finding in graph form); clustered corpora do far better.
+    * The gate certifies the MEASUREMENT — callers pick probeFraction per
+    * corpus from the histogram this emits, exactly like [[ivfTopKFraction]].
+    *
+    * @return (probe_id, nbr_id, score, rank) edges, rank ≤ k per node */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame, centroidIdCol: String, k: Int = 10,
+               probeFraction: Double = 0.02, minProbe: Int = 2): DataFrame =
+    ivfTopKFraction(corpus, corpus, centroids, idCol, idCol, centroidIdCol,
+      vecCol, k, probeFraction, minProbe)
+
   /** The PERSISTED-IVF store content: every corpus vector assigned to its
     * nearest cell under a FROZEN trained quantizer — (idCol, vecCol,
     * "cid") rows, the inverted file as a table. Persist via
