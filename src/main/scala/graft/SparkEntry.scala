@@ -2293,6 +2293,23 @@ object SparkEntry {
         .crossJoin(broadcast(diff))
         .orderBy("band")
     }),
+    // ── extension: DETERMINISTIC RANDOM WALKS (DeepWalk/node2vec
+    //    sampling, uniform transitions) over the customer–supplier
+    //    graph: md5-drawn next hops on the mirrored adjacency, walk ≡
+    //    (start node, 4 steps). Frontier⋈adjacency per step — walk
+    //    state never exceeds #walks rows; the oracle replays the exact
+    //    same draws via a recursive CTE.
+    "q174_random_walks" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val starts = o.where(col("o_custkey") % 50 === 0)
+        .select((col("o_custkey") * 2).as("walk_id")).distinct()
+      graft.functions.GraphOps.randomWalks(e, "src", "dst", starts, "walk_id",
+        steps = 4)
+        .orderBy("walk_id", "step")
+    }),
     // ── extension: ALL-kNN GRAPH + recall histogram — the kNN graph
     //    over the WHOLE corpus (probes = corpus) from the trained
     //    inverted file at a deliberately small probe count (the linear-
@@ -4986,6 +5003,26 @@ object SparkEntry {
          nrows AS (SELECT CAST(sum(n_live) AS BIGINT) AS store_rows FROM pb)
          SELECT band, n_live, fp_live, store_rows, CAST(0 AS BIGINT) AS n_diff
          FROM pb CROSS JOIN nrows ORDER BY band""",
+    "q174_random_walks" ->
+      """WITH RECURSIVE
+         edges0 AS (SELECT o_custkey*2 AS u, l_suppkey*2+1 AS v
+                    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         adj AS (SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rk,
+                   count(*) OVER (PARTITION BY u) AS deg
+                 FROM (SELECT DISTINCT u, v FROM
+                   (SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0)
+                   WHERE u <> v)),
+         walk AS (
+           SELECT DISTINCT o_custkey*2 AS walk_id, CAST(0 AS BIGINT) AS step,
+             o_custkey*2 AS node
+           FROM orders WHERE o_custkey % 50 = 0
+           UNION ALL
+           SELECT w.walk_id, w.step + 1, a.v
+           FROM walk w JOIN adj a ON a.u = w.node
+             AND a.rk = CAST('0x'||substr(md5('walk:'||CAST(w.walk_id AS VARCHAR)
+               ||':'||CAST(w.step+1 AS VARCHAR)||':'||CAST(w.node AS VARCHAR)),1,15) AS BIGINT) % a.deg
+           WHERE w.step < 4)
+         SELECT walk_id, step, node FROM walk ORDER BY walk_id, step""",
     // Full replica of the trained-IVF all-kNN graph (q163's CTEs with
     // probes = corpus, np = max(2, ceil(0.02·cells))) + the exact n²
     // graph, reduced to the per-node recall decile histogram.

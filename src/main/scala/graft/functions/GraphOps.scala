@@ -549,4 +549,64 @@ object GraphOps {
     wedges.join(o.select(col("a").as("wb"), col("b").as("wc")), Seq("wb", "wc"))
       .select(col("a").as("ta"), col("wb").as("tb"), col("wc").as("tc"))
   }
+
+  /** DETERMINISTIC random walks (the sampling primitive of DeepWalk,
+    * Perozzi et al. KDD'14, with node2vec's p=q=1 uniform transition,
+    * Grover & Leskovec KDD'16): from each start node, `steps` hops over
+    * the UNDIRECTED graph, the next hop drawn uniformly from the current
+    * node's sorted neighbor list by an md5 draw keyed on (walk, step,
+    * node) — reproducible across runs, engines and cluster sizes, the
+    * same no-`rand()` discipline as every sampler here. A walk that
+    * reaches an isolated node (impossible on a mirrored edge set) would
+    * simply stop.
+    *
+    * Scale shape: the adjacency (node, nbr, rk, deg) is built ONCE —
+    * ranks from a per-node window whose skew ceiling is the max degree —
+    * and each step is one frontier⋈adjacency equi-join on the node key
+    * (frontier = #walks rows, adjacency-partitioned); `steps` is a small
+    * constant, so total work is O(steps·walks) lookups — never
+    * corpus-sized state, no driver loop over rows.
+    *
+    * @param starts one row per walk: (walkIdCol) — the start node, which
+    *               is also the walk's identity
+    * @return (walk_id, step, node) — step 0 is the start itself
+    */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  starts: DataFrame, walkIdCol: String,
+                  steps: Int = 4, seed: String = "walk"): DataFrame = {
+    require(steps >= 0, s"steps must be >= 0, got $steps")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val adj0 = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v")).distinct()
+    val wAdj = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("v")
+    val adj = adj0
+      .withColumn("rk", row_number().over(wAdj).cast("long") - 1L)
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("u")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = starts.select(col(walkIdCol).as("walk_id"),
+        col(walkIdCol).as("node"), lit(0).as("step"))
+      .localCheckpoint(false)
+    val out = Seq.newBuilder[DataFrame]
+    out += frontier
+    for (s <- 1 to steps) {
+      val pick = pmod(DedupOps.hash60(
+        concat(lit(seed + ":"), col("walk_id").cast("string"), lit(":"),
+          lit(s.toString), lit(":"), col("node").cast("string"))), col("deg"))
+      frontier = frontier
+        .join(adj, frontier("node") === adj("u"))
+        .where(adj("rk") === pick)
+        .select(col("walk_id"), col("v").as("node"), lit(s).as("step"))
+        .localCheckpoint(false) // constant lineage across steps
+      out += frontier
+    }
+    // materialize (one job) BEFORE releasing the adjacency cache — the
+    // step frontiers above are lazy checkpoints that still read it
+    val res = out.result().reduce(_ unionByName _)
+      .select(col("walk_id"), col("step").cast("long").as("step"), col("node"))
+      .localCheckpoint(true)
+    adj.unpersist(blocking = false)
+    res
+  }
 }

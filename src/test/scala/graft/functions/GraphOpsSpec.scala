@@ -295,4 +295,28 @@ class GraphOpsSpec extends SparkSpec {
       Seq((2L, 3L)).toDF("src", "dst"), "src", "dst"))
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L))
   }
+
+  test("randomWalks: every hop is a graph edge, one node per step, deterministic") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val starts = Seq(1L, 3L).toDF("walk_id")
+    def run(e: org.apache.spark.sql.DataFrame) =
+      GraphOps.randomWalks(e, "src", "dst", starts, "walk_id", steps = 5)
+        .collect().map(r => (r.getAs[Long]("walk_id"), r.getAs[Long]("step"),
+          r.getAs[Long]("node"))).toSet
+    val w = run(edges)
+    // 2 walks × 6 positions, step 0 = the start node
+    assert(w.size == 12)
+    assert(w.filter(_._2 == 0) == Set((1L, 0L, 1L), (3L, 0L, 3L)))
+    // consecutive positions are always graph edges (mirrored)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val byWalk = w.groupBy(_._1).view.mapValues(_.toSeq.sortBy(_._2).map(_._3))
+    byWalk.foreach { case (_, path) =>
+      path.sliding(2).foreach { p =>
+        assert(und((p(0), p(1))), s"hop ${p(0)}->${p(1)} is not an edge") }
+    }
+    // deterministic under physical layout changes
+    assert(run(edges.repartition(7)) == w)
+  }
 }
