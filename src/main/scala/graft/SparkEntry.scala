@@ -2457,9 +2457,18 @@ object SparkEntry {
         errS, clkS, "user_id", "cu", "ts", "cts",
         lookback = "21600 seconds", watermarkDelay = "3650 days")
       val sink = s"graft_q170_sink_$uid"
-      val q = joined.select("event_id", "click_id").writeStream
-        .outputMode("append").format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
+      // stream-stream join state is per (shuffle partition × trigger ×
+      // side): at this fixture size the HDFS-backed store round-trips,
+      // not the join, dominate — run the streaming query at 8 state
+      // partitions (a per-query knob in production: state partitioning
+      // is sized to state VOLUME, not to the session's batch width)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.select("event_id", "click_id").writeStream
+          .outputMode("append").format("memory").queryName(sink).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(sink).groupBy("event_id")
         .agg(count(lit(1)).as("n_clicks"), sum("click_id").as("sum_click_ids"))
         .orderBy("event_id")
