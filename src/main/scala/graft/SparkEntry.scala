@@ -1556,21 +1556,24 @@ object SparkEntry {
       val zdir = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")),
         s"graft_q167_zorder_${java.util.UUID.randomUUID()}")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(zdir)
-      }))
-      TableStore.saveZOrdered(d, zdir.getAbsolutePath, "x", "y",
-        bits = 16, nFiles = 64)
-      TableStore.load(s, zdir.getAbsolutePath)
-        .where(col("x") < 4096 && col("y") >= 32768 && col("y") < 36864)
-        .agg(count(lit(1)).as("n_rows"),
-          coalesce(sum("x"), lit(0L)).as("sum_x"),
-          coalesce(sum("y"), lit(0L)).as("sum_y"),
-          coalesce(sum("k"), lit(0L)).as("sum_k"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      // deleted in the same invocation (eager checkpoint first) — a
+      // shutdown hook would let repeated bench passes in one JVM pile up
+      // a lineitem projection per call
+      try {
+        TableStore.saveZOrdered(d, zdir.getAbsolutePath, "x", "y",
+          bits = 16, nFiles = 64)
+        TableStore.load(s, zdir.getAbsolutePath)
+          .where(col("x") < 4096 && col("y") >= 32768 && col("y") < 36864)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum("x"), lit(0L)).as("sum_x"),
+            coalesce(sum("y"), lit(0L)).as("sum_y"),
+            coalesce(sum("k"), lit(0L)).as("sum_k"))
+          .localCheckpoint(true) // 1 row — materialized before the rm
+      } finally rm(zdir)
     }),
     // ── extension: PQ-PREFILTER → EXACT-RERANK — the deployment shape
     //    q149 measures the need for (raw ADC@10 recall 20–60%): ADC
@@ -2427,13 +2430,10 @@ object SparkEntry {
       val uid = java.util.UUID.randomUUID().toString.replace("-", "")
       val base = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")), s"graft_q170_$uid")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(base)
-      }))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
       // watermarks require TIMESTAMP (ltz) event time; the session TZ is
       // pinned UTC so the ntz→ltz cast is a fixed relabeling
       val err = ev.where(col("event_type") === "error")
@@ -2468,10 +2468,19 @@ object SparkEntry {
         val q = joined.select("event_id", "click_id").writeStream
           .outputMode("append").format("memory").queryName(sink).start()
         try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(sink).groupBy("event_id")
-        .agg(count(lit(1)).as("n_clicks"), sum("click_id").as("sum_click_ids"))
-        .orderBy("event_id")
+        // the memory-format sink is GATE-SIDE instrumentation (joined
+        // rows land in driver memory for the parity check) — a
+        // production deployment writes a file/Delta sink instead;
+        // aggregate eagerly so the source dirs + sink view can go
+        s.table(sink).groupBy("event_id")
+          .agg(count(lit(1)).as("n_clicks"), sum("click_id").as("sum_click_ids"))
+          .orderBy("event_id")
+          .localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.catalog.dropTempView(sink): Unit
+        rm(base)
+      }
     }),
     // ── extension: WEIGHTED sampling WITHOUT replacement (Efraimidis–
     //    Spirtakis A-ES) — "60 docs proportional to length, exactly
@@ -5189,7 +5198,7 @@ object SparkEntry {
            SELECT doc_id, n_chars,
              CAST(floor(ln((CAST('0x'||substr(md5('aes:'||CAST(doc_id AS VARCHAR)),1,13) AS BIGINT) + 0.5)
                  / 4503599627370496.0) / n_chars * 1000000.0) AS BIGINT) AS key_micro
-           FROM documents
+           FROM documents WHERE n_chars > 0
            ORDER BY key_micro DESC, doc_id LIMIT 60)
          ORDER BY doc_id""",
     "q135_store_delta" ->

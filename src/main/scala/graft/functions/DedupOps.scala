@@ -237,9 +237,13 @@ object DedupOps {
     * gate) — and restores read cost to a bare bucketed scan once the
     * delta+tombstone mass makes the per-read anti-join material. One
     * anti-join over the store; persist the result with the SAME
-    * (band, band_key) bucketing so absorbs keep their no-shuffle scan. */
+    * (band, band_key) bucketing so absorbs keep their no-shuffle scan.
+    * The rewritten epoch keeps the INPUT's epoch type (int or long
+    * stores both exist) — a bare `lit(0)` would silently narrow a
+    * long-epoch store and make the next Append schema-conflict. */
   def compactStore(store: DataFrame, tombstones: DataFrame): DataFrame =
-    liveStore(store, tombstones).withColumn("epoch", lit(0))
+    liveStore(store, tombstones)
+      .withColumn("epoch", lit(0L).cast(store.schema("epoch").dataType))
 
   /** [[incrementalMinhashDedup]] against an ALREADY-BANDED store (the
     * [[minhashStore]] layout, typically reloaded from its bucketed
@@ -648,7 +652,15 @@ object DedupOps {
     * recall then drops only for pairs whose every shared shingle is
     * ubiquitous. `maxDocFreq <= 0` disables the guard — with prefix
     * filtering the guard is no longer needed for performance, it remains
-    * only as an explicit recall/cost knob. */
+    * only as an explicit recall/cost knob.
+    *
+    * EAGER: the returned (pair-bounded) frame is materialized via
+    * `localCheckpoint(true)` before the call returns — the internal
+    * caches release deterministically, but the caller pays the full
+    * computation AT CALL TIME, downstream filters no longer push into
+    * the pair scan, and checkpoint blocks are unrecoverable on executor
+    * loss (re-call the operator in long production jobs rather than
+    * relying on recompute). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Long = 1000): DataFrame = {
@@ -692,7 +704,9 @@ object DedupOps {
     *
     * Guard floor is 1 (df=1 shingles generate zero pairs, so a budget too
     * small for any df level still yields a valid — empty — candidate
-    * set rather than an unguarded explosion). */
+    * set rather than an unguarded explosion).
+    *
+    * EAGER — materializes at call time; see [[ngramJaccardPairs]]. */
   def ngramJaccardPairsBudget(df: DataFrame, textCol: String, idCol: String,
                               n: Int = 3, threshold: Double = 0.8,
                               candidateBudget: Long = 10000000L): DataFrame = {
@@ -818,6 +832,8 @@ object DedupOps {
     * only lower a score. Pair work is Σ_h dfR_h·dfS_h over kept
     * shingles. `maxDocFreq <= 0` disables the guard.
     *
+    * EAGER — materializes at call time; see [[ngramJaccardPairs]].
+    *
     * @return (id_r, id_s, jaccard) with jaccard ≥ threshold
     */
   def ngramJaccardJoin(r: DataFrame, s: DataFrame,
@@ -938,7 +954,9 @@ object DedupOps {
     * broadcast-anti hot-shingle guard (the PPJoin prefix bound assumes
     * symmetric overlap and does not transfer to containment); sizes stay
     * the ORIGINAL set sizes under the guard, so dropped hot shingles
-    * cannot count as shared but still count toward |A|. */
+    * cannot count as shared but still count toward |A|.
+    *
+    * EAGER — materializes at call time; see [[ngramJaccardPairs]]. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, threshold: Double = 0.9,
                        maxDocFreq: Long = 1000): DataFrame = {
@@ -1030,7 +1048,9 @@ object DedupOps {
     * scale under ANSI); the ordered window sums are IEEE-identical
     * across engines, so the derived cap itself is engine-exact. Cap
     * floor is 1 — a budget too small for any block still yields a valid
-    * (empty) pair set, never an unguarded explosion. */
+    * (empty) pair set, never an unguarded explosion.
+    *
+    * EAGER — materializes at call time; see [[ngramJaccardPairs]]. */
   def editDistancePairsBudget(df: DataFrame, idCol: String, strCol: String,
                               blockCol: Column, maxDist: Int,
                               pairBudget: Long): DataFrame = {

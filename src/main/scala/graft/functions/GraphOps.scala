@@ -467,6 +467,10 @@ object GraphOps {
     * shuffles of the edge list (degree join, wedge join, closing join);
     * nothing touches the driver.
     *
+    * EAGER — the 1-row result is `localCheckpoint(true)`-materialized at
+    * call time so the internal edge cache releases deterministically;
+    * checkpoint blocks don't survive executor loss (re-call on failure).
+    *
     * @param edges undirected; duplicates/self-loops/directions
     *              canonicalized away
     * @return one row: (n_triangles) — each triangle counted exactly once
@@ -489,6 +493,9 @@ object GraphOps {
     * [[triangleCount]]; per-node attribution explodes each triangle to
     * its 3 corners and counts — triangle-output-sized, keyed by node.
     * Nodes with deg < 2 report coefficient 0 (no possible wedge).
+    *
+    * EAGER — the node-sized result is materialized at call time (see
+    * [[triangleCount]] for the trade).
     *
     * @return (id, deg, n_tri, coeff_bp) for every node incident to an
     *         edge; coeff_bp = 10000·2·n_tri div (deg·(deg−1))
@@ -603,10 +610,27 @@ object GraphOps {
     }
     // materialize (one job) BEFORE releasing the adjacency cache — the
     // step frontiers above are lazy checkpoints that still read it
-    val res = out.result().reduce(_ unionByName _)
+    val frontiers = out.result()
+    val res = frontiers.reduce(_ unionByName _)
       .select(col("walk_id"), col("step").cast("long").as("step"), col("node"))
       .localCheckpoint(true)
     adj.unpersist(blocking = false)
+    // the per-step frontier checkpoints were materialized by the job
+    // above and nothing reads them again — release their pinned blocks
+    // too, or every call in a long-lived session leaks steps+1 block sets
+    frontiers.foreach(releaseLocalCheckpoint)
     res
   }
+
+  /** Release the block-manager blocks pinned by a `localCheckpoint`'d
+    * frame: the checkpointed RDD sits in the plan's [[org.apache.spark
+    * .sql.execution.LogicalRDD]] leaf (Dataset.unpersist only uncaches
+    * CACHED queries, not checkpoints). Call only when nothing will read
+    * the frame again — local-checkpoint blocks are not recomputable. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

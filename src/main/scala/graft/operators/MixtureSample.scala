@@ -194,7 +194,12 @@ object MixtureSample {
     * map-side per-partition top-k then a k-sized merge, never a global
     * sort; weights stay distributed, nothing corpus-sized moves.
     *
-    * @param weightCol positive integer/long weight (e.g. token count)
+    * @param weightCol positive integer/long weight (e.g. token count);
+    *                   rows with weight ≤ 0 are FILTERED OUT up front —
+    *                   weight 0 has sampling probability 0 but would
+    *                   divide by zero (an error under ANSI mode), and a
+    *                   negative weight would silently invert the
+    *                   priority so the lightest rows win
     * @return the k sampled rows plus their `key_micro` priority
     */
   def weightedSampleNoReplacement(df: DataFrame, idCol: String,
@@ -204,7 +209,8 @@ object MixtureSample {
     val m = conv(substring(md5(concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 13),
       16, 10).cast("long")
     val u = (m.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
-    df.withColumn("key_micro",
+    df.where(col(weightCol) > 0)
+      .withColumn("key_micro",
         floor(log(u) / col(weightCol) * lit(1000000.0)).cast("long"))
       .orderBy(col("key_micro").desc, col(idCol))
       .limit(k)
