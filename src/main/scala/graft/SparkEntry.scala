@@ -2313,6 +2313,47 @@ object SparkEntry {
         steps = 4)
         .orderBy("walk_id", "step")
     }),
+    // ── extension: SKIP-GRAM PAIRS over walks — the DeepWalk/node2vec
+    //    TRAINING-DATA operator q174 was missing: (center, context)
+    //    co-occurrence pairs within a ±2 window over each walk,
+    //    aggregated to the (center, context, n_pairs) histogram an
+    //    embedding trainer consumes. One walk-id self-join (per-key
+    //    volume (steps+1)²) + one pair-keyed count — O(walks·steps·
+    //    window), linear in the walk table. Oracle: the q174 recursive
+    //    walk CTE + a window self-join.
+    "q175_walk_skipgram" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val starts = o.where(col("o_custkey") % 50 === 0)
+        .select((col("o_custkey") * 2).as("walk_id")).distinct()
+      val walks = graft.functions.GraphOps.randomWalks(e, "src", "dst",
+        starts, "walk_id", steps = 4)
+      graft.functions.GraphOps.walkPairs(walks, "walk_id", "step", "node",
+        window = 2)
+        .orderBy("center", "context")
+    }),
+    // ── extension: node2vec BIASED WALKS (Grover–Leskovec p/q search
+    //    bias) — the q174 sampler upgraded with 2nd-order transitions:
+    //    return weight 1/p, distance-1 weight 1, distance-2 weight 1/q
+    //    (milli-quantized integers), drawn by the Efraimidis–Spirtakis
+    //    exponential-key argmax (q171's key). Fixture uses the RAW
+    //    overlapping custkey/suppkey id space (non-bipartite — all
+    //    three weight classes fire: measured 30/536/13899 return/d1/d2
+    //    candidates at sf0.01) with p=4, q=0.25 (DFS-leaning). The
+    //    oracle replays the identical draws, steps unrolled.
+    "q176_node2vec_walks" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      val starts = o.where(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey").as("walk_id")).distinct()
+      graft.functions.GraphOps.node2vecWalks(e, "src", "dst", starts, "walk_id",
+        steps = 4, p = 4.0, q = 0.25)
+        .orderBy("walk_id", "step")
+    }),
     // ── extension: ALL-kNN GRAPH + recall histogram — the kNN graph
     //    over the WHOLE corpus (probes = corpus) from the trained
     //    inverted file at a deliberately small probe count (the linear-
@@ -2350,6 +2391,55 @@ object SparkEntry {
         .crossJoin(broadcast(tot))
         .select(col("bucket"), col("n_nodes"), col("n_edges"), col("mean_recall_milli"))
         .orderBy("bucket")
+    }),
+    // ── extension: NN-DESCENT kNN-graph refinement (Dong et al., WWW
+    //    2011) — the LINEAR-at-scale all-kNN path q173 lacks: seed with
+    //    the fraction-probed graph at the same low-probe config, then
+    //    one neighbor-of-neighbor round (candidates Σ deg² ≤ n·(2k)²,
+    //    O(n·k²) — independent of cell count, so recall comes from
+    //    iterating, not from probing more cells). Gate: BOTH stages'
+    //    recall-decile histograms against the exact n² graph in one
+    //    result — the refined mean must (and does) sit strictly above
+    //    the seed mean, pinning the improvement, not just the output.
+    //    The brute baseline is gate-side instrumentation (q173's note).
+    "q177_nn_descent_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val init = emb.where(col("vec_id") % 40 === 0).select("vec_id", "embedding")
+      val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", init, "vec_id", updateRounds = 1)
+        .localCheckpoint(true)
+      val seedG = SimilarityOps.knnGraph(emb, "vec_id", "embedding", cent,
+        "vec_id", k = 10, probeFraction = 0.02, minProbe = 2)
+        .select(col("probe_id"), col("nbr_id"))
+        .localCheckpoint(false)
+      val refined = SimilarityOps.nnDescent(emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", seedG, k = 10, iters = 1)
+        .select(col("probe_id"), col("nbr_id"))
+      val brute = SimilarityOps
+        .bruteForceTopK(emb, emb, "vec_id", "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("nbr_id"))
+        .localCheckpoint(false)
+      val nb = brute.groupBy("probe_id").agg(count(lit(1)).as("n_brute"))
+        .localCheckpoint(false)
+      def stageHist(g: DataFrame, stage: String): DataFrame = {
+        val ov = brute.join(g, Seq("probe_id", "nbr_id"))
+          .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
+        val per = nb.join(ov, Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            expr("coalesce(n_overlap, 0L) * 1000 div n_brute").as("recall_milli"))
+          .localCheckpoint(false)
+        val tot = per.agg(
+            expr("sum(recall_milli) div count(1)").as("mean_recall_milli"))
+          .crossJoin(broadcast(g.agg(count(lit(1)).as("n_edges"))))
+        per.groupBy(expr("recall_milli div 100").as("bucket"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(broadcast(tot))
+          .select(lit(stage).as("stage"), col("bucket"), col("n_nodes"),
+            col("n_edges"), col("mean_recall_milli"))
+      }
+      stageHist(seedG, "seed")
+        .unionByName(stageHist(refined, "refined"))
+        .orderBy("stage", "bucket")
     }),
     // ── extension: IVF-STORE DELETE + COMPACT — the missing lifecycle
     //    leg of the persisted ANN index (q165 covers build → absorb →
@@ -5041,6 +5131,199 @@ object SparkEntry {
                ||':'||CAST(w.step+1 AS VARCHAR)||':'||CAST(w.node AS VARCHAR)),1,15) AS BIGINT) % a.deg
            WHERE w.step < 4)
          SELECT walk_id, step, node FROM walk ORDER BY walk_id, step""",
+    // q174's recursive walk replica + the skip-gram window self-join.
+    "q175_walk_skipgram" ->
+      """WITH RECURSIVE
+         edges0 AS (SELECT o_custkey*2 AS u, l_suppkey*2+1 AS v
+                    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         adj AS (SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rk,
+                   count(*) OVER (PARTITION BY u) AS deg
+                 FROM (SELECT DISTINCT u, v FROM
+                   (SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0)
+                   WHERE u <> v)),
+         walk AS (
+           SELECT DISTINCT o_custkey*2 AS walk_id, CAST(0 AS BIGINT) AS step,
+             o_custkey*2 AS node
+           FROM orders WHERE o_custkey % 50 = 0
+           UNION ALL
+           SELECT w.walk_id, w.step + 1, a.v
+           FROM walk w JOIN adj a ON a.u = w.node
+             AND a.rk = CAST('0x'||substr(md5('walk:'||CAST(w.walk_id AS VARCHAR)
+               ||':'||CAST(w.step+1 AS VARCHAR)||':'||CAST(w.node AS VARCHAR)),1,15) AS BIGINT) % a.deg
+           WHERE w.step < 4)
+         SELECT a.node AS center, b.node AS context,
+           CAST(count(*) AS BIGINT) AS n_pairs
+         FROM walk a JOIN walk b ON b.walk_id = a.walk_id
+           AND b.step <> a.step AND abs(b.step - a.step) <= 2
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // The identical biased draws replayed with the 4 steps unrolled
+    // (window functions are not allowed in a recursive term): per step,
+    // candidates = adjacency fan-out, weights by the p/q CASE (return
+    // 250 = round(1000/4), dist-1 1000 via the LEFT-JOIN marker, dist-2
+    // 4000 = round(1000/0.25)), pick = argmax of floor(1e6·ln(u)/w).
+    "q176_node2vec_walks" ->
+      """WITH
+         edges0 AS (SELECT o_custkey AS s, l_suppkey AS d
+                    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         adj AS (SELECT DISTINCT u, v FROM
+                   (SELECT s AS u, d AS v FROM edges0 UNION ALL SELECT d, s FROM edges0)
+                 WHERE u <> v),
+         s0 AS (SELECT DISTINCT o_custkey AS walk_id, CAST(NULL AS BIGINT) AS prev,
+                  o_custkey AS node
+                FROM orders WHERE o_custkey % 50 = 0),
+         s1 AS (SELECT walk_id, node AS prev, x AS node FROM (
+           SELECT f.walk_id, f.node, a.v AS x,
+             row_number() OVER (PARTITION BY f.walk_id ORDER BY
+               floor(ln((CAST('0x'||substr(md5('n2v:'||CAST(f.walk_id AS VARCHAR)||':1:'||CAST(a.v AS VARCHAR)),1,13) AS BIGINT) + 0.5)
+                 / 4503599627370496.0)
+               / (CASE WHEN f.prev IS NULL THEN 1000
+                       WHEN a.v = f.prev THEN 250
+                       WHEN d.u IS NOT NULL THEN 1000
+                       ELSE 4000 END) * 1000000.0) DESC, a.v) AS rn
+           FROM s0 f JOIN adj a ON a.u = f.node
+             LEFT JOIN adj d ON d.u = f.prev AND d.v = a.v) WHERE rn = 1),
+         s2 AS (SELECT walk_id, node AS prev, x AS node FROM (
+           SELECT f.walk_id, f.node, a.v AS x,
+             row_number() OVER (PARTITION BY f.walk_id ORDER BY
+               floor(ln((CAST('0x'||substr(md5('n2v:'||CAST(f.walk_id AS VARCHAR)||':2:'||CAST(a.v AS VARCHAR)),1,13) AS BIGINT) + 0.5)
+                 / 4503599627370496.0)
+               / (CASE WHEN f.prev IS NULL THEN 1000
+                       WHEN a.v = f.prev THEN 250
+                       WHEN d.u IS NOT NULL THEN 1000
+                       ELSE 4000 END) * 1000000.0) DESC, a.v) AS rn
+           FROM s1 f JOIN adj a ON a.u = f.node
+             LEFT JOIN adj d ON d.u = f.prev AND d.v = a.v) WHERE rn = 1),
+         s3 AS (SELECT walk_id, node AS prev, x AS node FROM (
+           SELECT f.walk_id, f.node, a.v AS x,
+             row_number() OVER (PARTITION BY f.walk_id ORDER BY
+               floor(ln((CAST('0x'||substr(md5('n2v:'||CAST(f.walk_id AS VARCHAR)||':3:'||CAST(a.v AS VARCHAR)),1,13) AS BIGINT) + 0.5)
+                 / 4503599627370496.0)
+               / (CASE WHEN f.prev IS NULL THEN 1000
+                       WHEN a.v = f.prev THEN 250
+                       WHEN d.u IS NOT NULL THEN 1000
+                       ELSE 4000 END) * 1000000.0) DESC, a.v) AS rn
+           FROM s2 f JOIN adj a ON a.u = f.node
+             LEFT JOIN adj d ON d.u = f.prev AND d.v = a.v) WHERE rn = 1),
+         s4 AS (SELECT walk_id, node AS prev, x AS node FROM (
+           SELECT f.walk_id, f.node, a.v AS x,
+             row_number() OVER (PARTITION BY f.walk_id ORDER BY
+               floor(ln((CAST('0x'||substr(md5('n2v:'||CAST(f.walk_id AS VARCHAR)||':4:'||CAST(a.v AS VARCHAR)),1,13) AS BIGINT) + 0.5)
+                 / 4503599627370496.0)
+               / (CASE WHEN f.prev IS NULL THEN 1000
+                       WHEN a.v = f.prev THEN 250
+                       WHEN d.u IS NOT NULL THEN 1000
+                       ELSE 4000 END) * 1000000.0) DESC, a.v) AS rn
+           FROM s3 f JOIN adj a ON a.u = f.node
+             LEFT JOIN adj d ON d.u = f.prev AND d.v = a.v) WHERE rn = 1)
+         SELECT walk_id, step, node FROM (
+           SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM s0
+           UNION ALL SELECT walk_id, 1, node FROM s1
+           UNION ALL SELECT walk_id, 2, node FROM s2
+           UNION ALL SELECT walk_id, 3, node FROM s3
+           UNION ALL SELECT walk_id, 4, node FROM s4)
+         ORDER BY walk_id, step""",
+    // The q173 seed-graph CTEs + ONE NN-descent round in SQL
+    // (neighbor-of-neighbor propose, score once, per-node top-10 on
+    // the 6-decimal-quantized cosine) + per-stage recall histograms.
+    "q177_nn_descent_recall" ->
+      """WITH cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id % 40 = 0),
+         asn0 AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent0 c) WHERE rn = 1),
+         ex AS (SELECT cid, unnest(embedding) AS x,
+                  unnest(range(1, len(embedding) + 1)) AS pos FROM asn0),
+         cent1 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cv FROM (
+             SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS mx FROM ex GROUP BY cid, pos)
+           GROUP BY cid),
+         asn AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c) WHERE rn = 1),
+         pc AS (
+           SELECT vec_id AS probe_id, cid, embedding AS pv, rn FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c)
+           WHERE rn <= (SELECT greatest(2, CAST(ceil(0.02 * count(*)) AS BIGINT)) FROM cent1)),
+         cand AS (
+           SELECT p.probe_id, a.vec_id AS nbr_id,
+             list_cosine_similarity(a.embedding, p.pv) AS score
+           FROM pc p JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
+         it AS (SELECT probe_id, nbr_id FROM (
+           SELECT probe_id, nbr_id, row_number() OVER (
+             PARTITION BY probe_id ORDER BY score DESC, nbr_id) AS rank FROM cand)
+           WHERE rank <= 10),
+         bt AS (SELECT probe_id, nbr_id FROM (
+           SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(c.embedding, p.embedding) DESC, c.vec_id) AS rank
+           FROM embeddings c, embeddings p
+           WHERE c.vec_id <> p.vec_id) WHERE rank <= 10),
+         nb AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_brute FROM bt GROUP BY 1),
+         ovs AS (SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS n_overlap
+                FROM bt JOIN it ON it.probe_id = bt.probe_id AND it.nbr_id = bt.nbr_id
+                GROUP BY 1),
+         und AS (SELECT probe_id AS c, nbr_id AS m FROM it
+                 UNION SELECT nbr_id AS c, probe_id AS m FROM it),
+         prop AS (SELECT DISTINCT a.m AS probe_id, b.m AS nbr_id
+                  FROM und a JOIN und b ON b.c = a.c WHERE a.m <> b.m),
+         cand2 AS (SELECT probe_id, nbr_id FROM it
+                   UNION SELECT probe_id, nbr_id FROM prop),
+         sc AS (SELECT c2.probe_id, c2.nbr_id,
+                  list_cosine_similarity(ca.embedding, cb.embedding) AS score
+                FROM cand2 c2 JOIN embeddings ca ON ca.vec_id = c2.nbr_id
+                  JOIN embeddings cb ON cb.vec_id = c2.probe_id),
+         ref AS (SELECT probe_id, nbr_id FROM (
+            SELECT probe_id, nbr_id, row_number() OVER (PARTITION BY probe_id
+              ORDER BY round(score, 6) DESC, nbr_id) AS rank FROM sc) WHERE rank <= 10),
+         ovr AS (SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS n_overlap
+                 FROM bt JOIN ref ON ref.probe_id = bt.probe_id AND ref.nbr_id = bt.nbr_id
+                 GROUP BY 1),
+         pers AS (SELECT nb.probe_id,
+                    coalesce(o.n_overlap, 0) * 1000 // n_brute AS recall_milli
+                  FROM nb LEFT JOIN ovs o ON o.probe_id = nb.probe_id),
+         perr AS (SELECT nb.probe_id,
+                    coalesce(o.n_overlap, 0) * 1000 // n_brute AS recall_milli
+                  FROM nb LEFT JOIN ovr o ON o.probe_id = nb.probe_id),
+         tots AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM it) AS n_edges,
+                    CAST(sum(recall_milli) // count(*) AS BIGINT) AS mean_recall_milli
+                  FROM pers),
+         totr AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ref) AS n_edges,
+                    CAST(sum(recall_milli) // count(*) AS BIGINT) AS mean_recall_milli
+                  FROM perr)
+         SELECT stage, bucket, n_nodes, n_edges, mean_recall_milli FROM (
+           SELECT 'seed' AS stage, recall_milli // 100 AS bucket,
+             CAST(count(*) AS BIGINT) AS n_nodes, n_edges, mean_recall_milli
+           FROM pers CROSS JOIN tots GROUP BY 1, 2, 4, 5
+           UNION ALL
+           SELECT 'refined', recall_milli // 100,
+             CAST(count(*) AS BIGINT), n_edges, mean_recall_milli
+           FROM perr CROSS JOIN totr GROUP BY 1, 2, 4, 5)
+         ORDER BY stage, bucket""",
     // Full replica of the trained-IVF all-kNN graph (q163's CTEs with
     // probes = corpus, np = max(2, ceil(0.02·cells))) + the exact n²
     // graph, reduced to the per-node recall decile histogram.

@@ -622,6 +622,132 @@ object GraphOps {
     res
   }
 
+  /** SKIP-GRAM (center, context) pair extraction over a walk table — the
+    * actual DeepWalk/node2vec TRAINING-DATA operator (Perozzi et al.
+    * KDD'14 §4.2; Mikolov et al.'s skip-gram window applied to walks):
+    * for every walk position i, every position j with 0 < |i−j| ≤
+    * `window` contributes one (center = node_i, context = node_j) pair.
+    * Downstream embedding trainers consume either the raw pairs or the
+    * (center, context, n_pairs) histogram this aggregates to.
+    *
+    * Scale shape: one self-equi-join on the walk id with the step-range
+    * predicate applied inside the join — per-key volume is (steps+1)²
+    * rows (steps is a small constant), so total work is
+    * O(walks · steps · window), linear in the walk table; no window
+    * function, no corpus-sized state. Emitting the aggregated histogram
+    * adds one (center, context)-keyed shuffle with map-side partials.
+    *
+    * @param walks (walkIdCol, stepCol, nodeCol) rows — [[randomWalks]] /
+    *              [[node2vecWalks]] output
+    * @param window max |i−j| for a context position (≥ 1)
+    * @param aggregate true → (center, context, n_pairs) histogram;
+    *                  false → one row per (walk, i, j) occurrence
+    */
+  def walkPairs(walks: DataFrame, walkIdCol: String, stepCol: String,
+                nodeCol: String, window: Int,
+                aggregate: Boolean = true): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val a = walks.select(col(walkIdCol).as("walk_id"),
+      col(stepCol).as("center_step"), col(nodeCol).as("center"))
+    val b = walks.select(col(walkIdCol).as("walk_id"),
+      col(stepCol).as("context_step"), col(nodeCol).as("context"))
+    val pairs = a.join(b, Seq("walk_id"))
+      .where(col("context_step") =!= col("center_step") &&
+        abs(col("context_step") - col("center_step")) <= window)
+    if (aggregate)
+      pairs.groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+    else
+      pairs.select(col("walk_id"), col("center_step"), col("center"),
+        col("context_step"), col("context"))
+  }
+
+  /** node2vec BIASED random walks (Grover & Leskovec, KDD'16 §3.2): like
+    * [[randomWalks]] but the transition out of `node` (arrived from
+    * `prev`) weights each neighbor x by the paper's search bias α:
+    * 1/p if x = prev (return), 1 if x is ALSO a neighbor of prev
+    * (distance 1 — BFS-ish), 1/q otherwise (distance 2 — DFS-ish).
+    * Weights are milli-quantized integers (round(1000/p), 1000,
+    * round(1000/q)) and the weighted draw is the Efraimidis–Spirtakis
+    * exponential-key argmax ([[graft.operators.MixtureSample
+    * .weightedSampleNoReplacement]]'s key: u md5-derived from (seed,
+    * walk, step, candidate), key_micro = floor(1e6·ln(u)/w), max key
+    * wins, ties by candidate id) — one closed-form float expression per
+    * candidate, engine-exact, reproducible across runs and cluster
+    * sizes. The FIRST hop (no prev) is uniform (all weights 1000).
+    * Neighbors whose weight rounds to 0 (p or q > 2000) are excluded —
+    * their selection probability is below the quantization floor.
+    *
+    * Scale shape: adjacency built once (persisted — it serves both as
+    * the transition table and as the distance-1 marker side); per step
+    * one frontier⋈adjacency equi-join fans out to the candidate set
+    * (Σ deg(frontier nodes) rows), a second equi-join on (prev, x)
+    * against the same adjacency marks distance-1 candidates, and a
+    * per-walk window (one candidate group per walk — partitions are
+    * walk-count-sized, skew ceiling = max degree) picks the argmax. Walk state never exceeds
+    * #walks rows; `steps` is a small constant; per-step frontiers are
+    * lazily checkpointed for constant lineage and released on return
+    * (the [[randomWalks]] discipline).
+    *
+    * @param starts one row per walk: (walkIdCol) — the start node, which
+    *               is also the walk's identity
+    * @return (walk_id, step, node) — step 0 is the start itself
+    */
+  def node2vecWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                    starts: DataFrame, walkIdCol: String,
+                    steps: Int = 4, p: Double = 1.0, q: Double = 1.0,
+                    seed: String = "n2v"): DataFrame = {
+    require(steps >= 0, s"steps must be >= 0, got $steps")
+    require(p > 0 && q > 0, s"p and q must be positive, got p=$p q=$q")
+    val wReturn = math.round(1000.0 / p)
+    val wOut = math.round(1000.0 / q)
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodeType = starts.schema(walkIdCol).dataType
+    var frontier = starts.select(col(walkIdCol).as("walk_id"),
+        lit(null).cast(nodeType).as("prev"),
+        col(walkIdCol).as("node"), lit(0).as("step"))
+      .localCheckpoint(false)
+    val out = Seq.newBuilder[DataFrame]
+    out += frontier.select(col("walk_id"), col("node"), col("step"))
+    for (s <- 1 to steps) {
+      val cand = frontier
+        .join(adj, frontier("node") === adj("u"))
+        .select(col("walk_id"), col("prev"), col("node"), col("v").as("x"))
+      val d1 = adj.select(col("u").as("__p1"), col("v").as("__x1"), lit(1).as("__d1"))
+      val marked = cand.join(d1,
+        cand("prev") === d1("__p1") && cand("x") === d1("__x1"), "left")
+      val w = when(col("prev").isNull, lit(1000L))
+        .when(col("x") === col("prev"), lit(wReturn))
+        .when(col("__d1").isNotNull, lit(1000L))
+        .otherwise(lit(wOut))
+      val m = conv(substring(md5(concat_ws(":",
+        lit(seed), col("walk_id").cast("string"), lit(s.toString),
+        col("x").cast("string"))), 1, 13), 16, 10).cast("long")
+      val key = floor(
+        log((m.cast("double") + lit(0.5)) / lit(4503599627370496.0)) /
+          col("__w") * lit(1000000.0)).cast("long")
+      val wPick = org.apache.spark.sql.expressions.Window
+        .partitionBy("walk_id").orderBy(col("__key").desc, col("x").asc)
+      frontier = marked
+        .withColumn("__w", w).where(col("__w") > 0)
+        .withColumn("__key", key)
+        .withColumn("__rn", row_number().over(wPick)).where(col("__rn") === 1)
+        .select(col("walk_id"), col("node").as("prev"), col("x").as("node"),
+          lit(s).as("step"))
+        .localCheckpoint(false) // constant lineage across steps
+      out += frontier.select(col("walk_id"), col("node"), col("step"))
+    }
+    val frontiers = out.result()
+    val res = frontiers.reduce(_ unionByName _)
+      .select(col("walk_id"), col("step").cast("long").as("step"), col("node"))
+      .localCheckpoint(true)
+    adj.unpersist(blocking = false)
+    frontiers.foreach(releaseLocalCheckpoint)
+    res
+  }
+
   /** Release the block-manager blocks pinned by a `localCheckpoint`'d
     * frame: the checkpointed RDD sits in the plan's [[org.apache.spark
     * .sql.execution.LogicalRDD]] leaf (Dataset.unpersist only uncaches

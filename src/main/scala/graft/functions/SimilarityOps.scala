@@ -241,6 +241,78 @@ object SimilarityOps {
     ivfTopKFraction(corpus, corpus, centroids, idCol, idCol, centroidIdCol,
       vecCol, k, probeFraction, minProbe)
 
+  /** NN-DESCENT refinement of a kNN graph (Dong, Moses & Li, WWW 2011):
+    * iterate "a neighbor of my neighbor is probably my neighbor" — per
+    * round, every node's (undirected) neighborhood proposes all its
+    * internal pairs as candidate edges, each candidate pair is cosine-
+    * scored ONCE, and every node keeps the top-k of (current ∪ proposed)
+    * neighbors. Seeded by [[knnGraph]] at a small FIXED probe count,
+    * this is the linear-at-scale all-kNN construction path: recall comes
+    * from the ITERATIONS, not from probing more index cells — per round
+    * the candidate volume is Σ_v deg(v)² ≤ n·(2k)² (out-degree k, plus
+    * reverse edges whose per-node count the same top-k bound caps in
+    * expectation), i.e. O(n·k²) TOTAL work per iteration with k a
+    * constant — against the O(f·n²) regime fraction-probing enters when
+    * cells scale with the corpus (the q173 finding this operator fixes).
+    *
+    * Shapes: candidate generation is one self-join of the undirected
+    * edge list on the shared-neighbor key (shuffle keyed by node id,
+    * skew ceiling 2k·maxdeg), dedup before scoring (a pair proposed by
+    * many common neighbors is scored once), scoring joins the vector
+    * table twice on the 8-byte id, and the merge is one per-node top-k
+    * window with WindowGroupLimit map-side pre-reduction. Ranking
+    * quantizes the score to 6 decimals with an id tie-break (the
+    * [[contrastiveTriplets]] rationale — raw-double order among
+    * near-identical candidates is FP-summation noise; the seed graph's
+    * own edges re-score identically on re-derivation, so quantized
+    * rank order is engine-stable). Per-round results are eagerly
+    * checkpointed (constant lineage; rounds are data-dependent chains).
+    *
+    * @param corpus (idCol, vecCol) — the vectors (zero-norm rows are
+    *               excluded, as in every cosine operator here)
+    * @param seed   (probe_id, nbr_id) directed kNN edges ([[knnGraph]]
+    *               output; extra columns ignored)
+    * @param k      neighbors kept per node after each merge
+    * @param iters  refinement rounds (≥ 1; 1–2 suffice in practice at
+    *               moderate k — Dong et al. report diminishing updates)
+    * @return (probe_id, nbr_id, score, rank) edges, rank ≤ k per node
+    */
+  def nnDescent(corpus: DataFrame, idCol: String, vecCol: String,
+                seed: DataFrame, k: Int = 10, iters: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    GraftFunctions.register(corpus.sparkSession)
+    val v = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        vnorm(col(vecCol)).as("__n")).where(col("__n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def scored(pairs: DataFrame): DataFrame = pairs
+      .join(v.select(col("__id").as("probe_id"), col("__v").as("__pv"),
+        col("__n").as("__pn")), Seq("probe_id"))
+      .join(v.select(col("__id").as("nbr_id"), col("__v").as("__cv"),
+        col("__n").as("__cn")), Seq("nbr_id"))
+      .select(col("probe_id"), col("nbr_id"),
+        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
+    var graph = seed.select(col("probe_id"), col("nbr_id")).localCheckpoint(false)
+    var ranked: DataFrame = null
+    val wTop = Window.partitionBy("probe_id")
+      .orderBy(round(col("score"), 6).desc, col("nbr_id").asc)
+    for (_ <- 1 to iters) {
+      val und = graph.select(col("probe_id").as("c"), col("nbr_id").as("m"))
+        .unionByName(graph.select(col("nbr_id").as("c"), col("probe_id").as("m")))
+        .distinct()
+      val prop = und.join(und.withColumnRenamed("m", "m2"), Seq("c"))
+        .where(col("m") =!= col("m2"))
+        .select(col("m").as("probe_id"), col("m2").as("nbr_id"))
+      val cand = graph.unionByName(prop).distinct()
+      ranked = scored(cand)
+        .withColumn("rank", row_number().over(wTop)).where(col("rank") <= k)
+        .localCheckpoint(true) // data-dependent chain: constant lineage
+      graph = ranked.select(col("probe_id"), col("nbr_id"))
+    }
+    v.unpersist(blocking = false)
+    ranked
+  }
+
   /** The PERSISTED-IVF store content: every corpus vector assigned to its
     * nearest cell under a FROZEN trained quantizer — (idCol, vecCol,
     * "cid") rows, the inverted file as a table. Persist via
@@ -266,6 +338,37 @@ object SimilarityOps {
     assignCells(normalizedCorpus(corpus, idCol, vecCol), idCol, cent)
       .select(col(idCol), col("__v").as(vecCol), col("cid"))
   }
+
+  /** RETRAIN/REINDEX leg of the persisted-IVF lifecycle — the batch job
+    * that closes build → absorb → delete → compact → RETRAIN: after the
+    * corpus has grown or drifted, retrain the coarse quantizer (e.g.
+    * [[kmeansCentroids]] over the live corpus) and REASSIGN every live
+    * store row under the new centroids, producing a fresh [[ivfStore]]
+    * layout to rewrite at epoch 0 with the cid-bucketing preserved
+    * (the compaction analog for quantizer drift — absorbing under a
+    * frozen quantizer is O(batch), but the frozen cells slowly stop
+    * matching the data distribution, and search recall decays until a
+    * reindex).
+    *
+    * Semantics-preserving by construction: assignment under fixed
+    * centroids is deterministic, so the reindexed store is IDENTICAL to
+    * a fresh [[ivfStore]] build over the live corpus (the q178 gate pins
+    * search-over-reindexed ≡ search-over-fresh-build, hash-identical).
+    * Cost is one pass over the store (broadcast centroids, map-side
+    * WindowGroupLimit top-1, one id-keyed exchange) — a batch job, not
+    * an increment, which is exactly why the lifecycle keeps it separate
+    * from [[ivfStore]]-as-absorb.
+    *
+    * @param store (idCol, vecCol, "cid" [, epoch …]) — live rows (apply
+    *              [[graft.sources.TableStore.liveView]] first if the
+    *              table carries tombstones); old cid/extra columns are
+    *              dropped
+    * @return (idCol, vecCol, "cid") under `newCentroids`
+    */
+  def ivfReindex(store: DataFrame, idCol: String, vecCol: String,
+                 newCentroids: DataFrame, centroidIdCol: String): DataFrame =
+    ivfStore(store.select(col(idCol), col(vecCol)), idCol, vecCol,
+      newCentroids, centroidIdCol)
 
   /** Search a PERSISTED inverted file ([[ivfStore]] layout, typically
     * reloaded from its cid-bucketed parquet table): probes pick their

@@ -187,6 +187,55 @@ object StreamingOps {
     vecs.writeStream.outputMode("append").foreachBatch(body).start()
   }
 
+  /** ONE batch of streaming IVF INGESTION — the foreachBatch body of
+    * [[ivfAbsorbStream]], exposed so a batch chain (and the q180 oracle
+    * gate) runs the IDENTICAL call sequence the stream runs: assign the
+    * increment's vectors to their cells under the FROZEN broadcast
+    * quantizer ([[graft.functions.SimilarityOps.ivfStore]] — map-only,
+    * O(batch), no store read at all) and append the (id, vec, cid) rows
+    * to the cid-bucketed store table. Unlike [[semanticDedupBatch]]
+    * there is no admission decision, so absorption never touches
+    * existing store rows — the cheapest leg of the store family.
+    *
+    * @return the appended rows (idCol, vecCol, "cid"), eagerly
+    *         materialized
+    */
+  def ivfAbsorbBatch(vecs: DataFrame, idCol: String, vecCol: String,
+                     storeTable: String, centroids: DataFrame,
+                     centroidIdCol: String, buckets: Int = 8): DataFrame = {
+    val rows = graft.functions.SimilarityOps
+      .ivfStore(vecs, idCol, vecCol, centroids, centroidIdCol)
+      .localCheckpoint(true)
+    graft.sources.TableStore.saveBucketed(rows, storeTable,
+      bucketCols = Seq("cid"), buckets = buckets, mode = SaveMode.Append)
+    rows
+  }
+
+  /** Continuous ANN-index ingestion: an embedding stream absorbed into
+    * the PERSISTED inverted file — each micro-batch lands via
+    * [[ivfAbsorbBatch]] (frozen-quantizer cell assignment + bucketed
+    * Append), so a concurrent [[graft.functions.SimilarityOps
+    * .ivfSearchStore]] reader sees batch N's vectors as soon as batch N
+    * commits, restarts resume from the warehouse, and the batch q165
+    * lifecycle reads the very same table. State lives in the warehouse,
+    * not a streaming state store, for the [[dedupAgainstStore]] reasons;
+    * periodically [[graft.functions.SimilarityOps.ivfReindex]] (a batch
+    * job) retrains the drifting quantizer.
+    *
+    * @param onAbsorbed called per micro-batch with (appended rows with
+    *                   their "cid", batchId)
+    */
+  def ivfAbsorbStream(vecs: DataFrame, idCol: String, vecCol: String,
+                      storeTable: String, centroids: DataFrame,
+                      centroidIdCol: String, buckets: Int = 8)
+                     (onAbsorbed: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      onAbsorbed(ivfAbsorbBatch(batch.toDF(), idCol, vecCol, storeTable,
+        centroids, centroidIdCol, buckets), batchId)
+    }
+    vecs.writeStream.outputMode("append").foreachBatch(body).start()
+  }
+
   /** ONE batch of streaming graph maintenance — the foreachBatch body of
     * [[absorbComponentsStream]], exposed so a batch chain (and the q151
     * oracle gate) runs the IDENTICAL call sequence the stream runs:

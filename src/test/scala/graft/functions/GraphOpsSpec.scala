@@ -319,4 +319,61 @@ class GraphOpsSpec extends SparkSpec {
     // deterministic under physical layout changes
     assert(run(edges.repartition(7)) == w)
   }
+
+  test("walkPairs: exact skip-gram window pairs, histogram ≡ raw aggregation") {
+    // two hand-built walks: (w=1) 1→2→3→4, (w=9) 9→2
+    val walks = Seq(
+      (1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 3L), (1L, 3L, 4L),
+      (9L, 0L, 9L), (9L, 1L, 2L)).toDF("walk_id", "step", "node")
+    val raw = GraphOps.walkPairs(walks, "walk_id", "step", "node",
+        window = 2, aggregate = false)
+      .collect().map(r => (r.getAs[Long]("walk_id"), r.getAs[Long]("center_step"),
+        r.getAs[Long]("center"), r.getAs[Long]("context"))).toSet
+    // walk 1, window 2: positions (i,j) with 0<|i-j|<=2 → 10 ordered pairs;
+    // walk 9: 2 ordered pairs
+    assert(raw.size == 12)
+    assert(raw.contains((1L, 0L, 1L, 2L)) && raw.contains((1L, 0L, 1L, 3L)))
+    assert(!raw.exists { case (w, cs, c, x) => w == 1L && cs == 0L && x == 4L }) // |0-3| > 2
+    assert(raw.contains((9L, 0L, 9L, 2L)) && raw.contains((9L, 1L, 2L, 9L)))
+    val hist = GraphOps.walkPairs(walks, "walk_id", "step", "node", window = 2)
+      .collect().map(r => (r.getAs[Long]("center"), r.getAs[Long]("context")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    // (2, 3) occurs once (walk 1, steps 1-2); totals match the raw pairs
+    assert(hist((2L, 3L)) == 1L && hist.values.sum == 12L)
+  }
+
+  test("node2vecWalks: valid hops, p/q bias steers the draw, deterministic") {
+    // triangle 1-2-3 plus pendant 4 on node 2: from 2 (arrived from 1),
+    // neighbor 1 is 'return', 3 is distance-1 (edge 1-3), 4 is distance-2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L)).toDF("src", "dst")
+    val starts = Seq(1L).toDF("walk_id")
+    def run(p: Double, q: Double) =
+      GraphOps.node2vecWalks(edges, "src", "dst", starts, "walk_id",
+          steps = 3, p = p, q = q)
+        .collect().map(r => (r.getAs[Long]("step"), r.getAs[Long]("node")))
+        .sortBy(_._1).map(_._2).toSeq
+    val path = run(1.0, 1.0)
+    assert(path.head == 1L && path.length == 4)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    path.sliding(2).foreach { h => assert(und((h(0), h(1)))) }
+    // determinism under layout changes
+    val path2 = GraphOps.node2vecWalks(edges.repartition(5), "src", "dst",
+        starts, "walk_id", steps = 3, p = 1.0, q = 1.0)
+      .collect().map(r => (r.getAs[Long]("step"), r.getAs[Long]("node")))
+      .sortBy(_._1).map(_._2).toSeq
+    assert(path2 == path)
+    // extreme bias overrides the hash draw: tiny q (huge 1/q weight)
+    // forces the distance-2 hop wherever one exists; at step 2 from
+    // node 2 (whatever step 1 chose, graph is symmetric enough) the
+    // walk must never 'return' when q is extreme and p huge
+    val dfs = GraphOps.node2vecWalks(edges, "src", "dst", starts, "walk_id",
+        steps = 2, p = 1999.0, q = 0.001)
+      .collect().map(r => (r.getAs[Long]("step"), r.getAs[Long]("node")))
+      .sortBy(_._1).map(_._2)
+    // step1 from 1 is uniform over {2, 3}; step2 with w_return=1 (≈0 of
+    // 1e6 total weight mass) must not pick node 1's predecessor back —
+    // i.e. no immediate backtrack
+    assert(dfs(2) != dfs(0))
+  }
 }
