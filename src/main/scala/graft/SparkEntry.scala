@@ -2506,6 +2506,186 @@ object SparkEntry {
         .crossJoin(broadcast(diff))
         .orderBy("probe_id", "nbr_id")
     }),
+    // ── extension: WATERMARK EVICTION for the stream-stream interval
+    //    join — the q170 twin with a SHORT watermark (60 s) and
+    //    deliberately LATE-ARRIVING click files: on-time errors+clicks
+    //    land in trigger 1, advancer rows (year 2100, non-matching
+    //    user ids) push both sides' watermarks far past the corpus in
+    //    trigger 2, and the late click file (every click_id ≡ 0 mod 5)
+    //    arrives in trigger 3 — provably unmatchable under the derived
+    //    join-state watermark (cts + lookback ≪ wm), so the engine
+    //    MUST drop all of it. File order is pinned via explicit
+    //    lastModified stamps (the file source lists oldest-first).
+    //    Gate: streamed pairs ≡ batch join restricted to on-time
+    //    clicks (engine-side multiset diff = 0) + the dropped-late
+    //    pair count from the batch join as the accounting column;
+    //    the oracle recomputes both from the events table.
+    "q179_interval_join_eviction" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val base = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_q179_$uid")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      val err = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"))
+      val clk = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+          col("ts").cast("timestamp").as("cts"))
+      val errDir = new java.io.File(base, "err")
+      val clkDir = new java.io.File(base, "clk")
+      // one part file per logical arrival; lastModified stamps pin the
+      // listing order the source replays (oldest first)
+      def writeArrival(df: DataFrame, d: java.io.File, t: Long): Unit = {
+        val before = Option(d.listFiles()).map(_.map(_.getName).toSet)
+          .getOrElse(Set.empty[String])
+        df.coalesce(1).write.mode("append").parquet(d.getAbsolutePath)
+        d.listFiles().filter(f => !before(f.getName) && f.getName.endsWith(".parquet"))
+          .foreach(f => f.setLastModified(t): Unit)
+      }
+      val t0 = 1600000000000L
+      val far = to_timestamp(lit("2100-01-01 00:00:00"))
+      try {
+        writeArrival(err, errDir, t0)
+        writeArrival(clk.where(pmod(col("click_id"), lit(5)) =!= 0), clkDir, t0)
+        writeArrival(err.limit(0).unionByName( // schema-cloned advancer
+          s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+            far.as("ts"))), errDir, t0 + 4000)
+        writeArrival(clk.limit(0).unionByName(
+          s.range(1).select(lit(-2L).as("click_id"), lit(-2L).as("cu"),
+            far.as("cts"))), clkDir, t0 + 4000)
+        writeArrival(clk.where(pmod(col("click_id"), lit(5)) === 0), clkDir, t0 + 8000)
+        val errS = s.readStream.schema(err.schema).option("maxFilesPerTrigger", "1")
+          .parquet(errDir.getAbsolutePath)
+        val clkS = s.readStream.schema(clk.schema).option("maxFilesPerTrigger", "1")
+          .parquet(clkDir.getAbsolutePath)
+        val joined = graft.streaming.StreamingOps.intervalJoin(
+          errS, clkS, "user_id", "cu", "ts", "cts",
+          lookback = "21600 seconds", watermarkDelay = "60 seconds")
+        val sink = s"graft_q179_sink_$uid"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = joined.select("event_id", "click_id").writeStream
+            .outputMode("append").format("memory").queryName(sink).start()
+          try q.processAllAvailable() finally q.stop()
+          val streamed = s.table(sink).select("event_id", "click_id")
+            .localCheckpoint(true)
+          // engine-side ground truth: the batch interval join, split
+          // on-time / late by the same click_id % 5 rule the files used
+          val allPairs = err.join(clk,
+              err("user_id") === clk("cu") &&
+                clk("cts") >= err("ts") - expr("INTERVAL 21600 seconds") &&
+                clk("cts") <= err("ts"))
+            .select(col("event_id"), col("click_id"))
+            .localCheckpoint(false)
+          val onTime = allPairs.where(pmod(col("click_id"), lit(5)) =!= 0)
+          val nLate = allPairs.where(pmod(col("click_id"), lit(5)) === 0)
+            .agg(count(lit(1)).as("n_late_dropped"))
+          val diff = streamed.unionByName(onTime)
+            .groupBy("event_id", "click_id").agg(count(lit(1)).as("c"))
+            .where(col("c") =!= 2).agg(count(lit(1)).as("n_diff"))
+          streamed.groupBy("event_id")
+            .agg(count(lit(1)).as("n_clicks"), sum("click_id").as("sum_click_ids"))
+            .crossJoin(broadcast(diff))
+            .crossJoin(broadcast(nLate))
+            .orderBy("event_id")
+            .localCheckpoint(true)
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.catalog.dropTempView(s"graft_q179_sink_$uid"): Unit
+        }
+      } finally rm(base)
+    }),
+    // ── extension: STREAMING IVF INGESTION — the q165 lifecycle driven
+    //    through the STREAM path: the empty store plus two increments
+    //    all land via StreamingOps.ivfAbsorbBatch (the exact foreachBatch
+    //    body ivfAbsorbStream runs per micro-batch — frozen-quantizer
+    //    assignment, map-only, cid-bucketed Append), then the ANN search
+    //    reads the stream-maintained table. Oracle = fresh search over
+    //    the full corpus: ingestion order is invisible to the index.
+    //    FIXED k = 64 quantizer (decade-runnable, like q178); the live
+    //    multi-trigger harness is StreamingOpsSpec's concern.
+    "q180_ivf_stream_ingest" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings")
+      val init = emb.where(col("vec_id") < 64).select("vec_id", "embedding")
+      val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", init, "vec_id", updateRounds = 1)
+        .localCheckpoint(true) // trained once; all three absorbs AND probes
+      val tbl = "graft_q180_ivf_store"
+      TableStore.dropTable(s, tbl)
+      Seq(0L, 1L, 2L).foreach { b =>
+        graft.streaming.StreamingOps.ivfAbsorbBatch(
+          emb.where(pmod(col("vec_id"), lit(3)) === b)
+            .select("vec_id", "embedding"),
+          "vec_id", "embedding", tbl, cent, "vec_id", buckets = 8): Unit
+      }
+      val store = TableStore.loadTable(s, tbl)
+      val probes = emb.where(col("vec_id") < 5)
+      SimilarityOps.ivfSearchStore(
+          store.select("vec_id", "embedding", "cid"), probes, cent,
+          "vec_id", "vec_id", "vec_id", "embedding", k = 10,
+          probeFraction = 0.25, minProbe = 2)
+        .select(col("probe_id"), col("nbr_id"))
+        .crossJoin(broadcast(store.agg(count(lit(1)).as("store_rows"))))
+        .orderBy("probe_id", "nbr_id")
+    }),
+    // ── extension: IVF RETRAIN/REINDEX — the lifecycle leg that closes
+    //    build → absorb → delete → compact → RETRAIN (q165/q172 froze
+    //    the quantizer forever; a real deployment periodically retrains
+    //    on the grown corpus and reassigns the store). Build under the
+    //    RAW fixed-64-sample quantizer, retrain one Lloyd round,
+    //    ivfReindex the persisted store under the new centroids (one
+    //    store pass, cid-bucketing preserved, epoch reset to 0), and
+    //    pin search-over-reindexed ≡ search-over-fresh-build
+    //    (engine-side multiset diff = 0) while the oracle recomputes
+    //    the search from scratch. Deliberately FIXED k = 64 (not the
+    //    %40 corpus-proportional init): the quantizer is model-sized at
+    //    every scale factor, so this gate is decade-runnable — the
+    //    fixed-k twin the round-11 verdict asked for.
+    "q178_ivf_reindex" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings")
+      val init = emb.where(col("vec_id") < 64).select("vec_id", "embedding")
+      val centB = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", init, "vec_id", updateRounds = 1)
+        .localCheckpoint(true) // trained once; reindex, fresh build, AND probes
+      val tbl = "graft_q178_ivf_store"
+      TableStore.dropTable(s, tbl)
+      TableStore.saveBucketed( // the aged store: assigned under RAW cells
+        SimilarityOps.ivfStore(emb.select("vec_id", "embedding"),
+            "vec_id", "embedding", init, "vec_id")
+          .withColumn("epoch", lit(0L)),
+        tbl, bucketCols = Seq("cid"), buckets = 8)
+      val dst = "graft_q178_ivf_reindexed"
+      TableStore.dropTable(s, dst)
+      TableStore.saveBucketed(
+        SimilarityOps.ivfReindex(TableStore.loadTable(s, tbl),
+            "vec_id", "embedding", centB, "vec_id")
+          .withColumn("epoch", lit(0L)),
+        dst, bucketCols = Seq("cid"), buckets = 8)
+      val reindexed = TableStore.loadTable(s, dst)
+      val fresh = SimilarityOps.ivfStore(emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", centB, "vec_id")
+      val probes = emb.where(col("vec_id") < 5)
+      def search(st: DataFrame) = SimilarityOps.ivfSearchStore(
+          st.select("vec_id", "embedding", "cid"), probes, centB,
+          "vec_id", "vec_id", "vec_id", "embedding", k = 10,
+          probeFraction = 0.25, minProbe = 2)
+        .select(col("probe_id"), col("nbr_id"))
+      val a = search(reindexed).localCheckpoint(false)
+      val b = search(fresh).localCheckpoint(false)
+      val diff = a.unionByName(b).groupBy("probe_id", "nbr_id")
+        .agg(count(lit(1)).as("c")).where(col("c") =!= 2)
+        .agg(count(lit(1)).as("n_diff"))
+      a.crossJoin(broadcast(reindexed.agg(count(lit(1)).as("store_rows"))))
+        .crossJoin(broadcast(diff))
+        .orderBy("probe_id", "nbr_id")
+    }),
     // ── extension: STREAM-STREAM interval join PARITY — the first gate
     //    that runs an ACTUAL Structured Streaming query end-to-end:
     //    errors and clicks written as ts-ranged parquet files, replayed
@@ -5398,6 +5578,139 @@ object SparkEntry {
          SELECT recall_milli // 100 AS bucket, CAST(count(*) AS BIGINT) AS n_nodes,
            n_edges, mean_recall_milli
          FROM per CROSS JOIN tot GROUP BY 1, 3, 4 ORDER BY 1""",
+    // Batch interval join split by the click_id%5 on-time/late rule:
+    // the streamed result must be the on-time restriction exactly.
+    "q179_interval_join_eviction" ->
+      """WITH err AS (SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events
+                      WHERE event_type = 'error'),
+         clk AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) AS tns
+                 FROM events WHERE event_type = 'click'),
+         pairs AS (SELECT e.event_id, c.click_id
+                   FROM err e JOIN clk c ON c.user_id = e.user_id
+                     AND c.tns >= e.tns - 21600000000000 AND c.tns <= e.tns),
+         late AS (SELECT CAST(count(*) AS BIGINT) AS n_late_dropped
+                  FROM pairs WHERE click_id % 5 = 0)
+         SELECT event_id, CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(sum(click_id) AS BIGINT) AS sum_click_ids,
+           CAST(0 AS BIGINT) AS n_diff,
+           (SELECT n_late_dropped FROM late) AS n_late_dropped
+         FROM pairs WHERE click_id % 5 <> 0
+         GROUP BY 1 ORDER BY 1""",
+    // Fresh full-corpus search under the fixed-64 quantizer —
+    // three streamed absorb batches ≡ one batch build.
+    "q180_ivf_stream_ingest" ->
+      """WITH cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id < 64),
+         asn0 AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent0 c) WHERE rn = 1),
+         ex AS (SELECT cid, unnest(embedding) AS x,
+                  unnest(range(1, len(embedding) + 1)) AS pos FROM asn0),
+         cent1 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cv FROM (
+             SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS mx FROM ex GROUP BY cid, pos)
+           GROUP BY cid),
+         asn AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c) WHERE rn = 1),
+         pc AS (
+           SELECT vec_id AS probe_id, cid, embedding AS pv, rn FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c WHERE e.vec_id < 5)
+           WHERE rn <= (SELECT greatest(2, CAST(ceil(0.25 * count(*)) AS BIGINT)) FROM cent1)),
+         cand AS (
+           SELECT p.probe_id, a.vec_id AS nbr_id,
+             list_cosine_similarity(a.embedding, p.pv) AS score
+           FROM pc p JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
+         it AS (SELECT probe_id, nbr_id FROM (
+           SELECT probe_id, nbr_id, row_number() OVER (
+             PARTITION BY probe_id ORDER BY score DESC, nbr_id) AS rank FROM cand)
+           WHERE rank <= 10)
+         SELECT probe_id, nbr_id,
+           (SELECT CAST(count(*) AS BIGINT) FROM asn) AS store_rows
+         FROM it ORDER BY probe_id, nbr_id""",
+    // Search recomputed from scratch under the RETRAINED fixed-64
+    // quantizer — reindex ≡ fresh-build ≡ recompute.
+    "q178_ivf_reindex" ->
+      """WITH cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id < 64),
+         asn0 AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent0 c) WHERE rn = 1),
+         ex AS (SELECT cid, unnest(embedding) AS x,
+                  unnest(range(1, len(embedding) + 1)) AS pos FROM asn0),
+         cent1 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cv FROM (
+             SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS mx FROM ex GROUP BY cid, pos)
+           GROUP BY cid),
+         asn AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c) WHERE rn = 1),
+         pc AS (
+           SELECT vec_id AS probe_id, cid, embedding AS pv, rn FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c WHERE e.vec_id < 5)
+           WHERE rn <= (SELECT greatest(2, CAST(ceil(0.25 * count(*)) AS BIGINT)) FROM cent1)),
+         cand AS (
+           SELECT p.probe_id, a.vec_id AS nbr_id,
+             list_cosine_similarity(a.embedding, p.pv) AS score
+           FROM pc p JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
+         it AS (SELECT probe_id, nbr_id FROM (
+           SELECT probe_id, nbr_id, row_number() OVER (
+             PARTITION BY probe_id ORDER BY score DESC, nbr_id) AS rank FROM cand)
+           WHERE rank <= 10)
+         SELECT probe_id, nbr_id,
+           (SELECT CAST(count(*) AS BIGINT) FROM asn) AS store_rows,
+           CAST(0 AS BIGINT) AS n_diff
+         FROM it ORDER BY probe_id, nbr_id""",
     // The oracle IS the rebuild-from-scratch: the mutated corpus (last
     // third + re-embeds, minus deletions) searched fresh — certifying
     // tombstone + epoch-append + anti-join + compaction ≡ recompute.

@@ -807,6 +807,56 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(store.count() == 64L) // every nonzero-norm vector lands once
   }
 
+  test("nnDescent: the exact kNN graph is a fixed point; a weak seed strictly improves") {
+    val rng = new scala.util.Random(31)
+    val corpus = (0L until 60L).map(i => (i, Array.fill(8)(rng.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = edges(SimilarityOps.bruteForceTopK(corpus, corpus,
+      "vec_id", "vec_id", "embedding", k = 5))
+    // fixed point: refining the exact graph cannot change it (every
+    // proposal already loses to, or is, a current top-k member)
+    val exactSeed = SimilarityOps.bruteForceTopK(corpus, corpus,
+      "vec_id", "vec_id", "embedding", k = 5).select("probe_id", "nbr_id")
+    assert(edges(SimilarityOps.nnDescent(corpus, "vec_id", "embedding",
+      exactSeed, k = 5, iters = 1)) == exact)
+    // weak ring seed: i → i+1..i+5 (mod 60) ignores geometry entirely;
+    // two NN-descent rounds must strictly improve recall vs the seed
+    val ring = (0L until 60L).flatMap(i => (1 to 5).map(d => (i, (i + d) % 60)))
+      .toDF("probe_id", "nbr_id")
+    val seedRecall = edges(ring).intersect(exact).size
+    val refined = edges(SimilarityOps.nnDescent(corpus, "vec_id", "embedding",
+      ring, k = 5, iters = 2))
+    val refinedRecall = refined.intersect(exact).size
+    assert(refinedRecall > seedRecall,
+      s"nnDescent did not improve: $seedRecall -> $refinedRecall")
+    // output is a well-formed kNN graph: 5 neighbors per node, no self
+    assert(refined.size == 300 && !refined.exists(e => e._1 == e._2))
+  }
+
+  test("ivfReindex: reassignment under new centroids == fresh build over the store rows") {
+    val rng = new scala.util.Random(41)
+    val corpus = (0L until 64L).map(i => (i, Array.fill(8)(rng.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val rawInit = corpus.where($"vec_id" % 8 === 0)
+    val store = SimilarityOps.ivfStore(corpus, "vec_id", "embedding",
+      rawInit, "vec_id") // aged store: assigned under the raw cells
+    val trained = SimilarityOps.kmeansCentroids(corpus, "vec_id", "embedding",
+      rawInit, "vec_id", updateRounds = 1).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reindexed = rows(SimilarityOps.ivfReindex(store, "vec_id", "embedding",
+      trained, "vec_id"))
+    val fresh = rows(SimilarityOps.ivfStore(corpus, "vec_id", "embedding",
+      trained, "vec_id"))
+    assert(reindexed == fresh)
+    // the retrain actually moved assignments (otherwise the gate is vacuous)
+    assert(reindexed != rows(store))
+  }
+
   test("kmeansAssign separates two obvious directional clusters") {
     // two tight cones around +x and +y; init one centroid in each
     val pts = Seq(

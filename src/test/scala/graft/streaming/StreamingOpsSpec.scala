@@ -326,6 +326,50 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfAbsorbStream ingests embedding micro-batches into the persisted inverted file") {
+    import graft.functions.SimilarityOps
+    import graft.sources.TableStore
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "graft_stream_ivf_store"
+    def vx(s: Float) = Array(s, 0.0f, 0.1f)
+    def vy(s: Float) = Array(0.0f, s, 0.1f)
+    val cent = Seq((0L, vx(1f)), (1L, vy(1f))).toDF("vec_id", "embedding")
+    TableStore.dropTable(spark, tbl)
+    // empty-store bootstrap goes through the same Append path
+    val absorbed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.ivfAbsorbStream(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", tbl,
+      cent, "vec_id", buckets = 4) { (rows, _) =>
+      absorbed.synchronized {
+        absorbed ++= rows.select("vec_id", "cid").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+    }
+    try {
+      ms.addData((10L, vx(2f)), (11L, vy(3f)))
+      q.processAllAvailable()
+      ms.addData((12L, vx(0.5f)), (13L, Array(0.0f, 0.0f, 0.0f))) // 13: zero-norm, dropped
+      q.processAllAvailable()
+      // every nonzero vector landed exactly once in its nearest cell
+      assert(absorbed.synchronized(absorbed.toSet) ==
+        Set((10L, 0L), (11L, 1L), (12L, 0L)), s"absorbed $absorbed")
+      spark.catalog.refreshTable(tbl) // appends came from the cloned session
+      val store = TableStore.loadTable(spark, tbl)
+      assert(store.count() == 3)
+      // the stream-maintained table is directly searchable
+      val probes = Seq((100L, vx(1f))).toDF("vec_id", "embedding")
+      val hits = SimilarityOps.ivfSearchStore(store, probes, cent,
+          "vec_id", "vec_id", "vec_id", "embedding", k = 2,
+          probeFraction = 0.5, minProbe = 1)
+        .select("nbr_id").collect().map(_.getLong(0)).toSet
+      assert(hits == Set(10L, 12L), s"hits $hits")
+    } finally {
+      q.stop()
+      TableStore.dropTable(spark, tbl)
+    }
+  }
+
   test("absorbComponentsStream maintains the persisted label store across batches") {
     import graft.functions.GraphOps
     import graft.sources.TableStore
