@@ -2541,6 +2541,26 @@ object SparkEntry {
         .crossJoin(broadcast(diff))
         .orderBy("probe_id", "nbr_id")
     }),
+    // ── extension: TWO-LEVEL IVF ANN SEARCH — the search-side fix for
+    //    the flat quantizer's scale wall (the standing %40 adjudication:
+    //    flat cells ∝ corpus make assignment n·k dots). Coarse k1=16 +
+    //    8 fine centroids per coarse cell: assignment is O(n·(16+8))
+    //    with every broadcast model-sized; probes route top-2 coarse →
+    //    top-2 fine per coarse cell and score only the matching (ccid,
+    //    fid) rows. Shares q91's exact two-level assignment structure
+    //    (LCG fine selection, 6-decimal fine ranking) — the oracle
+    //    reuses those CTEs with search routing instead of dedup. Both
+    //    knobs constants → decade-runnable end-to-end.
+    "q181_ivf_two_level" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val init = emb.where(col("vec_id") < 16).select("vec_id", "embedding")
+      val probes = emb.where(col("vec_id") < 5)
+      SimilarityOps.ivfTopKTwoLevel(emb.select("vec_id", "embedding"), probes,
+          "vec_id", "vec_id", "embedding", init, "vec_id",
+          finePerCell = 8, k = 10, coarseProbe = 2, fineProbe = 2)
+        .select(col("probe_id"), col("nbr_id"))
+        .orderBy("probe_id", "nbr_id")
+    }),
     // ── extension: WATERMARK EVICTION for the stream-stream interval
     //    join — the q170 twin with a SHORT watermark (60 s) and
     //    deliberately LATE-ARRIVING click files: on-time errors+clicks
@@ -5613,6 +5633,91 @@ object SparkEntry {
          SELECT recall_milli // 100 AS bucket, CAST(count(*) AS BIGINT) AS n_nodes,
            n_edges, mean_recall_milli
          FROM per CROSS JOIN tot GROUP BY 1, 3, 4 ORDER BY 1""",
+    // q91's two-level assignment CTEs (LCG fine selection, 6-decimal
+    // fine ranking) + coarse/fine probe routing + exact cell scoring.
+    "q181_ivf_two_level" ->
+      """WITH cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id < 16),
+         asn1 AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent0 c) WHERE rn = 1),
+         ex AS (SELECT cid, unnest(embedding) AS x,
+                  unnest(range(1, len(embedding) + 1)) AS pos FROM asn1),
+         cent1 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cv FROM (
+             SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS mx FROM ex GROUP BY cid, pos)
+           GROUP BY cid),
+         casn AS (
+           SELECT vec_id, embedding, cid AS ccid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c) WHERE rn = 1),
+         fine AS (
+           SELECT ccid, vec_id AS fid, embedding AS fv FROM (
+             SELECT ccid, vec_id, embedding,
+               row_number() OVER (PARTITION BY ccid
+                 ORDER BY (vec_id * 1103515245 + 4242) % 2147483648) AS rn
+             FROM casn) WHERE rn <= 8),
+         fasn AS (
+           SELECT vec_id, ccid, fid, embedding FROM (
+             SELECT c.vec_id, c.ccid, f.fid, c.embedding,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                 round(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                   i -> CAST(c.embedding[i] AS DOUBLE) * CAST(f.fv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(f.fv) + 1),
+                      i -> CAST(f.fv[i] AS DOUBLE) * CAST(f.fv[i] AS DOUBLE))))), 6)
+                 DESC, f.fid) AS rn
+             FROM casn c JOIN fine f ON c.ccid = f.ccid) WHERE rn = 1),
+         pcc AS (
+           SELECT probe_id, ccid, pv FROM (
+             SELECT e.vec_id AS probe_id, e.embedding AS pv, c.cid AS ccid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c WHERE e.vec_id < 5) WHERE rn <= 2),
+         pf AS (
+           SELECT probe_id, ccid, fid, pv FROM (
+             SELECT p.probe_id, p.ccid, f.fid, p.pv,
+               row_number() OVER (PARTITION BY p.probe_id, p.ccid ORDER BY
+                 round(list_sum(list_transform(range(1, len(p.pv) + 1),
+                   i -> CAST(p.pv[i] AS DOUBLE) * CAST(f.fv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, len(p.pv) + 1),
+                      i -> CAST(p.pv[i] AS DOUBLE) * CAST(p.pv[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(f.fv) + 1),
+                      i -> CAST(f.fv[i] AS DOUBLE) * CAST(f.fv[i] AS DOUBLE))))), 6)
+                 DESC, f.fid) AS rn
+             FROM pcc p JOIN fine f ON f.ccid = p.ccid) WHERE rn <= 2),
+         cand AS (
+           SELECT p.probe_id, a.vec_id AS nbr_id,
+             list_cosine_similarity(a.embedding, p.pv) AS score
+           FROM pf p JOIN fasn a ON a.ccid = p.ccid AND a.fid = p.fid
+             AND a.vec_id <> p.probe_id),
+         it AS (SELECT probe_id, nbr_id FROM (
+           SELECT probe_id, nbr_id, row_number() OVER (
+             PARTITION BY probe_id ORDER BY score DESC, nbr_id) AS rank FROM cand)
+           WHERE rank <= 10)
+         SELECT probe_id, nbr_id FROM it ORDER BY probe_id, nbr_id""",
     // Batch interval join split by the click_id%5 on-time/late rule:
     // the streamed result must be the on-time restriction exactly.
     "q179_interval_join_eviction" ->

@@ -234,6 +234,13 @@ object SimilarityOps {
     * The gate certifies the MEASUREMENT — callers pick probeFraction per
     * corpus from the histogram this emits, exactly like [[ivfTopKFraction]].
     *
+    * SCALE PATH: do NOT raise probeFraction to buy recall — with cells ∝
+    * corpus, fraction-probing's candidate work is O(f·n²) once the
+    * fraction term beats minProbe. Seed at a small FIXED probe count and
+    * refine with [[nnDescent]] instead: recall then comes from O(n·k²)
+    * iterations (q177 measures one round lifting mean recall@10 from
+    * 367 to 673 milli at the same seed), never from widening the probe.
+    *
     * @return (probe_id, nbr_id, score, rank) edges, rank ≤ k per node */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame, centroidIdCol: String, k: Int = 10,
@@ -676,6 +683,102 @@ object SimilarityOps {
     fasn.select(col(idCol), col("ccid"), col("fid"))
       .join(losers.withColumn("__lost", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("ccid"), col("fid"), col("__lost").isNull.as("kept"))
+  }
+
+  /** TWO-LEVEL IVF ANN search — the search-side answer to the flat
+    * quantizer's scale wall (and the ANN sibling of
+    * [[semanticDedupTwoLevel]], sharing its exact assignment structure):
+    * a FLAT inverted file needs cells ∝ corpus to keep cell size
+    * constant, which makes assignment n·k dot products (the measured
+    * n²/40 regime that exempts the `% 40`-init gates from decade runs).
+    * Here a vector scores `k1` trained coarse centroids, then ONLY the
+    * `finePerCell` fine centroids of its own coarse cell —
+    * O(n·(k1 + finePerCell)) assignment with BOTH knobs constants, and
+    * every broadcast (k1 coarse rows, ≤ k1·finePerCell fine rows) is
+    * model-sized at any corpus size.
+    *
+    * Probes route the same way: top-`coarseProbe` coarse cells, then
+    * top-`fineProbe` fine cells within each probed coarse cell, and only
+    * the matching (ccid, fid) corpus rows are scored exactly — per-probe
+    * candidate work is coarseProbe·fineProbe·avgFineCell. With the
+    * corpus split over ~k1·finePerCell fine cells, re-tier the two knobs
+    * ~√cells as the corpus grows (the [[semanticDedupTwoLevel]] rule) to
+    * hold both assignment and candidate volume linear.
+    *
+    * Fine centroids are real member vectors (smallest `finePerCell` LCG
+    * priorities per coarse cell — [[graft.operators.TrainShuffle
+    * .lcgPrio]], engine-portable, tie-free); fine-level ranking (both
+    * corpus assignment and probe routing) quantizes the cosine to 6
+    * decimals with a fid tie-break, the [[contrastiveTriplets]]
+    * FP-noise rationale. Coarse ranking is raw-score with a cid
+    * tie-break ([[ivfTopK]]'s convention).
+    *
+    * @return (probe_id, nbr_id, score, rank) edges, rank ≤ k per probe
+    */
+  def ivfTopKTwoLevel(corpus: DataFrame, probes: DataFrame,
+                      idCol: String, probeIdCol: String, vecCol: String,
+                      coarseInit: DataFrame, coarseIdCol: String,
+                      finePerCell: Int, k: Int = 10,
+                      coarseProbe: Int = 2, fineProbe: Int = 2,
+                      coarseRounds: Int = 1, fineSeed: Long = 4242L): DataFrame = {
+    require(finePerCell > 0, s"finePerCell must be positive, got $finePerCell")
+    require(k >= 1 && coarseProbe >= 1 && fineProbe >= 1,
+      s"k/coarseProbe/fineProbe must be >= 1, got $k/$coarseProbe/$fineProbe")
+    val v = normalizedCorpus(corpus, idCol, vecCol)
+    val cent = trainedCentroids(v, idCol, vecCol, coarseInit, coarseIdCol, coarseRounds)
+      .select(col("cid"), col("__cv"), vnorm(col("__cv")).as("__cn"))
+      .where(col("__cn") > 0)
+      .localCheckpoint(false) // corpus assignment AND probe routing read it
+    // corpus → coarse cell (raw-score top-1, the assignCells shape)
+    val wC = Window.partitionBy(idCol).orderBy(col("__score").desc, col("cid").asc)
+    val casn = v.crossJoin(broadcast(cent))
+      .withColumn("__score", vdot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
+      .withColumn("__rn", row_number().over(wC)).where(col("__rn") === 1)
+      .select(col(idCol), col("__v"), col("__n"), col("cid").as("ccid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fine centroids: finePerCell members per coarse cell by LCG priority
+    // (WindowGroupLimit pre-reduces map-side — k1 groups, never a wall)
+    val wSel = Window.partitionBy("ccid").orderBy(col("__prio").asc)
+    val fine = casn
+      .withColumn("__prio", graft.operators.TrainShuffle.lcgPrio(col(idCol), fineSeed))
+      .withColumn("__rn", row_number().over(wSel)).where(col("__rn") <= finePerCell)
+      .select(col("ccid"), col(idCol).as("fid"), col("__v").as("__fv"), col("__n").as("__fn"))
+      .localCheckpoint(false) // corpus fine-assignment AND probe routing
+    // corpus → fine cell within its coarse cell (quantized, fid tie-break)
+    val wF = Window.partitionBy(idCol).orderBy(round(col("__fs"), 6).desc, col("fid").asc)
+    val fasn = casn.join(broadcast(fine), Seq("ccid"))
+      .withColumn("__fs", vdot(col("__v"), col("__fv")) / (col("__n") * col("__fn")))
+      .withColumn("__rn", row_number().over(wF)).where(col("__rn") === 1)
+      .select(col(idCol).as("nbr_id"), col("ccid"), col("fid"),
+        col("__v").as("__cv2"), col("__n").as("__cn2"))
+    // probe routing: top-coarseProbe coarse cells …
+    val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv0"),
+      vnorm(col(vecCol)).as("__pn0")).where(col("__pn0") > 0)
+    val wPC = Window.partitionBy("probe_id").orderBy(col("__cs").desc, col("cid").asc)
+    val pcc = p.crossJoin(broadcast(cent))
+      .withColumn("__cs", vdot(col("__pv0"), col("__cv")) / (col("__pn0") * col("__cn")))
+      .withColumn("__rn", row_number().over(wPC)).where(col("__rn") <= coarseProbe)
+      .select(col("probe_id"), col("__pv0"), col("__pn0"), col("cid").as("ccid"))
+    // … then top-fineProbe fine cells within each probed coarse cell
+    val wPF = Window.partitionBy("probe_id", "ccid")
+      .orderBy(round(col("__fs"), 6).desc, col("fid").asc)
+    val pf = pcc.join(broadcast(fine), Seq("ccid"))
+      .withColumn("__fs", vdot(col("__pv0"), col("__fv")) / (col("__pn0") * col("__fn")))
+      .withColumn("__rn", row_number().over(wPF)).where(col("__rn") <= fineProbe)
+      .select(col("probe_id"), col("__pv0").as("__pv"), col("__pn0").as("__pn"),
+        col("ccid"), col("fid"))
+    // exact scoring of the probed fine cells only; the probe-cell frame
+    // is probe-bounded, so the (bucketable) corpus side never shuffles
+    val cand0 = fasn.join(broadcast(pf), Seq("ccid", "fid"))
+    val scored = (if (idCol == probeIdCol)
+        cand0.where(col("nbr_id") =!= col("probe_id")) else cand0)
+      .select(col("probe_id"), col("nbr_id"),
+        (vdot(col("__cv2"), col("__pv")) / (col("__cn2") * col("__pn"))).as("score"))
+    val wTop = Window.partitionBy("probe_id").orderBy(col("score").desc, col("nbr_id").asc)
+    val res = scored.withColumn("rank", row_number().over(wTop)).where(col("rank") <= k)
+      .localCheckpoint(true) // probe-bounded; release the assignment cache
+    casn.unpersist(blocking = false)
+    res
   }
 
   /** Incremental [[semanticDedup]]: absorb a batch of NEW vectors against

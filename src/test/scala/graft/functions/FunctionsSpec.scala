@@ -857,6 +857,34 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(reindexed != rows(store))
   }
 
+  test("ivfTopKTwoLevel: full probing equals brute force; narrow probing stays well-formed") {
+    val rng = new scala.util.Random(53)
+    val corpus = (0L until 64L).map(i => (i, Array.fill(8)(rng.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val init = corpus.where($"vec_id" % 16 === 0) // 4 coarse cells
+    val probes = corpus.where($"vec_id" < 3)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing every coarse cell and every fine cell makes every corpus
+    // row a candidate — the result must be exactly brute force
+    val full = pairs(SimilarityOps.ivfTopKTwoLevel(corpus, probes,
+      "vec_id", "vec_id", "embedding", init, "vec_id",
+      finePerCell = 4, k = 5, coarseProbe = 4, fineProbe = 4))
+    val brute = pairs(SimilarityOps.bruteForceTopK(corpus, probes,
+      "vec_id", "vec_id", "embedding", k = 5))
+    assert(full == brute)
+    // narrow probing: a subset of the candidate space — nonempty, no
+    // self-matches, at most k per probe
+    val narrow = SimilarityOps.ivfTopKTwoLevel(corpus, probes,
+        "vec_id", "vec_id", "embedding", init, "vec_id",
+        finePerCell = 4, k = 5, coarseProbe = 1, fineProbe = 1)
+      .collect()
+    assert(narrow.nonEmpty)
+    assert(!narrow.exists(r => r.getAs[Long]("probe_id") == r.getAs[Long]("nbr_id")))
+    assert(narrow.groupBy(_.getAs[Long]("probe_id")).values.forall(_.length <= 5))
+  }
+
   test("kmeansAssign separates two obvious directional clusters") {
     // two tight cones around +x and +y; init one centroid in each
     val pts = Seq(
