@@ -2561,6 +2561,23 @@ object SparkEntry {
         .select(col("probe_id"), col("nbr_id"))
         .orderBy("probe_id", "nbr_id")
     }),
+    // ── extension: KMV DISTINCT-OVERLAP SKETCH — the mergeable
+    //    cardinality synopsis HLL can't give set ops from (Beyer et al.
+    //    SIGMOD 2007): per-source k-minimum hash60 values over word
+    //    3-gram shingles, then pairwise union/Jaccard/intersection
+    //    estimates from the sketches ALONE. One corpus distinct
+    //    aggregate + a groups²-sized broadcast cross — pairwise overlap
+    //    of every source pair at 100 TB without touching the corpus
+    //    twice. Complements q136 (HLL distinct counts) and q159 (exact
+    //    doc-level Jaccard).
+    "q182_kmv_overlap" -> ((s, dir) => {
+      graft.expr.GraftFunctions.register(s)
+      val sh = T(s, dir, "documents")
+        .select(col("source"), explode(DedupOps.shingles(col("text"), 3)).as("sh"))
+      val sk = graft.functions.SketchOps.kmvSketch(sh, "source", "sh", k = 16)
+      graft.functions.SketchOps.kmvPairStats(sk, k = 16)
+        .orderBy("source_a", "source_b")
+    }),
     // ── extension: WATERMARK EVICTION for the stream-stream interval
     //    join — the q170 twin with a SHORT watermark (60 s) and
     //    deliberately LATE-ARRIVING click files: on-time errors+clicks
@@ -5718,6 +5735,39 @@ object SparkEntry {
              PARTITION BY probe_id ORDER BY score DESC, nbr_id) AS rank FROM cand)
            WHERE rank <= 10)
          SELECT probe_id, nbr_id FROM it ORDER BY probe_id, nbr_id""",
+    // q159's shingle CTEs → distinct hash60 per source → bottom-16
+    // window → pairwise KMV merge with the ≤k exact rule.
+    "q182_kmv_overlap" ->
+      """WITH toks AS (
+           SELECT source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT source,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)])) AS s
+           FROM toks),
+         dh AS (SELECT DISTINCT source AS g, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS h FROM sh),
+         nd AS (SELECT g, CAST(count(*) AS BIGINT) AS nd FROM dh GROUP BY 1),
+         tk AS (SELECT g, h FROM (
+           SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM dh) WHERE rn <= 16),
+         sk AS (SELECT t.g, list(t.h ORDER BY t.h) AS ks, any_value(n.nd) AS nd
+                FROM tk t JOIN nd n ON n.g = t.g GROUP BY t.g),
+         pr AS (SELECT a.g AS source_a, b.g AS source_b, a.ks AS ka, b.ks AS kb,
+                       a.nd AS nda, b.nd AS ndb
+                FROM sk a JOIN sk b ON a.g < b.g),
+         m1 AS (SELECT *, list_sort(list_distinct(ka || kb)) AS m FROM pr),
+         m2 AS (SELECT *, least(len(m), 16) AS k_merged, m[1:16] AS mk FROM m1),
+         m3 AS (SELECT source_a, source_b,
+           CASE WHEN nda <= 16 THEN nda ELSE CAST(floor(15.0 * 1152921504606846976.0 / CAST(ka[16] AS DOUBLE)) AS BIGINT) END AS est_a,
+           CASE WHEN ndb <= 16 THEN ndb ELSE CAST(floor(15.0 * 1152921504606846976.0 / CAST(kb[16] AS DOUBLE)) AS BIGINT) END AS est_b,
+           CAST(k_merged AS BIGINT) AS k_merged,
+           CAST(len(list_filter(mk, x -> list_contains(ka, x) AND list_contains(kb, x))) AS BIGINT) AS sketch_overlap,
+           CASE WHEN nda <= 16 AND ndb <= 16 THEN CAST(len(m) AS BIGINT)
+                ELSE CAST(floor(15.0 * 1152921504606846976.0 / CAST(mk[16] AS DOUBLE)) AS BIGINT) END AS est_union
+           FROM m2)
+         SELECT source_a, source_b, est_a, est_b, k_merged, sketch_overlap, est_union,
+           (1000 * sketch_overlap) // k_merged AS jaccard_milli,
+           (sketch_overlap * est_union) // k_merged AS est_intersection
+         FROM m3 ORDER BY source_a, source_b""",
     // Batch interval join split by the click_id%5 on-time/late rule:
     // the streamed result must be the on-time restriction exactly.
     "q179_interval_join_eviction" ->

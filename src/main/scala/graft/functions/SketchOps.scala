@@ -169,6 +169,92 @@ object SketchOps {
     * @param a,b [[cmsBuild]] outputs with identical depth and width
     * @return one row: (est) — the estimated join cardinality
     */
+  /** KMV (k minimum values) distinct-value sketch per group — the
+    * MERGEABLE cardinality synopsis that, unlike HLL registers
+    * ([[hllRegisters]]), supports SET-OPERATION estimates: union,
+    * Jaccard, and intersection between any two groups from their k-value
+    * sketches alone (Beyer, Haas, Reinwald, Sismanis & Gemulla, SIGMOD
+    * 2007, "On synopses for distinct value estimation under multiset
+    * operations"; Bar-Yossef et al. 2002 for the original estimator).
+    *
+    * Keeps the k smallest DISTINCT [[DedupOps.hash60]] values per group.
+    * With hashes uniform on [0, 2^60), the kth smallest value h_(k)
+    * estimates the distinct count as (k−1)·2^60/h_(k) (the unbiased
+    * form); a group with ≤ k distinct values keeps them ALL, so the
+    * sketch degrades to the exact answer.
+    *
+    * 100 TB shape: one distinct-(group, hash) aggregate over the corpus,
+    * then a per-group bottom-k window that WindowGroupLimit pre-reduces
+    * map-side to ≤ k rows per group per partition — the output is
+    * (groups × k) rows no matter the corpus size, and sketches merge by
+    * re-taking the k smallest of a concatenation (exactly what
+    * [[kmvPairStats]] does pairwise).
+    *
+    * @return (g, ks sorted ascending ≤ k hashes, nd exact distinct count
+    *         — carried so estimators can apply the ≤ k exact rule) */
+  def kmvSketch(df: DataFrame, groupCol: String, keyCol: String,
+                k: Int = 16): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val dh = df.select(col(groupCol).as("g"),
+      DedupOps.hash60(col(keyCol)).as("__h")).distinct()
+      .localCheckpoint(false) // bottom-k window + exact count share it
+    val nd = dh.groupBy("g").agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy("g").orderBy(col("__h").asc)
+    dh.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .groupBy("g").agg(sort_array(collect_list(col("__h"))).as("ks"))
+      .join(nd, Seq("g"))
+  }
+
+  /** (k−1)·2^60/h_(k) when the sketch is truncated; exact `nd` when the
+    * group had ≤ k distinct values. The double product 15·2^60 (k=16) is
+    * exact and the single division + floor is engine-portable (one
+    * closed-form float op — the [[DedupOps]] float discipline). */
+  private def kmvEst(nd: Column, ks: Column, k: Int): Column =
+    when(nd <= k, nd).otherwise(
+      floor(lit((k - 1).toDouble * 1.152921504606846976e18) /
+        element_at(ks, k).cast("double")).cast("long"))
+
+  /** Pairwise set-operation estimates between every two groups of a
+    * [[kmvSketch]] frame (g_a < g_b). The merged sketch of a pair is the
+    * k smallest of the union of the two sketch value sets — identical to
+    * the sketch OF the union (the KMV merge theorem), so:
+    * est_union from the merged kth value (exact when BOTH groups were
+    * below k — then the merge holds the entire union); sketch_overlap =
+    * merged values present in both sketches, an unbiased Jaccard sample
+    * (jaccard_milli = ⌊1000·overlap/k_merged⌋); est_intersection =
+    * ⌊overlap·est_union/k_merged⌋ (J·|union|).
+    *
+    * The sketch frame is model-sized (groups × k longs), so the pair
+    * join is a broadcast cross of two tiny frames at any corpus size —
+    * estimating every pairwise source overlap of a 100 TB corpus costs
+    * one corpus aggregate + O(groups²·k) driver-free array work. */
+  def kmvPairStats(sketch: DataFrame, k: Int = 16): DataFrame = {
+    val a = sketch.select(col("g").as("source_a"), col("ks").as("__ka"),
+      col("nd").as("__nda"))
+    val b = sketch.select(col("g").as("source_b"), col("ks").as("__kb"),
+      col("nd").as("__ndb"))
+    a.crossJoin(broadcast(b)).where(col("source_a") < col("source_b"))
+      .withColumn("__m", array_sort(array_union(col("__ka"), col("__kb"))))
+      .withColumn("k_merged", least(size(col("__m")), lit(k)).cast("long"))
+      .withColumn("__mk", slice(col("__m"), 1, k))
+      .withColumn("est_a", kmvEst(col("__nda"), col("__ka"), k))
+      .withColumn("est_b", kmvEst(col("__ndb"), col("__kb"), k))
+      .withColumn("sketch_overlap",
+        size(array_intersect(array_intersect(col("__mk"), col("__ka")),
+          col("__kb"))).cast("long"))
+      .withColumn("est_union",
+        when(col("__nda") <= k && col("__ndb") <= k, size(col("__m")).cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble * 1.152921504606846976e18) /
+            element_at(col("__mk"), k).cast("double")).cast("long")))
+      .withColumn("jaccard_milli",
+        expr("(1000 * sketch_overlap) div k_merged"))
+      .withColumn("est_intersection",
+        expr("(sketch_overlap * est_union) div k_merged"))
+      .select("source_a", "source_b", "est_a", "est_b", "k_merged",
+        "sketch_overlap", "est_union", "jaccard_milli", "est_intersection")
+  }
+
   def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame = {
     val ip = a.select(col("j"), col("bucket"), col("c").as("ca"))
       .join(b.select(col("j"), col("bucket"), col("c").as("cb")), Seq("j", "bucket"))

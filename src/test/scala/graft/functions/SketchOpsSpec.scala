@@ -117,4 +117,42 @@ class SketchOpsSpec extends SparkSpec {
       .head().getAs[Long]("est")
     assert(est2 == once)
   }
+
+  test("kmv: exact below k, sane truncated estimates, overlap detects shared keys") {
+    // groups: a = {x0..x199}, b = {x100..x299} (true J = 1/3), c = 10 keys
+    val rows = (0 until 200).map(i => ("a", s"x$i")) ++
+      (100 until 300).map(i => ("b", s"x$i")) ++
+      (0 until 10).map(i => ("c", s"y$i"))
+    val df = rows.toDF("g", "k")
+    val sk = SketchOps.kmvSketch(df, "g", "k", k = 16)
+    val byG = sk.collect().map(r => r.getAs[String]("g") ->
+      ((r.getAs[scala.collection.Seq[Long]]("ks").toList, r.getAs[Long]("nd")))).toMap
+    // below-k group keeps ALL values; truncated groups keep exactly k sorted
+    assert(byG("c")._1.length == 10 && byG("c")._2 == 10)
+    assert(byG("a")._1.length == 16 && byG("a")._2 == 200)
+    assert(byG("a")._1 == byG("a")._1.sorted)
+    val stats = SketchOps.kmvPairStats(sk, k = 16).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r).toMap
+    assert(stats.size == 3)
+    val ab = stats(("a", "b"))
+    // truncated estimate within ~3 std errors (σ ≈ n/√(k−2) ≈ 53 for n=200)
+    assert(math.abs(ab.getAs[Long]("est_a") - 200L) <= 160,
+      s"est_a ${ab.getAs[Long]("est_a")}")
+    // 100 shared keys of 300 union: overlap must be visible, union ballpark
+    assert(ab.getAs[Long]("sketch_overlap") > 0)
+    assert(math.abs(ab.getAs[Long]("est_union") - 300L) <= 240)
+    // disjoint pair: zero overlap, exact small side
+    val ac = stats(("a", "c"))
+    assert(ac.getAs[Long]("sketch_overlap") == 0 &&
+      ac.getAs[Long]("jaccard_milli") == 0 &&
+      ac.getAs[Long]("est_intersection") == 0)
+    assert(ac.getAs[Long]("est_b") == 10)
+    assert(stats(("b", "c")).getAs[Long]("sketch_overlap") == 0)
+    // merge theorem fixed point: sketch of the union == merged sketches
+    val unionDf = rows.filter(r => r._1 != "c").map(r => ("u", r._2)).toDF("g", "k")
+    val uk = SketchOps.kmvSketch(unionDf, "g", "k", k = 16).collect()
+      .head.getAs[scala.collection.Seq[Long]]("ks").toList
+    val merged = (byG("a")._1 ++ byG("b")._1).distinct.sorted.take(16)
+    assert(uk == merged)
+  }
 }
