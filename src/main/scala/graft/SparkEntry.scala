@@ -2578,6 +2578,31 @@ object SparkEntry {
       graft.functions.SketchOps.kmvPairStats(sk, k = 16)
         .orderBy("source_a", "source_b")
     }),
+    // ── extension: LABEL PROPAGATION community detection (Raghavan et
+    //    al. 2007) made deterministic — synchronous rounds, neighbors
+    //    vote, count ties break to the SMALLEST label. Same chain+bridge
+    //    event graph as q121: q121 labels CONNECTED components (pure
+    //    reachability); LPA labels COMMUNITIES (dense neighborhoods)
+    //    with radius-r resolution after r rounds. O(m) per round; the
+    //    oracle replays all 4 rounds exactly.
+    "q183_label_propagation" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val chain = ev
+        .select(col("event_id"), lead("event_id", 1).over(wU).as("nid"))
+        .where(col("nid").isNotNull)
+        .select(col("event_id").as("src"), col("nid").as("dst"))
+      val umin = ev.groupBy("user_id").agg(min("event_id").as("me"))
+        .withColumn("cls", pmod(col("user_id"), lit(97)))
+      val wC = Window.partitionBy("cls").orderBy("user_id")
+      val bridge = umin
+        .select(col("cls"), col("me"), lead("me", 1).over(wC).as("nme"))
+        .where(col("nme").isNotNull)
+        .select(col("me").as("src"), col("nme").as("dst"))
+      graft.functions.GraphOps
+        .labelPropagation(chain.union(bridge), "src", "dst", rounds = 4)
+        .orderBy("id")
+    }),
     // ── extension: WATERMARK EVICTION for the stream-stream interval
     //    join — the q170 twin with a SHORT watermark (60 s) and
     //    deliberately LATE-ARRIVING click files: on-time errors+clicks
@@ -5768,6 +5793,44 @@ object SparkEntry {
            (1000 * sketch_overlap) // k_merged AS jaccard_milli,
            (sketch_overlap * est_union) // k_merged AS est_intersection
          FROM m3 ORDER BY source_a, source_b""",
+    // q121's chain+bridge edges, symmetrized, then 4 unrolled LPA
+    // rounds: count neighbor labels, argmax with smallest-label ties.
+    "q183_label_propagation" ->
+      """WITH chain AS (
+           SELECT event_id AS s,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+           FROM events),
+         umin AS (SELECT user_id, user_id % 97 AS cls, min(event_id) AS me
+                  FROM events GROUP BY 1, 2),
+         br AS (SELECT me AS s, lead(me) OVER (PARTITION BY cls ORDER BY user_id) AS d
+                FROM umin),
+         e0 AS (SELECT s, d FROM chain WHERE d IS NOT NULL AND s <> d
+                UNION ALL
+                SELECT s, d FROM br WHERE d IS NOT NULL AND s <> d),
+         e AS (SELECT DISTINCT s, d FROM (
+                 SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0)),
+         l0 AS (SELECT DISTINCT s AS id, s AS label FROM e),
+         c1 AS (SELECT e.s AS id, l.label, count(*) AS c
+                FROM e JOIN l0 l ON l.id = e.d GROUP BY 1, 2),
+         l1 AS (SELECT id, label FROM (
+                 SELECT id, label, row_number() OVER (
+                   PARTITION BY id ORDER BY c DESC, label) AS rn FROM c1) WHERE rn = 1),
+         c2 AS (SELECT e.s AS id, l.label, count(*) AS c
+                FROM e JOIN l1 l ON l.id = e.d GROUP BY 1, 2),
+         l2 AS (SELECT id, label FROM (
+                 SELECT id, label, row_number() OVER (
+                   PARTITION BY id ORDER BY c DESC, label) AS rn FROM c2) WHERE rn = 1),
+         c3 AS (SELECT e.s AS id, l.label, count(*) AS c
+                FROM e JOIN l2 l ON l.id = e.d GROUP BY 1, 2),
+         l3 AS (SELECT id, label FROM (
+                 SELECT id, label, row_number() OVER (
+                   PARTITION BY id ORDER BY c DESC, label) AS rn FROM c3) WHERE rn = 1),
+         c4 AS (SELECT e.s AS id, l.label, count(*) AS c
+                FROM e JOIN l3 l ON l.id = e.d GROUP BY 1, 2),
+         l4 AS (SELECT id, label FROM (
+                 SELECT id, label, row_number() OVER (
+                   PARTITION BY id ORDER BY c DESC, label) AS rn FROM c4) WHERE rn = 1)
+         SELECT id, label FROM l4 ORDER BY id""",
     // Batch interval join split by the click_id%5 on-time/late rule:
     // the streamed result must be the on-time restriction exactly.
     "q179_interval_join_eviction" ->

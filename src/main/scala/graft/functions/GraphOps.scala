@@ -748,6 +748,60 @@ object GraphOps {
     res
   }
 
+  /** Synchronous label propagation for community detection (Raghavan,
+    * Albert & Kumara 2007, "Near linear time algorithm to detect
+    * community structures in large-scale networks"), made DETERMINISTIC:
+    * every node starts labeled with its own id; each round every node
+    * simultaneously adopts the most frequent label among its NEIGHBORS
+    * (its own current label does not vote), breaking count ties toward
+    * the SMALLEST label — the random tie-break of the paper replaced by
+    * a total order so the result is engine-replayable. Fixed `rounds`
+    * rather than convergence detection: labels travel one hop per round,
+    * so r rounds resolve community structure up to radius r (and the
+    * fixed bound keeps the plan size static — the [[pageRank]] rationale).
+    *
+    * Scale shape: the per-round work is one edge⋈label join on the
+    * cached symmetric edge list (pre-partitioned on the join key, so
+    * each round exchanges only the node-sized label frame), one
+    * map-side-combinable (node, label) count, and one per-node argmax
+    * that WindowGroupLimit pre-reduces — O(m) per round, constant
+    * lineage via lazy per-round checkpoints (eager final, intermediates
+    * released).
+    *
+    * @return (id, label) for every node incident to an edge */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e0 = edges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("d")).where(col("s") =!= col("d"))
+    val e = e0.union(e0.select(col("d").as("s"), col("s").as("d"))).distinct()
+      .repartition(col("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("s").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // materialize both caches before the fan-out
+    val parts = math.max(1, (n / (1L << 16)).toInt)
+    val inter = scala.collection.mutable.Buffer.empty[DataFrame]
+    var lbl = nodes.select(col("id"), col("id").as("label"))
+      .coalesce(parts).localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      inter += lbl
+      val cnt = e.join(lbl, e("d") === lbl("id"))
+        .groupBy(e("s").as("nid"), col("label")).agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("nid").orderBy(col("__c").desc, col("label").asc)
+      lbl = cnt.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("nid").as("id"), col("label"))
+        .coalesce(parts).localCheckpoint(false)
+    }
+    val out = lbl.select("id", "label").localCheckpoint(true)
+    inter += lbl
+    inter.foreach(releaseLocalCheckpoint)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Release the block-manager blocks pinned by a `localCheckpoint`'d
     * frame: the checkpointed RDD sits in the plan's [[org.apache.spark
     * .sql.execution.LogicalRDD]] leaf (Dataset.unpersist only uncaches

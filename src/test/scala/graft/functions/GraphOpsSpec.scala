@@ -376,4 +376,26 @@ class GraphOpsSpec extends SparkSpec {
     // i.e. no immediate backtrack
     assert(dfs(2) != dfs(0))
   }
+
+  test("labelPropagation: bridged triangles converge to two communities; deterministic") {
+    // two triangles joined by one bridge edge 2–10
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L)).toDF("src", "dst")
+    val out = GraphOps.labelPropagation(edges, "src", "dst", rounds = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    // hand-simulated synchronous fixed point: left triangle all 0,
+    // right triangle all 2 (the bridge leaks label 2 across, which is
+    // fine — labels are identifiers, communities are the partition)
+    assert(Seq(0L, 1L, 2L).map(out) == Seq(0L, 0L, 0L))
+    assert(Seq(10L, 11L, 12L).map(out) == Seq(2L, 2L, 2L))
+    // one round moves labels exactly one hop: path 0–1–2
+    val path = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r1 = GraphOps.labelPropagation(path, "src", "dst", rounds = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(r1 == Map(0L -> 1L, 1L -> 0L, 2L -> 1L))
+    // partitioning-invariant
+    val out2 = GraphOps.labelPropagation(edges.repartition(7), "src", "dst", rounds = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(out2 == out)
+  }
 }
