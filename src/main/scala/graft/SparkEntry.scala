@@ -2603,6 +2603,94 @@ object SparkEntry {
         .labelPropagation(chain.union(bridge), "src", "dst", rounds = 4)
         .orderBy("id")
     }),
+    // ── extension: STREAMING EXACT-DEDUP EVICTION — the q15/q179 cross:
+    //    exactDedupStream (dropDuplicatesWithinWatermark) driven through
+    //    a 5-trigger file replay that certifies all three state phases:
+    //    (1) in-batch + cross-batch duplicates DROPPED while state is
+    //    live ('a' twice in trigger 1 → one survivor; 'b' in trigger 2
+    //    → zero), (2) advancer rows evict all state (trigger 3 jumps
+    //    the watermark past every key's ts + 60 s delay, trigger 4's
+    //    cleanup commits the eviction), (3) post-eviction re-arrivals
+    //    'c' are RE-EMITTED — the bounded-state contract:
+    //    dedup memory is the watermark horizon, not the corpus. Oracle
+    //    enumerates the exact expected emission set; n_diff pins the
+    //    streamed multiset against the engine-side expectation.
+    "q184_stream_dedup_eviction" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val base = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_q184_$uid")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      val users = ev.select(col("user_id")).distinct().localCheckpoint(true)
+      val bts = to_timestamp(lit("2020-01-01 00:00:00"))
+      def mk(idCol: Column, tag: String, t: Column): DataFrame = users
+        .select(idCol.as("user_id"), lit(tag).as("tag"), t.as("ts"))
+        .withColumn("txt", concat(lit("u"), col("user_id")))
+      val a = mk(col("user_id"), "a", bts)
+      val b = mk(col("user_id"), "b", bts + expr("INTERVAL 30 seconds"))
+      val bnew = mk(col("user_id") + 1000000L, "bnew",
+        bts + expr("INTERVAL 30 seconds"))
+      // advancers use keys OUTSIDE the user space (a colliding key would
+      // itself be deduped) and come as TWO triggers: the first jumps the
+      // watermark, the second's batch runs state cleanup under it —
+      // eviction is visible to lookups one batch after the jump
+      def adv1row(id: Long, tag: String, secs: Int): DataFrame = s.range(1)
+        .select(lit(id).as("user_id"), lit(tag).as("tag"),
+          (bts + expr(s"INTERVAL $secs seconds")).as("ts"))
+        .withColumn("txt", concat(lit("u"), col("user_id")))
+      val adv = adv1row(-1L, "adv", 10000)
+      val adv2 = adv1row(-2L, "adv2", 10010)
+      val c = mk(col("user_id"), "c", bts + expr("INTERVAL 20000 seconds"))
+      val inDir = new java.io.File(base, "in")
+      def writeArrival(df: DataFrame, t: Long): Unit = {
+        val before = Option(inDir.listFiles()).map(_.map(_.getName).toSet)
+          .getOrElse(Set.empty[String])
+        df.coalesce(1).write.mode("append").parquet(inDir.getAbsolutePath)
+        inDir.listFiles().filter(f => !before(f.getName) && f.getName.endsWith(".parquet"))
+          .foreach(f => f.setLastModified(t): Unit)
+      }
+      val t0 = 1600000000000L
+      try {
+        writeArrival(a.union(a), t0)            // exact in-batch duplicates
+        writeArrival(b.union(bnew), t0 + 4000)  // live-state dups + new keys
+        writeArrival(adv, t0 + 8000)            // watermark jump
+        writeArrival(adv2, t0 + 12000)          // cleanup batch: evicts
+        writeArrival(c, t0 + 16000)             // post-eviction re-arrivals
+        val in = s.readStream.schema(a.schema).option("maxFilesPerTrigger", "1")
+          .parquet(inDir.getAbsolutePath)
+        val deduped = graft.streaming.StreamingOps
+          .exactDedupStream(in, "txt", "ts", "60 seconds")
+        val sink = s"graft_q184_sink_$uid"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = deduped.select("user_id", "tag").writeStream
+            .outputMode("append").format("memory").queryName(sink).start()
+          try q.processAllAvailable() finally q.stop()
+          val streamed = s.table(sink).select("user_id", "tag")
+            .localCheckpoint(true)
+          // engine-side expectation: one 'a' per user, all 'bnew', the
+          // advancer, all 'c'; no 'b', no second 'a'
+          val expected = a.select("user_id", "tag")
+            .unionByName(bnew.select("user_id", "tag"))
+            .unionByName(adv.select("user_id", "tag"))
+            .unionByName(adv2.select("user_id", "tag"))
+            .unionByName(c.select("user_id", "tag"))
+          val diff = streamed.unionByName(expected)
+            .groupBy("user_id", "tag").agg(count(lit(1)).as("cnt"))
+            .where(col("cnt") =!= 2).agg(count(lit(1)).as("n_diff"))
+          streamed.crossJoin(broadcast(diff))
+            .orderBy("tag", "user_id")
+            .localCheckpoint(true)
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.catalog.dropTempView(s"graft_q184_sink_$uid"): Unit
+        }
+      } finally rm(base)
+    }),
     // ── extension: WATERMARK EVICTION for the stream-stream interval
     //    join — the q170 twin with a SHORT watermark (60 s) and
     //    deliberately LATE-ARRIVING click files: on-time errors+clicks
@@ -5831,6 +5919,19 @@ object SparkEntry {
                  SELECT id, label, row_number() OVER (
                    PARTITION BY id ORDER BY c DESC, label) AS rn FROM c4) WHERE rn = 1)
          SELECT id, label FROM l4 ORDER BY id""",
+    // The expected emission set by construction: one 'a' per user (the
+    // in-batch duplicate dropped), 'bnew' new keys, the advancer row,
+    // and the post-eviction 'c' re-arrivals; 'b' fully deduped.
+    "q184_stream_dedup_eviction" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         expected AS (
+           SELECT user_id, 'a' AS tag FROM u
+           UNION ALL SELECT user_id + 1000000, 'bnew' FROM u
+           UNION ALL SELECT -1, 'adv'
+           UNION ALL SELECT -2, 'adv2'
+           UNION ALL SELECT user_id, 'c' FROM u)
+         SELECT user_id, tag, CAST(0 AS BIGINT) AS n_diff
+         FROM expected ORDER BY tag, user_id""",
     // Batch interval join split by the click_id%5 on-time/late rule:
     // the streamed result must be the on-time restriction exactly.
     "q179_interval_join_eviction" ->

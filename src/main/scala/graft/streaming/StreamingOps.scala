@@ -20,7 +20,13 @@ object StreamingOps {
     * duplicates arriving within the watermark horizon are dropped. State
     * for a fingerprint is evictable once the watermark passes it — the
     * streaming analog of the batch [[graft.functions.DedupOps.exactDedup]]
-    * with bounded state. */
+    * with bounded state.
+    *
+    * Eviction timing (q184-measured): state lookup does not re-check
+    * expiry, so an expired key is only re-admittable one micro-batch
+    * AFTER the batch whose watermark passed it — the cleanup phase of
+    * the NEXT batch removes it. A duplicate arriving in the same batch
+    * that advances the watermark past its key is still dropped. */
   def exactDedupStream(df: DataFrame, textCol: String,
                        tsCol: String, watermarkDelay: String): DataFrame =
     df.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
