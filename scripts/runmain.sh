@@ -16,4 +16,4 @@ XMX="-Xmx${SPARK_DRIVER_MEM:-8g}"
 if [[ "${1:-}" == -Xmx* ]]; then XMX="$1"; shift; fi
 exec java $OPENS "$XMX" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "${GRAFT_CLASSES:-/tmp/graft_classes_frozen}:/opt/spark/jars/*" "$@"
+  -cp "${GRAFT_CLASSES:-target/scala-2.13/classes}:/opt/spark/jars/*" "$@"

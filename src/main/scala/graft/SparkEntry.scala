@@ -2691,6 +2691,26 @@ object SparkEntry {
         }
       } finally rm(base)
     }),
+    // ── extension: IVF-PQ / IVFADC (Jégou et al. 2011 §IV) — the
+    //    canonical billion-scale ANN index: fixed-64 trained coarse
+    //    quantizer (the q178/q180 convention) routes probes to 2 cells;
+    //    PQ (m=4×16 codewords) quantizes the RESIDUAL x − c(cell), and
+    //    each probed cell is scanned via its own query-residual ADC
+    //    table — codes-only scan, raw vectors untouched. All knobs
+    //    constants → decade-runnable end-to-end.
+    "q185_ivfpq_adc" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val init = emb.where(col("vec_id") < 64).select("vec_id", "embedding")
+      val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", init, "vec_id", updateRounds = 1)
+      val probes = emb.where(col("vec_id") < 5)
+      graft.functions.PqOps.ivfPqTopK(
+        emb.select("vec_id", "embedding"), probes, "vec_id", "vec_id",
+        "embedding", cent, "vec_id",
+        pqInitIds = emb.where(col("vec_id") < 16).select("vec_id"),
+        m = 4, dim = 64, k = 10, nProbe = 2)
+        .orderBy("probe_id", "rank")
+    }),
     // ── extension: WATERMARK EVICTION for the stream-stream interval
     //    join — the q170 twin with a SHORT watermark (60 s) and
     //    deliberately LATE-ARRIVING click files: on-time errors+clicks
@@ -5932,6 +5952,73 @@ object SparkEntry {
            UNION ALL SELECT user_id, 'c' FROM u)
          SELECT user_id, tag, CAST(0 AS BIGINT) AS n_diff
          FROM expected ORDER BY tag, user_id""",
+    // Coarse train (q178's fixed-64 CTEs) -> residuals -> q114's PQ
+    // CTEs over residuals (carrying the coarse cell) -> per-(probe,cell)
+    // query-residual ADC tables -> cell-restricted ordered-fold scan.
+    "q185_ivfpq_adc" ->
+      """WITH cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id < 64),
+         asn0 AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i])) / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1), i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent0 c) WHERE rn = 1),
+         ex AS (SELECT cid, unnest(embedding) AS x, unnest(range(1, len(embedding) + 1)) AS pos FROM asn0),
+         cent1 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cv FROM (
+             SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS mx FROM ex GROUP BY cid, pos) GROUP BY cid),
+         asn AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i])) / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1), i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c) WHERE rn = 1),
+         res AS (SELECT a.vec_id, a.cid AS ccid,
+                   list_transform(range(1, len(a.embedding) + 1),
+                     i -> CAST(a.embedding[i] AS DOUBLE) - c.cv[i]) AS r
+                 FROM asn a JOIN cent1 c ON c.cid = a.cid),
+         subs AS (SELECT unnest(range(0, 4)) AS sub),
+         rsv AS (SELECT res.vec_id, res.ccid, s.sub, res.r[(s.sub*16+1):(s.sub*16+16)] AS sv
+                 FROM res CROSS JOIN subs s),
+         rcb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM rsv WHERE vec_id < 16),
+         ra0 AS (SELECT vec_id, sub, cid, sv FROM (
+                   SELECT v.vec_id, v.sub, v.sv, c.cid,
+                     row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+                       list_sum(list_transform(range(1, 17), i -> v.sv[i] * c.cv[i]))
+                       - CAST(0.5 AS DOUBLE) * list_sum(list_transform(range(1, 17), i -> c.cv[i] * c.cv[i])) DESC,
+                       c.cid) AS rn
+                   FROM rsv v JOIN rcb0 c ON c.sub = v.sub) WHERE rn = 1),
+         rex AS (SELECT sub, cid, unnest(sv) AS x, unnest(range(1, 17)) AS pos FROM ra0),
+         rcb AS (SELECT sub, cid, list(mx ORDER BY pos) AS cv FROM
+                   (SELECT sub, cid, pos, avg(x) AS mx FROM rex GROUP BY 1, 2, 3) GROUP BY sub, cid),
+         renc AS (SELECT vec_id, ccid, sub, cid FROM (
+                    SELECT v.vec_id, v.ccid, v.sub, c.cid,
+                      row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+                        list_sum(list_transform(range(1, 17), i -> v.sv[i] * c.cv[i]))
+                        - CAST(0.5 AS DOUBLE) * list_sum(list_transform(range(1, 17), i -> c.cv[i] * c.cv[i])) DESC,
+                        c.cid) AS rn
+                    FROM rsv v JOIN rcb c ON c.sub = v.sub) WHERE rn = 1),
+         pc AS (SELECT vec_id AS probe_id, cid AS ccid, embedding AS pv FROM (
+                  SELECT e.vec_id, e.embedding, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i])) / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1), i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+                  FROM embeddings e, cent1 c WHERE e.vec_id < 5) WHERE rn <= 2),
+         pres AS (SELECT p.probe_id, p.ccid,
+                    list_transform(range(1, len(p.pv) + 1), i -> CAST(p.pv[i] AS DOUBLE) - c.cv[i]) AS qr
+                  FROM pc p JOIN cent1 c ON c.cid = p.ccid),
+         psv AS (SELECT probe_id, ccid, s.sub, qr[(s.sub*16+1):(s.sub*16+16)] AS sv
+                 FROM pres CROSS JOIN subs s),
+         dt AS (SELECT p.probe_id, p.ccid, p.sub, c.cid,
+                  list_sum(list_transform(range(1, 17), i -> p.sv[i] * p.sv[i]))
+                  - CAST(2 AS DOUBLE) * list_sum(list_transform(range(1, 17), i -> p.sv[i] * c.cv[i]))
+                  + list_sum(list_transform(range(1, 17), i -> c.cv[i] * c.cv[i])) AS d
+                FROM psv p JOIN rcb c ON c.sub = p.sub),
+         dj AS (SELECT t.probe_id, e.vec_id AS nbr_id,
+                  list_sum(list(t.d ORDER BY t.sub)) AS dist
+                FROM renc e JOIN dt t ON t.ccid = e.ccid AND t.sub = e.sub AND t.cid = e.cid
+                WHERE e.vec_id <> t.probe_id GROUP BY 1, 2),
+         r AS (SELECT probe_id, nbr_id, CAST(row_number() OVER (
+                 PARTITION BY probe_id ORDER BY dist ASC, nbr_id) AS INT) AS rank FROM dj)
+         SELECT probe_id, nbr_id, rank FROM r WHERE rank <= 10 ORDER BY probe_id, rank""",
     // Batch interval join split by the click_id%5 on-time/late rule:
     // the streamed result must be the on-time restriction exactly.
     "q179_interval_join_eviction" ->

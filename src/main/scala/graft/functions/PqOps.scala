@@ -216,4 +216,100 @@ object PqOps {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("probe_id"), col("nbr_id"), col("rank").cast("int").as("rank"))
   }
+
+  /** IVF-PQ (IVFADC — Jégou/Douze/Schmid 2011 §IV-A): the canonical
+    * billion-scale ANN index, composing the two memory tricks this
+    * library already certifies separately: an INVERTED FILE narrows the
+    * scan to `nProbe` coarse cells ([[SimilarityOps.ivfTopK]]'s routing),
+    * and PRODUCT QUANTIZATION of the RESIDUAL x − c(cell) replaces the
+    * vectors in those cells with m-nibble codes. Residuals, not raw
+    * vectors: after subtracting the coarse centroid the energy left per
+    * subspace is far smaller, so the same codebook budget quantizes much
+    * finer (the paper's central observation).
+    *
+    * Query path: route each probe to its `nProbe` best coarse cells
+    * (cosine, the IVF family convention), form the PER-CELL query
+    * residual q − c(cell), build that cell's m×k ADC table, and scan
+    * ONLY the matching cell's codes with the ordered m-lookup fold of
+    * [[pqTopK]]. Ties break to the smaller neighbor id everywhere.
+    *
+    * Scale shape: coarse centroids and codebooks are model-sized
+    * broadcasts; corpus assignment and encoding are map-only passes plus
+    * the per-id code-collect; the (probe, cell) ADC tables are
+    * probe-bounded and BROADCAST onto the code table's `ccid` equi-join,
+    * so the corpus-sized code side never shuffles — at 10^11 vectors the
+    * scan touches nProbe/k1 of the codes and none of the raw vectors.
+    * Follow with an exact rerank over the returned ids (the
+    * [[pqRerankTopK]] discipline) when serving results.
+    *
+    * @param centroids trained coarse centroids (centroidIdCol, vecCol:
+    *        Array[Double]) — [[SimilarityOps.kmeansCentroids]] output
+    * @param pqInitIds one id column (named `idCol`) selecting the corpus
+    *        rows whose RESIDUALS seed the per-subspace codebooks
+    * @return (probe_id, nbr_id, rank) with rank 1..k by ascending ADC
+    *         residual distance within the probed cells */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                probeIdCol: String, vecCol: String,
+                centroids: DataFrame, centroidIdCol: String,
+                pqInitIds: DataFrame, m: Int, dim: Int,
+                k: Int = 10, nProbe: Int = 2,
+                lloydRounds: Int = 1): DataFrame = {
+    require(nProbe >= 1 && k >= 1, s"k/nProbe must be >= 1, got $k/$nProbe")
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
+    val cent = centroids.select(col(centroidIdCol).as("__ccid"),
+        transform(col(vecCol), x => x.cast("double")).as("__ccv"))
+      .withColumn("__ccn", sqrt(vdot(col("__ccv"), col("__ccv"))))
+      .where(col("__ccn") > 0)
+    // cosine top-n cells (score desc, cid asc — the ivfTopK convention)
+    def topCells(df: DataFrame, dfIdCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy("__qid").orderBy(col("__score").desc, col("__ccid").asc)
+      df.select(col(dfIdCol).as("__qid"), col(vecCol).as("__qv"))
+        .withColumn("__qn", sqrt(vdot(col("__qv"), col("__qv"))))
+        .where(col("__qn") > 0)
+        .crossJoin(broadcast(cent))
+        .withColumn("__score", vdot(col("__qv"), col("__ccv")) / (col("__qn") * col("__ccn")))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") <= n)
+    }
+    // corpus → cell + residual; reused by codebook init, train, encode
+    val casn = topCells(corpus, idCol, 1)
+      .select(col("__qid").as(idCol), col("__ccid").as("ccid"),
+        zip_with(col("__qv"), col("__ccv"), (x, y) => x.cast("double") - y).as("__r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val init = casn.join(broadcast(pqInitIds.select(col(idCol))), Seq(idCol))
+    val cb = pqCodebook(casn, idCol, "__r", init, idCol, m, dim, lloydRounds)
+    // encode keeping the coarse cell alongside (assign passes it through)
+    val subv = subVectors(casn.select(col(idCol), col("ccid"), col("__r")), "__r", m, dim)
+    val codes = assign(subv, idCol, cb)
+      .groupBy(col(idCol), col("ccid"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("__sc"))
+      .select(col(idCol), col("ccid"),
+        transform(col("__sc"), p => p.getField("cid")).as("codes"))
+    // probes: per probed cell, the QUERY RESIDUAL's m×k ADC table
+    val pcells = topCells(probes, probeIdCol, nProbe)
+      .select(col("__qid").as("probe_id"), col("__ccid").as("ccid"),
+        zip_with(col("__qv"), col("__ccv"), (x, y) => x.cast("double") - y).as("__qr"))
+    val psub = subVectors(pcells, "__qr", m, dim)
+    val dt = psub.join(broadcast(cb), Seq("sub"))
+      .select(col("probe_id"), col("ccid"), col("sub"), col("cid"),
+        (vdot(col("sv"), col("sv")) - lit(2.0) * vdot(col("sv"), col("cv"))
+          + vdot(col("cv"), col("cv"))).as("d"))
+    val dts = dt.groupBy("probe_id", "ccid", "sub")
+      .agg(map_from_entries(array_sort(collect_list(struct(col("cid"), col("d"))))).as("__m"))
+      .groupBy("probe_id", "ccid")
+      .agg(map_from_entries(collect_list(struct(col("sub"), col("__m")))).as("__mm"))
+      .select(col("probe_id"), col("ccid"),
+        transform(sequence(lit(0), lit(m - 1)), s => element_at(col("__mm"), s)).as("dts"))
+    // probed cells only: broadcast equi-join on ccid — codes never shuffle
+    val cand = codes.join(broadcast(dts), Seq("ccid"))
+      .where(col(idCol) =!= col("probe_id"))
+      .withColumn("dist", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc + element_at(element_at(col("dts"), s + 1),
+          element_at(col("codes"), s + 1))))
+    val w = Window.partitionBy("probe_id").orderBy(col("dist").asc, col(idCol).asc)
+    val res = cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("nbr_id"), col("rank").cast("int").as("rank"))
+      .localCheckpoint(true) // probe-bounded; release the residual cache
+    casn.unpersist(blocking = false)
+    res
+  }
 }

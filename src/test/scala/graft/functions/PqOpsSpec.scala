@@ -103,4 +103,41 @@ class PqOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(rs == exact)
   }
+
+  test("ivfPqTopK: perfect codebook + full probing recovers exact L2 top-k") {
+    // integer coords, untrained quantizer (updateRounds/lloydRounds = 0),
+    // codebook seeded with EVERY residual: each residual encodes to
+    // itself, so ADC(q, x) within a probed cell is exactly |q - x|^2 —
+    // with all cells probed the index must reproduce exact L2 search
+    val rng = new scala.util.Random(7)
+    val data = (0L until 24L).map(i =>
+      (i, Array.fill(4)((rng.nextInt(11) - 5).toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+      .where(expr("aggregate(embedding, 0D, (a, x) -> a + x * x) > 0"))
+    val kept = df.collect().map(r =>
+      r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).map(_.toLong).toArray).toMap
+    val cent = SimilarityOps.kmeansCentroids(df, "vec_id", "embedding",
+      df.where($"vec_id" < 4), "vec_id", updateRounds = 0)
+    val probes = df.where($"vec_id" < 3)
+    val got = PqOps.ivfPqTopK(df, probes, "vec_id", "vec_id", "embedding",
+      cent, "vec_id", pqInitIds = df.select("vec_id"),
+      m = 2, dim = 4, k = 5, nProbe = 4, lloydRounds = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = (for {
+      (p, pv) <- kept.toSeq if p < 3
+      ranked = kept.toSeq.filter(_._1 != p)
+        .map { case (id, xv) =>
+          (id, pv.zip(xv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (id, d) => (d, id) }.take(5)
+      ((id, _), i) <- ranked.zipWithIndex
+    } yield (p, id, i + 1)).toSet
+    assert(got == expected)
+    // narrow probing: well-formed subset, no self-matches, <= k per probe
+    val narrow = PqOps.ivfPqTopK(df, probes, "vec_id", "vec_id", "embedding",
+      cent, "vec_id", pqInitIds = df.where($"vec_id" < 8).select("vec_id"),
+      m = 2, dim = 4, k = 5, nProbe = 1, lloydRounds = 1).collect()
+    assert(narrow.nonEmpty)
+    assert(!narrow.exists(r => r.getLong(0) == r.getLong(1)))
+    assert(narrow.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+  }
 }
