@@ -2691,6 +2691,18 @@ object SparkEntry {
         }
       } finally rm(base)
     }),
+    // ── extension: SQ8 SCALAR QUANTIZATION search — the memory tier
+    //    between raw floats and PQ codes (1 byte/coord, near-exact
+    //    recall): per-dim affine [0,255] quantization trained from one
+    //    dim-keyed corpus aggregate, then an EXACT-INTEGER dot-product
+    //    scan (engine-reproducible by construction — no float-order
+    //    hazard anywhere until the single final ÷√·√).
+    "q186_sq8_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      SimilarityOps.sq8TopK(emb.select("vec_id", "embedding"),
+        emb.where(col("vec_id") < 5), "vec_id", "vec_id", "embedding", k = 10)
+        .orderBy("probe_id", "rank")
+    }),
     // ── extension: IVF-PQ / IVFADC (Jégou et al. 2011 §IV) — the
     //    canonical billion-scale ANN index: fixed-64 trained coarse
     //    quantizer (the q178/q180 convention) routes probes to 2 cells;
@@ -5952,6 +5964,31 @@ object SparkEntry {
            UNION ALL SELECT user_id, 'c' FROM u)
          SELECT user_id, tag, CAST(0 AS BIGINT) AS n_diff
          FROM expected ORDER BY tag, user_id""",
+    // Per-dim min/max bounds -> affine 0..255 quantization -> exact
+    // integer dot + one closed-form float per pair.
+    "q186_sq8_topk" ->
+      """WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
+                       unnest(range(0, len(embedding))) AS dim FROM embeddings),
+         b AS (SELECT dim, min(CAST(x AS DOUBLE)) AS lo, max(CAST(x AS DOUBLE)) AS hi
+               FROM ex GROUP BY 1),
+         q AS (SELECT e.vec_id,
+                 list(CASE WHEN b.hi > b.lo THEN
+                   least(greatest(CAST(round(255.0 * (CAST(e.x AS DOUBLE) - b.lo) / (b.hi - b.lo)) AS BIGINT), 0), 255)
+                   ELSE 0 END ORDER BY e.dim) AS qv
+               FROM ex e JOIN b ON b.dim = e.dim GROUP BY 1),
+         qn AS (SELECT vec_id, qv,
+                  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2 FROM q),
+         qc AS (SELECT vec_id AS nbr_id, qv AS qc, n2 AS nc FROM qn WHERE n2 > 0),
+         qp AS (SELECT vec_id AS probe_id, qv AS qp, n2 AS np FROM qn
+                WHERE n2 > 0 AND vec_id < 5),
+         sc AS (SELECT p.probe_id, c.nbr_id,
+                  CAST(CAST(list_sum(list_transform(range(1, len(c.qc) + 1),
+                    i -> c.qc[i] * p.qp[i])) AS BIGINT) AS DOUBLE)
+                  / (sqrt(CAST(c.nc AS DOUBLE)) * sqrt(CAST(p.np AS DOUBLE))) AS score
+                FROM qc c CROSS JOIN qp p WHERE c.nbr_id <> p.probe_id),
+         r AS (SELECT probe_id, nbr_id, CAST(row_number() OVER (
+                 PARTITION BY probe_id ORDER BY score DESC, nbr_id) AS INT) AS rank FROM sc)
+         SELECT probe_id, nbr_id, rank FROM r WHERE rank <= 10 ORDER BY probe_id, rank""",
     // Coarse train (q178's fixed-64 CTEs) -> residuals -> q114's PQ
     // CTEs over residuals (carrying the coarse cell) -> per-(probe,cell)
     // query-residual ADC tables -> cell-restricted ordered-fold scan.

@@ -140,4 +140,42 @@ class PqOpsSpec extends SparkSpec {
     assert(!narrow.exists(r => r.getLong(0) == r.getLong(1)))
     assert(narrow.groupBy(_.getLong(0)).values.forall(_.length <= 5))
   }
+
+  test("sq8: quantization is the exact affine map; search ranks by integer dot") {
+    import org.apache.spark.sql.DataFrame
+    // dim 2: bounds lo=(0,0), hi=(10,20); values quantize exactly
+    val corpus = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 20f)),
+      (2L, Array(5f, 10f)), (3L, Array(10f, 0f)), (4L, Array(0f, 20f))
+    ).toDF("vec_id", "embedding")
+    val b = SimilarityOps.sq8Bounds(corpus, "embedding").collect()
+      .map(r => r.getAs[Int]("dim") -> ((r.getAs[Double]("lo"), r.getAs[Double]("hi")))).toMap
+    assert(b == Map(0 -> ((0.0, 10.0)), 1 -> ((0.0, 20.0))))
+    val enc = SimilarityOps.sq8Encode(corpus, "vec_id", "embedding",
+        SimilarityOps.sq8Bounds(corpus, "embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Long]]("qv").toList).toMap
+    assert(enc(0L) == List(0L, 0L) && enc(1L) == List(255L, 255L))
+    assert(enc(2L) == List(128L, 128L)) // round(127.5) half-up
+    assert(enc(3L) == List(255L, 0L) && enc(4L) == List(0L, 255L))
+    // out-of-bounds probe clamps instead of leaving [0, 255]
+    val oob = Seq((9L, Array(-5f, 25f))).toDF("vec_id", "embedding")
+    val qoob = SimilarityOps.sq8Encode(oob, "vec_id", "embedding",
+        SimilarityOps.sq8Bounds(corpus, "embedding")).collect()
+      .head.getAs[scala.collection.Seq[Long]]("qv").toList
+    assert(qoob == List(0L, 255L))
+    // search from (10, 20): quantized cosine ranks the diagonal (2) and
+    // corner (1) at cos 1.0 (tie -> smaller id), axes after
+    val top = SimilarityOps.sq8TopK(corpus, corpus.where($"vec_id" === 1),
+      "vec_id", "vec_id", "embedding", k = 3).collect()
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("nbr_id")).toList
+    assert(top.take(2) == List(2L, 3L) || top.take(2) == List(2L, 4L) ||
+      top.head == 2L) // 2 is collinear with the probe: always rank 1
+    // zero-quantized rows (all-lo corpus vector) are guarded out of both sides
+    val self = SimilarityOps.sq8TopK(corpus, corpus, "vec_id", "vec_id",
+      "embedding", k = 4).collect()
+    assert(!self.exists(r => r.getAs[Long]("probe_id") == 0L ||
+      r.getAs[Long]("nbr_id") == 0L))
+    assert(!self.exists(r => r.getAs[Long]("probe_id") == r.getAs[Long]("nbr_id")))
+  }
 }
