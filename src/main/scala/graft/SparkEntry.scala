@@ -2603,6 +2603,47 @@ object SparkEntry {
         .labelPropagation(chain.union(bridge), "src", "dst", rounds = 4)
         .orderBy("id")
     }),
+    // ── extension: CUSUM changepoint detection (Page 1954) — the
+    //    sequential mean-shift detector anomalyZ (q137) can't express:
+    //    the order-dependent recurrence S_t = max(0, S_{t−1} + drift)
+    //    computed closed-form as P_t − min(0, running-min P), scaled by
+    //    the key's bucket count so every value stays integer-exact.
+    "q189_cusum" -> ((s, dir) => {
+      graft.functions.EventOps.cusum(T(s, dir, "events"), "event_type", "ts",
+        slack = 1L, threshold = 20L)
+        .orderBy("event_type", "hidx")
+    }),
+    // ── extension: MODULARITY scoring (Newman–Girvan 2004) — the
+    //    community-quality measure, integer-exact via Q·4m² =
+    //    Σ_c(4m·e_c − d_c²): per-community rows + the graph total, only
+    //    the final 10⁶ scaling touches floats. Scored here on the q121
+    //    component labeling (97 planted clusters → Q ≈ 0.988; a q183
+    //    radius-4 LPA labeling on the same chains scores ≈ −0.0001,
+    //    which is the honest number for an unconverged labeling — the
+    //    spec pins both regimes on a fixture). Edge work is two label
+    //    joins; everything after is community-sized.
+    "q188_modularity" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val chain = ev
+        .select(col("event_id"), lead("event_id", 1).over(wU).as("nid"))
+        .where(col("nid").isNotNull)
+        .select(col("event_id").as("src"), col("nid").as("dst"))
+      val umin = ev.groupBy("user_id").agg(min("event_id").as("me"))
+        .withColumn("cls", pmod(col("user_id"), lit(97)))
+      val wC = Window.partitionBy("cls").orderBy("user_id")
+      val bridge = umin
+        .select(col("cls"), col("me"), lead("me", 1).over(wC).as("nme"))
+        .where(col("nme").isNotNull)
+        .select(col("me").as("src"), col("nme").as("dst"))
+      val edges = chain.union(bridge)
+      val labels = graft.functions.GraphOps
+        .connectedComponents(edges, "src", "dst")
+        .select(col("id"), col("component").as("label"))
+      graft.functions.GraphOps
+        .modularity(edges, "src", "dst", labels, "id", "label")
+        .orderBy("label")
+    }),
     // ── extension: STREAMING EXACT-DEDUP EVICTION — the q15/q179 cross:
     //    exactDedupStream (dropDuplicatesWithinWatermark) driven through
     //    a 5-trigger file replay that certifies all three state phases:
@@ -2690,6 +2731,30 @@ object SparkEntry {
           s.catalog.dropTempView(s"graft_q184_sink_$uid"): Unit
         }
       } finally rm(base)
+    }),
+    // ── extension: STREAMING KMV ABSORB — the sketch-store leg of the
+    //    q182 overlap sketch: three document increments land via
+    //    StreamingOps.kmvAbsorbBatch (the foreachBatch body
+    //    kmvAbsorbStream runs per micro-batch — batch-sized sketch,
+    //    bottom-k merge, groups-sized Overwrite), then pairwise overlap
+    //    estimates read the warehouse store. By the KMV merge theorem
+    //    the absorbed store ≡ the one-shot corpus sketch EXACTLY, so
+    //    the oracle is q182's verbatim: ingestion order is invisible.
+    "q187_kmv_stream_absorb" -> ((s, dir) => {
+      import graft.sources.TableStore
+      graft.expr.GraftFunctions.register(s)
+      val sh = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(DedupOps.shingles(col("text"), 3)).as("sh"))
+      val tbl = "graft_q187_kmv_store"
+      TableStore.dropTable(s, tbl)
+      Seq(0L, 1L, 2L).foreach { b =>
+        graft.streaming.StreamingOps.kmvAbsorbBatch(
+          sh.where(pmod(col("doc_id"), lit(3)) === b).select("source", "sh"),
+          "source", "sh", tbl, k = 16): Unit
+      }
+      graft.functions.SketchOps.kmvPairStats(s.table(tbl), k = 16)
+        .orderBy("source_a", "source_b")
     }),
     // ── extension: SQ8 SCALAR QUANTIZATION search — the memory tier
     //    between raw floats and PQ codes (1 byte/coord, near-exact
@@ -5951,6 +6016,69 @@ object SparkEntry {
                  SELECT id, label, row_number() OVER (
                    PARTITION BY id ORDER BY c DESC, label) AS rn FROM c4) WHERE rn = 1)
          SELECT id, label FROM l4 ORDER BY id""",
+    // Hourly counts -> n-scaled drifts -> running sum minus its
+    // running min (the closed-form CUSUM identity).
+    "q189_cusum" ->
+      """WITH h AS (
+           SELECT event_type, epoch_ns(ts) // 3600000000000 AS hidx,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, hidx, cnt,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_buckets,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+           FROM h),
+         y AS (SELECT *, n_buckets * cnt - tot - 1 * n_buckets AS yv FROM w),
+         p AS (SELECT *, CAST(sum(yv) OVER rw AS BIGINT) AS pv FROM y
+           WINDOW rw AS (PARTITION BY event_type ORDER BY hidx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         c AS (SELECT *, pv - least(0, CAST(min(pv) OVER rw AS BIGINT)) AS cusum_scaled
+           FROM p
+           WINDOW rw AS (PARTITION BY event_type ORDER BY hidx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_type, hidx, cnt, n_buckets, cusum_scaled,
+           cusum_scaled > 20 * n_buckets AS alarm
+         FROM c ORDER BY event_type, hidx""",
+    // q183's edge CTEs + q121's analytic component labels + the
+    // integer modularity identity Q*4m^2 = sum(4m*e_c - d_c^2).
+    "q188_modularity" ->
+      """WITH chain AS (
+           SELECT event_id AS s,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+           FROM events),
+         stats AS (SELECT user_id, user_id % 97 AS cls, count(*) AS n_ev,
+                     min(event_id) AS me
+                   FROM events GROUP BY 1, 2),
+         br AS (SELECT me AS s, lead(me) OVER (PARTITION BY cls ORDER BY user_id) AS d
+                FROM stats),
+         e0 AS (SELECT s, d FROM chain WHERE d IS NOT NULL AND s <> d
+                UNION ALL
+                SELECT s, d FROM br WHERE d IS NOT NULL AND s <> d),
+         und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM e0),
+         cstats AS (SELECT cls, count(*) AS n_users, min(me) AS cmin
+                    FROM stats GROUP BY 1),
+         lbl AS (SELECT e.event_id AS id, c.cmin AS label
+                 FROM events e
+                 JOIN stats s ON s.user_id = e.user_id
+                 JOIN cstats c ON c.cls = s.cls),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+         dg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+                  SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+         degc AS (SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+                    CAST(sum(d.deg) AS BIGINT) AS deg_sum
+                  FROM dg d JOIN lbl l ON l.id = d.id GROUP BY 1),
+         intr AS (SELECT la.label, CAST(count(*) AS BIGINT) AS intra_edges
+                  FROM und e JOIN lbl la ON la.id = e.u JOIN lbl lb ON lb.id = e.v
+                  WHERE la.label = lb.label GROUP BY 1),
+         per AS (SELECT d.label, d.n_nodes, d.deg_sum,
+                   coalesce(i.intra_edges, 0) AS intra_edges
+                 FROM degc d LEFT JOIN intr i ON i.label = d.label),
+         tot AS (SELECT (SELECT m FROM mm) AS m,
+                   CAST(sum(4 * (SELECT m FROM mm) * intra_edges
+                     - deg_sum * deg_sum) AS BIGINT) AS q_num FROM per)
+         SELECT p.label, p.n_nodes, p.deg_sum, p.intra_edges, t.m, t.q_num,
+           CAST(floor(1e6 * CAST(t.q_num AS DOUBLE)
+             / (4.0 * CAST(t.m AS DOUBLE) * CAST(t.m AS DOUBLE))) AS BIGINT) AS q_micro
+         FROM per p CROSS JOIN tot t ORDER BY p.label""",
     // The expected emission set by construction: one 'a' per user (the
     // in-batch duplicate dropped), 'bnew' new keys, the advancer row,
     // and the post-eviction 'c' re-arrivals; 'b' fully deduped.
@@ -5964,6 +6092,39 @@ object SparkEntry {
            UNION ALL SELECT user_id, 'c' FROM u)
          SELECT user_id, tag, CAST(0 AS BIGINT) AS n_diff
          FROM expected ORDER BY tag, user_id""",
+    // q182's oracle verbatim: the absorbed store must equal the
+    // one-shot corpus sketch (KMV merge theorem).
+    "q187_kmv_stream_absorb" ->
+      """WITH toks AS (
+           SELECT source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT source,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)])) AS s
+           FROM toks),
+         dh AS (SELECT DISTINCT source AS g, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS h FROM sh),
+         nd AS (SELECT g, CAST(count(*) AS BIGINT) AS nd FROM dh GROUP BY 1),
+         tk AS (SELECT g, h FROM (
+           SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM dh) WHERE rn <= 16),
+         sk AS (SELECT t.g, list(t.h ORDER BY t.h) AS ks, any_value(n.nd) AS nd
+                FROM tk t JOIN nd n ON n.g = t.g GROUP BY t.g),
+         pr AS (SELECT a.g AS source_a, b.g AS source_b, a.ks AS ka, b.ks AS kb,
+                       a.nd AS nda, b.nd AS ndb
+                FROM sk a JOIN sk b ON a.g < b.g),
+         m1 AS (SELECT *, list_sort(list_distinct(ka || kb)) AS m FROM pr),
+         m2 AS (SELECT *, least(len(m), 16) AS k_merged, m[1:16] AS mk FROM m1),
+         m3 AS (SELECT source_a, source_b,
+           CASE WHEN nda <= 16 THEN nda ELSE CAST(floor(15.0 * 1152921504606846976.0 / CAST(ka[16] AS DOUBLE)) AS BIGINT) END AS est_a,
+           CASE WHEN ndb <= 16 THEN ndb ELSE CAST(floor(15.0 * 1152921504606846976.0 / CAST(kb[16] AS DOUBLE)) AS BIGINT) END AS est_b,
+           CAST(k_merged AS BIGINT) AS k_merged,
+           CAST(len(list_filter(mk, x -> list_contains(ka, x) AND list_contains(kb, x))) AS BIGINT) AS sketch_overlap,
+           CASE WHEN nda <= 16 AND ndb <= 16 THEN CAST(len(m) AS BIGINT)
+                ELSE CAST(floor(15.0 * 1152921504606846976.0 / CAST(mk[16] AS DOUBLE)) AS BIGINT) END AS est_union
+           FROM m2)
+         SELECT source_a, source_b, est_a, est_b, k_merged, sketch_overlap, est_union,
+           (1000 * sketch_overlap) // k_merged AS jaccard_milli,
+           (sketch_overlap * est_union) // k_merged AS est_intersection
+         FROM m3 ORDER BY source_a, source_b""",
     // Per-dim min/max bounds -> affine 0..255 quantization -> exact
     // integer dot + one closed-form float per pair.
     "q186_sq8_topk" ->

@@ -146,4 +146,51 @@ object EventOps {
             .cast("long")))
       .select(typeCol, "hidx", "cnt", "z_milli")
   }
+
+  /** One-sided upper CUSUM changepoint detection (Page 1954) over hourly
+    * per-key event counts — the sequential mean-shift detector that
+    * catches a sustained drift the pointwise [[anomalyZ]] z-score can't:
+    * S_t = max(0, S_{t−1} + (x_t − μ − κ)), alarm when S_t > h.
+    *
+    * The order-dependent recurrence is computed CLOSED-FORM with two
+    * windows via S_t = P_t − min(0, min_{j≤t} P_j) where P is the
+    * running sum of the drifts — no iteration, no state. Everything is
+    * INTEGER-EXACT: with n = the key's bucket count and T = its total,
+    * the recurrence is scaled by n (drift n·x_t − T − κ·n), so μ = T/n
+    * never becomes a float; `cusum_scaled` = n·S_t and the alarm test
+    * S_t > h becomes cusum_scaled > h·n. Buckets with zero events
+    * contribute no row (the detector sees the OBSERVED bucket sequence;
+    * a gap is not evidence of a shift in either direction).
+    *
+    * Scale shape: one (key, hour) count aggregate, then three
+    * key-partitioned windows over the bucket-sized frame — at 100 TB
+    * the window side is keys × hours, not events.
+    *
+    * @param slack κ in counts/bucket (suppresses noise drift)
+    * @param threshold h in CUSUM units (alarm level)
+    * @return (typeCol, hidx, cnt, n_buckets, cusum_scaled, alarm) */
+  def cusum(events: DataFrame, typeCol: String, tsCol: String,
+            slack: Long = 0L, threshold: Long = 10L): DataFrame = {
+    require(slack >= 0 && threshold > 0,
+      s"slack must be >= 0 and threshold > 0, got $slack/$threshold")
+    val hidx = call_function("div", graft.Tables.epochNs(col(tsCol)),
+      lit(3600L * 1000 * 1000 * 1000))
+    val hourly = events
+      .groupBy(col(typeCol), hidx.as("hidx"))
+      .agg(count(lit(1)).as("cnt"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(typeCol)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(typeCol).orderBy(col("hidx"))
+      .rowsBetween(Long.MinValue, 0L)
+    hourly
+      .withColumn("n_buckets", count(lit(1)).over(wAll))
+      .withColumn("__tot", sum("cnt").over(wAll))
+      .withColumn("__y",
+        col("n_buckets") * col("cnt") - col("__tot") - lit(slack) * col("n_buckets"))
+      .withColumn("__p", sum("__y").over(wRun))
+      .withColumn("cusum_scaled",
+        col("__p") - least(lit(0L), min("__p").over(wRun)))
+      .withColumn("alarm", col("cusum_scaled") > lit(threshold) * col("n_buckets"))
+      .select(typeCol, "hidx", "cnt", "n_buckets", "cusum_scaled", "alarm")
+  }
 }

@@ -802,6 +802,57 @@ object GraphOps {
     out
   }
 
+  /** Newman–Girvan MODULARITY of a node labeling (Newman & Girvan 2004;
+    * Newman 2006 eq. 18) — the standard community-quality score, scoring
+    * e.g. [[labelPropagation]]'s output: Q = Σ_c [e_c/m − (d_c/2m)²]
+    * over communities c, with m = undirected edge count, e_c =
+    * intra-community edges, d_c = degree sum. Kept INTEGER-EXACT via
+    * Q·4m² = Σ_c (4m·e_c − d_c²): every sum is a BIGINT (safe to ~5·10⁹
+    * edges), and the only float op is the final 10⁶-scaling division —
+    * engine-reproducible by construction.
+    *
+    * Scale shape: edge canonicalization + two label joins on the
+    * edge-sized relation, then everything is community-sized. Returns
+    * one row per community plus the graph-level totals on every row
+    * (broadcast): (label, n_nodes, deg_sum, intra_edges, m, q_num,
+    * q_micro) where q_micro = ⌊10⁶·q_num/4m²⌋. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    // canonical undirected edge set (u < v, distinct, no self-loops)
+    val e = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d")).where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lab = labels.select(col(idCol).cast("long").as("__id"),
+      col(labelCol).as("__lbl"))
+    val el = e
+      .join(lab.select(col("__id").as("u"), col("__lbl").as("__lu")), Seq("u"))
+      .join(lab.select(col("__id").as("v"), col("__lbl").as("__lv")), Seq("v"))
+    val intra = el.where(col("__lu") === col("__lv"))
+      .groupBy(col("__lu").as("label")).agg(count(lit(1)).as("intra_edges"))
+    val deg = e.select(col("u").as("__id")).union(e.select(col("v").as("__id")))
+      .groupBy("__id").agg(count(lit(1)).as("__deg"))
+      .join(lab, Seq("__id"))
+      .groupBy(col("__lbl").as("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum("__deg").as("deg_sum"))
+    val per = deg.join(intra, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"), col("deg_sum"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"))
+    val mAgg = e.agg(count(lit(1)).as("m"))
+    val tot = per.crossJoin(broadcast(mAgg))
+      .agg(first(col("m")).as("m"),
+        sum(lit(4L) * col("m") * col("intra_edges")
+          - col("deg_sum") * col("deg_sum")).as("q_num"))
+      .select(col("m"), col("q_num"),
+        floor(lit(1e6) * col("q_num").cast("double")
+          / (lit(4.0) * col("m").cast("double") * col("m").cast("double")))
+          .cast("long").as("q_micro"))
+    val out = per.crossJoin(broadcast(tot)).localCheckpoint(true)
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** Release the block-manager blocks pinned by a `localCheckpoint`'d
     * frame: the checkpointed RDD sits in the plan's [[org.apache.spark
     * .sql.execution.LogicalRDD]] leaf (Dataset.unpersist only uncaches

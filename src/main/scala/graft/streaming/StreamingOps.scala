@@ -242,6 +242,72 @@ object StreamingOps {
     vecs.writeStream.outputMode("append").foreachBatch(body).start()
   }
 
+  /** ONE batch of KMV sketch-store maintenance — the mergeability of
+    * [[graft.functions.SketchOps.kmvSketch]] made operational: sketch
+    * the batch, then per group keep the k smallest of (store ∪ batch)
+    * values — by the KMV merge theorem bottom-k(bottom-k(A) ∪
+    * bottom-k(B)) = bottom-k(A ∪ B), so ANY ingestion order converges
+    * to the one-shot corpus sketch exactly (the q187 parity gate).
+    *
+    * The store's `nd` is CAPPED at k+1 ("truncated" marker): an exact
+    * cross-batch distinct count would need all hashes, but the
+    * estimators only ever test `nd <= k` — below the cap the sketch IS
+    * the full value set so the exact count is recoverable, above it the
+    * estimator branch never reads it. Merge rule: both sides below the
+    * cap → |value union| (exact, capped); anything else → k+1.
+    *
+    * The store is GROUPS-sized (groups × k longs), so each batch
+    * rewrites it whole (Overwrite behind the eager checkpoint) — the
+    * opposite discipline from the corpus-sized epoch-append stores, and
+    * the right one: merge-on-read bookkeeping would cost more than the
+    * table. Corpus cost per batch is one distinct + bottom-k aggregate
+    * over the BATCH only.
+    *
+    * @return the merged store rows (g, ks, nd), eagerly materialized */
+  def kmvAbsorbBatch(rows: DataFrame, groupCol: String, keyCol: String,
+                     storeTable: String, k: Int = 16): DataFrame = {
+    val s = rows.sparkSession
+    val b = graft.functions.SketchOps.kmvSketch(rows, groupCol, keyCol, k)
+      .select(col("g"), col("ks"), least(col("nd"), lit(k + 1L)).as("nd"))
+    val merged = if (s.catalog.tableExists(storeTable)) {
+      s.table(storeTable)
+        .select(col("g"), col("ks").as("__ka"), col("nd").as("__nda"))
+        .join(b.select(col("g"), col("ks").as("__kb"), col("nd").as("__ndb")),
+          Seq("g"), "full")
+        .select(col("g"),
+          when(col("__ka").isNull, col("__kb"))
+            .when(col("__kb").isNull, col("__ka"))
+            .otherwise(slice(array_sort(array_union(col("__ka"), col("__kb"))), 1, k))
+            .as("ks"),
+          when(col("__ka").isNull, col("__ndb"))
+            .when(col("__kb").isNull, col("__nda"))
+            .when(col("__nda") <= k && col("__ndb") <= k,
+              least(size(array_union(col("__ka"), col("__kb"))).cast("long"),
+                lit(k + 1L)))
+            .otherwise(lit(k + 1L)).as("nd"))
+    } else b
+    val out = merged.localCheckpoint(true) // break lineage BEFORE overwrite
+    out.write.mode(SaveMode.Overwrite).saveAsTable(storeTable)
+    s.catalog.refreshTable(storeTable)
+    out
+  }
+
+  /** Continuous sketch maintenance: a (group, key) stream absorbed into
+    * the persisted KMV store per micro-batch — pairwise source-overlap
+    * estimates ([[graft.functions.SketchOps.kmvPairStats]]) stay
+    * queryable against the warehouse table while ingestion runs, at a
+    * per-batch cost of one batch-sized aggregate + a groups-sized
+    * rewrite. */
+  def kmvAbsorbStream(rows: DataFrame, groupCol: String, keyCol: String,
+                      storeTable: String, k: Int = 16)
+                     (onAbsorbed: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      onAbsorbed(kmvAbsorbBatch(batch.toDF(), groupCol, keyCol, storeTable, k),
+        batchId)
+    }
+    rows.writeStream.outputMode("append").foreachBatch(body).start()
+  }
+
   /** ONE batch of streaming graph maintenance — the foreachBatch body of
     * [[absorbComponentsStream]], exposed so a batch chain (and the q151
     * oracle gate) runs the IDENTICAL call sequence the stream runs:

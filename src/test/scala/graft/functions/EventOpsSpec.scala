@@ -109,4 +109,28 @@ class EventOpsSpec extends SparkSpec {
     // sanity: mean 2, var 0.5 → z = 4/sqrt(0.5) ≈ 5.657
     assert(expected == 5657L)
   }
+
+  test("cusum matches the hand-computed max(0, S+drift) recurrence") {
+    // one key, hourly counts [1,1,1,5,5]: n=5, T=13, slack=0 →
+    // y = 5x−13 = [-8,-8,-8,12,12]; P = [-8,-16,-24,-12,0];
+    // S·n = P − min(0, runmin P) = [0,0,0,12,24]; S = [0,0,0,2.4,4.8]
+    def at(h: Int, m: Int) = ts(f"2024-01-01 $h%02d:$m%02d:00")
+    val counts = Seq(1, 1, 1, 5, 5)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(m => (1L, at(h, m + 1), "click")) }
+    val out = EventOps.cusum(rows.toDF("user_id", "ts", "event_type"),
+      "event_type", "ts", slack = 0L, threshold = 3L)
+      .collect().sortBy(_.getAs[Long]("hidx"))
+      .map(r => (r.getAs[Long]("cusum_scaled"), r.getAs[Boolean]("alarm")))
+    assert(out.map(_._1).toList == List(0L, 0L, 0L, 12L, 24L))
+    // h=3 in scaled units is 15: only the final S=4.8 alarms
+    assert(out.map(_._2).toList == List(false, false, false, false, true))
+    // recurrence sanity vs a direct fold (slack 1 → y = 5x−13−5)
+    val slacked = EventOps.cusum(rows.toDF("user_id", "ts", "event_type"),
+      "event_type", "ts", slack = 1L, threshold = 3L)
+      .collect().sortBy(_.getAs[Long]("hidx")).map(_.getAs[Long]("cusum_scaled"))
+    val direct = counts.scanLeft(0L) { (s, x) =>
+      math.max(0L, s + (5L * x - 13L - 5L)) }.tail
+    assert(slacked.toList == direct)
+  }
 }

@@ -398,4 +398,33 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
     assert(out2 == out)
   }
+
+  test("modularity: integer identity on bridged triangles; trivial labelings pin 0") {
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L)).toDF("src", "dst")
+    val twoComms = Seq((0L, 0L), (1L, 0L), (2L, 0L),
+      (10L, 1L), (11L, 1L), (12L, 1L)).toDF("id", "label")
+    val out = GraphOps.modularity(edges, "src", "dst", twoComms, "id", "label")
+      .collect()
+    // m=7; each triangle: e_c=3, d_c=7 → per-community term 4·7·3−49=35,
+    // q_num=70, Q=70/196≈0.357 → q_micro=357142
+    assert(out.length == 2)
+    val head = out.head
+    assert(head.getAs[Long]("m") == 7L && head.getAs[Long]("q_num") == 70L)
+    assert(head.getAs[Long]("q_micro") == 357142L)
+    val byLabel = out.map(r => r.getAs[Long]("label") ->
+      ((r.getAs[Long]("n_nodes"), r.getAs[Long]("deg_sum"),
+        r.getAs[Long]("intra_edges")))).toMap
+    assert(byLabel(0L) == ((3L, 7L, 3L)) && byLabel(1L) == ((3L, 7L, 3L)))
+    // everything in ONE community → Q = 0 exactly (e_c = m, d_c = 2m)
+    val one = Seq(0L, 1L, 2L, 10L, 11L, 12L).map(i => (i, 99L)).toDF("id", "label")
+    val q1 = GraphOps.modularity(edges, "src", "dst", one, "id", "label")
+      .head().getAs[Long]("q_num")
+    assert(q1 == 0L)
+    // duplicate + reversed input edges collapse to the same canon set
+    val dup = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
+    val out2 = GraphOps.modularity(dup, "src", "dst", twoComms, "id", "label")
+      .head().getAs[Long]("q_num")
+    assert(out2 == 70L)
+  }
 }

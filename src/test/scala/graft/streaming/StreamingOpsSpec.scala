@@ -507,4 +507,39 @@ class CmsStreamSpec extends graft.SparkSpec {
       assert(math.abs(est - 450) < 4 * (1.04 / math.sqrt(64.0)) * 450, s"est $est")
     } finally q.stop()
   }
+
+  test("kmvAbsorbStream: absorbed store equals the one-shot sketch, any batch order") {
+    import graft.functions.SketchOps
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "graft_stream_kmv_store"
+    val all = (0 until 120).map(i => ("a", s"x${i % 40}")) ++
+      (0 until 90).map(i => ("b", s"x${20 + i % 45}"))
+    def storeRows() = spark.table(tbl).collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[scala.collection.Seq[Long]]("ks").toList, r.getAs[Long]("nd"))))
+      .toMap
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val ms = MemoryStream[(String, String)]
+    val q = StreamingOps.kmvAbsorbStream(
+      ms.toDF().toDF("g", "k"), "g", "k", tbl, k = 16)()
+    val fromStream = try {
+      val (h, t) = all.splitAt(70)
+      ms.addData(h: _*); q.processAllAvailable()
+      ms.addData(t: _*); q.processAllAvailable()
+      storeRows()
+    } finally q.stop()
+    // one-shot reference: same values, nd capped like the store's
+    val oneShot = SketchOps.kmvSketch(all.toDF("g", "k"), "g", "k", k = 16)
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[scala.collection.Seq[Long]]("ks").toList,
+          math.min(r.getAs[Long]("nd"), 17L)))).toMap
+    assert(fromStream == oneShot)
+    // a different split (including a group-disjoint one) converges too
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    all.grouped(37).foreach { chunk =>
+      StreamingOps.kmvAbsorbBatch(chunk.toDF("g", "k"), "g", "k", tbl, k = 16): Unit
+    }
+    assert(storeRows() == oneShot)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
+  }
 }
