@@ -2613,6 +2613,50 @@ object SparkEntry {
         slack = 1L, threshold = 20L)
         .orderBy("event_type", "hidx")
     }),
+    // ── extension: ADAMIC–ADAR LINK PREDICTION (Adamic & Adar 2003) —
+    //    top-100 non-adjacent pairs of the customer–part co-purchase
+    //    bipartite graph by Σ 1/ln(deg) over common neighbors, with the
+    //    hub-suppression degree cap doing real work (267 of 350 nodes
+    //    exceed cap 24 at sf0.001). Integer wedge terms ⌊10⁶/ln deg⌋
+    //    keep the sum order-independent and engine-exact.
+    "q191_link_prediction" -> ((s, dir) => {
+      val edges = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(T(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000L) + col("l_partkey")).as("dst"))
+        .distinct()
+      graft.functions.GraphOps
+        .linkPredictionTopK(edges, "src", "dst", degCap = 24, topN = 100)
+        .orderBy(col("aa_micro").desc, col("u"), col("v"))
+    }),
+    // ── extension: K-CORE PEELING (Seidman 1983) — rounds-bounded
+    //    degree-< k shell removal on the q183 chains with the bridge
+    //    CLOSED into a per-class ring (a forest has an empty 2-core;
+    //    the ring is the surviving core, chains peel one node per
+    //    round from each free end — 880/1000 nodes survive 4 rounds
+    //    at sf0.001 with 30 honest unconverged deg-1 rows).
+    "q190_kcore" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val chain = ev
+        .select(col("event_id"), lead("event_id", 1).over(wU).as("nid"))
+        .where(col("nid").isNotNull)
+        .select(col("event_id").as("src"), col("nid").as("dst"))
+      val umin = ev.groupBy("user_id").agg(min("event_id").as("me"))
+        .withColumn("cls", pmod(col("user_id"), lit(97)))
+      val wC = Window.partitionBy("cls").orderBy("user_id")
+      val wF = Window.partitionBy("cls").orderBy("user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ring = umin
+        .select(col("cls"), col("me"),
+          coalesce(lead("me", 1).over(wC), first("me").over(wF)).as("nme"))
+        .where(col("me") =!= col("nme"))
+        .select(col("me").as("src"), col("nme").as("dst"))
+      graft.functions.GraphOps
+        .kcore(chain.union(ring), "src", "dst", k = 2, rounds = 4)
+        .orderBy("id")
+    }),
     // ── extension: MODULARITY scoring (Newman–Girvan 2004) — the
     //    community-quality measure, integer-exact via Q·4m² =
     //    Σ_c(4m·e_c − d_c²): per-community rows + the graph total, only
@@ -6038,6 +6082,60 @@ object SparkEntry {
          SELECT event_type, hidx, cnt, n_buckets, cusum_scaled,
            cusum_scaled > 20 * n_buckets AS alarm
          FROM c ORDER BY event_type, hidx""",
+    // Bipartite co-purchase edges -> capped-center wedge self-join ->
+    // integer Adamic-Adar sum -> non-edge filter -> top-100.
+    "q191_link_prediction" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o.o_custkey AS s, 1000000 + l.l_partkey AS d
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+                 FROM e0 WHERE s <> d),
+         sym AS (SELECT u AS s, v AS d FROM und UNION ALL SELECT v, u FROM und),
+         ctr AS (SELECT s, CAST(floor(1000000.0 / ln(CAST(count(*) AS DOUBLE))) AS BIGINT) AS term
+                 FROM sym GROUP BY s HAVING count(*) BETWEEN 2 AND 24),
+         wedge AS (SELECT a.d AS u, b.d AS v, c.term
+                   FROM sym a JOIN ctr c ON c.s = a.s JOIN sym b ON b.s = a.s
+                   WHERE a.d < b.d),
+         pairs AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+                     CAST(sum(term) AS BIGINT) AS aa_micro
+                   FROM wedge GROUP BY 1, 2),
+         nonedge AS (SELECT p.* FROM pairs p
+                     LEFT JOIN und e ON e.u = p.u AND e.v = p.v
+                     WHERE e.u IS NULL)
+         SELECT u, v, cn, aa_micro FROM nonedge
+         ORDER BY aa_micro DESC, u, v LIMIT 100""",
+    // Chain + closed ring edges, then 4 unrolled peel rounds: degree
+    // aggregate -> keep >= 2 -> endpoint semi-joins.
+    "q190_kcore" ->
+      """WITH chain AS (
+           SELECT event_id AS s,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+           FROM events),
+         umin AS (SELECT user_id, user_id % 97 AS cls, min(event_id) AS me
+                  FROM events GROUP BY 1, 2),
+         ring AS (SELECT me AS s,
+             coalesce(lead(me) OVER (PARTITION BY cls ORDER BY user_id),
+               first_value(me) OVER (PARTITION BY cls ORDER BY user_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS d
+           FROM umin),
+         e0 AS (SELECT s, d FROM chain WHERE d IS NOT NULL AND s <> d
+                UNION ALL SELECT s, d FROM ring WHERE s <> d),
+         und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM e0),
+         sym0 AS (SELECT u AS s, v AS d FROM und UNION ALL SELECT v, u FROM und),
+         k1 AS (SELECT s FROM sym0 GROUP BY s HAVING count(*) >= 2),
+         s1 AS (SELECT e.s, e.d FROM sym0 e
+                JOIN k1 a ON a.s = e.s JOIN k1 b ON b.s = e.d),
+         k2 AS (SELECT s FROM s1 GROUP BY s HAVING count(*) >= 2),
+         s2 AS (SELECT e.s, e.d FROM s1 e
+                JOIN k2 a ON a.s = e.s JOIN k2 b ON b.s = e.d),
+         k3 AS (SELECT s FROM s2 GROUP BY s HAVING count(*) >= 2),
+         s3 AS (SELECT e.s, e.d FROM s2 e
+                JOIN k3 a ON a.s = e.s JOIN k3 b ON b.s = e.d),
+         k4 AS (SELECT s FROM s3 GROUP BY s HAVING count(*) >= 2),
+         s4 AS (SELECT e.s, e.d FROM s3 e
+                JOIN k4 a ON a.s = e.s JOIN k4 b ON b.s = e.d)
+         SELECT s AS id, CAST(count(*) AS BIGINT) AS deg
+         FROM s4 GROUP BY 1 ORDER BY 1""",
     // q183's edge CTEs + q121's analytic component labels + the
     // integer modularity identity Q*4m^2 = sum(4m*e_c - d_c^2).
     "q188_modularity" ->

@@ -769,6 +769,110 @@ object GraphOps {
     * released).
     *
     * @return (id, label) for every node incident to an edge */
+  /** ROUNDS-BOUNDED k-core peeling (Seidman 1983; distributed peeling à
+    * la Montresor et al. 2013): repeatedly delete nodes of degree < k
+    * from the undirected graph; the fixpoint is the k-core — the standard
+    * "dense enough to matter" subgraph filter (graph-sampling priors,
+    * spam-farm pruning, community seeding before [[labelPropagation]]).
+    * With a FIXED round count the output is deterministic whether or not
+    * the peel has converged: each round removes the current degree-< k
+    * shell, so `rounds` bounds the peel DEPTH (a chain loses one node
+    * per round from each free end; the fixpoint needs max-shell-depth
+    * rounds). Returns the surviving nodes with their residual in-subgraph
+    * degree — a `deg < k` row in the output is the honest "not yet
+    * converged" marker, never silently dropped.
+    *
+    * Scale shape per round: ONE degree aggregate over the shrinking
+    * symmetric edge set + TWO semi-joins (edge endpoints vs survivors,
+    * survivor side node-sized and strictly shrinking, so AQE broadcasts
+    * it as soon as the shell stabilizes); `localCheckpoint` keeps
+    * lineage constant across rounds — the [[labelPropagation]]
+    * discipline. Total work is O(rounds · m), never node-quadratic.
+    *
+    * @param k      minimum degree to survive a round (k >= 1)
+    * @param rounds peel rounds (>= 1); fixpoint iff >= max shell depth
+    * @return (id, deg): survivors of the last round, residual degree */
+  def kcore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int = 2, rounds: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1, got $k/$rounds")
+    val e0 = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d")).where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
+      .distinct()
+    val inter = scala.collection.mutable.Buffer.empty[DataFrame]
+    var sym = e0.select(col("u").as("s"), col("v").as("d"))
+      .union(e0.select(col("v").as("s"), col("u").as("d")))
+      .repartition(col("s")).localCheckpoint(false)
+    inter += sym
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy("s").agg(count(lit(1)).as("__dg"))
+        .where(col("__dg") >= k).select("s")
+      sym = sym
+        .join(keep, Seq("s"), "left_semi")
+        .join(keep.select(col("s").as("d")), Seq("d"), "left_semi")
+        .select("s", "d").localCheckpoint(false)
+      inter += sym
+    }
+    val out = sym.groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    inter.foreach(releaseLocalCheckpoint)
+    out
+  }
+
+  /** ADAMIC–ADAR link prediction (Adamic & Adar 2003): score every
+    * NON-adjacent node pair (u, v) by Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) —
+    * the classic common-neighbor predictor that downweights promiscuous
+    * hubs — and return the global top-N. Training-data use: candidate
+    * edge mining for graph-learning positives/negatives and co-purchase /
+    * co-occurrence recommendation pairs.
+    *
+    * Engine-portable scoring: each wedge contributes the INTEGER
+    * ⌊10⁶/ln(deg_w)⌋ (deg_w ≥ 2 ⇒ ln > 0), so the pair score is an
+    * order-independent integer sum; ln/division/floor on identical
+    * doubles are bit-identical across engines.
+    *
+    * Scale shape: wedges are generated ONLY through centers with
+    * deg ≤ degCap (the hot-shingle/hub-suppression guard — a 10⁶-degree
+    * hub would alone emit 5·10¹¹ pairs while contributing ≈0 score per
+    * pair), so pair work is Σ_{deg_w ≤ cap} deg_w² ≤ cap·m — linear in
+    * edges at fixed cap. One self-join on the center key, one
+    * (u,v)-keyed integer aggregate with map-side partials, one anti-join
+    * against the edge set, and a TakeOrdered top-N (no global sort).
+    *
+    * @param degCap max center degree admitted to wedge generation
+    * @param topN   rows returned, ordered (aa_micro DESC, u, v)
+    * @return (u, v, cn, aa_micro): common-neighbor count and scaled score */
+  def linkPredictionTopK(edges: DataFrame, srcCol: String, dstCol: String,
+                         degCap: Int = 24, topN: Int = 100): DataFrame = {
+    require(degCap >= 2 && topN >= 1, s"need degCap >= 2, topN >= 1, got $degCap/$topN")
+    val und = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d")).where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = und.select(col("u").as("s"), col("v").as("d"))
+      .union(und.select(col("v").as("s"), col("u").as("d")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ctr = sym.groupBy("s").agg(count(lit(1)).as("__dg"))
+      .where(col("__dg") >= 2 && col("__dg") <= degCap)
+      .withColumn("__term",
+        floor(lit(1e6) / log(col("__dg").cast("double"))).cast("long"))
+    val wedges = sym.join(ctr, Seq("s"))
+      .join(sym.select(col("s"), col("d").as("__d2")), Seq("s"))
+      .where(col("d") < col("__d2"))
+    val pairs = wedges
+      .groupBy(col("d").as("u"), col("__d2").as("v"))
+      .agg(count(lit(1)).as("cn"), sum("__term").as("aa_micro"))
+    val out = pairs.join(und, Seq("u", "v"), "left_anti")
+      .orderBy(col("aa_micro").desc, col("u"), col("v"))
+      .limit(topN)
+      .select("u", "v", "cn", "aa_micro")
+      .localCheckpoint(true)
+    sym.unpersist(blocking = false)
+    und.unpersist(blocking = false)
+    out
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int = 4): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")

@@ -399,6 +399,51 @@ class GraphOpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("kcore: peels tails to the cycle core; bounded rounds leave honest residue") {
+    // triangle 0-1-2 with a 3-node tail 2-3-4-5: 2-core = the triangle
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val full = GraphOps.kcore(edges, "src", "dst", k = 2, rounds = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("deg")).toMap
+    assert(full == Map(0L -> 2L, 1L -> 2L, 2L -> 2L), s"got $full")
+    // rounds = 1 removes only the current shell (node 5), leaving the
+    // new endpoint 4 at deg 1 — the unconverged marker
+    val r1 = GraphOps.kcore(edges, "src", "dst", k = 2, rounds = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("deg")).toMap
+    assert(r1(4L) == 1L && r1.size == 5 && !r1.contains(5L), s"got $r1")
+    // k = 3: triangle nodes have deg 2 < 3 → everything peels
+    assert(GraphOps.kcore(edges, "src", "dst", k = 3, rounds = 3).count() == 0L)
+    // duplicate/reversed edges collapse; partitioning-invariant
+    val dup = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .repartition(7)
+    val full2 = GraphOps.kcore(dup, "src", "dst", k = 2, rounds = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("deg")).toMap
+    assert(full2 == full)
+  }
+
+  test("linkPredictionTopK: AA wedges score non-edges; adjacency and hubs excluded") {
+    // path 1-2-3 plus squares: (1,3) share center 2 (deg 2);
+    // 4 connects to both 1 and 3 too -> (1,3) has cn=2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L)).toDF("src", "dst")
+    val out = GraphOps.linkPredictionTopK(edges, "src", "dst", degCap = 24, topN = 10)
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) ->
+        ((r.getAs[Long]("cn"), r.getAs[Long]("aa_micro")))).toMap
+    val t2 = math.floor(1e6 / math.log(2.0)).toLong // deg-2 center term
+    // non-edges: (1,3) via centers 2 and 4; (2,4) via centers 1 and 3
+    assert(out.keySet == Set((1L, 3L), (2L, 4L)), s"got $out")
+    assert(out((1L, 3L)) == ((2L, 2 * t2)) && out((2L, 4L)) == ((2L, 2 * t2)))
+    // a hub center above the cap generates no wedges: star 10-(11..14)
+    // with cap 3 (< deg 4) scores nothing
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L)).toDF("src", "dst")
+    assert(GraphOps.linkPredictionTopK(star, "src", "dst", degCap = 3, topN = 10)
+      .count() == 0L)
+    // with the cap lifted, all leaf pairs score via the deg-4 hub
+    val lifted = GraphOps.linkPredictionTopK(star, "src", "dst", degCap = 10, topN = 10)
+    assert(lifted.count() == 6L)
+    val t4 = math.floor(1e6 / math.log(4.0)).toLong
+    assert(lifted.head().getAs[Long]("aa_micro") == t4)
+  }
+
   test("modularity: integer identity on bridged triangles; trivial labelings pin 0") {
     val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L),
       (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L)).toDF("src", "dst")
