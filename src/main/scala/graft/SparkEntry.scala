@@ -2613,6 +2613,19 @@ object SparkEntry {
         slack = 1L, threshold = 20L)
         .orderBy("event_type", "hidx")
     }),
+    // ── extension: LEAKAGE-SAFE SPLIT — train/val/test assignment
+    //    hashed by ORIGIN GROUP (lang⊕source here; dedup clusters in a
+    //    full pipeline), so near-dups / same-origin docs can never
+    //    straddle the eval boundary (Lee et al. 2022 §6). One md5
+    //    projection per row, no shuffle; 99 groups all land whole.
+    "q192_leakage_split" -> ((s, dir) => {
+      val g = T(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("lang"), lit("|"), col("source")).as("grp"))
+      graft.operators.MixtureSample
+        .leakageSafeSplit(g, "grp", valPermille = 100, testPermille = 100)
+        .orderBy("doc_id")
+    }),
     // ── extension: ADAMIC–ADAR LINK PREDICTION (Adamic & Adar 2003) —
     //    top-100 non-adjacent pairs of the customer–part co-purchase
     //    bipartite graph by Σ 1/ln(deg) over common neighbors, with the
@@ -6082,6 +6095,18 @@ object SparkEntry {
          SELECT event_type, hidx, cnt, n_buckets, cusum_scaled,
            cusum_scaled > 20 * n_buckets AS alarm
          FROM c ORDER BY event_type, hidx""",
+    // Group key -> 16-bit md5-prefix bucket mod 1000 -> permille
+    // thresholds (hashBucket's exact DuckDB twin).
+    "q192_leakage_split" ->
+      """WITH g AS (SELECT doc_id, lang || '|' || source AS grp FROM documents),
+         b AS (SELECT doc_id, grp,
+             CAST(CAST('0x' || substr(md5('split:' || grp), 1, 4) AS INT) % 1000 AS BIGINT) AS split_bucket
+           FROM g)
+         SELECT doc_id, grp, split_bucket,
+           CASE WHEN split_bucket < 100 THEN 'test'
+                WHEN split_bucket < 200 THEN 'val'
+                ELSE 'train' END AS split
+         FROM b ORDER BY doc_id""",
     // Bipartite co-purchase edges -> capped-center wedge self-join ->
     // integer Adamic-Adar sum -> non-edge filter -> top-100.
     "q191_link_prediction" ->

@@ -202,6 +202,40 @@ object MixtureSample {
     *                   priority so the lightest rows win
     * @return the k sampled rows plus their `key_micro` priority
     */
+  /** LEAKAGE-SAFE train/val/test split: assign every row to a split by
+    * hashing its GROUP (dedup cluster, url domain, …) rather than its id,
+    * so near-duplicates and same-origin documents land in the SAME split
+    * by construction — the eval-contamination guard (Lee et al. 2022 §6:
+    * test-set leakage through train/test near-dups inflates benchmark
+    * scores; splitting by cluster is the standard fix).
+    *
+    * Deterministic and engine-portable: the bucket is
+    * [[graft.functions.TextFunctions.hashBucket]] (16-bit md5 prefix) of
+    * `salt ⊕ group`, mod 1000 — same row, same split, every engine,
+    * every run; re-salting re-draws the split without touching data.
+    * Permille thresholds: bucket < testPermille → test, < test+val →
+    * val, else train.
+    *
+    * Scale shape: a narrow per-row projection (one md5 on a short group
+    * key) — no shuffle, no model, no join; composes downstream of any
+    * clustering that already produced `groupCol`.
+    *
+    * @return input + (split_bucket, split ∈ {train, val, test}) */
+  def leakageSafeSplit(df: DataFrame, groupCol: String,
+                       valPermille: Int, testPermille: Int,
+                       salt: String = "split"): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0
+      && valPermille + testPermille <= 1000,
+      s"need val, test >= 0 and val+test <= 1000, got $valPermille/$testPermille")
+    val b = graft.functions.TextFunctions.hashBucket(
+      concat(lit(salt + ":"), col(groupCol).cast("string")), 1000)
+    df.withColumn("split_bucket", b.cast("long"))
+      .withColumn("split",
+        when(col("split_bucket") < testPermille, lit("test"))
+          .when(col("split_bucket") < testPermille + valPermille, lit("val"))
+          .otherwise(lit("train")))
+  }
+
   def weightedSampleNoReplacement(df: DataFrame, idCol: String,
                                   weightCol: String, k: Int,
                                   seed: String = "aes"): DataFrame = {

@@ -178,6 +178,35 @@ class MixtureSampleSpec extends SparkSpec {
       s"heavy rows must dominate the top-k, got $picked")
   }
 
+  test("leakageSafeSplit: group-cohesive, threshold-exact, re-salt re-draws") {
+    val df = (1L to 400L).map(i => (i, s"grp${i % 40}")).toDF("id", "grp")
+    val out = MixtureSample.leakageSafeSplit(df, "grp", valPermille = 200,
+      testPermille = 100).collect()
+    // every group lands whole in exactly one split
+    val byGrp = out.groupBy(_.getAs[String]("grp"))
+      .map { case (g, rs) => g -> rs.map(_.getAs[String]("split")).toSet }
+    assert(byGrp.values.forall(_.size == 1), s"split straddles a group: $byGrp")
+    // thresholds are exact functions of the bucket
+    out.foreach { r =>
+      val b = r.getAs[Long]("split_bucket"); val s = r.getAs[String]("split")
+      assert(b >= 0 && b < 1000)
+      val want = if (b < 100) "test" else if (b < 300) "val" else "train"
+      assert(s == want, s"bucket $b -> $s, want $want")
+    }
+    // determinism + re-salting independence
+    val again = MixtureSample.leakageSafeSplit(df, "grp", 200, 100).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    val salted = MixtureSample.leakageSafeSplit(df, "grp", 200, 100, salt = "v2")
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Long]("split_bucket")).toMap
+    val orig = out.map(r => r.getAs[String]("grp") -> r.getAs[Long]("split_bucket")).toMap
+    assert(orig != salted, "a new salt must re-draw the buckets")
+    // degenerate permilles: everything train / everything test
+    assert(MixtureSample.leakageSafeSplit(df, "grp", 0, 0)
+      .select("split").distinct().collect().map(_.getString(0)).toSeq == Seq("train"))
+    assert(MixtureSample.leakageSafeSplit(df, "grp", 0, 1000)
+      .select("split").distinct().collect().map(_.getString(0)).toSeq == Seq("test"))
+  }
+
   test("weightedSampleNoReplacement plans as TakeOrdered (no global sort)") {
     val df = (1L to 100L).map(i => (i, 1L + i % 5)).toDF("id", "w")
     val plan = MixtureSample.weightedSampleNoReplacement(df, "id", "w", k = 5)
