@@ -2613,6 +2613,27 @@ object SparkEntry {
         slack = 1L, threshold = 20L)
         .orderBy("event_type", "hidx")
     }),
+    // ── extension: MISRA–GRIES HEAVY-HITTER STORE — three token
+    //    increments absorbed through StreamingOps.mgAbsorbBatch (the
+    //    foreachBatch body): exact batch counts, k-row counter merge,
+    //    re-compress, Overwrite. Merge-shape-dependent (unlike KMV), so
+    //    the oracle REPLAYS the identical 3-batch sequence; the
+    //    frequent-elements guarantee (true count > n/(k+1) ⇒ present,
+    //    error ≤ dec) is pinned by the SketchOpsSpec synthetic.
+    "q193_mg_heavy_hitters" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val tbl = "graft_q193_mg_store"
+      TableStore.dropTable(s, tbl)
+      Seq(0L, 1L, 2L).foreach { b =>
+        graft.streaming.StreamingOps.mgAbsorbBatch(
+          toks.where(pmod(col("doc_id"), lit(3)) === b).select("tok"),
+          "tok", tbl, k = 16): Unit
+      }
+      s.table(tbl).orderBy(col("cnt_lo").desc, col("key"))
+    }),
     // ── extension: LEAKAGE-SAFE SPLIT — train/val/test assignment
     //    hashed by ORIGIN GROUP (lang⊕source here; dedup clusters in a
     //    full pipeline), so near-dups / same-origin docs can never
@@ -6095,6 +6116,44 @@ object SparkEntry {
          SELECT event_type, hidx, cnt, n_buckets, cusum_scaled,
            cusum_scaled > 20 * n_buckets AS alarm
          FROM c ORDER BY event_type, hidx""",
+    // Replay of the exact 3-batch MG merge sequence: per-batch exact
+    // counts, (k+1)-th-largest threshold subtract, positive survivors.
+    "q193_mg_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+           FROM documents),
+         b0 AS (SELECT tok AS key, CAST(count(*) AS BIGINT) AS cnt
+                FROM toks WHERE doc_id % 3 = 0 GROUP BY 1),
+         t0 AS (SELECT CASE WHEN count(*) = 17 THEN min(cnt) ELSE 0 END AS t,
+                  (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM b0) AS n
+                FROM (SELECT cnt FROM b0 ORDER BY cnt DESC LIMIT 17)),
+         s0 AS (SELECT key, cnt - (SELECT t FROM t0) AS cnt_lo FROM b0
+                WHERE cnt - (SELECT t FROM t0) > 0),
+         b1 AS (SELECT tok AS key, CAST(count(*) AS BIGINT) AS cnt
+                FROM toks WHERE doc_id % 3 = 1 GROUP BY 1),
+         m1 AS (SELECT key, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+                  SELECT key, cnt_lo AS cnt FROM s0
+                  UNION ALL SELECT key, cnt FROM b1) GROUP BY 1),
+         t1 AS (SELECT CASE WHEN count(*) = 17 THEN min(cnt) ELSE 0 END AS t,
+                  (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM b1) AS n
+                FROM (SELECT cnt FROM m1 ORDER BY cnt DESC LIMIT 17)),
+         s1 AS (SELECT key, cnt - (SELECT t FROM t1) AS cnt_lo FROM m1
+                WHERE cnt - (SELECT t FROM t1) > 0),
+         b2 AS (SELECT tok AS key, CAST(count(*) AS BIGINT) AS cnt
+                FROM toks WHERE doc_id % 3 = 2 GROUP BY 1),
+         m2 AS (SELECT key, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+                  SELECT key, cnt_lo AS cnt FROM s1
+                  UNION ALL SELECT key, cnt FROM b2) GROUP BY 1),
+         t2 AS (SELECT CASE WHEN count(*) = 17 THEN min(cnt) ELSE 0 END AS t,
+                  (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM b2) AS n
+                FROM (SELECT cnt FROM m2 ORDER BY cnt DESC LIMIT 17)),
+         s2 AS (SELECT key, cnt - (SELECT t FROM t2) AS cnt_lo FROM m2
+                WHERE cnt - (SELECT t FROM t2) > 0)
+         SELECT key, cnt_lo,
+           CAST((SELECT t FROM t0) + (SELECT t FROM t1) + (SELECT t FROM t2) AS BIGINT) AS dec,
+           CAST((SELECT n FROM t0) + (SELECT n FROM t1) + (SELECT n FROM t2) AS BIGINT) AS n_tot
+         FROM s2 ORDER BY cnt_lo DESC, key""",
     // Group key -> 16-bit md5-prefix bucket mod 1000 -> permille
     // thresholds (hashBucket's exact DuckDB twin).
     "q192_leakage_split" ->

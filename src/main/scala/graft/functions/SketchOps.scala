@@ -267,4 +267,98 @@ object SketchOps {
       .join(ip, Seq("j"), "left")
       .agg(coalesce(min(coalesce(col("ip"), lit(0L))), lit(0L)).as("est"))
   }
+
+  /** MG compression of an exactly-counted (key, cnt) frame: subtract the
+    * (k+1)-th largest count from every counter and keep the positive
+    * remainder — at most k survivors. The threshold is a multiset
+    * statistic (min of the top-(k+1) VALUES), so it is deterministic
+    * under any tie-break; computed as TakeOrdered(k+1) + 1-row agg
+    * broadcast back, never a global sort. Returns (survivors, 1-row t). */
+  private def mgCompress(counts: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val thr = counts.orderBy(col("cnt").desc).limit(k + 1)
+      .agg(coalesce(when(count(lit(1)) === k + 1, min("cnt")), lit(0L)).as("__t"))
+    val kept = counts.crossJoin(broadcast(thr))
+      .where(col("cnt") > col("__t"))
+      .select(col("key"), (col("cnt") - col("__t")).as("cnt_lo"))
+    (kept, thr)
+  }
+
+  /** MISRA–GRIES heavy-hitters summary (Misra & Gries 1982) of one
+    * frame: exact per-key counts compressed to ≤ k counters by
+    * [[mgCompress]]. Each surviving `cnt_lo` is a LOWER bound on the true
+    * count with error ≤ `dec` (the cumulative subtracted threshold), and
+    * the classic guarantee dec ≤ n_tot/(k+1) means every key with true
+    * count > n/(k+1) is GUARANTEED to survive — the frequent-elements
+    * contract. Unlike [[cmsBuild]] (over-counts, fixed d×w cells,
+    * needs the key to query) MG under-counts and carries its keys, so
+    * the summary IS the top-k candidate list: stopword discovery,
+    * boilerplate n-grams, hot-key detection for skew salting.
+    *
+    * Scale shape: ONE exact count aggregate (vocabulary-keyed, map-side
+    * partials) + a TakeOrdered(k+1) threshold broadcast back — no global
+    * sort, summary is k rows. The scalars (dec, n_tot) ride every row —
+    * CAVEAT: a near-uniform input with > k distinct keys can compress to
+    * ZERO rows (every counter hits the threshold), and an empty summary
+    * carries no (dec, n_tot) back into a later merge, weakening the
+    * error bound silently; heavy-hitter use cases (Zipf-shaped corpora)
+    * never hit this, but don't feed MG a uniform stream and read `dec`
+    * as exact.
+    *
+    * @return (key, cnt_lo, dec, n_tot), ≤ k rows */
+  def mgSummary(df: DataFrame, keyCol: String, k: Int = 16): DataFrame =
+    mgAbsorb(None, df, keyCol, k)
+
+  /** Absorb a batch of raw rows into an optional existing [[mgSummary]]
+    * frame with ONE compression: exact batch counts are summed into the
+    * store's counters uncompressed, then the merged counters compress
+    * once — dec grows by a single threshold per batch (strictly tighter
+    * than compress-then-merge, same one-aggregate batch cost). This is
+    * the per-micro-batch body of the streaming heavy-hitter store. */
+  def mgAbsorb(store: Option[DataFrame], df: DataFrame, keyCol: String,
+               k: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bCounts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val summed = store match {
+      case None => bCounts
+      case Some(st) => st.select(col("key"), col("cnt_lo").as("cnt"))
+        .union(bCounts).groupBy("key").agg(sum("cnt").as("cnt"))
+    }
+    val (kept, thr) = mgCompress(summed, k)
+    val bN = bCounts.agg(coalesce(sum("cnt"), lit(0L)).as("__nb"))
+    val prior = store.getOrElse(bCounts.limit(0)
+        .select(col("key"), col("cnt").as("cnt_lo"),
+          lit(0L).as("dec"), lit(0L).as("n_tot")))
+      .agg(coalesce(max("dec"), lit(0L)).as("__dp"),
+        coalesce(max("n_tot"), lit(0L)).as("__np"))
+    kept.crossJoin(broadcast(thr)).crossJoin(broadcast(bN))
+      .crossJoin(broadcast(prior))
+      .select(col("key"), col("cnt_lo"),
+        (col("__dp") + col("__t")).as("dec"),
+        (col("__np") + col("__nb")).as("n_tot"))
+  }
+
+  /** Merge two [[mgSummary]] frames (Agarwal et al. 2012, "Mergeable
+    * summaries"): sum counters keyed by `key`, re-compress, accumulate
+    * the error budget — dec_out = dec_a + dec_b + t_merge, still
+    * ≤ (n_a + n_b)/(k+1), so ANY merge tree over corpus shards keeps the
+    * frequent-elements guarantee. NOTE the merged counters are a valid
+    * summary but not bit-identical to the one-shot corpus summary (MG is
+    * merge-shape-dependent, unlike [[kmvSketch]]) — parity gates must
+    * replay the same merge sequence. All frames are k-row; every join
+    * here broadcasts. */
+  def mgMergeSummaries(a: DataFrame, b: DataFrame, k: Int = 16): DataFrame = {
+    val summed = a.select("key", "cnt_lo").union(b.select("key", "cnt_lo"))
+      .groupBy("key").agg(sum("cnt_lo").as("cnt"))
+    val (kept, thr) = mgCompress(summed, k)
+    def scalars(s: DataFrame, dc: String, nc: String) =
+      s.agg(coalesce(max("dec"), lit(0L)).as(dc),
+        coalesce(max("n_tot"), lit(0L)).as(nc))
+    kept.crossJoin(broadcast(thr))
+      .crossJoin(broadcast(scalars(a, "__da", "__na")))
+      .crossJoin(broadcast(scalars(b, "__db", "__nb")))
+      .select(col("key"), col("cnt_lo"),
+        (col("__da") + col("__db") + col("__t")).as("dec"),
+        (col("__na") + col("__nb")).as("n_tot"))
+  }
 }

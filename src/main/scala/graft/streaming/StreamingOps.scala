@@ -292,6 +292,47 @@ object StreamingOps {
     out
   }
 
+  /** ONE batch of Misra–Gries heavy-hitter store maintenance
+    * ([[graft.functions.SketchOps.mgAbsorb]]): exact batch counts are
+    * summed into the persisted k-row store's counters, compressed ONCE,
+    * Overwritten. The store stays k rows forever while the
+    * frequent-elements guarantee (every key with true count >
+    * n_tot/(k+1) present, count error ≤ the store's `dec` column)
+    * holds across ANY number of absorbed batches — Agarwal et al.'s
+    * mergeable-summaries theorem made operational. Unlike
+    * [[kmvAbsorbBatch]] the result is merge-ORDER-dependent, so parity
+    * gates replay the same batch sequence rather than comparing to a
+    * one-shot corpus summary.
+    *
+    * Corpus cost per batch: one exact count aggregate over the BATCH +
+    * k-row broadcast merges; store rewrite is k rows.
+    *
+    * @return the merged store rows (key, cnt_lo, dec, n_tot) */
+  def mgAbsorbBatch(rows: DataFrame, keyCol: String, storeTable: String,
+                    k: Int = 16): DataFrame = {
+    val s = rows.sparkSession
+    val st = if (s.catalog.tableExists(storeTable)) Some(s.table(storeTable))
+             else None
+    val merged = graft.functions.SketchOps.mgAbsorb(st, rows, keyCol, k)
+    val out = merged.localCheckpoint(true) // break lineage BEFORE overwrite
+    out.write.mode(SaveMode.Overwrite).saveAsTable(storeTable)
+    s.catalog.refreshTable(storeTable)
+    out
+  }
+
+  /** Continuous heavy-hitter maintenance: a keyed stream absorbed into
+    * the persisted k-row MG store per micro-batch — hot keys (stopwords,
+    * boilerplate shingles, skew-salting candidates) stay queryable in
+    * the warehouse while ingestion runs. */
+  def mgAbsorbStream(rows: DataFrame, keyCol: String, storeTable: String,
+                     k: Int = 16)
+                    (onAbsorbed: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      onAbsorbed(mgAbsorbBatch(batch.toDF(), keyCol, storeTable, k), batchId)
+    }
+    rows.writeStream.outputMode("append").foreachBatch(body).start()
+  }
+
   /** Continuous sketch maintenance: a (group, key) stream absorbed into
     * the persisted KMV store per micro-batch — pairwise source-overlap
     * estimates ([[graft.functions.SketchOps.kmvPairStats]]) stay

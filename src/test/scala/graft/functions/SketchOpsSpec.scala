@@ -155,4 +155,63 @@ class SketchOpsSpec extends SparkSpec {
     val merged = (byG("a")._1 ++ byG("b")._1).distinct.sorted.take(16)
     assert(uk == merged)
   }
+
+  test("mgSummary/mgAbsorb: frequent-elements guarantee and error accounting") {
+    // Zipf-ish: key i repeated (40 - i) times for i in 0..39; n = 820
+    val rows = (0 until 40).flatMap(i => Seq.fill(40 - i)(s"k$i")).toDF("tok")
+    val k = 8
+    val out = SketchOps.mgSummary(rows, "tok", k).collect()
+    assert(out.nonEmpty && out.length <= k)
+    val n = out.head.getAs[Long]("n_tot"); val dec = out.head.getAs[Long]("dec")
+    assert(n == 820L && dec <= n / (k + 1), s"dec $dec exceeds n/(k+1)")
+    val truth = (0 until 40).map(i => s"k$i" -> (40L - i)).toMap
+    out.foreach { r =>
+      val key = r.getAs[String]("key"); val lo = r.getAs[Long]("cnt_lo")
+      assert(lo >= 1 && lo <= truth(key), s"$key lower bound $lo vs ${truth(key)}")
+      assert(truth(key) - lo <= dec, s"$key error above dec")
+    }
+    // every key with true count > n/(k+1) MUST survive
+    val mustKeep = truth.filter(_._2 > n / (k + 1)).keySet
+    assert(mustKeep.subsetOf(out.map(_.getAs[String]("key")).toSet))
+    // batched absorb keeps the guarantee and tightens nothing it shouldn't:
+    // same rows split into 3 arbitrary batches
+    val batches = (0 until 3).map(b => rows.where(abs(hash(col("tok"))) % 3 === b))
+    val absorbed = batches.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      (st, b) => Some(SketchOps.mgAbsorb(st, b, "tok", k).localCheckpoint(true))
+    }.get.collect()
+    val an = absorbed.head.getAs[Long]("n_tot")
+    val adec = absorbed.head.getAs[Long]("dec")
+    assert(an == 820L && adec <= an / (k + 1),
+      s"absorbed dec $adec breaks the mergeable bound")
+    absorbed.foreach { r =>
+      val key = r.getAs[String]("key"); val lo = r.getAs[Long]("cnt_lo")
+      assert(lo <= truth(key) && truth(key) - lo <= adec)
+    }
+    assert(mustKeep.subsetOf(absorbed.map(_.getAs[String]("key")).toSet))
+    // uniform input with > k distinct keys compresses to nothing (the
+    // documented empty-summary caveat)
+    val uni = (0 until 20).flatMap(i => Seq.fill(3)(s"u$i")).toDF("tok")
+    assert(SketchOps.mgSummary(uni, "tok", k).count() == 0L)
+  }
+
+  test("mgMergeSummaries: shard-tree merge keeps bounds and k-row size") {
+    val left = (0 until 30).flatMap(i => Seq.fill(30 - i)(s"k$i")).toDF("tok")
+    val right = (0 until 30).flatMap(i => Seq.fill(if (i < 5) 50 else 2)(s"k$i")).toDF("tok")
+    val k = 8
+    val a = SketchOps.mgSummary(left, "tok", k).localCheckpoint(true)
+    val b = SketchOps.mgSummary(right, "tok", k).localCheckpoint(true)
+    val m = SketchOps.mgMergeSummaries(a, b, k).collect()
+    assert(m.nonEmpty && m.length <= k)
+    val n = m.head.getAs[Long]("n_tot"); val dec = m.head.getAs[Long]("dec")
+    val trueN = (0 until 30).map(i => (30L - i) + (if (i < 5) 50L else 2L)).sum
+    assert(n == trueN)
+    val truth = (0 until 30).map(i => s"k$i" -> ((30L - i) + (if (i < 5) 50L else 2L))).toMap
+    m.foreach { r =>
+      val key = r.getAs[String]("key"); val lo = r.getAs[Long]("cnt_lo")
+      assert(lo <= truth(key) && truth(key) - lo <= dec)
+    }
+    // k0..k4 (counts 80..76) dominate and must survive the merge
+    assert((0 until 5).map(i => s"k$i").toSet
+      .subsetOf(m.map(_.getAs[String]("key")).toSet))
+  }
 }

@@ -542,4 +542,32 @@ class CmsStreamSpec extends graft.SparkSpec {
     assert(storeRows() == oneShot)
     spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
   }
+
+  test("mgAbsorbStream: k-row store keeps the frequent-elements guarantee live") {
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "graft_stream_mg_store"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // Zipf-ish stream: key i appears (30 - i) times, i in 0..29; n = 465
+    val all = (0 until 30).flatMap(i => Seq.fill(30 - i)(s"k$i"))
+    val truth = (0 until 30).map(i => s"k$i" -> (30L - i)).toMap
+    val ms = MemoryStream[String]
+    val q = StreamingOps.mgAbsorbStream(ms.toDF().toDF("tok"), "tok", tbl, k = 8)()
+    try {
+      all.grouped(160).foreach { chunk =>
+        ms.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.table(tbl).collect()
+    assert(rows.nonEmpty && rows.length <= 8, s"store must stay <= k rows")
+    val n = rows.head.getAs[Long]("n_tot"); val dec = rows.head.getAs[Long]("dec")
+    assert(n == 465L && dec <= n / 9, s"dec $dec breaks the mergeable bound")
+    rows.foreach { r =>
+      val key = r.getAs[String]("key"); val lo = r.getAs[Long]("cnt_lo")
+      assert(lo <= truth(key) && truth(key) - lo <= dec)
+    }
+    // guaranteed survivors: true count > n/(k+1)
+    val mustKeep = truth.filter(_._2 > n / 9).keySet
+    assert(mustKeep.subsetOf(rows.map(_.getAs[String]("key")).toSet))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
+  }
 }
