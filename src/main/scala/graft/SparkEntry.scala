@@ -2613,6 +2613,34 @@ object SparkEntry {
         slack = 1L, threshold = 20L)
         .orderBy("event_type", "hidx")
     }),
+    // ── extension: STREAMING FIXED-TARGET CUSUM — cusumFixed's
+    //    (ΣY, min-prefix) monoid absorbed over three time-ordered,
+    //    bucket-aligned increments via StreamingOps.cusumAbsorbBatch;
+    //    by associativity the store's final state is EXACTLY the
+    //    one-shot detector's last-bucket state, which is the oracle
+    //    (closed form over the full corpus — ingestion invisible).
+    "q194_cusum_stream_absorb" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val ev = T(s, dir, "events")
+      val hx = call_function("div", graft.Tables.epochNs(col("ts")),
+        lit(3600L * 1000 * 1000 * 1000))
+      val b = ev.agg(min(hx).as("lo"), max(hx).as("hi")).head()
+      val (lo, hi) = (b.getAs[Long]("lo"), b.getAs[Long]("hi"))
+      val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * (hi - lo) / 3
+      val tbl = "graft_q194_cusum_store"
+      TableStore.dropTable(s, tbl)
+      Seq(hx <= cut1, hx > cut1 && hx <= cut2, hx > cut2).foreach { pred =>
+        graft.streaming.StreamingOps.cusumAbsorbBatch(
+          ev.where(pred), "event_type", "ts", tbl, mu0 = 1L, slack = 1L): Unit
+      }
+      s.table(tbl)
+        .withColumn("cusum",
+          col("p_total") - least(lit(0L), col("min_prefix")))
+        .withColumn("alarm", col("cusum") > lit(10L))
+        .select(col("g"), col("n_buckets"), col("p_total"),
+          col("min_prefix"), col("cusum"), col("alarm"))
+        .orderBy("g")
+    }),
     // ── extension: MISRA–GRIES HEAVY-HITTER STORE — three token
     //    increments absorbed through StreamingOps.mgAbsorbBatch (the
     //    foreachBatch body): exact batch counts, k-row counter merge,
@@ -6116,6 +6144,26 @@ object SparkEntry {
          SELECT event_type, hidx, cnt, n_buckets, cusum_scaled,
            cusum_scaled > 20 * n_buckets AS alarm
          FROM c ORDER BY event_type, hidx""",
+    // One-shot closed form over the full corpus: the monoid identity
+    // makes the 3-batch absorbed state equal the last-bucket CUSUM
+    // aggregates per key.
+    "q194_cusum_stream_absorb" ->
+      """WITH h AS (
+           SELECT event_type AS g, epoch_ns(ts) // 3600000000000 AS hidx,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         y AS (SELECT g, hidx, cnt - 1 - 1 AS yv FROM h),
+         p AS (SELECT g, hidx, yv, CAST(sum(yv) OVER (PARTITION BY g ORDER BY hidx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pv
+               FROM y),
+         st AS (SELECT g, CAST(count(*) AS BIGINT) AS n_buckets,
+                  CAST(sum(yv) AS BIGINT) AS p_total,
+                  CAST(min(pv) AS BIGINT) AS min_prefix
+                FROM p GROUP BY 1)
+         SELECT g, n_buckets, p_total, min_prefix,
+           p_total - least(0, min_prefix) AS cusum,
+           p_total - least(0, min_prefix) > 10 AS alarm
+         FROM st ORDER BY g""",
     // Replay of the exact 3-batch MG merge sequence: per-batch exact
     // counts, (k+1)-th-largest threshold subtract, positive survivors.
     "q193_mg_heavy_hitters" ->

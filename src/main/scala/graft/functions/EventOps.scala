@@ -169,6 +169,41 @@ object EventOps {
     * @param slack κ in counts/bucket (suppresses noise drift)
     * @param threshold h in CUSUM units (alarm level)
     * @return (typeCol, hidx, cnt, n_buckets, cusum_scaled, alarm) */
+  /** FIXED-TARGET one-sided upper CUSUM (the textbook Page 1954 form):
+    * drift y_t = x_t − μ₀ − κ against a KNOWN reference mean μ₀ instead
+    * of [[cusum]]'s per-key empirical mean. Everything is INTEGER (no
+    * n-scaling needed — μ₀ and κ are integer parameters), computed
+    * closed-form with the same two-window identity
+    * S_t = P_t − min(0, min_{j≤t} P_j).
+    *
+    * The fixed target makes the recurrence a MONOID over bucket
+    * segments: a segment contributes (ΣY, min-prefix), and
+    * (A·B).minPrefix = min(A.minPrefix, A.sum + B.minPrefix) — the
+    * basis of the streaming store ([[graft.streaming.StreamingOps
+    * .cusumAbsorbBatch]]), which [[cusum]]'s corpus-dependent μ can
+    * never have. Scale shape: one (key, hour) count aggregate + two
+    * key-partitioned windows over bucket-sized frames.
+    *
+    * @return (typeCol, hidx, cnt, cusum, alarm) per observed bucket */
+  def cusumFixed(events: DataFrame, typeCol: String, tsCol: String,
+                 mu0: Long, slack: Long = 0L, threshold: Long = 10L): DataFrame = {
+    require(threshold > 0 && slack >= 0,
+      s"threshold must be > 0 and slack >= 0, got $threshold/$slack")
+    val hidx = call_function("div", graft.Tables.epochNs(col(tsCol)),
+      lit(3600L * 1000 * 1000 * 1000))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(typeCol).orderBy(col("hidx"))
+      .rowsBetween(Long.MinValue, 0L)
+    events
+      .groupBy(col(typeCol), hidx.as("hidx"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__y", col("cnt") - lit(mu0) - lit(slack))
+      .withColumn("__p", sum("__y").over(wRun))
+      .withColumn("cusum", col("__p") - least(lit(0L), min("__p").over(wRun)))
+      .withColumn("alarm", col("cusum") > lit(threshold))
+      .select(typeCol, "hidx", "cnt", "cusum", "alarm")
+  }
+
   def cusum(events: DataFrame, typeCol: String, tsCol: String,
             slack: Long = 0L, threshold: Long = 10L): DataFrame = {
     require(slack >= 0 && threshold > 0,

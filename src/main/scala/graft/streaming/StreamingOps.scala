@@ -292,6 +292,75 @@ object StreamingOps {
     out
   }
 
+  /** ONE batch of fixed-target CUSUM state maintenance — the
+    * [[graft.functions.EventOps.cusumFixed]] monoid made operational:
+    * a bucket segment reduces to (n_buckets, p_total, min_prefix) per
+    * key, and segments CONCATENATE associatively —
+    * p = p_A + p_B, min_prefix = min(minP_A, p_A + minP_B) — so the
+    * keys-sized store replayed over time-ordered batches lands EXACTLY
+    * on the one-shot detector's final state (the q194 parity gate).
+    *
+    * Contract: batches must arrive in bucket order per key and no
+    * hourly bucket may STRADDLE a batch boundary (a split bucket would
+    * count twice with half mass each) — i.e. feed it bucket-aligned
+    * micro-batches, the natural shape of a watermarked hourly
+    * aggregation stream. Corpus cost per batch: one (key, hour) count
+    * aggregate + two windows over the BATCH's buckets; the store
+    * rewrite is keys-sized.
+    *
+    * @return merged store rows (g, n_buckets, p_total, min_prefix) */
+  def cusumAbsorbBatch(rows: DataFrame, typeCol: String, tsCol: String,
+                       storeTable: String, mu0: Long, slack: Long = 0L): DataFrame = {
+    val s = rows.sparkSession
+    val hidx = call_function("div", graft.Tables.epochNs(col(tsCol)),
+      lit(3600L * 1000 * 1000 * 1000))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("hidx"))
+      .rowsBetween(Long.MinValue, 0L)
+    val seg = rows
+      .groupBy(col(typeCol).as("g"), hidx.as("hidx"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__y", col("cnt") - lit(mu0) - lit(slack))
+      .withColumn("__p", sum("__y").over(wRun))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_buckets"), sum("__y").as("p_total"),
+        min("__p").as("min_prefix"))
+    val merged = if (s.catalog.tableExists(storeTable)) {
+      s.table(storeTable)
+        .select(col("g"), col("n_buckets").as("__na"), col("p_total").as("__pa"),
+          col("min_prefix").as("__ma"))
+        .join(seg.select(col("g"), col("n_buckets").as("__nb"),
+          col("p_total").as("__pb"), col("min_prefix").as("__mb")), Seq("g"), "full")
+        .select(col("g"),
+          (coalesce(col("__na"), lit(0L)) + coalesce(col("__nb"), lit(0L)))
+            .as("n_buckets"),
+          (coalesce(col("__pa"), lit(0L)) + coalesce(col("__pb"), lit(0L)))
+            .as("p_total"),
+          when(col("__ma").isNull, col("__mb"))
+            .when(col("__mb").isNull, col("__ma"))
+            .otherwise(least(col("__ma"), col("__pa") + col("__mb")))
+            .as("min_prefix"))
+    } else seg
+    val out = merged.localCheckpoint(true) // break lineage BEFORE overwrite
+    out.write.mode(SaveMode.Overwrite).saveAsTable(storeTable)
+    s.catalog.refreshTable(storeTable)
+    out
+  }
+
+  /** Continuous fixed-target CUSUM: an event stream absorbed into the
+    * keys-sized (n_buckets, p_total, min_prefix) store per micro-batch;
+    * the live alarm is one projection over the store —
+    * `p_total − least(0, min_prefix) > h`. */
+  def cusumAbsorbStream(rows: DataFrame, typeCol: String, tsCol: String,
+                        storeTable: String, mu0: Long, slack: Long = 0L)
+                       (onAbsorbed: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      onAbsorbed(cusumAbsorbBatch(batch.toDF(), typeCol, tsCol, storeTable,
+        mu0, slack), batchId)
+    }
+    rows.writeStream.outputMode("append").foreachBatch(body).start()
+  }
+
   /** ONE batch of Misra–Gries heavy-hitter store maintenance
     * ([[graft.functions.SketchOps.mgAbsorb]]): exact batch counts are
     * summed into the persisted k-row store's counters, compressed ONCE,

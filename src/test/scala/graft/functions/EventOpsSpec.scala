@@ -110,6 +110,27 @@ class EventOpsSpec extends SparkSpec {
     assert(expected == 5657L)
   }
 
+  test("cusumFixed matches the textbook recurrence against a known target") {
+    // counts [3,1,1,4,4,1], mu0=2, slack=0: y=[1,-1,-1,2,2,-1],
+    // P=[1,0,-1,1,3,2], S = P - min(0, runmin P) = [1,0,0,2,4,3]
+    def at(h: Int, m: Int) = ts(f"2024-01-01 $h%02d:$m%02d:00")
+    val counts = Seq(3, 1, 1, 4, 4, 1)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(m => (1L, at(h, m + 1), "click")) }
+    val out = EventOps.cusumFixed(rows.toDF("user_id", "ts", "event_type"),
+      "event_type", "ts", mu0 = 2L, slack = 0L, threshold = 3L)
+      .collect().sortBy(_.getAs[Long]("hidx"))
+    assert(out.map(_.getAs[Long]("cusum")).toList == List(1L, 0L, 0L, 2L, 4L, 3L))
+    assert(out.map(_.getAs[Boolean]("alarm")).toList ==
+      List(false, false, false, false, true, false))
+    // equals the direct max(0, S+y) fold for any slack
+    val direct = counts.scanLeft(0L) { (s, x) => math.max(0L, s + (x - 2L - 1L)) }.tail
+    val slacked = EventOps.cusumFixed(rows.toDF("user_id", "ts", "event_type"),
+      "event_type", "ts", mu0 = 2L, slack = 1L)
+      .collect().sortBy(_.getAs[Long]("hidx")).map(_.getAs[Long]("cusum"))
+    assert(slacked.toList == direct)
+  }
+
   test("cusum matches the hand-computed max(0, S+drift) recurrence") {
     // one key, hourly counts [1,1,1,5,5]: n=5, T=13, slack=0 →
     // y = 5x−13 = [-8,-8,-8,12,12]; P = [-8,-16,-24,-12,0];

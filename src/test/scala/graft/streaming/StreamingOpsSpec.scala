@@ -543,6 +543,47 @@ class CmsStreamSpec extends graft.SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
   }
 
+  test("cusumAbsorbStream: segment monoid replays the one-shot detector exactly") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "graft_stream_cusum_store"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // two keys with different shapes; counts per hour
+    val counts = Map("a" -> Seq(3, 1, 1, 4, 4, 1), "b" -> Seq(1, 1, 5, 1, 1, 1))
+    val all = counts.toSeq.flatMap { case (g, cs) =>
+      cs.zipWithIndex.flatMap { case (c, h) => (0 until c).map(m => (g, at(h, m + 1))) } }
+    // stream in three bucket-aligned, time-ordered chunks: hours [0,1], [2,3], [4,5]
+    val ms = MemoryStream[(String, Timestamp)]
+    val q = StreamingOps.cusumAbsorbStream(ms.toDF().toDF("g", "ts"),
+      "g", "ts", tbl, mu0 = 2L)()
+    try {
+      Seq(0 to 1, 2 to 3, 4 to 5).foreach { hrs =>
+        ms.addData(all.filter(r => hrs.contains(r._2.toLocalDateTime.getHour)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val store = spark.table(tbl).collect().map { r =>
+      r.getAs[String]("g") -> ((r.getAs[Long]("n_buckets"),
+        r.getAs[Long]("p_total"), r.getAs[Long]("min_prefix")))
+    }.toMap
+    // one-shot reference: final-state aggregates from cusumFixed's frame
+    // a: y=[1,-1,-1,2,2,-1] P=[1,0,-1,1,3,2]  -> (6, 2, -1)
+    // b: y=[-1,-1,3,-1,-1,-1] P=[-1,-2,1,0,-1,-2] -> (6, -2, -2)
+    assert(store == Map("a" -> ((6L, 2L, -1L)), "b" -> ((6L, -2L, -2L))), s"got $store")
+    // derived cusum S = P - min(0, minP): a -> 3, b -> 0
+    val s_a = store("a")._2 - math.min(0L, store("a")._3)
+    val s_b = store("b")._2 - math.min(0L, store("b")._3)
+    assert(s_a == 3L && s_b == 0L)
+    // matches the last row of the one-shot detector per key
+    val oneShot = graft.functions.EventOps.cusumFixed(all.toDF("g", "ts"), "g", "ts",
+        mu0 = 2L).collect()
+      .groupBy(_.getAs[String]("g")).view
+      .mapValues(_.maxBy(_.getAs[Long]("hidx")).getAs[Long]("cusum")).toMap
+    assert(oneShot == Map("a" -> s_a, "b" -> s_b))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
+  }
+
   test("mgAbsorbStream: k-row store keeps the frequent-elements guarantee live") {
     implicit val sqlCtx = spark.sqlContext
     val tbl = "graft_stream_mg_store"
