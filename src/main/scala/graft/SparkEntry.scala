@@ -2613,6 +2613,18 @@ object SparkEntry {
         slack = 1L, threshold = 20L)
         .orderBy("event_type", "hidx")
     }),
+    // ── extension: MMR DIVERSIFIED TOP-K (Carbonell & Goldstein 1998)
+    //    — greedy λ·rel − (1−λ)·maxsim selection over a 20-candidate
+    //    brute pool, 3 probes advanced together; micro-quantized
+    //    integer scores with id tie-breaks make the whole selection
+    //    sequence engine-reproducible (the oracle replays all 5 steps).
+    "q195_mmr_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 3)
+      SimilarityOps.mmrTopK(emb, probes, "vec_id", "vec_id", "embedding",
+        k = 5, poolSize = 20, lambdaMicro = 700000L)
+        .orderBy("probe_id", "step")
+    }),
     // ── extension: STREAMING FIXED-TARGET CUSUM — cusumFixed's
     //    (ΣY, min-prefix) monoid absorbed over three time-ordered,
     //    bucket-aligned increments via StreamingOps.cusumAbsorbBatch;
@@ -6144,6 +6156,84 @@ object SparkEntry {
          SELECT event_type, hidx, cnt, n_buckets, cusum_scaled,
            cusum_scaled > 20 * n_buckets AS alarm
          FROM c ORDER BY event_type, hidx""",
+    // Brute 20-pool per probe, micro-quantized rel/sim, then the 5
+    // greedy steps unrolled: anti-join selected, max-sim join, integer
+    // argmax with id tie-break — the exact Spark selection replayed.
+    "q195_mmr_topk" ->
+      """WITH nrm AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+           FROM embeddings),
+         sc AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS cand,
+             list_sum(list_transform(range(1, len(c.embedding) + 1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+             / (c.n * p.n) AS cos
+           FROM nrm c, nrm p
+           WHERE p.vec_id < 3 AND c.vec_id <> p.vec_id AND c.n > 0 AND p.n > 0),
+         pool AS (
+           SELECT probe_id, cand, CAST(floor(cos * 1000000.0) AS BIGINT) AS rel
+           FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                   ORDER BY cos DESC, cand) AS rn FROM sc)
+           WHERE rn <= 20),
+         pv AS (SELECT pl.probe_id, pl.cand, pl.rel, e.embedding, e.n
+                FROM pool pl JOIN nrm e ON e.vec_id = pl.cand),
+         sims AS (
+           SELECT a.probe_id, a.cand, b.cand AS sel,
+             CAST(floor(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (a.n * b.n) * 1000000.0) AS BIGINT) AS sim_micro
+           FROM pv a JOIN pv b
+             ON a.probe_id = b.probe_id AND a.cand <> b.cand),
+         s1 AS (SELECT probe_id, 1 AS step, cand, rel FROM (
+             SELECT *, row_number() OVER (PARTITION BY probe_id
+               ORDER BY rel DESC, cand) AS rn FROM pool) WHERE rn = 1),
+         u1 AS (SELECT probe_id, cand FROM s1),
+         c2 AS (SELECT p.probe_id, p.cand, p.rel, max(s.sim_micro) AS ms
+                FROM pool p
+                LEFT JOIN u1 q ON q.probe_id = p.probe_id AND q.cand = p.cand
+                JOIN sims s ON s.probe_id = p.probe_id AND s.cand = p.cand
+                JOIN u1 r ON r.probe_id = s.probe_id AND r.cand = s.sel
+                WHERE q.cand IS NULL GROUP BY 1, 2, 3),
+         s2 AS (SELECT probe_id, 2 AS step, cand, rel FROM (
+             SELECT *, row_number() OVER (PARTITION BY probe_id
+               ORDER BY 700000 * rel - 300000 * ms DESC, cand) AS rn FROM c2) WHERE rn = 1),
+         u2 AS (SELECT * FROM u1 UNION ALL SELECT probe_id, cand FROM s2),
+         c3 AS (SELECT p.probe_id, p.cand, p.rel, max(s.sim_micro) AS ms
+                FROM pool p
+                LEFT JOIN u2 q ON q.probe_id = p.probe_id AND q.cand = p.cand
+                JOIN sims s ON s.probe_id = p.probe_id AND s.cand = p.cand
+                JOIN u2 r ON r.probe_id = s.probe_id AND r.cand = s.sel
+                WHERE q.cand IS NULL GROUP BY 1, 2, 3),
+         s3 AS (SELECT probe_id, 3 AS step, cand, rel FROM (
+             SELECT *, row_number() OVER (PARTITION BY probe_id
+               ORDER BY 700000 * rel - 300000 * ms DESC, cand) AS rn FROM c3) WHERE rn = 1),
+         u3 AS (SELECT * FROM u2 UNION ALL SELECT probe_id, cand FROM s3),
+         c4 AS (SELECT p.probe_id, p.cand, p.rel, max(s.sim_micro) AS ms
+                FROM pool p
+                LEFT JOIN u3 q ON q.probe_id = p.probe_id AND q.cand = p.cand
+                JOIN sims s ON s.probe_id = p.probe_id AND s.cand = p.cand
+                JOIN u3 r ON r.probe_id = s.probe_id AND r.cand = s.sel
+                WHERE q.cand IS NULL GROUP BY 1, 2, 3),
+         s4 AS (SELECT probe_id, 4 AS step, cand, rel FROM (
+             SELECT *, row_number() OVER (PARTITION BY probe_id
+               ORDER BY 700000 * rel - 300000 * ms DESC, cand) AS rn FROM c4) WHERE rn = 1),
+         u4 AS (SELECT * FROM u3 UNION ALL SELECT probe_id, cand FROM s4),
+         c5 AS (SELECT p.probe_id, p.cand, p.rel, max(s.sim_micro) AS ms
+                FROM pool p
+                LEFT JOIN u4 q ON q.probe_id = p.probe_id AND q.cand = p.cand
+                JOIN sims s ON s.probe_id = p.probe_id AND s.cand = p.cand
+                JOIN u4 r ON r.probe_id = s.probe_id AND r.cand = s.sel
+                WHERE q.cand IS NULL GROUP BY 1, 2, 3),
+         s5 AS (SELECT probe_id, 5 AS step, cand, rel FROM (
+             SELECT *, row_number() OVER (PARTITION BY probe_id
+               ORDER BY 700000 * rel - 300000 * ms DESC, cand) AS rn FROM c5) WHERE rn = 1),
+         allsel AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+           UNION ALL SELECT * FROM s5)
+         SELECT probe_id, step, cand AS nbr_id, rel AS rel_micro
+         FROM allsel ORDER BY probe_id, step""",
     // One-shot closed form over the full corpus: the monoid identity
     // makes the 3-batch absorbed state equal the last-bucket CUSUM
     // aggregates per key.

@@ -242,6 +242,84 @@ object SimilarityOps {
     * 367 to 673 milli at the same seed), never from widening the probe.
     *
     * @return (probe_id, nbr_id, score, rank) edges, rank ≤ k per node */
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein 1998):
+    * greedily pick k results that are relevant to the query but
+    * DISSIMILAR to what's already picked —
+    * argmax_d λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the standard
+    * diversification layer over any ANN pool (dedup'd retrieval,
+    * diverse few-shot example selection, coreset sampling for labeling).
+    *
+    * Engine-portable greed: relevance and pairwise similarity quantize
+    * to MICRO units (⌊10⁶·cos⌋ — [[graft.expr.VDot]]'s in-order double
+    * fold is bit-identical to the unrolled SQL form), the step score is
+    * the INTEGER λ_micro·rel − (10⁶−λ_micro)·maxsim, and ties break by
+    * id — so the whole selection sequence is reproducible anywhere.
+    *
+    * Scale shape: ONE [[bruteForceTopK]] pass pools `poolSize`
+    * candidates per probe (corpus map-only, probes broadcast); the
+    * pool's pairwise sims are a per-probe poolSize² self-join of
+    * MODEL-sized frames; then k − 1 greedy steps, each ONE window over
+    * the pool — work is probes · poolSize² · k, independent of corpus
+    * size after the pooling pass. Probes batch: every step advances ALL
+    * probes at once (k sequential plan steps total, not k per probe).
+    *
+    * @param lambdaMicro λ in micro units (700000 = 0.7 relevance weight)
+    * @return (probe_id, step, nbr_id, rel_micro): the selection
+    *         sequence, step 1..k per probe */
+  def mmrTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+              probeIdCol: String, vecCol: String, k: Int = 5,
+              poolSize: Int = 20, lambdaMicro: Long = 700000L): DataFrame = {
+    require(k >= 1 && poolSize >= k && lambdaMicro >= 0 && lambdaMicro <= 1000000L,
+      s"need 1 <= k <= poolSize and lambdaMicro in [0, 1e6], got $k/$poolSize/$lambdaMicro")
+    val pool = bruteForceTopK(corpus, probes, idCol, probeIdCol, vecCol, poolSize)
+      .withColumn("rel_micro", floor(col("score") * lit(1e6)).cast("long"))
+      .select("probe_id", "nbr_id", "rel_micro")
+      .localCheckpoint(false)
+    val vecs = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
+      vnorm(col(vecCol)).as("__n")).where(col("__n") > 0)
+    val pv = pool.join(vecs, pool("nbr_id") === vecs("__vid"))
+      .select(col("probe_id"), col("nbr_id"), col("rel_micro"),
+        col("__v"), col("__n"))
+    val sims = pv.alias("a")
+      .join(pv.alias("b"), col("a.probe_id") === col("b.probe_id")
+        && col("a.nbr_id") =!= col("b.nbr_id"))
+      .select(col("a.probe_id").as("probe_id"), col("a.nbr_id").as("cand"),
+        col("b.nbr_id").as("sel"),
+        floor(vdot(col("a.__v"), col("b.__v")) / (col("a.__n") * col("b.__n"))
+          * lit(1e6)).cast("long").as("sim_micro"))
+      .localCheckpoint(false)
+    val wSel = Window.partitionBy("probe_id")
+      .orderBy(col("__mmr").desc, col("nbr_id").asc)
+    val inter = scala.collection.mutable.Buffer[DataFrame](pool, sims)
+    var selected = pool
+      .withColumn("__mmr", col("rel_micro") * lit(lambdaMicro))
+      .withColumn("__rn", row_number().over(wSel)).where(col("__rn") === 1)
+      .select(col("probe_id"), lit(1).as("step"), col("nbr_id"), col("rel_micro"))
+      .localCheckpoint(false)
+    inter += selected
+    for (i <- 2 to k) {
+      val maxSim = sims
+        .join(selected.select(col("probe_id"), col("nbr_id").as("sel")),
+          Seq("probe_id", "sel"))
+        .groupBy("probe_id", "cand").agg(max("sim_micro").as("__ms"))
+      val next = pool
+        .join(selected.select(col("probe_id"), col("nbr_id")),
+          Seq("probe_id", "nbr_id"), "left_anti")
+        .join(maxSim, pool("probe_id") === maxSim("probe_id")
+          && pool("nbr_id") === maxSim("cand"))
+        .select(pool("probe_id"), col("nbr_id"), col("rel_micro"),
+          (col("rel_micro") * lit(lambdaMicro)
+            - col("__ms") * lit(1000000L - lambdaMicro)).as("__mmr"))
+        .withColumn("__rn", row_number().over(wSel)).where(col("__rn") === 1)
+        .select(col("probe_id"), lit(i).as("step"), col("nbr_id"), col("rel_micro"))
+      selected = selected.union(next).localCheckpoint(false)
+      inter += selected
+    }
+    val out = selected.localCheckpoint(true)
+    inter.foreach(GraphOps.releaseLocalCheckpoint)
+    out
+  }
+
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame, centroidIdCol: String, k: Int = 10,
                probeFraction: Double = 0.02, minProbe: Int = 2): DataFrame =

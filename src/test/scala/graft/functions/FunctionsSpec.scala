@@ -1034,6 +1034,24 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(rows(2L) == ((0L, 2L, true)) && rows(3L) == ((0L, 2L, false)))
     assert(rows(10L) == ((10L, 10L, true)) && rows(11L) == ((10L, 10L, false)))
   }
+
+  test("mmrTopK diversifies: the near-dup loses its greedy slot to the diverse doc") {
+    // a ~ query; b a near-dup of a; c diverse but relevant; cos(q,·):
+    // a .9487, b .9285, c .7071; sim(a,b) .9983, sim(a,c) .4472
+    val corpus = Seq(
+      (10L, Array(3f, 1f, 0f)), (11L, Array(3f, 1.2f, 0f)),
+      (12L, Array(1f, -1f, 0f))).toDF("vec_id", "embedding")
+    val probe = Seq((99L, Array(1f, 0f, 0f))).toDF("pid", "embedding")
+    def seq(lm: Long) = SimilarityOps.mmrTopK(corpus, probe, "vec_id", "pid",
+        "embedding", k = 3, poolSize = 3, lambdaMicro = lm)
+      .orderBy("step").collect().map(_.getAs[Long]("nbr_id")).toList
+    // λ=0.7: step2 trades b's relevance against its .998 sim to a → c
+    assert(seq(700000L) == List(10L, 12L, 11L))
+    // pure relevance (λ=1) is exactly the brute ranking
+    assert(seq(1000000L) == List(10L, 11L, 12L))
+    // maximal diversity pressure still picks the best first
+    assert(seq(0L).head == 10L)
+  }
 }
 
 class MultimodalOpsSpec extends SparkSpec {
