@@ -2613,6 +2613,17 @@ object SparkEntry {
         slack = 1L, threshold = 20L)
         .orderBy("event_type", "hidx")
     }),
+    // ── extension: BINARY-QUANTIZATION ANN — sign bits packed into two
+    //    nonnegative 32-bit words (BIGINT-safe in both engines), Hamming
+    //    xor+popcount prefilter to C=50, exact cosine rerank: the 1-bit
+    //    memory rung under SQ8 (q186) and PQ (q166/q185), no codebook.
+    "q196_bq_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 5)
+      SimilarityOps.bqTopK(emb, probes, "vec_id", "vec_id", "embedding",
+        dim = 64, k = 10, candSize = 50)
+        .orderBy("probe_id", "rank")
+    }),
     // ── extension: MMR DIVERSIFIED TOP-K (Carbonell & Goldstein 1998)
     //    — greedy λ·rel − (1−λ)·maxsim selection over a 20-candidate
     //    brute pool, 3 probes advanced together; micro-quantized
@@ -6156,6 +6167,37 @@ object SparkEntry {
          SELECT event_type, hidx, cnt, n_buckets, cusum_scaled,
            cusum_scaled > 20 * n_buckets AS alarm
          FROM c ORDER BY event_type, hidx""",
+    // Sign-bit words -> xor/bit_count Hamming -> top-50 by (hamming,
+    // id) -> exact cosine rerank, rank ties by id.
+    "q196_bq_topk" ->
+      """WITH bq AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n,
+             CAST(list_sum(list_transform(range(1, 33),
+               i -> CASE WHEN embedding[i] > 0 THEN 2 ** (i - 1) ELSE 0 END)) AS BIGINT) AS w0,
+             CAST(list_sum(list_transform(range(33, 65),
+               i -> CASE WHEN embedding[i] > 0 THEN 2 ** (i - 33) ELSE 0 END)) AS BIGINT) AS w1
+           FROM embeddings),
+         hm AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+             CAST(bit_count(xor(c.w0, p.w0)) + bit_count(xor(c.w1, p.w1)) AS BIGINT) AS hamming,
+             list_sum(list_transform(range(1, len(c.embedding) + 1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+             / (c.n * p.n) AS cos
+           FROM bq c, bq p
+           WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id AND c.n > 0 AND p.n > 0),
+         cand AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY probe_id
+               ORDER BY hamming, nbr_id) AS hrn FROM hm)
+           WHERE hrn <= 50)
+         SELECT probe_id, nbr_id, hamming, rank FROM (
+           SELECT probe_id, nbr_id, hamming,
+             CAST(row_number() OVER (PARTITION BY probe_id
+               ORDER BY cos DESC, nbr_id) AS INT) AS rank
+           FROM cand)
+         WHERE rank <= 10 ORDER BY probe_id, rank""",
     // Brute 20-pool per probe, micro-quantized rel/sim, then the 5
     // greedy steps unrolled: anti-join selected, max-sim join, integer
     // argmax with id tie-break — the exact Spark selection replayed.

@@ -320,6 +320,77 @@ object SimilarityOps {
     out
   }
 
+  /** Sign bits of a float vector packed into ⌈dim/32⌉ NONNEGATIVE
+    * 32-bit words (bit i of word w = coord 32w+i > 0) — BIGINT-safe in
+    * any engine, no two's-complement pitfalls. One aggregate over the
+    * dim sequence per word; pure built-ins, codegen'd. */
+  def bqWords(vec: Column, dim: Int): Seq[Column] = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    (0 until (dim + 31) / 32).map { w =>
+      val hi = math.min((w + 1) * 32, dim) - 1
+      aggregate(sequence(lit(w * 32), lit(hi)), lit(0L), (acc, i) =>
+        acc + when(element_at(vec, (i + 1).cast("int")) > 0,
+          call_function("shiftleft", lit(1L), (i - lit(w * 32)).cast("int")))
+          .otherwise(lit(0L)))
+    }
+  }
+
+  /** BINARY-QUANTIZATION ANN (1 bit/dim; Charikar 2002's sign-hash as a
+    * memory tier): Hamming prefilter over packed sign words → exact
+    * cosine rerank of the C survivors. The cheapest quantization rung
+    * below [[sq8TopK]] (8 bit) and [[graft.functions.PqOps.pqTopK]]
+    * (~1 byte/subspace): 64 dims become TWO xor+popcount words — a 16×
+    * memory cut and no codebook to train, at the recall cost the spec
+    * measures honestly (sign bits ignore magnitude entirely).
+    *
+    * Scale shape: the corpus scan computes 2 longs per row map-side
+    * (probes broadcast); the per-probe top-C window carries only
+    * (probe, nbr, hamming) integers; the exact rerank re-joins C·probes
+    * ids against the corpus on the 8-byte key — vectors never ride the
+    * shuffle. Deterministic: Hamming ties at the C boundary and cosine
+    * rank ties both break by id.
+    *
+    * @param candSize C survivors reranked exactly per probe (≥ k)
+    * @return (probe_id, nbr_id, hamming, rank), rank 1..k by exact cosine */
+  def bqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+             probeIdCol: String, vecCol: String, dim: Int,
+             k: Int = 10, candSize: Int = 50): DataFrame = {
+    require(candSize >= k && k >= 1, s"need candSize >= k >= 1, got $candSize/$k")
+    GraftFunctions.register(corpus.sparkSession)
+    val words = bqWords(col(vecCol), dim)
+    val c = corpus.select(col(idCol).as("nbr_id") +:
+      vnorm(col(vecCol)).as("__cn") +:
+      words.zipWithIndex.map { case (w, i) => w.as(s"__cw$i") }: _*)
+      .where(col("__cn") > 0)
+    val p = probes.select(col(probeIdCol).as("probe_id") +:
+      col(vecCol).as("__pv") +: vnorm(col(vecCol)).as("__pn") +:
+      words.zipWithIndex.map { case (w, i) => w.as(s"__pw$i") }: _*)
+      .where(col("__pn") > 0)
+    val joined = c.crossJoin(broadcast(p))
+    val both = if (idCol == probeIdCol)
+      joined.where(col("nbr_id") =!= col("probe_id")) else joined
+    val ham = words.indices.map(i =>
+        call_function("bit_count", col(s"__cw$i").bitwiseXOR(col(s"__pw$i"))))
+      .reduce(_ + _).cast("long")
+    val wH = Window.partitionBy("probe_id")
+      .orderBy(col("hamming").asc, col("nbr_id").asc)
+    val cands = both.withColumn("hamming", ham)
+      .select("probe_id", "nbr_id", "hamming")
+      .withColumn("__hrn", row_number().over(wH)).where(col("__hrn") <= candSize)
+    val vecs = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
+      vnorm(col(vecCol)).as("__cn")).where(col("__cn") > 0)
+    val pvecs = probes.select(col(probeIdCol).as("probe_id"),
+      col(vecCol).as("__pv"), vnorm(col(vecCol)).as("__pn"))
+      .where(col("__pn") > 0)
+    val wS = Window.partitionBy("probe_id")
+      .orderBy(col("__score").desc, col("nbr_id").asc)
+    cands.join(vecs, Seq("nbr_id")).join(broadcast(pvecs), Seq("probe_id"))
+      .withColumn("__score",
+        vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn")))
+      .withColumn("rank", row_number().over(wS)).where(col("rank") <= k)
+      .select("probe_id", "nbr_id", "hamming", "rank")
+  }
+
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame, centroidIdCol: String, k: Int = 10,
                probeFraction: Double = 0.02, minProbe: Int = 2): DataFrame =

@@ -1035,6 +1035,52 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(rows(10L) == ((10L, 10L, true)) && rows(11L) == ((10L, 10L, false)))
   }
 
+  test("bqWords packs sign bits into nonnegative 32-bit words") {
+    val df = Seq((1L, Array(1f, -1f, 0f, 2f, -3f)),
+      (2L, (0 until 40).map(i => if (i == 0 || i == 39) 1f else -1f).toArray))
+      .toDF("id", "v")
+    val out = df.select(col("id"),
+        SimilarityOps.bqWords(col("v"), 5)(0).as("w5_0"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("w5_0")).toMap
+    // coords > 0 at dims 0 and 3 → bits 0 and 3 → 9
+    assert(out(1L) == 9L)
+    val w40 = df.where(col("id") === 2)
+      .select(SimilarityOps.bqWords(col("v"), 40)(0).as("a"),
+        SimilarityOps.bqWords(col("v"), 40)(1).as("b")).head()
+    // dim 0 → word0 bit 0; dim 39 → word1 bit 7; everything nonnegative
+    assert(w40.getAs[Long]("a") == 1L && w40.getAs[Long]("b") == 128L)
+  }
+
+  test("bqTopK: full-candidate config equals brute ranks; sign clusters route Hamming") {
+    // two sign-separable clusters: A has +first-half, B has -first-half
+    val rnd = new scala.util.Random(7)
+    def vec(cluster: Int) = (0 until 64).map { i =>
+      val base = if ((i < 32) == (cluster == 0)) 1f else -1f
+      base * (0.5f + rnd.nextFloat())
+    }.toArray
+    val corpus = ((0L to 19L).map(i => (i, vec(0))) ++
+      (20L to 39L).map(i => (i, vec(1)))).toDF("vec_id", "embedding")
+    val probes = corpus.where(col("vec_id") === 0 || col("vec_id") === 25)
+    val bq = SimilarityOps.bqTopK(corpus, probes, "vec_id", "vec_id",
+      "embedding", dim = 64, k = 5, candSize = 40).collect()
+    // every neighbor of probe 0 is in cluster A, of probe 25 in cluster B
+    bq.foreach { r =>
+      val p = r.getAs[Long]("probe_id"); val n = r.getAs[Long]("nbr_id")
+      assert((p < 20) == (n < 20), s"probe $p got cross-cluster nbr $n")
+    }
+    // candSize = corpus ⇒ ranks equal the exact brute ranking
+    val brute = SimilarityOps.bruteForceTopK(corpus, probes, "vec_id", "vec_id",
+        "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("nbr_id")).toMap
+    bq.foreach { r =>
+      assert(brute((r.getAs[Long]("probe_id"), r.getAs[Int]("rank"))) ==
+        r.getAs[Long]("nbr_id"))
+    }
+    // in-cluster hamming strictly below cross-cluster separation (32 flips)
+    assert(bq.forall(_.getAs[Long]("hamming") < 32L))
+  }
+
   test("mmrTopK diversifies: the near-dup loses its greedy slot to the diverse doc") {
     // a ~ query; b a near-dup of a; c diverse but relevant; cos(q,·):
     // a .9487, b .9285, c .7071; sim(a,b) .9983, sim(a,c) .4472
