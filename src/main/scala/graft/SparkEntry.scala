@@ -2613,6 +2613,28 @@ object SparkEntry {
         slack = 1L, threshold = 20L)
         .orderBy("event_type", "hidx")
     }),
+    // ── extension: DDSKETCH QUANTILE STORE (Masson et al. VLDB 2019) —
+    //    log-γ binned token-count histograms per source, absorbed over
+    //    three increments via StreamingOps.ddAbsorbBatch; the merge is
+    //    plain addition so the absorbed store ≡ the one-shot corpus
+    //    histogram EXACTLY and p50/p95/p99 reads keep the relative-α
+    //    guarantee mid-ingestion. Oracle = one-shot bins + crossing.
+    "q197_dd_quantile_store" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val vals = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("tok"))
+      val tbl = "graft_q197_dd_store"
+      TableStore.dropTable(s, tbl)
+      Seq(0L, 1L, 2L).foreach { b =>
+        graft.streaming.StreamingOps.ddAbsorbBatch(
+          vals.where(pmod(col("doc_id"), lit(3)) === b).select("source", "tok"),
+          "source", "tok", tbl, gammaMilli = 1250L): Unit
+      }
+      graft.functions.SketchOps
+        .ddQuantiles(s.table(tbl), Seq(500L, 950L, 990L), gammaMilli = 1250L)
+        .orderBy("g", "q_milli")
+    }),
     // ── extension: BINARY-QUANTIZATION ANN — sign bits packed into two
     //    nonnegative 32-bit words (BIGINT-safe in both engines), Hamming
     //    xor+popcount prefilter to C=50, exact cosine rerank: the 1-bit
@@ -6167,6 +6189,31 @@ object SparkEntry {
          SELECT event_type, hidx, cnt, n_buckets, cusum_scaled,
            cusum_scaled > 20 * n_buckets AS alarm
          FROM c ORDER BY event_type, hidx""",
+    // One-shot log-1.25 bins over per-doc token counts (sum-merge makes
+    // batch order invisible), integer cumulative crossing per quantile,
+    // single closed-form float per output row.
+    "q197_dd_quantile_store" ->
+      """WITH tc AS (
+           SELECT source AS g,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+             END AS tok
+           FROM documents),
+         h AS (SELECT g, CAST(ceil(ln(CAST(tok AS DOUBLE)) / ln(1.25)) AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS cnt
+               FROM tc WHERE tok >= 1 GROUP BY 1, 2),
+         c AS (SELECT g, bin, cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                 CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+               FROM h),
+         q AS (SELECT unnest([500, 950, 990]) AS q_milli)
+         SELECT c.g, CAST(q.q_milli AS BIGINT) AS q_milli, c.bin,
+           CAST(floor(2000.0 * pow(1.25, CAST(c.bin AS DOUBLE)) / 2.25) AS BIGINT) AS est_milli
+         FROM c CROSS JOIN q
+         WHERE c.cum * 1000 >= q.q_milli * c.n
+           AND (c.cum - c.cnt) * 1000 < q.q_milli * c.n
+         ORDER BY g, q_milli""",
     // Sign-bit words -> xor/bit_count Hamming -> top-50 by (hamming,
     // id) -> exact cosine rerank, rank ties by id.
     "q196_bq_topk" ->

@@ -268,6 +268,70 @@ object SketchOps {
       .agg(coalesce(min(coalesce(col("ip"), lit(0L))), lit(0L)).as("est"))
   }
 
+  /** DDSketch-style log-binned histogram (Masson, Rim & Lee, VLDB 2019):
+    * positive integer values bin to i = ⌈ln(v)/ln(γ)⌉, giving a
+    * RELATIVE-error quantile guarantee of α where γ = (1+α)/(1−α) —
+    * the distribution profile (token counts, durations, sizes) in
+    * O(log_γ(max)) counters per group. Unlike `percentile_approx`
+    * (order-dependent, engine-specific) the sketch is deterministic and
+    * MERGEABLE BY PLAIN ADDITION, so any batch/shard/stream merge tree
+    * lands on the identical histogram — the [[kmvSketch]]-grade parity
+    * property the quantile family was missing.
+    *
+    * γ arrives in milli-units (1250 → γ=1.25, α≈11%); 1.25 is exactly
+    * representable in binary, and ⌈ln(v)/ln(γ)⌉ on integer v is the
+    * same double in any engine. Rows with value < 1 are dropped (log
+    * bins are for positive support — count them separately if they
+    * matter). Scale shape: ONE (group, bin) count aggregate with
+    * map-side partials; output is groups × ~log_γ(max) rows.
+    *
+    * @return (g, bin, cnt) */
+  def ddHistogram(df: DataFrame, groupCol: String, valCol: String,
+                  gammaMilli: Long = 1250L): DataFrame = {
+    require(gammaMilli > 1000L, s"gamma must exceed 1.0, got $gammaMilli milli")
+    val g = gammaMilli.toDouble / 1000.0
+    df.where(col(valCol) >= 1)
+      .groupBy(col(groupCol).as("g"),
+        ceil(log(col(valCol).cast("double")) / lit(math.log(g)))
+          .cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a [[ddHistogram]]: per group, the q-th
+    * quantile is the value x_i = 2γ^i/(γ+1) of the smallest bin whose
+    * cumulative count reaches ⌈q·n⌉ — within relative α of the true
+    * quantile by the bin guarantee. Bin selection is pure integer
+    * cumulative arithmetic (one window over the group's ~log_γ(max)
+    * bins); the single closed-form float per output row is the
+    * engine-portable float discipline (measured: the floor boundary of
+    * 2000·1.25^k/2.25 stays ≥ 1.2e−10 relative away from an integer
+    * for all k ≤ 59 — six orders above any cross-engine pow ulp).
+    *
+    * @param quantilesMilli quantiles in milli-units (500 = median)
+    * @return (g, q_milli, bin, est_milli = ⌊1000·2γ^bin/(γ+1)⌋) */
+  def ddQuantiles(hist: DataFrame, quantilesMilli: Seq[Long],
+                  gammaMilli: Long = 1250L): DataFrame = {
+    require(quantilesMilli.nonEmpty &&
+      quantilesMilli.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be in [1, 1000] milli (q=0 has no crossing bin), got $quantilesMilli")
+    val g = gammaMilli.toDouble / 1000.0
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy("bin")
+      .rowsBetween(Long.MinValue, 0L)
+    val cum = hist
+      .withColumn("__cum", sum("cnt").over(w))
+      .withColumn("__n", sum("cnt").over(Window.partitionBy("g")))
+    val sp = hist.sparkSession
+    import sp.implicits._
+    val qs = quantilesMilli.toDF("q_milli")
+    cum.crossJoin(broadcast(qs))
+      .where(col("__cum") * 1000 >= col("q_milli") * col("__n")
+        && (col("__cum") - col("cnt")) * 1000 < col("q_milli") * col("__n"))
+      .select(col("g"), col("q_milli"), col("bin"),
+        floor(lit(1000.0 * 2.0) * pow(lit(g), col("bin").cast("double"))
+          / lit(g + 1.0)).cast("long").as("est_milli"))
+  }
+
   /** MG compression of an exactly-counted (key, cnt) frame: subtract the
     * (k+1)-th largest count from every counter and keep the positive
     * remainder — at most k survivors. The threshold is a multiset

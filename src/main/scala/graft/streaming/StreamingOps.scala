@@ -292,6 +292,44 @@ object StreamingOps {
     out
   }
 
+  /** ONE batch of DDSketch histogram-store maintenance
+    * ([[graft.functions.SketchOps.ddHistogram]]): bin the batch, sum
+    * counts into the persisted (g, bin, cnt) store, Overwrite. The
+    * merge is PLAIN ADDITION — fully associative and commutative — so
+    * the absorbed store equals the one-shot corpus histogram EXACTLY
+    * under any batch order or tree (the q197 parity gate), and every
+    * [[graft.functions.SketchOps.ddQuantiles]] read keeps the relative-α
+    * guarantee mid-ingestion. Store is groups × ~log_γ(max) rows;
+    * corpus cost per batch is one (g, bin) count aggregate over the
+    * BATCH. */
+  def ddAbsorbBatch(rows: DataFrame, groupCol: String, valCol: String,
+                    storeTable: String, gammaMilli: Long = 1250L): DataFrame = {
+    val s = rows.sparkSession
+    val b = graft.functions.SketchOps.ddHistogram(rows, groupCol, valCol, gammaMilli)
+    val merged = if (s.catalog.tableExists(storeTable)) {
+      s.table(storeTable).union(b)
+        .groupBy("g", "bin").agg(sum("cnt").as("cnt"))
+    } else b
+    val out = merged.localCheckpoint(true) // break lineage BEFORE overwrite
+    out.write.mode(SaveMode.Overwrite).saveAsTable(storeTable)
+    s.catalog.refreshTable(storeTable)
+    out
+  }
+
+  /** Continuous distribution profiling: a (group, value) stream absorbed
+    * into the persisted log-binned histogram per micro-batch — p50/p95
+    * (and any quantile) stay queryable with the relative-error bound
+    * while ingestion runs. */
+  def ddAbsorbStream(rows: DataFrame, groupCol: String, valCol: String,
+                     storeTable: String, gammaMilli: Long = 1250L)
+                    (onAbsorbed: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      onAbsorbed(ddAbsorbBatch(batch.toDF(), groupCol, valCol, storeTable,
+        gammaMilli), batchId)
+    }
+    rows.writeStream.outputMode("append").foreachBatch(body).start()
+  }
+
   /** ONE batch of fixed-target CUSUM state maintenance — the
     * [[graft.functions.EventOps.cusumFixed]] monoid made operational:
     * a bucket segment reduces to (n_buckets, p_total, min_prefix) per

@@ -156,6 +156,45 @@ class SketchOpsSpec extends SparkSpec {
     assert(uk == merged)
   }
 
+  test("ddHistogram/ddQuantiles: relative-error guarantee; sum-merge parity") {
+    // log-uniform-ish values 1..1000 per group
+    val rnd = new scala.util.Random(11)
+    val vals = (1 to 2000).map(_ => ("a", math.max(1L,
+      math.round(math.exp(rnd.nextDouble() * math.log(1000.0)))))) ++
+      (1 to 500).map(i => ("b", i.toLong))
+    val df = vals.toDF("src", "v")
+    val hist = SketchOps.ddHistogram(df, "src", "v").localCheckpoint(true)
+    // bin rule: v=1 -> 0; v=2 -> ceil(ln2/ln1.25)=4
+    val bins = SketchOps.ddHistogram(Seq(("x", 1L), ("x", 2L)).toDF("s", "v"), "s", "v")
+      .collect().map(r => r.getAs[Long]("bin")).sorted
+    assert(bins.toList == List(0L, 4L))
+    // every estimated quantile within the α = (γ−1)/(γ+1) = 1/9 bound
+    val qs = SketchOps.ddQuantiles(hist, Seq(500L, 950L, 990L)).collect()
+    val byKey = vals.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    qs.foreach { r =>
+      val g = r.getAs[String]("g"); val q = r.getAs[Long]("q_milli")
+      val est = r.getAs[Long]("est_milli") / 1000.0
+      val sortedVals = byKey(g)
+      val trueQ = sortedVals(math.min(sortedVals.size - 1,
+        math.ceil(q / 1000.0 * sortedVals.size).toInt - 1)).toDouble
+      assert(math.abs(est - trueQ) / trueQ <= 1.0 / 9 + 0.02,
+        s"$g q$q: est $est vs true $trueQ breaks the α bound")
+    }
+    // plain-addition mergeability: any 3-way batch split sums to the
+    // one-shot histogram exactly
+    val parts = (0 until 3).map(b => df.where(abs(hash(col("v"))) % 3 === b))
+    val merged = parts.map(p => SketchOps.ddHistogram(p, "src", "v"))
+      .reduce(_ union _).groupBy("g", "bin").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("bin")) ->
+        r.getAs[Long]("cnt")).toMap
+    val oneShot = hist.collect().map(r => (r.getAs[String]("g"),
+      r.getAs[Long]("bin")) -> r.getAs[Long]("cnt")).toMap
+    assert(merged == oneShot)
+    // values below 1 are dropped from the log-binned support
+    assert(SketchOps.ddHistogram(Seq(("z", 0L), ("z", -5L)).toDF("s", "v"),
+      "s", "v").count() == 0L)
+  }
+
   test("mgSummary/mgAbsorb: frequent-elements guarantee and error accounting") {
     // Zipf-ish: key i repeated (40 - i) times for i in 0..39; n = 820
     val rows = (0 until 40).flatMap(i => Seq.fill(40 - i)(s"k$i")).toDF("tok")

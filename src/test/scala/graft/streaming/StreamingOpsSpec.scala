@@ -543,6 +543,29 @@ class CmsStreamSpec extends graft.SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
   }
 
+  test("ddAbsorbStream: absorbed histogram equals the one-shot bins, any batch order") {
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "graft_stream_dd_store"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val all = (1 to 300).map(i => ("a", (i % 97 + 1).toLong)) ++
+      (1 to 200).map(i => ("b", (i * 7 % 500 + 1).toLong))
+    val ms = MemoryStream[(String, Long)]
+    val q = StreamingOps.ddAbsorbStream(ms.toDF().toDF("g", "v"), "g", "v", tbl)()
+    try {
+      // deliberately interleaved, unordered chunks — sum-merge doesn't care
+      all.grouped(173).foreach { chunk =>
+        ms.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val absorbed = spark.table(tbl).collect().map(r =>
+      (r.getAs[String]("g"), r.getAs[Long]("bin")) -> r.getAs[Long]("cnt")).toMap
+    val oneShot = graft.functions.SketchOps
+      .ddHistogram(all.toDF("g", "v"), "g", "v").collect().map(r =>
+        (r.getAs[String]("g"), r.getAs[Long]("bin")) -> r.getAs[Long]("cnt")).toMap
+    assert(absorbed == oneShot)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
+  }
+
   test("cusumAbsorbStream: segment monoid replays the one-shot detector exactly") {
     import java.sql.Timestamp
     implicit val sqlCtx = spark.sqlContext
