@@ -2635,6 +2635,15 @@ object SparkEntry {
         .ddQuantiles(s.table(tbl), Seq(500L, 950L, 990L), gammaMilli = 1250L)
         .orderBy("g", "q_milli")
     }),
+    // ── extension: PMI PHRASE DETECTION (word2phrase, Mikolov et al.
+    //    2013) — bigram collocations scored (c(ab)−δ)·N/(c(a)·c(b)) from
+    //    exact integer counts, map-side tail-zip bigrams, global top-100
+    //    via TakeOrdered. The tokenizer-prep pass before vocab training.
+    "q198_pmi_phrases" -> ((s, dir) => {
+      TextFunctions.pmiPhrases(T(s, dir, "documents"), "text",
+        minCount = 5L, topK = 100)
+        .orderBy(col("score_micro").desc, col("w1"), col("w2"))
+    }),
     // ── extension: BINARY-QUANTIZATION ANN — sign bits packed into two
     //    nonnegative 32-bit words (BIGINT-safe in both engines), Hamming
     //    xor+popcount prefilter to C=50, exact cosine rerank: the 1-bit
@@ -6214,6 +6223,29 @@ object SparkEntry {
          WHERE c.cum * 1000 >= q.q_milli * c.n
            AND (c.cum - c.cnt) * 1000 < q.q_milli * c.n
          ORDER BY g, q_milli""",
+    // Tail-zip bigrams, unigram/bigram integer counts, one closed-form
+    // float score floored to micro, total-order top-100.
+    "q198_pmi_phrases" ->
+      """WITH t AS (
+           SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents WHERE trim(text) <> ''),
+         uni AS (
+           SELECT u.tok AS w, CAST(count(*) AS BIGINT) AS c
+           FROM t, unnest(t.toks) AS u(tok) GROUP BY 1),
+         n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+         bg AS (
+           SELECT u.z[1] AS w1, u.z[2] AS w2, CAST(count(*) AS BIGINT) AS cab
+           FROM t, unnest(list_zip(t.toks[:-2], t.toks[2:])) AS u(z)
+           WHERE u.z[1] IS NOT NULL AND u.z[2] IS NOT NULL
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT bg.w1, bg.w2, bg.cab, u1.c AS ca, u2.c AS cb,
+             CAST(floor((1000000.0 * ((CAST(bg.cab AS DOUBLE) - 5.0) * CAST(n.n AS DOUBLE)))
+               / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) AS BIGINT) AS score_micro
+           FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w CROSS JOIN n
+           WHERE bg.cab >= 5)
+         SELECT w1, w2, cab, ca, cb, score_micro
+         FROM scored ORDER BY score_micro DESC, w1, w2 LIMIT 100""",
     // Sign-bit words -> xor/bit_count Hamming -> top-50 by (hamming,
     // id) -> exact cosine rerank, rank ties by id.
     "q196_bq_topk" ->

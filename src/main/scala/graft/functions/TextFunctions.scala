@@ -514,6 +514,50 @@ object TextFunctions {
       .na.fill(0.0, fills)
   }
 
+  /** PHRASE DETECTION via bigram association scoring — the word2phrase
+    * collocation pass (Mikolov et al., "Distributed Representations of
+    * Words and Phrases", NeurIPS 2013 §4): adjacent token pairs whose
+    * joint count beats chance get merged into phrase tokens before
+    * tokenizer/vocab training. Score = (c(ab) − δ)·N / (c(a)·c(b)) with
+    * discount δ = `minCount` killing rare-pair noise — the PMI
+    * numerator/denominator shape with an absolute-count prior.
+    *
+    * Scale shape: bigrams are formed MAP-SIDE by zipping each token
+    * array against its own tail (no window, no per-doc shuffle); then
+    * two count aggregates (unigram, bigram) with map-side partials, two
+    * vocab-sized equi-joins to attach c(a)/c(b), a broadcast 1-row total,
+    * and a global `topK` via TakeOrdered — nothing corpus-sized ever
+    * sorts. The score is ONE closed-form float per surviving bigram from
+    * exact integer counts (identical IEEE ops in any engine), floored to
+    * micro units for hash-stable output.
+    *
+    * @return (w1, w2, cab, ca, cb, score_micro), top `topK` by score */
+  def pmiPhrases(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 minCount: Long = 5L, topK: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"minCount/topK must be positive")
+    val t = df.where(trim(col(textCol)) =!= "")
+      .select(tokens(lower(col(textCol))).as("toks"))
+    val uni = t.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("n"))
+    val bg = t.select(explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1), (x, i) -> struct(x AS w1, toks[i + 1] AS w2))"))
+        .as("z"))
+      .select(col("z.w1"), col("z.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= minCount)
+    bg.join(uni.select(col("w").as("w1"), col("c").as("ca")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("cb")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("cab"), col("ca"), col("cb"),
+        floor((lit(1000000.0) * ((col("cab").cast("double") - lit(minCount.toDouble))
+            * col("n").cast("double")))
+          / (col("ca").cast("double") * col("cb").cast("double")))
+          .cast("long").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** n-gram/stopword-vote language ID heuristic: CJK script ratio decides
     * "zh"; otherwise the language whose stopword set matches the most
     * tokens wins; "und" (undetermined) when nothing matches. Pure

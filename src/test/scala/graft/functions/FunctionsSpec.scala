@@ -19,6 +19,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(m == Map(1L -> 3, 2L -> 0, 3L -> 1))
   }
 
+  test("pmiPhrases: collocations beat chance pairs; discount kills rare pairs; single-token docs safe") {
+    // "new york" adjacent in all 8 docs; every other pair occurs ≤ 4×
+    // (word orders vary), so the discount threshold keeps exactly one
+    val corpus = (1 to 4).map(i => (i.toLong, "new york a b c d")) ++
+      (5 to 8).map(i => (i.toLong, "c a new york d b")) ++
+      Seq(9L -> "one", 10L -> "  ")
+    val out = TextFunctions.pmiPhrases(docs(corpus: _*), "text", minCount = 5L, topK = 10)
+      .collect()
+    assert(out.length == 1)
+    val top = out.head
+    assert(top.getAs[String]("w1") == "new" && top.getAs[String]("w2") == "york")
+    // score formula spot check: (cab-δ)·N / (ca·cb), floored micro;
+    // N = 8 docs × 6 tokens + 1
+    assert(top.getAs[Long]("cab") == 8L && top.getAs[Long]("ca") == 8L)
+    val expect = math.floor(1e6 * ((8.0 - 5.0) * 49.0) / (8.0 * 8.0)).toLong
+    assert(top.getAs[Long]("score_micro") == expect)
+    // with no discount every frequent pair survives, score-descending
+    val all = TextFunctions.pmiPhrases(docs(corpus: _*), "text", minCount = 1L, topK = 100)
+      .collect()
+    assert(all.length > 1 && all.forall(_.getAs[Long]("cab") >= 1L))
+    val scores = all.map(_.getAs[Long]("score_micro")).toSeq
+    assert(scores == scores.sorted.reverse)
+    // "new york" (8× adjacent) outranks "a b" (4× adjacent, same unigram counts)
+    val idx = all.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSeq
+    assert(idx.indexOf(("new", "york")) < idx.indexOf(("a", "b")))
+  }
+
   test("encodingAnomalies counts replacement chars, C1 debris, and double-encoded UTF-8") {
     val d = docs(
       1L -> "clean ascii text",
