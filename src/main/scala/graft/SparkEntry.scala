@@ -2635,6 +2635,21 @@ object SparkEntry {
         .ddQuantiles(s.table(tbl), Seq(500L, 950L, 990L), gammaMilli = 1250L)
         .orderBy("g", "q_milli")
     }),
+    // ── extension: HARD-NEGATIVE MINING (DPR, Karpukhin et al. 2020)
+    //    — per probe, top-5 most-similar corpus vectors of a DIFFERENT
+    //    label: the confusable non-matches a contrastive loss trains
+    //    against. Probes broadcast, corpus map-only, class filter
+    //    before scoring; float score dropped from the gate output
+    //    (rank is the integer contract, dot order identical in both
+    //    engines so ranks match bit-for-bit).
+    "q199_hard_negatives" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val probes = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+      SimilarityOps.hardNegatives(emb, probes, "vec_id", "vec_id",
+        "embedding", "label", k = 5)
+        .select(col("probe_id"), col("nbr_id"), col("nbr_class"), col("rank"))
+        .orderBy("probe_id", "rank")
+    }),
     // ── extension: PMI PHRASE DETECTION (word2phrase, Mikolov et al.
     //    2013) — bigram collocations scored (c(ab)−δ)·N/(c(a)·c(b)) from
     //    exact integer counts, map-side tail-zip bigrams, global top-100
@@ -6223,6 +6238,29 @@ object SparkEntry {
          WHERE c.cum * 1000 >= q.q_milli * c.n
            AND (c.cum - c.cnt) * 1000 < q.q_milli * c.n
          ORDER BY g, q_milli""",
+    // Label-mismatch filter before scoring, row_number by (cos DESC,
+    // id) — identical sequential dot order on both engines.
+    "q199_hard_negatives" ->
+      """WITH nrm AS (
+           SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+           FROM embeddings),
+         sc AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+             CAST(c.label AS INT) AS nbr_class,
+             list_sum(list_transform(range(1, len(c.embedding) + 1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+             / (c.n * p.n) AS cos
+           FROM nrm c, nrm p
+           WHERE p.vec_id % 10 = 0 AND c.label <> p.label
+             AND c.n > 0 AND p.n > 0)
+         SELECT probe_id, nbr_id, nbr_class, rank FROM (
+           SELECT probe_id, nbr_id, nbr_class,
+             CAST(row_number() OVER (PARTITION BY probe_id
+               ORDER BY cos DESC, nbr_id) AS INT) AS rank
+           FROM sc)
+         WHERE rank <= 5 ORDER BY probe_id, rank""",
     // Tail-zip bigrams, unigram/bigram integer counts, one closed-form
     // float score floored to micro, total-order top-100.
     "q198_pmi_phrases" ->

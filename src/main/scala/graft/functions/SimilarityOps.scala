@@ -79,6 +79,38 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** HARD-NEGATIVE MINING for contrastive / retrieval training data
+    * (the BM25-or-ANN negatives pass of DPR — Karpukhin et al., EMNLP
+    * 2020 §3.2): for each probe, the top-k most-similar corpus vectors
+    * whose `classCol` DIFFERS from the probe's — maximally confusable
+    * non-matches, the negatives that actually move a contrastive loss.
+    * Same-class rows (the positives) are excluded by definition; the
+    * self-row is excluded with them.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — probes broadcast,
+    * corpus scanned map-only, per-pair kernel one native dot; the class
+    * filter prunes BEFORE scoring. At 100 TB compose with an ANN
+    * prefilter ([[ivfTopK]] with k ≫ target, then this class filter +
+    * re-rank) so the scan touches probed cells only; the brute path
+    * here is the exact-oracle baseline and the small-probe-set tool.
+    *
+    * @return (probe_id, nbr_id, nbr_class, score, rank ≤ k) */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame,
+                    idCol: String, probeIdCol: String, vecCol: String,
+                    classCol: String, k: Int = 10): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("nbr_id"), col(classCol).as("nbr_class"),
+      col(vecCol).as("__cv"), vnorm(col(vecCol)).as("__cn")).where(col("__cn") > 0)
+    val p = probes.select(col(probeIdCol).as("probe_id"), col(classCol).as("probe_class"),
+      col(vecCol).as("__pv"), vnorm(col(vecCol)).as("__pn")).where(col("__pn") > 0)
+    val scored = c.crossJoin(broadcast(p))
+      .where(col("nbr_class") =!= col("probe_class"))
+      .select(col("probe_id"), col("nbr_id"), col("nbr_class"),
+        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
+    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Sign-random-projection bits. Hyperplane weights are md5-derived
     * integers in [-1000, 1000] (`hash60("plane,dim") mod 2001 - 1000`) and
     * the vector is quantized to `round(v·1000)` longs, so the projection is

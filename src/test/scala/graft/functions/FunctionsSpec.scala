@@ -742,6 +742,21 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(!out.map(_.getAs[Long]("nbr_id")).contains(0L))
   }
 
+  test("hardNegatives: only other-class rows rank; nearest confusable first") {
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 7),
+      (1L, Array(0.9f, 0.1f, 0.0f), 7),   // same class as probe — excluded
+      (2L, Array(0.8f, 0.2f, 0.0f), 3),   // nearest other-class
+      (3L, Array(0.0f, 1.0f, 0.0f), 3),
+      (4L, Array(-1.0f, 0.0f, 0.0f), 5)).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.hardNegatives(labeled,
+        labeled.where($"vec_id" === 0L), "vec_id", "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("nbr_id")).toSeq == Seq(2L, 3L, 4L))
+    assert(out.map(_.getAs[Int]("nbr_class")).toSeq == Seq(3, 3, 5))
+    assert(!out.map(_.getAs[Long]("nbr_id")).exists(Set(0L, 1L))) // no positives, no self
+  }
+
   test("lshTopK finds the true nearest neighbor (recall on the easy case)") {
     val probes = df.where($"vec_id" === 0L)
     val out = SimilarityOps.lshTopK(df, probes, "vec_id", "vec_id", "embedding",
