@@ -2635,6 +2635,27 @@ object SparkEntry {
         .ddQuantiles(s.table(tbl), Seq(500L, 950L, 990L), gammaMilli = 1250L)
         .orderBy("g", "q_milli")
     }),
+    // ── extension: GRAPH-NAVIGATION ANN (HNSW/NSG query half, Malkov
+    //    & Yashunin 2018) — deterministic beam search over a kNN graph:
+    //    entry = lowest id, 4 hops × beam 16, final top-5 with a hit
+    //    flag against the exact neighbors (measured recall ships in the
+    //    output). Graph here is the exact 10-NN (gate instrumentation;
+    //    nnDescent q177 is the linear-at-scale construction path).
+    "q200_beam_search" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 5)
+      val graph = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "vec_id",
+        "embedding", k = 10)
+      val res = SimilarityOps.beamSearchTopK(emb, probes, graph, "vec_id",
+        "vec_id", "embedding", k = 5, beam = 16, hops = 4)
+      val exact = SimilarityOps.bruteForceTopK(emb, probes, "vec_id", "vec_id",
+        "embedding", k = 5)
+        .select(col("probe_id"), col("nbr_id"), lit(true).as("hit"))
+      res.join(exact, Seq("probe_id", "nbr_id"), "left")
+        .select(col("probe_id"), col("nbr_id"), col("rank"),
+          coalesce(col("hit"), lit(false)).as("hit"))
+        .orderBy("probe_id", "rank")
+    }),
     // ── extension: HARD-NEGATIVE MINING (DPR, Karpukhin et al. 2020)
     //    — per probe, top-5 most-similar corpus vectors of a DIFFERENT
     //    label: the confusable non-matches a contrastive loss trains
@@ -6238,6 +6259,52 @@ object SparkEntry {
          WHERE c.cum * 1000 >= q.q_milli * c.n
            AND (c.cum - c.cnt) * 1000 < q.q_milli * c.n
          ORDER BY g, q_milli""",
+    // Beam trajectory replayed hop-by-hop: exact 10-NN graph, entry =
+    // min id, 4 unrolled expand/score/top-16 rounds, final top-5 with
+    // self dropped, hit flag via left join on the exact top-5.
+    "q200_beam_search" ->
+      ("""WITH nrm AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+           FROM embeddings),
+         live AS (SELECT * FROM nrm WHERE n > 0),
+         ac AS (
+           SELECT p.vec_id AS src, c.vec_id AS dst,
+             list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+             / (c.n * p.n) AS cos
+           FROM live c, live p),
+         g AS (SELECT src, dst FROM (
+             SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+             FROM ac WHERE src <> dst) WHERE rn <= 10),
+         pc AS (SELECT src AS probe_id, dst AS nbr_id, cos FROM ac WHERE src < 5),
+         entry AS (SELECT min(vec_id) AS nbr_id FROM live),
+         b0 AS (SELECT probe_id, nbr_id, cos FROM pc
+                WHERE nbr_id = (SELECT nbr_id FROM entry))""" +
+        (1 to 4).map { j => val i = j - 1
+          s""",
+         c$j AS (SELECT DISTINCT probe_id, nbr_id FROM (
+            SELECT probe_id, nbr_id FROM b$i
+            UNION ALL
+            SELECT b$i.probe_id, g.dst AS nbr_id FROM b$i JOIN g ON b$i.nbr_id = g.src)),
+         b$j AS (SELECT probe_id, nbr_id, cos FROM (
+            SELECT c$j.probe_id, c$j.nbr_id, pc.cos,
+              row_number() OVER (PARTITION BY c$j.probe_id
+                ORDER BY pc.cos DESC, c$j.nbr_id) AS rn
+            FROM c$j JOIN pc ON c$j.probe_id = pc.probe_id AND c$j.nbr_id = pc.nbr_id)
+           WHERE rn <= 16)"""
+        }.mkString +
+        """,
+         exact AS (SELECT src AS probe_id, dst AS nbr_id FROM (
+            SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+            FROM ac WHERE src < 5 AND src <> dst) WHERE rn <= 5),
+         fin AS (SELECT probe_id, nbr_id,
+            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS INT) AS rank
+            FROM b4 WHERE probe_id <> nbr_id)
+         SELECT f.probe_id, f.nbr_id, f.rank, (e.nbr_id IS NOT NULL) AS hit
+         FROM fin f LEFT JOIN exact e ON f.probe_id = e.probe_id AND f.nbr_id = e.nbr_id
+         WHERE f.rank <= 5 ORDER BY f.probe_id, f.rank"""),
     // Label-mismatch filter before scoring, row_number by (cos DESC,
     // id) — identical sequential dot order on both engines.
     "q199_hard_negatives" ->

@@ -501,6 +501,65 @@ object SimilarityOps {
     ranked
   }
 
+  /** GRAPH-NAVIGATION ANN SEARCH — greedy beam search over a kNN graph,
+    * the query-time half of the HNSW/NSG family (Malkov & Yashunin,
+    * TPAMI 2018; here single-layer, fixed-hop): start every probe at a
+    * deterministic entry node (lowest live id), then per hop expand the
+    * beam through the graph's out-edges, score expansions against the
+    * probe, and keep the best `beam` nodes by (cosine desc, id). After
+    * `hops` rounds the beam's top `k` (self excluded when probe and
+    * corpus share an id space) is the answer. The beam is MONOTONE —
+    * current members always rejoin the candidate set, so beam quality
+    * never regresses — and every step is deterministic, which makes the
+    * whole trajectory replayable hop-by-hop on an independent engine.
+    *
+    * Scale shape: per hop, candidates number probes × beam × (degree+1)
+    * — probe-sized, never corpus-sized. Scoring joins the vector table
+    * on the 8-byte node id (the candidate side is tiny and broadcasts
+    * under AQE); the corpus itself never shuffles. Graph construction is
+    * the separate concern: feed [[nnDescent]] output (the certified
+    * linear-at-scale path) — a brute-force graph is gate-scale
+    * instrumentation only. Recall rises with `hops`/`beam` (HNSW's ef);
+    * the q200 gate pins a hit flag against the exact top-k so measured
+    * recall ships with the result.
+    *
+    * @param graph directed kNN edges (probe_id, nbr_id) — [[knnGraph]] /
+    *              [[nnDescent]] output; extra columns ignored
+    * @return (probe_id, nbr_id, score, rank ≤ k) */
+  def beamSearchTopK(corpus: DataFrame, probes: DataFrame, graph: DataFrame,
+                     idCol: String, probeIdCol: String, vecCol: String,
+                     k: Int = 10, beam: Int = 8, hops: Int = 3): DataFrame = {
+    require(k >= 1 && beam >= k, s"need beam >= k >= 1, got k=$k beam=$beam")
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
+      vnorm(col(vecCol)).as("__cn")).where(col("__cn") > 0)
+    val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
+      vnorm(col(vecCol)).as("__pn")).where(col("__pn") > 0)
+    val g = graph.select(col("probe_id").as("__src"), col("nbr_id").as("__dst"))
+    val entry = c.agg(min(col("nbr_id")).as("nbr_id"))
+    val wBeam = Window.partitionBy("probe_id").orderBy(col("score").desc, col("nbr_id").asc)
+    // score a (probe_id, nbr_id) candidate set and keep the best `beam`;
+    // self stays IN the beam (it is navigationally useful) and is only
+    // dropped from the final answer below
+    def rankBeam(cand: DataFrame): DataFrame = cand
+      .join(c, Seq("nbr_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .select(col("probe_id"), col("nbr_id"),
+        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
+      .withColumn("rank", row_number().over(wBeam)).where(col("rank") <= beam)
+    var b = rankBeam(p.select("probe_id").crossJoin(broadcast(entry)))
+    for (_ <- 1 to hops) {
+      val expanded = b.select("probe_id", "nbr_id")
+        .join(g, b("nbr_id") === g("__src"))
+        .select(col("probe_id"), col("__dst").as("nbr_id"))
+      b = rankBeam(b.select("probe_id", "nbr_id").unionByName(expanded).distinct())
+    }
+    val answer = if (idCol == probeIdCol) b.where(col("probe_id") =!= col("nbr_id")) else b
+    answer
+      .withColumn("rank", row_number().over(wBeam)).where(col("rank") <= k)
+  }
+
   /** The PERSISTED-IVF store content: every corpus vector assigned to its
     * nearest cell under a FROZEN trained quantizer — (idCol, vecCol,
     * "cid") rows, the inverted file as a table. Persist via

@@ -742,6 +742,22 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(!out.map(_.getAs[Long]("nbr_id")).contains(0L))
   }
 
+  test("beamSearchTopK: converges to the exact top-k on a full graph; more hops never hurt") {
+    val probes = df.where($"vec_id" === 0L)
+    val graph = SimilarityOps.bruteForceTopK(df, df, "vec_id", "vec_id", "embedding", k = 3)
+    val out = SimilarityOps.beamSearchTopK(df, probes, graph, "vec_id", "vec_id",
+        "embedding", k = 3, beam = 5, hops = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("nbr_id")).toSeq == Seq(1L, 3L, 2L)) // == brute order
+    assert(!out.map(_.getAs[Long]("nbr_id")).contains(0L)) // self dropped from the answer
+    // beam monotonicity: the 1-hop answer set is never better than 3-hop
+    val exact = Set(1L, 3L, 2L)
+    val oneHop = SimilarityOps.beamSearchTopK(df, probes, graph, "vec_id", "vec_id",
+        "embedding", k = 3, beam = 5, hops = 1)
+      .collect().map(_.getAs[Long]("nbr_id")).toSet
+    assert(oneHop.intersect(exact).size <= out.map(_.getAs[Long]("nbr_id")).toSet.intersect(exact).size)
+  }
+
   test("hardNegatives: only other-class rows rank; nearest confusable first") {
     val labeled = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 7),
