@@ -2635,6 +2635,25 @@ object SparkEntry {
         .ddQuantiles(s.table(tbl), Seq(500L, 950L, 990L), gammaMilli = 1250L)
         .orderBy("g", "q_milli")
     }),
+    // ── extension: RANKING-QUALITY EVAL (NDCG@10 + MRR, Järvelin &
+    //    Kekäläinen 2002) — BM25 top-10 per query scored against an
+    //    all-terms-present binary relevance set; integer gain literals
+    //    shared with the oracle make every metric engine-exact.
+    "q201_retrieval_metrics" -> ((s, dir) => {
+      import graft.functions.{RetrievalOps, TextFunctions}
+      val docs = T(s, dir, "documents")
+      val qts = Seq(1 -> Seq("spark", "join", "window"),
+        2 -> Seq("stream", "batch"),
+        3 -> Seq("vector", "hash", "merge", "sort"))
+      val results = RetrievalOps.bm25TopK(docs, "doc_id", "text", qts, k = 10)
+      val rel = qts.map { case (qid, terms) =>
+        docs.where(terms.map(t =>
+            array_contains(TextFunctions.tokens(lower(col("text"))), t)).reduce(_ && _))
+          .select(lit(qid.toLong).as("query_id"), col("doc_id"))
+      }.reduce(_ unionByName _)
+      RetrievalOps.rankingMetrics(results, rel, k = 10)
+        .orderBy("query_id")
+    }),
     // ── extension: GRAPH-NAVIGATION ANN (HNSW/NSG query half, Malkov
     //    & Yashunin 2018) — deterministic beam search over a kNN graph:
     //    entry = lowest id, 4 hops × beam 16, final top-5 with a hit
@@ -6259,6 +6278,71 @@ object SparkEntry {
          WHERE c.cum * 1000 >= q.q_milli * c.n
            AND (c.cum - c.cnt) * 1000 < q.q_milli * c.n
          ORDER BY g, q_milli""",
+    // Same BM25 CTE chain as q107; relevance = docs matching EVERY
+    // query term; gains/prefix VALUES are the engine's own integer
+    // literals (dcgGainsMicro), so DCG/IDCG/NDCG/RR are pure BIGINT.
+    "q201_retrieval_metrics" -> {
+      val gains = graft.functions.RetrievalOps.dcgGainsMicro(10)
+      val prefix = gains.scanLeft(0L)(_ + _)
+      val gvals = gains.zipWithIndex.map { case (g, i) => s"(${i + 1}, $g)" }.mkString(",")
+      val pvals = prefix.zipWithIndex.map { case (p, i) => s"($i, $p)" }.mkString(",")
+      s"""WITH qt(query_id, qterm) AS (VALUES
+           (1,'spark'),(1,'join'),(1,'window'),
+           (2,'stream'),(2,'batch'),
+           (3,'vector'),(3,'hash'),(3,'merge'),(3,'sort')),
+         toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         tf AS (
+           SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf FROM (
+             SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toks)
+           WHERE term IN (SELECT DISTINCT qterm FROM qt)
+           GROUP BY doc_id, term),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             avg(CAST(len(t) AS DOUBLE)) AS avgdl FROM toks),
+         dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         contrib AS (
+           SELECT qt.query_id, tf.doc_id,
+             CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+               * 1e6) AS BIGINT) AS c
+           FROM tf JOIN dfreq USING (term) JOIN qt ON qt.qterm = tf.term, stats),
+         sc AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+                FROM contrib GROUP BY 1, 2),
+         r AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk,
+                 doc_id FROM sc),
+         matched AS (SELECT qt.query_id, tf.doc_id, count(*) AS m
+                     FROM tf JOIN qt ON qt.qterm = tf.term GROUP BY 1, 2),
+         nq AS (SELECT query_id, count(*) AS nqt FROM qt GROUP BY 1),
+         rel AS (SELECT CAST(matched.query_id AS BIGINT) AS query_id, doc_id
+                 FROM matched JOIN nq ON matched.query_id = nq.query_id
+                 WHERE m = nqt),
+         gains(gr, gain) AS (VALUES $gvals),
+         pre(cap, idcg) AS (VALUES $pvals),
+         hits AS (SELECT r.query_id, r.rnk, g.gain
+                  FROM r JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+                  JOIN gains g ON g.gr = r.rnk
+                  WHERE r.rnk <= 10),
+         perq AS (SELECT query_id, CAST(sum(gain) AS BIGINT) AS dcg_micro,
+                    min(rnk) AS minr, CAST(count(*) AS BIGINT) AS n_hits
+                  FROM hits GROUP BY 1),
+         nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1),
+         base AS (SELECT DISTINCT query_id FROM r WHERE rnk <= 10)
+         SELECT b.query_id,
+           coalesce(n_rel, 0) AS n_rel,
+           coalesce(n_hits, 0) AS n_hits,
+           coalesce(dcg_micro, 0) AS dcg_micro,
+           CAST(p.idcg AS BIGINT) AS idcg_micro,
+           CASE WHEN p.idcg > 0 THEN coalesce(dcg_micro, 0) * 1000 // CAST(p.idcg AS BIGINT)
+                ELSE 0 END AS ndcg_milli,
+           CASE WHEN minr IS NOT NULL THEN 1000000 // minr ELSE 0 END AS rr_micro
+         FROM base b LEFT JOIN nrel USING (query_id) LEFT JOIN perq USING (query_id)
+         JOIN pre p ON p.cap = least(coalesce(n_rel, 0), 10)
+         ORDER BY query_id""".stripMargin
+    },
     // Beam trajectory replayed hop-by-hop: exact 10-NN graph, entry =
     // min id, 4 unrolled expand/score/top-16 rounds, final top-5 with
     // self dropped, hit flag via left join on the exact top-5.

@@ -89,4 +89,66 @@ object RetrievalOps {
       .select(col("query_id").cast("long").as("query_id"),
         col("rank"), col("doc_id"), col("score_micro"))
   }
+
+  /** Per-rank DCG gain, micro units: ⌊10⁶ / log₂(r+1)⌋ for r = 1..k.
+    * Computed ONCE driver-side and inlined as literals on both the
+    * engine and the oracle side — rank-position weights are constants
+    * of the metric, so no runtime float (let alone a cross-engine log)
+    * ever enters the scored plan. */
+  def dcgGainsMicro(k: Int): Seq[Long] =
+    (1 to k).map(r => math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** RANKING-QUALITY EVALUATION — NDCG@k and MRR (reciprocal rank) per
+    * query, the standard IR metrics (Järvelin & Kekäläinen, TOIS 2002;
+    * binary relevance) a retrieval-training pipeline tracks to know
+    * whether its BM25/ANN candidate generator is any good before the
+    * expensive re-ranker trains on those candidates.
+    *
+    * Numerics: DCG's per-position gains are the [[dcgGainsMicro]]
+    * INTEGER literals, so DCG/IDCG are exact BIGINT sums; NDCG and RR
+    * are integer divisions (milli / micro units) — the whole metric is
+    * engine-exact, no float ordering anywhere. IDCG for a query with
+    * n_rel relevant docs is the gain prefix-sum at min(n_rel, k);
+    * queries with no relevant docs read ndcg = 0, rr = 0.
+    *
+    * Scale shape: one (query, doc) equi-join of results against the
+    * relevance set, one per-query aggregate, one broadcast join of the
+    * queries-sized n_rel table — queries × k rows total, nothing
+    * corpus-sized.
+    *
+    * @param results   (query_id, rank, doc_id) — ranks 1-based, ≤ k used
+    * @param relevance (query_id, doc_id) binary relevant pairs
+    * @return (query_id, n_rel, n_hits, dcg_micro, idcg_micro,
+    *         ndcg_milli, rr_micro) */
+  def rankingMetrics(results: DataFrame, relevance: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sp = results.sparkSession
+    import sp.implicits._
+    val gains = dcgGainsMicro(k)
+    val prefix = gains.scanLeft(0L)(_ + _) // prefix(i) = gain(1)+..+gain(i)
+    val gainsDf = gains.zipWithIndex.map { case (g, i) => (i + 1L, g) }
+      .toDF("__gr", "__gain")
+    val prefixDf = prefix.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("__cap", "idcg_micro")
+    val hits = results.where(col("rank") <= k)
+      .join(relevance.select(col("query_id"), col("doc_id")), Seq("query_id", "doc_id"))
+      .join(broadcast(gainsDf), col("rank").cast("long") === col("__gr"))
+    val perQ = hits.groupBy("query_id").agg(
+      sum(col("__gain")).as("dcg_micro"),
+      min(col("rank")).cast("long").as("__minr"),
+      count(lit(1)).as("n_hits"))
+    val nRel = relevance.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    results.select("query_id").distinct()
+      .join(broadcast(nRel), Seq("query_id"), "left")
+      .join(broadcast(perQ), Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_rel", "n_hits", "dcg_micro"))
+      .join(broadcast(prefixDf),
+        least(col("n_rel"), lit(k.toLong)) === col("__cap"))
+      .select(col("query_id"), col("n_rel"), col("n_hits"), col("dcg_micro"),
+        col("idcg_micro"),
+        when(col("idcg_micro") > 0, expr("dcg_micro * 1000 div idcg_micro"))
+          .otherwise(lit(0L)).as("ndcg_milli"),
+        when(col("__minr").isNotNull, expr("1000000 div __minr"))
+          .otherwise(lit(0L)).as("rr_micro"))
+  }
 }

@@ -56,4 +56,29 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(got.map(_._3) == Seq(7L, 10L))
     assert(got.map(_._4).distinct.size == 1)
   }
+
+  test("rankingMetrics: NDCG/MRR integer arithmetic on a hand-computed fixture") {
+    val gains = RetrievalOps.dcgGainsMicro(3)
+    assert(gains == Seq(1000000L, 630929L, 500000L))
+    val results = Seq(
+      (1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L), // q1 ranks docs 10,11,12
+      (2L, 1L, 10L), (2L, 2L, 13L)                 // q2 ranks docs 10,13
+    ).toDF("query_id", "rank", "doc_id")
+    val rel = Seq((1L, 11L), (1L, 14L), (1L, 15L), (1L, 16L)) // q1: 4 relevant, one ranked at 2
+      .toDF("query_id", "doc_id")
+    val out = RetrievalOps.rankingMetrics(results, rel, k = 3)
+      .orderBy("query_id").collect()
+    assert(out.length == 2)
+    val q1 = out(0)
+    // dcg = gain(2); idcg = prefix(min(4,3)) = sum of all three gains
+    val idcg = gains.sum
+    assert(q1.getAs[Long]("n_rel") == 4L && q1.getAs[Long]("n_hits") == 1L)
+    assert(q1.getAs[Long]("dcg_micro") == 630929L)
+    assert(q1.getAs[Long]("idcg_micro") == idcg)
+    assert(q1.getAs[Long]("ndcg_milli") == 630929L * 1000 / idcg)
+    assert(q1.getAs[Long]("rr_micro") == 500000L) // first hit at rank 2
+    val q2 = out(1) // no relevant docs: all-zero metrics, no division blowups
+    assert(q2.getAs[Long]("n_rel") == 0L && q2.getAs[Long]("idcg_micro") == 0L)
+    assert(q2.getAs[Long]("ndcg_milli") == 0L && q2.getAs[Long]("rr_micro") == 0L)
+  }
 }
