@@ -2635,6 +2635,18 @@ object SparkEntry {
         .ddQuantiles(s.table(tbl), Seq(500L, 950L, 990L), gammaMilli = 1250L)
         .orderBy("g", "q_milli")
     }),
+    // ── extension: KS DRIFT PER SOURCE — exact two-sample Kolmogorov-
+    //    Smirnov over the q197 DDSketch bins (per-source token-count CDF
+    //    vs the pooled corpus), integer cross-multiplied argmax; the
+    //    worst-case-CDF-gap sibling of PSI (q129), fed by sketch bins so
+    //    the comparison never rescans the corpus.
+    "q202_ks_drift" -> ((s, dir) => {
+      val vals = T(s, dir, "documents")
+        .select(col("source"), TextFunctions.tokenCount(col("text")).as("tok"))
+      val hist = graft.functions.SketchOps.ddHistogram(vals, "source", "tok")
+      graft.functions.SketchOps.ksDriftFromHistogram(hist)
+        .orderBy("g")
+    }),
     // ── extension: RANKING-QUALITY EVAL (NDCG@10 + MRR, Järvelin &
     //    Kekäläinen 2002) — BM25 top-10 per query scored against an
     //    all-terms-present binary relevance set; integer gain literals
@@ -6278,6 +6290,41 @@ object SparkEntry {
          WHERE c.cum * 1000 >= q.q_milli * c.n
            AND (c.cum - c.cnt) * 1000 < q.q_milli * c.n
          ORDER BY g, q_milli""",
+    // q197's log-1.25 bins per source, pooled bins, per-group cum
+    // windows over the shared global bin grid, integer cross-multiplied
+    // CDF gap, argmax by (gap DESC, bin).
+    "q202_ks_drift" ->
+      """WITH tc AS (
+           SELECT source AS g,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+             END AS tok
+           FROM documents),
+         h AS (SELECT g, CAST(ceil(ln(CAST(tok AS DOUBLE)) / ln(1.25)) AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS cnt
+               FROM tc WHERE tok >= 1 GROUP BY 1, 2),
+         pool AS (SELECT bin, CAST(sum(cnt) AS BIGINT) AS gcnt FROM h GROUP BY 1),
+         grps AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g FROM h GROUP BY 1),
+         ng AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n_global FROM pool),
+         grid AS (SELECT grps.g, grps.n_g, pool.bin, pool.gcnt,
+                    coalesce(h.cnt, 0) AS cnt
+                  FROM grps CROSS JOIN pool
+                  LEFT JOIN h ON h.g = grps.g AND h.bin = pool.bin),
+         cum AS (SELECT g, n_g, bin,
+                   CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cg,
+                   CAST(sum(gcnt) OVER (PARTITION BY g ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cglob
+                 FROM grid),
+         d AS (SELECT g, n_g, n_global, bin,
+                 abs(cg * n_global - cglob * n_g) AS gap,
+                 row_number() OVER (PARTITION BY g
+                   ORDER BY abs(cg * n_global - cglob * n_g) DESC, bin) AS rn
+               FROM cum CROSS JOIN ng)
+         SELECT g, n_g, n_global, bin AS ks_bin, gap AS ks_num,
+           CAST(floor(1000000.0 * (CAST(gap AS DOUBLE)
+             / (CAST(n_g AS DOUBLE) * CAST(n_global AS DOUBLE)))) AS BIGINT) AS ks_micro
+         FROM d WHERE rn = 1 ORDER BY g""",
     // Same BM25 CTE chain as q107; relevance = docs matching EVERY
     // query term; gains/prefix VALUES are the engine's own integer
     // literals (dcgGainsMicro), so DCG/IDCG/NDCG/RR are pure BIGINT.

@@ -332,6 +332,57 @@ object SketchOps {
           / lit(g + 1.0)).cast("long").as("est_milli"))
   }
 
+  /** Two-sample KOLMOGOROV–SMIRNOV statistic per group against the
+    * pooled/global distribution, computed EXACTLY over [[ddHistogram]]
+    * bins: KS = max_bins |F_g(bin) − F_global(bin)|, with the max taken
+    * by integer cross-multiplication (|cum_g·n_global − cum_global·n_g|)
+    * so the winning bin is engine-exact — the drift monitor that says
+    * WHICH source's length/score/size distribution walked away from the
+    * corpus, where PSI (q129) gives a weighted aggregate and this gives
+    * the worst-case CDF gap (the classic distribution-shift alarm).
+    *
+    * Operating on sketch bins rather than raw values is the 100 TB
+    * design: the comparison is groups × bins rows (the persisted q197
+    * store feeds it directly — no corpus rescan), and binned KS equals
+    * raw KS evaluated at bin boundaries. Integer-overflow envelope:
+    * cum·n products need n_g·n_global < 2^63 — at ~10^12-row corpora
+    * rescale counts (divide both histograms by a common factor) before
+    * calling; the statistic is ratio-invariant up to the dropped
+    * remainder.
+    *
+    * @param hist (g, bin, cnt) — [[ddHistogram]] output (any integer
+    *             binning works; bins are compared by their sort order)
+    * @return (g, n_g, n_global, ks_bin, ks_num, ks_micro) where
+    *         ks_micro = ⌊10⁶·ks_num/(n_g·n_global)⌋, one row per group */
+  def ksDriftFromHistogram(hist: DataFrame): DataFrame = {
+    val glob = hist.groupBy("bin").agg(sum("cnt").as("gcnt"))
+    val groups = hist.groupBy("g").agg(sum("cnt").as("n_g"))
+    val nGlobal = glob.agg(sum("gcnt").as("n_global"))
+    // every group needs a row at every global bin (its own cnt may be 0
+    // there, but the CDF gap at that bin still counts)
+    val grid = groups.select(col("g"), col("n_g")).crossJoin(broadcast(glob))
+      .join(hist, Seq("g", "bin"), "left").na.fill(0L, Seq("cnt"))
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy("g").orderBy("bin")
+      .rowsBetween(Long.MinValue, 0L)
+    // NB: Spark column resolution is case-insensitive — cumulative
+    // column names must differ by more than case
+    val cum = grid
+      .withColumn("__cum_g", sum("cnt").over(wc))
+      .withColumn("__cum_glob", sum("gcnt").over(wc))
+      .crossJoin(broadcast(nGlobal))
+      .withColumn("__d",
+        abs(col("__cum_g") * col("n_global") - col("__cum_glob") * col("n_g")))
+    // deterministic argmax: highest gap, earliest bin
+    val wr = Window.partitionBy("g").orderBy(col("__d").desc, col("bin").asc)
+    cum.withColumn("__rn", row_number().over(wr)).where(col("__rn") === 1)
+      .select(col("g"), col("n_g"), col("n_global"),
+        col("bin").as("ks_bin"), col("__d").as("ks_num"),
+        floor(lit(1000000.0) * (col("__d").cast("double")
+          / (col("n_g").cast("double") * col("n_global").cast("double"))))
+          .cast("long").as("ks_micro"))
+  }
+
   /** MG compression of an exactly-counted (key, cnt) frame: subtract the
     * (k+1)-th largest count from every counter and keep the positive
     * remainder — at most k survivors. The threshold is a multiset

@@ -195,6 +195,29 @@ class SketchOpsSpec extends SparkSpec {
       "s", "v").count() == 0L)
   }
 
+  test("ksDriftFromHistogram: exact CDF-gap argmax; single group reads zero drift") {
+    // a: mass at bin 1; b: mass at bin 2 — symmetric drift vs the pool
+    val hist = Seq(("a", 1L, 3L), ("a", 2L, 1L), ("b", 1L, 1L), ("b", 2L, 3L))
+      .toDF("g", "bin", "cnt")
+    val out = SketchOps.ksDriftFromHistogram(hist).orderBy("g").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_g") == 4L && r.getAs[Long]("n_global") == 8L)
+      assert(r.getAs[Long]("ks_bin") == 1L)  // the gap peaks after bin 1
+      assert(r.getAs[Long]("ks_num") == 8L)  // |3·8 − 4·4| = |1·8 − 4·4| = 8
+      assert(r.getAs[Long]("ks_micro") == 250000L) // 8 / 32
+    }
+    // one group IS the pool: every cum_g·n_global == cum_global·n_g
+    val solo = SketchOps.ksDriftFromHistogram(
+      Seq(("only", 1L, 5L), ("only", 3L, 2L)).toDF("g", "bin", "cnt")).collect()
+    assert(solo.length == 1 && solo.head.getAs[Long]("ks_num") == 0L)
+    // a group missing a global bin still pays the gap at that bin
+    val miss = SketchOps.ksDriftFromHistogram(
+      Seq(("x", 1L, 4L), ("y", 2L, 4L)).toDF("g", "bin", "cnt"))
+      .orderBy("g").collect()
+    assert(miss.forall(_.getAs[Long]("ks_num") == 16L)) // |4·8 − 4·4| at bin 1
+  }
+
   test("mgSummary/mgAbsorb: frequent-elements guarantee and error accounting") {
     // Zipf-ish: key i repeated (40 - i) times for i in 0..39; n = 820
     val rows = (0 until 40).flatMap(i => Seq.fill(40 - i)(s"k$i")).toDF("tok")
