@@ -2635,6 +2635,17 @@ object SparkEntry {
         .ddQuantiles(s.table(tbl), Seq(500L, 950L, 990L), gammaMilli = 1250L)
         .orderBy("g", "q_milli")
     }),
+    // ── extension: GRID-DENSITY CLUSTERING (CLIQUE/STING, Agrawal et
+    //    al. 1998) — exact-integer 2-D JL grid, ≥5-point core cells,
+    //    8-adjacent cells unioned via connected components; the
+    //    density-based complement of the k-means family, with noise
+    //    labeling. Corpus pays one projection + one cell aggregate;
+    //    everything else is cell-sized.
+    "q203_grid_density" -> ((s, dir) => {
+      SimilarityOps.gridDensityClusters(T(s, dir, "embeddings"), "vec_id",
+        "embedding", cellWidth = 200000L, minPts = 5L)
+        .orderBy("vec_id")
+    }),
     // ── extension: KS DRIFT PER SOURCE — exact two-sample Kolmogorov-
     //    Smirnov over the q197 DDSketch bins (per-source token-count CDF
     //    vs the pooled corpus), integer cross-multiplied argmax; the
@@ -6290,6 +6301,38 @@ object SparkEntry {
          WHERE c.cum * 1000 >= q.q_milli * c.n
            AND (c.cum - c.cnt) * 1000 < q.q_milli * c.n
          ORDER BY g, q_milli""",
+    // q120's exact-integer JL projection, pmod floor-div cells, core
+    // filter, dense cid by (cx, cy) order, 9-offset adjacency, recursive
+    // min-label closure over the (small) core-cell graph.
+    "q203_grid_density" ->
+      """WITH RECURSIVE proj AS (
+           SELECT vec_id,
+             list_transform(range(0, 2), j ->
+               CAST(list_sum(list_transform(range(1, len(embedding) + 1), i ->
+                 CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                 ((CAST('0x'||substr(md5('rp,' || j || ',' || (i - 1)), 1, 15) AS BIGINT) % 2001) - 1000)
+               )) AS BIGINT)) AS p
+           FROM embeddings),
+         cells AS (SELECT vec_id,
+             CAST((p[1] - (((p[1] % 200000) + 200000) % 200000)) // 200000 AS BIGINT) AS cx,
+             CAST((p[2] - (((p[2] % 200000) + 200000) % 200000)) // 200000 AS BIGINT) AS cy
+           FROM proj),
+         core AS (SELECT cx, cy FROM cells GROUP BY cx, cy HAVING count(*) >= 5),
+         cidt AS (SELECT cx, cy, CAST(row_number() OVER (ORDER BY cx, cy) AS BIGINT) AS cid FROM core),
+         off(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+         eg AS (SELECT a.cid AS ca, b.cid AS cb
+                FROM cidt a CROSS JOIN off o
+                JOIN cidt b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy),
+         reach(c, lbl) AS (
+           SELECT cid, cid FROM cidt
+           UNION
+           SELECT eg.ca, r.lbl FROM reach r JOIN eg ON eg.cb = r.c),
+         comp AS (SELECT c AS cid, min(lbl) AS component FROM reach GROUP BY 1)
+         SELECT cells.vec_id, cells.cx, cells.cy, (cidt.cid IS NOT NULL) AS is_core,
+           coalesce(comp.component, cidt.cid, -1) AS cluster
+         FROM cells LEFT JOIN cidt ON cidt.cx = cells.cx AND cidt.cy = cells.cy
+         LEFT JOIN comp ON comp.cid = cidt.cid
+         ORDER BY cells.vec_id""",
     // q197's log-1.25 bins per source, pooled bins, per-group cum
     // windows over the shared global bin grid, integer cross-multiplied
     // CDF gap, argmax by (gap DESC, bin).

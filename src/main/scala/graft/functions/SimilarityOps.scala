@@ -560,6 +560,61 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(wBeam)).where(col("rank") <= k)
   }
 
+  /** GRID-DENSITY CLUSTERING of an embedding corpus — the CLIQUE/STING
+    * family (Agrawal et al., SIGMOD 1998): project every vector to 2
+    * exact-integer JL coordinates ([[randomProjection]] — deterministic,
+    * engine-portable), bucket into a `cellWidth` grid, call a cell CORE
+    * when it holds ≥ `minPts` points, and union 8-adjacent core cells
+    * into clusters. The density-based complement to the k-means family
+    * ([[kmeansCentroids]]/SemDeDup): finds arbitrarily-shaped dense
+    * regions and labels sparse points as noise instead of forcing them
+    * into a nearest centroid — the "is this embedding space clumpy, and
+    * where" question k-means answers badly.
+    *
+    * Scale shape: the corpus pays one map-side projection and ONE
+    * (cx, cy) count aggregate; everything after (core filter, dense cell
+    * ids, 9-offset self equi-join, connected components, label joins)
+    * runs on the CELL table — corpus/minPts at worst, grid-bounded in
+    * practice. The one global window (dense cid assignment) orders cells,
+    * never points. Label attach is two cell-keyed equi-joins back onto
+    * the point frame.
+    *
+    * @return (idCol, cx, cy, is_core, cluster) — cluster is the min
+    *         dense-cell id of the connected core region, −1 for noise */
+  def gridDensityClusters(corpus: DataFrame, idCol: String, vecCol: String,
+                          cellWidth: Long = 200000L, minPts: Long = 5L): DataFrame = {
+    require(cellWidth >= 1, s"cellWidth must be positive, got $cellWidth")
+    require(minPts >= 1, s"minPts must be positive, got $minPts")
+    val pts = corpus.select(col(idCol), randomProjection(col(vecCol), 2).as("__p"))
+      .withColumn("__x", col("__p").getItem(0))
+      .withColumn("__y", col("__p").getItem(1))
+      // exact floor division (negatives included): strip the nonneg pmod
+      .withColumn("__mx", col("__x") - pmod(col("__x"), lit(cellWidth)))
+      .withColumn("__my", col("__y") - pmod(col("__y"), lit(cellWidth)))
+      .select(col(idCol), expr(s"__mx div ${cellWidth}L").as("cx"),
+        expr(s"__my div ${cellWidth}L").as("cy"))
+    val core = pts.groupBy("cx", "cy").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minPts)
+    val cid = core.select(col("cx"), col("cy"),
+      row_number().over(Window.orderBy("cx", "cy")).cast("long").as("cid"))
+    val offsets = for { dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L) }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val edges = cid.select(col("cid").as("cid_a"), col("cx"), col("cy"))
+      .withColumn("__o", explode(array(offsets: _*)))
+      .select(col("cid_a"), (col("cx") + col("__o.dx")).as("cx"),
+        (col("cy") + col("__o.dy")).as("cy"))
+      .join(cid.select(col("cid").as("cid_b"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .select("cid_a", "cid_b")
+    val comp = GraphOps.connectedComponents(edges, "cid_a", "cid_b")
+    pts.join(cid, Seq("cx", "cy"), "left")
+      .join(comp.withColumnRenamed("id", "cid"), Seq("cid"), "left")
+      .select(col(idCol), col("cx"), col("cy"),
+        col("cid").isNotNull.as("is_core"),
+        // isolated core cells never enter an edge: they are their own
+        // cluster; non-core points are noise
+        coalesce(col("component"), col("cid"), lit(-1L)).as("cluster"))
+  }
+
   /** The PERSISTED-IVF store content: every corpus vector assigned to its
     * nearest cell under a FROZEN trained quantizer — (idCol, vecCol,
     * "cid") rows, the inverted file as a table. Persist via

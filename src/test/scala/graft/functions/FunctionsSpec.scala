@@ -742,6 +742,32 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(!out.map(_.getAs[Long]("nbr_id")).contains(0L))
   }
 
+  test("gridDensityClusters: density invariants — core iff cell count >= minPts, adjacency shares labels, noise = -1") {
+    val rng = new scala.util.Random(13)
+    val corpus = (0L until 150L).map(i => (i, Array.fill(4)(rng.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.gridDensityClusters(corpus, "vec_id", "embedding",
+      cellWidth = 150000L, minPts = 4L).collect()
+    assert(out.length == 150)
+    // per cell: every member agrees on is_core and cluster; core iff n >= minPts
+    val byCell = out.groupBy(r => (r.getAs[Long]("cx"), r.getAs[Long]("cy")))
+    byCell.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Boolean]("is_core")).distinct.length == 1)
+      assert(rows.map(_.getAs[Long]("cluster")).distinct.length == 1)
+      assert(rows.head.getAs[Boolean]("is_core") == (rows.length >= 4))
+      if (!rows.head.getAs[Boolean]("is_core"))
+        assert(rows.head.getAs[Long]("cluster") == -1L)
+      else assert(rows.head.getAs[Long]("cluster") > 0L)
+    }
+    // 8-adjacent core cells always share a cluster label
+    val coreCells = byCell.collect { case (c, rows) if rows.length >= 4 =>
+      c -> rows.head.getAs[Long]("cluster") }.toMap
+    assert(coreCells.nonEmpty, "fixture produced no core cell — retune width/minPts")
+    for (((cx, cy), cl) <- coreCells; dx <- -1L to 1L; dy <- -1L to 1L)
+      coreCells.get((cx + dx, cy + dy)).foreach(cl2 => assert(cl2 == cl,
+        s"adjacent core cells (${cx},${cy})/(${cx + dx},${cy + dy}) differ: $cl vs $cl2"))
+  }
+
   test("beamSearchTopK: converges to the exact top-k on a full graph; more hops never hurt") {
     val probes = df.where($"vec_id" === 0L)
     val graph = SimilarityOps.bruteForceTopK(df, df, "vec_id", "vec_id", "embedding", k = 3)
