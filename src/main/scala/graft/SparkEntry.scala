@@ -2635,6 +2635,25 @@ object SparkEntry {
         .ddQuantiles(s.table(tbl), Seq(500L, 950L, 990L), gammaMilli = 1250L)
         .orderBy("g", "q_milli")
     }),
+    // ── extension: SGNS NEGATIVE SAMPLING (Mikolov et al. 2013 §2.2)
+    //    — k deterministic md5-drawn negatives per (center, context)
+    //    skip-gram pair through a dense vocabulary index, own-pair
+    //    collisions discarded with order-preserving slots: the third
+    //    leg of the DeepWalk training-data pipeline (q174 → q175 → this).
+    "q204_sgns_negatives" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .where(pmod(col("o_custkey"), lit(100)) === 0)
+        .select((col("o_custkey") * 2).as("center"),
+          (col("l_suppkey") * 2 + 1).as("context"))
+        .distinct()
+      val nodes = pairs.select(col("center").as("node"))
+        .unionByName(pairs.select(col("context").as("node"))).distinct()
+      graft.functions.GraphOps.sgnsNegatives(pairs, nodes, "node",
+        k = 3, oversample = 3)
+        .orderBy("center", "context", "slot")
+    }),
     // ── extension: GRID-DENSITY CLUSTERING (CLIQUE/STING, Agrawal et
     //    al. 1998) — exact-integer 2-D JL grid, ≥5-point core cells,
     //    8-adjacent cells unioned via connected components; the
@@ -6301,6 +6320,31 @@ object SparkEntry {
          WHERE c.cum * 1000 >= q.q_milli * c.n
            AND (c.cum - c.cnt) * 1000 < q.q_milli * c.n
          ORDER BY g, q_milli""",
+    // Same bipartite pair fixture, dense row_number index over the
+    // union vocabulary, md5 draws mod |vocab|, collision filter,
+    // order-preserving slot ranks.
+    "q204_sgns_negatives" ->
+      """WITH pairs AS (
+           SELECT DISTINCT o.o_custkey * 2 AS center, l.l_suppkey * 2 + 1 AS context
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           WHERE o.o_custkey % 100 = 0),
+         nodes AS (SELECT DISTINCT node FROM
+           (SELECT center AS node FROM pairs UNION ALL SELECT context FROM pairs)),
+         idx AS (SELECT node, CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT) AS i
+                 FROM nodes),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+         draws AS (SELECT p.center, p.context, r.j,
+             CAST('0x'||substr(md5('sgns,'||p.center||','||p.context||','||r.j),1,15) AS BIGINT)
+               % n.n AS d
+           FROM pairs p CROSS JOIN range(0, 9) r(j) CROSS JOIN n),
+         cand AS (SELECT d2.center, d2.context, d2.j, idx.node AS neg
+           FROM draws d2 JOIN idx ON idx.i = d2.d
+           WHERE idx.node <> d2.center AND idx.node <> d2.context),
+         sl AS (SELECT center, context,
+                  CAST(row_number() OVER (PARTITION BY center, context ORDER BY j) AS INT) AS slot,
+                  neg FROM cand)
+         SELECT center, context, slot, neg FROM sl
+         WHERE slot <= 3 ORDER BY center, context, slot""",
     // q120's exact-integer JL projection, pmod floor-div cells, core
     // filter, dense cid by (cx, cy) order, 9-offset adjacency, recursive
     // min-label closure over the (small) core-cell graph.

@@ -661,6 +661,51 @@ object GraphOps {
         col("context_step"), col("context"))
   }
 
+  /** SGNS NEGATIVE SAMPLING — the third leg of the DeepWalk/node2vec
+    * training-data pipeline ([[randomWalks]]/[[node2vecWalks]] →
+    * [[walkPairs]] → this): for every (center, context) positive pair,
+    * `k` deterministic negative nodes drawn uniformly from the vocabulary
+    * (Mikolov et al., NeurIPS 2013 §2.2 — uniform here; the 3/4-power
+    * unigram variant is a weighted-interval lookup on the same draw,
+    * left to the caller's weighting). Draw j for a pair is
+    * hash60("sgns", center, context, j) mod |vocab| mapped through a
+    * dense node index — md5-reproducible on any engine, any cluster
+    * size, any partitioning. Draws that collide with the pair's own
+    * center/context are discarded and the surviving draws keep their
+    * order, so `oversample`·k draws almost surely yield k clean
+    * negatives (for tiny vocabularies size `oversample` up; short rows
+    * are emitted rather than padded).
+    *
+    * Scale shape: pairs × (oversample·k) generated map-side; ONE
+    * equi-join against the dense node index (vocabulary-sized — model
+    * state, broadcast when it fits) and one per-pair window over ≤
+    * oversample·k rows. The dense index assignment is the one global
+    * window — over the VOCABULARY, never the pair stream.
+    *
+    * @return (center, context, slot 1..≤k, neg) */
+  def sgnsNegatives(pairs: DataFrame, nodes: DataFrame, nodeCol: String,
+                    k: Int = 5, oversample: Int = 3): DataFrame = {
+    require(k >= 1 && oversample >= 1, s"need k, oversample >= 1, got $k/$oversample")
+    val idx = nodes.select(col(nodeCol).as("__node")).distinct()
+      .select(col("__node"), (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("__node")) - 1)
+        .cast("long").as("__idx"))
+    val n = idx.agg(count(lit(1)).as("__n"))
+    val draws = pairs.select(col("center"), col("context"))
+      .withColumn("__j", explode(sequence(lit(0), lit(k * oversample - 1))))
+      .crossJoin(broadcast(n))
+      .withColumn("__draw", pmod(DedupOps.hash60(
+        concat_ws(",", lit("sgns"), col("center"), col("context"), col("__j"))),
+        col("__n")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("center", "context").orderBy("__j")
+    draws.join(idx, col("__draw") === col("__idx"))
+      .where(col("__node") =!= col("center") && col("__node") =!= col("context"))
+      .withColumn("slot", row_number().over(w))
+      .where(col("slot") <= k)
+      .select(col("center"), col("context"), col("slot"), col("__node").as("neg"))
+  }
+
   /** node2vec BIASED random walks (Grover & Leskovec, KDD'16 §3.2): like
     * [[randomWalks]] but the transition out of `node` (arrived from
     * `prev`) weights each neighbor x by the paper's search bias α:

@@ -342,6 +342,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(hist((2L, 3L)) == 1L && hist.values.sum == 12L)
   }
 
+  test("sgnsNegatives: draws land in the vocabulary, never on the pair itself, deterministic slots") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("center", "context")
+    val nodes = (1L to 40L).toDF("node")
+    val out = GraphOps.sgnsNegatives(pairs, nodes, "node", k = 4, oversample = 3)
+      .collect().map(r => (r.getAs[Long]("center"), r.getAs[Long]("context"),
+        r.getAs[Int]("slot"), r.getAs[Long]("neg")))
+    // every pair fills all 4 slots (vocab 40 ≫ 2 excluded, 12 draws)
+    val byPair = out.groupBy(t => (t._1, t._2))
+    assert(byPair.keySet == Set((1L, 2L), (3L, 4L), (5L, 6L)))
+    byPair.foreach { case ((c, x), rows) =>
+      assert(rows.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4), s"slots for ($c,$x)")
+      rows.foreach { case (_, _, _, neg) =>
+        assert(neg >= 1L && neg <= 40L && neg != c && neg != x)
+      }
+    }
+    // byte-reproducible: a second invocation is identical
+    val again = GraphOps.sgnsNegatives(pairs, nodes, "node", k = 4, oversample = 3)
+      .collect().map(r => (r.getAs[Long]("center"), r.getAs[Long]("context"),
+        r.getAs[Int]("slot"), r.getAs[Long]("neg")))
+    assert(out.toSet == again.toSet)
+  }
+
   test("node2vecWalks: valid hops, p/q bias steers the draw, deterministic") {
     // triangle 1-2-3 plus pendant 4 on node 2: from 2 (arrived from 1),
     // neighbor 1 is 'return', 3 is distance-1 (edge 1-3), 4 is distance-2
