@@ -2635,6 +2635,15 @@ object SparkEntry {
         .ddQuantiles(s.table(tbl), Seq(500L, 950L, 990L), gammaMilli = 1250L)
         .orderBy("g", "q_milli")
     }),
+    // ── extension: FEATURE HASHING (Weinberger et al. 2009) — fixed
+    //    16-bucket signed-hash document vectors, no vocabulary state;
+    //    gate output exploded to (doc, j, v) rows for exact compare.
+    "q205_feature_hashing" -> ((s, dir) => {
+      TextFunctions.hashedFeatures(T(s, dir, "documents"), "doc_id", "text",
+        dim = 16)
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("j", "v")))
+        .orderBy("doc_id", "j")
+    }),
     // ── extension: SGNS NEGATIVE SAMPLING (Mikolov et al. 2013 §2.2)
     //    — k deterministic md5-drawn negatives per (center, context)
     //    skip-gram pair through a dense vocabulary index, own-pair
@@ -6320,6 +6329,23 @@ object SparkEntry {
          WHERE c.cum * 1000 >= q.q_milli * c.n
            AND (c.cum - c.cnt) * 1000 < q.q_milli * c.n
          ORDER BY g, q_milli""",
+    // Two md5 hash streams (bucket, sign) per token, (doc, bucket) sum,
+    // dense 0..15 grid via cross join with zero fill.
+    "q205_feature_hashing" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+           FROM documents WHERE trim(text) <> ''),
+         tv AS (SELECT doc_id,
+             CAST('0x'||substr(md5('fhb,'||tok),1,15) AS BIGINT) % 16 AS b,
+             2 * (CAST('0x'||substr(md5('fhs,'||tok),1,15) AS BIGINT) % 2) - 1 AS s
+           FROM toks),
+         agg AS (SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v FROM tv GROUP BY 1, 2),
+         d AS (SELECT DISTINCT doc_id FROM toks)
+         SELECT d.doc_id, r.j, coalesce(agg.v, 0) AS v
+         FROM d CROSS JOIN range(0, 16) r(j)
+         LEFT JOIN agg ON agg.doc_id = d.doc_id AND agg.b = r.j
+         ORDER BY d.doc_id, r.j""",
     // Same bipartite pair fixture, dense row_number index over the
     // union vocabulary, md5 draws mod |vocab|, collision filter,
     // order-preserving slot ranks.

@@ -558,6 +558,38 @@ object TextFunctions {
       .limit(topK)
   }
 
+  /** FEATURE HASHING (the hashing trick — Weinberger et al., ICML 2009):
+    * every document becomes a fixed-`dim` integer vector, token t adding
+    * sign(t) ∈ {−1, +1} at bucket h(t) mod dim. Signed hashing makes the
+    * bucket-collision noise zero-mean (ICML 2009 Thm 2), so hashed dot
+    * products estimate bag-of-words dot products without any vocabulary
+    * — the stateless featurizer for linear classifiers / cheap cosine at
+    * corpus scale where a fitted vocabulary is itself a big-data object.
+    * Both hashes are md5-derived ([[DedupOps.hash60]]), so the vectors
+    * are bit-identical on any engine or partitioning.
+    *
+    * Scale shape: one token explode into a (doc, bucket) sum aggregate
+    * (map-side partials, ≤ dim rows per doc out), then a per-doc
+    * map_from_entries fold to the dense array — no join, no vocabulary
+    * state, nothing model-sized anywhere.
+    *
+    * @return (idCol, features: array<long> of length dim) */
+  def hashedFeatures(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, dim: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    val toks = df.where(trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__t"))
+    toks.select(col(idCol),
+        pmod(DedupOps.hash60(concat(lit("fhb,"), col("__t"))), lit(dim.toLong)).as("__b"),
+        (pmod(DedupOps.hash60(concat(lit("fhs,"), col("__t"))), lit(2L)) * 2L - 1L).as("__s"))
+      .groupBy(col(idCol), col("__b")).agg(sum(col("__s")).as("__v"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__v")))).as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(col("__m"), i), lit(0L))).as("features"))
+  }
+
   /** n-gram/stopword-vote language ID heuristic: CJK script ratio decides
     * "zh"; otherwise the language whose stopword set matches the most
     * tokens wins; "und" (undetermined) when nothing matches. Pure

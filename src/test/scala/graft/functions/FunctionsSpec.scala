@@ -46,6 +46,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(idx.indexOf(("new", "york")) < idx.indexOf(("a", "b")))
   }
 
+  test("hashedFeatures: fixed dim, token-count mass, sign cancellation, deterministic") {
+    val d = docs(1L -> "alpha beta alpha", 2L -> "gamma", 3L -> " ")
+    val out = TextFunctions.hashedFeatures(d, "doc_id", "text", dim = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Long](r.fieldIndex("features")).toVector).toMap
+    assert(out.keySet == Set(1L, 2L)) // all-whitespace doc dropped
+    assert(out.values.forall(_.length == 8))
+    // |signed mass| ≤ token count, and Σ|v| has token-count parity
+    assert(out(1L).map(math.abs).sum <= 3 && (out(1L).map(math.abs).sum - 3) % 2 == 0)
+    assert(out(2L).map(math.abs).sum == 1)
+    // same token stream → identical vector (no RNG, no partition effects)
+    val again = TextFunctions.hashedFeatures(d.repartition(7), "doc_id", "text", dim = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](r.fieldIndex("features")).toVector).toMap
+    assert(again == out)
+  }
+
   test("encodingAnomalies counts replacement chars, C1 debris, and double-encoded UTF-8") {
     val d = docs(
       1L -> "clean ascii text",
