@@ -2635,6 +2635,69 @@ object SparkEntry {
         .ddQuantiles(s.table(tbl), Seq(500L, 950L, 990L), gammaMilli = 1250L)
         .orderBy("g", "q_milli")
     }),
+    // ── extension: STREAMING SESSION-WINDOW PARITY — the q184-style
+    //    file-replay harness for StreamingOps.sessionize: per-user
+    //    events arrive over 2 triggers (the 35-minute event must MERGE
+    //    into the session opened two triggers earlier via state-store
+    //    session merge), two advancer triggers close the watermark, and
+    //    the emitted sessions must equal the batch gaps-and-islands
+    //    sessions restricted to end ≤ final watermark (the advancers'
+    //    own still-open sessions are correctly withheld — the append-
+    //    mode emission semantics, oracle-gated).
+    "q206_session_stream" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val base = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_q206_$uid")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      val users = ev.select(col("user_id")).distinct().localCheckpoint(true)
+      val bts = to_timestamp(lit("2020-01-01 00:00:00"))
+      def mk(ms: Int*): DataFrame = users
+        .select(col("user_id"), explode(array(ms.map(lit(_)): _*)).as("m"))
+        .select(col("user_id"), (bts + col("m") * expr("INTERVAL 1 MINUTE")).as("ts"))
+      def adv(id: Long, m: Int): DataFrame = s.range(1)
+        .select(lit(id).as("user_id"), (bts + lit(m) * expr("INTERVAL 1 MINUTE")).as("ts"))
+      val inDir = new java.io.File(base, "in")
+      def writeArrival(df: DataFrame, t: Long): Unit = {
+        val before = Option(inDir.listFiles()).map(_.map(_.getName).toSet)
+          .getOrElse(Set.empty[String])
+        df.coalesce(1).write.mode("append").parquet(inDir.getAbsolutePath)
+        inDir.listFiles().filter(f => !before(f.getName) && f.getName.endsWith(".parquet"))
+          .foreach(f => f.setLastModified(t): Unit)
+      }
+      val t0 = 1600000000000L
+      try {
+        writeArrival(mk(0, 10), t0)             // session opens
+        writeArrival(mk(35, 120), t0 + 4000)    // 35 merges in; 120 starts anew
+        writeArrival(adv(-1L, 10000), t0 + 8000)  // watermark jump
+        writeArrival(adv(-2L, 10010), t0 + 12000) // cleanup/flush batch
+        val in = s.readStream.schema(mk(0).schema).option("maxFilesPerTrigger", "1")
+          .parquet(inDir.getAbsolutePath)
+        val sess = graft.streaming.StreamingOps.sessionize(
+          in, "ts", "user_id", gap = "30 minutes", watermarkDelay = "60 seconds")
+        val sink = s"graft_q206_sink_$uid"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = sess.writeStream.outputMode("append")
+            .format("memory").queryName(sink).start()
+          try q.processAllAvailable() finally q.stop()
+          s.table(sink)
+            .select(col("user_id"),
+              col("session_start").cast("timestamp_ntz").as("session_start"),
+              col("session_end").cast("timestamp_ntz").as("session_end"),
+              col("n_events"))
+            .orderBy("user_id", "session_start")
+            .localCheckpoint(true)
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.catalog.dropTempView(s"graft_q206_sink_$uid"): Unit
+        }
+      } finally rm(base)
+    }),
     // ── extension: FEATURE HASHING (Weinberger et al. 2009) — fixed
     //    16-bucket signed-hash document vectors, no vocabulary state;
     //    gate output exploded to (doc, j, v) rows for exact compare.
@@ -6329,6 +6392,35 @@ object SparkEntry {
          WHERE c.cum * 1000 >= q.q_milli * c.n
            AND (c.cum - c.cnt) * 1000 < q.q_milli * c.n
          ORDER BY g, q_milli""",
+    // Batch gaps-and-islands over the replayed arrivals (new session
+    // when diff >= gap — Spark merges only strictly-overlapping session
+    // windows), end = last event + gap, restricted to sessions the
+    // final watermark (max ts - delay) has closed.
+    "q206_session_stream" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         r AS (
+           SELECT user_id,
+             TIMESTAMP '2020-01-01 00:00:00' + m * INTERVAL 1 MINUTE AS ts
+           FROM u CROSS JOIN (VALUES (0),(10),(35),(120)) o(m)
+           UNION ALL
+           SELECT -1, TIMESTAMP '2020-01-01 00:00:00' + 10000 * INTERVAL 1 MINUTE
+           UNION ALL
+           SELECT -2, TIMESTAMP '2020-01-01 00:00:00' + 10010 * INTERVAL 1 MINUTE),
+         isl AS (SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+           FROM r),
+         g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM isl),
+         sess AS (SELECT user_id, min(ts) AS session_start,
+                    max(ts) + INTERVAL 30 MINUTE AS session_end,
+                    CAST(count(*) AS BIGINT) AS n_events
+                  FROM g GROUP BY user_id, island),
+         wm AS (SELECT max(ts) - INTERVAL 60 SECOND AS w FROM r)
+         SELECT user_id, session_start, session_end, n_events
+         FROM sess, wm WHERE session_end <= w
+         ORDER BY user_id, session_start""",
     // Two md5 hash streams (bucket, sign) per token, (doc, bucket) sum,
     // dense 0..15 grid via cross join with zero fill.
     "q205_feature_hashing" ->
