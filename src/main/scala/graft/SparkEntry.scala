@@ -2635,6 +2635,31 @@ object SparkEntry {
         .ddQuantiles(s.table(tbl), Seq(500L, 950L, 990L), gammaMilli = 1250L)
         .orderBy("g", "q_milli")
     }),
+    // ── extension: WEIGHTED DRAWS WITH REPLACEMENT — inverse-CDF over
+    //    exact integer cumulative intervals (item table broadcast,
+    //    md5 draws): heavy sources repeat ∝ weight; the SGNS-unigram /
+    //    bootstrap / upsampling primitive q171's without-replacement
+    //    sampler can't provide.
+    "q208_weighted_draws" -> ((s, dir) => {
+      val items = T(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("w"))
+      graft.operators.MixtureSample.weightedDrawsWithReplacement(
+        items, "source", "w", nDraws = 1000L)
+        .orderBy("j")
+    }),
+    // ── extension: RENDEZVOUS SHARDING (HRW, Thaler & Ravishankar
+    //    1998) — argmax-hash shard placement; the gate assigns every doc
+    //    under 8 AND 9 shards and exposes the minimal-disruption
+    //    property (moved ⇒ destination is the new shard) as a column.
+    "q207_rendezvous_shard" -> ((s, dir) => {
+      import graft.operators.TrainShuffle
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TrainShuffle.rendezvousShard(col("doc_id"), 8).as("shard8"),
+          TrainShuffle.rendezvousShard(col("doc_id"), 9).as("shard9"))
+        .withColumn("moved", col("shard8") =!= col("shard9"))
+        .orderBy("doc_id")
+    }),
     // ── extension: STREAMING SESSION-WINDOW PARITY — the q184-style
     //    file-replay harness for StreamingOps.sessionize: per-user
     //    events arrive over 2 triggers (the 35-minute event must MERGE
@@ -6392,6 +6417,41 @@ object SparkEntry {
          WHERE c.cum * 1000 >= q.q_milli * c.n
            AND (c.cum - c.cnt) * 1000 < q.q_milli * c.n
          ORDER BY g, q_milli""",
+    // Integer cumulative intervals by item order, md5 draw mod total,
+    // interval containment join.
+    "q208_weighted_draws" ->
+      """WITH it AS (SELECT source AS item, CAST(count(*) AS BIGINT) AS w
+                     FROM documents GROUP BY 1),
+         cum AS (SELECT item, w,
+                   CAST(sum(w) OVER (ORDER BY item
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+                 FROM it),
+         c2 AS (SELECT item, w, hi, hi - w AS lo FROM cum),
+         tot AS (SELECT max(hi) AS t FROM c2),
+         d AS (SELECT r.j,
+                 CAST('0x'||substr(md5('wdraw,'||r.j),1,15) AS BIGINT) % tot.t AS dd
+               FROM range(0, 1000) r(j) CROSS JOIN tot)
+         SELECT d.j, c2.item AS source FROM d
+         JOIN c2 ON d.dd >= c2.lo AND d.dd < c2.hi ORDER BY d.j""",
+    // Argmax over per-shard md5 integers, ties to the higher shard id
+    // (row_number hash DESC, s DESC ≡ struct max).
+    "q207_rendezvous_shard" ->
+      """WITH a8 AS (
+           SELECT doc_id, s AS shard8 FROM (
+             SELECT doc_id, r.s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY
+                 CAST('0x'||substr(md5('hrw,'||doc_id||','||r.s),1,15) AS BIGINT) DESC,
+                 r.s DESC) AS rn
+             FROM documents CROSS JOIN range(0, 8) r(s)) WHERE rn = 1),
+         a9 AS (
+           SELECT doc_id, s AS shard9 FROM (
+             SELECT doc_id, r.s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY
+                 CAST('0x'||substr(md5('hrw,'||doc_id||','||r.s),1,15) AS BIGINT) DESC,
+                 r.s DESC) AS rn
+             FROM documents CROSS JOIN range(0, 9) r(s)) WHERE rn = 1)
+         SELECT a8.doc_id, a8.shard8, a9.shard9, a8.shard8 <> a9.shard9 AS moved
+         FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id ORDER BY a8.doc_id""",
     // Batch gaps-and-islands over the replayed arrivals (new session
     // when diff >= gap — Spark merges only strictly-overlapping session
     // windows), end = last event + gap, restricted to sessions the

@@ -249,4 +249,42 @@ object MixtureSample {
       .orderBy(col("key_micro").desc, col(idCol))
       .limit(k)
   }
+
+  /** Deterministic weighted sampling WITH replacement — the inverse-CDF
+    * draw over a model-sized item table (the mixture-construction
+    * primitive [[weightedSampleNoReplacement]] can't provide: with
+    * replacement, heavy items repeat in proportion to weight — the
+    * SGNS unigram table, upsampling draws, bootstrap resamples). Items
+    * get exact integer cumulative intervals [lo, hi) by item order;
+    * draw j maps to hash60(salt, j) mod Σw and lands in exactly one
+    * interval — every draw md5-reproducible on any engine, partition
+    * layout, or cluster size.
+    *
+    * Scale shape: the interval table is ITEM-sized (sources, vocab
+    * buckets, shards — model state; its cumulative window orders items,
+    * never data rows) and broadcast into a non-equi interval join
+    * against the draw sequence — nDraws × 1 rows out. For item tables
+    * too big to broadcast, pre-bucket the intervals by ⌊lo/B⌋..⌊hi/B⌋
+    * and equi-join on ⌊draw/B⌋ (the [[graft.operators.RangeJoin]]
+    * floor-div discipline); semantics identical.
+    *
+    * @param items (itemCol, weightCol > 0) — non-positive weights dropped
+    * @return (j 0..nDraws−1, itemCol) */
+  def weightedDrawsWithReplacement(items: DataFrame, itemCol: String,
+                                   weightCol: String, nDraws: Long,
+                                   salt: String = "wdraw"): DataFrame = {
+    require(nDraws >= 1, s"nDraws must be >= 1, got $nDraws")
+    val cum = items.where(col(weightCol) > 0)
+      .select(col(itemCol).as("__item"), col(weightCol).cast("long").as("__w"))
+      .withColumn("__hi", sum("__w").over(Window.orderBy("__item")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__lo", col("__hi") - col("__w"))
+    val total = cum.agg(max("__hi").as("__tot"))
+    items.sparkSession.range(nDraws).select(col("id").as("j"))
+      .crossJoin(broadcast(total))
+      .withColumn("__d", pmod(graft.functions.DedupOps.hash60(
+        concat_ws(",", lit(salt), col("j"))), col("__tot")))
+      .join(broadcast(cum), col("__d") >= col("__lo") && col("__d") < col("__hi"))
+      .select(col("j"), col("__item").as(itemCol))
+  }
 }

@@ -98,6 +98,30 @@ object TrainShuffle {
     * @return per bucket: (bucket_w, n_docs, sum_tok, waste_bp,
     *         naive_waste_bp) — naive_* constant across rows
     */
+  /** RENDEZVOUS (highest-random-weight) SHARDING — Thaler & Ravishankar,
+    * IEEE/ACM ToN 1998: key k lands on argmax_s hash(salt, k, s). The
+    * property [[shuffleShards]]' mod-assignment lacks: when the shard
+    * count changes, ONLY the keys whose new argmax is the added shard
+    * move (≈ 1/(n+1) of them, provably to the new shard and nowhere
+    * else) — mod-n reassigns nearly everything. The placement primitive
+    * for incremental re-sharding of a growing persisted corpus (resize
+    * a 256-shard store to 257 and re-copy 0.4% of the bytes, not 99%).
+    *
+    * Map-only: the candidate list is `nShards` md5 integers per key,
+    * constant-folded; the argmax is an array_max over (hash, shard)
+    * structs — ties (astronomically unlikely 60-bit collisions) break
+    * to the higher shard id, deterministically. For shard counts large
+    * enough that n literals per row hurt (thousands), switch to the
+    * explode + per-key max form; the semantics are identical. */
+  def rendezvousShard(key: Column, nShards: Int, salt: String = "hrw"): Column = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val cands = (0 until nShards).map { s =>
+      struct(graft.functions.DedupOps.hash60(
+        concat_ws(",", lit(salt), key, lit(s))).as("h"), lit(s.toLong).as("s"))
+    }
+    array_max(array(cands: _*)).getField("s")
+  }
+
   def paddingWaste(df: DataFrame, tokCol: String, minWidth: Int = 16): DataFrame = {
     require(minWidth >= 1, s"minWidth must be >= 1, got $minWidth")
     val nt = col(tokCol)

@@ -213,4 +213,20 @@ class MixtureSampleSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$plan")
   }
+
+  test("weightedDrawsWithReplacement: exactly one item per draw, mass tracks weight, zero weight never drawn") {
+    val items = Seq(("a", 1L), ("b", 3L), ("c", 0L), ("d", -2L)).toDF("item", "w")
+    val out = MixtureSample.weightedDrawsWithReplacement(items, "item", "w", nDraws = 400L)
+      .collect().map(r => r.getAs[Long]("j") -> r.getAs[String]("item"))
+    assert(out.length == 400 && out.map(_._1).distinct.length == 400) // each draw exactly once
+    val byItem = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(!byItem.contains("c") && !byItem.contains("d"))
+    // b has 3× a's weight: md5-uniform draws put b's share near 300/400
+    assert(byItem("b") > 250 && byItem("b") < 350, s"b drawn ${byItem("b")}")
+    assert(byItem("a") + byItem("b") == 400)
+    // deterministic: same salt → identical draw sequence
+    val again = MixtureSample.weightedDrawsWithReplacement(items, "item", "w", nDraws = 400L)
+      .collect().map(r => r.getAs[Long]("j") -> r.getAs[String]("item"))
+    assert(out.toSeq.sorted == again.toSeq.sorted)
+  }
 }

@@ -80,4 +80,21 @@ class TrainShuffleSpec extends SparkSpec {
     val bucketed = out.map(t => t._2 * t._1 - t._3).sum
     assert(bucketed < 5L * 128 - 166)
   }
+
+  test("rendezvousShard: in-range, roughly uniform, and minimal disruption on resize") {
+    val keys = (0L until 400L).toDF("id")
+    val out = keys.select(col("id"),
+        TrainShuffle.rendezvousShard(col("id"), 8).as("s8"),
+        TrainShuffle.rendezvousShard(col("id"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall { case (_, s8, s9) => s8 >= 0 && s8 < 8 && s9 >= 0 && s9 < 9 })
+    // every shard populated, no shard hoards (uniformity sanity, 400 keys / 8)
+    val by8 = out.groupBy(_._2).view.mapValues(_.size)
+    assert(by8.size == 8 && by8.values.forall(n => n > 20 && n < 90))
+    // THE HRW property: growing 8 -> 9 moves keys ONLY to the new shard
+    val moved = out.filter { case (_, s8, s9) => s8 != s9 }
+    assert(moved.nonEmpty && moved.forall(_._3 == 8L))
+    // and the moved fraction is ~1/9, not ~8/9 (mod-n would reshuffle all)
+    assert(moved.size < 400 / 4)
+  }
 }
