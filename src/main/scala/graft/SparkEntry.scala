@@ -2635,6 +2635,57 @@ object SparkEntry {
         .ddQuantiles(s.table(tbl), Seq(500L, 950L, 990L), gammaMilli = 1250L)
         .orderBy("g", "q_milli")
     }),
+    // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
+    //    2020 §3.3) — model trained on even docs, odd docs scored with
+    //    the full backoff ladder (seen bigram → continuation backoff →
+    //    uniform); per-pair log-probs floored to integer micro BEFORE
+    //    the per-doc sum, so document ranks are exact BIGINTs.
+    "q212_kn_perplexity" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val model = graft.functions.ClassifierOps.knBigramModel(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "text")
+      graft.functions.ClassifierOps.knPerplexity(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+    // ── extension: KNESER-NEY BIGRAM LM (Kneser & Ney 1995; the KenLM/
+    //    CCNet perplexity-filter family) — d = 3/4 makes every term
+    //    rational, so the interpolated probability is ONE exact BIGINT
+    //    expression; gate emits the c12 >= 5 slice of the model.
+    "q211_kneser_ney_lm" -> ((s, dir) => {
+      graft.functions.ClassifierOps.knBigramModel(T(s, dir, "documents"), "text")
+        .where(col("c12") >= 5)
+        .orderBy("w1", "w2")
+    }),
+    // ── extension: PER-GROUP PERCENTILE-RANK NORMALIZATION — exact
+    //    permille rank over the (value, id) total order via the
+    //    PrefixSum distributed rank (id tie-break inside the bucket
+    //    window): cross-source score calibration, engine-exact integers.
+    "q209_percentile_rank" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("tok"))
+      graft.functions.ProfileOps.percentileRank(d, "source", "tok", "doc_id")
+        .orderBy("doc_id")
+    }),
+    // ── extension: STORE TIME TRAVEL — liveViewAsOf: the epoch-appended
+    //    tombstone store read AS OF any past epoch (appends up to e,
+    //    deletions issued up to e) — snapshot isolation's audit read in
+    //    plain DataFrames, closing the lifecycle build → absorb →
+    //    delete → compact → retrain → TIME-TRAVEL.
+    "q210_store_time_travel" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_custkey").as("payload"))
+        .where(col("id") < 3000)
+      val store = o.withColumn("epoch", pmod(col("id"), lit(3)))
+      val tomb = o.where(pmod(col("id"), lit(7)) === 0)
+        .select(col("id"), (pmod(col("id"), lit(2)) + 1).as("before_epoch"))
+      (0L to 2L).map { e =>
+        TableStore.liveViewAsOf(store, tomb, "id", "epoch", e)
+          .select(lit(e).as("as_of"), col("id"), col("payload"), col("epoch"))
+      }.reduce(_ unionByName _).orderBy("as_of", "id")
+    }),
     // ── extension: WEIGHTED DRAWS WITH REPLACEMENT — inverse-CDF over
     //    exact integer cumulative intervals (item table broadcast,
     //    md5 draws): heavy sources repeat ∝ weight; the SGNS-unigram /
@@ -2823,7 +2874,7 @@ object SparkEntry {
     //    engines so ranks match bit-for-bit).
     "q199_hard_negatives" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val probes = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+      val probes = emb.where(col("vec_id") < 50)
       SimilarityOps.hardNegatives(emb, probes, "vec_id", "vec_id",
         "embedding", "label", k = 5)
         .select(col("probe_id"), col("nbr_id"), col("nbr_class"), col("rank"))
@@ -6417,6 +6468,99 @@ object SparkEntry {
          WHERE c.cum * 1000 >= q.q_milli * c.n
            AND (c.cum - c.cnt) * 1000 < q.q_milli * c.n
          ORDER BY g, q_milli""",
+    // Even-doc model (q211 CTEs), odd-doc pair stream, the three-rung
+    // backoff CASE, per-pair integer-micro log-probs, per-doc sums.
+    "q212_kn_perplexity" ->
+      """WITH tr AS (
+           SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents WHERE trim(text) <> '' AND doc_id % 2 = 0),
+         bg AS (
+           SELECT u.z[1] AS w1, u.z[2] AS w2, CAST(count(*) AS BIGINT) AS c12
+           FROM tr, unnest(list_zip(tr.toks[:-2], tr.toks[2:])) AS u(z)
+           WHERE u.z[1] IS NOT NULL AND u.z[2] IS NOT NULL GROUP BY 1, 2),
+         ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1_fanout FROM bg GROUP BY 1),
+         cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_cont FROM bg GROUP BY 1),
+         tb AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM bg),
+         mp AS (SELECT bg.w1, bg.w2,
+                  (1000000 * ((4 * bg.c12 - 3) * tb.bt + 3 * ctx.n1_fanout * cont.n1_cont))
+                    // (4 * ctx.c1 * tb.bt) AS prob_micro
+                FROM bg JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tb),
+         vz AS (SELECT CAST(count(*) AS BIGINT) AS v FROM
+           (SELECT DISTINCT w FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg))),
+         te AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents WHERE trim(text) <> '' AND doc_id % 2 = 1),
+         pr AS (SELECT doc_id, u.z[1] AS w1, u.z[2] AS w2
+                FROM te, unnest(list_zip(te.toks[:-2], te.toks[2:])) AS u(z)
+                WHERE len(te.toks) >= 2 AND u.z[1] IS NOT NULL AND u.z[2] IS NOT NULL),
+         sc AS (SELECT pr.doc_id,
+                  CASE WHEN mp.prob_micro IS NOT NULL THEN mp.prob_micro
+                       WHEN ctx.c1 IS NOT NULL THEN greatest(
+                         (1000000 * (3 * ctx.n1_fanout * coalesce(cont.n1_cont, 0)))
+                           // (4 * ctx.c1 * tb.bt), 1)
+                       ELSE greatest(1000000 // vz.v, 1) END AS p
+                FROM pr LEFT JOIN mp ON pr.w1 = mp.w1 AND pr.w2 = mp.w2
+                LEFT JOIN ctx ON pr.w1 = ctx.w1
+                LEFT JOIN cont ON pr.w2 = cont.w2
+                CROSS JOIN tb CROSS JOIN vz),
+         lp AS (SELECT doc_id,
+                  CAST(floor(1000000.0 * ln(CAST(p AS DOUBLE) / 1000000.0)) AS BIGINT) AS lp
+                FROM sc)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(lp) AS BIGINT) AS ll_sum_micro,
+           (-CAST(sum(lp) AS BIGINT)) // CAST(count(*) AS BIGINT) AS avg_nll_micro
+         FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    // Tail-zip bigrams (the q198 CTE), three model-sized aggregates,
+    // one pure-integer KN probability per surviving bigram.
+    "q211_kneser_ney_lm" ->
+      """WITH t AS (
+           SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents WHERE trim(text) <> ''),
+         bg AS (
+           SELECT u.z[1] AS w1, u.z[2] AS w2, CAST(count(*) AS BIGINT) AS c12
+           FROM t, unnest(list_zip(t.toks[:-2], t.toks[2:])) AS u(z)
+           WHERE u.z[1] IS NOT NULL AND u.z[2] IS NOT NULL
+           GROUP BY 1, 2),
+         ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1_fanout FROM bg GROUP BY 1),
+         cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_cont FROM bg GROUP BY 1),
+         tb AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM bg)
+         SELECT bg.w1, bg.w2, bg.c12, ctx.c1, ctx.n1_fanout, cont.n1_cont,
+           (1000000 * ((4 * bg.c12 - 3) * tb.bt + 3 * ctx.n1_fanout * cont.n1_cont))
+             // (4 * ctx.c1 * tb.bt) AS prob_micro
+         FROM bg JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tb
+         WHERE bg.c12 >= 5 ORDER BY bg.w1, bg.w2""",
+    // row_number over (tok, doc_id) per source ≡ the PrefixSum rank;
+    // permille is pure integer division.
+    "q209_percentile_rank" ->
+      """WITH tc AS (
+           SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+             END AS tok
+           FROM documents),
+         r AS (SELECT doc_id, source, tok,
+                 CAST(row_number() OVER (PARTITION BY source ORDER BY tok, doc_id) AS BIGINT) AS rank,
+                 CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+               FROM tc)
+         SELECT source, doc_id, tok, rank,
+           CASE WHEN n > 1 THEN (rank - 1) * 1000 // (n - 1) ELSE 0 END AS permille
+         FROM r ORDER BY doc_id""",
+    // Reconstruct each as-of state: appends with epoch <= e minus
+    // tombstones issued by e that cover the row's epoch.
+    "q210_store_time_travel" ->
+      """WITH o AS (SELECT o_orderkey AS id, o_custkey AS payload,
+                      o_orderkey % 3 AS epoch
+                    FROM orders WHERE o_orderkey < 3000),
+         t AS (SELECT id, id % 2 + 1 AS before_epoch FROM o WHERE id % 7 = 0),
+         e AS (SELECT unnest([0, 1, 2]) AS as_of)
+         SELECT CAST(e.as_of AS BIGINT) AS as_of, o.id, o.payload,
+           CAST(o.epoch AS BIGINT) AS epoch
+         FROM e JOIN o ON o.epoch <= e.as_of
+         WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.id = o.id
+           AND t.before_epoch <= e.as_of AND o.epoch < t.before_epoch)
+         ORDER BY as_of, o.id""",
     // Integer cumulative intervals by item order, md5 draw mod total,
     // interval containment join.
     "q208_weighted_draws" ->
@@ -6716,7 +6860,7 @@ object SparkEntry {
                i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
              / (c.n * p.n) AS cos
            FROM nrm c, nrm p
-           WHERE p.vec_id % 10 = 0 AND c.label <> p.label
+           WHERE p.vec_id < 50 AND c.label <> p.label
              AND c.n > 0 AND p.n > 0)
          SELECT probe_id, nbr_id, nbr_class, rank FROM (
            SELECT probe_id, nbr_id, nbr_class,

@@ -242,4 +242,102 @@ object ClassifierOps {
     val u = (DedupOps.hash60(id.cast("string")) % 1000000L + lit(0.5)) / 1000000.0
     logWeight + (-log(-log(u)))
   }
+
+  /** Interpolated KNESER–NEY bigram language model TRAINING (Kneser &
+    * Ney, ICASSP 1995; Chen & Goodman, 1999 eq. 4.24) with the fixed
+    * discount d = 3/4 — the LM family behind CCNet-style perplexity
+    * filtering (KenLM trains exactly this, at order 5):
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − d, 0)/c(w₁) + λ(w₁)·P_cont(w₂)
+    *   λ(w₁) = d·N₁₊(w₁•)/c(w₁),  P_cont(w₂) = N₁₊(•w₂)/B
+    *
+    * d = 3/4 makes every term RATIONAL with integer numerators, so the
+    * probability is one exact integer expression:
+    *   prob_micro = ⌊10⁶·((4·c₁₂ − 3)·B + 3·N₁₊(w₁•)·N₁₊(•w₂))
+    *                 / (4·c(w₁)·B)⌋
+    * — pure BIGINT arithmetic, engine-exact, no float anywhere.
+    * Overflow envelope: 4·10⁶·c₁₂·B < 2⁶³ (c₁₂ ≤ 10⁵ bigram count with
+    * B ≤ 5·10⁶ distinct bigrams clears it; corpora beyond that rescale
+    * counts first, the [[SketchOps.ksDriftFromHistogram]] discipline).
+    *
+    * Scale shape: one bigram count aggregate (the [[TextFunctions
+    * .pmiPhrases]] map-side tail-zip, no per-doc window), three
+    * model-sized aggregates over it (context totals, fan-out counts,
+    * continuation counts), one broadcast 1-row B — the model is
+    * vocab²-bounded state, the corpus is touched once.
+    *
+    * @return (w1, w2, c12, c1, n1_fanout, n1_cont, prob_micro) */
+  def knBigramModel(df: DataFrame, textCol: String): DataFrame = {
+    val t = df.where(trim(col(textCol)) =!= "")
+      .select(TextFunctions.tokens(lower(col(textCol))).as("toks"))
+    val bg = t.select(explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1), (x, i) -> struct(x AS w1, toks[i + 1] AS w2))"))
+        .as("z"))
+      .select(col("z.w1"), col("z.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = bg.groupBy("w1").agg(sum("c12").as("c1"),
+      count(lit(1)).as("n1_fanout"))
+    val cont = bg.groupBy("w2").agg(count(lit(1)).as("n1_cont"))
+    val b = bg.agg(count(lit(1)).as("__B"))
+    bg.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(b))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1_fanout"), col("n1_cont"),
+        expr("(1000000 * ((4 * c12 - 3) * __B + 3 * n1_fanout * n1_cont)) div (4 * c1 * __B)")
+          .as("prob_micro"))
+  }
+
+  /** PERPLEXITY SCORING against a [[knBigramModel]] — the CCNet filter
+    * read (Wenzek et al., LREC 2020 §3.3: rank documents by LM
+    * perplexity, keep the head/middle): per document, the mean negative
+    * log-probability of its adjacent token pairs under the model.
+    * Backoff ladder for pairs the model never saw: seen bigram → model
+    * probability; seen context only → the continuation backoff term
+    * (clamped to ≥ 1 micro when the continuation is also novel); novel
+    * context → uniform 1/|vocab|. Per-pair log-probs are floored to
+    * INTEGER micro units before the per-doc sum, so document scores are
+    * exact BIGINT arithmetic — float addition order never moves a rank
+    * (the one float per pair is a closed-form ln of an integer ratio).
+    *
+    * Scale shape: the pair stream joins the model (model-sized,
+    * broadcast when it fits) on (w1, w2) and the two marginal tables on
+    * 1 key each; one per-doc sum aggregate. The model frame is eagerly
+    * checkpointed once — five derived reads (probs, context, cont,
+    * B, vocab) reuse it instead of replaying the training aggregate.
+    *
+    * @return (idCol, n_pairs, ll_sum_micro ≤ 0, avg_nll_micro ≥ 0);
+    *         documents with < 2 tokens have no pairs and are absent */
+  def knPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                   model: DataFrame): DataFrame = {
+    val mm = model.localCheckpoint(true)
+    val pairs = docs.where(trim(col(textCol)) =!= "")
+      .select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1), (x, i) -> struct(x AS w1, toks[i + 1] AS w2))"))
+        .as("z"))
+      .select(col(idCol), col("z.w1"), col("z.w2"))
+    val probs = mm.select("w1", "w2", "prob_micro")
+    val ctx = mm.groupBy("w1").agg(max("c1").as("__c1"), max("n1_fanout").as("__nf"))
+    val cont = mm.groupBy("w2").agg(max("n1_cont").as("__nc"))
+    val b = mm.agg(count(lit(1)).as("__B"))
+    val vocab = mm.select(col("w1").as("w"))
+      .unionByName(mm.select(col("w2").as("w"))).distinct()
+      .agg(count(lit(1)).as("__V"))
+    pairs.join(probs, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(b)).crossJoin(broadcast(vocab))
+      .withColumn("__p",
+        when(col("prob_micro").isNotNull, col("prob_micro"))
+          .when(col("__c1").isNotNull, greatest(
+            expr("(1000000 * (3 * __nf * coalesce(__nc, 0L))) div (4 * __c1 * __B)"),
+            lit(1L)))
+          .otherwise(greatest(expr("1000000 div __V"), lit(1L))))
+      .withColumn("__lp", expr(
+        "cast(floor(1000000.0 * ln(cast(__p AS double) / 1000000.0)) AS long)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__lp")).as("ll_sum_micro"))
+      .withColumn("avg_nll_micro", expr("(-ll_sum_micro) div n_pairs"))
+  }
 }

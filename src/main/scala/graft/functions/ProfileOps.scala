@@ -347,4 +347,33 @@ object ProfileOps {
       .select(col(groupCol), col("n_tokens"), col("n_vocab"),
         expr("num div n_tokens").as("entropy_milli"))
   }
+
+  /** PER-GROUP PERCENTILE-RANK NORMALIZATION — map every row's value to
+    * its exact permille rank within its group: permille =
+    * (rank−1)·1000 div (n−1) over the deterministic total order
+    * (value, id). The cross-source calibration step quality pipelines
+    * need before comparing scores from different sources (a "good"
+    * length/score for src_web is not a good one for src_code — CCNet
+    * makes the same move with per-language perplexity buckets); rank
+    * arithmetic is pure integers, so the output is engine-exact.
+    *
+    * Scale shape: the rank is [[graft.operators.PrefixSum
+    * .groupedRunningSum]] with an id tie-break — a corpus-sized group
+    * never lands on one reducer (the 100 TB reason this isn't a naive
+    * `Window.partitionBy(group)`); the per-group size table is
+    * groups-sized and broadcast.
+    *
+    * @return input columns + (rank, permille 0..1000) */
+  def percentileRank(df: DataFrame, groupCol: String, valueCol: String,
+                     idCol: String): DataFrame = {
+    val ranked = graft.operators.PrefixSum.groupedRunningSum(
+      df.withColumn("__one", lit(1L)), Seq(groupCol), valueCol, "__one",
+      "rank", tieCols = Seq(idCol))
+    val sizes = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(sizes), Seq(groupCol))
+      .withColumn("permille",
+        when(col("__n") > 1, expr("(rank - 1) * 1000 div (__n - 1)"))
+          .otherwise(lit(0L)))
+      .drop("__one", "__n")
+  }
 }

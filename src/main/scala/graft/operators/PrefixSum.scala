@@ -38,13 +38,20 @@ object PrefixSum {
     * @param buckets number of quantile buckets; defaults to
     *                spark.sql.shuffle.partitions
     */
+  /** @param tieCols secondary in-bucket sort keys after `orderCol` —
+    *                 rows EQUAL on `orderCol` always share a bucket (the
+    *                 bucket id is a function of `orderCol` alone), so
+    *                 tie-breaking inside the bucket window makes the
+    *                 whole prefix order a deterministic total order over
+    *                 (orderCol, tieCols) with zero extra shuffles. */
   def groupedRunningSum(
       df: DataFrame,
       groupCols: Seq[String],
       orderCol: String,
       valueCol: String,
       out: String,
-      buckets: Int = 0): DataFrame = {
+      buckets: Int = 0,
+      tieCols: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "groupedRunningSum needs at least one group column")
     val b = if (buckets > 0) buckets
             else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -61,7 +68,8 @@ object PrefixSum {
     val withB = df.withColumn("__psb", bucket)
     val keys = "__psb" +: groupCols
 
-    val localW = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val localW = Window.partitionBy(keys.map(col): _*)
+      .orderBy((orderCol +: tieCols).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = withB.withColumn("__ps_local", sum(col(valueCol)).over(localW))
 

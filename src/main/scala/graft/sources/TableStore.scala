@@ -100,6 +100,25 @@ object TableStore {
         store(epochCol) < tombstones("before_epoch"),
       "left_anti")
 
+  /** TIME-TRAVEL read of the same epoch-appended store: the live view AS
+    * OF epoch `asOfEpoch` — rows appended up to that epoch, minus
+    * deletions ISSUED up to it (a tombstone's `before_epoch` is the epoch
+    * the deletion landed in, so `before_epoch <= asOfEpoch` selects
+    * exactly the deletions that had happened by then). The audit /
+    * reproduce-last-week's-training-set read every table format with
+    * snapshot isolation offers, in plain DataFrames — composing with
+    * [[liveView]] (asOf = max epoch ≡ the live view) and costing one
+    * extra map-side epoch filter per side, nothing else.
+    *
+    * Contract: epochs are monotone (appends never backdate) and
+    * compaction rewrites epochs — time travel reaches back to the last
+    * compaction, the same horizon real formats have after vacuum. */
+  def liveViewAsOf(store: DataFrame, tombstones: DataFrame,
+                   idCol: String, epochCol: String, asOfEpoch: Long): DataFrame =
+    liveView(store.where(store(epochCol) <= asOfEpoch),
+      tombstones.where(tombstones("before_epoch") <= asOfEpoch),
+      idCol, epochCol)
+
   /** Drop `table` from the catalog AND remove its physical warehouse
     * directory. With the in-memory catalog a previous JVM's table data
     * survives on disk but not in the catalog, and a managed CTAS over a

@@ -140,4 +140,41 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(byRow((1L, 1.0)) - byRow((1L, 0.0)) == 1.0) // same noise, weight shifts key
     assert(byRow((1L, 0.0)) != byRow((2L, 0.0)))       // different ids, different noise
   }
+
+  test("knBigramModel: hand-computed KN probabilities; seen mass leaves discount headroom") {
+    val docs = Seq("a b a b", "a c").toDF("text")
+    val m = ClassifierOps.knBigramModel(docs, "text")
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        (r.getAs[Long]("c12"), r.getAs[Long]("c1"), r.getAs[Long]("prob_micro"))).toMap
+    // bigrams: (a,b)×2, (b,a)×1, (a,c)×1; B = 3
+    assert(m.keySet == Set(("a", "b"), ("b", "a"), ("a", "c")))
+    // P(b|a) = (2−.75)/3 + .75·(2/3)·(1/3) = 1.75/3 = 0.583333…
+    assert(m(("a", "b")) == ((2L, 3L, 583333L)))
+    // P(c|a) = (1−.75)/3 + .75·(2/3)·(1/3) = 0.25
+    assert(m(("a", "c")) == ((1L, 3L, 250000L)))
+    // P(a|b) = (1−.75)/1 + .75·(1/1)·(1/3) = 0.5
+    assert(m(("b", "a")) == ((1L, 1L, 500000L)))
+    // per context, seen mass stays under 1 — the discount reserves
+    // backoff mass for unseen continuations
+    val byCtx = m.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._3).sum)
+    assert(byCtx.values.forall(s => s > 0 && s <= 1000000L))
+  }
+
+  test("knPerplexity: every backoff rung lands where hand arithmetic says") {
+    val train = Seq("a b a b", "a c").toDF("text")
+    val model = ClassifierOps.knBigramModel(train, "text")
+    val out = ClassifierOps.knPerplexity(
+        Seq((7L, "a b x c a"), (8L, "solo")).toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("ll_sum_micro"),
+          r.getAs[Long]("avg_nll_micro"))).toMap
+    assert(!out.contains(8L)) // single-token doc has no pairs
+    def lp(pMicro: Long): Long =
+      math.floor(1e6 * math.log(pMicro / 1e6)).toLong
+    // (a,b) seen = 583333; (b,x) seen ctx + novel cont -> clamp 1;
+    // (x,c) and (c,a) novel ctx -> uniform 10^6 div |{a,b,c}| = 333333
+    val expect = lp(583333L) + lp(1L) + 2 * lp(333333L)
+    assert(out(7L) == ((4L, expect, -expect / 4)))
+  }
 }

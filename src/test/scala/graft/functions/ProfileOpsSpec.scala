@@ -202,4 +202,25 @@ class ExactQuantilesSpec extends graft.SparkSpec {
     assert(out("k") == ((8L, 2L, ref(Seq(7, 1)))))
     assert(out("u")._3 > out("k")._3)
   }
+
+  test("percentileRank: deterministic (value, id) total order, exact permille, singleton group = 0") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 5L), ("a", 4L, 20L), ("a", 5L, 10L),
+      ("b", 9L, 7L)).toDF("g", "id", "v")
+    val out = ProfileOps.percentileRank(df, "g", "v", "id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("rank"), r.getAs[Long]("permille"))).toMap
+    // group a order: (5,3) (10,1) (10,2) (10,5) (20,4) — ties broken by id
+    assert(out(3L) == ((1L, 0L)))
+    assert(out(1L) == ((2L, 250L)))
+    assert(out(2L) == ((3L, 500L)))
+    assert(out(5L) == ((4L, 750L)))
+    assert(out(4L) == ((5L, 1000L)))
+    assert(out(9L) == ((1L, 0L))) // singleton group: permille pinned to 0
+    // partition-layout independence (the PrefixSum rank is total)
+    val shuffled = ProfileOps.percentileRank(df.repartition(7), "g", "v", "id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("rank"), r.getAs[Long]("permille"))).toMap
+    assert(shuffled == out)
+  }
 }

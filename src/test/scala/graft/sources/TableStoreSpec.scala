@@ -123,4 +123,22 @@ class TableStoreSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("vid"), r.getAs[String]("payload"))).toSet
     assert(after == live)
   }
+
+  test("liveViewAsOf: per-epoch snapshots honor append and deletion timing; max epoch ≡ liveView") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // id 1 @e0 (deleted in e1), id 2 @e0, id 3 @e1, id 2 replaced @e2
+    val store = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 1L), (2L, "b2", 2L))
+      .toDF("id", "payload", "epoch")
+    val tomb = Seq((1L, 1L), (2L, 2L)) // id 2's tombstone covers only its e0 row
+      .toDF("id", "before_epoch")
+    def read(e: Long) = TableStore.liveViewAsOf(store, tomb, "id", "epoch", e)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSet
+    assert(read(0L) == Set((1L, "a"), (2L, "b")))        // nothing deleted yet
+    assert(read(1L) == Set((2L, "b"), (3L, "c")))        // id 1's e1 deletion applies
+    assert(read(2L) == Set((2L, "b2"), (3L, "c")))       // e0 'b' hidden, e2 'b2' live
+    val live = TableStore.liveView(store, tomb, "id", "epoch")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSet
+    assert(read(2L) == live)
+  }
 }
