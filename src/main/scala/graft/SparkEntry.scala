@@ -2635,6 +2635,26 @@ object SparkEntry {
         .ddQuantiles(s.table(tbl), Seq(500L, 950L, 990L), gammaMilli = 1250L)
         .orderBy("g", "q_milli")
     }),
+    // ── extension: PERSISTED BM25 INVERTED INDEX — postings absorbed
+    //    over 3 batches into a term-bucketed store (+ integer stats
+    //    rows), searched with q107's queries: store search must be
+    //    HASH-IDENTICAL to the one-shot bm25TopK (the oracle IS q107's
+    //    SQL) — the text-retrieval leg of the store-lifecycle family.
+    "q213_bm25_index_store" -> ((s, dir) => {
+      import graft.functions.RetrievalOps
+      import graft.sources.TableStore
+      val docs = T(s, dir, "documents")
+      val tbl = "graft_q213_idx"
+      TableStore.dropTable(s, tbl); TableStore.dropTable(s, tbl + "_stats")
+      Seq(0, 1, 2).foreach { b =>
+        RetrievalOps.bm25IndexAbsorb(
+          docs.where(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text", tbl)
+      }
+      RetrievalOps.bm25SearchStore(s, tbl,
+        Seq(1 -> Seq("spark", "join", "window"), 2 -> Seq("stream", "batch"),
+          3 -> Seq("vector", "hash", "merge", "sort")), k = 10)
+        .orderBy("query_id", "rank")
+    }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
     //    the full backoff ladder (seen bigram → continuation backoff →
@@ -4010,8 +4030,12 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     // q158 resumes q113's recurrence from a checkpointed rank vector;
-    // chaining is bit-exact, so its oracle IS q113's 5-iteration SQL
-    oracleSqlBase + ("q158_pagerank_resume" -> oracleSqlBase("q113_pagerank"))
+    // chaining is bit-exact, so its oracle IS q113's 5-iteration SQL.
+    // q213's absorbed-store search must be hash-identical to the
+    // one-shot bm25TopK, so its oracle IS q107's SQL.
+    oracleSqlBase +
+      ("q158_pagerank_resume" -> oracleSqlBase("q113_pagerank")) +
+      ("q213_bm25_index_store" -> oracleSqlBase("q107_bm25_retrieval"))
 
   /** DuckDB cosine between two embedding-list expressions — the q79
     * formula, factored for the multi-batch q168 oracle. */

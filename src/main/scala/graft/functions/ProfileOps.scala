@@ -366,10 +366,15 @@ object ProfileOps {
     * @return input columns + (rank, permille 0..1000) */
   def percentileRank(df: DataFrame, groupCol: String, valueCol: String,
                      idCol: String): DataFrame = {
+    // the rank machinery reads the input 4× (quantile probe, local
+    // window, bucket offsets, group sizes) — pin the (usually computed:
+    // tokenize/score) input once; the caller owns the cache lifetime
+    // (the SimilarityOps batch-operator convention)
+    val d = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = graft.operators.PrefixSum.groupedRunningSum(
-      df.withColumn("__one", lit(1L)), Seq(groupCol), valueCol, "__one",
+      d.withColumn("__one", lit(1L)), Seq(groupCol), valueCol, "__one",
       "rank", tieCols = Seq(idCol))
-    val sizes = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val sizes = d.groupBy(groupCol).agg(count(lit(1)).as("__n"))
     ranked.join(broadcast(sizes), Seq(groupCol))
       .withColumn("permille",
         when(col("__n") > 1, expr("(rank - 1) * 1000 div (__n - 1)"))

@@ -69,6 +69,15 @@ object RetrievalOps {
       .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "qterm")
 
+    scoreAndRank(postings, dfreq, stats, queryTerms, k, k1, b)
+  }
+
+  /** The shared BM25 scoring tail: per-term micro-integer contributions
+    * (Lucene idf), exact BIGINT per-(query, doc) sums, rank window.
+    * `stats` is one row (n_docs, avgdl) — broadcast. */
+  private def scoreAndRank(postings: DataFrame, dfreq: DataFrame,
+                           stats: DataFrame, queryTerms: DataFrame,
+                           k: Int, k1: Double, b: Double): DataFrame = {
     val termScore = postings
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
@@ -88,6 +97,77 @@ object RetrievalOps {
       .where(col("rank") <= k)
       .select(col("query_id").cast("long").as("query_id"),
         col("rank"), col("doc_id"), col("score_micro"))
+  }
+
+  /** Full postings + batch stats of a document set — the unit the
+    * persisted inverted index ingests: one (term, doc_id, tf, dl) row
+    * per distinct term per doc, plus a 1-row (n_docs, sum_dl) stats
+    * increment (integer sums — the corpus averages recompose EXACTLY
+    * from any batch partition at read time). */
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val toks = docs.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(lower(col(textCol))).as("toks"))
+    val post = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(first("dl").as("dl"), count(lit(1)).as("tf"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("sum_dl"))
+    (post, stats)
+  }
+
+  /** PERSISTED INVERTED-INDEX lifecycle — build/absorb one batch: the
+    * batch's postings append to a term-bucketed catalog table and its
+    * (n_docs, sum_dl) stats row appends to `<table>_stats` — O(batch)
+    * per increment, never a corpus rescan (the [[graft.functions
+    * .SimilarityOps.ivfStore]] discipline applied to text retrieval;
+    * the store family's missing member next to signatures, labels,
+    * vectors, and histograms). The per-(term, doc) tf aggregate is paid
+    * ONCE here; searches read it pre-materialized.
+    *
+    * Scale shape: one (term, doc) aggregate over the BATCH, one
+    * bucketed write clustered on term — searches for a q-term touch its
+    * buckets without a store-side Exchange; corpus stats recompose from
+    * integer stats rows (exact under any batch split). */
+  def bm25IndexAbsorb(batch: DataFrame, idCol: String, textCol: String,
+                      table: String, buckets: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val (post, stats) = postingsOf(batch, idCol, textCol)
+    val mode = if (spark.catalog.tableExists(table))
+      org.apache.spark.sql.SaveMode.Append else org.apache.spark.sql.SaveMode.Overwrite
+    graft.sources.TableStore.saveBucketed(post, table, Seq("term"), buckets,
+      mode = mode)
+    val statsMode = if (spark.catalog.tableExists(table + "_stats"))
+      org.apache.spark.sql.SaveMode.Append else org.apache.spark.sql.SaveMode.Overwrite
+    stats.write.mode(statsMode).saveAsTable(table + "_stats")
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(table + "_stats")
+  }
+
+  /** Search the persisted index: [[bm25TopK]] semantics over the store —
+    * postings pruned to the query vocabulary (predicate pushdown into
+    * the term-bucketed scan), document frequencies counted from the
+    * pruned postings only, corpus stats summed from the stats table
+    * (integer sums → the same avgdl double any one-shot computation
+    * gets). Absorb-order invisible: scores are hash-identical to a
+    * one-shot [[bm25TopK]] over the same corpus — the q213 parity gate. */
+  def bm25SearchStore(spark: org.apache.spark.sql.SparkSession, table: String,
+                      queries: Seq[(Int, Seq[String])], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val vocab = queries.flatMap(_._2).distinct.sorted
+    val post = spark.table(table).where(col("term").isin(vocab: _*))
+    val stats = spark.table(table + "_stats")
+      .agg(sum("n_docs").cast("double").as("n_docs"),
+        (sum("sum_dl").cast("double") / sum("n_docs").cast("double")).as("avgdl"))
+    val dfreq = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val queryTerms = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "qterm")
+    scoreAndRank(post, dfreq, stats, queryTerms, k, k1, b)
   }
 
   /** Per-rank DCG gain, micro units: ⌊10⁶ / log₂(r+1)⌋ for r = 1..k.

@@ -57,6 +57,23 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(got.map(_._4).distinct.size == 1)
   }
 
+  test("bm25IndexAbsorb/bm25SearchStore: absorbed-store search ≡ one-shot bm25TopK, any batch split") {
+    val tbl = "graft_test_bm25_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
+    val queries = Seq(1 -> Seq("apple", "cherry"), 2 -> Seq("banana"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSet
+    val oneShot = rows(RetrievalOps.bm25TopK(docs, "doc_id", "text", queries, k = 3))
+    RetrievalOps.bm25IndexAbsorb(docs.where($"doc_id" % 2 === 0), "doc_id", "text", tbl)
+    RetrievalOps.bm25IndexAbsorb(docs.where($"doc_id" % 2 === 1), "doc_id", "text", tbl)
+    val stored = rows(RetrievalOps.bm25SearchStore(spark, tbl, queries, k = 3))
+    assert(stored == oneShot)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats"): Unit
+  }
+
   test("rankingMetrics: NDCG/MRR integer arithmetic on a hand-computed fixture") {
     val gains = RetrievalOps.dcgGainsMicro(3)
     assert(gains == Seq(1000000L, 630929L, 500000L))
