@@ -2655,6 +2655,44 @@ object SparkEntry {
           3 -> Seq("vector", "hash", "merge", "sort")), k = 10)
         .orderBy("query_id", "rank")
     }),
+    // ── extension: FILTERED VECTOR SEARCH (metadata-constrained ANN) —
+    //    the store carries the filterable attribute (ivfStore carryCols:
+    //    the attribute-payload index layout), the predicate cuts the
+    //    cid-bucketed scan BEFORE scoring (pre-filter semantics: exact
+    //    top-k among matching rows in the probed cells), and the gate
+    //    also emits n_postfilter — how many of the UNFILTERED top-10
+    //    survive the predicate — measuring the recall gap post-filtering
+    //    would silently eat.
+    "q214_ivf_filtered_search" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings")
+      val init = emb.where(col("vec_id") % 40 === 0).select("vec_id", "embedding")
+      val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", init, "vec_id", updateRounds = 1)
+        .localCheckpoint(true) // trained once; builds AND probes
+      val tbl = "graft_q214_ivf_filtered"
+      TableStore.dropTable(s, tbl)
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(emb, "vec_id", "embedding", cent, "vec_id",
+          carryCols = Seq("label")),
+        tbl, bucketCols = Seq("cid"), buckets = 8)
+      val store = TableStore.loadTable(s, tbl)
+      val probes = emb.where(col("vec_id") < 5)
+      val filtered = SimilarityOps.ivfSearchStoreFiltered(store, probes, cent,
+        "vec_id", "vec_id", "vec_id", "embedding", col("label") < 3, k = 10,
+        probeFraction = 0.25, minProbe = 2)
+        .select(col("probe_id"), col("nbr_id"), col("rank"))
+      val postFilter = SimilarityOps.ivfSearchStore(store, probes, cent,
+        "vec_id", "vec_id", "vec_id", "embedding", k = 10,
+        probeFraction = 0.25, minProbe = 2)
+        .join(store.select(col("vec_id").as("nbr_id"), col("label")), Seq("nbr_id"))
+        .where(col("label") < 3)
+        .groupBy("probe_id").agg(count(lit(1)).as("n_postfilter"))
+      filtered.join(broadcast(postFilter), Seq("probe_id"), "left")
+        .select(col("probe_id"), col("nbr_id"), col("rank"),
+          coalesce(col("n_postfilter"), lit(0L)).as("n_postfilter"))
+        .orderBy("probe_id", "rank")
+    }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
     //    the full backoff ladder (seen bigram → continuation backoff →
@@ -5137,6 +5175,68 @@ object SparkEntry {
          SELECT probe_id, nbr_id,
            (SELECT CAST(count(*) AS BIGINT) FROM asn) AS store_rows
          FROM it ORDER BY probe_id, nbr_id""",
+    "q214_ivf_filtered_search" ->
+      """WITH cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id % 40 = 0),
+         asn0 AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent0 c) WHERE rn = 1),
+         ex AS (SELECT cid, unnest(embedding) AS x,
+                  unnest(range(1, len(embedding) + 1)) AS pos FROM asn0),
+         cent1 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cv FROM (
+             SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS mx FROM ex GROUP BY cid, pos)
+           GROUP BY cid),
+         asn AS (
+           SELECT vec_id, label, embedding, cid FROM (
+             SELECT e.vec_id, e.label, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c) WHERE rn = 1),
+         pc AS (
+           SELECT vec_id AS probe_id, cid, embedding AS pv, rn FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent1 c WHERE e.vec_id < 5)
+           WHERE rn <= (SELECT greatest(2, CAST(ceil(0.25 * count(*)) AS BIGINT)) FROM cent1)),
+         itf AS (SELECT probe_id, nbr_id, rank FROM (
+           SELECT p.probe_id, a.vec_id AS nbr_id, row_number() OVER (
+             PARTITION BY p.probe_id ORDER BY
+               list_cosine_similarity(a.embedding, p.pv) DESC, a.vec_id) AS rank
+           FROM pc p JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.probe_id
+           WHERE a.label < 3) WHERE rank <= 10),
+         itu AS (SELECT probe_id, nbr_id, label FROM (
+           SELECT p.probe_id, a.vec_id AS nbr_id, a.label, row_number() OVER (
+             PARTITION BY p.probe_id ORDER BY
+               list_cosine_similarity(a.embedding, p.pv) DESC, a.vec_id) AS rank
+           FROM pc p JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.probe_id)
+           WHERE rank <= 10),
+         npf AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_postfilter
+                 FROM itu WHERE label < 3 GROUP BY probe_id)
+         SELECT f.probe_id, f.nbr_id, CAST(f.rank AS BIGINT) AS rank,
+           coalesce(n.n_postfilter, 0) AS n_postfilter
+         FROM itf f LEFT JOIN npf n ON f.probe_id = n.probe_id
+         ORDER BY f.probe_id, f.rank""",
     "q163_ivf_fraction_recall" ->
       """WITH cent0 AS (
            SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv

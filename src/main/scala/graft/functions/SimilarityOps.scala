@@ -631,14 +631,22 @@ object SimilarityOps {
     * [[ivfTopK]] shape), so absorbing a batch is `ivfStore(increment)`
     * appended to the table — O(batch), never a corpus rescan. Zero-norm
     * vectors are dropped (cosine undefined — they could never be
-    * returned by a search anyway). */
+    * returned by a search anyway).
+    *
+    * @param carryCols attribute columns copied into the store rows —
+    *                  the attribute-payload layout that lets
+    *                  [[ivfSearchStoreFiltered]] filter-before-score
+    *                  map-side instead of joining a metadata table */
   def ivfStore(corpus: DataFrame, idCol: String, vecCol: String,
-               centroids: DataFrame, centroidIdCol: String): DataFrame = {
+               centroids: DataFrame, centroidIdCol: String,
+               carryCols: Seq[String] = Nil): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val cent = centroids.select(col(centroidIdCol).as("cid"),
       transform(col(vecCol), x => x.cast("double")).as("__cv"))
-    assignCells(normalizedCorpus(corpus, idCol, vecCol), idCol, cent)
-      .select(col(idCol), col("__v").as(vecCol), col("cid"))
+    assignCells(normalizedCorpus(corpus, idCol, vecCol, carryCols), idCol, cent,
+        carryCols)
+      .select(col(idCol) +: carryCols.map(col) :+ col("__v").as(vecCol)
+        :+ col("cid"): _*)
   }
 
   /** RETRAIN/REINDEX leg of the persisted-IVF lifecycle — the batch job
@@ -719,6 +727,43 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** FILTERED vector search over the persisted inverted file — the
+    * metadata-constrained ANN query ("top-k among rows WHERE …") every
+    * retrieval deployment needs, with PRE-FILTER semantics: the
+    * predicate (over attribute columns the store carries — build with
+    * [[ivfStore]]'s `carryCols`) cuts the store scan BEFORE any vector
+    * is scored, so the result is the exact top-k among MATCHING rows in
+    * the probed cells — always k results when the filtered cells hold k
+    * candidates. The naive alternative, post-filtering an unfiltered
+    * top-k, silently returns < k (often 0) once the filter is selective:
+    * with a uniform 10% attribute, an unfiltered top-10 keeps ~1
+    * survivor — the recall gap the q214 gate measures as a column.
+    *
+    * Scale shape: identical to [[ivfSearchStore]] — the predicate is a
+    * map-side filter on the cid-bucketed scan (simple comparisons reach
+    * the parquet reader as PushedFilters and prune row groups), the
+    * probed-cell frame broadcasts, the store never shuffles. Carrying
+    * filterable attributes IN the index costs bytes-per-row at write
+    * time and buys filter-before-score reads — the attribute-payload
+    * index layout, vs. an id-join against a separate metadata table
+    * that would shuffle either side at corpus scale.
+    *
+    * Equivalence: assignment under frozen centroids is row-wise, so
+    * filtering the store commutes with cell assignment — results are
+    * IDENTICAL to [[ivfTopKFraction]] over the pre-filtered corpus with
+    * the same centroids (spec-pinned).
+    *
+    * @param predicate filter over store columns (id, carried attrs, cid)
+    */
+  def ivfSearchStoreFiltered(store: DataFrame, probes: DataFrame,
+                             centroids: DataFrame, idCol: String,
+                             probeIdCol: String, centroidIdCol: String,
+                             vecCol: String, predicate: Column, k: Int = 10,
+                             probeFraction: Double = 0.25,
+                             minProbe: Int = 2): DataFrame =
+    ivfSearchStore(store.where(predicate), probes, centroids, idCol,
+      probeIdCol, centroidIdCol, vecCol, k, probeFraction, minProbe)
+
   /** Distributed Lloyd's k-means assignment (cosine flavor) over an
     * embedding column.
     *
@@ -756,22 +801,26 @@ object SimilarityOps {
       idCol, vecCol, initCentroids, centroidIdCol, updateRounds)
       .select(col("cid").as(centroidIdCol), col("__cv").as(vecCol))
 
-  private def normalizedCorpus(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  private def normalizedCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+                               carryCols: Seq[String] = Nil): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    corpus.select(col(idCol), col(vecCol).as("__v"), vnorm(col(vecCol)).as("__n"))
+    corpus.select(col(idCol) +: carryCols.map(col) :+ col(vecCol).as("__v")
+        :+ vnorm(col(vecCol)).as("__n"): _*)
       .where(col("__n") > 0)
   }
 
   /** One top-1-cell assignment pass: broadcast centroids, map-side
     * WindowGroupLimit pre-reduction (the [[ivfTopK]] shape). */
-  private def assignCells(v: DataFrame, idCol: String, cent: DataFrame): DataFrame = {
+  private def assignCells(v: DataFrame, idCol: String, cent: DataFrame,
+                          carryCols: Seq[String] = Nil): DataFrame = {
     val c = cent.select(col("cid"), col("__cv"), vnorm(col("__cv")).as("__cn"))
       .where(col("__cn") > 0)
     val w = Window.partitionBy(idCol).orderBy(col("__score").desc, col("cid").asc)
     v.crossJoin(broadcast(c))
       .withColumn("__score", vdot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .select(col(idCol), col("__v"), col("__n"), col("cid"))
+      .select(col(idCol) +: carryCols.map(col) :+ col("__v") :+ col("__n")
+        :+ col("cid"): _*)
   }
 
   /** `updateRounds` Lloyd rounds from the init table; returns (cid, __cv)

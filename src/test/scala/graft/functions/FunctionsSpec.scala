@@ -907,6 +907,39 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(store.count() == 64L) // every nonzero-norm vector lands once
   }
 
+  test("ivfSearchStoreFiltered: pre-filter == ivfTopKFraction over the filtered corpus; carryCols round-trip") {
+    val rng = new scala.util.Random(29)
+    val corpus = (0L until 64L).map(i =>
+        (i, Array.fill(8)(rng.nextFloat() * 2f - 1f), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val cent = SimilarityOps.kmeansCentroids(
+      corpus.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      corpus.where($"vec_id" % 8 === 0).select($"vec_id", $"embedding"),
+      "vec_id", updateRounds = 1).localCheckpoint(true)
+    val store = SimilarityOps.ivfStore(corpus, "vec_id", "embedding",
+      cent, "vec_id", carryCols = Seq("label"))
+    assert(store.columns.toSeq == Seq("vec_id", "label", "embedding", "cid"))
+    val probes = corpus.where($"vec_id" < 3).select($"vec_id", $"embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "nbr_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // row-wise frozen-centroid assignment commutes with the filter: the
+    // filtered store search must equal the in-query path over the
+    // pre-filtered corpus
+    val filtered = pairs(SimilarityOps.ivfSearchStoreFiltered(store, probes,
+      cent, "vec_id", "vec_id", "vec_id", "embedding", $"label" < 2, k = 5,
+      probeFraction = 0.25, minProbe = 2))
+    val inQuery = pairs(SimilarityOps.ivfTopKFraction(
+      corpus.where($"label" < 2).select($"vec_id", $"embedding"), probes, cent,
+      "vec_id", "vec_id", "vec_id", "embedding", k = 5,
+      probeFraction = 0.25, minProbe = 2))
+    assert(filtered == inQuery)
+    // every returned neighbor satisfies the predicate
+    val labels = corpus.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(filtered.forall { case (_, nbr, _) => labels(nbr) < 2 })
+  }
+
   test("nnDescent: the exact kNN graph is a fixed point; a weak seed strictly improves") {
     val rng = new scala.util.Random(31)
     val corpus = (0L until 60L).map(i => (i, Array.fill(8)(rng.nextFloat() * 2f - 1f)))
