@@ -2348,6 +2348,22 @@ object SparkEntry {
         steps = 4)
         .orderBy("walk_id", "step")
     }),
+    // ── extension: GraphSAGE NEIGHBOR SAMPLING (Hamilton et al. 2017)
+    //    — layered fixed-fan-out blocks from a seed batch over the
+    //    customer–supplier graph: fan-outs (3, 2), draws deduplicated
+    //    per (layer, node) and md5-deterministic, so the oracle replays
+    //    the exact sample. The GNN mini-batch training-data operator.
+    "q215_neighbor_sample" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val seeds = o.where(col("o_custkey") % 50 === 0)
+        .select((col("o_custkey") * 2).as("seed")).distinct()
+      graft.functions.GraphOps.neighborSample(e, "src", "dst", seeds, "seed",
+        fanouts = Seq(3, 2))
+        .orderBy("layer", "src", "dst")
+    }),
     // ── extension: SKIP-GRAM PAIRS over walks — the DeepWalk/node2vec
     //    TRAINING-DATA operator q174 was missing: (center, context)
     //    co-occurrence pairs within a ±2 window over each walk,
@@ -6122,6 +6138,31 @@ object SparkEntry {
                ||':'||CAST(w.step+1 AS VARCHAR)||':'||CAST(w.node AS VARCHAR)),1,15) AS BIGINT) % a.deg
            WHERE w.step < 4)
          SELECT walk_id, step, node FROM walk ORDER BY walk_id, step""",
+    // The adjacency + seed CTEs of q174 with the per-(layer, node)
+    // top-f md5 rank replayed per layer.
+    "q215_neighbor_sample" ->
+      """WITH edges0 AS (SELECT o_custkey*2 AS u, l_suppkey*2+1 AS v
+                    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         adj AS (SELECT DISTINCT u, v FROM
+                   (SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0)
+                 WHERE u <> v),
+         f1 AS (SELECT DISTINCT o_custkey*2 AS u FROM orders WHERE o_custkey % 50 = 0),
+         l1 AS (SELECT u, v FROM (
+             SELECT a.u, a.v, row_number() OVER (PARTITION BY a.u ORDER BY
+               CAST('0x'||substr(md5('sage:1:'||CAST(a.u AS VARCHAR)||':'||CAST(a.v AS VARCHAR)),1,15) AS BIGINT),
+               a.v) AS rn
+             FROM adj a JOIN f1 ON f1.u = a.u) WHERE rn <= 3),
+         f2 AS (SELECT DISTINCT v AS u FROM l1),
+         l2 AS (SELECT u, v FROM (
+             SELECT a.u, a.v, row_number() OVER (PARTITION BY a.u ORDER BY
+               CAST('0x'||substr(md5('sage:2:'||CAST(a.u AS VARCHAR)||':'||CAST(a.v AS VARCHAR)),1,15) AS BIGINT),
+               a.v) AS rn
+             FROM adj a JOIN f2 ON f2.u = a.u) WHERE rn <= 2)
+         SELECT layer, src, dst FROM (
+           SELECT CAST(1 AS BIGINT) AS layer, u AS src, v AS dst FROM l1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT) AS layer, u AS src, v AS dst FROM l2)
+         ORDER BY layer, src, dst""",
     // q174's recursive walk replica + the skip-gram window self-join.
     "q175_walk_skipgram" ->
       """WITH RECURSIVE

@@ -814,6 +814,68 @@ object GraphOps {
     * released).
     *
     * @return (id, label) for every node incident to an edge */
+  /** GraphSAGE LAYERED NEIGHBOR SAMPLING (Hamilton et al., NeurIPS 2017
+    * §3.1) — the GNN mini-batch TRAINING-DATA operator: starting from a
+    * seed-node batch, layer ℓ keeps a fixed fan-out `fanouts(ℓ-1)` of
+    * each frontier node's neighbors, and the next frontier is the
+    * sampled neighbors — emitting the per-layer edge blocks a GNN
+    * aggregates over (layer 1 feeds the output layer, layer L the
+    * innermost).
+    *
+    * Draws are DEDUPLICATED per (layer, node) — every seed whose
+    * frontier reaches node u at layer ℓ shares u's fan-out sample (the
+    * shared-block trick production GNN samplers use: frontier size stays
+    * a NODE set, never the seeds × ∏fanouts tree), and deterministic:
+    * neighbor v of u ranks by hash60(seed:ℓ:u:v), rank ≤ f survives —
+    * md5-reproducible on any engine/partitioning, so the oracle replays
+    * the exact sample in SQL ([[randomWalks]]' discipline, without-
+    * replacement flavor).
+    *
+    * Scale shape per layer: frontier (node-set) equi-join against the
+    * mirrored adjacency on the node key + one per-node top-f window —
+    * WindowGroupLimit pre-reduces map-side before the rank exchange, so
+    * per-layer work is O(Σ_{u∈frontier} deg(u)) with a fan-out-bounded
+    * output; frontiers localCheckpoint to keep lineage constant
+    * (released before return), adjacency built once.
+    *
+    * @param fanouts neighbors kept per node at layer 1..L
+    * @return (layer, src, dst): the sampled block edges, layer 1..L */
+  def neighborSample(edges: DataFrame, srcCol: String, dstCol: String,
+                     seeds: DataFrame, seedCol: String, fanouts: Seq[Int],
+                     seed: String = "sage"): DataFrame = {
+    require(fanouts.nonEmpty && fanouts.forall(_ >= 1),
+      s"fanouts must be non-empty positive, got $fanouts")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = seeds.select(col(seedCol).as("u")).distinct()
+      .localCheckpoint(false)
+    val inter = Seq.newBuilder[DataFrame]
+    inter += frontier
+    val blocks = Seq.newBuilder[DataFrame]
+    for ((f, i) <- fanouts.zipWithIndex) {
+      val l = i + 1
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(col("__h"), col("v"))
+      val block = adj.join(frontier, Seq("u"))
+        .withColumn("__h", DedupOps.hash60(concat(
+          lit(s"$seed:$l:"), col("u").cast("string"), lit(":"),
+          col("v").cast("string"))))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") <= f)
+        .select(lit(l.toLong).as("layer"), col("u").as("src"), col("v").as("dst"))
+        .localCheckpoint(false)
+      blocks += block
+      frontier = block.select(col("dst").as("u")).distinct()
+        .localCheckpoint(false)
+      inter += block; inter += frontier
+    }
+    val res = blocks.result().reduce(_ unionByName _).localCheckpoint(true)
+    adj.unpersist(blocking = false)
+    inter.result().foreach(releaseLocalCheckpoint)
+    res
+  }
+
   /** ROUNDS-BOUNDED k-core peeling (Seidman 1983; distributed peeling à
     * la Montresor et al. 2013): repeatedly delete nodes of degree < k
     * from the undirected graph; the fixpoint is the k-core — the standard

@@ -320,6 +320,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(run(edges.repartition(7)) == w)
   }
 
+  test("neighborSample: fan-out caps, frontier chaining, low-degree keeps all, deterministic") {
+    // star: 1 connects to 2..6; 2 connects to 7 (degree-2 node: 1 and 7)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L), (2L, 7L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("seed")
+    def run(e: org.apache.spark.sql.DataFrame) =
+      GraphOps.neighborSample(e, "src", "dst", seeds, "seed", fanouts = Seq(3, 2))
+        .collect().map(r => (r.getAs[Long]("layer"), r.getAs[Long]("src"),
+          r.getAs[Long]("dst"))).toSet
+    val s = run(edges)
+    val l1 = s.filter(_._1 == 1L); val l2 = s.filter(_._1 == 2L)
+    // layer 1: exactly 3 of node 1's 5 neighbors
+    assert(l1.size == 3 && l1.forall(_._2 == 1L))
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L), (2L, 7L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    assert(s.forall { case (_, u, v) => und((u, v)) })
+    // layer 2 sources are exactly layer 1's sampled dsts
+    assert(l2.map(_._2) == l1.map(_._3))
+    // a frontier node with degree <= fanout keeps ALL its neighbors:
+    // if node 2 was sampled at layer 1, layer 2 has both its edges
+    if (l1.exists(_._3 == 2L))
+      assert(l2.filter(_._2 == 2L).map(_._3) == Set(1L, 7L))
+    // deterministic under physical layout changes
+    assert(run(edges.repartition(5)) == s)
+  }
+
   test("walkPairs: exact skip-gram window pairs, histogram ≡ raw aggregation") {
     // two hand-built walks: (w=1) 1→2→3→4, (w=9) 9→2
     val walks = Seq(
