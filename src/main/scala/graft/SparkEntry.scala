@@ -2709,6 +2709,32 @@ object SparkEntry {
           coalesce(col("n_postfilter"), lit(0L)).as("n_postfilter"))
         .orderBy("probe_id", "rank")
     }),
+    // ── extension: RECIPROCAL-RANK FUSION (Cormack et al., SIGIR 2009)
+    //    — the hybrid-retrieval merge: BM25 top-20 fused with a
+    //    query-independent length-prior top-20 (the relevance ⊕
+    //    authority-prior fusion pattern); contributions are exact
+    //    ⌊10⁶/(60+rank)⌋ integers, so fused order is engine-portable.
+    "q216_rrf_fusion" -> ((s, dir) => {
+      import graft.functions.{RetrievalOps, TextFunctions}
+      val docs = T(s, dir, "documents")
+      val queries = Seq(1 -> Seq("spark", "join", "window"),
+        2 -> Seq("stream", "batch"), 3 -> Seq("vector", "hash", "merge", "sort"))
+      val bm25 = RetrievalOps.bm25TopK(docs, "doc_id", "text", queries, k = 20)
+        .select("query_id", "doc_id", "rank")
+      // global top-20 by token count: TakeOrdered (never a full sort),
+      // then ranked on the 20-row frame and fanned across the query ids
+      val prior20 = docs.where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("tok"))
+        .orderBy(col("tok").desc, col("doc_id").asc).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("tok").desc, col("doc_id").asc)))
+      import s.implicits._
+      val prior = queries.map(_._1).toDF("query_id").crossJoin(prior20)
+        .select("query_id", "doc_id", "rank")
+      RetrievalOps.rrfFuse(Seq(bm25, prior), "query_id", "doc_id", "rank",
+        k = 10, rrfK = 60)
+        .orderBy("query_id", "rank")
+    }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
     //    the full backoff ladder (seen bigram → continuation backoff →
@@ -4988,6 +5014,54 @@ object SparkEntry {
                    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS "rank",
                  doc_id, score_micro FROM sc)
          SELECT query_id, "rank", doc_id, score_micro FROM r
+         WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
+    // q107's BM25 CTEs cut at top-20 + a length-prior top-20 fanned
+    // across the query ids, fused by exact integer RRF contributions.
+    "q216_rrf_fusion" ->
+      """WITH qt(query_id, qterm) AS (VALUES
+           (1,'spark'),(1,'join'),(1,'window'),
+           (2,'stream'),(2,'batch'),
+           (3,'vector'),(3,'hash'),(3,'merge'),(3,'sort')),
+         toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         tf AS (
+           SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf FROM (
+             SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toks)
+           WHERE term IN (SELECT DISTINCT qterm FROM qt)
+           GROUP BY doc_id, term),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             avg(CAST(len(t) AS DOUBLE)) AS avgdl FROM toks),
+         dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         contrib AS (
+           SELECT qt.query_id, tf.doc_id,
+             CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+               * 1e6) AS BIGINT) AS c
+           FROM tf JOIN dfreq USING (term) JOIN qt ON qt.qterm = tf.term, stats),
+         sc AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+                FROM contrib GROUP BY 1, 2),
+         bm AS (SELECT query_id, doc_id, rnk FROM (
+           SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micro DESC, doc_id) AS rnk FROM sc) WHERE rnk <= 20),
+         prior AS (SELECT doc_id, rnk FROM (
+           SELECT doc_id, row_number() OVER (
+             ORDER BY CAST(len(t) AS BIGINT) DESC, doc_id) AS rnk FROM toks)
+           WHERE rnk <= 20),
+         pq AS (SELECT q.query_id, p.doc_id, p.rnk
+                FROM (SELECT DISTINCT query_id FROM qt) q, prior p),
+         allc AS (
+           SELECT query_id, doc_id, 1000000 // (60 + rnk) AS c FROM bm
+           UNION ALL
+           SELECT query_id, doc_id, 1000000 // (60 + rnk) AS c FROM pq),
+         fused AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS fused_micro
+                   FROM allc GROUP BY 1, 2)
+         SELECT query_id, "rank", doc_id, fused_micro FROM (
+           SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY fused_micro DESC, doc_id) AS BIGINT) AS "rank",
+             doc_id, fused_micro FROM fused)
          WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
     "q108_funnel" ->
       """WITH s0 AS (

@@ -170,6 +170,44 @@ object RetrievalOps {
     scoreAndRank(post, dfreq, stats, queryTerms, k, k1, b)
   }
 
+  /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    * the standard hybrid-retrieval merge: given N ranked lists for the
+    * same queries (BM25, dense ANN, a recency/authority prior …), each
+    * (query, doc) scores Σ_lists 1/(rrfK + rank), summed over the lists
+    * that ranked it. Rank-only fusion — no score calibration across
+    * heterogeneous rankers, which is exactly why it is the default
+    * hybrid merge in production search stacks.
+    *
+    * Engine-portable integers: each contribution quantizes to
+    * ⌊10⁶/(rrfK + rank)⌋ BEFORE the sum (the [[bm25TopK]] discipline),
+    * so fused scores are exact BIGINTs and the final ordering is
+    * reproducible anywhere; ties break by doc id.
+    *
+    * Scale shape: inputs are ranked lists — queries × k rows, never
+    * corpus-sized — so fusion is one union + one (query, doc) sum + one
+    * per-query top-k window over model-sized frames; the corpus-sized
+    * work lives in the upstream rankers.
+    *
+    * @param lists each (queryCol, idCol, rankCol), rank 1-based
+    * @return (query_id, rank, doc_id, fused_micro), rank <= k */
+  def rrfFuse(lists: Seq[DataFrame], queryCol: String, idCol: String,
+              rankCol: String, k: Int = 10, rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(k >= 1 && rrfK >= 0, s"need k >= 1, rrfK >= 0, got $k/$rrfK")
+    val u = lists.map(_.select(col(queryCol).cast("long").as("query_id"),
+        col(idCol).cast("long").as("doc_id"),
+        col(rankCol).cast("long").as("__r")))
+      .reduce(_ unionByName _)
+    val fused = u
+      .withColumn("__c", expr(s"1000000 div ($rrfK + __r)"))
+      .groupBy("query_id", "doc_id").agg(sum("__c").as("fused_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("fused_micro").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("fused_micro"))
+  }
+
   /** Per-rank DCG gain, micro units: ⌊10⁶ / log₂(r+1)⌋ for r = 1..k.
     * Computed ONCE driver-side and inlined as literals on both the
     * engine and the oracle side — rank-position weights are constants

@@ -74,6 +74,22 @@ class RetrievalOpsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats"): Unit
   }
 
+  test("rrfFuse: hand-computed fusion, membership-sum semantics, top-k cut") {
+    // list A: q1 ranks docs 10,20,30; list B: q1 ranks docs 20,10,40
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 10L, 2L), (1L, 40L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = RetrievalOps.rrfFuse(Seq(a, b), "query_id", "doc_id", "rank",
+        k = 3, rrfK = 60)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("fused_micro"))).toSet
+    // 10: 1/61 + 1/62 -> 16393 + 16129 = 32522; 20: 1/62 + 1/61 = 32522
+    // (tie, doc 10 wins by id); 30: 1/63 = 15873; 40: 1/63 = 15873 —
+    // k=3 keeps 10, 20, 30 (30 beats 40 by id at equal score)
+    assert(got == Set((1L, 10L, 32522L), (2L, 20L, 32522L), (3L, 30L, 15873L)))
+  }
+
   test("rankingMetrics: NDCG/MRR integer arithmetic on a hand-computed fixture") {
     val gains = RetrievalOps.dcgGainsMicro(3)
     assert(gains == Seq(1000000L, 630929L, 500000L))
