@@ -2735,6 +2735,44 @@ object SparkEntry {
         k = 10, rrfK = 60)
         .orderBy("query_id", "rank")
     }),
+    // ── extension: STREAMING BM25 INDEX INGESTION — the q213 inverted
+    //    index maintained by a Structured Streaming file replay: two
+    //    document arrivals absorb via foreachBatch (term-bucketed
+    //    postings Append + integer stats rows), and the stream-built
+    //    store's search must be hash-identical to the one-shot
+    //    bm25TopK over the full corpus — the oracle IS q107's SQL.
+    "q217_bm25_stream_ingest" -> ((s, dir) => {
+      import graft.sources.TableStore
+      import graft.functions.RetrievalOps
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val tbl = "graft_q217_idx"
+      TableStore.dropTable(s, tbl); TableStore.dropTable(s, tbl + "_stats")
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val base = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_q217_$uid")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      try {
+        val inDir = new java.io.File(base, "in").getAbsolutePath
+        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .coalesce(1).write.mode("append").parquet(inDir)
+        docs.where(pmod(col("doc_id"), lit(2)) === 1)
+          .coalesce(1).write.mode("append").parquet(inDir)
+        val in = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = graft.streaming.StreamingOps.bm25AbsorbStream(
+          in, "doc_id", "text", tbl)()
+        try q.processAllAvailable() finally q.stop()
+        s.catalog.refreshTable(tbl); s.catalog.refreshTable(tbl + "_stats")
+        RetrievalOps.bm25SearchStore(s, tbl,
+          Seq(1 -> Seq("spark", "join", "window"), 2 -> Seq("stream", "batch"),
+            3 -> Seq("vector", "hash", "merge", "sort")), k = 10)
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally rm(base)
+    }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
     //    the full backoff ladder (seen bigram → continuation backoff →
@@ -4115,7 +4153,9 @@ object SparkEntry {
     // one-shot bm25TopK, so its oracle IS q107's SQL.
     oracleSqlBase +
       ("q158_pagerank_resume" -> oracleSqlBase("q113_pagerank")) +
-      ("q213_bm25_index_store" -> oracleSqlBase("q107_bm25_retrieval"))
+      ("q213_bm25_index_store" -> oracleSqlBase("q107_bm25_retrieval")) +
+      // stream-built index search ≡ one-shot bm25TopK, same as q213
+      ("q217_bm25_stream_ingest" -> oracleSqlBase("q107_bm25_retrieval"))
 
   /** DuckDB cosine between two embedding-list expressions — the q79
     * formula, factored for the multi-batch q168 oracle. */

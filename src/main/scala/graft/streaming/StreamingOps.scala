@@ -242,6 +242,32 @@ object StreamingOps {
     vecs.writeStream.outputMode("append").foreachBatch(body).start()
   }
 
+  /** Continuous TEXT-INDEX ingestion: a document stream absorbed into
+    * the persisted BM25 inverted index — each micro-batch lands via
+    * [[graft.functions.RetrievalOps.bm25IndexAbsorb]] (the batch's
+    * postings append term-bucketed, its integer (n_docs, sum_dl) stats
+    * row appends to `<table>_stats`), so a concurrent
+    * [[graft.functions.RetrievalOps.bm25SearchStore]] reader scores
+    * batch N's documents with EXACT corpus statistics as soon as batch
+    * N commits — the stats rows recompose n_docs/avgdl exactly under
+    * any batch split, which is what makes streaming ingestion
+    * score-identical to a one-shot index (the q217 parity gate).
+    * State lives in the warehouse, not a streaming state store, for
+    * the [[dedupAgainstStore]] reasons.
+    *
+    * @param onAbsorbed called per micro-batch with its batchId
+    */
+  def bm25AbsorbStream(docs: DataFrame, idCol: String, textCol: String,
+                       indexTable: String, buckets: Int = 8)
+                      (onAbsorbed: Long => Unit = _ => ()): StreamingQuery = {
+    val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      graft.functions.RetrievalOps.bm25IndexAbsorb(batch.toDF(), idCol,
+        textCol, indexTable, buckets)
+      onAbsorbed(batchId)
+    }
+    docs.writeStream.outputMode("append").foreachBatch(body).start()
+  }
+
   /** ONE batch of KMV sketch-store maintenance — the mergeability of
     * [[graft.functions.SketchOps.kmvSketch]] made operational: sketch
     * the batch, then per group keep the k smallest of (store ∪ batch)

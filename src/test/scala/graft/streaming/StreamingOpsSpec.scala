@@ -370,6 +370,41 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25AbsorbStream: stream-built index search == one-shot bm25TopK over the union") {
+    import graft.functions.RetrievalOps
+    import graft.sources.TableStore
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "graft_stream_bm25_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
+    val d1 = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
+    val d2 = Seq((3L, "apple cherry cherry date"))
+    val queries = Seq(1 -> Seq("apple", "cherry"), 2 -> Seq("banana"))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.bm25AbsorbStream(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl, buckets = 4) {
+      bid => batches.synchronized { batches += bid: Unit }
+    }
+    try {
+      ms.addData(d1: _*); q.processAllAvailable()
+      ms.addData(d2: _*); q.processAllAvailable()
+      assert(batches.synchronized(batches.size) == 2)
+      spark.catalog.refreshTable(tbl) // appends came from the cloned session
+      spark.catalog.refreshTable(tbl + "_stats")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSet
+      val oneShot = rows(RetrievalOps.bm25TopK((d1 ++ d2).toDF("doc_id", "text"),
+        "doc_id", "text", queries, k = 3))
+      assert(rows(RetrievalOps.bm25SearchStore(spark, tbl, queries, k = 3)) == oneShot)
+    } finally {
+      q.stop()
+      TableStore.dropTable(spark, tbl)
+      TableStore.dropTable(spark, tbl + "_stats")
+    }
+  }
+
   test("absorbComponentsStream maintains the persisted label store across batches") {
     import graft.functions.GraphOps
     import graft.sources.TableStore
