@@ -2773,6 +2773,45 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally rm(base)
     }),
+    // ── extension: TF-IDF KEYWORD EXTRACTION (Salton & Buckley 1988;
+    //    scikit-learn's smoothed idf) — top-3 characteristic terms per
+    //    doc: one closed-form double through ln, floored to micro, so
+    //    ranks are engine-exact. The keyword/tag extraction and
+    //    sparse-featurization step.
+    "q218_tfidf_keywords" -> ((s, dir) => {
+      TextFunctions.tfidfTopTerms(T(s, dir, "documents"), "doc_id", "text",
+        k = 3)
+        .orderBy("doc_id", "rank")
+    }),
+    // ── extension: STORE EPOCH DIFF — added/removed/updated between two
+    //    epochs of the q210 tombstone store: replacements land as
+    //    tombstone+append (the q172 pattern), so the diff classifies
+    //    same-id-different-epoch as `updated`; the audit read answering
+    //    "what changed between last week's snapshot and today's".
+    "q219_store_epoch_diff" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_custkey").as("payload"))
+        .where(col("id") < 3000)
+      val base = o.withColumn("epoch", lit(0L))
+      // epoch 2: id%5 rows replaced (tombstone + re-append with bumped
+      // payload), id%11 rows appended as NEW ids
+      val repl = o.where(pmod(col("id"), lit(5)) === 0)
+        .select(col("id"), (col("payload") + 1000L).as("payload"),
+          lit(2L).as("epoch"))
+      val fresh = o.where(pmod(col("id"), lit(11)) === 0)
+        .select((col("id") + 100000L).as("id"), col("payload"),
+          lit(2L).as("epoch"))
+      val store = base.unionByName(repl).unionByName(fresh)
+      // deletions issued in epoch 2: the replaced rows' old versions
+      // plus the id%7 pure deletes
+      val tomb = o.where(pmod(col("id"), lit(5)) === 0 ||
+          pmod(col("id"), lit(7)) === 0)
+        .select(col("id"), lit(2L).as("before_epoch"))
+      TableStore.epochDiff(store, tomb, "id", "epoch",
+        fromEpoch = 1L, toEpoch = 2L)
+        .orderBy("op", "id")
+    }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
     //    the full backoff ladder (seen bigram → continuation backoff →
@@ -5055,6 +5094,53 @@ object SparkEntry {
                  doc_id, score_micro FROM sc)
          SELECT query_id, "rank", doc_id, score_micro FROM r
          WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
+    "q218_tfidf_keywords" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+           FROM documents WHERE length(trim(text)) > 0),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY 1),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents WHERE length(trim(text)) > 0),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+             CAST(floor(tf * (ln(CAST(1 + n_docs AS DOUBLE) / CAST(1 + df AS DOUBLE)) + 1.0) * 1e6) AS BIGINT) AS score_micro
+           FROM tf JOIN dfreq USING (term), nd)
+         SELECT doc_id, "rank", term, score_micro FROM (
+           SELECT doc_id, term, score_micro,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_micro DESC, term) AS BIGINT) AS "rank"
+           FROM scored)
+         WHERE "rank" <= 3 ORDER BY doc_id, "rank"""",
+    "q219_store_epoch_diff" ->
+      """WITH o AS (SELECT o_orderkey AS id, o_custkey AS payload
+                    FROM orders WHERE o_orderkey < 3000),
+         store AS (
+           SELECT id, payload, CAST(0 AS BIGINT) AS epoch FROM o
+           UNION ALL
+           SELECT id, payload + 1000 AS payload, CAST(2 AS BIGINT) FROM o WHERE id % 5 = 0
+           UNION ALL
+           SELECT id + 100000 AS id, payload, CAST(2 AS BIGINT) FROM o WHERE id % 11 = 0),
+         tomb AS (SELECT id, CAST(2 AS BIGINT) AS before_epoch FROM o
+                  WHERE id % 5 = 0 OR id % 7 = 0),
+         live1 AS (SELECT s.* FROM store s WHERE s.epoch <= 1 AND NOT EXISTS (
+           SELECT 1 FROM tomb t WHERE t.id = s.id AND t.before_epoch <= 1
+             AND s.epoch < t.before_epoch)),
+         live2 AS (SELECT s.* FROM store s WHERE s.epoch <= 2 AND NOT EXISTS (
+           SELECT 1 FROM tomb t WHERE t.id = s.id AND t.before_epoch <= 2
+             AND s.epoch < t.before_epoch))
+         SELECT op, id, payload, epoch FROM (
+           SELECT 'added' AS op, b.id, b.payload, b.epoch FROM live2 b
+           WHERE b.id NOT IN (SELECT id FROM live1)
+           UNION ALL
+           SELECT 'removed' AS op, a.id, a.payload, a.epoch FROM live1 a
+           WHERE a.id NOT IN (SELECT id FROM live2)
+           UNION ALL
+           SELECT 'updated' AS op, b.id, b.payload, b.epoch
+           FROM live2 b JOIN live1 a ON a.id = b.id AND a.epoch <> b.epoch)
+         ORDER BY op, id""",
     // q107's BM25 CTEs cut at top-20 + a length-prior top-20 fanned
     // across the query ids, fused by exact integer RRF contributions.
     "q216_rrf_fusion" ->

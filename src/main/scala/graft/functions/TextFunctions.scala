@@ -590,6 +590,46 @@ object TextFunctions {
           i => coalesce(element_at(col("__m"), i), lit(0L))).as("features"))
   }
 
+  /** TF-IDF KEYWORD EXTRACTION — top-k characteristic terms per document
+    * (Salton & Buckley 1988; the smoothed idf is scikit-learn's
+    * ln((1+N)/(1+df)) + 1, never negative, never divides by zero):
+    * score(t, d) = tf(t, d) · idf(t), the standard keyword/tag extraction
+    * and sparse-retrieval featurization step.
+    *
+    * Engine-portable: the score is ONE closed-form double expression
+    * (integer tf/df/N through a single ln and multiply) floored to micro
+    * units — no float accumulation, so ranks reproduce on any engine
+    * (the [[graft.functions.RetrievalOps.bm25TopK]] discipline).
+    *
+    * Scale shape: one token explode + (doc, term) count; document
+    * frequencies are one (term) aggregate over the distinct postings,
+    * joined back ON TERM (vocab-scale, shuffle-joined — at corpus scale
+    * the vocabulary outgrows a broadcast; AQE broadcasts it when small);
+    * N is a 1-row aggregate cross-joined back; per-doc top-k is a rank
+    * window WindowGroupLimit pre-reduces.
+    *
+    * @return (idCol, rank, term, score_micro), rank 1..k per doc */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val toks = df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.where(length(trim(col(textCol))) > 0)
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score_micro").desc, col("term").asc)
+    tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score_micro",
+        floor(col("tf") * (log((lit(1L) + col("n_docs")).cast("double") /
+          (lit(1L) + col("df")).cast("double")) + lit(1.0)) * lit(1e6)).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score_micro"))
+  }
+
   /** n-gram/stopword-vote language ID heuristic: CJK script ratio decides
     * "zh"; otherwise the language whose stopword set matches the most
     * tokens wins; "und" (undetermined) when nothing matches. Pure

@@ -119,6 +119,38 @@ object TableStore {
       tombstones.where(tombstones("before_epoch") <= asOfEpoch),
       idCol, epochCol)
 
+  /** SNAPSHOT DIFF between two epochs of the same store — the audit
+    * read that answers "what changed between last week's training set
+    * and today's": `added` rows live at `toEpoch` but not `fromEpoch`,
+    * `removed` rows live at `fromEpoch` but not `toEpoch`, `updated`
+    * rows live at both under a DIFFERENT epoch (the tombstone+append
+    * replacement pattern q172 uses). Composes [[liveViewAsOf]] twice —
+    * the same monotone-epoch contract, the same post-compaction
+    * horizon.
+    *
+    * Scale shape: two anti-joins and one equi-join, all keyed on the
+    * 8-byte id; payload columns move only for rows that actually
+    * changed (the diff is delta-sized even when the store is not).
+    *
+    * @return store columns + `op` ∈ {added, removed, updated} — added/
+    *         updated rows carry the `toEpoch` version, removed rows the
+    *         `fromEpoch` version */
+  def epochDiff(store: DataFrame, tombstones: DataFrame, idCol: String,
+                epochCol: String, fromEpoch: Long, toEpoch: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val a = liveViewAsOf(store, tombstones, idCol, epochCol, fromEpoch)
+    val b = liveViewAsOf(store, tombstones, idCol, epochCol, toEpoch)
+    val added = b.join(a.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("op", lit("added"))
+    val removed = a.join(b.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("op", lit("removed"))
+    val updated = b
+      .join(a.select(col(idCol), a(epochCol).as("__from_epoch")), Seq(idCol))
+      .where(col(epochCol) =!= col("__from_epoch")).drop("__from_epoch")
+      .withColumn("op", lit("updated"))
+    added.unionByName(removed).unionByName(updated)
+  }
+
   /** Drop `table` from the catalog AND remove its physical warehouse
     * directory. With the in-memory catalog a previous JVM's table data
     * survives on disk but not in the catalog, and a managed CTAS over a

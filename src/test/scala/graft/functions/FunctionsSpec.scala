@@ -163,6 +163,30 @@ class TextFunctionsSpec extends SparkSpec {
   }
 }
 
+class TfidfTopTermsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidfTopTerms: hand-computed smoothed-idf micros, per-doc ranks, term tie-break") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry date")
+    ).toDF("doc_id", "text")
+    // N=3; df: apple 2, banana 2, cherry 2, date 1
+    // idf(2) = ln(4/3)+1, idf(1) = ln(2)+1; micro floors:
+    // tf=2,df=2 -> 2575364; tf=1,df=2 -> 1287682; tf=1,df=1 -> 1693147
+    val got = TextFunctions.tfidfTopTerms(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+        r.getAs[String]("term"), r.getAs[Long]("score_micro"))).toSet
+    assert(got == Set(
+      (1L, 1L, "apple", 2575364L), (1L, 2L, "banana", 1287682L),
+      // doc 2: equal scores -> banana before cherry by term order
+      (2L, 1L, "banana", 1287682L), (2L, 2L, "cherry", 1287682L),
+      (3L, 1L, "cherry", 2575364L), (3L, 2L, "date", 1693147L),
+      (3L, 3L, "apple", 1287682L)))
+  }
+}
+
 class ContainmentSpec extends SparkSpec {
   import spark.implicits._
 

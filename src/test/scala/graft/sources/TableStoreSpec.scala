@@ -141,4 +141,23 @@ class TableStoreSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSet
     assert(read(2L) == live)
   }
+
+  test("epochDiff classifies added / removed / updated between two snapshots") {
+    import spark.implicits._
+    // base @e0: ids 1,2,3; e2: id 2 replaced (tombstone+append), id 3
+    // deleted, id 4 appended fresh
+    val store = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L),
+        (2L, "b2", 2L), (4L, "d", 2L))
+      .toDF("id", "payload", "epoch")
+    val tomb = Seq((2L, 2L), (3L, 2L)).toDF("id", "before_epoch")
+    val got = TableStore.epochDiff(store, tomb, "id", "epoch", 1L, 2L)
+      .collect().map(r => (r.getAs[String]("op"), r.getAs[Long]("id"),
+        r.getAs[String]("payload"), r.getAs[Long]("epoch"))).toSet
+    assert(got == Set(
+      ("added", 4L, "d", 2L),
+      ("removed", 3L, "c", 0L),
+      ("updated", 2L, "b2", 2L)))
+    // identical epochs diff to empty
+    assert(TableStore.epochDiff(store, tomb, "id", "epoch", 2L, 2L).isEmpty)
+  }
 }
