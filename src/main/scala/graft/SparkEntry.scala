@@ -2756,12 +2756,14 @@ object SparkEntry {
       }
       try {
         val inDir = new java.io.File(base, "in").getAbsolutePath
+        // 8 files per half, 8 files per trigger: ≥2 triggers without a
+        // single-threaded corpus rewrite (parity holds under ANY split)
         docs.where(pmod(col("doc_id"), lit(2)) === 0)
-          .coalesce(1).write.mode("append").parquet(inDir)
+          .repartition(8).write.mode("append").parquet(inDir)
         docs.where(pmod(col("doc_id"), lit(2)) === 1)
-          .coalesce(1).write.mode("append").parquet(inDir)
+          .repartition(8).write.mode("append").parquet(inDir)
         val in = s.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .option("maxFilesPerTrigger", "8").parquet(inDir)
         val q = graft.streaming.StreamingOps.bm25AbsorbStream(
           in, "doc_id", "text", tbl)()
         try q.processAllAvailable() finally q.stop()
@@ -2811,6 +2813,47 @@ object SparkEntry {
       TableStore.epochDiff(store, tomb, "id", "epoch",
         fromEpoch = 1L, toEpoch = 2L)
         .orderBy("op", "id")
+    }),
+    // ── extension: SCD TYPE-2 HISTORY (Kimball) — the events change
+    //    log turned into validity intervals: one row per (user,
+    //    event_type) VERSION with [from, to) nanos and is_current;
+    //    identical consecutive records compress away. Single-Exchange
+    //    shape: change-lag, filter, and interval-lead all evaluate in
+    //    user-keyed windows.
+    "q220_scd2_history" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      graft.functions.EventOps.scd2History(ev, "user_id", "ts", "event_id",
+        Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          graft.Tables.epochNs(col("effective_from")).as("from_ns"),
+          graft.Tables.epochNs(col("effective_to")).as("to_ns"),
+          col("is_current"))
+        .orderBy("user_id", "from_ns", "event_type", "to_ns")
+    }),
+    // ── extension: BM25 INDEX COMPACTION — the q213 store's
+    //    small-files maintenance job: 3 absorb batches leave 3 file
+    //    sets per bucket + 3 stats rows; compaction rewrites ONE tidy
+    //    term-bucketed table and folds the stats to a single row
+    //    (integer sums — exact), and the compacted search must be
+    //    hash-identical to the one-shot bm25TopK (oracle IS q107's
+    //    SQL), completing build → absorb → stream → COMPACT for the
+    //    postings store family.
+    "q221_bm25_index_compact" -> ((s, dir) => {
+      import graft.functions.RetrievalOps
+      import graft.sources.TableStore
+      val docs = T(s, dir, "documents")
+      val tbl = "graft_q221_idx"
+      val dst = "graft_q221_idx_compact"
+      TableStore.dropTable(s, tbl); TableStore.dropTable(s, tbl + "_stats")
+      Seq(0, 1, 2).foreach { b =>
+        RetrievalOps.bm25IndexAbsorb(
+          docs.where(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text", tbl)
+      }
+      RetrievalOps.bm25CompactIndex(s, tbl, dst)
+      RetrievalOps.bm25SearchStore(s, dst,
+        Seq(1 -> Seq("spark", "join", "window"), 2 -> Seq("stream", "batch"),
+          3 -> Seq("vector", "hash", "merge", "sort")), k = 10)
+        .orderBy("query_id", "rank")
     }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
@@ -4194,7 +4237,9 @@ object SparkEntry {
       ("q158_pagerank_resume" -> oracleSqlBase("q113_pagerank")) +
       ("q213_bm25_index_store" -> oracleSqlBase("q107_bm25_retrieval")) +
       // stream-built index search ≡ one-shot bm25TopK, same as q213
-      ("q217_bm25_stream_ingest" -> oracleSqlBase("q107_bm25_retrieval"))
+      ("q217_bm25_stream_ingest" -> oracleSqlBase("q107_bm25_retrieval")) +
+      // compacted-index search ≡ one-shot bm25TopK, same as q213
+      ("q221_bm25_index_compact" -> oracleSqlBase("q107_bm25_retrieval"))
 
   /** DuckDB cosine between two embedding-list expressions — the q79
     * formula, factored for the multi-batch q168 oracle. */
@@ -5094,6 +5139,21 @@ object SparkEntry {
                  doc_id, score_micro FROM sc)
          SELECT query_id, "rank", doc_id, score_micro FROM r
          WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
+    "q220_scd2_history" ->
+      """WITH ordered AS (
+           SELECT user_id, event_type, epoch_ns(ts) AS tns, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         changes AS (
+           SELECT user_id, event_type, tns, event_id FROM ordered
+           WHERE prev IS NULL OR prev <> event_type),
+         hist AS (
+           SELECT user_id, event_type, tns AS from_ns,
+             lead(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS to_ns
+           FROM changes)
+         SELECT user_id, event_type, from_ns, to_ns,
+           to_ns IS NULL AS is_current
+         FROM hist ORDER BY user_id, from_ns, event_type, to_ns""",
     "q218_tfidf_keywords" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term

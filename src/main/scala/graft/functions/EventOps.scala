@@ -15,6 +15,42 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
+  /** SCD TYPE-2 HISTORY BUILD (Kimball's slowly-changing-dimension
+    * type 2): turn a change log (key, ts, attributes…) into validity
+    * intervals — one row per attribute VERSION with
+    * [effective_from, effective_to) and an is_current marker, the
+    * point-in-time dimension table every warehouse as-of join consumes.
+    * Consecutive rows whose tracked attributes did not change are
+    * compressed away (a re-emitted identical record opens no new
+    * version), so the history is change-sized, not log-sized.
+    *
+    * Scale shape: everything is keyed by `keyCol` — one hash Exchange,
+    * one sort, then the change-detect lag, the filter, and the
+    * interval-close lead all evaluate in key-local window operators
+    * (the [[funnel]] single-Exchange discipline); a key's full history
+    * streams through the window, never materializing per-key arrays.
+    *
+    * @param seqCol   deterministic tie-break within equal timestamps
+    *                 (an event id); intervals order by (tsCol, seqCol)
+    * @param attrCols tracked attributes — any change in the tuple opens
+    *                 a new version
+    * @return keyCol, attrCols…, effective_from, effective_to (exclusive;
+    *         null = open), is_current */
+  def scd2History(log: DataFrame, keyCol: String, tsCol: String,
+                  seqCol: String, attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one tracked attribute")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(seqCol).asc)
+    val attrs = struct(attrCols.map(col): _*)
+    log
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      .where(col("__prev").isNull || !(col("__prev") <=> attrs))
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select(col(keyCol) +: attrCols.map(col) :+ col("effective_from")
+        :+ col("effective_to") :+ col("is_current"): _*)
+  }
+
   /** Ordered conversion funnel: for each user, the earliest time of
     * step 1, the earliest step 2 STRICTLY after it, the earliest step 3
     * strictly after that, etc. Returns one row per funnel step:

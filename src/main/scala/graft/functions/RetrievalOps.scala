@@ -170,6 +170,33 @@ object RetrievalOps {
     scoreAndRank(post, dfreq, stats, queryTerms, k, k1, b)
   }
 
+  /** COMPACTION leg of the persisted BM25 index: many per-batch posting
+    * files (every [[bm25IndexAbsorb]] append lands its own file set per
+    * bucket) rewrite as ONE tidy term-bucketed table, and the stats
+    * increments fold to a single (n_docs, sum_dl) row — integer sums,
+    * so the fold is EXACT and search over the compacted index is
+    * hash-identical to search over the fragmented one (the q221 parity
+    * gate). The small-files maintenance job every append-only store
+    * family here runs (signatures q169, labels, vectors q172's
+    * compaction analog), applied to postings.
+    *
+    * Writes to a DESTINATION table (the q169 convention — the source
+    * stays readable until the swap): one scan + one bucketed write of
+    * the postings, one k-row stats fold. */
+  def bm25CompactIndex(spark: org.apache.spark.sql.SparkSession,
+                       table: String, dst: String, buckets: Int = 8): Unit = {
+    graft.sources.TableStore.dropTable(spark, dst)
+    graft.sources.TableStore.dropTable(spark, dst + "_stats")
+    graft.sources.TableStore.saveBucketed(spark.table(table), dst,
+      Seq("term"), buckets)
+    spark.table(table + "_stats")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(dst + "_stats")
+    spark.catalog.refreshTable(dst)
+    spark.catalog.refreshTable(dst + "_stats")
+  }
+
   /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher, SIGIR 2009) —
     * the standard hybrid-retrieval merge: given N ranked lists for the
     * same queries (BM25, dense ANN, a recency/authority prior …), each

@@ -8,6 +8,32 @@ class EventOpsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("scd2History: change compression, interval chaining, open current version") {
+    val log = Seq(
+      // u1: A -> A (no change, compressed) -> B -> A
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A"),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "A"),
+      (1L, ts("2024-01-01 12:00:00"), 3L, "B"),
+      (1L, ts("2024-01-01 13:00:00"), 4L, "A"),
+      // u2: single record -> one open version
+      (2L, ts("2024-01-01 09:00:00"), 5L, "X"),
+      // u3: equal timestamps, seq breaks the tie -> C then D
+      (3L, ts("2024-01-01 08:00:00"), 6L, "C"),
+      (3L, ts("2024-01-01 08:00:00"), 7L, "D")
+    ).toDF("user_id", "ts", "event_id", "status")
+    val got = EventOps.scd2History(log, "user_id", "ts", "event_id", Seq("status"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("status"),
+        r.getAs[Timestamp]("effective_from"), r.getAs[Timestamp]("effective_to"),
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(got == Set(
+      (1L, "A", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"), false),
+      (1L, "B", ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00"), false),
+      (1L, "A", ts("2024-01-01 13:00:00"), null, true),
+      (2L, "X", ts("2024-01-01 09:00:00"), null, true),
+      (3L, "C", ts("2024-01-01 08:00:00"), ts("2024-01-01 08:00:00"), false),
+      (3L, "D", ts("2024-01-01 08:00:00"), null, true)))
+  }
+
   test("funnel: strict event-time order, per-user existential semantics") {
     val events = Seq(
       // u1 completes the funnel in order

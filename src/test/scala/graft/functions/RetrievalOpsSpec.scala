@@ -74,6 +74,25 @@ class RetrievalOpsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats"): Unit
   }
 
+  test("bm25CompactIndex: compacted search == fragmented search, stats fold to one row") {
+    val tbl = "graft_test_bm25_compact_src"
+    val dst = "graft_test_bm25_compact_dst"
+    for (t <- Seq(tbl, dst); sfx <- Seq("", "_stats"))
+      spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+    val queries = Seq(1 -> Seq("apple", "cherry"), 2 -> Seq("banana"))
+    RetrievalOps.bm25IndexAbsorb(docs.where($"doc_id" % 2 === 0), "doc_id", "text", tbl)
+    RetrievalOps.bm25IndexAbsorb(docs.where($"doc_id" % 2 === 1), "doc_id", "text", tbl)
+    assert(spark.table(tbl + "_stats").count() == 2)
+    RetrievalOps.bm25CompactIndex(spark, tbl, dst)
+    assert(spark.table(dst + "_stats").count() == 1)
+    def rows(t: String) = RetrievalOps.bm25SearchStore(spark, t, queries, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSet
+    assert(rows(dst) == rows(tbl))
+    for (t <- Seq(tbl, dst); sfx <- Seq("", "_stats"))
+      spark.sql(s"DROP TABLE IF EXISTS $t$sfx"): Unit
+  }
+
   test("rrfFuse: hand-computed fusion, membership-sum semantics, top-k cut") {
     // list A: q1 ranks docs 10,20,30; list B: q1 ranks docs 20,10,40
     val a = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
