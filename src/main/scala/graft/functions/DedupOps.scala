@@ -447,6 +447,39 @@ object DedupOps {
       .distinct()
   }
 
+  /** GENERIC Hamming near-dup pairs over ANY precomputed 64-bit
+    * signature column (the [[simhashCandidatePairs]] pigeonhole blocking
+    * factored free of text: image perceptual hashes (q222), audio
+    * fingerprints, any bit-signature): signatures split into 4 16-bit
+    * chunks that PARTITION the word, so any pair within Hamming
+    * distance 3 shares at least one exact chunk — candidate generation
+    * is an equi-join on (chunk, value), never all-pairs, and the result
+    * is EXACTLY the ≤ maxHamming pair set (blocking is recall-lossless
+    * for maxHamming ≤ 3 by pigeonhole).
+    *
+    * Scale shape: one (chunk, value) shuffle of 4n 10-byte rows; the
+    * verify step is one xor+popcount per candidate. Skewed chunks
+    * (a constant 16-bit region across the corpus) degrade toward a
+    * block self-join — the [[simhashCandidatePairs]] caveat applies. */
+  def hammingNearDupPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 disjoint 16-bit chunks are recall-lossless only for maxHamming <= 3, got $maxHamming")
+    val s = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+    val chunked = s.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3), lit(1)),
+        c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val a = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val hamming = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Passage-level (sub-document) dedup: split each document into
     * fixed-size token chunks, keep only the corpus-wide FIRST occurrence of
     * each distinct chunk (ordered by (doc_id, chunk_idx)), and reassemble
