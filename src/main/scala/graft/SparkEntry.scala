@@ -2855,6 +2855,32 @@ object SparkEntry {
           3 -> Seq("vector", "hash", "merge", "sort")), k = 10)
         .orderBy("query_id", "rank")
     }),
+    // ── extension: PERCEPTUAL IMAGE DEDUP — aHash (8×8 grayscale
+    //    average hash) over REAL JDK PNG decodes + the generic 16-bit-
+    //    chunk Hamming blocking: ids sharing doc_id/10 are planted
+    //    near-dup images differing in one pixel; pairs within Hamming 3
+    //    emerge from the pigeonhole join, never all-pairs. Oracle
+    //    recomputes pixels from the generator's closed form (lossless
+    //    PNG round-trip — the q92 convention) and brute-forces the
+    //    pair set, which the blocking must match EXACTLY (recall-
+    //    lossless for maxHamming ≤ 3).
+    "q222_image_phash_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val genSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val imgs = T(s, dir, "documents").select(col("doc_id"))
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            org.apache.spark.sql.Row(id,
+              graft.functions.MultimodalOps.MediaGen.pngGray8x8(id))
+          }
+        }(org.apache.spark.sql.Encoders.row(genSchema)).toDF()
+      val hashes = graft.functions.MultimodalOps
+        .averageHash(imgs, "doc_id", "payload")
+      DedupOps.hammingNearDupPairs(hashes, "doc_id", "ahash", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
     //    the full backoff ladder (seen bigram → continuation backoff →
@@ -5139,6 +5165,26 @@ object SparkEntry {
                  doc_id, score_micro FROM sc)
          SELECT query_id, "rank", doc_id, score_micro FROM r
          WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
+    // Pixels recomputed from the generator's closed form; hamming by a
+    // position-aligned bit self-join (the oracle brute-forces what the
+    // engine's pigeonhole blocking must match exactly).
+    "q222_image_phash_dedup" ->
+      """WITH px AS (
+           SELECT d.doc_id, rx.x, ry.y,
+             CASE WHEN ry.y*8 + rx.x = d.doc_id % 64
+               THEN ((rx.x*31 + ry.y*17 + (d.doc_id // 10)*13) % 256 + 128) % 256
+               ELSE (rx.x*31 + ry.y*17 + (d.doc_id // 10)*13) % 256 END AS g
+           FROM documents d, range(8) rx(x), range(8) ry(y)),
+         m AS (SELECT doc_id, sum(g) // 64 AS mean FROM px GROUP BY 1),
+         b AS (SELECT px.doc_id, y*8 + x AS pos, (g > mean) AS bit
+               FROM px JOIN m USING (doc_id)),
+         pairs AS (
+           SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+             CAST(sum(CASE WHEN a.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+           FROM b a JOIN b bb ON a.pos = bb.pos AND a.doc_id < bb.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, hamming FROM pairs
+         WHERE hamming <= 3 ORDER BY id_a, id_b""",
     "q220_scd2_history" ->
       """WITH ordered AS (
            SELECT user_id, event_type, epoch_ns(ts) AS tns, event_id,

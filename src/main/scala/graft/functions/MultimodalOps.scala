@@ -195,6 +195,32 @@ object MultimodalOps {
     * independent SQL engine can predict what a REAL decode must return
     * without being able to decode the bytes itself. */
   object MediaGen {
+    /** Deterministic 8×8 grayscale PNG for the q222 perceptual-dedup
+      * gate: pixel (x, y) has r = g = b = (x·31 + y·17 + (id/10)·13)
+      * mod 256, with ONE noise pixel at position id mod 64 brightened
+      * by +128 mod 256 — ids sharing id/10 are near-duplicate images
+      * differing in one pixel. The closed pixel form is what the SQL
+      * oracle recomputes (PNG is lossless, so decode returns exactly
+      * these values — the q92 convention). */
+    def pngGray8x8(id: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val base = ((x * 31 + y * 17 + (id / 10) * 13) % 256).toInt
+          val g = if (y * 8 + x == id % 64) (base + 128) % 256 else base
+          img.setRGB(x, y, g * 0x010101)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
     def pngBytes(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -246,6 +272,69 @@ object MultimodalOps {
         }
       }
     }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** 8×8 AVERAGE-HASH perceptual image fingerprint (the classic aHash:
+    * downsample to an 8×8 grayscale grid, bit i = cell i brighter than
+    * the grid mean) — the image near-dup signature that survives
+    * re-encoding, resizing, and small edits, where byte-exact hashing
+    * sees distinct files. Pair with [[graft.functions.DedupOps
+    * .hammingNearDupPairs]] for the blocked candidate join — the image
+    * leg of the dedup family (exact q15, MinHash q21, SimHash q22,
+    * embedding q25, now perceptual).
+    *
+    * Deterministic INTEGER arithmetic end to end: grayscale is
+    * (r+g+b)/3 integer division, pooling is per-cell integer mean over
+    * the exact pixel partition (x·8 div w, y·8 div h), the threshold is
+    * the integer mean of the 64 cell values, strict `>` — so the hash
+    * is reproducible on any engine and the q222 oracle recomputes it
+    * from the generator's closed pixel form (lossless PNG round-trip,
+    * the q92 convention).
+    *
+    * Scale shape: one [[decode]]-style batched mapPartitions pass (the
+    * JDK pixel decode is per-row imperative work no Expression can
+    * host); output is 16 bytes a row. Undecodable payloads drop with a
+    * null-skip, never a task failure.
+    *
+    * @return (idCol, ahash): bit y·8+x set iff cell (x, y) > mean */
+  def averageHash(df: DataFrame, idCol: String, bytesCol: String,
+                  batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("__ah_id", LongType), StructField("ahash", LongType)))
+    val in = df.select(col(idCol).cast("long"), col(bytesCol))
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { row =>
+        val bytes = if (row.isNullAt(1)) null else row.getAs[Array[Byte]](1)
+        val img =
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+        if (img == null) Iterator.empty
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Long](64); val cnts = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val gray = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+              val cell = (y * 8 / h) * 8 + (x * 8 / w)
+              sums(cell) += gray; cnts(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val cells = Array.tabulate(64)(i => if (cnts(i) == 0) 0L else sums(i) / cnts(i))
+          val mean = cells.sum / 64
+          var hash = 0L; var i = 0
+          while (i < 64) { if (cells(i) > mean) hash |= (1L << i); i += 1 }
+          Iterator.single(Row(row.getLong(0), hash))
+        }
+      })
+    }(Encoders.row(outSchema)).toDF()
+      .select(col("__ah_id").as(idCol), col("ahash"))
   }
 
   /** Feature-extract: adds an `embedding` Array[Float] column. */

@@ -1260,6 +1260,48 @@ class SimilarityOpsSpec extends SparkSpec {
 class MultimodalOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  private def png(w: Int, h: Int)(gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (gray(x, y) & 0xFF) * 0x010101)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("averageHash: hand-computed 8x8 bits, 2x2-block pooling invariance, bad payload dropped") {
+    // 8x8: gray = 10 everywhere except pixel (0,0) = 200
+    // mean = (200 + 63*10) / 64 = 12 -> only bit 0 set
+    val flat8 = png(8, 8)((x, y) => if (x == 0 && y == 0) 200 else 10)
+    // 16x16 with uniform 2x2 blocks of the same pattern pools to the
+    // identical cell grid, hence the identical hash
+    val flat16 = png(16, 16)((x, y) => if (x / 2 == 0 && y / 2 == 0) 200 else 10)
+    val df = Seq((1L, flat8), (2L, flat16), (3L, Array[Byte](1, 2, 3)))
+      .toDF("id", "payload")
+    val got = MultimodalOps.averageHash(df, "id", "payload")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("ahash"))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L)) // id 3: undecodable, dropped
+  }
+
+  test("hammingNearDupPairs == brute-force <=3 pair set on random 64-bit signatures") {
+    val rng = new scala.util.Random(41)
+    // clusters of sigs within hamming 3 + random far apart ones
+    val base = Seq.fill(5)(rng.nextLong())
+    val sigs = base.zipWithIndex.flatMap { case (b, i) =>
+      (0 until 6).map(j => ((i * 10 + j).toLong,
+        if (j == 0) b else b ^ (1L << rng.nextInt(64)) ^ (1L << rng.nextInt(64))))
+    }
+    val df = sigs.toDF("id", "sig")
+    val got = DedupOps.hammingNearDupPairs(df, "id", "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute)
+  }
+
   private def media = Seq(
     (1L, "image", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)),
     (2L, "audio", Array[Byte](9, 8, 7))).toDF("id", "media_type", "payload")
