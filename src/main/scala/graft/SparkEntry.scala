@@ -2881,6 +2881,16 @@ object SparkEntry {
       DedupOps.hammingNearDupPairs(hashes, "doc_id", "ahash", maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
+    // ── extension: WINDOWED CO-OCCURRENCE + PPMI (Levy & Goldberg
+    //    2014 — the matrix SGNS implicitly factorizes): ±2-token
+    //    (center, context) counts via MAP-SIDE offset zips (no position
+    //    self-join), scored by max(0, ln(c_ab·T/(c_a·c_b))) in micro.
+    //    The count-based twin of q175's skip-gram pairs, over text.
+    "q223_cooccurrence_ppmi" -> ((s, dir) => {
+      TextFunctions.cooccurrencePpmi(T(s, dir, "documents"), "text",
+        window = 2, minCount = 5)
+        .orderBy("w1", "w2")
+    }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
     //    the full backoff ladder (seen bigram → continuation backoff →
@@ -5165,16 +5175,41 @@ object SparkEntry {
                  doc_id, score_micro FROM sc)
          SELECT query_id, "rank", doc_id, score_micro FROM r
          WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
+    "q223_cooccurrence_ppmi" ->
+      """WITH td AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         up0 AS (
+           SELECT unnest(flatten([
+             list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i+1])),
+             list_transform(range(1, len(t)-1), i -> struct_pack(w1 := t[i], w2 := t[i+2]))])) AS p
+           FROM td),
+         up AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM up0
+                UNION ALL SELECT p.w2, p.w1 FROM up0),
+         cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pairs FROM up GROUP BY 1, 2),
+         ca AS (SELECT w1, CAST(sum(n_pairs) AS BIGINT) AS ca FROM cab GROUP BY 1),
+         cb AS (SELECT w2, CAST(sum(n_pairs) AS BIGINT) AS cb FROM cab GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM cab)
+         SELECT cab.w1, cab.w2, n_pairs,
+           greatest(0, CAST(floor(ln((CAST(n_pairs AS DOUBLE) * CAST(t AS DOUBLE)) /
+             (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) * 1e6) AS BIGINT)) AS ppmi_micro
+         FROM cab JOIN ca USING (w1) JOIN cb USING (w2), tot
+         WHERE cab.w1 < cab.w2 AND n_pairs >= 5
+         ORDER BY w1, w2""",
     // Pixels recomputed from the generator's closed form; hamming by a
     // position-aligned bit self-join (the oracle brute-forces what the
     // engine's pigeonhole blocking must match exactly).
     "q222_image_phash_dedup" ->
-      """WITH px AS (
+      """WITH px0 AS (
            SELECT d.doc_id, rx.x, ry.y,
-             CASE WHEN ry.y*8 + rx.x = d.doc_id % 64
-               THEN ((rx.x*31 + ry.y*17 + (d.doc_id // 10)*13) % 256 + 128) % 256
-               ELSE (rx.x*31 + ry.y*17 + (d.doc_id // 10)*13) % 256 END AS g
+             CAST('0x' || substr(md5(CAST(d.doc_id // 10 AS VARCHAR) || ':' || CAST(ry.y AS VARCHAR)),
+               2*rx.x + 1, 2) AS INT) AS base
            FROM documents d, range(8) rx(x), range(8) ry(y)),
+         px AS (
+           SELECT doc_id, x, y,
+             CASE WHEN y*8 + x = doc_id % 64 THEN (base + 128) % 256
+                  ELSE base END AS g
+           FROM px0),
          m AS (SELECT doc_id, sum(g) // 64 AS mean FROM px GROUP BY 1),
          b AS (SELECT px.doc_id, y*8 + x AS pos, (g > mean) AS bit
                FROM px JOIN m USING (doc_id)),

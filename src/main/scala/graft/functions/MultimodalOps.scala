@@ -196,20 +196,27 @@ object MultimodalOps {
     * without being able to decode the bytes itself. */
   object MediaGen {
     /** Deterministic 8×8 grayscale PNG for the q222 perceptual-dedup
-      * gate: pixel (x, y) has r = g = b = (x·31 + y·17 + (id/10)·13)
-      * mod 256, with ONE noise pixel at position id mod 64 brightened
-      * by +128 mod 256 — ids sharing id/10 are near-duplicate images
-      * differing in one pixel. The closed pixel form is what the SQL
-      * oracle recomputes (PNG is lossless, so decode returns exactly
-      * these values — the q92 convention). */
+      * gate: row y of group g = id/10 takes its 8 pixel values from the
+      * first 16 hex chars of md5("g:y") (full 64-pixel entropy per
+      * group — an earlier scalar-offset-mod-256 pattern had only 256
+      * distinct base images, so duplicate clusters grew with the corpus
+      * and the pair set went quadratic), with ONE noise pixel at
+      * position id mod 64 brightened by +128 mod 256 — ids sharing
+      * id/10 are near-duplicate images differing in one pixel. The
+      * closed pixel form is what the SQL oracle recomputes (PNG is
+      * lossless, so decode returns exactly these values — the q92
+      * convention; DuckDB's md5 hex matches). */
     def pngGray8x8(id: Long): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(8, 8,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val md = java.security.MessageDigest.getInstance("MD5")
       var y = 0
       while (y < 8) {
+        val hex = md.digest(s"${id / 10}:$y".getBytes("UTF-8"))
+          .take(8).map(b => f"${b & 0xff}%02x").mkString
         var x = 0
         while (x < 8) {
-          val base = ((x * 31 + y * 17 + (id / 10) * 13) % 256).toInt
+          val base = Integer.parseInt(hex.substring(2 * x, 2 * x + 2), 16)
           val g = if (y * 8 + x == id % 64) (base + 128) % 256 else base
           img.setRGB(x, y, g * 0x010101)
           x += 1

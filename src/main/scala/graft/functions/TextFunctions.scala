@@ -630,6 +630,61 @@ object TextFunctions {
       .select(col(idCol), col("rank"), col("term"), col("score_micro"))
   }
 
+  /** WINDOWED CO-OCCURRENCE + PPMI (Levy & Goldberg, NeurIPS 2014: the
+    * count-based twin of skip-gram — SGNS implicitly factorizes this
+    * matrix): count (center, context) pairs within ±`window` token
+    * positions, then score each pair by positive pointwise mutual
+    * information ppmi = max(0, ln(c_ab·T / (c_a·c_b))) — the classic
+    * distributional-semantics matrix and feature-association measure.
+    * Distinct from [[pmiPhrases]], which scores ADJACENT bigrams for
+    * phrase detection; this is the ±w context matrix embeddings train
+    * on.
+    *
+    * Scale shape: pair generation is MAP-SIDE — for each offset d ≤ w,
+    * the token array zips with itself shifted by d (the [[pmiPhrases]]
+    * tail-zip generalized), so no position self-join and no shuffle
+    * until the (w1, w2) count; marginals are one aggregate over the
+    * pair counts (pair-vocabulary-sized, not corpus-sized); T is a
+    * 1-row broadcast. PPMI is ONE closed-form double (counts promoted
+    * to double BEFORE multiplying — c·T overflows int64 at web scale)
+    * floored to micro and clamped at 0, identically on any engine.
+    *
+    * @return (w1, w2, n_pairs, ppmi_micro), canonical w1 < w2 (the
+    *         matrix is symmetric; counts are ordered-pair counts, so a
+    *         co-occurrence contributes to both directions' marginals) */
+  def cooccurrencePpmi(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       window: Int = 2, minCount: Long = 5)
+      : org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val t = tokens(lower(col(textCol)))
+    val zipped = flatten(transform(sequence(lit(1), lit(window)), d =>
+      zip_with(
+        slice(t, lit(1), greatest(size(t) - d, lit(0))),
+        slice(t, d + lit(1), greatest(size(t) - d, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))))
+    val up = df.where(length(trim(col(textCol))) > 0)
+      .select(explode(zipped).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val ordered = up.unionAll(up.select(col("w2").as("w1"), col("w1").as("w2")))
+    val cab = ordered.groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ca = cab.groupBy("w1").agg(sum("n_pairs").as("__ca"))
+    val cb = cab.groupBy("w2").agg(sum("n_pairs").as("__cb"))
+    val tot = cab.agg(sum("n_pairs").as("__t"))
+    val res = cab.where(col("w1") < col("w2"))
+      .join(ca, "w1").join(cb, "w2").crossJoin(broadcast(tot))
+      .withColumn("ppmi_micro", greatest(lit(0L),
+        floor(log((col("n_pairs").cast("double") * col("__t").cast("double")) /
+          (col("__ca").cast("double") * col("__cb").cast("double"))) * lit(1e6))
+          .cast("long")))
+      .where(col("n_pairs") >= minCount)
+      .select(col("w1"), col("w2"), col("n_pairs"), col("ppmi_micro"))
+      .localCheckpoint(true)
+    cab.unpersist(blocking = false)
+    res
+  }
+
   /** n-gram/stopword-vote language ID heuristic: CJK script ratio decides
     * "zh"; otherwise the language whose stopword set matches the most
     * tokens wins; "und" (undetermined) when nothing matches. Pure

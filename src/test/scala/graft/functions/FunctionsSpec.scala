@@ -163,6 +163,34 @@ class TextFunctionsSpec extends SparkSpec {
   }
 }
 
+class CooccurrencePpmiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cooccurrencePpmi: counts and ppmi match an independent brute-force over the window") {
+    val texts = Seq("a b a b c", "b c b c d d", "a c a c a")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // independent re-derivation: ordered pairs within +-2 positions
+    val ordered = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (t <- texts; toks = t.split(" "); i <- toks.indices;
+         d <- 1 to 2 if i + d < toks.length) {
+      ordered((toks(i), toks(i + d))) = ordered.getOrElse((toks(i), toks(i + d)), 0L) + 1
+      ordered((toks(i + d), toks(i))) = ordered.getOrElse((toks(i + d), toks(i)), 0L) + 1
+    }
+    val tot = ordered.values.sum.toDouble
+    def marg(w: String, side: Int) = ordered.collect {
+      case ((a, b), c) if (if (side == 0) a else b) == w => c }.sum.toDouble
+    val expected = ordered.collect { case ((a, b), c) if a < b && c >= 2 =>
+      (a, b, c, math.max(0L,
+        math.floor(math.log(c * tot / (marg(a, 0) * marg(b, 1))) * 1e6).toLong))
+    }.toSet
+    val got = TextFunctions.cooccurrencePpmi(docs, "text", window = 2, minCount = 2)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("ppmi_micro"))).toSet
+    assert(got == expected)
+  }
+}
+
 class TfidfTopTermsSpec extends SparkSpec {
   import spark.implicits._
 
