@@ -2891,6 +2891,19 @@ object SparkEntry {
         window = 2, minCount = 5)
         .orderBy("w1", "w2")
     }),
+    // ── extension: IVF CELL-OCCUPANCY MONITOR — the operational metric
+    //    that decides WHEN to retrain (q178's ivfReindex): per-cell row
+    //    counts + integer imbalance score (excess_milli, 1000 =
+    //    balanced) over a FIXED-64 raw quantizer (decade-runnable, not
+    //    the %40 family). One bucket-keyed count aggregate + a 1-row
+    //    broadcast — cheap enough to run after every absorb.
+    "q224_ivf_occupancy" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val init = emb.where(col("vec_id") < 64).select("vec_id", "embedding")
+      val store = SimilarityOps.ivfStore(emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", init, "vec_id")
+      SimilarityOps.ivfOccupancy(store).orderBy("cid")
+    }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
     //    the full backoff ladder (seen bigram → continuation backoff →
@@ -5175,6 +5188,26 @@ object SparkEntry {
                  doc_id, score_micro FROM sc)
          SELECT query_id, "rank", doc_id, score_micro FROM r
          WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
+    "q224_ivf_occupancy" ->
+      """WITH cent0 AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id < 64),
+         asn AS (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> c.cv[i] * c.cv[i])))) DESC, c.cid) AS rn
+             FROM embeddings e, cent0 c) WHERE rn = 1),
+         counts AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_rows FROM asn GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS cells FROM counts)
+         SELECT cid, n_rows, n_rows * cells * 1000 // t AS excess_milli
+         FROM counts, tot ORDER BY cid""",
     "q223_cooccurrence_ppmi" ->
       """WITH td AS (
            SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t

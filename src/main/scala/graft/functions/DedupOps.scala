@@ -448,32 +448,47 @@ object DedupOps {
   }
 
   /** GENERIC Hamming near-dup pairs over ANY precomputed 64-bit
-    * signature column (the [[simhashCandidatePairs]] pigeonhole blocking
-    * factored free of text: image perceptual hashes (q222), audio
-    * fingerprints, any bit-signature): signatures split into 4 16-bit
-    * chunks that PARTITION the word, so any pair within Hamming
-    * distance 3 shares at least one exact chunk — candidate generation
-    * is an equi-join on (chunk, value), never all-pairs, and the result
-    * is EXACTLY the ≤ maxHamming pair set (blocking is recall-lossless
-    * for maxHamming ≤ 3 by pigeonhole).
+    * signature column (image perceptual hashes — q222, audio
+    * fingerprints, any bit-signature), via MULTI-INDEX pigeonhole
+    * blocking (Manku, Jain & Das Sarma, WWW 2007 §3): the word splits
+    * into 6 disjoint chunks (4×11 + 2×10 bits); ≤ 3 bit errors touch
+    * ≤ 3 chunks, so ≥ 3 chunks survive untouched and the pair agrees
+    * EXACTLY on at least one of the C(6,3) = 20 chunk TRIPLES — the
+    * candidate join keys on (triple id, 3 chunk values) packed into one
+    * long, and the result is exactly the ≤ maxHamming pair set
+    * (recall-lossless for maxHamming ≤ 3).
     *
-    * Scale shape: one (chunk, value) shuffle of 4n 10-byte rows; the
-    * verify step is one xor+popcount per candidate. Skewed chunks
-    * (a constant 16-bit region across the corpus) degrade toward a
-    * block self-join — the [[simhashCandidatePairs]] caveat applies. */
+    * WHY triples, not single chunks: single-chunk keys are only 10–16
+    * bits, so RANDOM cross-corpus collisions contribute ~n²/2^bits
+    * candidates — quadratic with a small constant, measured 116 s at
+    * n = 500k (the first q222 cut with 4×16-bit chunks). Triple keys
+    * are ~33 bits: collisions ~20·n²/2³³ stay negligible past 10⁷
+    * rows, at the cost of a 20× (still LINEAR) key expansion.
+    *
+    * Scale shape: one shuffle of 20n 16-byte rows keyed by the packed
+    * long; verify is one xor+popcount per candidate. A corpus of
+    * near-identical signatures (one giant true dup cluster) still
+    * degrades to its quadratic TRUE pair set — that is output size,
+    * not blocking waste. */
   def hammingNearDupPairs(sigs: DataFrame, idCol: String, sigCol: String,
                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"4 disjoint 16-bit chunks are recall-lossless only for maxHamming <= 3, got $maxHamming")
+      s"6 chunks / C(6,3) triples are recall-lossless only for maxHamming <= 3, got $maxHamming")
+    val shifts = Seq(0, 11, 22, 33, 44, 54)
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    def chunk(c: Column, i: Int): Column =
+      shiftright(c, shifts(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val triples = (0 until 6).combinations(3).toSeq.zipWithIndex
+    def keys(c: Column): Column = array(triples.map { case (t, id) =>
+      lit(id.toLong) * lit(1L << 33) + chunk(c, t(0)) * lit(1L << 22) +
+        chunk(c, t(1)) * lit(1L << 11) + chunk(c, t(2))
+    }: _*)
     val s = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
-    val chunked = s.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3), lit(1)),
-        c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL))))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-    val a = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val keyed = s.select(col("id"), col("sig"), explode(keys(col("sig"))).as("k"))
+    val a = keyed.select(col("k"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = keyed.select(col("k"), col("id").as("id_b"), col("sig").as("sig_b"))
     val hamming = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
-    a.join(b, Seq("chunk", "chunk_val"))
+    a.join(b, Seq("k"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .where(col("hamming") <= maxHamming)

@@ -727,6 +727,31 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** CELL-OCCUPANCY monitOR for a persisted inverted file — the
+    * operational metric that decides WHEN to [[ivfReindex]]: absorbing
+    * under a frozen quantizer is O(batch), but as the data distribution
+    * drifts, cells fill unevenly — search cost tracks the probed cells'
+    * sizes, so a hot cell degrades every query that probes it. Emits
+    * per-cell row counts with an integer imbalance score
+    * (`excess_milli` = cell size ÷ balanced size, in milli — 1000 =
+    * perfectly balanced; the max over cells is the classic imbalance
+    * factor IVF deployments alert on).
+    *
+    * Scale shape: one count aggregate keyed on the bucket column (the
+    * cid-bucketed store aggregates WITHOUT an Exchange) + a 1-row
+    * (total, n_cells) broadcast — the monitor costs one map-only store
+    * pass, so it can run after every absorb.
+    *
+    * @return (cidCol, n_rows, excess_milli), one row per non-empty cell */
+  def ivfOccupancy(store: DataFrame, cidCol: String = "cid"): DataFrame = {
+    val counts = store.groupBy(cidCol).agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum("n_rows").as("__tot"),
+      count(lit(1)).as("__cells"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(cidCol), col("n_rows"),
+        expr("n_rows * __cells * 1000 div __tot").as("excess_milli"))
+  }
+
   /** FILTERED vector search over the persisted inverted file — the
     * metadata-constrained ANN query ("top-k among rows WHERE …") every
     * retrieval deployment needs, with PRE-FILTER semantics: the

@@ -959,6 +959,16 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(store.count() == 64L) // every nonzero-norm vector lands once
   }
 
+  test("ivfOccupancy: per-cell counts and integer imbalance score") {
+    val store = Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 2L))
+      .toDF("vec_id", "cid")
+    val got = SimilarityOps.ivfOccupancy(store)
+      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("excess_milli"))).toSet
+    // 3 cells, 6 rows: balanced = 2 rows; sizes 1/2/3 -> 500/1000/1500
+    assert(got == Set((0L, 1L, 500L), (1L, 2L, 1000L), (2L, 3L, 1500L)))
+  }
+
   test("ivfSearchStoreFiltered: pre-filter == ivfTopKFraction over the filtered corpus; carryCols round-trip") {
     val rng = new scala.util.Random(29)
     val corpus = (0L until 64L).map(i =>
