@@ -2904,6 +2904,30 @@ object SparkEntry {
         "vec_id", "embedding", init, "vec_id")
       SimilarityOps.ivfOccupancy(store).orderBy("cid")
     }),
+    // ── extension: PERCEPTUAL AUDIO DEDUP — 64-segment energy hash
+    //    over REAL JDK WAV decodes (AudioSystem PCM) + the multi-index
+    //    Hamming blocking: ids sharing doc_id/10 are planted near-dup
+    //    clips differing in one amplified segment; the oracle
+    //    recomputes samples from the generator's closed md5 form and
+    //    brute-forces the pair set the blocking must match exactly.
+    //    Completes the perceptual-dedup modality pair (images q222).
+    "q225_audio_fingerprint_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val genSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val clips = T(s, dir, "documents").select(col("doc_id"))
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            org.apache.spark.sql.Row(id,
+              graft.functions.MultimodalOps.MediaGen.wavSeeded(id))
+          }
+        }(org.apache.spark.sql.Encoders.row(genSchema)).toDF()
+      val hashes = graft.functions.MultimodalOps
+        .audioEnergyHash(clips, "doc_id", "payload")
+      DedupOps.hammingNearDupPairs(hashes, "doc_id", "ehash", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
     //    the full backoff ladder (seen bigram → continuation backoff →
@@ -5188,6 +5212,34 @@ object SparkEntry {
                  doc_id, score_micro FROM sc)
          SELECT query_id, "rank", doc_id, score_micro FROM r
          WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
+    // Samples recomputed from the generator's closed md5 form; hamming
+    // by a segment-aligned bit self-join (brute-force, which the
+    // engine's multi-index blocking must match exactly).
+    "q225_audio_fingerprint_dedup" ->
+      """WITH sm AS (
+           SELECT d.doc_id, j.j,
+             CAST('0x' || substr(md5(CAST(d.doc_id // 10 AS VARCHAR) || ':' || CAST(j.j // 16 AS VARCHAR)),
+               2*(j.j % 16) + 1, 2) AS INT) AS base
+           FROM documents d, range(512) j(j)),
+         v AS (
+           SELECT doc_id, j,
+             CASE WHEN j // 8 = doc_id % 64 THEN (base + 128) % 256
+                  ELSE base END AS v
+           FROM sm),
+         e AS (SELECT doc_id, j // 8 AS s,
+                 CAST(sum(abs(v - 128)) AS BIGINT) AS energy
+               FROM v GROUP BY 1, 2),
+         m AS (SELECT doc_id, CAST(sum(energy) // 64 AS BIGINT) AS mean
+               FROM e GROUP BY 1),
+         b AS (SELECT e.doc_id, s, (energy > mean) AS bit
+               FROM e JOIN m USING (doc_id)),
+         pairs AS (
+           SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+             CAST(sum(CASE WHEN a.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+           FROM b a JOIN b bb ON a.s = bb.s AND a.doc_id < bb.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, hamming FROM pairs
+         WHERE hamming <= 3 ORDER BY id_a, id_b""",
     "q224_ivf_occupancy" ->
       """WITH cent0 AS (
            SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv

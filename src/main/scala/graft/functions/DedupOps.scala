@@ -483,16 +483,23 @@ object DedupOps {
       lit(id.toLong) * lit(1L << 33) + chunk(c, t(0)) * lit(1L << 22) +
         chunk(c, t(1)) * lit(1L << 11) + chunk(c, t(2))
     }: _*)
+    // pin the signatures: both join sides read them, and the upstream
+    // chain (for q222/q225, a full media decode per row) must run ONCE —
+    // the simhashCandidatePairs discipline
     val s = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = s.select(col("id"), col("sig"), explode(keys(col("sig"))).as("k"))
     val a = keyed.select(col("k"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = keyed.select(col("k"), col("id").as("id_b"), col("sig").as("sig_b"))
     val hamming = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
-    a.join(b, Seq("k"))
+    val res = a.join(b, Seq("k"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+      .localCheckpoint(true)
+    s.unpersist(blocking = false)
+    res
   }
 
   /** Passage-level (sub-document) dedup: split each document into

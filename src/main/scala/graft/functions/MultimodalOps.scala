@@ -257,6 +257,32 @@ object MultimodalOps {
       while (i < nSamples) { b(44 + i) = ((i * 7) & 0x7f).toByte; i += 1 }
       b
     }
+
+    /** Deterministic 512-sample 8-bit mono WAV for the q225 audio-dedup
+      * gate: block b = j/16 of group g = id/10 takes its 16 sample
+      * values from the 32 hex chars of md5("g:b") (full entropy per
+      * group — the q222 fixture lesson), with the 8 samples of ONE
+      * noise segment (segment id mod 64) shifted by +128 mod 256 — ids
+      * sharing id/10 are near-duplicate clips differing in one segment.
+      * The closed sample form is what the SQL oracle recomputes (PCM is
+      * raw bytes, so the decode returns exactly these values). */
+    def wavSeeded(id: Long): Array[Byte] = {
+      val n = 512
+      val b = wavBytes(8000, n)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var j = 0
+      var hex = ""
+      while (j < n) {
+        if (j % 16 == 0)
+          hex = md.digest(s"${id / 10}:${j / 16}".getBytes("UTF-8"))
+            .map(x => f"${x & 0xff}%02x").mkString
+        val base = Integer.parseInt(hex.substring(2 * (j % 16), 2 * (j % 16) + 2), 16)
+        val v = if (j / 8 == id % 64) (base + 128) % 256 else base
+        b(44 + j) = v.toByte
+        j += 1
+      }
+      b
+    }
   }
 
   /** Decode media payloads: adds a `meta` struct column. Runs distributed
@@ -342,6 +368,64 @@ object MultimodalOps {
       })
     }(Encoders.row(outSchema)).toDF()
       .select(col("__ah_id").as(idCol), col("ahash"))
+  }
+
+  /** 64-SEGMENT ENERGY HASH audio fingerprint — the audio leg of the
+    * perceptual-dedup family ([[averageHash]] for images): decode the
+    * clip with the REAL JDK audio stack (AudioSystem, 8-bit mono PCM),
+    * split the samples into 64 equal time segments, energy(s) =
+    * Σ |v − 128| over the segment's samples (all-integer), bit s set
+    * iff energy(s) > the integer mean of the 64 energies. Re-encoded,
+    * trimmed-silence, or lightly-edited copies keep most bits, where
+    * byte hashing sees distinct files; pair with
+    * [[graft.functions.DedupOps.hammingNearDupPairs]] for the blocked
+    * candidate join.
+    *
+    * Same determinism contract as [[averageHash]]: integer arithmetic
+    * end to end, strict `>`, segment s of n samples covers indices with
+    * j·64 div n = s — reproducible on any engine, so the q225 oracle
+    * recomputes the hash from the generator's closed sample form.
+    * Undecodable or non-8-bit payloads drop with a null-skip.
+    *
+    * @return (idCol, ehash): bit s set iff segment s is above-mean */
+  def audioEnergyHash(df: DataFrame, idCol: String, bytesCol: String,
+                      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("__eh_id", LongType), StructField("ehash", LongType)))
+    val in = df.select(col(idCol).cast("long"), col(bytesCol))
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { row =>
+        val bytes = if (row.isNullAt(1)) null else row.getAs[Array[Byte]](1)
+        val samples: Array[Int] =
+          if (bytes == null) null
+          else
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1) null
+              else ais.readAllBytes().map(b => b & 0xff)
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => null
+              case _: java.io.IOException => null
+            }
+        if (samples == null || samples.isEmpty) Iterator.empty
+        else {
+          val n = samples.length
+          val energy = new Array[Long](64)
+          var j = 0
+          while (j < n) {
+            energy((j.toLong * 64 / n).toInt) += math.abs(samples(j) - 128)
+            j += 1
+          }
+          val mean = energy.sum / 64
+          var hash = 0L; var s = 0
+          while (s < 64) { if (energy(s) > mean) hash |= (1L << s); s += 1 }
+          Iterator.single(Row(row.getLong(0), hash))
+        }
+      })
+    }(Encoders.row(outSchema)).toDF()
+      .select(col("__eh_id").as(idCol), col("ehash"))
   }
 
   /** Feature-extract: adds an `embedding` Array[Float] column. */

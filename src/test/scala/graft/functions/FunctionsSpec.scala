@@ -1322,6 +1322,27 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L)) // id 3: undecodable, dropped
   }
 
+  test("audioEnergyHash: hand-computed segment energies from a real WAV decode, bad payload dropped") {
+    val wav = MultimodalOps.MediaGen.wavSeeded(7L)
+    // independent re-derivation of the expected hash from the closed form
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val samples = (0 until 512).map { j =>
+      val hex = md.digest(s"0:${j / 16}".getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString
+      val base = Integer.parseInt(hex.substring(2 * (j % 16), 2 * (j % 16) + 2), 16)
+      if (j / 8 == 7) (base + 128) % 256 else base
+    }
+    val energies = (0 until 64).map(s =>
+      (0 until 8).map(k => math.abs(samples(s * 8 + k) - 128).toLong).sum)
+    val mean = energies.sum / 64
+    val expected = (0 until 64).foldLeft(0L)((h, s) =>
+      if (energies(s) > mean) h | (1L << s) else h)
+    val df = Seq((7L, wav), (8L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val got = MultimodalOps.audioEnergyHash(df, "id", "payload")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("ehash"))).toMap
+    assert(got == Map(7L -> expected)) // id 8: undecodable, dropped
+  }
+
   test("hammingNearDupPairs == brute-force <=3 pair set on random 64-bit signatures") {
     val rng = new scala.util.Random(41)
     // clusters of sigs within hamming 3 + random far apart ones
