@@ -2928,6 +2928,19 @@ object SparkEntry {
       DedupOps.hammingNearDupPairs(hashes, "doc_id", "ehash", maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
+    // ── extension: POISSON BOOTSTRAP CI (Chamandy et al. 2012 — the
+    //    scalable bootstrap): per-source mean token count with a 95%
+    //    bootstrap interval from 200 replicates; weights are md5
+    //    inverse-CDF Poisson(1) draws against integer 2^60 thresholds,
+    //    so the oracle replays every draw. Uncertainty quantification
+    //    for data-quality dashboards with zero sampling coordination.
+    "q226_bootstrap_ci" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("tok"))
+      graft.functions.ProfileOps.bootstrapCI(d, "source", "tok", "doc_id",
+        reps = 200)
+        .orderBy("source")
+    }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
     //    the full backoff ladder (seen bigram → continuation backoff →
@@ -5212,6 +5225,49 @@ object SparkEntry {
                  doc_id, score_micro FROM sc)
          SELECT query_id, "rank", doc_id, score_micro FROM r
          WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
+    // Every Poisson draw replayed: same md5, same integer CDF
+    // thresholds, same rank selection.
+    "q226_bootstrap_ci" ->
+      """WITH tc AS (
+           SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+             END AS tok
+           FROM documents),
+         wdraw AS (
+           SELECT source, r.r AS r, tok,
+             CAST('0x' || substr(md5('boot:' || CAST(doc_id AS VARCHAR) || ':' || CAST(r.r AS VARCHAR)), 1, 15) AS BIGINT) AS u
+           FROM tc, range(200) r(r)),
+         ww AS (
+           SELECT source, r, tok,
+             CASE WHEN u < 424136118829305344 THEN 0
+                  WHEN u < 848272237658610688 THEN 1
+                  WHEN u < 1060340297073263360 THEN 2
+                  WHEN u < 1131029650211480960 THEN 3
+                  WHEN u < 1148701988496035328 THEN 4
+                  WHEN u < 1152236456152946176 THEN 5
+                  WHEN u < 1152825534095764608 THEN 6
+                  ELSE 7 END AS w
+           FROM wdraw),
+         rm AS (SELECT source, r, CAST(sum(w * tok) AS BIGINT) AS sx,
+                  CAST(sum(w) AS BIGINT) AS sw
+                FROM ww GROUP BY 1, 2),
+         rm2 AS (SELECT source, r, CAST(sx AS DOUBLE) / CAST(sw AS DOUBLE) AS m
+                 FROM rm WHERE sw > 0),
+         rk AS (SELECT source, r, m,
+                  CAST(row_number() OVER (PARTITION BY source ORDER BY m, r) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS b
+                FROM rm2),
+         lo AS (SELECT source, CAST(floor(m * 1e6) AS BIGINT) AS ci_lo_micro FROM rk
+                WHERE rn = greatest(1, CAST(ceil(b * 25 / 1000.0) AS BIGINT))),
+         hi AS (SELECT source, CAST(floor(m * 1e6) AS BIGINT) AS ci_hi_micro FROM rk
+                WHERE rn = greatest(1, CAST(ceil(b * 975 / 1000.0) AS BIGINT))),
+         base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(floor(CAST(sum(tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS mean_micro
+                  FROM tc GROUP BY 1)
+         SELECT base.source, n_rows, mean_micro, ci_lo_micro, ci_hi_micro
+         FROM base JOIN lo USING (source) JOIN hi USING (source)
+         ORDER BY source""",
     // Samples recomputed from the generator's closed md5 form; hamming
     // by a segment-aligned bit self-join (brute-force, which the
     // engine's multi-index blocking must match exactly).

@@ -381,4 +381,73 @@ object ProfileOps {
           .otherwise(lit(0L)))
       .drop("__one", "__n")
   }
+
+  /** POISSON BOOTSTRAP confidence intervals for per-group means (the
+    * scalable bootstrap: Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google TR 2012) — classic resampling draws n
+    * rows WITH replacement per replicate, which needs coordinated global
+    * sampling; at scale each row instead receives an INDEPENDENT
+    * Poisson(1) weight per replicate, giving each replicate a
+    * multinomial-in-the-limit resample with zero coordination: one
+    * map-side weight draw, one (group, replicate) aggregate.
+    *
+    * Deterministic and engine-exact: the weight for (row, replicate) is
+    * an inverse-CDF lookup of hash60(seed:id:rep) against Poisson(1)
+    * CDF thresholds precomputed as INTEGER literals in 2⁶⁰ units (capped
+    * at 6 — P(X ≥ 7) < 10⁻⁴ — so the draw is a finite when-chain);
+    * replicate means divide two exact integer sums ONCE, and the CI
+    * bounds are exact rank selections (type-1 quantiles) over the B
+    * replicate means, floored to micro — md5-reproducible anywhere, so
+    * the q226 oracle replays every draw.
+    *
+    * Scale shape: the replicate explode is map-side (B×n rows straight
+    * into a partial-aggregating (group, rep) sum — combiners keep the
+    * shuffle at groups × B rows); the rank selection windows over
+    * groups × B. No global sort, no driver state.
+    *
+    * @param reps bootstrap replicates B (the CI resolution)
+    * @param loPerMille,hiPerMille CI bounds as permille ranks (25/975 =
+    *        central 95%)
+    * @return (groupCol, n_rows, mean_micro, ci_lo_micro, ci_hi_micro) */
+  def bootstrapCI(df: DataFrame, groupCol: String, valueCol: String,
+                  idCol: String, reps: Int = 200, loPerMille: Int = 25,
+                  hiPerMille: Int = 975, seed: String = "boot"): DataFrame = {
+    require(reps >= 2, s"need reps >= 2, got $reps")
+    require(loPerMille >= 0 && hiPerMille <= 1000 && loPerMille < hiPerMille,
+      s"permille bounds out of order: $loPerMille/$hiPerMille")
+    // Poisson(1) CDF in 2^60 units: floor(cdf_k * 2^60), k = 0..6
+    val thresholds = Seq(424136118829305344L, 848272237658610688L,
+      1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+      1152236456152946176L, 1152825534095764608L)
+    val u = graft.functions.DedupOps.hash60(concat(lit(seed + ":"),
+      col(idCol).cast("string"), lit(":"), col("r").cast("string")))
+    val w = thresholds.zipWithIndex.foldRight(lit(7L): Column) {
+      case ((t, k), rest) => when(u < lit(t), lit(k.toLong)).otherwise(rest)
+    }
+    val weighted = df
+      .select(col(groupCol), col(idCol), col(valueCol).cast("long").as("__x"),
+        explode(sequence(lit(0), lit(reps - 1))).as("r"))
+      .withColumn("__w", w)
+    val repMeans = weighted.groupBy(groupCol, "r")
+      .agg(sum(col("__w") * col("__x")).as("__sx"), sum("__w").as("__sw"))
+      .where(col("__sw") > 0) // an all-zero-weight replicate has no mean
+      .withColumn("__m", col("__sx").cast("double") / col("__sw").cast("double"))
+    // exact type-1 quantile ranks over the B replicate means, ties by r
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("__m").asc, col("r").asc)
+    val ranked = repMeans
+      .withColumn("__rn", row_number().over(wRank).cast("long"))
+      .withColumn("__b", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+    def pick(perMille: Int) = greatest(lit(1L),
+      ceil(col("__b") * perMille / lit(1000.0)).cast("long"))
+    val lo = ranked.where(col("__rn") === pick(loPerMille))
+      .select(col(groupCol), floor(col("__m") * 1e6).cast("long").as("ci_lo_micro"))
+    val hi = ranked.where(col("__rn") === pick(hiPerMille))
+      .select(col(groupCol), floor(col("__m") * 1e6).cast("long").as("ci_hi_micro"))
+    val base = df.groupBy(groupCol).agg(count(lit(1)).as("n_rows"),
+      floor(sum(col(valueCol).cast("long")).cast("double") /
+        count(lit(1)).cast("double") * 1e6).cast("long").as("mean_micro"))
+    base.join(lo, Seq(groupCol)).join(hi, Seq(groupCol))
+  }
 }

@@ -4,6 +4,42 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class ProfileOpsSpec extends SparkSpec {
+
+  test("bootstrapCI: exact replay of Poisson draws matches an independent re-derivation") {
+    import spark.implicits._
+    val rows = (1L to 30L).map(i => (i, "g", (i * 3 % 17)))
+    val df = rows.toDF("id", "g", "x")
+    val got = ProfileOps.bootstrapCI(df, "g", "x", "id", reps = 50)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("mean_micro"), r.getAs[Long]("ci_lo_micro"),
+        r.getAs[Long]("ci_hi_micro"))).toList
+    // independent re-derivation of every draw
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x")
+        .mkString.take(15), 16)
+    val thresholds = Seq(424136118829305344L, 848272237658610688L,
+      1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+      1152236456152946176L, 1152825534095764608L)
+    def weight(id: Long, r: Int): Long = {
+      val u = hash60(s"boot:$id:$r")
+      thresholds.indexWhere(u < _) match { case -1 => 7L; case k => k.toLong }
+    }
+    val means = (0 until 50).flatMap { r =>
+      val (sx, sw) = rows.foldLeft((0L, 0L)) { case ((ax, aw), (id, _, x)) =>
+        val w = weight(id, r); (ax + w * x, aw + w)
+      }
+      if (sw > 0) Some((sx.toDouble / sw.toDouble, r)) else None
+    }.sorted
+    val b = means.size
+    def pick(pm: Int) = means(math.max(1, math.ceil(b * pm / 1000.0).toInt) - 1)._1
+    val mean = rows.map(_._3.toLong).sum.toDouble / rows.size
+    assert(got == List(("g", 30L, math.floor(mean * 1e6).toLong,
+      math.floor(pick(25) * 1e6).toLong, math.floor(pick(975) * 1e6).toLong)))
+    // interval is ordered and brackets the point estimate on this fixture
+    val (_, _, m, lo, hi) = got.head
+    assert(lo <= m && m <= hi)
+  }
   import spark.implicits._
 
   private def events = (1 to 10000).map(i =>
