@@ -2941,6 +2941,35 @@ object SparkEntry {
         reps = 200)
         .orderBy("source")
     }),
+    // ── extension: MULTIMODAL DEDUP FUSION — "a document is a
+    //    duplicate if ANY modality matches": the q222 image pairs and
+    //    q225 audio pairs union into one near-dup graph, connected
+    //    components assign each doc its canonical cluster (min id) —
+    //    recovering the full planted groups even where a single
+    //    modality's pair dropped to Hamming > 3. The oracle recomputes
+    //    both modality pair sets from the closed generator forms and
+    //    closes them with a recursive CTE.
+    "q227_multimodal_dedup_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val genSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      def gen(f: Long => Array[Byte]) = T(s, dir, "documents")
+        .select(col("doc_id"))
+        .mapPartitions { it =>
+          it.map(r => org.apache.spark.sql.Row(r.getLong(0), f(r.getLong(0))))
+        }(org.apache.spark.sql.Encoders.row(genSchema)).toDF()
+      val ip = DedupOps.hammingNearDupPairs(
+        graft.functions.MultimodalOps.averageHash(
+          gen(graft.functions.MultimodalOps.MediaGen.pngGray8x8), "doc_id", "payload"),
+        "doc_id", "ahash", maxHamming = 3)
+      val ap = DedupOps.hammingNearDupPairs(
+        graft.functions.MultimodalOps.audioEnergyHash(
+          gen(graft.functions.MultimodalOps.MediaGen.wavSeeded), "doc_id", "payload"),
+        "doc_id", "ehash", maxHamming = 3)
+      val edges = ip.select("id_a", "id_b").unionByName(ap.select("id_a", "id_b"))
+      graft.functions.GraphOps.connectedComponents(edges, "id_a", "id_b")
+        .orderBy("id")
+    }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
     //    the full backoff ladder (seen bigram → continuation backoff →
@@ -5225,6 +5254,53 @@ object SparkEntry {
                  doc_id, score_micro FROM sc)
          SELECT query_id, "rank", doc_id, score_micro FROM r
          WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
+    // Both modality pair sets recomputed from the closed generator
+    // forms, closed into components by a recursive reachability CTE
+    // (min over the reachable set = the engine's min-label convention).
+    "q227_multimodal_dedup_fusion" ->
+      """WITH RECURSIVE px0 AS (
+           SELECT d.doc_id, rx.x, ry.y,
+             CAST('0x' || substr(md5(CAST(d.doc_id // 10 AS VARCHAR) || ':' || CAST(ry.y AS VARCHAR)),
+               2*rx.x + 1, 2) AS INT) AS base
+           FROM documents d, range(8) rx(x), range(8) ry(y)),
+         px AS (
+           SELECT doc_id, x, y,
+             CASE WHEN y*8 + x = doc_id % 64 THEN (base + 128) % 256 ELSE base END AS g
+           FROM px0),
+         im AS (SELECT doc_id, sum(g) // 64 AS mean FROM px GROUP BY 1),
+         ib AS (SELECT px.doc_id, y*8 + x AS pos, (g > mean) AS bit
+                FROM px JOIN im USING (doc_id)),
+         ipairs AS (
+           SELECT a.doc_id AS id_a, bb.doc_id AS id_b
+           FROM ib a JOIN ib bb ON a.pos = bb.pos AND a.doc_id < bb.doc_id
+           GROUP BY 1, 2
+           HAVING sum(CASE WHEN a.bit <> bb.bit THEN 1 ELSE 0 END) <= 3),
+         sm AS (
+           SELECT d.doc_id, j.j,
+             CAST('0x' || substr(md5(CAST(d.doc_id // 10 AS VARCHAR) || ':' || CAST(j.j // 16 AS VARCHAR)),
+               2*(j.j % 16) + 1, 2) AS INT) AS base
+           FROM documents d, range(512) j(j)),
+         v AS (SELECT doc_id, j,
+                 CASE WHEN j // 8 = doc_id % 64 THEN (base + 128) % 256 ELSE base END AS v
+               FROM sm),
+         e AS (SELECT doc_id, j // 8 AS s, CAST(sum(abs(v - 128)) AS BIGINT) AS energy
+               FROM v GROUP BY 1, 2),
+         am AS (SELECT doc_id, CAST(sum(energy) // 64 AS BIGINT) AS mean FROM e GROUP BY 1),
+         ab AS (SELECT e.doc_id, s, (energy > mean) AS bit FROM e JOIN am USING (doc_id)),
+         apairs AS (
+           SELECT a.doc_id AS id_a, bb.doc_id AS id_b
+           FROM ab a JOIN ab bb ON a.s = bb.s AND a.doc_id < bb.doc_id
+           GROUP BY 1, 2
+           HAVING sum(CASE WHEN a.bit <> bb.bit THEN 1 ELSE 0 END) <= 3),
+         edges0 AS (SELECT id_a AS a, id_b AS b FROM ipairs
+                    UNION SELECT id_a, id_b FROM apairs),
+         edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+         reach AS (
+           SELECT a AS src, b AS dst FROM edges
+           UNION
+           SELECT r.src, e2.b FROM reach r JOIN edges e2 ON e2.a = r.dst)
+         SELECT src AS id, least(src, min(dst)) AS component
+         FROM reach GROUP BY src ORDER BY id""",
     // Every Poisson draw replayed: same md5, same integer CDF
     // thresholds, same rank selection.
     "q226_bootstrap_ci" ->
