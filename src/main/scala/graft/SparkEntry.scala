@@ -2970,6 +2970,18 @@ object SparkEntry {
       graft.functions.GraphOps.connectedComponents(edges, "id_a", "id_b")
         .orderBy("id")
     }),
+    // ── extension: ROBUST Z-SCORES (median/MAD, Iglewicz–Hoaglin) —
+    //    breakdown-0.5 outlier scores over per-source token counts:
+    //    both estimators are TYPE-1 rank selections (integer order
+    //    statistics), the score floors one closed-form double. The
+    //    quality-outlier gate mean/stddev scores can't provide (a giant
+    //    doc inflates sigma enough to hide itself).
+    "q228_robust_z" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("tok"))
+      graft.functions.ProfileOps.robustZ(d, "source", "tok", "doc_id")
+        .orderBy("doc_id")
+    }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
     //    the full backoff ladder (seen bigram → continuation backoff →
@@ -5254,6 +5266,33 @@ object SparkEntry {
                  doc_id, score_micro FROM sc)
          SELECT query_id, "rank", doc_id, score_micro FROM r
          WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
+    // Type-1 rank selections replayed with the engine's exact k
+    // formula (q_bp·n + 9999) // 10000.
+    "q228_robust_z" ->
+      """WITH tc AS (
+           SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+             END AS tok
+           FROM documents),
+         r AS (SELECT source, doc_id, tok,
+                 CAST(row_number() OVER (PARTITION BY source ORDER BY tok) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+               FROM tc),
+         med AS (SELECT source, CAST(tok AS BIGINT) AS median FROM r
+                 WHERE rn = (5000 * n + 9999) // 10000),
+         dev AS (SELECT tc.source, doc_id, CAST(tok AS BIGINT) AS value, median,
+                   abs(CAST(tok AS BIGINT) - median) AS ad
+                 FROM tc JOIN med USING (source)),
+         r2 AS (SELECT source, ad,
+                  CAST(row_number() OVER (PARTITION BY source ORDER BY ad) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+                FROM dev),
+         mad AS (SELECT source, ad AS mad FROM r2
+                 WHERE rn = (5000 * n + 9999) // 10000)
+         SELECT dev.source, doc_id, value, median, mad.mad,
+           CAST(floor((value - median) * 1000.0 / greatest(mad.mad, 1)) AS BIGINT) AS z_milli
+         FROM dev JOIN mad USING (source) ORDER BY doc_id""",
     // Both modality pair sets recomputed from the closed generator
     // forms, closed into components by a recursive reachability CTE
     // (min over the reachable set = the engine's min-label convention).

@@ -382,6 +382,44 @@ object ProfileOps {
       .drop("__one", "__n")
   }
 
+  /** ROBUST Z-SCORES per group (median/MAD, the Iglewicz–Hoaglin
+    * outlier family): z = (v − median) / MAD in milli-MAD units —
+    * mean/stddev z-scores move with the outliers they are supposed to
+    * flag (one 10⁹-token document inflates σ enough to hide itself);
+    * the median and the median absolute deviation are breakdown-0.5
+    * estimators, so the score survives heavy contamination. The robust
+    * cousin of [[skewProfile]]'s moments, and the standard
+    * quality-outlier gate before training-data admission.
+    *
+    * Engine-exact: both the median and the MAD are TYPE-1 rank
+    * selections via [[exactQuantilesGrouped]] (integer order
+    * statistics, never interpolated floats); the score floors ONE
+    * closed-form double (a·1000/b on exact int64s < 2⁵³) — identical on
+    * any engine. MAD = 0 (over half the group identical) clamps to 1 so
+    * constant groups score 0/±large finitely, never divide-by-zero.
+    *
+    * Scale shape: two grouped exact-quantile passes (each one bucketed
+    * count + one pruned in-bucket rank — the [[exactQuantilesGrouped]]
+    * plan) + two broadcast joins of groups-sized frames; no
+    * corpus-sized window.
+    *
+    * @return (groupCol, idCol, value, median, mad, z_milli) */
+  def robustZ(df: DataFrame, groupCol: String, valueCol: String,
+              idCol: String): DataFrame = {
+    val med = exactQuantilesGrouped(df, groupCol, valueCol, Seq(0.5))
+      .select(col(groupCol), col("value").as("median"))
+    val dev = df
+      .select(col(groupCol), col(idCol), col(valueCol).cast("long").as("value"))
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("__ad", abs(col("value") - col("median")))
+    val mad = exactQuantilesGrouped(dev, groupCol, "__ad", Seq(0.5))
+      .select(col(groupCol), col("value").as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .select(col(groupCol), col(idCol), col("value"), col("median"), col("mad"),
+        floor((col("value") - col("median")).cast("double") * lit(1000.0) /
+          greatest(col("mad"), lit(1L)).cast("double")).cast("long").as("z_milli"))
+  }
+
   /** POISSON BOOTSTRAP confidence intervals for per-group means (the
     * scalable bootstrap: Chamandy et al., "Estimating Uncertainty for
     * Massive Data Streams", Google TR 2012) — classic resampling draws n

@@ -5,6 +5,24 @@ import org.apache.spark.sql.functions._
 
 class ProfileOpsSpec extends SparkSpec {
 
+  test("robustZ: hand-computed median/MAD, outlier immune to its own magnitude, MAD=0 clamp") {
+    import spark.implicits._
+    // g1: values 1..7 plus outlier 1000 -> median = 4 (type-1, k = ceil(8/2) = 4),
+    // deviations sorted 0,1,1,2,2,3,3,996 -> MAD = 2 (4th)
+    val g1 = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 1000L).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g1", v) }
+    // g2: all identical -> MAD 0 clamps to 1, every z = 0
+    val g2 = Seq(10L, 10L, 10L).zipWithIndex
+      .map { case (v, i) => ((100 + i).toLong, "g2", v) }
+    val df = (g1 ++ g2).toDF("id", "g", "v")
+    val got = ProfileOps.robustZ(df, "g", "v", "id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("median"), r.getAs[Long]("mad"), r.getAs[Long]("z_milli")))).toMap
+    assert(got(0L) == ((4L, 2L, -1500L)))  // (1-4)*1000/2
+    assert(got(7L) == ((4L, 2L, 498000L))) // the outlier scores, not hides
+    assert(got(100L) == ((10L, 0L, 0L)))   // MAD=0 -> clamp, z=0
+  }
+
   test("bootstrapCI: exact replay of Poisson draws matches an independent re-derivation") {
     import spark.implicits._
     val rows = (1L to 30L).map(i => (i, "g", (i * 3 % 17)))
