@@ -2982,6 +2982,24 @@ object SparkEntry {
       graft.functions.ProfileOps.robustZ(d, "source", "tok", "doc_id")
         .orderBy("doc_id")
     }),
+    // ── extension: PERSISTED CO-OCCURRENCE STORE — q223's pair counts
+    //    absorbed over 3 batches into a (w1, w2)-bucketed table (counts
+    //    are SUMS: any batch split recomposes the one-shot table
+    //    exactly), read back through the shared PPMI tail: the oracle
+    //    IS q223's SQL — the count-store leg of the store-lifecycle
+    //    family.
+    "q229_cooccurrence_store" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val docs = T(s, dir, "documents")
+      val tbl = "graft_q229_cooc"
+      TableStore.dropTable(s, tbl)
+      Seq(0, 1, 2).foreach { b =>
+        TextFunctions.cooccurrenceAbsorb(
+          docs.where(pmod(col("doc_id"), lit(3)) === b), "text", tbl, window = 2)
+      }
+      TextFunctions.ppmiFromStore(s, tbl, minCount = 5)
+        .orderBy("w1", "w2")
+    }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
     //    the full backoff ladder (seen bigram → continuation backoff →
@@ -4366,7 +4384,9 @@ object SparkEntry {
       // stream-built index search ≡ one-shot bm25TopK, same as q213
       ("q217_bm25_stream_ingest" -> oracleSqlBase("q107_bm25_retrieval")) +
       // compacted-index search ≡ one-shot bm25TopK, same as q213
-      ("q221_bm25_index_compact" -> oracleSqlBase("q107_bm25_retrieval"))
+      ("q221_bm25_index_compact" -> oracleSqlBase("q107_bm25_retrieval")) +
+      // summed store counts ≡ one-shot pair counts → same PPMI table
+      ("q229_cooccurrence_store" -> oracleSqlBase("q223_cooccurrence_ppmi"))
 
   /** DuckDB cosine between two embedding-list expressions — the q79
     * formula, factored for the multi-batch q168 oracle. */

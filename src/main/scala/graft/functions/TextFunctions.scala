@@ -654,9 +654,19 @@ object TextFunctions {
     *         co-occurrence contributes to both directions' marginals) */
   def cooccurrencePpmi(df: org.apache.spark.sql.DataFrame, textCol: String,
                        window: Int = 2, minCount: Long = 5)
+      : org.apache.spark.sql.DataFrame =
+    ppmiFromCounts(orderedPairCounts(df, textCol, window), minCount)
+
+  /** The ORDERED (center, context) pair-count table of a document set —
+    * the unit the persisted co-occurrence store ingests: counts are
+    * plain sums, so any batch partition of the corpus recomposes the
+    * one-shot table EXACTLY by per-(w1, w2) addition (the q229 parity
+    * contract). Map-side offset-zip pair generation, one (w1, w2)
+    * aggregate. */
+  private def orderedPairCounts(df: org.apache.spark.sql.DataFrame,
+                                textCol: String, window: Int)
       : org.apache.spark.sql.DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val t = tokens(lower(col(textCol)))
     val zipped = flatten(transform(sequence(lit(1), lit(window)), d =>
       zip_with(
@@ -666,8 +676,18 @@ object TextFunctions {
     val up = df.where(length(trim(col(textCol))) > 0)
       .select(explode(zipped).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val ordered = up.unionAll(up.select(col("w2").as("w1"), col("w1").as("w2")))
-    val cab = ordered.groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
+    up.unionAll(up.select(col("w2").as("w1"), col("w1").as("w2")))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** The PPMI scoring tail over an ordered pair-count table: marginals
+    * and T re-derive from the counts (pair-vocabulary-sized aggregates),
+    * so it serves both the one-shot [[cooccurrencePpmi]] and the
+    * store-merged [[ppmiFromStore]] read identically. */
+  private def ppmiFromCounts(counts: org.apache.spark.sql.DataFrame,
+                             minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val cab = counts
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ca = cab.groupBy("w1").agg(sum("n_pairs").as("__ca"))
     val cb = cab.groupBy("w2").agg(sum("n_pairs").as("__cb"))
@@ -684,6 +704,37 @@ object TextFunctions {
     cab.unpersist(blocking = false)
     res
   }
+
+  /** PERSISTED CO-OCCURRENCE STORE — absorb one batch: the batch's
+    * ordered pair counts append to a (w1, w2)-bucketed catalog table —
+    * O(batch) per increment, never a corpus rescan. Counts are SUMS, the
+    * simplest mergeable state in the store family (postings q213, cells
+    * q168, sketches q187/q193): any ingestion order recomposes the
+    * one-shot table exactly, which is what makes [[ppmiFromStore]]
+    * hash-identical to [[cooccurrencePpmi]] over the union (the q229
+    * gate). */
+  def cooccurrenceAbsorb(batch: org.apache.spark.sql.DataFrame,
+                         textCol: String, table: String, window: Int = 2,
+                         buckets: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val mode = if (spark.catalog.tableExists(table))
+      org.apache.spark.sql.SaveMode.Append
+    else org.apache.spark.sql.SaveMode.Overwrite
+    graft.sources.TableStore.saveBucketed(
+      orderedPairCounts(batch, textCol, window), table, Seq("w1", "w2"),
+      buckets, mode = mode)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** PPMI read over the persisted co-occurrence store: per-(w1, w2)
+    * count increments SUM to the corpus table (a bucketed-scan
+    * aggregate — no store-side Exchange on the (w1, w2) key), then the
+    * shared scoring tail runs unchanged — absorb-order invisible. */
+  def ppmiFromStore(spark: org.apache.spark.sql.SparkSession, table: String,
+                    minCount: Long = 5): org.apache.spark.sql.DataFrame =
+    ppmiFromCounts(
+      spark.table(table).groupBy("w1", "w2").agg(sum("n_pairs").as("n_pairs")),
+      minCount)
 
   /** n-gram/stopword-vote language ID heuristic: CJK script ratio decides
     * "zh"; otherwise the language whose stopword set matches the most

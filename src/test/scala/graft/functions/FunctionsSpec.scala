@@ -166,6 +166,21 @@ class TextFunctionsSpec extends SparkSpec {
 class CooccurrencePpmiSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cooccurrenceAbsorb/ppmiFromStore: store-merged read == one-shot cooccurrencePpmi, any batch split") {
+    val tbl = "graft_test_cooc_store"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val docs = Seq((1L, "a b a b c"), (2L, "b c b c d d"), (3L, "a c a c a"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("ppmi_micro"))).toSet
+    val oneShot = rows(TextFunctions.cooccurrencePpmi(docs, "text", window = 2, minCount = 2))
+    TextFunctions.cooccurrenceAbsorb(docs.where($"doc_id" <= 1), "text", tbl, window = 2)
+    TextFunctions.cooccurrenceAbsorb(docs.where($"doc_id" > 1), "text", tbl, window = 2)
+    assert(rows(TextFunctions.ppmiFromStore(spark, tbl, minCount = 2)) == oneShot)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
+  }
+
   test("cooccurrencePpmi: counts and ppmi match an independent brute-force over the window") {
     val texts = Seq("a b a b c", "b c b c d d", "a c a c a")
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
