@@ -3000,6 +3000,33 @@ object SparkEntry {
       TextFunctions.ppmiFromStore(s, tbl, minCount = 5)
         .orderBy("w1", "w2")
     }),
+    // ── extension: DEDUP QUALITY AUDIT — the q222 perceptual pairs
+    //    measured against the PLANTED truth (same id/10 group) across
+    //    Hamming thresholds 0..3: the precision/recall operating-point
+    //    curve a production dedup tunes on, in exact integer milli.
+    "q230_dedup_quality_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val genSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val docs = T(s, dir, "documents").select(col("doc_id"))
+      val imgs = docs.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(id,
+            graft.functions.MultimodalOps.MediaGen.pngGray8x8(id))
+        }
+      }(org.apache.spark.sql.Encoders.row(genSchema)).toDF()
+      val pairs = DedupOps.hammingNearDupPairs(
+        graft.functions.MultimodalOps.averageHash(imgs, "doc_id", "payload"),
+        "doc_id", "ahash", maxHamming = 3)
+      val truth = docs.select(col("doc_id").as("id_a"))
+        .join(docs.select(col("doc_id").as("id_b")),
+          col("id_a") < col("id_b") &&
+            expr("id_a div 10") === expr("id_b div 10"))
+      DedupOps.pairQualityAudit(pairs, truth, "id_a", "id_b", "hamming",
+        thresholds = Seq(0, 1, 2, 3))
+        .orderBy("threshold")
+    }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
     //    the full backoff ladder (seen bigram → continuation backoff →
@@ -5286,6 +5313,50 @@ object SparkEntry {
                  doc_id, score_micro FROM sc)
          SELECT query_id, "rank", doc_id, score_micro FROM r
          WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
+    // q222's brute pair set with hamming kept, swept over thresholds
+    // against the planted same-group truth; integer milli metrics.
+    "q230_dedup_quality_audit" ->
+      """WITH px0 AS (
+           SELECT d.doc_id, rx.x, ry.y,
+             CAST('0x' || substr(md5(CAST(d.doc_id // 10 AS VARCHAR) || ':' || CAST(ry.y AS VARCHAR)),
+               2*rx.x + 1, 2) AS INT) AS base
+           FROM documents d, range(8) rx(x), range(8) ry(y)),
+         px AS (
+           SELECT doc_id, x, y,
+             CASE WHEN y*8 + x = doc_id % 64 THEN (base + 128) % 256 ELSE base END AS g
+           FROM px0),
+         m AS (SELECT doc_id, sum(g) // 64 AS mean FROM px GROUP BY 1),
+         b AS (SELECT px.doc_id, y*8 + x AS pos, (g > mean) AS bit
+               FROM px JOIN m USING (doc_id)),
+         pred AS (
+           SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+             CAST(sum(CASE WHEN a.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS h
+           FROM b a JOIN b bb ON a.pos = bb.pos AND a.doc_id < bb.doc_id
+           GROUP BY 1, 2
+           HAVING sum(CASE WHEN a.bit <> bb.bit THEN 1 ELSE 0 END) <= 3),
+         truth AS (SELECT d1.doc_id AS id_a, d2.doc_id AS id_b
+                   FROM documents d1 JOIN documents d2
+                     ON d1.doc_id < d2.doc_id AND d1.doc_id // 10 = d2.doc_id // 10),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         th(threshold) AS (VALUES (0), (1), (2), (3)),
+         met AS (
+           SELECT th.threshold,
+             CAST(count(p.h) AS BIGINT) AS n_pred,
+             CAST(coalesce(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_tp
+           FROM th
+           LEFT JOIN pred p ON p.h <= th.threshold
+           LEFT JOIN truth t ON t.id_a = p.id_a AND t.id_b = p.id_b
+           GROUP BY 1)
+         SELECT threshold, n_pred, n_tp, n_truth, precision_milli, recall_milli,
+           CASE WHEN precision_milli + recall_milli > 0
+                THEN 2 * precision_milli * recall_milli // (precision_milli + recall_milli)
+                ELSE 0 END AS f1_milli
+         FROM (
+           SELECT threshold, n_pred, n_tp, n_truth,
+             CASE WHEN n_pred > 0 THEN n_tp * 1000 // n_pred ELSE 0 END AS precision_milli,
+             CASE WHEN n_truth > 0 THEN n_tp * 1000 // n_truth ELSE 0 END AS recall_milli
+           FROM met, nt)
+         ORDER BY threshold""",
     // Type-1 rank selections replayed with the engine's exact k
     // formula (q_bp·n + 9999) // 10000.
     "q228_robust_z" ->

@@ -502,6 +502,59 @@ object DedupOps {
     res
   }
 
+  /** DEDUP QUALITY AUDIT — precision/recall/F1 of a Hamming-annotated
+    * candidate pair set against a LABELED truth pair set, swept over
+    * distance thresholds: the measurement that turns "we deduped" into
+    * "at threshold t we keep X‰ precision at Y‰ recall", i.e. the
+    * operating-point curve every production dedup tunes on (labeled
+    * audit samples, planted duplicates, or a golden subset).
+    *
+    * Integer milli metrics throughout (n·1000 div d with zero-guards —
+    * ANSI-safe), so the curve is engine-exact. Truth pairs canonicalize
+    * to (min, max) and dedup; thresholds fan out over the ALREADY
+    * computed pair set, so the sweep costs one broadcast cross-join of
+    * a |thresholds|-row frame — the expensive pair generation is paid
+    * once upstream.
+    *
+    * @param pairs (idACol, idBCol, hammingCol) — e.g.
+    *              [[hammingNearDupPairs]] output at the loosest cut
+    * @param truth (idACol, idBCol) labeled duplicate pairs
+    * @return (threshold, n_pred, n_tp, n_truth, precision_milli,
+    *         recall_milli, f1_milli), one row per threshold */
+  def pairQualityAudit(pairs: DataFrame, truth: DataFrame,
+                       idACol: String, idBCol: String, hammingCol: String,
+                       thresholds: Seq[Int]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val t = truth.select(
+        least(col(idACol), col(idBCol)).as("id_a"),
+        greatest(col(idACol), col(idBCol)).as("id_b"))
+      .where(col("id_a") =!= col("id_b")).distinct()
+    val p = pairs.select(
+      least(col(idACol), col(idBCol)).as("id_a"),
+      greatest(col(idACol), col(idBCol)).as("id_b"),
+      col(hammingCol).as("__h"))
+    val flagged = p.join(t.withColumn("__tp", lit(1L)), Seq("id_a", "id_b"), "left")
+      .localCheckpoint(true) // pair generation upstream is paid once
+    val th = thresholds.toDF("threshold")
+    val nTruth = t.agg(count(lit(1)).as("n_truth"))
+    broadcast(th)
+      .join(flagged, col("__h") <= col("threshold"), "left")
+      .groupBy("threshold")
+      .agg(count(col("__h")).as("n_pred"),
+        coalesce(sum("__tp"), lit(0L)).as("n_tp"))
+      .crossJoin(broadcast(nTruth))
+      .withColumn("precision_milli",
+        when(col("n_pred") > 0, expr("n_tp * 1000 div n_pred")).otherwise(lit(0L)))
+      .withColumn("recall_milli",
+        when(col("n_truth") > 0, expr("n_tp * 1000 div n_truth")).otherwise(lit(0L)))
+      .withColumn("f1_milli",
+        when(col("precision_milli") + col("recall_milli") > 0,
+          expr("2 * precision_milli * recall_milli div (precision_milli + recall_milli)"))
+          .otherwise(lit(0L)))
+  }
+
   /** Passage-level (sub-document) dedup: split each document into
     * fixed-size token chunks, keep only the corpus-wide FIRST occurrence of
     * each distinct chunk (ordered by (doc_id, chunk_idx)), and reassemble

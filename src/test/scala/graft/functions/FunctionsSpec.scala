@@ -1358,6 +1358,25 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got == Map(7L -> expected)) // id 8: undecodable, dropped
   }
 
+  test("pairQualityAudit: hand-computed P/R/F1 sweep, zero-guards, truth canonicalization") {
+    // pred: (1,2)@h0 TP, (1,3)@h2 TP, (4,5)@h1 FP, (6,7)@h3 FP
+    val pairs = Seq((1L, 2L, 0L), (1L, 3L, 2L), (4L, 5L, 1L), (6L, 7L, 3L))
+      .toDF("id_a", "id_b", "hamming")
+    // truth given unordered + duplicated: canonicalizes to {(1,2),(1,3),(8,9)}
+    val truth = Seq((2L, 1L), (1L, 2L), (3L, 1L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val got = DedupOps.pairQualityAudit(pairs, truth, "id_a", "id_b", "hamming",
+        thresholds = Seq(0, 1, 2, 3))
+      .collect().map(r => (r.getAs[Int]("threshold"), r.getAs[Long]("n_pred"),
+        r.getAs[Long]("n_tp"), r.getAs[Long]("precision_milli"),
+        r.getAs[Long]("recall_milli"), r.getAs[Long]("f1_milli"))).toSet
+    assert(got == Set(
+      (0, 1L, 1L, 1000L, 333L, 499L), // f1 = 2*1000*333/1333
+      (1, 2L, 1L, 500L, 333L, 399L),
+      (2, 3L, 2L, 666L, 666L, 666L),
+      (3, 4L, 2L, 500L, 666L, 571L)))
+  }
+
   test("hammingNearDupPairs == brute-force <=3 pair set on random 64-bit signatures") {
     val rng = new scala.util.Random(41)
     // clusters of sigs within hamming 3 + random far apart ones
