@@ -3027,6 +3027,40 @@ object SparkEntry {
         thresholds = Seq(0, 1, 2, 3))
         .orderBy("threshold")
     }),
+    // ── extension: STREAMING CO-OCCURRENCE INGESTION — the q229 count
+    //    store maintained by a two-trigger Structured Streaming file
+    //    replay; counts are sums, so the stream-built PPMI read is
+    //    hash-identical to the one-shot q223 (the oracle IS q223's
+    //    SQL) — no trigger boundary can move a count.
+    "q231_cooccurrence_stream" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val tbl = "graft_q231_cooc"
+      TableStore.dropTable(s, tbl)
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val base = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_q231_$uid")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      try {
+        val inDir = new java.io.File(base, "in").getAbsolutePath
+        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .repartition(8).write.mode("append").parquet(inDir)
+        docs.where(pmod(col("doc_id"), lit(2)) === 1)
+          .repartition(8).write.mode("append").parquet(inDir)
+        val in = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "8").parquet(inDir)
+        val q = graft.streaming.StreamingOps.cooccurrenceAbsorbStream(
+          in, "text", tbl, window = 2)()
+        try q.processAllAvailable() finally q.stop()
+        s.catalog.refreshTable(tbl)
+        TextFunctions.ppmiFromStore(s, tbl, minCount = 5)
+          .orderBy("w1", "w2")
+          .localCheckpoint(true)
+      } finally rm(base)
+    }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
     //    the full backoff ladder (seen bigram → continuation backoff →
@@ -4413,7 +4447,9 @@ object SparkEntry {
       // compacted-index search ≡ one-shot bm25TopK, same as q213
       ("q221_bm25_index_compact" -> oracleSqlBase("q107_bm25_retrieval")) +
       // summed store counts ≡ one-shot pair counts → same PPMI table
-      ("q229_cooccurrence_store" -> oracleSqlBase("q223_cooccurrence_ppmi"))
+      ("q229_cooccurrence_store" -> oracleSqlBase("q223_cooccurrence_ppmi")) +
+      // stream-built count store ≡ one-shot, same mergeability
+      ("q231_cooccurrence_stream" -> oracleSqlBase("q223_cooccurrence_ppmi"))
 
   /** DuckDB cosine between two embedding-list expressions — the q79
     * formula, factored for the multi-batch q168 oracle. */

@@ -268,6 +268,31 @@ object StreamingOps {
     docs.writeStream.outputMode("append").foreachBatch(body).start()
   }
 
+  /** Continuous CO-OCCURRENCE ingestion: a document stream absorbed
+    * into the persisted (w1, w2) pair-count store — each micro-batch
+    * lands via [[graft.functions.TextFunctions.cooccurrenceAbsorb]]
+    * (one batch-local pair-count aggregate + bucketed Append). Counts
+    * are pure sums, so the stream-built store's
+    * [[graft.functions.TextFunctions.ppmiFromStore]] read is
+    * hash-identical to a one-shot [[graft.functions.TextFunctions
+    * .cooccurrencePpmi]] over the union regardless of trigger
+    * boundaries (the q231 parity gate) — the same mergeability
+    * argument as [[bm25AbsorbStream]]'s stats rows, for the simplest
+    * possible state.
+    *
+    * @param onAbsorbed called per micro-batch with its batchId */
+  def cooccurrenceAbsorbStream(docs: DataFrame, textCol: String,
+                               table: String, window: Int = 2,
+                               buckets: Int = 8)
+                              (onAbsorbed: Long => Unit = _ => ()): StreamingQuery = {
+    val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      graft.functions.TextFunctions.cooccurrenceAbsorb(batch.toDF(), textCol,
+        table, window, buckets)
+      onAbsorbed(batchId)
+    }
+    docs.writeStream.outputMode("append").foreachBatch(body).start()
+  }
+
   /** ONE batch of KMV sketch-store maintenance — the mergeability of
     * [[graft.functions.SketchOps.kmvSketch]] made operational: sketch
     * the batch, then per group keep the k smallest of (store ∪ batch)

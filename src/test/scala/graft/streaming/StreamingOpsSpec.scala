@@ -405,6 +405,33 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("cooccurrenceAbsorbStream: stream-built count store == one-shot cooccurrencePpmi") {
+    import graft.functions.TextFunctions
+    import graft.sources.TableStore
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "graft_stream_cooc"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val d1 = Seq((1L, "a b a b c"), (2L, "b c b c d d"))
+    val d2 = Seq((3L, "a c a c a"))
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.cooccurrenceAbsorbStream(
+      ms.toDF().toDF("doc_id", "text"), "text", tbl, window = 2)()
+    try {
+      ms.addData(d1: _*); q.processAllAvailable()
+      ms.addData(d2: _*); q.processAllAvailable()
+      spark.catalog.refreshTable(tbl)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+          r.getAs[Long]("n_pairs"), r.getAs[Long]("ppmi_micro"))).toSet
+      val oneShot = rows(TextFunctions.cooccurrencePpmi(
+        (d1 ++ d2).toDF("doc_id", "text"), "text", window = 2, minCount = 2))
+      assert(rows(TextFunctions.ppmiFromStore(spark, tbl, minCount = 2)) == oneShot)
+    } finally {
+      q.stop()
+      TableStore.dropTable(spark, tbl)
+    }
+  }
+
   test("absorbComponentsStream maintains the persisted label store across batches") {
     import graft.functions.GraphOps
     import graft.sources.TableStore
