@@ -676,8 +676,14 @@ object TextFunctions {
     val up = df.where(length(trim(col(textCol))) > 0)
       .select(explode(zipped).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    up.unionAll(up.select(col("w2").as("w1"), col("w1").as("w2")))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
+    // aggregate the corpus-sized explode ONCE, then mirror the
+    // pair-vocabulary-sized count table — a union of the raw pair
+    // stream with its swap would run the tokenize+zip+explode twice
+    // (measured 2x the q223 scan cost at sf10)
+    val gen = up.groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
+    gen.unionByName(gen.select(col("w2").as("w1"), col("w1").as("w2"),
+        col("n_pairs")))
+      .groupBy("w1", "w2").agg(sum("n_pairs").as("n_pairs"))
   }
 
   /** The PPMI scoring tail over an ordered pair-count table: marginals
