@@ -3061,6 +3061,26 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally rm(base)
     }),
+    // ── extension: CO-OCCURRENCE STORE COMPACTION — 3 absorb batches
+    //    leave 3 increments per pair; compaction folds them to one row
+    //    per (w1, w2) in a fresh bucketed table (exact integer sums),
+    //    and the compacted PPMI read stays hash-identical to the
+    //    one-shot q223 (same oracle) — completing build → absorb →
+    //    stream → COMPACT for the count store.
+    "q232_cooccurrence_compact" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val docs = T(s, dir, "documents")
+      val tbl = "graft_q232_cooc"
+      val dst = "graft_q232_cooc_compact"
+      TableStore.dropTable(s, tbl)
+      Seq(0, 1, 2).foreach { b =>
+        TextFunctions.cooccurrenceAbsorb(
+          docs.where(pmod(col("doc_id"), lit(3)) === b), "text", tbl, window = 2)
+      }
+      TextFunctions.compactCooccurrence(s, tbl, dst)
+      TextFunctions.ppmiFromStore(s, dst, minCount = 5)
+        .orderBy("w1", "w2")
+    }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
     //    the full backoff ladder (seen bigram → continuation backoff →
@@ -4449,7 +4469,9 @@ object SparkEntry {
       // summed store counts ≡ one-shot pair counts → same PPMI table
       ("q229_cooccurrence_store" -> oracleSqlBase("q223_cooccurrence_ppmi")) +
       // stream-built count store ≡ one-shot, same mergeability
-      ("q231_cooccurrence_stream" -> oracleSqlBase("q223_cooccurrence_ppmi"))
+      ("q231_cooccurrence_stream" -> oracleSqlBase("q223_cooccurrence_ppmi")) +
+      // compacted count store ≡ one-shot, exact sum fold
+      ("q232_cooccurrence_compact" -> oracleSqlBase("q223_cooccurrence_ppmi"))
 
   /** DuckDB cosine between two embedding-list expressions — the q79
     * formula, factored for the multi-batch q168 oracle. */

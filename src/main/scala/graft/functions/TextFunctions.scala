@@ -732,6 +732,22 @@ object TextFunctions {
     spark.catalog.refreshTable(table)
   }
 
+  /** COMPACTION leg of the persisted co-occurrence store: per-batch
+    * count increments fold to ONE row per (w1, w2) — exact integer
+    * sums — and rewrite as a tidy bucketed table (destination-table
+    * convention, q169/q221): the read-side merge aggregate disappears
+    * and the small-files accumulation resets, with
+    * [[ppmiFromStore]]-over-compacted hash-identical to the fragmented
+    * read (the q232 parity gate). */
+  def compactCooccurrence(spark: org.apache.spark.sql.SparkSession,
+                          table: String, dst: String, buckets: Int = 8): Unit = {
+    graft.sources.TableStore.dropTable(spark, dst)
+    graft.sources.TableStore.saveBucketed(
+      spark.table(table).groupBy("w1", "w2").agg(sum("n_pairs").as("n_pairs")),
+      dst, Seq("w1", "w2"), buckets)
+    spark.catalog.refreshTable(dst)
+  }
+
   /** PPMI read over the persisted co-occurrence store: per-(w1, w2)
     * count increments SUM to the corpus table (a bucketed-scan
     * aggregate — no store-side Exchange on the (w1, w2) key), then the

@@ -178,7 +178,15 @@ class CooccurrencePpmiSpec extends SparkSpec {
     TextFunctions.cooccurrenceAbsorb(docs.where($"doc_id" <= 1), "text", tbl, window = 2)
     TextFunctions.cooccurrenceAbsorb(docs.where($"doc_id" > 1), "text", tbl, window = 2)
     assert(rows(TextFunctions.ppmiFromStore(spark, tbl, minCount = 2)) == oneShot)
-    spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
+    // compaction folds increments to one row per pair, read unchanged
+    val dst = tbl + "_compact"
+    TextFunctions.compactCooccurrence(spark, tbl, dst)
+    val perPair = spark.table(dst).groupBy("w1", "w2").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(perPair == 1L)
+    assert(rows(TextFunctions.ppmiFromStore(spark, dst, minCount = 2)) == oneShot)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS $dst"): Unit
   }
 
   test("cooccurrencePpmi: counts and ppmi match an independent brute-force over the window") {
