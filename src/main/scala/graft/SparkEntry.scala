@@ -3081,6 +3081,26 @@ object SparkEntry {
       TextFunctions.ppmiFromStore(s, dst, minCount = 5)
         .orderBy("w1", "w2")
     }),
+    // ── extension: TF-IDF FROM THE INVERTED INDEX — q218's keyword
+    //    extraction served from the q213 postings store with ZERO
+    //    corpus rescans: the index's (term, doc, tf) rows and integer
+    //    stats recompose the exact one-shot tf/df/N under any batch
+    //    split, so the output is hash-identical to q218 (its oracle) —
+    //    one index, three consumers (retrieval, streaming ingestion,
+    //    feature extraction).
+    "q233_tfidf_from_index" -> ((s, dir) => {
+      import graft.functions.RetrievalOps
+      import graft.sources.TableStore
+      val docs = T(s, dir, "documents")
+      val tbl = "graft_q233_idx"
+      TableStore.dropTable(s, tbl); TableStore.dropTable(s, tbl + "_stats")
+      Seq(0, 1, 2).foreach { b =>
+        RetrievalOps.bm25IndexAbsorb(
+          docs.where(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text", tbl)
+      }
+      TextFunctions.tfidfTopTermsFromStore(s, tbl, k = 3)
+        .orderBy("doc_id", "rank")
+    }),
     // ── extension: KN PERPLEXITY FILTER READ (CCNet, Wenzek et al.
     //    2020 §3.3) — model trained on even docs, odd docs scored with
     //    the full backoff ladder (seen bigram → continuation backoff →
@@ -4471,7 +4491,9 @@ object SparkEntry {
       // stream-built count store ≡ one-shot, same mergeability
       ("q231_cooccurrence_stream" -> oracleSqlBase("q223_cooccurrence_ppmi")) +
       // compacted count store ≡ one-shot, exact sum fold
-      ("q232_cooccurrence_compact" -> oracleSqlBase("q223_cooccurrence_ppmi"))
+      ("q232_cooccurrence_compact" -> oracleSqlBase("q223_cooccurrence_ppmi")) +
+      // index-served tf-idf ≡ one-shot tf-idf over the same corpus
+      ("q233_tfidf_from_index" -> oracleSqlBase("q218_tfidf_keywords"))
 
   /** DuckDB cosine between two embedding-list expressions — the q79
     * formula, factored for the multi-batch q168 oracle. */

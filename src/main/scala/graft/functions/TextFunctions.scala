@@ -611,14 +611,23 @@ object TextFunctions {
     * @return (idCol, rank, term, score_micro), rank 1..k per doc */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
-    require(k >= 1, s"k must be positive, got $k")
     val toks = df.where(length(trim(col(textCol))) > 0)
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.where(length(trim(col(textCol))) > 0)
       .agg(count(lit(1)).as("n_docs"))
+    tfidfTail(tf, nDocs, idCol, k)
+  }
+
+  /** The shared TF-IDF scoring tail over a (idCol, term, tf) postings
+    * frame: df derives from the postings, the score is one closed-form
+    * double floored to micro, rank window per doc. */
+  private def tfidfTail(tf: org.apache.spark.sql.DataFrame,
+                        nDocs: org.apache.spark.sql.DataFrame,
+                        idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("score_micro").desc, col("term").asc)
     tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
@@ -628,6 +637,25 @@ object TextFunctions {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("score_micro"))
+  }
+
+  /** TF-IDF keyword extraction served FROM the persisted BM25 inverted
+    * index ([[graft.functions.RetrievalOps.bm25IndexAbsorb]]'s layout):
+    * the (term, doc_id, tf) postings and the integer stats rows already
+    * hold everything the score needs, so keyword extraction costs ZERO
+    * corpus rescans — the index pays the tokenize + (term, doc)
+    * aggregate once and serves retrieval (q213), streaming ingestion
+    * (q217), and feature extraction (this) from the same bytes. Exact
+    * parity: the store recomposes the one-shot tf/df/N under any batch
+    * split, so the output is hash-identical to [[tfidfTopTerms]] over
+    * the same corpus (the q233 gate — its oracle IS q218's SQL). */
+  def tfidfTopTermsFromStore(spark: org.apache.spark.sql.SparkSession,
+                             table: String, k: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val tf = spark.table(table).select(col("doc_id"), col("term"), col("tf"))
+    val nDocs = spark.table(table + "_stats")
+      .agg(sum("n_docs").as("n_docs"))
+    tfidfTail(tf, nDocs, "doc_id", k)
   }
 
   /** WINDOWED CO-OCCURRENCE + PPMI (Levy & Goldberg, NeurIPS 2014: the

@@ -236,6 +236,24 @@ class TfidfTopTermsSpec extends SparkSpec {
       (3L, 1L, "cherry", 2575364L), (3L, 2L, "date", 1693147L),
       (3L, 3L, "apple", 1287682L)))
   }
+
+  test("tfidfTopTermsFromStore: index-served tf-idf == one-shot, any batch split") {
+    val tbl = "graft_test_tfidf_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "apple cherry cherry date")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+        r.getAs[String]("term"), r.getAs[Long]("score_micro"))).toSet
+    val oneShot = rows(TextFunctions.tfidfTopTerms(docs, "doc_id", "text", k = 3))
+    RetrievalOps.bm25IndexAbsorb(docs.where($"doc_id" < 3), "doc_id", "text", tbl)
+    RetrievalOps.bm25IndexAbsorb(docs.where($"doc_id" >= 3), "doc_id", "text", tbl)
+    assert(rows(TextFunctions.tfidfTopTermsFromStore(spark, tbl, k = 3)) == oneShot)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats"): Unit
+  }
 }
 
 class ContainmentSpec extends SparkSpec {
