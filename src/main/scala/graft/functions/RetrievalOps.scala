@@ -104,18 +104,32 @@ object RetrievalOps {
     * per distinct term per doc, plus a 1-row (n_docs, sum_dl) stats
     * increment (integer sums — the corpus averages recompose EXACTLY
     * from any batch partition at read time). */
-  private def postingsOf(docs: DataFrame, idCol: String, textCol: String)
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
+                         carryCols: Seq[String] = Nil)
       : (DataFrame, DataFrame) = {
     val toks = docs.where(length(trim(col(textCol))) > 0)
-      .select(col(idCol).as("doc_id"),
-        TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .select(col(idCol).as("doc_id") +: carryCols.map(col)
+        :+ TextFunctions.tokens(lower(col(textCol))).as("toks"): _*)
     val post = toks
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("term"))
+      .select(col("doc_id") +: carryCols.map(col)
+        :+ size(col("toks")).cast("long").as("dl")
+        :+ explode(col("toks")).as("term"): _*)
       .groupBy("term", "doc_id")
-      .agg(first("dl").as("dl"), count(lit(1)).as("tf"))
-    val stats = toks.agg(count(lit(1)).as("n_docs"),
-      sum(size(col("toks")).cast("long")).as("sum_dl"))
+      .agg(first(col("dl")).as("dl"),
+        count(lit(1)).as("tf") +: carryCols.map(c => first(c).as(c)): _*)
+    // stats stay integer-sum mergeable, but are kept PER carried
+    // attribute value: a filtered search then recomposes the filtered
+    // subcorpus's exact (n_docs, avgdl) by summing matching stats rows —
+    // the piece that makes pre-filter semantics EXACT for BM25 (unlike
+    // vectors, BM25 scores depend on corpus-level stats, so filtering
+    // postings alone would still score against whole-corpus df/avgdl)
+    val stats = if (carryCols.isEmpty)
+      toks.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("sum_dl"))
+    else
+      toks.groupBy(carryCols.map(col): _*)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast("long")).as("sum_dl"))
     (post, stats)
   }
 
@@ -132,10 +146,18 @@ object RetrievalOps {
     * bucketed write clustered on term — searches for a q-term touch its
     * buckets without a store-side Exchange; corpus stats recompose from
     * integer stats rows (exact under any batch split). */
+  /** @param carryCols attribute columns copied onto every posting row
+    *                   AND onto the stats rows (grouped) — the
+    *                   attribute-payload layout that lets
+    *                   [[bm25SearchStoreFiltered]] pre-filter both the
+    *                   postings scan and the corpus stats (the
+    *                   [[SimilarityOps.ivfStore]] carryCols discipline
+    *                   applied to text retrieval) */
   def bm25IndexAbsorb(batch: DataFrame, idCol: String, textCol: String,
-                      table: String, buckets: Int = 8): Unit = {
+                      table: String, buckets: Int = 8,
+                      carryCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
-    val (post, stats) = postingsOf(batch, idCol, textCol)
+    val (post, stats) = postingsOf(batch, idCol, textCol, carryCols)
     val mode = if (spark.catalog.tableExists(table))
       org.apache.spark.sql.SaveMode.Append else org.apache.spark.sql.SaveMode.Overwrite
     graft.sources.TableStore.saveBucketed(post, table, Seq("term"), buckets,
@@ -170,6 +192,50 @@ object RetrievalOps {
     scoreAndRank(post, dfreq, stats, queryTerms, k, k1, b)
   }
 
+  /** FILTERED search over the persisted inverted index — the metadata-
+    * constrained retrieval query ("top-k among docs WHERE …") a
+    * production retrieval API adds first (date/source/license filters),
+    * with PRE-FILTER semantics end to end: the predicate (over attribute
+    * columns the index carries — build with [[bm25IndexAbsorb]]'s
+    * `carryCols`) cuts the postings scan BEFORE any scoring, AND the
+    * corpus stats (n_docs, avgdl, per-term df) recompose from the
+    * matching stats/posting rows only — so scores are EXACTLY
+    * [[bm25TopK]] over the pre-filtered corpus (the q236 parity gate),
+    * not whole-corpus scores with survivors post-filtered in. The
+    * distinction matters twice for BM25: post-filtering silently returns
+    * < k once the filter is selective (the q214 recall gap), and even
+    * the surviving docs would carry WRONG scores (idf and avgdl are
+    * corpus-level quantities — the filtered subcorpus has its own).
+    *
+    * Scale shape: identical to [[bm25SearchStore]] — the predicate is a
+    * map-side filter on the term-bucketed postings scan (simple
+    * comparisons reach parquet as PushedFilters next to the vocabulary
+    * prune — Bm25PlanSpec asserts both), and the stats fold stays
+    * attribute-group-sized. Carrying the attribute costs bytes per
+    * posting row and buys filter-before-score; the alternative id-join
+    * against a doc-metadata table would shuffle at corpus scale.
+    *
+    * @param predicate filter over carried attribute columns (must be
+    *                  resolvable against BOTH the postings table and the
+    *                  `_stats` table — i.e. reference only carryCols) */
+  def bm25SearchStoreFiltered(spark: org.apache.spark.sql.SparkSession,
+                              table: String, queries: Seq[(Int, Seq[String])],
+                              predicate: org.apache.spark.sql.Column, k: Int,
+                              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val vocab = queries.flatMap(_._2).distinct.sorted
+    val post = spark.table(table).where(predicate)
+      .where(col("term").isin(vocab: _*))
+    val stats = spark.table(table + "_stats").where(predicate)
+      .agg(sum("n_docs").cast("double").as("n_docs"),
+        (sum("sum_dl").cast("double") / sum("n_docs").cast("double")).as("avgdl"))
+    val dfreq = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val queryTerms = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "qterm")
+    scoreAndRank(post, dfreq, stats, queryTerms, k, k1, b)
+  }
+
   /** COMPACTION leg of the persisted BM25 index: many per-batch posting
     * files (every [[bm25IndexAbsorb]] append lands its own file set per
     * bucket) rewrite as ONE tidy term-bucketed table, and the stats
@@ -189,8 +255,13 @@ object RetrievalOps {
     graft.sources.TableStore.dropTable(spark, dst + "_stats")
     graft.sources.TableStore.saveBucketed(spark.table(table), dst,
       Seq("term"), buckets)
-    spark.table(table + "_stats")
-      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+    // attribute-carrying stats fold to one row per carried-attr value
+    // (still exact integer sums); attribute-free stores fold to one row
+    val st = spark.table(table + "_stats")
+    val attrs = st.columns.filterNot(Set("n_docs", "sum_dl")).toSeq
+    (if (attrs.isEmpty) st.agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+     else st.groupBy(attrs.map(col): _*)
+       .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(dst + "_stats")
     spark.catalog.refreshTable(dst)

@@ -79,4 +79,47 @@ class Bm25PlanSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats"): Unit
     }
   }
+
+  test("bm25SearchStoreFiltered: attribute predicate reaches the postings scan; scores ≡ one-shot over the pre-filtered corpus") {
+    val tbl = "graft_bm25_plan_filtered"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
+    val docs = (0L until 40L).map(i =>
+      (i, s"src${i % 4}",
+        s"doc $i alpha beta gamma delta token$i filler words epsilon zeta"))
+      .toDF("doc_id", "src", "text")
+    RetrievalOps.bm25IndexAbsorb(docs.where($"doc_id" < 20), "doc_id", "text",
+      tbl, carryCols = Seq("src"))
+    RetrievalOps.bm25IndexAbsorb(docs.where($"doc_id" >= 20), "doc_id", "text",
+      tbl, carryCols = Seq("src"))
+    try {
+      val queries = Seq(1 -> Seq("alpha", "zeta"), 2 -> Seq("gamma"))
+      val res = RetrievalOps.bm25SearchStoreFiltered(spark, tbl, queries,
+        $"src".isin("src0", "src1"), k = 5)
+      val got = res.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+      // pre-filter parity: identical to a one-shot bm25TopK over the
+      // filtered subcorpus — df, n_docs, avgdl all recomposed from the
+      // matching postings/stats rows, not the whole corpus's
+      val want = RetrievalOps.bm25TopK(docs.where($"src".isin("src0", "src1")),
+          "doc_id", "text", queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(got == want, s"filtered-store search diverged:\ngot  $got\nwant $want")
+      // the attribute filter must be PUSHED into the postings scan —
+      // filtering after the read would scan every source's postings
+      val plan = finalPlan(res.queryExecution.executedPlan)
+      val scans = scansOf(plan, tbl)
+        .filterNot(_.relation.location.inputFiles.exists(_.contains("_stats")))
+      assert(scans.nonEmpty, s"postings scan missing:\n$plan")
+      scans.foreach { s =>
+        val pushed = s.metadata.getOrElse("PushedFilters", "")
+        assert(pushed.contains("In(src") && pushed.contains("In(term"),
+          s"attribute/vocabulary pushdown lost (PushedFilters=$pushed):\n$plan")
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats"): Unit
+    }
+  }
 }
