@@ -3383,6 +3383,53 @@ object SparkEntry {
           coalesce(col("hit"), lit(false)).as("hit"))
         .orderBy("probe_id", "rank")
     }),
+    // ── extension: QUANTIZER-ROUTED BEAM ENTRY — the round-12 verdict's
+    //    single-global-entry fix: q200's walk enters at the lowest live
+    //    id, which costs O(diameter) hops to reach a far cluster (the
+    //    recall cliff HNSW's hierarchy exists to avoid). Here each probe
+    //    routes to its nearest coarse cell's minimum node
+    //    (cellEntryNodes over the ivfStore cid layout — state the engine
+    //    already maintains) and the SAME hops/beam budget is spent on
+    //    refinement instead of transit. Fixture: probes = the 5 vectors
+    //    LEAST similar to the global entry (the worst case for a single
+    //    entry); both variants run at hops=2, beam=8 and the gate emits
+    //    per-rank exact-top-5 hit flags for each — the routed rows'
+    //    hit count ≥ global's is the measured claim (BASELINE.md).
+    "q235_beam_routed_entry" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val init = emb.where(col("vec_id") < 16)
+      val nz = emb.where(SimilarityOps.l2Norm(col("embedding")) > 0)
+        .localCheckpoint(false) // entry row, far ranking, and probe set
+      val eid = nz.agg(min("vec_id").as("__eid"))
+      val ev = nz.join(broadcast(eid), col("vec_id") === col("__eid"))
+        .select(col("embedding").as("__ev"))
+      val farIds = nz.crossJoin(broadcast(ev))
+        .select(col("vec_id"),
+          SimilarityOps.cosine(col("embedding"), col("__ev")).as("__cos"))
+        .crossJoin(broadcast(eid)).where(col("vec_id") =!= col("__eid"))
+        .orderBy(col("__cos").asc, col("vec_id").asc).limit(5)
+      val probes = emb.join(farIds.select("vec_id"), Seq("vec_id"), "left_semi")
+        .localCheckpoint(false) // both beam variants + the exact baseline
+      val graph = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "vec_id",
+        "embedding", k = 10).localCheckpoint(false) // read by both variants
+      val store = SimilarityOps.ivfStore(emb, "vec_id", "embedding",
+        init, "vec_id")
+      val routedEntries = SimilarityOps.cellEntryNodes(store, probes, init,
+        "vec_id", "vec_id", "vec_id", "embedding")
+      val routed = SimilarityOps.beamSearchTopKFrom(emb, probes, graph,
+        routedEntries, "vec_id", "vec_id", "embedding", k = 5, beam = 8, hops = 2)
+      val global = SimilarityOps.beamSearchTopK(emb, probes, graph,
+        "vec_id", "vec_id", "embedding", k = 5, beam = 8, hops = 2)
+      val exact = SimilarityOps.bruteForceTopK(emb, probes, "vec_id", "vec_id",
+        "embedding", k = 5)
+        .select(col("probe_id"), col("nbr_id"), lit(true).as("hit"))
+        .localCheckpoint(false)
+      Seq("routed" -> routed, "global" -> global).map { case (tag, r) =>
+        r.join(exact, Seq("probe_id", "nbr_id"), "left")
+          .select(lit(tag).as("variant"), col("probe_id"), col("nbr_id"),
+            col("rank"), coalesce(col("hit"), lit(false)).as("hit"))
+      }.reduce(_ unionByName _).orderBy("variant", "probe_id", "rank")
+    }),
     // ── extension: HARD-NEGATIVE MINING (DPR, Karpukhin et al. 2020)
     //    — per probe, top-5 most-similar corpus vectors of a DIFFERENT
     //    label: the confusable non-matches a contrastive loss trains
@@ -7810,6 +7857,77 @@ object SparkEntry {
          SELECT f.probe_id, f.nbr_id, f.rank, (e.nbr_id IS NOT NULL) AS hit
          FROM fin f LEFT JOIN exact e ON f.probe_id = e.probe_id AND f.nbr_id = e.nbr_id
          WHERE f.rank <= 5 ORDER BY f.probe_id, f.rank"""),
+    // q200's replay doubled: routed entries come from the raw-16-cell
+    // assignment (nearest cell's min node), probes are the 5 nodes least
+    // similar to the global entry, both variants unroll 2 hops at beam 8.
+    "q235_beam_routed_entry" ->
+      ("""WITH nrm AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+           FROM embeddings),
+         live AS (SELECT * FROM nrm WHERE n > 0),
+         ac AS (
+           SELECT p.vec_id AS src, c.vec_id AS dst,
+             list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+             / (c.n * p.n) AS cos
+           FROM live c, live p),
+         g AS (SELECT src, dst FROM (
+             SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+             FROM ac WHERE src <> dst) WHERE rn <= 10),
+         entrynode AS (SELECT min(vec_id) AS eid FROM live),
+         far AS (SELECT src AS probe_id FROM ac, entrynode
+                 WHERE dst = eid AND src <> eid
+                 ORDER BY cos ASC, src LIMIT 5),
+         pc AS (SELECT src AS probe_id, dst AS nbr_id, cos FROM ac
+                WHERE src IN (SELECT probe_id FROM far)),
+         asn AS (SELECT src AS v, dst AS c FROM (
+             SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+             FROM ac WHERE dst < 16) WHERE rn = 1),
+         cellmin AS (SELECT c, min(v) AS mnid FROM asn GROUP BY c),
+         er AS (SELECT f.probe_id, cm.mnid AS nbr_id FROM far f
+                JOIN asn a ON a.v = f.probe_id
+                JOIN cellmin cm ON cm.c = a.c),
+         rb0 AS (SELECT pc.probe_id, pc.nbr_id, pc.cos FROM pc
+                 JOIN er ON er.probe_id = pc.probe_id AND er.nbr_id = pc.nbr_id),
+         gb0 AS (SELECT probe_id, nbr_id, cos FROM pc, entrynode
+                 WHERE nbr_id = eid)""" +
+        Seq("r", "g").flatMap { v =>
+          (1 to 2).map { j => val i = j - 1
+            s""",
+         ${v}c$j AS (SELECT DISTINCT probe_id, nbr_id FROM (
+            SELECT probe_id, nbr_id FROM ${v}b$i
+            UNION ALL
+            SELECT ${v}b$i.probe_id, g.dst AS nbr_id FROM ${v}b$i JOIN g ON ${v}b$i.nbr_id = g.src)),
+         ${v}b$j AS (SELECT probe_id, nbr_id, cos FROM (
+            SELECT ${v}c$j.probe_id, ${v}c$j.nbr_id, pc.cos,
+              row_number() OVER (PARTITION BY ${v}c$j.probe_id
+                ORDER BY pc.cos DESC, ${v}c$j.nbr_id) AS rn
+            FROM ${v}c$j JOIN pc ON ${v}c$j.probe_id = pc.probe_id AND ${v}c$j.nbr_id = pc.nbr_id)
+           WHERE rn <= 8)"""
+          }
+        }.mkString +
+        """,
+         exact AS (SELECT probe_id, nbr_id FROM (
+            SELECT probe_id, nbr_id, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cos DESC, nbr_id) AS rn
+            FROM pc WHERE probe_id <> nbr_id) WHERE rn <= 5),
+         rfin AS (SELECT probe_id, nbr_id,
+            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS INT) AS rank
+            FROM rb2 WHERE probe_id <> nbr_id),
+         gfin AS (SELECT probe_id, nbr_id,
+            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS INT) AS rank
+            FROM gb2 WHERE probe_id <> nbr_id),
+         uni AS (
+           SELECT 'routed' AS variant, probe_id, nbr_id, rank FROM rfin WHERE rank <= 5
+           UNION ALL
+           SELECT 'global', probe_id, nbr_id, rank FROM gfin WHERE rank <= 5)
+         SELECT b.variant, b.probe_id, b.nbr_id, b.rank,
+           (e.nbr_id IS NOT NULL) AS hit
+         FROM uni b LEFT JOIN exact e
+           ON b.probe_id = e.probe_id AND b.nbr_id = e.nbr_id
+         ORDER BY variant, b.probe_id, rank"""),
     // Label-mismatch filter before scoring, row_number by (cos DESC,
     // id) — identical sequential dot order on both engines.
     "q199_hard_negatives" ->

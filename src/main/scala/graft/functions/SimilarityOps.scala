@@ -529,6 +529,62 @@ object SimilarityOps {
   def beamSearchTopK(corpus: DataFrame, probes: DataFrame, graph: DataFrame,
                      idCol: String, probeIdCol: String, vecCol: String,
                      k: Int = 10, beam: Int = 8, hops: Int = 3): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("nbr_id"), vnorm(col(vecCol)).as("__cn"))
+      .where(col("__cn") > 0)
+    val p0 = probes.select(col(probeIdCol).as("probe_id"),
+      vnorm(col(vecCol)).as("__pn")).where(col("__pn") > 0)
+    beamSearchTopKFrom(corpus, probes, graph,
+      p0.select("probe_id").crossJoin(broadcast(c0.agg(min(col("nbr_id")).as("nbr_id")))),
+      idCol, probeIdCol, vecCol, k, beam, hops)
+  }
+
+  /** PER-PROBE ENTRY ROUTING for [[beamSearchTopKFrom]] — the quantizer-
+    * routed entry the HNSW family reaches with hierarchical layers,
+    * recovered here from state the engine already maintains: each probe
+    * picks its nearest NON-EMPTY cell under the frozen coarse quantizer
+    * (the [[ivfStore]] cid layout) and enters the graph at that cell's
+    * minimum live node id. A single global entry costs O(graph diameter)
+    * hops to reach a far cluster — a recall cliff for probes far from
+    * the entry (the q235 fixture measures it); routing starts the walk
+    * inside the probe's own region, so the same hops/beam budget spends
+    * on refinement instead of transit.
+    *
+    * Scale shape: the per-cell minimum is one aggregate on the
+    * cid-bucketed store (no Exchange); cells-with-entries joined onto
+    * the model-sized centroid table stays model-sized and broadcasts
+    * under the probe-side top-1 window — probes never shuffle the store.
+    *
+    * @param store (idCol, "cid") rows — [[ivfStore]] layout (live view)
+    * @return (probe_id, nbr_id) — one entry node per probe */
+  def cellEntryNodes(store: DataFrame, probes: DataFrame, centroids: DataFrame,
+                     idCol: String, probeIdCol: String, centroidIdCol: String,
+                     vecCol: String): DataFrame = {
+    GraftFunctions.register(store.sparkSession)
+    val cellMin = store.groupBy(col("cid"))
+      .agg(min(col(idCol)).as("nbr_id"))
+    val cent = centroids.select(col(centroidIdCol).as("cid"),
+        col(vecCol).as("__cenv"), vnorm(col(vecCol)).as("__cenn"))
+      .where(col("__cenn") > 0)
+      .join(cellMin, Seq("cid")) // only cells that actually hold nodes
+    val wP = Window.partitionBy("probe_id")
+      .orderBy(col("__cscore").desc, col("cid").asc)
+    probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
+        vnorm(col(vecCol)).as("__pn")).where(col("__pn") > 0)
+      .crossJoin(broadcast(cent))
+      .withColumn("__cscore",
+        vdot(col("__pv"), col("__cenv")) / (col("__pn") * col("__cenn")))
+      .withColumn("__rn", row_number().over(wP)).where(col("__rn") === 1)
+      .select(col("probe_id"), col("nbr_id"))
+  }
+
+  /** [[beamSearchTopK]] with CALLER-SUPPLIED entry nodes — the routed
+    * variant ([[cellEntryNodes]] builds the (probe_id, nbr_id) entries
+    * from the coarse quantizer); the fixed-entry overload delegates
+    * here with the global minimum id fanned across probes. */
+  def beamSearchTopKFrom(corpus: DataFrame, probes: DataFrame, graph: DataFrame,
+                         entries: DataFrame, idCol: String, probeIdCol: String,
+                         vecCol: String, k: Int = 10, beam: Int = 8,
+                         hops: Int = 3): DataFrame = {
     require(k >= 1 && beam >= k, s"need beam >= k >= 1, got k=$k beam=$beam")
     require(hops >= 1, s"hops must be >= 1, got $hops")
     GraftFunctions.register(corpus.sparkSession)
@@ -537,7 +593,6 @@ object SimilarityOps {
     val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
       vnorm(col(vecCol)).as("__pn")).where(col("__pn") > 0)
     val g = graph.select(col("probe_id").as("__src"), col("nbr_id").as("__dst"))
-    val entry = c.agg(min(col("nbr_id")).as("nbr_id"))
     val wBeam = Window.partitionBy("probe_id").orderBy(col("score").desc, col("nbr_id").asc)
     // score a (probe_id, nbr_id) candidate set and keep the best `beam`;
     // self stays IN the beam (it is navigationally useful) and is only
@@ -548,7 +603,7 @@ object SimilarityOps {
       .select(col("probe_id"), col("nbr_id"),
         (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
       .withColumn("rank", row_number().over(wBeam)).where(col("rank") <= beam)
-    var b = rankBeam(p.select("probe_id").crossJoin(broadcast(entry)))
+    var b = rankBeam(entries.select(col("probe_id"), col("nbr_id")))
     for (_ <- 1 to hops) {
       val expanded = b.select("probe_id", "nbr_id")
         .join(g, b("nbr_id") === g("__src"))
