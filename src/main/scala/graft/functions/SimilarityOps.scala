@@ -501,6 +501,119 @@ object SimilarityOps {
     ranked
   }
 
+  /** LIVE VIEW of a persisted kNN-graph store — node-REPLACEMENT
+    * semantics: an absorb appends a changed node's FULL new top-k at the
+    * next epoch, so the live graph is each node's latest-epoch edge set
+    * (the [[graft.functions.GraphOps.liveLabels]] merge-on-read
+    * discipline, per node instead of per label). One window over the
+    * probe-bucketed store — no self-join, no Exchange on the store. */
+  def liveKnnGraph(store: DataFrame): DataFrame = {
+    val w = Window.partitionBy("probe_id")
+    store.withColumn("__mx", max(col("epoch")).over(w))
+      .where(col("epoch") === col("__mx")).drop("__mx")
+  }
+
+  /** INCREMENTAL kNN-graph maintenance — absorb a batch of NEW vectors
+    * into a persisted [[nnDescent]] graph without rebuilding it (the
+    * round-12 verdict's missing store lifecycle — every other state
+    * family here has build→absorb→compact legs; the graph had to be
+    * re-derived from scratch per increment):
+    *
+    *  1. SEED — new nodes propose edges to their IVF cellmates (both
+    *     directions: the new node needs neighbors, and existing
+    *     cellmates may need the new node), using the frozen coarse cells
+    *     the vector store already maintains ([[ivfStore]]'s cid layout —
+    *     `cells` is that assignment, read not recomputed);
+    *  2. PROPAGATE — one NN-descent proposal round RESTRICTED to touched
+    *     neighborhoods: shared-neighbor proposals are generated only
+    *     through hubs in the touched set (new nodes ∪ their cellmates),
+    *     so candidate volume follows the INCREMENT's neighborhood sizes,
+    *     never the graph's (the absorbComponents discipline for kNN);
+    *  3. MERGE — every node that received a candidate re-ranks
+    *     (current live edges ∪ candidates) by the [[nnDescent]] rank law
+    *     (6-decimal quantized cosine, id tie-break) and keeps top-k;
+    *  4. DELTA — only nodes whose edge SET changed return rows (their
+    *     full new top-k, to append at the next epoch — merge-on-read,
+    *     no file rewrites).
+    *
+    * Scale shape: seeds are cell-pair bounded, the propagation self-join
+    * keys on touched hubs only, scoring joins the vector table twice on
+    * the 8-byte id, and the changed-set diff is one count aggregate over
+    * (old ∪ new) edges of pool nodes — everything is O(increment ·
+    * neighborhood), nothing rescans the corpus or the full graph. The
+    * q234 gate pins the increment-built graph's recall against a fresh
+    * [[nnDescent]] over the grown corpus at the same k/iters.
+    *
+    * @param liveGraph [[liveKnnGraph]] of the store (probe_id, nbr_id …)
+    * @param vecs      (idCol, vecCol) for every live vector, old + new
+    * @param newIds    (idCol) — the increment's node ids
+    * @param cells     (idCol, "cid") frozen-quantizer assignment for
+    *                  every live vector (the persisted IVF store layout)
+    * @return (probe_id, nbr_id, score, rank ≤ k) rows for CHANGED nodes
+    *         only — the epoch delta to append */
+  def knnGraphAbsorb(liveGraph: DataFrame, vecs: DataFrame, newIds: DataFrame,
+                     cells: DataFrame, idCol: String, vecCol: String,
+                     k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    GraftFunctions.register(vecs.sparkSession)
+    val v = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        vnorm(col(vecCol)).as("__n")).where(col("__n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nw = newIds.select(col(idCol).as("__new")).distinct()
+    val c = cells.select(col(idCol).as("__id"), col("cid"))
+    val newCells = c.join(nw, c("__id") === nw("__new"), "left_semi")
+      .select(col("__id").as("__nid"), col("cid"))
+    // 1. seeds: (new ↔ cellmate) in both directions, deduped
+    val mates = c.join(newCells, Seq("cid")).where(col("__id") =!= col("__nid"))
+    val seeds = mates.select(col("__nid").as("probe_id"), col("__id").as("nbr_id"))
+      .unionByName(mates.select(col("__id").as("probe_id"), col("__nid").as("nbr_id")))
+      .distinct()
+      .localCheckpoint(false) // touched set, propagation, AND the pool
+    val touched = seeds.select(col("probe_id").as("__t"))
+      .unionByName(seeds.select(col("nbr_id").as("__t"))).distinct()
+    val g = liveGraph.select(col("probe_id"), col("nbr_id"))
+    val inc = g.join(touched, g("probe_id") === touched("__t"), "left_semi")
+    // 2. one touched-restricted proposal round
+    val undAll = inc.unionByName(seeds)
+    val und = undAll.select(col("probe_id").as("c"), col("nbr_id").as("m"))
+      .unionByName(undAll.select(col("nbr_id").as("c"), col("probe_id").as("m")))
+      .distinct()
+    val undT = und.join(touched, und("c") === touched("__t"), "left_semi")
+      .localCheckpoint(false) // self-joined
+    val prop = undT.join(undT.withColumnRenamed("m", "m2"), Seq("c"))
+      .where(col("m") =!= col("m2"))
+      .select(col("m").as("probe_id"), col("m2").as("nbr_id"))
+    // 3. merge pool: candidates ∪ the current edges of every pool node
+    val cand = seeds.unionByName(prop).distinct()
+      .localCheckpoint(false) // pool probes AND the pool itself
+    val poolProbes = cand.select(col("probe_id").as("__p")).distinct()
+    val pool = cand.unionByName(
+        g.join(poolProbes, g("probe_id") === poolProbes("__p"), "left_semi"))
+      .distinct()
+    val scored = pool
+      .join(v.select(col("__id").as("probe_id"), col("__v").as("__pv"),
+        col("__n").as("__pn")), Seq("probe_id"))
+      .join(v.select(col("__id").as("nbr_id"), col("__v").as("__cv"),
+        col("__n").as("__cn")), Seq("nbr_id"))
+      .select(col("probe_id"), col("nbr_id"),
+        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
+    val wTop = Window.partitionBy("probe_id")
+      .orderBy(round(col("score"), 6).desc, col("nbr_id").asc)
+    val newTop = scored.withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .localCheckpoint(true) // changed-set diff AND the returned delta
+    // 4. changed nodes: edge set differs from the live graph's
+    val changed = newTop.select(col("probe_id"), col("nbr_id"))
+      .unionByName(g.join(poolProbes, g("probe_id") === poolProbes("__p"), "left_semi"))
+      .groupBy("probe_id", "nbr_id").agg(count(lit(1)).as("__c"))
+      .where(col("__c") =!= 2)
+      .select(col("probe_id")).distinct()
+    val delta = newTop.join(changed, Seq("probe_id"), "left_semi")
+      .select(col("probe_id"), col("nbr_id"), col("score"), col("rank"))
+    v.unpersist(blocking = false)
+    delta
+  }
+
   /** GRAPH-NAVIGATION ANN SEARCH — greedy beam search over a kNN graph,
     * the query-time half of the HNSW/NSG family (Malkov & Yashunin,
     * TPAMI 2018; here single-layer, fixed-hop): start every probe at a
