@@ -1599,34 +1599,12 @@ object SparkEntry {
     //    dropped only because batch 2's scan SEES batch 1's appends, the
     //    growth step that makes the chain a chain). Gate certifies
     //    per-batch survivors AND the final store row count.
-    "q168_semantic_store_parity" -> ((s, dir) => {
-      import graft.sources.TableStore
-      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
-      val cent = emb.where(col("vec_id") % 40 === 0)
-      val tbl = "graft_q168_cell_store"
-      TableStore.dropTable(s, tbl)
-      TableStore.saveBucketed(
-        SimilarityOps.ivfStore(emb.where(pmod(col("vec_id"), lit(3)) === 0),
-          "vec_id", "embedding", cent, "vec_id"),
-        tbl, bucketCols = Seq("cid"), buckets = 8)
-      def scaled(df: DataFrame, offset: Long) = df.select(
-        (col("vec_id") + offset).as("vec_id"),
-        transform(col("embedding"), x => x * lit(1.25f)).as("embedding"))
-      val b1 = emb.where(pmod(col("vec_id"), lit(3)) === 1)
-        .unionByName(scaled(
-          emb.where(pmod(col("vec_id"), lit(3)) === 0 && col("vec_id") < 30), 100000L))
-      val b2 = emb.where(pmod(col("vec_id"), lit(3)) === 2)
-        .unionByName(scaled(
-          emb.where(pmod(col("vec_id"), lit(3)) === 1 && col("vec_id") < 30), 200000L))
-      val surv = Seq((1L, b1), (2L, b2)).map { case (bid, batch) =>
-        graft.streaming.StreamingOps.semanticDedupBatch(batch, "vec_id", "embedding",
-          tbl, cent, "vec_id", threshold = 0.9, buckets = 8)
-          .select(lit(bid).as("batch"), col("vec_id"), col("cid"))
-      }
-      val after = TableStore.loadTable(s, tbl)
-        .agg(count(lit(1)).as("store_rows_after"))
-      surv.reduce(_ unionByName _).crossJoin(after).orderBy("batch", "vec_id")
-    }),
+    "q168_semantic_store_parity" -> ((s, dir) =>
+      semanticStoreParityGate(s, dir, col("vec_id") % 40 === 0,
+        "graft_q168_cell_store")),
+    "q240_semantic_store_f64" -> ((s, dir) =>
+      semanticStoreParityGate(s, dir, col("vec_id") < 64,
+        "graft_q240_cell_store")),
     // ── extension: Z-ORDER WRITE PATH — q153's layout statistic cashed
     //    in as an actual table: lineitem's hash-spread dims written via
     //    TableStore.saveZOrdered (range-partition on the Morton key +
@@ -1696,66 +1674,21 @@ object SparkEntry {
     //    the searched neighbor set must be IDENTICAL to q163's in-query
     //    ivfTopKFraction (the round-trip is lossless) and the store row
     //    count certifies the three-batch append chain.
-    "q165_ivf_store_lifecycle" -> ((s, dir) => {
-      import graft.sources.TableStore
-      val emb = T(s, dir, "embeddings")
-      val init = emb.where(col("vec_id") % 40 === 0).select("vec_id", "embedding")
-      val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
-        "vec_id", "embedding", init, "vec_id", updateRounds = 1)
-        .localCheckpoint(true) // trained once; builds, absorbs, AND probes
-      val tbl = "graft_q165_ivf_store"
-      TableStore.dropTable(s, tbl)
-      TableStore.saveBucketed(
-        SimilarityOps.ivfStore(emb.where(pmod(col("vec_id"), lit(3)) === 0),
-          "vec_id", "embedding", cent, "vec_id"),
-        tbl, bucketCols = Seq("cid"), buckets = 8)
-      Seq(1L, 2L).foreach { b =>
-        TableStore.saveBucketed(
-          SimilarityOps.ivfStore(emb.where(pmod(col("vec_id"), lit(3)) === b),
-            "vec_id", "embedding", cent, "vec_id"),
-          tbl, bucketCols = Seq("cid"), buckets = 8,
-          mode = org.apache.spark.sql.SaveMode.Append)
-      }
-      val store = TableStore.loadTable(s, tbl)
-      val probes = emb.where(col("vec_id") < 5)
-      SimilarityOps.ivfSearchStore(store, probes, cent,
-        "vec_id", "vec_id", "vec_id", "embedding", k = 10,
-        probeFraction = 0.25, minProbe = 2)
-        .select(col("probe_id"), col("nbr_id"))
-        .crossJoin(broadcast(store.agg(count(lit(1)).as("store_rows"))))
-        .orderBy("probe_id", "nbr_id")
-    }),
+    "q165_ivf_store_lifecycle" -> ((s, dir) =>
+      ivfStoreLifecycleGate(s, dir, col("vec_id") % 40 === 0,
+        "graft_q165_ivf_store")),
+    "q239_ivf_store_f64" -> ((s, dir) =>
+      ivfStoreLifecycleGate(s, dir, col("vec_id") < 64,
+        "graft_q239_ivf_store")),
     // ── extension: FRACTION-SCALED IVF recall — the q148/BASELINE
     //    deployment rule as an operator: nProbe = max(2, ceil(0.25 ·
     //    nCells)) pins the searched cell fraction, so recall stops
     //    decaying with index size. Same trained index and overlap@10
     //    layer as q148.
-    "q163_ivf_fraction_recall" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val init = emb.where(col("vec_id") % 40 === 0).select("vec_id", "embedding")
-      val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
-        "vec_id", "embedding", init, "vec_id", updateRounds = 1)
-        .localCheckpoint(true) // trained once; counted AND probed
-      val probes = emb.where(col("vec_id") < 5)
-      val brute = SimilarityOps
-        .bruteForceTopK(emb, probes, "vec_id", "vec_id", "embedding", k = 10)
-        .select(col("probe_id"), col("nbr_id"))
-        .localCheckpoint(false)
-      val ivf = SimilarityOps.ivfTopKFraction(emb, probes, cent,
-        "vec_id", "vec_id", "vec_id", "embedding", k = 10,
-        probeFraction = 0.25, minProbe = 2)
-        .select(col("probe_id"), col("nbr_id"))
-      val nb = brute.groupBy("probe_id").agg(count(lit(1)).as("n_brute"))
-      val ni = ivf.groupBy("probe_id").agg(count(lit(1)).as("n_ivf"))
-      val ov = brute.join(ivf, Seq("probe_id", "nbr_id"))
-        .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
-      nb.join(ni, Seq("probe_id"), "left").join(ov, Seq("probe_id"), "left")
-        .select(col("probe_id"), col("n_brute"),
-          coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
-          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-          expr("coalesce(n_overlap, 0L) * 1000 div n_brute").as("recall_milli"))
-        .orderBy("probe_id")
-    }),
+    "q163_ivf_fraction_recall" -> ((s, dir) =>
+      ivfFractionRecallGate(s, dir, col("vec_id") % 40 === 0)),
+    "q238_ivf_fraction_recall_f64" -> ((s, dir) =>
+      ivfFractionRecallGate(s, dir, col("vec_id") < 64)),
     // ── extension: per-source shingle NOVELTY RATE — v1→v2 (the q128
     //    snapshot derivation) scored for how much of each source's v2
     //    shingle set is genuinely absent from v1: snapshotDiff says
@@ -2017,32 +1950,10 @@ object SparkEntry {
     //    the three probe configs re-read it; accuracy was previously
     //    measured only for the SRP path (q143) — a latency-certified
     //    index without a recall row is not certified.
-    "q148_ivf_recall" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val init = emb.where(col("vec_id") % 40 === 0).select("vec_id", "embedding")
-      val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
-        "vec_id", "embedding", init, "vec_id", updateRounds = 1)
-        .localCheckpoint(false)
-      val probes = emb.where(col("vec_id") < 5)
-      val brute = SimilarityOps
-        .bruteForceTopK(emb, probes, "vec_id", "vec_id", "embedding", k = 10)
-        .select(col("probe_id"), col("nbr_id"))
-        .localCheckpoint(false)
-      val nb = brute.groupBy("probe_id").agg(count(lit(1)).as("n_brute"))
-      Seq(1, 2, 4).map { np =>
-        val ivf = SimilarityOps.ivfTopK(emb, probes, cent,
-          "vec_id", "vec_id", "vec_id", "embedding", k = 10, nProbe = np)
-          .select(col("probe_id"), col("nbr_id"))
-        val ni = ivf.groupBy("probe_id").agg(count(lit(1)).as("n_ivf"))
-        val ov = brute.join(ivf, Seq("probe_id", "nbr_id"))
-          .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
-        nb.join(ni, Seq("probe_id"), "left").join(ov, Seq("probe_id"), "left")
-          .select(lit(np).as("nprobe"), col("probe_id"), col("n_brute"),
-            coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
-            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-            expr("coalesce(n_overlap, 0L) * 1000 div n_brute").as("recall_milli"))
-      }.reduce(_ unionByName _).orderBy("nprobe", "probe_id")
-    }),
+    "q148_ivf_recall" -> ((s, dir) =>
+      ivfRecallGate(s, dir, col("vec_id") % 40 === 0)),
+    "q237_ivf_recall_f64" -> ((s, dir) =>
+      ivfRecallGate(s, dir, col("vec_id") < 64)),
     // ── extension: recall certification for q114's PQ-ADC index —
     //    overlap@10 against EXACT L2 (the metric ADC approximates; a
     //    cosine ground truth would conflate metric mismatch with
@@ -2527,61 +2438,12 @@ object SparkEntry {
     //    COMPACTED reload must be identical (engine-side multiset diff
     //    = 0), and the oracle recomputes the search from the mutated
     //    corpus from scratch — tombstone semantics ≡ rebuild.
-    "q172_ivf_delete_compact" -> ((s, dir) => {
-      import graft.sources.TableStore
-      val emb = T(s, dir, "embeddings")
-      val init = emb.where(col("vec_id") % 40 === 0).select("vec_id", "embedding")
-      val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
-        "vec_id", "embedding", init, "vec_id", updateRounds = 1)
-        .localCheckpoint(true) // trained once; builds, absorbs, AND probes
-      val tbl = "graft_q172_ivf_store"
-      TableStore.dropTable(s, tbl)
-      TableStore.saveBucketed( // epoch 0: two thirds of the corpus
-        SimilarityOps.ivfStore(emb.where(pmod(col("vec_id"), lit(3)) < 2),
-            "vec_id", "embedding", cent, "vec_id")
-          .withColumn("epoch", lit(0L)),
-        tbl, bucketCols = Seq("cid"), buckets = 8)
-      // epoch 1: the last third + RE-EMBEDDED (×1.25, SAME ids) versions
-      // of 10 epoch-0 vectors — an embedding-model refresh in miniature
-      val reEmb = emb.where(pmod(col("vec_id"), lit(3)) === 0 && col("vec_id") < 30)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x * lit(1.25f)).as("embedding"))
-      TableStore.saveBucketed(
-        SimilarityOps.ivfStore(
-            emb.where(pmod(col("vec_id"), lit(3)) === 2)
-              .select("vec_id", "embedding").unionByName(reEmb),
-            "vec_id", "embedding", cent, "vec_id")
-          .withColumn("epoch", lit(1L)),
-        tbl, bucketCols = Seq("cid"), buckets = 8,
-        mode = org.apache.spark.sql.SaveMode.Append)
-      // tombstones: re-embedded ids hide their epoch-0 rows; vec_id ≡ 10
-      // (mod 15) rows are deleted outright
-      val tomb = emb.where(
-          (pmod(col("vec_id"), lit(3)) === 0 && col("vec_id") < 30) ||
-            pmod(col("vec_id"), lit(15)) === 10)
-        .select(col("vec_id"), lit(1L).as("before_epoch"))
-      val live = TableStore.liveView(TableStore.loadTable(s, tbl), tomb,
-        "vec_id", "epoch")
-      val dst = "graft_q172_ivf_compact"
-      TableStore.dropTable(s, dst)
-      TableStore.saveBucketed(live.withColumn("epoch", lit(0L)),
-        dst, bucketCols = Seq("cid"), buckets = 8)
-      val compacted = TableStore.loadTable(s, dst)
-      val probes = emb.where(col("vec_id") < 5)
-      def search(st: DataFrame) = SimilarityOps.ivfSearchStore(
-          st.select("vec_id", "embedding", "cid"), probes, cent,
-          "vec_id", "vec_id", "vec_id", "embedding", k = 10,
-          probeFraction = 0.25, minProbe = 2)
-        .select(col("probe_id"), col("nbr_id"))
-      val a = search(live).localCheckpoint(false)
-      val b = search(compacted).localCheckpoint(false)
-      val diff = a.unionByName(b).groupBy("probe_id", "nbr_id")
-        .agg(count(lit(1)).as("c")).where(col("c") =!= 2)
-        .agg(count(lit(1)).as("n_diff"))
-      b.crossJoin(broadcast(compacted.agg(count(lit(1)).as("live_rows"))))
-        .crossJoin(broadcast(diff))
-        .orderBy("probe_id", "nbr_id")
-    }),
+    "q172_ivf_delete_compact" -> ((s, dir) =>
+      ivfDeleteCompactGate(s, dir, col("vec_id") % 40 === 0,
+        "graft_q172_ivf_store", "graft_q172_ivf_compact")),
+    "q241_ivf_delete_f64" -> ((s, dir) =>
+      ivfDeleteCompactGate(s, dir, col("vec_id") < 64,
+        "graft_q241_ivf_store", "graft_q241_ivf_compact")),
     // ── extension: TWO-LEVEL IVF ANN SEARCH — the search-side fix for
     //    the flat quantizer's scale wall (the standing %40 adjudication:
     //    flat cells ∝ corpus make assignment n·k dots). Coarse k1=16 +
@@ -2731,36 +2593,12 @@ object SparkEntry {
     //    also emits n_postfilter — how many of the UNFILTERED top-10
     //    survive the predicate — measuring the recall gap post-filtering
     //    would silently eat.
-    "q214_ivf_filtered_search" -> ((s, dir) => {
-      import graft.sources.TableStore
-      val emb = T(s, dir, "embeddings")
-      val init = emb.where(col("vec_id") % 40 === 0).select("vec_id", "embedding")
-      val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
-        "vec_id", "embedding", init, "vec_id", updateRounds = 1)
-        .localCheckpoint(true) // trained once; builds AND probes
-      val tbl = "graft_q214_ivf_filtered"
-      TableStore.dropTable(s, tbl)
-      TableStore.saveBucketed(
-        SimilarityOps.ivfStore(emb, "vec_id", "embedding", cent, "vec_id",
-          carryCols = Seq("label")),
-        tbl, bucketCols = Seq("cid"), buckets = 8)
-      val store = TableStore.loadTable(s, tbl)
-      val probes = emb.where(col("vec_id") < 5)
-      val filtered = SimilarityOps.ivfSearchStoreFiltered(store, probes, cent,
-        "vec_id", "vec_id", "vec_id", "embedding", col("label") < 3, k = 10,
-        probeFraction = 0.25, minProbe = 2)
-        .select(col("probe_id"), col("nbr_id"), col("rank"))
-      val postFilter = SimilarityOps.ivfSearchStore(store, probes, cent,
-        "vec_id", "vec_id", "vec_id", "embedding", k = 10,
-        probeFraction = 0.25, minProbe = 2)
-        .join(store.select(col("vec_id").as("nbr_id"), col("label")), Seq("nbr_id"))
-        .where(col("label") < 3)
-        .groupBy("probe_id").agg(count(lit(1)).as("n_postfilter"))
-      filtered.join(broadcast(postFilter), Seq("probe_id"), "left")
-        .select(col("probe_id"), col("nbr_id"), col("rank"),
-          coalesce(col("n_postfilter"), lit(0L)).as("n_postfilter"))
-        .orderBy("probe_id", "rank")
-    }),
+    "q214_ivf_filtered_search" -> ((s, dir) =>
+      ivfFilteredSearchGate(s, dir, col("vec_id") % 40 === 0,
+        "graft_q214_ivf_filtered")),
+    "q242_ivf_filtered_f64" -> ((s, dir) =>
+      ivfFilteredSearchGate(s, dir, col("vec_id") < 64,
+        "graft_q242_ivf_filtered")),
     // ── extension: RECIPROCAL-RANK FUSION (Cormack et al., SIGIR 2009)
     //    — the hybrid-retrieval merge: BM25 top-20 fused with a
     //    query-independent length-prior top-20 (the relevance ⊕
@@ -4620,6 +4458,212 @@ object SparkEntry {
     }),
   )
 
+  // ── Shared bodies for the %40-init vector gates and their FIXED-64
+  //    twins (q237–q242). The %40 convention grows centroids with the
+  //    corpus (the standing sf10 adjudication); the `vec_id < 64` twins
+  //    are the decade-runnable configuration (the q178/q180/q181
+  //    convention), so every vector-store leg gets a decade row and the
+  //    adjudication retires. Same code path — only the init predicate
+  //    (and the store table name) differs.
+
+  private def ivfRecallGate(s: SparkSession, dir: String,
+                            initPred: Column): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val init = emb.where(initPred).select("vec_id", "embedding")
+    val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
+      "vec_id", "embedding", init, "vec_id", updateRounds = 1)
+      .localCheckpoint(false)
+    val probes = emb.where(col("vec_id") < 5)
+    val brute = SimilarityOps
+      .bruteForceTopK(emb, probes, "vec_id", "vec_id", "embedding", k = 10)
+      .select(col("probe_id"), col("nbr_id"))
+      .localCheckpoint(false)
+    val nb = brute.groupBy("probe_id").agg(count(lit(1)).as("n_brute"))
+    Seq(1, 2, 4).map { np =>
+      val ivf = SimilarityOps.ivfTopK(emb, probes, cent,
+        "vec_id", "vec_id", "vec_id", "embedding", k = 10, nProbe = np)
+        .select(col("probe_id"), col("nbr_id"))
+      val ni = ivf.groupBy("probe_id").agg(count(lit(1)).as("n_ivf"))
+      val ov = brute.join(ivf, Seq("probe_id", "nbr_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
+      nb.join(ni, Seq("probe_id"), "left").join(ov, Seq("probe_id"), "left")
+        .select(lit(np).as("nprobe"), col("probe_id"), col("n_brute"),
+          coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr("coalesce(n_overlap, 0L) * 1000 div n_brute").as("recall_milli"))
+    }.reduce(_ unionByName _).orderBy("nprobe", "probe_id")
+  }
+
+  private def ivfFractionRecallGate(s: SparkSession, dir: String,
+                                    initPred: Column): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val init = emb.where(initPred).select("vec_id", "embedding")
+    val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
+      "vec_id", "embedding", init, "vec_id", updateRounds = 1)
+      .localCheckpoint(true)
+    val probes = emb.where(col("vec_id") < 5)
+    val brute = SimilarityOps
+      .bruteForceTopK(emb, probes, "vec_id", "vec_id", "embedding", k = 10)
+      .select(col("probe_id"), col("nbr_id"))
+      .localCheckpoint(false)
+    val ivf = SimilarityOps.ivfTopKFraction(emb, probes, cent,
+      "vec_id", "vec_id", "vec_id", "embedding", k = 10,
+      probeFraction = 0.25, minProbe = 2)
+      .select(col("probe_id"), col("nbr_id"))
+    val nb = brute.groupBy("probe_id").agg(count(lit(1)).as("n_brute"))
+    val ni = ivf.groupBy("probe_id").agg(count(lit(1)).as("n_ivf"))
+    val ov = brute.join(ivf, Seq("probe_id", "nbr_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
+    nb.join(ni, Seq("probe_id"), "left").join(ov, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_brute"),
+        coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr("coalesce(n_overlap, 0L) * 1000 div n_brute").as("recall_milli"))
+      .orderBy("probe_id")
+  }
+
+  private def ivfStoreLifecycleGate(s: SparkSession, dir: String,
+                                    initPred: Column, tbl: String): DataFrame = {
+    import graft.sources.TableStore
+    val emb = T(s, dir, "embeddings")
+    val init = emb.where(initPred).select("vec_id", "embedding")
+    val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
+      "vec_id", "embedding", init, "vec_id", updateRounds = 1)
+      .localCheckpoint(true)
+    TableStore.dropTable(s, tbl)
+    TableStore.saveBucketed(
+      SimilarityOps.ivfStore(emb.where(pmod(col("vec_id"), lit(3)) === 0),
+        "vec_id", "embedding", cent, "vec_id"),
+      tbl, bucketCols = Seq("cid"), buckets = 8)
+    Seq(1L, 2L).foreach { b =>
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(emb.where(pmod(col("vec_id"), lit(3)) === b),
+          "vec_id", "embedding", cent, "vec_id"),
+        tbl, bucketCols = Seq("cid"), buckets = 8,
+        mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    val store = TableStore.loadTable(s, tbl)
+    val probes = emb.where(col("vec_id") < 5)
+    SimilarityOps.ivfSearchStore(store, probes, cent,
+      "vec_id", "vec_id", "vec_id", "embedding", k = 10,
+      probeFraction = 0.25, minProbe = 2)
+      .select(col("probe_id"), col("nbr_id"))
+      .crossJoin(broadcast(store.agg(count(lit(1)).as("store_rows"))))
+      .orderBy("probe_id", "nbr_id")
+  }
+
+  private def semanticStoreParityGate(s: SparkSession, dir: String,
+                                      initPred: Column, tbl: String): DataFrame = {
+    import graft.sources.TableStore
+    val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+    val cent = emb.where(initPred)
+    TableStore.dropTable(s, tbl)
+    TableStore.saveBucketed(
+      SimilarityOps.ivfStore(emb.where(pmod(col("vec_id"), lit(3)) === 0),
+        "vec_id", "embedding", cent, "vec_id"),
+      tbl, bucketCols = Seq("cid"), buckets = 8)
+    def scaled(df: DataFrame, offset: Long) = df.select(
+      (col("vec_id") + offset).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.25f)).as("embedding"))
+    val b1 = emb.where(pmod(col("vec_id"), lit(3)) === 1)
+      .unionByName(scaled(
+        emb.where(pmod(col("vec_id"), lit(3)) === 0 && col("vec_id") < 30), 100000L))
+    val b2 = emb.where(pmod(col("vec_id"), lit(3)) === 2)
+      .unionByName(scaled(
+        emb.where(pmod(col("vec_id"), lit(3)) === 1 && col("vec_id") < 30), 200000L))
+    val surv = Seq((1L, b1), (2L, b2)).map { case (bid, batch) =>
+      graft.streaming.StreamingOps.semanticDedupBatch(batch, "vec_id", "embedding",
+        tbl, cent, "vec_id", threshold = 0.9, buckets = 8)
+        .select(lit(bid).as("batch"), col("vec_id"), col("cid"))
+    }
+    val after = TableStore.loadTable(s, tbl)
+      .agg(count(lit(1)).as("store_rows_after"))
+    surv.reduce(_ unionByName _).crossJoin(after).orderBy("batch", "vec_id")
+  }
+
+  private def ivfDeleteCompactGate(s: SparkSession, dir: String,
+                                   initPred: Column, tbl: String,
+                                   dst: String): DataFrame = {
+    import graft.sources.TableStore
+    val emb = T(s, dir, "embeddings")
+    val init = emb.where(initPred).select("vec_id", "embedding")
+    val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
+      "vec_id", "embedding", init, "vec_id", updateRounds = 1)
+      .localCheckpoint(true)
+    TableStore.dropTable(s, tbl)
+    TableStore.saveBucketed(
+      SimilarityOps.ivfStore(emb.where(pmod(col("vec_id"), lit(3)) < 2),
+          "vec_id", "embedding", cent, "vec_id")
+        .withColumn("epoch", lit(0L)),
+      tbl, bucketCols = Seq("cid"), buckets = 8)
+    val reEmb = emb.where(pmod(col("vec_id"), lit(3)) === 0 && col("vec_id") < 30)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x * lit(1.25f)).as("embedding"))
+    TableStore.saveBucketed(
+      SimilarityOps.ivfStore(
+          emb.where(pmod(col("vec_id"), lit(3)) === 2)
+            .select("vec_id", "embedding").unionByName(reEmb),
+          "vec_id", "embedding", cent, "vec_id")
+        .withColumn("epoch", lit(1L)),
+      tbl, bucketCols = Seq("cid"), buckets = 8,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val tomb = emb.where(
+        (pmod(col("vec_id"), lit(3)) === 0 && col("vec_id") < 30) ||
+          pmod(col("vec_id"), lit(15)) === 10)
+      .select(col("vec_id"), lit(1L).as("before_epoch"))
+    val live = TableStore.liveView(TableStore.loadTable(s, tbl), tomb,
+      "vec_id", "epoch")
+    TableStore.dropTable(s, dst)
+    TableStore.saveBucketed(live.withColumn("epoch", lit(0L)),
+      dst, bucketCols = Seq("cid"), buckets = 8)
+    val compacted = TableStore.loadTable(s, dst)
+    val probes = emb.where(col("vec_id") < 5)
+    def search(st: DataFrame) = SimilarityOps.ivfSearchStore(
+        st.select("vec_id", "embedding", "cid"), probes, cent,
+        "vec_id", "vec_id", "vec_id", "embedding", k = 10,
+        probeFraction = 0.25, minProbe = 2)
+      .select(col("probe_id"), col("nbr_id"))
+    val a = search(live).localCheckpoint(false)
+    val b = search(compacted).localCheckpoint(false)
+    val diff = a.unionByName(b).groupBy("probe_id", "nbr_id")
+      .agg(count(lit(1)).as("c")).where(col("c") =!= 2)
+      .agg(count(lit(1)).as("n_diff"))
+    b.crossJoin(broadcast(compacted.agg(count(lit(1)).as("live_rows"))))
+      .crossJoin(broadcast(diff))
+      .orderBy("probe_id", "nbr_id")
+  }
+
+  private def ivfFilteredSearchGate(s: SparkSession, dir: String,
+                                    initPred: Column, tbl: String): DataFrame = {
+    import graft.sources.TableStore
+    val emb = T(s, dir, "embeddings")
+    val init = emb.where(initPred).select("vec_id", "embedding")
+    val cent = SimilarityOps.kmeansCentroids(emb.select("vec_id", "embedding"),
+      "vec_id", "embedding", init, "vec_id", updateRounds = 1)
+      .localCheckpoint(true)
+    TableStore.dropTable(s, tbl)
+    TableStore.saveBucketed(
+      SimilarityOps.ivfStore(emb, "vec_id", "embedding", cent, "vec_id",
+        carryCols = Seq("label")),
+      tbl, bucketCols = Seq("cid"), buckets = 8)
+    val store = TableStore.loadTable(s, tbl)
+    val probes = emb.where(col("vec_id") < 5)
+    val filtered = SimilarityOps.ivfSearchStoreFiltered(store, probes, cent,
+      "vec_id", "vec_id", "vec_id", "embedding", col("label") < 3, k = 10,
+      probeFraction = 0.25, minProbe = 2)
+      .select(col("probe_id"), col("nbr_id"), col("rank"))
+    val postFilter = SimilarityOps.ivfSearchStore(store, probes, cent,
+      "vec_id", "vec_id", "vec_id", "embedding", k = 10,
+      probeFraction = 0.25, minProbe = 2)
+      .join(store.select(col("vec_id").as("nbr_id"), col("label")), Seq("nbr_id"))
+      .where(col("label") < 3)
+      .groupBy("probe_id").agg(count(lit(1)).as("n_postfilter"))
+    filtered.join(broadcast(postFilter), Seq("probe_id"), "left")
+      .select(col("probe_id"), col("nbr_id"), col("rank"),
+        coalesce(col("n_postfilter"), lit(0L)).as("n_postfilter"))
+      .orderBy("probe_id", "rank")
+  }
+
   def oracleSql: Map[String, String] =
     // q158 resumes q113's recurrence from a checkpointed rank vector;
     // chaining is bit-exact, so its oracle IS q113's 5-iteration SQL.
@@ -4640,6 +4684,15 @@ object SparkEntry {
       ("q232_cooccurrence_compact" -> oracleSqlBase("q223_cooccurrence_ppmi")) +
       // index-served tf-idf ≡ one-shot tf-idf over the same corpus
       ("q233_tfidf_from_index" -> oracleSqlBase("q218_tfidf_keywords")) +
+      // fixed-64 twins: the %40-init gates re-gated on the decade-runnable
+      // `vec_id < 64` quantizer convention — the oracle is the original's
+      // SQL with only the init CTE's predicate swapped
+      ("q237_ivf_recall_f64" -> fixed64("q148_ivf_recall")) +
+      ("q238_ivf_fraction_recall_f64" -> fixed64("q163_ivf_fraction_recall")) +
+      ("q239_ivf_store_f64" -> fixed64("q165_ivf_store_lifecycle")) +
+      ("q240_semantic_store_f64" -> fixed64("q168_semantic_store_parity")) +
+      ("q241_ivf_delete_f64" -> fixed64("q172_ivf_delete_compact")) +
+      ("q242_ivf_filtered_f64" -> fixed64("q214_ivf_filtered_search")) +
       // filtered-index search ≡ one-shot bm25TopK over the PRE-FILTERED
       // corpus: q107's SQL with the predicate pushed into the corpus CTE
       // (df/avgdl/n_docs all recompute from the filtered subcorpus)
@@ -4650,6 +4703,17 @@ object SparkEntry {
         sql.replace(from,
           from + " AND source IN ('src0','src1','src2')")
       })
+
+  /** Fixed-64 oracle twin: the original gate's SQL with the %40-init
+    * predicate swapped for the decade-runnable `vec_id < 64` convention
+    * (everything downstream — the 1-round k-means train, assignments,
+    * searches — re-derives from the changed init automatically). */
+  private def fixed64(name: String): String = {
+    val sql = oracleSqlBase(name)
+    val out = sql.replace("vec_id % 40 = 0", "vec_id < 64")
+    require(out != sql, s"fixed-64 twin: no %40 init in $name oracle")
+    out
+  }
 
   /** DuckDB cosine between two embedding-list expressions — the q79
     * formula, factored for the multi-batch q168 oracle. */
