@@ -2585,6 +2585,77 @@ object SparkEntry {
         col("source").isin("src0", "src1", "src2"), k = 10)
         .orderBy("query_id", "rank")
     }),
+    // ── extension: UNIGRAM-LM TOKENIZER TRAINER (SentencePiece-style,
+    //    Kudo ACL 2018) — the second trainer next to BPE (the round-12
+    //    verdict's tokenizer-family gap): seed vocabulary = frequent
+    //    substrings (len ≤ 4, top-512) ∪ all characters; ONE hard-EM
+    //    round re-estimates piece counts from each training word's
+    //    Viterbi segmentation under micro-integer −ln(p) costs (unique
+    //    best path: cost asc, piece length desc). The oracle replays the
+    //    seed, the 12-round DP forward/backward unroll, and the count
+    //    re-estimation. Trained on src0–3 (the q122 convention).
+    "q243_unigram_lm_train" -> ((s, dir) => {
+      import graft.functions.VocabOps
+      val d = T(s, dir, "documents")
+      val trainWf = VocabOps
+        .explodeTokens(d.where(col("source").isin("src0", "src1", "src2", "src3")),
+          "doc_id", "text")
+        .groupBy("word").agg(count(lit(1)).as("f"))
+        .localCheckpoint(false) // seed candidates AND the EM re-count
+      val seed = VocabOps.unigramSeed(trainWf, "word", "f",
+        maxPieceLen = 4, minCount = 2L, vocabSize = 512)
+      val em = VocabOps.unigramEmCounts(trainWf, "word", "f", seed,
+        maxLen = 12, maxPieceLen = 4)
+        .localCheckpoint(false) // total AND the ranked output
+      val tot = em.agg(sum("em_cnt").as("__tot"))
+      em.crossJoin(broadcast(tot))
+        .select(col("piece"), col("seed_cnt"), col("em_cnt"),
+          expr("em_cnt * 1000000 div __tot").as("prob_micro"))
+        .withColumn("__rn", row_number().over(
+          Window.orderBy(col("em_cnt").desc, col("piece"))))
+        .where(col("__rn") <= 50).drop("__rn")
+        .orderBy(col("em_cnt").desc, col("piece"))
+    }),
+    // ── extension: UNIGRAM ENCODE + FERTILITY — q122's per-doc piece
+    //    accounting with the unigram tokenizer instead of BPE (the
+    //    fertility twin): post-EM vocabulary (EM counts, characters
+    //    floored at 1 — SentencePiece's required-character rule),
+    //    Viterbi-segment every DISTINCT corpus word once, join back to
+    //    occurrences; words the DP can't reach (over the length cap or
+    //    containing an out-of-vocabulary char) fall back to one piece
+    //    per character. Output shape = q122's, so fertility compares
+    //    row-for-row.
+    "q244_unigram_encode" -> ((s, dir) => {
+      import graft.functions.VocabOps
+      val d = T(s, dir, "documents")
+      val trainWf = VocabOps
+        .explodeTokens(d.where(col("source").isin("src0", "src1", "src2", "src3")),
+          "doc_id", "text")
+        .groupBy("word").agg(count(lit(1)).as("f"))
+        .localCheckpoint(false)
+      val seed = VocabOps.unigramSeed(trainWf, "word", "f",
+          maxPieceLen = 4, minCount = 2L, vocabSize = 512)
+        .localCheckpoint(false) // EM AND the encode-vocab char floor
+      val em = VocabOps.unigramEmCounts(trainWf, "word", "f", seed,
+        maxLen = 12, maxPieceLen = 4)
+      val vocab2 = VocabOps.unigramEncodeVocab(em, seed)
+      val occ = VocabOps.explodeTokens(d, "doc_id", "text")
+        .localCheckpoint(false) // distinct words AND the per-doc join
+      val words = occ.select("word").distinct()
+      val uses = VocabOps.unigramViterbi(words, "word",
+        VocabOps.unigramCosts(vocab2), maxLen = 12, maxPieceLen = 4)
+      val np = uses.groupBy("word").agg(count(lit(1)).as("__np"))
+      val enc = words.join(np, Seq("word"), "left")
+        .select(col("word"),
+          coalesce(col("__np"), length(col("word")).cast("long")).as("np"),
+          length(col("word")).cast("long").as("nc"))
+      occ.join(enc, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum("np").cast("long").as("n_pieces"),
+          sum("nc").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
     // ── extension: FILTERED VECTOR SEARCH (metadata-constrained ANN) —
     //    the store carries the filterable attribute (ivfStore carryCols:
     //    the attribute-payload index layout), the predicate cuts the
@@ -4693,6 +4764,45 @@ object SparkEntry {
       ("q240_semantic_store_f64" -> fixed64("q168_semantic_store_parity")) +
       ("q241_ivf_delete_f64" -> fixed64("q172_ivf_delete_compact")) +
       ("q242_ivf_filtered_f64" -> fixed64("q214_ivf_filtered_search")) +
+      // unigram-LM trainer: seed → 12-round Viterbi DP → EM counts,
+      // replayed end-to-end; top-50 by re-estimated count
+      ("q243_unigram_lm_train" -> (unigramTrainCtes +
+        """
+         SELECT piece, seed_cnt, em_cnt,
+           em_cnt * 1000000 // (SELECT CAST(sum(em_cnt) AS BIGINT) FROM emj) AS prob_micro
+         FROM (SELECT *, row_number() OVER (ORDER BY em_cnt DESC, piece) AS rn FROM emj)
+         WHERE rn <= 50 ORDER BY em_cnt DESC, piece""")) +
+      // unigram encode: post-EM vocabulary (chars floored at 1), second
+      // DP over every distinct corpus word, per-doc piece accounting in
+      // q122's exact shape
+      ("q244_unigram_encode" -> (unigramTrainCtes +
+        """,
+         vocab2 AS MATERIALIZED (
+           SELECT piece, em_cnt AS cnt FROM em
+           UNION ALL
+           SELECT s.piece, CAST(1 AS BIGINT) AS cnt FROM seedv s
+           WHERE len(s.piece) = 1 AND s.piece NOT IN (SELECT piece FROM em)),
+         cost2 AS MATERIALIZED (
+           SELECT piece, CAST(round(-ln(CAST(cnt AS DOUBLE) / t.tot) * 1e6) AS BIGINT) AS c
+           FROM vocab2, (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM vocab2) t),
+         atoks AS (
+           SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents WHERE length(trim(text)) > 0),
+         aocc AS MATERIALIZED (SELECT doc_id, word FROM atoks),
+         awords AS MATERIALIZED (SELECT DISTINCT word FROM aocc
+           WHERE len(word) > 0 AND len(word) <= 12)""" +
+        unigramDpCtes("a", "awords", "cost2") +
+        """,
+         anp AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS np
+           FROM auses GROUP BY 1),
+         enc AS MATERIALIZED (
+           SELECT w.word, coalesce(a.np, CAST(len(w.word) AS BIGINT)) AS np,
+             CAST(len(w.word) AS BIGINT) AS nc
+           FROM (SELECT DISTINCT word FROM aocc) w LEFT JOIN anp a ON a.word = w.word)
+         SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(e.np) AS BIGINT) AS n_pieces, CAST(sum(e.nc) AS BIGINT) AS n_chars
+         FROM aocc o JOIN enc e ON e.word = o.word
+         GROUP BY 1 ORDER BY 1""")) +
       // filtered-index search ≡ one-shot bm25TopK over the PRE-FILTERED
       // corpus: q107's SQL with the predicate pushed into the corpus CTE
       // (df/avgdl/n_docs all recompute from the filtered subcorpus)
@@ -4714,6 +4824,86 @@ object SparkEntry {
     require(out != sql, s"fixed-64 twin: no %40 init in $name oracle")
     out
   }
+
+  /** Unigram-LM Viterbi DP replay for DuckDB: fixed `maxLen`-round
+    * forward unroll (per round: best predecessor by cost asc, piece
+    * length desc — the unique-path tie-break) + backward unroll emitting
+    * the used pieces as `${p}uses(word, piece)`. `words` must expose
+    * (word) rows already length-capped; `costs` exposes (piece, c). */
+  private def unigramDpCtes(p: String, words: String, costs: String,
+                            maxLen: Int = 12, maxPieceLen: Int = 4): String = {
+    val sub = s""",
+         ${p}sub AS MATERIALIZED (
+           SELECT w.word, e.e, l.l, c.c
+           FROM $words w
+           JOIN range(1, ${maxLen + 1}) e(e) ON e.e <= len(w.word)
+           JOIN range(1, ${maxPieceLen + 1}) l(l) ON l.l <= e.e
+           JOIN $costs c ON c.piece = w.word[e.e - l.l + 1 : e.e]),
+         ${p}d0 AS (SELECT word, 0 AS p, CAST(0 AS BIGINT) AS cost FROM $words)"""
+    val fwd = (1 to maxLen).map { j => val i = j - 1
+      s""",
+         ${p}bp$j AS MATERIALIZED (SELECT word, $j AS p, cost, l FROM (
+            SELECT d.word, d.cost + s.c AS cost, s.l,
+              row_number() OVER (PARTITION BY d.word
+                ORDER BY (d.cost + s.c) ASC, s.l DESC) AS rn
+            FROM ${p}d$i d JOIN ${p}sub s ON s.word = d.word
+              AND s.e = $j AND s.l = $j - d.p) WHERE rn = 1),
+         ${p}d$j AS MATERIALIZED (SELECT word, p, cost FROM ${p}d$i
+            UNION ALL SELECT word, p, cost FROM ${p}bp$j)"""
+    }.mkString
+    val bpAll = s""",
+         ${p}bp AS MATERIALIZED (${(1 to maxLen).map(j =>
+      s"SELECT word, p, l FROM ${p}bp$j").mkString("\n            UNION ALL ")}),
+         ${p}r0 AS (SELECT word, CAST(len(word) AS INT) AS p FROM $words)"""
+    val bwd = (1 to maxLen).map { k => val i = k - 1
+      s""",
+         ${p}u$k AS MATERIALIZED (SELECT r.word, b.l, r.p FROM ${p}r$i r
+            JOIN ${p}bp b ON b.word = r.word AND b.p = r.p WHERE r.p > 0),
+         ${p}r$k AS (SELECT word, p - l AS p FROM ${p}u$k)"""
+    }.mkString
+    val uses = s""",
+         ${p}uses AS MATERIALIZED (SELECT word, word[p - l + 1 : p] AS piece FROM (
+            ${(1 to maxLen).map(k => s"SELECT word, l, p FROM ${p}u$k")
+      .mkString("\n            UNION ALL ")}))"""
+    sub + fwd + bpAll + bwd + uses
+  }
+
+  /** Shared training CTE chain for the q243/q244 oracles: src0–3 word
+    * frequencies → substring seed vocabulary → micro-integer costs →
+    * Viterbi E-step (12-round DP) → EM piece counts. */
+  private def unigramTrainCtes: String =
+    """WITH ttoks AS (
+           SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents WHERE length(trim(text)) > 0
+             AND source IN ('src0','src1','src2','src3')),
+         twf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS f
+           FROM ttoks WHERE len(word) > 0 GROUP BY 1),
+         cand AS MATERIALIZED (
+           SELECT piece, CAST(sum(f) AS BIGINT) AS cnt FROM (
+             SELECT w.f, w.word[i.i : i.i + l.l - 1] AS piece
+             FROM twf w
+             JOIN range(1, 64) i(i) ON i.i <= len(w.word)
+             JOIN range(1, 5) l(l) ON i.i + l.l - 1 <= len(w.word))
+           GROUP BY 1),
+         seedv AS MATERIALIZED (
+           SELECT piece, cnt FROM (
+             SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+             FROM cand WHERE len(piece) >= 2 AND cnt >= 2) WHERE rn <= 512
+           UNION ALL
+           SELECT piece, cnt FROM cand WHERE len(piece) = 1),
+         scost AS MATERIALIZED (
+           SELECT piece, CAST(round(-ln(CAST(cnt AS DOUBLE) / t.tot) * 1e6) AS BIGINT) AS c
+           FROM seedv, (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM seedv) t),
+         twords AS MATERIALIZED (SELECT DISTINCT word FROM twf
+           WHERE len(word) <= 12)""" +
+    unigramDpCtes("t", "twords", "scost") +
+    """,
+         em AS MATERIALIZED (
+           SELECT u.piece, CAST(sum(f) AS BIGINT) AS em_cnt
+           FROM tuses u JOIN twf w ON w.word = u.word GROUP BY 1),
+         emj AS MATERIALIZED (
+           SELECT s.piece, s.cnt AS seed_cnt, e.em_cnt
+           FROM em e JOIN seedv s ON s.piece = e.piece)"""
 
   /** DuckDB cosine between two embedding-list expressions — the q79
     * formula, factored for the multi-batch q168 oracle. */

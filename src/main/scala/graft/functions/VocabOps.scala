@@ -267,4 +267,142 @@ object VocabOps {
     }
     acc.select(col("step"), col("lhs"), col("rhs"), col("cnt"))
   }
+
+  // ── UNIGRAM-LM (SentencePiece-style) tokenizer family (Kudo, ACL 2018)
+  //    — the second trainer next to BPE: a piece VOCABULARY with
+  //    log-probabilities, Viterbi segmentation under additive integer
+  //    costs, and a hard-EM round that re-estimates piece counts from
+  //    the best segmentations. Engine-portable by construction: costs
+  //    are micro-rounded −ln(p) BIGINTs (the BM25 idf discipline), the
+  //    DP tie-break is total (cost asc, piece length desc), and every
+  //    loop is a FIXED unroll (maxLen rounds) the SQL oracle replays
+  //    verbatim. Scale shape: everything after the word-frequency
+  //    aggregate is VOCABULARY-sized (distinct words × positions), never
+  //    corpus-sized — the q122/BPE property.
+
+  /** Seed vocabulary: all substrings of length 2..`maxPieceLen` with
+    * occurrence mass ≥ `minCount` (counted per position, weighted by
+    * word frequency), capped to the top `vocabSize` by (count desc,
+    * piece asc) — UNIONed with every single character unconditionally,
+    * so Viterbi segmentation is always feasible. Returns (piece, cnt). */
+  def unigramSeed(words: DataFrame, wordCol: String, freqCol: String,
+                  maxPieceLen: Int = 4, minCount: Long = 2L,
+                  vocabSize: Int = 512): DataFrame = {
+    require(maxPieceLen >= 1 && vocabSize >= 1 && minCount >= 1,
+      s"bad unigramSeed params ($maxPieceLen, $minCount, $vocabSize)")
+    val occ = words.where(length(col(wordCol)) > 0)
+      .select(col(freqCol).cast("long").as("f"), col(wordCol).as("__w"))
+      .select(col("f"), col("__w"),
+        explode(sequence(lit(1), length(col("__w")))).as("__i"))
+      .select(col("f"), col("__w"), col("__i"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("__l"))
+      .where(col("__i") + col("__l") - 1 <= length(col("__w")))
+      .select(col("f"), expr("substring(__w, __i, __l)").as("piece"))
+    val cnt = occ.groupBy("piece").agg(sum("f").as("cnt"))
+    val multi = cnt.where(length(col("piece")) >= 2 && col("cnt") >= minCount)
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("cnt").desc, col("piece").asc)))
+      .where(col("__rn") <= vocabSize).drop("__rn")
+    // the global rank window runs on the ≤√(2T)-ish candidate table (the
+    // coverageVocab argument), not the corpus
+    cnt.where(length(col("piece")) === 1).unionByName(multi)
+  }
+
+  /** (piece, cnt) → (piece, l, c): micro-rounded −ln(cnt / Σcnt) BIGINT
+    * costs — a single closed-form float per piece, rounded ONCE. */
+  def unigramCosts(seed: DataFrame): DataFrame = {
+    val total = seed.agg(sum("cnt").as("__tot"))
+    seed.crossJoin(broadcast(total))
+      .select(col("piece"), length(col("piece")).cast("int").as("l"),
+        round(-log(col("cnt").cast("double") / col("__tot")) * lit(1e6))
+          .cast("long").as("c"))
+  }
+
+  /** Viterbi segmentation of `words` under piece costs: forward DP over
+    * character positions (fixed `maxLen` rounds — words longer than the
+    * cap, or containing out-of-vocabulary characters, simply never reach
+    * their final position and fall out; callers apply a char fallback),
+    * tie-break (total cost asc, piece length desc) making the chosen
+    * segmentation UNIQUE, then a backward pass that emits the used
+    * pieces. Returns (word, piece) — one row per used piece occurrence.
+    *
+    * Scale: frames are (distinct words × ≤maxLen positions); each round
+    * is one join + one per-word window — vocabulary-sized throughout. */
+  def unigramViterbi(words: DataFrame, wordCol: String, costs: DataFrame,
+                     maxLen: Int = 8, maxPieceLen: Int = 4): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    val w = words.select(col(wordCol).as("word")).where(length(col("word")) > 0)
+      .where(length(col("word")) <= maxLen).distinct()
+      .localCheckpoint(false) // read by sub, d0, and the backward seed
+    val sub = w
+      .select(col("word"), explode(sequence(lit(1), length(col("word")))).as("__e"))
+      .select(col("word"), col("__e"),
+        explode(sequence(lit(1), least(lit(maxPieceLen), col("__e")))).as("__l"))
+      .select(col("word"), col("__e"), col("__l"),
+        expr("substring(word, __e - __l + 1, __l)").as("piece"))
+      .join(costs.select(col("piece"), col("c")), Seq("piece"))
+      .select(col("word"), col("__e"), col("__l"), col("c"))
+      .localCheckpoint(false) // joined once per DP round
+    var dall = w.select(col("word"), lit(0).as("p"), lit(0L).as("cost"))
+    val bps = scala.collection.mutable.Buffer.empty[DataFrame]
+    val wW = Window.partitionBy("word")
+      .orderBy(col("__t").asc, col("__l").desc)
+    for (j <- 1 to maxLen) {
+      val bpj = dall.as("d")
+        .join(sub.where(col("__e") === j).as("s"),
+          col("d.word") === col("s.word") &&
+            col("s.__l") === lit(j) - col("d.p"))
+        .select(col("d.word").as("word"), (col("d.cost") + col("s.c")).as("__t"),
+          col("s.__l").as("__l"))
+        .withColumn("__rn", row_number().over(wW)).where(col("__rn") === 1)
+        .select(col("word"), lit(j).as("p"), col("__t").as("cost"),
+          col("__l").as("l"))
+        // per-round lazy checkpoint — round j's frame feeds BOTH the next
+        // round's dall and the backward pass; without it each round's
+        // subtree embeds every prior round's and the plan doubles per
+        // round (the nnDescent/connectedComponents lineage rule)
+        .localCheckpoint(false)
+      dall = dall.unionByName(bpj.select("word", "p", "cost"))
+      bps += bpj.select("word", "p", "l")
+    }
+    val bp = bps.reduce(_ unionByName _).localCheckpoint(false) // 8 joins below
+    var r = w.select(col("word"), length(col("word")).cast("int").as("p"))
+    val uses = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (_ <- 1 to maxLen) {
+      val step = r.where(col("p") > 0).join(bp, Seq("word", "p"))
+      uses += step.select(col("word"),
+        expr("substring(word, p - l + 1, l)").as("piece"))
+      r = step.select(col("word"), (col("p") - col("l")).as("p"))
+    }
+    uses.reduce(_ unionByName _)
+  }
+
+  /** ONE hard-EM round: seed → Viterbi-segment the training words →
+    * re-estimate piece counts from the used pieces (weighted by word
+    * frequency). Returns (piece, seed_cnt, em_cnt) for every seed piece
+    * that survived (em_cnt > 0). */
+  def unigramEmCounts(words: DataFrame, wordCol: String, freqCol: String,
+                      seed: DataFrame, maxLen: Int = 8,
+                      maxPieceLen: Int = 4): DataFrame = {
+    val seedM = seed.localCheckpoint(false) // costs AND the seed_cnt join
+    val uses = unigramViterbi(words.select(col(wordCol), col(freqCol)),
+      wordCol, unigramCosts(seedM), maxLen, maxPieceLen)
+    val wf = words.select(col(wordCol).as("word"), col(freqCol).cast("long").as("__f"))
+    uses.join(wf, Seq("word"))
+      .groupBy("piece").agg(sum("__f").as("em_cnt"))
+      .join(seedM.select(col("piece"), col("cnt").as("seed_cnt")), Seq("piece"))
+      .select(col("piece"), col("seed_cnt"), col("em_cnt"))
+  }
+
+  /** Post-EM vocabulary for ENCODING: EM-surviving pieces at their
+    * re-estimated counts, plus every single character floored at count 1
+    * (characters must never leave the vocabulary or segmentation
+    * feasibility breaks — SentencePiece's required-character rule). */
+  def unigramEncodeVocab(emCounts: DataFrame, seed: DataFrame): DataFrame = {
+    val em = emCounts.select(col("piece"), col("em_cnt").as("cnt"))
+    val chars = seed.where(length(col("piece")) === 1)
+      .join(em.select("piece"), Seq("piece"), "left_anti")
+      .select(col("piece"), lit(1L).as("cnt"))
+    em.unionByName(chars)
+  }
 }
