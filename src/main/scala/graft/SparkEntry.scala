@@ -2178,6 +2178,123 @@ object SparkEntry {
         .join(idx, Seq("source"), "left")
         .orderBy("source")
     }),
+    // ── extension: PIPELINE v5 — the q105/q118/q138 admission lineage
+    //    extended with the round-12/13 operator families: an end-to-end
+    //    training-data admission chain over the documents corpus (eval
+    //    split held out) wiring (1) MULTI-DETECTOR DEDUP FUSION — exact
+    //    canonical fingerprints ∪ 3-gram Jaccard pairs ∪ cell-blocked
+    //    exact-cosine semantic pairs (raw-16 IVF cells over the doc
+    //    embeddings), fused by connected components, min-id survivor;
+    //    (2) QUALITY ENSEMBLE — Gopher rules AND a |robust z| ≤ 3 length
+    //    gate (median/MAD within source); (3) DECONTAMINATION — 3-gram
+    //    overlap against the held-out eval split; (4) MIXTURE —
+    //    sqrt-temperature budgets + deterministic token-budget cut;
+    //    (5) PACK — HRW rendezvous shards. Per-source audit row counts
+    //    every stage's drops, the mixture pick, and the shard spread;
+    //    the oracle replays all five stages (recursive-CTE closure for
+    //    the fusion components).
+    "q245_pipeline_v5" -> ((s, dir) => {
+      graft.expr.GraftFunctions.register(s)
+      import graft.operators.{MixtureSample, TrainShuffle}
+      val docs = T(s, dir, "documents")
+      val corp = docs
+        .where(pmod(col("doc_id"), lit(97)) =!= 3 && length(trim(col("text"))) > 0)
+        .localCheckpoint(false) // every stage reads it
+      // 1a. exact canonical-fp pairs (star to the min id)
+      val norm = corp.select(col("doc_id"), col("source"),
+          TextFunctions.normalizeText(col("text")).as("nt"))
+        .withColumn("fp", md5(col("nt").cast("binary")))
+        .localCheckpoint(false) // pairs + quality fields + mixture ntok
+      val first = norm.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      val epairs = norm.join(first, Seq("fp"))
+        .where(col("doc_id") =!= col("keep_id"))
+        .select(col("keep_id").as("id_a"), col("doc_id").as("id_b"))
+      // 1b. n-gram Jaccard pairs (the q118 detector)
+      val jpairs = DedupOps.ngramJaccardPairs(corp, "text", "doc_id",
+        n = 3, threshold = 0.3, maxDocFreq = 1000)
+        .select("id_a", "id_b")
+      // 1c. semantic pairs: cell-blocked exact cosine ≥ 0.95 under the
+      // frozen raw-16 quantizer (the q234 cell machinery as a detector)
+      val embAll = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val emb = embAll.join(corp.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val cells = SimilarityOps.ivfStore(emb, "vec_id", "embedding",
+          embAll.where(col("vec_id") < 16), "vec_id")
+        .localCheckpoint(false) // self-joined
+      val spairs = cells.select(col("vec_id").as("id_a"),
+          col("embedding").as("__ea"), col("cid"))
+        .join(cells.select(col("vec_id").as("id_b"),
+          col("embedding").as("__eb"), col("cid")), Seq("cid"))
+        .where(col("id_a") < col("id_b") &&
+          SimilarityOps.cosine(col("__ea"), col("__eb")) >= 0.95)
+        .select("id_a", "id_b")
+      // 1d. fuse → exact components → min-id survivors
+      val fused = epairs.unionByName(jpairs).unionByName(spairs).distinct()
+      val labels = graft.functions.GraphOps
+        .connectedComponents(fused, "id_a", "id_b")
+      val dupIds = labels.where(col("component") =!= col("id"))
+        .select(col("id").as("doc_id")).withColumn("__isdup", lit(true))
+      val flagged = norm.join(dupIds, Seq("doc_id"), "left")
+        .withColumn("is_dup", coalesce(col("__isdup"), lit(false)))
+        .localCheckpoint(false) // audit AND the survivor chain
+      // 2. quality ensemble: Gopher ∧ robust length z within source
+      val g = flagged.where(!col("is_dup"))
+        .select(col("doc_id"), col("source"), col("nt"),
+          TextFunctions.gopherQuality(col("nt"), minWords = 30,
+            minStopwords = 1).as("g"),
+          TextFunctions.tokenCount(col("nt")).cast("long").as("tok"))
+      val rz = graft.functions.ProfileOps
+        .robustZ(g.select("doc_id", "source", "tok"), "source", "tok", "doc_id")
+        .select(col("doc_id"), col("z_milli"))
+      val q = g.join(rz, Seq("doc_id"))
+        .withColumn("q_keep",
+          col("g.keep") === 1 && abs(col("z_milli")) <= 3000)
+        .localCheckpoint(false) // audit AND the survivor chain
+      // 3. decontamination vs the held-out eval split
+      val qkept = q.where(col("q_keep"))
+      val probes = docs.where(pmod(col("doc_id"), lit(97)) === 3)
+        .select(explode(DedupOps.shingles(col("text"), 3)).as("probe"))
+      val hits = TextFunctions.contaminationHits(
+          qkept.select(col("doc_id"), col("nt")), "nt", "doc_id",
+          probes, "probe", n = 3)
+        .select("doc_id").localCheckpoint(false) // drop list + audit
+      val clean = qkept.join(hits, Seq("doc_id"), "left_anti")
+      // 4. mixture: sqrt-temperature budgets + deterministic cut
+      val kept = clean.select(col("doc_id"), col("source"),
+          col("tok").as("ntok"))
+        .withColumn("prio", TrainShuffle.lcgPrio(col("doc_id"), 54321L))
+        .localCheckpoint(false) // weights AND the cut
+      val budgets = MixtureSample
+        .temperatureWeights(kept, "source", "ntok", targetTokens = 500000L)
+        .select(col("source"), round(col("q") * 500000).cast("long").as("budget"))
+      val cut = MixtureSample.tokenBudgetSample(kept, "source", "ntok",
+        "prio", budgets, "source", "budget")
+      // 5. pack: HRW rendezvous shards over the picked set
+      val picked = cut.where(col("picked"))
+        .withColumn("shard", TrainShuffle.rendezvousShard(col("doc_id"), 4))
+      val packStats = picked.groupBy("source")
+        .agg(count(lit(1)).as("n_picked"),
+          sum("ntok").cast("long").as("tok_picked"),
+          count_distinct(col("shard")).as("n_shards"))
+      corp.groupBy("source").agg(count(lit(1)).as("n_in"))
+        .join(flagged.groupBy("source")
+          .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_dropped")),
+          Seq("source"), "left")
+        .join(q.groupBy("source")
+          .agg(sum(when(!col("q_keep"), 1L).otherwise(0L)).as("n_quality_dropped")),
+          Seq("source"), "left")
+        .join(qkept.join(hits, Seq("doc_id"), "left_semi")
+          .groupBy("source").agg(count(lit(1)).as("n_contam_dropped")),
+          Seq("source"), "left")
+        .join(broadcast(budgets), Seq("source"), "left")
+        .join(packStats, Seq("source"), "left")
+        .na.fill(0L, Seq("n_dup_dropped", "n_quality_dropped",
+          "n_contam_dropped", "n_picked", "tok_picked", "n_shards"))
+        .select(col("source"), col("n_in"), col("n_dup_dropped"),
+          col("n_quality_dropped"), col("n_contam_dropped"),
+          col("n_picked"), col("tok_picked"), col("budget"), col("n_shards"))
+        .orderBy("source")
+    }),
     // ── extension: trailing-window anomaly z-scores — hourly event-type
     //    counts vs the previous 24 hours' integer-sum baseline; range
     //    windows on the hour index (gaps narrow the baseline), full
@@ -7176,6 +7293,188 @@ object SparkEntry {
          SELECT k.g AS source, k.q_bp, k.k, r.v AS value
          FROM k JOIN r ON r.g = k.g AND r.rn = k.k
          ORDER BY source, q_bp""",
+    // All five stages replayed: three detector pair sets, recursive-CTE
+    // component closure, Gopher ∧ robust-z quality, eval-shingle
+    // decontamination, sqrt-temperature mixture cut, HRW shards.
+    "q245_pipeline_v5" ->
+      """WITH RECURSIVE corp AS MATERIALIZED (
+           SELECT doc_id, source, text,
+             trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS nt
+           FROM documents
+           WHERE doc_id % 97 <> 3 AND length(trim(text)) > 0),
+         f1 AS MATERIALIZED (SELECT doc_id, md5(nt) AS fp FROM corp),
+         k1 AS (SELECT fp, min(doc_id) AS keep_id FROM f1 GROUP BY 1),
+         epairs AS (SELECT keep_id AS id_a, doc_id AS id_b
+                    FROM f1 JOIN k1 USING (fp) WHERE doc_id <> keep_id),
+         jtoks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM corp),
+         jsh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
+           FROM jtoks),
+         jexh AS MATERIALIZED (
+           SELECT doc_id, len(s) AS sz,
+             CAST('0x'||substr(md5(unnest(s)),1,15) AS BIGINT) AS h
+           FROM jsh),
+         jcommon AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS c
+           FROM jexh a JOIN jexh b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         jpairs AS (SELECT id_a, id_b FROM jcommon
+                    WHERE CAST(c AS DOUBLE) / (sz_a + sz_b - c) >= 0.3),
+         en AS MATERIALIZED (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+           FROM embeddings),
+         ec AS MATERIALIZED (SELECT * FROM en WHERE n > 0
+               AND vec_id IN (SELECT doc_id FROM corp)),
+         ecent AS (SELECT * FROM en WHERE n > 0 AND vec_id < 16),
+         sasn AS MATERIALIZED (SELECT vec_id, c FROM (
+             SELECT e.vec_id, ct.vec_id AS c,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding)+1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(ct.embedding[i] AS DOUBLE)))
+                 / (e.n * ct.n) DESC, ct.vec_id) AS rn
+             FROM ec e, ecent ct) WHERE rn = 1),
+         spairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM sasn a JOIN sasn b ON a.c = b.c AND a.vec_id < b.vec_id
+           JOIN ec ea ON ea.vec_id = a.vec_id
+           JOIN ec eb ON eb.vec_id = b.vec_id
+           WHERE list_sum(list_transform(range(1, len(ea.embedding)+1),
+               i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+             / (ea.n * eb.n) >= 0.95),
+         edges0 AS MATERIALIZED (
+           SELECT id_a AS a, id_b AS b FROM epairs
+           UNION SELECT id_a, id_b FROM jpairs
+           UNION SELECT id_a, id_b FROM spairs),
+         edges AS MATERIALIZED (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+         reach AS (
+           SELECT a AS src, b AS dst FROM edges
+           UNION
+           SELECT r.src, e2.b FROM reach r JOIN edges e2 ON e2.a = r.dst),
+         lab AS MATERIALIZED (SELECT src AS id, least(src, min(dst)) AS cluster
+                FROM reach GROUP BY src),
+         fl AS MATERIALIZED (
+           SELECT c.doc_id, c.source, c.nt,
+             coalesce(l.cluster <> c.doc_id, FALSE) AS is_dup
+           FROM corp c LEFT JOIN lab l ON l.id = c.doc_id),
+         gq AS MATERIALIZED (
+           SELECT doc_id, source, nt,
+             string_split(nt, ' ') AS t,
+             CASE WHEN length(trim(nt)) = 0 THEN 0
+                  ELSE len(string_split(nt, ' ')) END AS tok
+           FROM fl WHERE NOT is_dup),
+         q1 AS (SELECT doc_id, source, nt, tok,
+                 (CASE WHEN length(trim(nt)) = 0 THEN 0 ELSE len(t) END) AS n_words,
+                 CASE WHEN length(trim(nt)) = 0 OR len(t) = 0 THEN 0.0
+                      ELSE CAST(list_sum([length(w) for w in t]) AS DOUBLE) / len(t) END AS mwl,
+                 CASE WHEN length(trim(nt)) = 0 OR len(t) = 0 THEN 0.0
+                      ELSE CAST(len([w for w in t if regexp_matches(w, '[A-Za-z]')]) AS DOUBLE) / len(t) END AS awf,
+                 len([s0 for s0 in ['the','be','to','of','and','that','have','with'] if list_contains(t, s0)]) AS nsp,
+                 CASE WHEN length(trim(nt)) = 0 OR len(t) = 0 THEN 0.0
+                      ELSE CAST(3*(length(nt) - length(replace(nt, '#', '')))
+                                + (length(nt) - length(replace(nt, '...', ''))) AS DOUBLE)
+                           / (3*len(t)) END AS swr
+               FROM gq),
+         r1 AS (SELECT source, doc_id, tok,
+                 CAST(row_number() OVER (PARTITION BY source ORDER BY tok) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+               FROM gq),
+         med AS (SELECT source, CAST(tok AS BIGINT) AS median FROM r1
+                 WHERE rn = (5000 * n + 9999) // 10000),
+         dev AS MATERIALIZED (SELECT g2.source, g2.doc_id,
+                   CAST(g2.tok AS BIGINT) AS value, med.median,
+                   abs(CAST(g2.tok AS BIGINT) - med.median) AS ad
+                 FROM gq g2 JOIN med USING (source)),
+         r2 AS (SELECT source, ad,
+                  CAST(row_number() OVER (PARTITION BY source ORDER BY ad) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+                FROM dev),
+         madt AS (SELECT source, ad AS mad FROM r2
+                 WHERE rn = (5000 * n + 9999) // 10000),
+         zt AS MATERIALIZED (SELECT dev.doc_id,
+                 CAST(floor((value - median) * 1000.0 / greatest(madt.mad, 1)) AS BIGINT) AS z_milli
+               FROM dev JOIN madt USING (source)),
+         q2 AS MATERIALIZED (
+           SELECT q1.doc_id, q1.source, q1.nt, q1.tok,
+             (n_words BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+              AND swr <= 0.1 AND awf >= 0.8 AND nsp >= 1
+              AND abs(zt.z_milli) <= 3000) AS q_keep
+           FROM q1 JOIN zt USING (doc_id)),
+         qkept AS MATERIALIZED (SELECT doc_id, source, nt, tok FROM q2 WHERE q_keep),
+         etoks AS (
+           SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents WHERE doc_id % 97 = 3 AND length(trim(text)) > 0),
+         eprobes AS MATERIALIZED (
+           SELECT DISTINCT unnest(
+             [array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS shingle
+           FROM etoks),
+         ksh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+               for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
+           FROM (SELECT doc_id, string_split(nt, ' ') AS t FROM qkept)),
+         contam AS MATERIALIZED (
+           SELECT DISTINCT k.doc_id
+           FROM (SELECT doc_id, unnest(s) AS shingle FROM ksh) k
+           JOIN eprobes p ON p.shingle = k.shingle),
+         kd AS MATERIALIZED (
+           SELECT k.doc_id, k.source, CAST(k.tok AS BIGINT) AS ntok,
+             (k.doc_id * 1103515245 + 54321) % 2147483648 AS prio
+           FROM qkept k WHERE k.doc_id NOT IN (SELECT doc_id FROM contam)),
+         m AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS mass FROM kd GROUP BY 1),
+         t2 AS (SELECT m.*, CAST(sum(mass) OVER () AS BIGINT) AS total FROM m),
+         sq AS (SELECT source, mass,
+                  sqrt(CAST(mass AS DOUBLE) / CAST(total AS DOUBLE)) AS pa
+                FROM t2),
+         rr AS (SELECT *, sum(pa) OVER (ORDER BY source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM sq),
+         zz AS (SELECT *, max(run) OVER () AS z FROM rr),
+         bud AS MATERIALIZED (
+           SELECT source, CAST(round((pa / z) * 500000) AS BIGINT) AS budget FROM zz),
+         cc2 AS (SELECT doc_id, source, ntok,
+                 CAST(sum(ntok) OVER (PARTITION BY source ORDER BY prio
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM kd),
+         pick AS MATERIALIZED (
+           SELECT c3.doc_id, c3.source, c3.ntok, c3.cum <= b.budget AS picked
+           FROM cc2 c3 JOIN bud b USING (source)),
+         shards AS (
+           SELECT doc_id, source, ntok, s AS shard FROM (
+             SELECT p.doc_id, p.source, p.ntok, r.s,
+               row_number() OVER (PARTITION BY p.doc_id ORDER BY
+                 CAST('0x'||substr(md5('hrw,'||p.doc_id||','||r.s),1,15) AS BIGINT) DESC,
+                 r.s DESC) AS rn
+             FROM pick p CROSS JOIN range(0, 4) r(s) WHERE p.picked) WHERE rn = 1),
+         pstats AS (SELECT source, CAST(count(*) AS BIGINT) AS n_picked,
+                  CAST(sum(ntok) AS BIGINT) AS tok_picked,
+                  CAST(count(DISTINCT shard) AS BIGINT) AS n_shards
+                FROM shards GROUP BY 1),
+         audit AS (
+           SELECT c4.source, CAST(count(*) AS BIGINT) AS n_in,
+             CAST(sum(CASE WHEN f2.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped
+           FROM corp c4 JOIN fl f2 ON f2.doc_id = c4.doc_id GROUP BY 1),
+         qdrop AS (SELECT source,
+             CAST(sum(CASE WHEN q_keep THEN 0 ELSE 1 END) AS BIGINT) AS n_quality_dropped
+           FROM q2 GROUP BY 1),
+         cdrop AS (SELECT k2.source, CAST(count(*) AS BIGINT) AS n_contam_dropped
+           FROM qkept k2 JOIN contam USING (doc_id) GROUP BY 1)
+         SELECT a.source, a.n_in, a.n_dup_dropped,
+           coalesce(qd.n_quality_dropped, 0) AS n_quality_dropped,
+           coalesce(cd.n_contam_dropped, 0) AS n_contam_dropped,
+           coalesce(ps.n_picked, 0) AS n_picked,
+           coalesce(ps.tok_picked, 0) AS tok_picked,
+           b2.budget,
+           coalesce(ps.n_shards, 0) AS n_shards
+         FROM audit a
+         LEFT JOIN qdrop qd ON qd.source = a.source
+         LEFT JOIN cdrop cd ON cd.source = a.source
+         LEFT JOIN bud b2 ON b2.source = a.source
+         LEFT JOIN pstats ps ON ps.source = a.source
+         ORDER BY a.source""",
     "q138_pipeline_v4" ->
       """WITH d AS (
            SELECT doc_id, source,
