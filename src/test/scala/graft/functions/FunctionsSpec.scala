@@ -1334,6 +1334,101 @@ class SimilarityOpsSpec extends SparkSpec {
     // maximal diversity pressure still picks the best first
     assert(seq(0L).head == 10L)
   }
+
+  test("knnGraphAbsorb: every new node joins the graph; untouched nodes pass through the live view") {
+    val rng = new scala.util.Random(47)
+    val all = (0L until 40L).map(i => (i, Array.fill(8)(rng.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val base = all.where($"vec_id" < 30)
+    val k = 4
+    val live0 = SimilarityOps.bruteForceTopK(base, base, "vec_id", "vec_id",
+      "embedding", k).select("probe_id", "nbr_id", "score", "rank")
+    val cells = SimilarityOps.ivfStore(all, "vec_id", "embedding",
+      all.where($"vec_id" < 4), "vec_id").select("vec_id", "cid")
+    val delta = SimilarityOps.knnGraphAbsorb(live0, all,
+      all.where($"vec_id" >= 30).select("vec_id"), cells,
+      "vec_id", "embedding", k)
+    val drows = delta.collect()
+    val dprobes = drows.map(_.getAs[Long]("probe_id")).toSet
+    // every new node's cell holds at least its centroid, so every new
+    // node seeds, merges, and (absent from the live graph) is CHANGED
+    assert((30L until 40L).forall(dprobes.contains), s"missing new nodes: $dprobes")
+    // well-formed delta: rank ≤ k, no self edges, ≤ k rows per node
+    assert(drows.forall(r => r.getAs[Int]("rank") <= k))
+    assert(drows.forall(r => r.getAs[Long]("probe_id") != r.getAs[Long]("nbr_id")))
+    assert(drows.groupBy(_.getAs[Long]("probe_id")).values.forall(_.length <= k))
+    // node-replacement live view: changed nodes read the delta, the rest
+    // keep their epoch-0 edges verbatim
+    val store = live0.withColumn("epoch", lit(0L))
+      .unionByName(delta.withColumn("epoch", lit(1L)))
+    val live1 = SimilarityOps.liveKnnGraph(store)
+      .select("probe_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d1 = drows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("nbr_id"))).toSet
+    val old = live0.select("probe_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live1 == d1 ++ old.filterNot(e => dprobes(e._1)))
+  }
+
+  test("cellEntryNodes: probes route to their own cluster's minimum node") {
+    // two tight clusters around orthogonal axes; centroids = one member
+    // of each (ids 0 and 1), so cells split the corpus cleanly
+    def v(axis: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(8)(eps); a(axis) = 1f; a
+    }
+    val corpus = Seq(
+      (0L, v(0, 0.01f)), (2L, v(0, 0.02f)), (4L, v(0, 0.03f)),
+      (1L, v(4, 0.01f)), (3L, v(4, 0.02f)), (5L, v(4, 0.03f)))
+      .toDF("vec_id", "embedding")
+    val cent = corpus.where($"vec_id" < 2)
+    val store = SimilarityOps.ivfStore(corpus, "vec_id", "embedding", cent, "vec_id")
+    val probes = corpus.where($"vec_id" >= 4)
+    val entries = SimilarityOps.cellEntryNodes(store, probes, cent,
+      "vec_id", "vec_id", "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("nbr_id")).toMap
+    // probe 4 lives in axis-0's cluster → entry 0; probe 5 in axis-4's → 1
+    assert(entries == Map(4L -> 0L, 5L -> 1L))
+  }
+}
+
+class UnigramLmSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("unigramViterbi: min-cost segmentation with the longest-piece tie-break; OOV chars drop") {
+    // pieces: a(5) b(3) ab(4) → total 12; "ab" as one piece costs
+    // -ln(4/12) ≈ 1.10 < a+b ≈ 2.26, so "ab" wins; "ba" must split
+    val costs = VocabOps.unigramCosts(
+      Seq(("a", 5L), ("b", 3L), ("ab", 4L)).toDF("piece", "cnt"))
+    val words = Seq("ab", "ba", "abz").toDF("word")
+    val uses = VocabOps.unigramViterbi(words, "word", costs, maxLen = 8, maxPieceLen = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val byWord = uses.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    assert(byWord("ab") == List("ab"))
+    assert(byWord("ba") == List("a", "b"))
+    // 'z' is out of vocabulary: the DP never completes → no uses rows
+    assert(!byWord.contains("abz"))
+  }
+
+  test("unigramEmCounts: pieces used by the best segmentations, weighted by word frequency") {
+    val wf = Seq(("abab", 4L), ("ab", 3L), ("cd", 2L)).toDF("word", "f")
+    val seed = VocabOps.unigramSeed(wf, "word", "f",
+      maxPieceLen = 4, minCount = 2L, vocabSize = 512)
+    val seedRows = seed.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every single char kept unconditionally; "ab" mass = 2·4 + 3 = 11
+    assert(Seq("a", "b", "c", "d").forall(seedRows.contains))
+    assert(seedRows("ab") == 11L)
+    val em = VocabOps.unigramEmCounts(wf, "word", "f", seed,
+      maxLen = 8, maxPieceLen = 4).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("em_cnt"))).toMap
+    // per-word piece-length sums must reconstruct the words exactly:
+    // total EM-counted characters = Σ f·len(word)
+    val totalChars = em.map { case (p, c) => p.length * c }.sum
+    assert(totalChars == 4 * 4 + 3 * 2 + 2 * 2,
+      s"EM pieces do not tile the corpus: $em")
+    // "cd" only segments through its chars or itself — whichever wins,
+    // 'c'/'d'/"cd" mass must cover both characters of both copies
+    assert(em.getOrElse("cd", 0L) * 2 + em.getOrElse("c", 0L) + em.getOrElse("d", 0L) == 4L)
+  }
 }
 
 class MultimodalOpsSpec extends SparkSpec {
