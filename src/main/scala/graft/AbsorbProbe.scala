@@ -62,7 +62,8 @@ object AbsorbProbe {
       // routed beam over the absorbed live view
       val live1 = SimilarityOps.liveKnnGraph(
         live0.withColumn("epoch", lit(0L))
-          .unionByName(delta.withColumn("epoch", lit(1L))))
+          .unionByName(delta.select("probe_id", "nbr_id")
+            .withColumn("epoch", lit(1L))))
       val probes = emb.where(col("vec_id") < 50)
       val t1 = System.nanoTime()
       val entries = SimilarityOps.cellEntryNodes(
@@ -77,9 +78,11 @@ object AbsorbProbe {
       println(f"[absorb-probe] $sfDir n=$n k=$k rep$r: " +
         f"absorb $tAbsorb%.2f s ($dRows delta rows), " +
         f"routed-beam $tBeam%.2f s ($rRows rows)")
+      // only the SQL cache per rep — the blanket getPersistentRDDs sweep
+      // would release live0/cells (the fixture checkpoints reps share)
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     spark.stop()
   }
 }
