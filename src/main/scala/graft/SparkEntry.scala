@@ -3497,41 +3497,55 @@ object SparkEntry {
       TableStore.saveBucketed(delta.withColumn("epoch", lit(1L)), tbl,
         bucketCols = Seq("probe_id"), buckets = 8,
         mode = org.apache.spark.sql.SaveMode.Append)
-      val store = TableStore.loadTable(s, tbl)
-      // COMPACT: rewrite the live view at epoch 0 (the q172/q221
-      // small-files discipline) and read the graph back from the
-      // compacted table — lossless by construction, so the recall legs
-      // below ARE the compaction parity check
-      val dst = "graft_q234_knn_compact"
-      TableStore.dropTable(s, dst)
-      TableStore.saveBucketed(
-        SimilarityOps.liveKnnGraph(store).withColumn("epoch", lit(0L)),
-        dst, bucketCols = Seq("probe_id"), buckets = 8)
-      val live = SimilarityOps.liveKnnGraph(TableStore.loadTable(s, dst))
-      val seedF = SimilarityOps.knnGraph(emb, "vec_id", "embedding",
+      knnStoreGateTail(s, emb, init, tbl, "graft_q234_knn_compact")
+    }),
+    // ── extension: STREAMING kNN-GRAPH INGESTION — q234's absorb driven
+    //    through an ACTUAL Structured Streaming file replay whose
+    //    foreachBatch body IS the batch call sequence (vector store
+    //    ivfAbsorbBatch + knnGraphAbsorb + changed-node Append), so the
+    //    stream-built graph store is row-identical to q234's and the
+    //    oracle IS q234's full lifecycle replay (the q217 parity
+    //    convention). One trigger carries the increment: kNN absorption
+    //    is order-sensitive across batches (batch 2 would see batch 1's
+    //    merges — the chain the absorbLabelsBatch family certifies
+    //    separately), so parity is pinned against the single-increment
+    //    oracle.
+    "q246_knn_graph_stream" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val init = emb.where(col("vec_id") < 16)
+      val isNew = col("vec_id") >= 16 && pmod(col("vec_id"), lit(8)) === 5
+      val base = emb.where(!isNew)
+      val vtbl = "graft_q246_vec_store"
+      val gtbl = "graft_q246_knn_store"
+      TableStore.dropTable(s, vtbl); TableStore.dropTable(s, gtbl)
+      TableStore.saveBucketed( // vector store: base rows under frozen cells
+        SimilarityOps.ivfStore(base, "vec_id", "embedding", init, "vec_id"),
+        vtbl, bucketCols = Seq("cid"), buckets = 8)
+      val seed0 = SimilarityOps.knnGraph(base, "vec_id", "embedding",
         init, "vec_id", k = 10, probeFraction = 0.001, minProbe = 1)
-      val gF = SimilarityOps.nnDescent(emb, "vec_id", "embedding", seedF,
+      val g0 = SimilarityOps.nnDescent(base, "vec_id", "embedding", seed0,
         k = 10, iters = 1)
-      val probes = emb.where(col("vec_id") < 5)
-      val brute = SimilarityOps.bruteForceTopK(emb, probes, "vec_id",
-          "vec_id", "embedding", k = 10)
-        .select(col("probe_id"), col("nbr_id")).localCheckpoint(false)
-      val nb = brute.groupBy("probe_id").agg(count(lit(1)).as("n_brute"))
-      def overlap(gr: DataFrame, nm: String) = brute
-        .join(gr.where(col("probe_id") < 5).select("probe_id", "nbr_id"),
-          Seq("probe_id", "nbr_id"))
-        .groupBy("probe_id").agg(count(lit(1)).as(nm))
-      nb.join(overlap(live, "n_incr"), Seq("probe_id"), "left")
-        .join(overlap(gF, "n_fresh"), Seq("probe_id"), "left")
-        .select(col("probe_id"), col("n_brute"),
-          coalesce(col("n_incr"), lit(0L)).as("n_incr"),
-          coalesce(col("n_fresh"), lit(0L)).as("n_fresh"),
-          expr("coalesce(n_incr, 0L) * 1000 div n_brute").as("incr_recall_milli"),
-          expr("coalesce(n_fresh, 0L) * 1000 div n_brute").as("fresh_recall_milli"))
-        .crossJoin(broadcast(store.agg(count(lit(1)).as("store_rows"))))
-        .crossJoin(broadcast(TableStore.loadTable(s, dst)
-          .agg(count(lit(1)).as("compact_rows"))))
-        .orderBy("probe_id")
+      TableStore.saveBucketed(g0.withColumn("epoch", lit(0L)), gtbl,
+        bucketCols = Seq("probe_id"), buckets = 8)
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val dirF = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_q246_$uid")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      try {
+        val inDir = new java.io.File(dirF, "in").getAbsolutePath
+        emb.where(isNew).repartition(4).write.mode("append").parquet(inDir)
+        val in = s.readStream.schema(emb.schema).parquet(inDir)
+        val q = graft.streaming.StreamingOps.knnGraphAbsorbStream(
+          in, "vec_id", "embedding", gtbl, vtbl, init, "vec_id", k = 10)()
+        try q.processAllAvailable() finally q.stop()
+        s.catalog.refreshTable(gtbl); s.catalog.refreshTable(vtbl)
+        knnStoreGateTail(s, emb, init, gtbl, "graft_q246_knn_compact")
+          .localCheckpoint(true)
+      } finally rm(dirF)
     }),
     // ── extension: HARD-NEGATIVE MINING (DPR, Karpukhin et al. 2020)
     //    — per probe, top-5 most-similar corpus vectors of a DIFFERENT
@@ -4881,6 +4895,10 @@ object SparkEntry {
       ("q240_semantic_store_f64" -> fixed64("q168_semantic_store_parity")) +
       ("q241_ivf_delete_f64" -> fixed64("q172_ivf_delete_compact")) +
       ("q242_ivf_filtered_f64" -> fixed64("q214_ivf_filtered_search")) +
+      // stream-built kNN-graph store ≡ the batch lifecycle: the
+      // foreachBatch body IS the batch call sequence, so the oracle IS
+      // q234's full replay (the q217 parity convention)
+      ("q246_knn_graph_stream" -> oracleSqlBase("q234_knn_graph_store")) +
       // unigram-LM trainer: seed → 12-round Viterbi DP → EM counts,
       // replayed end-to-end; top-50 by re-estimated count
       ("q243_unigram_lm_train" -> (unigramTrainCtes +
@@ -4930,6 +4948,48 @@ object SparkEntry {
         sql.replace(from,
           from + " AND source IN ('src0','src1','src2')")
       })
+
+  /** Shared tail of the kNN-graph store gates (q234 batch, q246 stream):
+    * COMPACT the live view to epoch 0 (the q172/q221 small-files
+    * discipline — lossless, so the recall legs ARE the compaction parity
+    * check), rebuild fresh at the same k/iters over the grown corpus,
+    * and emit per-probe recall@10 of both against the exact baseline
+    * plus store/compacted row accounting. */
+  private def knnStoreGateTail(s: SparkSession, emb: DataFrame,
+                               init: DataFrame, tbl: String,
+                               dst: String): DataFrame = {
+    import graft.sources.TableStore
+    val store = TableStore.loadTable(s, tbl)
+    TableStore.dropTable(s, dst)
+    TableStore.saveBucketed(
+      SimilarityOps.liveKnnGraph(store).withColumn("epoch", lit(0L)),
+      dst, bucketCols = Seq("probe_id"), buckets = 8)
+    val live = SimilarityOps.liveKnnGraph(TableStore.loadTable(s, dst))
+    val seedF = SimilarityOps.knnGraph(emb, "vec_id", "embedding",
+      init, "vec_id", k = 10, probeFraction = 0.001, minProbe = 1)
+    val gF = SimilarityOps.nnDescent(emb, "vec_id", "embedding", seedF,
+      k = 10, iters = 1)
+    val probes = emb.where(col("vec_id") < 5)
+    val brute = SimilarityOps.bruteForceTopK(emb, probes, "vec_id",
+        "vec_id", "embedding", k = 10)
+      .select(col("probe_id"), col("nbr_id")).localCheckpoint(false)
+    val nb = brute.groupBy("probe_id").agg(count(lit(1)).as("n_brute"))
+    def overlap(gr: DataFrame, nm: String) = brute
+      .join(gr.where(col("probe_id") < 5).select("probe_id", "nbr_id"),
+        Seq("probe_id", "nbr_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as(nm))
+    nb.join(overlap(live, "n_incr"), Seq("probe_id"), "left")
+      .join(overlap(gF, "n_fresh"), Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_brute"),
+        coalesce(col("n_incr"), lit(0L)).as("n_incr"),
+        coalesce(col("n_fresh"), lit(0L)).as("n_fresh"),
+        expr("coalesce(n_incr, 0L) * 1000 div n_brute").as("incr_recall_milli"),
+        expr("coalesce(n_fresh, 0L) * 1000 div n_brute").as("fresh_recall_milli"))
+      .crossJoin(broadcast(store.agg(count(lit(1)).as("store_rows"))))
+      .crossJoin(broadcast(TableStore.loadTable(s, dst)
+        .agg(count(lit(1)).as("compact_rows"))))
+      .orderBy("probe_id")
+  }
 
   /** Fixed-64 oracle twin: the original gate's SQL with the %40-init
     * predicate swapped for the decade-runnable `vec_id < 64` convention

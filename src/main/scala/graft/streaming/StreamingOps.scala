@@ -242,6 +242,64 @@ object StreamingOps {
     vecs.writeStream.outputMode("append").foreachBatch(body).start()
   }
 
+  /** ONE batch of streaming kNN-GRAPH maintenance — the foreachBatch
+    * body of [[knnGraphAbsorbStream]], exposed so a batch chain (and the
+    * q246 parity gate) runs the IDENTICAL call sequence: (1) the batch's
+    * vectors land in the cid-bucketed vector store under the frozen
+    * quantizer ([[ivfAbsorbBatch]] — ONE table serves the ANN search,
+    * the semantic-dedup gate, AND the graph absorb's cell lookups);
+    * (2) [[graft.functions.SimilarityOps.knnGraphAbsorb]] seeds the new
+    * nodes from their cellmates, runs one touched-restricted NN-descent
+    * round, and (3) only CHANGED nodes' full new top-k appends to the
+    * probe-bucketed graph table at the next epoch (merge-on-read,
+    * node-replacement live view — the [[absorbLabelsBatch]] discipline
+    * for kNN edges).
+    *
+    * @return the appended graph delta rows, eagerly materialized */
+  def knnGraphAbsorbBatch(newVecs: DataFrame, idCol: String, vecCol: String,
+                          graphTable: String, vecStoreTable: String,
+                          centroids: DataFrame, centroidIdCol: String,
+                          k: Int = 10, buckets: Int = 8): DataFrame = {
+    val s = newVecs.sparkSession
+    ivfAbsorbBatch(newVecs.select(col(idCol), col(vecCol)), idCol, vecCol,
+      vecStoreTable, centroids, centroidIdCol, buckets)
+    val store = graft.sources.TableStore.loadTable(s, vecStoreTable)
+    val graph = graft.sources.TableStore.loadTable(s, graphTable)
+    val nextEpoch = graph.agg(coalesce(max(col("epoch")), lit(0L)).as("e"))
+      .head().getLong(0) + 1L
+    val delta = graft.functions.SimilarityOps.knnGraphAbsorb(
+        graft.functions.SimilarityOps.liveKnnGraph(graph),
+        store.select(col(idCol), col(vecCol)),
+        newVecs.select(col(idCol)),
+        store.select(col(idCol), col("cid")), idCol, vecCol, k)
+      .withColumn("epoch", lit(nextEpoch))
+      .localCheckpoint(true)
+    graft.sources.TableStore.saveBucketed(delta, graphTable,
+      bucketCols = Seq("probe_id"), buckets = buckets, mode = SaveMode.Append)
+    delta
+  }
+
+  /** Continuous kNN-graph maintenance against the PERSISTED graph +
+    * vector stores — the store family's streaming leg for nn-descent
+    * graphs: each micro-batch of new vectors lands in the inverted file
+    * and the graph absorbs it incrementally ([[knnGraphAbsorbBatch]]),
+    * so a concurrent [[graft.functions.SimilarityOps.beamSearchTopKFrom]]
+    * reader navigates batch N's nodes as soon as batch N commits and
+    * restarts resume from the warehouse.
+    *
+    * @param onAbsorbed called per micro-batch with (graph delta, batchId) */
+  def knnGraphAbsorbStream(vecs: DataFrame, idCol: String, vecCol: String,
+                           graphTable: String, vecStoreTable: String,
+                           centroids: DataFrame, centroidIdCol: String,
+                           k: Int = 10, buckets: Int = 8)
+                          (onAbsorbed: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      onAbsorbed(knnGraphAbsorbBatch(batch.toDF(), idCol, vecCol, graphTable,
+        vecStoreTable, centroids, centroidIdCol, k, buckets), batchId)
+    }
+    vecs.writeStream.outputMode("append").foreachBatch(body).start()
+  }
+
   /** Continuous TEXT-INDEX ingestion: a document stream absorbed into
     * the persisted BM25 inverted index — each micro-batch lands via
     * [[graft.functions.RetrievalOps.bm25IndexAbsorb]] (the batch's
