@@ -2213,20 +2213,15 @@ object SparkEntry {
       val jpairs = DedupOps.ngramJaccardPairs(corp, "text", "doc_id",
         n = 3, threshold = 0.3, maxDocFreq = 1000)
         .select("id_a", "id_b")
-      // 1c. semantic pairs: cell-blocked exact cosine ≥ 0.95 under the
-      // frozen raw-16 quantizer (the q234 cell machinery as a detector)
+      // 1c. semantic pairs: banded-SRP blocked exact cosine ≥ 0.95 (the
+      // q72 detector — round 14 re-cut; the previous fixed-16-cell
+      // self-join was n²/16 at scale, SRP band buckets keep occupancy
+      // sub-linear so the pair join follows near-dup density, not n²)
       val embAll = T(s, dir, "embeddings").select("vec_id", "embedding")
       val emb = embAll.join(corp.select(col("doc_id").as("vec_id")),
         Seq("vec_id"), "left_semi")
-      val cells = SimilarityOps.ivfStore(emb, "vec_id", "embedding",
-          embAll.where(col("vec_id") < 16), "vec_id")
-        .localCheckpoint(false) // self-joined
-      val spairs = cells.select(col("vec_id").as("id_a"),
-          col("embedding").as("__ea"), col("cid"))
-        .join(cells.select(col("vec_id").as("id_b"),
-          col("embedding").as("__eb"), col("cid")), Seq("cid"))
-        .where(col("id_a") < col("id_b") &&
-          SimilarityOps.cosine(col("__ea"), col("__eb")) >= 0.95)
+      val spairs = SimilarityOps.embeddingDupPairs(emb, "vec_id",
+          "embedding", threshold = 0.95)
         .select("id_a", "id_b")
       // 1d. fuse → exact components → min-id survivors
       val fused = epairs.unionByName(jpairs).unionByName(spairs).distinct()
@@ -3497,7 +3492,84 @@ object SparkEntry {
       TableStore.saveBucketed(delta.withColumn("epoch", lit(1L)), tbl,
         bucketCols = Seq("probe_id"), buckets = 8,
         mode = org.apache.spark.sql.SaveMode.Append)
-      knnStoreGateTail(s, emb, init, tbl, "graft_q234_knn_compact")
+      knnStoreGateTail(s, emb, e => SimilarityOps.knnGraph(e, "vec_id",
+        "embedding", init, "vec_id", k = 10, probeFraction = 0.001,
+        minProbe = 1), tbl, "graft_q234_knn_compact")
+    }),
+    // ── extension: q234's lifecycle RE-GATED on CONSTANT-OCCUPANCY hash
+    //    cells (the AbsorbProbe deployment convention — cell COUNT grows
+    //    with the corpus at ~64 occupancy, so cellmate seeding and the
+    //    same-cell seed graph stay O(n·occupancy) where the fixed-16
+    //    fixture is n²/16 by construction). Identical machinery —
+    //    cellSeedGraph → nnDescent build, knnGraphAbsorb, epoch append,
+    //    compaction, fresh-build recall — but decade-runnable to sf10,
+    //    retiring the q234/q246 gate-fixture adjudication.
+    "q247_knn_absorb_cells" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val n = emb.count()
+      val nCells = math.max(1L, n / 64L)
+      val cells = emb.select(col("vec_id"),
+          pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
+            lit(nCells)).as("cid"))
+        .localCheckpoint(false) // seed graph + absorb read it
+      val isNew = pmod(col("vec_id"), lit(8)) === 5
+      val base = emb.where(!isNew)
+      val seed0 = SimilarityOps.cellSeedGraph(base, cells, "vec_id",
+        "embedding", k = 10)
+      val g0 = SimilarityOps.nnDescent(base, "vec_id", "embedding", seed0,
+        k = 10, iters = 1)
+      val tbl = "graft_q247_knn_store"
+      TableStore.dropTable(s, tbl)
+      TableStore.saveBucketed(g0.withColumn("epoch", lit(0L)), tbl,
+        bucketCols = Seq("probe_id"), buckets = 8)
+      val delta = SimilarityOps.knnGraphAbsorb(
+        SimilarityOps.liveKnnGraph(TableStore.loadTable(s, tbl)),
+        emb, emb.where(isNew).select("vec_id"), cells,
+        "vec_id", "embedding", k = 10)
+      TableStore.saveBucketed(delta.withColumn("epoch", lit(1L)), tbl,
+        bucketCols = Seq("probe_id"), buckets = 8,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      knnStoreGateTail(s, emb,
+        e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
+          k = 10), tbl, "graft_q247_knn_compact")
+    }),
+    // ── extension: q235's routed-vs-global beam comparison RE-GATED on
+    //    the deployment graph (cellSeedGraph → nnDescent over constant-
+    //    occupancy hash cells — linear; q235's brute-force n² gate graph
+    //    is what stopped its decade at sf1) with fixed-64 real-vector
+    //    centroids routing 50 fixed probes. Every stage linear at scale;
+    //    same output contract (variant, probe_id, nbr_id, rank, hit).
+    "q248_beam_routed_cells" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val n = emb.count()
+      val nCells = math.max(1L, n / 64L)
+      val cells = emb.select(col("vec_id"),
+        pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
+          lit(nCells)).as("cid"))
+      val graph = SimilarityOps.nnDescent(emb, "vec_id", "embedding",
+          SimilarityOps.cellSeedGraph(emb, cells, "vec_id", "embedding", k = 10),
+          k = 10, iters = 1)
+        .localCheckpoint(false) // read by both variants
+      val init64 = emb.where(col("vec_id") < 64)
+      val store64 = SimilarityOps.ivfStore(emb, "vec_id", "embedding",
+        init64, "vec_id")
+      val probes = emb.where(col("vec_id") < 50)
+      val entries = SimilarityOps.cellEntryNodes(store64, probes, init64,
+        "vec_id", "vec_id", "vec_id", "embedding")
+      val routed = SimilarityOps.beamSearchTopKFrom(emb, probes, graph,
+        entries, "vec_id", "vec_id", "embedding", k = 5, beam = 8, hops = 2)
+      val global = SimilarityOps.beamSearchTopK(emb, probes, graph,
+        "vec_id", "vec_id", "embedding", k = 5, beam = 8, hops = 2)
+      val exact = SimilarityOps.bruteForceTopK(emb, probes, "vec_id",
+          "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("nbr_id"), lit(true).as("hit"))
+        .localCheckpoint(false)
+      Seq("routed" -> routed, "global" -> global).map { case (tag, r) =>
+        r.join(exact, Seq("probe_id", "nbr_id"), "left")
+          .select(lit(tag).as("variant"), col("probe_id"), col("nbr_id"),
+            col("rank"), coalesce(col("hit"), lit(false)).as("hit"))
+      }.reduce(_ unionByName _).orderBy("variant", "probe_id", "rank")
     }),
     // ── extension: STREAMING kNN-GRAPH INGESTION — q234's absorb driven
     //    through an ACTUAL Structured Streaming file replay whose
@@ -3543,7 +3615,61 @@ object SparkEntry {
           in, "vec_id", "embedding", gtbl, vtbl, init, "vec_id", k = 10)()
         try q.processAllAvailable() finally q.stop()
         s.catalog.refreshTable(gtbl); s.catalog.refreshTable(vtbl)
-        knnStoreGateTail(s, emb, init, gtbl, "graft_q246_knn_compact")
+        knnStoreGateTail(s, emb, e => SimilarityOps.knnGraph(e, "vec_id",
+          "embedding", init, "vec_id", k = 10, probeFraction = 0.001,
+          minProbe = 1), gtbl, "graft_q246_knn_compact")
+          .localCheckpoint(true)
+      } finally rm(dirF)
+    }),
+    // ── extension: q246's streaming ingestion RE-GATED on the q247
+    //    constant-occupancy fixture — the foreachBatch body absorbs with
+    //    an EXPLICIT balanced cell assignment (the cellAssign deployment
+    //    hook), the vector store lands under fixed-64 real centroids
+    //    (layout only — the gate reads ids+vectors), and the oracle IS
+    //    q247's full lifecycle replay (the q217 parity convention). With
+    //    q247 this extends the kNN-graph family's decade rows to sf10.
+    "q249_knn_stream_cells" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val n = emb.count()
+      val nCells = math.max(1L, n / 64L)
+      val cells = emb.select(col("vec_id"),
+          pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
+            lit(nCells)).as("cid"))
+        .localCheckpoint(false) // bootstrap seed + per-batch absorb + tail
+      val init64 = emb.where(col("vec_id") < 64)
+      val isNew = pmod(col("vec_id"), lit(8)) === 5
+      val base = emb.where(!isNew)
+      val vtbl = "graft_q249_vec_store"
+      val gtbl = "graft_q249_knn_store"
+      TableStore.dropTable(s, vtbl); TableStore.dropTable(s, gtbl)
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(base, "vec_id", "embedding", init64, "vec_id"),
+        vtbl, bucketCols = Seq("cid"), buckets = 8)
+      val g0 = SimilarityOps.nnDescent(base, "vec_id", "embedding",
+        SimilarityOps.cellSeedGraph(base, cells, "vec_id", "embedding", k = 10),
+        k = 10, iters = 1)
+      TableStore.saveBucketed(g0.withColumn("epoch", lit(0L)), gtbl,
+        bucketCols = Seq("probe_id"), buckets = 8)
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val dirF = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_q249_$uid")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      try {
+        val inDir = new java.io.File(dirF, "in").getAbsolutePath
+        emb.where(isNew).repartition(4).write.mode("append").parquet(inDir)
+        val in = s.readStream.schema(emb.schema).parquet(inDir)
+        val q = graft.streaming.StreamingOps.knnGraphAbsorbStream(
+          in, "vec_id", "embedding", gtbl, vtbl, init64, "vec_id", k = 10,
+          cellAssign = Some(cells))()
+        try q.processAllAvailable() finally q.stop()
+        s.catalog.refreshTable(gtbl); s.catalog.refreshTable(vtbl)
+        knnStoreGateTail(s, emb,
+          e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
+            k = 10), gtbl, "graft_q249_knn_compact")
           .localCheckpoint(true)
       } finally rm(dirF)
     }),
@@ -4899,6 +5025,15 @@ object SparkEntry {
       // foreachBatch body IS the batch call sequence, so the oracle IS
       // q234's full replay (the q217 parity convention)
       ("q246_knn_graph_stream" -> oracleSqlBase("q234_knn_graph_store")) +
+      // constant-occupancy twin of the q234 lifecycle: same replay with
+      // the fixture swapped to ~64-occupancy hash cells (decade-runnable)
+      ("q247_knn_absorb_cells" -> hashCells64("q234_knn_graph_store")) +
+      // q235's beam comparison on the deployment graph (hash-cell
+      // nnDescent) with fixed-64 routed entries — decade-runnable
+      ("q248_beam_routed_cells" -> q248OracleSql) +
+      // stream-built hash-cell graph store ≡ q247's batch lifecycle
+      // (the q217 parity convention, as q246's oracle IS q234's)
+      ("q249_knn_stream_cells" -> hashCells64("q234_knn_graph_store")) +
       // unigram-LM trainer: seed → 12-round Viterbi DP → EM counts,
       // replayed end-to-end; top-50 by re-estimated count
       ("q243_unigram_lm_train" -> (unigramTrainCtes +
@@ -4956,7 +5091,7 @@ object SparkEntry {
     * and emit per-probe recall@10 of both against the exact baseline
     * plus store/compacted row accounting. */
   private def knnStoreGateTail(s: SparkSession, emb: DataFrame,
-                               init: DataFrame, tbl: String,
+                               freshSeed: DataFrame => DataFrame, tbl: String,
                                dst: String): DataFrame = {
     import graft.sources.TableStore
     val store = TableStore.loadTable(s, tbl)
@@ -4965,10 +5100,8 @@ object SparkEntry {
       SimilarityOps.liveKnnGraph(store).withColumn("epoch", lit(0L)),
       dst, bucketCols = Seq("probe_id"), buckets = 8)
     val live = SimilarityOps.liveKnnGraph(TableStore.loadTable(s, dst))
-    val seedF = SimilarityOps.knnGraph(emb, "vec_id", "embedding",
-      init, "vec_id", k = 10, probeFraction = 0.001, minProbe = 1)
-    val gF = SimilarityOps.nnDescent(emb, "vec_id", "embedding", seedF,
-      k = 10, iters = 1)
+    val gF = SimilarityOps.nnDescent(emb, "vec_id", "embedding",
+      freshSeed(emb), k = 10, iters = 1)
     val probes = emb.where(col("vec_id") < 5)
     val brute = SimilarityOps.bruteForceTopK(emb, probes, "vec_id",
         "vec_id", "embedding", k = 10)
@@ -4999,6 +5132,144 @@ object SparkEntry {
     val sql = oracleSqlBase(name)
     val out = sql.replace("vec_id % 40 = 0", "vec_id < 64")
     require(out != sql, s"fixed-64 twin: no %40 init in $name oracle")
+    out
+  }
+
+  /** kNN-graph BUILD replay for DuckDB (shared by the q234 lifecycle and
+    * the hash-cell twins): seed = same-cell top-10 by raw cosine (cells
+    * from the ambient `asn(v, c)` CTE), then one nn-descent iteration
+    * merging (seed ∪ shared-neighbor proposals) under the round-6
+    * quantized rank law — emits `${p}g(probe_id, nbr_id)` over the node
+    * set `nodes(id)`. Requires ambient `ac(src, dst, cos)`. */
+  private def knnBuildCtes(p: String, nodes: String): String =
+    s""",
+         ${p}sd AS MATERIALIZED (SELECT probe_id, nbr_id FROM (
+            SELECT a.v AS probe_id, b.v AS nbr_id,
+              row_number() OVER (PARTITION BY a.v ORDER BY ac.cos DESC, b.v) AS rn
+            FROM asn a JOIN asn b ON a.c = b.c AND a.v <> b.v
+              JOIN ac ON ac.src = a.v AND ac.dst = b.v
+              JOIN $nodes x ON x.id = a.v JOIN $nodes y ON y.id = b.v)
+           WHERE rn <= 10),
+         ${p}ud AS MATERIALIZED (SELECT DISTINCT c, m FROM (
+            SELECT probe_id AS c, nbr_id AS m FROM ${p}sd
+            UNION ALL SELECT nbr_id, probe_id FROM ${p}sd)),
+         ${p}pr AS MATERIALIZED (SELECT DISTINCT a.m AS probe_id, b.m AS nbr_id
+            FROM ${p}ud a JOIN ${p}ud b ON b.c = a.c WHERE a.m <> b.m),
+         ${p}cd AS MATERIALIZED (SELECT probe_id, nbr_id FROM ${p}sd
+            UNION SELECT probe_id, nbr_id FROM ${p}pr),
+         ${p}g AS MATERIALIZED (SELECT probe_id, nbr_id FROM (
+            SELECT c2.probe_id, c2.nbr_id, row_number() OVER (
+              PARTITION BY c2.probe_id ORDER BY round(ac.cos, 6) DESC, c2.nbr_id) AS rn
+            FROM ${p}cd c2 JOIN ac ON ac.src = c2.probe_id AND ac.dst = c2.nbr_id)
+           WHERE rn <= 10)"""
+
+  /** q248 oracle: q235's routed-vs-global beam replay re-based on the
+    * DEPLOYMENT graph — [[knnBuildCtes]] over constant-occupancy hash
+    * cells (fg), fixed-64 real-vector centroids routing the 50 fixed
+    * probes (asn64/pasn with the cellEntryNodes law: cos desc, centroid
+    * id asc; entry = cell's min member id), 2-hop beam-8 unroll, exact
+    * top-5 hit flags. The full `ac` matrix is oracle-side-only
+    * instrumentation (DuckDB runs at sf0.01); the engine body is linear. */
+  private def q248OracleSql: String = {
+    val beam = Seq("r", "g").flatMap { v =>
+      (1 to 2).map { j => val i = j - 1
+        s""",
+         ${v}c$j AS (SELECT DISTINCT probe_id, nbr_id FROM (
+            SELECT probe_id, nbr_id FROM ${v}b$i
+            UNION ALL
+            SELECT ${v}b$i.probe_id, fg.nbr_id AS nbr_id FROM ${v}b$i
+              JOIN fg ON ${v}b$i.nbr_id = fg.probe_id)),
+         ${v}b$j AS (SELECT probe_id, nbr_id, cos FROM (
+            SELECT ${v}c$j.probe_id, ${v}c$j.nbr_id, pc.cos,
+              row_number() OVER (PARTITION BY ${v}c$j.probe_id
+                ORDER BY pc.cos DESC, ${v}c$j.nbr_id) AS rn
+            FROM ${v}c$j JOIN pc ON ${v}c$j.probe_id = pc.probe_id
+              AND ${v}c$j.nbr_id = pc.nbr_id)
+           WHERE rn <= 8)"""
+      }
+    }.mkString
+    """WITH nrm AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+           FROM embeddings),
+         live AS MATERIALIZED (SELECT * FROM nrm WHERE n > 0),
+         ac AS MATERIALIZED (
+           SELECT p.vec_id AS src, c.vec_id AS dst,
+             list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+             / (c.n * p.n) AS cos
+           FROM live c, live p),
+         asn AS MATERIALIZED (SELECT vec_id AS v,
+             CAST('0x'||substr(md5('cell:'||vec_id),1,15) AS BIGINT)
+               % greatest(1, (SELECT count(*) FROM embeddings) // 64) AS c
+             FROM live),
+         alln AS MATERIALIZED (SELECT vec_id AS id FROM live)""" +
+      knnBuildCtes("f", "alln") +
+      """,
+         pc AS MATERIALIZED (SELECT src AS probe_id, dst AS nbr_id, cos
+             FROM ac WHERE src < 50),
+         asn64 AS MATERIALIZED (SELECT src AS v, dst AS c FROM (
+             SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+             FROM ac WHERE dst < 64) WHERE rn = 1),
+         cellmin64 AS (SELECT c, min(v) AS mnid FROM asn64 GROUP BY c),
+         pasn AS (SELECT src AS probe_id, dst AS c FROM (
+             SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+             FROM ac WHERE src < 50 AND dst < 64) WHERE rn = 1),
+         er AS (SELECT p.probe_id, cm.mnid AS nbr_id FROM pasn p
+                JOIN cellmin64 cm ON cm.c = p.c),
+         entrynode AS (SELECT min(vec_id) AS eid FROM live),
+         rb0 AS (SELECT pc.probe_id, pc.nbr_id, pc.cos FROM pc
+                 JOIN er ON er.probe_id = pc.probe_id AND er.nbr_id = pc.nbr_id),
+         gb0 AS (SELECT probe_id, nbr_id, cos FROM pc, entrynode
+                 WHERE nbr_id = eid)""" +
+      beam +
+      """,
+         exact AS (SELECT probe_id, nbr_id FROM (
+            SELECT probe_id, nbr_id, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cos DESC, nbr_id) AS rn
+            FROM pc WHERE probe_id <> nbr_id) WHERE rn <= 5),
+         rfin AS (SELECT probe_id, nbr_id,
+            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS INT) AS rank
+            FROM rb2 WHERE probe_id <> nbr_id),
+         gfin AS (SELECT probe_id, nbr_id,
+            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS INT) AS rank
+            FROM gb2 WHERE probe_id <> nbr_id),
+         uni AS (
+           SELECT 'routed' AS variant, probe_id, nbr_id, rank FROM rfin WHERE rank <= 5
+           UNION ALL
+           SELECT 'global', probe_id, nbr_id, rank FROM gfin WHERE rank <= 5)
+         SELECT b.variant, b.probe_id, b.nbr_id, b.rank,
+           (e.nbr_id IS NOT NULL) AS hit
+         FROM uni b LEFT JOIN exact e
+           ON b.probe_id = e.probe_id AND b.nbr_id = e.nbr_id
+         ORDER BY variant, b.probe_id, rank"""
+  }
+
+  /** Constant-occupancy twin of the q234 kNN-graph lifecycle oracle:
+    * identical machinery (seed graph, nn-descent round, absorb, epoch
+    * append, compaction, fresh-build recall) with only the FIXTURE
+    * swapped — the nearest-raw-16-centroid `asn` becomes the AbsorbProbe
+    * deployment convention (hash cells of ~64 occupancy whose COUNT
+    * grows with the corpus), and the increment predicate loses its
+    * `>= 16` guard (there are no centroid ids to protect). */
+  private def hashCells64(name: String): String = {
+    val sql = oracleSqlBase(name)
+    val asnOld =
+      """asn AS MATERIALIZED (SELECT src AS v, dst AS c FROM (
+             SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+             FROM ac WHERE dst < 16) WHERE rn = 1)"""
+    val asnNew =
+      """asn AS MATERIALIZED (SELECT vec_id AS v,
+             CAST('0x'||substr(md5('cell:'||vec_id),1,15) AS BIGINT)
+               % greatest(1, (SELECT count(*) FROM embeddings) // 64) AS c
+             FROM live)"""
+    val out = sql.replace(asnOld, asnNew)
+      .replace("WHERE vec_id >= 16 AND vec_id % 8 = 5", "WHERE vec_id % 8 = 5")
+      .replace("WHERE NOT (vec_id >= 16 AND vec_id % 8 = 5)",
+        "WHERE NOT (vec_id % 8 = 5)")
+    require(out != sql && out.contains(asnNew),
+      s"hash-cells twin: fixture CTEs not found in $name oracle")
     out
   }
 
@@ -5055,12 +5326,12 @@ object SparkEntry {
              AND source IN ('src0','src1','src2','src3')),
          twf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS f
            FROM ttoks WHERE len(word) > 0 GROUP BY 1),
+         tpos AS (SELECT f, word, unnest(range(1, len(word)+1)) AS i FROM twf),
          cand AS MATERIALIZED (
            SELECT piece, CAST(sum(f) AS BIGINT) AS cnt FROM (
-             SELECT w.f, w.word[i.i : i.i + l.l - 1] AS piece
-             FROM twf w
-             JOIN range(1, 64) i(i) ON i.i <= len(w.word)
-             JOIN range(1, 5) l(l) ON i.i + l.l - 1 <= len(w.word))
+             SELECT p.f, p.word[p.i : p.i + l.l - 1] AS piece
+             FROM tpos p
+             JOIN range(1, 5) l(l) ON p.i + l.l - 1 <= len(p.word))
            GROUP BY 1),
          seedv AS MATERIALIZED (
            SELECT piece, cnt FROM (
@@ -7377,9 +7648,11 @@ object SparkEntry {
            SELECT doc_id, len(s) AS sz,
              CAST('0x'||substr(md5(unnest(s)),1,15) AS BIGINT) AS h
            FROM jsh),
+         jhot AS (SELECT h FROM jexh GROUP BY h HAVING count(*) > 1000),
+         jf AS (SELECT * FROM jexh WHERE h NOT IN (SELECT h FROM jhot)),
          jcommon AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS c
-           FROM jexh a JOIN jexh b ON a.h = b.h AND a.doc_id < b.doc_id
+           FROM jf a JOIN jf b ON a.h = b.h AND a.doc_id < b.doc_id
            GROUP BY 1, 2, 3, 4),
          jpairs AS (SELECT id_a, id_b FROM jcommon
                     WHERE CAST(c AS DOUBLE) / (sz_a + sz_b - c) >= 0.3),
@@ -7390,22 +7663,12 @@ object SparkEntry {
            FROM embeddings),
          ec AS MATERIALIZED (SELECT * FROM en WHERE n > 0
                AND vec_id IN (SELECT doc_id FROM corp)),
-         ecent AS (SELECT * FROM en WHERE n > 0 AND vec_id < 16),
-         sasn AS MATERIALIZED (SELECT vec_id, c FROM (
-             SELECT e.vec_id, ct.vec_id AS c,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_sum(list_transform(range(1, len(e.embedding)+1),
-                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(ct.embedding[i] AS DOUBLE)))
-                 / (e.n * ct.n) DESC, ct.vec_id) AS rn
-             FROM ec e, ecent ct) WHERE rn = 1),
          spairs AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM sasn a JOIN sasn b ON a.c = b.c AND a.vec_id < b.vec_id
-           JOIN ec ea ON ea.vec_id = a.vec_id
-           JOIN ec eb ON eb.vec_id = b.vec_id
-           WHERE list_sum(list_transform(range(1, len(ea.embedding)+1),
-               i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
-             / (ea.n * eb.n) >= 0.95),
+           FROM ec a JOIN ec b ON a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.n * b.n) >= 0.95),
          edges0 AS MATERIALIZED (
            SELECT id_a AS a, id_b AS b FROM epairs
            UNION SELECT id_a, id_b FROM jpairs
@@ -8557,27 +8820,7 @@ object SparkEntry {
     "q234_knn_graph_store" -> {
       // seed (same-cell top-10, raw cos) + one nn-descent iteration
       // (round-6 quantized rank law) over the node set `nodes(id)`
-      def knnBuild(p: String, nodes: String): String =
-        s""",
-         ${p}sd AS MATERIALIZED (SELECT probe_id, nbr_id FROM (
-            SELECT a.v AS probe_id, b.v AS nbr_id,
-              row_number() OVER (PARTITION BY a.v ORDER BY ac.cos DESC, b.v) AS rn
-            FROM asn a JOIN asn b ON a.c = b.c AND a.v <> b.v
-              JOIN ac ON ac.src = a.v AND ac.dst = b.v
-              JOIN $nodes x ON x.id = a.v JOIN $nodes y ON y.id = b.v)
-           WHERE rn <= 10),
-         ${p}ud AS MATERIALIZED (SELECT DISTINCT c, m FROM (
-            SELECT probe_id AS c, nbr_id AS m FROM ${p}sd
-            UNION ALL SELECT nbr_id, probe_id FROM ${p}sd)),
-         ${p}pr AS MATERIALIZED (SELECT DISTINCT a.m AS probe_id, b.m AS nbr_id
-            FROM ${p}ud a JOIN ${p}ud b ON b.c = a.c WHERE a.m <> b.m),
-         ${p}cd AS MATERIALIZED (SELECT probe_id, nbr_id FROM ${p}sd
-            UNION SELECT probe_id, nbr_id FROM ${p}pr),
-         ${p}g AS MATERIALIZED (SELECT probe_id, nbr_id FROM (
-            SELECT c2.probe_id, c2.nbr_id, row_number() OVER (
-              PARTITION BY c2.probe_id ORDER BY round(ac.cos, 6) DESC, c2.nbr_id) AS rn
-            FROM ${p}cd c2 JOIN ac ON ac.src = c2.probe_id AND ac.dst = c2.nbr_id)
-           WHERE rn <= 10)"""
+      def knnBuild(p: String, nodes: String): String = knnBuildCtes(p, nodes)
       """WITH nrm AS (
            SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(range(1, len(embedding)+1),

@@ -1083,7 +1083,7 @@ object GraphOps {
     * .sql.execution.LogicalRDD]] leaf (Dataset.unpersist only uncaches
     * CACHED queries, not checkpoints). Call only when nothing will read
     * the frame again — local-checkpoint blocks are not recomputable. */
-  private[functions] def releaseLocalCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

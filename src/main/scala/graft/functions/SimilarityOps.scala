@@ -429,6 +429,39 @@ object SimilarityOps {
     ivfTopKFraction(corpus, corpus, centroids, idCol, idCol, centroidIdCol,
       vecCol, k, probeFraction, minProbe)
 
+  /** SAME-CELL top-k seed graph from an EXPLICIT cell assignment — the
+    * [[knnGraph]] seed for deployments whose inverted-file layout is a
+    * BALANCED, corpus-proportional partition (constant cell occupancy —
+    * hash buckets, a reindexed quantizer) rather than a fixed centroid
+    * set: with occupancy bounded, the same-cell candidate join is
+    * O(n · occupancy) — linear at scale where a fixed-cell-count
+    * assignment degrades to n²/cells. Scoring is the standard law (raw
+    * cosine desc, id tie-break); feed the result to [[nnDescent]] for
+    * recall, exactly as with the centroid seed.
+    *
+    * @param cells (idCol, "cid") — one assignment row per corpus id
+    * @return (probe_id, nbr_id, score, rank ≤ k) directed seed edges */
+  def cellSeedGraph(corpus: DataFrame, cells: DataFrame, idCol: String,
+                    vecCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    GraftFunctions.register(corpus.sparkSession)
+    val v = corpus
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        vnorm(col(vecCol)).as("__n"))
+      .where(col("__n") > 0)
+      .join(cells.select(col(idCol).as("__id"), col("cid")), Seq("__id"))
+    val a = v.select(col("cid"), col("__id").as("probe_id"),
+      col("__v").as("__pv"), col("__n").as("__pn"))
+    val b = v.select(col("cid"), col("__id").as("nbr_id"),
+      col("__v").as("__cv"), col("__n").as("__cn"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("nbr_id").asc)
+    a.join(b, Seq("cid")).where(col("probe_id") =!= col("nbr_id"))
+      .select(col("probe_id"), col("nbr_id"),
+        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** NN-DESCENT refinement of a kNN graph (Dong, Moses & Li, WWW 2011):
     * iterate "a neighbor of my neighbor is probably my neighbor" — per
     * round, every node's (undirected) neighborhood proposes all its
@@ -565,8 +598,22 @@ object SimilarityOps {
       .select(col("__id").as("__nid"), col("cid"))
     // 1. seeds: (new ↔ cellmate) in both directions, deduped
     val mates = c.join(newCells, Seq("cid")).where(col("__id") =!= col("__nid"))
-    val seeds = mates.select(col("__nid").as("probe_id"), col("__id").as("nbr_id"))
-      .unionByName(mates.select(col("__id").as("probe_id"), col("__nid").as("nbr_id")))
+    // FALLBACK — a new node ALONE in its cell has no cellmates and would
+    // otherwise silently never join the graph (no delta row, no error):
+    // seed it bidirectionally with the globally smallest OTHER live node
+    // id (the beamSearchTopK entry-node convention), so the propagation
+    // round pulls it toward its real neighborhood instead of dropping it.
+    val lone = newCells.select(col("__nid"))
+      .join(mates.select(col("__nid")).distinct(), Seq("__nid"), "left_anti")
+    val mins = v.select(col("__id")).orderBy(col("__id").asc).limit(2)
+      .agg(min(col("__id")).as("__m1"), max(col("__id")).as("__m2"))
+    val loneSeeds = lone.crossJoin(broadcast(mins))
+      .select(col("__nid"), when(col("__nid") === col("__m1"), col("__m2"))
+        .otherwise(col("__m1")).as("__id"))
+      .where(col("__id") =!= col("__nid")) // degenerate single-vector corpus
+    val pairs = mates.select(col("__nid"), col("__id")).unionByName(loneSeeds)
+    val seeds = pairs.select(col("__nid").as("probe_id"), col("__id").as("nbr_id"))
+      .unionByName(pairs.select(col("__id").as("probe_id"), col("__nid").as("nbr_id")))
       .distinct()
       .localCheckpoint(false) // touched set, propagation, AND the pool
     val touched = seeds.select(col("probe_id").as("__t"))
@@ -610,7 +657,17 @@ object SimilarityOps {
       .select(col("probe_id")).distinct()
     val delta = newTop.join(changed, Seq("probe_id"), "left_semi")
       .select(col("probe_id"), col("nbr_id"), col("score"), col("rank"))
+      .localCheckpoint(true) // the ONLY frame this call leaves pinned
     v.unpersist(blocking = false)
+    // Release every intermediate checkpoint now that the delta is
+    // materialized and self-contained — a continuous absorb stream calls
+    // this once per micro-batch, and without the release each batch
+    // leaks 4 non-recomputable block sets into the block manager (the
+    // connectedComponents leak class, fixed the same way).
+    GraphOps.releaseLocalCheckpoint(seeds)
+    GraphOps.releaseLocalCheckpoint(undT)
+    GraphOps.releaseLocalCheckpoint(cand)
+    GraphOps.releaseLocalCheckpoint(newTop)
     delta
   }
 

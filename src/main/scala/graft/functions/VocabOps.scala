@@ -374,7 +374,16 @@ object VocabOps {
         expr("substring(word, p - l + 1, l)").as("piece"))
       r = step.select(col("word"), (col("p") - col("l")).as("p"))
     }
-    uses.reduce(_ unionByName _)
+    // Materialize the result, then release the ~maxLen+3 DP frames
+    // (w, sub, per-round bpj, bp) — without this every Viterbi call
+    // pins its whole forward/backward lineage for the session (the
+    // connectedComponents leak class).
+    val out = uses.reduce(_ unionByName _).localCheckpoint(true)
+    GraphOps.releaseLocalCheckpoint(w)
+    GraphOps.releaseLocalCheckpoint(sub)
+    GraphOps.releaseLocalCheckpoint(bp)
+    bps.foreach(GraphOps.releaseLocalCheckpoint)
+    out
   }
 
   /** ONE hard-EM round: seed → Viterbi-segment the training words →
@@ -388,10 +397,14 @@ object VocabOps {
     val uses = unigramViterbi(words.select(col(wordCol), col(freqCol)),
       wordCol, unigramCosts(seedM), maxLen, maxPieceLen)
     val wf = words.select(col(wordCol).as("word"), col(freqCol).cast("long").as("__f"))
-    uses.join(wf, Seq("word"))
+    val out = uses.join(wf, Seq("word"))
       .groupBy("piece").agg(sum("__f").as("em_cnt"))
       .join(seedM.select(col("piece"), col("cnt").as("seed_cnt")), Seq("piece"))
       .select(col("piece"), col("seed_cnt"), col("em_cnt"))
+      .localCheckpoint(true) // vocabulary-sized; lets seedM + uses go
+    GraphOps.releaseLocalCheckpoint(seedM)
+    GraphOps.releaseLocalCheckpoint(uses)
+    out
   }
 
   /** Post-EM vocabulary for ENCODING: EM-surviving pieces at their

@@ -236,8 +236,12 @@ object StreamingOps {
                       centroidIdCol: String, buckets: Int = 8)
                      (onAbsorbed: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
     val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
-      onAbsorbed(ivfAbsorbBatch(batch.toDF(), idCol, vecCol, storeTable,
-        centroids, centroidIdCol, buckets), batchId)
+      val landed = ivfAbsorbBatch(batch.toDF(), idCol, vecCol, storeTable,
+        centroids, centroidIdCol, buckets)
+      onAbsorbed(landed, batchId)
+      // callback done; release the batch's checkpoint so an unbounded
+      // stream holds zero per-batch block-manager blocks
+      graft.functions.GraphOps.releaseLocalCheckpoint(landed)
     }
     vecs.writeStream.outputMode("append").foreachBatch(body).start()
   }
@@ -259,23 +263,32 @@ object StreamingOps {
   def knnGraphAbsorbBatch(newVecs: DataFrame, idCol: String, vecCol: String,
                           graphTable: String, vecStoreTable: String,
                           centroids: DataFrame, centroidIdCol: String,
-                          k: Int = 10, buckets: Int = 8): DataFrame = {
+                          k: Int = 10, buckets: Int = 8,
+                          cellAssign: Option[DataFrame] = None): DataFrame = {
     val s = newVecs.sparkSession
-    ivfAbsorbBatch(newVecs.select(col(idCol), col(vecCol)), idCol, vecCol,
-      vecStoreTable, centroids, centroidIdCol, buckets)
+    val landed = ivfAbsorbBatch(newVecs.select(col(idCol), col(vecCol)),
+      idCol, vecCol, vecStoreTable, centroids, centroidIdCol, buckets)
     val store = graft.sources.TableStore.loadTable(s, vecStoreTable)
     val graph = graft.sources.TableStore.loadTable(s, graphTable)
     val nextEpoch = graph.agg(coalesce(max(col("epoch")), lit(0L)).as("e"))
       .head().getLong(0) + 1L
+    // knnGraphAbsorb releases its own intermediates and returns an
+    // eagerly-checkpointed delta, so `delta` here is a cheap projection
+    // over the one pinned frame — no second checkpoint needed.
     val delta = graft.functions.SimilarityOps.knnGraphAbsorb(
         graft.functions.SimilarityOps.liveKnnGraph(graph),
         store.select(col(idCol), col(vecCol)),
         newVecs.select(col(idCol)),
-        store.select(col(idCol), col("cid")), idCol, vecCol, k)
+        // default: the IVF store's frozen cid layout; a deployment with a
+        // balanced (constant-occupancy) partition passes it explicitly
+        cellAssign.getOrElse(store.select(col(idCol), col("cid"))),
+        idCol, vecCol, k)
       .withColumn("epoch", lit(nextEpoch))
-      .localCheckpoint(true)
     graft.sources.TableStore.saveBucketed(delta, graphTable,
       bucketCols = Seq("probe_id"), buckets = buckets, mode = SaveMode.Append)
+    // the landed vector rows served only the Append above — release them
+    // so a continuous stream leaves no per-batch block residue
+    graft.functions.GraphOps.releaseLocalCheckpoint(landed)
     delta
   }
 
@@ -291,11 +304,16 @@ object StreamingOps {
   def knnGraphAbsorbStream(vecs: DataFrame, idCol: String, vecCol: String,
                            graphTable: String, vecStoreTable: String,
                            centroids: DataFrame, centroidIdCol: String,
-                           k: Int = 10, buckets: Int = 8)
+                           k: Int = 10, buckets: Int = 8,
+                           cellAssign: Option[DataFrame] = None)
                           (onAbsorbed: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
     val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
-      onAbsorbed(knnGraphAbsorbBatch(batch.toDF(), idCol, vecCol, graphTable,
-        vecStoreTable, centroids, centroidIdCol, k, buckets), batchId)
+      val delta = knnGraphAbsorbBatch(batch.toDF(), idCol, vecCol, graphTable,
+        vecStoreTable, centroids, centroidIdCol, k, buckets, cellAssign)
+      onAbsorbed(delta, batchId)
+      // the callback has consumed the delta synchronously; release its
+      // checkpoint so an unbounded stream holds ZERO per-batch blocks
+      graft.functions.GraphOps.releaseLocalCheckpoint(delta)
     }
     vecs.writeStream.outputMode("append").foreachBatch(body).start()
   }

@@ -1429,6 +1429,22 @@ class UnigramLmSpec extends graft.SparkSpec {
     // 'c'/'d'/"cd" mass must cover both characters of both copies
     assert(em.getOrElse("cd", 0L) * 2 + em.getOrElse("c", 0L) + em.getOrElse("d", 0L) == 4L)
   }
+
+  test("unigramViterbi/unigramEmCounts release their DP checkpoint frames (≤2 pinned RDDs)") {
+    val wf = Seq(("abab", 4L), ("ab", 3L), ("cd", 2L), ("abcd", 1L))
+      .toDF("word", "f")
+    val seed = VocabOps.unigramSeed(wf, "word", "f",
+      maxPieceLen = 4, minCount = 2L, vocabSize = 512)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val em = VocabOps.unigramEmCounts(wf, "word", "f", seed,
+      maxLen = 8, maxPieceLen = 4)
+    assert(em.count() > 0)
+    // an 8-round Viterbi pins ~11 lazy frames without the release — the
+    // gate keeps only the eager EM result (and its uses parent) pinned
+    val pinnedNew = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinnedNew.size <= 2,
+      s"unigram DP left ${pinnedNew.size} pinned RDDs")
+  }
 }
 
 class MultimodalOpsSpec extends SparkSpec {

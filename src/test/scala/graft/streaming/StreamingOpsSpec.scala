@@ -696,4 +696,81 @@ class CmsStreamSpec extends graft.SparkSpec {
     assert(mustKeep.subsetOf(rows.map(_.getAs[String]("key")).toSet))
     spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
   }
+
+  test("knnGraphAbsorbStream: multi-batch absorb leaves ≤2 pinned RDDs and a complete live graph") {
+    import graft.functions.SimilarityOps
+    import graft.sources.TableStore
+    implicit val sqlCtx = spark.sqlContext
+    val vtbl = "graft_stream_knn_vecs"
+    val gtbl = "graft_stream_knn_graph"
+    TableStore.dropTable(spark, vtbl); TableStore.dropTable(spark, gtbl)
+    val rng = new scala.util.Random(91)
+    def vec() = Array.fill(6)(rng.nextFloat() * 2f - 1f)
+    val all = (0L until 36L).map(i => (i, vec()))
+    val base = all.filter(_._1 < 12L).toDF("vec_id", "embedding")
+    val cent = all.filter(_._1 < 3L).toDF("vec_id", "embedding")
+    val k = 4
+    // bootstrap: vector store + an exact epoch-0 graph over the base
+    TableStore.saveBucketed(
+      SimilarityOps.ivfStore(base, "vec_id", "embedding", cent, "vec_id"),
+      vtbl, bucketCols = Seq("cid"), buckets = 4)
+    val g0 = SimilarityOps.bruteForceTopK(base, base, "vec_id", "vec_id",
+      "embedding", k).select("probe_id", "nbr_id", "score", "rank")
+    TableStore.saveBucketed(g0.withColumn("epoch", lit(0L)), gtbl,
+      bucketCols = Seq("probe_id"), buckets = 4)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ms = MemoryStream[(Long, Array[Float])]
+    var batches = 0
+    val q = graft.streaming.StreamingOps.knnGraphAbsorbStream(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      gtbl, vtbl, cent, "vec_id", k = k, buckets = 4) { (delta, _) =>
+      batches += 1
+      assert(delta.count() > 0) // the callback CAN still read the delta
+    }
+    try {
+      // three micro-batches of 8 new vectors each
+      Seq(12L until 20L, 20L until 28L, 28L until 36L).foreach { ids =>
+        ms.addData(all.filter(t => ids.contains(t._1)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(batches == 3)
+    // the leak gate: absorbing 3 batches must not accumulate per-batch
+    // checkpoint frames (seeds/undT/cand/newTop/landed/delta) — the
+    // connectedComponents discipline applied to the kNN absorb path
+    val pinnedNew = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinnedNew.size <= 2,
+      s"kNN absorb stream left ${pinnedNew.size} pinned RDDs")
+    // and the stream-built live graph serves every node, old and new
+    spark.catalog.refreshTable(gtbl)
+    val live = SimilarityOps.liveKnnGraph(TableStore.loadTable(spark, gtbl))
+    val probes = live.select("probe_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert((0L until 36L).forall(probes.contains),
+      s"live graph missing nodes: ${(0L until 36L).toSet -- probes}")
+    TableStore.dropTable(spark, vtbl); TableStore.dropTable(spark, gtbl)
+  }
+
+  test("knnGraphAbsorb seeds a new node that is alone in its IVF cell (entry-node fallback)") {
+    import graft.functions.SimilarityOps
+    // 5 base vectors near axis 0 (cell 0); the new node sits alone in
+    // cell 1 (its centroid has no other member) — without the fallback
+    // it produced NO delta row and silently never joined the graph
+    def v(axis: Int, eps: Float) = { val a = Array.fill(6)(eps); a(axis) = 1f; a }
+    val base = (0L until 5L).map(i => (i, v(0, 0.01f * (i + 1)))).toDF("vec_id", "embedding")
+    val nw = Seq((9L, v(3, 0.01f))).toDF("vec_id", "embedding")
+    val all = base.unionByName(nw)
+    val cents = Seq((0L, v(0, 0.02f)), (1L, v(3, 0.05f))).toDF("vec_id", "embedding")
+    val cells = SimilarityOps.ivfStore(all, "vec_id", "embedding",
+      cents, "vec_id").select("vec_id", "cid")
+    val g0 = SimilarityOps.bruteForceTopK(base, base, "vec_id", "vec_id",
+      "embedding", 3).select("probe_id", "nbr_id", "score", "rank")
+    val delta = SimilarityOps.knnGraphAbsorb(g0, all, nw.select("vec_id"),
+      cells, "vec_id", "embedding", k = 3).collect()
+    val probes = delta.map(_.getAs[Long]("probe_id")).toSet
+    assert(probes.contains(9L), s"lone new node dropped; delta probes $probes")
+    // seeded via the global entry node (id 0), then merged top-k edges
+    val edges9 = delta.filter(_.getAs[Long]("probe_id") == 9L)
+    assert(edges9.nonEmpty && edges9.forall(_.getAs[Long]("nbr_id") != 9L))
+  }
 }
