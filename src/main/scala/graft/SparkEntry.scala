@@ -2848,6 +2848,52 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally rm(base)
     }),
+    // ── extension: STREAMING RESTART/RECOVERY — q217's index ingestion
+    //    stopped between batch 1 and batch 2 and RESTARTED from the same
+    //    checkpointLocation: the resumed query reads the offset log and
+    //    skips the committed half (the store Append is not idempotent —
+    //    a replayed batch would double the postings and shift every BM25
+    //    score, so search parity vs the one-shot build IS the recovery
+    //    proof). Oracle: q107's one-shot SQL (the q217 convention).
+    "q250_bm25_stream_restart" -> ((s, dir) => {
+      import graft.sources.TableStore
+      import graft.functions.RetrievalOps
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val tbl = "graft_q250_idx"
+      TableStore.dropTable(s, tbl); TableStore.dropTable(s, tbl + "_stats")
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val base = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_q250_$uid")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      try {
+        val inDir = new java.io.File(base, "in").getAbsolutePath
+        val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+        def run(): Unit = {
+          val in = s.readStream.schema(docs.schema).parquet(inDir)
+          val q = graft.streaming.StreamingOps.bm25AbsorbStream(
+            in, "doc_id", "text", tbl, checkpointLocation = Some(ckpt))()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // batch 1: even half lands, then the query STOPS (simulated kill)
+        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .repartition(8).write.mode("append").parquet(inDir)
+        run()
+        // restart from the same checkpoint: only the odd half is new —
+        // re-absorbing the even half would break parity below
+        docs.where(pmod(col("doc_id"), lit(2)) === 1)
+          .repartition(8).write.mode("append").parquet(inDir)
+        run()
+        s.catalog.refreshTable(tbl); s.catalog.refreshTable(tbl + "_stats")
+        RetrievalOps.bm25SearchStore(s, tbl,
+          Seq(1 -> Seq("spark", "join", "window"), 2 -> Seq("stream", "batch"),
+            3 -> Seq("vector", "hash", "merge", "sort")), k = 10)
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally rm(base)
+    }),
     // ── extension: TF-IDF KEYWORD EXTRACTION (Salton & Buckley 1988;
     //    scikit-learn's smoothed idf) — top-3 characteristic terms per
     //    doc: one closed-form double through ln, floored to micro, so
@@ -3570,6 +3616,56 @@ object SparkEntry {
           .select(lit(tag).as("variant"), col("probe_id"), col("nbr_id"),
             col("rank"), coalesce(col("hit"), lit(false)).as("hit"))
       }.reduce(_ unionByName _).orderBy("variant", "probe_id", "rank")
+    }),
+    // ── extension: ANN SERVING FROM PERSISTED STATE ONLY — the routed
+    //    beam end-to-end where every input is a store read: entries via
+    //    cellEntryNodes on the LIVE IVF store's cid layout, the graph
+    //    from the COMPACTED kNN store, vectors from the vector store
+    //    (the corpus frame itself is never touched at query time). The
+    //    AnnServePlanSpec asserts the serving plan never shuffles the
+    //    store; recall rows vs exact top-5 ship with the result.
+    "q251_ann_serve_store" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val n = emb.count()
+      val nCells = math.max(1L, n / 64L)
+      val cells = emb.select(col("vec_id"),
+        pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
+          lit(nCells)).as("cid"))
+      val init64 = emb.where(col("vec_id") < 64)
+      val vtbl = "graft_q251_vec_store"
+      val gtbl = "graft_q251_knn_store"
+      val ctbl = "graft_q251_knn_compact"
+      TableStore.dropTable(s, vtbl); TableStore.dropTable(s, gtbl)
+      TableStore.dropTable(s, ctbl)
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(emb, "vec_id", "embedding", init64, "vec_id"),
+        vtbl, bucketCols = Seq("cid"), buckets = 8)
+      TableStore.saveBucketed(
+        SimilarityOps.nnDescent(emb, "vec_id", "embedding",
+          SimilarityOps.cellSeedGraph(emb, cells, "vec_id", "embedding", k = 10),
+          k = 10, iters = 1).withColumn("epoch", lit(0L)),
+        gtbl, bucketCols = Seq("probe_id"), buckets = 8)
+      TableStore.saveBucketed( // compaction: live view rewritten at epoch 0
+        SimilarityOps.liveKnnGraph(TableStore.loadTable(s, gtbl))
+          .withColumn("epoch", lit(0L)),
+        ctbl, bucketCols = Seq("probe_id"), buckets = 8)
+      // ── SERVING: persisted state only from here on
+      val store = TableStore.loadTable(s, vtbl)
+      val graph = SimilarityOps.liveKnnGraph(TableStore.loadTable(s, ctbl))
+      val corpus = store.select("vec_id", "embedding")
+      val probes = emb.where(col("vec_id") < 50)
+      val entries = SimilarityOps.cellEntryNodes(store, probes, init64,
+        "vec_id", "vec_id", "vec_id", "embedding")
+      val served = SimilarityOps.beamSearchTopKFrom(corpus, probes, graph,
+        entries, "vec_id", "vec_id", "embedding", k = 5, beam = 8, hops = 2)
+      val exactS = SimilarityOps.bruteForceTopK(corpus, probes, "vec_id",
+          "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("nbr_id"), lit(true).as("hit"))
+      served.join(exactS, Seq("probe_id", "nbr_id"), "left")
+        .select(col("probe_id"), col("nbr_id"), col("rank"),
+          coalesce(col("hit"), lit(false)).as("hit"))
+        .orderBy("probe_id", "rank")
     }),
     // ── extension: STREAMING kNN-GRAPH INGESTION — q234's absorb driven
     //    through an ACTUAL Structured Streaming file replay whose
@@ -5034,6 +5130,12 @@ object SparkEntry {
       // stream-built hash-cell graph store ≡ q247's batch lifecycle
       // (the q217 parity convention, as q246's oracle IS q234's)
       ("q249_knn_stream_cells" -> hashCells64("q234_knn_graph_store")) +
+      // restart-resumed stream store ≡ one-shot bm25TopK (q217 + a kill
+      // between batches; replayed batches would break the hash)
+      ("q250_bm25_stream_restart" -> oracleSqlBase("q107_bm25_retrieval")) +
+      // store-served routed beam ≡ the inline routed leg (same graph,
+      // same routing law) — the serving read path adds nothing
+      ("q251_ann_serve_store" -> beamServeOracleSql(includeGlobal = false)) +
       // unigram-LM trainer: seed → 12-round Viterbi DP → EM counts,
       // replayed end-to-end; top-50 by re-estimated count
       ("q243_unigram_lm_train" -> (unigramTrainCtes +
@@ -5170,8 +5272,14 @@ object SparkEntry {
     * id asc; entry = cell's min member id), 2-hop beam-8 unroll, exact
     * top-5 hit flags. The full `ac` matrix is oracle-side-only
     * instrumentation (DuckDB runs at sf0.01); the engine body is linear. */
-  private def q248OracleSql: String = {
-    val beam = Seq("r", "g").flatMap { v =>
+  private def q248OracleSql: String = beamServeOracleSql(includeGlobal = true)
+
+  /** Shared replay for the routed-beam gates (q248 both-variants, q251
+    * routed-only store serving): deployment graph + fixed-64 routing +
+    * 2-hop beam-8 unroll + exact top-5 hit flags. */
+  private def beamServeOracleSql(includeGlobal: Boolean): String = {
+    val variants = if (includeGlobal) Seq("r", "g") else Seq("r")
+    val beam = variants.flatMap { v =>
       (1 to 2).map { j => val i = j - 1
         s""",
          ${v}c$j AS (SELECT DISTINCT probe_id, nbr_id FROM (
@@ -5220,9 +5328,12 @@ object SparkEntry {
                 JOIN cellmin64 cm ON cm.c = p.c),
          entrynode AS (SELECT min(vec_id) AS eid FROM live),
          rb0 AS (SELECT pc.probe_id, pc.nbr_id, pc.cos FROM pc
-                 JOIN er ON er.probe_id = pc.probe_id AND er.nbr_id = pc.nbr_id),
+                 JOIN er ON er.probe_id = pc.probe_id AND er.nbr_id = pc.nbr_id)""" +
+      (if (includeGlobal)
+        """,
          gb0 AS (SELECT probe_id, nbr_id, cos FROM pc, entrynode
-                 WHERE nbr_id = eid)""" +
+                 WHERE nbr_id = eid)"""
+       else "") +
       beam +
       """,
          exact AS (SELECT probe_id, nbr_id FROM (
@@ -5231,7 +5342,9 @@ object SparkEntry {
             FROM pc WHERE probe_id <> nbr_id) WHERE rn <= 5),
          rfin AS (SELECT probe_id, nbr_id,
             CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS INT) AS rank
-            FROM rb2 WHERE probe_id <> nbr_id),
+            FROM rb2 WHERE probe_id <> nbr_id)""" +
+      (if (includeGlobal)
+        """,
          gfin AS (SELECT probe_id, nbr_id,
             CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS INT) AS rank
             FROM gb2 WHERE probe_id <> nbr_id),
@@ -5244,6 +5357,14 @@ object SparkEntry {
          FROM uni b LEFT JOIN exact e
            ON b.probe_id = e.probe_id AND b.nbr_id = e.nbr_id
          ORDER BY variant, b.probe_id, rank"""
+       else
+        """
+         SELECT b.probe_id, b.nbr_id, b.rank,
+           (e.nbr_id IS NOT NULL) AS hit
+         FROM (SELECT probe_id, nbr_id, rank FROM rfin WHERE rank <= 5) b
+         LEFT JOIN exact e
+           ON b.probe_id = e.probe_id AND b.nbr_id = e.nbr_id
+         ORDER BY b.probe_id, rank""")
   }
 
   /** Constant-occupancy twin of the q234 kNN-graph lifecycle oracle:

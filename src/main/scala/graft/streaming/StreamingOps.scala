@@ -334,14 +334,20 @@ object StreamingOps {
     * @param onAbsorbed called per micro-batch with its batchId
     */
   def bm25AbsorbStream(docs: DataFrame, idCol: String, textCol: String,
-                       indexTable: String, buckets: Int = 8)
+                       indexTable: String, buckets: Int = 8,
+                       checkpointLocation: Option[String] = None)
                       (onAbsorbed: Long => Unit = _ => ()): StreamingQuery = {
     val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       graft.functions.RetrievalOps.bm25IndexAbsorb(batch.toDF(), idCol,
         textCol, indexTable, buckets)
       onAbsorbed(batchId)
     }
-    docs.writeStream.outputMode("append").foreachBatch(body).start()
+    val w = docs.writeStream.outputMode("append").foreachBatch(body)
+    // with a durable checkpoint, a restarted query resumes from the
+    // offset log and MUST NOT re-absorb committed batches (the store
+    // Append is not idempotent — the q250 recovery gate pins this)
+    checkpointLocation.fold(w)(cl => w.option("checkpointLocation", cl))
+      .start()
   }
 
   /** Continuous CO-OCCURRENCE ingestion: a document stream absorbed

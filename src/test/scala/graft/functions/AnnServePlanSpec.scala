@@ -1,0 +1,96 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.sources.TableStore
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** PLAN-SHAPE gate for ANN SERVING FROM PERSISTED STATE (the q251 path):
+  * the claim "at query time the stores are read in place — the vector
+  * store's embedding payload never crosses an Exchange, and the graph
+  * store's merge-on-read live view resolves bucket-locally" as a FAILING
+  * ASSERTION ([[Bm25PlanSpec]]'s discipline applied to the ANN stores).
+  * At 100 TB a reintroduced store shuffle is a corpus-sized exchange on
+  * every query batch. */
+class AnnServePlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def finalPlan(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => finalPlan(a.executedPlan)
+    case other => other
+  }
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val self = finalPlan(p)
+    val kids = self match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    self +: kids.flatMap(allNodes)
+  }
+
+  private def scansOf(p: SparkPlan, tbl: String): Seq[FileSourceScanExec] =
+    allNodes(p).collect {
+      case s: FileSourceScanExec
+          if s.relation.location.inputFiles.exists(_.contains(tbl)) => s
+    }
+
+  test("store-served routed beam: vector payload never shuffles; graph live view resolves bucket-locally") {
+    val vtbl = "graft_ann_plan_vec"
+    val ctbl = "graft_ann_plan_graph"
+    Seq(vtbl, ctbl).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val rng = new scala.util.Random(7)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val cents = emb.where($"vec_id" < 4)
+    val cells = emb.select($"vec_id",
+      pmod(DedupOps.hash60(concat_ws(":", lit("cell"), $"vec_id")), lit(5L))
+        .as("cid"))
+    TableStore.saveBucketed(
+      SimilarityOps.ivfStore(emb, "vec_id", "embedding", cents, "vec_id"),
+      vtbl, bucketCols = Seq("cid"), buckets = 4)
+    TableStore.saveBucketed(
+      SimilarityOps.nnDescent(emb, "vec_id", "embedding",
+        SimilarityOps.cellSeedGraph(emb, cells, "vec_id", "embedding", k = 4),
+        k = 4, iters = 1).withColumn("epoch", lit(0L)),
+      ctbl, bucketCols = Seq("probe_id"), buckets = 4)
+    try {
+      val store = TableStore.loadTable(spark, vtbl)
+      val graph = SimilarityOps.liveKnnGraph(TableStore.loadTable(spark, ctbl))
+      val corpus = store.select("vec_id", "embedding")
+      val probes = Seq((100L, Array.fill(8)(0.3f))).toDF("vec_id", "embedding")
+      val entries = SimilarityOps.cellEntryNodes(store, probes, cents,
+        "vec_id", "vec_id", "vec_id", "embedding")
+      val served = SimilarityOps.beamSearchTopKFrom(corpus, probes, graph,
+        entries, "vec_id", "vec_id", "embedding", k = 3, beam = 4, hops = 2)
+      served.collect() // finalize the adaptive plan
+      val plan = finalPlan(served.queryExecution.executedPlan)
+      assert(scansOf(plan, vtbl).nonEmpty, s"vector-store scan missing:\n$plan")
+      assert(scansOf(plan, ctbl).nonEmpty, s"graph-store scan missing:\n$plan")
+      // 1. the embedding payload is read in place: no Exchange above the
+      //    vector-store scan may still carry a raw vector column —
+      //    candidates broadcast TO the store, vectors never move
+      val vecShuffles = allNodes(plan).collect {
+        case e: ShuffleExchangeExec
+            if scansOf(e.child, vtbl).nonEmpty &&
+              e.output.exists(a => a.dataType.typeName.startsWith("array")) => e
+      }
+      assert(vecShuffles.isEmpty,
+        s"vector payload shuffled (${vecShuffles.size} exchange(s)):\n$plan")
+      // 2. the graph's merge-on-read live view (max-epoch window per
+      //    probe bucket) resolves WITHOUT an exchange: no shuffle above
+      //    the graph scan may still carry the store's epoch column
+      val liveShuffles = allNodes(plan).collect {
+        case e: ShuffleExchangeExec
+            if scansOf(e.child, ctbl).nonEmpty &&
+              e.output.exists(_.name == "epoch") => e
+      }
+      assert(liveShuffles.isEmpty,
+        s"graph live view shuffled pre-merge (${liveShuffles.size}):\n$plan")
+    } finally {
+      Seq(vtbl, ctbl).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")): Unit
+    }
+  }
+}
