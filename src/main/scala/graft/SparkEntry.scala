@@ -2768,6 +2768,84 @@ object SparkEntry {
           sum("nc").cast("long").as("n_chars"))
         .orderBy("doc_id")
     }),
+    // ── extension: UNIGRAM-LM FULL EM + VOCABULARY PRUNING (Kudo, ACL
+    //    2018 §4.2) — q243's trainer iterated to TWO hard-EM rounds
+    //    (re-segment under the previous round's vocabulary, re-estimate,
+    //    re-apply the character floor), then pruned to a 24-piece
+    //    multi-character budget by likelihood loss under the character-
+    //    fallback bound (loss = cnt·(Σ charCost − cost), closed-form in
+    //    the DP's own micro-integer cost units). Characters never leave
+    //    the vocabulary. Oracle replays both EM rounds and the prune.
+    "q252_unigram_em_prune" -> ((s, dir) => {
+      import graft.functions.VocabOps
+      val d = T(s, dir, "documents")
+      val trainWf = VocabOps
+        .explodeTokens(d.where(col("source").isin("src0", "src1", "src2", "src3")),
+          "doc_id", "text")
+        .groupBy("word").agg(count(lit(1)).as("f"))
+        .localCheckpoint(false) // seed candidates AND each EM round
+      val seed = VocabOps.unigramSeed(trainWf, "word", "f",
+        maxPieceLen = 4, minCount = 2L, vocabSize = 512)
+      val vocab2 = VocabOps.unigramTrainEm(trainWf, "word", "f", seed,
+        rounds = 2, maxLen = 12, maxPieceLen = 4)
+      val pruned = VocabOps.unigramPruneByLoss(vocab2, targetMulti = 24)
+      val tot = pruned.agg(sum("cnt").as("__tot"))
+      pruned.crossJoin(broadcast(tot))
+        .select(col("piece"), col("cnt"),
+          expr("cnt * 1000000 div __tot").as("prob_micro"))
+        .orderBy(col("cnt").desc, col("piece"))
+    }),
+    // ── extension: PRUNED-VOCAB FERTILITY — the q244 accounting run for
+    //    TWO equal-size vocabularies over the full corpus: the 2-round
+    //    EM + loss-pruned vocabulary vs the 1-round vocabulary naively
+    //    truncated to the same multi-piece budget by raw count. The
+    //    fertility delta is the measured value of the loss-aware prune
+    //    (Kudo §4.2's claim); words the DP can't reach fall back to one
+    //    piece per character, exactly as q244.
+    "q253_unigram_prune_fertility" -> ((s, dir) => {
+      import graft.functions.VocabOps
+      val d = T(s, dir, "documents")
+      val trainWf = VocabOps
+        .explodeTokens(d.where(col("source").isin("src0", "src1", "src2", "src3")),
+          "doc_id", "text")
+        .groupBy("word").agg(count(lit(1)).as("f"))
+        .localCheckpoint(false)
+      val seed = VocabOps.unigramSeed(trainWf, "word", "f",
+          maxPieceLen = 4, minCount = 2L, vocabSize = 512)
+        .localCheckpoint(false) // both vocab chains re-read it
+      val em1 = VocabOps.unigramEmCounts(trainWf, "word", "f", seed,
+        maxLen = 12, maxPieceLen = 4)
+      val v1 = VocabOps.unigramEncodeVocab(em1, seed)
+        .localCheckpoint(false) // truncation + rank window
+      val naive = v1.where(length(col("piece")) >= 2)
+        .withColumn("__rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("piece").asc)))
+        .where(col("__rn") <= 24).select("piece", "cnt")
+        .unionByName(v1.where(length(col("piece")) === 1)
+          .select("piece", "cnt"))
+      val pruned = VocabOps.unigramPruneByLoss(
+        VocabOps.unigramTrainEm(trainWf, "word", "f", seed,
+          rounds = 2, maxLen = 12, maxPieceLen = 4), targetMulti = 24)
+      val occWf = VocabOps.explodeTokens(d, "doc_id", "text")
+        .groupBy("word").agg(count(lit(1)).as("nocc"))
+        .localCheckpoint(false) // both encodes join back to it
+      val words = occWf.select("word")
+      def fert(tag: String, vocab: DataFrame): DataFrame = {
+        val uses = VocabOps.unigramViterbi(words, "word",
+          VocabOps.unigramCosts(vocab), maxLen = 12, maxPieceLen = 4)
+        val np = uses.groupBy("word").agg(count(lit(1)).as("__np"))
+        occWf.join(np, Seq("word"), "left")
+          .select(col("nocc"),
+            coalesce(col("__np"), length(col("word")).cast("long")).as("np"))
+          .agg(sum("nocc").cast("long").as("n_tok"),
+            sum(col("nocc") * col("np")).cast("long").as("n_pieces"))
+          .crossJoin(broadcast(vocab.agg(count(lit(1)).as("n_vocab"))))
+          .select(lit(tag).as("variant"), col("n_vocab"), col("n_tok"),
+            col("n_pieces"), expr("n_pieces * 1000 div n_tok").as("fert_milli"))
+      }
+      fert("naive1", naive).unionByName(fert("pruned2", pruned))
+        .orderBy("variant")
+    }),
     // ── extension: FILTERED VECTOR SEARCH (metadata-constrained ANN) —
     //    the store carries the filterable attribute (ivfStore carryCols:
     //    the attribute-payload index layout), the predicate cuts the
@@ -5138,6 +5216,53 @@ object SparkEntry {
       ("q251_ann_serve_store" -> beamServeOracleSql(includeGlobal = false)) +
       // unigram-LM trainer: seed → 12-round Viterbi DP → EM counts,
       // replayed end-to-end; top-50 by re-estimated count
+      // full EM + Kudo-prune: both E-steps and the loss rank replayed
+      ("q252_unigram_em_prune" -> (unigramPruneCtes +
+        """
+         SELECT piece, cnt,
+           cnt * 1000000 // (SELECT CAST(sum(cnt) AS BIGINT) FROM pruned) AS prob_micro
+         FROM pruned ORDER BY cnt DESC, piece""")) +
+      // fertility of the loss-pruned vocab vs the count-truncated
+      // 1-round vocab at EQUAL size, over the full corpus
+      ("q253_unigram_prune_fertility" -> (unigramPruneCtes +
+        """,
+         nv AS MATERIALIZED (
+           SELECT piece, cnt FROM (
+             SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+             FROM v1 WHERE len(piece) >= 2) WHERE rn <= 24
+           UNION ALL SELECT piece, cnt FROM v1 WHERE len(piece) = 1),
+         nvc AS MATERIALIZED (
+           SELECT piece, CAST(round(-ln(CAST(cnt AS DOUBLE) / t.tot) * 1e6) AS BIGINT) AS c
+           FROM nv, (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM nv) t),
+         prc AS MATERIALIZED (
+           SELECT piece, CAST(round(-ln(CAST(cnt AS DOUBLE) / t.tot) * 1e6) AS BIGINT) AS c
+           FROM pruned, (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM pruned) t),
+         ctoks AS (
+           SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents WHERE length(trim(text)) > 0),
+         cocc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS nocc
+           FROM ctoks GROUP BY 1),
+         cwords AS MATERIALIZED (SELECT word FROM cocc
+           WHERE len(word) > 0 AND len(word) <= 12)""" +
+        unigramDpCtes("x", "cwords", "nvc") +
+        unigramDpCtes("y", "cwords", "prc") +
+        """,
+         xnp AS (SELECT word, CAST(count(*) AS BIGINT) AS np FROM xuses GROUP BY 1),
+         ynp AS (SELECT word, CAST(count(*) AS BIGINT) AS np FROM yuses GROUP BY 1),
+         xagg AS (SELECT CAST(sum(c.nocc) AS BIGINT) AS n_tok,
+             CAST(sum(c.nocc * coalesce(x.np, CAST(len(c.word) AS BIGINT))) AS BIGINT) AS n_pieces
+           FROM cocc c LEFT JOIN xnp x ON x.word = c.word),
+         yagg AS (SELECT CAST(sum(c.nocc) AS BIGINT) AS n_tok,
+             CAST(sum(c.nocc * coalesce(y.np, CAST(len(c.word) AS BIGINT))) AS BIGINT) AS n_pieces
+           FROM cocc c LEFT JOIN ynp y ON y.word = c.word)
+         SELECT 'naive1' AS variant,
+           (SELECT CAST(count(*) AS BIGINT) FROM nv) AS n_vocab,
+           n_tok, n_pieces, n_pieces * 1000 // n_tok AS fert_milli FROM xagg
+         UNION ALL
+         SELECT 'pruned2',
+           (SELECT CAST(count(*) AS BIGINT) FROM pruned),
+           n_tok, n_pieces, n_pieces * 1000 // n_tok FROM yagg
+         ORDER BY variant""")) +
       ("q243_unigram_lm_train" -> (unigramTrainCtes +
         """
          SELECT piece, seed_cnt, em_cnt,
@@ -5473,6 +5598,55 @@ object SparkEntry {
          emj AS MATERIALIZED (
            SELECT s.piece, s.cnt AS seed_cnt, e.em_cnt
            FROM em e JOIN seedv s ON s.piece = e.piece)"""
+
+  /** Round-2 EM + likelihood-loss prune replay (q252/q253): extends
+    * [[unigramTrainCtes]] with the round-1 encode vocabulary (v1 — em
+    * survivors + char floor), a second Viterbi E-step under v1's costs
+    * (the `u` DP chain), the round-2 vocabulary v2, and the Kudo §4.2
+    * prune under the character-fallback loss bound — emits `pruned
+    * (piece, cnt)` (24 multi-char pieces by loss desc + every char). */
+  private def unigramPruneCtes: String =
+    unigramTrainCtes +
+      """,
+         v1 AS MATERIALIZED (
+           SELECT piece, em_cnt AS cnt FROM em
+           UNION ALL
+           SELECT s.piece, CAST(1 AS BIGINT) AS cnt FROM seedv s
+           WHERE len(s.piece) = 1 AND s.piece NOT IN (SELECT piece FROM em)),
+         c1 AS MATERIALIZED (
+           SELECT piece, CAST(round(-ln(CAST(cnt AS DOUBLE) / t.tot) * 1e6) AS BIGINT) AS c
+           FROM v1, (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM v1) t)""" +
+      unigramDpCtes("u", "twords", "c1") +
+      """,
+         em2 AS MATERIALIZED (
+           SELECT u.piece, CAST(sum(f) AS BIGINT) AS em_cnt
+           FROM uuses u JOIN twf w ON w.word = u.word GROUP BY 1),
+         v2 AS MATERIALIZED (
+           SELECT piece, em_cnt AS cnt FROM em2
+           UNION ALL
+           SELECT s.piece, CAST(1 AS BIGINT) AS cnt FROM seedv s
+           WHERE len(s.piece) = 1 AND s.piece NOT IN (SELECT piece FROM em2)),
+         vc2 AS MATERIALIZED (
+           SELECT piece, len(piece) AS l,
+             CAST(round(-ln(CAST(cnt AS DOUBLE) / t.tot) * 1e6) AS BIGINT) AS c
+           FROM v2, (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM v2) t),
+         chc AS (SELECT piece AS ch, c AS cc FROM vc2 WHERE l = 1),
+         mch AS (SELECT piece, cnt, unnest(range(1, len(piece)+1)) AS i
+           FROM v2 WHERE len(piece) >= 2),
+         mcc AS MATERIALIZED (
+           SELECT m.piece, m.cnt, CAST(sum(chc.cc) AS BIGINT) AS charcost
+           FROM (SELECT piece, cnt, piece[i:i] AS ch FROM mch) m
+           JOIN chc ON chc.ch = m.ch
+           GROUP BY 1, 2),
+         vloss AS (SELECT mcc.piece, mcc.cnt,
+             mcc.cnt * (mcc.charcost - vc2.c) AS loss
+           FROM mcc JOIN vc2 ON vc2.piece = mcc.piece),
+         keep AS (SELECT piece, cnt FROM (
+           SELECT piece, cnt, row_number() OVER (ORDER BY loss DESC, piece) AS rn
+           FROM vloss) WHERE rn <= 24),
+         pruned AS MATERIALIZED (
+           SELECT piece, cnt FROM v2 WHERE len(piece) = 1
+           UNION ALL SELECT piece, cnt FROM keep)"""
 
   /** DuckDB cosine between two embedding-list expressions — the q79
     * formula, factored for the multi-batch q168 oracle. */

@@ -368,21 +368,29 @@ object VocabOps {
     val bp = bps.reduce(_ unionByName _).localCheckpoint(false) // 8 joins below
     var r = w.select(col("word"), length(col("word")).cast("int").as("p"))
     val uses = scala.collection.mutable.Buffer.empty[DataFrame]
+    val steps = scala.collection.mutable.Buffer.empty[DataFrame]
     for (_ <- 1 to maxLen) {
+      // per-round lazy checkpoint, same reason as the forward pass: an
+      // uncut r-chain compounds the Long.MaxValue leaf-size estimates
+      // multiplicatively per join and Catalyst's BigInt stats walk
+      // dominates the driver (the q253 planning hang)
       val step = r.where(col("p") > 0).join(bp, Seq("word", "p"))
+        .localCheckpoint(false)
+      steps += step
       uses += step.select(col("word"),
         expr("substring(word, p - l + 1, l)").as("piece"))
       r = step.select(col("word"), (col("p") - col("l")).as("p"))
     }
-    // Materialize the result, then release the ~maxLen+3 DP frames
-    // (w, sub, per-round bpj, bp) — without this every Viterbi call
-    // pins its whole forward/backward lineage for the session (the
-    // connectedComponents leak class).
+    // Materialize the result, then release the ~2·maxLen+3 DP frames
+    // (w, sub, per-round bpj, bp, per-round steps) — without this every
+    // Viterbi call pins its whole forward/backward lineage for the
+    // session (the connectedComponents leak class).
     val out = uses.reduce(_ unionByName _).localCheckpoint(true)
     GraphOps.releaseLocalCheckpoint(w)
     GraphOps.releaseLocalCheckpoint(sub)
     GraphOps.releaseLocalCheckpoint(bp)
     bps.foreach(GraphOps.releaseLocalCheckpoint)
+    steps.foreach(GraphOps.releaseLocalCheckpoint)
     out
   }
 
@@ -417,5 +425,67 @@ object VocabOps {
       .join(em.select("piece"), Seq("piece"), "left_anti")
       .select(col("piece"), lit(1L).as("cnt"))
     em.unionByName(chars)
+  }
+
+  /** FULL hard-EM training loop (Kudo, ACL 2018 §4.2's iterate step):
+    * `rounds` E/M rounds, each re-segmenting the training words under
+    * the previous round's vocabulary and re-estimating counts from the
+    * used pieces, with the character floor re-applied per round so
+    * segmentation stays feasible. Returns the round-`rounds` vocabulary
+    * as (piece, cnt). Each round's state is one vocabulary-sized frame
+    * (the eager checkpoint inside [[unigramEmCounts]]); the loop is a
+    * fixed-round chain, never corpus-proportional in rounds. */
+  def unigramTrainEm(words: DataFrame, wordCol: String, freqCol: String,
+                     seed: DataFrame, rounds: Int, maxLen: Int = 8,
+                     maxPieceLen: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val seedM = seed.localCheckpoint(false) // char floor, every round
+    var vocab = seedM
+    for (_ <- 1 to rounds) {
+      val em = unigramEmCounts(words, wordCol, freqCol, vocab,
+        maxLen, maxPieceLen)
+      vocab = unigramEncodeVocab(em, seedM)
+    }
+    vocab
+  }
+
+  /** VOCABULARY PRUNING by likelihood loss (Kudo §4.2, with the
+    * character-fallback bound): dropping piece p forces its em_cnt
+    * occurrences onto an alternative segmentation; the always-feasible
+    * alternative is p's characters (the floor guarantees them), so
+    * loss(p) = cnt(p) · (Σ charCost − cost(p)) lower-bounds the true
+    * likelihood drop in the SAME micro-integer cost units the Viterbi
+    * DP already uses — closed-form, engine-exact, no per-piece re-
+    * segmentation. Keeps the `targetMulti` multi-character pieces with
+    * the LARGEST loss (ties by piece) plus every single character.
+    * Everything is model-sized: costs, the per-character explode, and
+    * the global rank run on the vocabulary, never the corpus. */
+  def unigramPruneByLoss(vocab: DataFrame, targetMulti: Int): DataFrame = {
+    require(targetMulti >= 0, s"targetMulti must be >= 0, got $targetMulti")
+    val v = vocab.localCheckpoint(false) // costs + chars + multi
+    val costs = unigramCosts(v)
+    val chc = costs.where(col("l") === 1)
+      .select(col("piece").as("ch"), col("c").as("cc"))
+    val multi = v.join(costs.select("piece", "c"), Seq("piece"))
+      .where(length(col("piece")) >= 2)
+    val charCost = multi
+      .select(col("piece"), col("cnt"), col("c"),
+        explode(sequence(lit(1), length(col("piece")))).as("__i"))
+      .select(col("piece"), col("cnt"), col("c"),
+        expr("substring(piece, __i, 1)").as("ch"))
+      .join(chc, Seq("ch"))
+      .groupBy("piece", "cnt", "c").agg(sum("cc").as("__charcost"))
+    val kept = charCost
+      .select(col("piece"), col("cnt"),
+        (col("cnt") * (col("__charcost") - col("c"))).as("__loss"))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__loss").desc, col("piece").asc)))
+      .where(col("__rn") <= targetMulti)
+      .select("piece", "cnt")
+    val out = v.where(length(col("piece")) === 1).select("piece", "cnt")
+      .unionByName(kept)
+      .localCheckpoint(true) // vocabulary-sized; lets v + costs go
+    GraphOps.releaseLocalCheckpoint(v)
+    out
   }
 }
