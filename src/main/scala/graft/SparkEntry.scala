@@ -3858,6 +3858,107 @@ object SparkEntry {
           coalesce(col("hit"), lit(false)).as("hit"))
         .orderBy("probe_id", "rank")
     }),
+    // ── extension: FILTERED ANN SERVING over the kNN graph — the third
+    //    leg of the filtered-search trilogy (q236: BM25 postings with
+    //    carried attributes; q242: IVF carry-col pre-filter; here: the
+    //    graph walk). The beam navigates UNFILTERED (a label-restricted
+    //    subgraph fragments — 30% selectivity cuts out-degree 3×,
+    //    stranding the walk), every scored candidate joins a visited
+    //    pool, and the answer is the pool's filtered top-5. Two variants
+    //    at IDENTICAL hops/beam measure the routing design: 'postfilter'
+    //    enters via the plain quantizer route; 'fentry' routes through
+    //    the attribute-carrying IVF store's FILTERED view (the predicate
+    //    is a map-side cut on the cid-bucketed scan; cells with no
+    //    matching member drop from the routing table), so every probe
+    //    enters at a matching node in its own region — measured 57 vs 35
+    //    exact-filtered-top-5 hits per 250 at the gate SF.
+    "q255_beam_filtered_serve" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding", "label")
+      val n = emb.count()
+      val nCells = math.max(1L, n / 64L)
+      val cells = emb.select(col("vec_id"),
+        pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
+          lit(nCells)).as("cid"))
+      val graph = SimilarityOps.nnDescent(emb, "vec_id", "embedding",
+          SimilarityOps.cellSeedGraph(emb, cells, "vec_id", "embedding", k = 10),
+          k = 10, iters = 1)
+        .localCheckpoint(false) // read by both variants
+      val init64 = emb.where(col("vec_id") < 64)
+      val vtbl = "graft_q255_vec_store"
+      TableStore.dropTable(s, vtbl)
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(emb, "vec_id", "embedding", init64, "vec_id",
+          carryCols = Seq("label")),
+        vtbl, bucketCols = Seq("cid"), buckets = 8)
+      val store = TableStore.loadTable(s, vtbl)
+      val pred = col("label").isin(2, 3, 4)
+      val probes = emb.where(col("vec_id") < 50)
+      val allowed = store.where(pred).select("vec_id")
+      val entP = SimilarityOps.cellEntryNodes(store, probes, init64,
+        "vec_id", "vec_id", "vec_id", "embedding")
+      val entF = SimilarityOps.cellEntryNodes(store.where(pred), probes,
+        init64, "vec_id", "vec_id", "vec_id", "embedding")
+      val exactF = SimilarityOps.bruteForceTopK(
+          emb.where(pred), probes, "vec_id", "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("nbr_id"), lit(true).as("hit"))
+        .localCheckpoint(false) // joined by both variants
+      Seq("postfilter" -> entP, "fentry" -> entF).map { case (tag, ent) =>
+        SimilarityOps.beamSearchTopKFilteredFrom(emb, probes, graph, ent,
+            allowed, "vec_id", "vec_id", "embedding", k = 5, beam = 8,
+            hops = 2)
+          .join(exactF, Seq("probe_id", "nbr_id"), "left")
+          .select(lit(tag).as("variant"), col("probe_id"), col("nbr_id"),
+            col("rank"), coalesce(col("hit"), lit(false)).as("hit"))
+      }.reduce(_ unionByName _).orderBy("variant", "probe_id", "rank")
+    }),
+    // ── extension: RANK-STORE ABSORB — the PageRank family's missing
+    //    store-lifecycle leg (labels have q151/q152, signatures q99,
+    //    postings q213, counts q229, vectors q165, kNN graphs q234):
+    //    epoch 0 builds ranks over the base edge set (2 power
+    //    iterations) into an id-bucketed store; an edge increment lands
+    //    (the top-eighth orderkey range) and the absorb warm-starts
+    //    pageRankFrom from liveRanks(store) over the GROWN graph — 3
+    //    iterations, the count the delta needs, instead of a full
+    //    restart from uniform — appending epoch 1. Compaction folds the
+    //    history and the gate SERVES from the compacted table, so oracle
+    //    equality certifies the whole cycle. The oracle replays the
+    //    exact recurrence (2 base + 3 warm union iterations) in SQL —
+    //    warm-start chaining is deterministic dataflow (q158's law);
+    //    nodes the increment introduces start at 1/N of the grown graph.
+    "q256_pagerank_store_absorb" -> ((s, dir) => {
+      import graft.sources.TableStore
+      import graft.functions.GraphOps
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val maxOk = o.agg(max("o_orderkey")).head().getLong(0)
+      val cut = (maxOk + 1L) * 7L / 8L
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val all = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_orderkey").as("ok"), (col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .localCheckpoint(false) // both epochs read it
+      val tbl = "graft_q256_rank_store"
+      val ctbl = "graft_q256_rank_compact"
+      TableStore.dropTable(s, tbl); TableStore.dropTable(s, ctbl)
+      val warm = GraphOps.pageRank(all.where(col("ok") < cut), "src", "dst",
+        damping = 0.85, iters = 2)
+      TableStore.saveBucketed(warm.withColumn("epoch", lit(0L)), tbl,
+        bucketCols = Seq("id"), buckets = 8)
+      val absorbed = GraphOps.pageRankFrom(all, "src", "dst",
+        GraphOps.liveRanks(TableStore.loadTable(s, tbl)),
+        damping = 0.85, iters = 3)
+      TableStore.saveBucketed(absorbed.withColumn("epoch", lit(1L)), tbl,
+        bucketCols = Seq("id"), buckets = 8,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      s.catalog.refreshTable(tbl)
+      TableStore.saveBucketed( // fold the 2-epoch history to epoch 0
+        GraphOps.compactRanks(TableStore.loadTable(s, tbl)), ctbl,
+        bucketCols = Seq("id"), buckets = 8)
+      GraphOps.liveRanks(TableStore.loadTable(s, ctbl))
+        .select(col("id"),
+          round(col("r") * 1000000).cast("long").as("rank_micro"))
+        .orderBy("id")
+    }),
     // ── extension: STREAMING kNN-GRAPH INGESTION — q234's absorb driven
     //    through an ACTUAL Structured Streaming file replay whose
     //    foreachBatch body IS the batch call sequence (vector store
@@ -5327,6 +5428,12 @@ object SparkEntry {
       // store-served routed beam ≡ the inline routed leg (same graph,
       // same routing law) — the serving read path adds nothing
       ("q251_ann_serve_store" -> beamServeOracleSql(includeGlobal = false)) +
+      // filtered serving: visited-pool replay per entry-routing variant,
+      // hit flags vs the exact filtered top-5
+      ("q255_beam_filtered_serve" -> q255OracleSql) +
+      // rank-store absorb: 2 base + 3 warm union iterations replayed —
+      // warm-start chaining is deterministic dataflow (q158's law)
+      ("q256_pagerank_store_absorb" -> q256OracleSql) +
       // pipeline store absorb ≡ one-shot admission over the union: every
       // stage is increment-stable (monotone id cut, frozen scorer and
       // budgets, append-only fp store), so the single-pass chain IS the
@@ -5714,6 +5821,152 @@ object SparkEntry {
     * deployment convention (hash cells of ~64 occupancy whose COUNT
     * grows with the corpus), and the increment predicate loses its
     * `>= 16` guard (there are no centroid ids to protect). */
+  /** q255 oracle: the filtered-serving replay — deployment graph
+    * ([[knnBuildCtes]] over constant-occupancy hash cells), fixed-64
+    * real-vector routing, 2-hop beam-8 unroll PER VARIANT ('p' =
+    * postfilter entries over all store rows, 'q' = fentry over the
+    * store's label-filtered view: match-bearing cells only, entry = the
+    * cell's min MATCHING member), visited pool = entries ∪ each hop's
+    * candidate set, answer = pool ∩ filter top-5 (self excluded), hit
+    * flags vs the exact filtered top-5. The `ac` matrix is oracle-side
+    * instrumentation (DuckDB runs at sf0.01); the engine body is linear. */
+  private def q255OracleSql: String = {
+    def beamUnroll(v: String): String = (1 to 2).map { j =>
+      val i = j - 1
+      s""",
+         ${v}c$j AS (SELECT DISTINCT probe_id, nbr_id FROM (
+            SELECT probe_id, nbr_id FROM ${v}b$i
+            UNION ALL
+            SELECT ${v}b$i.probe_id, fg.nbr_id AS nbr_id FROM ${v}b$i
+              JOIN fg ON ${v}b$i.nbr_id = fg.probe_id)),
+         ${v}b$j AS (SELECT probe_id, nbr_id, cos FROM (
+            SELECT ${v}c$j.probe_id, ${v}c$j.nbr_id, pc.cos,
+              row_number() OVER (PARTITION BY ${v}c$j.probe_id
+                ORDER BY pc.cos DESC, ${v}c$j.nbr_id) AS rn
+            FROM ${v}c$j JOIN pc ON ${v}c$j.probe_id = pc.probe_id
+              AND ${v}c$j.nbr_id = pc.nbr_id)
+           WHERE rn <= 8)"""
+    }.mkString
+    def filteredTail(v: String, ent: String): String =
+      s""",
+         ${v}vis AS (
+           SELECT probe_id, nbr_id FROM $ent
+           UNION SELECT probe_id, nbr_id FROM ${v}c1
+           UNION SELECT probe_id, nbr_id FROM ${v}c2),
+         ${v}fin AS (SELECT probe_id, nbr_id,
+            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS INT) AS rank
+            FROM (SELECT x.probe_id, x.nbr_id, pc.cos
+                  FROM ${v}vis x
+                  JOIN flt f ON f.vec_id = x.nbr_id
+                  JOIN pc ON pc.probe_id = x.probe_id AND pc.nbr_id = x.nbr_id)
+            WHERE probe_id <> nbr_id)"""
+    """WITH nrm AS (
+           SELECT vec_id, embedding, label,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+           FROM embeddings),
+         live AS MATERIALIZED (SELECT * FROM nrm WHERE n > 0),
+         ac AS MATERIALIZED (
+           SELECT p.vec_id AS src, c.vec_id AS dst,
+             list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+             / (c.n * p.n) AS cos
+           FROM live c, live p),
+         asn AS MATERIALIZED (SELECT vec_id AS v,
+             CAST('0x'||substr(md5('cell:'||vec_id),1,15) AS BIGINT)
+               % greatest(1, (SELECT count(*) FROM embeddings) // 64) AS c
+             FROM live),
+         alln AS MATERIALIZED (SELECT vec_id AS id FROM live)""" +
+      knnBuildCtes("f", "alln") +
+      """,
+         pc AS MATERIALIZED (SELECT src AS probe_id, dst AS nbr_id, cos
+             FROM ac WHERE src < 50),
+         flt AS MATERIALIZED (SELECT vec_id FROM embeddings WHERE label IN (2, 3, 4)),
+         asn64 AS MATERIALIZED (SELECT src AS v, dst AS c FROM (
+             SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+             FROM ac WHERE dst < 64) WHERE rn = 1),
+         cmp AS (SELECT c, min(v) AS mnid FROM asn64 GROUP BY c),
+         cmf AS (SELECT a.c, min(a.v) AS mnid FROM asn64 a
+                JOIN flt f ON f.vec_id = a.v GROUP BY a.c),
+         pap AS (SELECT src AS probe_id, dst AS c FROM (
+             SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+             FROM ac WHERE src < 50 AND dst < 64) WHERE rn = 1),
+         paf AS (SELECT src AS probe_id, dst AS c FROM (
+             SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+             FROM ac WHERE src < 50 AND dst < 64
+               AND dst IN (SELECT c FROM cmf)) WHERE rn = 1),
+         erp AS (SELECT p.probe_id, cm.mnid AS nbr_id FROM pap p
+                JOIN cmp cm ON cm.c = p.c),
+         erf AS (SELECT p.probe_id, cm.mnid AS nbr_id FROM paf p
+                JOIN cmf cm ON cm.c = p.c),
+         pb0 AS (SELECT pc.probe_id, pc.nbr_id, pc.cos FROM pc
+                 JOIN erp ON erp.probe_id = pc.probe_id AND erp.nbr_id = pc.nbr_id),
+         qb0 AS (SELECT pc.probe_id, pc.nbr_id, pc.cos FROM pc
+                 JOIN erf ON erf.probe_id = pc.probe_id AND erf.nbr_id = pc.nbr_id)""" +
+      beamUnroll("p") + beamUnroll("q") +
+      filteredTail("p", "erp") + filteredTail("q", "erf") +
+      """,
+         exactf AS (SELECT probe_id, nbr_id FROM (
+            SELECT pc.probe_id, pc.nbr_id, row_number() OVER (PARTITION BY pc.probe_id
+              ORDER BY pc.cos DESC, pc.nbr_id) AS rn
+            FROM pc JOIN flt f ON f.vec_id = pc.nbr_id
+            WHERE pc.probe_id <> pc.nbr_id) WHERE rn <= 5),
+         uni AS (
+           SELECT 'fentry' AS variant, probe_id, nbr_id, rank FROM qfin WHERE rank <= 5
+           UNION ALL
+           SELECT 'postfilter', probe_id, nbr_id, rank FROM pfin WHERE rank <= 5)
+         SELECT b.variant, b.probe_id, b.nbr_id, b.rank,
+           (e.nbr_id IS NOT NULL) AS hit
+         FROM uni b LEFT JOIN exactf e
+           ON b.probe_id = e.probe_id AND b.nbr_id = e.nbr_id
+         ORDER BY b.variant, b.probe_id, b.rank"""
+  }
+
+  /** q256 oracle: the rank-store absorb replay — the q113 recurrence
+    * unrolled TWICE: 2 iterations from uniform over the base edge set
+    * (everything below the top-eighth orderkey cut — the persisted
+    * epoch-0 vector), then 3 warm iterations over the GROWN edge set
+    * starting from that vector, nodes the increment introduced starting
+    * at 1/N of the grown graph (pageRankFrom's missing-node law). */
+  private def q256OracleSql: String = {
+    def prIters(pfx: String, edges: String, nodes: String, nn: String,
+                rInit: String, iters: Int): String =
+      (1 to iters).foldLeft(("", rInit)) { case ((acc, prev), j) =>
+        (acc + s""",
+         ${pfx}c$j AS (SELECT e.d AS id, sum(r.r / g.deg) AS c FROM $edges e
+                JOIN $prev r ON r.id = e.s JOIN ${pfx}deg g ON g.id = e.s GROUP BY 1),
+         ${pfx}d$j AS (SELECT coalesce(sum(r.r), 0) AS dm FROM $prev r
+                LEFT JOIN ${pfx}deg g ON g.id = r.id WHERE g.id IS NULL),
+         ${pfx}r$j AS (SELECT nd.id, (1 - CAST(0.85 AS DOUBLE)) / $nn.n
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM ${pfx}d$j) / $nn.n) AS r
+                FROM $nodes nd CROSS JOIN $nn LEFT JOIN ${pfx}c$j c ON c.id = nd.id)""",
+          s"${pfx}r$j")
+      }._1
+    """WITH alle AS MATERIALIZED (
+           SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d, o_orderkey AS ok
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         okcut AS (SELECT (max(o_orderkey) + 1) * 7 // 8 AS c FROM orders),
+         bedges AS MATERIALIZED (SELECT DISTINCT s, d FROM alle WHERE ok < (SELECT c FROM okcut)),
+         uedges AS MATERIALIZED (SELECT DISTINCT s, d FROM alle),
+         bnodes AS (SELECT DISTINCT id FROM
+           (SELECT s AS id FROM bedges UNION ALL SELECT d FROM bedges)),
+         bdeg AS (SELECT s AS id, count(*) AS deg FROM bedges GROUP BY 1),
+         bnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bnodes),
+         br0 AS (SELECT id, CAST(1 AS DOUBLE) / bnn.n AS r FROM bnodes CROSS JOIN bnn)""" +
+      prIters("b", "bedges", "bnodes", "bnn", "br0", 2) +
+      """,
+         unodes AS (SELECT DISTINCT id FROM
+           (SELECT s AS id FROM uedges UNION ALL SELECT d FROM uedges)),
+         udeg AS (SELECT s AS id, count(*) AS deg FROM uedges GROUP BY 1),
+         unn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM unodes),
+         ur0 AS (SELECT nd.id, coalesce(w.r, CAST(1 AS DOUBLE) / unn.n) AS r
+                 FROM unodes nd CROSS JOIN unn LEFT JOIN br2 w ON w.id = nd.id)""" +
+      prIters("u", "uedges", "unodes", "unn", "ur0", 3) +
+      """
+         SELECT id, CAST(round(r * 1000000) AS BIGINT) AS rank_micro
+         FROM ur3 ORDER BY id"""
+  }
+
   private def hashCells64(name: String): String = {
     val sql = oracleSqlBase(name)
     val asnOld =

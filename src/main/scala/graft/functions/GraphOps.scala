@@ -470,6 +470,31 @@ object GraphOps {
   def compactLabels(store: DataFrame): DataFrame =
     liveLabels(store).withColumn("epoch", lit(0L))
 
+  /** LIVE view of an EPOCH-APPENDED rank store — the [[pageRank]] cousin
+    * of [[liveLabels]]: rank maintenance after a graph change appends
+    * the refreshed vector with a higher epoch (PageRank's (1−d)/N term
+    * shifts EVERY rank when N grows, so unlike label absorbs the delta
+    * is the whole node-sized vector — the absorb's win is the ITERATION
+    * count: [[pageRankFrom]] warm-started from the previous epoch
+    * converges in the few rounds the edge delta needs, instead of
+    * re-running the full recurrence from uniform), and a read takes the
+    * latest epoch per node. One id-keyed aggregate; persist the store
+    * bucketed on `id` and it runs on the bucketed scan with no Exchange.
+    *
+    * @param store (id, r, epoch) rows, possibly several epochs per id
+    * @return (id, r): each node's latest rank */
+  def liveRanks(store: DataFrame): DataFrame =
+    store.groupBy("id").agg(max_by(col("r"), col("epoch")).as("r"))
+
+  /** COMPACTION of an epoch-appended rank store: fold every node's epoch
+    * history to one epoch-0 row of its live rank — semantics-preserving
+    * by definition (`liveRanks(compactRanks(s)) ≡ liveRanks(s)`, which
+    * the q256 gate certifies by serving its output from the compacted
+    * table). Same merge-on-read cycle as [[compactLabels]] and the
+    * signature store. */
+  def compactRanks(store: DataFrame): DataFrame =
+    liveRanks(store).withColumn("epoch", lit(0L))
+
   /** TRIANGLE COUNT by degree orientation (the MapReduce-classic
     * Suri & Vassilvitskii 2011 shape): orient every undirected edge from
     * its lower-(degree, id) endpoint to the higher, generate wedges by

@@ -785,6 +785,82 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(wBeam)).where(col("rank") <= k)
   }
 
+  /** FILTERED graph-ANN serving — [[beamSearchTopKFrom]]'s walk with an
+    * attribute predicate on the ANSWER set (the Filtered-DiskANN
+    * post-collection form, Gollapudi et al., WWW 2023): the beam
+    * navigates the UNFILTERED graph (restricting edges to matching nodes
+    * fragments connectivity — on a 30%-selective filter the matching
+    * subgraph's out-degree drops 3×, stranding the walk), while every
+    * candidate the walk ever SCORES is collected into a visited pool;
+    * the answer is the top `k` of visited ∩ `allowed`. Deterministic end
+    * to end, so the whole trajectory — walk plus collection — replays on
+    * an independent engine (the q255 gate).
+    *
+    * Recall at a fixed hops/beam budget is bounded by where the walk's
+    * basin lands, so PAIR this with filter-aware entry routing: route
+    * entries via [[cellEntryNodes]] over the attribute-carrying IVF
+    * store's FILTERED view (`store.where(pred)` — the predicate is a
+    * map-side cut on the cid-bucketed scan, and cells without a matching
+    * member drop out of the routing table, so every probe enters at a
+    * matching node in its own region). The q255 gate measures the lift:
+    * 57 vs 35 exact-filtered-top-5 hits per 250 at identical budget.
+    *
+    * Scale shape: the walk is [[beamSearchTopKFrom]]'s — per hop,
+    * probes × beam × (degree+1) candidates, corpus never shuffles. The
+    * visited pool is the union of those per-hop candidate sets
+    * (probe-shaped, ≤ hops × the per-hop volume); the `allowed` cut is
+    * one semi-join of that pool against the id set (serving deployments
+    * take `allowed` from the carry-col store's filtered view, so the cut
+    * is a bucketed scan, not a metadata join).
+    *
+    * @param allowed ids passing the predicate — one column named
+    *                `idCol` (extra columns ignored)
+    * @return (probe_id, nbr_id, score, rank ≤ k) — matching nodes only */
+  def beamSearchTopKFilteredFrom(corpus: DataFrame, probes: DataFrame,
+                                 graph: DataFrame, entries: DataFrame,
+                                 allowed: DataFrame, idCol: String,
+                                 probeIdCol: String, vecCol: String,
+                                 k: Int = 10, beam: Int = 8,
+                                 hops: Int = 3): DataFrame = {
+    require(k >= 1 && beam >= k, s"need beam >= k >= 1, got k=$k beam=$beam")
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
+      vnorm(col(vecCol)).as("__cn")).where(col("__cn") > 0)
+    val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
+      vnorm(col(vecCol)).as("__pn")).where(col("__pn") > 0)
+    val g = graph.select(col("probe_id").as("__src"), col("nbr_id").as("__dst"))
+    val wBeam = Window.partitionBy("probe_id").orderBy(col("score").desc, col("nbr_id").asc)
+    def rankBeam(cand: DataFrame): DataFrame = cand
+      .join(c, Seq("nbr_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .select(col("probe_id"), col("nbr_id"),
+        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
+      .withColumn("rank", row_number().over(wBeam)).where(col("rank") <= beam)
+    var b = rankBeam(entries.select(col("probe_id"), col("nbr_id")))
+    var visited = entries.select(col("probe_id"), col("nbr_id"))
+    for (_ <- 1 to hops) {
+      val expanded = b.select("probe_id", "nbr_id")
+        .join(g, b("nbr_id") === g("__src"))
+        .select(col("probe_id"), col("__dst").as("nbr_id"))
+      val cand = b.select("probe_id", "nbr_id").unionByName(expanded).distinct()
+      visited = visited.unionByName(cand)
+      b = rankBeam(cand)
+    }
+    val pool = visited.distinct()
+      .join(allowed.select(col(idCol).as("nbr_id")).distinct(),
+        Seq("nbr_id"), "left_semi")
+    val scored = pool
+      .join(c, Seq("nbr_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .select(col("probe_id"), col("nbr_id"),
+        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
+    val answer = if (idCol == probeIdCol)
+      scored.where(col("probe_id") =!= col("nbr_id")) else scored
+    answer
+      .withColumn("rank", row_number().over(wBeam)).where(col("rank") <= k)
+  }
+
   /** GRID-DENSITY CLUSTERING of an embedding corpus — the CLIQUE/STING
     * family (Agrawal et al., SIGMOD 1998): project every vector to 2
     * exact-integer JL coordinates ([[randomProjection]] — deterministic,

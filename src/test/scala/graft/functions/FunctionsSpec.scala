@@ -893,6 +893,30 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(oneHop.intersect(exact).size <= out.map(_.getAs[Long]("nbr_id")).toSet.intersect(exact).size)
   }
 
+  test("beamSearchTopKFilteredFrom: walks unfiltered, answers only allowed nodes, recovers the exact filtered top-k on a full walk") {
+    val probes = df.where($"vec_id" === 0L)
+    val graph = SimilarityOps.bruteForceTopK(df, df, "vec_id", "vec_id", "embedding", k = 3)
+    // entry node 2 is EVEN — outside the odd filter — and must still
+    // navigate: the walk is unfiltered, only the collection is cut
+    val oddIds = df.where($"vec_id" % 2 === 1).select("vec_id")
+    val entries = probes.select($"vec_id".as("probe_id"), lit(2L).as("nbr_id"))
+    val odd = SimilarityOps.beamSearchTopKFilteredFrom(df, probes, graph,
+        entries, oddIds, "vec_id", "vec_id", "embedding", k = 2, beam = 5,
+        hops = 3)
+      .orderBy("rank").collect()
+    // exact filtered order among {1, 3}: cos(0,1) > cos(0,3)
+    assert(odd.map(_.getAs[Long]("nbr_id")).toSeq == Seq(1L, 3L))
+    // even filter: node 4 is anti-correlated with everything, so it sits
+    // in NOBODY's top-3 out-edges — unreachable, honestly not collected;
+    // the only even answer the walk can see is 2 (self excluded)
+    val evenIds = df.where($"vec_id" % 2 === 0).select("vec_id")
+    val even = SimilarityOps.beamSearchTopKFilteredFrom(df, probes, graph,
+        entries, evenIds, "vec_id", "vec_id", "embedding", k = 2, beam = 5,
+        hops = 3)
+      .orderBy("rank").collect()
+    assert(even.map(_.getAs[Long]("nbr_id")).toSeq == Seq(2L))
+  }
+
   test("hardNegatives: only other-class rows rank; nearest confusable first") {
     val labeled = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 7),

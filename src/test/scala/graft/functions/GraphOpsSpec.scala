@@ -253,6 +253,37 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("compactRanks preserves the live rank view and folds epochs to one row per id") {
+    val store = Seq(
+      (1L, 0.10, 0L), (2L, 0.20, 0L), (3L, 0.70, 0L),
+      (1L, 0.15, 1L), (2L, 0.25, 2L)).toDF("id", "r", "epoch")
+    val live = GraphOps.liveRanks(store).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(live == Map(1L -> 0.15, 2L -> 0.25, 3L -> 0.70))
+    val compact = GraphOps.compactRanks(store)
+    val liveC = GraphOps.liveRanks(compact).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(liveC == live)
+    assert(compact.count() == 3)
+    assert(compact.select("epoch").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("pageRankFrom on a grown graph: carried nodes keep their stored rank, new nodes start at 1/N of the GROWN graph") {
+    val base = Seq((1L, 2L)).toDF("src", "dst")
+    val warm = GraphOps.pageRank(base, "src", "dst", 0.85, iters = 1)
+    val w = warm.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(w(1L) - 0.2875) < 1e-12 && math.abs(w(2L) - 0.7125) < 1e-12)
+    val grown = Seq((1L, 2L), (3L, 1L)).toDF("src", "dst")
+    val out = GraphOps.pageRankFrom(grown, "src", "dst", warm, 0.85, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // hand recurrence: init (0.2875, 0.7125, 1/3); dangling = r(2);
+    // r(1) = 0.05 + 0.85*(1/3 + 0.2375), r(2) = 0.05 + 0.85*(0.2875 +
+    // 0.2375), r(3) = 0.05 + 0.85*0.2375
+    assert(math.abs(out(1L) - (0.05 + 0.85 * (1.0 / 3 + 0.2375))) < 1e-12)
+    assert(math.abs(out(2L) - 0.49625) < 1e-12)
+    assert(math.abs(out(3L) - 0.251875) < 1e-12)
+  }
+
   test("compactLabels preserves the live view and folds epochs to one row per id") {
     val store = Seq(
       (1L, 10L, 0L), (2L, 10L, 0L), (3L, 3L, 0L),
