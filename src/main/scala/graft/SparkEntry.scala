@@ -2929,16 +2929,21 @@ object SparkEntry {
       val em1 = VocabOps.unigramEmCounts(trainWf, "word", "f", seed,
         maxLen = 12, maxPieceLen = 4)
       val v1 = VocabOps.unigramEncodeVocab(em1, seed)
-        .localCheckpoint(false) // truncation + rank window
+        .localCheckpoint(false) // truncation + rank window + E-step 2
       val naive = v1.where(length(col("piece")) >= 2)
         .withColumn("__rn", row_number().over(
           Window.orderBy(col("cnt").desc, col("piece").asc)))
         .where(col("__rn") <= 24).select("piece", "cnt")
         .unionByName(v1.where(length(col("piece")) === 1)
           .select("piece", "cnt"))
+      // round 2 CONTINUES from the v1 already built for the naive arm
+      // instead of re-running unigramTrainEm from the seed (identical
+      // dataflow — trainEm's round 1 IS em1/v1 — minus one full 24-round
+      // corpus DP chain, the dominant cost at vocabulary scale)
+      val em2 = VocabOps.unigramEmCounts(trainWf, "word", "f", v1,
+        maxLen = 12, maxPieceLen = 4)
       val pruned = VocabOps.unigramPruneByLoss(
-        VocabOps.unigramTrainEm(trainWf, "word", "f", seed,
-          rounds = 2, maxLen = 12, maxPieceLen = 4), targetMulti = 24)
+        VocabOps.unigramEncodeVocab(em2, seed), targetMulti = 24)
       val occWf = VocabOps.explodeTokens(d, "doc_id", "text")
         .groupBy("word").agg(count(lit(1)).as("nocc"))
         .localCheckpoint(false) // both encodes join back to it

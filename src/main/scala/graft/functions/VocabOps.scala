@@ -343,11 +343,23 @@ object VocabOps {
       .join(costs.select(col("piece"), col("c")), Seq("piece"))
       .select(col("word"), col("__e"), col("__l"), col("c"))
       .localCheckpoint(false) // joined once per DP round
+    // ROUND ELISION: rounds past the longest capped word are EMPTY frames
+    // — but each one still schedules a checkpoint job, a join, and a
+    // window shuffle, and at vocabulary scale the DP is JOB-BOUND, not
+    // data-bound (q253 measured 145 s over 31-word frames before this).
+    // The result is identical by construction: sub has no __e > the max
+    // word length, so the elided rounds could only ever produce empty
+    // bpj/step frames. The agg also materializes w's checkpoint, which
+    // its first consumer would pay anyway.
+    val wStats = w.agg(count(lit(1)).as("__n"),
+      max(length(col("word"))).as("__m")).head()
+    val effLen = if (wStats.getLong(0) == 0L) 1
+                 else math.min(maxLen, wStats.getInt(1))
     var dall = w.select(col("word"), lit(0).as("p"), lit(0L).as("cost"))
     val bps = scala.collection.mutable.Buffer.empty[DataFrame]
     val wW = Window.partitionBy("word")
       .orderBy(col("__t").asc, col("__l").desc)
-    for (j <- 1 to maxLen) {
+    for (j <- 1 to effLen) {
       val bpj = dall.as("d")
         .join(sub.where(col("__e") === j).as("s"),
           col("d.word") === col("s.word") &&
@@ -369,7 +381,7 @@ object VocabOps {
     var r = w.select(col("word"), length(col("word")).cast("int").as("p"))
     val uses = scala.collection.mutable.Buffer.empty[DataFrame]
     val steps = scala.collection.mutable.Buffer.empty[DataFrame]
-    for (_ <- 1 to maxLen) {
+    for (_ <- 1 to effLen) {
       // per-round lazy checkpoint, same reason as the forward pass: an
       // uncut r-chain compounds the Long.MaxValue leaf-size estimates
       // multiplicatively per join and Catalyst's BigInt stats walk

@@ -93,4 +93,36 @@ class AnnServePlanSpec extends SparkSpec {
       Seq(vtbl, ctbl).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")): Unit
     }
   }
+
+  test("filtered entry routing: the label predicate pushes into the carry-col store scan") {
+    val vtbl = "graft_ann_plan_fvec"
+    spark.sql(s"DROP TABLE IF EXISTS $vtbl")
+    val rng = new scala.util.Random(11)
+    val emb = (0L until 40L).map(i =>
+        (i, Array.fill(8)(rng.nextFloat() * 2f - 1f), (i % 5).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val cents = emb.where($"vec_id" < 4)
+    TableStore.saveBucketed(
+      SimilarityOps.ivfStore(emb, "vec_id", "embedding", cents, "vec_id",
+        carryCols = Seq("label")),
+      vtbl, bucketCols = Seq("cid"), buckets = 4)
+    try {
+      val store = TableStore.loadTable(spark, vtbl)
+      val probes = Seq((100L, Array.fill(8)(0.3f))).toDF("vec_id", "embedding")
+      // the q255 'fentry' shape: the predicate is applied to the STORE
+      // VIEW before routing — it must reach the parquet scan as a pushed
+      // filter (a map-side cut on the cid-bucketed layout), not survive
+      // as a post-scan Filter over the full store
+      val entries = SimilarityOps.cellEntryNodes(
+        store.where($"label".isin(1, 2)), probes, cents,
+        "vec_id", "vec_id", "vec_id", "embedding")
+      entries.collect() // finalize the adaptive plan
+      val plan = finalPlan(entries.queryExecution.executedPlan)
+      val scans = scansOf(plan, vtbl)
+      assert(scans.nonEmpty, s"store scan missing:\n$plan")
+      assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("label"))),
+        s"label predicate not pushed to the store scan: " +
+          s"${scans.map(_.metadata.get("PushedFilters")).mkString(", ")}\n$plan")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $vtbl"): Unit
+  }
 }
