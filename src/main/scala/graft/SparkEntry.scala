@@ -4066,6 +4066,109 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally rm(dirF)
     }),
+    // ── extension: CHAINED kNN-GRAPH ABSORBS — two increments landed
+    //    SEQUENTIALLY (batch 2's seeds see batch 1's merges: its corpus
+    //    is the vector store AFTER epoch 1, its base graph the live view
+    //    over epochs 0+1), gated against an oracle that replays BOTH
+    //    absorbs in order. This is the order-sensitivity law the
+    //    q246/q249 single-increment adjudication deferred — multi-batch
+    //    ingestion is exactly a chain of these steps, and the recall
+    //    tail pins chain-built ≡ fresh-rebuild over the full corpus.
+    "q257_knn_absorb_chain" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val n = emb.count()
+      val nCells = math.max(1L, n / 64L)
+      val cells = emb.select(col("vec_id"),
+          pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
+            lit(nCells)).as("cid"))
+        .localCheckpoint(false) // seed + both absorbs + tail read it
+      val isNew1 = pmod(col("vec_id"), lit(16)) === 5
+      val isNew2 = pmod(col("vec_id"), lit(16)) === 13
+      val base = emb.where(!(isNew1 || isNew2))
+      val tbl = "graft_q257_knn_store"
+      TableStore.dropTable(s, tbl)
+      TableStore.saveBucketed(
+        SimilarityOps.nnDescent(base, "vec_id", "embedding",
+          SimilarityOps.cellSeedGraph(base, cells, "vec_id", "embedding",
+            k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
+        tbl, bucketCols = Seq("probe_id"), buckets = 8)
+      // each absorb reads the live view over all prior epochs and scores
+      // against the vectors LANDED so far — batch 2 sees batch 1's merges
+      def absorbEpoch(newPred: Column, landed: DataFrame, epoch: Long): Unit = {
+        val delta = SimilarityOps.knnGraphAbsorb(
+          SimilarityOps.liveKnnGraph(TableStore.loadTable(s, tbl)),
+          landed, emb.where(newPred).select("vec_id"), cells,
+          "vec_id", "embedding", k = 10)
+        TableStore.saveBucketed(delta.withColumn("epoch", lit(epoch)), tbl,
+          bucketCols = Seq("probe_id"), buckets = 8,
+          mode = org.apache.spark.sql.SaveMode.Append)
+        s.catalog.refreshTable(tbl)
+      }
+      absorbEpoch(isNew1, emb.where(!isNew2), 1L)
+      absorbEpoch(isNew2, emb, 2L)
+      knnStoreGateTail(s, emb,
+        e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
+          k = 10), tbl, "graft_q257_knn_compact")
+    }),
+    // ── extension: MULTI-BATCH STREAMING kNN-GRAPH INGESTION — the
+    //    q249 stream driven through TWO real triggers (files for batch 1
+    //    land, processAllAvailable commits micro-batch 1; files for
+    //    batch 2 land, a second trigger commits micro-batch 2), so the
+    //    foreachBatch chain IS q257's absorb sequence and the oracle IS
+    //    q257's two-absorb replay. With q257 this RETIRES the q246/q249
+    //    "parity is pinned against the single-increment oracle"
+    //    adjudication: batch ordering is now oracle-gated end to end.
+    "q258_knn_stream_chain" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val n = emb.count()
+      val nCells = math.max(1L, n / 64L)
+      val cells = emb.select(col("vec_id"),
+          pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
+            lit(nCells)).as("cid"))
+        .localCheckpoint(false) // bootstrap seed + per-batch absorb + tail
+      val init64 = emb.where(col("vec_id") < 64)
+      val isNew1 = pmod(col("vec_id"), lit(16)) === 5
+      val isNew2 = pmod(col("vec_id"), lit(16)) === 13
+      val base = emb.where(!(isNew1 || isNew2))
+      val vtbl = "graft_q258_vec_store"
+      val gtbl = "graft_q258_knn_store"
+      TableStore.dropTable(s, vtbl); TableStore.dropTable(s, gtbl)
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(base, "vec_id", "embedding", init64, "vec_id"),
+        vtbl, bucketCols = Seq("cid"), buckets = 8)
+      TableStore.saveBucketed(
+        SimilarityOps.nnDescent(base, "vec_id", "embedding",
+          SimilarityOps.cellSeedGraph(base, cells, "vec_id", "embedding",
+            k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
+        gtbl, bucketCols = Seq("probe_id"), buckets = 8)
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val dirF = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_q258_$uid")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      try {
+        val inDir = new java.io.File(dirF, "in").getAbsolutePath
+        emb.where(isNew1).repartition(2).write.mode("append").parquet(inDir)
+        val in = s.readStream.schema(emb.schema).parquet(inDir)
+        val q = graft.streaming.StreamingOps.knnGraphAbsorbStream(
+          in, "vec_id", "embedding", gtbl, vtbl, init64, "vec_id", k = 10,
+          cellAssign = Some(cells))()
+        try {
+          q.processAllAvailable() // trigger 1: batch 1 only
+          emb.where(isNew2).repartition(2).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // trigger 2: batch 2 sees batch 1's merges
+        } finally q.stop()
+        s.catalog.refreshTable(gtbl); s.catalog.refreshTable(vtbl)
+        knnStoreGateTail(s, emb,
+          e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
+            k = 10), gtbl, "graft_q258_knn_compact")
+          .localCheckpoint(true)
+      } finally rm(dirF)
+    }),
     // ── extension: HARD-NEGATIVE MINING (DPR, Karpukhin et al. 2020)
     //    — per probe, top-5 most-similar corpus vectors of a DIFFERENT
     //    label: the confusable non-matches a contrastive loss trains
@@ -5439,6 +5542,12 @@ object SparkEntry {
       // rank-store absorb: 2 base + 3 warm union iterations replayed —
       // warm-start chaining is deterministic dataflow (q158's law)
       ("q256_pagerank_store_absorb" -> q256OracleSql) +
+      // chained absorbs: both increments replayed in order; batch 2's
+      // base graph is batch 1's live view
+      ("q257_knn_absorb_chain" -> q257OracleSql) +
+      // two-trigger stream ≡ the chained batch absorbs (q217 parity
+      // convention) — same oracle
+      ("q258_knn_stream_chain" -> q257OracleSql) +
       // pipeline store absorb ≡ one-shot admission over the union: every
       // stage is increment-stable (monotone id cut, frozen scorer and
       // budgets, append-only fp store), so the single-pass chain IS the
@@ -5925,6 +6034,121 @@ object SparkEntry {
          FROM uni b LEFT JOIN exactf e
            ON b.probe_id = e.probe_id AND b.nbr_id = e.nbr_id
          ORDER BY b.variant, b.probe_id, b.rank"""
+  }
+
+  /** q257/q258 oracle: TWO kNN-graph absorbs replayed IN ORDER over the
+    * constant-occupancy hash-cell fixture. The absorb block is the q234
+    * replay parameterized by (base graph, new nodes, landed nodes):
+    * batch 1's seeds restrict cellmates to the vectors landed so far
+    * (base ∪ batch 1 — batch 2 hasn't landed, exactly the engine's
+    * score-time cut), batch 2's base graph is batch 1's live view and
+    * its cellmates the full corpus. Tail = q234's recall/accounting
+    * contract (chain-built ≡ fresh-rebuild per probe, store_rows sums
+    * the base build and both epoch deltas). */
+  private def q257OracleSql: String = {
+    def absorb(p: String, g: String, nw: String, landed: String): String =
+      s""",
+         ${p}se AS MATERIALIZED (SELECT DISTINCT probe_id, nbr_id FROM (
+            SELECT nn.v AS probe_id, mm.v AS nbr_id
+            FROM asn nn JOIN $nw x ON x.id = nn.v
+              JOIN asn mm ON mm.c = nn.c AND mm.v <> nn.v
+              JOIN $landed y ON y.id = mm.v
+            UNION ALL
+            SELECT mm.v, nn.v
+            FROM asn nn JOIN $nw x ON x.id = nn.v
+              JOIN asn mm ON mm.c = nn.c AND mm.v <> nn.v
+              JOIN $landed y ON y.id = mm.v)),
+         ${p}tc AS MATERIALIZED (SELECT DISTINCT t FROM (
+            SELECT probe_id AS t FROM ${p}se UNION ALL SELECT nbr_id FROM ${p}se)),
+         ${p}gi AS MATERIALIZED (SELECT gg.probe_id, gg.nbr_id FROM $g gg
+                  JOIN ${p}tc ON ${p}tc.t = gg.probe_id),
+         ${p}au AS MATERIALIZED (SELECT DISTINCT c, m FROM (
+            SELECT probe_id AS c, nbr_id AS m FROM ${p}gi
+            UNION ALL SELECT nbr_id, probe_id FROM ${p}gi
+            UNION ALL SELECT probe_id, nbr_id FROM ${p}se
+            UNION ALL SELECT nbr_id, probe_id FROM ${p}se)),
+         ${p}ut AS MATERIALIZED (SELECT u.c, u.m FROM ${p}au u
+                JOIN ${p}tc ON ${p}tc.t = u.c),
+         ${p}pq AS MATERIALIZED (SELECT DISTINCT a.m AS probe_id, b.m AS nbr_id
+            FROM ${p}ut a JOIN ${p}ut b ON b.c = a.c WHERE a.m <> b.m),
+         ${p}ac AS MATERIALIZED (SELECT probe_id, nbr_id FROM ${p}se
+            UNION SELECT probe_id, nbr_id FROM ${p}pq),
+         ${p}pp AS MATERIALIZED (SELECT DISTINCT probe_id FROM ${p}ac),
+         ${p}pl AS MATERIALIZED (SELECT probe_id, nbr_id FROM ${p}ac
+            UNION SELECT gg.probe_id, gg.nbr_id FROM $g gg
+              JOIN ${p}pp ON ${p}pp.probe_id = gg.probe_id),
+         ${p}nt AS MATERIALIZED (SELECT probe_id, nbr_id FROM (
+            SELECT p2.probe_id, p2.nbr_id, row_number() OVER (
+              PARTITION BY p2.probe_id ORDER BY round(ac.cos, 6) DESC, p2.nbr_id) AS rn
+            FROM ${p}pl p2 JOIN ac ON ac.src = p2.probe_id AND ac.dst = p2.nbr_id)
+           WHERE rn <= 10),
+         ${p}ch AS MATERIALIZED (SELECT DISTINCT probe_id FROM (
+            SELECT probe_id, nbr_id, count(*) AS c FROM (
+              SELECT probe_id, nbr_id FROM ${p}nt
+              UNION ALL
+              SELECT gg.probe_id, gg.nbr_id FROM $g gg
+                JOIN ${p}pp ON ${p}pp.probe_id = gg.probe_id)
+            GROUP BY 1, 2) WHERE c <> 2),
+         ${p}lv AS MATERIALIZED (
+            SELECT n2.probe_id, n2.nbr_id FROM ${p}nt n2 JOIN ${p}ch USING (probe_id)
+            UNION ALL
+            SELECT probe_id, nbr_id FROM $g
+            WHERE probe_id NOT IN (SELECT probe_id FROM ${p}ch))"""
+    """WITH nrm AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+           FROM embeddings),
+         live AS MATERIALIZED (SELECT * FROM nrm WHERE n > 0),
+         ac AS MATERIALIZED (
+           SELECT p.vec_id AS src, c.vec_id AS dst,
+             list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+             / (c.n * p.n) AS cos
+           FROM live c, live p),
+         asn AS MATERIALIZED (SELECT vec_id AS v,
+             CAST('0x'||substr(md5('cell:'||vec_id),1,15) AS BIGINT)
+               % greatest(1, (SELECT count(*) FROM embeddings) // 64) AS c
+             FROM live),
+         nw1 AS MATERIALIZED (SELECT vec_id AS id FROM live WHERE vec_id % 16 = 5),
+         nw2 AS MATERIALIZED (SELECT vec_id AS id FROM live WHERE vec_id % 16 = 13),
+         bn AS MATERIALIZED (SELECT vec_id AS id FROM live WHERE NOT (vec_id % 8 = 5)),
+         l1 AS MATERIALIZED (SELECT id FROM bn UNION ALL SELECT id FROM nw1),
+         alln AS MATERIALIZED (SELECT vec_id AS id FROM live)""" +
+      knnBuildCtes("b", "bn") +
+      absorb("a1", "bg", "nw1", "l1") +
+      absorb("a2", "a1lv", "nw2", "alln") +
+      """,
+         srows AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg)
+            + (SELECT CAST(count(*) AS BIGINT) FROM a1nt JOIN a1ch USING (probe_id))
+            + (SELECT CAST(count(*) AS BIGINT) FROM a2nt JOIN a2ch USING (probe_id))
+            AS store_rows)""" +
+      knnBuildCtes("f", "alln") +
+      """,
+         bt AS MATERIALIZED (SELECT src AS probe_id, dst AS nbr_id FROM (
+            SELECT src, dst, row_number() OVER (PARTITION BY src
+              ORDER BY cos DESC, dst) AS rn
+            FROM ac WHERE src < 5 AND src <> dst) WHERE rn <= 10),
+         nb AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_brute
+                FROM bt GROUP BY 1),
+         ovi AS (SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS n_incr
+                 FROM bt JOIN a2lv l ON l.probe_id = bt.probe_id
+                   AND l.nbr_id = bt.nbr_id
+                 GROUP BY 1),
+         ovf AS (SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS n_fresh
+                 FROM bt JOIN fg ON fg.probe_id = bt.probe_id
+                   AND fg.nbr_id = bt.nbr_id
+                 GROUP BY 1)
+         SELECT nb.probe_id, nb.n_brute,
+           coalesce(ovi.n_incr, 0) AS n_incr,
+           coalesce(ovf.n_fresh, 0) AS n_fresh,
+           coalesce(ovi.n_incr, 0) * 1000 // nb.n_brute AS incr_recall_milli,
+           coalesce(ovf.n_fresh, 0) * 1000 // nb.n_brute AS fresh_recall_milli,
+           (SELECT store_rows FROM srows) AS store_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM a2lv) AS compact_rows
+         FROM nb LEFT JOIN ovi ON ovi.probe_id = nb.probe_id
+           LEFT JOIN ovf ON ovf.probe_id = nb.probe_id
+         ORDER BY nb.probe_id"""
   }
 
   /** q256 oracle: the rank-store absorb replay — the q113 recurrence

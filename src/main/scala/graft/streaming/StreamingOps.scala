@@ -214,6 +214,11 @@ object StreamingOps {
       .localCheckpoint(true)
     graft.sources.TableStore.saveBucketed(rows, storeTable,
       bucketCols = Seq("cid"), buckets = buckets, mode = SaveMode.Append)
+    // a reader that cached this table's relation BEFORE the append (the
+    // previous micro-batch's reads) would otherwise be served the stale
+    // file listing on its next read — same discipline as the sketch
+    // absorbs below
+    vecs.sparkSession.catalog.refreshTable(storeTable)
     rows
   }
 
@@ -268,6 +273,13 @@ object StreamingOps {
     val s = newVecs.sparkSession
     val landed = ivfAbsorbBatch(newVecs.select(col(idCol), col(vecCol)),
       idCol, vecCol, vecStoreTable, centroids, centroidIdCol, buckets)
+    // this batch's reads must see the PREVIOUS batch's graph append: the
+    // relation cached by that batch's pre-append read otherwise serves a
+    // STALE file listing here — the epoch number repeats and the absorb
+    // runs against a live view missing the prior merges (the q258
+    // two-trigger gate caught exactly this; single-batch gates never
+    // cross this boundary)
+    s.catalog.refreshTable(graphTable)
     val store = graft.sources.TableStore.loadTable(s, vecStoreTable)
     val graph = graft.sources.TableStore.loadTable(s, graphTable)
     val nextEpoch = graph.agg(coalesce(max(col("epoch")), lit(0L)).as("e"))

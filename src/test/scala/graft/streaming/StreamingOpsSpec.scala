@@ -748,6 +748,17 @@ class CmsStreamSpec extends graft.SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert((0L until 36L).forall(probes.contains),
       s"live graph missing nodes: ${(0L until 36L).toSet -- probes}")
+    // cross-batch visibility: each micro-batch must read the PREVIOUS
+    // batch's append (fresh relation, not the cached pre-append listing)
+    // — three batches land at three DISTINCT epochs and the live view
+    // never serves two epochs' rows for one probe (the stale-listing bug
+    // stamped two deltas with the same epoch and doubled live rows)
+    val epochs = TableStore.loadTable(spark, gtbl)
+      .where(col("epoch") > 0L).select("epoch").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(epochs == Set(1L, 2L, 3L), s"delta epochs were $epochs")
+    val dup = live.groupBy("probe_id").count().where(col("count") > k).count()
+    assert(dup == 0, s"$dup probes serve more than k live rows")
     TableStore.dropTable(spark, vtbl); TableStore.dropTable(spark, gtbl)
   }
 
