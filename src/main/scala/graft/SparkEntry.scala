@@ -4169,6 +4169,71 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally rm(dirF)
     }),
+    // ── extension: RESTART/RECOVERY FOR THE ORDER-SENSITIVE FAMILY —
+    //    q258's two-trigger ingestion with a KILL between the triggers:
+    //    batch 1 commits, the StreamingQuery stops, a NEW query resumes
+    //    from the same checkpoint with batch 2's files present. The
+    //    graph Append is doubly non-idempotent (a replayed batch repeats
+    //    an epoch number AND re-derives deltas against a graph that
+    //    already merged it), so hash parity with q257's chained-absorb
+    //    oracle IS the recovery proof — the q250 discipline extended
+    //    from sum-mergeable postings to the one state family where
+    //    batch ORDER also matters.
+    "q259_knn_stream_restart" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val n = emb.count()
+      val nCells = math.max(1L, n / 64L)
+      val cells = emb.select(col("vec_id"),
+          pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
+            lit(nCells)).as("cid"))
+        .localCheckpoint(false) // bootstrap seed + per-batch absorb + tail
+      val init64 = emb.where(col("vec_id") < 64)
+      val isNew1 = pmod(col("vec_id"), lit(16)) === 5
+      val isNew2 = pmod(col("vec_id"), lit(16)) === 13
+      val base = emb.where(!(isNew1 || isNew2))
+      val vtbl = "graft_q259_vec_store"
+      val gtbl = "graft_q259_knn_store"
+      TableStore.dropTable(s, vtbl); TableStore.dropTable(s, gtbl)
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(base, "vec_id", "embedding", init64, "vec_id"),
+        vtbl, bucketCols = Seq("cid"), buckets = 8)
+      TableStore.saveBucketed(
+        SimilarityOps.nnDescent(base, "vec_id", "embedding",
+          SimilarityOps.cellSeedGraph(base, cells, "vec_id", "embedding",
+            k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
+        gtbl, bucketCols = Seq("probe_id"), buckets = 8)
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val dirF = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_q259_$uid")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      try {
+        val inDir = new java.io.File(dirF, "in").getAbsolutePath
+        val ckpt = new java.io.File(dirF, "ckpt").getAbsolutePath
+        def run(): Unit = {
+          val in = s.readStream.schema(emb.schema).parquet(inDir)
+          val q = graft.streaming.StreamingOps.knnGraphAbsorbStream(
+            in, "vec_id", "embedding", gtbl, vtbl, init64, "vec_id", k = 10,
+            cellAssign = Some(cells), checkpointLocation = Some(ckpt))()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // batch 1 commits, then the query STOPS (simulated kill)
+        emb.where(isNew1).repartition(2).write.mode("append").parquet(inDir)
+        run()
+        // restart from the same checkpoint: only batch 2 is new — a
+        // replayed batch 1 would break the epoch chain and the hash
+        emb.where(isNew2).repartition(2).write.mode("append").parquet(inDir)
+        run()
+        s.catalog.refreshTable(gtbl); s.catalog.refreshTable(vtbl)
+        knnStoreGateTail(s, emb,
+          e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
+            k = 10), gtbl, "graft_q259_knn_compact")
+          .localCheckpoint(true)
+      } finally rm(dirF)
+    }),
     // ── extension: HARD-NEGATIVE MINING (DPR, Karpukhin et al. 2020)
     //    — per probe, top-5 most-similar corpus vectors of a DIFFERENT
     //    label: the confusable non-matches a contrastive loss trains
@@ -5548,6 +5613,9 @@ object SparkEntry {
       // two-trigger stream ≡ the chained batch absorbs (q217 parity
       // convention) — same oracle
       ("q258_knn_stream_chain" -> q257OracleSql) +
+      // kill + checkpoint-resume between the two triggers ≡ the same
+      // chain — a replayed batch would repeat an epoch and re-merge
+      ("q259_knn_stream_restart" -> q257OracleSql) +
       // pipeline store absorb ≡ one-shot admission over the union: every
       // stage is increment-stable (monotone id cut, frozen scorer and
       // budgets, append-only fp store), so the single-pass chain IS the

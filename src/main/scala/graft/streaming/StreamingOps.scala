@@ -317,7 +317,8 @@ object StreamingOps {
                            graphTable: String, vecStoreTable: String,
                            centroids: DataFrame, centroidIdCol: String,
                            k: Int = 10, buckets: Int = 8,
-                           cellAssign: Option[DataFrame] = None)
+                           cellAssign: Option[DataFrame] = None,
+                           checkpointLocation: Option[String] = None)
                           (onAbsorbed: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
     val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val delta = knnGraphAbsorbBatch(batch.toDF(), idCol, vecCol, graphTable,
@@ -327,7 +328,15 @@ object StreamingOps {
       // checkpoint so an unbounded stream holds ZERO per-batch blocks
       graft.functions.GraphOps.releaseLocalCheckpoint(delta)
     }
-    vecs.writeStream.outputMode("append").foreachBatch(body).start()
+    val w = vecs.writeStream.outputMode("append").foreachBatch(body)
+    // with a durable checkpoint, a restarted query resumes from the
+    // offset log and MUST NOT re-absorb committed batches: the graph
+    // Append is doubly non-idempotent — a replayed batch would both
+    // repeat an epoch number and re-derive deltas against a graph that
+    // already merged it (the q259 recovery gate pins this for the
+    // ORDER-SENSITIVE state family)
+    checkpointLocation.fold(w)(cl => w.option("checkpointLocation", cl))
+      .start()
   }
 
   /** Continuous TEXT-INDEX ingestion: a document stream absorbed into
