@@ -3695,11 +3695,11 @@ object SparkEntry {
     }),
     // ── extension: PERSISTED kNN-GRAPH store lifecycle — the round-12
     //    verdict's last state family without incremental maintenance:
-    //    BUILD the nn-descent graph over the base corpus (fixed-16 raw
-    //    cells, np=1 seed + 1 refinement round) and persist it
-    //    probe-bucketed at epoch 0; ABSORB a vector increment
-    //    (vec_id ≥ 16, ≡5 mod 8 — ~12% of the corpus) by seeding new
-    //    nodes from their frozen IVF cells, one touched-restricted
+    //    BUILD the nn-descent graph over the base corpus (constant-
+    //    occupancy hash cells at ~32/cell, cellSeedGraph + 1 refinement
+    //    round) and persist it probe-bucketed at epoch 0; ABSORB a
+    //    vector increment (vec_id ≡ 1 mod 4 — 25% of the corpus) by
+    //    seeding new nodes from their cellmates, one touched-restricted
     //    NN-descent round, and appending ONLY changed nodes' new top-k
     //    at epoch 1 (merge-on-read, node-replacement live view); COMPACT
     //    the live view to epoch 0 and read the graph back from the
@@ -3709,18 +3709,25 @@ object SparkEntry {
     //    replays build, absorb, compaction, fresh build, and the exact
     //    baseline.
     "q234_knn_graph_store" -> ((s, dir) => {
+      // Round-15 re-cut: the original fixed-16-cell ivfStore fixture was
+      // n²/16 by construction — decade-runnable only to sf1 (the
+      // round-13 adjudication) and ~6 s of pure fixture per bench run.
+      // Re-gated on the constant-occupancy convention the q247 twin
+      // proved, at a DIFFERENT lifecycle point: occupancy 32 (vs q247's
+      // 64) and a 25% increment (vec_id % 4 = 1, vs q247's 12.5%) — the
+      // bigger-increment / smaller-cell corner of the absorb space.
       import graft.sources.TableStore
       val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
-      val init = emb.where(col("vec_id") < 16)
-      val isNew = col("vec_id") >= 16 && pmod(col("vec_id"), lit(8)) === 5
+      val n = emb.count()
+      val nCells = math.max(1L, n / 32L)
+      val cells = emb.select(col("vec_id"),
+          pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
+            lit(nCells)).as("cid"))
+        .localCheckpoint(false) // seed graph + absorb read it
+      val isNew = pmod(col("vec_id"), lit(4)) === 1
       val base = emb.where(!isNew)
-      // the frozen-quantizer assignment a deployment reads from its IVF
-      // store; computed once here and shared by seed + absorb
-      val cells = SimilarityOps.ivfStore(emb, "vec_id", "embedding",
-          init, "vec_id")
-        .select(col("vec_id"), col("cid")).localCheckpoint(false)
-      val seed0 = SimilarityOps.knnGraph(base, "vec_id", "embedding",
-        init, "vec_id", k = 10, probeFraction = 0.001, minProbe = 1)
+      val seed0 = SimilarityOps.cellSeedGraph(base, cells, "vec_id",
+        "embedding", k = 10)
       val g0 = SimilarityOps.nnDescent(base, "vec_id", "embedding", seed0,
         k = 10, iters = 1)
       val tbl = "graft_q234_knn_store"
@@ -3734,9 +3741,9 @@ object SparkEntry {
       TableStore.saveBucketed(delta.withColumn("epoch", lit(1L)), tbl,
         bucketCols = Seq("probe_id"), buckets = 8,
         mode = org.apache.spark.sql.SaveMode.Append)
-      knnStoreGateTail(s, emb, e => SimilarityOps.knnGraph(e, "vec_id",
-        "embedding", init, "vec_id", k = 10, probeFraction = 0.001,
-        minProbe = 1), tbl, "graft_q234_knn_compact")
+      knnStoreGateTail(s, emb,
+        e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
+          k = 10), tbl, "graft_q234_knn_compact")
     }),
     // ── extension: q234's lifecycle RE-GATED on CONSTANT-OCCUPANCY hash
     //    cells (the AbsorbProbe deployment convention — cell COUNT grows
@@ -3976,20 +3983,32 @@ object SparkEntry {
     //    separately), so parity is pinned against the single-increment
     //    oracle.
     "q246_knn_graph_stream" -> ((s, dir) => {
+      // Round-15 re-cut onto the q234 constant-occupancy fixture
+      // (occupancy 32, 25% increment — see q234): the foreachBatch body
+      // absorbs with the explicit balanced cell assignment (cellAssign),
+      // the vector store lands under fixed-64 real centroids (layout
+      // only — the gate reads ids + vectors), and the oracle IS q234's
+      // full lifecycle replay (the q217 parity convention), now
+      // decade-runnable to sf10.
       import graft.sources.TableStore
       val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
-      val init = emb.where(col("vec_id") < 16)
-      val isNew = col("vec_id") >= 16 && pmod(col("vec_id"), lit(8)) === 5
+      val n = emb.count()
+      val nCells = math.max(1L, n / 32L)
+      val cells = emb.select(col("vec_id"),
+          pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
+            lit(nCells)).as("cid"))
+        .localCheckpoint(false) // bootstrap seed + per-batch absorb + tail
+      val init64 = emb.where(col("vec_id") < 64)
+      val isNew = pmod(col("vec_id"), lit(4)) === 1
       val base = emb.where(!isNew)
       val vtbl = "graft_q246_vec_store"
       val gtbl = "graft_q246_knn_store"
       TableStore.dropTable(s, vtbl); TableStore.dropTable(s, gtbl)
-      TableStore.saveBucketed( // vector store: base rows under frozen cells
-        SimilarityOps.ivfStore(base, "vec_id", "embedding", init, "vec_id"),
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(base, "vec_id", "embedding", init64, "vec_id"),
         vtbl, bucketCols = Seq("cid"), buckets = 8)
-      val seed0 = SimilarityOps.knnGraph(base, "vec_id", "embedding",
-        init, "vec_id", k = 10, probeFraction = 0.001, minProbe = 1)
-      val g0 = SimilarityOps.nnDescent(base, "vec_id", "embedding", seed0,
+      val g0 = SimilarityOps.nnDescent(base, "vec_id", "embedding",
+        SimilarityOps.cellSeedGraph(base, cells, "vec_id", "embedding", k = 10),
         k = 10, iters = 1)
       TableStore.saveBucketed(g0.withColumn("epoch", lit(0L)), gtbl,
         bucketCols = Seq("probe_id"), buckets = 8)
@@ -4005,12 +4024,13 @@ object SparkEntry {
         emb.where(isNew).repartition(4).write.mode("append").parquet(inDir)
         val in = s.readStream.schema(emb.schema).parquet(inDir)
         val q = graft.streaming.StreamingOps.knnGraphAbsorbStream(
-          in, "vec_id", "embedding", gtbl, vtbl, init, "vec_id", k = 10)()
+          in, "vec_id", "embedding", gtbl, vtbl, init64, "vec_id", k = 10,
+          cellAssign = Some(cells))()
         try q.processAllAvailable() finally q.stop()
         s.catalog.refreshTable(gtbl); s.catalog.refreshTable(vtbl)
-        knnStoreGateTail(s, emb, e => SimilarityOps.knnGraph(e, "vec_id",
-          "embedding", init, "vec_id", k = 10, probeFraction = 0.001,
-          minProbe = 1), gtbl, "graft_q246_knn_compact")
+        knnStoreGateTail(s, emb,
+          e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
+            k = 10), gtbl, "graft_q246_knn_compact")
           .localCheckpoint(true)
       } finally rm(dirF)
     }),
@@ -5586,15 +5606,15 @@ object SparkEntry {
       // foreachBatch body IS the batch call sequence, so the oracle IS
       // q234's full replay (the q217 parity convention)
       ("q246_knn_graph_stream" -> oracleSqlBase("q234_knn_graph_store")) +
-      // constant-occupancy twin of the q234 lifecycle: same replay with
-      // the fixture swapped to ~64-occupancy hash cells (decade-runnable)
-      ("q247_knn_absorb_cells" -> hashCells64("q234_knn_graph_store")) +
+      // constant-occupancy twin of the q234 lifecycle: the same replay at
+      // the (occupancy 64, 12.5% increment) point of the absorb space
+      ("q247_knn_absorb_cells" -> knnLifecycleOracleSql(64, "vec_id % 8 = 5")) +
       // q235's beam comparison on the deployment graph (hash-cell
       // nnDescent) with fixed-64 routed entries — decade-runnable
       ("q248_beam_routed_cells" -> q248OracleSql) +
       // stream-built hash-cell graph store ≡ q247's batch lifecycle
       // (the q217 parity convention, as q246's oracle IS q234's)
-      ("q249_knn_stream_cells" -> hashCells64("q234_knn_graph_store")) +
+      ("q249_knn_stream_cells" -> knnLifecycleOracleSql(64, "vec_id % 8 = 5")) +
       // restart-resumed stream store ≡ one-shot bm25TopK (q217 + a kill
       // between batches; replayed batches would break the hash)
       ("q250_bm25_stream_restart" -> oracleSqlBase("q107_bm25_retrieval")) +
@@ -6116,16 +6136,25 @@ object SparkEntry {
   private def q257OracleSql: String = {
     def absorb(p: String, g: String, nw: String, landed: String): String =
       s""",
+         ${p}mt AS MATERIALIZED (SELECT nn.v AS nid, mm.v AS mid
+            FROM asn nn JOIN $nw x ON x.id = nn.v
+              JOIN asn mm ON mm.c = nn.c AND mm.v <> nn.v
+              JOIN $landed y ON y.id = mm.v),
+         ${p}lf AS (SELECT l.nid,
+              CASE WHEN l.nid = mn.m1 THEN mn.m2 ELSE mn.m1 END AS mid
+            FROM (SELECT x.id AS nid FROM $nw x
+                  WHERE x.id NOT IN (SELECT nid FROM ${p}mt)) l
+            CROSS JOIN (SELECT min(id) AS m1,
+                (SELECT min(id) FROM $landed
+                 WHERE id > (SELECT min(id) FROM $landed)) AS m2
+              FROM $landed) mn
+            WHERE CASE WHEN l.nid = mn.m1 THEN mn.m2 ELSE mn.m1 END IS NOT NULL
+              AND CASE WHEN l.nid = mn.m1 THEN mn.m2 ELSE mn.m1 END <> l.nid),
+         ${p}p0 AS (SELECT nid, mid FROM ${p}mt
+            UNION SELECT nid, mid FROM ${p}lf),
          ${p}se AS MATERIALIZED (SELECT DISTINCT probe_id, nbr_id FROM (
-            SELECT nn.v AS probe_id, mm.v AS nbr_id
-            FROM asn nn JOIN $nw x ON x.id = nn.v
-              JOIN asn mm ON mm.c = nn.c AND mm.v <> nn.v
-              JOIN $landed y ON y.id = mm.v
-            UNION ALL
-            SELECT mm.v, nn.v
-            FROM asn nn JOIN $nw x ON x.id = nn.v
-              JOIN asn mm ON mm.c = nn.c AND mm.v <> nn.v
-              JOIN $landed y ON y.id = mm.v)),
+            SELECT nid AS probe_id, mid AS nbr_id FROM ${p}p0
+            UNION ALL SELECT mid, nid FROM ${p}p0)),
          ${p}tc AS MATERIALIZED (SELECT DISTINCT t FROM (
             SELECT probe_id AS t FROM ${p}se UNION ALL SELECT nbr_id FROM ${p}se)),
          ${p}gi AS MATERIALIZED (SELECT gg.probe_id, gg.nbr_id FROM $g gg
@@ -6264,25 +6293,111 @@ object SparkEntry {
          FROM ur3 ORDER BY id"""
   }
 
-  private def hashCells64(name: String): String = {
-    val sql = oracleSqlBase(name)
-    val asnOld =
-      """asn AS MATERIALIZED (SELECT src AS v, dst AS c FROM (
-             SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-             FROM ac WHERE dst < 16) WHERE rn = 1)"""
-    val asnNew =
-      """asn AS MATERIALIZED (SELECT vec_id AS v,
+  /** The kNN-graph store LIFECYCLE oracle (build → absorb → compact →
+    * fresh-rebuild recall tail), parameterized by the constant-occupancy
+    * hash-cell fixture: `occupancy` sets the cell count (n ÷ occupancy —
+    * cells GROW with the corpus, so the same-cell seed join stays
+    * O(n·occupancy)) and `nwPred` the increment predicate. Shared by the
+    * q234 re-cut (occupancy 32, 25% increment) and the q247/q249 twins
+    * (occupancy 64, 12.5%) — two points of the absorb space on one
+    * replay. */
+  private def knnLifecycleOracleSql(occupancy: Int, nwPred: String): String =
+    s"""WITH nrm AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+           FROM embeddings),
+         live AS MATERIALIZED (SELECT * FROM nrm WHERE n > 0),
+         ac AS MATERIALIZED (
+           SELECT p.vec_id AS src, c.vec_id AS dst,
+             list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+             / (c.n * p.n) AS cos
+           FROM live c, live p),
+         asn AS MATERIALIZED (SELECT vec_id AS v,
              CAST('0x'||substr(md5('cell:'||vec_id),1,15) AS BIGINT)
-               % greatest(1, (SELECT count(*) FROM embeddings) // 64) AS c
-             FROM live)"""
-    val out = sql.replace(asnOld, asnNew)
-      .replace("WHERE vec_id >= 16 AND vec_id % 8 = 5", "WHERE vec_id % 8 = 5")
-      .replace("WHERE NOT (vec_id >= 16 AND vec_id % 8 = 5)",
-        "WHERE NOT (vec_id % 8 = 5)")
-    require(out != sql && out.contains(asnNew),
-      s"hash-cells twin: fixture CTEs not found in $name oracle")
-    out
-  }
+               % greatest(1, (SELECT count(*) FROM embeddings) // $occupancy) AS c
+             FROM live),
+         nwn AS MATERIALIZED (SELECT vec_id AS id FROM live
+                WHERE $nwPred),
+         bn AS MATERIALIZED (SELECT vec_id AS id FROM live
+                WHERE NOT ($nwPred)),
+         alln AS MATERIALIZED (SELECT vec_id AS id FROM live)""" +
+      knnBuildCtes("b", "bn") +
+      """,
+         seeds AS MATERIALIZED (SELECT DISTINCT probe_id, nbr_id FROM (
+            SELECT nn.v AS probe_id, mm.v AS nbr_id
+            FROM asn nn JOIN nwn x ON x.id = nn.v
+              JOIN asn mm ON mm.c = nn.c AND mm.v <> nn.v
+            UNION ALL
+            SELECT mm.v, nn.v
+            FROM asn nn JOIN nwn x ON x.id = nn.v
+              JOIN asn mm ON mm.c = nn.c AND mm.v <> nn.v)),
+         tch AS MATERIALIZED (SELECT DISTINCT t FROM (
+            SELECT probe_id AS t FROM seeds UNION ALL SELECT nbr_id FROM seeds)),
+         ginc AS MATERIALIZED (SELECT bg.probe_id, bg.nbr_id FROM bg
+                  JOIN tch ON tch.t = bg.probe_id),
+         aud AS MATERIALIZED (SELECT DISTINCT c, m FROM (
+            SELECT probe_id AS c, nbr_id AS m FROM ginc
+            UNION ALL SELECT nbr_id, probe_id FROM ginc
+            UNION ALL SELECT probe_id, nbr_id FROM seeds
+            UNION ALL SELECT nbr_id, probe_id FROM seeds)),
+         audt AS MATERIALIZED (SELECT u.c, u.m FROM aud u
+                JOIN tch ON tch.t = u.c),
+         apr AS MATERIALIZED (SELECT DISTINCT a.m AS probe_id, b.m AS nbr_id
+            FROM audt a JOIN audt b ON b.c = a.c WHERE a.m <> b.m),
+         acd AS MATERIALIZED (SELECT probe_id, nbr_id FROM seeds
+            UNION SELECT probe_id, nbr_id FROM apr),
+         pp AS MATERIALIZED (SELECT DISTINCT probe_id FROM acd),
+         pool AS MATERIALIZED (SELECT probe_id, nbr_id FROM acd
+            UNION SELECT bg.probe_id, bg.nbr_id FROM bg
+              JOIN pp ON pp.probe_id = bg.probe_id),
+         ntop AS MATERIALIZED (SELECT probe_id, nbr_id FROM (
+            SELECT p2.probe_id, p2.nbr_id, row_number() OVER (
+              PARTITION BY p2.probe_id ORDER BY round(ac.cos, 6) DESC, p2.nbr_id) AS rn
+            FROM pool p2 JOIN ac ON ac.src = p2.probe_id AND ac.dst = p2.nbr_id)
+           WHERE rn <= 10),
+         chg AS MATERIALIZED (SELECT DISTINCT probe_id FROM (
+            SELECT probe_id, nbr_id, count(*) AS c FROM (
+              SELECT probe_id, nbr_id FROM ntop
+              UNION ALL
+              SELECT bg.probe_id, bg.nbr_id FROM bg
+                JOIN pp ON pp.probe_id = bg.probe_id)
+            GROUP BY 1, 2) WHERE c <> 2),
+         liveg AS MATERIALIZED (
+            SELECT n2.probe_id, n2.nbr_id FROM ntop n2 JOIN chg USING (probe_id)
+            UNION ALL
+            SELECT probe_id, nbr_id FROM bg
+            WHERE probe_id NOT IN (SELECT probe_id FROM chg)),
+         srows AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg)
+            + (SELECT CAST(count(*) AS BIGINT) FROM ntop JOIN chg USING (probe_id))
+            AS store_rows)""" +
+      knnBuildCtes("f", "alln") +
+      """,
+         bt AS MATERIALIZED (SELECT src AS probe_id, dst AS nbr_id FROM (
+            SELECT src, dst, row_number() OVER (PARTITION BY src
+              ORDER BY cos DESC, dst) AS rn
+            FROM ac WHERE src < 5 AND src <> dst) WHERE rn <= 10),
+         nb AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_brute
+                FROM bt GROUP BY 1),
+         ovi AS (SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS n_incr
+                 FROM bt JOIN liveg l ON l.probe_id = bt.probe_id
+                   AND l.nbr_id = bt.nbr_id
+                 GROUP BY 1),
+         ovf AS (SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS n_fresh
+                 FROM bt JOIN fg ON fg.probe_id = bt.probe_id
+                   AND fg.nbr_id = bt.nbr_id
+                 GROUP BY 1)
+         SELECT nb.probe_id, nb.n_brute,
+           coalesce(ovi.n_incr, 0) AS n_incr,
+           coalesce(ovf.n_fresh, 0) AS n_fresh,
+           coalesce(ovi.n_incr, 0) * 1000 // nb.n_brute AS incr_recall_milli,
+           coalesce(ovf.n_fresh, 0) * 1000 // nb.n_brute AS fresh_recall_milli,
+           (SELECT store_rows FROM srows) AS store_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM liveg) AS compact_rows
+         FROM nb LEFT JOIN ovi ON ovi.probe_id = nb.probe_id
+           LEFT JOIN ovf ON ovf.probe_id = nb.probe_id
+         ORDER BY nb.probe_id"""
 
   /** Unigram-LM Viterbi DP replay for DuckDB: fixed `maxLen`-round
     * forward unroll (per round: best predecessor by cost asc, piece
@@ -9877,106 +9992,7 @@ object SparkEntry {
     // fresh rebuild over the grown corpus, and the exact top-10 baseline
     // for 5 probes. Every multiply-referenced CTE is MATERIALIZED —
     // inlined re-evaluation of the nested chain is exponential.
-    "q234_knn_graph_store" -> {
-      // seed (same-cell top-10, raw cos) + one nn-descent iteration
-      // (round-6 quantized rank law) over the node set `nodes(id)`
-      def knnBuild(p: String, nodes: String): String = knnBuildCtes(p, nodes)
-      """WITH nrm AS (
-           SELECT vec_id, embedding,
-             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
-               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
-           FROM embeddings),
-         live AS MATERIALIZED (SELECT * FROM nrm WHERE n > 0),
-         ac AS MATERIALIZED (
-           SELECT p.vec_id AS src, c.vec_id AS dst,
-             list_sum(list_transform(range(1, len(c.embedding)+1),
-               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
-             / (c.n * p.n) AS cos
-           FROM live c, live p),
-         asn AS MATERIALIZED (SELECT src AS v, dst AS c FROM (
-             SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-             FROM ac WHERE dst < 16) WHERE rn = 1),
-         nwn AS MATERIALIZED (SELECT vec_id AS id FROM live
-                WHERE vec_id >= 16 AND vec_id % 8 = 5),
-         bn AS MATERIALIZED (SELECT vec_id AS id FROM live
-                WHERE NOT (vec_id >= 16 AND vec_id % 8 = 5)),
-         alln AS MATERIALIZED (SELECT vec_id AS id FROM live)""" +
-      knnBuild("b", "bn") +
-      """,
-         seeds AS MATERIALIZED (SELECT DISTINCT probe_id, nbr_id FROM (
-            SELECT nn.v AS probe_id, mm.v AS nbr_id
-            FROM asn nn JOIN nwn x ON x.id = nn.v
-              JOIN asn mm ON mm.c = nn.c AND mm.v <> nn.v
-            UNION ALL
-            SELECT mm.v, nn.v
-            FROM asn nn JOIN nwn x ON x.id = nn.v
-              JOIN asn mm ON mm.c = nn.c AND mm.v <> nn.v)),
-         tch AS MATERIALIZED (SELECT DISTINCT t FROM (
-            SELECT probe_id AS t FROM seeds UNION ALL SELECT nbr_id FROM seeds)),
-         ginc AS MATERIALIZED (SELECT bg.probe_id, bg.nbr_id FROM bg
-                  JOIN tch ON tch.t = bg.probe_id),
-         aud AS MATERIALIZED (SELECT DISTINCT c, m FROM (
-            SELECT probe_id AS c, nbr_id AS m FROM ginc
-            UNION ALL SELECT nbr_id, probe_id FROM ginc
-            UNION ALL SELECT probe_id, nbr_id FROM seeds
-            UNION ALL SELECT nbr_id, probe_id FROM seeds)),
-         audt AS MATERIALIZED (SELECT u.c, u.m FROM aud u
-                JOIN tch ON tch.t = u.c),
-         apr AS MATERIALIZED (SELECT DISTINCT a.m AS probe_id, b.m AS nbr_id
-            FROM audt a JOIN audt b ON b.c = a.c WHERE a.m <> b.m),
-         acd AS MATERIALIZED (SELECT probe_id, nbr_id FROM seeds
-            UNION SELECT probe_id, nbr_id FROM apr),
-         pp AS MATERIALIZED (SELECT DISTINCT probe_id FROM acd),
-         pool AS MATERIALIZED (SELECT probe_id, nbr_id FROM acd
-            UNION SELECT bg.probe_id, bg.nbr_id FROM bg
-              JOIN pp ON pp.probe_id = bg.probe_id),
-         ntop AS MATERIALIZED (SELECT probe_id, nbr_id FROM (
-            SELECT p2.probe_id, p2.nbr_id, row_number() OVER (
-              PARTITION BY p2.probe_id ORDER BY round(ac.cos, 6) DESC, p2.nbr_id) AS rn
-            FROM pool p2 JOIN ac ON ac.src = p2.probe_id AND ac.dst = p2.nbr_id)
-           WHERE rn <= 10),
-         chg AS MATERIALIZED (SELECT DISTINCT probe_id FROM (
-            SELECT probe_id, nbr_id, count(*) AS c FROM (
-              SELECT probe_id, nbr_id FROM ntop
-              UNION ALL
-              SELECT bg.probe_id, bg.nbr_id FROM bg
-                JOIN pp ON pp.probe_id = bg.probe_id)
-            GROUP BY 1, 2) WHERE c <> 2),
-         liveg AS MATERIALIZED (
-            SELECT n2.probe_id, n2.nbr_id FROM ntop n2 JOIN chg USING (probe_id)
-            UNION ALL
-            SELECT probe_id, nbr_id FROM bg
-            WHERE probe_id NOT IN (SELECT probe_id FROM chg)),
-         srows AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg)
-            + (SELECT CAST(count(*) AS BIGINT) FROM ntop JOIN chg USING (probe_id))
-            AS store_rows)""" +
-      knnBuild("f", "alln") +
-      """,
-         bt AS MATERIALIZED (SELECT src AS probe_id, dst AS nbr_id FROM (
-            SELECT src, dst, row_number() OVER (PARTITION BY src
-              ORDER BY cos DESC, dst) AS rn
-            FROM ac WHERE src < 5 AND src <> dst) WHERE rn <= 10),
-         nb AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_brute
-                FROM bt GROUP BY 1),
-         ovi AS (SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS n_incr
-                 FROM bt JOIN liveg l ON l.probe_id = bt.probe_id
-                   AND l.nbr_id = bt.nbr_id
-                 GROUP BY 1),
-         ovf AS (SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS n_fresh
-                 FROM bt JOIN fg ON fg.probe_id = bt.probe_id
-                   AND fg.nbr_id = bt.nbr_id
-                 GROUP BY 1)
-         SELECT nb.probe_id, nb.n_brute,
-           coalesce(ovi.n_incr, 0) AS n_incr,
-           coalesce(ovf.n_fresh, 0) AS n_fresh,
-           coalesce(ovi.n_incr, 0) * 1000 // nb.n_brute AS incr_recall_milli,
-           coalesce(ovf.n_fresh, 0) * 1000 // nb.n_brute AS fresh_recall_milli,
-           (SELECT store_rows FROM srows) AS store_rows,
-           (SELECT CAST(count(*) AS BIGINT) FROM liveg) AS compact_rows
-         FROM nb LEFT JOIN ovi ON ovi.probe_id = nb.probe_id
-           LEFT JOIN ovf ON ovf.probe_id = nb.probe_id
-         ORDER BY nb.probe_id"""
-    },
+    "q234_knn_graph_store" -> knnLifecycleOracleSql(32, "vec_id % 4 = 1"),
     // q200's replay doubled: routed entries come from the raw-16-cell
     // assignment (nearest cell's min node), probes are the 5 nodes least
     // similar to the global entry, both variants unroll 2 hops at beam 8.

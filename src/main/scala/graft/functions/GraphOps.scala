@@ -122,18 +122,26 @@ object GraphOps {
         .agg(coalesce(sum("r"), lit(0.0)).as("__dm"))
       val contrib = e.join(rd.where(col("deg").isNotNull), e("s") === rd("id"))
         .groupBy(e("d").as("id")).agg(sum(col("r") / col("deg")).as("c"))
-      ranks = nodes.join(contrib, Seq("id"), "left")
+      // EAGER successor checkpoint, then release the iteration's frames:
+      // a lazy chain materializes every iteration's rd/ranks blocks in
+      // one cascade at the end and PINS them all simultaneously — at 60M
+      // edges that multiplied the heap footprint ~iters× (the q256 sf10
+      // OOM at the default 8g harness heap). With per-iteration release
+      // the peak holds the edge cache plus ≤2 node-sized frames.
+      val next = nodes.join(contrib, Seq("id"), "left")
         .crossJoin(dangling).crossJoin(nAgg)
         .select(col("id"),
           (lit(1.0 - damping) / col("__n") +
             lit(damping) * (coalesce(col("c"), lit(0.0)) + col("__dm") / col("__n"))).as("r"))
-        .coalesce(parts).localCheckpoint(false)
+        .coalesce(parts).localCheckpoint(true)
+      releaseLocalCheckpoint(ranks)
+      releaseLocalCheckpoint(rd)
+      ranks = next
     }
-    val out = ranks.localCheckpoint(true)
     e.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    out
+    ranks
   }
 
   /** WEIGHTED PageRank — the random surfer follows edge u→v with

@@ -2,7 +2,7 @@ package graft.functions
 
 import graft.expr.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over embedding columns
@@ -596,13 +596,19 @@ object SimilarityOps {
     val c = cells.select(col(idCol).as("__id"), col("cid"))
     val newCells = c.join(nw, c("__id") === nw("__new"), "left_semi")
       .select(col("__id").as("__nid"), col("cid"))
-    // 1. seeds: (new ↔ cellmate) in both directions, deduped
-    val mates = c.join(newCells, Seq("cid")).where(col("__id") =!= col("__nid"))
-    // FALLBACK — a new node ALONE in its cell has no cellmates and would
-    // otherwise silently never join the graph (no delta row, no error):
-    // seed it bidirectionally with the globally smallest OTHER live node
-    // id (the beamSearchTopK entry-node convention), so the propagation
-    // round pulls it toward its real neighborhood instead of dropping it.
+    // 1. seeds: (new ↔ cellmate) in both directions, deduped. The
+    // cellmate side is restricted to LANDED vectors (present in `vecs`,
+    // zero-norm excluded): in a chained/multi-batch absorb, `cells` may
+    // cover not-yet-landed ids, and a mate that cannot score would both
+    // bypass the lone-node fallback AND drop at the scoring join — the
+    // node would silently get no epoch delta.
+    val mates = c.join(v.select(col("__id")), Seq("__id"), "left_semi")
+      .join(newCells, Seq("cid")).where(col("__id") =!= col("__nid"))
+    // FALLBACK — a new node with no LANDED cellmate would otherwise
+    // silently never join the graph (no delta row, no error): seed it
+    // bidirectionally with the globally smallest OTHER live node id (the
+    // beamSearchTopK entry-node convention), so the propagation round
+    // pulls it toward its real neighborhood instead of dropping it.
     val lone = newCells.select(col("__nid"))
       .join(mates.select(col("__nid")).distinct(), Seq("__nid"), "left_anti")
     val mins = v.select(col("__id")).orderBy(col("__id").asc).limit(2)
@@ -755,6 +761,27 @@ object SimilarityOps {
                          entries: DataFrame, idCol: String, probeIdCol: String,
                          vecCol: String, k: Int = 10, beam: Int = 8,
                          hops: Int = 3): DataFrame = {
+    val (b, _, wBeam) = beamWalk(corpus, probes, graph, entries, idCol,
+      probeIdCol, vecCol, k, beam, hops)
+    val answer = if (idCol == probeIdCol) b.where(col("probe_id") =!= col("nbr_id")) else b
+    answer
+      .withColumn("rank", row_number().over(wBeam)).where(col("rank") <= k)
+  }
+
+  /** The SHARED beam walk under both serving entry points
+    * ([[beamSearchTopKFrom]] ranks the final beam;
+    * [[beamSearchTopKFilteredFrom]] ranks the visited pool ∩ filter) —
+    * one implementation so the walk's conventions (cosine desc / id-asc
+    * tie-break, zero-norm exclusion, self kept in the beam for
+    * navigation) cannot drift between the two.
+    *
+    * @return (final beam with `score`, visited (probe_id, nbr_id) pool —
+    *         entries ∪ every hop's candidate set, pre-distinct — and the
+    *         per-probe rank window both tails order by) */
+  private def beamWalk(corpus: DataFrame, probes: DataFrame, graph: DataFrame,
+                       entries: DataFrame, idCol: String, probeIdCol: String,
+                       vecCol: String, k: Int, beam: Int,
+                       hops: Int): (DataFrame, DataFrame, WindowSpec) = {
     require(k >= 1 && beam >= k, s"need beam >= k >= 1, got k=$k beam=$beam")
     require(hops >= 1, s"hops must be >= 1, got $hops")
     GraftFunctions.register(corpus.sparkSession)
@@ -766,7 +793,7 @@ object SimilarityOps {
     val wBeam = Window.partitionBy("probe_id").orderBy(col("score").desc, col("nbr_id").asc)
     // score a (probe_id, nbr_id) candidate set and keep the best `beam`;
     // self stays IN the beam (it is navigationally useful) and is only
-    // dropped from the final answer below
+    // dropped from the final answer by the caller
     def rankBeam(cand: DataFrame): DataFrame = cand
       .join(c, Seq("nbr_id"))
       .join(broadcast(p), Seq("probe_id"))
@@ -774,15 +801,16 @@ object SimilarityOps {
         (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
       .withColumn("rank", row_number().over(wBeam)).where(col("rank") <= beam)
     var b = rankBeam(entries.select(col("probe_id"), col("nbr_id")))
+    var visited = entries.select(col("probe_id"), col("nbr_id"))
     for (_ <- 1 to hops) {
       val expanded = b.select("probe_id", "nbr_id")
         .join(g, b("nbr_id") === g("__src"))
         .select(col("probe_id"), col("__dst").as("nbr_id"))
-      b = rankBeam(b.select("probe_id", "nbr_id").unionByName(expanded).distinct())
+      val cand = b.select("probe_id", "nbr_id").unionByName(expanded).distinct()
+      visited = visited.unionByName(cand)
+      b = rankBeam(cand)
     }
-    val answer = if (idCol == probeIdCol) b.where(col("probe_id") =!= col("nbr_id")) else b
-    answer
-      .withColumn("rank", row_number().over(wBeam)).where(col("rank") <= k)
+    (b, visited, wBeam)
   }
 
   /** FILTERED graph-ANN serving — [[beamSearchTopKFrom]]'s walk with an
@@ -822,31 +850,13 @@ object SimilarityOps {
                                  probeIdCol: String, vecCol: String,
                                  k: Int = 10, beam: Int = 8,
                                  hops: Int = 3): DataFrame = {
-    require(k >= 1 && beam >= k, s"need beam >= k >= 1, got k=$k beam=$beam")
-    require(hops >= 1, s"hops must be >= 1, got $hops")
     GraftFunctions.register(corpus.sparkSession)
+    val (_, visited, wBeam) = beamWalk(corpus, probes, graph, entries, idCol,
+      probeIdCol, vecCol, k, beam, hops)
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
       vnorm(col(vecCol)).as("__cn")).where(col("__cn") > 0)
     val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
       vnorm(col(vecCol)).as("__pn")).where(col("__pn") > 0)
-    val g = graph.select(col("probe_id").as("__src"), col("nbr_id").as("__dst"))
-    val wBeam = Window.partitionBy("probe_id").orderBy(col("score").desc, col("nbr_id").asc)
-    def rankBeam(cand: DataFrame): DataFrame = cand
-      .join(c, Seq("nbr_id"))
-      .join(broadcast(p), Seq("probe_id"))
-      .select(col("probe_id"), col("nbr_id"),
-        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
-      .withColumn("rank", row_number().over(wBeam)).where(col("rank") <= beam)
-    var b = rankBeam(entries.select(col("probe_id"), col("nbr_id")))
-    var visited = entries.select(col("probe_id"), col("nbr_id"))
-    for (_ <- 1 to hops) {
-      val expanded = b.select("probe_id", "nbr_id")
-        .join(g, b("nbr_id") === g("__src"))
-        .select(col("probe_id"), col("__dst").as("nbr_id"))
-      val cand = b.select("probe_id", "nbr_id").unionByName(expanded).distinct()
-      visited = visited.unionByName(cand)
-      b = rankBeam(cand)
-    }
     val pool = visited.distinct()
       .join(allowed.select(col(idCol).as("nbr_id")).distinct(),
         Seq("nbr_id"), "left_semi")
