@@ -4254,6 +4254,55 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally rm(dirF)
     }),
+    // ── extension: kNN-GRAPH STORE DELETE + NEIGHBORHOOD REPAIR — the
+    //    lifecycle leg the IVF store closed in q172/q241 and the graph
+    //    store lacked: epoch 0 builds the full deployment graph
+    //    (constant-occupancy hash cells, cellSeedGraph + nnDescent);
+    //    a retention pass DELETES vec_id ≡ 7 mod 16 (~6%) —
+    //    knnGraphDelete repairs every survivor that listed a victim
+    //    (candidates from the victim's own adjacency, the FreshDiskANN
+    //    deletion rule) and appends the repaired top-k at epoch 1;
+    //    victims land as (probe_id, before_epoch) tombstones; COMPACT
+    //    rewrites liveKnnGraph(liveView(store, tomb)) at epoch 0. Gate:
+    //    per-probe recall@10 of the repaired graph vs a FRESH rebuild
+    //    over the survivor set (the q234 parity law) plus store/compact
+    //    row accounting; the oracle replays build, repair, and both
+    //    baselines.
+    "q260_knn_graph_delete" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val n = emb.count()
+      val nCells = math.max(1L, n / 64L)
+      val cells = emb.select(col("vec_id"),
+          pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
+            lit(nCells)).as("cid"))
+        .localCheckpoint(false) // build seed + fresh-rebuild tail
+      val tbl = "graft_q260_knn_store"
+      val ttbl = "graft_q260_knn_tomb"
+      TableStore.dropTable(s, tbl); TableStore.dropTable(s, ttbl)
+      TableStore.saveBucketed(
+        SimilarityOps.nnDescent(emb, "vec_id", "embedding",
+          SimilarityOps.cellSeedGraph(emb, cells, "vec_id", "embedding",
+            k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
+        tbl, bucketCols = Seq("probe_id"), buckets = 8)
+      val isVic = pmod(col("vec_id"), lit(16)) === 7
+      val victims = emb.where(isVic).select("vec_id")
+      val delta = SimilarityOps.knnGraphDelete(
+        SimilarityOps.liveKnnGraph(TableStore.loadTable(s, tbl)),
+        emb, victims, "vec_id", "embedding", k = 10)
+      TableStore.saveBucketed(delta.withColumn("epoch", lit(1L)), tbl,
+        bucketCols = Seq("probe_id"), buckets = 8,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      TableStore.saveBucketed( // the TableStore.liveView tombstone shape
+        victims.select(col("vec_id").as("probe_id"),
+          lit(1L).as("before_epoch")),
+        ttbl, bucketCols = Seq("probe_id"), buckets = 8)
+      val survivors = emb.where(!isVic)
+      knnStoreGateTail(s, survivors,
+        e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
+          k = 10), tbl, "graft_q260_knn_compact",
+        tomb = Some(TableStore.loadTable(s, ttbl)))
+    }),
     // ── extension: HARD-NEGATIVE MINING (DPR, Karpukhin et al. 2020)
     //    — per probe, top-5 most-similar corpus vectors of a DIFFERENT
     //    label: the confusable non-matches a contrastive loss trains
@@ -5636,6 +5685,9 @@ object SparkEntry {
       // kill + checkpoint-resume between the two triggers ≡ the same
       // chain — a replayed batch would repeat an epoch and re-merge
       ("q259_knn_stream_restart" -> q257OracleSql) +
+      // delete + neighborhood repair: repaired graph vs fresh rebuild
+      // over the survivor set (the q234 parity law), tombstone live view
+      ("q260_knn_graph_delete" -> q260OracleSql) +
       // pipeline store absorb ≡ one-shot admission over the union: every
       // stage is increment-stable (monotone id cut, frozen scorer and
       // budgets, append-only fp store), so the single-pass chain IS the
@@ -5843,12 +5895,18 @@ object SparkEntry {
     * plus store/compacted row accounting. */
   private def knnStoreGateTail(s: SparkSession, emb: DataFrame,
                                freshSeed: DataFrame => DataFrame, tbl: String,
-                               dst: String): DataFrame = {
+                               dst: String,
+                               tomb: Option[DataFrame] = None): DataFrame = {
     import graft.sources.TableStore
     val store = TableStore.loadTable(s, tbl)
+    // with tombstones (the q260 delete leg): hide tombstoned probes
+    // BEFORE the node-replacement window — victims vanish as probes
+    // here, and as neighbors via the repair delta already appended
+    val live0 = tomb.fold(store)(t =>
+      TableStore.liveView(store, t, "probe_id", "epoch"))
     TableStore.dropTable(s, dst)
     TableStore.saveBucketed(
-      SimilarityOps.liveKnnGraph(store).withColumn("epoch", lit(0L)),
+      SimilarityOps.liveKnnGraph(live0).withColumn("epoch", lit(0L)),
       dst, bucketCols = Seq("probe_id"), buckets = 8)
     val live = SimilarityOps.liveKnnGraph(TableStore.loadTable(s, dst))
     val gF = SimilarityOps.nnDescent(emb, "vec_id", "embedding",
@@ -6395,6 +6453,107 @@ object SparkEntry {
            coalesce(ovf.n_fresh, 0) * 1000 // nb.n_brute AS fresh_recall_milli,
            (SELECT store_rows FROM srows) AS store_rows,
            (SELECT CAST(count(*) AS BIGINT) FROM liveg) AS compact_rows
+         FROM nb LEFT JOIN ovi ON ovi.probe_id = nb.probe_id
+           LEFT JOIN ovf ON ovf.probe_id = nb.probe_id
+         ORDER BY nb.probe_id"""
+
+  /** q260 oracle: the kNN-graph DELETE + repair replay — full build over
+    * all live vectors ([[knnBuildCtes]] over constant-occupancy hash
+    * cells), victims = vec_id ≡ 7 mod 16, repair per the FreshDiskANN
+    * rule (candidates from the victim's own out ∪ in adjacency), pool =
+    * surviving current edges ∪ proposals (lone-pool fallback to the min
+    * surviving id), round-6 rank law, then the q234 recall/accounting
+    * tail against a FRESH rebuild over the survivor set. */
+  private def q260OracleSql: String =
+    """WITH nrm AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+           FROM embeddings),
+         live AS MATERIALIZED (SELECT * FROM nrm WHERE n > 0),
+         ac AS MATERIALIZED (
+           SELECT p.vec_id AS src, c.vec_id AS dst,
+             list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+             / (c.n * p.n) AS cos
+           FROM live c, live p),
+         asn AS MATERIALIZED (SELECT vec_id AS v,
+             CAST('0x'||substr(md5('cell:'||vec_id),1,15) AS BIGINT)
+               % greatest(1, (SELECT count(*) FROM embeddings) // 64) AS c
+             FROM live),
+         alln AS MATERIALIZED (SELECT vec_id AS id FROM live)""" +
+      knnBuildCtes("f", "alln") +
+      """,
+         vic AS MATERIALIZED (SELECT vec_id AS id FROM live WHERE vec_id % 16 = 7),
+         sur AS MATERIALIZED (SELECT id FROM alln
+            WHERE id NOT IN (SELECT id FROM vic)),
+         aff AS MATERIALIZED (SELECT DISTINCT probe_id FROM fg
+            JOIN vic ON vic.id = fg.nbr_id
+            WHERE probe_id NOT IN (SELECT id FROM vic)),
+         vadj AS MATERIALIZED (SELECT DISTINCT d, m FROM (
+            SELECT fg.probe_id AS d, fg.nbr_id AS m FROM fg
+              JOIN vic ON vic.id = fg.probe_id
+            UNION ALL
+            SELECT fg.nbr_id, fg.probe_id FROM fg
+              JOIN vic ON vic.id = fg.nbr_id)),
+         dprop AS MATERIALIZED (SELECT DISTINCT f.probe_id, va.m AS nbr_id
+            FROM fg f JOIN vic ON vic.id = f.nbr_id
+              JOIN vadj va ON va.d = f.nbr_id
+            WHERE f.probe_id NOT IN (SELECT id FROM vic)
+              AND va.m <> f.probe_id),
+         dpool0 AS MATERIALIZED (SELECT probe_id, nbr_id FROM (
+            SELECT f.probe_id, f.nbr_id FROM fg f
+              JOIN aff ON aff.probe_id = f.probe_id
+            UNION
+            SELECT probe_id, nbr_id FROM dprop)
+           WHERE nbr_id NOT IN (SELECT id FROM vic)),
+         dlf AS (SELECT l.probe_id,
+              CASE WHEN l.probe_id = mn.m1 THEN mn.m2 ELSE mn.m1 END AS nbr_id
+            FROM (SELECT a.probe_id FROM aff a
+                  WHERE a.probe_id NOT IN (SELECT probe_id FROM dpool0)) l
+            CROSS JOIN (SELECT min(id) AS m1,
+                (SELECT min(id) FROM sur
+                 WHERE id > (SELECT min(id) FROM sur)) AS m2
+              FROM sur) mn
+            WHERE CASE WHEN l.probe_id = mn.m1 THEN mn.m2 ELSE mn.m1 END IS NOT NULL
+              AND CASE WHEN l.probe_id = mn.m1 THEN mn.m2 ELSE mn.m1 END <> l.probe_id),
+         dpool AS (SELECT probe_id, nbr_id FROM dpool0
+            UNION SELECT probe_id, nbr_id FROM dlf),
+         dtop AS MATERIALIZED (SELECT probe_id, nbr_id FROM (
+            SELECT p2.probe_id, p2.nbr_id, row_number() OVER (
+              PARTITION BY p2.probe_id ORDER BY round(ac.cos, 6) DESC, p2.nbr_id) AS rn
+            FROM dpool p2 JOIN ac ON ac.src = p2.probe_id AND ac.dst = p2.nbr_id)
+           WHERE rn <= 10),
+         lived AS MATERIALIZED (
+            SELECT probe_id, nbr_id FROM dtop
+            UNION ALL
+            SELECT probe_id, nbr_id FROM fg
+            WHERE probe_id NOT IN (SELECT probe_id FROM aff)
+              AND probe_id NOT IN (SELECT id FROM vic)),
+         srows AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM fg)
+            + (SELECT CAST(count(*) AS BIGINT) FROM dtop) AS store_rows)""" +
+      knnBuildCtes("s", "sur") +
+      """,
+         bt AS MATERIALIZED (SELECT src AS probe_id, dst AS nbr_id FROM (
+            SELECT src, dst, row_number() OVER (PARTITION BY src
+              ORDER BY cos DESC, dst) AS rn
+            FROM ac JOIN sur x ON x.id = ac.src JOIN sur y ON y.id = ac.dst
+            WHERE src < 5 AND src <> dst) WHERE rn <= 10),
+         nb AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_brute
+                FROM bt GROUP BY 1),
+         ovi AS (SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS n_incr
+                 FROM bt JOIN lived l ON l.probe_id = bt.probe_id
+                   AND l.nbr_id = bt.nbr_id GROUP BY 1),
+         ovf AS (SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS n_fresh
+                 FROM bt JOIN sg ON sg.probe_id = bt.probe_id
+                   AND sg.nbr_id = bt.nbr_id GROUP BY 1)
+         SELECT nb.probe_id, nb.n_brute,
+           coalesce(ovi.n_incr, 0) AS n_incr,
+           coalesce(ovf.n_fresh, 0) AS n_fresh,
+           coalesce(ovi.n_incr, 0) * 1000 // nb.n_brute AS incr_recall_milli,
+           coalesce(ovf.n_fresh, 0) * 1000 // nb.n_brute AS fresh_recall_milli,
+           (SELECT store_rows FROM srows) AS store_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM lived) AS compact_rows
          FROM nb LEFT JOIN ovi ON ovi.probe_id = nb.probe_id
            LEFT JOIN ovf ON ovf.probe_id = nb.probe_id
          ORDER BY nb.probe_id"""

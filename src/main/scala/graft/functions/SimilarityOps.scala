@@ -677,6 +677,114 @@ object SimilarityOps {
     delta
   }
 
+  /** DELETE nodes from a persisted kNN graph WITH neighborhood repair —
+    * the lifecycle leg that closes build → absorb → DELETE → compact for
+    * the graph store (the IVF store's q172 tombstone cycle, extended to
+    * graph state where removal also BREAKS other nodes' edge lists):
+    * removing a vector (retention policy, takedown, re-embedding) must
+    * drop the victim's own adjacency rows AND repair every survivor
+    * that listed it, or those nodes silently serve short (or stale)
+    * neighbor lists forever.
+    *
+    * Repair is the standard graph-index deletion step (the FreshDiskANN
+    * delete rule — Singh et al., 2021): each survivor u that lost an
+    * edge to victim d re-proposes candidates from d's OWN adjacency
+    * (out ∪ in neighbors — "my deleted neighbor's neighbors are
+    * probably my neighbors", the deletion-time mirror of NN-descent),
+    * then re-ranks (surviving current edges ∪ proposals) under the
+    * [[nnDescent]] rank law (6-decimal quantized cosine, id tie-break)
+    * and keeps top-k. A survivor whose whole pool died (every edge and
+    * every proposal was a victim) takes the [[knnGraphAbsorb]]
+    * lone-node fallback — the globally smallest OTHER surviving id — so
+    * a repaired node never silently drops out of the graph.
+    *
+    * The caller appends the returned delta at the next epoch and
+    * records the victims as (id, before_epoch) tombstones (the
+    * [[graft.sources.TableStore.liveView]] convention); the live graph
+    * is then `liveKnnGraph(liveView(store, tombstones))` and compaction
+    * rewrites it at epoch 0 — victims gone as probes via the
+    * tombstones, gone as neighbors via the repair delta.
+    *
+    * Scale shape: everything keys on the victim set and its
+    * neighborhoods — victim adjacency is two semi-joins of the live
+    * graph, proposals are one victim-keyed join (O(victims · degree²)),
+    * scoring joins the survivor vector table twice on the 8-byte id.
+    * Nothing rescans the corpus or the full graph. The q260 gate pins
+    * the repaired graph's recall against a FRESH rebuild over the
+    * survivor set (the q234 parity law).
+    *
+    * @param liveGraph [[liveKnnGraph]] of the store (probe_id, nbr_id …)
+    * @param vecs      (idCol, vecCol) for every LIVE vector incl.
+    *                  victims (victims are excluded internally)
+    * @param delIds    (idCol) — the victims
+    * @return (probe_id, nbr_id, score, rank ≤ k) rows for every REPAIRED
+    *         survivor — the epoch delta to append */
+  def knnGraphDelete(liveGraph: DataFrame, vecs: DataFrame, delIds: DataFrame,
+                     idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    GraftFunctions.register(vecs.sparkSession)
+    val vic = delIds.select(col(idCol).as("__d")).distinct()
+      .localCheckpoint(false) // read by five joins below
+    // survivors' vectors only — a victim can never be scored back in
+    val v = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        vnorm(col(vecCol)).as("__n")).where(col("__n") > 0)
+      .join(vic, col("__id") === col("__d"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = liveGraph.select(col("probe_id"), col("nbr_id"))
+    // survivor → victim edges: the broken rows that need repair
+    val toVic = g.join(vic, g("nbr_id") === vic("__d"), "left_semi")
+      .join(vic, g("probe_id") === vic("__d"), "left_anti")
+      .localCheckpoint(false) // affected set AND proposals
+    val aff = toVic.select(col("probe_id")).distinct()
+      .localCheckpoint(false) // pool, fallback, and the current-edge cut
+    // victim adjacency (out ∪ in): the repair candidate source
+    val vadj = g.join(vic, g("probe_id") === vic("__d"), "left_semi")
+      .select(col("probe_id").as("__vd"), col("nbr_id").as("__m"))
+      .unionByName(g.join(vic, g("nbr_id") === vic("__d"), "left_semi")
+        .select(col("nbr_id").as("__vd"), col("probe_id").as("__m")))
+      .distinct()
+    val prop = toVic.select(col("probe_id"), col("nbr_id").as("__vd"))
+      .join(vadj, Seq("__vd"))
+      .select(col("probe_id"), col("__m").as("nbr_id"))
+      .where(col("probe_id") =!= col("nbr_id"))
+    val cur = g.join(aff, Seq("probe_id"), "left_semi")
+    val pool0 = cur.unionByName(prop).distinct()
+      .join(vic, col("nbr_id") === col("__d"), "left_anti")
+      .localCheckpoint(false) // ranked AND probed for the fallback
+    // FALLBACK — an affected survivor whose entire pool died (every
+    // current edge and every proposal was a victim): seed it with the
+    // globally smallest OTHER surviving id (the knnGraphAbsorb lone-node
+    // convention) so it keeps at least one live edge.
+    val lone = aff.join(pool0.select(col("probe_id")).distinct(),
+      Seq("probe_id"), "left_anti")
+    val mins = v.select(col("__id")).orderBy(col("__id").asc).limit(2)
+      .agg(min(col("__id")).as("__m1"), max(col("__id")).as("__m2"))
+    val loneSeeds = lone.crossJoin(broadcast(mins))
+      .select(col("probe_id"),
+        when(col("probe_id") === col("__m1"), col("__m2"))
+          .otherwise(col("__m1")).as("nbr_id"))
+      .where(col("nbr_id").isNotNull && col("nbr_id") =!= col("probe_id"))
+    val pool = pool0.unionByName(loneSeeds)
+    val scored = pool
+      .join(v.select(col("__id").as("probe_id"), col("__v").as("__pv"),
+        col("__n").as("__pn")), Seq("probe_id"))
+      .join(v.select(col("__id").as("nbr_id"), col("__v").as("__cv"),
+        col("__n").as("__cn")), Seq("nbr_id"))
+      .select(col("probe_id"), col("nbr_id"),
+        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("score"))
+    val wTop = Window.partitionBy("probe_id")
+      .orderBy(round(col("score"), 6).desc, col("nbr_id").asc)
+    val delta = scored.withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .localCheckpoint(true) // the ONLY frame this call leaves pinned
+    v.unpersist(blocking = false)
+    GraphOps.releaseLocalCheckpoint(vic)
+    GraphOps.releaseLocalCheckpoint(toVic)
+    GraphOps.releaseLocalCheckpoint(aff)
+    GraphOps.releaseLocalCheckpoint(pool0)
+    delta
+  }
+
   /** GRAPH-NAVIGATION ANN SEARCH — greedy beam search over a kNN graph,
     * the query-time half of the HNSW/NSG family (Malkov & Yashunin,
     * TPAMI 2018; here single-layer, fixed-hop): start every probe at a

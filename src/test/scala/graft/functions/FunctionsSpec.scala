@@ -1394,6 +1394,71 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(live1 == d1 ++ old.filterNot(e => dprobes(e._1)))
   }
 
+  test("knnGraphDelete repairs every survivor that listed a victim; victims vanish; ≤1 pinned RDD") {
+    val rng = new scala.util.Random(53)
+    val all = (0L until 40L).map(i => (i, Array.fill(8)(rng.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val k = 4
+    val live0 = SimilarityOps.bruteForceTopK(all, all, "vec_id", "vec_id",
+      "embedding", k).select("probe_id", "nbr_id", "score", "rank")
+      .localCheckpoint(true)
+    val vics = (0L until 40L).filter(_ % 7 == 3).toSet // 3,10,17,24,31,38
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val delta = SimilarityOps.knnGraphDelete(live0, all,
+      all.where($"vec_id" % 7 === 3).select("vec_id"),
+      "vec_id", "embedding", k)
+    val drows = delta.collect()
+    // the repair path releases everything but the returned delta
+    val pinnedNew = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinnedNew.size <= 1, s"delete left ${pinnedNew.size} pinned RDDs")
+    val affected = live0.collect()
+      .filter(r => vics(r.getAs[Long]("nbr_id")) && !vics(r.getAs[Long]("probe_id")))
+      .map(_.getAs[Long]("probe_id")).toSet
+    val dprobes = drows.map(_.getAs[Long]("probe_id")).toSet
+    assert(dprobes == affected, s"repaired $dprobes, expected $affected")
+    // no victim survives in the delta on either end; ranks well-formed
+    assert(drows.forall(r => !vics(r.getAs[Long]("probe_id"))
+      && !vics(r.getAs[Long]("nbr_id"))))
+    assert(drows.forall(r => r.getAs[Int]("rank") <= k))
+    // node-replacement live view + tombstones: no victim anywhere
+    val store = live0.withColumn("epoch", lit(0L))
+      .unionByName(delta.withColumn("epoch", lit(1L)))
+    val tomb = all.where($"vec_id" % 7 === 3)
+      .select($"vec_id".as("probe_id"), lit(1L).as("before_epoch"))
+    val live1 = SimilarityOps.liveKnnGraph(
+        graft.sources.TableStore.liveView(store, tomb, "probe_id", "epoch"))
+      .select("probe_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(live1.forall(e => !vics(e._1) && !vics(e._2)),
+      "victim survived the live view")
+    // untouched survivors pass through verbatim
+    val untouched = live0.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("nbr_id")))
+      .filter(e => !vics(e._1) && !affected(e._1))
+    assert(untouched.toSet.subsetOf(live1.toSet))
+  }
+
+  test("knnGraphDelete: a survivor whose whole pool died takes the lone fallback") {
+    // anchors 0,1,2 on axis 0; node 10 + victims 11,12,13 on axis 3 —
+    // 10's every edge is a victim and the victims' adjacency holds only
+    // 10 and each other, so after the delete its pool is EMPTY; the
+    // fallback must re-attach it at the min surviving id (0)
+    def v(axis: Int, eps: Float) = { val a = Array.fill(6)(-eps); a(axis) = 1f; a }
+    val corpus = Seq(
+      (0L, v(0, 0.01f)), (1L, v(0, 0.02f)), (2L, v(0, 0.03f)),
+      (10L, v(3, 0.01f)), (11L, v(3, 0.02f)), (12L, v(3, 0.03f)),
+      (13L, v(3, 0.04f))).toDF("vec_id", "embedding")
+    val k = 3
+    val live0 = SimilarityOps.bruteForceTopK(corpus, corpus, "vec_id",
+      "vec_id", "embedding", k).select("probe_id", "nbr_id", "score", "rank")
+    val delta = SimilarityOps.knnGraphDelete(live0, corpus,
+      corpus.where($"vec_id" > 10L).select("vec_id"),
+      "vec_id", "embedding", k).collect()
+    val edges10 = delta.filter(_.getAs[Long]("probe_id") == 10L)
+      .map(_.getAs[Long]("nbr_id")).toList
+    assert(edges10 == List(0L), s"expected the fallback edge to 0, got $edges10")
+  }
+
   test("cellEntryNodes: probes route to their own cluster's minimum node") {
     // two tight clusters around orthogonal axes; centroids = one member
     // of each (ids 0 and 1), so cells split the corpus cleanly
