@@ -2310,15 +2310,9 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
       val maxId = docs.agg(max("doc_id")).head().getLong(0)
       val cutId = (maxId + 1L) * 7L / 8L
-      def prep(d: DataFrame) = d
-        .where(pmod(col("doc_id"), lit(97)) =!= 3 && length(trim(col("text"))) > 0)
-        .select(col("doc_id"), col("source"),
-          TextFunctions.normalizeText(col("text")).as("nt"))
-        .withColumn("fp", md5(col("nt").cast("binary")))
-        .withColumn("tok", TextFunctions.tokenCount(col("nt")).cast("long"))
-      val base = prep(docs.where(col("doc_id") < cutId))
+      val base = pipelinePrep(docs.where(col("doc_id") < cutId))
         .localCheckpoint(false) // stats + chain + budgets read it
-      val inc = prep(docs.where(col("doc_id") >= cutId))
+      val inc = pipelinePrep(docs.where(col("doc_id") >= cutId))
       // static decontam state: the BASE epoch's eval split
       val probes = docs
         .where(col("doc_id") < cutId && pmod(col("doc_id"), lit(97)) === 3)
@@ -2336,35 +2330,10 @@ object SparkEntry {
         .select(col("source"), col("value").as("mad"))
       TableStore.saveBucketed(medQ.join(madQ, Seq("source")), qtbl,
         bucketCols = Seq("source"), buckets = 4)
-      // the admission chain minus the budget cut — shared by both phases
-      def keptOf(phase: DataFrame, sigStore: DataFrame): DataFrame = {
-        val qs = TableStore.loadTable(s, qtbl)
-        val wFp = Window.partitionBy("fp").orderBy(col("doc_id").asc)
-        val firsts = phase.withColumn("__rn", row_number().over(wFp))
-          .where(col("__rn") === 1).drop("__rn")
-        val deduped = firsts.join(sigStore, Seq("fp"), "left_anti")
-          .localCheckpoint(false) // fp append + the chain tail
-        val g = deduped
-          .withColumn("g", TextFunctions.gopherQuality(col("nt"),
-            minWords = 30, minStopwords = 1))
-          .where(col("g.keep") === 1).drop("g")
-        val z = g.join(broadcast(qs), Seq("source"))
-          .where(abs(floor((col("tok") - col("median")).cast("double") * lit(1000.0)
-            / greatest(col("mad"), lit(1L)).cast("double")).cast("long")) <= 3000)
-          .drop("median", "mad")
-        val hits = TextFunctions.bloomContaminationHits(
-          z.select(col("doc_id"), col("nt")), "nt", "doc_id",
-          probes, "probe", n = 3)
-        val kept = z.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
-          .select("doc_id", "source", "tok")
-          .localCheckpoint(true) // budgets/cut + mass read it
-        TableStore.saveBucketed(deduped.select("fp"), stbl,
-          bucketCols = Seq("fp"), buckets = 4,
-          mode = org.apache.spark.sql.SaveMode.Append)
-        kept
-      }
       // ── epoch 0: build (empty sig store), budgets from the kept mass
       val emptySigs = base.select("fp").where(lit(false))
+      def keptOf(phase: DataFrame, sigStore: DataFrame): DataFrame =
+        pipelineKeptOf(s, phase, sigStore, probes, qtbl, stbl)
       val keptBase = keptOf(base, emptySigs)
       val baseTotal = keptBase.agg(coalesce(sum("tok"), lit(0L)).cast("long"))
         .head().getLong(0)
@@ -4303,6 +4272,140 @@ object SparkEntry {
           k = 10), tbl, "graft_q260_knn_compact",
         tomb = Some(TableStore.loadTable(s, ttbl)))
     }),
+    // ── extension: STREAMING PIPELINE ABSORB WITH RESTART — q254's
+    //    admission chain driven from a REAL StreamingQuery, one epoch
+    //    per micro-batch reading persisted state only (sig store, frozen
+    //    scorer, budgets, consumed-mass ledger), with a KILL and a
+    //    checkpoint-resume between the two increment batches. The
+    //    admitted Append is order-sensitive THROUGH THE BUDGET (a
+    //    replayed batch would re-admit against a consumed mass that
+    //    already includes it), so hash parity with q254's one-shot
+    //    oracle over the union IS the recovery proof — the q259
+    //    discipline extended from graph state to the admission chain.
+    //    Batch-chain ≡ one-shot holds because every stage is increment-
+    //    stable: monotone id cut (batch 1's ids < batch 2's), append-
+    //    only fp store, frozen scorer/budgets, and per-batch admission
+    //    offset = base mass + prior batches' KEPT mass (the exact prefix
+    //    of the one-shot cumulative window).
+    "q261_pipeline_stream_absorb" -> ((s, dir) => {
+      graft.expr.GraftFunctions.register(s)
+      import graft.sources.TableStore
+      import graft.operators.MixtureSample
+      import graft.functions.ProfileOps
+      val docs = T(s, dir, "documents")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val cutId = (maxId + 1L) * 7L / 8L
+      val cut2 = (maxId + 1L) * 15L / 16L
+      val base = pipelinePrep(docs.where(col("doc_id") < cutId))
+        .localCheckpoint(false) // stats + chain + budgets read it
+      val probes = docs
+        .where(col("doc_id") < cutId && pmod(col("doc_id"), lit(97)) === 3)
+        .select(explode(DedupOps.shingles(col("text"), 3)).as("probe"))
+      val qtbl = "graft_q261_qstats"; val btbl = "graft_q261_budgets"
+      val stbl = "graft_q261_sigs"; val atbl = "graft_q261_admitted"
+      val mtbl = "graft_q261_incmass"
+      Seq(qtbl, btbl, stbl, atbl, mtbl).foreach(TableStore.dropTable(s, _))
+      val medQ = ProfileOps.exactQuantilesGrouped(
+          base.select(col("source"), col("tok")), "source", "tok", Seq(0.5))
+        .select(col("source"), col("value").as("median"))
+      val devQ = base.join(broadcast(medQ), Seq("source"))
+        .select(col("source"), abs(col("tok") - col("median")).as("__ad"))
+      val madQ = ProfileOps.exactQuantilesGrouped(devQ, "source", "__ad", Seq(0.5))
+        .select(col("source"), col("value").as("mad"))
+      TableStore.saveBucketed(medQ.join(madQ, Seq("source")), qtbl,
+        bucketCols = Seq("source"), buckets = 4)
+      val emptySigs = base.select("fp").where(lit(false))
+      val keptBase = pipelineKeptOf(s, base, emptySigs, probes, qtbl, stbl)
+      val baseTotal = keptBase.agg(coalesce(sum("tok"), lit(0L)).cast("long"))
+        .head().getLong(0)
+      val target = baseTotal * 21L / 20L
+      val budgets = MixtureSample
+        .temperatureWeights(keptBase, "source", "tok", targetTokens = target)
+        .select(col("source"), round(col("q") * target).cast("long").as("budget"))
+        .join(keptBase.groupBy("source")
+          .agg(sum("tok").cast("long").as("base_mass")), Seq("source"))
+      TableStore.saveBucketed(budgets, btbl, bucketCols = Seq("source"),
+        buckets = 4)
+      val cumW = Window.partitionBy("source").orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      TableStore.saveBucketed( // epoch-0 admission
+        keptBase.withColumn("__cum", sum("tok").over(cumW))
+          .join(broadcast(TableStore.loadTable(s, btbl)), Seq("source"))
+          .where(col("__cum") <= col("budget"))
+          .select(col("doc_id"), col("source"), col("tok"),
+            lit(0L).as("epoch")),
+        atbl, bucketCols = Seq("source"), buckets = 4)
+      TableStore.saveBucketed( // consumed-mass ledger starts empty
+        keptBase.groupBy("source").agg(sum("tok").cast("long").as("kept_mass"))
+          .withColumn("epoch", lit(0L)).where(lit(false)),
+        mtbl, bucketCols = Seq("source"), buckets = 4)
+      graft.functions.GraphOps.releaseLocalCheckpoint(keptBase)
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val dirF = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_q261_$uid")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      try {
+        val inDir = new java.io.File(dirF, "in").getAbsolutePath
+        val ckpt = new java.io.File(dirF, "ckpt").getAbsolutePath
+        val inCols = docs.select("doc_id", "source", "text")
+        def run(): Unit = {
+          val in = s.readStream.schema(inCols.schema).parquet(inDir)
+          val q = graft.streaming.StreamingOps.admissionAbsorbStream(
+            in, Some(ckpt)) { (batch, batchId) =>
+            // this batch must see the PREVIOUS batch's appends (the
+            // knnGraphAbsorbBatch stale-listing discipline)
+            s.catalog.refreshTable(stbl)
+            val kept = pipelineKeptOf(s, pipelinePrep(batch),
+              TableStore.loadTable(s, stbl), probes, qtbl, stbl)
+            val incMass = TableStore.loadTable(s, mtbl)
+              .groupBy("source").agg(sum("kept_mass").as("inc_mass"))
+            TableStore.saveBucketed(
+              kept.withColumn("__cum", sum("tok").over(cumW))
+                .join(broadcast(TableStore.loadTable(s, btbl)), Seq("source"))
+                .join(broadcast(incMass), Seq("source"), "left")
+                .where(col("__cum") + col("base_mass")
+                  + coalesce(col("inc_mass"), lit(0L)) <= col("budget"))
+                .select(col("doc_id"), col("source"), col("tok"),
+                  lit(batchId + 1L).as("epoch")),
+              atbl, bucketCols = Seq("source"), buckets = 4,
+              mode = org.apache.spark.sql.SaveMode.Append)
+            TableStore.saveBucketed(
+              kept.groupBy("source")
+                .agg(sum("tok").cast("long").as("kept_mass"))
+                .withColumn("epoch", lit(batchId + 1L)),
+              mtbl, bucketCols = Seq("source"), buckets = 4,
+              mode = org.apache.spark.sql.SaveMode.Append)
+            s.catalog.refreshTable(atbl); s.catalog.refreshTable(mtbl)
+            graft.functions.GraphOps.releaseLocalCheckpoint(kept)
+          }
+          try q.processAllAvailable() finally q.stop()
+        }
+        // batch 1 commits, then the query STOPS (simulated kill)
+        inCols.where(col("doc_id") >= cutId && col("doc_id") < cut2)
+          .repartition(2).write.mode("append").parquet(inDir)
+        run()
+        // restart from the same checkpoint: only batch 2 is new — a
+        // replayed batch 1 would double its fp appends and re-admit
+        // against a consumed mass that already includes it
+        inCols.where(col("doc_id") >= cut2)
+          .repartition(2).write.mode("append").parquet(inDir)
+        run()
+        s.catalog.refreshTable(atbl)
+        TableStore.loadTable(s, atbl)
+          .groupBy("source").agg(
+            sum(when(col("epoch") === 0L, 1L).otherwise(0L)).as("n_base"),
+            sum(when(col("epoch") >= 1L, 1L).otherwise(0L)).as("n_inc"),
+            sum("tok").cast("long").as("tok_admitted"))
+          .join(broadcast(TableStore.loadTable(s, btbl)), Seq("source"))
+          .select(col("source"), col("n_base"), col("n_inc"),
+            col("tok_admitted"), col("budget"), col("base_mass"))
+          .orderBy("source")
+          .localCheckpoint(true)
+      } finally rm(dirF)
+    }),
     // ── extension: HARD-NEGATIVE MINING (DPR, Karpukhin et al. 2020)
     //    — per probe, top-5 most-similar corpus vectors of a DIFFERENT
     //    label: the confusable non-matches a contrastive loss trains
@@ -5688,108 +5791,16 @@ object SparkEntry {
       // delete + neighborhood repair: repaired graph vs fresh rebuild
       // over the survivor set (the q234 parity law), tombstone live view
       ("q260_knn_graph_delete" -> q260OracleSql) +
+      // stream-built admission store ≡ q254's one-shot chain over the
+      // union (kill + checkpoint-resume between the two batches; the
+      // budget makes the Append order-sensitive, so parity IS recovery)
+      ("q261_pipeline_stream_absorb" ->
+        q254OracleSql) +
       // pipeline store absorb ≡ one-shot admission over the union: every
       // stage is increment-stable (monotone id cut, frozen scorer and
       // budgets, append-only fp store), so the single-pass chain IS the
       // absorb's ground truth
-      ("q254_pipeline_store_absorb" ->
-        """WITH corp AS MATERIALIZED (
-           SELECT doc_id, source,
-             trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS nt
-           FROM documents WHERE doc_id % 97 <> 3 AND length(trim(text)) > 0),
-         cutv AS (SELECT (max(doc_id)+1) * 7 // 8 AS cut FROM documents),
-         f0 AS MATERIALIZED (
-           SELECT doc_id, source, nt, md5(nt) AS fp,
-             CAST(CASE WHEN length(trim(nt)) = 0 THEN 0
-                  ELSE len(string_split(nt, ' ')) END AS BIGINT) AS tok
-           FROM corp),
-         fb AS (SELECT * FROM f0, cutv WHERE doc_id < cut),
-         r1 AS (SELECT source, tok,
-             CAST(row_number() OVER (PARTITION BY source ORDER BY tok) AS BIGINT) AS rn,
-             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
-           FROM fb),
-         med AS MATERIALIZED (SELECT source, tok AS median FROM r1
-           WHERE rn = (5000 * n + 9999) // 10000),
-         dv AS (SELECT fb.source, abs(fb.tok - med.median) AS ad
-           FROM fb JOIN med USING (source)),
-         r2 AS (SELECT source, ad,
-             CAST(row_number() OVER (PARTITION BY source ORDER BY ad) AS BIGINT) AS rn,
-             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
-           FROM dv),
-         madt AS MATERIALIZED (SELECT source, ad AS mad FROM r2
-           WHERE rn = (5000 * n + 9999) // 10000),
-         firsts AS MATERIALIZED (SELECT doc_id, source, nt, fp, tok FROM (
-           SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f0)
-           WHERE rn = 1),
-         q1 AS (SELECT doc_id, source, nt, tok,
-             string_split(nt, ' ') AS t,
-             (CASE WHEN length(trim(nt)) = 0 THEN 0 ELSE len(string_split(nt, ' ')) END) AS n_words
-           FROM firsts),
-         q2 AS MATERIALIZED (SELECT doc_id, source, nt, tok FROM (
-           SELECT doc_id, source, nt, tok, n_words,
-             CASE WHEN length(trim(nt)) = 0 OR len(t) = 0 THEN 0.0
-                  ELSE CAST(list_sum([length(w) for w in t]) AS DOUBLE) / len(t) END AS mwl,
-             CASE WHEN length(trim(nt)) = 0 OR len(t) = 0 THEN 0.0
-                  ELSE CAST(len([w for w in t if regexp_matches(w, '[A-Za-z]')]) AS DOUBLE) / len(t) END AS awf,
-             len([s0 for s0 in ['the','be','to','of','and','that','have','with'] if list_contains(t, s0)]) AS nsp,
-             CASE WHEN length(trim(nt)) = 0 OR len(t) = 0 THEN 0.0
-                  ELSE CAST(3*(length(nt) - length(replace(nt, '#', '')))
-                            + (length(nt) - length(replace(nt, '...', ''))) AS DOUBLE)
-                       / (3*len(t)) END AS swr
-           FROM q1)
-           WHERE n_words BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
-             AND swr <= 0.1 AND awf >= 0.8 AND nsp >= 1),
-         zq AS MATERIALIZED (
-           SELECT q2.doc_id, q2.source, q2.nt, q2.tok
-           FROM q2 JOIN med USING (source) JOIN madt USING (source)
-           WHERE abs(CAST(floor((q2.tok - med.median) * 1000.0 / greatest(madt.mad, 1)) AS BIGINT)) <= 3000),
-         etoks AS (
-           SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
-           FROM documents, cutv WHERE doc_id < cut AND doc_id % 97 = 3 AND length(trim(text)) > 0),
-         eprobes AS MATERIALIZED (
-           SELECT DISTINCT unnest(
-             [array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS shingle
-           FROM etoks),
-         ksh AS (
-           SELECT doc_id,
-             list_distinct([array_to_string(t[i:i+2], ' ')
-               for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
-           FROM (SELECT doc_id, string_split(nt, ' ') AS t FROM zq)),
-         contam AS MATERIALIZED (
-           SELECT DISTINCT k.doc_id
-           FROM (SELECT doc_id, unnest(s) AS shingle FROM ksh) k
-           JOIN eprobes p ON p.shingle = k.shingle),
-         kept AS MATERIALIZED (
-           SELECT doc_id, source, tok FROM zq
-           WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-         keptb AS (SELECT kept.* FROM kept, cutv WHERE doc_id < cut),
-         tt AS (SELECT CAST(sum(tok) AS BIGINT) * 21 // 20 AS target FROM keptb),
-         m AS (SELECT source, CAST(sum(tok) AS BIGINT) AS mass FROM keptb GROUP BY 1),
-         t2 AS (SELECT m.*, CAST(sum(mass) OVER () AS BIGINT) AS total FROM m),
-         sq AS (SELECT source, mass,
-                  sqrt(CAST(mass AS DOUBLE) / CAST(total AS DOUBLE)) AS pa
-                FROM t2),
-         rr AS (SELECT *, sum(pa) OVER (ORDER BY source
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM sq),
-         zz AS (SELECT *, max(run) OVER () AS z FROM rr),
-         bud AS MATERIALIZED (
-           SELECT source, CAST(round((pa / z) * (SELECT target FROM tt)) AS BIGINT) AS budget,
-             mass AS base_mass FROM zz),
-         cc AS (SELECT doc_id, source, tok,
-             CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-           FROM kept),
-         adm AS MATERIALIZED (
-           SELECT cc.doc_id, cc.source, cc.tok, (cc.doc_id >= cutv.cut) AS is_inc
-           FROM cc JOIN bud USING (source), cutv WHERE cc.cum <= bud.budget)
-         SELECT a.source,
-           CAST(sum(CASE WHEN NOT is_inc THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
-           CAST(sum(CASE WHEN is_inc THEN 1 ELSE 0 END) AS BIGINT) AS n_inc,
-           CAST(sum(tok) AS BIGINT) AS tok_admitted,
-           b.budget, b.base_mass
-         FROM adm a JOIN bud b USING (source)
-         GROUP BY a.source, b.budget, b.base_mass
-         ORDER BY a.source""") +
+      ("q254_pipeline_store_absorb" -> q254OracleSql) +
       // unigram-LM trainer: seed → 12-round Viterbi DP → EM counts,
       // replayed end-to-end; top-50 by re-estimated count
       // full EM + Kudo-prune: both E-steps and the loss rank replayed
@@ -5893,6 +5904,57 @@ object SparkEntry {
     * check), rebuild fresh at the same k/iters over the grown corpus,
     * and emit per-probe recall@10 of both against the exact baseline
     * plus store/compacted row accounting. */
+  /** Row-wise prep of the q254/q261 admission chain: eval split held
+    * out, normalized text, canonical fingerprint, integer token count. */
+  private def pipelinePrep(d: DataFrame): DataFrame = d
+    .where(pmod(col("doc_id"), lit(97)) =!= 3 && length(trim(col("text"))) > 0)
+    .select(col("doc_id"), col("source"),
+      TextFunctions.normalizeText(col("text")).as("nt"))
+    .withColumn("fp", md5(col("nt").cast("binary")))
+    .withColumn("tok", TextFunctions.tokenCount(col("nt")).cast("long"))
+
+  /** The admission chain minus the budget cut, reading persisted state
+    * only — shared by q254's batch epochs and q261's streaming batches:
+    * within-phase first-per-fingerprint, dedup against the signature
+    * store, Gopher gate, frozen robust-z gate (per-source median/MAD
+    * from `qtbl`), Bloom-prefiltered decontamination against the static
+    * eval probes; appends the phase's new fingerprints to `stbl` and
+    * returns the kept (doc_id, source, tok) rows eagerly checkpointed —
+    * the CALLER releases that frame once consumed (a streaming loop
+    * calls this once per micro-batch). */
+  private def pipelineKeptOf(s: SparkSession, phase: DataFrame,
+                             sigStore: DataFrame, probes: DataFrame,
+                             qtbl: String, stbl: String): DataFrame = {
+    import graft.sources.TableStore
+    val qs = TableStore.loadTable(s, qtbl)
+    val wFp = Window.partitionBy("fp").orderBy(col("doc_id").asc)
+    val firsts = phase.withColumn("__rn", row_number().over(wFp))
+      .where(col("__rn") === 1).drop("__rn")
+    val deduped = firsts.join(sigStore, Seq("fp"), "left_anti")
+      .localCheckpoint(false) // fp append + the chain tail
+    val g = deduped
+      .withColumn("g", TextFunctions.gopherQuality(col("nt"),
+        minWords = 30, minStopwords = 1))
+      .where(col("g.keep") === 1).drop("g")
+    val z = g.join(broadcast(qs), Seq("source"))
+      .where(abs(floor((col("tok") - col("median")).cast("double") * lit(1000.0)
+        / greatest(col("mad"), lit(1L)).cast("double")).cast("long")) <= 3000)
+      .drop("median", "mad")
+    val hits = TextFunctions.bloomContaminationHits(
+      z.select(col("doc_id"), col("nt")), "nt", "doc_id",
+      probes, "probe", n = 3)
+    val kept = z.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "tok")
+      .localCheckpoint(true) // budgets/cut + mass read it
+    TableStore.saveBucketed(deduped.select("fp"), stbl,
+      bucketCols = Seq("fp"), buckets = 4,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    // kept is materialized and the fp append landed — release the one
+    // intermediate frame so a per-batch streaming loop holds no residue
+    graft.functions.GraphOps.releaseLocalCheckpoint(deduped)
+    kept
+  }
+
   private def knnStoreGateTail(s: SparkSession, emb: DataFrame,
                                freshSeed: DataFrame => DataFrame, tbl: String,
                                dst: String,
@@ -6456,6 +6518,110 @@ object SparkEntry {
          FROM nb LEFT JOIN ovi ON ovi.probe_id = nb.probe_id
            LEFT JOIN ovf ON ovf.probe_id = nb.probe_id
          ORDER BY nb.probe_id"""
+
+  /** q254/q261 oracle: the one-shot admission chain over base ∪
+    * increment — dedup firsts, Gopher, frozen robust-z, 3-gram eval
+    * decontam, sqrt-temperature budgets, one cumulative budget window
+    * ordered by doc_id (the union law both the batch absorb and the
+    * ordered streaming batches must reproduce). */
+  private def q254OracleSql: String =
+    """WITH corp AS MATERIALIZED (
+           SELECT doc_id, source,
+             trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS nt
+           FROM documents WHERE doc_id % 97 <> 3 AND length(trim(text)) > 0),
+         cutv AS (SELECT (max(doc_id)+1) * 7 // 8 AS cut FROM documents),
+         f0 AS MATERIALIZED (
+           SELECT doc_id, source, nt, md5(nt) AS fp,
+             CAST(CASE WHEN length(trim(nt)) = 0 THEN 0
+                  ELSE len(string_split(nt, ' ')) END AS BIGINT) AS tok
+           FROM corp),
+         fb AS (SELECT * FROM f0, cutv WHERE doc_id < cut),
+         r1 AS (SELECT source, tok,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY tok) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+           FROM fb),
+         med AS MATERIALIZED (SELECT source, tok AS median FROM r1
+           WHERE rn = (5000 * n + 9999) // 10000),
+         dv AS (SELECT fb.source, abs(fb.tok - med.median) AS ad
+           FROM fb JOIN med USING (source)),
+         r2 AS (SELECT source, ad,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY ad) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+           FROM dv),
+         madt AS MATERIALIZED (SELECT source, ad AS mad FROM r2
+           WHERE rn = (5000 * n + 9999) // 10000),
+         firsts AS MATERIALIZED (SELECT doc_id, source, nt, fp, tok FROM (
+           SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f0)
+           WHERE rn = 1),
+         q1 AS (SELECT doc_id, source, nt, tok,
+             string_split(nt, ' ') AS t,
+             (CASE WHEN length(trim(nt)) = 0 THEN 0 ELSE len(string_split(nt, ' ')) END) AS n_words
+           FROM firsts),
+         q2 AS MATERIALIZED (SELECT doc_id, source, nt, tok FROM (
+           SELECT doc_id, source, nt, tok, n_words,
+             CASE WHEN length(trim(nt)) = 0 OR len(t) = 0 THEN 0.0
+                  ELSE CAST(list_sum([length(w) for w in t]) AS DOUBLE) / len(t) END AS mwl,
+             CASE WHEN length(trim(nt)) = 0 OR len(t) = 0 THEN 0.0
+                  ELSE CAST(len([w for w in t if regexp_matches(w, '[A-Za-z]')]) AS DOUBLE) / len(t) END AS awf,
+             len([s0 for s0 in ['the','be','to','of','and','that','have','with'] if list_contains(t, s0)]) AS nsp,
+             CASE WHEN length(trim(nt)) = 0 OR len(t) = 0 THEN 0.0
+                  ELSE CAST(3*(length(nt) - length(replace(nt, '#', '')))
+                            + (length(nt) - length(replace(nt, '...', ''))) AS DOUBLE)
+                       / (3*len(t)) END AS swr
+           FROM q1)
+           WHERE n_words BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+             AND swr <= 0.1 AND awf >= 0.8 AND nsp >= 1),
+         zq AS MATERIALIZED (
+           SELECT q2.doc_id, q2.source, q2.nt, q2.tok
+           FROM q2 JOIN med USING (source) JOIN madt USING (source)
+           WHERE abs(CAST(floor((q2.tok - med.median) * 1000.0 / greatest(madt.mad, 1)) AS BIGINT)) <= 3000),
+         etoks AS (
+           SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents, cutv WHERE doc_id < cut AND doc_id % 97 = 3 AND length(trim(text)) > 0),
+         eprobes AS MATERIALIZED (
+           SELECT DISTINCT unnest(
+             [array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS shingle
+           FROM etoks),
+         ksh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+               for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
+           FROM (SELECT doc_id, string_split(nt, ' ') AS t FROM zq)),
+         contam AS MATERIALIZED (
+           SELECT DISTINCT k.doc_id
+           FROM (SELECT doc_id, unnest(s) AS shingle FROM ksh) k
+           JOIN eprobes p ON p.shingle = k.shingle),
+         kept AS MATERIALIZED (
+           SELECT doc_id, source, tok FROM zq
+           WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         keptb AS (SELECT kept.* FROM kept, cutv WHERE doc_id < cut),
+         tt AS (SELECT CAST(sum(tok) AS BIGINT) * 21 // 20 AS target FROM keptb),
+         m AS (SELECT source, CAST(sum(tok) AS BIGINT) AS mass FROM keptb GROUP BY 1),
+         t2 AS (SELECT m.*, CAST(sum(mass) OVER () AS BIGINT) AS total FROM m),
+         sq AS (SELECT source, mass,
+                  sqrt(CAST(mass AS DOUBLE) / CAST(total AS DOUBLE)) AS pa
+                FROM t2),
+         rr AS (SELECT *, sum(pa) OVER (ORDER BY source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM sq),
+         zz AS (SELECT *, max(run) OVER () AS z FROM rr),
+         bud AS MATERIALIZED (
+           SELECT source, CAST(round((pa / z) * (SELECT target FROM tt)) AS BIGINT) AS budget,
+             mass AS base_mass FROM zz),
+         cc AS (SELECT doc_id, source, tok,
+             CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM kept),
+         adm AS MATERIALIZED (
+           SELECT cc.doc_id, cc.source, cc.tok, (cc.doc_id >= cutv.cut) AS is_inc
+           FROM cc JOIN bud USING (source), cutv WHERE cc.cum <= bud.budget)
+         SELECT a.source,
+           CAST(sum(CASE WHEN NOT is_inc THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+           CAST(sum(CASE WHEN is_inc THEN 1 ELSE 0 END) AS BIGINT) AS n_inc,
+           CAST(sum(tok) AS BIGINT) AS tok_admitted,
+           b.budget, b.base_mass
+         FROM adm a JOIN bud b USING (source)
+         GROUP BY a.source, b.budget, b.base_mass
+         ORDER BY a.source"""
 
   /** q260 oracle: the kNN-graph DELETE + repair replay — full build over
     * all live vectors ([[knnBuildCtes]] over constant-occupancy hash

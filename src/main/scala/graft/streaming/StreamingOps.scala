@@ -371,6 +371,35 @@ object StreamingOps {
       .start()
   }
 
+  /** Continuous TRAINING-DATA ADMISSION — a document stream driven
+    * through a caller-supplied admission body (the q254 chain: dedup vs
+    * the signature store, frozen quality scorer, budget admission
+    * against consumed mass) one micro-batch at a time. The body reads
+    * and appends PERSISTED state only, so restarts resume from the
+    * warehouse plus the stream checkpoint.
+    *
+    * This family is in the ORDER-SENSITIVE recovery class (q259's, not
+    * q250's): the admitted-set Append is non-idempotent THROUGH THE
+    * BUDGET — a replayed batch would re-admit rows against a consumed
+    * mass that already includes it, and batch order decides which docs
+    * fit under the per-source budget. With a durable
+    * `checkpointLocation` the offset log guarantees each batch commits
+    * exactly once, in order — the q261 gate kills the query between two
+    * batches and pins the resumed store against the one-shot oracle.
+    *
+    * @param body called per micro-batch with (batch rows, batchId);
+    *             must refresh any table it appends and re-reads across
+    *             batch boundaries (the [[knnGraphAbsorbBatch]] stale-
+    *             listing discipline) */
+  def admissionAbsorbStream(docs: DataFrame,
+                            checkpointLocation: Option[String] = None)
+                           (body: (DataFrame, Long) => Unit): StreamingQuery = {
+    val b: (Dataset[Row], Long) => Unit = (batch, id) => body(batch.toDF(), id)
+    val w = docs.writeStream.outputMode("append").foreachBatch(b)
+    checkpointLocation.fold(w)(cl => w.option("checkpointLocation", cl))
+      .start()
+  }
+
   /** Continuous CO-OCCURRENCE ingestion: a document stream absorbed
     * into the persisted (w1, w2) pair-count store — each micro-batch
     * lands via [[graft.functions.TextFunctions.cooccurrenceAbsorb]]
