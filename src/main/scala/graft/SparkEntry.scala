@@ -4406,6 +4406,64 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally rm(dirF)
     }),
+    // ── extension: STORE-ONLY FILTERED ANN SERVING — q255's winning
+    //    'fentry' variant recomposed on PERSISTED state alone (the
+    //    deployment read path): graph from the compacted kNN store,
+    //    vectors + labels + the allowed set from the carry-col vector
+    //    store, entries via cellEntryNodes over the store's FILTERED
+    //    view — the corpus frame is never touched at query time. The
+    //    AnnServePlanSpec asserts the serving plan reads only store
+    //    tables and pushes the label predicate into the carry-col scan;
+    //    the oracle is q255's fentry replay.
+    "q262_beam_filtered_store_serve" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding", "label")
+      val n = emb.count()
+      val nCells = math.max(1L, n / 64L)
+      val cells = emb.select(col("vec_id"),
+        pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
+          lit(nCells)).as("cid"))
+      val init64 = emb.where(col("vec_id") < 64)
+      val vtbl = "graft_q262_vec_store"
+      val gtbl = "graft_q262_knn_store"
+      val ctbl = "graft_q262_knn_compact"
+      TableStore.dropTable(s, vtbl); TableStore.dropTable(s, gtbl)
+      TableStore.dropTable(s, ctbl)
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(emb, "vec_id", "embedding", init64, "vec_id",
+          carryCols = Seq("label")),
+        vtbl, bucketCols = Seq("cid"), buckets = 8)
+      TableStore.saveBucketed(
+        SimilarityOps.nnDescent(emb, "vec_id", "embedding",
+          SimilarityOps.cellSeedGraph(emb, cells, "vec_id", "embedding",
+            k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
+        gtbl, bucketCols = Seq("probe_id"), buckets = 8)
+      TableStore.saveBucketed( // compaction: live view rewritten at epoch 0
+        SimilarityOps.liveKnnGraph(TableStore.loadTable(s, gtbl))
+          .withColumn("epoch", lit(0L)),
+        ctbl, bucketCols = Seq("probe_id"), buckets = 8)
+      // ── SERVING: persisted state only from here on
+      val store = TableStore.loadTable(s, vtbl)
+      val graph = SimilarityOps.liveKnnGraph(TableStore.loadTable(s, ctbl))
+      val corpus = store.select("vec_id", "embedding")
+      val pred = col("label").isin(2, 3, 4)
+      val fview = store.where(pred)
+      val allowed = fview.select("vec_id")
+      val probes = emb.where(col("vec_id") < 50)
+      val entF = SimilarityOps.cellEntryNodes(fview, probes, init64,
+        "vec_id", "vec_id", "vec_id", "embedding")
+      val served = SimilarityOps.beamSearchTopKFilteredFrom(corpus, probes,
+        graph, entF, allowed, "vec_id", "vec_id", "embedding", k = 5,
+        beam = 8, hops = 2)
+      val exactF = SimilarityOps.bruteForceTopK(
+          fview.select("vec_id", "embedding"), probes, "vec_id", "vec_id",
+          "embedding", k = 5)
+        .select(col("probe_id"), col("nbr_id"), lit(true).as("hit"))
+      served.join(exactF, Seq("probe_id", "nbr_id"), "left")
+        .select(col("probe_id"), col("nbr_id"), col("rank"),
+          coalesce(col("hit"), lit(false)).as("hit"))
+        .orderBy("probe_id", "rank")
+    }),
     // ── extension: HARD-NEGATIVE MINING (DPR, Karpukhin et al. 2020)
     //    — per probe, top-5 most-similar corpus vectors of a DIFFERENT
     //    label: the confusable non-matches a contrastive loss trains
@@ -5775,7 +5833,11 @@ object SparkEntry {
       ("q251_ann_serve_store" -> beamServeOracleSql(includeGlobal = false)) +
       // filtered serving: visited-pool replay per entry-routing variant,
       // hit flags vs the exact filtered top-5
-      ("q255_beam_filtered_serve" -> q255OracleSql) +
+      ("q255_beam_filtered_serve" -> filteredServeOracleSql(false)) +
+      // store-only filtered serving: the fentry replay alone (graph from
+      // the compacted kNN store, vectors + labels + allowed set from the
+      // carry-col vector store; no corpus frame at query time)
+      ("q262_beam_filtered_store_serve" -> filteredServeOracleSql(true)) +
       // rank-store absorb: 2 base + 3 warm union iterations replayed —
       // warm-start chaining is deterministic dataflow (q158's law)
       ("q256_pagerank_store_absorb" -> q256OracleSql) +
@@ -6143,7 +6205,7 @@ object SparkEntry {
     * deployment convention (hash cells of ~64 occupancy whose COUNT
     * grows with the corpus), and the increment predicate loses its
     * `>= 16` guard (there are no centroid ids to protect). */
-  /** q255 oracle: the filtered-serving replay — deployment graph
+  /** q255/q262 oracle: the filtered-serving replay — deployment graph
     * ([[knnBuildCtes]] over constant-occupancy hash cells), fixed-64
     * real-vector routing, 2-hop beam-8 unroll PER VARIANT ('p' =
     * postfilter entries over all store rows, 'q' = fentry over the
@@ -6152,7 +6214,7 @@ object SparkEntry {
     * candidate set, answer = pool ∩ filter top-5 (self excluded), hit
     * flags vs the exact filtered top-5. The `ac` matrix is oracle-side
     * instrumentation (DuckDB runs at sf0.01); the engine body is linear. */
-  private def q255OracleSql: String = {
+  private def filteredServeOracleSql(fentryOnly: Boolean): String = {
     def beamUnroll(v: String): String = (1 to 2).map { j =>
       val i = j - 1
       s""",
@@ -6232,7 +6294,17 @@ object SparkEntry {
             SELECT pc.probe_id, pc.nbr_id, row_number() OVER (PARTITION BY pc.probe_id
               ORDER BY pc.cos DESC, pc.nbr_id) AS rn
             FROM pc JOIN flt f ON f.vec_id = pc.nbr_id
-            WHERE pc.probe_id <> pc.nbr_id) WHERE rn <= 5),
+            WHERE pc.probe_id <> pc.nbr_id) WHERE rn <= 5)""" +
+      (if (fentryOnly)
+        """
+         SELECT b.probe_id, b.nbr_id, b.rank,
+           (e.nbr_id IS NOT NULL) AS hit
+         FROM (SELECT probe_id, nbr_id, rank FROM qfin WHERE rank <= 5) b
+         LEFT JOIN exactf e
+           ON b.probe_id = e.probe_id AND b.nbr_id = e.nbr_id
+         ORDER BY b.probe_id, b.rank"""
+       else
+        """,
          uni AS (
            SELECT 'fentry' AS variant, probe_id, nbr_id, rank FROM qfin WHERE rank <= 5
            UNION ALL
@@ -6241,7 +6313,7 @@ object SparkEntry {
            (e.nbr_id IS NOT NULL) AS hit
          FROM uni b LEFT JOIN exactf e
            ON b.probe_id = e.probe_id AND b.nbr_id = e.nbr_id
-         ORDER BY b.variant, b.probe_id, b.rank"""
+         ORDER BY b.variant, b.probe_id, b.rank""")
   }
 
   /** q257/q258 oracle: TWO kNN-graph absorbs replayed IN ORDER over the

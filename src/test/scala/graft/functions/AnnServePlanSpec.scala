@@ -94,6 +94,71 @@ class AnnServePlanSpec extends SparkSpec {
     }
   }
 
+  test("store-only filtered serving (q262): every scan is a store table, predicate pushed, no vector shuffle") {
+    val vtbl = "graft_ann_plan_svec"
+    val ctbl = "graft_ann_plan_sgraph"
+    Seq(vtbl, ctbl).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val rng = new scala.util.Random(23)
+    val emb = (0L until 40L).map(i =>
+        (i, Array.fill(8)(rng.nextFloat() * 2f - 1f), (i % 5).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val cents = emb.where($"vec_id" < 4)
+    val cells = emb.select($"vec_id",
+      pmod(DedupOps.hash60(concat_ws(":", lit("cell"), $"vec_id")), lit(5L))
+        .as("cid"))
+    TableStore.saveBucketed(
+      SimilarityOps.ivfStore(emb, "vec_id", "embedding", cents, "vec_id",
+        carryCols = Seq("label")),
+      vtbl, bucketCols = Seq("cid"), buckets = 4)
+    TableStore.saveBucketed(
+      SimilarityOps.nnDescent(emb, "vec_id", "embedding",
+        SimilarityOps.cellSeedGraph(emb, cells, "vec_id", "embedding", k = 4),
+        k = 4, iters = 1).withColumn("epoch", lit(0L)),
+      ctbl, bucketCols = Seq("probe_id"), buckets = 4)
+    try {
+      // the q262 read path: EVERYTHING from the two stores — graph from
+      // the (here already-compacted) graph table, vectors + labels +
+      // the allowed set from the carry-col vector store
+      val store = TableStore.loadTable(spark, vtbl)
+      val graph = SimilarityOps.liveKnnGraph(TableStore.loadTable(spark, ctbl))
+      val corpus = store.select("vec_id", "embedding")
+      val fview = store.where($"label".isin(1, 2))
+      val probes = Seq((100L, Array.fill(8)(0.3f))).toDF("vec_id", "embedding")
+      val entries = SimilarityOps.cellEntryNodes(fview, probes, cents,
+        "vec_id", "vec_id", "vec_id", "embedding")
+      val served = SimilarityOps.beamSearchTopKFilteredFrom(corpus, probes,
+        graph, entries, fview.select("vec_id"), "vec_id", "vec_id",
+        "embedding", k = 3, beam = 4, hops = 2)
+      served.collect() // finalize the adaptive plan
+      val plan = finalPlan(served.queryExecution.executedPlan)
+      assert(scansOf(plan, vtbl).nonEmpty && scansOf(plan, ctbl).nonEmpty)
+      // 1. NO scan outside the two store tables — the corpus frame is
+      //    provably untouched at query time
+      val foreign = allNodes(plan).collect {
+        case s: FileSourceScanExec
+            if !s.relation.location.inputFiles.exists(f =>
+              f.contains(vtbl) || f.contains(ctbl)) => s
+      }
+      assert(foreign.isEmpty,
+        s"non-store scan in the serving plan: ${foreign.mkString("\n")}")
+      // 2. the allowed-set / entry-routing predicate reaches the
+      //    carry-col scan as a pushed filter
+      assert(scansOf(plan, vtbl)
+          .exists(_.metadata.get("PushedFilters").exists(_.contains("label"))),
+        s"label predicate not pushed:\n$plan")
+      // 3. the embedding payload still never shuffles
+      val vecShuffles = allNodes(plan).collect {
+        case e: ShuffleExchangeExec
+            if scansOf(e.child, vtbl).nonEmpty &&
+              e.output.exists(a => a.dataType.typeName.startsWith("array")) => e
+      }
+      assert(vecShuffles.isEmpty,
+        s"vector payload shuffled (${vecShuffles.size}):\n$plan")
+    } finally {
+      Seq(vtbl, ctbl).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")): Unit
+    }
+  }
+
   test("filtered entry routing: the label predicate pushes into the carry-col store scan") {
     val vtbl = "graft_ann_plan_fvec"
     spark.sql(s"DROP TABLE IF EXISTS $vtbl")
