@@ -3917,7 +3917,11 @@ object SparkEntry {
       val all = o.join(l, o("o_orderkey") === l("l_orderkey"))
         .select(col("o_orderkey").as("ok"), (col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
-        .localCheckpoint(false) // both epochs read it
+        // SERIALIZED cache, not a checkpoint: both epochs read this 60M-row
+        // edge frame, and a deserialized block set alongside pageRank's own
+        // edge cache double-fills protected storage at sf10 (the 8g-heap
+        // OOM); the join lineage is shallow, so a plain persist suffices
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val tbl = "graft_q256_rank_store"
       val ctbl = "graft_q256_rank_compact"
       TableStore.dropTable(s, tbl); TableStore.dropTable(s, ctbl)
@@ -3935,6 +3939,7 @@ object SparkEntry {
       TableStore.saveBucketed( // fold the 2-epoch history to epoch 0
         GraphOps.compactRanks(TableStore.loadTable(s, tbl)), ctbl,
         bucketCols = Seq("id"), buckets = 8)
+      all.unpersist(blocking = false) // output reads the table only
       GraphOps.liveRanks(TableStore.loadTable(s, ctbl))
         .select(col("id"),
           round(col("r") * 1000000).cast("long").as("rank_micro"))

@@ -77,10 +77,15 @@ object GraphOps {
     // cache edges PRE-PARTITIONED on the contribution-join key: the cached
     // InMemoryRelation keeps hashpartitioning(s), so each iteration's join
     // exchanges only the node-sized rank side (or broadcasts it), never
-    // the corpus-sized edge list again
+    // the corpus-sized edge list again. SERIALIZED storage: at 60M edges
+    // a deserialized row cache is ~4× the raw longs and fills the unified
+    // manager's protected storage region, starving every iteration's
+    // sort/aggregate of execution memory (the q256 sf10
+    // UNABLE_TO_ACQUIRE_MEMORY at the 8g harness heap); the columnar
+    // serialized form is ~1 GB and the per-iteration decode is a scan.
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d")).distinct()
       .repartition(col("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val deg = e.groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("s").as("id")).union(e.select(col("d").as("id")))
