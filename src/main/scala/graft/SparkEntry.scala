@@ -4469,6 +4469,92 @@ object SparkEntry {
           coalesce(col("hit"), lit(false)).as("hit"))
         .orderBy("probe_id", "rank")
     }),
+    // ── extension: CDC-DRIVEN ANN INDEX MAINTENANCE — the lifecycle
+    //    capstone for the kNN-graph store: ONE op-tagged changefeed
+    //    (the CdcOps Insert/Delete envelope) maintains the vector store
+    //    + graph store pair through a real StreamingQuery. Batch 1
+    //    INSERTS the vec_id ≡ 5 mod 8 increment (lands + absorbs); the
+    //    query is KILLED; a new query resumes from the checkpoint and
+    //    batch 2 DELETES vec_id ≡ 7 mod 16 (repairs neighborhoods,
+    //    tombstones both stores). The oracle replays base build →
+    //    insert absorb → delete repair in order and pins the final live
+    //    graph's recall against a fresh rebuild over the final live set
+    //    — insert, delete, restart, and batch order certified in one
+    //    gate (the q259 + q260 compositions as a deployment loop).
+    "q263_knn_cdc_stream" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val n = emb.count()
+      val nCells = math.max(1L, n / 64L)
+      val cells = emb.select(col("vec_id"),
+          pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
+            lit(nCells)).as("cid"))
+        .localCheckpoint(false) // bootstrap seed + per-batch absorb + tail
+      val init64 = emb.where(col("vec_id") < 64)
+      val isNew = pmod(col("vec_id"), lit(8)) === 5
+      val isVic = pmod(col("vec_id"), lit(16)) === 7
+      val base = emb.where(!isNew)
+      val vtbl = "graft_q263_vec_store"
+      val gtbl = "graft_q263_knn_store"
+      val vttbl = "graft_q263_vec_tomb"
+      val gttbl = "graft_q263_knn_tomb"
+      Seq(vtbl, gtbl, vttbl, gttbl).foreach(TableStore.dropTable(s, _))
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(base, "vec_id", "embedding", init64, "vec_id"),
+        vtbl, bucketCols = Seq("cid"), buckets = 8)
+      TableStore.saveBucketed( // tombstone tables start EMPTY
+        emb.select("vec_id").where(lit(false)), vttbl,
+        bucketCols = Seq("vec_id"), buckets = 8)
+      TableStore.saveBucketed(
+        emb.select(col("vec_id").as("probe_id"), lit(0L).as("before_epoch"))
+          .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 8)
+      TableStore.saveBucketed(
+        SimilarityOps.nnDescent(base, "vec_id", "embedding",
+          SimilarityOps.cellSeedGraph(base, cells, "vec_id", "embedding",
+            k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
+        gtbl, bucketCols = Seq("probe_id"), buckets = 8)
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val dirF = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_q263_$uid")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      try {
+        val inDir = new java.io.File(dirF, "in").getAbsolutePath
+        val ckpt = new java.io.File(dirF, "ckpt").getAbsolutePath
+        def feed(df: DataFrame, op: String): Unit = df
+          .select(lit(op).as("op"), col("vec_id"), col("embedding"))
+          .repartition(2).write.mode("append").parquet(inDir)
+        def run(): Unit = {
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("op",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType))).add("embedding",
+            emb.schema("embedding").dataType)
+          val in = s.readStream.schema(schema).parquet(inDir)
+          val q = graft.streaming.StreamingOps.knnGraphCdcStream(
+            in, "vec_id", "embedding", "op", gtbl, vtbl, vttbl, gttbl,
+            init64, "vec_id", k = 10, cellAssign = Some(cells),
+            checkpointLocation = Some(ckpt))()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // batch 1: the inserts land + absorb, then the query STOPS
+        feed(emb.where(isNew), "I")
+        run()
+        // restart from the checkpoint: batch 2 is the delete wave — a
+        // replayed insert batch would repeat an epoch AND re-absorb
+        feed(emb.where(isVic), "D")
+        run()
+        Seq(vtbl, gtbl, vttbl, gttbl).foreach(s.catalog.refreshTable)
+        knnStoreGateTail(s, emb.where(!isVic),
+          e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
+            k = 10), gtbl, "graft_q263_knn_compact",
+          tomb = Some(TableStore.loadTable(s, gttbl)))
+          .localCheckpoint(true)
+      } finally rm(dirF)
+    }),
     // ── extension: HARD-NEGATIVE MINING (DPR, Karpukhin et al. 2020)
     //    — per probe, top-5 most-similar corpus vectors of a DIFFERENT
     //    label: the confusable non-matches a contrastive loss trains
@@ -5863,6 +5949,9 @@ object SparkEntry {
       // budget makes the Append order-sensitive, so parity IS recovery)
       ("q261_pipeline_stream_absorb" ->
         q254OracleSql) +
+      // CDC changefeed maintenance: insert absorb + delete repair in
+      // batch order, kill/resume between, final graph vs fresh rebuild
+      ("q263_knn_cdc_stream" -> q263OracleSql) +
       // pipeline store absorb ≡ one-shot admission over the union: every
       // stage is increment-stable (monotone id cut, frozen scorer and
       // budgets, append-only fp store), so the single-pass chain IS the
@@ -6490,38 +6579,14 @@ object SparkEntry {
          FROM ur3 ORDER BY id"""
   }
 
-  /** The kNN-graph store LIFECYCLE oracle (build → absorb → compact →
-    * fresh-rebuild recall tail), parameterized by the constant-occupancy
-    * hash-cell fixture: `occupancy` sets the cell count (n ÷ occupancy —
-    * cells GROW with the corpus, so the same-cell seed join stays
-    * O(n·occupancy)) and `nwPred` the increment predicate. Shared by the
-    * q234 re-cut (occupancy 32, 25% increment) and the q247/q249 twins
-    * (occupancy 64, 12.5%) — two points of the absorb space on one
-    * replay. */
-  private def knnLifecycleOracleSql(occupancy: Int, nwPred: String): String =
-    s"""WITH nrm AS (
-           SELECT vec_id, embedding,
-             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
-               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
-           FROM embeddings),
-         live AS MATERIALIZED (SELECT * FROM nrm WHERE n > 0),
-         ac AS MATERIALIZED (
-           SELECT p.vec_id AS src, c.vec_id AS dst,
-             list_sum(list_transform(range(1, len(c.embedding)+1),
-               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
-             / (c.n * p.n) AS cos
-           FROM live c, live p),
-         asn AS MATERIALIZED (SELECT vec_id AS v,
-             CAST('0x'||substr(md5('cell:'||vec_id),1,15) AS BIGINT)
-               % greatest(1, (SELECT count(*) FROM embeddings) // $occupancy) AS c
-             FROM live),
-         nwn AS MATERIALIZED (SELECT vec_id AS id FROM live
-                WHERE $nwPred),
-         bn AS MATERIALIZED (SELECT vec_id AS id FROM live
-                WHERE NOT ($nwPred)),
-         alln AS MATERIALIZED (SELECT vec_id AS id FROM live)""" +
-      knnBuildCtes("b", "bn") +
-      """,
+
+  /** Single-increment kNN-graph ABSORB replay (ambient: `ac`, `asn`,
+    * base graph `bg`, new-node set `nwn`): seeds → touched-restricted
+    * proposal round → merge pool → round-6 top-10 → changed-set diff →
+    * post-absorb live view `liveg` (delta rows = ntop ⋈ chg). Shared by
+    * [[knnLifecycleOracleSql]] and the q263 CDC replay. */
+  private def knnAbsorbBlockCtes: String =
+    """,
          seeds AS MATERIALIZED (SELECT DISTINCT probe_id, nbr_id FROM (
             SELECT nn.v AS probe_id, mm.v AS nbr_id
             FROM asn nn JOIN nwn x ON x.id = nn.v
@@ -6565,7 +6630,41 @@ object SparkEntry {
             SELECT n2.probe_id, n2.nbr_id FROM ntop n2 JOIN chg USING (probe_id)
             UNION ALL
             SELECT probe_id, nbr_id FROM bg
-            WHERE probe_id NOT IN (SELECT probe_id FROM chg)),
+            WHERE probe_id NOT IN (SELECT probe_id FROM chg))"""
+
+  /** The kNN-graph store LIFECYCLE oracle (build → absorb → compact →
+    * fresh-rebuild recall tail), parameterized by the constant-occupancy
+    * hash-cell fixture: `occupancy` sets the cell count (n ÷ occupancy —
+    * cells GROW with the corpus, so the same-cell seed join stays
+    * O(n·occupancy)) and `nwPred` the increment predicate. Shared by the
+    * q234 re-cut (occupancy 32, 25% increment) and the q247/q249 twins
+    * (occupancy 64, 12.5%) — two points of the absorb space on one
+    * replay. */
+  private def knnLifecycleOracleSql(occupancy: Int, nwPred: String): String =
+    s"""WITH nrm AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+           FROM embeddings),
+         live AS MATERIALIZED (SELECT * FROM nrm WHERE n > 0),
+         ac AS MATERIALIZED (
+           SELECT p.vec_id AS src, c.vec_id AS dst,
+             list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+             / (c.n * p.n) AS cos
+           FROM live c, live p),
+         asn AS MATERIALIZED (SELECT vec_id AS v,
+             CAST('0x'||substr(md5('cell:'||vec_id),1,15) AS BIGINT)
+               % greatest(1, (SELECT count(*) FROM embeddings) // $occupancy) AS c
+             FROM live),
+         nwn AS MATERIALIZED (SELECT vec_id AS id FROM live
+                WHERE $nwPred),
+         bn AS MATERIALIZED (SELECT vec_id AS id FROM live
+                WHERE NOT ($nwPred)),
+         alln AS MATERIALIZED (SELECT vec_id AS id FROM live)""" +
+      knnBuildCtes("b", "bn") +
+      knnAbsorbBlockCtes +
+      """,
          srows AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg)
             + (SELECT CAST(count(*) AS BIGINT) FROM ntop JOIN chg USING (probe_id))
             AS store_rows)""" +
@@ -6700,6 +6799,59 @@ object SparkEntry {
          GROUP BY a.source, b.budget, b.base_mass
          ORDER BY a.source"""
 
+
+  /** kNN-graph DELETE + repair replay (ambient: `ac`, victim set
+    * `vic(id)`, survivor set `sur(id)`) over graph `g`: affected
+    * survivors, victim-adjacency proposals, lone-pool fallback to the
+    * min surviving id, round-6 top-10, post-delete live view `lived`
+    * (delta rows = dtop). Shared by the q260 gate and the q263 CDC
+    * replay. */
+  private def knnDeleteCtes(g: String): String =
+    s""",
+         aff AS MATERIALIZED (SELECT DISTINCT probe_id FROM $g
+            JOIN vic ON vic.id = $g.nbr_id
+            WHERE probe_id NOT IN (SELECT id FROM vic)),
+         vadj AS MATERIALIZED (SELECT DISTINCT d, m FROM (
+            SELECT $g.probe_id AS d, $g.nbr_id AS m FROM $g
+              JOIN vic ON vic.id = $g.probe_id
+            UNION ALL
+            SELECT $g.nbr_id, $g.probe_id FROM $g
+              JOIN vic ON vic.id = $g.nbr_id)),
+         dprop AS MATERIALIZED (SELECT DISTINCT f.probe_id, va.m AS nbr_id
+            FROM $g f JOIN vic ON vic.id = f.nbr_id
+              JOIN vadj va ON va.d = f.nbr_id
+            WHERE f.probe_id NOT IN (SELECT id FROM vic)
+              AND va.m <> f.probe_id),
+         dpool0 AS MATERIALIZED (SELECT probe_id, nbr_id FROM (
+            SELECT f.probe_id, f.nbr_id FROM $g f
+              JOIN aff ON aff.probe_id = f.probe_id
+            UNION
+            SELECT probe_id, nbr_id FROM dprop)
+           WHERE nbr_id NOT IN (SELECT id FROM vic)),
+         dlf AS (SELECT l.probe_id,
+              CASE WHEN l.probe_id = mn.m1 THEN mn.m2 ELSE mn.m1 END AS nbr_id
+            FROM (SELECT a.probe_id FROM aff a
+                  WHERE a.probe_id NOT IN (SELECT probe_id FROM dpool0)) l
+            CROSS JOIN (SELECT min(id) AS m1,
+                (SELECT min(id) FROM sur
+                 WHERE id > (SELECT min(id) FROM sur)) AS m2
+              FROM sur) mn
+            WHERE CASE WHEN l.probe_id = mn.m1 THEN mn.m2 ELSE mn.m1 END IS NOT NULL
+              AND CASE WHEN l.probe_id = mn.m1 THEN mn.m2 ELSE mn.m1 END <> l.probe_id),
+         dpool AS (SELECT probe_id, nbr_id FROM dpool0
+            UNION SELECT probe_id, nbr_id FROM dlf),
+         dtop AS MATERIALIZED (SELECT probe_id, nbr_id FROM (
+            SELECT p2.probe_id, p2.nbr_id, row_number() OVER (
+              PARTITION BY p2.probe_id ORDER BY round(ac.cos, 6) DESC, p2.nbr_id) AS rn
+            FROM dpool p2 JOIN ac ON ac.src = p2.probe_id AND ac.dst = p2.nbr_id)
+           WHERE rn <= 10),
+         lived AS MATERIALIZED (
+            SELECT probe_id, nbr_id FROM dtop
+            UNION ALL
+            SELECT probe_id, nbr_id FROM $g
+            WHERE probe_id NOT IN (SELECT probe_id FROM aff)
+              AND probe_id NOT IN (SELECT id FROM vic))"""
+
   /** q260 oracle: the kNN-graph DELETE + repair replay — full build over
     * all live vectors ([[knnBuildCtes]] over constant-occupancy hash
     * cells), victims = vec_id ≡ 7 mod 16, repair per the FreshDiskANN
@@ -6729,51 +6881,76 @@ object SparkEntry {
       """,
          vic AS MATERIALIZED (SELECT vec_id AS id FROM live WHERE vec_id % 16 = 7),
          sur AS MATERIALIZED (SELECT id FROM alln
-            WHERE id NOT IN (SELECT id FROM vic)),
-         aff AS MATERIALIZED (SELECT DISTINCT probe_id FROM fg
-            JOIN vic ON vic.id = fg.nbr_id
-            WHERE probe_id NOT IN (SELECT id FROM vic)),
-         vadj AS MATERIALIZED (SELECT DISTINCT d, m FROM (
-            SELECT fg.probe_id AS d, fg.nbr_id AS m FROM fg
-              JOIN vic ON vic.id = fg.probe_id
-            UNION ALL
-            SELECT fg.nbr_id, fg.probe_id FROM fg
-              JOIN vic ON vic.id = fg.nbr_id)),
-         dprop AS MATERIALIZED (SELECT DISTINCT f.probe_id, va.m AS nbr_id
-            FROM fg f JOIN vic ON vic.id = f.nbr_id
-              JOIN vadj va ON va.d = f.nbr_id
-            WHERE f.probe_id NOT IN (SELECT id FROM vic)
-              AND va.m <> f.probe_id),
-         dpool0 AS MATERIALIZED (SELECT probe_id, nbr_id FROM (
-            SELECT f.probe_id, f.nbr_id FROM fg f
-              JOIN aff ON aff.probe_id = f.probe_id
-            UNION
-            SELECT probe_id, nbr_id FROM dprop)
-           WHERE nbr_id NOT IN (SELECT id FROM vic)),
-         dlf AS (SELECT l.probe_id,
-              CASE WHEN l.probe_id = mn.m1 THEN mn.m2 ELSE mn.m1 END AS nbr_id
-            FROM (SELECT a.probe_id FROM aff a
-                  WHERE a.probe_id NOT IN (SELECT probe_id FROM dpool0)) l
-            CROSS JOIN (SELECT min(id) AS m1,
-                (SELECT min(id) FROM sur
-                 WHERE id > (SELECT min(id) FROM sur)) AS m2
-              FROM sur) mn
-            WHERE CASE WHEN l.probe_id = mn.m1 THEN mn.m2 ELSE mn.m1 END IS NOT NULL
-              AND CASE WHEN l.probe_id = mn.m1 THEN mn.m2 ELSE mn.m1 END <> l.probe_id),
-         dpool AS (SELECT probe_id, nbr_id FROM dpool0
-            UNION SELECT probe_id, nbr_id FROM dlf),
-         dtop AS MATERIALIZED (SELECT probe_id, nbr_id FROM (
-            SELECT p2.probe_id, p2.nbr_id, row_number() OVER (
-              PARTITION BY p2.probe_id ORDER BY round(ac.cos, 6) DESC, p2.nbr_id) AS rn
-            FROM dpool p2 JOIN ac ON ac.src = p2.probe_id AND ac.dst = p2.nbr_id)
-           WHERE rn <= 10),
-         lived AS MATERIALIZED (
-            SELECT probe_id, nbr_id FROM dtop
-            UNION ALL
-            SELECT probe_id, nbr_id FROM fg
-            WHERE probe_id NOT IN (SELECT probe_id FROM aff)
-              AND probe_id NOT IN (SELECT id FROM vic)),
+            WHERE id NOT IN (SELECT id FROM vic))""" +
+      knnDeleteCtes("fg") +
+      """,
          srows AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM fg)
+            + (SELECT CAST(count(*) AS BIGINT) FROM dtop) AS store_rows)""" +
+      knnBuildCtes("s", "sur") +
+      """,
+         bt AS MATERIALIZED (SELECT src AS probe_id, dst AS nbr_id FROM (
+            SELECT src, dst, row_number() OVER (PARTITION BY src
+              ORDER BY cos DESC, dst) AS rn
+            FROM ac JOIN sur x ON x.id = ac.src JOIN sur y ON y.id = ac.dst
+            WHERE src < 5 AND src <> dst) WHERE rn <= 10),
+         nb AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_brute
+                FROM bt GROUP BY 1),
+         ovi AS (SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS n_incr
+                 FROM bt JOIN lived l ON l.probe_id = bt.probe_id
+                   AND l.nbr_id = bt.nbr_id GROUP BY 1),
+         ovf AS (SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS n_fresh
+                 FROM bt JOIN sg ON sg.probe_id = bt.probe_id
+                   AND sg.nbr_id = bt.nbr_id GROUP BY 1)
+         SELECT nb.probe_id, nb.n_brute,
+           coalesce(ovi.n_incr, 0) AS n_incr,
+           coalesce(ovf.n_fresh, 0) AS n_fresh,
+           coalesce(ovi.n_incr, 0) * 1000 // nb.n_brute AS incr_recall_milli,
+           coalesce(ovf.n_fresh, 0) * 1000 // nb.n_brute AS fresh_recall_milli,
+           (SELECT store_rows FROM srows) AS store_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM lived) AS compact_rows
+         FROM nb LEFT JOIN ovi ON ovi.probe_id = nb.probe_id
+           LEFT JOIN ovf ON ovf.probe_id = nb.probe_id
+         ORDER BY nb.probe_id"""
+
+  /** q263 oracle: the CDC maintenance replay — base build over the
+    * non-insert nodes, one INSERT absorb ([[knnAbsorbBlockCtes]] — the
+    * op-tagged stream's batch 1), then a DELETE + repair of the victim
+    * set over the post-absorb live view ([[knnDeleteCtes]] — batch 2),
+    * then the q234 recall/accounting tail: final live graph vs a fresh
+    * rebuild over the final live set, store_rows = base + both deltas. */
+  private def q263OracleSql: String =
+    """WITH nrm AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+           FROM embeddings),
+         live AS MATERIALIZED (SELECT * FROM nrm WHERE n > 0),
+         ac AS MATERIALIZED (
+           SELECT p.vec_id AS src, c.vec_id AS dst,
+             list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+             / (c.n * p.n) AS cos
+           FROM live c, live p),
+         asn AS MATERIALIZED (SELECT vec_id AS v,
+             CAST('0x'||substr(md5('cell:'||vec_id),1,15) AS BIGINT)
+               % greatest(1, (SELECT count(*) FROM embeddings) // 64) AS c
+             FROM live),
+         nwn AS MATERIALIZED (SELECT vec_id AS id FROM live
+                WHERE vec_id % 8 = 5),
+         bn AS MATERIALIZED (SELECT vec_id AS id FROM live
+                WHERE NOT (vec_id % 8 = 5)),
+         alln AS MATERIALIZED (SELECT vec_id AS id FROM live)""" +
+      knnBuildCtes("b", "bn") +
+      knnAbsorbBlockCtes +
+      """,
+         vic AS MATERIALIZED (SELECT vec_id AS id FROM live
+            WHERE vec_id % 16 = 7),
+         sur AS MATERIALIZED (SELECT id FROM alln
+            WHERE id NOT IN (SELECT id FROM vic))""" +
+      knnDeleteCtes("liveg") +
+      """,
+         srows AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg)
+            + (SELECT CAST(count(*) AS BIGINT) FROM ntop JOIN chg USING (probe_id))
             + (SELECT CAST(count(*) AS BIGINT) FROM dtop) AS store_rows)""" +
       knnBuildCtes("s", "sur") +
       """,

@@ -400,6 +400,116 @@ object StreamingOps {
       .start()
   }
 
+  /** ONE batch of CDC-DRIVEN kNN-graph maintenance — the foreachBatch
+    * body of [[knnGraphCdcStream]], exposed so a batch chain (and the
+    * q263 parity gate) runs the IDENTICAL call sequence. The batch is an
+    * OP-TAGGED changefeed (the [[graft.streaming.CdcOps]] `_op`
+    * envelope, reduced to Insert/Delete — an update is Delete + Insert):
+    *
+    *  - INSERTS land in the vector store and absorb into the graph via
+    *    the [[knnGraphAbsorbBatch]] sequence, scoring against the LIVE
+    *    vector set (store minus vector tombstones);
+    *  - DELETES repair the graph via [[graft.functions.SimilarityOps
+    *    .knnGraphDelete]] (victim-adjacency proposals, lone-pool
+    *    fallback), append the repaired top-k at the next epoch, and
+    *    tombstone the victims in BOTH stores — (probe_id, before_epoch)
+    *    rows for the graph's [[graft.sources.TableStore.liveView]], a
+    *    plain id set for the epoch-less vector store.
+    *
+    * Within one batch inserts apply BEFORE deletes (the deterministic
+    * order a Delete+Insert update needs is across batches, which the
+    * stream's serial foreachBatch provides). Every read refreshes the
+    * tables the previous batch appended (the stale-listing discipline).
+    */
+  def knnGraphCdcBatch(batch: DataFrame, idCol: String, vecCol: String,
+                       opCol: String, graphTable: String,
+                       vecStoreTable: String, vecTombTable: String,
+                       graphTombTable: String, centroids: DataFrame,
+                       centroidIdCol: String, k: Int = 10, buckets: Int = 8,
+                       cellAssign: Option[DataFrame] = None): Unit = {
+    val s = batch.sparkSession
+    import graft.functions.SimilarityOps
+    import graft.sources.TableStore
+    Seq(graphTable, vecStoreTable, vecTombTable, graphTombTable)
+      .foreach(s.catalog.refreshTable)
+    def liveVecs(): DataFrame = TableStore.loadTable(s, vecStoreTable)
+      .join(TableStore.loadTable(s, vecTombTable), Seq(idCol), "left_anti")
+      .select(col(idCol), col(vecCol))
+    def liveGraph(): DataFrame = SimilarityOps.liveKnnGraph(
+      TableStore.liveView(TableStore.loadTable(s, graphTable),
+        TableStore.loadTable(s, graphTombTable), "probe_id", "epoch"))
+    def nextEpoch(): Long = TableStore.loadTable(s, graphTable)
+      .agg(coalesce(max(col("epoch")), lit(0L)).as("e")).head().getLong(0) + 1L
+    val ins = batch.where(col(opCol) === "I").select(col(idCol), col(vecCol))
+    val del = batch.where(col(opCol) === "D").select(col(idCol))
+    if (!ins.isEmpty) {
+      val landed = ivfAbsorbBatch(ins, idCol, vecCol, vecStoreTable,
+        centroids, centroidIdCol, buckets)
+      val store = TableStore.loadTable(s, vecStoreTable)
+      val delta = SimilarityOps.knnGraphAbsorb(liveGraph(), liveVecs(),
+          ins.select(col(idCol)),
+          cellAssign.getOrElse(store.select(col(idCol), col("cid"))),
+          idCol, vecCol, k)
+        .withColumn("epoch", lit(nextEpoch()))
+      TableStore.saveBucketed(delta, graphTable,
+        bucketCols = Seq("probe_id"), buckets = buckets, mode = SaveMode.Append)
+      s.catalog.refreshTable(graphTable)
+      graft.functions.GraphOps.releaseLocalCheckpoint(landed)
+      graft.functions.GraphOps.releaseLocalCheckpoint(delta)
+    }
+    if (!del.isEmpty) {
+      val epoch = nextEpoch()
+      val delta = SimilarityOps.knnGraphDelete(liveGraph(), liveVecs(),
+          del, idCol, vecCol, k)
+        .withColumn("epoch", lit(epoch))
+      TableStore.saveBucketed(delta, graphTable,
+        bucketCols = Seq("probe_id"), buckets = buckets, mode = SaveMode.Append)
+      TableStore.saveBucketed( // graph tombstones: hide rows below epoch
+        del.select(col(idCol).as("probe_id"), lit(epoch).as("before_epoch")),
+        graphTombTable, bucketCols = Seq("probe_id"), buckets = buckets,
+        mode = SaveMode.Append)
+      TableStore.saveBucketed( // vector tombstones: plain id set
+        del.select(col(idCol)), vecTombTable, bucketCols = Seq(idCol),
+        buckets = buckets, mode = SaveMode.Append)
+      Seq(graphTable, graphTombTable, vecTombTable)
+        .foreach(s.catalog.refreshTable)
+      graft.functions.GraphOps.releaseLocalCheckpoint(delta)
+    }
+  }
+
+  /** Continuous CDC maintenance of the persisted ANN index — one
+    * op-tagged stream (inserts AND deletes) maintaining the vector
+    * store + kNN-graph store pair via [[knnGraphCdcBatch]]. This is the
+    * full deployment loop: new vectors become navigable as their batch
+    * commits, removed vectors vanish from serving (tombstones) AND from
+    * every survivor's neighbor list (repair) — no rebuild, no downtime.
+    *
+    * ORDER-SENSITIVE recovery class (see README's recovery table): a
+    * delete's repair reads the graph state every prior batch built, and
+    * the Append is doubly non-idempotent. With a durable
+    * `checkpointLocation` a restarted query resumes exactly after the
+    * last committed batch — the q263 gate kills the query between the
+    * insert batch and the delete batch and pins the resumed store
+    * against the batch-sequence oracle. */
+  def knnGraphCdcStream(events: DataFrame, idCol: String, vecCol: String,
+                        opCol: String, graphTable: String,
+                        vecStoreTable: String, vecTombTable: String,
+                        graphTombTable: String, centroids: DataFrame,
+                        centroidIdCol: String, k: Int = 10, buckets: Int = 8,
+                        cellAssign: Option[DataFrame] = None,
+                        checkpointLocation: Option[String] = None)
+                       (onBatch: Long => Unit = _ => ()): StreamingQuery = {
+    val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      knnGraphCdcBatch(batch.toDF(), idCol, vecCol, opCol, graphTable,
+        vecStoreTable, vecTombTable, graphTombTable, centroids,
+        centroidIdCol, k, buckets, cellAssign)
+      onBatch(batchId)
+    }
+    val w = events.writeStream.outputMode("append").foreachBatch(body)
+    checkpointLocation.fold(w)(cl => w.option("checkpointLocation", cl))
+      .start()
+  }
+
   /** Continuous CO-OCCURRENCE ingestion: a document stream absorbed
     * into the persisted (w1, w2) pair-count store — each micro-batch
     * lands via [[graft.functions.TextFunctions.cooccurrenceAbsorb]]
