@@ -697,6 +697,61 @@ class CmsStreamSpec extends graft.SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
   }
 
+  test("knnGraphCdcBatch: a MIXED batch applies inserts before deletes; victims vanish; ≤2 pinned RDDs") {
+    import graft.functions.SimilarityOps
+    import graft.sources.TableStore
+    val vtbl = "graft_cdc_vecs"; val gtbl = "graft_cdc_graph"
+    val vttbl = "graft_cdc_vtomb"; val gttbl = "graft_cdc_gtomb"
+    Seq(vtbl, gtbl, vttbl, gttbl).foreach(TableStore.dropTable(spark, _))
+    val rng = new scala.util.Random(63)
+    def vec() = Array.fill(6)(rng.nextFloat() * 2f - 1f)
+    val all = (0L until 30L).map(i => (i, vec()))
+    val base = all.filter(_._1 < 20L).toDF("vec_id", "embedding")
+    val cent = all.filter(_._1 < 3L).toDF("vec_id", "embedding")
+    val k = 4
+    TableStore.saveBucketed(
+      SimilarityOps.ivfStore(base, "vec_id", "embedding", cent, "vec_id"),
+      vtbl, bucketCols = Seq("cid"), buckets = 4)
+    TableStore.saveBucketed(base.select("vec_id").where(lit(false)),
+      vttbl, bucketCols = Seq("vec_id"), buckets = 4)
+    TableStore.saveBucketed(
+      base.select($"vec_id".as("probe_id"), lit(0L).as("before_epoch"))
+        .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 4)
+    val g0 = SimilarityOps.bruteForceTopK(base, base, "vec_id", "vec_id",
+      "embedding", k).select("probe_id", "nbr_id", "score", "rank")
+    TableStore.saveBucketed(g0.withColumn("epoch", lit(0L)), gtbl,
+      bucketCols = Seq("probe_id"), buckets = 4)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // ONE mixed batch: insert 20..29, delete 3 and 7 — the insert lands
+    // first, so the delete's repair proposals can reach the new nodes
+    val batch = all.filter(_._1 >= 20L).toDF("vec_id", "embedding")
+      .select(lit("I").as("op"), $"vec_id", $"embedding")
+      .unionByName(base.where($"vec_id".isin(3L, 7L))
+        .select(lit("D").as("op"), $"vec_id", $"embedding"))
+    graft.streaming.StreamingOps.knnGraphCdcBatch(batch, "vec_id",
+      "embedding", "op", gtbl, vtbl, vttbl, gttbl, cent, "vec_id",
+      k = k, buckets = 4)
+    val pinnedNew = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinnedNew.size <= 2, s"CDC batch left ${pinnedNew.size} pinned RDDs")
+    val live = SimilarityOps.liveKnnGraph(
+        TableStore.liveView(TableStore.loadTable(spark, gtbl),
+          TableStore.loadTable(spark, gttbl), "probe_id", "epoch"))
+      .select("probe_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val probes = live.map(_._1).toSet
+    // every inserted node joined; both victims gone on BOTH edge ends
+    assert((20L until 30L).forall(probes.contains),
+      s"inserted nodes missing from the live graph: ${(20L until 30L).toSet -- probes}")
+    assert(live.forall(e => e._1 != 3L && e._1 != 7L
+      && e._2 != 3L && e._2 != 7L), "a victim survived the live view")
+    // the vector store's live view dropped the victims too
+    val liveVecIds = TableStore.loadTable(spark, vtbl)
+      .join(TableStore.loadTable(spark, vttbl), Seq("vec_id"), "left_anti")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(liveVecIds == (0L until 30L).toSet -- Set(3L, 7L))
+    Seq(vtbl, gtbl, vttbl, gttbl).foreach(TableStore.dropTable(spark, _))
+  }
+
   test("knnGraphAbsorbStream: multi-batch absorb leaves ≤2 pinned RDDs and a complete live graph") {
     import graft.functions.SimilarityOps
     import graft.sources.TableStore
