@@ -4555,6 +4555,43 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally rm(dirF)
     }),
+    // ── extension: ColBERT LATE-INTERACTION (MaxSim) retrieval — Khattab
+    //    & Zaharia SIGIR 2020: docs/queries are BAGS of token vectors,
+    //    score = Σ_qtok max_dtok cos. Fixture: vec_id div 5 groups the
+    //    embeddings table into 100 five-token documents; docs 0–3 are the
+    //    queries, the rest the corpus. Integer-micro per-token maxima
+    //    summed → associative, engine-portable scores (q114 convention).
+    "q264_maxsim_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(expr("vec_id div 5").as("doc_id"), col("vec_id"), col("embedding"))
+      SimilarityOps.maxSimTopK(emb.where(col("doc_id") >= 4),
+        emb.where(col("doc_id") < 4), "doc_id", "doc_id", "vec_id",
+        "embedding", k = 10)
+        .select(col("probe_id"), col("doc_id"), col("score_micro"), col("rank"))
+        .orderBy("probe_id", "rank")
+    }),
+    // ── extension: CANDIDATE-PRUNED MaxSim — the PLAID serving
+    //    decomposition (Santhanam et al., CIKM 2022): token-level top-m
+    //    → candidate docs → exact MaxSim rerank over candidates only.
+    //    Gate emits the pruned top-5 with hit flags vs the exact MaxSim
+    //    top-5 (the q200 recall convention) — the full corpus is never
+    //    rescored in stage 3 (one doc-keyed equi-join re-expands only
+    //    candidate documents' tokens).
+    "q265_maxsim_pruned" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(expr("vec_id div 5").as("doc_id"), col("vec_id"), col("embedding"))
+      val c = emb.where(col("doc_id") >= 4)
+      val p = emb.where(col("doc_id") < 4)
+      val pruned = SimilarityOps.maxSimTopKPruned(c, p, "doc_id", "vec_id",
+        "doc_id", "vec_id", "embedding", k = 5, m = 4)
+      val exact = SimilarityOps.maxSimTopK(c, p, "doc_id", "doc_id", "vec_id",
+        "embedding", k = 5)
+        .select(col("probe_id"), col("doc_id"), lit(true).as("hit"))
+      pruned.join(exact, Seq("probe_id", "doc_id"), "left")
+        .select(col("probe_id"), col("doc_id"), col("score_micro"), col("rank"),
+          coalesce(col("hit"), lit(false)).as("hit"))
+        .orderBy("probe_id", "rank")
+    }),
     // ── extension: HARD-NEGATIVE MINING (DPR, Karpukhin et al. 2020)
     //    — per probe, top-5 most-similar corpus vectors of a DIFFERENT
     //    label: the confusable non-matches a contrastive loss trains
@@ -5439,6 +5476,41 @@ object SparkEntry {
         .groupBy("word").agg(count(lit(1)).as("f"))
       graft.functions.VocabOps.bpeMerges(wf, "word", "f", merges = 5)
         .orderBy("step")
+    }),
+    // ── extension: WORDPIECE merge training (Schuster & Nakajima 2012;
+    //    the BERT trainer) — the THIRD tokenizer trainer next to BPE
+    //    (q116) and unigram-LM (q243): the same greedy merge loop, but
+    //    each round merges the pair maximizing the unigram-LM likelihood
+    //    gain cnt(lr)/(cnt(l)·cnt(r)) instead of the raw pair count.
+    //    Integer-nano floor-division scores (engine-portable `div`).
+    "q266_wordpiece_merges" -> ((s, dir) => {
+      val wf = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("f"))
+      graft.functions.VocabOps.wordPieceMerges(wf, "word", "f", merges = 5)
+        .orderBy("step")
+    }),
+    // ── extension: WORDPIECE greedy longest-match-first encode — the
+    //    BERT tokenizer's inference pass against the q266 vocabulary
+    //    (corpus characters + the 5 merge outputs). One map-only
+    //    higher-order fold per word (the bpeEncode deployment shape);
+    //    words capped at length 12 so the SQL oracle's greedy scan is a
+    //    fixed 12-step unroll (the q243 Viterbi convention).
+    "q267_wordpiece_encode" -> ((s, dir) => {
+      val wf = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("f"))
+      val ms = graft.functions.VocabOps.wordPieceMerges(wf, "word", "f", merges = 5)
+      val vocab = wf
+        .select(explode(filter(split(col("word"), ""), x => length(x) > 0)).as("piece"))
+        .unionByName(ms.select(concat(col("lhs"), col("rhs")).as("piece")))
+        .distinct()
+      graft.functions.VocabOps.wordPieceEncode(
+        wf.select("word").where(length(col("word")) <= 12).distinct(),
+        "word", vocab)
+        .select(col("word"), posexplode(col("pieces")))
+        .select(col("word"), col("pos").as("ord"), col("col").as("piece"))
+        .orderBy("word", "ord")
     }),
     // ── extension: count-min-sketch heavy hitters — frequency estimates
     //    from a d×w integer table (one cell-keyed aggregate, any key
@@ -12870,5 +12942,133 @@ object SparkEntry {
          SELECT id_a, id_b, CAST(c AS DOUBLE) / sz_a AS containment
          FROM common WHERE CAST(c AS DOUBLE) / sz_a >= 0.5
          ORDER BY id_a, id_b""",
+    // MaxSim late interaction: per query token, max cosine over each
+    // candidate doc's tokens, rounded to integer micros, summed per doc.
+    "q264_maxsim_topk" ->
+      (maxSimOracleCtes +
+        """,
+         rk AS (SELECT probe_id, doc_id, score_micro,
+            CAST(row_number() OVER (PARTITION BY probe_id
+              ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           FROM sc)
+         SELECT probe_id, doc_id, score_micro, rank FROM rk WHERE rank <= 10
+         ORDER BY probe_id, rank"""),
+    // Pruned MaxSim: stage-1 token-level top-4 → candidate docs; exact
+    // rerank restricted to candidates; hit flags vs the exact top-5.
+    "q265_maxsim_pruned" ->
+      (maxSimOracleCtes +
+        """,
+         cand AS (SELECT DISTINCT probe_id, did AS doc_id FROM (
+            SELECT probe_id, tok, did, ctok,
+              row_number() OVER (PARTITION BY probe_id, tok
+                ORDER BY cos DESC, ctok) AS rn
+            FROM cs) WHERE rn <= 4),
+         scp AS (SELECT s.probe_id, s.doc_id, s.score_micro
+           FROM sc s JOIN cand ON s.probe_id = cand.probe_id
+             AND s.doc_id = cand.doc_id),
+         rkp AS (SELECT probe_id, doc_id, score_micro,
+            CAST(row_number() OVER (PARTITION BY probe_id
+              ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           FROM scp),
+         exact AS (SELECT probe_id, doc_id FROM (
+            SELECT probe_id, doc_id,
+              row_number() OVER (PARTITION BY probe_id
+                ORDER BY score_micro DESC, doc_id) AS rn
+            FROM sc) WHERE rn <= 5)
+         SELECT p.probe_id, p.doc_id, p.score_micro, p.rank,
+           (e.doc_id IS NOT NULL) AS hit
+         FROM rkp p LEFT JOIN exact e ON p.probe_id = e.probe_id
+           AND p.doc_id = e.doc_id
+         WHERE p.rank <= 5 ORDER BY p.probe_id, p.rank"""),
+    // WordPiece trainer: q116's replay with likelihood-gain best-pair
+    // selection (integer-nano floor-division scores).
+    "q266_wordpiece_merges" ->
+      (wordPieceTrainCtes.stripSuffix(",\n         ") +
+        (1 to 5).map(j =>
+          s"SELECT $j AS step, l AS lhs, r AS rhs, cnt, score_nano FROM b$j")
+          .mkString("\n         ", "\n         UNION ALL ", "\n         ORDER BY step")),
+    // WordPiece greedy longest-match encode: 12-step unrolled scan over
+    // the q266 vocabulary (chars + merge outputs), single-char fallback.
+    "q267_wordpiece_encode" ->
+      (wordPieceTrainCtes +
+        """ball AS (""" +
+        (1 to 5).map(j => s"SELECT l, r FROM b$j").mkString("\n            UNION ALL ") +
+        """),
+         vocab AS MATERIALIZED (SELECT DISTINCT piece FROM (
+            SELECT unnest([word[i:i] for i in range(1, len(word)+1)]) AS piece FROM wf
+            UNION ALL SELECT l || r AS piece FROM ball)),
+         wds AS (SELECT DISTINCT word FROM wf
+                 WHERE len(word) <= 12 AND len(word) > 0),
+         r0 AS (SELECT word, 1 AS p FROM wds)""" +
+        (1 to 12).map { k => val i = k - 1
+          s""",
+         m$k AS MATERIALIZED (SELECT r.word, r.p, coalesce(max(len(v.piece)), 1) AS l
+            FROM r$i r LEFT JOIN vocab v
+              ON v.piece = r.word[r.p : r.p + len(v.piece) - 1]
+            WHERE r.p <= len(r.word) GROUP BY 1, 2),
+         e$k AS (SELECT word, p, l, word[p : p + l - 1] AS piece, $k AS k FROM m$k),
+         r$k AS (SELECT word, p + l AS p FROM e$k)"""
+        }.mkString +
+        """,
+         pieces AS (""" +
+        (1 to 12).map(k => s"SELECT word, k, piece FROM e$k").mkString("\n            UNION ALL ") +
+        """)
+         SELECT word, CAST(row_number() OVER (PARTITION BY word ORDER BY k) - 1 AS INT) AS ord, piece
+         FROM pieces ORDER BY word, ord"""),
   )
+
+  /** Shared CTE prefix of the q266/q267 WordPiece oracles: q116's word-
+    * frequency + symbol-array CTEs, then 5 unrolled merge rounds where
+    * the best pair maximizes cnt(lr)·SCALE div (cnt(l)·cnt(r)) — the
+    * WordPiece likelihood objective in floor-division integer nanos. */
+  private def wordPieceTrainCtes: String =
+    """WITH toks AS (
+           SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents WHERE length(trim(text)) > 0),
+         wf AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+         w0 AS (SELECT f, [word[i:i] for i in range(1, len(word)+1)] AS syms
+                FROM wf WHERE len(word) > 0)""" +
+      (1 to 5).map { j => val i = j - 1
+        s""",
+         s$i AS MATERIALIZED (SELECT s, CAST(sum(f) AS BIGINT) AS c
+           FROM (SELECT f, unnest(syms) AS s FROM w$i) GROUP BY 1),
+         p$j AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w$i)
+           WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+         b$j AS MATERIALIZED (SELECT l, r, cnt,
+             CAST((cnt * 1000000000) // (sl.c * sr.c) AS BIGINT) AS score_nano
+           FROM p$j p JOIN s$i sl ON sl.s = p.l JOIN s$i sr ON sr.s = p.r
+           ORDER BY score_nano DESC, l, r LIMIT 1),
+         w$j AS (SELECT f, list_filter(list_transform(range(1, len(syms)+1), i ->
+             CASE WHEN i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r THEN b.l || b.r
+                  WHEN i > 1 AND syms[i-1] = b.l AND syms[i] = b.r THEN NULL
+                  ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM w$i CROSS JOIN b$j b)"""
+      }.mkString + ",\n         "
+
+  /** Shared CTE prefix of the q264/q265 MaxSim oracles: the 5-token
+    * document grouping of the embeddings table, all query-token ×
+    * corpus-token cosines, per-(query, token, doc) integer-micro maxima,
+    * and the per-(query, doc) exact MaxSim scores. */
+  private def maxSimOracleCtes: String =
+    """WITH tok AS (
+           SELECT CAST(floor(vec_id / 5) AS BIGINT) AS doc_id, vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+           FROM embeddings),
+         live AS (SELECT * FROM tok WHERE n > 0),
+         c AS (SELECT * FROM live WHERE doc_id >= 4),
+         p AS (SELECT * FROM live WHERE doc_id < 4),
+         cs AS (SELECT p.doc_id AS probe_id, p.vec_id AS tok,
+             c.doc_id AS did, c.vec_id AS ctok,
+             list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+             / (c.n * p.n) AS cos
+           FROM c, p),
+         ms AS (SELECT probe_id, tok, did,
+             CAST(round(max(cos) * 1000000) AS BIGINT) AS msm
+           FROM cs GROUP BY 1, 2, 3),
+         sc AS (SELECT probe_id, did AS doc_id,
+             CAST(sum(msm) AS BIGINT) AS score_micro
+           FROM ms GROUP BY 1, 2)"""
 }

@@ -111,6 +111,110 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** ColBERT-style LATE-INTERACTION (MaxSim) document scoring — Khattab &
+    * Zaharia, SIGIR 2020 §3: documents and queries are BAGS of token
+    * vectors, and score(q, d) = Σ_{t∈q} max_{u∈d} cos(t, u) — each query
+    * token independently finds its best-matching document token, so the
+    * model rewards per-term semantic coverage instead of one pooled
+    * vector's average direction.
+    *
+    * `corpusTokens`: (docCol, vecCol) — MANY rows per document, one per
+    * token vector. `probeTokens`: (probeCol, probeTokCol, vecCol) — the
+    * token identity column is required because the outer sum is per
+    * query token (two equal token vectors must contribute twice).
+    *
+    * Scale shape: the probe side (queries × tokens) broadcasts; the
+    * corpus token table is scanned ONCE map-only. The max-per-(probe,
+    * token, doc) aggregate partial-aggregates map-side down to candidate
+    * cardinality before its exchange, and the outer sum is per-(probe,
+    * doc) — both shuffles are result-sized, never corpus-sized. At 100 TB
+    * swap the scan for the candidate-pruned [[maxSimTopKPruned]] (token-
+    * level ANN → candidate docs → exact rerank — the PLAID serving
+    * shape, Santhanam et al., CIKM 2022).
+    *
+    * Determinism: per-token maxima are exact comparisons of bit-identical
+    * cosines (native `vec_dot` fold); each max is rounded to integer
+    * MICRO units BEFORE the outer sum, so the score is an integer sum —
+    * associative, engine-portable (the q114 "ordered folds" convention).
+    *
+    * @return (probe_id, doc_id, score_micro, rank ≤ k) */
+  def maxSimTopK(corpusTokens: DataFrame, probeTokens: DataFrame,
+                 docCol: String, probeCol: String, probeTokCol: String,
+                 vecCol: String, k: Int = 10): DataFrame = {
+    GraftFunctions.register(corpusTokens.sparkSession)
+    val c = corpusTokens.select(col(docCol).as("doc_id"), col(vecCol).as("__cv"),
+      vnorm(col(vecCol)).as("__cn")).where(col("__cn") > 0)
+    val p = probeTokens.select(col(probeCol).as("probe_id"),
+      col(probeTokCol).as("__tok"), col(vecCol).as("__pv"),
+      vnorm(col(vecCol)).as("__pn")).where(col("__pn") > 0)
+    val perTok = c.crossJoin(broadcast(p))
+      .select(col("probe_id"), col("__tok"), col("doc_id"),
+        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("__cos"))
+      .groupBy("probe_id", "__tok", "doc_id")
+      .agg(max(col("__cos")).as("__ms"))
+    val scored = perTok
+      .select(col("probe_id"), col("doc_id"),
+        round(col("__ms") * 1e6).cast("long").as("__msm"))
+      .groupBy("probe_id", "doc_id")
+      .agg(sum("__msm").as("score_micro"))
+    val w = Window.partitionBy("probe_id").orderBy(col("score_micro").desc,
+      col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** CANDIDATE-PRUNED MaxSim — the PLAID serving decomposition
+    * (Santhanam et al., CIKM 2022 §3): stage 1 finds each query token's
+    * top-`m` corpus TOKENS (token-level ANN; here the exact scorer so
+    * the gate isolates the pruning loss — at scale route it through
+    * [[ivfSearchStore]] exactly like any single-vector probe), stage 2
+    * takes the DOCUMENTS owning those tokens as the candidate set, and
+    * stage 3 reruns the exact MaxSim of [[maxSimTopK]] on candidate
+    * documents ONLY. Recall loss is confined to documents none of whose
+    * tokens reach any query token's top-m — the tail MaxSim itself
+    * scores lowest.
+    *
+    * Scale shape: stage 1 is the broadcast map-only scan; stage 2's
+    * candidate set is (probes × m)-bounded; stage 3 re-expands ONLY
+    * candidate documents' tokens (one doc-keyed equi-join) — the full
+    * corpus is never rescored. `corpusTokCol` must uniquely key corpus
+    * token rows (it seeds stage 1's deterministic tie-break).
+    *
+    * @return (probe_id, doc_id, score_micro, rank ≤ k) over candidates */
+  def maxSimTopKPruned(corpusTokens: DataFrame, probeTokens: DataFrame,
+                       docCol: String, corpusTokCol: String,
+                       probeCol: String, probeTokCol: String,
+                       vecCol: String, k: Int = 10, m: Int = 8): DataFrame = {
+    GraftFunctions.register(corpusTokens.sparkSession)
+    val c = corpusTokens.select(col(docCol).as("doc_id"),
+      col(corpusTokCol).as("__ct"), col(vecCol).as("__cv"),
+      vnorm(col(vecCol)).as("__cn")).where(col("__cn") > 0)
+    val p = probeTokens.select(col(probeCol).as("probe_id"),
+      col(probeTokCol).as("__tok"), col(vecCol).as("__pv"),
+      vnorm(col(vecCol)).as("__pn")).where(col("__pn") > 0)
+    val wt = Window.partitionBy("probe_id", "__tok")
+      .orderBy(col("__cos").desc, col("__ct").asc)
+    val cand = c.crossJoin(broadcast(p))
+      .select(col("probe_id"), col("__tok"), col("doc_id"), col("__ct"),
+        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("__cos"))
+      .withColumn("__rn", row_number().over(wt))
+      .where(col("__rn") <= m)
+      .select("probe_id", "doc_id").distinct()
+    val perTok = cand.join(c, Seq("doc_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .select(col("probe_id"), col("__tok"), col("doc_id"),
+        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("__cos"))
+      .groupBy("probe_id", "__tok", "doc_id")
+      .agg(max(col("__cos")).as("__ms"))
+    val scored = perTok
+      .select(col("probe_id"), col("doc_id"),
+        round(col("__ms") * 1e6).cast("long").as("__msm"))
+      .groupBy("probe_id", "doc_id")
+      .agg(sum("__msm").as("score_micro"))
+    val w = Window.partitionBy("probe_id").orderBy(col("score_micro").desc,
+      col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Sign-random-projection bits. Hyperplane weights are md5-derived
     * integers in [-1000, 1000] (`hash60("plane,dim") mod 2001 - 1000`) and
     * the vector is quantized to `round(v·1000)` longs, so the projection is

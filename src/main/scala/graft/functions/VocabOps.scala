@@ -268,6 +268,119 @@ object VocabOps {
     acc.select(col("step"), col("lhs"), col("rhs"), col("cnt"))
   }
 
+  /** WORDPIECE merge training (Schuster & Nakajima, ICASSP 2012; the BERT
+    * tokenizer's trainer) — the third trainer next to [[bpeMerges]] and
+    * the unigram-LM family. Identical greedy merge LOOP to BPE, but the
+    * next merge maximizes the LIKELIHOOD gain of a unigram LM over the
+    * current segmentation, score(l, r) = count(lr) / (count(l)·count(r)),
+    * not the raw pair count — frequent-but-uninformative pairs (both
+    * symbols already common) rank below cohesive ones, which is the whole
+    * behavioral difference between WordPiece and BPE vocabularies.
+    *
+    * Determinism: the score is computed in INTEGER nano units with `div`
+    * (floor division — identical in Spark and DuckDB), ties break (lhs,
+    * rhs) ascending; self-pairs are excluded as in [[bpeMerges]] so the
+    * overlap-free rewrite coincides with left-to-right.
+    *
+    * Scale shape: per round, one pair aggregate + one symbol-frequency
+    * aggregate over the VOCABULARY-sized distinct-word table (never the
+    * corpus), a 1-row eager checkpoint, and a broadcast rewrite — the
+    * [[bpeMerges]] shape plus one model-sized join per round.
+    *
+    * @return (step, lhs, rhs, cnt, score_nano) in training order */
+  def wordPieceMerges(words: DataFrame, wordCol: String, freqCol: String,
+                      merges: Int, scale: Long = 1000000000L): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    var ws = words
+      .where(length(col(wordCol)) > 0)
+      .select(col(freqCol).cast("long").as("f"),
+        filter(split(col(wordCol), ""), x => length(x) > 0).as("syms"))
+      .localCheckpoint(false)
+    var acc: DataFrame = null
+    for (step <- 1 to merges) {
+      val symFreq = ws.select(col("f"), explode(col("syms")).as("s"))
+        .groupBy("s").agg(sum("f").as("c"))
+      val pairs = ws
+        .select(col("f"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .where(col("p.l") =!= col("p.r"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum("f").as("cnt"))
+      // eager 1-row checkpoint: consumed by both the merge table and the
+      // rewrite (the bpeMerges discipline)
+      val best = pairs
+        .join(symFreq.select(col("s").as("lhs"), col("c").as("cl")), Seq("lhs"))
+        .join(symFreq.select(col("s").as("rhs"), col("c").as("cr")), Seq("rhs"))
+        .select(col("lhs"), col("rhs"), col("cnt"),
+          expr(s"(cnt * ${scale}L) div (cl * cr)").as("score_nano"))
+        .orderBy(col("score_nano").desc, col("lhs"), col("rhs")).limit(1)
+        .localCheckpoint(true)
+      acc = if (acc == null) best.withColumn("step", lit(step))
+            else acc.unionByName(best.withColumn("step", lit(step)))
+      val n = size(col("syms"))
+      val rewritten = filter(
+        transform(sequence(lit(1), n), i =>
+          when(i < n && element_at(col("syms"), i) === col("lhs")
+              && element_at(col("syms"), i + 1) === col("rhs"),
+            concat(col("lhs"), col("rhs")))
+          .when(i > 1 && element_at(col("syms"), i - 1) === col("lhs")
+              && element_at(col("syms"), i) === col("rhs"),
+            lit(null))
+          .otherwise(element_at(col("syms"), i))),
+        x => x.isNotNull)
+      ws = ws.crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
+        .select(col("f"), rewritten.as("syms"))
+        .localCheckpoint(false)
+    }
+    acc.select(col("step"), col("lhs"), col("rhs"), col("cnt"), col("score_nano"))
+  }
+
+  /** WORDPIECE greedy longest-match-first encoding against a frozen
+    * vocabulary (the BERT tokenizer's inference pass): scanning left to
+    * right, each step consumes the LONGEST vocabulary piece matching at
+    * the cursor, falling back to the single character when nothing
+    * matches (the trainer's vocabulary always contains every corpus
+    * character, so training-corpus words never need the fallback).
+    * Position-free pieces (no `##` continuation marking) — the
+    * SentencePiece-style convention the rest of this tokenizer family
+    * uses; the greedy-longest-match SEARCH is the WordPiece-specific
+    * behavior under test.
+    *
+    * The vocabulary is MODEL state (chars + merge outputs — bounded by
+    * the merge budget), collected once and folded in as literals: the
+    * whole encode is one higher-order fold per word (≤ len(word) steps ×
+    * |vocab| literal probes), MAP-ONLY — no join, no shuffle (the
+    * [[bpeEncode]] deployment shape: encode the distinct-word table,
+    * join occurrences back by word).
+    *
+    * @return input plus `pieces`: the word's subword array */
+  def wordPieceEncode(words: DataFrame, wordCol: String, vocab: DataFrame,
+                      pieceCol: String = "piece"): DataFrame = {
+    val vs = vocab.select(col(pieceCol)).distinct().collect()
+      .map(_.getString(0)).toSeq.sorted
+    require(vs.nonEmpty, "empty vocabulary")
+    val vlit = array(vs.map(lit(_)): _*)
+    val w = col(wordCol)
+    val n = length(w)
+    val init = struct(lit(1).as("pos"),
+      array().cast("array<string>").as("pieces"))
+    val folded = aggregate(sequence(lit(1), greatest(n, lit(1))), init,
+      (st, _) => {
+        val pos = st.getField("pos")
+        val pieces = st.getField("pieces")
+        val best = aggregate(vlit, lit(""), (b, v) =>
+          when(length(v) > length(b) && pos + length(v) - lit(1) <= n &&
+            w.substr(pos, length(v)) === v, v).otherwise(b))
+        val piece = when(length(best) > 0, best).otherwise(w.substr(pos, lit(1)))
+        when(pos > n, st).otherwise(
+          struct((pos + length(piece)).as("pos"),
+            concat(pieces, array(piece)).as("pieces")))
+      })
+    words.where(length(w) > 0).withColumn("pieces", folded.getField("pieces"))
+  }
+
   // ── UNIGRAM-LM (SentencePiece-style) tokenizer family (Kudo, ACL 2018)
   //    — the second trainer next to BPE: a piece VOCABULARY with
   //    log-probabilities, Viterbi segmentation under additive integer

@@ -851,6 +851,71 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(!out.map(_.getAs[Long]("nbr_id")).contains(0L))
   }
 
+  test("maxSimTopK: per-token maxima sum, duplicate query tokens count twice, zero-norm tokens drop") {
+    val corpusToks = Seq(
+      (10L, 100L, Array(1.0f, 0.0f, 0.0f)),
+      (10L, 101L, Array(0.0f, 1.0f, 0.0f)),
+      (11L, 110L, Array(0.9f, 0.1f, 0.0f)),
+      (11L, 111L, Array(0.0f, 0.0f, 1.0f)),
+      (12L, 120L, Array(-1.0f, 0.0f, 0.0f)),
+      (12L, 121L, Array(0.0f, -1.0f, 0.0f)),
+      (12L, 122L, Array(0.0f, 0.0f, 0.0f))) // zero-norm: must not score
+      .toDF("doc_id", "tok", "embedding")
+    val queryToks = Seq(
+      (0L, 1L, Array(1.0f, 0.0f, 0.0f)),
+      (0L, 2L, Array(0.0f, 1.0f, 0.0f)),
+      (1L, 3L, Array(1.0f, 0.0f, 0.0f)),  // q1: the same vector twice —
+      (1L, 4L, Array(1.0f, 0.0f, 0.0f)))  // both tokens must contribute
+      .toDF("probe_id", "tok", "embedding")
+    val out = SimilarityOps.maxSimTopK(corpusToks, queryToks,
+      "doc_id", "probe_id", "tok", "embedding", k = 3).collect()
+    val q0 = out.filter(_.getAs[Long]("probe_id") == 0L).sortBy(_.getAs[Int]("rank"))
+    // q0: doc10 = 1 + 1 = 2.0; doc11 = 0.9/√0.82 + 0.1/√0.82 ≈ 1.104;
+    // doc12 = max(-1, 0, ·) per token = 0 (the zero-norm token is out)
+    assert(q0.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 11L, 12L))
+    assert(q0.head.getAs[Long]("score_micro") == 2000000L)
+    val d11 = math.round(0.9 / math.sqrt(0.82) * 1e6) + math.round(0.1 / math.sqrt(0.82) * 1e6)
+    assert(q0(1).getAs[Long]("score_micro") == d11)
+    assert(q0(2).getAs[Long]("score_micro") == 0L)
+    // q1: duplicate tokens each add their own max — doc10 scores 2.0
+    val q1 = out.filter(_.getAs[Long]("probe_id") == 1L).sortBy(_.getAs[Int]("rank"))
+    assert(q1.head.getAs[Long]("doc_id") == 10L)
+    assert(q1.head.getAs[Long]("score_micro") == 2000000L)
+  }
+
+  test("maxSimTopKPruned: m=1 candidates cover each token's best doc; pruned scores equal exact on candidates") {
+    val corpusToks = Seq(
+      (10L, 100L, Array(1.0f, 0.0f, 0.0f)),
+      (10L, 101L, Array(0.0f, 1.0f, 0.0f)),
+      (11L, 110L, Array(0.9f, 0.1f, 0.0f)),
+      (12L, 120L, Array(0.0f, 0.9f, 0.1f)))
+      .toDF("doc_id", "tok", "embedding")
+    val queryToks = Seq(
+      (0L, 1L, Array(1.0f, 0.0f, 0.0f)),
+      (0L, 2L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("probe_id", "tok", "embedding")
+    val pruned = SimilarityOps.maxSimTopKPruned(corpusToks, queryToks,
+      "doc_id", "tok", "probe_id", "tok", "embedding", k = 3, m = 1).collect()
+    // both query tokens' single best corpus token lives in doc10 — the
+    // candidate set collapses to {doc10}
+    assert(pruned.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L))
+    val exact = SimilarityOps.maxSimTopK(corpusToks, queryToks,
+      "doc_id", "probe_id", "tok", "embedding", k = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toMap
+    // the pruned score for a candidate is the EXACT MaxSim score
+    assert(pruned.head.getAs[Long]("score_micro") == exact(10L))
+    // wider m recovers the full exact ranking
+    val full = SimilarityOps.maxSimTopKPruned(corpusToks, queryToks,
+      "doc_id", "tok", "probe_id", "tok", "embedding", k = 3, m = 4).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSeq
+    val exactRanked = SimilarityOps.maxSimTopK(corpusToks, queryToks,
+      "doc_id", "probe_id", "tok", "embedding", k = 3).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSeq
+    assert(full == exactRanked)
+  }
+
   test("gridDensityClusters: density invariants — core iff cell count >= minPts, adjacency shares labels, noise = -1") {
     val rng = new scala.util.Random(13)
     val corpus = (0L until 150L).map(i => (i, Array.fill(4)(rng.nextFloat() * 2f - 1f)))

@@ -147,6 +147,48 @@ class BpeMergesSpec extends graft.SparkSpec {
     assert(encode(Seq("abc"), ms.reverse)("abc") == Seq("ab", "c"))
   }
 
+  test("wordPieceMerges picks the likelihood-gain pair where BPE would pick the count pair") {
+    // pair counts: (a,b)=10 beats (c,d)=3 on raw count (BPE's choice),
+    // but a/b are common (100 each) while c/d are rare (6 each):
+    // score(ab) = 10e9/10000 = 1_000_000; score(cd) = 3e9/36 = 83_333_333
+    val words = Seq(("ab", 10L), ("a", 90L), ("b", 90L), ("cd", 3L),
+      ("c", 3L), ("d", 3L))
+    val bpe = run(words, 1)
+    assert(bpe.head == (1, "a", "b", 10L), "BPE control: raw count wins")
+    val wp = VocabOps.wordPieceMerges(words.toDF("word", "f"), "word", "f", 1)
+      .collect().map(r => (r.getAs[Int]("step"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("cnt"), r.getAs[Long]("score_nano")))
+    assert(wp.head == (1, "c", "d", 3L, 3000000000L / 36L))
+  }
+
+  test("wordPieceMerges is deterministic under repartition and skips self-pairs") {
+    val rng = new scala.util.Random(29)
+    val words = (0 until 300).map { i =>
+      (Seq.fill(rng.nextInt(6) + 2)(('a' + rng.nextInt(5)).toChar).mkString,
+        (rng.nextInt(20) + 1).toLong)
+    }.groupBy(_._1).map { case (w, v) => (w, v.map(_._2).sum) }.toSeq
+    def go(df: org.apache.spark.sql.DataFrame) =
+      VocabOps.wordPieceMerges(df, "word", "f", 4).orderBy("step").collect()
+        .map(r => (r.getAs[Int]("step"), r.getAs[String]("lhs"),
+          r.getAs[String]("rhs"), r.getAs[Long]("cnt"), r.getAs[Long]("score_nano")))
+    val a = go(words.toDF("word", "f"))
+    val b = go(words.toDF("word", "f").repartition(7))
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall { case (_, l, r, _, _) => l != r }, "self-pair merged")
+  }
+
+  test("wordPieceEncode: greedy longest match with single-char fallback") {
+    val vocab = Seq("a", "b", "c", "ab", "abc").toDF("piece")
+    val out = VocabOps.wordPieceEncode(
+      Seq("abcb", "cabd", "abab", "").toDF("word"), "word", vocab)
+      .collect().map(r => r.getAs[String]("word") -> r.getSeq[String](1)).toMap
+    assert(out("abcb") == Seq("abc", "b"), "longest match abc beats ab")
+    assert(out("cabd") == Seq("c", "ab", "d"), "d falls back to the single char")
+    assert(out("abab") == Seq("ab", "ab"))
+    assert(!out.contains(""), "empty words are dropped")
+    out.foreach { case (w, ps) => assert(ps.mkString == w, s"respell $w") }
+  }
+
   test("bpeEncode matches the driver reference on random words and merges") {
     val rng = new scala.util.Random(23)
     val words = (0 until 200).map(_ =>
