@@ -3436,6 +3436,50 @@ object SparkEntry {
           .select(lit(e).as("as_of"), col("id"), col("payload"), col("epoch"))
       }.reduce(_ unionByName _).orderBy("as_of", "id")
     }),
+    // ── extension: STORE VACUUM / RETENTION — the physical-cleanup step
+    //    that completes the table-format lifecycle (Z-order write, time
+    //    travel, epoch diff, SCD2 are the reads; this is the rewrite).
+    //    Fixture: 3 epochs of replacements + deletes over orders, vacuum
+    //    at horizon 2. The gate emits the vacuumed store + surviving
+    //    tombstones (physical-content law) AND the as-of views AT and
+    //    AFTER the horizon read from the VACUUMED store while the oracle
+    //    computes them from the ORIGINAL — equality IS the retention
+    //    contract (snapshots >= horizon untouched, older ones destroyed).
+    "q268_store_vacuum" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_custkey").as("payload"))
+        .where(col("id") < 3000)
+      val base = o.withColumn("epoch", lit(0L))
+      // epoch 1: id%5 replaced; epoch 2: id%7 pure deletes; epoch 3
+      // (PAST the horizon): id%3 replaced — its victims must survive
+      val repl1 = o.where(pmod(col("id"), lit(5)) === 0)
+        .select(col("id"), (col("payload") + 1000L).as("payload"),
+          lit(1L).as("epoch"))
+      val repl3 = o.where(pmod(col("id"), lit(3)) === 0)
+        .select(col("id"), (col("payload") + 3000L).as("payload"),
+          lit(3L).as("epoch"))
+      val store = base.unionByName(repl1).unionByName(repl3)
+      val tomb = o.where(pmod(col("id"), lit(5)) === 0)
+        .select(col("id"), lit(1L).as("before_epoch"))
+        .unionByName(o.where(pmod(col("id"), lit(7)) === 0)
+          .select(col("id"), lit(2L).as("before_epoch")))
+        .unionByName(o.where(pmod(col("id"), lit(3)) === 0)
+          .select(col("id"), lit(3L).as("before_epoch")))
+      val (vstore, vtomb) = TableStore.vacuum(store, tomb, "id", "epoch",
+        horizonEpoch = 2L)
+      val stored = vstore
+        .select(lit("store").as("src"), col("id"), col("payload"), col("epoch"))
+      val tombs = vtomb
+        .select(lit("tomb").as("src"), col("id"),
+          lit(null).cast("long").as("payload"), col("before_epoch").as("epoch"))
+      val asofs = Seq(2L, 3L).map { e =>
+        TableStore.liveViewAsOf(vstore, vtomb, "id", "epoch", e)
+          .select(lit(s"asof$e").as("src"), col("id"), col("payload"), col("epoch"))
+      }.reduce(_ unionByName _)
+      stored.unionByName(tombs).unionByName(asofs)
+        .orderBy("src", "id", "epoch")
+    }),
     // ── extension: WEIGHTED DRAWS WITH REPLACEMENT — inverse-CDF over
     //    exact integer cumulative intervals (item table broadcast,
     //    md5 draws): heavy sources repeat ∝ weight; the SGNS-unigram /
@@ -12980,6 +13024,30 @@ object SparkEntry {
          FROM rkp p LEFT JOIN exact e ON p.probe_id = e.probe_id
            AND p.doc_id = e.doc_id
          WHERE p.rank <= 5 ORDER BY p.probe_id, p.rank"""),
+    // Store vacuum: physical content law (anti-join against horizon-old
+    // tombstones) + as-of parity at/after the horizon computed from the
+    // ORIGINAL store — equality is the retention contract.
+    "q268_store_vacuum" ->
+      """WITH o AS (SELECT o_orderkey AS id, o_custkey AS payload FROM orders
+           WHERE o_orderkey < 3000),
+         store AS (SELECT id, payload, CAST(0 AS BIGINT) AS epoch FROM o
+           UNION ALL SELECT id, payload + 1000, 1 FROM o WHERE id % 5 = 0
+           UNION ALL SELECT id, payload + 3000, 3 FROM o WHERE id % 3 = 0),
+         tomb AS (SELECT id, CAST(1 AS BIGINT) AS be FROM o WHERE id % 5 = 0
+           UNION ALL SELECT id, 2 FROM o WHERE id % 7 = 0
+           UNION ALL SELECT id, 3 FROM o WHERE id % 3 = 0),
+         vstore AS (SELECT s.id, s.payload, s.epoch FROM store s WHERE NOT EXISTS (
+            SELECT 1 FROM tomb t WHERE t.id = s.id AND t.be <= 2 AND s.epoch < t.be)),
+         vtomb AS (SELECT id, be FROM tomb WHERE be > 2),
+         asof2 AS (SELECT s.id, s.payload, s.epoch FROM store s WHERE s.epoch <= 2
+           AND NOT EXISTS (SELECT 1 FROM tomb t WHERE t.id = s.id AND t.be <= 2 AND s.epoch < t.be)),
+         asof3 AS (SELECT s.id, s.payload, s.epoch FROM store s WHERE s.epoch <= 3
+           AND NOT EXISTS (SELECT 1 FROM tomb t WHERE t.id = s.id AND t.be <= 3 AND s.epoch < t.be))
+         SELECT 'store' AS src, id, payload, epoch FROM vstore
+         UNION ALL SELECT 'tomb', id, NULL, be FROM vtomb
+         UNION ALL SELECT 'asof2', id, payload, epoch FROM asof2
+         UNION ALL SELECT 'asof3', id, payload, epoch FROM asof3
+         ORDER BY src, id, epoch""",
     // WordPiece trainer: q116's replay with likelihood-gain best-pair
     // selection (integer-nano floor-division scores).
     "q266_wordpiece_merges" ->

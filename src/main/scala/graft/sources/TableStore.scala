@@ -151,6 +151,40 @@ object TableStore {
     added.unionByName(removed).unionByName(updated)
   }
 
+  /** VACUUM an epoch-appended store to a retention `horizonEpoch`: the
+    * physical cleanup step that closes the store lifecycle the other
+    * reads here serve (liveView / liveViewAsOf / epochDiff — the cycle
+    * real table formats run as vacuum/retention). Two rewrites:
+    *
+    *   - store rows that were ALREADY DEAD at the horizon (some tombstone
+    *     with `before_epoch <= horizonEpoch` covers them) are physically
+    *     dropped — no read at or after the horizon can see them;
+    *   - tombstones with `before_epoch <= horizonEpoch` are dropped —
+    *     every row they killed is gone, so they are spent.
+    *
+    * Contract (the law the q268 gate oracles): for EVERY `e >=
+    * horizonEpoch`, `liveViewAsOf(vacuumed…, e) ≡ liveViewAsOf(original…,
+    * e)` — the live view and all still-reachable snapshots are untouched;
+    * time travel BEFORE the horizon is destroyed (that is the point —
+    * the [[liveViewAsOf]] horizon contract, made explicit).
+    *
+    * Scale shape: one anti-join of the store against the horizon-old
+    * tombstone subset (delta-sized, AQE-broadcast in practice) keyed on
+    * the 8-byte id, and one map-side filter over the tombstones. Store
+    * payloads move only for surviving rows when the caller rewrites the
+    * directory — the anti-join itself carries no payload for dropped
+    * rows.
+    *
+    * @return (vacuumed store, surviving tombstones) */
+  def vacuum(store: DataFrame, tombstones: DataFrame, idCol: String,
+             epochCol: String, horizonEpoch: Long): (DataFrame, DataFrame) = {
+    val old = tombstones.where(tombstones("before_epoch") <= horizonEpoch)
+    val kept = store.join(old,
+      store(idCol) === old(idCol) && store(epochCol) < old("before_epoch"),
+      "left_anti")
+    (kept, tombstones.where(tombstones("before_epoch") > horizonEpoch))
+  }
+
   /** Drop `table` from the catalog AND remove its physical warehouse
     * directory. With the in-memory catalog a previous JVM's table data
     * survives on disk but not in the catalog, and a managed CTAS over a

@@ -160,4 +160,34 @@ class TableStoreSpec extends SparkSpec {
     // identical epochs diff to empty
     assert(TableStore.epochDiff(store, tomb, "id", "epoch", 2L, 2L).isEmpty)
   }
+
+  test("vacuum drops horizon-dead rows and spent tombstones; every as-of >= horizon is untouched") {
+    import spark.implicits._
+    // id 1 @e0 replaced @e1; id 2 @e0 deleted @e2; id 3 @e0 replaced @e3
+    // (PAST horizon 2 — victim must survive); id 4 untouched
+    val store = Seq((1L, "a0", 0L), (1L, "a1", 1L), (2L, "b0", 0L),
+        (3L, "c0", 0L), (3L, "c3", 3L), (4L, "d0", 0L))
+      .toDF("id", "payload", "epoch")
+    val tomb = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "before_epoch")
+    val (vs, vt) = TableStore.vacuum(store, tomb, "id", "epoch", horizonEpoch = 2L)
+    val keptRows = vs.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSet
+    // dropped: (1,a0) dead via be=1, (2,b0) dead via be=2; (3,c0) stays —
+    // its tombstone is past the horizon
+    assert(keptRows == Set((1L, "a1"), (3L, "c0"), (3L, "c3"), (4L, "d0")))
+    val keptTombs = vt.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[Long]("before_epoch"))).toSet
+    assert(keptTombs == Set((3L, 3L)))
+    // retention law: liveViewAsOf parity at every epoch >= horizon
+    for (e <- 2L to 3L) {
+      def rd(s: org.apache.spark.sql.DataFrame, t: org.apache.spark.sql.DataFrame) =
+        TableStore.liveViewAsOf(s, t, "id", "epoch", e)
+          .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSet
+      assert(rd(vs, vt) == rd(store, tomb), s"as-of $e diverged after vacuum")
+    }
+    // and the pre-horizon snapshot is (intentionally) destroyed
+    val asOf0 = TableStore.liveViewAsOf(vs, vt, "id", "epoch", 0L)
+      .collect().map(_.getAs[String]("payload")).toSet
+    assert(asOf0 != Set("a0", "b0", "c0", "d0"))
+  }
 }
