@@ -4599,6 +4599,100 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally rm(dirF)
     }),
+    // ── extension: RE-EMBED UPDATE through the CDC changefeed — the
+    //    maintenance op a serving index needs when documents are
+    //    re-encoded (model refresh, content edit): an UPDATE is Delete +
+    //    Insert OF THE SAME id across two micro-batches with a kill/
+    //    resume between them. The epoch-less vector store cannot express
+    //    this (a plain-id tombstone hides every row of the id forever),
+    //    so this gate runs the VERSIONED vector store
+    //    (knnGraphCdcBatch(versionedVecStore = true)): rows carry epoch,
+    //    tombstones are (id, before_epoch), the replacement row lands
+    //    above the tombstone and is live. Victims = vec_id ≡ 3 mod 16
+    //    (including probe 3 — the recall tail re-ranks with its NEW
+    //    vector), new embedding = reverse(old). Oracle replays delete-
+    //    repair over the original cosines then the absorb over the
+    //    UPDATED cosine table, tail vs a fresh rebuild on the updated
+    //    corpus.
+    "q269_knn_cdc_reembed" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val n = emb.count()
+      val nCells = math.max(1L, n / 64L)
+      val cells = emb.select(col("vec_id"),
+          pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
+            lit(nCells)).as("cid"))
+        .localCheckpoint(false)
+      val init64 = emb.where(col("vec_id") < 64)
+      val isUpd = pmod(col("vec_id"), lit(16)) === 3
+      val vtbl = "graft_q269_vec_store"
+      val gtbl = "graft_q269_knn_store"
+      val vttbl = "graft_q269_vec_tomb"
+      val gttbl = "graft_q269_knn_tomb"
+      Seq(vtbl, gtbl, vttbl, gttbl).foreach(TableStore.dropTable(s, _))
+      TableStore.saveBucketed( // versioned vector store: epoch 0 base
+        SimilarityOps.ivfStore(emb, "vec_id", "embedding", init64, "vec_id")
+          .withColumn("epoch", lit(0L)),
+        vtbl, bucketCols = Seq("cid"), buckets = 8)
+      TableStore.saveBucketed( // (id, before_epoch) tombstones, EMPTY
+        emb.select(col("vec_id"), lit(0L).as("before_epoch"))
+          .where(lit(false)), vttbl, bucketCols = Seq("vec_id"), buckets = 8)
+      TableStore.saveBucketed(
+        emb.select(col("vec_id").as("probe_id"), lit(0L).as("before_epoch"))
+          .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 8)
+      TableStore.saveBucketed( // base graph over the FULL corpus
+        SimilarityOps.nnDescent(emb, "vec_id", "embedding",
+          SimilarityOps.cellSeedGraph(emb, cells, "vec_id", "embedding",
+            k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
+        gtbl, bucketCols = Seq("probe_id"), buckets = 8)
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val dirF = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_q269_$uid")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      try {
+        val inDir = new java.io.File(dirF, "in").getAbsolutePath
+        val ckpt = new java.io.File(dirF, "ckpt").getAbsolutePath
+        def feed(df: DataFrame): Unit =
+          df.repartition(2).write.mode("append").parquet(inDir)
+        def run(): Unit = {
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("op",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType))).add("embedding",
+            emb.schema("embedding").dataType)
+          val in = s.readStream.schema(schema).parquet(inDir)
+          val q = graft.streaming.StreamingOps.knnGraphCdcStream(
+            in, "vec_id", "embedding", "op", gtbl, vtbl, vttbl, gttbl,
+            init64, "vec_id", k = 10, cellAssign = Some(cells),
+            checkpointLocation = Some(ckpt), versionedVecStore = true)()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // batch 1: the old versions leave (delete + neighborhood repair)
+        feed(emb.where(isUpd)
+          .select(lit("D").as("op"), col("vec_id"), col("embedding")))
+        run()
+        // restart from the checkpoint; batch 2 re-inserts the SAME ids
+        // with their new embeddings — visible only because the store is
+        // versioned (a replayed delete would hide them again)
+        feed(emb.where(isUpd)
+          .select(lit("I").as("op"), col("vec_id"),
+            reverse(col("embedding")).as("embedding")))
+        run()
+        Seq(vtbl, gtbl, vttbl, gttbl).foreach(s.catalog.refreshTable)
+        val updEmb = emb.select(col("vec_id"),
+          when(isUpd, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"))
+        knnStoreGateTail(s, updEmb,
+          e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
+            k = 10), gtbl, "graft_q269_knn_compact",
+          tomb = Some(TableStore.loadTable(s, gttbl)))
+          .localCheckpoint(true)
+      } finally rm(dirF)
+    }),
     // ── extension: ColBERT LATE-INTERACTION (MaxSim) retrieval — Khattab
     //    & Zaharia SIGIR 2020: docs/queries are BAGS of token vectors,
     //    score = Σ_qtok max_dtok cos. Fixture: vec_id div 5 groups the
@@ -6068,6 +6162,10 @@ object SparkEntry {
       // CDC changefeed maintenance: insert absorb + delete repair in
       // batch order, kill/resume between, final graph vs fresh rebuild
       ("q263_knn_cdc_stream" -> q263OracleSql) +
+      // re-embed UPDATE (Delete + Insert of the same id, versioned
+      // vector store): delete-repair replayed over the ORIGINAL cosine
+      // table, re-absorb + fresh-rebuild tail over the UPDATED one
+      ("q269_knn_cdc_reembed" -> q269OracleSql) +
       // pipeline store absorb ≡ one-shot admission over the union: every
       // stage is increment-stable (monotone id cut, frozen scorer and
       // budgets, append-only fp store), so the single-pass chain IS the
@@ -6284,13 +6382,14 @@ object SparkEntry {
     * merging (seed ∪ shared-neighbor proposals) under the round-6
     * quantized rank law — emits `${p}g(probe_id, nbr_id)` over the node
     * set `nodes(id)`. Requires ambient `ac(src, dst, cos)`. */
-  private def knnBuildCtes(p: String, nodes: String): String =
+  private def knnBuildCtes(p: String, nodes: String,
+                           acT: String = "ac"): String =
     s""",
          ${p}sd AS MATERIALIZED (SELECT probe_id, nbr_id FROM (
             SELECT a.v AS probe_id, b.v AS nbr_id,
-              row_number() OVER (PARTITION BY a.v ORDER BY ac.cos DESC, b.v) AS rn
+              row_number() OVER (PARTITION BY a.v ORDER BY $acT.cos DESC, b.v) AS rn
             FROM asn a JOIN asn b ON a.c = b.c AND a.v <> b.v
-              JOIN ac ON ac.src = a.v AND ac.dst = b.v
+              JOIN $acT ON $acT.src = a.v AND $acT.dst = b.v
               JOIN $nodes x ON x.id = a.v JOIN $nodes y ON y.id = b.v)
            WHERE rn <= 10),
          ${p}ud AS MATERIALIZED (SELECT DISTINCT c, m FROM (
@@ -6302,8 +6401,8 @@ object SparkEntry {
             UNION SELECT probe_id, nbr_id FROM ${p}pr),
          ${p}g AS MATERIALIZED (SELECT probe_id, nbr_id FROM (
             SELECT c2.probe_id, c2.nbr_id, row_number() OVER (
-              PARTITION BY c2.probe_id ORDER BY round(ac.cos, 6) DESC, c2.nbr_id) AS rn
-            FROM ${p}cd c2 JOIN ac ON ac.src = c2.probe_id AND ac.dst = c2.nbr_id)
+              PARTITION BY c2.probe_id ORDER BY round($acT.cos, 6) DESC, c2.nbr_id) AS rn
+            FROM ${p}cd c2 JOIN $acT ON $acT.src = c2.probe_id AND $acT.dst = c2.nbr_id)
            WHERE rn <= 10)"""
 
   /** q248 oracle: q235's routed-vs-global beam replay re-based on the
@@ -6701,8 +6800,9 @@ object SparkEntry {
     * proposal round → merge pool → round-6 top-10 → changed-set diff →
     * post-absorb live view `liveg` (delta rows = ntop ⋈ chg). Shared by
     * [[knnLifecycleOracleSql]] and the q263 CDC replay. */
-  private def knnAbsorbBlockCtes: String =
-    """,
+  private def knnAbsorbBlockCtes(acT: String = "ac",
+                                 baseG: String = "bg"): String =
+    s""",
          seeds AS MATERIALIZED (SELECT DISTINCT probe_id, nbr_id FROM (
             SELECT nn.v AS probe_id, mm.v AS nbr_id
             FROM asn nn JOIN nwn x ON x.id = nn.v
@@ -6713,8 +6813,8 @@ object SparkEntry {
               JOIN asn mm ON mm.c = nn.c AND mm.v <> nn.v)),
          tch AS MATERIALIZED (SELECT DISTINCT t FROM (
             SELECT probe_id AS t FROM seeds UNION ALL SELECT nbr_id FROM seeds)),
-         ginc AS MATERIALIZED (SELECT bg.probe_id, bg.nbr_id FROM bg
-                  JOIN tch ON tch.t = bg.probe_id),
+         ginc AS MATERIALIZED (SELECT $baseG.probe_id, $baseG.nbr_id FROM $baseG
+                  JOIN tch ON tch.t = $baseG.probe_id),
          aud AS MATERIALIZED (SELECT DISTINCT c, m FROM (
             SELECT probe_id AS c, nbr_id AS m FROM ginc
             UNION ALL SELECT nbr_id, probe_id FROM ginc
@@ -6728,24 +6828,24 @@ object SparkEntry {
             UNION SELECT probe_id, nbr_id FROM apr),
          pp AS MATERIALIZED (SELECT DISTINCT probe_id FROM acd),
          pool AS MATERIALIZED (SELECT probe_id, nbr_id FROM acd
-            UNION SELECT bg.probe_id, bg.nbr_id FROM bg
-              JOIN pp ON pp.probe_id = bg.probe_id),
+            UNION SELECT $baseG.probe_id, $baseG.nbr_id FROM $baseG
+              JOIN pp ON pp.probe_id = $baseG.probe_id),
          ntop AS MATERIALIZED (SELECT probe_id, nbr_id FROM (
             SELECT p2.probe_id, p2.nbr_id, row_number() OVER (
-              PARTITION BY p2.probe_id ORDER BY round(ac.cos, 6) DESC, p2.nbr_id) AS rn
-            FROM pool p2 JOIN ac ON ac.src = p2.probe_id AND ac.dst = p2.nbr_id)
+              PARTITION BY p2.probe_id ORDER BY round($acT.cos, 6) DESC, p2.nbr_id) AS rn
+            FROM pool p2 JOIN $acT ON $acT.src = p2.probe_id AND $acT.dst = p2.nbr_id)
            WHERE rn <= 10),
          chg AS MATERIALIZED (SELECT DISTINCT probe_id FROM (
             SELECT probe_id, nbr_id, count(*) AS c FROM (
               SELECT probe_id, nbr_id FROM ntop
               UNION ALL
-              SELECT bg.probe_id, bg.nbr_id FROM bg
-                JOIN pp ON pp.probe_id = bg.probe_id)
+              SELECT $baseG.probe_id, $baseG.nbr_id FROM $baseG
+                JOIN pp ON pp.probe_id = $baseG.probe_id)
             GROUP BY 1, 2) WHERE c <> 2),
          liveg AS MATERIALIZED (
             SELECT n2.probe_id, n2.nbr_id FROM ntop n2 JOIN chg USING (probe_id)
             UNION ALL
-            SELECT probe_id, nbr_id FROM bg
+            SELECT probe_id, nbr_id FROM $baseG
             WHERE probe_id NOT IN (SELECT probe_id FROM chg))"""
 
   /** The kNN-graph store LIFECYCLE oracle (build → absorb → compact →
@@ -6779,7 +6879,7 @@ object SparkEntry {
                 WHERE NOT ($nwPred)),
          alln AS MATERIALIZED (SELECT vec_id AS id FROM live)""" +
       knnBuildCtes("b", "bn") +
-      knnAbsorbBlockCtes +
+      knnAbsorbBlockCtes() +
       """,
          srows AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg)
             + (SELECT CAST(count(*) AS BIGINT) FROM ntop JOIN chg USING (probe_id))
@@ -7034,6 +7134,86 @@ object SparkEntry {
     * set over the post-absorb live view ([[knnDeleteCtes]] — batch 2),
     * then the q234 recall/accounting tail: final live graph vs a fresh
     * rebuild over the final live set, store_rows = base + both deltas. */
+  /** q269 oracle: the RE-EMBED UPDATE replay — base build over the FULL
+    * corpus (original vectors), DELETE + repair of the victim set over
+    * the base graph ([[knnDeleteCtes]] on the original cosine table —
+    * batch 1), then the victims RE-ABSORB with their new vectors
+    * ([[knnAbsorbBlockCtes]] over the UPDATED cosine table `ac2`, base
+    * graph = the post-delete live view — batch 2), then the q234
+    * recall/accounting tail against a fresh rebuild over the updated
+    * corpus. Victims = vec_id ≡ 3 mod 16; new vector = list_reverse. */
+  private def q269OracleSql: String =
+    """WITH nrm AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+           FROM embeddings),
+         live AS MATERIALIZED (SELECT * FROM nrm WHERE n > 0),
+         ac AS MATERIALIZED (
+           SELECT p.vec_id AS src, c.vec_id AS dst,
+             list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+             / (c.n * p.n) AS cos
+           FROM live c, live p),
+         asn AS MATERIALIZED (SELECT vec_id AS v,
+             CAST('0x'||substr(md5('cell:'||vec_id),1,15) AS BIGINT)
+               % greatest(1, (SELECT count(*) FROM embeddings) // 64) AS c
+             FROM live),
+         alln AS MATERIALIZED (SELECT vec_id AS id FROM live)""" +
+      knnBuildCtes("b", "alln") +
+      """,
+         vic AS MATERIALIZED (SELECT vec_id AS id FROM live
+            WHERE vec_id % 16 = 3),
+         sur AS MATERIALIZED (SELECT id FROM alln
+            WHERE id NOT IN (SELECT id FROM vic))""" +
+      knnDeleteCtes("bg") +
+      """,
+         emb2 AS MATERIALIZED (SELECT vec_id,
+             CASE WHEN vec_id % 16 = 3 THEN list_reverse(embedding)
+                  ELSE embedding END AS embedding
+           FROM embeddings),
+         nrm2 AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+           FROM emb2),
+         live2 AS MATERIALIZED (SELECT * FROM nrm2 WHERE n > 0),
+         ac2 AS MATERIALIZED (
+           SELECT p.vec_id AS src, c.vec_id AS dst,
+             list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+             / (c.n * p.n) AS cos
+           FROM live2 c, live2 p),
+         nwn AS MATERIALIZED (SELECT id FROM vic)""" +
+      knnAbsorbBlockCtes(acT = "ac2", baseG = "lived") +
+      """,
+         srows AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg)
+            + (SELECT CAST(count(*) AS BIGINT) FROM dtop)
+            + (SELECT CAST(count(*) AS BIGINT) FROM ntop JOIN chg USING (probe_id)) AS store_rows)""" +
+      knnBuildCtes("s", "alln", "ac2") +
+      """,
+         bt AS MATERIALIZED (SELECT src AS probe_id, dst AS nbr_id FROM (
+            SELECT src, dst, row_number() OVER (PARTITION BY src
+              ORDER BY cos DESC, dst) AS rn
+            FROM ac2 WHERE src < 5 AND src <> dst) WHERE rn <= 10),
+         nb AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_brute
+                FROM bt GROUP BY 1),
+         ovi AS (SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS n_incr
+                 FROM bt JOIN liveg l ON l.probe_id = bt.probe_id
+                   AND l.nbr_id = bt.nbr_id GROUP BY 1),
+         ovf AS (SELECT bt.probe_id, CAST(count(*) AS BIGINT) AS n_fresh
+                 FROM bt JOIN sg ON sg.probe_id = bt.probe_id
+                   AND sg.nbr_id = bt.nbr_id GROUP BY 1)
+         SELECT nb.probe_id, nb.n_brute,
+           coalesce(ovi.n_incr, 0) AS n_incr,
+           coalesce(ovf.n_fresh, 0) AS n_fresh,
+           coalesce(ovi.n_incr, 0) * 1000 // nb.n_brute AS incr_recall_milli,
+           coalesce(ovf.n_fresh, 0) * 1000 // nb.n_brute AS fresh_recall_milli,
+           (SELECT store_rows FROM srows) AS store_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM liveg) AS compact_rows
+         FROM nb LEFT JOIN ovi ON ovi.probe_id = nb.probe_id
+           LEFT JOIN ovf ON ovf.probe_id = nb.probe_id
+         ORDER BY nb.probe_id"""
+
   private def q263OracleSql: String =
     """WITH nrm AS (
            SELECT vec_id, embedding,
@@ -7057,7 +7237,7 @@ object SparkEntry {
                 WHERE NOT (vec_id % 8 = 5)),
          alln AS MATERIALIZED (SELECT vec_id AS id FROM live)""" +
       knnBuildCtes("b", "bn") +
-      knnAbsorbBlockCtes +
+      knnAbsorbBlockCtes() +
       """,
          vic AS MATERIALIZED (SELECT vec_id AS id FROM live
             WHERE vec_id % 16 = 7),

@@ -420,21 +420,37 @@ object StreamingOps {
     * order a Delete+Insert update needs is across batches, which the
     * stream's serial foreachBatch provides). Every read refreshes the
     * tables the previous batch appended (the stale-listing discipline).
-    */
+    *
+    * `versionedVecStore = true` switches the VECTOR store from the
+    * epoch-less (plain-id-tombstone) layout to an EPOCHED one — rows
+    * carry `epoch`, tombstones are (`idCol`, `before_epoch`), live =
+    * [[graft.sources.TableStore.liveView]]. The plain layout cannot
+    * RE-INSERT a previously deleted id (its tombstone hides every row of
+    * that id forever), so the epoched layout is what makes the
+    * Delete+Insert UPDATE — re-embedding a live document — expressible:
+    * the replacement row lands at a higher epoch than the tombstone's
+    * `before_epoch` and is visible, the stale version stays hidden.
+    * Both stores share the graph's monotone epoch counter. */
   def knnGraphCdcBatch(batch: DataFrame, idCol: String, vecCol: String,
                        opCol: String, graphTable: String,
                        vecStoreTable: String, vecTombTable: String,
                        graphTombTable: String, centroids: DataFrame,
                        centroidIdCol: String, k: Int = 10, buckets: Int = 8,
-                       cellAssign: Option[DataFrame] = None): Unit = {
+                       cellAssign: Option[DataFrame] = None,
+                       versionedVecStore: Boolean = false): Unit = {
     val s = batch.sparkSession
     import graft.functions.SimilarityOps
     import graft.sources.TableStore
     Seq(graphTable, vecStoreTable, vecTombTable, graphTombTable)
       .foreach(s.catalog.refreshTable)
-    def liveVecs(): DataFrame = TableStore.loadTable(s, vecStoreTable)
-      .join(TableStore.loadTable(s, vecTombTable), Seq(idCol), "left_anti")
-      .select(col(idCol), col(vecCol))
+    def liveVecs(): DataFrame =
+      if (versionedVecStore)
+        TableStore.liveView(TableStore.loadTable(s, vecStoreTable),
+          TableStore.loadTable(s, vecTombTable), idCol, "epoch")
+          .select(col(idCol), col(vecCol))
+      else TableStore.loadTable(s, vecStoreTable)
+        .join(TableStore.loadTable(s, vecTombTable), Seq(idCol), "left_anti")
+        .select(col(idCol), col(vecCol))
     def liveGraph(): DataFrame = SimilarityOps.liveKnnGraph(
       TableStore.liveView(TableStore.loadTable(s, graphTable),
         TableStore.loadTable(s, graphTombTable), "probe_id", "epoch"))
@@ -443,7 +459,16 @@ object StreamingOps {
     val ins = batch.where(col(opCol) === "I").select(col(idCol), col(vecCol))
     val del = batch.where(col(opCol) === "D").select(col(idCol))
     if (!ins.isEmpty) {
-      val landed = ivfAbsorbBatch(ins, idCol, vecCol, vecStoreTable,
+      val landed = if (versionedVecStore) {
+        val rows = SimilarityOps
+          .ivfStore(ins, idCol, vecCol, centroids, centroidIdCol)
+          .withColumn("epoch", lit(nextEpoch()))
+          .localCheckpoint(true)
+        TableStore.saveBucketed(rows, vecStoreTable,
+          bucketCols = Seq("cid"), buckets = buckets, mode = SaveMode.Append)
+        s.catalog.refreshTable(vecStoreTable)
+        rows
+      } else ivfAbsorbBatch(ins, idCol, vecCol, vecStoreTable,
         centroids, centroidIdCol, buckets)
       val store = TableStore.loadTable(s, vecStoreTable)
       val delta = SimilarityOps.knnGraphAbsorb(liveGraph(), liveVecs(),
@@ -468,8 +493,13 @@ object StreamingOps {
         del.select(col(idCol).as("probe_id"), lit(epoch).as("before_epoch")),
         graphTombTable, bucketCols = Seq("probe_id"), buckets = buckets,
         mode = SaveMode.Append)
-      TableStore.saveBucketed( // vector tombstones: plain id set
-        del.select(col(idCol)), vecTombTable, bucketCols = Seq(idCol),
+      TableStore.saveBucketed( // vector tombstones: plain ids, or
+        // (id, before_epoch) when the vector store is versioned — the
+        // layout that lets a later re-insert of the same id stay visible
+        if (versionedVecStore)
+          del.select(col(idCol), lit(epoch).as("before_epoch"))
+        else del.select(col(idCol)),
+        vecTombTable, bucketCols = Seq(idCol),
         buckets = buckets, mode = SaveMode.Append)
       Seq(graphTable, graphTombTable, vecTombTable)
         .foreach(s.catalog.refreshTable)
@@ -497,12 +527,13 @@ object StreamingOps {
                         graphTombTable: String, centroids: DataFrame,
                         centroidIdCol: String, k: Int = 10, buckets: Int = 8,
                         cellAssign: Option[DataFrame] = None,
-                        checkpointLocation: Option[String] = None)
+                        checkpointLocation: Option[String] = None,
+                        versionedVecStore: Boolean = false)
                        (onBatch: Long => Unit = _ => ()): StreamingQuery = {
     val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       knnGraphCdcBatch(batch.toDF(), idCol, vecCol, opCol, graphTable,
         vecStoreTable, vecTombTable, graphTombTable, centroids,
-        centroidIdCol, k, buckets, cellAssign)
+        centroidIdCol, k, buckets, cellAssign, versionedVecStore)
       onBatch(batchId)
     }
     val w = events.writeStream.outputMode("append").foreachBatch(body)

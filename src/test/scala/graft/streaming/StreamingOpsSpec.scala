@@ -752,6 +752,67 @@ class CmsStreamSpec extends graft.SparkSpec {
     Seq(vtbl, gtbl, vttbl, gttbl).foreach(TableStore.dropTable(spark, _))
   }
 
+  test("knnGraphCdcBatch versioned store: re-insert of a deleted id is LIVE with its new vector; plain store hides it") {
+    import graft.functions.SimilarityOps
+    import graft.sources.TableStore
+    val rng = new scala.util.Random(71)
+    def vec() = Array.fill(6)(rng.nextFloat() * 2f - 1f)
+    val all = (0L until 20L).map(i => (i, vec()))
+    val cent = all.filter(_._1 < 3L).toDF("vec_id", "embedding")
+    val newVec = Array.fill(6)(0.5f)
+    def setup(versioned: Boolean, pfx: String): (String, String, String, String) = {
+      val vtbl = s"graft_${pfx}_vecs"; val gtbl = s"graft_${pfx}_graph"
+      val vttbl = s"graft_${pfx}_vtomb"; val gttbl = s"graft_${pfx}_gtomb"
+      Seq(vtbl, gtbl, vttbl, gttbl).foreach(TableStore.dropTable(spark, _))
+      val base = all.toDF("vec_id", "embedding")
+      val rows = SimilarityOps.ivfStore(base, "vec_id", "embedding", cent, "vec_id")
+      TableStore.saveBucketed(
+        if (versioned) rows.withColumn("epoch", lit(0L)) else rows,
+        vtbl, bucketCols = Seq("cid"), buckets = 4)
+      TableStore.saveBucketed(
+        if (versioned)
+          base.select($"vec_id", lit(0L).as("before_epoch")).where(lit(false))
+        else base.select("vec_id").where(lit(false)),
+        vttbl, bucketCols = Seq("vec_id"), buckets = 4)
+      TableStore.saveBucketed(
+        base.select($"vec_id".as("probe_id"), lit(0L).as("before_epoch"))
+          .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 4)
+      TableStore.saveBucketed(
+        SimilarityOps.bruteForceTopK(base, base, "vec_id", "vec_id",
+          "embedding", 4).select("probe_id", "nbr_id", "score", "rank")
+          .withColumn("epoch", lit(0L)),
+        gtbl, bucketCols = Seq("probe_id"), buckets = 4)
+      (vtbl, gtbl, vttbl, gttbl)
+    }
+    def dThenI(versioned: Boolean, pfx: String): Set[Long] = {
+      val (vtbl, gtbl, vttbl, gttbl) = setup(versioned, pfx)
+      val del = Seq((7L, vec())).toDF("vec_id", "embedding")
+        .select(lit("D").as("op"), $"vec_id", $"embedding")
+      val ins = Seq((7L, newVec)).toDF("vec_id", "embedding")
+        .select(lit("I").as("op"), $"vec_id", $"embedding")
+      Seq(del, ins).foreach(b =>
+        graft.streaming.StreamingOps.knnGraphCdcBatch(b, "vec_id",
+          "embedding", "op", gtbl, vtbl, vttbl, gttbl, cent, "vec_id",
+          k = 4, buckets = 4, versionedVecStore = versioned))
+      val liveVecs =
+        if (versioned) TableStore.liveView(TableStore.loadTable(spark, vtbl),
+          TableStore.loadTable(spark, vttbl), "vec_id", "epoch")
+        else TableStore.loadTable(spark, vtbl)
+          .join(TableStore.loadTable(spark, vttbl), Seq("vec_id"), "left_anti")
+      val ids = liveVecs.select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(ids.distinct.size == ids.size,
+        s"live view served a duplicate id (stale version leaked): $ids")
+      Seq(vtbl, gtbl, vttbl, gttbl).foreach(TableStore.dropTable(spark, _))
+      ids.toSet
+    }
+    // plain layout: the tombstone hides the re-inserted id forever
+    assert(dThenI(versioned = false, "cdcplain") == (0L until 20L).toSet - 7L,
+      "plain store should NOT revive a re-inserted id")
+    // versioned layout: the replacement row is live (exactly once)
+    assert(dThenI(versioned = true, "cdcvers") == (0L until 20L).toSet,
+      "versioned store must serve the re-inserted id")
+  }
+
   test("knnGraphAbsorbStream: multi-batch absorb leaves ≤2 pinned RDDs and a complete live graph") {
     import graft.functions.SimilarityOps
     import graft.sources.TableStore
