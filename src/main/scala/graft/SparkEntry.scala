@@ -4730,6 +4730,49 @@ object SparkEntry {
           coalesce(col("hit"), lit(false)).as("hit"))
         .orderBy("probe_id", "rank")
     }),
+    // ── extension: STORE-SERVED MaxSim — the PLAID serving stack on
+    //    persisted state only: corpus TOKEN vectors live in a bucketed
+    //    IVF store with a doc_id CARRY column; candidate generation is
+    //    the store-served token ANN (ivfSearchStore: probe top-¼ cells,
+    //    top-4 tokens per query token), candidates = the hit tokens'
+    //    carry docs, exact MaxSim rerank re-expands ONLY candidate docs'
+    //    tokens FROM THE STORE (maxSimRerank). No corpus frame at query
+    //    time; hit flags vs the exact MaxSim top-5 (itself computed from
+    //    the store). Store vectors are raw floats, so scores are
+    //    bit-identical to the q264 law.
+    "q270_maxsim_store_serve" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings")
+        .select(expr("vec_id div 5").as("doc_id"), col("vec_id"), col("embedding"))
+      val c = emb.where(col("doc_id") >= 4)
+      val p = emb.where(col("doc_id") < 4)
+      val cent = c.where(col("vec_id") < 64)
+      val ttbl = "graft_q270_tok_store"
+      TableStore.dropTable(s, ttbl)
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(c, "vec_id", "embedding", cent, "vec_id",
+          carryCols = Seq("doc_id")),
+        ttbl, bucketCols = Seq("cid"), buckets = 8)
+      val store = TableStore.loadTable(s, ttbl)
+      val hits = SimilarityOps.ivfSearchStore(store, p, cent, "vec_id",
+        "vec_id", "vec_id", "embedding", k = 4,
+        probeFraction = 0.25, minProbe = 2)
+      val cand = hits
+        .join(store.select(col("vec_id").as("nbr_id"), col("doc_id")),
+          Seq("nbr_id"))
+        .select(expr("probe_id div 5").as("probe_id"), col("doc_id"))
+        .distinct()
+      val served = SimilarityOps.maxSimRerank(
+        store.select("doc_id", "embedding"), p, cand,
+        "doc_id", "doc_id", "vec_id", "embedding", k = 5)
+      val exact = SimilarityOps.maxSimTopK(store.select("doc_id", "embedding"),
+        p, "doc_id", "doc_id", "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("doc_id"), lit(true).as("hit"))
+      served.join(exact, Seq("probe_id", "doc_id"), "left")
+        .select(col("probe_id"), col("doc_id"), col("score_micro"), col("rank"),
+          coalesce(col("hit"), lit(false)).as("hit"))
+        .orderBy("probe_id", "rank")
+    }),
     // ── extension: HARD-NEGATIVE MINING (DPR, Karpukhin et al. 2020)
     //    — per probe, top-5 most-similar corpus vectors of a DIFFERENT
     //    label: the confusable non-matches a contrastive loss trains
@@ -13190,6 +13233,50 @@ object SparkEntry {
          scp AS (SELECT s.probe_id, s.doc_id, s.score_micro
            FROM sc s JOIN cand ON s.probe_id = cand.probe_id
              AND s.doc_id = cand.doc_id),
+         rkp AS (SELECT probe_id, doc_id, score_micro,
+            CAST(row_number() OVER (PARTITION BY probe_id
+              ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           FROM scp),
+         exact AS (SELECT probe_id, doc_id FROM (
+            SELECT probe_id, doc_id,
+              row_number() OVER (PARTITION BY probe_id
+                ORDER BY score_micro DESC, doc_id) AS rn
+            FROM sc) WHERE rn <= 5)
+         SELECT p.probe_id, p.doc_id, p.score_micro, p.rank,
+           (e.doc_id IS NOT NULL) AS hit
+         FROM rkp p LEFT JOIN exact e ON p.probe_id = e.probe_id
+           AND p.doc_id = e.doc_id
+         WHERE p.rank <= 5 ORDER BY p.probe_id, p.rank"""),
+    // Store-served MaxSim: IVF token ANN (fixed-64 raw-token quantizer,
+    // top-¼ cells, top-4 tokens/query token) → carry-col candidate docs
+    // → exact rerank; hit flags vs the exact MaxSim top-5.
+    "q270_maxsim_store_serve" ->
+      (maxSimOracleCtes +
+        """,
+         cc AS MATERIALIZED (SELECT a.vec_id AS t, b.vec_id AS ccid,
+             list_sum(list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.n * b.n) AS cos
+           FROM c a JOIN c b ON b.vec_id < 64),
+         casn AS MATERIALIZED (SELECT t, ccid AS cid FROM (
+             SELECT t, ccid, row_number() OVER (PARTITION BY t
+               ORDER BY cos DESC, ccid) AS rn FROM cc) WHERE rn = 1),
+         ncent AS (SELECT greatest(2, CAST(ceil(0.25 * count(DISTINCT ccid)) AS BIGINT)) AS np
+           FROM cc),
+         ppc AS MATERIALIZED (SELECT tok, ccid AS cid FROM (
+             SELECT tok, ctok AS ccid, cos, row_number() OVER (PARTITION BY tok
+               ORDER BY cos DESC, ctok) AS rn
+             FROM cs WHERE ctok < 64) WHERE rn <= (SELECT np FROM ncent)),
+         hits AS MATERIALIZED (SELECT tok, ctok FROM (
+             SELECT cs.tok, cs.ctok, cs.cos, row_number() OVER (
+               PARTITION BY cs.tok ORDER BY cs.cos DESC, cs.ctok) AS rn
+             FROM cs JOIN casn ON casn.t = cs.ctok
+               JOIN ppc ON ppc.tok = cs.tok AND ppc.cid = casn.cid)
+           WHERE rn <= 4),
+         cand AS (SELECT DISTINCT CAST(floor(tok / 5) AS BIGINT) AS probe_id,
+             CAST(floor(ctok / 5) AS BIGINT) AS doc_id FROM hits),
+         scp AS (SELECT sc.probe_id, sc.doc_id, sc.score_micro
+           FROM sc JOIN cand USING (probe_id, doc_id)),
          rkp AS (SELECT probe_id, doc_id, score_micro,
             CAST(row_number() OVER (PARTITION BY probe_id
               ORDER BY score_micro DESC, doc_id) AS INT) AS rank

@@ -199,7 +199,34 @@ object SimilarityOps {
       .withColumn("__rn", row_number().over(wt))
       .where(col("__rn") <= m)
       .select("probe_id", "doc_id").distinct()
-    val perTok = cand.join(c, Seq("doc_id"))
+    maxSimRerank(corpusTokens, probeTokens, cand, docCol, probeCol,
+      probeTokCol, vecCol, k)
+  }
+
+  /** Exact MaxSim RERANK over a given candidate list — the PLAID stage 3
+    * as a first-class operator: `candidates` is (probe_id, doc_id) from
+    * any candidate generator (the exact token top-m of
+    * [[maxSimTopKPruned]], a store-served token ANN like
+    * [[ivfSearchStore]], a recall-first sparse retriever). Only the
+    * candidate documents' tokens are re-expanded (one doc-keyed
+    * equi-join) and scored against the broadcast query tokens; ranks are
+    * per probe over its own candidates. Same integer-micro score law as
+    * [[maxSimTopK]].
+    *
+    * @return (probe_id, doc_id, score_micro, rank ≤ k) over candidates */
+  def maxSimRerank(corpusTokens: DataFrame, probeTokens: DataFrame,
+                   candidates: DataFrame, docCol: String, probeCol: String,
+                   probeTokCol: String, vecCol: String,
+                   k: Int = 10): DataFrame = {
+    GraftFunctions.register(corpusTokens.sparkSession)
+    val c = corpusTokens.select(col(docCol).as("doc_id"),
+      col(vecCol).as("__cv"), vnorm(col(vecCol)).as("__cn"))
+      .where(col("__cn") > 0)
+    val p = probeTokens.select(col(probeCol).as("probe_id"),
+      col(probeTokCol).as("__tok"), col(vecCol).as("__pv"),
+      vnorm(col(vecCol)).as("__pn")).where(col("__pn") > 0)
+    val perTok = candidates.select(col("probe_id"), col("doc_id"))
+      .join(c, Seq("doc_id"))
       .join(broadcast(p), Seq("probe_id"))
       .select(col("probe_id"), col("__tok"), col("doc_id"),
         (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("__cos"))

@@ -159,6 +159,59 @@ class AnnServePlanSpec extends SparkSpec {
     }
   }
 
+  test("store-served MaxSim (q270): every scan is the token store; query tokens broadcast; token payload never shuffles") {
+    val ttbl = "graft_ann_plan_tok"
+    spark.sql(s"DROP TABLE IF EXISTS $ttbl")
+    val rng = new scala.util.Random(31)
+    // 8 docs × 5 token vectors; queries are 2 in-memory token bags
+    val toks = (0L until 40L).map(i =>
+        (i / 5L, i, Array.fill(8)(rng.nextFloat() * 2f - 1f)))
+      .toDF("doc_id", "vec_id", "embedding")
+    val cents = toks.where($"vec_id" < 4)
+    TableStore.saveBucketed(
+      SimilarityOps.ivfStore(toks, "vec_id", "embedding", cents, "vec_id",
+        carryCols = Seq("doc_id")),
+      ttbl, bucketCols = Seq("cid"), buckets = 4)
+    try {
+      val store = TableStore.loadTable(spark, ttbl)
+      val probes = (0L until 6L).map(i =>
+          (100L + i / 3L, 1000L + i, Array.fill(8)(rng.nextFloat() * 2f - 1f)))
+        .toDF("probe_id", "tok", "embedding")
+      val hits = SimilarityOps.ivfSearchStore(store,
+        probes.select($"tok".as("vec_id"), $"embedding"), cents,
+        "vec_id", "vec_id", "vec_id", "embedding", k = 2,
+        probeFraction = 0.5, minProbe = 1)
+      val cand = hits
+        .join(store.select($"vec_id".as("nbr_id"), $"doc_id"), Seq("nbr_id"))
+        .join(probes.select($"tok".as("probe_id"), $"probe_id".as("__qd")),
+          Seq("probe_id"))
+        .select($"__qd".as("probe_id"), $"doc_id").distinct()
+      val served = SimilarityOps.maxSimRerank(
+        store.select("doc_id", "embedding"), probes, cand,
+        "doc_id", "probe_id", "tok", "embedding", k = 3)
+      served.collect() // finalize the adaptive plan
+      val plan = finalPlan(served.queryExecution.executedPlan)
+      assert(scansOf(plan, ttbl).nonEmpty, s"token-store scan missing:\n$plan")
+      // 1. the only FILE scans are the token store — no corpus frame
+      val foreign = allNodes(plan).collect {
+        case s: FileSourceScanExec
+            if !s.relation.location.inputFiles.exists(_.contains(ttbl)) => s
+      }
+      assert(foreign.isEmpty,
+        s"non-store scan in the serving plan: ${foreign.mkString("\n")}")
+      // 2. the token-vector payload never crosses an Exchange — the
+      //    rerank's doc-keyed join broadcasts the candidate list TO the
+      //    store and the query tokens ride a broadcast
+      val vecShuffles = allNodes(plan).collect {
+        case e: ShuffleExchangeExec
+            if scansOf(e.child, ttbl).nonEmpty &&
+              e.output.exists(a => a.dataType.typeName.startsWith("array")) => e
+      }
+      assert(vecShuffles.isEmpty,
+        s"token payload shuffled (${vecShuffles.size}):\n$plan")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $ttbl"): Unit
+  }
+
   test("filtered entry routing: the label predicate pushes into the carry-col store scan") {
     val vtbl = "graft_ann_plan_fvec"
     spark.sql(s"DROP TABLE IF EXISTS $vtbl")
