@@ -3480,6 +3480,44 @@ object SparkEntry {
       stored.unionByName(tombs).unionByName(asofs)
         .orderBy("src", "id", "epoch")
     }),
+    // ── extension: STORE ROLLBACK / RESTORE — the undo that pairs with
+    //    time travel: revert the q268 fixture's epoch-2 delete wave and
+    //    epoch-3 replace wave by APPENDING a compensation epoch 4
+    //    (resurrect versions live at epoch 1 but not now; tombstone
+    //    versions live now but not then). The gate emits the
+    //    compensation rows AND the post-rollback live view; the oracle's
+    //    live arm is computed from the as-of-1 reconstruction — equality
+    //    IS the restore law. History stays intact (append-only).
+    "q271_store_rollback" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_custkey").as("payload"))
+        .where(col("id") < 3000)
+      val base = o.withColumn("epoch", lit(0L))
+      val repl1 = o.where(pmod(col("id"), lit(5)) === 0)
+        .select(col("id"), (col("payload") + 1000L).as("payload"),
+          lit(1L).as("epoch"))
+      val repl3 = o.where(pmod(col("id"), lit(3)) === 0)
+        .select(col("id"), (col("payload") + 3000L).as("payload"),
+          lit(3L).as("epoch"))
+      val store = base.unionByName(repl1).unionByName(repl3)
+      val tomb = o.where(pmod(col("id"), lit(5)) === 0)
+        .select(col("id"), lit(1L).as("before_epoch"))
+        .unionByName(o.where(pmod(col("id"), lit(7)) === 0)
+          .select(col("id"), lit(2L).as("before_epoch")))
+        .unionByName(o.where(pmod(col("id"), lit(3)) === 0)
+          .select(col("id"), lit(3L).as("before_epoch")))
+      val (app, ht) = TableStore.rollback(store, tomb, "id", "epoch",
+        toEpoch = 1L, newEpoch = 4L)
+      val after = TableStore.liveView(store.unionByName(app),
+        tomb.unionByName(ht), "id", "epoch")
+      app.select(lit("app").as("src"), col("id"), col("payload"), col("epoch"))
+        .unionByName(ht.select(lit("tomb").as("src"), col("id"),
+          lit(null).cast("long").as("payload"), col("before_epoch").as("epoch")))
+        .unionByName(after.select(lit("live").as("src"), col("id"),
+          col("payload"), col("epoch")))
+        .orderBy("src", "id", "epoch")
+    }),
     // ── extension: WEIGHTED DRAWS WITH REPLACEMENT — inverse-CDF over
     //    exact integer cumulative intervals (item table broadcast,
     //    md5 draws): heavy sources repeat ∝ weight; the SGNS-unigram /
@@ -13314,6 +13352,40 @@ object SparkEntry {
          UNION ALL SELECT 'tomb', id, NULL, be FROM vtomb
          UNION ALL SELECT 'asof2', id, payload, epoch FROM asof2
          UNION ALL SELECT 'asof3', id, payload, epoch FROM asof3
+         ORDER BY src, id, epoch""",
+    // Store rollback: compensation rows via (id, epoch) anti-joins of
+    // the as-of target vs the current live view; the live arm is
+    // computed from the as-of-1 reconstruction (the restore law).
+    "q271_store_rollback" ->
+      """WITH o AS (SELECT o_orderkey AS id, o_custkey AS payload FROM orders
+           WHERE o_orderkey < 3000),
+         store AS (SELECT id, payload, CAST(0 AS BIGINT) AS epoch FROM o
+           UNION ALL SELECT id, payload + 1000, 1 FROM o WHERE id % 5 = 0
+           UNION ALL SELECT id, payload + 3000, 3 FROM o WHERE id % 3 = 0),
+         tomb AS (SELECT id, CAST(1 AS BIGINT) AS be FROM o WHERE id % 5 = 0
+           UNION ALL SELECT id, 2 FROM o WHERE id % 7 = 0
+           UNION ALL SELECT id, 3 FROM o WHERE id % 3 = 0),
+         target AS MATERIALIZED (SELECT s.id, s.payload, s.epoch FROM store s
+           WHERE s.epoch <= 1 AND NOT EXISTS (
+             SELECT 1 FROM tomb t WHERE t.id = s.id AND t.be <= 1 AND s.epoch < t.be)),
+         now0 AS MATERIALIZED (SELECT s.id, s.payload, s.epoch FROM store s
+           WHERE NOT EXISTS (
+             SELECT 1 FROM tomb t WHERE t.id = s.id AND s.epoch < t.be)),
+         app AS MATERIALIZED (SELECT t.id, t.payload, CAST(4 AS BIGINT) AS epoch
+           FROM target t WHERE NOT EXISTS (
+             SELECT 1 FROM now0 n WHERE n.id = t.id AND n.epoch = t.epoch)),
+         ht AS MATERIALIZED (SELECT DISTINCT n.id, CAST(4 AS BIGINT) AS be
+           FROM now0 n WHERE NOT EXISTS (
+             SELECT 1 FROM target t WHERE t.id = n.id AND t.epoch = n.epoch)),
+         store2 AS (SELECT id, payload, epoch FROM store
+           UNION ALL SELECT id, payload, epoch FROM app),
+         tomb2 AS (SELECT id, be FROM tomb UNION ALL SELECT id, be FROM ht),
+         lv AS (SELECT s.id, s.payload, s.epoch FROM store2 s
+           WHERE NOT EXISTS (
+             SELECT 1 FROM tomb2 t WHERE t.id = s.id AND s.epoch < t.be))
+         SELECT 'app' AS src, id, payload, epoch FROM app
+         UNION ALL SELECT 'tomb', id, NULL, be FROM ht
+         UNION ALL SELECT 'live', id, payload, epoch FROM lv
          ORDER BY src, id, epoch""",
     // WordPiece trainer: q116's replay with likelihood-gain best-pair
     // selection (integer-nano floor-division scores).

@@ -185,6 +185,57 @@ object TableStore {
     (kept, tombstones.where(tombstones("before_epoch") > horizonEpoch))
   }
 
+  /** ROLLBACK (RESTORE) an epoch-appended store to the snapshot AS OF
+    * `toEpoch` — the undo every table format pairs with time travel: a
+    * bad ingestion/deletion wave is reverted WITHOUT rewriting history,
+    * by appending a COMPENSATION epoch (`newEpoch`, > every existing
+    * epoch):
+    *
+    *   - rows live at `toEpoch` but not live NOW re-append at `newEpoch`
+    *     (they were deleted or superseded since — restore resurrects the
+    *     old version above everything newer);
+    *   - rows live NOW but not at `toEpoch` get a tombstone with
+    *     `before_epoch = newEpoch` (they were added or replaced since —
+    *     restore hides them).
+    *
+    * Contract (the q271 law): `liveView(store ∪ appends, tombstones ∪
+    * newTombstones)` ≡ `liveViewAsOf(store, tombstones, toEpoch)` —
+    * while every PRE-rollback snapshot (any `asOf < newEpoch`) is
+    * untouched, because compensation only APPENDS. The rollback is
+    * itself time-travelable and vacuumable like any other epoch.
+    *
+    * Scale shape: two as-of live views diffed on the 8-byte id (the
+    * [[epochDiff]] joins); appends carry payload only for genuinely
+    * resurrected rows, tombstones are delta-sized.
+    *
+    * @return (rows to append at `newEpoch`, tombstones to append) */
+  def rollback(store: DataFrame, tombstones: DataFrame, idCol: String,
+               epochCol: String, toEpoch: Long, newEpoch: Long)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val target = liveViewAsOf(store, tombstones, idCol, epochCol, toEpoch)
+    val now = liveView(store, tombstones, idCol, epochCol)
+    // resurrect: target rows whose exact (id, epoch) version is not the
+    // current live version — covers both deleted ids and replaced ones
+    val resurrect = target.as("t")
+      .join(now.select(col(idCol), col(epochCol)).as("n"),
+        col(s"t.$idCol") === col(s"n.$idCol") &&
+          col(s"t.$epochCol") === col(s"n.$epochCol"), "left_anti")
+      .withColumn(epochCol, lit(newEpoch))
+    // hide: ids whose CURRENT live version is not the target version —
+    // added-since ids (no id match) and replaced-since ids (epoch
+    // mismatch). The tombstone's before_epoch = newEpoch hides every
+    // older version while the resurrected row (epoch == newEpoch)
+    // survives the strict `<` of liveView.
+    val hide = now.as("n")
+      .join(target.select(col(idCol), col(epochCol)).as("t"),
+        col(s"n.$idCol") === col(s"t.$idCol") &&
+          col(s"n.$epochCol") === col(s"t.$epochCol"), "left_anti")
+      .select(col(idCol), lit(newEpoch).as("before_epoch"))
+      .distinct()
+    (resurrect, hide)
+  }
+
   /** Drop `table` from the catalog AND remove its physical warehouse
     * directory. With the in-memory catalog a previous JVM's table data
     * survives on disk but not in the catalog, and a managed CTAS over a

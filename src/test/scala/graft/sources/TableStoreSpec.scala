@@ -161,6 +161,39 @@ class TableStoreSpec extends SparkSpec {
     assert(TableStore.epochDiff(store, tomb, "id", "epoch", 2L, 2L).isEmpty)
   }
 
+  test("rollback restores the as-of snapshot by compensation: resurrects deleted/replaced, hides added, history intact") {
+    import spark.implicits._
+    // e0: ids 1,2,3; e1: id2 replaced; e2: id1 replaced, id3 deleted,
+    // id4 added — roll back to epoch 1 at compensation epoch 3
+    val store = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L),
+        (2L, "b1", 1L), (1L, "a2", 2L), (4L, "d", 2L))
+      .toDF("id", "payload", "epoch")
+    val tomb = Seq((2L, 1L), (1L, 2L), (3L, 2L)).toDF("id", "before_epoch")
+    val (app, ht) = TableStore.rollback(store, tomb, "id", "epoch",
+      toEpoch = 1L, newEpoch = 3L)
+    val appRows = app.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[String]("payload"), r.getAs[Long]("epoch"))).toSet
+    // resurrected: id1's replaced old version, id3's deleted version
+    assert(appRows == Set((1L, "a", 3L), (3L, "c", 3L)))
+    val hideRows = ht.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[Long]("before_epoch"))).toSet
+    // hidden: id1's since-version and the added id4
+    assert(hideRows == Set((1L, 3L), (4L, 3L)))
+    // the law: post-rollback live view == the as-of target
+    def payloads(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSet
+    val after = payloads(TableStore.liveView(store.unionByName(app),
+      tomb.unionByName(ht), "id", "epoch"))
+    val target = payloads(TableStore.liveViewAsOf(store, tomb, "id", "epoch", 1L))
+    assert(after == target && target == Set((1L, "a"), (2L, "b1"), (3L, "c")))
+    // pre-rollback snapshots are untouched (compensation only appends)
+    for (e <- 0L to 2L)
+      assert(payloads(TableStore.liveViewAsOf(store.unionByName(app),
+        tomb.unionByName(ht), "id", "epoch", e)) ==
+        payloads(TableStore.liveViewAsOf(store, tomb, "id", "epoch", e)),
+        s"pre-rollback snapshot $e changed")
+  }
+
   test("vacuum drops horizon-dead rows and spent tombstones; every as-of >= horizon is untouched") {
     import spark.implicits._
     // id 1 @e0 replaced @e1; id 2 @e0 deleted @e2; id 3 @e0 replaced @e3
