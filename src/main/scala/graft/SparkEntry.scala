@@ -5716,9 +5716,13 @@ object SparkEntry {
     //    words capped at length 12 so the SQL oracle's greedy scan is a
     //    fixed 12-step unroll (the q243 Viterbi convention).
     "q267_wordpiece_encode" -> ((s, dir) => {
+      // wf feeds THREE consumers (trainer, vocab chars, encode input) —
+      // one lazy checkpoint shares the corpus aggregate instead of
+      // re-tokenizing the corpus per consumer
       val wf = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
         .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("f"))
+        .localCheckpoint(false)
       val ms = graft.functions.VocabOps.wordPieceMerges(wf, "word", "f", merges = 5)
       val vocab = wf
         .select(explode(filter(split(col("word"), ""), x => length(x) > 0)).as("piece"))
