@@ -4811,6 +4811,41 @@ object SparkEntry {
           coalesce(col("hit"), lit(false)).as("hit"))
         .orderBy("probe_id", "rank")
     }),
+    // ── extension: PQ-COMPRESSED MaxSim candidate generation — the
+    //    memory story of PLAID's stage 1 (Santhanam CIKM'22 §2.2 keeps
+    //    token vectors as residual CODES): corpus token vectors compress
+    //    to 4 PQ codewords (q114's codebook: init = the first 16 corpus
+    //    tokens, one Lloyd round), stage 1 ranks tokens per query token
+    //    by ADC lookup over codes alone (256-byte vectors → 4 small
+    //    ints — the scan touches no raw vector), candidates = the hit
+    //    tokens' docs, stage 3 = the exact MaxSim rerank on raw vectors.
+    //    Hit flags vs the exact MaxSim top-5 measure the compression's
+    //    recall cost at identical candidate budget (vs q265's exact
+    //    stage 1).
+    "q272_maxsim_pq_candidates" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(expr("vec_id div 5").as("doc_id"), col("vec_id"), col("embedding"))
+      val c = emb.where(col("doc_id") >= 4)
+      val p = emb.where(col("doc_id") < 4)
+      val init = c.where(col("vec_id") < 36)
+      val cb = graft.functions.PqOps.pqCodebook(c, "vec_id", "embedding",
+        init, "vec_id", m = 4, dim = 64, lloydRounds = 1)
+      val codes = graft.functions.PqOps.pqEncode(c, "vec_id", "embedding",
+        cb, 4, 64)
+      val hits = graft.functions.PqOps.pqTopK(codes, p, "vec_id", "embedding",
+        cb, m = 4, dim = 64, k = 4, corpusIdCol = "vec_id")
+      val cand = hits.select(expr("probe_id div 5").as("probe_id"),
+        expr("nbr_id div 5").as("doc_id")).distinct()
+      val served = SimilarityOps.maxSimRerank(c, p, cand, "doc_id", "doc_id",
+        "vec_id", "embedding", k = 5)
+      val exact = SimilarityOps.maxSimTopK(c, p, "doc_id", "doc_id", "vec_id",
+        "embedding", k = 5)
+        .select(col("probe_id"), col("doc_id"), lit(true).as("hit"))
+      served.join(exact, Seq("probe_id", "doc_id"), "left")
+        .select(col("probe_id"), col("doc_id"), col("score_micro"), col("rank"),
+          coalesce(col("hit"), lit(false)).as("hit"))
+        .orderBy("probe_id", "rank")
+    }),
     // ── extension: HARD-NEGATIVE MINING (DPR, Karpukhin et al. 2020)
     //    — per probe, top-5 most-similar corpus vectors of a DIFFERENT
     //    label: the confusable non-matches a contrastive loss trains
@@ -13333,6 +13368,72 @@ object SparkEntry {
          FROM rkp p LEFT JOIN exact e ON p.probe_id = e.probe_id
            AND p.doc_id = e.doc_id
          WHERE p.rank <= 5 ORDER BY p.probe_id, p.rank"""),
+    // PQ-compressed MaxSim stage 1: q114's codebook/encode/ADC replay
+    // restricted to corpus tokens (init = first 16 corpus tokens), top-4
+    // tokens per query token by ADC distance, candidate docs, exact
+    // rerank via the shared sc scores, hit flags vs exact top-5.
+    "q272_maxsim_pq_candidates" ->
+      (maxSimOracleCtes +
+        """,
+         subs AS (SELECT unnest(range(0, 4)) AS sub),
+         sv AS MATERIALIZED (SELECT e.vec_id, s.sub,
+                  list_transform(e.embedding[(s.sub*16+1):(s.sub*16+16)],
+                    x -> CAST(x AS DOUBLE)) AS sv
+                FROM embeddings e CROSS JOIN subs s),
+         cb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv
+                 WHERE vec_id >= 20 AND vec_id < 36),
+         a0 AS (SELECT vec_id, sub, cid, sv FROM (
+                  SELECT v.vec_id, v.sub, v.sv, c2.cid,
+                    row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+                      list_sum(list_transform(range(1, 17), i -> v.sv[i] * c2.cv[i]))
+                      - CAST(0.5 AS DOUBLE) * list_sum(list_transform(range(1, 17), i -> c2.cv[i] * c2.cv[i])) DESC,
+                      c2.cid) AS rn
+                  FROM sv v JOIN cb0 c2 ON c2.sub = v.sub
+                  WHERE v.vec_id >= 20) WHERE rn = 1),
+         exq AS (SELECT sub, cid, unnest(sv) AS x, unnest(range(1, 17)) AS pos FROM a0),
+         cb AS MATERIALIZED (SELECT sub, cid, list(mx ORDER BY pos) AS cv FROM
+                  (SELECT sub, cid, pos, avg(x) AS mx FROM exq GROUP BY 1, 2, 3)
+                GROUP BY sub, cid),
+         enc AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+                   SELECT v.vec_id, v.sub, c2.cid,
+                     row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+                       list_sum(list_transform(range(1, 17), i -> v.sv[i] * c2.cv[i]))
+                       - CAST(0.5 AS DOUBLE) * list_sum(list_transform(range(1, 17), i -> c2.cv[i] * c2.cv[i])) DESC,
+                       c2.cid) AS rn
+                   FROM sv v JOIN cb c2 ON c2.sub = v.sub
+                   WHERE v.vec_id >= 20) WHERE rn = 1),
+         dt AS MATERIALIZED (SELECT pr.vec_id AS probe_id, pr.sub, c2.cid,
+                  list_sum(list_transform(range(1, 17), i -> pr.sv[i] * pr.sv[i]))
+                  - CAST(2 AS DOUBLE) * list_sum(list_transform(range(1, 17), i -> pr.sv[i] * c2.cv[i]))
+                  + list_sum(list_transform(range(1, 17), i -> c2.cv[i] * c2.cv[i])) AS d
+                FROM sv pr JOIN cb c2 ON c2.sub = pr.sub WHERE pr.vec_id < 20),
+         dj AS (SELECT t.probe_id, e.vec_id AS nbr_id,
+                  list_sum(list(t.d ORDER BY t.sub)) AS dist
+                FROM enc e JOIN dt t ON t.sub = e.sub AND t.cid = e.cid
+                WHERE e.vec_id <> t.probe_id
+                GROUP BY 1, 2),
+         hits AS (SELECT probe_id, nbr_id FROM (
+                 SELECT probe_id, nbr_id, row_number() OVER (
+                   PARTITION BY probe_id ORDER BY dist ASC, nbr_id) AS rn FROM dj)
+               WHERE rn <= 4),
+         cand AS (SELECT DISTINCT CAST(floor(probe_id / 5) AS BIGINT) AS probe_id,
+             CAST(floor(nbr_id / 5) AS BIGINT) AS doc_id FROM hits),
+         scp AS (SELECT sc.probe_id, sc.doc_id, sc.score_micro
+           FROM sc JOIN cand USING (probe_id, doc_id)),
+         rkp AS (SELECT probe_id, doc_id, score_micro,
+            CAST(row_number() OVER (PARTITION BY probe_id
+              ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           FROM scp),
+         exact AS (SELECT probe_id, doc_id FROM (
+            SELECT probe_id, doc_id,
+              row_number() OVER (PARTITION BY probe_id
+                ORDER BY score_micro DESC, doc_id) AS rn
+            FROM sc) WHERE rn <= 5)
+         SELECT pr.probe_id, pr.doc_id, pr.score_micro, pr.rank,
+           (e.doc_id IS NOT NULL) AS hit
+         FROM rkp pr LEFT JOIN exact e ON pr.probe_id = e.probe_id
+           AND pr.doc_id = e.doc_id
+         WHERE pr.rank <= 5 ORDER BY pr.probe_id, pr.rank"""),
     // Store vacuum: physical content law (anti-join against horizon-old
     // tombstones) + as-of parity at/after the horizon computed from the
     // ORIGINAL store — equality is the retention contract.
