@@ -4811,6 +4811,51 @@ object SparkEntry {
           coalesce(col("hit"), lit(false)).as("hit"))
         .orderBy("probe_id", "rank")
     }),
+    // ── extension: MaxSim TOKEN-STORE ABSORB — the maintenance leg of
+    //    q270's serving stack: the token store starts with HALF the
+    //    corpus docs' tokens and absorbs the rest in TWO increments
+    //    (ivfAbsorbBatch with the doc_id carry column — cell assignment
+    //    is per-token, so absorb order cannot change the store), then
+    //    serves q270's exact read path. Append-only store ⇒ the oracle
+    //    IS q270's one-shot replay (the q217 parity convention).
+    "q273_maxsim_store_absorb" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings")
+        .select(expr("vec_id div 5").as("doc_id"), col("vec_id"), col("embedding"))
+      val c = emb.where(col("doc_id") >= 4)
+      val p = emb.where(col("doc_id") < 4)
+      val cent = c.where(col("vec_id") < 64)
+      val ttbl = "graft_q273_tok_store"
+      TableStore.dropTable(s, ttbl)
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(c.where(pmod(col("doc_id"), lit(2)) === 0),
+          "vec_id", "embedding", cent, "vec_id", carryCols = Seq("doc_id")),
+        ttbl, bucketCols = Seq("cid"), buckets = 8)
+      Seq(1, 3).foreach { r =>
+        graft.streaming.StreamingOps.ivfAbsorbBatch(
+          c.where(pmod(col("doc_id"), lit(4)) === r), "vec_id", "embedding",
+          ttbl, cent, "vec_id", buckets = 8, carryCols = Seq("doc_id")): Unit
+      }
+      val store = TableStore.loadTable(s, ttbl)
+      val hits = SimilarityOps.ivfSearchStore(store, p, cent, "vec_id",
+        "vec_id", "vec_id", "embedding", k = 4,
+        probeFraction = 0.25, minProbe = 2)
+      val cand = hits
+        .join(store.select(col("vec_id").as("nbr_id"), col("doc_id")),
+          Seq("nbr_id"))
+        .select(expr("probe_id div 5").as("probe_id"), col("doc_id"))
+        .distinct()
+      val served = SimilarityOps.maxSimRerank(
+        store.select("doc_id", "embedding"), p, cand,
+        "doc_id", "doc_id", "vec_id", "embedding", k = 5)
+      val exact = SimilarityOps.maxSimTopK(store.select("doc_id", "embedding"),
+        p, "doc_id", "doc_id", "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("doc_id"), lit(true).as("hit"))
+      served.join(exact, Seq("probe_id", "doc_id"), "left")
+        .select(col("probe_id"), col("doc_id"), col("score_micro"), col("rank"),
+          coalesce(col("hit"), lit(false)).as("hit"))
+        .orderBy("probe_id", "rank")
+    }),
     // ── extension: PQ-COMPRESSED MaxSim candidate generation — the
     //    memory story of PLAID's stage 1 (Santhanam CIKM'22 §2.2 keeps
     //    token vectors as residual CODES): corpus token vectors compress
@@ -6282,6 +6327,11 @@ object SparkEntry {
       // CDC changefeed maintenance: insert absorb + delete repair in
       // batch order, kill/resume between, final graph vs fresh rebuild
       ("q263_knn_cdc_stream" -> q263OracleSql) +
+      // append-only token-store absorb ≡ the one-shot q270 store (cell
+      // assignment is per-token, absorb order immaterial) — the oracle
+      // IS q270's serving replay (the q217 parity convention)
+      ("q273_maxsim_store_absorb" ->
+        oracleSqlBase("q270_maxsim_store_serve")) +
       // re-embed UPDATE (Delete + Insert of the same id, versioned
       // vector store): delete-repair replayed over the ORIGINAL cosine
       // table, re-absorb + fresh-rebuild tail over the UPDATED one

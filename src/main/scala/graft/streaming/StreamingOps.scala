@@ -208,9 +208,10 @@ object StreamingOps {
     */
   def ivfAbsorbBatch(vecs: DataFrame, idCol: String, vecCol: String,
                      storeTable: String, centroids: DataFrame,
-                     centroidIdCol: String, buckets: Int = 8): DataFrame = {
+                     centroidIdCol: String, buckets: Int = 8,
+                     carryCols: Seq[String] = Nil): DataFrame = {
     val rows = graft.functions.SimilarityOps
-      .ivfStore(vecs, idCol, vecCol, centroids, centroidIdCol)
+      .ivfStore(vecs, idCol, vecCol, centroids, centroidIdCol, carryCols)
       .localCheckpoint(true)
     graft.sources.TableStore.saveBucketed(rows, storeTable,
       bucketCols = Seq("cid"), buckets = buckets, mode = SaveMode.Append)
