@@ -4811,6 +4811,61 @@ object SparkEntry {
           coalesce(col("hit"), lit(false)).as("hit"))
         .orderBy("probe_id", "rank")
     }),
+    // ── extension: SINGLE-BATCH ATOMIC UPDATE — op "U" in the CDC
+    //    changefeed: q269's re-embed expressed as ONE batch of update
+    //    rows instead of a delete batch and an insert batch. The batch
+    //    body delete-repairs the old versions THEN lands + absorbs the
+    //    new ones (the reverse of the I-before-D convention — an
+    //    update's insert must score against the graph its own delete
+    //    repaired), so the final state is q269's: the oracle IS
+    //    q269's replay. Requires the versioned vector store.
+    "q274_knn_cdc_update_batch" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val n = emb.count()
+      val nCells = math.max(1L, n / 64L)
+      val cells = emb.select(col("vec_id"),
+          pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
+            lit(nCells)).as("cid"))
+        .localCheckpoint(false)
+      val init64 = emb.where(col("vec_id") < 64)
+      val isUpd = pmod(col("vec_id"), lit(16)) === 3
+      val vtbl = "graft_q274_vec_store"
+      val gtbl = "graft_q274_knn_store"
+      val vttbl = "graft_q274_vec_tomb"
+      val gttbl = "graft_q274_knn_tomb"
+      Seq(vtbl, gtbl, vttbl, gttbl).foreach(TableStore.dropTable(s, _))
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(emb, "vec_id", "embedding", init64, "vec_id")
+          .withColumn("epoch", lit(0L)),
+        vtbl, bucketCols = Seq("cid"), buckets = 8)
+      TableStore.saveBucketed(
+        emb.select(col("vec_id"), lit(0L).as("before_epoch"))
+          .where(lit(false)), vttbl, bucketCols = Seq("vec_id"), buckets = 8)
+      TableStore.saveBucketed(
+        emb.select(col("vec_id").as("probe_id"), lit(0L).as("before_epoch"))
+          .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 8)
+      TableStore.saveBucketed(
+        SimilarityOps.nnDescent(emb, "vec_id", "embedding",
+          SimilarityOps.cellSeedGraph(emb, cells, "vec_id", "embedding",
+            k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
+        gtbl, bucketCols = Seq("probe_id"), buckets = 8)
+      graft.streaming.StreamingOps.knnGraphCdcBatch(
+        emb.where(isUpd).select(lit("U").as("op"), col("vec_id"),
+          reverse(col("embedding")).as("embedding")),
+        "vec_id", "embedding", "op", gtbl, vtbl, vttbl, gttbl,
+        init64, "vec_id", k = 10, cellAssign = Some(cells),
+        versionedVecStore = true)
+      Seq(vtbl, gtbl, vttbl, gttbl).foreach(s.catalog.refreshTable)
+      val updEmb = emb.select(col("vec_id"),
+        when(isUpd, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+      knnStoreGateTail(s, updEmb,
+        e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
+          k = 10), gtbl, "graft_q274_knn_compact",
+        tomb = Some(TableStore.loadTable(s, gttbl)))
+        .localCheckpoint(true)
+    }),
     // ── extension: MaxSim TOKEN-STORE ABSORB — the maintenance leg of
     //    q270's serving stack: the token store starts with HALF the
     //    corpus docs' tokens and absorbs the rest in TWO increments
@@ -6336,6 +6391,10 @@ object SparkEntry {
       // vector store): delete-repair replayed over the ORIGINAL cosine
       // table, re-absorb + fresh-rebuild tail over the UPDATED one
       ("q269_knn_cdc_reembed" -> q269OracleSql) +
+      // single-batch atomic op "U" ≡ the two-batch D-then-I re-embed:
+      // the batch body runs delete-repair then absorb in order, so the
+      // oracle IS q269's replay
+      ("q274_knn_cdc_update_batch" -> q269OracleSql) +
       // pipeline store absorb ≡ one-shot admission over the union: every
       // stage is increment-stable (monotone id cut, frozen scorer and
       // budgets, append-only fp store), so the single-pass chain IS the

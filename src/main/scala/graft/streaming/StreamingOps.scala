@@ -457,9 +457,7 @@ object StreamingOps {
         TableStore.loadTable(s, graphTombTable), "probe_id", "epoch"))
     def nextEpoch(): Long = TableStore.loadTable(s, graphTable)
       .agg(coalesce(max(col("epoch")), lit(0L)).as("e")).head().getLong(0) + 1L
-    val ins = batch.where(col(opCol) === "I").select(col(idCol), col(vecCol))
-    val del = batch.where(col(opCol) === "D").select(col(idCol))
-    if (!ins.isEmpty) {
+    def insertLeg(ins: DataFrame): Unit = {
       val landed = if (versionedVecStore) {
         val rows = SimilarityOps
           .ivfStore(ins, idCol, vecCol, centroids, centroidIdCol)
@@ -483,7 +481,7 @@ object StreamingOps {
       graft.functions.GraphOps.releaseLocalCheckpoint(landed)
       graft.functions.GraphOps.releaseLocalCheckpoint(delta)
     }
-    if (!del.isEmpty) {
+    def deleteLeg(del: DataFrame): Unit = {
       val epoch = nextEpoch()
       val delta = SimilarityOps.knnGraphDelete(liveGraph(), liveVecs(),
           del, idCol, vecCol, k)
@@ -505,6 +503,24 @@ object StreamingOps {
       Seq(graphTable, graphTombTable, vecTombTable)
         .foreach(s.catalog.refreshTable)
       graft.functions.GraphOps.releaseLocalCheckpoint(delta)
+    }
+    val ins = batch.where(col(opCol) === "I").select(col(idCol), col(vecCol))
+    val del = batch.where(col(opCol) === "D").select(col(idCol))
+    val upd = batch.where(col(opCol) === "U").select(col(idCol), col(vecCol))
+      .localCheckpoint(false) // consumed by both halves of the update
+    if (!ins.isEmpty) insertLeg(ins)
+    if (!del.isEmpty) deleteLeg(del)
+    if (!upd.isEmpty) {
+      // an UPDATE is delete-repair of the OLD version, then the NEW
+      // version landing and absorbing — within one batch, in that order
+      // (the reverse of the I-before-D convention above: an update's
+      // insert must score against the graph its own delete repaired).
+      // Only the versioned vector store can serve the replacement row
+      // (a plain-id tombstone would hide it forever).
+      require(versionedVecStore,
+        "op 'U' (re-embed update) requires versionedVecStore = true")
+      deleteLeg(upd.select(col(idCol)))
+      insertLeg(upd)
     }
   }
 

@@ -811,6 +811,31 @@ class CmsStreamSpec extends graft.SparkSpec {
     // versioned layout: the replacement row is live (exactly once)
     assert(dThenI(versioned = true, "cdcvers") == (0L until 20L).toSet,
       "versioned store must serve the re-inserted id")
+    // single-batch op "U" reaches the same live state as D-then-I, and
+    // the replacement row carries the NEW vector
+    val (vtbl, gtbl, vttbl, gttbl) = setup(versioned = true, "cdcupd")
+    graft.streaming.StreamingOps.knnGraphCdcBatch(
+      Seq((7L, newVec)).toDF("vec_id", "embedding")
+        .select(lit("U").as("op"), $"vec_id", $"embedding"),
+      "vec_id", "embedding", "op", gtbl, vtbl, vttbl, gttbl, cent, "vec_id",
+      k = 4, buckets = 4, versionedVecStore = true)
+    val live7 = TableStore.liveView(TableStore.loadTable(spark, vtbl),
+        TableStore.loadTable(spark, vttbl), "vec_id", "epoch")
+      .where($"vec_id" === 7L).collect()
+    assert(live7.length == 1, s"expected exactly one live row for id 7, got ${live7.length}")
+    val got = live7.head.getAs[scala.collection.Seq[Float]]("embedding")
+    assert(got.forall(_ == 0.5f), s"U did not land the new vector: $got")
+    Seq(vtbl, gtbl, vttbl, gttbl).foreach(TableStore.dropTable(spark, _))
+    // and op "U" on the PLAIN store is refused — it could never serve
+    val (v2, g2, vt2, gt2) = setup(versioned = false, "cdcuplain")
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.knnGraphCdcBatch(
+        Seq((7L, newVec)).toDF("vec_id", "embedding")
+          .select(lit("U").as("op"), $"vec_id", $"embedding"),
+        "vec_id", "embedding", "op", g2, v2, vt2, gt2, cent, "vec_id",
+        k = 4, buckets = 4, versionedVecStore = false)
+    }
+    Seq(v2, g2, vt2, gt2).foreach(TableStore.dropTable(spark, _))
   }
 
   test("knnGraphAbsorbStream: multi-batch absorb leaves ≤2 pinned RDDs and a complete live graph") {
