@@ -4654,35 +4654,7 @@ object SparkEntry {
     //    corpus.
     "q269_knn_cdc_reembed" -> ((s, dir) => {
       import graft.sources.TableStore
-      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
-      val n = emb.count()
-      val nCells = math.max(1L, n / 64L)
-      val cells = emb.select(col("vec_id"),
-          pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
-            lit(nCells)).as("cid"))
-        .localCheckpoint(false)
-      val init64 = emb.where(col("vec_id") < 64)
-      val isUpd = pmod(col("vec_id"), lit(16)) === 3
-      val vtbl = "graft_q269_vec_store"
-      val gtbl = "graft_q269_knn_store"
-      val vttbl = "graft_q269_vec_tomb"
-      val gttbl = "graft_q269_knn_tomb"
-      Seq(vtbl, gtbl, vttbl, gttbl).foreach(TableStore.dropTable(s, _))
-      TableStore.saveBucketed( // versioned vector store: epoch 0 base
-        SimilarityOps.ivfStore(emb, "vec_id", "embedding", init64, "vec_id")
-          .withColumn("epoch", lit(0L)),
-        vtbl, bucketCols = Seq("cid"), buckets = 8)
-      TableStore.saveBucketed( // (id, before_epoch) tombstones, EMPTY
-        emb.select(col("vec_id"), lit(0L).as("before_epoch"))
-          .where(lit(false)), vttbl, bucketCols = Seq("vec_id"), buckets = 8)
-      TableStore.saveBucketed(
-        emb.select(col("vec_id").as("probe_id"), lit(0L).as("before_epoch"))
-          .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 8)
-      TableStore.saveBucketed( // base graph over the FULL corpus
-        SimilarityOps.nnDescent(emb, "vec_id", "embedding",
-          SimilarityOps.cellSeedGraph(emb, cells, "vec_id", "embedding",
-            k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
-        gtbl, bucketCols = Seq("probe_id"), buckets = 8)
+      val fx = knnCdcUpdateFixture(s, dir, "q269")
       val uid = java.util.UUID.randomUUID().toString.replace("-", "")
       val dirF = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")), s"graft_q269_$uid")
@@ -4701,33 +4673,32 @@ object SparkEntry {
               org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField("vec_id",
               org.apache.spark.sql.types.LongType))).add("embedding",
-            emb.schema("embedding").dataType)
+            fx.emb.schema("embedding").dataType)
           val in = s.readStream.schema(schema).parquet(inDir)
           val q = graft.streaming.StreamingOps.knnGraphCdcStream(
-            in, "vec_id", "embedding", "op", gtbl, vtbl, vttbl, gttbl,
-            init64, "vec_id", k = 10, cellAssign = Some(cells),
+            in, "vec_id", "embedding", "op", fx.gtbl, fx.vtbl, fx.vttbl,
+            fx.gttbl, fx.init64, "vec_id", k = 10,
+            cellAssign = Some(fx.cells),
             checkpointLocation = Some(ckpt), versionedVecStore = true)()
           try q.processAllAvailable() finally q.stop()
         }
         // batch 1: the old versions leave (delete + neighborhood repair)
-        feed(emb.where(isUpd)
+        feed(fx.emb.where(fx.isUpd)
           .select(lit("D").as("op"), col("vec_id"), col("embedding")))
         run()
         // restart from the checkpoint; batch 2 re-inserts the SAME ids
         // with their new embeddings — visible only because the store is
         // versioned (a replayed delete would hide them again)
-        feed(emb.where(isUpd)
+        feed(fx.emb.where(fx.isUpd)
           .select(lit("I").as("op"), col("vec_id"),
             reverse(col("embedding")).as("embedding")))
         run()
-        Seq(vtbl, gtbl, vttbl, gttbl).foreach(s.catalog.refreshTable)
-        val updEmb = emb.select(col("vec_id"),
-          when(isUpd, reverse(col("embedding")))
-            .otherwise(col("embedding")).as("embedding"))
-        knnStoreGateTail(s, updEmb,
-          e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
-            k = 10), gtbl, "graft_q269_knn_compact",
-          tomb = Some(TableStore.loadTable(s, gttbl)))
+        Seq(fx.vtbl, fx.gtbl, fx.vttbl, fx.gttbl)
+          .foreach(s.catalog.refreshTable)
+        knnStoreGateTail(s, fx.updEmb,
+          e => SimilarityOps.cellSeedGraph(e, fx.cells, "vec_id",
+            "embedding", k = 10), fx.gtbl, "graft_q269_knn_compact",
+          tomb = Some(TableStore.loadTable(s, fx.gttbl)))
           .localCheckpoint(true)
       } finally rm(dirF)
     }),
@@ -4821,49 +4792,19 @@ object SparkEntry {
     //    q269's replay. Requires the versioned vector store.
     "q274_knn_cdc_update_batch" -> ((s, dir) => {
       import graft.sources.TableStore
-      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
-      val n = emb.count()
-      val nCells = math.max(1L, n / 64L)
-      val cells = emb.select(col("vec_id"),
-          pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
-            lit(nCells)).as("cid"))
-        .localCheckpoint(false)
-      val init64 = emb.where(col("vec_id") < 64)
-      val isUpd = pmod(col("vec_id"), lit(16)) === 3
-      val vtbl = "graft_q274_vec_store"
-      val gtbl = "graft_q274_knn_store"
-      val vttbl = "graft_q274_vec_tomb"
-      val gttbl = "graft_q274_knn_tomb"
-      Seq(vtbl, gtbl, vttbl, gttbl).foreach(TableStore.dropTable(s, _))
-      TableStore.saveBucketed(
-        SimilarityOps.ivfStore(emb, "vec_id", "embedding", init64, "vec_id")
-          .withColumn("epoch", lit(0L)),
-        vtbl, bucketCols = Seq("cid"), buckets = 8)
-      TableStore.saveBucketed(
-        emb.select(col("vec_id"), lit(0L).as("before_epoch"))
-          .where(lit(false)), vttbl, bucketCols = Seq("vec_id"), buckets = 8)
-      TableStore.saveBucketed(
-        emb.select(col("vec_id").as("probe_id"), lit(0L).as("before_epoch"))
-          .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 8)
-      TableStore.saveBucketed(
-        SimilarityOps.nnDescent(emb, "vec_id", "embedding",
-          SimilarityOps.cellSeedGraph(emb, cells, "vec_id", "embedding",
-            k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
-        gtbl, bucketCols = Seq("probe_id"), buckets = 8)
+      val fx = knnCdcUpdateFixture(s, dir, "q274")
       graft.streaming.StreamingOps.knnGraphCdcBatch(
-        emb.where(isUpd).select(lit("U").as("op"), col("vec_id"),
+        fx.emb.where(fx.isUpd).select(lit("U").as("op"), col("vec_id"),
           reverse(col("embedding")).as("embedding")),
-        "vec_id", "embedding", "op", gtbl, vtbl, vttbl, gttbl,
-        init64, "vec_id", k = 10, cellAssign = Some(cells),
+        "vec_id", "embedding", "op", fx.gtbl, fx.vtbl, fx.vttbl, fx.gttbl,
+        fx.init64, "vec_id", k = 10, cellAssign = Some(fx.cells),
         versionedVecStore = true)
-      Seq(vtbl, gtbl, vttbl, gttbl).foreach(s.catalog.refreshTable)
-      val updEmb = emb.select(col("vec_id"),
-        when(isUpd, reverse(col("embedding")))
-          .otherwise(col("embedding")).as("embedding"))
-      knnStoreGateTail(s, updEmb,
-        e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
-          k = 10), gtbl, "graft_q274_knn_compact",
-        tomb = Some(TableStore.loadTable(s, gttbl)))
+      Seq(fx.vtbl, fx.gtbl, fx.vttbl, fx.gttbl)
+        .foreach(s.catalog.refreshTable)
+      knnStoreGateTail(s, fx.updEmb,
+        e => SimilarityOps.cellSeedGraph(e, fx.cells, "vec_id", "embedding",
+          k = 10), fx.gtbl, "graft_q274_knn_compact",
+        tomb = Some(TableStore.loadTable(s, fx.gttbl)))
         .localCheckpoint(true)
     }),
     // ── extension: MaxSim TOKEN-STORE ABSORB — the maintenance leg of
@@ -6552,6 +6493,54 @@ object SparkEntry {
     // intermediate frame so a per-batch streaming loop holds no residue
     graft.functions.GraphOps.releaseLocalCheckpoint(deduped)
     kept
+  }
+
+  /** Shared fixture of the re-embed gates (q269's two-batch stream and
+    * q274's single-batch op "U" — both against [[q269OracleSql]]): the
+    * full corpus in a VERSIONED vector store at epoch 0, EMPTY
+    * (id, before_epoch) tombstone tables for both stores, hash-cell
+    * assignment, base graph over all vectors. Keeping it in one place
+    * pins both gates to the one fixture their shared oracle encodes. */
+  private case class KnnCdcFixture(emb: DataFrame, cells: DataFrame,
+      init64: DataFrame, isUpd: Column, updEmb: DataFrame,
+      vtbl: String, gtbl: String, vttbl: String, gttbl: String)
+
+  private def knnCdcUpdateFixture(s: SparkSession, dir: String,
+                                  pfx: String): KnnCdcFixture = {
+    import graft.sources.TableStore
+    val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+    val n = emb.count()
+    val nCells = math.max(1L, n / 64L)
+    val cells = emb.select(col("vec_id"),
+        pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
+          lit(nCells)).as("cid"))
+      .localCheckpoint(false)
+    val init64 = emb.where(col("vec_id") < 64)
+    val isUpd = pmod(col("vec_id"), lit(16)) === 3
+    val vtbl = s"graft_${pfx}_vec_store"
+    val gtbl = s"graft_${pfx}_knn_store"
+    val vttbl = s"graft_${pfx}_vec_tomb"
+    val gttbl = s"graft_${pfx}_knn_tomb"
+    Seq(vtbl, gtbl, vttbl, gttbl).foreach(TableStore.dropTable(s, _))
+    TableStore.saveBucketed(
+      SimilarityOps.ivfStore(emb, "vec_id", "embedding", init64, "vec_id")
+        .withColumn("epoch", lit(0L)),
+      vtbl, bucketCols = Seq("cid"), buckets = 8)
+    TableStore.saveBucketed(
+      emb.select(col("vec_id"), lit(0L).as("before_epoch"))
+        .where(lit(false)), vttbl, bucketCols = Seq("vec_id"), buckets = 8)
+    TableStore.saveBucketed(
+      emb.select(col("vec_id").as("probe_id"), lit(0L).as("before_epoch"))
+        .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 8)
+    TableStore.saveBucketed(
+      SimilarityOps.nnDescent(emb, "vec_id", "embedding",
+        SimilarityOps.cellSeedGraph(emb, cells, "vec_id", "embedding",
+          k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
+      gtbl, bucketCols = Seq("probe_id"), buckets = 8)
+    val updEmb = emb.select(col("vec_id"),
+      when(isUpd, reverse(col("embedding")))
+        .otherwise(col("embedding")).as("embedding"))
+    KnnCdcFixture(emb, cells, init64, isUpd, updEmb, vtbl, gtbl, vttbl, gttbl)
   }
 
   private def knnStoreGateTail(s: SparkSession, emb: DataFrame,

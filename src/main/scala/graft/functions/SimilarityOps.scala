@@ -147,12 +147,21 @@ object SimilarityOps {
     val p = probeTokens.select(col(probeCol).as("probe_id"),
       col(probeTokCol).as("__tok"), col(vecCol).as("__pv"),
       vnorm(col(vecCol)).as("__pn")).where(col("__pn") > 0)
-    val perTok = c.crossJoin(broadcast(p))
+    rankMaxSim(c.crossJoin(broadcast(p))
       .select(col("probe_id"), col("__tok"), col("doc_id"),
-        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("__cos"))
+        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("__cos")),
+      k)
+  }
+
+  /** Shared MaxSim scoring tail: per-(probe, token, doc) max over the
+    * scored pairs, rounded to integer MICRO units BEFORE the per-doc sum
+    * (associative, engine-portable), per-probe rank. The single home of
+    * the score law — [[maxSimTopK]] and [[maxSimRerank]] differ only in
+    * how the scored-pair frame is produced. */
+  private def rankMaxSim(scoredPairs: DataFrame, k: Int): DataFrame = {
+    val scored = scoredPairs
       .groupBy("probe_id", "__tok", "doc_id")
       .agg(max(col("__cos")).as("__ms"))
-    val scored = perTok
       .select(col("probe_id"), col("doc_id"),
         round(col("__ms") * 1e6).cast("long").as("__msm"))
       .groupBy("probe_id", "doc_id")
@@ -225,21 +234,12 @@ object SimilarityOps {
     val p = probeTokens.select(col(probeCol).as("probe_id"),
       col(probeTokCol).as("__tok"), col(vecCol).as("__pv"),
       vnorm(col(vecCol)).as("__pn")).where(col("__pn") > 0)
-    val perTok = candidates.select(col("probe_id"), col("doc_id"))
+    rankMaxSim(candidates.select(col("probe_id"), col("doc_id"))
       .join(c, Seq("doc_id"))
       .join(broadcast(p), Seq("probe_id"))
       .select(col("probe_id"), col("__tok"), col("doc_id"),
-        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("__cos"))
-      .groupBy("probe_id", "__tok", "doc_id")
-      .agg(max(col("__cos")).as("__ms"))
-    val scored = perTok
-      .select(col("probe_id"), col("doc_id"),
-        round(col("__ms") * 1e6).cast("long").as("__msm"))
-      .groupBy("probe_id", "doc_id")
-      .agg(sum("__msm").as("score_micro"))
-    val w = Window.partitionBy("probe_id").orderBy(col("score_micro").desc,
-      col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        (vdot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))).as("__cos")),
+      k)
   }
 
   /** Sign-random-projection bits. Hyperplane weights are md5-derived

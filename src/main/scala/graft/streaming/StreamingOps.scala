@@ -209,9 +209,11 @@ object StreamingOps {
   def ivfAbsorbBatch(vecs: DataFrame, idCol: String, vecCol: String,
                      storeTable: String, centroids: DataFrame,
                      centroidIdCol: String, buckets: Int = 8,
-                     carryCols: Seq[String] = Nil): DataFrame = {
-    val rows = graft.functions.SimilarityOps
+                     carryCols: Seq[String] = Nil,
+                     epoch: Option[Long] = None): DataFrame = {
+    val assigned = graft.functions.SimilarityOps
       .ivfStore(vecs, idCol, vecCol, centroids, centroidIdCol, carryCols)
+    val rows = epoch.fold(assigned)(e => assigned.withColumn("epoch", lit(e)))
       .localCheckpoint(true)
     graft.sources.TableStore.saveBucketed(rows, storeTable,
       bucketCols = Seq("cid"), buckets = buckets, mode = SaveMode.Append)
@@ -458,23 +460,26 @@ object StreamingOps {
     def nextEpoch(): Long = TableStore.loadTable(s, graphTable)
       .agg(coalesce(max(col("epoch")), lit(0L)).as("e")).head().getLong(0) + 1L
     def insertLeg(ins: DataFrame): Unit = {
-      val landed = if (versionedVecStore) {
-        val rows = SimilarityOps
-          .ivfStore(ins, idCol, vecCol, centroids, centroidIdCol)
-          .withColumn("epoch", lit(nextEpoch()))
-          .localCheckpoint(true)
-        TableStore.saveBucketed(rows, vecStoreTable,
-          bucketCols = Seq("cid"), buckets = buckets, mode = SaveMode.Append)
-        s.catalog.refreshTable(vecStoreTable)
-        rows
-      } else ivfAbsorbBatch(ins, idCol, vecCol, vecStoreTable,
-        centroids, centroidIdCol, buckets)
-      val store = TableStore.loadTable(s, vecStoreTable)
+      // one shared epoch for the vector rows and the graph delta — the
+      // counter is read ONCE so the two can never desynchronize
+      val epoch = nextEpoch()
+      val landed = ivfAbsorbBatch(ins, idCol, vecCol, vecStoreTable,
+        centroids, centroidIdCol, buckets,
+        epoch = if (versionedVecStore) Some(epoch) else None)
+      // default cell assignment comes from the LIVE store view: under
+      // the versioned layout a re-inserted id's tombstoned old version
+      // still has a (id, cid) row in the raw table, and absorbing
+      // against both cells would break the frozen-quantizer contract
+      val cellsDf = cellAssign.getOrElse {
+        val st = TableStore.loadTable(s, vecStoreTable)
+        (if (versionedVecStore)
+          TableStore.liveView(st, TableStore.loadTable(s, vecTombTable),
+            idCol, "epoch")
+        else st).select(col(idCol), col("cid"))
+      }
       val delta = SimilarityOps.knnGraphAbsorb(liveGraph(), liveVecs(),
-          ins.select(col(idCol)),
-          cellAssign.getOrElse(store.select(col(idCol), col("cid"))),
-          idCol, vecCol, k)
-        .withColumn("epoch", lit(nextEpoch()))
+          ins.select(col(idCol)), cellsDf, idCol, vecCol, k)
+        .withColumn("epoch", lit(epoch))
       TableStore.saveBucketed(delta, graphTable,
         bucketCols = Seq("probe_id"), buckets = buckets, mode = SaveMode.Append)
       s.catalog.refreshTable(graphTable)
@@ -507,18 +512,20 @@ object StreamingOps {
     val ins = batch.where(col(opCol) === "I").select(col(idCol), col(vecCol))
     val del = batch.where(col(opCol) === "D").select(col(idCol))
     val upd = batch.where(col(opCol) === "U").select(col(idCol), col(vecCol))
-      .localCheckpoint(false) // consumed by both halves of the update
+    val hasUpd = !upd.isEmpty
+    // refuse BEFORE any leg commits: the Appends are non-idempotent, so
+    // a half-applied batch that then throws would double-apply on the
+    // stream's replay. Only the versioned vector store can serve an
+    // update's replacement row (a plain-id tombstone hides it forever).
+    require(versionedVecStore || !hasUpd,
+      "op 'U' (re-embed update) requires versionedVecStore = true")
     if (!ins.isEmpty) insertLeg(ins)
     if (!del.isEmpty) deleteLeg(del)
-    if (!upd.isEmpty) {
+    if (hasUpd) {
       // an UPDATE is delete-repair of the OLD version, then the NEW
       // version landing and absorbing — within one batch, in that order
       // (the reverse of the I-before-D convention above: an update's
       // insert must score against the graph its own delete repaired).
-      // Only the versioned vector store can serve the replacement row
-      // (a plain-id tombstone would hide it forever).
-      require(versionedVecStore,
-        "op 'U' (re-embed update) requires versionedVecStore = true")
       deleteLeg(upd.select(col(idCol)))
       insertLeg(upd)
     }
