@@ -4717,6 +4717,34 @@ object SparkEntry {
         .select(col("probe_id"), col("doc_id"), col("score_micro"), col("rank"))
         .orderBy("probe_id", "rank")
     }),
+    // ── extension: TEXT late interaction END-TO-END — MaxSim retrieval
+    //    from RAW TEXT with no external encoder: per-document DISTINCT
+    //    tokens become deterministic hash embeddings
+    //    (TextFunctions.tokenHashVector — integer components, exact
+    //    dots), queries are 5 fixed documents (doc_id ≡ 0 mod 100,
+    //    < 500 — probe count is scale-invariant), corpus is everything
+    //    else. Random hash vectors are ≈ orthogonal across tokens, so
+    //    the score is a soft token-overlap — the plumbing (tokenize →
+    //    embed → MaxSim) is what's under test; a real encoder drops in
+    //    by replacing the one vector column.
+    "q275_text_late_interaction" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .distinct()
+      // materialize the CONSTRUCTED vectors once: the scorer's zero-norm
+      // filter and projection would otherwise rebuild the array 3x per
+      // corpus row, and the 22M-pair stage reads it per pair side
+      val tv = toks.withColumn("embedding",
+        TextFunctions.tokenHashVector(col("tok"), 16))
+        .localCheckpoint(false)
+      val isQ = pmod(col("doc_id"), lit(100)) === 0 && col("doc_id") < 500
+      SimilarityOps.maxSimTopK(tv.where(!isQ), tv.where(isQ),
+        "doc_id", "doc_id", "tok", "embedding", k = 5)
+        .select(col("probe_id"), col("doc_id"), col("score_micro"), col("rank"))
+        .orderBy("probe_id", "rank")
+    }),
     // ── extension: CANDIDATE-PRUNED MaxSim — the PLAID serving
     //    decomposition (Santhanam et al., CIKM 2022): token-level top-m
     //    → candidate docs → exact MaxSim rerank over candidates only.
@@ -13466,6 +13494,44 @@ object SparkEntry {
          FROM rkp p LEFT JOIN exact e ON p.probe_id = e.probe_id
            AND p.doc_id = e.doc_id
          WHERE p.rank <= 5 ORDER BY p.probe_id, p.rank"""),
+    // Text late interaction: per-doc distinct tokens → deterministic
+    // hash embeddings (hash60 components mod 2001 − 1000) → the q264
+    // MaxSim law; 5 fixed query docs, corpus = the rest.
+    "q275_text_late_interaction" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents
+           WHERE length(trim(text)) > 0),
+         toks AS (SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id,
+              unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+            FROM docs)),
+         tv AS MATERIALIZED (SELECT doc_id, tok,
+             list_transform(range(0, 16), i ->
+               CAST((CAST('0x'||substr(md5('tv,'||tok),1,15) AS BIGINT) % 1000003)
+                 * (i*2 + 1) + i*7919 + 1 AS BIGINT) % 2001 - 1000) AS v
+           FROM toks),
+         nrm AS (SELECT doc_id, tok, v,
+             sqrt(list_sum(list_transform(range(1, 17), i -> v[i]*v[i]))) AS n
+           FROM tv),
+         p AS (SELECT * FROM nrm
+               WHERE doc_id % 100 = 0 AND doc_id < 500 AND n > 0),
+         c AS (SELECT * FROM nrm
+               WHERE NOT (doc_id % 100 = 0 AND doc_id < 500) AND n > 0),
+         cs AS (SELECT p.doc_id AS probe_id, p.tok AS tok, c.doc_id AS did,
+             list_sum(list_transform(range(1, 17), i -> c.v[i] * p.v[i]))
+             / (c.n * p.n) AS cos
+           FROM c, p),
+         ms AS (SELECT probe_id, tok, did,
+             CAST(round(max(cos) * 1000000) AS BIGINT) AS msm
+           FROM cs GROUP BY 1, 2, 3),
+         sc AS (SELECT probe_id, did AS doc_id,
+             CAST(sum(msm) AS BIGINT) AS score_micro
+           FROM ms GROUP BY 1, 2),
+         rk AS (SELECT probe_id, doc_id, score_micro,
+            CAST(row_number() OVER (PARTITION BY probe_id
+              ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           FROM sc)
+         SELECT probe_id, doc_id, score_micro, rank FROM rk WHERE rank <= 5
+         ORDER BY probe_id, rank""",
     // PQ-compressed MaxSim stage 1: q114's codebook/encode/ADC replay
     // restricted to corpus tokens (init = first 16 corpus tokens), top-4
     // tokens per query token by ADC distance, candidate docs, exact

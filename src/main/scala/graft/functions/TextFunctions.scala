@@ -574,6 +574,29 @@ object TextFunctions {
     * state, nothing model-sized anywhere.
     *
     * @return (idCol, features: array<long> of length dim) */
+  /** Deterministic per-TOKEN hash embedding: component i of token t is
+    * `hash60("tv,i,t") mod 2001 − 1000` — integer components, so dot
+    * products are exact and every engine computes identical cosines (the
+    * [[graft.functions.SimilarityOps.srpBits]] hyperplane convention
+    * applied to token identity). Random hash vectors are ≈ orthogonal
+    * across distinct tokens, so MaxSim over them degenerates to a soft
+    * token-overlap score — an encoder-free, fully deterministic stand-in
+    * that exercises the late-interaction PLUMBING from raw text (the
+    * multimodal ops' deterministic-fake discipline; swap in real token
+    * embeddings by replacing this one column). */
+  def tokenHashVector(tok: Column, dim: Int = 16): Column = {
+    // ONE md5 per token; components are affine permutations of the base
+    // hash (the MinHash perm trick) — 16× cheaper than per-component
+    // hashing, which matters because the construction runs inside the
+    // corpus scan of every consumer. The base reduces mod 1000003 first
+    // so the odd-multiplier product stays far from Long overflow (ANSI).
+    val base = pmod(graft.functions.DedupOps.hash60(
+      concat_ws(",", lit("tv"), tok)), lit(1000003L))
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      (pmod(base * (i.cast("long") * 2L + 1L) + i.cast("long") * 7919L + 1L,
+        lit(2001L)) - 1000L).cast("double"))
+  }
+
   def hashedFeatures(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String, dim: Int = 64): org.apache.spark.sql.DataFrame = {
     require(dim >= 1, s"dim must be positive, got $dim")
