@@ -4790,25 +4790,7 @@ object SparkEntry {
         SimilarityOps.ivfStore(c, "vec_id", "embedding", cent, "vec_id",
           carryCols = Seq("doc_id")),
         ttbl, bucketCols = Seq("cid"), buckets = 8)
-      val store = TableStore.loadTable(s, ttbl)
-      val hits = SimilarityOps.ivfSearchStore(store, p, cent, "vec_id",
-        "vec_id", "vec_id", "embedding", k = 4,
-        probeFraction = 0.25, minProbe = 2)
-      val cand = hits
-        .join(store.select(col("vec_id").as("nbr_id"), col("doc_id")),
-          Seq("nbr_id"))
-        .select(expr("probe_id div 5").as("probe_id"), col("doc_id"))
-        .distinct()
-      val served = SimilarityOps.maxSimRerank(
-        store.select("doc_id", "embedding"), p, cand,
-        "doc_id", "doc_id", "vec_id", "embedding", k = 5)
-      val exact = SimilarityOps.maxSimTopK(store.select("doc_id", "embedding"),
-        p, "doc_id", "doc_id", "vec_id", "embedding", k = 5)
-        .select(col("probe_id"), col("doc_id"), lit(true).as("hit"))
-      served.join(exact, Seq("probe_id", "doc_id"), "left")
-        .select(col("probe_id"), col("doc_id"), col("score_micro"), col("rank"),
-          coalesce(col("hit"), lit(false)).as("hit"))
-        .orderBy("probe_id", "rank")
+      maxSimStoreServeTail(TableStore.loadTable(s, ttbl), p, cent)
     }),
     // ── extension: SINGLE-BATCH ATOMIC UPDATE — op "U" in the CDC
     //    changefeed: q269's re-embed expressed as ONE batch of update
@@ -4860,25 +4842,222 @@ object SparkEntry {
           c.where(pmod(col("doc_id"), lit(4)) === r), "vec_id", "embedding",
           ttbl, cent, "vec_id", buckets = 8, carryCols = Seq("doc_id")): Unit
       }
-      val store = TableStore.loadTable(s, ttbl)
-      val hits = SimilarityOps.ivfSearchStore(store, p, cent, "vec_id",
-        "vec_id", "vec_id", "embedding", k = 4,
-        probeFraction = 0.25, minProbe = 2)
-      val cand = hits
-        .join(store.select(col("vec_id").as("nbr_id"), col("doc_id")),
-          Seq("nbr_id"))
-        .select(expr("probe_id div 5").as("probe_id"), col("doc_id"))
-        .distinct()
-      val served = SimilarityOps.maxSimRerank(
-        store.select("doc_id", "embedding"), p, cand,
-        "doc_id", "doc_id", "vec_id", "embedding", k = 5)
-      val exact = SimilarityOps.maxSimTopK(store.select("doc_id", "embedding"),
-        p, "doc_id", "doc_id", "vec_id", "embedding", k = 5)
-        .select(col("probe_id"), col("doc_id"), lit(true).as("hit"))
-      served.join(exact, Seq("probe_id", "doc_id"), "left")
-        .select(col("probe_id"), col("doc_id"), col("score_micro"), col("rank"),
-          coalesce(col("hit"), lit(false)).as("hit"))
-        .orderBy("probe_id", "rank")
+      maxSimStoreServeTail(TableStore.loadTable(s, ttbl), p, cent)
+    }),
+    // ── extension: MaxSim token-store CDC — the DELETE/UPDATE leg the
+    //    late-interaction serving store was missing (q270 builds, q273
+    //    absorbs, but both are append-only: a takedown required a
+    //    rebuild). ONE op-tagged token-row changefeed maintains the
+    //    store through a real StreamingQuery: batch 1 INSERTS the odd
+    //    docs' token bags; the query is KILLED; a resumed query runs
+    //    batch 2 with DELETES (doc %5 ≡ 3 — one doc-keyed tombstone
+    //    hides the whole bag) and RE-EMBEDS (doc %5 ≡ 4, op "U":
+    //    reversed vectors land at the tombstone's own epoch — the
+    //    shared-epoch atomic update). Serving reads the LIVE view and
+    //    runs q270's exact read path; the oracle is the one-shot q270
+    //    replay over the FINAL corpus (q273's law extended to a MUTATED
+    //    corpus: deletions gone, re-embeds re-scored and re-celled
+    //    under the frozen quantizer).
+    "q276_maxsim_token_cdc" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings")
+        .select(expr("vec_id div 5").as("doc_id"), col("vec_id"), col("embedding"))
+      val c = emb.where(col("doc_id") >= 4)
+      val p = emb.where(col("doc_id") < 4)
+      val cent = c.where(col("vec_id") < 64)
+      val isDel = pmod(col("doc_id"), lit(5)) === 3
+      val isUpd = pmod(col("doc_id"), lit(5)) === 4
+      val isOdd = pmod(col("doc_id"), lit(2)) === 1
+      val ttbl = "graft_q276_tok_store"
+      val tmtbl = "graft_q276_tok_tomb"
+      Seq(ttbl, tmtbl).foreach(TableStore.dropTable(s, _))
+      TableStore.saveBucketed( // base: even docs' token bags at epoch 0
+        SimilarityOps.ivfStore(c.where(!isOdd), "vec_id", "embedding", cent,
+          "vec_id", carryCols = Seq("doc_id")).withColumn("epoch", lit(0L)),
+        ttbl, bucketCols = Seq("cid"), buckets = 8)
+      TableStore.saveBucketed( // doc-keyed tombstones start EMPTY
+        c.select(col("doc_id"), lit(0L).as("before_epoch")).where(lit(false)),
+        tmtbl, bucketCols = Seq("doc_id"), buckets = 8)
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val dirF = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_q276_$uid")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      try {
+        val inDir = new java.io.File(dirF, "in").getAbsolutePath
+        val ckpt = new java.io.File(dirF, "ckpt").getAbsolutePath
+        def feed(df: DataFrame, op: String): Unit = df
+          .select(lit(op).as("op"), col("doc_id"), col("vec_id"), col("embedding"))
+          .repartition(2).write.mode("append").parquet(inDir)
+        def run(): Unit = {
+          import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+          val schema = StructType(Seq(
+            StructField("op", StringType), StructField("doc_id", LongType),
+            StructField("vec_id", LongType)))
+            .add("embedding", emb.schema("embedding").dataType)
+          val in = s.readStream.schema(schema).parquet(inDir)
+          val q = graft.streaming.StreamingOps.maxSimTokenCdcStream(
+            in, "doc_id", "vec_id", "embedding", "op", ttbl, tmtbl,
+            cent, "vec_id", checkpointLocation = Some(ckpt))()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // batch 1: the odd docs' token bags land, then the query STOPS
+        feed(c.where(isOdd), "I")
+        run()
+        // restart from the checkpoint: batch 2 carries the delete wave
+        // AND the re-embed wave — a replayed batch 1 would re-land every
+        // odd doc's bag (double-serving: the Appends are non-idempotent)
+        feed(c.where(isDel), "D")
+        feed(c.where(isUpd)
+          .select(col("doc_id"), col("vec_id"),
+            reverse(col("embedding")).as("embedding")), "U")
+        run()
+        Seq(ttbl, tmtbl).foreach(s.catalog.refreshTable)
+        val live = TableStore.liveView(TableStore.loadTable(s, ttbl),
+          TableStore.loadTable(s, tmtbl), "doc_id", "epoch")
+        maxSimStoreServeTail(live, p, cent).localCheckpoint(true)
+      } finally rm(dirF)
+    }),
+    // ── extension: SINGLE-CHANGEFEED MULTI-INDEX MAINTENANCE — the
+    //    production capstone over the per-family CDC gates: a corpus
+    //    has ONE op-tagged changefeed, and ALL serving index families
+    //    (vector store, kNN graph, BM25 postings+stats, MinHash
+    //    signature store) advance from it atomically per batch. Batch 1
+    //    INSERTS doc ≡ 5 mod 8; the query is KILLED; the RESTART
+    //    BOUNDARY state of every family's live id set is captured
+    //    (families must be mutually consistent mid-stream — a doc
+    //    deleted from BM25 yet still navigable in the graph is the
+    //    failure this gate exists to catch); a resumed query DELETES
+    //    doc ≡ 7 mod 16 (graph repair + BM25 doc tombstones + NEGATED
+    //    stats rows + signature tombstones) and the final state is
+    //    captured. Output = per-(stage, family) live-set fingerprints;
+    //    the oracle derives both stages' doc sets from the tables alone
+    //    — all four families must land on the SAME count and id-xor at
+    //    both cuts.
+    "q277_multi_index_cdc" -> ((s, dir) => {
+      import graft.sources.TableStore
+      graft.expr.GraftFunctions.register(s)
+      val docs = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("text"))
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+        .where(call_function("vec_dot", col("embedding"), col("embedding")) > 0)
+      val all = docs.join(emb, Seq("doc_id")).localCheckpoint(false)
+      val n = all.count()
+      val nCells = math.max(1L, n / 64L)
+      val cells = all.select(col("doc_id"),
+          pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("doc_id"))),
+            lit(nCells)).as("cid"))
+        .localCheckpoint(false)
+      val init64 = all.where(col("doc_id") < 64).select("doc_id", "embedding")
+      val isNew = pmod(col("doc_id"), lit(8)) === 5
+      val isVic = pmod(col("doc_id"), lit(16)) === 7
+      val base = all.where(!isNew)
+      val vtbl = "graft_q277_vec_store"; val gtbl = "graft_q277_knn_store"
+      val vttbl = "graft_q277_vec_tomb"; val gttbl = "graft_q277_knn_tomb"
+      val btbl = "graft_q277_bm25"; val bttbl = "graft_q277_bm25_tomb"
+      val stbl = "graft_q277_sigs"; val sttbl = "graft_q277_sig_tomb"
+      Seq(vtbl, gtbl, vttbl, gttbl, btbl, btbl + "_stats", bttbl, stbl, sttbl)
+        .foreach(TableStore.dropTable(s, _))
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(base.select("doc_id", "embedding"), "doc_id",
+          "embedding", init64, "doc_id"),
+        vtbl, bucketCols = Seq("cid"), buckets = 8)
+      TableStore.saveBucketed(
+        all.select("doc_id").where(lit(false)), vttbl,
+        bucketCols = Seq("doc_id"), buckets = 8)
+      TableStore.saveBucketed(
+        all.select(col("doc_id").as("probe_id"), lit(0L).as("before_epoch"))
+          .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 8)
+      TableStore.saveBucketed(
+        SimilarityOps.nnDescent(base.select("doc_id", "embedding"), "doc_id",
+          "embedding", SimilarityOps.cellSeedGraph(
+            base.select("doc_id", "embedding"), cells, "doc_id", "embedding",
+            k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
+        gtbl, bucketCols = Seq("probe_id"), buckets = 8)
+      graft.functions.RetrievalOps.bm25IndexAbsorb(
+        base.select("doc_id", "text"), "doc_id", "text", btbl, buckets = 8)
+      TableStore.saveBucketed(
+        all.select("doc_id").where(lit(false)), bttbl,
+        bucketCols = Seq("doc_id"), buckets = 8)
+      TableStore.saveBucketed(
+        DedupOps.minhashStore(base.select(col("doc_id").as("id"), col("text")),
+          "text", "id").withColumn("epoch", lit(0L)),
+        stbl, bucketCols = Seq("band", "band_key"), buckets = 8)
+      TableStore.saveBucketed(
+        all.select(col("doc_id").as("id"), lit(0L).as("before_epoch"))
+          .where(lit(false)), sttbl, bucketCols = Seq("id"), buckets = 8)
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val dirF = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_q277_$uid")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      try {
+        val inDir = new java.io.File(dirF, "in").getAbsolutePath
+        val ckpt = new java.io.File(dirF, "ckpt").getAbsolutePath
+        def feed(df: DataFrame, op: String): Unit = df
+          .select(lit(op).as("op"), col("doc_id"), col("text"), col("embedding"))
+          .repartition(2).write.mode("append").parquet(inDir)
+        def run(): Unit = {
+          import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+          val schema = StructType(Seq(
+            StructField("op", StringType), StructField("doc_id", LongType),
+            StructField("text", StringType)))
+            .add("embedding", emb.schema("embedding").dataType)
+          val in = s.readStream.schema(schema).parquet(inDir)
+          val q = graft.streaming.StreamingOps.multiIndexCdcStream(
+            in, "doc_id", "text", "embedding", "op", gtbl, vtbl, vttbl, gttbl,
+            init64, "doc_id", btbl, bttbl, stbl, sttbl, k = 10,
+            cellAssign = Some(cells), checkpointLocation = Some(ckpt))()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // one live-set fingerprint row per family — all four must agree
+        def famRows(stage: String): DataFrame = {
+          Seq(vtbl, gtbl, vttbl, gttbl, btbl, bttbl, stbl, sttbl)
+            .foreach(s.catalog.refreshTable)
+          def fp(family: String, ids: DataFrame): DataFrame = ids
+            .select(col("id"))
+            .agg(count(lit(1)).as("n_live"),
+              coalesce(call_function("bit_xor",
+                DedupOps.hash60(concat_ws(":", lit("mix"), col("id")))),
+                lit(0L)).as("id_xor"))
+            .select(lit(stage).as("stage"), lit(family).as("family"),
+              col("n_live"), col("id_xor"))
+          fp("bm25", TableStore.loadTable(s, btbl)
+              .join(TableStore.loadTable(s, bttbl), Seq("doc_id"), "left_anti")
+              .select(col("doc_id").as("id")).distinct())
+            .unionByName(fp("knn_graph", SimilarityOps.liveKnnGraph(
+              TableStore.liveView(TableStore.loadTable(s, gtbl),
+                TableStore.loadTable(s, gttbl), "probe_id", "epoch"))
+              .select(col("probe_id").as("id")).distinct()))
+            .unionByName(fp("sigs", DedupOps.liveStore(
+              TableStore.loadTable(s, stbl), TableStore.loadTable(s, sttbl))
+              .select(col("id")).distinct()))
+            .unionByName(fp("vec_store", TableStore.loadTable(s, vtbl)
+              .join(TableStore.loadTable(s, vttbl), Seq("doc_id"), "left_anti")
+              .select(col("doc_id").as("id")).distinct()))
+            .localCheckpoint(true)
+        }
+        // batch 1: inserts land in EVERY family, then the query STOPS —
+        // the fingerprint here IS the restart-boundary consistency claim
+        feed(all.where(isNew), "I")
+        run()
+        val afterInsert = famRows("after_insert")
+        // resume from the checkpoint: the delete wave (graph repair,
+        // BM25 doc tombstones + negated stats, signature tombstones)
+        feed(all.where(isVic), "D")
+        run()
+        val fin = famRows("final")
+        val out = afterInsert.unionByName(fin)
+          .orderBy("stage", "family").localCheckpoint(true)
+        graft.functions.GraphOps.releaseLocalCheckpoint(afterInsert)
+        graft.functions.GraphOps.releaseLocalCheckpoint(fin)
+        out
+      } finally rm(dirF)
     }),
     // ── extension: PQ-COMPRESSED MaxSim candidate generation — the
     //    memory story of PLAID's stage 1 (Santhanam CIKM'22 §2.2 keeps
@@ -4903,6 +5082,77 @@ object SparkEntry {
         cb, 4, 64)
       val hits = graft.functions.PqOps.pqTopK(codes, p, "vec_id", "embedding",
         cb, m = 4, dim = 64, k = 4, corpusIdCol = "vec_id")
+      val cand = hits.select(expr("probe_id div 5").as("probe_id"),
+        expr("nbr_id div 5").as("doc_id")).distinct()
+      val served = SimilarityOps.maxSimRerank(c, p, cand, "doc_id", "doc_id",
+        "vec_id", "embedding", k = 5)
+      val exact = SimilarityOps.maxSimTopK(c, p, "doc_id", "doc_id", "vec_id",
+        "embedding", k = 5)
+        .select(col("probe_id"), col("doc_id"), lit(true).as("hit"))
+      served.join(exact, Seq("probe_id", "doc_id"), "left")
+        .select(col("probe_id"), col("doc_id"), col("score_micro"), col("rank"),
+          coalesce(col("hit"), lit(false)).as("hit"))
+        .orderBy("probe_id", "rank")
+    }),
+    // ── extension: PQ STAGE-1 RECALL ON CLUSTERED VECTORS — q272's
+    //    exact pipeline re-cut onto the [[clusteredEmb]] fixture. The
+    //    random-vector q272 row (4/20) is PQ's adversarial LOWER bound;
+    //    this gate measures the structured case a real embedding space
+    //    presents (8 sign-pattern clusters, ±0.25 jitter) at the
+    //    IDENTICAL candidate budget — the hit column IS the ladder row
+    //    that decides whether PQ stage 1 is deployable.
+    "q278_maxsim_pq_clustered" -> ((s, dir) => {
+      val emb = clusteredEmb(s, dir)
+        .select(expr("vec_id div 5").as("doc_id"), col("vec_id"), col("embedding"))
+      val c = emb.where(col("doc_id") >= 4)
+      val p = emb.where(col("doc_id") < 4)
+      val init = c.where(col("vec_id") < 36)
+      val cb = graft.functions.PqOps.pqCodebook(c, "vec_id", "embedding",
+        init, "vec_id", m = 4, dim = 64, lloydRounds = 1)
+      val codes = graft.functions.PqOps.pqEncode(c, "vec_id", "embedding",
+        cb, 4, 64)
+      val hits = graft.functions.PqOps.pqTopK(codes, p, "vec_id", "embedding",
+        cb, m = 4, dim = 64, k = 4, corpusIdCol = "vec_id")
+      val cand = hits.select(expr("probe_id div 5").as("probe_id"),
+        expr("nbr_id div 5").as("doc_id")).distinct()
+      val served = SimilarityOps.maxSimRerank(c, p, cand, "doc_id", "doc_id",
+        "vec_id", "embedding", k = 5)
+      val exact = SimilarityOps.maxSimTopK(c, p, "doc_id", "doc_id", "vec_id",
+        "embedding", k = 5)
+        .select(col("probe_id"), col("doc_id"), lit(true).as("hit"))
+      served.join(exact, Seq("probe_id", "doc_id"), "left")
+        .select(col("probe_id"), col("doc_id"), col("score_micro"), col("rank"),
+          coalesce(col("hit"), lit(false)).as("hit"))
+        .orderBy("probe_id", "rank")
+    }),
+    // ── extension: IVF-RESIDUAL PQ (IVFADC) as MaxSim stage 1 — the
+    //    Jégou et al. TPAMI'11 §IV decomposition [[graft.functions
+    //    .PqOps.ivfPqTopK]] already implements (coarse cosine cells,
+    //    PQ on RESIDUALS, per-(probe, cell) ADC tables) wired into the
+    //    PLAID stage-1 slot on the clustered fixture: residual encoding
+    //    removes the cluster-center component the plain q278 codebook
+    //    must spend codewords on, so the 4 codes/token budget covers
+    //    only the ±0.25 jitter — the variant that decides whether PQ's
+    //    compression loss was structure-blindness or quantization.
+    //    Candidate budget matches q270/q272 (top-4 tokens per query
+    //    token; 11 of 44 cells probed = the q270 ¼ fraction).
+    "q279_maxsim_ivfpq_residual" -> ((s, dir) => {
+      val emb = clusteredEmb(s, dir)
+        .select(expr("vec_id div 5").as("doc_id"), col("vec_id"), col("embedding"))
+      val c = emb.where(col("doc_id") >= 4)
+      val p = emb.where(col("doc_id") < 4)
+      val cent = c.where(col("vec_id") < 64).select("vec_id", "embedding")
+      val hits = graft.functions.PqOps.ivfPqTopK(
+        c.select("vec_id", "embedding"), p.select("vec_id", "embedding"),
+        "vec_id", "vec_id", "embedding", cent, "vec_id",
+        // 64 codewords per subspace (6-bit codes — a token is still 4
+        // small ints): on structured vectors the finer jitter
+        // quantization buys 8→18 of 20 hits; on the random fixture NO
+        // codebook size helps (4/20 at 16 and at 64 codewords) — the
+        // measurement that separates structure-blindness from
+        // quantization loss (BASELINE round-16 ladder)
+        pqInitIds = c.where(col("vec_id") < 84).select("vec_id"),
+        m = 4, dim = 64, k = 4, nProbe = 11, lloydRounds = 1)
       val cand = hits.select(expr("probe_id div 5").as("probe_id"),
         expr("nbr_id div 5").as("doc_id")).distinct()
       val served = SimilarityOps.maxSimRerank(c, p, cand, "doc_id", "doc_id",
@@ -6356,6 +6606,41 @@ object SparkEntry {
       // IS q270's serving replay (the q217 parity convention)
       ("q273_maxsim_store_absorb" ->
         oracleSqlBase("q270_maxsim_store_serve")) +
+      // token-store CDC (delete + shared-epoch re-embed, kill/resume):
+      // q270's serving replay over the FINAL corpus — final vectors for
+      // scoring/assignment, frozen original centroids for probing
+      ("q276_maxsim_token_cdc" -> q276OracleSql) +
+      // single-changefeed multi-index: every family's live id set must
+      // equal the changefeed-derived doc set at BOTH cuts (the restart
+      // boundary after the kill, and the final state) — the oracle
+      // derives the two sets from the tables alone; the four families
+      // sharing one (n_live, id_xor) row IS the consistency law
+      ("q277_multi_index_cdc" ->
+        """WITH corpus AS (
+           SELECT d.doc_id FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+           WHERE length(trim(d.text)) > 0
+             AND list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)) > 0),
+         st1 AS (SELECT doc_id FROM corpus),
+         st2 AS (SELECT doc_id FROM corpus WHERE doc_id % 16 <> 7),
+         fam(family) AS (VALUES ('bm25'), ('knn_graph'), ('sigs'), ('vec_store')),
+         agg1 AS (SELECT count(*) AS n_live,
+             coalesce(bit_xor(CAST('0x'||substr(md5('mix:'||doc_id),1,15) AS BIGINT)), 0) AS id_xor
+           FROM st1),
+         agg2 AS (SELECT count(*) AS n_live,
+             coalesce(bit_xor(CAST('0x'||substr(md5('mix:'||doc_id),1,15) AS BIGINT)), 0) AS id_xor
+           FROM st2)
+         SELECT 'after_insert' AS stage, family, n_live, id_xor FROM fam, agg1
+         UNION ALL
+         SELECT 'final' AS stage, family, n_live, id_xor FROM fam, agg2
+         ORDER BY stage, family""") +
+      // PQ recall on structured vectors: q272's replay over the
+      // clustered fixture (plain codes COLLAPSE under cluster ties —
+      // the ladder's structure-hurts-plain-PQ row)
+      ("q278_maxsim_pq_clustered" -> q278OracleSql) +
+      // IVF-residual PQ (IVFADC) stage 1 on the clustered fixture:
+      // residual codes at 64 codewords/sub recover 18/20 where plain
+      // codes collapse — quantization loss vs structure-blindness
+      ("q279_maxsim_ivfpq_residual" -> q279OracleSql) +
       // re-embed UPDATE (Delete + Insert of the same id, versioned
       // vector store): delete-repair replayed over the ORIGINAL cosine
       // table, re-absorb + fresh-rebuild tail over the UPDATED one
@@ -6569,6 +6854,57 @@ object SparkEntry {
       when(isUpd, reverse(col("embedding")))
         .otherwise(col("embedding")).as("embedding"))
     KnnCdcFixture(emb, cells, init64, isUpd, updEmb, vtbl, gtbl, vttbl, gttbl)
+  }
+
+  /** CLUSTERED embedding fixture for the PQ recall gates (q278/q279):
+    * vec_id ≡ g mod 8 assigns each token to one of 8 clusters whose
+    * center is a deterministic ±1 sign pattern (hash60-derived, both
+    * engines replay it); the original random embedding shrinks to ±0.25
+    * jitter around the center. The driver's random vectors are PQ's
+    * ADVERSARIAL case (no structure for the codebook to learn — the
+    * q272 ladder's labeled lower bound); real embedding spaces cluster,
+    * and THIS fixture is the structured case the deployability question
+    * needs. All arithmetic in double (0.25 is exact), so the fixture is
+    * bit-identical across engines. */
+  private def clusteredEmb(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings").select(col("vec_id"),
+      zip_with(
+        transform(sequence(lit(0), lit(63)), i =>
+          when(pmod(DedupOps.hash60(concat_ws(":", lit("clu"),
+            pmod(expr("vec_id div 5"), lit(8)), i)), lit(2)) === 0, lit(1.0))
+            .otherwise(lit(-1.0))),
+        col("embedding"),
+        (b, x) => b + lit(0.25) * x.cast("double")).as("embedding"))
+
+  /** Shared serving tail of the MaxSim token-store gates (q270/q273/
+    * q276): the PLAID read path over a persisted IVF token store with a
+    * doc_id carry column — store-served token ANN (top-¼ cells, top-4
+    * tokens per query token) → carry-col candidate docs → exact MaxSim
+    * rerank re-expanding ONLY candidate docs' tokens from the store —
+    * plus hit flags vs the exact MaxSim top-5 computed from the same
+    * store view. One definition so the absorb (q273) and CDC (q276)
+    * gates serve through the IDENTICAL read path they share with the
+    * build gate (q270) whose oracle law they extend. */
+  private def maxSimStoreServeTail(store: DataFrame, p: DataFrame,
+                                   cent: DataFrame): DataFrame = {
+    val hits = SimilarityOps.ivfSearchStore(store, p, cent, "vec_id",
+      "vec_id", "vec_id", "embedding", k = 4,
+      probeFraction = 0.25, minProbe = 2)
+    val cand = hits
+      .join(store.select(col("vec_id").as("nbr_id"), col("doc_id")),
+        Seq("nbr_id"))
+      .select(expr("probe_id div 5").as("probe_id"), col("doc_id"))
+      .distinct()
+    val served = SimilarityOps.maxSimRerank(
+      store.select("doc_id", "embedding"), p, cand,
+      "doc_id", "doc_id", "vec_id", "embedding", k = 5)
+    val exact = SimilarityOps.maxSimTopK(store.select("doc_id", "embedding"),
+      p, "doc_id", "doc_id", "vec_id", "embedding", k = 5)
+      .select(col("probe_id"), col("doc_id"), lit(true).as("hit"))
+    served.join(exact, Seq("probe_id", "doc_id"), "left")
+      .select(col("probe_id"), col("doc_id"), col("score_micro"), col("rank"),
+        coalesce(col("hit"), lit(false)).as("hit"))
+      .orderBy("probe_id", "rank")
   }
 
   private def knnStoreGateTail(s: SparkSession, emb: DataFrame,
@@ -13712,7 +14048,7 @@ object SparkEntry {
            FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w$i)
            WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
          b$j AS MATERIALIZED (SELECT l, r, cnt,
-             CAST((cnt * 1000000000) // (sl.c * sr.c) AS BIGINT) AS score_nano
+             CAST((CAST(cnt AS HUGEINT) * 1000000000) // (CAST(sl.c AS HUGEINT) * sr.c) AS BIGINT) AS score_nano
            FROM p$j p JOIN s$i sl ON sl.s = p.l JOIN s$i sr ON sr.s = p.r
            ORDER BY score_nano DESC, l, r LIMIT 1),
          w$j AS (SELECT f, list_filter(list_transform(range(1, len(syms)+1), i ->
@@ -13721,6 +14057,206 @@ object SparkEntry {
                   ELSE syms[i] END), x -> x IS NOT NULL) AS syms
            FROM w$i CROSS JOIN b$j b)"""
       }.mkString + ",\n         "
+
+  /** Clustered-fixture CTE shared by the q278/q279 oracles — the SQL
+    * replay of [[clusteredEmb]] (8 hash-derived ±1 sign-pattern cluster
+    * centers keyed on the DOCUMENT, ±0.25 jitter from the original
+    * random embedding; all double, bit-identical across engines). */
+  private val clusteredEmbCte: String =
+    """cemb AS MATERIALIZED (SELECT vec_id,
+      list_transform(range(0, 64), i ->
+        CASE WHEN CAST('0x'||substr(md5('clu:'||((vec_id // 5) % 8)||':'||i),1,15) AS BIGINT) % 2 = 0
+             THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+        + 0.25 * CAST(embedding[i+1] AS DOUBLE)) AS embedding
+    FROM embeddings)"""
+
+  /** q278 oracle: the q272 PQ replay verbatim, re-pointed at the
+    * clustered fixture (every corpus read swaps to the cemb CTE). */
+  private def q278OracleSql: String =
+    "WITH " + clusteredEmbCte + ",\n         " +
+      oracleSqlBase("q272_maxsim_pq_candidates")
+        .replace("FROM embeddings", "FROM cemb")
+        .stripPrefix("WITH ")
+
+  /** q279 oracle: IVF-residual PQ (IVFADC) as MaxSim stage 1 over the
+    * clustered fixture — coarse cosine cells (the frozen vec<64 corpus-
+    * token quantizer), PQ codebook trained on RESIDUALS (64 codewords
+    * per subspace, one Lloyd round from the vec<84 init), per-(probe,
+    * cell) ADC tables over the 11 probed cells, then the q272 MaxSim
+    * candidate/rerank/hit tail. */
+  private def q279OracleSql: String =
+    "WITH " + clusteredEmbCte + """,
+         tok AS (SELECT CAST(floor(vec_id / 5) AS BIGINT) AS doc_id, vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i] * embedding[i]))) AS n
+           FROM cemb),
+         live AS (SELECT * FROM tok WHERE n > 0),
+         c AS (SELECT * FROM live WHERE doc_id >= 4),
+         p AS (SELECT * FROM live WHERE doc_id < 4),
+         cs AS MATERIALIZED (SELECT p.doc_id AS probe_id, p.vec_id AS tok,
+             c.doc_id AS did, c.vec_id AS ctok,
+             list_sum(list_transform(range(1, 65), i -> c.embedding[i] * p.embedding[i]))
+             / (c.n * p.n) AS cos
+           FROM c, p),
+         ms AS (SELECT probe_id, tok, did,
+             CAST(round(max(cos) * 1000000) AS BIGINT) AS msm
+           FROM cs GROUP BY 1, 2, 3),
+         sc AS MATERIALIZED (SELECT probe_id, did AS doc_id,
+             CAST(sum(msm) AS BIGINT) AS score_micro
+           FROM ms GROUP BY 1, 2),
+         cent AS (SELECT vec_id AS cid, embedding AS cv, n AS cn
+           FROM c WHERE vec_id < 64),
+         asn AS MATERIALIZED (SELECT vec_id, embedding, cid, cv FROM (
+             SELECT v.vec_id, v.embedding, ct.cid, ct.cv,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 65), i -> v.embedding[i] * ct.cv[i])) / (v.n * ct.cn) DESC,
+                 ct.cid) AS rn
+             FROM c v, cent ct) WHERE rn = 1),
+         res AS MATERIALIZED (SELECT vec_id, cid AS ccid,
+             list_transform(range(1, 65), i -> embedding[i] - cv[i]) AS r
+           FROM asn),
+         subs AS (SELECT unnest(range(0, 4)) AS sub),
+         rsv AS MATERIALIZED (SELECT res.vec_id, res.ccid, s.sub,
+             res.r[(s.sub*16+1):(s.sub*16+16)] AS sv
+           FROM res CROSS JOIN subs s),
+         rcb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM rsv WHERE vec_id < 84),
+         ra0 AS (SELECT vec_id, sub, cid, sv FROM (
+             SELECT v.vec_id, v.sub, v.sv, cb.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+                 list_sum(list_transform(range(1, 17), i -> v.sv[i] * cb.cv[i]))
+                 - CAST(0.5 AS DOUBLE) * list_sum(list_transform(range(1, 17), i -> cb.cv[i] * cb.cv[i])) DESC,
+                 cb.cid) AS rn
+             FROM rsv v JOIN rcb0 cb ON cb.sub = v.sub) WHERE rn = 1),
+         rex AS (SELECT sub, cid, unnest(sv) AS x, unnest(range(1, 17)) AS pos FROM ra0),
+         rcb AS MATERIALIZED (SELECT sub, cid, list(mx ORDER BY pos) AS cv FROM
+             (SELECT sub, cid, pos, avg(x) AS mx FROM rex GROUP BY 1, 2, 3) GROUP BY sub, cid),
+         renc AS MATERIALIZED (SELECT vec_id, ccid, sub, cid FROM (
+             SELECT v.vec_id, v.ccid, v.sub, cb.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+                 list_sum(list_transform(range(1, 17), i -> v.sv[i] * cb.cv[i]))
+                 - CAST(0.5 AS DOUBLE) * list_sum(list_transform(range(1, 17), i -> cb.cv[i] * cb.cv[i])) DESC,
+                 cb.cid) AS rn
+             FROM rsv v JOIN rcb cb ON cb.sub = v.sub) WHERE rn = 1),
+         pc AS MATERIALIZED (SELECT vec_id AS probe_id, cid AS ccid, cv, embedding AS pv FROM (
+             SELECT v.vec_id, v.embedding, ct.cid, ct.cv,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 65), i -> v.embedding[i] * ct.cv[i])) / (v.n * ct.cn) DESC,
+                 ct.cid) AS rn
+             FROM p v, cent ct) WHERE rn <= 11),
+         pres AS (SELECT probe_id, ccid,
+             list_transform(range(1, 65), i -> pv[i] - cv[i]) AS qr
+           FROM pc),
+         psv AS (SELECT probe_id, ccid, s.sub, qr[(s.sub*16+1):(s.sub*16+16)] AS sv
+           FROM pres CROSS JOIN subs s),
+         dt AS MATERIALIZED (SELECT pb.probe_id, pb.ccid, pb.sub, cb.cid,
+             list_sum(list_transform(range(1, 17), i -> pb.sv[i] * pb.sv[i]))
+             - CAST(2 AS DOUBLE) * list_sum(list_transform(range(1, 17), i -> pb.sv[i] * cb.cv[i]))
+             + list_sum(list_transform(range(1, 17), i -> cb.cv[i] * cb.cv[i])) AS d
+           FROM psv pb JOIN rcb cb ON cb.sub = pb.sub),
+         dj AS (SELECT t.probe_id, e.vec_id AS nbr_id,
+             list_sum(list(t.d ORDER BY t.sub)) AS dist
+           FROM renc e JOIN dt t ON t.ccid = e.ccid AND t.sub = e.sub AND t.cid = e.cid
+           WHERE e.vec_id <> t.probe_id GROUP BY 1, 2),
+         hits AS (SELECT probe_id, nbr_id FROM (
+             SELECT probe_id, nbr_id, row_number() OVER (
+               PARTITION BY probe_id ORDER BY dist ASC, nbr_id) AS rn FROM dj)
+           WHERE rn <= 4),
+         cand AS (SELECT DISTINCT CAST(floor(probe_id / 5) AS BIGINT) AS probe_id,
+             CAST(floor(nbr_id / 5) AS BIGINT) AS doc_id FROM hits),
+         scp AS (SELECT sc.probe_id, sc.doc_id, sc.score_micro
+           FROM sc JOIN cand USING (probe_id, doc_id)),
+         rkp AS (SELECT probe_id, doc_id, score_micro,
+            CAST(row_number() OVER (PARTITION BY probe_id
+              ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           FROM scp),
+         exact AS (SELECT probe_id, doc_id FROM (
+            SELECT probe_id, doc_id,
+              row_number() OVER (PARTITION BY probe_id
+                ORDER BY score_micro DESC, doc_id) AS rn
+            FROM sc) WHERE rn <= 5)
+         SELECT pr.probe_id, pr.doc_id, pr.score_micro, pr.rank,
+           (e.doc_id IS NOT NULL) AS hit
+         FROM rkp pr LEFT JOIN exact e ON pr.probe_id = e.probe_id
+           AND pr.doc_id = e.doc_id
+         WHERE pr.rank <= 5 ORDER BY pr.probe_id, pr.rank"""
+
+  /** q276 oracle: q270's store-served MaxSim replay over the FINAL
+    * corpus of the CDC gate — deletions (doc %5 ≡ 3) removed, re-embeds
+    * (doc %5 ≡ 4) reversed. Two cosine tables where q270 has one: the
+    * serving/scoring side runs against the FINAL vectors (`cfin` — what
+    * the live store holds), while the quantizer side keeps the ORIGINAL
+    * vectors (`corig WHERE vec_id < 64` — the centroid frame is frozen
+    * at base-build time, so cell probing and the np planning scalar
+    * never see an update). Store-token cell assignment crosses the two:
+    * each row lands under the vector it carried (final) scored against
+    * the frozen centroids (original). */
+  private def q276OracleSql: String =
+    """WITH tok AS (
+           SELECT CAST(floor(vec_id / 5) AS BIGINT) AS doc_id, vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+           FROM embeddings),
+         live AS (SELECT * FROM tok WHERE n > 0),
+         corig AS (SELECT * FROM live WHERE doc_id >= 4),
+         p AS (SELECT * FROM live WHERE doc_id < 4),
+         cfin AS MATERIALIZED (SELECT doc_id, vec_id,
+             CASE WHEN doc_id % 5 = 4 THEN list_reverse(embedding)
+                  ELSE embedding END AS embedding,
+             n FROM corig WHERE doc_id % 5 <> 3),
+         cs AS MATERIALIZED (SELECT p.doc_id AS probe_id, p.vec_id AS tok,
+             c.doc_id AS did, c.vec_id AS ctok,
+             list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+             / (c.n * p.n) AS cos
+           FROM cfin c, p),
+         ms AS (SELECT probe_id, tok, did,
+             CAST(round(max(cos) * 1000000) AS BIGINT) AS msm
+           FROM cs GROUP BY 1, 2, 3),
+         sc AS MATERIALIZED (SELECT probe_id, did AS doc_id,
+             CAST(sum(msm) AS BIGINT) AS score_micro
+           FROM ms GROUP BY 1, 2),
+         cc AS MATERIALIZED (SELECT a.vec_id AS t, b.vec_id AS ccid,
+             list_sum(list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.n * b.n) AS cos
+           FROM cfin a JOIN corig b ON b.vec_id < 64),
+         casn AS MATERIALIZED (SELECT t, ccid AS cid FROM (
+             SELECT t, ccid, row_number() OVER (PARTITION BY t
+               ORDER BY cos DESC, ccid) AS rn FROM cc) WHERE rn = 1),
+         ncent AS (SELECT greatest(2, CAST(ceil(0.25 * count(DISTINCT ccid)) AS BIGINT)) AS np
+           FROM cc),
+         csc AS (SELECT p.vec_id AS tok, b.vec_id AS ccid,
+             list_sum(list_transform(range(1, len(b.embedding)+1),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+             / (b.n * p.n) AS cos
+           FROM (SELECT * FROM corig WHERE vec_id < 64) b, p),
+         ppc AS MATERIALIZED (SELECT tok, ccid AS cid FROM (
+             SELECT tok, ccid, cos, row_number() OVER (PARTITION BY tok
+               ORDER BY cos DESC, ccid) AS rn
+             FROM csc) WHERE rn <= (SELECT np FROM ncent)),
+         hits AS MATERIALIZED (SELECT tok, ctok FROM (
+             SELECT cs.tok, cs.ctok, cs.cos, row_number() OVER (
+               PARTITION BY cs.tok ORDER BY cs.cos DESC, cs.ctok) AS rn
+             FROM cs JOIN casn ON casn.t = cs.ctok
+               JOIN ppc ON ppc.tok = cs.tok AND ppc.cid = casn.cid)
+           WHERE rn <= 4),
+         cand AS (SELECT DISTINCT CAST(floor(tok / 5) AS BIGINT) AS probe_id,
+             CAST(floor(ctok / 5) AS BIGINT) AS doc_id FROM hits),
+         scp AS (SELECT sc.probe_id, sc.doc_id, sc.score_micro
+           FROM sc JOIN cand USING (probe_id, doc_id)),
+         rkp AS (SELECT probe_id, doc_id, score_micro,
+            CAST(row_number() OVER (PARTITION BY probe_id
+              ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           FROM scp),
+         exact AS (SELECT probe_id, doc_id FROM (
+            SELECT probe_id, doc_id,
+              row_number() OVER (PARTITION BY probe_id
+                ORDER BY score_micro DESC, doc_id) AS rn
+            FROM sc) WHERE rn <= 5)
+         SELECT p.probe_id, p.doc_id, p.score_micro, p.rank,
+           (e.doc_id IS NOT NULL) AS hit
+         FROM rkp p LEFT JOIN exact e ON p.probe_id = e.probe_id
+           AND p.doc_id = e.doc_id
+         WHERE p.rank <= 5 ORDER BY p.probe_id, p.rank"""
 
   /** Shared CTE prefix of the q264/q265 MaxSim oracles: the 5-token
     * document grouping of the embeddings table, all query-token ×

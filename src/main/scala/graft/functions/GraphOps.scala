@@ -119,6 +119,22 @@ object GraphOps {
           .select(col("id"),
             coalesce(col("__r0"), lit(1.0) / col("__n")).as("r"))
     }).coalesce(parts).localCheckpoint(false)
+    // Per-iteration EAGER checkpoint + predecessor release bounds the
+    // peak to the edge cache plus ≤2 node-sized frames — at 60M edges
+    // the difference between running at the default 8g harness heap and
+    // UNABLE_TO_ACQUIRE_MEMORY (the q256 sf10 OOM). But the eager
+    // materialization is a synchronous job per iteration, pure overhead
+    // when the lazy chain's pinned set (~2·iters+1 node frames, ~64 B a
+    // checkpointed row) fits comfortably: at sf0.1 the unconditional
+    // form cost q256 1.6× wall for a peak that was never at risk. So
+    // the trade is CONDITIONAL on the measured node count vs the actual
+    // heap — eager only when the lazy estimate threatens a quarter of
+    // max heap (≈ the unified manager's protected storage fraction);
+    // otherwise one lazy cascade, with every intermediate released
+    // AFTER the final frame materializes (same ≤1-pinned-RDD exit).
+    val lazyPinnedEst = n * (2L * iters + 1L) * 64L
+    val eager = lazyPinnedEst > Runtime.getRuntime.maxMemory / 4
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
     for (_ <- 1 to iters) {
       // rank ⋈ out-degree once per iteration, shared by the dangling-mass
       // aggregate and the contribution join via the (lazy) checkpoint
@@ -127,26 +143,34 @@ object GraphOps {
         .agg(coalesce(sum("r"), lit(0.0)).as("__dm"))
       val contrib = e.join(rd.where(col("deg").isNotNull), e("s") === rd("id"))
         .groupBy(e("d").as("id")).agg(sum(col("r") / col("deg")).as("c"))
-      // EAGER successor checkpoint, then release the iteration's frames:
-      // a lazy chain materializes every iteration's rd/ranks blocks in
-      // one cascade at the end and PINS them all simultaneously — at 60M
-      // edges that multiplied the heap footprint ~iters× (the q256 sf10
-      // OOM at the default 8g harness heap). With per-iteration release
-      // the peak holds the edge cache plus ≤2 node-sized frames.
       val next = nodes.join(contrib, Seq("id"), "left")
         .crossJoin(dangling).crossJoin(nAgg)
         .select(col("id"),
           (lit(1.0 - damping) / col("__n") +
             lit(damping) * (coalesce(col("c"), lit(0.0)) + col("__dm") / col("__n"))).as("r"))
-        .coalesce(parts).localCheckpoint(true)
-      releaseLocalCheckpoint(ranks)
-      releaseLocalCheckpoint(rd)
+        .coalesce(parts).localCheckpoint(eager)
+      if (eager) {
+        releaseLocalCheckpoint(ranks)
+        releaseLocalCheckpoint(rd)
+      } else {
+        inter += rd
+        inter += next
+      }
       ranks = next
+    }
+    // Eager mode already materialized the final frame; lazy mode runs
+    // the single cascade here, then drops every intermediate checkpoint:
+    // the call exits with exactly one pinned RDD — the returned ranks —
+    // in either mode.
+    val out = if (eager) ranks else {
+      val o = ranks.localCheckpoint(true)
+      inter.foreach(releaseLocalCheckpoint)
+      o
     }
     e.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    ranks
+    out
   }
 
   /** WEIGHTED PageRank — the random surfer follows edge u→v with
@@ -183,6 +207,7 @@ object GraphOps {
     var ranks = nodes.crossJoin(nAgg)
       .select(col("id"), (lit(1.0) / col("__n")).as("r"))
       .coalesce(parts).localCheckpoint(false)
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
     for (_ <- 1 to iters) {
       val rd = ranks.join(wsum, Seq("id"), "left").coalesce(parts).localCheckpoint(false)
       val dangling = rd.where(col("ws").isNull)
@@ -195,8 +220,11 @@ object GraphOps {
           (lit(1.0 - damping) / col("__n") +
             lit(damping) * (coalesce(col("c"), lit(0.0)) + col("__dm") / col("__n"))).as("r"))
         .coalesce(parts).localCheckpoint(false)
+      inter += rd
+      inter += ranks
     }
     val out = ranks.localCheckpoint(true)
+    inter.foreach(releaseLocalCheckpoint) // ≤1 pinned RDD after return
     e.unpersist(blocking = false)
     wsum.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
@@ -250,6 +278,7 @@ object GraphOps {
       .coalesce(parts).localCheckpoint(false)
     var ranks = pvec.select(col("id"), col("p").as("r"))
       .coalesce(parts).localCheckpoint(false)
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame](pvec, ranks)
     for (_ <- 1 to iters) {
       val rd = ranks.join(deg, Seq("id"), "left").coalesce(parts).localCheckpoint(false)
       val dangling = rd.where(col("deg").isNull)
@@ -262,8 +291,11 @@ object GraphOps {
           (lit(1.0 - damping) * col("p") +
             lit(damping) * (coalesce(col("c"), lit(0.0)) + col("__dm") * col("p"))).as("r"))
         .coalesce(parts).localCheckpoint(false)
+      inter += rd
+      inter += ranks
     }
     val out = ranks.localCheckpoint(true)
+    inter.foreach(releaseLocalCheckpoint) // ≤1 pinned RDD after return
     e.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)

@@ -268,6 +268,66 @@ object RetrievalOps {
     spark.catalog.refreshTable(dst + "_stats")
   }
 
+  /** DELETE leg of the persisted BM25 index — the takedown path the
+    * append-only postings lifecycle (build q213 / absorb q217 / compact
+    * q221) was missing. Two delta-sized appends, NO postings rewrite:
+    *
+    *   - the deleted ids land as plain (doc_id) rows in a doc-keyed
+    *     TOMBSTONE table ([[bm25SearchStoreLive]] anti-joins them out —
+    *     the epoch-less layout of the q263 vector store; a deleted doc
+    *     id must not re-insert, the versioned-store story is the
+    *     vector/token families');
+    *   - the corpus stats absorb a NEGATED (−n_docs, −sum_dl) stats row
+    *     computed from the deleted docs' text (CDC delete events carry
+    *     the before-image), so the integer stats SUM recomposes the
+    *     FINAL corpus's exact (N, avgdl) — the same mergeability that
+    *     makes absorb order invisible makes deletion a negative merge.
+    *
+    * Caller must pass the docs' ORIGINAL text (the tokenization must
+    * reproduce the rows the absorb landed, or the stats drift). */
+  def bm25IndexDelete(docs: DataFrame, idCol: String, textCol: String,
+                      table: String, tombTable: String,
+                      buckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val (_, stats) = postingsOf(docs, idCol, textCol)
+    graft.sources.TableStore.saveBucketed(
+      docs.where(length(trim(col(textCol))) > 0)
+        .select(col(idCol).as("doc_id")).distinct(),
+      tombTable, Seq("doc_id"), buckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    stats.select((-col("n_docs")).as("n_docs"), (-col("sum_dl")).as("sum_dl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(table + "_stats")
+    spark.catalog.refreshTable(tombTable)
+    spark.catalog.refreshTable(table + "_stats")
+  }
+
+  /** [[bm25SearchStore]] over a DELETE-AWARE store: postings anti-join
+    * the doc-keyed tombstones before any scoring, document frequencies
+    * count live postings only, and the stats sum already nets out the
+    * deleted docs' negated rows — scores are EXACTLY [[bm25TopK]] over
+    * the final (post-deletion) corpus. Scale shape: the tombstone side
+    * is delta-sized (AQE-broadcast), keyed on the 8-byte doc id; the
+    * vocabulary prune still reaches the term-bucketed scan first. */
+  def bm25SearchStoreLive(spark: org.apache.spark.sql.SparkSession,
+                          table: String, tombTable: String,
+                          queries: Seq[(Int, Seq[String])], k: Int,
+                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val vocab = queries.flatMap(_._2).distinct.sorted
+    val tomb = spark.table(tombTable)
+    val post = spark.table(table).where(col("term").isin(vocab: _*))
+      .join(tomb, Seq("doc_id"), "left_anti")
+    val stats = spark.table(table + "_stats")
+      .agg(sum("n_docs").cast("double").as("n_docs"),
+        (sum("sum_dl").cast("double") / sum("n_docs").cast("double")).as("avgdl"))
+    val dfreq = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val queryTerms = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "qterm")
+    scoreAndRank(post, dfreq, stats, queryTerms, k, k1, b)
+  }
+
   /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher, SIGIR 2009) —
     * the standard hybrid-retrieval merge: given N ranked lists for the
     * same queries (BM25, dense ANN, a recency/authority prior …), each

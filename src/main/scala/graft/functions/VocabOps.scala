@@ -235,6 +235,7 @@ object VocabOps {
         filter(split(col(wordCol), ""), x => length(x) > 0).as("syms"))
       .localCheckpoint(false)
     var acc: DataFrame = null
+    var prevWs: DataFrame = null
     for (step <- 1 to merges) {
       val pairs = ws
         .select(col("f"), explode(zip_with(
@@ -261,10 +262,18 @@ object VocabOps {
             lit(null))
           .otherwise(element_at(col("syms"), i))),
         x => x.isNotNull)
-      ws = ws.crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
-        .select(col("f"), rewritten.as("syms"))
-        .localCheckpoint(false)
+      // The eager `best` above just materialized this round's ws blocks,
+      // making the PREVIOUS round's frame dead weight — release it now,
+      // not at exit (the pageRank/CC per-round discipline: a deep merge
+      // budget would otherwise pin one word-table frame per round).
+      if (prevWs != null) GraphOps.releaseLocalCheckpoint(prevWs)
+      prevWs = ws
+      if (step < merges) // the last rewrite has no consumer — skip it
+        ws = ws.crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
+          .select(col("f"), rewritten.as("syms"))
+          .localCheckpoint(false)
     }
+    GraphOps.releaseLocalCheckpoint(ws) // acc holds only 1-row eager frames
     acc.select(col("step"), col("lhs"), col("rhs"), col("cnt"))
   }
 
@@ -297,6 +306,7 @@ object VocabOps {
         filter(split(col(wordCol), ""), x => length(x) > 0).as("syms"))
       .localCheckpoint(false)
     var acc: DataFrame = null
+    var prevWs: DataFrame = null
     for (step <- 1 to merges) {
       val symFreq = ws.select(col("f"), explode(col("syms")).as("s"))
         .groupBy("s").agg(sum("f").as("c"))
@@ -310,11 +320,22 @@ object VocabOps {
         .agg(sum("f").as("cnt"))
       // eager 1-row checkpoint: consumed by both the merge table and the
       // rewrite (the bpeMerges discipline)
+      // Score in DECIMAL(38,0): for ANY bigint inputs, cnt·scale ≤
+      // ~9.2e27 and cl·cr ≤ ~8.5e37 both fit exactly, so the floor
+      // division can never wrap (bigint `cnt * scale` overflows past
+      // cnt ~9.2e9 and, under Spark's non-ANSI arithmetic, would pick a
+      // WRONG merge silently while the DuckDB oracle errors loudly —
+      // a silent gate divergence). The quotient itself is ≤ scale
+      // (cl, cr ≥ cnt), so the bigint result cast is always exact.
+      // The oracle computes the same in HUGEINT (int128) — both engines
+      // exact over the full input domain, no magnitude guard needed.
       val best = pairs
         .join(symFreq.select(col("s").as("lhs"), col("c").as("cl")), Seq("lhs"))
         .join(symFreq.select(col("s").as("rhs"), col("c").as("cr")), Seq("rhs"))
         .select(col("lhs"), col("rhs"), col("cnt"),
-          expr(s"(cnt * ${scale}L) div (cl * cr)").as("score_nano"))
+          expr(s"cast((cast(cnt as decimal(38,0)) * ${scale}L) div " +
+            "(cast(cl as decimal(38,0)) * cast(cr as decimal(38,0))) as bigint)")
+            .as("score_nano"))
         .orderBy(col("score_nano").desc, col("lhs"), col("rhs")).limit(1)
         .localCheckpoint(true)
       acc = if (acc == null) best.withColumn("step", lit(step))
@@ -330,10 +351,18 @@ object VocabOps {
             lit(null))
           .otherwise(element_at(col("syms"), i))),
         x => x.isNotNull)
-      ws = ws.crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
-        .select(col("f"), rewritten.as("syms"))
-        .localCheckpoint(false)
+      // Same per-round release as [[bpeMerges]]: the eager `best` just
+      // materialized this round's ws, so the previous round's checkpoint
+      // blocks are dead — drop them now rather than pinning one
+      // vocabulary-sized frame per merge round for the whole call.
+      if (prevWs != null) GraphOps.releaseLocalCheckpoint(prevWs)
+      prevWs = ws
+      if (step < merges) // the last rewrite has no consumer — skip it
+        ws = ws.crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
+          .select(col("f"), rewritten.as("syms"))
+          .localCheckpoint(false)
     }
+    GraphOps.releaseLocalCheckpoint(ws) // acc holds only 1-row eager frames
     acc.select(col("step"), col("lhs"), col("rhs"), col("cnt"), col("score_nano"))
   }
 
@@ -361,6 +390,15 @@ object VocabOps {
     val vs = vocab.select(col(pieceCol)).distinct().collect()
       .map(_.getString(0)).toSeq.sorted
     require(vs.nonEmpty, "empty vocabulary")
+    // The vocabulary is folded in as a LITERAL array probed once per
+    // character per word — O(len·|vocab|) with a |vocab|-sized Catalyst
+    // expression. That is the documented merge-budget contract (chars +
+    // merge outputs, thousands at most); a caller passing a corpus-scale
+    // table here should get a loud failure, not a pathological plan.
+    require(vs.size <= 4096,
+      s"wordPieceEncode vocabulary has ${vs.size} pieces — the literal-" +
+        "probe encode is built for merge-budget vocabularies (≤4096); " +
+        "encode the distinct-word table against a trained vocabulary")
     val vlit = array(vs.map(lit(_)): _*)
     val w = col(wordCol)
     val n = length(w)

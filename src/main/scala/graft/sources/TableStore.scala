@@ -212,7 +212,26 @@ object TableStore {
   def rollback(store: DataFrame, tombstones: DataFrame, idCol: String,
                epochCol: String, toEpoch: Long, newEpoch: Long)
       : (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, max}
+    // The whole contract rests on `newEpoch` exceeding EVERY epoch the
+    // store has ever seen: a stale newEpoch would backdate the
+    // compensation — the hide-tombstone would fail to cover newer rows
+    // (or cover the resurrection itself) and the "pre-rollback snapshots
+    // untouched" law breaks SILENTLY. Validate it against the actual
+    // store, not just the caller's word: one epoch-column-only scan
+    // (column-pruned at the parquet reader) is cheap next to the diff
+    // joins below, and turns silent corruption into a loud failure.
+    require(newEpoch > toEpoch,
+      s"rollback newEpoch ($newEpoch) must exceed the restore target toEpoch ($toEpoch)")
+    val maxSeen = store.select(col(epochCol).cast("long").as("__e"))
+      .unionByName(tombstones.select(col("before_epoch").cast("long").as("__e")))
+      .agg(max("__e")).head()
+    if (!maxSeen.isNullAt(0))
+      require(newEpoch > maxSeen.getLong(0),
+        s"rollback newEpoch ($newEpoch) must exceed every existing epoch/" +
+          s"before_epoch (max seen: ${maxSeen.getLong(0)}) — a stale " +
+          "compensation epoch silently corrupts both the restore law and " +
+          "pre-rollback snapshots")
     val target = liveViewAsOf(store, tombstones, idCol, epochCol, toEpoch)
     val now = liveView(store, tombstones, idCol, epochCol)
     // resurrect: target rows whose exact (id, epoch) version is not the

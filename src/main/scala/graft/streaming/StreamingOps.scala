@@ -457,8 +457,29 @@ object StreamingOps {
     def liveGraph(): DataFrame = SimilarityOps.liveKnnGraph(
       TableStore.liveView(TableStore.loadTable(s, graphTable),
         TableStore.loadTable(s, graphTombTable), "probe_id", "epoch"))
-    def nextEpoch(): Long = TableStore.loadTable(s, graphTable)
-      .agg(coalesce(max(col("epoch")), lit(0L)).as("e")).head().getLong(0) + 1L
+    // The counter must exceed EVERY epoch any of the four tables has
+    // seen, not just the graph's max: a batch whose graph delta is
+    // empty (near-empty corpus, all-duplicate absorb) still lands
+    // tombstones stamped with this counter, and a later tombstone whose
+    // before_epoch merely EQUALS an earlier row's epoch fails liveView's
+    // strict `<` — a delete that silently doesn't delete. One
+    // epoch-column-only union-scan (column-pruned) per leg keeps the
+    // monotone guarantee without a persisted counter.
+    def nextEpoch(): Long = {
+      val epochs = Seq(
+        TableStore.loadTable(s, graphTable)
+          .select(col("epoch").cast("long").as("__e")),
+        TableStore.loadTable(s, graphTombTable)
+          .select(col("before_epoch").cast("long").as("__e"))) ++
+        (if (versionedVecStore) Seq(
+          TableStore.loadTable(s, vecStoreTable)
+            .select(col("epoch").cast("long").as("__e")),
+          TableStore.loadTable(s, vecTombTable)
+            .select(col("before_epoch").cast("long").as("__e")))
+        else Nil)
+      epochs.reduce(_ unionByName _)
+        .agg(coalesce(max(col("__e")), lit(0L)).as("e")).head().getLong(0) + 1L
+    }
     def insertLeg(ins: DataFrame): Unit = {
       // one shared epoch for the vector rows and the graph delta — the
       // counter is read ONCE so the two can never desynchronize
@@ -558,6 +579,264 @@ object StreamingOps {
       knnGraphCdcBatch(batch.toDF(), idCol, vecCol, opCol, graphTable,
         vecStoreTable, vecTombTable, graphTombTable, centroids,
         centroidIdCol, k, buckets, cellAssign, versionedVecStore)
+      onBatch(batchId)
+    }
+    val w = events.writeStream.outputMode("append").foreachBatch(body)
+    checkpointLocation.fold(w)(cl => w.option("checkpointLocation", cl))
+      .start()
+  }
+
+  /** ONE batch of CDC-driven MaxSim TOKEN-STORE maintenance — the
+    * delete/update leg the late-interaction serving store (q270's IVF
+    * token store with a doc_id carry column) was missing: the
+    * [[knnGraphCdcBatch]] discipline applied to a store whose unit of
+    * CHANGE is a document but whose unit of STORAGE is a token row.
+    * The batch is an op-tagged changefeed of TOKEN rows (every row of
+    * one document shares the op):
+    *
+    *  - INSERTS land each token under the frozen quantizer via
+    *    [[ivfAbsorbBatch]] (per-token cell assignment + doc carry) at
+    *    one shared epoch;
+    *  - DELETES tombstone the DOCUMENT: one (`docCol`, `before_epoch`)
+    *    row hides every token row of that doc in [[graft.sources
+    *    .TableStore.liveView]] keyed on the doc — a takedown drops the
+    *    whole token bag (and its PQ codes, below) from serving without
+    *    touching token payloads;
+    *  - UPDATES (re-embed: the doc's NEW token bag) are delete+insert
+    *    at ONE SHARED epoch: the tombstone's `before_epoch = e` hides
+    *    every older version (strict `<`) while the replacement rows
+    *    land AT `e` and stay visible — the atomic single-epoch form of
+    *    the q269 versioned-store pattern (no intermediate state in
+    *    which the doc is absent).
+    *
+    * When `codesTable`/`codebook` are supplied the PQ-compressed stage-1
+    * companion (q272's codes) is maintained IN THE SAME BATCH at the
+    * same epochs: inserted/updated tokens encode against the FROZEN
+    * codebook and append (tok, doc, codes, epoch); the doc-keyed
+    * tombstone table is SHARED, so one delete hides the raw tokens and
+    * their codes together — the two serving representations cannot
+    * desynchronize.
+    *
+    * Epochs derive from the max over the store, tombstone, AND codes
+    * tables (the [[knnGraphCdcBatch]] monotonicity rule), read once per
+    * leg. Within a batch: I, then D, then U.
+    *
+    * Scale shape: every leg is increment-sized — assignment joins the
+    * batch against broadcast centroids, tombstones are one row per doc,
+    * and nothing reads the store beyond its epoch column. */
+  def maxSimTokenCdcBatch(batch: DataFrame, docCol: String, tokCol: String,
+                          vecCol: String, opCol: String,
+                          tokStoreTable: String, tokTombTable: String,
+                          centroids: DataFrame, centroidIdCol: String,
+                          buckets: Int = 8,
+                          codesTable: Option[String] = None,
+                          codebook: Option[DataFrame] = None,
+                          pqM: Int = 4, pqDim: Int = 16): Unit = {
+    val s = batch.sparkSession
+    import graft.sources.TableStore
+    require(codesTable.isEmpty == codebook.isEmpty,
+      "codesTable and codebook must be supplied together")
+    (Seq(tokStoreTable, tokTombTable) ++ codesTable)
+      .foreach(s.catalog.refreshTable)
+    def nextEpoch(): Long = {
+      val frames = Seq(
+        TableStore.loadTable(s, tokStoreTable)
+          .select(col("epoch").cast("long").as("__e")),
+        TableStore.loadTable(s, tokTombTable)
+          .select(col("before_epoch").cast("long").as("__e"))) ++
+        codesTable.map(t => TableStore.loadTable(s, t)
+          .select(col("epoch").cast("long").as("__e")))
+      frames.reduce(_ unionByName _)
+        .agg(coalesce(max(col("__e")), lit(0L)).as("e")).head().getLong(0) + 1L
+    }
+    def landTokens(rows: DataFrame, epoch: Long): Unit = {
+      ivfAbsorbBatch(rows.select(col(tokCol), col(vecCol), col(docCol)),
+        tokCol, vecCol, tokStoreTable, centroids, centroidIdCol, buckets,
+        carryCols = Seq(docCol), epoch = Some(epoch)): Unit
+      for { ct <- codesTable; cb <- codebook } {
+        val codes = graft.functions.PqOps
+          .pqEncode(rows, tokCol, vecCol, cb, pqM, pqDim)
+          .join(rows.select(col(tokCol), col(docCol)), Seq(tokCol))
+          .withColumn("epoch", lit(epoch))
+          .localCheckpoint(true) // materialize BEFORE the append lands
+        TableStore.saveBucketed(codes, ct, bucketCols = Seq(tokCol),
+          buckets = buckets, mode = SaveMode.Append)
+        s.catalog.refreshTable(ct)
+        graft.functions.GraphOps.releaseLocalCheckpoint(codes)
+      }
+    }
+    def tombDocs(docs: DataFrame, epoch: Long): Unit = {
+      TableStore.saveBucketed(
+        docs.select(col(docCol), lit(epoch).as("before_epoch")).distinct(),
+        tokTombTable, bucketCols = Seq(docCol), buckets = buckets,
+        mode = SaveMode.Append)
+      s.catalog.refreshTable(tokTombTable)
+    }
+    val ins = batch.where(col(opCol) === "I")
+    val del = batch.where(col(opCol) === "D")
+    val upd = batch.where(col(opCol) === "U")
+    if (!ins.isEmpty) landTokens(ins, nextEpoch())
+    if (!del.isEmpty) tombDocs(del, nextEpoch())
+    if (!upd.isEmpty) {
+      // shared-epoch atomic re-embed: tombstone and replacement rows
+      // carry the SAME counter value — old rows (epoch < e) hidden, new
+      // rows (epoch = e) live under liveView's strict `<`
+      val e = nextEpoch()
+      tombDocs(upd, e)
+      landTokens(upd, e)
+    }
+  }
+
+  /** Continuous CDC maintenance of the MaxSim serving store — one
+    * op-tagged token-row stream maintaining the IVF token store (+
+    * optional PQ codes companion) via [[maxSimTokenCdcBatch]]. Same
+    * recovery class as [[knnGraphCdcStream]]: the Appends are
+    * non-idempotent, so a durable `checkpointLocation` is what makes a
+    * kill/resume exactly-once — the q276 gate kills the query between
+    * the insert batch and the delete+re-embed batch and pins the
+    * resumed store's serving read against the one-shot oracle over the
+    * final corpus (the q273 law extended to a MUTATED corpus). */
+  def maxSimTokenCdcStream(events: DataFrame, docCol: String, tokCol: String,
+                           vecCol: String, opCol: String,
+                           tokStoreTable: String, tokTombTable: String,
+                           centroids: DataFrame, centroidIdCol: String,
+                           buckets: Int = 8,
+                           codesTable: Option[String] = None,
+                           codebook: Option[DataFrame] = None,
+                           pqM: Int = 4, pqDim: Int = 16,
+                           checkpointLocation: Option[String] = None)
+                          (onBatch: Long => Unit = _ => ()): StreamingQuery = {
+    val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      maxSimTokenCdcBatch(batch.toDF(), docCol, tokCol, vecCol, opCol,
+        tokStoreTable, tokTombTable, centroids, centroidIdCol, buckets,
+        codesTable, codebook, pqM, pqDim)
+      onBatch(batchId)
+    }
+    val w = events.writeStream.outputMode("append").foreachBatch(body)
+    checkpointLocation.fold(w)(cl => w.option("checkpointLocation", cl))
+      .start()
+  }
+
+  /** ONE batch of SINGLE-CHANGEFEED MULTI-INDEX maintenance — the
+    * production shape: a corpus has ONE op-tagged changefeed, and every
+    * serving index family advances from it per batch, together. Events
+    * are document-level (op, id, text, vector); the batch advances:
+    *
+    *   1. the VECTOR STORE + kNN GRAPH pair — the full
+    *      [[knnGraphCdcBatch]] discipline (insert absorb, delete
+    *      neighborhood repair, dual tombstones);
+    *   2. the BM25 INVERTED INDEX — inserts via
+    *      [[graft.functions.RetrievalOps.bm25IndexAbsorb]], deletes via
+    *      [[graft.functions.RetrievalOps.bm25IndexDelete]] (doc-keyed
+    *      tombstones + negated stats rows);
+    *   3. the MinHash SIGNATURE STORE — inserts append the batch's
+    *      banded signatures at the store's next epoch, deletes append
+    *      (id, before_epoch) tombstones for [[graft.functions.DedupOps
+    *      .liveStore]].
+    *
+    * Within the batch every family applies inserts before deletes (the
+    * [[knnGraphCdcBatch]] convention), and the foreachBatch commit
+    * makes the advance atomic at batch granularity: after any
+    * kill/resume, EVERY family has applied exactly the same batch
+    * prefix — a doc can never be deleted from BM25 yet still navigable
+    * in the graph across a restart (the q277 gate pins all four
+    * families' live id sets against each other at the restart boundary
+    * AND at the final state).
+    *
+    * Op "U" is refused: a joint text+vector re-embed needs versioned
+    * layouts in every family (the vector/token stores have them —
+    * q269/q276; plain BM25/signature tombstones hide a re-inserted id
+    * forever), and the refusal happens BEFORE any leg commits, for the
+    * [[knnGraphCdcBatch]] half-applied-batch reasons. Deleted ids must
+    * not re-insert under the plain layouts.
+    *
+    * Scale shape: each leg is increment-sized (the composed operators'
+    * own disciplines); nothing here adds a corpus-sized term. */
+  def multiIndexCdcBatch(batch: DataFrame, idCol: String, textCol: String,
+                         vecCol: String, opCol: String,
+                         graphTable: String, vecStoreTable: String,
+                         vecTombTable: String, graphTombTable: String,
+                         centroids: DataFrame, centroidIdCol: String,
+                         bm25Table: String, bm25TombTable: String,
+                         sigTable: String, sigTombTable: String,
+                         k: Int = 10, buckets: Int = 8,
+                         cellAssign: Option[DataFrame] = None,
+                         minhashK: Int = 64, bands: Int = 16,
+                         ngram: Int = 3): Unit = {
+    val s = batch.sparkSession
+    import graft.sources.TableStore
+    require(batch.where(col(opCol) === "U").isEmpty,
+      "multiIndexCdcBatch: op 'U' needs versioned layouts in every " +
+        "family — re-embed flows through the per-family versioned stores")
+    // 1. vector store + kNN graph (its own epoch discipline)
+    knnGraphCdcBatch(batch.select(col(opCol), col(idCol), col(vecCol)),
+      idCol, vecCol, opCol, graphTable, vecStoreTable, vecTombTable,
+      graphTombTable, centroids, centroidIdCol, k, buckets, cellAssign)
+    val ins = batch.where(col(opCol) === "I")
+    val del = batch.where(col(opCol) === "D")
+    val hasIns = !ins.isEmpty
+    val hasDel = !del.isEmpty
+    // 2. BM25 postings + stats (tombstones + negative stats merges)
+    if (hasIns)
+      graft.functions.RetrievalOps.bm25IndexAbsorb(ins, idCol, textCol,
+        bm25Table, buckets)
+    if (hasDel)
+      graft.functions.RetrievalOps.bm25IndexDelete(del, idCol, textCol,
+        bm25Table, bm25TombTable, buckets)
+    // 3. signature store (epoch-appended rows + (id, before_epoch) tombs)
+    Seq(sigTable, sigTombTable).foreach(s.catalog.refreshTable)
+    def sigEpoch(): Long = TableStore.loadTable(s, sigTable)
+      .select(col("epoch").cast("long").as("__e"))
+      .unionByName(TableStore.loadTable(s, sigTombTable)
+        .select(col("before_epoch").cast("long").as("__e")))
+      .agg(coalesce(max(col("__e")), lit(0L)).as("e")).head().getLong(0) + 1L
+    if (hasIns) {
+      TableStore.saveBucketed(
+        graft.functions.DedupOps.minhashStore(
+            ins.withColumnRenamed(idCol, "id"), textCol, "id",
+            minhashK, bands, ngram)
+          .withColumn("epoch", lit(sigEpoch())),
+        sigTable, bucketCols = Seq("band", "band_key"), buckets = buckets,
+        mode = SaveMode.Append)
+      s.catalog.refreshTable(sigTable)
+    }
+    if (hasDel) {
+      TableStore.saveBucketed(
+        del.select(col(idCol).as("id"), lit(sigEpoch()).as("before_epoch"))
+          .distinct(),
+        sigTombTable, bucketCols = Seq("id"), buckets = buckets,
+        mode = SaveMode.Append)
+      s.catalog.refreshTable(sigTombTable)
+    }
+  }
+
+  /** Continuous single-changefeed maintenance of ALL serving index
+    * families via [[multiIndexCdcBatch]]. ORDER-SENSITIVE recovery
+    * class (the graph leg reads prior batches' merges; every Append is
+    * non-idempotent): with a durable `checkpointLocation` a restarted
+    * query resumes exactly after the last committed batch — and because
+    * all families advance inside ONE foreachBatch commit, they resume
+    * mutually consistent (the q277 gate kills between the insert batch
+    * and the delete batch and pins every family's live id set at that
+    * boundary). */
+  def multiIndexCdcStream(events: DataFrame, idCol: String, textCol: String,
+                          vecCol: String, opCol: String,
+                          graphTable: String, vecStoreTable: String,
+                          vecTombTable: String, graphTombTable: String,
+                          centroids: DataFrame, centroidIdCol: String,
+                          bm25Table: String, bm25TombTable: String,
+                          sigTable: String, sigTombTable: String,
+                          k: Int = 10, buckets: Int = 8,
+                          cellAssign: Option[DataFrame] = None,
+                          minhashK: Int = 64, bands: Int = 16,
+                          ngram: Int = 3,
+                          checkpointLocation: Option[String] = None)
+                         (onBatch: Long => Unit = _ => ()): StreamingQuery = {
+    val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      multiIndexCdcBatch(batch.toDF(), idCol, textCol, vecCol, opCol,
+        graphTable, vecStoreTable, vecTombTable, graphTombTable, centroids,
+        centroidIdCol, bm25Table, bm25TombTable, sigTable, sigTombTable,
+        k, buckets, cellAssign, minhashK, bands, ngram)
       onBatch(batchId)
     }
     val w = events.writeStream.outputMode("append").foreachBatch(body)

@@ -573,4 +573,26 @@ class GraphOpsSpec extends SparkSpec {
     sc.getPersistentRDDs.filterKeys(k => pinnedNew(k)).values
       .foreach(_.unpersist(blocking = false))
   }
+
+  test("pageRank exits with ≤1 pinned RDD in both lazy and eager checkpoint modes") {
+    // pageRankCore trades per-iteration eager release (bounded peak at
+    // 60M edges) against a single lazy cascade (no per-iteration job at
+    // toy scale) on a heap estimate — but BOTH modes must release every
+    // intermediate: only the returned rank frame may stay pinned. The
+    // toy graph takes the lazy branch; the result must be identical to
+    // the law the other tests pin, and the block manager clean.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val edges = spark.range(200).selectExpr("id as src", "(id + 1) % 200 as dst")
+    val ranks = GraphOps.pageRank(edges, "src", "dst")
+    val pinnedNew = sc.getPersistentRDDs.keySet -- before
+    assert(pinnedNew.size <= 1,
+      s"pageRank left ${pinnedNew.size} pinned RDDs in the block manager")
+    // a directed ring is regular: every node gets exactly 1/N
+    val rows = ranks.collect()
+    assert(rows.length == 200 && rows.forall(r =>
+      math.abs(r.getAs[Double]("r") - 0.005) < 1e-12))
+    sc.getPersistentRDDs.filterKeys(k => pinnedNew(k)).values
+      .foreach(_.unpersist(blocking = false))
+  }
 }

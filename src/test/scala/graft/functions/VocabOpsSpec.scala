@@ -215,4 +215,30 @@ class BpeMergesSpec extends graft.SparkSpec {
   test("bpeEncode handles unseen symbols (no merge applies)") {
     assert(encode(Seq("zzz"), Seq(("a", "b")))("zzz") == Seq("z", "z", "z"))
   }
+
+  test("merge trainers release per-round checkpoint blocks (bounded pinned RDDs after return)") {
+    // Each merge round lazily checkpoints the rewritten word table; the
+    // previous round's frame must be released once the next round's
+    // materializes (the connectedComponents discipline — GraphOpsSpec),
+    // or a deep merge budget pins one word-table frame per round for the
+    // whole call. After a 5-merge train the block manager may hold only
+    // the per-step 1-row eager `best` frames (merges of them) plus
+    // nothing else from the loop.
+    val sc = spark.sparkContext
+    val words = Seq(("abcde", 30L), ("abcab", 20L), ("deab", 11L),
+      ("cdeab", 7L), ("bcd", 5L)).toDF("word", "f")
+    for ((label, train) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      ("bpeMerges", () => VocabOps.bpeMerges(words, "word", "f", 5)),
+      ("wordPieceMerges", () => VocabOps.wordPieceMerges(words, "word", "f", 5)))) {
+      val before = sc.getPersistentRDDs.keySet
+      val out = train()
+      assert(out.count() == 5L, s"$label trained 5 merges")
+      val pinnedNew = sc.getPersistentRDDs.keySet -- before
+      assert(pinnedNew.size <= 5,
+        s"$label left ${pinnedNew.size} pinned RDDs (want ≤5: the 1-row " +
+          "per-step best frames only — word-table rounds must be released)")
+      sc.getPersistentRDDs.filterKeys(k => pinnedNew(k)).values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
 }

@@ -492,6 +492,92 @@ class StreamingOpsSpec extends SparkSpec {
       TableStore.dropTable(spark, tbl)
     }
   }
+  test("maxSimTokenCdcBatch: delete drops the doc's token bag AND its PQ codes; shared-epoch re-embed serves the new bag") {
+    import graft.functions.{PqOps, SimilarityOps}
+    import graft.sources.TableStore
+    val ttbl = "graft_mscdc_toks"; val tmtbl = "graft_mscdc_tomb"
+    val ctbl = "graft_mscdc_codes"
+    Seq(ttbl, tmtbl, ctbl).foreach(TableStore.dropTable(spark, _))
+    val rng = new scala.util.Random(85)
+    def vec() = Array.fill(8)(rng.nextFloat() * 2f - 1f)
+    // 6 documents x 3 token rows each: tok_id = doc_id*3 + j
+    val df = (0L until 18L).map(i => (i / 3L, i, vec()))
+      .toDF("doc_id", "tok_id", "embedding").localCheckpoint(true)
+    val cent = df.where($"tok_id" < 4) // frozen quantizer
+    val cb = PqOps.pqCodebook(df, "tok_id", "embedding",
+      df.where($"tok_id" < 2), "tok_id", m = 2, dim = 8, lloydRounds = 1)
+      .localCheckpoint(true) // frozen codebook
+    val base = df.where($"doc_id" < 4)
+    TableStore.saveBucketed(
+      SimilarityOps.ivfStore(base, "tok_id", "embedding", cent, "tok_id",
+        carryCols = Seq("doc_id")).withColumn("epoch", lit(0L)),
+      ttbl, bucketCols = Seq("cid"), buckets = 4)
+    TableStore.saveBucketed(
+      df.select($"doc_id", lit(0L).as("before_epoch")).where(lit(false)),
+      tmtbl, bucketCols = Seq("doc_id"), buckets = 4)
+    TableStore.saveBucketed(
+      PqOps.pqEncode(base, "tok_id", "embedding", cb, 2, 8)
+        .join(base.select("tok_id", "doc_id"), Seq("tok_id"))
+        .withColumn("epoch", lit(0L)),
+      ctbl, bucketCols = Seq("tok_id"), buckets = 4)
+    // ONE mixed batch: insert docs 4-5, DELETE doc 1, RE-EMBED doc 2
+    val batch = df.where($"doc_id" >= 4)
+        .select(lit("I").as("op"), $"doc_id", $"tok_id", $"embedding")
+      .unionByName(df.where($"doc_id" === 1)
+        .select(lit("D").as("op"), $"doc_id", $"tok_id", $"embedding"))
+      .unionByName(df.where($"doc_id" === 2)
+        .select(lit("U").as("op"), $"doc_id", $"tok_id",
+          reverse($"embedding").as("embedding")))
+    graft.streaming.StreamingOps.maxSimTokenCdcBatch(batch, "doc_id",
+      "tok_id", "embedding", "op", ttbl, tmtbl, cent, "tok_id",
+      buckets = 4, codesTable = Some(ctbl), codebook = Some(cb),
+      pqM = 2, pqDim = 8)
+    // the FINAL corpus the live views must serve: doc 1 gone, doc 2 reversed
+    val fin = df.where($"doc_id" =!= 1)
+      .select($"doc_id", $"tok_id",
+        when($"doc_id" === 2, reverse($"embedding"))
+          .otherwise($"embedding").as("embedding"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_id"),
+        r.getAs[Long]("cid"), r.getSeq[Float](r.fieldIndex("embedding")).toList)
+    val liveToks = TableStore.liveView(TableStore.loadTable(spark, ttbl),
+      TableStore.loadTable(spark, tmtbl), "doc_id", "epoch")
+    // live (doc, tok, cid, vector) == one-shot ivfStore over the final
+    // corpus — deletions gone, re-embeds re-celled under the FROZEN
+    // quantizer with their NEW vectors
+    val oneShot = SimilarityOps.ivfStore(fin, "tok_id", "embedding", cent,
+      "tok_id", carryCols = Seq("doc_id"))
+    assert(liveToks.select("doc_id", "tok_id", "cid", "embedding")
+      .collect().map(key).toSet ==
+      oneShot.select("doc_id", "tok_id", "cid", "embedding")
+        .collect().map(key).toSet,
+      "live token view != one-shot store over the final corpus")
+    // the SAME doc-keyed tombstone hides the codes: live codes ==
+    // encode(final corpus) — the two serving representations cannot
+    // desynchronize through a delete or a re-embed
+    def ckey(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_id"),
+        r.getSeq[Long](r.fieldIndex("codes")).toList)
+    val liveCodes = TableStore.liveView(TableStore.loadTable(spark, ctbl),
+      TableStore.loadTable(spark, tmtbl), "doc_id", "epoch")
+    val oneShotCodes = PqOps.pqEncode(fin, "tok_id", "embedding", cb, 2, 8)
+      .join(fin.select("tok_id", "doc_id"), Seq("tok_id"))
+    assert(liveCodes.select("doc_id", "tok_id", "codes").collect()
+      .map(ckey).toSet ==
+      oneShotCodes.select("doc_id", "tok_id", "codes").collect()
+        .map(ckey).toSet,
+      "live codes view != encode of the final corpus")
+    // shared-epoch atomicity: doc 2's replacement rows carry EXACTLY the
+    // tombstone's before_epoch (old rows epoch < e hidden, new rows at e
+    // live) — there is no epoch at which the doc is absent
+    val tombE = TableStore.loadTable(spark, tmtbl)
+      .where($"doc_id" === 2).agg(max("before_epoch")).head().getLong(0)
+    val newE = liveToks.where($"doc_id" === 2)
+      .select("epoch").distinct().collect().map(_.getLong(0)).toSet
+    assert(newE == Set(tombE),
+      s"re-embed rows at epochs $newE, tombstone before_epoch $tombE")
+    Seq(ttbl, tmtbl, ctbl).foreach(TableStore.dropTable(spark, _))
+  }
 }
 
 class CmsStreamSpec extends graft.SparkSpec {
@@ -925,4 +1011,5 @@ class CmsStreamSpec extends graft.SparkSpec {
     val edges9 = delta.filter(_.getAs[Long]("probe_id") == 9L)
     assert(edges9.nonEmpty && edges9.forall(_.getAs[Long]("nbr_id") != 9L))
   }
+
 }
