@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{lit, sum}
 
 class RetrievalOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -72,6 +73,43 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(stored == oneShot)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats"): Unit
+  }
+
+  test("bm25IndexDelete/bm25SearchStoreLive: post-delete search ≡ one-shot bm25TopK over the survivors") {
+    // the takedown law: doc-keyed tombstones + NEGATED stats rows must
+    // make the delete-aware read score EXACTLY the surviving corpus —
+    // wrong avgdl/df/N after a delete is BM25's silent-corruption mode
+    val tbl = "graft_test_bm25_del"
+    val ttbl = "graft_test_bm25_del_tomb"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
+    spark.sql(s"DROP TABLE IF EXISTS $ttbl")
+    val queries = Seq(1 -> Seq("apple", "cherry"), 2 -> Seq("banana"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSet
+    RetrievalOps.bm25IndexAbsorb(docs, "doc_id", "text", tbl)
+    graft.sources.TableStore.saveBucketed(
+      docs.select("doc_id").where(lit(false)), ttbl,
+      Seq("doc_id"), buckets = 4)
+    RetrievalOps.bm25IndexDelete(docs.where($"doc_id" === 2L), "doc_id",
+      "text", tbl, ttbl, buckets = 4)
+    val live = rows(RetrievalOps.bm25SearchStoreLive(spark, tbl, ttbl,
+      queries, k = 3))
+    val oneShot = rows(RetrievalOps.bm25TopK(docs.where($"doc_id" =!= 2L),
+      "doc_id", "text", queries, k = 3))
+    assert(live == oneShot,
+      s"delete-aware search diverged from the survivor corpus:\n$live\nvs\n$oneShot")
+    assert(live.forall(_._3 != 2L), "the deleted doc was served")
+    // the stats SUM nets out: 2 rows (absorb + negated delete) recompose
+    // the survivor corpus's exact integer (n_docs, sum_dl)
+    val st = spark.table(tbl + "_stats")
+      .agg(sum("n_docs"), sum("sum_dl")).head()
+    assert(st.getLong(0) == 2L && st.getLong(1) == 3L + 4L,
+      s"netted stats ${st} != survivor corpus (2 docs, 7 tokens)")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
+    spark.sql(s"DROP TABLE IF EXISTS $ttbl"): Unit
   }
 
   test("bm25CompactIndex: compacted search == fragmented search, stats fold to one row") {
