@@ -5302,6 +5302,114 @@ object SparkEntry {
           coalesce(col("hit"), lit(false)).as("hit"))
         .orderBy("probe_id", "rank")
     }),
+    // ── extension: OPQ-PERMUTED PQ (parametric OPQ, Ge et al. CVPR'13
+    //    §4 "eigenvalue allocation" restricted to a coordinate
+    //    permutation — [[graft.functions.PqOps.opqBalancedPermutation]])
+    //    on the SPECTRAL-DECAY fixture ([[spectralEmb]]: random
+    //    embeddings, dim i scaled by (64−i)/64). Energy-balanced
+    //    round-robin re-allocation is trained on the CORPUS side only,
+    //    applied to corpus and probes (a permutation preserves
+    //    dots/norms, so the MaxSim rerank and the exact comparator are
+    //    the q278 laws unchanged), then the exact q278 PQ stage-1
+    //    budget (m=4, 16 codewords, 1 Lloyd round) runs on the permuted
+    //    vectors. Measured at this budget (BASELINE round-16 ladder):
+    //    contiguous 4/20 → permuted 6/20 on this fixture; on the
+    //    CLUSTERED fixtures re-allocation cannot help (stage-1 cluster
+    //    ties collapse candidates identically both ways, 2/20 — the
+    //    residual encoding q279 is the fix there, 18/20).
+    "q283_maxsim_opq_permuted" -> ((s, dir) => {
+      val se = spectralEmb(s, dir)
+      val perm = graft.functions.PqOps.opqBalancedPermutation(
+        se.where(col("vec_id") >= 20), "embedding", m = 4, dim = 64)
+      val emb = graft.functions.PqOps.permuteVec(se, "embedding", perm)
+        .select(expr("vec_id div 5").as("doc_id"), col("vec_id"), col("embedding"))
+      val c = emb.where(col("doc_id") >= 4)
+      val p = emb.where(col("doc_id") < 4)
+      val init = c.where(col("vec_id") < 36)
+      val cb = graft.functions.PqOps.pqCodebook(c, "vec_id", "embedding",
+        init, "vec_id", m = 4, dim = 64, lloydRounds = 1)
+      val codes = graft.functions.PqOps.pqEncode(c, "vec_id", "embedding",
+        cb, 4, 64)
+      val hits = graft.functions.PqOps.pqTopK(codes, p, "vec_id", "embedding",
+        cb, m = 4, dim = 64, k = 4, corpusIdCol = "vec_id")
+      val cand = hits.select(expr("probe_id div 5").as("probe_id"),
+        expr("nbr_id div 5").as("doc_id")).distinct()
+      val served = SimilarityOps.maxSimRerank(c, p, cand, "doc_id", "doc_id",
+        "vec_id", "embedding", k = 5)
+      val exact = SimilarityOps.maxSimTopK(c, p, "doc_id", "doc_id", "vec_id",
+        "embedding", k = 5)
+        .select(col("probe_id"), col("doc_id"), lit(true).as("hit"))
+      served.join(exact, Seq("probe_id", "doc_id"), "left")
+        .select(col("probe_id"), col("doc_id"), col("score_micro"), col("rank"),
+          coalesce(col("hit"), lit(false)).as("hit"))
+        .orderBy("probe_id", "rank")
+    }),
+    // ── extension: FILTERED MaxSim SERVING — the metadata-constrained
+    //    late-interaction query ("top-5 docs WHERE label …"), closing
+    //    the symmetry gap with the single-vector family (q214 filtered
+    //    IVF, q236 filtered BM25, q262 store-only filtered ANN): the
+    //    token store carries a doc_label metadata column (ivfStore
+    //    carryCols), the query-time predicate cuts the STORE SCAN
+    //    before any vector is scored (pre-filter semantics — the q236
+    //    argument: post-filtering both under-returns and cannot fix
+    //    stage-1 budgets spent on excluded docs), the quantizer stays
+    //    the frozen build-time centroid set, and the whole q270 read
+    //    path (token ANN → carry-col candidates → exact rerank → hit
+    //    flags) runs over the filtered view. Oracle = q270's replay
+    //    with the label predicate on the scanned tokens and on the
+    //    exact comparator; the probed-cell count stays UNFILTERED
+    //    (np is a property of the frozen quantizer, not of the view).
+    "q284_maxsim_filtered_serving" -> ((s, dir) => {
+      import graft.sources.TableStore
+      val emb = T(s, dir, "embeddings")
+        .select(expr("vec_id div 5").as("doc_id"), col("vec_id"), col("embedding"))
+      val c = emb.where(col("doc_id") >= 4)
+      val p = emb.where(col("doc_id") < 4)
+      val cent = c.where(col("vec_id") < 64)
+      val ttbl = "graft_q284_tok_store"
+      TableStore.dropTable(s, ttbl)
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(
+          c.withColumn("doc_label", pmod(col("doc_id"), lit(3))),
+          "vec_id", "embedding", cent, "vec_id",
+          carryCols = Seq("doc_id", "doc_label")),
+        ttbl, bucketCols = Seq("cid"), buckets = 8)
+      val live = TableStore.loadTable(s, ttbl).where(col("doc_label") =!= 0)
+      maxSimStoreServeTail(live, p, cent)
+    }),
+    // ── extension: BM25 INDEX DELETE — the takedown leg of the postings
+    //    lifecycle (build q213 / absorb q217 / filtered q236 / compact
+    //    q221 / restart q250) promoted to an oracle gate: after a full
+    //    3-batch absorb, every doc_id ≡ 0 (mod 7) is DELETED via
+    //    [[graft.functions.RetrievalOps.bm25IndexDelete]] (doc-keyed
+    //    tombstones + a NEGATED integer stats row — two delta-sized
+    //    appends, no postings rewrite) and the delete-aware search must
+    //    score EXACTLY the one-shot bm25TopK over the survivor corpus:
+    //    the oracle is q107's SQL with the survivors' WHERE pushed into
+    //    the corpus CTE (df, n_docs, avgdl all recompute — wrong global
+    //    stats after a delete is BM25's silent-corruption mode).
+    "q282_bm25_index_delete" -> ((s, dir) => {
+      import graft.functions.RetrievalOps
+      import graft.sources.TableStore
+      val docs = T(s, dir, "documents")
+      val tbl = "graft_q282_idx"
+      val ttbl = "graft_q282_tomb"
+      TableStore.dropTable(s, tbl); TableStore.dropTable(s, tbl + "_stats")
+      TableStore.dropTable(s, ttbl)
+      Seq(0, 1, 2).foreach { b =>
+        RetrievalOps.bm25IndexAbsorb(
+          docs.where(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text", tbl)
+      }
+      TableStore.saveBucketed(docs.select("doc_id").where(lit(false)), ttbl,
+        Seq("doc_id"), buckets = 8)
+      RetrievalOps.bm25IndexDelete(
+        docs.where(pmod(col("doc_id"), lit(7)) === 0), "doc_id", "text",
+        tbl, ttbl)
+      RetrievalOps.bm25SearchStoreLive(s, tbl, ttbl,
+        Seq(1 -> Seq("spark", "join", "window"), 2 -> Seq("stream", "batch"),
+          3 -> Seq("vector", "hash", "merge", "sort")), k = 10)
+        .orderBy("query_id", "rank")
+    }),
     // ── extension: HARD-NEGATIVE MINING (DPR, Karpukhin et al. 2020)
     //    — per probe, top-5 most-similar corpus vectors of a DIFFERENT
     //    label: the confusable non-matches a contrastive loss trains
@@ -6800,6 +6908,33 @@ object SparkEntry {
       // residual codes at 64 codewords/sub recover 18/20 where plain
       // codes collapse — quantization loss vs structure-blindness
       ("q279_maxsim_ivfpq_residual" -> q279OracleSql) +
+      // parametric OPQ (energy-balanced dim permutation) at the exact
+      // q278 code budget on the spectral-decay fixture: the permutation
+      // is replayed from exact integer energies, then the q272 PQ
+      // replay runs over the permuted vectors
+      ("q283_maxsim_opq_permuted" -> q283OracleSql) +
+      // filtered MaxSim serving ≡ q270's replay with the label
+      // predicate on the scanned tokens (inside the per-probe-token
+      // top-4 window) and on the exact comparator; np stays unfiltered
+      ("q284_maxsim_filtered_serving" -> {
+        val sql = oracleSqlBase("q270_maxsim_store_serve")
+        val scan = "AND ppc.cid = casn.cid)"
+        val ex = "FROM sc) WHERE rn <= 5)"
+        require(sql.contains(scan) && sql.contains(ex),
+          "q270 oracle serving CTEs changed")
+        sql.replace(scan,
+            "AND ppc.cid = casn.cid\n             WHERE cs.did % 3 <> 0)")
+          .replace(ex, "FROM sc WHERE doc_id % 3 <> 0) WHERE rn <= 5)")
+      }) +
+      // delete-aware BM25 search ≡ one-shot bm25TopK over the SURVIVOR
+      // corpus: q107's SQL with the survivors' WHERE pushed into the
+      // corpus CTE (df/n_docs/avgdl recompute from the final corpus)
+      ("q282_bm25_index_delete" -> {
+        val sql = oracleSqlBase("q107_bm25_retrieval")
+        val from = "FROM documents WHERE length(trim(text)) > 0"
+        require(sql.contains(from), "q107 oracle corpus CTE changed")
+        sql.replace(from, from + " AND doc_id % 7 <> 0")
+      }) +
       // BERT `##` rendering of q267's segmentation: the marker is one
       // CASE over the position — wrap the q267 replay
       ("q281_wordpiece_marked" ->
@@ -7050,6 +7185,25 @@ object SparkEntry {
             .otherwise(lit(-1.0))),
         col("embedding"),
         (b, x) => b + lit(0.25) * x.cast("double")).as("embedding"))
+
+  /** SPECTRAL-DECAY embedding fixture for the OPQ gate (q283): the
+    * driver's random embeddings with dimension i scaled by (64−i)/64 —
+    * a linearly decaying spectrum (4096× variance ratio end to end),
+    * the energy profile PCA-rotated real embeddings have and the case
+    * where the contiguous subspace split misallocates codewords
+    * (subspace 0 hoards the signal energy, subspace 3 quantizes
+    * noise). Deliberately NOT the clustered fixture: under cluster
+    * ties plain-PQ stage 1 collapses identically with or without
+    * re-allocation (measured, BASELINE round-16 ladder) — allocation
+    * binds when ranking is driven by quantization ERROR, which the
+    * decayed random vectors isolate. The scale factors are exactly
+    * representable and the division is one IEEE op, so the fixture is
+    * bit-identical across engines. */
+  private def spectralEmb(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x.cast("double") * ((lit(64) - i).cast("double") / lit(64.0)))
+        .as("embedding"))
 
   /** Shared serving tail of the MaxSim token-store gates (q270/q273/
     * q276): the PLAID read path over a persisted IVF token store with a
@@ -14256,6 +14410,36 @@ object SparkEntry {
     "WITH " + clusteredEmbCte + ",\n         " +
       oracleSqlBase("q272_maxsim_pq_candidates")
         .replace("FROM embeddings", "FROM cemb")
+        .stripPrefix("WITH ")
+
+  /** q283 oracle: parametric OPQ over the SPECTRAL-DECAY fixture —
+    * semb scales the random embedding's dim i by (64−i)/64; the
+    * permutation replays [[graft.functions.PqOps
+    * .opqBalancedPermutation]] from exact integer energies
+    * (micro-quantized elements, HUGEINT q² sums, rank ties to the
+    * smaller dim, target position (r%4)·16 + r//4); then the q272 PQ
+    * replay runs verbatim over the permuted vectors (every corpus
+    * read re-points to pemb). */
+  private def q283OracleSql: String =
+    """WITH semb AS MATERIALIZED (SELECT vec_id,
+             list_transform(range(0, 64), i ->
+               CAST(embedding[i+1] AS DOUBLE) * (CAST(64 - i AS DOUBLE) / 64)) AS embedding
+           FROM embeddings),
+         sen AS (SELECT i, sum(q * q) AS e FROM (
+             SELECT ii.i AS i,
+               CAST(round(s.embedding[ii.i+1] * 1000000) AS BIGINT) AS q
+             FROM semb s, range(64) ii(i) WHERE s.vec_id >= 20)
+           GROUP BY 1),
+         srk AS (SELECT i, row_number() OVER (ORDER BY e DESC, i) - 1 AS r
+           FROM sen),
+         spl AS (SELECT list(i ORDER BY (r % 4) * 16 + (r // 4)) AS pl
+           FROM srk),
+         pemb AS MATERIALIZED (SELECT s.vec_id,
+             list_transform(range(0, 64), x -> s.embedding[spl.pl[x+1]+1]) AS embedding
+           FROM semb s CROSS JOIN spl),
+         """ +
+      oracleSqlBase("q272_maxsim_pq_candidates")
+        .replace("FROM embeddings", "FROM pemb")
         .stripPrefix("WITH ")
 
   /** q279 oracle: IVF-residual PQ (IVFADC) as MaxSim stage 1 over the

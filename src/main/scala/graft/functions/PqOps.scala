@@ -312,4 +312,51 @@ object PqOps {
     casn.unpersist(blocking = false)
     res
   }
+
+  /** PARAMETRIC-OPQ dimension allocation (Ge/He/Ke/Sun, CVPR 2013 §4 —
+    * "eigenvalue allocation", specialized from a full rotation to a
+    * coordinate PERMUTATION): rank dimensions by their corpus signal
+    * energy and deal them round-robin across the `m` subspaces, so every
+    * codebook quantizes a comparable energy share. Under the contiguous
+    * split a decaying spectrum (the shape PCA-rotated real embeddings
+    * have) starves the high-variance subspace of codewords and wastes
+    * the low-variance ones; balancing the allocation is the OPQ paper's
+    * free-rotation win restricted to the permutation subgroup — no
+    * rotation matrix to train or apply, and a permutation preserves
+    * dot products and norms, so downstream exact reranks are unchanged.
+    *
+    * Determinism: per-element micro quantization then exact
+    * DECIMAL(38,0) sums of q² — the per-dimension energies are exact
+    * integers, ties break toward the smaller dimension, so the
+    * permutation is engine-reproducible (the q283 oracle replays it).
+    *
+    * Scale shape: one map-only posexplode + a `dim`-group integer sum;
+    * the collect is `dim` rows (model-sized, the codebook convention).
+    *
+    * @return perm where perm(p) = SOURCE dim at target position p;
+    *         subspace s occupies positions [s·dim/m, (s+1)·dim/m). */
+  def opqBalancedPermutation(corpus: DataFrame, vecCol: String,
+                             m: Int, dim: Int): Seq[Int] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sd = dim / m
+    val ranked = corpus
+      .select(posexplode(transform(col(vecCol), x => x.cast("double"))).as(Seq("i", "x")))
+      .select(col("i"), round(col("x") * lit(1000000L)).cast("long").as("q"))
+      .groupBy("i")
+      .agg(sum((col("q") * col("q")).cast("decimal(38,0)")).as("e"))
+      .select(col("i"),
+        (row_number().over(Window.orderBy(col("e").desc, col("i").asc)) - 1).as("r"))
+      .collect().map(row => (row.getAs[Int]("i"), row.getAs[Int]("r")))
+    require(ranked.length == dim, s"corpus vectors are not $dim-dim")
+    val perm = Array.ofDim[Int](dim)
+    ranked.foreach { case (i, r) => perm((r % m) * sd + r / m) = i }
+    perm.toSeq
+  }
+
+  /** Apply a dimension permutation to a vector column: output position p
+    * takes source element perm(p). The permutation is a literal
+    * (model-sized), so this is a map-only, codegen'd projection — the
+    * "rotation" half of parametric OPQ costs one pass, no join. */
+  def permuteVec(df: DataFrame, vecCol: String, perm: Seq[Int]): DataFrame =
+    df.withColumn(vecCol, array(perm.map(i => col(vecCol).getItem(i)): _*))
 }

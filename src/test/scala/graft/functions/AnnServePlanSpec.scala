@@ -212,6 +212,54 @@ class AnnServePlanSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $ttbl"): Unit
   }
 
+  test("filtered MaxSim serving (q284): doc_label predicate pushed into every token-store scan; no corpus frame") {
+    val ttbl = "graft_ann_plan_ftok"
+    spark.sql(s"DROP TABLE IF EXISTS $ttbl")
+    val rng = new scala.util.Random(43)
+    val toks = (0L until 40L).map(i =>
+        (i / 5L, i, Array.fill(8)(rng.nextFloat() * 2f - 1f), (i / 5L % 3).toInt))
+      .toDF("doc_id", "vec_id", "embedding", "doc_label")
+    val cents = toks.where($"vec_id" < 4)
+    TableStore.saveBucketed(
+      SimilarityOps.ivfStore(toks, "vec_id", "embedding", cents, "vec_id",
+        carryCols = Seq("doc_id", "doc_label")),
+      ttbl, bucketCols = Seq("cid"), buckets = 4)
+    try {
+      val live = TableStore.loadTable(spark, ttbl).where($"doc_label" =!= 0)
+      val probes = (0L until 6L).map(i =>
+          (100L + i / 3L, 1000L + i, Array.fill(8)(rng.nextFloat() * 2f - 1f)))
+        .toDF("probe_id", "tok", "embedding")
+      val hits = SimilarityOps.ivfSearchStore(live,
+        probes.select($"tok".as("vec_id"), $"embedding"), cents,
+        "vec_id", "vec_id", "vec_id", "embedding", k = 2,
+        probeFraction = 0.5, minProbe = 1)
+      val cand = hits
+        .join(live.select($"vec_id".as("nbr_id"), $"doc_id"), Seq("nbr_id"))
+        .join(probes.select($"tok".as("probe_id"), $"probe_id".as("__qd")),
+          Seq("probe_id"))
+        .select($"__qd".as("probe_id"), $"doc_id").distinct()
+      val served = SimilarityOps.maxSimRerank(
+        live.select("doc_id", "embedding"), probes, cand,
+        "doc_id", "probe_id", "tok", "embedding", k = 3)
+      served.collect() // finalize the adaptive plan
+      val plan = finalPlan(served.queryExecution.executedPlan)
+      val scans = scansOf(plan, ttbl)
+      assert(scans.nonEmpty, s"token-store scan missing:\n$plan")
+      // pre-filter semantics physically: the predicate reaches EVERY
+      // store scan as a pushed filter — excluded docs' tokens are cut
+      // map-side on both the stage-1 and rerank legs, never scored
+      assert(scans.forall(_.metadata.get("PushedFilters").exists(_.contains("doc_label"))),
+        s"doc_label not pushed to every store scan: " +
+          s"${scans.map(_.metadata.get("PushedFilters")).mkString(", ")}\n$plan")
+      val foreign = allNodes(plan).collect {
+        case s: FileSourceScanExec
+            if !s.relation.location.inputFiles.exists(_.contains(ttbl)) => s
+      }
+      assert(foreign.isEmpty,
+        s"non-store scan in the filtered serving plan: ${foreign.mkString("\n")}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $ttbl"): Unit
+  }
+
   test("filtered entry routing: the label predicate pushes into the carry-col store scan") {
     val vtbl = "graft_ann_plan_fvec"
     spark.sql(s"DROP TABLE IF EXISTS $vtbl")

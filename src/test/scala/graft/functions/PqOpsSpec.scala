@@ -178,4 +178,33 @@ class PqOpsSpec extends SparkSpec {
       r.getAs[Long]("nbr_id") == 0L))
     assert(!self.exists(r => r.getAs[Long]("probe_id") == r.getAs[Long]("nbr_id")))
   }
+
+  test("opqBalancedPermutation deals dims round-robin by energy; permuteVec applies it") {
+    // dim=4, m=2: energies 3² > 2² > 1² > 0² per dim, so ranks are
+    // (0,1,2,3) = dims (0,1,2,3); round-robin puts rank 0,2 in subspace 0
+    // and rank 1,3 in subspace 1 → perm = (0,2,1,3)
+    val df = Seq((0L, vec(3, 2, 1, 0))).toDF("vec_id", "embedding")
+    val perm = PqOps.opqBalancedPermutation(df, "embedding", m = 2, dim = 4)
+    assert(perm == Seq(0, 2, 1, 3), s"got $perm")
+    val out = PqOps.permuteVec(
+        df.select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("embedding")), "embedding", perm)
+      .collect().head.getAs[scala.collection.Seq[Double]]("embedding").toList
+    assert(out == List(3.0, 1.0, 2.0, 0.0))
+    // ties (equal energies) break toward the smaller dim: identity-ish deal
+    val tied = Seq((0L, vec(1, 1, 1, 1)), (1L, vec(-1, -1, -1, -1)))
+      .toDF("vec_id", "embedding")
+    assert(PqOps.opqBalancedPermutation(tied, "embedding", m = 2, dim = 4)
+      == Seq(0, 2, 1, 3))
+    // a permutation preserves exact dots: cosine top-k identical either side
+    val emb = (0L to 9L).map(i => (i, vec(i % 3, (i % 5) * 2, 7 - (i % 7), i % 2))).toDF("vec_id", "embedding")
+    val p9 = PqOps.opqBalancedPermutation(emb, "embedding", m = 2, dim = 4)
+    val pe = PqOps.permuteVec(emb, "embedding", p9)
+    def top(src: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.bruteForceTopK(src, src.where($"vec_id" < 2), "vec_id",
+          "vec_id", "embedding", k = 3)
+        .select("probe_id", "rank", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(top(emb) == top(pe), "permutation changed exact cosine ranks")
+  }
 }
