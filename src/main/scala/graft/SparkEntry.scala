@@ -5062,7 +5062,8 @@ object SparkEntry {
     //    production capstone over the per-family CDC gates: a corpus
     //    has ONE op-tagged changefeed, and ALL serving index families
     //    (vector store, kNN graph, BM25 postings+stats, MinHash
-    //    signature store) advance from it atomically per batch. Batch 1
+    //    signature store, MaxSim token store — text→hash-vector token
+    //    bags, the q275 path) advance from it atomically per batch. Batch 1
     //    INSERTS doc ≡ 5 mod 8; the query is KILLED; the RESTART
     //    BOUNDARY state of every family's live id set is captured
     //    (families must be mutually consistent mid-stream — a doc
@@ -5072,7 +5073,7 @@ object SparkEntry {
     //    stats rows + signature tombstones) and the final state is
     //    captured. Output = per-(stage, family) live-set fingerprints;
     //    the oracle derives both stages' doc sets from the tables alone
-    //    — all four families must land on the SAME count and id-xor at
+    //    — all FIVE families must land on the SAME count and id-xor at
     //    both cuts.
     "q277_multi_index_cdc" -> ((s, dir) => {
       import graft.sources.TableStore
@@ -5097,8 +5098,35 @@ object SparkEntry {
       val vttbl = "graft_q277_vec_tomb"; val gttbl = "graft_q277_knn_tomb"
       val btbl = "graft_q277_bm25"; val bttbl = "graft_q277_bm25_tomb"
       val stbl = "graft_q277_sigs"; val sttbl = "graft_q277_sig_tomb"
-      Seq(vtbl, gtbl, vttbl, gttbl, btbl, btbl + "_stats", bttbl, stbl, sttbl)
-        .foreach(TableStore.dropTable(s, _))
+      val ttok = "graft_q277_tok_store"; val ttokT = "graft_q277_tok_tomb"
+      Seq(vtbl, gtbl, vttbl, gttbl, btbl, btbl + "_stats", bttbl, stbl, sttbl,
+        ttok, ttokT).foreach(TableStore.dropTable(s, _))
+      // the 5th family's text→token-vector path (q275's) and its FROZEN
+      // token quantizer — distinct tokens of the first docs, computed
+      // once and reused by the base build and every stream batch
+      def docTokens(df: DataFrame): DataFrame = df
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .distinct()
+        // the stream leg's exact bag rule: 4 representative tokens per
+        // doc (first by surface form — deterministic, ≥1 per nonempty
+        // doc), row identity = the (doc, token) pair hashed to one id
+        // column (the assignment pass keys on idCol; a bare surface
+        // form collides across documents)
+        .withColumn("__trn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("tok").asc)))
+        .where(col("__trn") <= 4).drop("__trn")
+        .withColumn("tok_uid", DedupOps.hash60(
+          concat_ws(":", lit("tkid"), col("doc_id"), col("tok"))))
+        .withColumn("tv", TextFunctions.tokenHashVector(col("tok"), 16))
+      // frozen token quantizer: the first 16 surface forms of the first
+      // docs — deterministic and scale-invariant (the store's data term
+      // is rows × |centroids|, both capped)
+      val tokCent = all.where(col("doc_id") < 8)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .distinct().orderBy(col("tok").asc).limit(16)
+        .withColumn("tv", TextFunctions.tokenHashVector(col("tok"), 16))
+        .localCheckpoint(false)
       TableStore.saveBucketed(
         SimilarityOps.ivfStore(base.select("doc_id", "embedding"), "doc_id",
           "embedding", init64, "doc_id"),
@@ -5126,6 +5154,13 @@ object SparkEntry {
       TableStore.saveBucketed(
         all.select(col("doc_id").as("id"), lit(0L).as("before_epoch"))
           .where(lit(false)), sttbl, bucketCols = Seq("id"), buckets = 8)
+      TableStore.saveBucketed(
+        SimilarityOps.ivfStore(docTokens(base), "tok_uid", "tv", tokCent,
+          "tok", carryCols = Seq("doc_id")).withColumn("epoch", lit(0L)),
+        ttok, bucketCols = Seq("cid"), buckets = 8)
+      TableStore.saveBucketed(
+        all.select(col("doc_id"), lit(0L).as("before_epoch"))
+          .where(lit(false)), ttokT, bucketCols = Seq("doc_id"), buckets = 8)
       val uid = java.util.UUID.randomUUID().toString.replace("-", "")
       val dirF = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")), s"graft_q277_$uid")
@@ -5149,12 +5184,15 @@ object SparkEntry {
           val q = graft.streaming.StreamingOps.multiIndexCdcStream(
             in, "doc_id", "text", "embedding", "op", gtbl, vtbl, vttbl, gttbl,
             init64, "doc_id", btbl, bttbl, stbl, sttbl, k = 10,
-            cellAssign = Some(cells), checkpointLocation = Some(ckpt))()
+            cellAssign = Some(cells),
+            tokStoreTable = Some(ttok), tokTombTable = Some(ttokT),
+            tokCentroids = Some(tokCent),
+            checkpointLocation = Some(ckpt))()
           try q.processAllAvailable() finally q.stop()
         }
         // one live-set fingerprint row per family — all four must agree
         def famRows(stage: String): DataFrame = {
-          Seq(vtbl, gtbl, vttbl, gttbl, btbl, bttbl, stbl, sttbl)
+          Seq(vtbl, gtbl, vttbl, gttbl, btbl, bttbl, stbl, sttbl, ttok, ttokT)
             .foreach(s.catalog.refreshTable)
           def fp(family: String, ids: DataFrame): DataFrame = ids
             .select(col("id"))
@@ -5176,6 +5214,10 @@ object SparkEntry {
               .select(col("id")).distinct()))
             .unionByName(fp("vec_store", TableStore.loadTable(s, vtbl)
               .join(TableStore.loadTable(s, vttbl), Seq("doc_id"), "left_anti")
+              .select(col("doc_id").as("id")).distinct()))
+            .unionByName(fp("tok_store", TableStore.liveView(
+              TableStore.loadTable(s, ttok), TableStore.loadTable(s, ttokT),
+              "doc_id", "epoch")
               .select(col("doc_id").as("id")).distinct()))
             .localCheckpoint(true)
         }
@@ -6889,7 +6931,7 @@ object SparkEntry {
              AND list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)) > 0),
          st1 AS (SELECT doc_id FROM corpus),
          st2 AS (SELECT doc_id FROM corpus WHERE doc_id % 16 <> 7),
-         fam(family) AS (VALUES ('bm25'), ('knn_graph'), ('sigs'), ('vec_store')),
+         fam(family) AS (VALUES ('bm25'), ('knn_graph'), ('sigs'), ('tok_store'), ('vec_store')),
          agg1 AS (SELECT count(*) AS n_live,
              coalesce(bit_xor(CAST('0x'||substr(md5('mix:'||doc_id),1,15) AS BIGINT)), 0) AS id_xor
            FROM st1),

@@ -732,7 +732,16 @@ object StreamingOps {
     *   3. the MinHash SIGNATURE STORE — inserts append the batch's
     *      banded signatures at the store's next epoch, deletes append
     *      (id, before_epoch) tombstones for [[graft.functions.DedupOps
-    *      .liveStore]].
+    *      .liveStore]];
+    *   4. (when `tokStoreTable`/`tokTombTable`/`tokCentroids` are
+    *      supplied) the MaxSim TOKEN STORE — the late-interaction
+    *      serving family: each document's DISTINCT-token bag becomes
+    *      deterministic hash vectors ([[graft.functions.TextFunctions
+    *      .tokenHashVector]] — the q275 text→vector path; a real
+    *      encoder drops in by replacing that one column) and the bag
+    *      is maintained by the full [[maxSimTokenCdcBatch]] discipline
+    *      (inserts land under the frozen token quantizer; one
+    *      doc-keyed tombstone hides the whole bag).
     *
     * Within the batch every family applies inserts before deletes (the
     * [[knnGraphCdcBatch]] convention), and the foreachBatch commit
@@ -762,9 +771,18 @@ object StreamingOps {
                          k: Int = 10, buckets: Int = 8,
                          cellAssign: Option[DataFrame] = None,
                          minhashK: Int = 64, bands: Int = 16,
-                         ngram: Int = 3): Unit = {
+                         ngram: Int = 3,
+                         tokStoreTable: Option[String] = None,
+                         tokTombTable: Option[String] = None,
+                         tokCentroids: Option[DataFrame] = None,
+                         tokCentroidIdCol: String = "tok",
+                         tokCentroidVecCol: String = "tv",
+                         tokDim: Int = 16, tokPerDoc: Int = 4): Unit = {
     val s = batch.sparkSession
     import graft.sources.TableStore
+    require(tokStoreTable.isEmpty == tokTombTable.isEmpty &&
+      tokStoreTable.isEmpty == tokCentroids.isEmpty,
+      "tokStoreTable, tokTombTable and tokCentroids must be supplied together")
     require(batch.where(col(opCol) === "U").isEmpty,
       "multiIndexCdcBatch: op 'U' needs versioned layouts in every " +
         "family — re-embed flows through the per-family versioned stores")
@@ -808,6 +826,41 @@ object StreamingOps {
         mode = SaveMode.Append)
       s.catalog.refreshTable(sigTombTable)
     }
+    // 4. MaxSim token store — the doc-level events re-expressed as the
+    //    token-row changefeed maxSimTokenCdcBatch expects: one distinct
+    //    (op, doc, token) row per surface form, hash-vectorized; delete
+    //    rows only contribute their doc id (the tombstone hides the bag)
+    for { tt <- tokStoreTable; tb <- tokTombTable; tc <- tokCentroids } {
+      // token rows carry the STORE's column names (tok_uid, tv) — the
+      // leg appends into the base store table, so schemas must line up.
+      // Row identity is the (doc, token) PAIR (the q275 convention),
+      // hashed to one id column: the assignment pass keys per-row on
+      // idCol, and a bare surface form collides across documents.
+      // The bag is capped at `tokPerDoc` representative tokens
+      // (deterministic: first by surface form — the ColBERTer-style
+      // bag reduction), so the family's data term stays
+      // embeddings-scale instead of corpus-token-scale; full-bag
+      // serving is the q270 family's own gate.
+      val wTok = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(opCol), col(idCol)).orderBy(col("__tok").asc)
+      val tokRows = batch
+        .select(col(opCol), col(idCol),
+          explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+            .as("__tok"))
+        .distinct()
+        .withColumn("__trn", row_number().over(wTok))
+        .where(col("__trn") <= tokPerDoc).drop("__trn")
+        .withColumn("tok_uid", graft.functions.DedupOps.hash60(
+          concat_ws(":", lit("tkid"), col(idCol), col("__tok"))))
+        .withColumn("tv",
+          graft.functions.TextFunctions.tokenHashVector(col("__tok"), tokDim))
+      // the frozen quantizer's vector column rides under the token rows'
+      // vec name (ivfStore reads centroids by the corpus vecCol)
+      val cent = tc.select(col(tokCentroidIdCol).as("__tcid"),
+        col(tokCentroidVecCol).as("tv"))
+      maxSimTokenCdcBatch(tokRows, idCol, "tok_uid", "tv", opCol,
+        tt, tb, cent, "__tcid", buckets)
+    }
   }
 
   /** Continuous single-changefeed maintenance of ALL serving index
@@ -830,13 +883,21 @@ object StreamingOps {
                           cellAssign: Option[DataFrame] = None,
                           minhashK: Int = 64, bands: Int = 16,
                           ngram: Int = 3,
+                          tokStoreTable: Option[String] = None,
+                          tokTombTable: Option[String] = None,
+                          tokCentroids: Option[DataFrame] = None,
+                          tokCentroidIdCol: String = "tok",
+                          tokCentroidVecCol: String = "tv",
+                          tokDim: Int = 16, tokPerDoc: Int = 4,
                           checkpointLocation: Option[String] = None)
                          (onBatch: Long => Unit = _ => ()): StreamingQuery = {
     val body: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       multiIndexCdcBatch(batch.toDF(), idCol, textCol, vecCol, opCol,
         graphTable, vecStoreTable, vecTombTable, graphTombTable, centroids,
         centroidIdCol, bm25Table, bm25TombTable, sigTable, sigTombTable,
-        k, buckets, cellAssign, minhashK, bands, ngram)
+        k, buckets, cellAssign, minhashK, bands, ngram,
+        tokStoreTable, tokTombTable, tokCentroids, tokCentroidIdCol,
+        tokCentroidVecCol, tokDim, tokPerDoc)
       onBatch(batchId)
     }
     val w = events.writeStream.outputMode("append").foreachBatch(body)
