@@ -58,11 +58,49 @@ object OpqMeasure {
         s"hits=${j.where(col("hit")).count()} of 20")
     }
 
+    // decayed-CLUSTERED fixture: cemb under the same spectral decay —
+    // after residual encoding the leftover jitter inherits the decay,
+    // so allocation should compose with the q279 residual rung
+    val dcemb = cemb.select(col("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x * ((lit(64) - i).cast("double") / lit(64.0)))
+        .as("embedding"))
+
+    // the q279 residual pipeline at the TIGHT budget (16 codewords/sub)
+    def recallResidual(src: DataFrame, tag: String): Unit = {
+      val emb = src.select(expr("vec_id div 5").as("doc_id"), col("vec_id"), col("embedding"))
+      val c = emb.where(col("doc_id") >= 4)
+      val p = emb.where(col("doc_id") < 4)
+      val cent = c.where(col("vec_id") < 64).select("vec_id", "embedding")
+      val hits = PqOps.ivfPqTopK(
+        c.select("vec_id", "embedding"), p.select("vec_id", "embedding"),
+        "vec_id", "vec_id", "embedding", cent, "vec_id",
+        pqInitIds = c.where(col("vec_id") < 36).select("vec_id"),
+        m = 4, dim = 64, k = 4, nProbe = 11, lloydRounds = 1)
+      val cand = hits.select(expr("probe_id div 5").as("probe_id"),
+        expr("nbr_id div 5").as("doc_id")).distinct()
+      val served = SimilarityOps.maxSimRerank(c, p, cand, "doc_id", "doc_id",
+        "vec_id", "embedding", k = 5)
+      val exact = SimilarityOps.maxSimTopK(c, p, "doc_id", "doc_id", "vec_id",
+        "embedding", k = 5)
+        .select(col("probe_id"), col("doc_id"), lit(true).as("hit"))
+      val j = served.join(exact, Seq("probe_id", "doc_id"), "left")
+      println(s"LADDER $tag: candidates=${cand.count()} served=${j.count()} " +
+        s"hits=${j.where(col("hit")).count()} of 20")
+    }
+
     Seq("spectral-decay" -> semb, "clustered" -> cemb).foreach { case (tag, fx) =>
       recall(fx, s"$tag-contiguous")
       val perm = PqOps.opqBalancedPermutation(
         fx.where(col("vec_id") >= 20), "embedding", m = 4, dim = 64)
       recall(PqOps.permuteVec(fx, "embedding", perm), s"$tag-opq-permuted")
+    }
+    Seq("decayed-clustered" -> dcemb).foreach { case (tag, fx) =>
+      recallResidual(fx, s"$tag-residual16-contiguous")
+      val perm = PqOps.opqBalancedPermutation(
+        fx.where(col("vec_id") >= 20), "embedding", m = 4, dim = 64)
+      recallResidual(PqOps.permuteVec(fx, "embedding", perm),
+        s"$tag-residual16-opq")
     }
     spark.stop()
   }
