@@ -480,91 +480,84 @@ object VocabOps {
   }
 
   /** Viterbi segmentation of `words` under piece costs: forward DP over
-    * character positions (fixed `maxLen` rounds — words longer than the
-    * cap, or containing out-of-vocabulary characters, simply never reach
-    * their final position and fall out; callers apply a char fallback),
-    * tie-break (total cost asc, piece length desc) making the chosen
-    * segmentation UNIQUE, then a backward pass that emits the used
-    * pieces. Returns (word, piece) — one row per used piece occurrence.
+    * character positions (words longer than the cap, or containing
+    * out-of-vocabulary characters, never reach their final position and
+    * fall out; callers apply a char fallback), tie-break (total cost asc,
+    * piece length desc) making the chosen segmentation UNIQUE, then a
+    * backward pass that emits the used pieces. Returns (word, piece) —
+    * one row per used piece occurrence.
     *
-    * Scale: frames are (distinct words × ≤maxLen positions); each round
-    * is one join + one per-word window — vocabulary-sized throughout. */
+    * Scale: the cost table is MODEL-sized (a trained vocabulary — the
+    * wordPieceEncode literal-vocab contract), so it broadcasts as one map
+    * literal and the whole forward+backward DP runs INSIDE a single
+    * projection over the distinct-word table (higher-order `aggregate`
+    * over character positions) — one map-only pass, no per-round joins.
+    * The previous formulation ran the DP as ~2·maxLen join+window+
+    * checkpoint rounds; at vocabulary scale it was JOB-bound, not
+    * data-bound (~50 scheduled jobs per call — q253 spent most of its
+    * 13 s bench wall here across its four Viterbi calls). Semantics are
+    * identical: same candidate set (positions × piece lengths that hit
+    * the vocabulary), same (cost asc, length desc) winner per position —
+    * duplicate cost rows for one piece collapse to their MIN cost, which
+    * is exactly the row the old per-position window selected. */
   def unigramViterbi(words: DataFrame, wordCol: String, costs: DataFrame,
                      maxLen: Int = 8, maxPieceLen: Int = 4): DataFrame = {
     require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    // model-sized collect (the wordPieceEncode/bpeEncode convention):
+    // a trained vocabulary, not a corpus — fail fast on misuse
+    val costRows = costs.groupBy("piece").agg(min("c").as("c")).collect()
+    require(costRows.length <= 65536,
+      s"unigramViterbi cost table has ${costRows.length} pieces — " +
+        "this operator broadcasts the vocabulary as a literal " +
+        "(model-sized by contract); train/prune the vocabulary first")
+    val costMap = typedlit(costRows.map(r =>
+      r.getString(0) -> r.getLong(1)).toMap)
     val w = words.select(col(wordCol).as("word")).where(length(col("word")) > 0)
       .where(length(col("word")) <= maxLen).distinct()
-      .localCheckpoint(false) // read by sub, d0, and the backward seed
-    val sub = w
-      .select(col("word"), explode(sequence(lit(1), length(col("word")))).as("__e"))
-      .select(col("word"), col("__e"),
-        explode(sequence(lit(1), least(lit(maxPieceLen), col("__e")))).as("__l"))
-      .select(col("word"), col("__e"), col("__l"),
-        expr("substring(word, __e - __l + 1, __l)").as("piece"))
-      .join(costs.select(col("piece"), col("c")), Seq("piece"))
-      .select(col("word"), col("__e"), col("__l"), col("c"))
-      .localCheckpoint(false) // joined once per DP round
-    // ROUND ELISION: rounds past the longest capped word are EMPTY frames
-    // — but each one still schedules a checkpoint job, a join, and a
-    // window shuffle, and at vocabulary scale the DP is JOB-BOUND, not
-    // data-bound (q253 measured 145 s over 31-word frames before this).
-    // The result is identical by construction: sub has no __e > the max
-    // word length, so the elided rounds could only ever produce empty
-    // bpj/step frames. The agg also materializes w's checkpoint, which
-    // its first consumer would pay anyway.
-    val wStats = w.agg(count(lit(1)).as("__n"),
-      max(length(col("word"))).as("__m")).head()
-    val effLen = if (wStats.getLong(0) == 0L) 1
-                 else math.min(maxLen, wStats.getInt(1))
-    var dall = w.select(col("word"), lit(0).as("p"), lit(0L).as("cost"))
-    val bps = scala.collection.mutable.Buffer.empty[DataFrame]
-    val wW = Window.partitionBy("word")
-      .orderBy(col("__t").asc, col("__l").desc)
-    for (j <- 1 to effLen) {
-      val bpj = dall.as("d")
-        .join(sub.where(col("__e") === j).as("s"),
-          col("d.word") === col("s.word") &&
-            col("s.__l") === lit(j) - col("d.p"))
-        .select(col("d.word").as("word"), (col("d.cost") + col("s.c")).as("__t"),
-          col("s.__l").as("__l"))
-        .withColumn("__rn", row_number().over(wW)).where(col("__rn") === 1)
-        .select(col("word"), lit(j).as("p"), col("__t").as("cost"),
-          col("__l").as("l"))
-        // per-round lazy checkpoint — round j's frame feeds BOTH the next
-        // round's dall and the backward pass; without it each round's
-        // subtree embeds every prior round's and the plan doubles per
-        // round (the nnDescent/connectedComponents lineage rule)
-        .localCheckpoint(false)
-      dall = dall.unionByName(bpj.select("word", "p", "cost"))
-      bps += bpj.select("word", "p", "l")
-    }
-    val bp = bps.reduce(_ unionByName _).localCheckpoint(false) // 8 joins below
-    var r = w.select(col("word"), length(col("word")).cast("int").as("p"))
-    val uses = scala.collection.mutable.Buffer.empty[DataFrame]
-    val steps = scala.collection.mutable.Buffer.empty[DataFrame]
-    for (_ <- 1 to effLen) {
-      // per-round lazy checkpoint, same reason as the forward pass: an
-      // uncut r-chain compounds the Long.MaxValue leaf-size estimates
-      // multiplicatively per join and Catalyst's BigInt stats walk
-      // dominates the driver (the q253 planning hang)
-      val step = r.where(col("p") > 0).join(bp, Seq("word", "p"))
-        .localCheckpoint(false)
-      steps += step
-      uses += step.select(col("word"),
-        expr("substring(word, p - l + 1, l)").as("piece"))
-      r = step.select(col("word"), (col("p") - col("l")).as("p"))
-    }
-    // Materialize the result, then release the ~2·maxLen+3 DP frames
-    // (w, sub, per-round bpj, bp, per-round steps) — without this every
-    // Viterbi call pins its whole forward/backward lineage for the
-    // session (the connectedComponents leak class).
-    val out = uses.reduce(_ unionByName _).localCheckpoint(true)
-    GraphOps.releaseLocalCheckpoint(w)
-    GraphOps.releaseLocalCheckpoint(sub)
-    GraphOps.releaseLocalCheckpoint(bp)
-    bps.foreach(GraphOps.releaseLocalCheckpoint)
-    steps.foreach(GraphOps.releaseLocalCheckpoint)
-    out
+    val inf = Long.MaxValue // infeasible-position sentinel (costs are ≥ 0)
+    // forward: states[j+1] = best (cost, l) reaching position j; the fold
+    // appends one struct per character position
+    val statesExpr = aggregate(
+      sequence(lit(1), length(col("word"))),
+      array(struct(lit(0L).as("cost"), lit(0).as("l"))),
+      (acc, j) => concat(acc, array(aggregate(
+        sequence(lit(1), least(lit(maxPieceLen), j)),
+        struct(lit(inf).as("cost"), lit(0).as("l")),
+        (b, l) => {
+          val prevCost = element_at(acc, (j - l + lit(1)).cast("int"))
+            .getField("cost")
+          val pieceCost = element_at(costMap,
+            col("word").substr(j - l + lit(1), l))
+          val tot = prevCost + pieceCost
+          val bCost = b.getField("cost")
+          val better = prevCost < lit(inf) && pieceCost.isNotNull &&
+            (tot < bCost || (tot === bCost && l > b.getField("l")))
+          when(better, struct(tot.as("cost"), l.cast("int").as("l")))
+            .otherwise(b)
+        }))))
+    // backward: walk p → p − l[p] collecting used pieces; the fold is
+    // bound to the states array via a 1-element transform so the forward
+    // DP is evaluated exactly ONCE per row no matter how the optimizer
+    // rewrites projections
+    val piecesExpr = element_at(transform(array(statesExpr), sts => {
+      val feasible =
+        element_at(sts, length(col("word")) + 1).getField("cost") < inf
+      val walked = aggregate(
+        sequence(lit(1), length(col("word"))),
+        struct(length(col("word")).cast("int").as("p"),
+          array().cast("array<string>").as("ps")),
+        (st, _) => {
+          val p = st.getField("p")
+          val lCur = element_at(sts, p + 1).getField("l")
+          when(p > 0, struct((p - lCur).cast("int").as("p"),
+            concat(st.getField("ps"),
+              array(col("word").substr(p - lCur + 1, lCur))).as("ps")))
+            .otherwise(st)
+        }).getField("ps")
+      when(feasible, walked).otherwise(array().cast("array<string>"))
+    }), 1)
+    w.select(col("word"), explode(piecesExpr).as("piece"))
   }
 
   /** ONE hard-EM round: seed → Viterbi-segment the training words →
@@ -582,9 +575,11 @@ object VocabOps {
       .groupBy("piece").agg(sum("__f").as("em_cnt"))
       .join(seedM.select(col("piece"), col("cnt").as("seed_cnt")), Seq("piece"))
       .select(col("piece"), col("seed_cnt"), col("em_cnt"))
-      .localCheckpoint(true) // vocabulary-sized; lets seedM + uses go
+      .localCheckpoint(true) // vocabulary-sized; lets seedM go
+    // NOTE: `uses` is a lazy map-only frame since the Viterbi rewrite —
+    // releasing it would walk its full plan and unpersist the CALLER's
+    // checkpointed inputs (q252's trainWf hit exactly this)
     GraphOps.releaseLocalCheckpoint(seedM)
-    GraphOps.releaseLocalCheckpoint(uses)
     out
   }
 

@@ -1584,6 +1584,47 @@ class UnigramLmSpec extends graft.SparkSpec {
     assert(em.getOrElse("cd", 0L) * 2 + em.getOrElse("c", 0L) + em.getOrElse("d", 0L) == 4L)
   }
 
+  test("unigramViterbi: exhaustive-enumeration parity (the map-only DP rewrite)") {
+    // the r16 optimization collapses the per-round join/window DP into one
+    // broadcast-map projection — pin its semantics against brute-force
+    // enumeration of ALL segmentations under the same cost law
+    val pieces = Seq("a" -> 9L, "b" -> 7L, "c" -> 2L, "ab" -> 6L,
+      "bc" -> 5L, "abc" -> 3L, "cc" -> 4L, "bca" -> 1L)
+    val costs = VocabOps.unigramCosts(pieces.toDF("piece", "cnt"))
+    val costMap = costs.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val words = Seq("abc", "abcc", "ccba", "abcabc", "bcab", "aaaa", "cab")
+    def segs(w: String): Seq[List[String]] =
+      if (w.isEmpty) Seq(Nil)
+      else (1 to math.min(4, w.length)).flatMap { l =>
+        val p = w.substring(0, l)
+        if (costMap.contains(p)) segs(w.substring(l)).map(p :: _) else Nil
+      }
+    def best(w: String): Option[List[String]] = {
+      val all = segs(w)
+      if (all.isEmpty) None
+      else Some(all.minBy(s => (s.map(costMap).sum, s.map(-_.length).toList.mkString(","))))
+    }
+    // NB the DP's tie-break (cost asc, then piece length desc at each
+    // BACKWARD position) equals lexicographic-by-(-len) from the END;
+    // enumeration above lists pieces start→end, so compare as multisets
+    // of (cost, sorted pieces) — cost ties with different multisets are
+    // absent from this fixture by construction
+    val got = VocabOps.unigramViterbi(words.toDF("word"), "word", costs,
+        maxLen = 8, maxPieceLen = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    words.foreach { w =>
+      best(w) match {
+        case None => assert(!got.contains(w), s"$w should be infeasible")
+        case Some(s) =>
+          assert(got.getOrElse(w, Nil) == s.sorted,
+            s"$w: got ${got.getOrElse(w, Nil)}, want ${s.sorted} " +
+              s"(cost ${s.map(costMap).sum})")
+      }
+    }
+  }
+
   test("unigramViterbi/unigramEmCounts release their DP checkpoint frames (≤2 pinned RDDs)") {
     val wf = Seq(("abab", 4L), ("ab", 3L), ("cd", 2L), ("abcd", 1L))
       .toDF("word", "f")
