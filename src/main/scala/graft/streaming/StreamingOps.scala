@@ -530,19 +530,27 @@ object StreamingOps {
         .foreach(s.catalog.refreshTable)
       graft.functions.GraphOps.releaseLocalCheckpoint(delta)
     }
-    val ins = batch.where(col(opCol) === "I").select(col(idCol), col(vecCol))
-    val del = batch.where(col(opCol) === "D").select(col(idCol))
-    val upd = batch.where(col(opCol) === "U").select(col(idCol), col(vecCol))
-    val hasUpd = !upd.isEmpty
+    // ONE eager materialization of the (delta-sized) batch + ONE
+    // op-presence aggregate replace three separate isEmpty scans of the
+    // stream source, and every leg reads the in-memory blocks instead of
+    // re-scanning the source files (r16: the CDC gates are JOB-bound at
+    // the micro-batch boundary — guide §1.2-1, fewer scheduled jobs)
+    val b0 = batch.select(col(opCol), col(idCol), col(vecCol))
+      .localCheckpoint(true)
+    val present = b0.select(col(opCol)).distinct().collect()
+      .map(_.getString(0)).toSet
+    val ins = b0.where(col(opCol) === "I").select(col(idCol), col(vecCol))
+    val del = b0.where(col(opCol) === "D").select(col(idCol))
+    val upd = b0.where(col(opCol) === "U").select(col(idCol), col(vecCol))
     // refuse BEFORE any leg commits: the Appends are non-idempotent, so
     // a half-applied batch that then throws would double-apply on the
     // stream's replay. Only the versioned vector store can serve an
     // update's replacement row (a plain-id tombstone hides it forever).
-    require(versionedVecStore || !hasUpd,
+    require(versionedVecStore || !present("U"),
       "op 'U' (re-embed update) requires versionedVecStore = true")
-    if (!ins.isEmpty) insertLeg(ins)
-    if (!del.isEmpty) deleteLeg(del)
-    if (hasUpd) {
+    if (present("I")) insertLeg(ins)
+    if (present("D")) deleteLeg(del)
+    if (present("U")) {
       // an UPDATE is delete-repair of the OLD version, then the NEW
       // version landing and absorbing — within one batch, in that order
       // (the reverse of the I-before-D convention above: an update's
@@ -550,6 +558,7 @@ object StreamingOps {
       deleteLeg(upd.select(col(idCol)))
       insertLeg(upd)
     }
+    graft.functions.GraphOps.releaseLocalCheckpoint(b0)
   }
 
   /** Continuous CDC maintenance of the persisted ANN index — one
@@ -672,12 +681,17 @@ object StreamingOps {
         mode = SaveMode.Append)
       s.catalog.refreshTable(tokTombTable)
     }
-    val ins = batch.where(col(opCol) === "I")
-    val del = batch.where(col(opCol) === "D")
-    val upd = batch.where(col(opCol) === "U")
-    if (!ins.isEmpty) landTokens(ins, nextEpoch())
-    if (!del.isEmpty) tombDocs(del, nextEpoch())
-    if (!upd.isEmpty) {
+    // one materialization + one op-presence aggregate for the whole
+    // batch (the knnGraphCdcBatch r16 discipline)
+    val b0 = batch.localCheckpoint(true)
+    val present = b0.select(col(opCol)).distinct().collect()
+      .map(_.getString(0)).toSet
+    val ins = b0.where(col(opCol) === "I")
+    val del = b0.where(col(opCol) === "D")
+    val upd = b0.where(col(opCol) === "U")
+    if (present("I")) landTokens(ins, nextEpoch())
+    if (present("D")) tombDocs(del, nextEpoch())
+    if (present("U")) {
       // shared-epoch atomic re-embed: tombstone and replacement rows
       // carry the SAME counter value — old rows (epoch < e) hidden, new
       // rows (epoch = e) live under liveView's strict `<`
@@ -685,6 +699,7 @@ object StreamingOps {
       tombDocs(upd, e)
       landTokens(upd, e)
     }
+    graft.functions.GraphOps.releaseLocalCheckpoint(b0)
   }
 
   /** Continuous CDC maintenance of the MaxSim serving store — one
@@ -783,17 +798,23 @@ object StreamingOps {
     require(tokStoreTable.isEmpty == tokTombTable.isEmpty &&
       tokStoreTable.isEmpty == tokCentroids.isEmpty,
       "tokStoreTable, tokTombTable and tokCentroids must be supplied together")
-    require(batch.where(col(opCol) === "U").isEmpty,
+    // one materialization + one op-presence aggregate for the whole
+    // batch; every family leg reads the in-memory blocks (r16 — the
+    // multi-index batch otherwise scanned the stream source ~9 times)
+    val b0 = batch.localCheckpoint(true)
+    val present = b0.select(col(opCol)).distinct().collect()
+      .map(_.getString(0)).toSet
+    require(!present("U"),
       "multiIndexCdcBatch: op 'U' needs versioned layouts in every " +
         "family — re-embed flows through the per-family versioned stores")
     // 1. vector store + kNN graph (its own epoch discipline)
-    knnGraphCdcBatch(batch.select(col(opCol), col(idCol), col(vecCol)),
+    knnGraphCdcBatch(b0.select(col(opCol), col(idCol), col(vecCol)),
       idCol, vecCol, opCol, graphTable, vecStoreTable, vecTombTable,
       graphTombTable, centroids, centroidIdCol, k, buckets, cellAssign)
-    val ins = batch.where(col(opCol) === "I")
-    val del = batch.where(col(opCol) === "D")
-    val hasIns = !ins.isEmpty
-    val hasDel = !del.isEmpty
+    val ins = b0.where(col(opCol) === "I")
+    val del = b0.where(col(opCol) === "D")
+    val hasIns = present("I")
+    val hasDel = present("D")
     // 2. BM25 postings + stats (tombstones + negative stats merges)
     if (hasIns)
       graft.functions.RetrievalOps.bm25IndexAbsorb(ins, idCol, textCol,
@@ -843,7 +864,7 @@ object StreamingOps {
       // serving is the q270 family's own gate.
       val wTok = org.apache.spark.sql.expressions.Window
         .partitionBy(col(opCol), col(idCol)).orderBy(col("__tok").asc)
-      val tokRows = batch
+      val tokRows = b0
         .select(col(opCol), col(idCol),
           explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
             .as("__tok"))
@@ -861,6 +882,7 @@ object StreamingOps {
       maxSimTokenCdcBatch(tokRows, idCol, "tok_uid", "tv", opCol,
         tt, tb, cent, "__tcid", buckets)
     }
+    graft.functions.GraphOps.releaseLocalCheckpoint(b0)
   }
 
   /** Continuous single-changefeed maintenance of ALL serving index
