@@ -3897,14 +3897,10 @@ object SparkEntry {
         .localCheckpoint(false) // seed graph + absorb read it
       val isNew = pmod(col("vec_id"), lit(4)) === 1
       val base = emb.where(!isNew)
-      val seed0 = SimilarityOps.cellSeedGraph(base, cells, "vec_id",
-        "embedding", k = 10)
-      val g0 = SimilarityOps.nnDescent(base, "vec_id", "embedding", seed0,
-        k = 10, iters = 1)
       val tbl = "graft_q234_knn_store"
-      TableStore.dropTable(s, tbl)
-      TableStore.saveBucketed(g0.withColumn("epoch", lit(0L)), tbl,
-        bucketCols = Seq("probe_id"), buckets = 8)
+      copyBucketedTable(s,
+        baseKnnGraphTemplate(s, dir, "base32m4", base, cells), tbl,
+        bucketCols = Seq("probe_id"))
       val delta = SimilarityOps.knnGraphAbsorb(
         SimilarityOps.liveKnnGraph(TableStore.loadTable(s, tbl)),
         emb, emb.where(isNew).select("vec_id"), cells,
@@ -3936,14 +3932,10 @@ object SparkEntry {
         .localCheckpoint(false) // seed graph + absorb read it
       val isNew = pmod(col("vec_id"), lit(8)) === 5
       val base = emb.where(!isNew)
-      val seed0 = SimilarityOps.cellSeedGraph(base, cells, "vec_id",
-        "embedding", k = 10)
-      val g0 = SimilarityOps.nnDescent(base, "vec_id", "embedding", seed0,
-        k = 10, iters = 1)
       val tbl = "graft_q247_knn_store"
-      TableStore.dropTable(s, tbl)
-      TableStore.saveBucketed(g0.withColumn("epoch", lit(0L)), tbl,
-        bucketCols = Seq("probe_id"), buckets = 8)
+      copyBucketedTable(s,
+        baseKnnGraphTemplate(s, dir, "excl8m5", base, cells), tbl,
+        bucketCols = Seq("probe_id"))
       val delta = SimilarityOps.knnGraphAbsorb(
         SimilarityOps.liveKnnGraph(TableStore.loadTable(s, tbl)),
         emb, emb.where(isNew).select("vec_id"), cells,
@@ -3969,10 +3961,8 @@ object SparkEntry {
       val cells = emb.select(col("vec_id"),
         pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
           lit(nCells)).as("cid"))
-      val graph = SimilarityOps.nnDescent(emb, "vec_id", "embedding",
-          SimilarityOps.cellSeedGraph(emb, cells, "vec_id", "embedding", k = 10),
-          k = 10, iters = 1)
-        .localCheckpoint(false) // read by both variants
+      val graph = graft.sources.TableStore.loadTable(s, // memoized (r16)
+        baseKnnGraphTemplate(s, dir, "full", emb, cells))
       val init64 = emb.where(col("vec_id") < 64)
       val store64 = SimilarityOps.ivfStore(emb, "vec_id", "embedding",
         init64, "vec_id")
@@ -4014,14 +4004,12 @@ object SparkEntry {
       val ctbl = "graft_q251_knn_compact"
       TableStore.dropTable(s, vtbl); TableStore.dropTable(s, gtbl)
       TableStore.dropTable(s, ctbl)
-      TableStore.saveBucketed(
-        SimilarityOps.ivfStore(emb, "vec_id", "embedding", init64, "vec_id"),
-        vtbl, bucketCols = Seq("cid"), buckets = 8)
-      TableStore.saveBucketed(
-        SimilarityOps.nnDescent(emb, "vec_id", "embedding",
-          SimilarityOps.cellSeedGraph(emb, cells, "vec_id", "embedding", k = 10),
-          k = 10, iters = 1).withColumn("epoch", lit(0L)),
-        gtbl, bucketCols = Seq("probe_id"), buckets = 8)
+      copyBucketedTable(s,
+        baseIvfStoreTemplate(s, dir, "full", emb, init64), vtbl,
+        bucketCols = Seq("cid"))
+      copyBucketedTable(s,
+        baseKnnGraphTemplate(s, dir, "full", emb, cells), gtbl,
+        bucketCols = Seq("probe_id"))
       TableStore.saveBucketed( // compaction: live view rewritten at epoch 0
         SimilarityOps.liveKnnGraph(TableStore.loadTable(s, gtbl))
           .withColumn("epoch", lit(0L)),
@@ -4065,18 +4053,14 @@ object SparkEntry {
       val cells = emb.select(col("vec_id"),
         pmod(DedupOps.hash60(concat_ws(":", lit("cell"), col("vec_id"))),
           lit(nCells)).as("cid"))
-      val graph = SimilarityOps.nnDescent(emb, "vec_id", "embedding",
-          SimilarityOps.cellSeedGraph(emb, cells, "vec_id", "embedding", k = 10),
-          k = 10, iters = 1)
-        .localCheckpoint(false) // read by both variants
+      val graph = TableStore.loadTable(s, // memoized deployment graph (r16)
+        baseKnnGraphTemplate(s, dir, "full",
+          emb.select("vec_id", "embedding"), cells))
       val init64 = emb.where(col("vec_id") < 64)
-      val vtbl = "graft_q255_vec_store"
-      TableStore.dropTable(s, vtbl)
-      TableStore.saveBucketed(
-        SimilarityOps.ivfStore(emb, "vec_id", "embedding", init64, "vec_id",
-          carryCols = Seq("label")),
-        vtbl, bucketCols = Seq("cid"), buckets = 8)
-      val store = TableStore.loadTable(s, vtbl)
+      // read-only carry-col store — the memoized template is read direct
+      val store = TableStore.loadTable(s,
+        baseIvfStoreTemplate(s, dir, "full_lbl", emb, init64,
+          carryCols = Seq("label")))
       val pred = col("label").isin(2, 3, 4)
       val probes = emb.where(col("vec_id") < 50)
       val allowed = store.where(pred).select("vec_id")
@@ -4183,13 +4167,11 @@ object SparkEntry {
       val gtbl = "graft_q246_knn_store"
       TableStore.dropTable(s, vtbl); TableStore.dropTable(s, gtbl)
       copyBucketedTable(s,
-        baseIvfStoreTemplate(s, dir, "chain16", base, init64), vtbl,
+        baseIvfStoreTemplate(s, dir, "excl4m1", base, init64), vtbl,
         bucketCols = Seq("cid"))
-      val g0 = SimilarityOps.nnDescent(base, "vec_id", "embedding",
-        SimilarityOps.cellSeedGraph(base, cells, "vec_id", "embedding", k = 10),
-        k = 10, iters = 1)
-      TableStore.saveBucketed(g0.withColumn("epoch", lit(0L)), gtbl,
-        bucketCols = Seq("probe_id"), buckets = 8)
+      copyBucketedTable(s,
+        baseKnnGraphTemplate(s, dir, "base32m4", base, cells), gtbl,
+        bucketCols = Seq("probe_id"))
       val uid = java.util.UUID.randomUUID().toString.replace("-", "")
       val dirF = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")), s"graft_q246_$uid")
@@ -4236,13 +4218,11 @@ object SparkEntry {
       val gtbl = "graft_q249_knn_store"
       TableStore.dropTable(s, vtbl); TableStore.dropTable(s, gtbl)
       copyBucketedTable(s,
-        baseIvfStoreTemplate(s, dir, "chain16", base, init64), vtbl,
+        baseIvfStoreTemplate(s, dir, "excl8m5", base, init64), vtbl,
         bucketCols = Seq("cid"))
-      val g0 = SimilarityOps.nnDescent(base, "vec_id", "embedding",
-        SimilarityOps.cellSeedGraph(base, cells, "vec_id", "embedding", k = 10),
-        k = 10, iters = 1)
-      TableStore.saveBucketed(g0.withColumn("epoch", lit(0L)), gtbl,
-        bucketCols = Seq("probe_id"), buckets = 8)
+      copyBucketedTable(s,
+        baseKnnGraphTemplate(s, dir, "excl8m5", base, cells), gtbl,
+        bucketCols = Seq("probe_id"))
       val uid = java.util.UUID.randomUUID().toString.replace("-", "")
       val dirF = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")), s"graft_q249_$uid")
