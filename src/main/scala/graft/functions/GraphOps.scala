@@ -69,11 +69,24 @@ object GraphOps {
                    damping: Double = 0.85, iters: Int = 5): DataFrame =
     pageRankCore(edges, srcCol, dstCol, Some(initRanks), damping, iters)
 
-  private def pageRankCore(edges: DataFrame, srcCol: String, dstCol: String,
-                           init: Option[DataFrame],
-                           damping: Double, iters: Int): DataFrame = {
-    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    require(iters >= 1, s"iters must be >= 1, got $iters")
+  /** Prepared PageRank graph state — the per-graph caches every core run
+    * needs (pre-partitioned serialized edge cache, out-degrees, node set,
+    * data-scaled partition count). Chained runs over the SAME edge frame
+    * (warm-start → resume, the q158 shape) prepare once and run
+    * [[pageRankIters]] per leg instead of paying the distinct +
+    * repartition + cache materialization per leg. */
+  private[graft] final case class PrGraph(e: DataFrame, deg: DataFrame,
+                                          nodes: DataFrame, n: Long,
+                                          parts: Int, nAgg: DataFrame) {
+    def release(): Unit = {
+      e.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
+  }
+
+  private[graft] def pageRankPrepare(edges: DataFrame, srcCol: String,
+                                     dstCol: String): PrGraph = {
     // cache edges PRE-PARTITIONED on the contribution-join key: the cached
     // InMemoryRelation keeps hashpartitioning(s), so each iteration's join
     // exchanges only the node-sized rank side (or broadcasts it), never
@@ -101,6 +114,44 @@ object GraphOps {
     // divisor errs toward parallelism; coalesce is map-side (no shuffle)
     val parts = math.max(1, (n / (1L << 16)).toInt)
     val nAgg = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    PrGraph(e, deg, nodes, n, parts, nAgg)
+  }
+
+  /** Rolling-release cadence for checkpointed iteration state: the lazy
+    * chain pins ~2 node-sized frames per iteration (~64 B a checkpointed
+    * row), so materialize-and-release every K iterations with K sized so
+    * the pinned window stays under a quarter of max heap (≈ the unified
+    * manager's protected storage fraction). K ≥ iters degenerates to one
+    * lazy cascade (zero extra jobs — the sf0.1 case); K = 1 degenerates
+    * to the old unconditional per-iteration eager release (the 60M-edge
+    * sf10 case, where it is the difference between the default 8 g heap
+    * and UNABLE_TO_ACQUIRE_MEMORY); in between it amortizes the
+    * synchronous materialization job over K iterations instead of paying
+    * it every round — same bounded peak, a fraction of the barrier cost. */
+  private def rollEvery(n: Long): Int =
+    // `graft.pr.rollEvery` pins the cadence for tests (the toy graphs
+    // can't reach the heap-derived threshold) and for cluster operators
+    // who know their executor storage budget better than the driver heap
+    sys.props.get("graft.pr.rollEvery").map(_.toInt).getOrElse {
+      val perIter = math.max(1L, n * 2L * 64L)
+      val k = Runtime.getRuntime.maxMemory / 4 / perIter
+      math.max(1L, math.min(k, Int.MaxValue.toLong)).toInt
+    }
+
+  private def pageRankCore(edges: DataFrame, srcCol: String, dstCol: String,
+                           init: Option[DataFrame],
+                           damping: Double, iters: Int): DataFrame = {
+    val g = pageRankPrepare(edges, srcCol, dstCol)
+    val out = pageRankIters(g, init, damping, iters)
+    g.release()
+    out
+  }
+
+  private[graft] def pageRankIters(g: PrGraph, init: Option[DataFrame],
+                                   damping: Double, iters: Int): DataFrame = {
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val PrGraph(e, deg, nodes, n, parts, nAgg) = g
     // Iteration state is localCheckpoint(lazy): the frame becomes an RDD
     // scan at BUILD time, so plans stay constant-size across iterations.
     // (A persist() chain was tried instead — InMemoryRelation preserves
@@ -119,23 +170,18 @@ object GraphOps {
           .select(col("id"),
             coalesce(col("__r0"), lit(1.0) / col("__n")).as("r"))
     }).coalesce(parts).localCheckpoint(false)
-    // Per-iteration EAGER checkpoint + predecessor release bounds the
-    // peak to the edge cache plus ≤2 node-sized frames — at 60M edges
-    // the difference between running at the default 8g harness heap and
-    // UNABLE_TO_ACQUIRE_MEMORY (the q256 sf10 OOM). But the eager
-    // materialization is a synchronous job per iteration, pure overhead
-    // when the lazy chain's pinned set (~2·iters+1 node frames, ~64 B a
-    // checkpointed row) fits comfortably: at sf0.1 the unconditional
-    // form cost q256 1.6× wall for a peak that was never at risk. So
-    // the trade is CONDITIONAL on the measured node count vs the actual
-    // heap — eager only when the lazy estimate threatens a quarter of
-    // max heap (≈ the unified manager's protected storage fraction);
-    // otherwise one lazy cascade, with every intermediate released
-    // AFTER the final frame materializes (same ≤1-pinned-RDD exit).
-    val lazyPinnedEst = n * (2L * iters + 1L) * 64L
-    val eager = lazyPinnedEst > Runtime.getRuntime.maxMemory / 4
+    // Rolling release (see [[rollEvery]]): every K iterations the current
+    // rank frame is materialized (one synchronous job — the cascade also
+    // materializes the window's lazy predecessors) and the window's
+    // checkpoints are dropped, so peak pinned state is bounded by
+    // K · 2 node frames + the edge cache at EVERY scale, while the
+    // barrier cost is iters/K jobs instead of iters. At sf0.1 (K ≥
+    // iters) this is one lazy cascade — zero extra jobs; at the 60M-edge
+    // sf10 decade it degenerates to the per-iteration eager release that
+    // keeps the default 8 g heap viable.
+    val relEvery = rollEvery(n)
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // rank ⋈ out-degree once per iteration, shared by the dangling-mass
       // aggregate and the contribution join via the (lazy) checkpoint
       val rd = ranks.join(deg, Seq("id"), "left").coalesce(parts).localCheckpoint(false)
@@ -148,28 +194,22 @@ object GraphOps {
         .select(col("id"),
           (lit(1.0 - damping) / col("__n") +
             lit(damping) * (coalesce(col("c"), lit(0.0)) + col("__dm") / col("__n"))).as("r"))
-        .coalesce(parts).localCheckpoint(eager)
-      if (eager) {
-        releaseLocalCheckpoint(ranks)
-        releaseLocalCheckpoint(rd)
-      } else {
-        inter += rd
-        inter += next
-      }
+        .coalesce(parts).localCheckpoint(false)
+      inter += rd
+      inter += next
       ranks = next
+      if (i % relEvery == 0 && i < iters) {
+        ranks.queryExecution.toRdd.count(): Unit // materialize the window
+        inter.filterNot(_ eq ranks).foreach(releaseLocalCheckpoint)
+        inter.clear()
+        inter += ranks
+      }
     }
-    // Eager mode already materialized the final frame; lazy mode runs
-    // the single cascade here, then drops every intermediate checkpoint:
-    // the call exits with exactly one pinned RDD — the returned ranks —
-    // in either mode.
-    val out = if (eager) ranks else {
-      val o = ranks.localCheckpoint(true)
-      inter.foreach(releaseLocalCheckpoint)
-      o
-    }
-    e.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    // The final cascade materializes whatever the last window left lazy,
+    // then drops every intermediate checkpoint: the call exits with
+    // exactly one pinned RDD — the returned ranks.
+    val out = ranks.localCheckpoint(true)
+    inter.foreach(releaseLocalCheckpoint)
     out
   }
 
@@ -207,8 +247,11 @@ object GraphOps {
     var ranks = nodes.crossJoin(nAgg)
       .select(col("id"), (lit(1.0) / col("__n")).as("r"))
       .coalesce(parts).localCheckpoint(false)
+    // same rolling-release cadence as [[pageRankIters]]: bounded pinned
+    // window at every scale, one lazy cascade when it already fits
+    val relEvery = rollEvery(n)
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val rd = ranks.join(wsum, Seq("id"), "left").coalesce(parts).localCheckpoint(false)
       val dangling = rd.where(col("ws").isNull)
         .agg(coalesce(sum("r"), lit(0.0)).as("__dm"))
@@ -222,6 +265,12 @@ object GraphOps {
         .coalesce(parts).localCheckpoint(false)
       inter += rd
       inter += ranks
+      if (i % relEvery == 0 && i < iters) {
+        ranks.queryExecution.toRdd.count(): Unit
+        inter.filterNot(_ eq ranks).foreach(releaseLocalCheckpoint)
+        inter.clear()
+        inter += ranks
+      }
     }
     val out = ranks.localCheckpoint(true)
     inter.foreach(releaseLocalCheckpoint) // ≤1 pinned RDD after return
@@ -278,8 +327,12 @@ object GraphOps {
       .coalesce(parts).localCheckpoint(false)
     var ranks = pvec.select(col("id"), col("p").as("r"))
       .coalesce(parts).localCheckpoint(false)
-    val inter = scala.collection.mutable.ArrayBuffer[DataFrame](pvec, ranks)
-    for (_ <- 1 to iters) {
+    // same rolling-release cadence as [[pageRankIters]]; pvec is read by
+    // EVERY iteration, so it stays out of the rolling window and is
+    // released only at the end
+    val relEvery = rollEvery(n)
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
+    for (i <- 1 to iters) {
       val rd = ranks.join(deg, Seq("id"), "left").coalesce(parts).localCheckpoint(false)
       val dangling = rd.where(col("deg").isNull)
         .agg(coalesce(sum("r"), lit(0.0)).as("__dm"))
@@ -293,9 +346,16 @@ object GraphOps {
         .coalesce(parts).localCheckpoint(false)
       inter += rd
       inter += ranks
+      if (i % relEvery == 0 && i < iters) {
+        ranks.queryExecution.toRdd.count(): Unit
+        inter.filterNot(_ eq ranks).foreach(releaseLocalCheckpoint)
+        inter.clear()
+        inter += ranks
+      }
     }
     val out = ranks.localCheckpoint(true)
-    inter.foreach(releaseLocalCheckpoint) // ≤1 pinned RDD after return
+    inter.foreach(releaseLocalCheckpoint)
+    releaseLocalCheckpoint(pvec) // ≤1 pinned RDD after return
     e.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
