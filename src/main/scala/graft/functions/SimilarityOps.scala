@@ -723,7 +723,10 @@ object SimilarityOps {
     val v = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"),
         vnorm(col(vecCol)).as("__n")).where(col("__n") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nw = newIds.select(col(idCol).as("__new")).distinct()
+    // no distinct on the increment ids: they only ever key a left-semi
+    // join, which is duplicate-insensitive (r16 — every dropped exchange
+    // here is a scheduled stage per micro-batch in the absorb stream)
+    val nw = newIds.select(col(idCol).as("__new"))
     val c = cells.select(col(idCol).as("__id"), col("cid"))
     val newCells = c.join(nw, c("__id") === nw("__new"), "left_semi")
       .select(col("__id").as("__nid"), col("cid"))
@@ -749,12 +752,14 @@ object SimilarityOps {
         .otherwise(col("__m1")).as("__id"))
       .where(col("__id") =!= col("__nid")) // degenerate single-vector corpus
     val pairs = mates.select(col("__nid"), col("__id")).unionByName(loneSeeds)
+    // seeds carries the flip-duplicates (≤2×) instead of paying a dedup
+    // exchange: every consumer either dedups later anyway (`und`, `cand`)
+    // or is a duplicate-insensitive semi-join key (`touched`)
     val seeds = pairs.select(col("__nid").as("probe_id"), col("__id").as("nbr_id"))
       .unionByName(pairs.select(col("__id").as("probe_id"), col("__nid").as("nbr_id")))
-      .distinct()
       .localCheckpoint(false) // touched set, propagation, AND the pool
     val touched = seeds.select(col("probe_id").as("__t"))
-      .unionByName(seeds.select(col("nbr_id").as("__t"))).distinct()
+      .unionByName(seeds.select(col("nbr_id").as("__t")))
     val g = liveGraph.select(col("probe_id"), col("nbr_id"))
     val inc = g.join(touched, g("probe_id") === touched("__t"), "left_semi")
     // 2. one touched-restricted proposal round
@@ -770,7 +775,7 @@ object SimilarityOps {
     // 3. merge pool: candidates ∪ the current edges of every pool node
     val cand = seeds.unionByName(prop).distinct()
       .localCheckpoint(false) // pool probes AND the pool itself
-    val poolProbes = cand.select(col("probe_id").as("__p")).distinct()
+    val poolProbes = cand.select(col("probe_id").as("__p")) // semi-join key only
     val pool = cand.unionByName(
         g.join(poolProbes, g("probe_id") === poolProbes("__p"), "left_semi"))
       .distinct()
@@ -854,7 +859,9 @@ object SimilarityOps {
                      idCol: String, vecCol: String, k: Int = 10): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     GraftFunctions.register(vecs.sparkSession)
-    val vic = delIds.select(col(idCol).as("__d")).distinct()
+    // no distinct: the victim set only ever keys semi/anti joins, which
+    // are duplicate-insensitive (r16 — one exchange per CDC delete leg)
+    val vic = delIds.select(col(idCol).as("__d"))
       .localCheckpoint(false) // read by five joins below
     // survivors' vectors only — a victim can never be scored back in
     val v = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"),
@@ -869,11 +876,14 @@ object SimilarityOps {
     val aff = toVic.select(col("probe_id")).distinct()
       .localCheckpoint(false) // pool, fallback, and the current-edge cut
     // victim adjacency (out ∪ in): the repair candidate source
+    // no dedup on the victim adjacency: the only duplicate a direction
+    // flip can add is a mutual edge (≤2×), and the proposal pool dedups
+    // at `pool0.distinct()` anyway — the exchange costs more than the
+    // bounded duplicate it removes
     val vadj = g.join(vic, g("probe_id") === vic("__d"), "left_semi")
       .select(col("probe_id").as("__vd"), col("nbr_id").as("__m"))
       .unionByName(g.join(vic, g("nbr_id") === vic("__d"), "left_semi")
         .select(col("nbr_id").as("__vd"), col("probe_id").as("__m")))
-      .distinct()
     val prop = toVic.select(col("probe_id"), col("nbr_id").as("__vd"))
       .join(vadj, Seq("__vd"))
       .select(col("probe_id"), col("__m").as("nbr_id"))
