@@ -88,7 +88,11 @@ object PqOps {
         .select(col("sub"), col("cid"),
           transform(col("__pm"), p => p.getField("__mx")).as("cv"))
     }
-    cb
+    // model-sized (m·k rows) and consumed as the build side of SEVERAL
+    // broadcast exchanges (encode, ADC tables) — without a checkpoint
+    // every broadcast build re-runs the Lloyd training (r16: measured 3×
+    // per ivfPqTopK call). Lazy: the first consumer materializes it.
+    cb.localCheckpoint(false)
   }
 
   /** Encode every corpus vector as its `m` codeword ids, ordered by
@@ -256,10 +260,15 @@ object PqOps {
                 lloydRounds: Int = 1): DataFrame = {
     require(nProbe >= 1 && k >= 1, s"k/nProbe must be >= 1, got $k/$nProbe")
     graft.expr.GraftFunctions.register(corpus.sparkSession)
+    // model-sized frames are CHECKPOINTED once: each is the build input
+    // of a broadcast exchange (or several), and a lazy frame re-runs its
+    // whole upstream chain inside every broadcast build thread — the
+    // probe measured the codebook training executing 3× per call (r16)
     val cent = centroids.select(col(centroidIdCol).as("__ccid"),
         transform(col(vecCol), x => x.cast("double")).as("__ccv"))
       .withColumn("__ccn", sqrt(vdot(col("__ccv"), col("__ccv"))))
       .where(col("__ccn") > 0)
+      .localCheckpoint(false)
     // cosine top-n cells (score desc, cid asc — the ivfTopK convention)
     def topCells(df: DataFrame, dfIdCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy("__qid").orderBy(col("__score").desc, col("__ccid").asc)
@@ -299,6 +308,7 @@ object PqOps {
       .agg(map_from_entries(collect_list(struct(col("sub"), col("__m")))).as("__mm"))
       .select(col("probe_id"), col("ccid"),
         transform(sequence(lit(0), lit(m - 1)), s => element_at(col("__mm"), s)).as("dts"))
+      .localCheckpoint(false) // probe-bounded; built once, broadcast below
     // probed cells only: broadcast equi-join on ccid — codes never shuffle
     val cand = codes.join(broadcast(dts), Seq("ccid"))
       .where(col(idCol) =!= col("probe_id"))
@@ -310,6 +320,7 @@ object PqOps {
       .select(col("probe_id"), col(idCol).as("nbr_id"), col("rank").cast("int").as("rank"))
       .localCheckpoint(true) // probe-bounded; release the residual cache
     casn.unpersist(blocking = false)
+    Seq(cent, cb, dts).foreach(graft.functions.GraphOps.releaseLocalCheckpoint)
     res
   }
 

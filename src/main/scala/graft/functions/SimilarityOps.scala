@@ -64,8 +64,8 @@ object SimilarityOps {
     // zero-norm vectors (failed decodes, padding rows) have undefined
     // cosine — unfiltered they'd score NaN, which sorts FIRST under desc
     // order and displaces a real neighbor from every probe's top-k
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
-      vnorm(col(vecCol)).as("__cn")).where(col("__cn") > 0)
+    val c = fanOutSmall(corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
+      vnorm(col(vecCol)).as("__cn")).where(col("__cn") > 0))
     val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
       vnorm(col(vecCol)).as("__pn")).where(col("__pn") > 0)
     val cand = c.crossJoin(broadcast(p))
@@ -99,8 +99,8 @@ object SimilarityOps {
                     idCol: String, probeIdCol: String, vecCol: String,
                     classCol: String, k: Int = 10): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("nbr_id"), col(classCol).as("nbr_class"),
-      col(vecCol).as("__cv"), vnorm(col(vecCol)).as("__cn")).where(col("__cn") > 0)
+    val c = fanOutSmall(corpus.select(col(idCol).as("nbr_id"), col(classCol).as("nbr_class"),
+      col(vecCol).as("__cv"), vnorm(col(vecCol)).as("__cn")).where(col("__cn") > 0))
     val p = probes.select(col(probeIdCol).as("probe_id"), col(classCol).as("probe_class"),
       col(vecCol).as("__pv"), vnorm(col(vecCol)).as("__pn")).where(col("__pn") > 0)
     val scored = c.crossJoin(broadcast(p))
@@ -138,12 +138,30 @@ object SimilarityOps {
     * associative, engine-portable (the q114 "ordered folds" convention).
     *
     * @return (probe_id, doc_id, score_micro, rank ≤ k) */
+  /** Fan a SMALL pre-explosion frame out to the session's parallelism
+    * before a broadcast cross join multiplies it: AQE sizes shuffle
+    * coalescing on the frame's own bytes, so a corpus-token table that
+    * arrives as 1–2 post-distinct partitions would explode ×|probe
+    * tokens| inside ONE task (q275 measured 10 s in a single straggler
+    * task at sf0.1 — guide §2.6 idle capacity). A frame already at ≥
+    * parallelism partitions (a real corpus scan at scale) passes through
+    * untouched — this never adds a corpus-sized shuffle, it only undoes
+    * pre-explosion over-coalescing. Round-robin repartition is
+    * deterministic under Spark's sort-before-repartition, and every
+    * downstream aggregate/window is keyed, so results are unchanged. */
+  private def fanOutSmall(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions >= p) df
+    else df.repartition(p)
+  }
+
   def maxSimTopK(corpusTokens: DataFrame, probeTokens: DataFrame,
                  docCol: String, probeCol: String, probeTokCol: String,
                  vecCol: String, k: Int = 10): DataFrame = {
     GraftFunctions.register(corpusTokens.sparkSession)
-    val c = corpusTokens.select(col(docCol).as("doc_id"), col(vecCol).as("__cv"),
-      vnorm(col(vecCol)).as("__cn")).where(col("__cn") > 0)
+    val c = fanOutSmall(corpusTokens.select(col(docCol).as("doc_id"),
+      col(vecCol).as("__cv"),
+      vnorm(col(vecCol)).as("__cn")).where(col("__cn") > 0))
     val p = probeTokens.select(col(probeCol).as("probe_id"),
       col(probeTokCol).as("__tok"), col(vecCol).as("__pv"),
       vnorm(col(vecCol)).as("__pn")).where(col("__pn") > 0)
@@ -194,9 +212,9 @@ object SimilarityOps {
                        probeCol: String, probeTokCol: String,
                        vecCol: String, k: Int = 10, m: Int = 8): DataFrame = {
     GraftFunctions.register(corpusTokens.sparkSession)
-    val c = corpusTokens.select(col(docCol).as("doc_id"),
+    val c = fanOutSmall(corpusTokens.select(col(docCol).as("doc_id"),
       col(corpusTokCol).as("__ct"), col(vecCol).as("__cv"),
-      vnorm(col(vecCol)).as("__cn")).where(col("__cn") > 0)
+      vnorm(col(vecCol)).as("__cn")).where(col("__cn") > 0))
     val p = probeTokens.select(col(probeCol).as("probe_id"),
       col(probeTokCol).as("__tok"), col(vecCol).as("__pv"),
       vnorm(col(vecCol)).as("__pn")).where(col("__pn") > 0)
@@ -521,10 +539,10 @@ object SimilarityOps {
     require(candSize >= k && k >= 1, s"need candSize >= k >= 1, got $candSize/$k")
     GraftFunctions.register(corpus.sparkSession)
     val words = bqWords(col(vecCol), dim)
-    val c = corpus.select(col(idCol).as("nbr_id") +:
+    val c = fanOutSmall(corpus.select(col(idCol).as("nbr_id") +:
       vnorm(col(vecCol)).as("__cn") +:
       words.zipWithIndex.map { case (w, i) => w.as(s"__cw$i") }: _*)
-      .where(col("__cn") > 0)
+      .where(col("__cn") > 0))
     val p = probes.select(col(probeIdCol).as("probe_id") +:
       col(vecCol).as("__pv") +: vnorm(col(vecCol)).as("__pn") +:
       words.zipWithIndex.map { case (w, i) => w.as(s"__pw$i") }: _*)
