@@ -1446,7 +1446,12 @@ object SimilarityOps {
       cent = recenter(assignCells(v, idCol, cent))
       round += 1
     }
-    cent
+    // trained centroids are model-sized and consumed as the build side of
+    // at least two broadcast exchanges (corpus assignment + probe
+    // routing); a lazy frame re-runs the Lloyd round(s) — a full corpus
+    // pass each — inside every broadcast build (the pqCodebook pattern,
+    // r16). Init passthrough (0 rounds) stays lazy: nothing to re-run.
+    if (updateRounds == 0) cent else cent.localCheckpoint(false)
   }
 
   /** [[kmeansAssign]] keeping the vector and its norm alongside the cell id
