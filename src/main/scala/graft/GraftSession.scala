@@ -32,6 +32,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initial)
+      // AQE sizes post-shuffle coalescing on the shuffle's OWN bytes; a
+      // pair-scan join whose input is small but whose OUTPUT explodes
+      // quadratically (cid-blocked dedup, n-gram SSJoin) then runs in 1-2
+      // tasks regardless of cores. Lowering the coalescing floor keeps
+      // such stages parallel; large shuffles are untouched (they coalesce
+      // on advisory size as before). Overridable for experiments.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -1179,8 +1179,13 @@ object GraphOps {
       .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // node-sized, but the CALLER's labeling chain (e.g. a full LPA run)
+    // hangs below it and is read by two independent join chains plus a
+    // broadcast build — checkpoint once or the labeling trains repeatedly
+    // inside the broadcast threads (the pqCodebook pattern, r16:
+    // q188 measured 16.3 s of jobs for a 4.7 s wall)
     val lab = labels.select(col(idCol).cast("long").as("__id"),
-      col(labelCol).as("__lbl"))
+      col(labelCol).as("__lbl")).localCheckpoint(false)
     val el = e
       .join(lab.select(col("__id").as("u"), col("__lbl").as("__lu")), Seq("u"))
       .join(lab.select(col("__id").as("v"), col("__lbl").as("__lv")), Seq("v"))
@@ -1194,6 +1199,7 @@ object GraphOps {
     val per = deg.join(intra, Seq("label"), "left")
       .select(col("label"), col("n_nodes"), col("deg_sum"),
         coalesce(col("intra_edges"), lit(0L)).as("intra_edges"))
+      .localCheckpoint(false) // community-sized; totals agg AND output read it
     val mAgg = e.agg(count(lit(1)).as("m"))
     val tot = per.crossJoin(broadcast(mAgg))
       .agg(first(col("m")).as("m"),
@@ -1205,6 +1211,8 @@ object GraphOps {
           .cast("long").as("q_micro"))
     val out = per.crossJoin(broadcast(tot)).localCheckpoint(true)
     e.unpersist(blocking = false)
+    releaseLocalCheckpoint(lab)
+    releaseLocalCheckpoint(per)
     out
   }
 

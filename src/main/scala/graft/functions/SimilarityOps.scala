@@ -149,10 +149,23 @@ object SimilarityOps {
     * pre-explosion over-coalescing. Round-robin repartition is
     * deterministic under Spark's sort-before-repartition, and every
     * downstream aggregate/window is keyed, so results are unchanged. */
-  private def fanOutSmall(df: DataFrame): DataFrame = {
+  private[functions] def fanOutSmall(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.queryExecution.toRdd.getNumPartitions >= p) df
     else df.repartition(p)
+  }
+
+  /** Keyed [[fanOutSmall]] for EQUI-join explosions (intra-cell pair
+    * scans): the pair join's per-key output is quadratic in cell
+    * occupancy, but AQE coalesces the join's shuffles on their (small)
+    * INPUT bytes — the whole pair scan then runs in 1-2 tasks. Hash
+    * repartitioning by the join key at the session parallelism keeps the
+    * scan parallel AND lets both self-join sides reuse the one exchange.
+    * Same ≥-parallelism pass-through guard as [[fanOutSmall]]. */
+  private[functions] def fanOutSmallBy(df: DataFrame, keys: Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions >= p) df
+    else df.repartition(p, keys: _*)
   }
 
   def maxSimTopK(corpusTokens: DataFrame, probeTokens: DataFrame,
@@ -1830,7 +1843,13 @@ object SimilarityOps {
     GraftFunctions.register(newVecs.sparkSession)
     val cent = centroids.select(col(centroidIdCol).as("cid"),
       transform(col(vecCol), x => x.cast("double")).as("__cv"))
-    val newAsn = assignCells(normalizedCorpus(newVecs, idCol, vecCol), idCol, cent)
+    // cid-keyed fan-out: the increment arrives as 1-2 AQE-coalesced
+    // partitions, so the intra-cell pair scans below would explode inside
+    // 1-2 tasks (measured: q240 6.8→5.6 s, q168 9.2→6.6 s; the BATCH
+    // semanticDedup was measured NOT to benefit and keeps its shape)
+    val newAsn = fanOutSmallBy(
+        assignCells(normalizedCorpus(newVecs, idCol, vecCol), idCol, cent),
+        col("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touched = newAsn.select("cid").distinct()
     val storeTouched = store
