@@ -4888,8 +4888,12 @@ object SparkEntry {
           graft.functions.GraphOps.releaseLocalCheckpoint(k0)
           graft.functions.GraphOps.releaseLocalCheckpoint(t0)
         }
-        vacuumPair(fx.gtbl, fx.gttbl, "probe_id")
-        vacuumPair(fx.vtbl, fx.vttbl, "vec_id")
+        // the two (store, tombstone) pairs are disjoint table sets, so
+        // their vacuum rewrites overlap (guide §2.6); each pair's
+        // read→drop→rewrite stays internally sequential
+        graft.streaming.StreamingOps.runConcurrently(Seq(
+          () => vacuumPair(fx.gtbl, fx.gttbl, "probe_id"),
+          () => vacuumPair(fx.vtbl, fx.vttbl, "vec_id")))
         // resume: the re-insert wave absorbs against the VACUUMED stores
         feed(fx.emb.where(fx.isUpd)
           .select(lit("I").as("op"), col("vec_id"),
@@ -5195,55 +5199,70 @@ object SparkEntry {
         .distinct().orderBy(col("tok").asc).limit(16)
         .withColumn("tv", TextFunctions.tokenHashVector(col("tok"), 16))
         .localCheckpoint(false)
-      copyBucketedTable(s,
-        baseIvfStoreTemplate(s, dir, "q277vec",
-          base.select("doc_id", "embedding"), init64,
-          idCol = "doc_id", centIdCol = "doc_id"),
-        vtbl, bucketCols = Seq("cid"))
-      TableStore.saveBucketed(
-        all.select("doc_id").where(lit(false)), vttbl,
-        bucketCols = Seq("doc_id"), buckets = 8)
-      TableStore.saveBucketed(
-        all.select(col("doc_id").as("probe_id"), lit(0L).as("before_epoch"))
-          .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 8)
-      copyBucketedTable(s,
-        baseKnnGraphTemplate(s, dir, "docs",
-          base.select(col("doc_id").as("vec_id"), col("embedding")),
-          cells.select(col("doc_id").as("vec_id"), col("cid"))), gtbl,
-        bucketCols = Seq("probe_id"))
-      val bmT = ensureTemplateTable(s, dir, "q277bm25") { t =>
-        TableStore.dropTable(s, t); TableStore.dropTable(s, t + "_stats")
-        graft.functions.RetrievalOps.bm25IndexAbsorb(
-          base.select("doc_id", "text"), "doc_id", "text", t, buckets = 8)
-      }
-      copyBucketedTable(s, bmT, btbl, bucketCols = Seq("term"))
-      copyPlainTable(s, bmT + "_stats", btbl + "_stats")
-      TableStore.saveBucketed(
-        all.select("doc_id").where(lit(false)), bttbl,
-        bucketCols = Seq("doc_id"), buckets = 8)
-      copyBucketedTable(s,
-        ensureTemplateTable(s, dir, "q277sig") { t =>
-          TableStore.dropTable(s, t)
+      // five family fixtures write disjoint table sets — their template
+      // copies / empty-tombstone saves overlap (guide §2.6); inputs are
+      // all frames checkpointed above, template builds serialize on the
+      // memo lock (warmup only — the timed pass sees copies)
+      graft.streaming.StreamingOps.runConcurrently(Seq(
+        { () =>
+          copyBucketedTable(s,
+            baseIvfStoreTemplate(s, dir, "q277vec",
+              base.select("doc_id", "embedding"), init64,
+              idCol = "doc_id", centIdCol = "doc_id"),
+            vtbl, bucketCols = Seq("cid"))
           TableStore.saveBucketed(
-            DedupOps.minhashStore(
-                base.select(col("doc_id").as("id"), col("text")), "text", "id")
-              .withColumn("epoch", lit(0L)),
-            t, bucketCols = Seq("band", "band_key"), buckets = 8)
-        }, stbl, bucketCols = Seq("band", "band_key"))
-      TableStore.saveBucketed(
-        all.select(col("doc_id").as("id"), lit(0L).as("before_epoch"))
-          .where(lit(false)), sttbl, bucketCols = Seq("id"), buckets = 8)
-      copyBucketedTable(s,
-        ensureTemplateTable(s, dir, "q277tok") { t =>
-          TableStore.dropTable(s, t)
+            all.select("doc_id").where(lit(false)), vttbl,
+            bucketCols = Seq("doc_id"), buckets = 8)
+        },
+        { () =>
           TableStore.saveBucketed(
-            SimilarityOps.ivfStore(docTokens(base), "tok_uid", "tv", tokCent,
-              "tok", carryCols = Seq("doc_id")).withColumn("epoch", lit(0L)),
-            t, bucketCols = Seq("cid"), buckets = 8)
-        }, ttok, bucketCols = Seq("cid"))
-      TableStore.saveBucketed(
-        all.select(col("doc_id"), lit(0L).as("before_epoch"))
-          .where(lit(false)), ttokT, bucketCols = Seq("doc_id"), buckets = 8)
+            all.select(col("doc_id").as("probe_id"), lit(0L).as("before_epoch"))
+              .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 8)
+          copyBucketedTable(s,
+            baseKnnGraphTemplate(s, dir, "docs",
+              base.select(col("doc_id").as("vec_id"), col("embedding")),
+              cells.select(col("doc_id").as("vec_id"), col("cid"))), gtbl,
+            bucketCols = Seq("probe_id"))
+        },
+        { () =>
+          val bmT = ensureTemplateTable(s, dir, "q277bm25") { t =>
+            TableStore.dropTable(s, t); TableStore.dropTable(s, t + "_stats")
+            graft.functions.RetrievalOps.bm25IndexAbsorb(
+              base.select("doc_id", "text"), "doc_id", "text", t, buckets = 8)
+          }
+          copyBucketedTable(s, bmT, btbl, bucketCols = Seq("term"))
+          copyPlainTable(s, bmT + "_stats", btbl + "_stats")
+          TableStore.saveBucketed(
+            all.select("doc_id").where(lit(false)), bttbl,
+            bucketCols = Seq("doc_id"), buckets = 8)
+        },
+        { () =>
+          copyBucketedTable(s,
+            ensureTemplateTable(s, dir, "q277sig") { t =>
+              TableStore.dropTable(s, t)
+              TableStore.saveBucketed(
+                DedupOps.minhashStore(
+                    base.select(col("doc_id").as("id"), col("text")), "text", "id")
+                  .withColumn("epoch", lit(0L)),
+                t, bucketCols = Seq("band", "band_key"), buckets = 8)
+            }, stbl, bucketCols = Seq("band", "band_key"))
+          TableStore.saveBucketed(
+            all.select(col("doc_id").as("id"), lit(0L).as("before_epoch"))
+              .where(lit(false)), sttbl, bucketCols = Seq("id"), buckets = 8)
+        },
+        { () =>
+          copyBucketedTable(s,
+            ensureTemplateTable(s, dir, "q277tok") { t =>
+              TableStore.dropTable(s, t)
+              TableStore.saveBucketed(
+                SimilarityOps.ivfStore(docTokens(base), "tok_uid", "tv", tokCent,
+                  "tok", carryCols = Seq("doc_id")).withColumn("epoch", lit(0L)),
+                t, bucketCols = Seq("cid"), buckets = 8)
+            }, ttok, bucketCols = Seq("cid"))
+          TableStore.saveBucketed(
+            all.select(col("doc_id"), lit(0L).as("before_epoch"))
+              .where(lit(false)), ttokT, bucketCols = Seq("doc_id"), buckets = 8)
+        }))
       val uid = java.util.UUID.randomUUID().toString.replace("-", "")
       val dirF = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")), s"graft_q277_$uid")

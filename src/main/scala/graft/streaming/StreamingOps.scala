@@ -807,51 +807,66 @@ object StreamingOps {
     require(!present("U"),
       "multiIndexCdcBatch: op 'U' needs versioned layouts in every " +
         "family — re-embed flows through the per-family versioned stores")
-    // 1. vector store + kNN graph (its own epoch discipline)
-    knnGraphCdcBatch(b0.select(col(opCol), col(idCol), col(vecCol)),
-      idCol, vecCol, opCol, graphTable, vecStoreTable, vecTombTable,
-      graphTombTable, centroids, centroidIdCol, k, buckets, cellAssign)
     val ins = b0.where(col(opCol) === "I")
     val del = b0.where(col(opCol) === "D")
     val hasIns = present("I")
     val hasDel = present("D")
+    // The four family legs write DISJOINT table sets and read only the
+    // in-memory b0 blocks plus tables they alone write, so their
+    // (job-bound, increment-sized) job storms overlap — guide §2.6:
+    // actions are only sequential because the driver calls them
+    // sequentially. Each leg stays internally sequential (inserts
+    // before deletes within a family, each family's own epoch reads),
+    // so every table's contents are bit-identical to the sequential
+    // schedule; cross-leg saveAsTable cache invalidation cannot race
+    // because no leg reads another leg's tables.
+    val legs = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    // 1. vector store + kNN graph (its own epoch discipline)
+    legs += (() =>
+      knnGraphCdcBatch(b0.select(col(opCol), col(idCol), col(vecCol)),
+        idCol, vecCol, opCol, graphTable, vecStoreTable, vecTombTable,
+        graphTombTable, centroids, centroidIdCol, k, buckets, cellAssign))
     // 2. BM25 postings + stats (tombstones + negative stats merges)
-    if (hasIns)
-      graft.functions.RetrievalOps.bm25IndexAbsorb(ins, idCol, textCol,
-        bm25Table, buckets)
-    if (hasDel)
-      graft.functions.RetrievalOps.bm25IndexDelete(del, idCol, textCol,
-        bm25Table, bm25TombTable, buckets)
-    // 3. signature store (epoch-appended rows + (id, before_epoch) tombs)
-    Seq(sigTable, sigTombTable).foreach(s.catalog.refreshTable)
-    def sigEpoch(): Long = TableStore.loadTable(s, sigTable)
-      .select(col("epoch").cast("long").as("__e"))
-      .unionByName(TableStore.loadTable(s, sigTombTable)
-        .select(col("before_epoch").cast("long").as("__e")))
-      .agg(coalesce(max(col("__e")), lit(0L)).as("e")).head().getLong(0) + 1L
-    if (hasIns) {
-      TableStore.saveBucketed(
-        graft.functions.DedupOps.minhashStore(
-            ins.withColumnRenamed(idCol, "id"), textCol, "id",
-            minhashK, bands, ngram)
-          .withColumn("epoch", lit(sigEpoch())),
-        sigTable, bucketCols = Seq("band", "band_key"), buckets = buckets,
-        mode = SaveMode.Append)
-      s.catalog.refreshTable(sigTable)
+    legs += { () =>
+      if (hasIns)
+        graft.functions.RetrievalOps.bm25IndexAbsorb(ins, idCol, textCol,
+          bm25Table, buckets)
+      if (hasDel)
+        graft.functions.RetrievalOps.bm25IndexDelete(del, idCol, textCol,
+          bm25Table, bm25TombTable, buckets)
     }
-    if (hasDel) {
-      TableStore.saveBucketed(
-        del.select(col(idCol).as("id"), lit(sigEpoch()).as("before_epoch"))
-          .distinct(),
-        sigTombTable, bucketCols = Seq("id"), buckets = buckets,
-        mode = SaveMode.Append)
-      s.catalog.refreshTable(sigTombTable)
+    // 3. signature store (epoch-appended rows + (id, before_epoch) tombs)
+    legs += { () =>
+      Seq(sigTable, sigTombTable).foreach(s.catalog.refreshTable)
+      def sigEpoch(): Long = TableStore.loadTable(s, sigTable)
+        .select(col("epoch").cast("long").as("__e"))
+        .unionByName(TableStore.loadTable(s, sigTombTable)
+          .select(col("before_epoch").cast("long").as("__e")))
+        .agg(coalesce(max(col("__e")), lit(0L)).as("e")).head().getLong(0) + 1L
+      if (hasIns) {
+        TableStore.saveBucketed(
+          graft.functions.DedupOps.minhashStore(
+              ins.withColumnRenamed(idCol, "id"), textCol, "id",
+              minhashK, bands, ngram)
+            .withColumn("epoch", lit(sigEpoch())),
+          sigTable, bucketCols = Seq("band", "band_key"), buckets = buckets,
+          mode = SaveMode.Append)
+        s.catalog.refreshTable(sigTable)
+      }
+      if (hasDel) {
+        TableStore.saveBucketed(
+          del.select(col(idCol).as("id"), lit(sigEpoch()).as("before_epoch"))
+            .distinct(),
+          sigTombTable, bucketCols = Seq("id"), buckets = buckets,
+          mode = SaveMode.Append)
+        s.catalog.refreshTable(sigTombTable)
+      }
     }
     // 4. MaxSim token store — the doc-level events re-expressed as the
     //    token-row changefeed maxSimTokenCdcBatch expects: one distinct
     //    (op, doc, token) row per surface form, hash-vectorized; delete
     //    rows only contribute their doc id (the tombstone hides the bag)
-    for { tt <- tokStoreTable; tb <- tokTombTable; tc <- tokCentroids } {
+    for { tt <- tokStoreTable; tb <- tokTombTable; tc <- tokCentroids } legs += { () =>
       // token rows carry the STORE's column names (tok_uid, tv) — the
       // leg appends into the base store table, so schemas must line up.
       // Row identity is the (doc, token) PAIR (the q275 convention),
@@ -882,8 +897,32 @@ object StreamingOps {
       maxSimTokenCdcBatch(tokRows, idCol, "tok_uid", "tv", opCol,
         tt, tb, cent, "__tcid", buckets)
     }
+    runConcurrently(legs.toSeq)
     graft.functions.GraphOps.releaseLocalCheckpoint(b0)
   }
+
+  /** Run independent per-batch legs concurrently (guide §2.6). Every leg
+    * is awaited — even after one fails — so no leg is still writing when
+    * the batch returns or throws; the first failure is rethrown, which
+    * fails the batch exactly as the sequential schedule did (a mid-batch
+    * failure leaves some legs applied in EITHER schedule — the
+    * non-idempotent-append replay hazard the CDC docs already own). */
+  private[graft] def runConcurrently(legs: Seq[() => Unit]): Unit =
+    if (legs.sizeIs <= 1) legs.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(legs.size)
+      try {
+        val futs = legs.map(l => pool.submit(
+          new java.util.concurrent.Callable[Unit] { def call(): Unit = l() }))
+        val errs = futs.flatMap(f =>
+          try { f.get(); None }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              Some(Option(e.getCause).getOrElse(e))
+          })
+        errs.headOption.foreach(throw _)
+      } finally pool.shutdown()
+    }
 
   /** Continuous single-changefeed maintenance of ALL serving index
     * families via [[multiIndexCdcBatch]]. ORDER-SENSITIVE recovery
