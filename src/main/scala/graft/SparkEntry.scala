@@ -7252,12 +7252,20 @@ object SparkEntry {
     val hits = TextFunctions.bloomContaminationHits(
       z.select(col("doc_id"), col("nt")), "nt", "doc_id",
       probes, "probe", n = 3)
-    val kept = z.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
-      .select("doc_id", "source", "tok")
-      .localCheckpoint(true) // budgets/cut + mass read it
-    TableStore.saveBucketed(deduped.select("fp"), stbl,
-      bucketCols = Seq("fp"), buckets = 4,
-      mode = org.apache.spark.sql.SaveMode.Append)
+    // the kept materialization and the fp append both hang off the
+    // lazily-checkpointed `deduped` and touch disjoint outputs — overlap
+    // the two actions (guide §2.6; concurrent first-materialization of a
+    // lazy localCheckpoint is block-locked and idempotent). Both complete
+    // before return, so the caller's next-phase sigStore read still sees
+    // this phase's fps.
+    var kept: DataFrame = null
+    graft.streaming.StreamingOps.runConcurrently(Seq(
+      () => kept = z.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "tok")
+        .localCheckpoint(true), // budgets/cut + mass read it
+      () => TableStore.saveBucketed(deduped.select("fp"), stbl,
+        bucketCols = Seq("fp"), buckets = 4,
+        mode = org.apache.spark.sql.SaveMode.Append)))
     // kept is materialized and the fp append landed — release the one
     // intermediate frame so a per-batch streaming loop holds no residue
     graft.functions.GraphOps.releaseLocalCheckpoint(deduped)
@@ -7291,18 +7299,20 @@ object SparkEntry {
     val vttbl = s"graft_${pfx}_vec_tomb"
     val gttbl = s"graft_${pfx}_knn_tomb"
     Seq(vtbl, gtbl, vttbl, gttbl).foreach(TableStore.dropTable(s, _))
-    copyBucketedTable(s,
-      baseIvfStoreTemplate(s, dir, "full_e0", emb, init64, epoch = Some(0L)),
-      vtbl, bucketCols = Seq("cid"))
-    TableStore.saveBucketed(
-      emb.select(col("vec_id"), lit(0L).as("before_epoch"))
-        .where(lit(false)), vttbl, bucketCols = Seq("vec_id"), buckets = 8)
-    TableStore.saveBucketed(
-      emb.select(col("vec_id").as("probe_id"), lit(0L).as("before_epoch"))
-        .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 8)
-    copyBucketedTable(s,
-      baseKnnGraphTemplate(s, dir, "full", emb, cells), gtbl,
-      bucketCols = Seq("probe_id"))
+    // four disjoint-table writes — overlap them (guide §2.6)
+    graft.streaming.StreamingOps.runConcurrently(Seq(
+      () => copyBucketedTable(s,
+        baseIvfStoreTemplate(s, dir, "full_e0", emb, init64, epoch = Some(0L)),
+        vtbl, bucketCols = Seq("cid")),
+      () => TableStore.saveBucketed(
+        emb.select(col("vec_id"), lit(0L).as("before_epoch"))
+          .where(lit(false)), vttbl, bucketCols = Seq("vec_id"), buckets = 8),
+      () => TableStore.saveBucketed(
+        emb.select(col("vec_id").as("probe_id"), lit(0L).as("before_epoch"))
+          .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 8),
+      () => copyBucketedTable(s,
+        baseKnnGraphTemplate(s, dir, "full", emb, cells), gtbl,
+        bucketCols = Seq("probe_id"))))
     val updEmb = emb.select(col("vec_id"),
       when(isUpd, reverse(col("embedding")))
         .otherwise(col("embedding")).as("embedding"))
