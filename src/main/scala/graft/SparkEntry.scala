@@ -4015,12 +4015,13 @@ object SparkEntry {
       val ctbl = "graft_q251_knn_compact"
       TableStore.dropTable(s, vtbl); TableStore.dropTable(s, gtbl)
       TableStore.dropTable(s, ctbl)
-      copyBucketedTable(s,
-        baseIvfStoreTemplate(s, dir, "full", emb, init64), vtbl,
-        bucketCols = Seq("cid"))
-      copyBucketedTable(s,
-        baseKnnGraphTemplate(s, dir, "full", emb, cells), gtbl,
-        bucketCols = Seq("probe_id"))
+      graft.streaming.StreamingOps.runConcurrently(Seq( // disjoint tables
+        () => copyBucketedTable(s,
+          baseIvfStoreTemplate(s, dir, "full", emb, init64), vtbl,
+          bucketCols = Seq("cid")),
+        () => copyBucketedTable(s,
+          baseKnnGraphTemplate(s, dir, "full", emb, cells), gtbl,
+          bucketCols = Seq("probe_id"))))
       TableStore.saveBucketed( // compaction: live view rewritten at epoch 0
         SimilarityOps.liveKnnGraph(TableStore.loadTable(s, gtbl))
           .withColumn("epoch", lit(0L)),
@@ -4177,12 +4178,13 @@ object SparkEntry {
       val vtbl = "graft_q246_vec_store"
       val gtbl = "graft_q246_knn_store"
       TableStore.dropTable(s, vtbl); TableStore.dropTable(s, gtbl)
-      copyBucketedTable(s,
-        baseIvfStoreTemplate(s, dir, "excl4m1", base, init64), vtbl,
-        bucketCols = Seq("cid"))
-      copyBucketedTable(s,
-        baseKnnGraphTemplate(s, dir, "base32m4", base, cells), gtbl,
-        bucketCols = Seq("probe_id"))
+      graft.streaming.StreamingOps.runConcurrently(Seq( // disjoint tables
+        () => copyBucketedTable(s,
+          baseIvfStoreTemplate(s, dir, "excl4m1", base, init64), vtbl,
+          bucketCols = Seq("cid")),
+        () => copyBucketedTable(s,
+          baseKnnGraphTemplate(s, dir, "base32m4", base, cells), gtbl,
+          bucketCols = Seq("probe_id"))))
       val uid = java.util.UUID.randomUUID().toString.replace("-", "")
       val dirF = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")), s"graft_q246_$uid")
@@ -4228,12 +4230,13 @@ object SparkEntry {
       val vtbl = "graft_q249_vec_store"
       val gtbl = "graft_q249_knn_store"
       TableStore.dropTable(s, vtbl); TableStore.dropTable(s, gtbl)
-      copyBucketedTable(s,
-        baseIvfStoreTemplate(s, dir, "excl8m5", base, init64), vtbl,
-        bucketCols = Seq("cid"))
-      copyBucketedTable(s,
-        baseKnnGraphTemplate(s, dir, "excl8m5", base, cells), gtbl,
-        bucketCols = Seq("probe_id"))
+      graft.streaming.StreamingOps.runConcurrently(Seq( // disjoint tables
+        () => copyBucketedTable(s,
+          baseIvfStoreTemplate(s, dir, "excl8m5", base, init64), vtbl,
+          bucketCols = Seq("cid")),
+        () => copyBucketedTable(s,
+          baseKnnGraphTemplate(s, dir, "excl8m5", base, cells), gtbl,
+          bucketCols = Seq("probe_id"))))
       val uid = java.util.UUID.randomUUID().toString.replace("-", "")
       val dirF = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")), s"graft_q249_$uid")
@@ -4324,12 +4327,13 @@ object SparkEntry {
       val vtbl = "graft_q258_vec_store"
       val gtbl = "graft_q258_knn_store"
       TableStore.dropTable(s, vtbl); TableStore.dropTable(s, gtbl)
-      copyBucketedTable(s,
-        baseIvfStoreTemplate(s, dir, "chain16", base, init64), vtbl,
-        bucketCols = Seq("cid"))
-      copyBucketedTable(s,
-        baseKnnGraphTemplate(s, dir, "chain16", base, cells), gtbl,
-        bucketCols = Seq("probe_id"))
+      graft.streaming.StreamingOps.runConcurrently(Seq( // disjoint tables
+        () => copyBucketedTable(s,
+          baseIvfStoreTemplate(s, dir, "chain16", base, init64), vtbl,
+          bucketCols = Seq("cid")),
+        () => copyBucketedTable(s,
+          baseKnnGraphTemplate(s, dir, "chain16", base, cells), gtbl,
+          bucketCols = Seq("probe_id"))))
       val uid = java.util.UUID.randomUUID().toString.replace("-", "")
       val dirF = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")), s"graft_q258_$uid")
@@ -4383,12 +4387,13 @@ object SparkEntry {
       val vtbl = "graft_q259_vec_store"
       val gtbl = "graft_q259_knn_store"
       TableStore.dropTable(s, vtbl); TableStore.dropTable(s, gtbl)
-      copyBucketedTable(s,
-        baseIvfStoreTemplate(s, dir, "chain16", base, init64), vtbl,
-        bucketCols = Seq("cid"))
-      copyBucketedTable(s,
-        baseKnnGraphTemplate(s, dir, "chain16", base, cells), gtbl,
-        bucketCols = Seq("probe_id"))
+      graft.streaming.StreamingOps.runConcurrently(Seq( // disjoint tables
+        () => copyBucketedTable(s,
+          baseIvfStoreTemplate(s, dir, "chain16", base, init64), vtbl,
+          bucketCols = Seq("cid")),
+        () => copyBucketedTable(s,
+          baseKnnGraphTemplate(s, dir, "chain16", base, cells), gtbl,
+          bucketCols = Seq("probe_id"))))
       val uid = java.util.UUID.randomUUID().toString.replace("-", "")
       val dirF = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")), s"graft_q259_$uid")
@@ -4692,18 +4697,19 @@ object SparkEntry {
       val vttbl = "graft_q263_vec_tomb"
       val gttbl = "graft_q263_knn_tomb"
       Seq(vtbl, gtbl, vttbl, gttbl).foreach(TableStore.dropTable(s, _))
-      copyBucketedTable(s,
-        baseIvfStoreTemplate(s, dir, "excl8m5", base, init64), vtbl,
-        bucketCols = Seq("cid"))
-      TableStore.saveBucketed( // tombstone tables start EMPTY
-        emb.select("vec_id").where(lit(false)), vttbl,
-        bucketCols = Seq("vec_id"), buckets = 8)
-      TableStore.saveBucketed(
-        emb.select(col("vec_id").as("probe_id"), lit(0L).as("before_epoch"))
-          .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 8)
-      copyBucketedTable(s,
-        baseKnnGraphTemplate(s, dir, "excl8m5", base, cells), gtbl,
-        bucketCols = Seq("probe_id"))
+      graft.streaming.StreamingOps.runConcurrently(Seq( // disjoint tables
+        () => copyBucketedTable(s,
+          baseIvfStoreTemplate(s, dir, "excl8m5", base, init64), vtbl,
+          bucketCols = Seq("cid")),
+        () => TableStore.saveBucketed( // tombstone tables start EMPTY
+          emb.select("vec_id").where(lit(false)), vttbl,
+          bucketCols = Seq("vec_id"), buckets = 8),
+        () => TableStore.saveBucketed(
+          emb.select(col("vec_id").as("probe_id"), lit(0L).as("before_epoch"))
+            .where(lit(false)), gttbl, bucketCols = Seq("probe_id"), buckets = 8),
+        () => copyBucketedTable(s,
+          baseKnnGraphTemplate(s, dir, "excl8m5", base, cells), gtbl,
+          bucketCols = Seq("probe_id"))))
       val uid = java.util.UUID.randomUUID().toString.replace("-", "")
       val dirF = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")), s"graft_q263_$uid")
