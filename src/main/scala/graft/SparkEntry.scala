@@ -17,6 +17,24 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a SMALL pre-expansion frame out to the session parallelism
+    * before heavy map-side per-row work — the media generate+decode of
+    * the q92/q222/q225/q227/q230 gates, q226's 200-replicate bootstrap
+    * explosion: the documents scan is one parquet row group at toy
+    * scale, so that work otherwise runs in a single task (guide §2.6
+    * idle capacity). Only the narrow pre-expansion rows cross the
+    * exchange — payloads/replicates are generated AFTER it (fanning out
+    * generated payloads measured a regression; see OPTIMIZATION_r16.md
+    * negative results). Round-robin repartition is deterministic under
+    * Spark's sort-before-repartition and every generator/hash is
+    * per-row with keyed aggregation downstream, so results are
+    * bit-identical. A scan already at ≥ parallelism partitions (a real
+    * corpus at scale) passes through untouched. */
+  private def fanOutIds(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** The 5-way star join both [[entry]] and q62 aggregate over: dimensions
     * broadcast, lineitem shuffles exactly once (on l_orderkey). */
   private def starJoin(s: SparkSession, dir: String): DataFrame =
@@ -1323,7 +1341,7 @@ object SparkEntry {
       import org.apache.spark.sql.types._
       val genSchema = StructType(Seq(StructField("doc_id", LongType),
         StructField("payload", BinaryType), StructField("media_type", StringType)))
-      val withMedia = T(s, dir, "documents").select(col("doc_id"))
+      val withMedia = fanOutIds(T(s, dir, "documents").select(col("doc_id")))
         .mapPartitions { it =>
           it.map { r =>
             val id = r.getLong(0)
@@ -3290,7 +3308,7 @@ object SparkEntry {
       import org.apache.spark.sql.types._
       val genSchema = StructType(Seq(StructField("doc_id", LongType),
         StructField("payload", BinaryType)))
-      val imgs = T(s, dir, "documents").select(col("doc_id"))
+      val imgs = fanOutIds(T(s, dir, "documents").select(col("doc_id")))
         .mapPartitions { it =>
           it.map { r =>
             val id = r.getLong(0)
@@ -3337,7 +3355,7 @@ object SparkEntry {
       import org.apache.spark.sql.types._
       val genSchema = StructType(Seq(StructField("doc_id", LongType),
         StructField("payload", BinaryType)))
-      val clips = T(s, dir, "documents").select(col("doc_id"))
+      val clips = fanOutIds(T(s, dir, "documents").select(col("doc_id")))
         .mapPartitions { it =>
           it.map { r =>
             val id = r.getLong(0)
@@ -3359,8 +3377,8 @@ object SparkEntry {
     "q226_bootstrap_ci" -> ((s, dir) => {
       val d = T(s, dir, "documents").select(col("doc_id"), col("source"),
         TextFunctions.tokenCount(col("text")).as("tok"))
-      graft.functions.ProfileOps.bootstrapCI(d, "source", "tok", "doc_id",
-        reps = 200)
+      graft.functions.ProfileOps.bootstrapCI(fanOutIds(d), "source", "tok",
+        "doc_id", reps = 200)
         .orderBy("source")
     }),
     // ── extension: MULTIMODAL DEDUP FUSION — "a document is a
@@ -3375,19 +3393,26 @@ object SparkEntry {
       import org.apache.spark.sql.types._
       val genSchema = StructType(Seq(StructField("doc_id", LongType),
         StructField("payload", BinaryType)))
-      def gen(f: Long => Array[Byte]) = T(s, dir, "documents")
-        .select(col("doc_id"))
+      def gen(f: Long => Array[Byte]) = fanOutIds(T(s, dir, "documents")
+        .select(col("doc_id")))
         .mapPartitions { it =>
           it.map(r => org.apache.spark.sql.Row(r.getLong(0), f(r.getLong(0))))
         }(org.apache.spark.sql.Encoders.row(genSchema)).toDF()
-      val ip = DedupOps.hammingNearDupPairs(
-        graft.functions.MultimodalOps.averageHash(
-          gen(graft.functions.MultimodalOps.MediaGen.pngGray8x8), "doc_id", "payload"),
-        "doc_id", "ahash", maxHamming = 3)
-      val ap = DedupOps.hammingNearDupPairs(
-        graft.functions.MultimodalOps.audioEnergyHash(
-          gen(graft.functions.MultimodalOps.MediaGen.wavSeeded), "doc_id", "payload"),
-        "doc_id", "ehash", maxHamming = 3)
+      // the two modality legs are independent until the union and each
+      // ends in an eager localCheckpoint — overlap them (guide §2.6;
+      // the change #10 discipline: disjoint reads, contents identical
+      // to the sequential schedule)
+      var ip: DataFrame = null
+      var ap: DataFrame = null
+      graft.streaming.StreamingOps.runConcurrently(Seq(
+        () => ip = DedupOps.hammingNearDupPairs(
+          graft.functions.MultimodalOps.averageHash(
+            gen(graft.functions.MultimodalOps.MediaGen.pngGray8x8), "doc_id", "payload"),
+          "doc_id", "ahash", maxHamming = 3),
+        () => ap = DedupOps.hammingNearDupPairs(
+          graft.functions.MultimodalOps.audioEnergyHash(
+            gen(graft.functions.MultimodalOps.MediaGen.wavSeeded), "doc_id", "payload"),
+          "doc_id", "ehash", maxHamming = 3)))
       val edges = ip.select("id_a", "id_b").unionByName(ap.select("id_a", "id_b"))
       graft.functions.GraphOps.connectedComponents(edges, "id_a", "id_b")
         .orderBy("id")
@@ -3431,7 +3456,7 @@ object SparkEntry {
       val genSchema = StructType(Seq(StructField("doc_id", LongType),
         StructField("payload", BinaryType)))
       val docs = T(s, dir, "documents").select(col("doc_id"))
-      val imgs = docs.mapPartitions { it =>
+      val imgs = fanOutIds(docs).mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
           org.apache.spark.sql.Row(id,
