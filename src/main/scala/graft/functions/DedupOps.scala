@@ -144,8 +144,16 @@ object DedupOps {
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, bands: Int = 16, ngram: Int = 3, threshold: Double = 0.7): DataFrame = {
     // signatures are ~100× more expensive than the join — materialize once
-    // so the self-join's two sides don't each recompute k×|shingles| hashes
-    val sigs = minhashSignatures(df, textCol, idCol, k, ngram)
+    // so the self-join's two sides don't each recompute k×|shingles| hashes.
+    // Fan the batch corpus out first: the k per-shingle perm-mins run in
+    // the scan stage's partial aggregate, which is one task on a one-row-
+    // group toy scan (guide §2.6; pass-through at real scan parallelism).
+    // Deliberately NOT inside minhashSignatures itself — the incremental/
+    // stream paths call it per delta-sized batch, where an extra exchange
+    // is pure per-batch stage cost.
+    val sigs = minhashSignatures(
+        SimilarityOps.fanOutSmall(df.select(col(idCol), col(textCol))),
+        textCol, idCol, k, ngram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandSignatures(sigs, k, bands)
     scoreBandedPairs(bandSide(banded, "a"), bandSide(banded, "b"), k, threshold)
@@ -630,7 +638,9 @@ object DedupOps {
     val W = windowTokens
     require(W > 0, s"windowTokens must be positive, got $W")
     require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
-    val td = df.where(length(trim(col(textCol))) > 0)
+    // same pre-tokenization fan-out as removeDuplicateSpans (guide §2.6)
+    val td = SimilarityOps.fanOutSmall(df.where(length(trim(col(textCol))) > 0)
+        .select(col(idCol), col(textCol)))
       .select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("t"))
     val wins = windowHashFrame(td, idCol, W)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -690,7 +700,14 @@ object DedupOps {
     val W = windowTokens
     require(W > 0, s"windowTokens must be positive, got $W")
     require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
-    val td = df.where(length(trim(col(textCol))) > 0)
+    // fan the pre-tokenization rows out to the session parallelism: the
+    // documents scan is one row group at toy scale, so tokenization, the
+    // O(tokens·W) window hashing and every map-side partial otherwise
+    // run in a single task (guide §2.6; the fanOutSmall ≥-parallelism
+    // guard makes this a no-op on a real corpus scan). All downstream
+    // aggregates/joins are keyed, so results are unchanged.
+    val td = SimilarityOps.fanOutSmall(df.where(length(trim(col(textCol))) > 0)
+        .select(col(idCol), col(textCol)))
       .select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wins = windowHashFrame(td, idCol, W)
@@ -851,7 +868,14 @@ object DedupOps {
     * persisted because every consumer reads it at least twice. */
   private def explodedShingles(df: DataFrame, textCol: String,
                                idCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+    // fan the pre-shingling rows out to the session parallelism: the
+    // corpus scan is one row group at toy scale, so the O(tokens·n)
+    // shingle hashing + explode otherwise runs in one task (guide §2.6;
+    // the ≥-parallelism guard passes a real corpus scan through). Every
+    // consumer keys on (h) or (id) — results unchanged.
+    SimilarityOps.fanOutSmall(
+        df.select(col(idCol).as("id"), col(textCol).as("__sht")))
+      .select(col("id"), shingleHashes(col("__sht"), n).as("sh"))
       .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
