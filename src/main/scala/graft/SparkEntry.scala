@@ -517,7 +517,7 @@ object SparkEntry {
     }),
     // ── extension: quality scoring
     "q17_text_quality" -> ((s, dir) => {
-      val d = T(s, dir, "documents")
+      val d = fanOutIds(T(s, dir, "documents").select(col("doc_id"), col("text")))
       val f = TextFunctions.qualityFeatures(col("text"))
       d.select(col("doc_id"),
         f.getField("n_tokens").as("n_tokens"),
@@ -529,7 +529,7 @@ object SparkEntry {
     }),
     // ── extension: language ID (stopword-vote heuristic)
     "q18_lang_id" -> ((s, dir) => {
-      T(s, dir, "documents")
+      fanOutIds(T(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
@@ -1562,7 +1562,7 @@ object SparkEntry {
     "q103_gopher_quality" -> ((s, dir) => {
       val g = TextFunctions.gopherQuality(col("text"),
         minWords = 30, minStopwords = 1)
-      T(s, dir, "documents")
+      fanOutIds(T(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"), g.as("g"))
         .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
           col("g.alpha_word_frac"), col("g.n_stop_present"),
@@ -1575,7 +1575,8 @@ object SparkEntry {
     //    Every shuffle keyed by doc_id — no corpus-wide state
     "q104_ngram_repetition" -> ((s, dir) => {
       TextFunctions.ngramRepetitionStats(
-        T(s, dir, "documents"), "text", "doc_id", ns = Seq(2, 3, 4))
+        fanOutIds(T(s, dir, "documents").select(col("doc_id"), col("text"))),
+        "text", "doc_id", ns = Seq(2, 3, 4))
         .withColumn("keep",
           (col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
            col("top4_frac") <= 0.16).cast("int"))
@@ -1619,8 +1620,9 @@ object SparkEntry {
     //    guarantee q44's bare rolling hashes lack. Map-only narrow
     //    array expressions; the only Exchange is the gate's output sort
     "q106_winnow_fingerprints" -> ((s, dir) => {
-      TextFunctions.winnowFingerprints(T(s, dir, "documents"), "text", "doc_id",
-        k = 4, w = 4)
+      TextFunctions.winnowFingerprints(
+        fanOutIds(T(s, dir, "documents").select(col("doc_id"), col("text"))),
+        "text", "doc_id", k = 4, w = 4)
         .orderBy("doc_id", "pos")
     }),
     // ── extension: BM25 top-k keyword retrieval (Robertson & Zaragoza
@@ -3327,7 +3329,8 @@ object SparkEntry {
     //    self-join), scored by max(0, ln(c_ab·T/(c_a·c_b))) in micro.
     //    The count-based twin of q175's skip-gram pairs, over text.
     "q223_cooccurrence_ppmi" -> ((s, dir) => {
-      TextFunctions.cooccurrencePpmi(T(s, dir, "documents"), "text",
+      TextFunctions.cooccurrencePpmi(
+        fanOutIds(T(s, dir, "documents").select(col("text"))), "text",
         window = 2, minCount = 5)
         .orderBy("w1", "w2")
     }),
@@ -3424,8 +3427,10 @@ object SparkEntry {
     //    quality-outlier gate mean/stddev scores can't provide (a giant
     //    doc inflates sigma enough to hide itself).
     "q228_robust_z" -> ((s, dir) => {
-      val d = T(s, dir, "documents").select(col("doc_id"), col("source"),
-        TextFunctions.tokenCount(col("text")).as("tok"))
+      val d = fanOutIds(T(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text")))
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("tok"))
       graft.functions.ProfileOps.robustZ(d, "source", "tok", "doc_id")
         .orderBy("doc_id")
     }),
@@ -3821,7 +3826,7 @@ object SparkEntry {
     //    shared with the oracle make every metric engine-exact.
     "q201_retrieval_metrics" -> ((s, dir) => {
       import graft.functions.{RetrievalOps, TextFunctions}
-      val docs = T(s, dir, "documents")
+      val docs = fanOutIds(T(s, dir, "documents").select(col("doc_id"), col("text")))
       val qts = Seq(1 -> Seq("spark", "join", "window"),
         2 -> Seq("stream", "batch"),
         3 -> Seq("vector", "hash", "merge", "sort"))
@@ -6296,7 +6301,8 @@ object SparkEntry {
     //    in integer basis points, and the per-key salt factor a skew-
     //    aware repartition would apply. Run on the Zipf-skewed word key.
     "q126_skew_profile" -> ((s, dir) => {
-      val toks = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+      val toks = fanOutIds(T(s, dir, "documents")
+          .where(length(trim(col("text"))) > 0).select(col("text")))
         .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
       graft.functions.ProfileOps.skewProfile(toks, "word", topN = 10,
         targetRows = 500L)
@@ -6570,7 +6576,9 @@ object SparkEntry {
     //    broadcast vs shuffle) and two broadcast vocab-sized sides;
     //    integer milli-nat output like q87
     "q97_bigram_surprise" -> ((s, dir) => {
-      val td = T(s, dir, "documents").where(length(trim(col("text"))) > 0)
+      val td = fanOutIds(T(s, dir, "documents")
+          .where(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"), TextFunctions.tokens(lower(col("text"))).as("t"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bg = td.where(size(col("t")) >= 2)
