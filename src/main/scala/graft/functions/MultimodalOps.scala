@@ -22,6 +22,15 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
+  // ImageIO defaults to a DISK-backed stream cache: every decode of an
+  // in-memory payload creates (and deletes) a temp file, which both
+  // costs a file round-trip per row and serializes concurrent decode
+  // tasks on the filesystem (measured as bimodal q227/q92 wall times
+  // once the decode ran 32-way). The payloads here are byte arrays —
+  // a memory-backed stream is strictly cheaper and bit-identical.
+  // JVM-global, executor-side: runs once per executor classload.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Metadata carried alongside every media payload. */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),   // image | audio | video
